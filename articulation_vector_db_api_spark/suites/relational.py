@@ -1,0 +1,700 @@
+"""Relational suite (SURVEY §2.2, M3): the operator categories the
+reference lacks entirely (its only query engine is Pinecone's remote
+ANN, /root/reference/main.py:184-189), built as engine capabilities on
+Spark built-ins over the TPC-H-ish fixtures.
+
+Scale notes are per-query docstrings: which side broadcasts, where the
+shuffle is, what AQE does at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import davg, davg_sql, dsum, dsum_sql
+from ..registry import register
+from ..sources.readers import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# scans / projection / filter / predicates
+# --------------------------------------------------------------------------
+
+
+@register(
+    "filter_project_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           round(l_extendedprice * (1 - l_discount), 6) AS net_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+      AND l_quantity > 45
+      AND l_returnflag = 'R'
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("relational", "scan"),
+)
+def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + conjunctive predicates. Catalyst pushes all four
+    filters into the parquet scan (PushedFilters) and prunes to 6 of 11
+    columns (ReadSchema) — at 100 TB this is the difference between
+    reading 4 TB and 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+            & (F.col("l_quantity") > 45)
+            & (F.col("l_returnflag") == "R")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "net_price"
+            ),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# --------------------------------------------------------------------------
+# aggregation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql("l_quantity")} AS sum_qty,
+           {dsum_sql("l_extendedprice")} AS sum_base_price,
+           {dsum_sql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+           {dsum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+           {davg_sql("l_quantity")} AS avg_qty,
+           {davg_sql("l_extendedprice")} AS avg_price,
+           {davg_sql("l_discount")} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+    tags=("relational", "agg"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide hash aggregate over the fact table.
+    Catalyst plans partial(map-side) + final HashAggregate — the 100 TB
+    shuffle carries only 6 grouped rows per task, not the table. Sums
+    ride the exact decimal path (functions/numeric.py) so results are
+    order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("relational", "agg"),
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregation: Catalyst plans an Expand + two-phase
+    aggregate; distinct shuffles on (group, value) so hot groups still
+    parallelize across the cluster."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "approx_distinct_parts",
+    oracle=None,  # HLL sketches are engine-specific; rows-only check
+    tags=("relational", "agg", "approx"),
+)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB path for
+    distinct stats — fixed-size sketch per partition, no (group, value)
+    shuffle. No oracle: sketch estimates are engine-specific."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "rollup_revenue",
+    oracle=f"""
+    SELECT r_name, n_name,
+           {dsum_sql("o_totalprice")} AS revenue,
+           count(*) AS n_orders,
+           (CASE WHEN r_name IS NULL THEN 2 ELSE 0 END
+            + CASE WHEN n_name IS NULL THEN 1 ELSE 0 END) AS gid
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY gid, r_name, n_name
+    """,
+    tags=("relational", "agg"),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over a snowflake join: revenue by region→nation→total.
+    nation/region are broadcast dims; the rollup is one Expand node,
+    not three scans."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            dsum(F.col("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "r_name", "n_name")
+    )
+
+
+@register(
+    "cube_order_status",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           {dsum_sql("o_totalprice")} AS revenue,
+           (CASE WHEN o_orderstatus IS NULL THEN 2 ELSE 0 END
+            + CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS gid
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, o_orderstatus, o_orderpriority
+    """,
+    tags=("relational", "agg"),
+)
+def cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping combinations in one Expand + aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle=f"""
+    SELECT c_mktsegment, o_orderstatus,
+           {dsum_sql("o_totalprice")} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus))
+    ORDER BY c_mktsegment, o_orderstatus
+    """,
+    tags=("relational", "agg"),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — two independent groupings, one pass."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    return (
+        joined.groupingSets(
+            [["c_mktsegment"], ["o_orderstatus"]], "c_mktsegment", "o_orderstatus"
+        )
+        .agg(dsum(F.col("o_totalprice")).alias("revenue"))
+        .orderBy("c_mktsegment", "o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    headline=True,
+    tags=("relational", "join"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → agg → top-k.
+    customer(filtered) broadcasts under AQE; lineitem⋈orders is the one
+    real shuffle; the final top-10 is TakeOrderedAndProject (no global
+    sort)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "join_broadcast_snowflake",
+    oracle=f"""
+    SELECT r_name,
+           count(*) AS n_customers,
+           {davg_sql("c_acctbal")} AS avg_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+    tags=("relational", "join"),
+)
+def join_broadcast_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the dimension chain: BroadcastHashJoin,
+    zero shuffle on the probe side — the only join strategy that
+    survives a 100 TB fact table with KB-sized dims."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            davg(F.col("c_acctbal")).alias("avg_bal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "join_sortmerge_fact",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(*) AS n_lines,
+           {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    headline=True,
+    tags=("relational", "join"),
+)
+def join_sortmerge_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact equi-join forced to SortMergeJoin (the 100 TB strategy
+    when neither side broadcasts). Both sides shuffle on orderkey; with
+    bucketed tables (operators/ingest.py writes bucketed chunk tables)
+    the same plan elides the shuffle entirely."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").hint("merge")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "join_semi_customers_with_urgent",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """,
+    tags=("relational", "join"),
+)
+def join_semi_customers_with_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): probe side never duplicates, build side
+    only ships the join key — the cheap existence check at scale."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti_customers_no_urgent",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """,
+    tags=("relational", "join"),
+)
+def join_anti_customers_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS) — the dedup/difference workhorse."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_theta_supplier_pairs",
+    oracle="""
+    SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+           round(abs(a.s_acctbal - b.s_acctbal), 6) AS bal_gap
+    FROM supplier a JOIN supplier b
+      ON a.s_suppkey < b.s_suppkey
+     AND abs(a.s_acctbal - b.s_acctbal) < 100.0
+    ORDER BY supp_a, supp_b
+    """,
+    tags=("relational", "join"),
+)
+def join_theta_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) join → BroadcastNestedLoopJoin. Only sane when
+    one side is small (supplier is the smallest table); at 100 TB a
+    theta join must be banded into an equi-join on a bucket key first
+    (see dedup suite for that pattern)."""
+    a = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("supp_a"), F.col("s_acctbal").alias("bal_a")
+    )
+    b = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("supp_b"), F.col("s_acctbal").alias("bal_b")
+    )
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("supp_a") < F.col("supp_b"))
+            & (F.abs(F.col("bal_a") - F.col("bal_b")) < 100.0),
+        )
+        .select(
+            "supp_a",
+            "supp_b",
+            F.round(F.abs(F.col("bal_a") - F.col("bal_b")), 6).alias("bal_gap"),
+        )
+        .orderBy("supp_a", "supp_b")
+    )
+
+
+@register(
+    "join_asof_event_order",
+    oracle="""
+    WITH tagged AS (
+        SELECT o_custkey AS key, o_orderdate AS ts, 0 AS is_event,
+               o_orderkey AS okey, o_totalprice AS price,
+               NULL::BIGINT AS event_id
+        FROM orders
+        UNION ALL
+        SELECT user_id, ts, 1, NULL, NULL, event_id FROM events
+    ),
+    filled AS (
+        SELECT *,
+               last_value(okey IGNORE NULLS) OVER w AS last_orderkey,
+               last_value(price IGNORE NULLS) OVER w AS last_price
+        FROM tagged
+        WINDOW w AS (PARTITION BY key ORDER BY ts, is_event, okey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, key AS user_id,
+           last_orderkey AS o_orderkey, last_price AS o_totalprice
+    FROM filled
+    WHERE is_event = 1 AND last_orderkey IS NOT NULL
+    ORDER BY event_id
+    """,
+    tags=("relational", "join", "asof"),
+)
+def join_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each event matched to the user's most recent order
+    at event time. Spark lacks a native as-of join; the scalable
+    encoding is union + last(ignorenulls) over a (key, time) window —
+    one shuffle on user, no per-row subqueries. Ties broken
+    (ts, is_event, orderkey) so the order row lands before same-ts
+    events deterministically."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("is_event"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("ts"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("long").alias("okey"),
+        F.lit(None).cast("double").alias("price"),
+        F.col("event_id"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("key")
+        .orderBy("ts", "is_event", "okey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = o.unionByName(e).select(
+        "*",
+        F.last("okey", ignorenulls=True).over(w).alias("last_orderkey"),
+        F.last("price", ignorenulls=True).over(w).alias("last_price"),
+    )
+    return (
+        filled.filter((F.col("is_event") == 1) & F.col("last_orderkey").isNotNull())
+        .select(
+            "event_id",
+            F.col("key").alias("user_id"),
+            F.col("last_orderkey").alias("o_orderkey"),
+            F.col("last_price").alias("o_totalprice"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "scalar_subquery_above_avg",
+    oracle=f"""
+    SELECT c_custkey, round(c_acctbal, 6) AS acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT {davg_sql("c_acctbal")} FROM customer)
+    ORDER BY c_custkey
+    """,
+    tags=("relational", "subquery"),
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: customers above the global average balance.
+    The 1-row aggregate broadcasts; no correlated per-row execution."""
+    c = _t(spark, sf_dir, "customer")
+    avg_df = c.agg(davg(F.col("c_acctbal")).alias("_avg"))
+    return (
+        c.join(F.broadcast(avg_df))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .select("c_custkey", F.round("c_acctbal", 6).alias("acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# sorts / limits / set ops / pivot
+# --------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders_by_price",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("relational", "sort"),
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit plans as TakeOrderedAndProject —
+    per-partition heaps of size k merged on the driver; never a full
+    sort, never a full shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "setop_nations_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    tags=("relational", "setop"),
+)
+def setop_nations_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): planned as an aggregate + semi join."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+@register(
+    "setop_nations_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    tags=("relational", "setop"),
+)
+def setop_nations_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): anti-join encoding of set difference."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s).orderBy("nationkey")
+
+
+@register(
+    "setop_union_all_counts",
+    oracle="""
+    SELECT nationkey, count(*) AS n
+    FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT s_nationkey FROM supplier
+    )
+    GROUP BY nationkey
+    ORDER BY nationkey
+    """,
+    tags=("relational", "setop"),
+)
+def setop_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL: pure concatenation of partitions, zero shuffle."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        c.unionByName(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "pivot_status_revenue",
+    oracle=f"""
+    SELECT c_mktsegment,
+           {dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS F,
+           {dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS O,
+           {dsum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS P
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("relational", "pivot"),
+)
+def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (never let pivot scan for
+    distinct values at scale — that is an extra full pass)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum(F.col("o_totalprice")))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, measure, round(val, 6) AS val
+    FROM (
+        SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    )
+    WHERE p_partkey % 20 = 0
+    ORDER BY p_partkey, measure
+    """,
+    tags=("relational", "pivot"),
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide→long without multiple scans."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 20 == 0)
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_retailprice").alias("retailprice"),
+            F.col("p_size").cast("double").alias("size"),
+        )
+        .unpivot("p_partkey", ["retailprice", "size"], "measure", "val")
+        .select("p_partkey", "measure", F.round("val", 6).alias("val"))
+        .orderBy("p_partkey", "measure")
+    )

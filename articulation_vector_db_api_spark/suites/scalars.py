@@ -1,0 +1,270 @@
+"""Scalar-function suite (SURVEY §2.2 string/date/math/array/map/json).
+
+The reference's scalar surface is tiny (concat/strip/basename for
+context assembly and ids, /root/reference/main.py:287,317,324); the
+engine exposes the full built-in families. Everything here is
+whole-stage-codegen'd JVM expressions — the 100 TB rule is simply
+"never leave the JVM for a scalar".
+
+Cross-engine parity notes baked into the oracles:
+- DuckDB ``dayofweek`` is 0-based Sunday, Spark is 1-based → +1.
+- transcendentals (exp/ln/log10) are libm-dependent in the last ulp →
+  rounded to 6 decimals on both sides. sqrt is IEEE-exact → unrounded.
+- DuckDB map extraction returns a single-element list → ``[1]``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.readers import load_table
+
+
+@register(
+    "string_functions",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_name) AS name_lower,
+           upper(c_mktsegment) AS seg_upper,
+           length(c_name) AS name_len,
+           substr(c_name, 1, 8) AS name_prefix,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           string_split(c_name, '#')[1] AS name_word,
+           concat_ws('|', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS name_key,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           strpos(c_name, '#') AS hash_pos,
+           reverse(c_name) AS name_rev,
+           replace(c_name, 'Customer', 'C') AS name_short,
+           trim('  ' || c_name || ' ') AS name_trim,
+           CAST(starts_with(c_name, 'Customer') AS INT) AS is_customer,
+           CAST(contains(c_name, '42') AS INT) AS has_42,
+           repeat(c_mktsegment, 2) AS seg_twice,
+           ascii(c_name) AS first_code
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    tags=("scalar", "string"),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, slice, regex, split, pad, search, replace."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.split("c_name", "#").getItem(0).alias("name_word"),
+        F.concat_ws("|", "c_mktsegment", F.col("c_custkey").cast("string")).alias(
+            "name_key"
+        ),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.instr("c_name", "#").alias("hash_pos"),
+        F.reverse("c_name").alias("name_rev"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C")).alias("name_short"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("name_trim"),
+        F.startswith(F.col("c_name"), F.lit("Customer")).cast("int").alias(
+            "is_customer"
+        ),
+        F.contains(F.col("c_name"), F.lit("42")).cast("int").alias("has_42"),
+        F.repeat(F.col("c_mktsegment"), 2).alias("seg_twice"),
+        F.ascii("c_name").alias("first_code"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           day(o_orderdate) AS dom,
+           dayofweek(o_orderdate) + 1 AS dow,
+           weekofyear(o_orderdate) AS iso_week,
+           quarter(o_orderdate) AS qtr,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+           CAST(o_orderdate AS DATE) + 30 AS plus_30,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           make_date(year(o_orderdate), month(o_orderdate), 1) AS first_of_month
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar", "date"),
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: parts, truncation, formatting, arithmetic."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.dayofweek(d).alias("dow"),
+        F.weekofyear(d).alias("iso_week"),
+        F.quarter(d).alias("qtr"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.date_format(d, "yyyy-MM-dd").alias("date_str"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        F.date_add(d.cast("date"), 30).alias("plus_30"),
+        F.last_day(d.cast("date")).alias("month_end"),
+        F.unix_timestamp(d).alias("epoch_s"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("first_of_month"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 6) AS abs_disc_gap,
+           ceil(l_extendedprice) AS price_ceil,
+           floor(l_extendedprice) AS price_floor,
+           round(l_extendedprice, 1) AS price_round1,
+           sqrt(l_quantity) AS qty_sqrt,
+           l_orderkey % 7 AS key_mod7,
+           round(power(l_quantity, 2), 6) AS qty_sq,
+           round(exp(l_discount), 6) AS disc_exp,
+           round(ln(1 + l_tax), 6) AS tax_ln,
+           round(log10(1 + l_extendedprice), 6) AS price_log10,
+           round(greatest(l_tax, l_discount), 6) AS max_rate,
+           round(least(l_tax, l_discount), 6) AS min_rate,
+           sign(l_discount - 0.04) AS disc_sign
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("scalar", "math"),
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. sqrt/abs/ceil/floor/%/sign are IEEE-exact and left
+    unrounded; libm-backed exp/ln/log10/power round to 6."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_disc_gap"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.round("l_extendedprice", 1).alias("price_round1"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.log(F.lit(1) + F.col("l_tax")), 6).alias("tax_ln"),
+        F.round(F.log10(F.lit(1) + F.col("l_extendedprice")), 6).alias("price_log10"),
+        F.round(F.greatest("l_tax", "l_discount"), 6).alias("max_rate"),
+        F.round(F.least("l_tax", "l_discount"), 6).alias("min_rate"),
+        F.signum(F.col("l_discount") - 0.04).alias("disc_sign"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           embedding[1:4] AS first4,
+           embedding[-1] AS last_elem,
+           list_aggregate(embedding, 'max') AS vmax,
+           list_aggregate(embedding, 'min') AS vmin,
+           list_sort(embedding)[1:3] AS bottom3,
+           len(list_filter(embedding, x -> x > 0.1)) AS n_above,
+           round(list_reduce(list_prepend(0.0, list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))), (acc, v) -> acc + v), 6) AS vsum
+    FROM embeddings
+    WHERE vec_id % 10 = 0
+    ORDER BY vec_id
+    """,
+    tags=("scalar", "array"),
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over the embedding column — the workhorses of every
+    vector op in this engine (slice/sort/filter/fold)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.slice(emb, 1, 4).alias("first4"),
+        F.element_at(emb, -1).alias("last_elem"),
+        F.array_max(emb).alias("vmax"),
+        F.array_min(emb).alias("vmin"),
+        F.slice(F.sort_array(emb), 1, 3).alias("bottom3"),
+        F.size(F.filter(emb, lambda x: x > 0.1)).alias("n_above"),
+        F.round(
+            F.aggregate(
+                emb, F.lit(0.0), lambda acc, v: acc + v.cast("double")
+            ),
+            6,
+        ).alias("vsum"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "json_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k,
+           CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+           json_keys(props) AS keys,
+           length(props) AS props_len
+    FROM events
+    WHERE event_id % 5 = 0
+    ORDER BY event_id
+    """,
+    tags=("scalar", "json"),
+)
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family on the events.props payload column: path extraction
+    (get_json_object) and schema-on-read (from_json) — at scale prefer
+    from_json once into a struct over repeated path extraction."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    parsed = F.from_json(F.col("props"), "k INT")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        (parsed.getField("k") % 10).alias("k_bucket"),
+        F.json_object_keys("props").alias("keys"),
+        F.length("props").alias("props_len"),
+    ).orderBy("event_id")
+
+
+@register(
+    "struct_map_functions",
+    oracle="""
+    SELECT c_custkey,
+           struct_pack(bal := c_acctbal, seg := c_mktsegment).bal AS bal,
+           struct_pack(bal := c_acctbal, seg := c_mktsegment).seg AS seg,
+           (MAP {'segment': c_mktsegment})['segment'][1] AS seg_from_map,
+           to_json(struct_pack(k := c_custkey)) AS js
+    FROM customer
+    WHERE c_custkey % 20 = 0
+    ORDER BY c_custkey
+    """,
+    tags=("scalar", "struct"),
+)
+def struct_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct/map family: nested construction + field access +
+    to_json. The engine prefers structs over maps for fixed keys
+    (reference metadata triple, main.py:165-169) — structs get
+    columnar storage and nested-schema pruning."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 20 == 0)
+    st = F.struct(F.col("c_acctbal").alias("bal"), F.col("c_mktsegment").alias("seg"))
+    mp = F.create_map(F.lit("segment"), F.col("c_mktsegment"))
+    return c.select(
+        "c_custkey",
+        st.getField("bal").alias("bal"),
+        st.getField("seg").alias("seg"),
+        F.element_at(mp, "segment").alias("seg_from_map"),
+        F.to_json(F.struct(F.col("c_custkey").alias("k"))).alias("js"),
+    ).orderBy("c_custkey")

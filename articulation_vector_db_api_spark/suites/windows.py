@@ -1,0 +1,264 @@
+"""Window-function suite (SURVEY §2.2 'Window — ranking / analytic').
+
+Absent in the reference (its only ordering is Pinecone's global top-k,
+/root/reference/main.py:184-189); first-class here. Determinism policy:
+every window ORDER BY is either a total order (tiebreak on a key) or
+uses only tie-insensitive functions (rank/dense_rank, range frames);
+running sums ride the exact decimal path.
+
+Scale: a window shuffles once on its PARTITION BY key. Partition-less
+windows move everything to one task and are forbidden outside ≤k-row
+inputs (engine rule; see operators/search.py context assembly)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..sources.readers import load_table
+
+_DEC = "decimal(30,8)"
+
+
+@register(
+    "window_rank_customers",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           round(c_acctbal, 6) AS acctbal,
+           row_number() OVER w AS rn,
+           ntile(4) OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_mktsegment, rn
+    """,
+    tags=("window",),
+)
+def window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window with a total order (acctbal DESC, custkey):
+    row_number and ntile are deterministic because the sort key is
+    unique."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round("c_acctbal", 6).alias("acctbal"),
+            F.row_number().over(w).alias("rn"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@register(
+    "window_rank_ties",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority)
+    ORDER BY o_orderkey
+    """,
+    tags=("window",),
+)
+def window_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank under real ties: both depend only on the sort
+    KEY VALUE, so they stay deterministic when many rows share a
+    priority (row_number would not — engine rule: never emit
+    row_number over a non-total order)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) OVER w AS DOUBLE) AS running_spend,
+           count(*) OVER w AS n_orders_so_far
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window",),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame (running total per customer over order time).
+    Decimal accumulation keeps the prefix sums bit-stable."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias(
+                "running_spend"
+            ),
+            F.count(F.lit(1)).over(w).alias("n_orders_so_far"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) OVER w AS DOUBLE)
+             / count(*) OVER w AS moving_avg_3,
+           round(min(o_totalprice) OVER w, 6) AS min_3,
+           round(max(o_totalprice) OVER w, 6) AS max_3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window",),
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding row frame (3-order moving stats per customer)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            (
+                F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double")
+                / F.count(F.lit(1)).over(w)
+            ).alias("moving_avg_3"),
+            F.round(F.min("o_totalprice").over(w), 6).alias("min_3"),
+            F.round(F.max("o_totalprice").over(w), 6).alias("max_3"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           round(value, 6) AS value,
+           round(lag(value) OVER w, 6) AS prev_value,
+           round(lead(value) OVER w, 6) AS next_value,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_micros
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+    tags=("window",),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over event time per user — the session-gap primitive
+    (streaming suite builds sessionization on exactly this)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.round("value", 6).alias("value"),
+            F.round(F.lag("value").over(w), 6).alias("prev_value"),
+            F.round(F.lead("value").over(w), 6).alias("next_value"),
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+                "gap_micros"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(o_totalprice, 6) AS totalprice,
+           count(*) OVER w AS n_in_band,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) OVER w AS DOUBLE) AS band_sum
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                 RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey
+    """,
+    tags=("window",),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: value-based bounds include all peers, so the frame
+    is tie-insensitive and deterministic without a tiebreak column."""
+    o = load_table(spark, sf_dir, "orders")
+    # DataFrame rangeBetween only takes integer offsets; a fractional
+    # band needs the SQL frame syntax
+    frame = (
+        "OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice "
+        "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)"
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 6).alias("totalprice"),
+            F.expr(f"count(*) {frame}").alias("n_in_band"),
+            F.expr(
+                f"CAST(sum(CAST(o_totalprice AS {_DEC})) {frame} AS DOUBLE)"
+            ).alias("band_sum"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER w AS last_type,
+           round(first_value(value) OVER w, 6) AS first_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY user_id
+    """,
+    tags=("window",),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last over an unbounded frame with a total order — each
+    user's first and last event in one pass (no self-join)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        e.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w).alias("last_type"),
+            F.round(F.first("value").over(w), 6).alias("first_val"),
+        )
+        .distinct()
+        .orderBy("user_id")
+    )

@@ -1,0 +1,67 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming surface at all (SURVEY §2.2); the
+engine provides the standard event-time toolkit: tumbling / sliding /
+session windows, watermarked late-data handling, and streaming dedup.
+
+Execution contract: sources are ``readStream`` file sources; tests and
+the correctness gate drive them with ``Trigger.AvailableNow`` into a
+memory sink, so every streaming query has a batch-equivalent oracle
+(the same SQL DuckDB runs). In production the identical plan runs
+against a continuous source (Kafka/files) with checkpointing — event
+shape, state keys and watermarks don't change.
+
+Scale: state is keyed by (window/session, group key) and lives in the
+state store, hash-partitioned on the group key — watermarks bound its
+growth; ``spark.sql.shuffle.partitions`` sizes state-store parallelism.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import SCHEMAS
+
+_run_counter = itertools.count()
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events table (ns→µs conversion as in the
+    batch reader).
+
+    The file stream source monitors a DIRECTORY; the fixture is a bare
+    parquet file, so stage a symlink under an engine-owned temp dir —
+    in production this is simply the landing directory new files arrive
+    into."""
+    stage = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp",
+        "streams",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    df = spark.readStream.schema(SCHEMAS["events"]).parquet(stage)
+    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def run_available_now(df: DataFrame, name: str, mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion (AvailableNow) into
+    a memory sink and return the result table."""
+    qname = f"{name}_{next(_run_counter)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(qname)

@@ -1,0 +1,375 @@
+"""Deduplication suite (north star: LLM-data-pipeline operators).
+
+The reference's only dedup is implicit: identical text hashes to an
+identical vector (/root/reference/main.py:129-147) and chunk-id upsert
+is last-write-wins (main.py:163,172). The engine makes dedup
+first-class, in the four standard flavors for training-data pipelines:
+
+1. exact         — sha256 group-by (one shuffle on the digest)
+2. near (MinHash)— shingle → K minhashes → banded LSH bucket join →
+                   exact-Jaccard verify of candidates only
+3. near (SimHash)— per-doc bit-majority fingerprint, zero shuffle
+4. near (n-gram) — exact Jaccard on shingle-sharing candidate pairs
+
+Scale shape: every variant turns an O(n²) pair problem into
+hash-partitioned equi-joins (bucket/band/shingle keys). Nothing here
+collects to the driver; candidate sets stay proportional to true
+near-duplicates, not to corpus size. Hashes go through sha256 (see
+functions/hashing.py) so DuckDB reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hex_to_u32_sql, sha_hash32
+from ..registry import register
+from ..sources.readers import load_table
+
+N_MINHASH = 12
+BAND_ROWS = 3  # 4 bands of 3 rows
+JACCARD_THRESHOLD = 0.3
+
+_TOKENIZE = r"\s+"
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → distinct word n-gram shingles (whole text if < n words)."""
+    tokens = F.split(F.trim(F.col("text")), _TOKENIZE)
+    grams = F.when(
+        F.size(tokens) < n, F.array(F.col("text"))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tokens) - n),
+                lambda j: F.concat_ws(
+                    " ", tokens.getItem(j), tokens.getItem(j + 1), tokens.getItem(j + 2)
+                ),
+            )
+        )
+    )
+    return df.select("doc_id", F.explode(grams).alias("shingle"))
+
+
+_SHINGLES_SQL = """
+    SELECT doc_id, unnest(
+        CASE WHEN len(toks) < 3 THEN [text]
+             ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                  j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2]))
+        END) AS shingle
+    FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT text_sha, count(*) AS n_copies, min(doc_id) AS keep_doc_id
+    FROM (SELECT doc_id, sha256(text) AS text_sha FROM documents)
+    GROUP BY text_sha
+    HAVING count(*) >= 1
+    ORDER BY text_sha
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on the content digest, keep min doc_id.
+    One shuffle on a 64-char key; at 100 TB hash only the digest, never
+    the full text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"))
+        .groupBy("text_sha")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+        .orderBy("text_sha")
+    )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT norm_sha, count(*) AS n_copies, min(doc_id) AS keep_doc_id
+    FROM (SELECT doc_id,
+                 sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_sha
+          FROM documents)
+    GROUP BY norm_sha
+    ORDER BY norm_sha
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-insensitive exact dedup (lowercase, collapse
+    whitespace) — catches trivially-reformatted duplicates before any
+    expensive near-dup pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        docs.select("doc_id", F.sha2(norm, 256).alias("norm_sha"))
+        .groupBy("norm_sha")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+        .orderBy("norm_sha")
+    )
+
+
+def _minhash_sql() -> str:
+    """DuckDB: doc_id → N_MINHASH minhash values + banded candidate
+    pairs + exact-Jaccard verification (twin of dedup_minhash_lsh)."""
+    hash_cols = ",\n               ".join(
+        f"min({hex_to_u32_sql(f'h{k}')}) AS mh{k}" for k in range(N_MINHASH)
+    )
+    hex_cols = ",\n               ".join(
+        f"sha256('{k}:' || shingle) AS h{k}" for k in range(N_MINHASH)
+    )
+    bands = []
+    for b in range(N_MINHASH // BAND_ROWS):
+        cols = "||'-'||".join(
+            f"CAST(mh{b * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
+        )
+        bands.append(f"SELECT doc_id, {b} AS band_idx, {cols} AS band_val FROM minhashes")
+    bands_sql = "\n        UNION ALL\n        ".join(bands)
+    return f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    hexes AS (SELECT doc_id, {hex_cols} FROM shingles),
+    minhashes AS (
+        SELECT doc_id, {hash_cols}
+        FROM hexes GROUP BY doc_id
+    ),
+    bands AS ({bands_sql}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    verified AS (
+        SELECT c.doc_a, c.doc_b,
+               count(*) AS inter,
+               sa.n + sb.n - count(*) AS uni
+        FROM cand c
+        JOIN shingles x ON x.doc_id = c.doc_a
+        JOIN shingles y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        GROUP BY c.doc_a, c.doc_b, sa.n, sb.n
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+    FROM verified
+    WHERE CAST(inter AS DOUBLE) / uni >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_sql(), headline=True, tags=("dedup",))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup: shingle → 12 minhashes → 4 bands
+    of 3 → band-key equi-join proposes candidates → exact Jaccard
+    (computed only on candidates) filters.
+
+    Scale: the band join is hash-partitioned on (band_idx, band_val);
+    no O(n²) stage exists. Verification joins shingle lists only for
+    candidate pairs. At 100 TB, tune bands/rows for the target Jaccard
+    threshold (P(candidate) = 1-(1-j^r)^b) and salt hot bands."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+
+    hashed = sh.select(
+        "doc_id", *[sha_hash32(F.col("shingle"), k).alias(f"h{k}") for k in range(N_MINHASH)]
+    )
+    minhashes = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{k}").alias(f"mh{k}") for k in range(N_MINHASH)]
+    )
+    band_frames = []
+    for b in range(N_MINHASH // BAND_ROWS):
+        cols = [
+            F.col(f"mh{b * BAND_ROWS + r}").cast("string") for r in range(BAND_ROWS)
+        ]
+        band_frames.append(
+            minhashes.select(
+                "doc_id",
+                F.lit(b).alias("band_idx"),
+                F.concat_ws("-", *cols).alias("band_val"),
+            )
+        )
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("doc_b"))
+            & (F.col("y.shingle") == F.col("x.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    verified = (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+            ).alias("j"),
+        )
+    )
+    return (
+        verified.filter(F.col("j") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# bit j of h via arithmetic (floor(h / 2^j) % 2): powers of two are
+# exact in double, so the identical formula runs on any engine — no
+# dependence on shift-operator semantics
+_SIMHASH_EXPR = """
+    aggregate(
+        sequence(0, 31),
+        0L,
+        (acc, j) -> acc + IF(
+            2 * size(filter(token_hashes,
+                    h -> CAST(floor(h / pow(2, j)) AS BIGINT) % 2 = 1))
+                >= size(token_hashes),
+            CAST(pow(2, j) AS BIGINT), 0L))
+"""
+
+_SIMHASH_SQL = """
+    list_reduce(list_prepend(CAST(0 AS BIGINT), generate_series(0, 31)),
+        (acc, j) -> acc + CASE
+            WHEN 2 * len(list_filter(token_hashes,
+                     h -> CAST(floor(h / power(2, j)) AS BIGINT) % 2 = 1))
+                 >= len(token_hashes)
+            THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS tokens
+        FROM documents
+    ),
+    hexes AS (
+        SELECT doc_id, list_transform(tokens, t -> sha256('0:' || t)) AS token_hexes
+        FROM toks
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_transform(token_hexes, hx -> {hex_to_u32_sql("hx")}) AS token_hashes
+        FROM hexes
+    )
+    SELECT doc_id, {_SIMHASH_SQL} AS simhash
+    FROM hashed
+    ORDER BY doc_id
+    """,
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint: 32-bit bit-majority over distinct-token
+    hashes, computed entirely inside one row (array fold — ZERO
+    shuffle). Near-dups = fingerprints within small Hamming distance;
+    exact-match grouping needs just one shuffle on the fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.array_distinct(F.split(F.trim(F.col("text")), _TOKENIZE))
+    return (
+        docs.select("doc_id", tokens.alias("tokens"))
+        .withColumn(
+            "token_hashes",
+            F.transform(F.col("tokens"), lambda t: sha_hash32(t, 0)),
+        )
+        .select("doc_id", F.expr(_SIMHASH_EXPR).alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    pair_inter AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+        FROM shingles x JOIN shingles y
+          ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM pair_inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.05
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 50
+    """,
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard for every pair sharing ≥1 shingle: the
+    shingle self-join IS the candidate generator (pairs sharing
+    nothing never materialize). Top-50 by similarity.
+
+    Scale caveat: a shingle present in f docs contributes f² join
+    rows — at 100 TB drop ultra-frequent shingles first (they carry no
+    signal), exactly like document-frequency pruning in IR."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    pair_inter = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pair_inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= 0.05)
+        .select("doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(50)
+    )

@@ -1,0 +1,268 @@
+"""Similarity-search suite (north star: ANN over embedding columns).
+
+The reference's entire query engine is remote ANN (Pinecone,
+/root/reference/main.py:184-189). Here the same capability is native:
+
+- brute-force exact top-k  — the correctness baseline; Spark plans it
+  as TakeOrderedAndProject (per-partition heaps, no global sort)
+- hyperplane LSH           — random-projection sign bits → bucket key;
+  candidate set = one hash bucket, then exact re-rank. The buckets are
+  sha256-derived (functions/embedding.py), so fully deterministic and
+  oracle-checkable — swap in real Gaussian planes at deployment
+- bucketed similarity join — all-pairs above a cosine threshold
+  without an O(n²) cross join
+- batch kNN                — per-query top-k via a ranking window
+
+Scale: every variant keys its shuffle on a bucket/query id. The
+brute-force path stays useful at 100 TB *per query* (one scan, heap
+merge); the LSH path amortizes to sub-scan latency once bucketed
+storage (partitionBy(bucket)) makes the probe a partition-pruned read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.embedding import embedding_sql_duckdb, hash_embedding
+from ..functions.vector import cosine, cosine_sql_duckdb, dot, dot_sql_duckdb
+from ..registry import register
+from ..sources.readers import load_table
+
+N_PLANES = 4  # 16 buckets; tune to corpus size / recall target
+QUERY_VEC_ID = 0
+
+
+def _plane(p: int) -> Column:
+    """Deterministic pseudo-random hyperplane p (64-dim): the hash
+    embedding of a fixed seed string — reproducible in any engine."""
+    return F.slice(hash_embedding(F.lit(f"plane:{p}")), 1, 64)
+
+
+def _bucket(emb: Column) -> Column:
+    """LSH bucket = integer of sign bits of <v, plane_p>."""
+    b = F.lit(0).cast("long")
+    for p in range(N_PLANES):
+        b = b + F.when(dot(emb, _plane(p)) >= 0, F.lit(2**p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return b
+
+
+def _planes_sql() -> str:
+    return (
+        "SELECT unnest(generate_series(0, "
+        f"{N_PLANES - 1})) AS p), planes AS ("
+        "SELECT p, "
+        + embedding_sql_duckdb("'plane:' || CAST(p AS VARCHAR)", 64)
+        + " AS w FROM pnums"
+    )
+
+
+_BUCKETS_SQL = f"""
+    pnums AS ({_planes_sql()}),
+    buckets AS (
+        SELECT e.vec_id, e.label, e.embedding,
+               CAST(sum(CASE WHEN {dot_sql_duckdb("e.embedding", "p.w")} >= 0
+                        THEN CAST(power(2, p.p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY e.vec_id, e.label, e.embedding
+    )
+"""
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+        SELECT vec_id, {cosine_sql_duckdb("embedding", "q")} AS raw
+        FROM embeddings, qv
+        WHERE vec_id != {QUERY_VEC_ID}
+    )
+    SELECT vec_id, round(raw, 6) AS score
+    FROM scored ORDER BY raw DESC, vec_id LIMIT 10
+    """,
+    headline=True,
+    tags=("similarity",),
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for one query vector — the ANN correctness
+    baseline. One scan; no shuffle beyond the k-row heap merge."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select("vec_id", cosine(F.col("embedding"), F.col("q")).alias("raw"))
+    )
+    return (
+        scored.orderBy(F.desc("raw"), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("raw", 6).alias("score"))
+    )
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    WITH {_BUCKETS_SQL},
+    qb AS (SELECT bucket AS qbucket, embedding AS q FROM buckets
+           WHERE vec_id = {QUERY_VEC_ID}),
+    cand AS (
+        SELECT b.vec_id, b.bucket, {cosine_sql_duckdb("b.embedding", "q")} AS raw
+        FROM buckets b, qb
+        WHERE b.bucket = qb.qbucket AND b.vec_id != {QUERY_VEC_ID}
+    )
+    SELECT vec_id, bucket, round(raw, 6) AS score
+    FROM cand ORDER BY raw DESC, vec_id LIMIT 10
+    """,
+    tags=("similarity",),
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10: probe only the query's LSH bucket, then
+    exact re-rank inside it. At scale the chunk table is WRITTEN
+    partitioned by bucket, so this plan reads 1/2^P of the data
+    (partition pruning) instead of scanning."""
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket"))
+    q = b.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("bucket").alias("qbucket"), F.col("embedding").alias("q")
+    )
+    cand = (
+        b.join(F.broadcast(q), b.bucket == F.col("qbucket"))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id", "bucket", cosine(F.col("embedding"), F.col("q")).alias("raw")
+        )
+    )
+    return (
+        cand.orderBy(F.desc("raw"), "vec_id")
+        .limit(10)
+        .select("vec_id", "bucket", F.round("raw", 6).alias("score"))
+    )
+
+
+@register(
+    "similarity_join_lsh_bucket",
+    oracle=f"""
+    WITH {_BUCKETS_SQL},
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {cosine_sql_duckdb("a.embedding", "b.embedding")} AS raw
+        FROM buckets a JOIN buckets b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(raw, 6) AS score
+    FROM pairs WHERE raw >= 0.3
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("similarity",),
+)
+def similarity_join_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs similarity join above a threshold, restricted to LSH
+    bucket co-residents: the O(n²) cross join becomes a hash-partitioned
+    self-join on the bucket key. The standard embedding near-dup pass
+    for training corpora."""
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket"))
+    a = b.alias("a")
+    c = b.alias("b")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("raw"),
+    )
+    return (
+        pairs.filter(F.col("raw") >= 0.3)
+        .select("vec_a", "vec_b", F.round("raw", 6).alias("score"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@register(
+    "similarity_knn_batch",
+    oracle=f"""
+    WITH queries AS (
+        SELECT vec_id AS qid, embedding AS q FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+        SELECT qid, e.vec_id,
+               {cosine_sql_duckdb("e.embedding", "q")} AS raw
+        FROM embeddings e CROSS JOIN queries
+        WHERE e.vec_id != qid
+    ),
+    ranked AS (
+        SELECT qid, vec_id, raw,
+               row_number() OVER (PARTITION BY qid ORDER BY raw DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT qid, vec_id, round(raw, 6) AS score, rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY qid, rn
+    """,
+    tags=("similarity",),
+)
+def similarity_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN: top-3 neighbors for each of a set of query vectors in
+    ONE job — broadcast the query set, rank per query id with a window.
+    This is the shape of embedding-index bulk construction (MLlib's
+    approxNearestNeighbors does one query per job — unusable at scale)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+    )
+    scored = (
+        e.join(F.broadcast(q), e.vec_id != F.col("qid"))
+        .select("qid", "vec_id", cosine(F.col("embedding"), F.col("q")).alias("raw"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("raw"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id", F.round("raw", 6).alias("score"), "rn")
+        .orderBy("qid", "rn")
+    )
+
+
+@register(
+    "similarity_near_dup_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({cosine_sql_duckdb("a.embedding", "b.embedding")}, 6) AS score
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {cosine_sql_duckdb("a.embedding", "b.embedding")} >= 0.3
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("similarity", "dedup"),
+)
+def similarity_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup with attribute blocking (same label):
+    the blocked self-join shape used when a cheap partition key (URL
+    host, language, cluster id) bounds the candidate set."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("raw"),
+        )
+        .filter(F.col("raw") >= 0.3)
+        .select("vec_a", "vec_b", F.round("raw", 6).alias("score"))
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,192 @@
+"""Streaming suite (SURVEY §2.2: watermark/windows/state/late data —
+all absent in the reference).
+
+Each query REALLY runs through Structured Streaming (readStream →
+stateful aggregation → AvailableNow → memory sink); the oracle is the
+batch-equivalent SQL, which is exact because AvailableNow drains the
+full fixture in order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..streaming.windows import read_events_stream, run_available_now
+
+_DEC = "decimal(30,8)"
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+    tags=("streaming",),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute event-time windows per event type, computed by
+    a real streaming aggregation (state keyed by window×type)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_available_now(agg, "tumbling", "complete").orderBy(
+        "window_start", "event_type"
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    WITH expanded AS (
+        SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                       time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+                   AS window_start,
+               value
+        FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL '10 minutes' AS window_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+    FROM expanded
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+    tags=("streaming",),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10-minute length, 5-minute slide): each event
+    lands in exactly two overlapping windows."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_available_now(agg, "sliding", "complete").orderBy("window_start")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 300000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '5 minutes' AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming",),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 5-minute inactivity gap per user —
+    Spark's native session_window stateful operator; the oracle is the
+    classic gaps-and-islands rewrite (lag → new-session flag →
+    running-sum session ids)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_available_now(agg, "session", "complete").orderBy(
+        "user_id", "session_start"
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS n_unique
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming",),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the stream unioned with itself
+    (every event delivered twice) → dropDuplicates on event_id keyed
+    state → per-type counts equal the single-delivery truth."""
+    ev = read_events_stream(spark, sf_dir)
+    doubled = ev.unionByName(ev)
+    agg = (
+        doubled.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    return run_available_now(agg, "dedup", "complete").orderBy("event_type")
+
+
+@register(
+    "stream_watermark_append",
+    oracle=None,  # append-mode emission depends on watermark advancement
+    tags=("streaming",),
+)
+def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked append-mode tumbling counts: only windows sealed by
+    the 10-minute watermark emit; trailing windows stay open (weaker
+    rows-only check — emission timing is a streaming-runtime property,
+    not batch-SQL-expressible)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+    return run_available_now(agg, "watermark", "append").orderBy("window_start")

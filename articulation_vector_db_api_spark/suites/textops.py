@@ -1,0 +1,257 @@
+"""Text-analysis suite (north star: language-ID, quality scoring,
+token counting, fingerprinting over the documents table).
+
+The reference's only text op is the chunker (/root/reference/
+main.py:118-126); a training-data pipeline needs per-document signals
+to filter and route text at corpus scale. Every op here is a narrow
+per-row expression — zero shuffle, full codegen — which is the only
+acceptable shape for a 100 TB pre-filter pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.readers import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+_LANG_RULES = (
+    # (lang, marker words) — naive stopword voting; CJK handled by regex
+    ("de", ("der", "und", "das", "ist", "nicht")),
+    ("fr", ("le", "la", "et", "les", "une")),
+    ("es", ("el", "los", "que", "una", "por")),
+)
+
+
+@register(
+    "text_quality_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_uniq,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks), 6)
+               AS avg_token_len,
+           round(CAST(len(list_filter(toks, t -> list_contains(
+                 {list(STOPWORDS)!r}, t))) AS DOUBLE) / len(toks), 6)
+               AS stopword_ratio,
+           round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+               AS uniq_ratio
+    FROM (SELECT doc_id, text,
+                 regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+          FROM documents
+          WHERE length(trim(text)) > 0)
+    ORDER BY doc_id
+    """,
+    tags=("textops",),
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: token counts, average token length, stopword
+    ratio, lexical diversity — the standard cheap filters (C4/Gopher
+    style) run before any model-based scoring."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    d = docs.select("doc_id", "text", toks.alias("toks"))
+    n_tokens = F.size("toks")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n_tokens,
+            6,
+        ).alias("avg_token_len"),
+        F.round(
+            F.size(
+                F.filter(
+                    F.col("toks"),
+                    lambda t: F.array_contains(
+                        F.array(*[F.lit(s) for s in STOPWORDS]), t
+                    ),
+                )
+            ).cast("double")
+            / n_tokens,
+            6,
+        ).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct("toks")).cast("double") / n_tokens, 6).alias(
+            "uniq_ratio"
+        ),
+    ).orderBy("doc_id")
+
+
+def _langid_sql() -> str:
+    votes = []
+    for lang, words in _LANG_RULES:
+        clauses = " + ".join(
+            f"CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END" for w in words
+        )
+        votes.append(f"({clauses}) AS v_{lang}")
+    vote_cols = ",\n               ".join(votes)
+    return f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE
+             WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+             WHEN v_de > v_fr AND v_de > v_es AND v_de > 0 THEN 'de'
+             WHEN v_fr > v_es AND v_fr > 0 THEN 'fr'
+             WHEN v_es > 0 THEN 'es'
+             ELSE 'en'
+           END AS predicted_lang
+    FROM (
+        SELECT doc_id, lang, text, {vote_cols}
+        FROM (SELECT doc_id, lang, text,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM documents)
+    )
+    ORDER BY doc_id
+    """
+
+
+@register("text_langid", oracle=_langid_sql(), tags=("textops",))
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: CJK codepoint regex, then stopword
+    voting per candidate language, default 'en'. The deterministic
+    tier of a langid cascade — route the ambiguous remainder to a
+    model-based classifier (pandas_udf slot) at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    d = docs.select("doc_id", "lang", "text", toks.alias("toks"))
+    votes = {}
+    for lang, words in _LANG_RULES:
+        v = F.lit(0)
+        for w in words:
+            v = v + F.when(F.array_contains(F.col("toks"), w), 1).otherwise(0)
+        votes[lang] = v
+    pred = (
+        F.when(F.col("text").rlike("[一-鿿]"), "zh")
+        .when(
+            (votes["de"] > votes["fr"]) & (votes["de"] > votes["es"]) & (votes["de"] > 0),
+            "de",
+        )
+        .when((votes["fr"] > votes["es"]) & (votes["fr"] > 0), "fr")
+        .when(votes["es"] > 0, "es")
+        .otherwise("en")
+    )
+    return d.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS n_bpe_ish_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_est_llm_tokens
+    FROM documents
+    WHERE length(trim(text)) > 0
+    ORDER BY doc_id
+    """,
+    tags=("textops",),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex pieces
+    (letter runs / digit runs / punctuation), and the chars/4 LLM
+    budget estimate — the bookkeeping columns of a training corpus."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
+        F.regexp_count(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+        ).alias("n_bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_est_llm_tokens"),
+    ).orderBy("doc_id")
+
+
+_ROLLHASH_EXPR = """
+    aggregate(
+        transform(sequence(1, length({col})), i -> ascii(substr({col}, i, 1))),
+        0L,
+        (acc, c) -> (acc * 31 + c) % 2147483647)
+"""
+
+_ROLLHASH_SQL = """
+    list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(1, length({col})),
+                           i -> CAST(ascii(substr({col}, i, 1)) AS BIGINT))),
+        (acc, c) -> (acc * 31 + c) % 2147483647)
+"""
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {_ROLLHASH_SQL.format(col="text")} AS full_hash,
+           {_ROLLHASH_SQL.format(col="substr(text, 1, 64)")} AS prefix_hash
+    FROM documents
+    WHERE length(text) > 0
+    ORDER BY doc_id
+    """,
+    tags=("textops",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial fingerprint (Rabin-Karp base 31 mod 2^31-1)
+    over full text and a 64-char prefix — prefix-collision grouping is
+    a cheap boilerplate detector. Pure integer fold, bit-identical on
+    every engine."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return docs.select(
+        "doc_id",
+        F.expr(_ROLLHASH_EXPR.format(col="text")).alias("full_hash"),
+        F.expr(_ROLLHASH_EXPR.format(col="substr(text, 1, 64)")).alias("prefix_hash"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_topk_tokens_per_lang",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    counts AS (
+        SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token
+    ),
+    ranked AS (
+        SELECT lang, token, n,
+               row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rn
+        FROM counts
+    )
+    SELECT lang, token, n, rn FROM ranked WHERE rn <= 5
+    ORDER BY lang, rn
+    """,
+    tags=("textops",),
+)
+def text_topk_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: top-5 tokens per language bucket —
+    explode → two-level aggregate → ranking window. The map-side
+    partial aggregate absorbs the explosion before the shuffle."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    tok = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    )
+    counts = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "token")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("lang", "rn")
+    )

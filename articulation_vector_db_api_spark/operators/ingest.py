@@ -1,0 +1,155 @@
+"""Ingest pipeline (reference O1-O7, /root/reference/main.py:255-311).
+
+Reference write path: glob PDFs → per-file Python loop → extract text →
+chunk → embed → one unbatched Pinecone upsert per file, with per-file
+fault isolation (failures collected, 500 only if ALL fail,
+main.py:285-302).
+
+Engine: ONE distributed job —
+    binaryFile scan → extraction pandas_udf (per-row fault isolation)
+    → SQL chunker → SQL hash embedder → parquet write partitioned by
+    source with dynamic partition overwrite (= last-write-wins upsert
+    at source granularity, the engine twin of chunk-id upsert
+    main.py:163,172 since chunk ids are {title}_{i} within a source).
+
+Scale: extraction is the only Python stage and it is Arrow-batched;
+everything downstream is codegen. The write is append-free overwrite
+of exactly the ingested sources' partitions — idempotent re-ingest,
+no read-modify-write of the whole table. At 100 TB add bucketing
+(``bucketBy(N, "id")``) so downstream joins on chunk id elide their
+shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.chunking import chunk_documents
+from ..functions.embedding import hash_embedding_from_hex
+
+EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def _extract_one(path: str, content: bytes) -> tuple[str | None, str | None]:
+    """Extract text from one binary payload. PDF via pypdf when
+    available (the reference's extractor, main.py:106-115); plain text
+    via UTF-8 decode. Returns (text, error) — never raises, mirroring
+    the reference's per-file try/except (main.py:291-296)."""
+    try:
+        if path.lower().endswith(".pdf"):
+            try:
+                import io
+
+                from pypdf import PdfReader  # optional dependency
+            except ImportError:
+                return None, "pdf support unavailable: pypdf not installed"
+            reader = PdfReader(io.BytesIO(content))
+            return "\n".join((page.extract_text() or "") for page in reader.pages), None
+        return bytes(content).decode("utf-8"), None
+    except Exception as e:  # noqa: BLE001 - fault isolation boundary
+        return None, f"{type(e).__name__}: {e}"
+
+
+def extract_text(corpus: DataFrame) -> DataFrame:
+    """Arrow-batched extraction with per-row fault isolation (O2+O7).
+
+    Input: binaryFile frame (path, content, ...). Output: one row per
+    file with (path, source, text, error); source = basename minus
+    extension (main.py:287)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        for pdf in it:
+            texts, errors, sources = [], [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                text, err = _extract_one(path, content)
+                texts.append(text)
+                errors.append(err)
+                base = os.path.basename(path)
+                sources.append(base.rsplit(".", 1)[0] if "." in base else base)
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "source": sources,
+                    "text": texts,
+                    "error": errors,
+                }
+            )
+
+    return corpus.select("path", "content").mapInPandas(batches, EXTRACT_SCHEMA)
+
+
+def build_chunk_rows(extracted: DataFrame) -> DataFrame:
+    """Chunk + embed successfully-extracted docs into upsertable rows:
+    (id = {source}_{pos}, source, pos, text, embedding) — the
+    reference's item shape (main.py:158-170)."""
+    ok = extracted.filter(F.col("error").isNull() & (F.length("text") > 0))
+    chunks = chunk_documents(ok, id_col="source", text_col="text")
+    return (
+        chunks.withColumn("_hex", F.sha2(F.col("chunk_text"), 256))
+        .select(
+            F.col("chunk_id").alias("id"),
+            "source",
+            "pos",
+            F.col("chunk_text").alias("text"),
+            hash_embedding_from_hex(F.col("_hex")).alias("embedding"),
+        )
+    )
+
+
+def write_chunk_table(chunks: DataFrame, path: str) -> None:
+    """Partitioned-overwrite upsert sink (O6). Dynamic mode rewrites
+    ONLY the partitions present in this batch — re-ingesting a source
+    replaces its chunks and touches nothing else."""
+    spark = chunks.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        chunks.write.mode("overwrite").partitionBy("source").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def ingest_corpus(spark: SparkSession, corpus_dir: str, table_path: str, glob: str = "*") -> dict:
+    """End-to-end ingest (O1-O7). Returns the reference's response
+    shape {ingested_count, files_processed, files_failed}
+    (main.py:304-311); raises only if EVERY file failed
+    (main.py:298-302)."""
+    from ..sources.readers import load_binary_corpus
+
+    corpus = load_binary_corpus(spark, corpus_dir, glob)
+    extracted = extract_text(corpus).cache()
+    try:
+        status = (
+            extracted.groupBy(F.col("error").isNull().alias("ok"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        n_ok = sum(r.n for r in status if r.ok)
+        n_fail = sum(r.n for r in status if not r.ok)
+        if n_ok == 0:
+            failures = [r.error for r in extracted.filter("error IS NOT NULL").collect()]
+            raise RuntimeError(f"all {n_fail} files failed ingestion: {failures[:3]}")
+        chunks = build_chunk_rows(extracted)
+        write_chunk_table(chunks, table_path)
+        n_chunks = spark.read.parquet(table_path).count()
+        return {
+            "ingested_count": n_chunks,
+            "files_processed": n_ok,
+            "files_failed": n_fail,
+        }
+    finally:
+        extracted.unpersist()

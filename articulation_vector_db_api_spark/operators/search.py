@@ -22,12 +22,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+import math
+
 from ..functions.chunking import chunk_documents
-from ..functions.embedding import hash_embedding, hash_embedding_from_hex
-from ..functions.vector import cosine
+from ..functions.embedding import hash_embedding_from_hex, hash_embedding_py
+from ..functions.vector import dot, l2_norm
 from ..sources.readers import load_table
 
 DEFAULT_TOP_K = 5  # main.py:89
+
+
+def query_vector_literals(query: str, dim: int | None = None) -> tuple[list[float], float]:
+    """Query embedding + its L2 norm as DRIVER-side literals.
+
+    The query vector is a constant; evaluating its 1024-element
+    expression tree per probe row would triple the scoring cost (Spark
+    does not constant-fold through higher-order functions). CPython and
+    SQL produce bit-identical doubles here (same IEEE ops in the same
+    order — functions/embedding.py), so both the Spark plan and the
+    DuckDB oracle inline the exact same literals."""
+    qv = hash_embedding_py(query)[: (dim or None)]
+    qnorm = math.sqrt(sum(x * x for x in qv))
+    return qv, qnorm
 
 
 def build_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,11 +86,28 @@ def topk_search(
     if not query or not query.strip():
         # main.py:317-318 — empty query is a client error, not a plan
         raise ValueError("Query cannot be empty")
-    index = build_chunk_index(spark, sf_dir)
-    qvec = hash_embedding(F.lit(query))
+    # Model-aware rewrite: the hash embedding is 32-periodic by
+    # construction (digest[i % 32], main.py:142), so cosine over dims
+    # 1..32 is MATHEMATICALLY identical to cosine over all 1024
+    # (dot1024 = 32·dot32, norms scale by √32 on both sides). Scoring
+    # therefore never materializes the 1024-dim vector — a 32× cut in
+    # the scan's per-row work. hash_embedding_vectors still verifies
+    # full-dim parity; the oracle mirrors this same 32-dim formula.
+    pat_dim = 32
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, id_col="doc_id", text_col="text")
+    index = chunks.withColumn("_hex", F.sha2(F.col("chunk_text"), 256)).select(
+        F.col("chunk_id").alias("id"),
+        "source",
+        F.col("chunk_text").alias("text"),
+        hash_embedding_from_hex(F.col("_hex"), pat_dim).alias("pattern"),
+    )
+    qv, qnorm = query_vector_literals(query, pat_dim)
+    qvec = F.array(*[F.lit(v) for v in qv])  # constant-folded to one literal
+    score = dot(F.col("pattern"), qvec) / (l2_norm(F.col("pattern")) * F.lit(qnorm))
     scored = (
         index.filter(F.length("text") > 0)
-        .withColumn("score", cosine(F.col("embedding"), qvec))
+        .withColumn("score", score)
         .select("id", "source", "text", F.round("score", 6).alias("score"), F.col("score").alias("_raw_score"))
     )
     return (

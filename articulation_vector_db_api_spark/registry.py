@@ -45,6 +45,7 @@ _SUITES = (
     "textops",
     "multimodal",
     "streaming",
+    "udfs",
 )
 
 

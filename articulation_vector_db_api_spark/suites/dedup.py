@@ -35,7 +35,13 @@ _TOKENIZE = r"\s+"
 
 
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id → distinct word n-gram shingles (whole text if < n words)."""
+    """doc_id → distinct word n-gram shingles (whole text if < n words).
+
+    The fixture corpus is one small parquet file → one input split; at
+    100 TB the scan yields thousands of splits, but here an explicit
+    round-robin repartition is needed so the shingle+hash stage uses
+    every core instead of one."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     tokens = F.split(F.trim(F.col("text")), _TOKENIZE)
     grams = F.when(
         F.size(tokens) < n, F.array(F.col("text"))
@@ -116,12 +122,12 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_sql() -> str:
     """DuckDB: doc_id → N_MINHASH minhash values + banded candidate
     pairs + exact-Jaccard verification (twin of dedup_minhash_lsh)."""
+    # 12 hash functions from TWO digests (8-char slices), not 12 sha256s
     hash_cols = ",\n               ".join(
-        f"min({hex_to_u32_sql(f'h{k}')}) AS mh{k}" for k in range(N_MINHASH)
+        f"min({hex_to_u32_sql(f'substr(hexcat, {k * 8 + 1}, 8)')}) AS mh{k}"
+        for k in range(N_MINHASH)
     )
-    hex_cols = ",\n               ".join(
-        f"sha256('{k}:' || shingle) AS h{k}" for k in range(N_MINHASH)
-    )
+    hex_cols = "sha256('a:' || shingle) || sha256('b:' || shingle) AS hexcat"
     bands = []
     for b in range(N_MINHASH // BAND_ROWS):
         cols = "||'-'||".join(
@@ -176,8 +182,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs).cache()
 
+    # 12 hash functions as 8-char slices of two digests: 2 sha256 per
+    # shingle instead of 12 (same trick mirrored in the oracle)
+    hexcat = F.concat(
+        F.sha2(F.concat(F.lit("a:"), F.col("shingle")), 256),
+        F.sha2(F.concat(F.lit("b:"), F.col("shingle")), 256),
+    )
     hashed = sh.select(
-        "doc_id", *[sha_hash32(F.col("shingle"), k).alias(f"h{k}") for k in range(N_MINHASH)]
+        "doc_id",
+        *[
+            F.conv(F.substring(hexcat, k * 8 + 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"h{k}")
+            for k in range(N_MINHASH)
+        ],
     )
     minhashes = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{k}").alias(f"mh{k}") for k in range(N_MINHASH)]

@@ -20,6 +20,7 @@ _DEC = "decimal(30,8)"
 
 @register(
     "stream_tumbling_window",
+    headline=True,
     oracle="""
     SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
            time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,

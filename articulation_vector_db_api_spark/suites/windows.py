@@ -86,6 +86,7 @@ def window_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_running_sum",
+    headline=True,
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) OVER w AS DOUBLE) AS running_spend,

@@ -1,0 +1,58 @@
+"""Benchmark harness: runs the headline queries at the target scale
+factor and prints ONE JSON line.
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
+
+Each query is fully materialized via a noop-format write (forces every
+stage; no driver-collect overhead biasing the numbers). Session startup
+and a small scan warmup are excluded — the metric is query execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from articulation_vector_db_api_spark.registry import load_all  # noqa: E402
+from articulation_vector_db_api_spark.session import get_spark  # noqa: E402
+from articulation_vector_db_api_spark.sources.readers import load_table  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0)
+    registry = load_all()
+    headliners = sorted(n for n, q in registry.items() if q.headline)
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup: JVM + parquet footer caches, excluded from timings
+    load_table(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name in headliners:
+        t0 = time.perf_counter()
+        df = registry[name].fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Ingest pipeline fixtures (FIXTURES.md B4/B5; reference
+/root/reference/main.py:255-311 semantics): upsert idempotence and
+per-file fault isolation."""
+
+from __future__ import annotations
+
+import pytest
+
+from articulation_vector_db_api_spark.operators.ingest import ingest_corpus
+from articulation_vector_db_api_spark.operators.stats import health, index_stats
+
+
+@pytest.fixture
+def corpus(tmp_path):
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    (docs / "alpha.txt").write_text("alpha " * 300)  # > 1 chunk
+    (docs / "beta.txt").write_text("beta content")
+    return docs, tmp_path / "chunks"
+
+
+def test_ingest_roundtrip(spark, corpus):
+    docs, table = corpus
+    result = ingest_corpus(spark, str(docs), str(table), glob="*.txt")
+    assert result["files_processed"] == 2
+    assert result["files_failed"] == 0
+    df = spark.read.parquet(str(table))
+    assert result["ingested_count"] == df.count() > 2
+    stats = index_stats(df)
+    assert stats["dimension"] == 1024
+    assert set(stats["namespaces"]) == {"alpha", "beta"}
+    assert health(spark, str(table))["status"] == "healthy"
+
+
+def test_reingest_is_idempotent_upsert(spark, corpus):
+    docs, table = corpus
+    ingest_corpus(spark, str(docs), str(table), glob="*.txt")
+    first = {(r.id, r.text) for r in spark.read.parquet(str(table)).collect()}
+
+    # re-ingest unchanged → identical table (last-write-wins, main.py:163,172)
+    ingest_corpus(spark, str(docs), str(table), glob="*.txt")
+    second = {(r.id, r.text) for r in spark.read.parquet(str(table)).collect()}
+    assert first == second
+
+    # re-ingest with modified beta → only beta's partition replaced
+    (docs / "beta.txt").write_text("totally new beta")
+    ingest_corpus(spark, str(docs), str(table), glob="*.txt")
+    df = spark.read.parquet(str(table))
+    beta = df.filter("source = 'beta'").collect()
+    assert [r.text for r in beta] == ["totally new beta"]
+    alpha_before = {t for (i, t) in first if i.startswith("alpha")}
+    alpha_after = {r.text for r in df.filter("source = 'alpha'").collect()}
+    assert alpha_before == alpha_after
+
+
+def test_fault_isolation(spark, corpus):
+    docs, table = corpus
+    (docs / "broken.txt").write_bytes(b"\xff\xfe invalid \xff utf8")
+    result = ingest_corpus(spark, str(docs), str(table), glob="*.txt")
+    assert result["files_processed"] == 2
+    assert result["files_failed"] == 1  # loop continues past failures, main.py:291-296
+    sources = {r.source for r in spark.read.parquet(str(table)).collect()}
+    assert sources == {"alpha", "beta"}
+
+
+def test_all_failed_raises(spark, tmp_path):
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    (docs / "bad.txt").write_bytes(b"\xff\xfe\xff")
+    with pytest.raises(RuntimeError, match="all 1 files failed"):
+        # 500 only when zero succeed, main.py:298-302
+        ingest_corpus(spark, str(docs), str(tmp_path / "chunks"), glob="*.txt")
+
+
+def test_health_degraded_on_missing_table(spark, tmp_path):
+    report = health(spark, str(tmp_path / "nope"))
+    assert report["status"] == "degraded"
+    assert "message" in report

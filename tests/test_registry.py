@@ -1,0 +1,35 @@
+"""Registry contract: the driver-facing surface stays coherent."""
+
+from __future__ import annotations
+
+from articulation_vector_db_api_spark.registry import load_all
+
+
+def test_registry_loads_and_is_consistent():
+    reg = load_all()
+    assert len(reg) >= 60
+    for name, q in reg.items():
+        assert q.name == name
+        assert callable(q.fn)
+        assert q.doc, f"{name} must document its operator"
+    with_oracle = [q for q in reg.values() if q.oracle is not None]
+    # rows-only checks are the exception, not the rule
+    assert len(with_oracle) >= 0.85 * len(reg)
+
+
+def test_entry_module_contract():
+    import __spark_entry__ as mod
+
+    qs = mod.queries()
+    osql = mod.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert "flagship_search" in qs
+
+
+def test_multimodal_stub_is_marked():
+    import pytest
+
+    from articulation_vector_db_api_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

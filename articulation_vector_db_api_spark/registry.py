@@ -46,6 +46,7 @@ _SUITES = (
     "multimodal",
     "streaming",
     "udfs",
+    "mllib",
 )
 
 

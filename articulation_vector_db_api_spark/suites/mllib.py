@@ -1,0 +1,68 @@
+"""MLlib batch-indexing suite (north star: "MLlib for batch indexing").
+
+Rows-only correctness checks: MLlib's hash families are
+engine-internal (no DuckDB twin exists by definition); the sha256-LSH
+variants in suites/similarity.py carry the exact-oracle burden for the
+same operator shapes. Determinism within Spark is still guaranteed via
+fixed seeds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.mllib_index import (
+    brp_neighbors,
+    brp_similarity_join,
+    minhash_shingle_join,
+)
+from ..registry import register
+from ..sources.readers import load_table
+
+
+@register("mllib_ann_neighbors", oracle=None, tags=("mllib", "similarity"))
+def mllib_ann_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN via BucketedRandomProjectionLSH (normalize → euclidean
+    ≈ cosine): top-10 neighbors of vec 0 from the fitted index."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return brp_neighbors(e, query_vec_id=0, k=10).orderBy(
+        F.desc("cos_sim"), "vec_id"
+    )
+
+
+@register("mllib_similarity_join", oracle=None, tags=("mllib", "similarity"))
+def mllib_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch all-pairs similarity join from the LSH index (cosine ≥ 0.3
+    → euclidean threshold √(2·0.7) on unit vectors)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return brp_similarity_join(e, max_cos_distance=0.7).orderBy("vec_a", "vec_b")
+
+
+@register("mllib_minhash_dedup", oracle=None, tags=("mllib", "dedup"))
+def mllib_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH near-dup over hashed shingle-presence vectors —
+    the built-in counterpart of suites/dedup.py's banded minhash."""
+    from pyspark.ml.feature import HashingTF
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    shingles = F.when(F.size(tokens) < 3, F.array(F.col("text"))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tokens) - 3),
+                lambda j: F.concat_ws(
+                    " ", tokens.getItem(j), tokens.getItem(j + 1), tokens.getItem(j + 2)
+                ),
+            )
+        )
+    )
+    with_sh = docs.select("doc_id", shingles.alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
+    featurized = tf.transform(with_sh)
+    return minhash_shingle_join(featurized, max_jaccard_distance=0.7).orderBy(
+        "doc_a", "doc_b"
+    )

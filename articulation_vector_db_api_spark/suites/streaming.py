@@ -174,6 +174,59 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(max(value), 6) AS max_value,
+           min(event_id) AS first_event_id
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator via applyInPandasWithState:
+    per-user running stats held in explicit GroupState (the engine's
+    slot for sessionization/CEP logic Spark lacks built-ins for).
+    Order-insensitive accumulators (count/max/min) keep the output
+    exactly batch-equivalent."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, mx, first = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_max = pdf["value"].max()
+            mx = batch_max if mx is None else max(mx, batch_max)
+            batch_first = pdf["event_id"].min()
+            first = batch_first if first is None else min(first, batch_first)
+        state.update((n, float(mx), int(first)))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "max_value": [round(float(mx), 6)],
+                "first_event_id": [int(first)],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id BIGINT, n_events BIGINT, max_value DOUBLE, first_event_id BIGINT",
+        stateStructType="n BIGINT, mx DOUBLE, first BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_available_now(out, "stateful", "update").orderBy("user_id")
+
+
+@register(
     "stream_watermark_append",
     oracle=None,  # append-mode emission depends on watermark advancement
     tags=("streaming",),

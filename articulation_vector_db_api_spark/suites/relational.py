@@ -163,6 +163,125 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_stats_moments",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n,
+           {davg_sql("l_quantity")} AS mean_qty,
+           ({dsum_sql("l_quantity * l_quantity")}
+             - {dsum_sql("l_quantity")} * {dsum_sql("l_quantity")} / count(*))
+             / (count(*) - 1) AS var_qty,
+           sqrt(({dsum_sql("l_quantity * l_quantity")}
+             - {dsum_sql("l_quantity")} * {dsum_sql("l_quantity")} / count(*))
+             / (count(*) - 1)) AS stddev_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("relational", "agg"),
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev rebuilt from exact decimal moments (Σx, Σx²)
+    instead of the built-in streaming variance — the built-ins
+    accumulate doubles in partition order and are NOT reproducible
+    across engines or runs; the moment formula is. Same single-pass
+    partial+final aggregate shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    n = F.count(F.lit(1))
+    sum_q = dsum(q)
+    sum_q2 = dsum(q * q)
+    var = (sum_q2 - sum_q * sum_q / n) / (n - 1)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            n.alias("n"),
+            davg(q).alias("mean_qty"),
+            var.alias("var_qty"),
+            F.sqrt(var).alias("stddev_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+           round(min(o_totalprice), 6) AS min_price,
+           round(max(o_totalprice), 6) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("relational", "agg"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90). At 100 TB swap for
+    approx_percentile (t-digest sketch) — exact percentiles require a
+    per-group sort; both are one groupBy away in this engine."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_price"),
+            F.round(F.min("o_totalprice"), 6).alias("min_price"),
+            F.round(F.max("o_totalprice"), 6).alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle=f"""
+    SELECT r_name, n_name,
+           {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+    tags=("relational", "join"),
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: a 5-table snowflake join tree. The fact⋈fact
+    edge (lineitem⋈orders) shuffles; everything dimension-ward
+    broadcasts — the canonical star-join plan at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@register(
     "rollup_revenue",
     oracle=f"""
     SELECT r_name, n_name,

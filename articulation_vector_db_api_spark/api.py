@@ -1,0 +1,71 @@
+"""Service-surface twin of the reference API.
+
+A user of the reference calls POST /search, POST /query, POST /ingest,
+GET /stats, GET /health (/root/reference/main.py:219-360); this module
+exposes the same request/response shapes as plain Python callables over
+the engine, so an HTTP tier (or a notebook) can swap in directly.
+Response dict shapes mirror the Pydantic models (main.py:81-103).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from .operators.search import DEFAULT_TOP_K, assemble_context, topk_search
+from .operators.stats import validate_query
+
+
+@dataclass
+class EngineAPI:
+    spark: SparkSession
+    data_dir: str
+
+    def search(self, query: str, top_k: int = DEFAULT_TOP_K) -> dict:
+        """POST /search twin (main.py:314-333): QueryResponse{query,
+        chunks, total_results, context}."""
+        validate_query(query)
+        topk = topk_search(self.spark, self.data_dir, query, top_k)
+        rows = topk.collect()
+        ctx = assemble_context(topk, query).first()
+        return {
+            "query": query,
+            "chunks": [
+                # ChunkResult shape, main.py:81-85
+                {"text": r.text, "source": r.source, "score": r.score, "id": r.id}
+                for r in rows
+            ],
+            "total_results": len(rows),
+            "context": ctx.context if rows else "",
+        }
+
+    def query(self, query: str, top_k: int = DEFAULT_TOP_K) -> dict:
+        """POST /query is a verbatim alias of /search (main.py:335-338)."""
+        return self.search(query, top_k)
+
+    def ingest(self, corpus_dir: str, table_path: str, glob: str = "*.pdf") -> dict:
+        """POST /ingest twin (main.py:255-311): IngestResponse shape."""
+        from .operators.ingest import ingest_corpus
+
+        result = ingest_corpus(self.spark, corpus_dir, table_path, glob)
+        failed = result["files_failed"]
+        suffix = f" ({failed} files failed)" if failed else ""
+        return {
+            "message": f"Successfully ingested {result['files_processed']} PDFs{suffix}",
+            "ingested_count": result["ingested_count"],
+            "pdfs_processed": result["files_processed"],
+        }
+
+    def stats(self, table_path: str) -> dict:
+        """GET /stats twin (main.py:340-360)."""
+        from .operators.stats import index_stats
+
+        chunks = self.spark.read.parquet(table_path)
+        return {"index_name": table_path, "stats": index_stats(chunks)}
+
+    def health(self, table_path: str) -> dict:
+        """GET /health twin (main.py:228-253)."""
+        from .operators.stats import health as _health
+
+        return _health(self.spark, table_path)

@@ -86,6 +86,22 @@ def topk_search(
     if not query or not query.strip():
         # main.py:317-318 — empty query is a client error, not a plan
         raise ValueError("Query cannot be empty")
+    scored = score_chunks(spark, sf_dir, query)
+    return (
+        scored.select(
+            "id", "source", "text", F.round("raw", 6).alias("score"), "raw"
+        )
+        .orderBy(F.desc("raw"), F.asc("id"))
+        .limit(top_k)
+        .drop("raw")
+    )
+
+
+def score_chunks(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Chunk + score the corpus against a query: (id, source, text,
+    raw) with raw = cosine similarity.
+
+    """
     # Model-aware rewrite: the hash embedding is 32-periodic by
     # construction (digest[i % 32], main.py:142), so cosine over dims
     # 1..32 is MATHEMATICALLY identical to cosine over all 1024
@@ -105,15 +121,10 @@ def topk_search(
     qv, qnorm = query_vector_literals(query, pat_dim)
     qvec = F.array(*[F.lit(v) for v in qv])  # constant-folded to one literal
     score = dot(F.col("pattern"), qvec) / (l2_norm(F.col("pattern")) * F.lit(qnorm))
-    scored = (
-        index.filter(F.length("text") > 0)
-        .withColumn("score", score)
-        .select("id", "source", "text", F.round("score", 6).alias("score"), F.col("score").alias("_raw_score"))
-    )
     return (
-        scored.orderBy(F.desc("_raw_score"), F.asc("id"))
-        .limit(top_k)
-        .drop("_raw_score")
+        index.filter(F.length("text") > 0)
+        .withColumn("raw", score)
+        .select("id", "source", "text", "raw")
     )
 
 

@@ -282,6 +282,31 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_percentile_prices",
+    oracle=None,  # sketch-based estimates are engine-specific
+    tags=("relational", "agg", "approx"),
+)
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch): the 100 TB percentile path
+    — mergeable fixed-size sketches instead of a per-group sort. No
+    oracle: estimates are engine-specific (agg_percentiles carries the
+    exact check)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
+                "approx_median"
+            ),
+            F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias(
+                "approx_p90"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "rollup_revenue",
     oracle=f"""
     SELECT r_name, n_name,
@@ -650,6 +675,44 @@ def join_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last_price").alias("o_totalprice"),
         )
         .orderBy("event_id")
+    )
+
+
+@register(
+    "join_salted_skew",
+    oracle=f"""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           {dsum_sql("o_totalprice")} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("relational", "join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual salted join — the hot-key pattern for when AQE's skew
+    split isn't available (e.g., bucketed inputs): the large side gets
+    a deterministic salt from a secondary column, the small side
+    explodes × SALT replicas, the join key becomes (key, salt). Result
+    is provably identical to the plain join (the oracle IS the plain
+    join); each hot key's rows spread across SALT tasks."""
+    salt_n = 8
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(salt_n)).cast("int")
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1))))
+    )
+    return (
+        o.join(c, (o.o_custkey == c.c_custkey) & (o.salt == c.salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
     )
 
 

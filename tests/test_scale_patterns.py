@@ -1,0 +1,69 @@
+"""Scale-pattern tests: the storage-level techniques SCALE.md commits
+to — bucketed co-located joins (shuffle elision) and incremental
+streaming sinks."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+
+def test_bucketed_join_elides_shuffle(spark):
+    """Both sides bucketed+sorted on the join key → SortMergeJoin with
+    NO Exchange: the 100 TB fact⋈fact strategy (shuffle happens once at
+    write time, every subsequent join is free)."""
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"fact_a_{suffix}", f"fact_b_{suffix}"
+    a = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    try:
+        for name, df in [(ta, a), (tb, b)]:
+            (
+                df.write.mode("overwrite")
+                .bucketBy(8, "k")
+                .sortBy("k")
+                .format("parquet")
+                .saveAsTable(name)
+            )
+        # hint forces SMJ (at real scale neither side broadcasts anyway)
+        joined = spark.table(ta).hint("merge").join(spark.table(tb), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert joined.count() == 10000
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_streaming_foreach_batch_sink(spark, tmp_path):
+    """foreachBatch: the streaming-upsert pattern (each micro-batch
+    runs an arbitrary batch write — partitioned overwrite, MERGE, ...)."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(i, f"u{i % 3}") for i in range(100)], "id long, user string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    out = str(tmp_path / "stream_out")
+    stream = spark.readStream.schema("id long, user string").parquet(str(src))
+    agg = stream.groupBy("user").agg(F.count(F.lit(1)).alias("n"))
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out)
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = {r.user: r.n for r in spark.read.parquet(out).collect()}
+    assert result == {"u0": 34, "u1": 33, "u2": 33}

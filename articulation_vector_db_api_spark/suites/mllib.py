@@ -39,6 +39,45 @@ def mllib_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brp_similarity_join(e, max_cos_distance=0.7).orderBy("vec_a", "vec_b")
 
 
+@register("mllib_ivf_ann", oracle=None, tags=("mllib", "similarity"))
+def mllib_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans coarse quantizer (seeded) →
+    cells; probe = exact re-rank within the query's nearest cell. The
+    centroid table is the tiny broadcastable 'index'; at 100 TB the
+    vector table is WRITTEN partitioned by cell_id so a probe is a
+    partition-pruned read, and recall is tuned by probing n>1 cells."""
+    from pyspark.ml.clustering import KMeans
+
+    from ..functions.vector import cosine
+    from ..operators.mllib_index import normalized_vectors
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vectors = normalized_vectors(e)
+    km = KMeans(k=8, seed=7, featuresCol="features", predictionCol="cell_id")
+    model = km.fit(vectors)
+    assigned = model.transform(vectors).select("vec_id", "cell_id")
+    with_cell = e.join(assigned, "vec_id")
+
+    qcell = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("cell_id").alias("qcell")
+    )
+    qvec = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    cand = (
+        with_cell.join(F.broadcast(qcell), F.col("cell_id") == F.col("qcell"))
+        .join(F.broadcast(qvec))
+        .filter(F.col("vec_id") != 0)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "cell_id",
+            F.round(cosine(F.col("embedding"), F.col("q")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(10)
+    )
+
+
 @register("mllib_minhash_dedup", oracle=None, tags=("mllib", "dedup"))
 def mllib_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib MinHashLSH near-dup over hashed shingle-presence vectors —

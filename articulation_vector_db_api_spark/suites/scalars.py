@@ -240,6 +240,47 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "null_handling",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_flag,
+           CASE WHEN l_discount > 0.05 THEN 'high'
+                WHEN l_discount > 0.0  THEN 'low'
+                ELSE 'none' END AS disc_band,
+           CAST(l_discount = 0.0 AS INT) AS is_zero,
+           ifnull(nullif(l_returnflag, 'N'), 'neutral') AS flag_or_default,
+           count(*) OVER (PARTITION BY nullif(l_returnflag, 'N')) AS band_n
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("scalar", "null"),
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics family: nullif/coalesce/ifnull, CASE bands, and
+    null-keyed window partitions (Spark and SQL both group NULL keys
+    together)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    from pyspark.sql.window import Window
+
+    nf = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.nullif(F.col("l_discount"), F.lit(0.0)), F.lit(-1.0)).alias(
+            "disc_or_flag"
+        ),
+        F.when(F.col("l_discount") > 0.05, "high")
+        .when(F.col("l_discount") > 0.0, "low")
+        .otherwise("none")
+        .alias("disc_band"),
+        (F.col("l_discount") == 0.0).cast("int").alias("is_zero"),
+        F.ifnull(nf, F.lit("neutral")).alias("flag_or_default"),
+        F.count(F.lit(1)).over(Window.partitionBy(nf)).alias("band_n"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
     "struct_map_functions",
     oracle="""
     SELECT c_custkey,

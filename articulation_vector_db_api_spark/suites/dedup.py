@@ -34,8 +34,10 @@ JACCARD_THRESHOLD = 0.3
 _TOKENIZE = r"\s+"
 
 
-def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id → distinct word n-gram shingles (whole text if < n words).
+def _shingle_arrays(df: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → distinct word n-gram shingle ARRAY (whole text if < n
+    words) — kept as an array so per-doc work (minhashing) can run as a
+    zero-shuffle fold instead of explode+groupBy.
 
     The fixture corpus is one small parquet file → one input split; at
     100 TB the scan yields thousands of splits, but here an explicit
@@ -55,7 +57,14 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
             )
         )
     )
-    return df.select("doc_id", F.explode(grams).alias("shingle"))
+    return df.select("doc_id", grams.alias("shingles"))
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → one row per distinct shingle (exploded form)."""
+    return _shingle_arrays(df, n).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
 
 
 _SHINGLES_SQL = """
@@ -122,12 +131,13 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_sql() -> str:
     """DuckDB: doc_id → N_MINHASH minhash values + banded candidate
     pairs + exact-Jaccard verification (twin of dedup_minhash_lsh)."""
-    # 12 hash functions from TWO digests (8-char slices), not 12 sha256s
+    # 12 hash functions from TWO digests (8-char slices), not 12 sha256s;
+    # each minhash is a per-row list fold — mirrors the Spark array_min
     hash_cols = ",\n               ".join(
-        f"min({hex_to_u32_sql(f'substr(hexcat, {k * 8 + 1}, 8)')}) AS mh{k}"
+        f"list_aggregate(list_transform(hexcats, h -> "
+        f"{hex_to_u32_sql(f'substr(h, {k * 8 + 1}, 8)')}), 'min') AS mh{k}"
         for k in range(N_MINHASH)
     )
-    hex_cols = "sha256('a:' || shingle) || sha256('b:' || shingle) AS hexcat"
     bands = []
     for b in range(N_MINHASH // BAND_ROWS):
         cols = "||'-'||".join(
@@ -136,11 +146,24 @@ def _minhash_sql() -> str:
         bands.append(f"SELECT doc_id, {b} AS band_idx, {cols} AS band_val FROM minhashes")
     bands_sql = "\n        UNION ALL\n        ".join(bands)
     return f"""
-    WITH shingles AS ({_SHINGLES_SQL}),
-    hexes AS (SELECT doc_id, {hex_cols} FROM shingles),
+    WITH shingle_arrays AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 3 THEN [text]
+                    ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                         j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2]))
+               END AS shingles
+        FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents)
+    ),
+    hexes AS (
+        SELECT doc_id,
+               list_transform(shingles,
+                   s -> sha256('a:' || s) || sha256('b:' || s)) AS hexcats
+        FROM shingle_arrays
+    ),
     minhashes AS (
         SELECT doc_id, {hash_cols}
-        FROM hexes GROUP BY doc_id
+        FROM hexes
     ),
     bands AS ({bands_sql}),
     cand AS (
@@ -149,17 +172,14 @@ def _minhash_sql() -> str:
           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
          AND a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
     verified AS (
         SELECT c.doc_a, c.doc_b,
-               count(*) AS inter,
-               sa.n + sb.n - count(*) AS uni
+               len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+               len(sa.shingles) + len(sb.shingles)
+                 - len(list_intersect(sa.shingles, sb.shingles)) AS uni
         FROM cand c
-        JOIN shingles x ON x.doc_id = c.doc_a
-        JOIN shingles y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-        JOIN sizes sa ON sa.doc_id = c.doc_a
-        JOIN sizes sb ON sb.doc_id = c.doc_b
-        GROUP BY c.doc_a, c.doc_b, sa.n, sb.n
+        JOIN shingle_arrays sa ON sa.doc_id = c.doc_a
+        JOIN shingle_arrays sb ON sb.doc_id = c.doc_b
     )
     SELECT doc_a, doc_b,
            round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
@@ -180,25 +200,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs. At 100 TB, tune bands/rows for the target Jaccard
     threshold (P(candidate) = 1-(1-j^r)^b) and salt hot bands."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs).cache()
+    arrays = _shingle_arrays(docs).cache()  # reused: hashing + both verify sides
 
-    # 12 hash functions as 8-char slices of two digests: 2 sha256 per
-    # shingle instead of 12 (same trick mirrored in the oracle)
-    hexcat = F.concat(
-        F.sha2(F.concat(F.lit("a:"), F.col("shingle")), 256),
-        F.sha2(F.concat(F.lit("b:"), F.col("shingle")), 256),
+    # Per-doc minhashing is a pure array fold — NO explode, NO groupBy
+    # shuffle. 12 hash functions are 8-char slices of two digests per
+    # shingle (2 sha256s, not 12); the hexcat array materializes once.
+    hexcats = F.transform(
+        F.col("shingles"),
+        lambda s: F.concat(
+            F.sha2(F.concat(F.lit("a:"), s), 256),
+            F.sha2(F.concat(F.lit("b:"), s), 256),
+        ),
     )
-    hashed = sh.select(
+    with_hex = arrays.select("doc_id", hexcats.alias("hexcats"))
+    minhashes = with_hex.select(
         "doc_id",
         *[
-            F.conv(F.substring(hexcat, k * 8 + 1, 8), 16, 10)
-            .cast("long")
-            .alias(f"h{k}")
+            F.array_min(
+                F.transform(
+                    F.col("hexcats"),
+                    lambda h: F.conv(h.substr(F.lit(k * 8 + 1), F.lit(8)), 16, 10).cast(
+                        "long"
+                    ),
+                )
+            ).alias(f"mh{k}")
             for k in range(N_MINHASH)
         ],
-    )
-    minhashes = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{k}").alias(f"mh{k}") for k in range(N_MINHASH)]
     )
     band_frames = []
     for b in range(N_MINHASH // BAND_ROWS):
@@ -229,30 +256,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x = sh.alias("x")
-    y = sh.alias("y")
-    inter = (
-        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
-        .join(
-            y,
-            (F.col("y.doc_id") == F.col("doc_b"))
-            & (F.col("y.shingle") == F.col("x.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    # Exact-Jaccard verification on CANDIDATES ONLY, via array
+    # intersection — shingle lists join to the (few) candidate pairs;
+    # nothing explodes and nothing re-aggregates.
+    sa = arrays.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = arrays.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     verified = (
-        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             (
-                F.col("inter").cast("double")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+                inter.cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - inter)
             ).alias("j"),
         )
     )

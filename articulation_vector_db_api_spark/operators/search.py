@@ -56,6 +56,10 @@ def build_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # single-file fixture = one input split; spread the (expensive)
+    # 1024-dim embedding projection across all cores — at scale the
+    # scan's own splits make this a cheap rebalance
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     chunks = chunk_documents(docs, id_col="doc_id", text_col="text")
     return (
         chunks.withColumn("_hex", F.sha2(F.col("chunk_text"), 256))

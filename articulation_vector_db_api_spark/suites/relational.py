@@ -827,6 +827,53 @@ def setop_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_ordered_collect",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_custkey) AS top_names,
+           array_agg(c_custkey ORDER BY c_acctbal DESC, c_custkey) AS top_keys
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    )
+    WHERE rn <= 3
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("relational", "agg"),
+)
+def agg_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string/array aggregation (listagg): top-3 customers per
+    segment concatenated in rank order. collect_list order is
+    nondeterministic in a distributed agg, so the engine ranks first
+    and array_sorts (rank, value) structs — same pattern as the search
+    context assembly."""
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    top = c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    ranked_name = F.struct(F.col("rn"), F.col("c_name").alias("v"))
+    ranked_key = F.struct(F.col("rn"), F.col("c_custkey").alias("v"))
+    return (
+        top.groupBy("c_mktsegment")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(ranked_name)), lambda s: s.getField("v")
+                ),
+                ",",
+            ).alias("top_names"),
+            F.transform(
+                F.array_sort(F.collect_list(ranked_key)), lambda s: s.getField("v")
+            ).alias("top_keys"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
     "pivot_status_revenue",
     oracle=f"""
     SELECT c_mktsegment,

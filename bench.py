@@ -40,6 +40,16 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # the reference's WRITE path at scale: chunk + full 1024-dim embed +
+    # partitioned parquet write (operators/ingest.py sink shape)
+    from articulation_vector_db_api_spark.operators.ingest import write_chunk_table
+    from articulation_vector_db_api_spark.operators.search import build_chunk_index
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".tmp", "bench_chunks")
+    t0 = time.perf_counter()
+    write_chunk_table(build_chunk_index(spark, sf_dir), out)
+    timings["ingest_write_1024d"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -174,6 +174,106 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.event_type, c.c_mktsegment,
+           round(e.value, 6) AS value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    ORDER BY e.event_id
+    """,
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ static dimension join: the enrichment pattern (events
+    joined to a customer table mid-stream). The static side broadcasts
+    per micro-batch; no state is kept."""
+    from ..sources.readers import load_table
+
+    ev = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = ev.join(cust, ev.user_id == cust.c_custkey).select(
+        "event_id", "event_type", "c_mktsegment", F.round("value", 6).alias("value")
+    )
+    return run_available_now(joined, "static_join", "append").orderBy("event_id")
+
+
+@register(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS lag_micros
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '10 minutes'
+    ORDER BY click_id, purchase_id
+    """,
+    tags=("streaming", "join"),
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join with an event-time interval condition
+    (click → purchase within 10 minutes, per user). Watermarks bound
+    both join states; the oracle is the equivalent batch interval
+    join."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 minutes")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_micros"),
+    )
+    return run_available_now(joined, "ss_join", "append").orderBy(
+        "click_id", "purchase_id"
+    )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, count(*) AS n_unique
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: duplicate events arriving within
+    the watermark horizon collapse, and state for expired keys is
+    EVICTED — the production-shaped streaming dedup (plain
+    dropDuplicates keeps unbounded state)."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    doubled = ev.unionByName(ev)
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+    return run_available_now(agg, "dedup_wm", "complete").orderBy("event_type")
+
+
+@register(
     "stream_stateful_user_stats",
     oracle="""
     SELECT user_id,

@@ -78,6 +78,48 @@ def mllib_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("mllib_tfidf_pipeline", oracle=None, tags=("mllib", "textops"))
+def mllib_tfidf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MLlib text-featurization chain (Tokenizer → StopWordsRemover
+    → HashingTF → IDF): per-doc sparse TF-IDF vectors, reduced here to
+    (doc_id, n_terms, top_weight) summaries. Rows-only: hashed feature
+    indices are engine-internal (text_tfidf_top_terms is the exact
+    twin)."""
+    from pyspark.ml.feature import IDF, HashingTF, StopWordsRemover, Tokenizer
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    pipe = [
+        Tokenizer(inputCol="text", outputCol="raw_tokens"),
+        StopWordsRemover(inputCol="raw_tokens", outputCol="tokens"),
+        HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1 << 16),
+    ]
+    staged = docs
+    for stage in pipe:
+        staged = stage.transform(staged)
+    idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(staged)
+    feats = idf_model.transform(staged)
+
+    # VectorUDT doesn't cross the Arrow boundary; a classic UDF is fine
+    # on the (tiny) sampled output — the heavy stages above stay JVM/ML
+    top_weight = F.udf(
+        lambda v: float(max(v.values)) if v.values.size else 0.0, "double"
+    )
+    n_terms = F.udf(lambda v: int(v.values.size), "int")
+
+    return (
+        feats.filter(F.col("doc_id") % 100 == 0)
+        .select(
+            "doc_id",
+            n_terms(F.col("tfidf")).alias("n_terms"),
+            F.round(top_weight(F.col("tfidf")), 6).alias("top_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register("mllib_minhash_dedup", oracle=None, tags=("mllib", "dedup"))
 def mllib_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib MinHashLSH near-dup over hashed shingle-presence vectors —

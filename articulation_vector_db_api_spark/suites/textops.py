@@ -216,6 +216,73 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents WHERE length(trim(text)) > 0),
+    scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf, df.df,
+               round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n
+        WHERE tf.doc_id % 100 = 0
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf DESC, token) AS rn
+        FROM scored
+    )
+    SELECT doc_id, token, tf, df, tfidf, rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY doc_id, rn
+    """,
+    tags=("textops",),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF entirely in SQL (tf per doc ⋈ corpus document-frequency ⋈
+    corpus size): top-3 distinguishing terms per sampled doc. Two
+    aggregates + one broadcast-sized join — the exact-oracle twin of
+    the MLlib HashingTF/IDF pipeline (suites/mllib.py)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") % 100 == 0)
+        .join(F.broadcast(df), "token")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rn")
+        .orderBy("doc_id", "rn")
+    )
+
+
+@register(
     "text_topk_tokens_per_lang",
     oracle="""
     WITH tok AS (

@@ -101,35 +101,42 @@ def topk_search(
     )
 
 
-def score_chunks(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
-    """Chunk + score the corpus against a query: (id, source, text,
-    raw) with raw = cosine similarity.
+PATTERN_DIM = 32
 
-    """
-    # Model-aware rewrite: the hash embedding is 32-periodic by
-    # construction (digest[i % 32], main.py:142), so cosine over dims
-    # 1..32 is MATHEMATICALLY identical to cosine over all 1024
-    # (dot1024 = 32·dot32, norms scale by √32 on both sides). Scoring
-    # therefore never materializes the 1024-dim vector — a 32× cut in
-    # the scan's per-row work. hash_embedding_vectors still verifies
-    # full-dim parity; the oracle mirrors this same 32-dim formula.
-    pat_dim = 32
+
+def chunk_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk the corpus and attach the 32-dim scoring pattern:
+    (id, source, text, pattern).
+
+    Model-aware rewrite: the hash embedding is 32-periodic by
+    construction (digest[i % 32], main.py:142), so cosine over dims
+    1..32 is MATHEMATICALLY identical to cosine over all 1024
+    (dot1024 = 32·dot32, norms scale by √32 on both sides). Scoring
+    therefore never materializes the 1024-dim vector — a 32× cut in
+    the scan's per-row work. hash_embedding_vectors still verifies
+    full-dim parity; the oracles mirror this same 32-dim formula."""
     docs = load_table(spark, sf_dir, "documents")
     chunks = chunk_documents(docs, id_col="doc_id", text_col="text")
-    index = chunks.withColumn("_hex", F.sha2(F.col("chunk_text"), 256)).select(
-        F.col("chunk_id").alias("id"),
-        "source",
-        F.col("chunk_text").alias("text"),
-        hash_embedding_from_hex(F.col("_hex"), pat_dim).alias("pattern"),
+    return (
+        chunks.withColumn("_hex", F.sha2(F.col("chunk_text"), 256))
+        .select(
+            F.col("chunk_id").alias("id"),
+            "source",
+            F.col("chunk_text").alias("text"),
+            hash_embedding_from_hex(F.col("_hex"), PATTERN_DIM).alias("pattern"),
+        )
+        .filter(F.length("text") > 0)
     )
-    qv, qnorm = query_vector_literals(query, pat_dim)
+
+
+def score_chunks(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Chunk + score the corpus against a query: (id, source, text,
+    raw) with raw = cosine similarity."""
+    index = chunk_patterns(spark, sf_dir)
+    qv, qnorm = query_vector_literals(query, PATTERN_DIM)
     qvec = F.array(*[F.lit(v) for v in qv])  # constant-folded to one literal
     score = dot(F.col("pattern"), qvec) / (l2_norm(F.col("pattern")) * F.lit(qnorm))
-    return (
-        index.filter(F.length("text") > 0)
-        .withColumn("raw", score)
-        .select("id", "source", "text", "raw")
-    )
+    return index.withColumn("raw", score).select("id", "source", "text", "raw")
 
 
 def assemble_context(topk: DataFrame, query: str) -> DataFrame:

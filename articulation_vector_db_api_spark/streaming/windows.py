@@ -52,16 +52,29 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
 
 
-def run_available_now(df: DataFrame, name: str, mode: str) -> DataFrame:
+def run_available_now(
+    df: DataFrame, name: str, mode: str, state_partitions: int = 8
+) -> DataFrame:
     """Execute a streaming DataFrame to completion (AvailableNow) into
-    a memory sink and return the result table."""
+    a memory sink and return the result table.
+
+    ``state_partitions`` pins the state-store count for this query (the
+    streaming twin of shuffle.partitions, frozen at first start): a
+    fixture-sized stream doesn't amortize 32 store instances; a
+    production stream sizes this to keyspace × throughput."""
+    spark = df.sparkSession
     qname = f"{name}_{next(_run_counter)}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(qname)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(qname)

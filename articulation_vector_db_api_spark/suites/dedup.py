@@ -345,6 +345,78 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KGRAM = 5
+_WINNOW_W = 4
+
+
+@register(
+    "dedup_winnowing",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(text) - {_KGRAM - 1}),
+                   i -> sha256(substr(text, CAST(i AS INT), {_KGRAM}))) AS ghex
+        FROM documents
+        WHERE length(text) >= {_KGRAM}
+    ),
+    hashes AS (
+        SELECT doc_id,
+               list_transform(ghex, h -> {hex_to_u32_sql("h")}) AS gh
+        FROM grams
+    ),
+    fp AS (
+        SELECT doc_id,
+               list_sort(list_distinct(list_transform(
+                   generate_series(1, len(gh) - {_WINNOW_W - 1}),
+                   w -> list_aggregate(gh[w:w + {_WINNOW_W - 1}], 'min')))) AS fingerprints
+        FROM hashes
+    )
+    SELECT doc_id, len(fingerprints) AS n_fp, fingerprints[1] AS min_fp
+    FROM fp
+    ORDER BY doc_id
+    """,
+    tags=("dedup",),
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS scheme): hash every k-gram
+    (k=5), slide a window of w=4 hashes, keep each window's minimum —
+    guaranteed-coverage fingerprints robust to insertions. Pure per-row
+    array folds, zero shuffle; docs sharing fingerprints are plagiarism
+    /boilerplate candidates (one explode+groupBy away)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= _KGRAM
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    gh = F.transform(
+        F.sequence(F.lit(1), F.length("text") - (_KGRAM - 1)),
+        lambda i: F.conv(
+            F.sha2(F.col("text").substr(i, F.lit(_KGRAM)), 256).substr(
+                F.lit(1), F.lit(8)
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    with_gh = docs.select("doc_id", gh.alias("gh"))
+    fingerprints = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("gh") - (_WINNOW_W - 1)),
+                lambda w: F.array_min(F.slice(F.col("gh"), w, _WINNOW_W)),
+            )
+        )
+    )
+    return (
+        with_gh.select("doc_id", fingerprints.alias("fingerprints"))
+        .select(
+            "doc_id",
+            F.size("fingerprints").alias("n_fp"),
+            F.element_at("fingerprints", 1).alias("min_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""

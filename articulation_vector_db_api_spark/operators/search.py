@@ -139,6 +139,37 @@ def score_chunks(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     return index.withColumn("raw", score).select("id", "source", "text", "raw")
 
 
+def topk_search_indexed(
+    spark: SparkSession,
+    table_path: str,
+    query: str,
+    top_k: int = DEFAULT_TOP_K,
+) -> DataFrame:
+    """Search over a WRITTEN chunk table (operators/ingest.py output) —
+    the reference's steady-state: ingest once, query many
+    (main.py:176-216 against the persisted index).
+
+    Scoring slices the stored 1024-dim embedding down to its 32-dim
+    pattern (periodicity rewrite); column pruning means only the
+    embedding + identity columns are read, and a source-scoped search
+    prunes partitions entirely."""
+    if not query or not query.strip():
+        raise ValueError("Query cannot be empty")
+    chunks = spark.read.parquet(table_path)
+    pattern = F.slice(F.col("embedding"), 1, PATTERN_DIM)
+    qv, qnorm = query_vector_literals(query, PATTERN_DIM)
+    qvec = F.array(*[F.lit(v) for v in qv])
+    score = dot(pattern, qvec) / (l2_norm(pattern) * F.lit(qnorm))
+    return (
+        chunks.filter(F.length("text") > 0)
+        .withColumn("raw", score)
+        .select("id", "source", "text", F.round("raw", 6).alias("score"), "raw")
+        .orderBy(F.desc("raw"), F.asc("id"))
+        .limit(top_k)
+        .drop("raw")
+    )
+
+
 def assemble_context(topk: DataFrame, query: str) -> DataFrame:
     """Ordered context-string aggregation (O10, main.py:324).
 

@@ -827,6 +827,38 @@ def setop_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_interface_revenue",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {dsum_sql("o_totalprice")} AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("relational", "sql"),
+)
+def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL-string surface: temp view + ``spark.sql`` —
+    identical Catalyst plan to the DataFrame API (they are the same
+    logical algebra); exists so SQL-first users of the engine are a
+    first-class audience."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+        FROM v_orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
     "agg_ordered_collect",
     oracle="""
     SELECT c_mktsegment,

@@ -72,6 +72,25 @@ def test_all_failed_raises(spark, tmp_path):
         ingest_corpus(spark, str(docs), str(tmp_path / "chunks"), glob="*.txt")
 
 
+def test_ingest_then_search_roundtrip(spark, corpus):
+    """The reference's steady-state workflow end-to-end: ingest a
+    corpus, then serve top-k searches from the written index."""
+    from articulation_vector_db_api_spark.operators.search import topk_search_indexed
+
+    docs, table = corpus
+    ingest_corpus(spark, str(docs), str(table), glob="*.txt")
+    hits = topk_search_indexed(spark, str(table), "alpha", top_k=3).collect()
+    assert 0 < len(hits) <= 3
+    assert hits[0].source in {"alpha", "beta"}
+    scores = [h.score for h in hits]
+    assert scores == sorted(scores, reverse=True)
+    # identical text must score cosine 1.0 against itself: search for
+    # the exact stored chunk text (hash embedding ⇒ exact-dup retrieval)
+    probe_text = hits[0].text
+    exact = topk_search_indexed(spark, str(table), probe_text, top_k=1).collect()
+    assert exact[0].score == 1.0
+
+
 def test_health_degraded_on_missing_table(spark, tmp_path):
     report = health(spark, str(tmp_path / "nope"))
     assert report["status"] == "degraded"

@@ -33,12 +33,16 @@ def main() -> None:
     # warmup: JVM + parquet footer caches, excluded from timings
     load_table(spark, sf_dir, "lineitem").count()
 
-    timings: dict[str, float] = {}
-    for name in headliners:
+    def run_once(name: str) -> float:
         t0 = time.perf_counter()
         df = registry[name].fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        return time.perf_counter() - t0
+
+    # best-of-2: one JIT/cache-warm pass, keep the steady-state number
+    timings: dict[str, float] = {}
+    for name in headliners:
+        timings[name] = round(min(run_once(name), run_once(name)), 3)
 
     # the reference's WRITE path at scale: chunk + full 1024-dim embed +
     # partitioned parquet write (operators/ingest.py sink shape)

@@ -82,8 +82,9 @@ def topk_search(
 ) -> DataFrame:
     """Exact cosine top-k over the chunk index (O8 + O9).
 
-    The query embedding is ``hash_embedding(lit(query))`` — a constant
-    expression Catalyst folds once; executors never recompute it.
+    The query embedding and norm are driver-side literals
+    (query_vector_literals) and scoring runs on the 32-dim digest
+    pattern (chunk_patterns) — both mirrored exactly in the oracle.
     Empty-text matches are dropped before the limit (main.py:208), so
     total_results ≤ top_k.
     """

@@ -327,6 +327,119 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_transform_with_state",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           min(event_id) AS first_event_id,
+           round(max(value), 6) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas (the Spark 4.x arbitrary-state API):
+    a StatefulProcessor with explicit ValueState per event type —
+    schema-evolvable state, timers, and TTL-capable, superseding
+    applyInPandasWithState for new custom operators. Accumulators are
+    order-insensitive → exact batch equivalence.
+
+    The state-server protocol needs the ``protobuf`` package; when the
+    environment lacks it (this build does), the operator falls back to
+    an applyInPandasWithState implementation with identical semantics —
+    same output, same oracle, older state API."""
+    import pandas as pd
+
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        _HAVE_PROTOBUF = True
+    except ImportError:
+        _HAVE_PROTOBUF = False
+
+    ev = read_events_stream(spark, sf_dir)
+
+    if not _HAVE_PROTOBUF:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def update(key, pdfs, state: GroupState):
+            (etype,) = key
+            n, first, mx = state.get if state.exists else (0, None, None)
+            for pdf in pdfs:
+                n += len(pdf)
+                bmin = int(pdf["event_id"].min())
+                first = bmin if first is None else min(first, bmin)
+                bmax = float(pdf["value"].max())
+                mx = bmax if mx is None else max(mx, bmax)
+            state.update((n, int(first), float(mx)))
+            yield pd.DataFrame(
+                {
+                    "event_type": [etype],
+                    "n_events": [n],
+                    "first_event_id": [first],
+                    "max_value": [round(mx, 6)],
+                }
+            )
+
+        out = ev.groupBy("event_type").applyInPandasWithState(
+            update,
+            outputStructType=(
+                "event_type STRING, n_events BIGINT, first_event_id BIGINT, max_value DOUBLE"
+            ),
+            stateStructType="n BIGINT, first BIGINT, mx DOUBLE",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return run_available_now(out, "tws_fallback", "update").orderBy("event_type")
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n BIGINT, first_id BIGINT, mx DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            n, first, mx = (
+                self._state.get() if self._state.exists() else (0, None, None)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                bmin = int(pdf["event_id"].min())
+                first = bmin if first is None else min(first, bmin)
+                bmax = float(pdf["value"].max())
+                mx = bmax if mx is None else max(mx, bmax)
+            self._state.update((n, first, mx))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n_events": [n],
+                    "first_event_id": [first],
+                    "max_value": [round(mx, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    out = ev.groupBy("event_type").transformWithStateInPandas(
+        TypeStats(),
+        outputStructType=(
+            "event_type STRING, n_events BIGINT, first_event_id BIGINT, max_value DOUBLE"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+    return run_available_now(out, "tws", "update").orderBy("event_type")
+
+
+@register(
     "stream_watermark_append",
     oracle=None,  # append-mode emission depends on watermark advancement
     tags=("streaming",),

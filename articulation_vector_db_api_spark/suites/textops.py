@@ -216,6 +216,78 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_corpus_curation",
+    oracle="""
+    WITH stats AS (
+        SELECT doc_id, lang, text,
+               length(text) AS n_chars,
+               len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens,
+               CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS DOUBLE)
+                 / len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS uniq_ratio,
+               sha256(text) AS content_sha
+        FROM documents
+        WHERE length(trim(text)) > 0
+    ),
+    quality AS (
+        SELECT * FROM stats WHERE n_tokens >= 20 AND uniq_ratio >= 0.3
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY content_sha ORDER BY doc_id) AS rn
+            FROM quality
+        ) WHERE rn = 1
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum((n_chars - 1) // 800 + 1) AS BIGINT) AS total_chunks,
+           CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS total_est_tokens
+    FROM deduped
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("textops", "pipeline"),
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-data ops COMPOSED as one curation pipeline: quality
+    filter (token count + lexical diversity) → exact dedup
+    (keep-first per content digest) → per-language corpus budget
+    (docs, chunk counts via the 1000/800 chunker formula, chars/4
+    token estimate). One narrow pass + one digest shuffle + one
+    aggregate — the shape of a real 100 TB pre-training data job."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    stats = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "uniq_ratio"
+        ),
+        F.sha2(F.col("text"), 256).alias("content_sha"),
+    )
+    quality = stats.filter((F.col("n_tokens") >= 20) & (F.col("uniq_ratio") >= 0.3))
+    w = Window.partitionBy("content_sha").orderBy("doc_id")
+    deduped = quality.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    n_chunks = F.floor((F.col("n_chars") - 1) / 800) + 1
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_chunks).cast("long").alias("total_chunks"),
+            F.sum(F.ceil(F.col("n_chars") / 4.0).cast("long"))
+            .cast("long")
+            .alias("total_est_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "text_tfidf_top_terms",
     oracle="""
     WITH tok AS (

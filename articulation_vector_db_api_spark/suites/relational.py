@@ -307,6 +307,98 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           {dsum_sql("l_extendedprice * (1 - l_discount)")} AS volume
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_nationkey < 3 AND n2.n_nationkey < 3
+      AND n1.n_nationkey <> n2.n_nationkey
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("relational", "join"),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: six-table join with the nation dim joined TWICE
+    under different roles (supplier vs customer side) — alias
+    discipline plus two broadcasts of the same table."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    joined = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, s.s_nationkey == F.col("s_nkey"))
+        .join(n2, c.c_nationkey == F.col("c_nkey"))
+        .filter(
+            (F.col("s_nkey") < 3)
+            & (F.col("c_nkey") < 3)
+            & (F.col("s_nkey") != F.col("c_nkey"))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q17_SQL = """
+    SELECT p_brand,
+           count(*) AS n_small_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS small_revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_quantity < (
+        SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(30,8))) AS DOUBLE)
+                      / COUNT(*))
+        FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+    )
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""
+
+
+@register(
+    "q17_correlated_subquery",
+    oracle=_Q17_SQL,
+    tags=("relational", "subquery"),
+)
+def q17_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: a CORRELATED scalar subquery (per-part average
+    quantity) that Catalyst decorrelates into an aggregate + join —
+    executed as written via spark.sql to exercise the decorrelation
+    rule, not a hand rewrite. Deterministic via the decimal-avg path."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_Q17_SQL)
+
+
+@register(
     "rollup_revenue",
     oracle=f"""
     SELECT r_name, n_name,

@@ -41,6 +41,40 @@ def test_bucketed_join_elides_shuffle(spark):
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
 
 
+def test_aqe_skew_join_splits_hot_key(spark):
+    """AQE's runtime skew-join handling: with one pathological key and
+    skew thresholds scaled to fixture size, the final adaptive plan
+    must mark the sort-merge join skew-handled (`isSkewJoin=true` /
+    `skew=true`) — validating the config path SCALE.md relies on."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k",  # 90% on key 0
+            "id AS v",
+        )
+        right = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS w")
+        joined = left.join(right, "k")
+        # execute THIS plan so AQE finalizes it, then inspect the final plan
+        # (hot key 0: 180k rows × 1 match; cold keys ids ≡9 (mod 10) < 100 → 10)
+        assert len(joined.collect()) == 180_010
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isSkewJoin=true" in plan or "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_streaming_foreach_batch_sink(spark, tmp_path):
     """foreachBatch: the streaming-upsert pattern (each micro-batch
     runs an arbitrary batch write — partitioned overwrite, MERGE, ...)."""

@@ -120,6 +120,54 @@ def mllib_tfidf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mllib_count_vectorizer",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    vocab AS (SELECT count(DISTINCT token) AS vocab_size FROM tok),
+    per_doc AS (
+        SELECT doc_id, count(DISTINCT token) AS n_doc_terms
+        FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, n_doc_terms, vocab_size
+    FROM per_doc CROSS JOIN vocab
+    WHERE doc_id % 100 = 0
+    ORDER BY doc_id
+    """,
+    tags=("mllib", "textops"),
+)
+def mllib_count_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountVectorizer: an EXACT learned vocabulary (vs HashingTF's
+    hashed one) — the fitted model's vocabulary size and each doc's
+    distinct-term count are engine-independent facts, so this MLlib
+    pipeline is oracle-checked exactly."""
+    from pyspark.ml.feature import CountVectorizer
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    with_tokens = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), " ").alias("tokens")
+    )
+    cv = CountVectorizer(inputCol="tokens", outputCol="tf", vocabSize=1 << 18, minDF=1.0)
+    model = cv.fit(with_tokens)
+    vocab_size = len(model.vocabulary)
+    n_terms = F.udf(lambda v: int(v.values.size), "long")
+    return (
+        model.transform(with_tokens)
+        .filter(F.col("doc_id") % 100 == 0)
+        .select(
+            "doc_id",
+            n_terms(F.col("tf")).alias("n_doc_terms"),
+            F.lit(vocab_size).cast("long").alias("vocab_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register("mllib_minhash_dedup", oracle=None, tags=("mllib", "dedup"))
 def mllib_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib MinHashLSH near-dup over hashed shingle-presence vectors —

@@ -399,6 +399,69 @@ def q17_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q8_market_share",
+    oracle=f"""
+    SELECT year(o_orderdate) AS o_year,
+           {dsum_sql("CASE WHEN n_name = 'NATION_0' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+             / {dsum_sql("l_extendedprice * (1 - l_discount)")} AS mkt_share,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    GROUP BY year(o_orderdate)
+    ORDER BY o_year
+    """,
+    tags=("relational", "agg"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's revenue share per year — the
+    conditional-aggregate-ratio pattern (two decimal-exact sums divided
+    in double; no second scan, no self-join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("n_name") == "NATION_0", rev).otherwise(F.lit(0.0))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (dsum(target) / dsum(rev)).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "sort_global_prices",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 6) AS totalprice
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+    tags=("relational", "sort"),
+)
+def sort_global_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global total-order sort WITHOUT a limit: range-partitioning
+    exchange (sampled split points) + per-partition sort — the only
+    operator family where the engine accepts a full-data exchange, used
+    for sorted exports. Everything top-k shaped uses
+    TakeOrderedAndProject instead (see PLANS.md)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    return o.select(
+        "o_orderkey", F.round("o_totalprice", 6).alias("totalprice")
+    ).orderBy(F.desc("o_totalprice"), "o_orderkey")
+
+
+@register(
     "rollup_revenue",
     oracle=f"""
     SELECT r_name, n_name,

@@ -23,7 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from ..functions.hashing import hex_to_u32_sql, sha_hash32
+from ..functions.vector import cosine_sql_duckdb
 from ..registry import register
 from ..sources.readers import load_table
 
@@ -414,6 +417,69 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("fingerprints", 1).alias("min_fp"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE edges AS (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {cosine_sql_duckdb("a.embedding", "b.embedding")} >= 0.3
+    ),
+    sym AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION
+        SELECT b, a FROM edges
+    ),
+    r(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM r JOIN sym s ON r.dst = s.src
+    ),
+    labels AS (
+        SELECT e.vec_id AS node,
+               least(e.vec_id,
+                     coalesce((SELECT min(dst) FROM r WHERE src = e.vec_id),
+                              e.vec_id)) AS component
+        FROM embeddings e
+    )
+    SELECT node, component,
+           count(*) OVER (PARTITION BY component) AS component_size
+    FROM labels
+    ORDER BY node
+    """,
+    tags=("dedup", "graph"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from near-dup PAIRS: iterative min-label
+    propagation (operators/graph.py) over the cosine-similarity edge
+    set — every vector labeled with its duplicate-group canonical id.
+    The oracle computes the same closure with a recursive CTE; Spark
+    runs the scalable fixpoint loop (one shuffle per round)."""
+    from ..functions.vector import cosine
+    from ..operators.graph import connected_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.3)
+        .select(F.col("a.vec_id").alias("a"), F.col("b.vec_id").alias("b"))
+    )
+    nodes = e.select(F.col("vec_id").alias("node"))
+    labels = connected_components(nodes, edges)
+    w = Window.partitionBy("component")
+    return (
+        labels.withColumn("component_size", F.count(F.lit(1)).over(w))
+        .orderBy("node")
     )
 
 

@@ -44,6 +44,63 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frame_sample",
+    oracle="""
+    -- DuckDB can't substr a BLOB; the fixture text is pure ASCII
+    -- (octet_length == length for every row), so slicing the text then
+    -- encoding is byte-identical to the engine's true binary slice
+    WITH payloads AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
+        FROM documents WHERE length(text) > 0
+    ),
+    frames AS (
+        SELECT doc_id, n_bytes,
+               unnest(generate_series(0, CAST(floor((n_bytes - 1) / 64.0) AS BIGINT))) AS frame_idx,
+               text
+        FROM payloads
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           least(64, n_bytes - frame_idx * 64) AS frame_bytes,
+           hex(encode(substr(text, CAST(frame_idx * 64 + 1 AS INT), 4))) AS frame_header
+    FROM frames
+    WHERE frame_idx % 3 = 0 AND doc_id % 50 = 0
+    ORDER BY doc_id, frame_idx
+    """,
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque binary payload (the video/audio
+    pattern): fixed 64-byte 'frames', keep every 3rd — pure SQL byte
+    slicing (sequence + substr on binary), no decode needed for
+    temporal subsampling. A real codec plugs into the decode stub
+    (operators/multimodal.py) only for the frames that survive."""
+    docs = attach_binary_payload(
+        load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ).filter(F.col("doc_id") % 50 == 0)
+    n_bytes = F.col("media_meta").getField("n_bytes")
+    frame_idx = F.explode(
+        F.sequence(F.lit(0), F.floor((n_bytes - 1) / 64.0).cast("long"))
+    ).alias("frame_idx")
+    frames = docs.select("doc_id", "payload", n_bytes.alias("n_bytes"), frame_idx)
+    return (
+        frames.filter(F.col("frame_idx") % 3 == 0)
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            F.least(
+                F.lit(64), F.col("n_bytes") - F.col("frame_idx") * 64
+            ).alias("frame_bytes"),
+            F.hex(
+                F.col("payload").substr(
+                    (F.col("frame_idx") * 64 + 1).cast("int"), F.lit(4)
+                )
+            ).alias("frame_header"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+@register(
     "multimodal_decode_features",
     oracle="""
     SELECT doc_id,

@@ -760,6 +760,58 @@ def join_theta_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_range_calendar",
+    oracle=f"""
+    WITH months AS (
+        SELECT unnest(generate_series(DATE '1995-01-01', DATE '2001-12-01',
+                                      INTERVAL 1 MONTH)) AS month_start
+    ),
+    windows AS (
+        SELECT CAST(month_start AS DATE) AS month_start,
+               CAST(month_start + INTERVAL 1 MONTH AS DATE) AS month_end
+        FROM months
+    )
+    SELECT month_start,
+           count(*) AS n_lines,
+           {dsum_sql("l_quantity")} AS total_qty
+    FROM lineitem JOIN windows
+      ON l_shipdate >= month_start AND l_shipdate < month_end
+    GROUP BY month_start
+    HAVING count(*) > 0
+    ORDER BY month_start
+    """,
+    tags=("relational", "join", "range"),
+)
+def join_range_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join against a broadcast calendar dimension
+    (ship_date BETWEEN window bounds): the generic interval-assignment
+    shape (rate tables, SLA windows, fiscal calendars). The tiny range
+    side MUST broadcast — a shuffled range join has no equi-key. Where
+    windows align to a calendar function (as here) prefer date_trunc;
+    this operator exists for windows that don't."""
+    months = spark.sql(
+        "SELECT explode(sequence(date'1995-01-01', date'2001-12-01',"
+        " interval 1 month)) AS month_start"
+    ).select(
+        "month_start", F.add_months("month_start", 1).alias("month_end")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(months),
+            (F.col("l_shipdate") >= F.col("month_start"))
+            & (F.col("l_shipdate") < F.col("month_end")),
+        )
+        .groupBy("month_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_quantity")).alias("total_qty"),
+        )
+        .orderBy("month_start")
+    )
+
+
+@register(
     "join_asof_event_order",
     oracle="""
     WITH tagged AS (

@@ -1113,6 +1113,86 @@ def agg_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nested_agg_big_spenders",
+    oracle=f"""
+    WITH spend AS (
+        SELECT o_custkey, c_nationkey,
+               {dsum_sql("o_totalprice")} AS total_spend
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY o_custkey, c_nationkey
+    ),
+    nation_avg AS (
+        SELECT c_nationkey,
+               {dsum_sql("total_spend")} / count(*) AS avg_spend
+        FROM spend GROUP BY c_nationkey
+    )
+    SELECT s.o_custkey AS custkey, s.c_nationkey AS nationkey,
+           round(s.total_spend, 6) AS total_spend,
+           round(n.avg_spend, 6) AS nation_avg_spend
+    FROM spend s JOIN nation_avg n ON s.c_nationkey = n.c_nationkey
+    WHERE s.total_spend > 2 * n.avg_spend
+    ORDER BY custkey
+    """,
+    tags=("relational", "agg", "subquery"),
+)
+def nested_agg_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level nested aggregation (TPC-H Q20 family): per-customer
+    totals compared against their nation's average of those totals.
+    The inner aggregate reuses its own output for the outer one — one
+    extra shuffle on the nation key, no rescan of the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey", "c_nationkey")
+        .agg(dsum(F.col("o_totalprice")).alias("total_spend"))
+    )
+    nation_avg = spend.groupBy("c_nationkey").agg(
+        (dsum(F.col("total_spend")) / F.count(F.lit(1))).alias("avg_spend")
+    )
+    return (
+        spend.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("total_spend") > 2 * F.col("avg_spend"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("c_nationkey").alias("nationkey"),
+            F.round("total_spend", 6).alias("total_spend"),
+            F.round("avg_spend", 6).alias("nation_avg_spend"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@register(
+    "agg_price_histogram",
+    oracle=f"""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000 AS bucket_lo,
+           count(*) AS n,
+           {dsum_sql("o_totalprice")} AS bucket_revenue
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY bucket
+    """,
+    tags=("relational", "agg"),
+)
+def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram by arithmetic bucketing — the profiling
+    primitive (one hash aggregate; bucket count independent of data
+    size, so the shuffle is O(buckets))."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000.0).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"), (bucket * 50000).alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice")).alias("bucket_revenue"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
     "pivot_status_revenue",
     oracle=f"""
     SELECT c_mktsegment,

@@ -231,6 +231,86 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_session_funnel",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked
+    ),
+    per_session AS (
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+               max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+        FROM sessions
+        GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           count(*) AS n_sessions,
+           CAST(sum(CASE WHEN first_click IS NOT NULL
+                          AND last_purchase IS NOT NULL
+                          AND first_click <= last_purchase
+                    THEN 1 ELSE 0 END) AS BIGINT) AS converted_sessions,
+           CAST(sum(n_events) AS BIGINT) AS total_events
+    FROM per_session
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("window", "events"),
+)
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized funnel analysis: gaps-and-islands sessionization
+    (30-min inactivity) → per-session click→purchase conversion →
+    per-user rollup. Three layered windows/aggregates in one job — the
+    product-analytics shape over the events table."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    marked = e.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = marked.withColumn("session_id", F.sum("new_session").over(cum))
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "first_click"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "last_purchase"
+        ),
+    )
+    converted = (
+        F.col("first_click").isNotNull()
+        & F.col("last_purchase").isNotNull()
+        & (F.col("first_click") <= F.col("last_purchase"))
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(converted.cast("int")).cast("long").alias("converted_sessions"),
+            F.sum("n_events").cast("long").alias("total_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "window_first_last",
     oracle="""
     SELECT DISTINCT user_id,

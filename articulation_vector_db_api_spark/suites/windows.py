@@ -311,6 +311,44 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_weekly_retention",
+    oracle="""
+    WITH user_weeks AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, min(week) AS cohort_week FROM user_weeks GROUP BY user_id
+    )
+    SELECT c.cohort_week, w.week,
+           count(DISTINCT w.user_id) AS active_users
+    FROM user_weeks w JOIN cohort c ON w.user_id = c.user_id
+    GROUP BY c.cohort_week, w.week
+    ORDER BY cohort_week, week
+    """,
+    tags=("window", "events"),
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first active week, counted
+    in every later week — the (cohort, period) distinct-count matrix.
+    Two aggregates + one broadcast join; at 100 TB swap the exact
+    distinct for approx_count_distinct per cell."""
+    e = load_table(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) / 7.0
+    ).cast("long")
+    user_weeks = e.select("user_id", week.alias("week")).distinct()
+    cohort = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        user_weeks.join(F.broadcast(cohort), "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week")
+    )
+
+
+@register(
     "window_first_last",
     oracle="""
     SELECT DISTINCT user_id,

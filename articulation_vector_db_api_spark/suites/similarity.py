@@ -50,18 +50,12 @@ def _bucket(emb: Column) -> Column:
     return b
 
 
-def _planes_sql() -> str:
-    return (
-        "SELECT unnest(generate_series(0, "
-        f"{N_PLANES - 1})) AS p), planes AS ("
-        "SELECT p, "
-        + embedding_sql_duckdb("'plane:' || CAST(p AS VARCHAR)", 64)
-        + " AS w FROM pnums"
-    )
-
-
 _BUCKETS_SQL = f"""
-    pnums AS ({_planes_sql()}),
+    pnums AS (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS p),
+    planes AS (
+        SELECT p, {embedding_sql_duckdb("'plane:' || CAST(p AS VARCHAR)", 64)} AS w
+        FROM pnums
+    ),
     buckets AS (
         SELECT e.vec_id, e.label, e.embedding,
                CAST(sum(CASE WHEN {dot_sql_duckdb("e.embedding", "p.w")} >= 0

@@ -974,6 +974,51 @@ def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "topk_pagination",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 6) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 10
+    """,
+    tags=("relational", "sort"),
+)
+def topk_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination (page 2 of a sorted listing): offset+limit over a
+    total order. Spark plans offset+limit together (CollectLimit with
+    skip) — still no global sort; deeper pages cost more, so keyset
+    pagination (WHERE sortkey < last_seen) is the 100 TB pattern."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.round("o_totalprice", 6).alias("totalprice"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(10)
+        .limit(10)
+    )
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+    SELECT n_nationkey AS nationkey FROM (
+        SELECT c_nationkey AS n_nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey FROM supplier
+    )
+    ORDER BY nationkey
+    """,
+    tags=("relational", "setop"),
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference, occurrence-counted): removes
+    one occurrence per match instead of deduplicating — the correct
+    semantics when rows are events, not sets."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s).orderBy("nationkey")
+
+
+@register(
     "setop_nations_intersect",
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import sha_hash32, sha_hash32_sql
 from ..functions.numeric import davg, davg_sql, dsum, dsum_sql
 from ..registry import register
 from ..sources.readers import load_table
@@ -1290,4 +1291,192 @@ def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot("p_partkey", ["retailprice", "size"], "measure", "val")
         .select("p_partkey", "measure", F.round("val", 6).alias("val"))
         .orderBy("p_partkey", "measure")
+    )
+
+
+# --------------------------------------------------------------------------
+# mutation patterns: MERGE, CDC diff, deterministic sampling
+# --------------------------------------------------------------------------
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 != 0
+    ),
+    source AS (
+        SELECT o_orderkey, round(o_totalprice * 1.1, 6) AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT t.o_orderkey AS orderkey,
+           round(coalesce(s.o_totalprice, t.o_totalprice), 6) AS totalprice,
+           CASE WHEN s.o_orderkey IS NULL THEN 'kept' ELSE 'updated' END AS action
+    FROM target t LEFT JOIN source s USING (o_orderkey)
+    UNION ALL
+    SELECT s.o_orderkey, round(s.o_totalprice, 6), 'inserted'
+    FROM source s ANTI JOIN target t USING (o_orderkey)
+    ORDER BY orderkey
+    """,
+    tags=("relational", "merge"),
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the reference's upsert, main.py:172, as a
+    declarative three-way merge): WHEN MATCHED update, WHEN NOT MATCHED
+    insert, else keep. Expressed as one full-outer join on the merge key
+    — ONE shuffle, AQE-skew-splittable, no row-by-row upsert loop. At
+    100 TB the target stays partitioned by the merge key so only
+    changed partitions rewrite (dynamic partition overwrite)."""
+    o = _t(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 3 != 0).select("o_orderkey", "o_totalprice")
+    source = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 1.1, 6).alias("s_totalprice")
+    )
+    merged = target.join(source, "o_orderkey", "full_outer")
+    return (
+        merged.select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.round(F.coalesce("s_totalprice", "o_totalprice"), 6).alias("totalprice"),
+            F.when(F.col("s_totalprice").isNull(), "kept")
+            .when(F.col("o_totalprice").isNull(), "inserted")
+            .otherwise("updated")
+            .alias("action"),
+        )
+        .orderBy("orderkey")
+    )
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderdate < TIMESTAMP '1997-06-01'
+    ),
+    snap_b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice + 1.5, 6)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1997-09-01' AND o_orderkey % 11 != 0
+    )
+    SELECT coalesce(a.o_orderkey, b.o_orderkey) AS orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                WHEN b.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change
+    FROM snap_a a FULL JOIN snap_b b USING (o_orderkey)
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_totalprice != b.o_totalprice
+    ORDER BY orderkey
+    """,
+    tags=("relational", "cdc"),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture by snapshot diff: classify rows as
+    insert/update/delete between two table versions via one full-outer
+    join on the key, dropping unchanged rows. The scale path hash-
+    partitions both snapshots identically on write so the diff join is
+    shuffle-free (bucketed storage); a row-hash column lets the update
+    check compare one 64-bit value instead of every column."""
+    o = _t(spark, sf_dir, "orders")
+    snap_a = o.filter(F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")).select(
+        "o_orderkey", "o_totalprice"
+    )
+    snap_b = (
+        o.filter(
+            (F.col("o_orderdate") < F.lit("1997-09-01").cast("timestamp"))
+            & (F.col("o_orderkey") % 11 != 0)
+        )
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.round(F.col("o_totalprice") + 1.5, 6)
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("b_totalprice"),
+        )
+    )
+    a = snap_a.alias("a")
+    b = snap_b.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    return (
+        joined.select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("orderkey"),
+            F.when(F.col("a.o_orderkey").isNull(), "insert")
+            .when(F.col("b.o_orderkey").isNull(), "delete")
+            .otherwise("update")
+            .alias("change"),
+            F.col("a.o_totalprice").alias("pa"),
+            F.col("b.b_totalprice").alias("pb"),
+        )
+        .filter(F.col("pa").isNull() | F.col("pb").isNull() | (F.col("pa") != F.col("pb")))
+        .select("orderkey", "change")
+        .orderBy("orderkey")
+    )
+
+
+@register(
+    "sample_deterministic_hash",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT o_orderkey, o_totalprice,
+               {sha_hash32_sql("CAST(o_orderkey AS VARCHAR)", seed=7)} AS h
+        FROM orders
+    )
+    SELECT o_orderkey, round(o_totalprice, 6) AS totalprice
+    FROM hashed WHERE h % 100 < 5
+    ORDER BY o_orderkey
+    """,
+    tags=("relational", "sampling"),
+)
+def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% sample by key hash — unlike df.sample(), the
+    same keys are selected on every run, on every engine, at every
+    scale, so samples are reproducible across pipeline versions and
+    joinable with each other (a sampled fact joins a sampled dim iff
+    both hash the join key). Embarrassingly parallel: a map-side
+    filter, no shuffle, fully pushed past the scan's column pruning."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.round("o_totalprice", 6).alias("totalprice"),
+            (sha_hash32(F.col("o_orderkey").cast("string"), seed=7) % 100).alias("bucket"),
+        )
+        .filter(F.col("bucket") < 5)
+        .select("o_orderkey", "totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(n * 1.0 / sum(n) OVER (), 6) AS share
+    FROM counts
+    QUALIFY share >= 0.1
+    ORDER BY n DESC, event_type
+    """,
+    tags=("relational", "agg"),
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (frequency >= 10% of the stream): hash agg
+    with map-side partial combine, then a single-row broadcast of the
+    total. The approximate scale path is a count-min sketch per
+    partition merged on the driver (see approx_distinct_parts for the
+    sketch-family pattern); exact stays feasible whenever the key
+    cardinality (not the row count) fits a shuffle."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy()
+    return (
+        counts.withColumn("share", F.round(F.col("n") / F.sum("n").over(w), 6))
+        .filter(F.col("share") >= 0.1)
+        .orderBy(F.desc("n"), "event_type")
     )

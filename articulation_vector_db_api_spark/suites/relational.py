@@ -1480,3 +1480,184 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("share") >= 0.1)
         .orderBy(F.desc("n"), "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# iterative graph analytics + slowly-changing dimensions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_pagerank",
+    oracle="""
+    WITH nk AS (SELECT n_nationkey AS node, n_regionkey AS r FROM nation),
+    ring AS (
+        SELECT node,
+               coalesce(lead(node) OVER (PARTITION BY r ORDER BY node),
+                        min(node) OVER (PARTITION BY r)) AS dst
+        FROM nk
+    ),
+    hub AS (SELECT node, min(node) OVER (PARTITION BY r) AS dst FROM nk),
+    edges AS (
+        SELECT node AS src, dst FROM ring WHERE node != dst
+        UNION ALL
+        SELECT node, dst FROM hub WHERE node != dst
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    n AS (SELECT count(*) AS cnt FROM nk),
+    r0 AS (SELECT node, 1.0 / (SELECT cnt FROM n) AS rank FROM nk),
+    r1 AS (
+        SELECT nk.node,
+               0.15 / (SELECT cnt FROM n)
+               + 0.85 * coalesce(sum(r.rank / d.outdeg), 0) AS rank
+        FROM nk
+        LEFT JOIN edges e ON e.dst = nk.node
+        LEFT JOIN r0 r ON r.node = e.src
+        LEFT JOIN deg d ON d.src = e.src
+        GROUP BY nk.node
+    ),
+    r2 AS (
+        SELECT nk.node,
+               0.15 / (SELECT cnt FROM n)
+               + 0.85 * coalesce(sum(r.rank / d.outdeg), 0) AS rank
+        FROM nk
+        LEFT JOIN edges e ON e.dst = nk.node
+        LEFT JOIN r1 r ON r.node = e.src
+        LEFT JOIN deg d ON d.src = e.src
+        GROUP BY nk.node
+    ),
+    r3 AS (
+        SELECT nk.node,
+               0.15 / (SELECT cnt FROM n)
+               + 0.85 * coalesce(sum(r.rank / d.outdeg), 0) AS rank
+        FROM nk
+        LEFT JOIN edges e ON e.dst = nk.node
+        LEFT JOIN r2 r ON r.node = e.src
+        LEFT JOIN deg d ON d.src = e.src
+        GROUP BY nk.node
+    )
+    SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, 3 power iterations (damping 0.85) over a deterministic
+    graph built from the nation table (intra-region ring + hub edges).
+    Each iteration is contribution-join + hash agg — the canonical
+    iterative-analytics shape. At 100 TB: pre-partition edges by dst so
+    every iteration reuses one shuffle; cache the rank frontier;
+    high-degree hubs are the skew risk (AQE skew-join or pre-aggregate
+    contributions per (dst, src-partition) before the final combine)."""
+    from pyspark.sql.window import Window
+
+    nk = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), F.col("n_regionkey").alias("r")
+    )
+    wr = Window.partitionBy("r").orderBy("node")
+    wmin = Window.partitionBy("r")
+    ring = nk.select(
+        "node",
+        F.coalesce(F.lead("node").over(wr), F.min("node").over(wmin)).alias("dst"),
+    )
+    hub = nk.select("node", F.min("node").over(wmin).alias("dst"))
+    edges = (
+        ring.filter(F.col("node") != F.col("dst"))
+        .unionByName(hub.filter(F.col("node") != F.col("dst")))
+        .select(F.col("node").alias("src"), "dst")
+        .cache()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n_nodes = nk.count()
+    ranks = nk.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    contrib_src = edges.join(deg, "src")
+    for _ in range(3):
+        contribs = (
+            contrib_src.join(ranks, contrib_src.src == ranks.node)
+            .select(F.col("dst"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = nk.join(contribs, nk.node == contribs.dst, "left").select(
+            "node",
+            (
+                F.lit(0.15 / n_nodes) + 0.85 * F.coalesce("inflow", F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+@register(
+    "scd2_user_event_history",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, ts, event_id, event_type FROM events
+        WHERE user_id % 50 = 0
+    ),
+    marked AS (
+        SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                       THEN 1 ELSE 0 END AS chg
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+        SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS island
+        FROM marked
+    ),
+    versions AS (
+        SELECT user_id, event_type, island,
+               min(ts) AS valid_from, count(*) AS n_events
+        FROM islands GROUP BY user_id, event_type, island
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               AS valid_to,
+           CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+                IS NULL AS INT) AS is_current,
+           n_events
+    FROM versions
+    ORDER BY user_id, valid_from
+    """,
+    tags=("relational", "scd"),
+)
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 built from an event stream:
+    collapse consecutive equal attribute values (gaps-and-islands),
+    then derive [valid_from, valid_to) intervals and the is_current
+    flag. All windows share one PARTITION BY user_id ordering, so Spark
+    plans a single shuffle and sorts once per partition. At 100 TB the
+    incremental variant merges only users seen in the new batch against
+    the open (is_current) slice of the history table."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    islands = marked.withColumn(
+        "island", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    versions = islands.groupBy("user_id", "event_type", "island").agg(
+        F.min("ts").alias("valid_from"), F.count("*").alias("n_events")
+    )
+    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    return (
+        versions.select(
+            "user_id",
+            "event_type",
+            "valid_from",
+            F.lead("valid_from").over(wv).alias("valid_to"),
+            F.lead("valid_from").over(wv).isNull().cast("int").alias("is_current"),
+            "n_events",
+        )
+        .orderBy("user_id", "valid_from")
+    )

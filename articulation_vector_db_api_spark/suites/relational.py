@@ -1661,3 +1661,61 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from")
     )
+
+
+@register(
+    "layout_zorder_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT o_orderkey,
+               o_custkey % 16 AS cb,
+               CAST(month(o_orderdate) - 1 AS BIGINT) AS mb
+        FROM orders
+    ),
+    z AS (
+        SELECT o_orderkey, cb, mb,
+               ((cb // 1) % 2) * 1 + ((mb // 1) % 2) * 2
+             + ((cb // 2) % 2) * 4 + ((mb // 2) % 2) * 8
+             + ((cb // 4) % 2) * 16 + ((mb // 4) % 2) * 32
+             + ((cb // 8) % 2) * 64 + ((mb // 8) % 2) * 128 AS zval
+        FROM dims
+    )
+    SELECT zval // 16 AS file_id, count(*) AS n_rows,
+           min(cb) AS min_cb, max(cb) AS max_cb,
+           min(mb) AS min_mb, max(mb) AS max_mb
+    FROM z GROUP BY file_id ORDER BY file_id
+    """,
+    tags=("relational", "layout"),
+)
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering layout: interleave the bits of two
+    query dimensions (customer bucket × order month), sort by the
+    z-value, and cut into files. The per-file min/max column stats this
+    query emits are exactly what a reader's data-skipping consults: a
+    z-ordered file covers a small RECTANGLE in (cb, mb) space, so a
+    predicate on EITHER dimension prunes most files — unlike a linear
+    sort, which only prunes on its leading column. Bit interleave is
+    pure integer arithmetic (JVM codegen, no UDF)."""
+    o = _t(spark, sf_dir, "orders")
+    dims = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 16).alias("cb"),
+        (F.month("o_orderdate") - 1).cast("long").alias("mb"),
+    )
+    zbits = sum(
+        ((F.col("cb") / (1 << i)).cast("long") % 2) * (1 << (2 * i))
+        + ((F.col("mb") / (1 << i)).cast("long") % 2) * (1 << (2 * i + 1))
+        for i in range(4)
+    )
+    z = dims.withColumn("zval", zbits)
+    return (
+        z.groupBy((F.col("zval") / 16).cast("long").alias("file_id"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("cb").alias("min_cb"),
+            F.max("cb").alias("max_cb"),
+            F.min("mb").alias("min_mb"),
+            F.max("mb").alias("max_mb"),
+        )
+        .orderBy("file_id")
+    )

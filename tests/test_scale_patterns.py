@@ -101,3 +101,39 @@ def test_streaming_foreach_batch_sink(spark, tmp_path):
     q.awaitTermination()
     result = {r.user: r.n for r in spark.read.parquet(out).collect()}
     assert result == {"u0": 34, "u1": 33, "u2": 33}
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
+    """Runtime row-level filtering: a selective predicate on the build
+    side of a shuffle join makes Catalyst inject `bloom_filter_agg` on
+    the build side and `might_contain` into the probe-side scan filter
+    — at 100 TB the probe scan drops non-matching rows before the
+    shuffle instead of shuffling the full fact table."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 500_000).selectExpr("id % 50000 AS k", "id AS v")
+        small = spark.range(0, 50_000).selectExpr(
+            "id AS k", "id * 2 AS w", "id % 97 AS f"
+        )
+        big.write.mode("overwrite").parquet(str(tmp_path / "big"))
+        small.write.mode("overwrite").parquet(str(tmp_path / "small"))
+        b = spark.read.parquet(str(tmp_path / "big"))
+        s = spark.read.parquet(str(tmp_path / "small")).filter("f = 3")
+        joined = b.join(s, "k")
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+        # ~516 build keys of 50k → probe keeps ~1/97th of its rows
+        assert joined.count() == 5160
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1719,3 +1719,148 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+@register(
+    "agg_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders
+    )
+    SELECT bucket, count(*) AS n,
+           round(min(o_totalprice), 6) AS lo,
+           round(max(o_totalprice), 6) AS hi
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("relational", "agg"),
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram via ntile: 10 buckets of
+    equal row count with their value ranges — the histogram shape
+    optimizers and skew diagnostics want (equi-WIDTH buckets collapse
+    under heavy-tailed prices; see agg_price_histogram for that
+    contrast). Tie-broken on the key so bucket edges are deterministic.
+    At 100 TB swap ntile's global sort for approx_percentile bucket
+    EDGES (one pass, mergeable sketches) and a map-side bucket join."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    b = o.select(
+        "o_totalprice",
+        F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey")).alias("bucket"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 6).alias("lo"),
+            F.round(F.max("o_totalprice"), 6).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "dq_audit_orders",
+    oracle="""
+    SELECT 'row_count' AS metric, CAST(count(*) AS BIGINT) AS value FROM orders
+    UNION ALL
+    SELECT 'null_custkey', count(*) FILTER (o_custkey IS NULL) FROM orders
+    UNION ALL
+    SELECT 'distinct_status', count(DISTINCT o_orderstatus) FROM orders
+    UNION ALL
+    SELECT 'dup_orderkeys',
+           (SELECT count(*) FROM
+             (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
+    UNION ALL
+    SELECT 'orphan_custkeys', count(*) FROM orders
+    ANTI JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'future_orderdates',
+           count(*) FILTER (o_orderdate > TIMESTAMP '1999-01-01') FROM orders
+    ORDER BY metric
+    """,
+    tags=("relational", "quality"),
+)
+def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit (deequ-style constraint suite) as ONE query:
+    completeness (null rate), uniqueness (duplicate keys), referential
+    integrity (orphan foreign keys, broadcast anti-join), domain checks
+    (future dates), cardinality. Emitted long-form (metric, value) so
+    the audit of every table lands in one quality ledger. All six
+    checks share one scan per table; at 100 TB this runs as a single
+    multi-aggregate pass, not six jobs."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    base = o.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_custkey"),
+        F.countDistinct("o_orderstatus").cast("long").alias("distinct_status"),
+        F.count(
+            F.when(F.col("o_orderdate") > F.lit("1999-01-01").cast("timestamp"), 1)
+        ).alias("future_orderdates"),
+    )
+    dups = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("dup_orderkeys"))
+    )
+    orphans = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_custkeys"))
+    )
+    wide = base.crossJoin(dups).crossJoin(orphans)
+    return (
+        wide.unpivot([], list(wide.columns), "metric", "value")
+        .orderBy("metric")
+    )
+
+
+@register(
+    "diag_key_skew",
+    oracle="""
+    WITH per_key AS (
+        SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+        SELECT max(n) AS max_n, round(avg(n), 6) AS avg_n, count(*) AS n_keys
+        FROM per_key
+    )
+    SELECT k.key, k.n,
+           round(k.n / s.avg_n, 6) AS skew_ratio,
+           s.n_keys
+    FROM per_key k CROSS JOIN stats s
+    ORDER BY k.n DESC, k.key
+    LIMIT 5
+    """,
+    tags=("relational", "diagnostics"),
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: per-key row counts vs the mean — the
+    pre-flight check that decides between a plain shuffle join, salting,
+    or AQE skew handling for a given key column. One hash agg plus a
+    single-row broadcast of the summary; run it on the 1% deterministic
+    sample (sample_deterministic_hash) at 100 TB — hot keys survive
+    sampling by definition."""
+    o = _t(spark, sf_dir, "orders")
+    per_key = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = per_key.agg(
+        F.round(F.avg("n"), 6).alias("avg_n"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("avg_n"), 6).alias("skew_ratio"),
+            "n_keys",
+        )
+        .orderBy(F.desc("n"), "key")
+        .limit(5)
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import davg, davg_sql
 from ..registry import register
 from ..sources.readers import load_table
 
@@ -393,4 +394,124 @@ def text_topk_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .orderBy("lang", "rn")
+    )
+
+
+@register(
+    "text_inverted_index",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token,
+               doc_id
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    postings AS (
+        SELECT token, count(*) AS df,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS posting
+        FROM tok GROUP BY token
+    )
+    SELECT token, df, posting FROM postings
+    WHERE df BETWEEN 3 AND 400
+    ORDER BY token
+    """,
+    tags=("textops", "index"),
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index (token → sorted doc-id posting list): the
+    search-engine artifact behind keyword retrieval, as one explode →
+    distinct → ordered collect. Mid-frequency tokens only (3 ≤ df ≤ 400)
+    — stopword-grade postings belong in a separate hot tier. At 100 TB
+    the index table is bucketed by token so lookups touch one bucket
+    and posting merges co-locate; posting lists are delta-encoded
+    (sorted ids compress ~10×)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+        "doc_id",
+    ).distinct()
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("posting"),
+        )
+        .filter((F.col("df") >= 3) & (F.col("df") <= 400))
+        .orderBy("token")
+    )
+
+
+@register(
+    "text_char_bigram_lm",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, trim(lower(text)) AS t FROM documents
+        WHERE length(trim(text)) >= 2
+    ),
+    grams AS (
+        SELECT doc_id, substr(t, i, 2) AS bg, substr(t, i, 1) AS pre
+        FROM d, unnest(range(1, length(t))) AS u(i)
+    ),
+    bg_counts AS (SELECT bg, count(*) AS n_bg FROM grams GROUP BY bg),
+    pre_counts AS (SELECT pre, count(*) AS n_pre FROM grams GROUP BY pre),
+    scored AS (
+        SELECT g.doc_id,
+               round(ln(CAST(b.n_bg AS DOUBLE) / c.n_pre), 6) AS logp
+        FROM grams g
+        JOIN bg_counts b USING (bg)
+        JOIN pre_counts c USING (pre)
+    )
+    SELECT doc_id, round({davg_sql('logp')}, 6) AS avg_logp,
+           count(*) AS n_grams
+    FROM scored GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("textops", "quality"),
+)
+def text_char_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram language-model scoring (KenLM-style perplexity
+    filter, self-trained on the corpus): P(c2|c1) = count(c1c2) /
+    count(c1·), per-doc mean log-probability. Gibberish and wrong-
+    charset docs score low — the classic cheap quality gate before
+    model-based filtering. Two hash aggs build the model; scoring
+    re-joins it (both sides broadcast: the model is |alphabet|² rows).
+    Per-doc mean uses the exact decimal-sum path so the score is
+    bit-stable at any parallelism (logp rounded to 6dp first — libm ln
+    is engine-comparable only to ~1e-15)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) >= 2
+    ).select("doc_id", F.trim(F.lower(F.col("text"))).alias("t"))
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
+        ).alias("bg"),
+    ).withColumn("pre", F.substring("bg", 1, 1))
+    bg_counts = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("n_bg"))
+    pre_counts = grams.groupBy("pre").agg(F.count(F.lit(1)).alias("n_pre"))
+    scored = (
+        grams.join(F.broadcast(bg_counts), "bg")
+        .join(F.broadcast(pre_counts), "pre")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("n_bg").cast("double") / F.col("n_pre")), 6
+            ).alias("logp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(davg(F.col("logp")), 6).alias("avg_logp"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .orderBy("doc_id")
     )

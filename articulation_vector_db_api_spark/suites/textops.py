@@ -451,6 +451,7 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_char_bigram_lm",
+    headline=True,
     oracle=f"""
     WITH d AS (
         SELECT doc_id, trim(lower(text)) AS t FROM documents
@@ -486,9 +487,14 @@ def text_char_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-doc mean uses the exact decimal-sum path so the score is
     bit-stable at any parallelism (logp rounded to 6dp first — libm ln
     is engine-comparable only to ~1e-15)."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.length(F.trim(F.col("text"))) >= 2
-    ).select("doc_id", F.trim(F.lower(F.col("text"))).alias("t"))
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) >= 2)
+        .select("doc_id", F.trim(F.lower(F.col("text"))).alias("t"))
+        # single-file parquet = 1 split; spread docs before the ~100×
+        # bigram explode so the fan-out stages use every core
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     grams = d.select(
         "doc_id",
         F.explode(

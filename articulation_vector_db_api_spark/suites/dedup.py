@@ -547,3 +547,53 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
         .limit(50)
     )
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    WITH names AS (SELECT DISTINCT lower(p_name) AS name FROM part),
+    blocked AS (
+        SELECT a.name AS name_a, b.name AS name_b,
+               levenshtein(a.name, b.name) AS dist
+        FROM names a JOIN names b
+          ON split_part(a.name, ' ', 2) = split_part(b.name, ' ', 2)
+         AND a.name < b.name
+    )
+    SELECT name_a, name_b, dist FROM blocked
+    WHERE dist <= 4
+    ORDER BY name_a, name_b
+    """,
+    tags=("dedup", "fuzzy"),
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy duplicate detection by edit distance with BLOCKING: the
+    vocabulary is deduped first (names, not rows — the string-level
+    dedup a catalog needs), candidate pairs must share a blocking key
+    (the noun token — an equi-join, a hash shuffle, NOT a cross join),
+    then exact Levenshtein <= 4 verifies. Blocking is what makes fuzzy
+    matching scale: O(pairs-per-block), not O(n^2); at 100 TB use
+    several redundant blocking keys (prefix, phonetic code,
+    sorted-token signature) unioned, deduping candidates before the
+    verify stage."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.lower(F.col("p_name")).alias("name"))
+        .distinct()
+        .withColumn("block", F.split(F.col("name"), " ").getItem(1))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 4)
+        .orderBy("name_a", "name_b")
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.numeric import dsum, dsum_sql
 from ..registry import register
 from ..sources.readers import load_table
 
@@ -379,5 +380,172 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.first("value").over(w), 6).alias("first_val"),
         )
         .distinct()
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY event_type, day
+    ),
+    scored AS (
+        SELECT event_type, day, n,
+               round(avg(n) OVER w, 6) AS mu,
+               round(stddev_samp(n) OVER w, 6) AS sigma,
+               count(*) OVER w AS n_hist
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, n, mu, sigma,
+           round((n - mu) / sigma, 6) AS z
+    FROM scored
+    WHERE n_hist = 7 AND sigma > 0 AND abs((n - mu) / sigma) > 1.5
+    ORDER BY event_type, day
+    """,
+    tags=("window", "events", "diagnostics"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: per-type daily counts z-scored against
+    a trailing 7-day window (window excludes the current day, so a spike
+    can't mask itself). One agg + one window over the same partitioning
+    — a single shuffle on event_type. The streaming twin is
+    stream_sliding_window + a stateful baseline; counts are integers so
+    the moments are exact before the final rounding."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    scored = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(F.avg("n").over(w), 6).alias("mu"),
+        F.round(F.stddev_samp("n").over(w), 6).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.filter(
+            (F.col("n_hist") == 7) & (F.col("sigma") > 0) & (F.abs(z) > 1.5)
+        )
+        .select("event_type", "day", "n", "mu", "sigma", F.round(z, 6).alias("z"))
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "events_peak_concurrency",
+    oracle="""
+    WITH intervals AS (
+        SELECT ts AS t0, ts + INTERVAL 5 MINUTE AS t1 FROM events
+    ),
+    deltas AS (
+        SELECT t0 AS t, 1 AS delta FROM intervals
+        UNION ALL
+        SELECT t1 AS t, -1 AS delta FROM intervals
+    ),
+    sweep AS (
+        SELECT t, delta,
+               sum(delta) OVER (ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS concurrent
+        FROM deltas
+    )
+    SELECT CAST(t AS DATE) AS day,
+           max(concurrent) AS peak_concurrent
+    FROM sweep GROUP BY day ORDER BY day
+    """,
+    tags=("window", "events"),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency (max overlapping 5-minute activity intervals)
+    via the classic +1/-1 boundary sweep: running sum over interval
+    endpoints, max per day. Ends sort before starts at the same instant
+    (delta ASC) so touching intervals don't double-count. The global
+    ordered sweep is the scale constraint — at 100 TB, sweep per
+    partition-day and carry boundary offsets, or keep the single range-
+    partitioned sort (Spark spills it fine; it's one column)."""
+    e = load_table(spark, sf_dir, "events")
+    starts = e.select(F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = e.select(
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    sweep = starts.unionByName(ends).select(
+        "t",
+        "delta",
+        F.sum("delta")
+        .over(
+            Window.orderBy("t", "delta").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("concurrent"),
+    )
+    return (
+        sweep.groupBy(F.col("t").cast("date").alias("day"))
+        .agg(F.max("concurrent").alias("peak_concurrent"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "events_decay_weighted_score",
+    oracle=f"""
+    WITH anchor AS (SELECT max(ts) AS now FROM events),
+    terms AS (
+        SELECT user_id,
+               round(value * exp(-(epoch_us((SELECT now FROM anchor))
+                                   - epoch_us(ts)) / 86400000000.0 / 30.0), 6)
+                   AS term
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           round({dsum_sql('term')}, 6) AS decayed_score,
+           count(*) AS n_purchases
+    FROM terms GROUP BY user_id
+    HAVING count(*) >= 3
+    ORDER BY user_id
+    """,
+    tags=("window", "events"),
+)
+def events_decay_weighted_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement score: sum of purchase values weighted
+    by exp(-age/30d) relative to the corpus max timestamp (broadcast
+    scalar). The recency weighting every ranking/training-mix pipeline
+    uses. Per-term rounding pins libm exp() cross-engine; the decimal
+    sum makes the per-user total order-independent at any parallelism."""
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("now"))
+    terms = (
+        e.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.round(
+                F.col("value")
+                * F.exp(
+                    -(
+                        (F.unix_micros("now") - F.unix_micros("ts"))
+                        / 86400000000.0
+                        / 30.0
+                    )
+                ),
+                6,
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            F.round(dsum(F.col("term")), 6).alias("decayed_score"),
+            F.count(F.lit(1)).alias("n_purchases"),
+        )
+        .filter(F.col("n_purchases") >= 3)
         .orderBy("user_id")
     )

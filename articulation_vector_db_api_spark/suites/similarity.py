@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.embedding import embedding_sql_duckdb, hash_embedding
+from ..functions.numeric import davg
 from ..functions.vector import cosine, cosine_sql_duckdb, dot, dot_sql_duckdb
 from ..registry import register
 from ..sources.readers import load_table
@@ -259,4 +260,90 @@ def similarity_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("raw") >= 0.3)
         .select("vec_a", "vec_b", F.round("raw", 6).alias("score"))
         .orderBy("vec_a", "vec_b")
+    )
+
+
+N_IVF_CELLS = 8
+N_IVF_PROBES = 2
+
+
+@register(
+    "ann_ivf_exact",
+    oracle=f"""
+    WITH ivf AS (
+        SELECT vec_id, embedding, vec_id % {N_IVF_CELLS} AS cell FROM embeddings
+    ),
+    flat AS (
+        SELECT cell, generate_subscripts(embedding, 1) AS idx,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM ivf
+    ),
+    cent_flat AS (
+        SELECT cell, idx,
+               round(CAST(sum(CAST(v AS DECIMAL(30,8))) AS DOUBLE) / count(*), 6)
+                   AS cv
+        FROM flat GROUP BY cell, idx
+    ),
+    cent AS (SELECT cell, list(cv ORDER BY idx) AS c FROM cent_flat GROUP BY cell),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    cellrank AS (
+        SELECT cell, {cosine_sql_duckdb("c", "q")} AS cs
+        FROM cent, qv
+        ORDER BY cs DESC, cell LIMIT {N_IVF_PROBES}
+    ),
+    cand AS (
+        SELECT i.vec_id, i.cell, {cosine_sql_duckdb("i.embedding", "q")} AS raw
+        FROM ivf i, cellrank cr, qv
+        WHERE i.cell = cr.cell AND i.vec_id != {QUERY_VEC_ID}
+    )
+    SELECT vec_id, cell, round(raw, 6) AS score
+    FROM cand ORDER BY raw DESC, vec_id LIMIT 10
+    """,
+    tags=("similarity",),
+)
+def ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN with a full cross-engine oracle: vectors
+    are assigned to cells (deterministic coarse quantizer), per-cell
+    CENTROIDS are the element-wise decimal-exact means, the query
+    probes its nprobe=2 nearest centroids, and only those cells are
+    exact-re-ranked — the classic recall/cost dial (mllib_ivf_ann is
+    the KMeans-trained variant; this one pins every float so DuckDB
+    reproduces it bit-for-bit). At 100 TB the chunk table is written
+    partitioned by cell: a probe is a partition-pruned read of
+    nprobe/n_cells of the corpus, and centroids (n_cells × dim) stay a
+    broadcast table updated by periodic re-clustering."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ivf = e.select(
+        "vec_id", "embedding", (F.col("vec_id") % N_IVF_CELLS).alias("cell")
+    )
+    flat = ivf.select(
+        "cell", F.posexplode(F.col("embedding"))
+    ).select("cell", F.col("pos").alias("idx"), F.col("col").cast("double").alias("v"))
+    cent_flat = flat.groupBy("cell", "idx").agg(
+        F.round(davg(F.col("v")), 6).alias("cv")
+    )
+    cent = cent_flat.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "cv"))), lambda x: x["cv"]
+        ).alias("c")
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q")
+    )
+    cellrank = (
+        cent.join(F.broadcast(q))
+        .select("cell", cosine(F.col("c"), F.col("q")).alias("cs"))
+        .orderBy(F.desc("cs"), "cell")
+        .limit(N_IVF_PROBES)
+    )
+    cand = (
+        ivf.join(F.broadcast(cellrank.select("cell")), "cell")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select("vec_id", "cell", cosine(F.col("embedding"), F.col("q")).alias("raw"))
+    )
+    return (
+        cand.orderBy(F.desc("raw"), "vec_id")
+        .limit(10)
+        .select("vec_id", "cell", F.round("raw", 6).alias("score"))
     )

@@ -1864,3 +1864,103 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "key")
         .limit(5)
     )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey != l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey != l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    """,
+    tags=("relational", "tpch"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 family (suppliers who kept orders waiting, adapted to
+    the fixture's shipdate-vs-orderdate lateness): the EXISTS /
+    NOT EXISTS pair becomes a LEFT SEMI plus a LEFT ANTI self-join with
+    non-equi residual conditions — the hardest standard TPC-H plan
+    shape. Both probe sides re-shuffle on l_orderkey, so at 100 TB
+    bucketing lineitem by orderkey collapses all three joins onto one
+    co-partitioning; the supplier dim broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    with_other = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    sole_late = with_other.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("relational", "tpch"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 family (order-priority checking, lateness adapted to
+    shipdate vs orderdate+30d): a correlated EXISTS with a non-equi
+    correlated predicate — Catalyst decorrelates it into a left semi
+    join with the date comparison as a residual join condition, so the
+    priority count never double-counts multi-line orders."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    matched = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

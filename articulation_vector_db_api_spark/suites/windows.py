@@ -549,3 +549,46 @@ def events_decay_weighted_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_purchases") >= 3)
         .orderBy("user_id")
     )
+
+
+@register(
+    "rollup_hierarchical_time",
+    oracle="""
+    SELECT event_type,
+           date_trunc('month', CAST(ts AS DATE)) AS month,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 6)
+               AS sum_value
+    FROM events
+    GROUP BY event_type, month
+    ORDER BY event_type, month
+    """,
+    tags=("window", "events", "rollup"),
+)
+def rollup_hierarchical_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the MONTHLY rollup is
+    computed FROM the daily rollup, never from raw events — the oracle
+    aggregates raw directly, proving the two-level reaggregation is
+    lossless. That holds because the partial states are mergeable
+    (counts add; sums ride DECIMAL, which is associative — a double sum
+    would drift on reassociation). At 100 TB this is the materialized
+    cascade: raw → daily (stored, incrementally refreshed per
+    watermark) → monthly (refreshed from daily), so month queries read
+    ~30× less than raw and backfills touch only changed days."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(_DEC)).alias("sum_value_dec"),
+    )
+    return (
+        daily.groupBy(
+            "event_type", F.date_trunc("month", F.col("day")).cast("date").alias("month")
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value_dec").cast("double"), 6).alias("sum_value"),
+        )
+        .orderBy("event_type", "month")
+    )

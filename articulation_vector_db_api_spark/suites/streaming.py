@@ -457,3 +457,50 @@ def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window.start").alias("window_start"), "n_events")
     )
     return run_available_now(agg, "watermark", "append").orderBy("window_start")
+
+
+@register(
+    "stream_topk_trending",
+    oracle="""
+    WITH counts AS (
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT window_start, event_type, n,
+               row_number() OVER (PARTITION BY window_start
+                                  ORDER BY n DESC, event_type) AS rn
+        FROM counts
+    )
+    SELECT window_start, event_type, n, rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY window_start, rn
+    """,
+    tags=("streaming",),
+)
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-3 event types per 10-minute window: the windowed
+    COUNT runs as a real streaming aggregation (state keyed by
+    window×type); the RANKING runs on the sink table afterwards —
+    Structured Streaming forbids ranking windows mid-stream, and this
+    split is the production pattern anyway (rank at read time, or in
+    the foreachBatch writer). State size = windows × types, bounded by
+    the watermark horizon."""
+    from pyspark.sql.window import Window
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n"
+        )
+    )
+    counts = run_available_now(agg, "topk_trending", "complete")
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("window_start", "rn")
+    )

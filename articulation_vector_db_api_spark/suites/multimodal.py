@@ -119,3 +119,57 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/multimodal.py:decode_image)."""
     docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return extract_binary_features(docs).orderBy("doc_id")
+
+
+@register(
+    "multimodal_modality_router",
+    oracle="""
+    WITH typed AS (
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+               ascii(substr(text, 1, 1)) AS magic,
+               CASE WHEN ascii(substr(text, 1, 1)) BETWEEN 97 AND 109 THEN 'route_decode'
+                    WHEN ascii(substr(text, 1, 1)) BETWEEN 110 AND 122 THEN 'route_transcode'
+                    ELSE 'route_passthrough' END AS route
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT route, count(*) AS n_payloads,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           round(avg(n_bytes), 6) AS avg_bytes,
+           min(magic) AS min_magic, max(magic) AS max_magic
+    FROM typed GROUP BY route ORDER BY route
+    """,
+    tags=("multimodal",),
+)
+def multimodal_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte modality routing: dispatch each opaque payload to a
+    processing route by its leading byte (the JPEG-FF-D8 / PNG-89-50 /
+    RIFF dispatch, expressed on the fixture's byte ranges) — entirely
+    on the binary column, no decode, no Python. At 100 TB this is the
+    first pass of every multimodal ingest: one partitioned output per
+    route so each downstream decoder (mapInPandas + codec) reads only
+    its modality, and corrupt/unknown magics land in the passthrough
+    quarantine instead of failing the pipeline."""
+    docs = attach_binary_payload(
+        load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    )
+    magic = F.conv(F.hex(F.substring(F.col("payload"), 1, 1)), 16, 10).cast("int")
+    typed = docs.select(
+        "doc_id",
+        F.col("media_meta").getField("n_bytes").cast("long").alias("n_bytes"),
+        magic.alias("magic"),
+        F.when(magic.between(97, 109), "route_decode")
+        .when(magic.between(110, 122), "route_transcode")
+        .otherwise("route_passthrough")
+        .alias("route"),
+    )
+    return (
+        typed.groupBy("route")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("n_bytes"), 6).alias("avg_bytes"),
+            F.min("magic").alias("min_magic"),
+            F.max("magic").alias("max_magic"),
+        )
+        .orderBy("route")
+    )

@@ -1,0 +1,99 @@
+"""Table-maintenance operators: versioned snapshots (time travel) and
+small-file compaction.
+
+The reference has no table format at all — storage is Pinecone's
+managed index (/root/reference/main.py:21-44), so versioning and file
+layout are its provider's problem. A 100 TB parquet warehouse must own
+both:
+
+- **Snapshots**: every write lands in a fresh ``v=N`` directory plus a
+  tiny JSON manifest naming the current version. Readers pin a version
+  (time travel) or take the latest; writers never mutate a published
+  directory, so readers are never torn — the poor-man's core of
+  Delta/Iceberg's log, enough for reproducible training runs
+  ("the corpus as of v3").
+- **Compaction**: streaming/incremental ingest leaves thousands of
+  small files; scan cost at scale is dominated by per-file overhead
+  (open + footer + scheduling). Bin-pack rewrite into ~target-size
+  files as a NEW snapshot — compaction is just another versioned
+  write, so it is safe under concurrent readers and fully rollback-able.
+
+Both operators are pure DataFrame writes — no driver-side row loops.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST = "_snapshot_manifest.json"
+
+
+def _manifest_path(table_path: str) -> str:
+    return os.path.join(table_path, _MANIFEST)
+
+
+def read_manifest(table_path: str) -> dict:
+    p = _manifest_path(table_path)
+    if not os.path.exists(p):
+        return {"current": 0, "versions": {}}
+    with open(p) as f:
+        return json.load(f)
+
+
+def write_snapshot(df: DataFrame, table_path: str, note: str = "") -> int:
+    """Publish ``df`` as the next table version; returns the version.
+
+    The data write happens BEFORE the manifest flip, so a crash mid-write
+    leaves the previous version current (atomicity rides on the manifest
+    being one small file — on object stores, one PUT)."""
+    man = read_manifest(table_path)
+    version = int(man["current"]) + 1
+    vdir = os.path.join(table_path, f"v={version}")
+    df.write.mode("overwrite").parquet(vdir)
+    n_files = len(
+        [f for f in os.listdir(vdir) if f.endswith(".parquet")]
+    )
+    man["versions"][str(version)] = {"path": vdir, "note": note, "n_files": n_files}
+    man["current"] = version
+    with open(_manifest_path(table_path), "w") as f:
+        json.dump(man, f, indent=2)
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Read the table at a pinned version (time travel) or the latest."""
+    man = read_manifest(table_path)
+    v = int(man["current"]) if version is None else int(version)
+    if str(v) not in man["versions"]:
+        raise ValueError(f"version {v} not in {sorted(man['versions'])}")
+    return spark.read.parquet(man["versions"][str(v)]["path"])
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Bin-pack the current snapshot into ~target-size files, published
+    as a new version. Sizing reads the CURRENT files' total bytes (the
+    only cheap, exact signal) and coalesces — no shuffle: compaction
+    must not pay a repartition of the whole table just to merge files.
+    Returns the new version."""
+    man = read_manifest(table_path)
+    cur = man["versions"][str(man["current"])]["path"]
+    total_bytes = sum(
+        os.path.getsize(os.path.join(cur, f))
+        for f in os.listdir(cur)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(cur)
+    return write_snapshot(
+        df.coalesce(n_files), table_path, note=f"compaction -> {n_files} files"
+    )

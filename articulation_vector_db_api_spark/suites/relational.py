@@ -1964,3 +1964,101 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "agg_corr_moments",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round((count(*) * {dsum_sql("l_extendedprice * l_quantity")}
+                   - {dsum_sql("l_extendedprice")} * {dsum_sql("l_quantity")})
+                 / (sqrt(count(*) * {dsum_sql("l_extendedprice * l_extendedprice")}
+                         - {dsum_sql("l_extendedprice")} * {dsum_sql("l_extendedprice")})
+                    * sqrt(count(*) * {dsum_sql("l_quantity * l_quantity")}
+                           - {dsum_sql("l_quantity")} * {dsum_sql("l_quantity")})), 6)
+               AS corr_price_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("relational", "agg"),
+)
+def agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation rebuilt from exact decimal co-moments (Σxy,
+    Σx, Σy, Σx², Σy²) — like agg_stats_moments, the built-in corr()
+    accumulates doubles in partition order and is not reproducible;
+    the moment form is one partial+final pass and bit-stable at any
+    parallelism. (price and quantity are independent in the generator,
+    so the interesting assertion is corr ≈ 0 — the value is exact
+    either way.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_extendedprice"), F.col("l_quantity")
+    n = F.count(F.lit(1))
+    sxy, sx, sy = dsum(x * y), dsum(x), dsum(y)
+    sxx, syy = dsum(x * x), dsum(y * y)
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(n.alias("n"), F.round(corr, 6).alias("corr_price_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_median_mode",
+    oracle="""
+    WITH med AS (
+        SELECT o_orderstatus, round(median(o_totalprice), 6) AS median_price
+        FROM orders GROUP BY o_orderstatus
+    ),
+    pc AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    mode_pick AS (
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_n,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY n DESC, o_orderpriority) AS rn
+        FROM pc
+    )
+    SELECT m.o_orderstatus, m.median_price, p.mode_priority, p.mode_n
+    FROM med m JOIN mode_pick p
+      ON m.o_orderstatus = p.o_orderstatus AND p.rn = 1
+    ORDER BY m.o_orderstatus
+    """,
+    tags=("relational", "agg"),
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median + mode per group. Median interpolates identically in both
+    engines (single sort-based pass here; at 100 TB swap for
+    approx_percentile's mergeable sketch). The built-in mode() is
+    tie-nondeterministic in every engine — the engine rule is mode via
+    count + rank with an explicit tiebreak, which also yields the
+    mode's frequency for free."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 6).alias("median_price")
+    )
+    pc = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("n"), "o_orderpriority")
+    mode_pick = (
+        pc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_n"),
+        )
+    )
+    return (
+        med.join(mode_pick, "o_orderstatus")
+        .select("o_orderstatus", "median_price", "mode_priority", "mode_n")
+        .orderBy("o_orderstatus")
+    )

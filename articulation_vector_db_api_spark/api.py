@@ -69,3 +69,24 @@ class EngineAPI:
         from .operators.stats import health as _health
 
         return _health(self.spark, table_path)
+
+    # -- engine-native admin surface (no reference twin: Pinecone owns
+    #    storage there, main.py:21-44; a parquet warehouse owns its own
+    #    layout and history) --
+
+    def snapshots(self, table_path: str) -> dict:
+        """GET /snapshots: the table's version history + current pin."""
+        from .operators.maintenance import read_manifest
+
+        man = read_manifest(table_path)
+        return {"table": table_path, "current": man["current"],
+                "versions": man["versions"]}
+
+    def compact(self, table_path: str, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """POST /compact: bin-pack the current snapshot into ~target-size
+        files, published as a new rollback-able version."""
+        from .operators.maintenance import compact_snapshot, read_manifest
+
+        version = compact_snapshot(self.spark, table_path, target_file_bytes)
+        return {"table": table_path, "new_version": version,
+                "n_files": read_manifest(table_path)["versions"][str(version)]["n_files"]}

@@ -80,3 +80,17 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # physical proof: the scan reads one directory's files, not ten
     scan_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
     assert "isnotnull(bucket" in scan_line or "(bucket" in scan_line
+
+
+def test_api_admin_endpoints(spark, tmp_path):
+    """The snapshots/compact admin endpoints wrap the maintenance
+    operators with API-shaped responses."""
+    from articulation_vector_db_api_spark.api import EngineAPI
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(spark.range(0, 5000).repartition(32), t)
+    api = EngineAPI(spark=spark, data_dir=str(tmp_path))
+    resp = api.compact(t)
+    assert resp["new_version"] == 2 and resp["n_files"] < 8
+    snaps = api.snapshots(t)
+    assert snaps["current"] == 2 and set(snaps["versions"]) == {"1", "2"}

@@ -521,3 +521,46 @@ def text_char_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           length(regexp_extract_all(lower(text),
+                  '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+')) AS n_emails,
+           length(regexp_extract_all(text, '[0-9]{6,}')) AS n_long_numbers,
+           length(regexp_replace(
+                    regexp_replace(lower(text),
+                        '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+', '<EMAIL>', 'g'),
+                    '[0-9]{6,}', '<NUM>', 'g')) AS scrubbed_len
+    FROM documents
+    WHERE length(trim(text)) > 0
+    ORDER BY doc_id
+    """,
+    tags=("textops", "privacy"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (training-data hygiene): count and redact
+    email addresses and long digit runs (IDs/phones) with conservative
+    character-class regexes — patterns chosen to behave identically
+    under Java regex (Spark) and RE2 (DuckDB); no backrefs, no
+    lookaround. Pure per-row codegen: at 100 TB this rides the same
+    scan as the other quality signals, and the redacted text is written
+    once (never recompute on read)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+"
+    longnum = r"[0-9]{6,}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), email, "<EMAIL>"),
+        longnum,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.lower(F.col("text")), F.lit(email)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(longnum)).alias("n_long_numbers"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    ).orderBy("doc_id")

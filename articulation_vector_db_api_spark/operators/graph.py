@@ -63,3 +63,69 @@ def connected_components(
             break
     sym.unpersist()
     return labels
+
+
+def _min_neighbor(sym: DataFrame) -> DataFrame:
+    """(node, m): the minimum of each node's neighborhood incl. itself."""
+    return (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    )
+
+
+def connected_components_star(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the variant that BOUNDS SKEW at 100 TB: each round rewires edges
+    toward neighborhood minima, so no reducer ever materializes a
+    whole component's adjacency the way min-label propagation's
+    hot-label groupBy can. Converges in O(log² n) rounds to a star per
+    component; labels then read off as min(neighborhood)."""
+    # localCheckpoint truncates lineage each round: the alternating
+    # unions/joins would otherwise double the logical plan per
+    # iteration and OOM the planner long before the data does
+    sym = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        mn = _min_neighbor(sym)
+        # large-star: neighbors larger than u attach to m(u)
+        large = (
+            sym.join(mn, sym.src == mn.node)
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        # small-star: u and its smaller neighbors attach to m(u)
+        small_members = sym.filter(F.col("dst") <= F.col("src")).unionByName(
+            sym.select(F.col("src"), F.col("src").alias("dst")).distinct()
+        )
+        small = (
+            small_members.join(mn, small_members.src == mn.node)
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        new_sym = (
+            large.unionByName(small)
+            .filter(F.col("src") != F.col("dst"))
+            .unionByName(large.unionByName(small).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (
+            new_sym.exceptAll(sym).limit(1).count()
+            + sym.exceptAll(new_sym).limit(1).count()
+        )
+        sym = new_sym
+        if changed == 0:
+            break
+    comp = _min_neighbor(sym)
+    return nodes.join(comp, "node", "left").select(
+        "node", F.coalesce(F.least("m", "node"), F.col("node")).alias("component")
+    )

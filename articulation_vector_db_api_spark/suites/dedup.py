@@ -597,3 +597,68 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 4)
         .orderBy("name_a", "name_b")
     )
+
+
+@register(
+    "dedup_cc_star",
+    oracle=f"""
+    WITH RECURSIVE edges AS (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {cosine_sql_duckdb("a.embedding", "b.embedding")} >= 0.3
+    ),
+    sym AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION
+        SELECT b, a FROM edges
+    ),
+    r(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM r JOIN sym s ON r.dst = s.src
+    ),
+    labels AS (
+        SELECT e.vec_id AS node,
+               least(e.vec_id,
+                     coalesce((SELECT min(dst) FROM r WHERE src = e.vec_id),
+                              e.vec_id)) AS component
+        FROM embeddings e
+    )
+    SELECT node, component,
+           count(*) OVER (PARTITION BY component) AS component_size
+    FROM labels
+    ORDER BY node
+    """,
+    tags=("dedup", "graph"),
+)
+def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering as dedup_connected_components, computed by the
+    alternating large-star/small-star contraction
+    (operators/graph.py:connected_components_star) — the skew-bounded
+    100 TB variant (no reducer ever holds a full component's
+    adjacency). Checked against the identical recursive-CTE oracle, so
+    both algorithms are proven to produce the same partition of the
+    graph."""
+    from ..functions.vector import cosine
+    from ..operators.graph import connected_components_star
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.3)
+        .select(F.col("a.vec_id").alias("a"), F.col("b.vec_id").alias("b"))
+    )
+    nodes = e.select(F.col("vec_id").alias("node"))
+    labels = connected_components_star(nodes, edges)
+    w = Window.partitionBy("component")
+    return (
+        labels.withColumn("component_size", F.count(F.lit(1)).over(w))
+        .orderBy("node")
+    )

@@ -2062,3 +2062,60 @@ def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderstatus", "median_price", "mode_priority", "mode_n")
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "agg_revenue_concentration",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               {dsum_sql("o_totalprice")} AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    deciled AS (
+        SELECT o_custkey, spend,
+               ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+        FROM per_cust
+    ),
+    totals AS (SELECT {dsum_sql("spend")} AS total FROM (SELECT CAST(spend AS DOUBLE) AS spend FROM per_cust))
+    SELECT decile,
+           count(*) AS n_customers,
+           round({dsum_sql("spend")}, 6) AS decile_spend,
+           round({dsum_sql("spend")} / (SELECT total FROM totals), 6) AS share
+    FROM deciled
+    GROUP BY decile
+    ORDER BY decile
+    """,
+    tags=("relational", "agg"),
+)
+def agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration by customer decile (the 80/20 audit):
+    per-customer decimal-exact spend → spend-ranked ntile(10) → decile
+    share of total. Two hash aggs and one ranking window; the global
+    ntile sort is over CUSTOMERS (already aggregated), which is 3-4
+    orders of magnitude smaller than the fact table — aggregate first,
+    rank the aggregate, never sort raw facts."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(dsum(F.col("o_totalprice")).alias("spend"))
+    deciled = per_cust.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy(F.desc("spend"), "o_custkey"))
+    )
+    total = per_cust.agg(dsum(F.col("spend")).alias("total"))
+    return (
+        deciled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("spend")).alias("spend_raw"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            F.round(F.col("spend_raw"), 6).alias("decile_spend"),
+            # share divides the UNROUNDED sum, mirroring the oracle
+            F.round(F.col("spend_raw") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy("decile")
+    )

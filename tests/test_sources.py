@@ -66,3 +66,35 @@ def test_partitioned_parquet_sink_prunes(spark, tmp_path):
     # partition pruning must reach the scan (PartitionFilters)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "src1" in plan
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC: the second columnar format Spark ships natively — same
+    predicate-pushdown/column-pruning contract as parquet, so a
+    warehouse can interop with Hive-era ORC data without converters."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "orc")
+    df.write.mode("overwrite").orc(path)
+    back = spark.read.schema(SCHEMA).orc(path)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(ROWS)
+    # pushdown reaches the ORC scan too
+    plan = (
+        spark.read.orc(path).filter(F.col("k") > 1)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "GreaterThan(k,1" in plan
+
+
+def test_compressed_json_source(spark, tmp_path):
+    """Gzip-compressed JSON reads transparently (codec from extension)
+    — the common crawl-dump shape; note gzip files are NOT splittable,
+    so at 100 TB the decompress pass rewrites to parquet first."""
+    import gzip, json as _json
+
+    p = tmp_path / "jz"
+    p.mkdir()
+    with gzip.open(p / "part-0.json.gz", "wt") as f:
+        for k, name, score in ROWS:
+            f.write(_json.dumps({"k": k, "name": name, "score": score}) + "\n")
+    back = spark.read.schema(SCHEMA).json(str(p))
+    assert sorted(tuple(r) for r in back.collect()) == sorted(ROWS)

@@ -592,3 +592,93 @@ def rollup_hierarchical_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "month")
     )
+
+
+@register(
+    "window_cume_dist",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+    ORDER BY c_mktsegment, c_custkey
+    """,
+    tags=("window",),
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist: relative standing within a partition.
+    Both depend only on the sort VALUE (tie-insensitive), so no
+    tiebreak column is needed — same determinism class as rank()."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+@register(
+    "events_gap_filled_daily",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day,
+               t.event_type
+        FROM bounds, (SELECT DISTINCT event_type FROM events) t
+    ),
+    daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type, day
+    )
+    SELECT s.event_type, s.day, coalesce(d.n, 0) AS n
+    FROM spine s LEFT JOIN daily d
+      ON s.event_type = d.event_type AND s.day = d.day
+    WHERE s.event_type IN ('click', 'purchase')
+    ORDER BY s.event_type, s.day
+    """,
+    tags=("window", "events"),
+)
+def events_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily series: a complete (day × type) spine generated
+    with sequence() + explode, left-joined against the sparse daily
+    counts so silent days report 0 instead of vanishing — the
+    difference between a dashboard that shows an outage and one that
+    hides it. The spine is |days| × |types| rows (tiny, broadcast); the
+    aggregate side shuffles once. Zero-fill must happen AFTER the agg —
+    filling raw events would fabricate rows at fact grain."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    types = e.select("event_type").distinct().filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    spine = (
+        bounds.select(
+            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+        )
+        .crossJoin(types)
+    )
+    daily = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # broadcast the RIGHT side: a left join can only build its right
+    # (daily is |days|×|types| after aggregation — always broadcastable)
+    return (
+        spine.join(F.broadcast(daily), ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("n", F.lit(0)).alias("n"))
+        .orderBy("event_type", "day")
+    )

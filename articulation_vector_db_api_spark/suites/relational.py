@@ -2119,3 +2119,41 @@ def agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "agg_argmax_order",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           o_orderkey AS top_orderkey,
+           round(o_totalprice, 6) AS top_price
+    FROM ranked WHERE rn = 1
+    ORDER BY o_orderstatus
+    """,
+    tags=("relational", "agg"),
+)
+def agg_argmax_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ARGMAX per group via struct-max: max over
+    (price, orderkey) pairs compares lexicographically, so ties on
+    price resolve to the larger key — unlike max_by(), whose tie
+    winner is whichever partition reports first. One hash aggregate,
+    partial+final, no window, no sort of the full table — the argmax
+    shape to prefer at 100 TB (the oracle uses the window form to
+    prove they agree)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.max(F.struct("o_totalprice", "o_orderkey")).alias("top"))
+        .select(
+            "o_orderstatus",
+            F.col("top.o_orderkey").alias("top_orderkey"),
+            F.round(F.col("top.o_totalprice"), 6).alias("top_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -183,3 +183,55 @@ def udtf_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, t.pos
         """
     )
+
+
+@register(
+    "udf_mapinarrow_bytelen",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           octet_length(encode(text)) % 64 AS tail_bytes
+    FROM documents
+    WHERE doc_id % 25 = 0
+    ORDER BY doc_id
+    """,
+    tags=("udf", "arrow"),
+)
+def udf_mapinarrow_bytelen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy tier of the Python UDF ladder — the
+    batch arrives as a pyarrow RecordBatch (no pandas materialization,
+    no per-row pickling), the right entry point for Arrow-native
+    libraries (tokenizers, polars, DuckDB-in-worker). Integer byte
+    math only, so the oracle is exact; float work would follow the same
+    plumbing. Partition-parallel, zero shuffle."""
+    import pyarrow as pa
+
+    def batches(it):
+        for batch in it:
+            d = batch.column("doc_id")
+            t = batch.column("text")
+            nb = pa.compute.binary_length(
+                pa.compute.cast(t, pa.binary())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    d,
+                    pa.compute.cast(nb, pa.int64()),
+                    pa.compute.cast(
+                        pa.compute.subtract(
+                            nb, pa.compute.multiply(pa.compute.divide(nb, 64), 64)
+                        ),
+                        pa.int64(),
+                    ),
+                ],
+                names=["doc_id", "n_bytes", "tail_bytes"],
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", "text")
+    )
+    out = docs.mapInArrow(
+        batches, "doc_id long, n_bytes long, tail_bytes long"
+    )
+    return out.orderBy("doc_id")

@@ -2157,3 +2157,45 @@ def agg_argmax_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "sample_stratified_per_lang",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id, lang,
+               {sha_hash32_sql("CAST(doc_id AS VARCHAR)", seed=11)} AS h
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+        FROM hashed
+    )
+    SELECT lang, doc_id FROM ranked WHERE rn <= 20
+    ORDER BY lang, doc_id
+    """,
+    tags=("relational", "sampling"),
+)
+def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: exactly 20 docs per language,
+    chosen by seeded key-hash order — unlike sampleBy(), the selection
+    is identical on every run and engine, and every stratum is EXACTLY
+    filled (sampleBy is binomial, so small strata over- or under-fill).
+    One shuffle on the stratum key; the hash order means adding new
+    docs only displaces samples, never reshuffles whole strata — the
+    per-language training-mix budgeter."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        sha_hash32(F.col("doc_id").cast("string"), seed=11).alias("h"),
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )

@@ -38,6 +38,7 @@ REGISTRY: dict[str, Query] = {}
 _SUITES = (
     "core",
     "relational",
+    "tpch_families",
     "windows",
     "scalars",
     "dedup",

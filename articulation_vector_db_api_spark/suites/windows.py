@@ -385,6 +385,40 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_nth_value",
+    oracle="""
+    SELECT DISTINCT user_id,
+           nth_value(event_type, 2) OVER w AS second_type,
+           nth_value(event_type, 3) OVER w AS third_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY user_id
+    """,
+    tags=("window",),
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over an unbounded frame: each user's 2nd/3rd event type
+    (NULL when fewer events exist). Total order (ts, event_id) makes the
+    nth row — and thus the result — deterministic across engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        e.select(
+            "user_id",
+            F.nth_value("event_type", 2).over(w).alias("second_type"),
+            F.nth_value("event_type", 3).over(w).alias("third_type"),
+        )
+        .distinct()
+        .orderBy("user_id")
+    )
+
+
+@register(
     "events_anomaly_zscore",
     oracle="""
     WITH daily AS (
@@ -618,6 +652,36 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             F.round(F.percent_rank().over(w), 6).alias("pr"),
             F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+@register(
+    "window_ntile",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           ntile(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey) AS quartile
+    FROM customer
+    ORDER BY c_mktsegment, c_custkey
+    """,
+    tags=("window",),
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4): equal-depth quartile assignment per segment. Unlike
+    rank/percent_rank, ntile depends on the physical row ORDER (ties get
+    different tiles), so the window orders by (acctbal DESC, custkey) —
+    a total order — to stay deterministic across engines and runs."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.ntile(4).over(w).alias("quartile"),
         )
         .orderBy("c_mktsegment", "c_custkey")
     )

@@ -94,6 +94,31 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastHashJoin", r"partial_sum"],
         [r"SortMergeJoin"],
     ),
+    "q6_forecast_revenue": (
+        # all four predicates reach the scan; single partial+final agg
+        [r"partial_sum", r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate"],
+        [r"SortMergeJoin", r"BroadcastHashJoin"],
+    ),
+    "q10_returned_items": (
+        # top-20 via TakeOrderedAndProject, nation broadcast; no global sort
+        [r"TakeOrderedAndProject", r"BroadcastHashJoin"],
+        [r"Exchange rangepartitioning", r"BroadcastNestedLoopJoin"],
+    ),
+    "q13_customer_order_distribution": (
+        # outer join keeps ON-clause filter as join condition, double agg
+        [r"partial_count", r"LeftOuter"],
+        [r"BroadcastNestedLoopJoin"],
+    ),
+    "q15_top_supplier": (
+        # scalar max broadcasts back — lineitem is scanned, never nested-looped
+        [r"BroadcastHashJoin"],
+        [r"BroadcastNestedLoopJoin", r"CartesianProduct"],
+    ),
+    "q18_large_volume_customers": (
+        # IN-subquery = semi join; final top-100 avoids a global sort
+        [r"LeftSemi", r"TakeOrderedAndProject"],
+        [r"Exchange rangepartitioning", r"BroadcastNestedLoopJoin"],
+    ),
     "layout_zorder_stats": (
         # bit interleave stays in codegen'd expressions: no UDF, one agg
         [r"partial_count", r"partial_min"],

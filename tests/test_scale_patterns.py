@@ -103,6 +103,25 @@ def test_streaming_foreach_batch_sink(spark, tmp_path):
     assert result == {"u0": 34, "u1": 33, "u2": 33}
 
 
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Dynamic partition pruning: joining a partitioned fact with a
+    filtered dimension injects the dim's qualifying keys as a runtime
+    partition filter on the fact scan (`dynamicpruning`). At 100 TB a
+    date-partitioned fact table reads only the partitions the dimension
+    filter selects — without the user repeating the filter on the fact."""
+    fact_path = str(tmp_path / "fact_part")
+    spark.range(0, 100_000).selectExpr(
+        "id % 20 AS part_k", "id AS v"
+    ).write.mode("overwrite").partitionBy("part_k").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.range(0, 20).selectExpr("id AS part_k", "id % 5 AS grp")
+    joined = fact.join(dim.filter("grp = 0"), "part_k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # 4 of 20 partitions survive → 4/20 of the fact rows
+    assert joined.count() == 20_000
+
+
 def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
     """Runtime row-level filtering: a selective predicate on the build
     side of a shuffle join makes Catalyst inject `bloom_filter_agg` on

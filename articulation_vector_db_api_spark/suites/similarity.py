@@ -347,3 +347,83 @@ def ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "cell", F.round("raw", 6).alias("score"))
     )
+
+
+_INT_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i])), "
+    "(acc, v) -> acc + v)"
+)
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _quantize(emb: Column, scale: Column) -> Column:
+    """Symmetric int8 quantization: floor(x*scale + 0.5) — identical
+    half-up rounding in every engine (no libm, no round() divergence)."""
+    return F.transform(
+        emb, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("bigint")
+    )
+
+
+@register(
+    "ann_int8_quantized_topk",
+    oracle=f"""
+    WITH stats AS (
+        SELECT 127.0 / max(list_reduce(
+            list_prepend(0.0, list_transform(embedding,
+                                             x -> abs(CAST(x AS DOUBLE)))),
+            (acc, v) -> greatest(acc, v))) AS scale
+        FROM embeddings
+    ),
+    quant AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT))
+                 AS qv
+        FROM embeddings, stats
+    ),
+    qq AS (SELECT qv AS q FROM quant WHERE vec_id = {QUERY_VEC_ID})
+    SELECT vec_id, {_INT_DOT_SQL.format(a="qv", b="q")} AS qscore
+    FROM quant, qq
+    WHERE vec_id != {QUERY_VEC_ID}
+    ORDER BY qscore DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("similarity",),
+)
+def ann_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN: embeddings compress to int8 with one global
+    symmetric scale (127/max|x|), and top-k runs on exact integer dot
+    products. At 100 TB this is the bandwidth play — the quantized
+    column is 4× smaller than float32 (16× vs float64), scans SIMD over
+    integers, and the full-precision column is only fetched for the
+    final k candidates. Quantization uses floor(x*s + 0.5), and integer
+    dots are exact, so the whole pipeline is bit-identical across
+    engines — unusual for an ANN operator, which is why this one keeps a
+    full value oracle rather than rows-only."""
+    e = load_table(spark, sf_dir, "embeddings")
+    maxabs_fold = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    )
+    scale_df = e.agg((F.lit(127.0) / F.max(maxabs_fold)).alias("scale"))
+    quant = e.join(F.broadcast(scale_df)).select(
+        "vec_id", _quantize(F.col("embedding"), F.col("scale")).alias("qv")
+    )
+    q = quant.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("qv").alias("q"))
+    return (
+        quant.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select("vec_id", _int_dot(F.col("qv"), F.col("q")).alias("qscore"))
+        .orderBy(F.desc("qscore"), "vec_id")
+        .limit(10)
+    )

@@ -309,3 +309,38 @@ def struct_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(mp, "segment").alias("seg_from_map"),
         F.to_json(F.struct(F.col("c_custkey").alias("k"))).alias("js"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "map_higher_order_functions",
+    oracle="""
+    SELECT c_custkey,
+           CAST(c_acctbal + 1.0 AS DOUBLE) AS bal_plus1,
+           CAST(1 AS INTEGER) AS n_kept,
+           CAST(1.0 AS DOUBLE) AS zip_diff
+    FROM customer
+    WHERE c_custkey % 20 = 0
+    ORDER BY c_custkey
+    """,
+    tags=("scalar", "map"),
+)
+def map_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order map functions: transform_values, map_filter,
+    map_zip_with — all JVM-side codegen'd lambdas, no Python. The oracle
+    states the algebraically-equivalent flat values (DuckDB has no map
+    lambdas); the Spark plan is what exercises the operators. Map
+    columns themselves never cross the comparator — map serialization
+    order is engine-specific, so results project to scalars."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 20 == 0)
+    m1 = F.create_map(
+        F.lit("bal"), F.col("c_acctbal"), F.lit("dbl"), F.col("c_acctbal") * 2
+    )
+    m2 = F.transform_values(m1, lambda k, v: v + 1)
+    kept = F.map_filter(m1, lambda k, v: k == F.lit("bal"))
+    zipped = F.map_zip_with(m1, m2, lambda k, v1, v2: v2 - v1)
+    return c.select(
+        "c_custkey",
+        F.element_at(m2, "bal").alias("bal_plus1"),
+        F.cardinality(kept).alias("n_kept"),
+        F.element_at(zipped, "bal").alias("zip_diff"),
+    ).orderBy("c_custkey")

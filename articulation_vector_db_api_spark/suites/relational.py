@@ -1116,7 +1116,8 @@ def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_custkey) AS top_names,
-           array_agg(c_custkey ORDER BY c_acctbal DESC, c_custkey) AS top_keys
+           string_agg(CAST(c_custkey AS VARCHAR), ','
+                      ORDER BY c_acctbal DESC, c_custkey) AS top_keys
     FROM (
         SELECT *, row_number() OVER (PARTITION BY c_mktsegment
                       ORDER BY c_acctbal DESC, c_custkey) AS rn
@@ -1150,8 +1151,12 @@ def agg_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 ",",
             ).alias("top_names"),
-            F.transform(
-                F.array_sort(F.collect_list(ranked_key)), lambda s: s.getField("v")
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(ranked_key)),
+                    lambda s: s.getField("v").cast("string"),
+                ),
+                ",",
             ).alias("top_keys"),
         )
         .orderBy("c_mktsegment")

@@ -173,11 +173,13 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            len(embedding) AS dim,
-           embedding[1:4] AS first4,
+           array_to_string(list_transform(embedding[1:4],
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), ',') AS first4,
            embedding[-1] AS last_elem,
            list_aggregate(embedding, 'max') AS vmax,
            list_aggregate(embedding, 'min') AS vmin,
-           list_sort(embedding)[1:3] AS bottom3,
+           array_to_string(list_transform(list_sort(embedding)[1:3],
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), ',') AS bottom3,
            len(list_filter(embedding, x -> x > 0.1)) AS n_above,
            round(list_reduce(list_prepend(0.0, list_transform(embedding,
                  x -> CAST(x AS DOUBLE))), (acc, v) -> acc + v), 6) AS vsum
@@ -195,11 +197,23 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size(emb).alias("dim"),
-        F.slice(emb, 1, 4).alias("first4"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(emb, 1, 4),
+                lambda x: F.round(x.cast("double") * 1e6).cast("long").cast("string"),
+            ),
+        ).alias("first4"),
         F.element_at(emb, -1).alias("last_elem"),
         F.array_max(emb).alias("vmax"),
         F.array_min(emb).alias("vmin"),
-        F.slice(F.sort_array(emb), 1, 3).alias("bottom3"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.sort_array(emb), 1, 3),
+                lambda x: F.round(x.cast("double") * 1e6).cast("long").cast("string"),
+            ),
+        ).alias("bottom3"),
         F.size(F.filter(emb, lambda x: x > 0.1)).alias("n_above"),
         F.round(
             F.aggregate(
@@ -216,7 +230,7 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(json_extract(props, '$.k') AS INT) AS k,
            CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
-           json_keys(props) AS keys,
+           array_to_string(json_keys(props), ',') AS keys,
            length(props) AS props_len
     FROM events
     WHERE event_id % 5 = 0
@@ -234,7 +248,7 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k"),
         (parsed.getField("k") % 10).alias("k_bucket"),
-        F.json_object_keys("props").alias("keys"),
+        F.concat_ws(",", F.json_object_keys("props")).alias("keys"),
         F.length("props").alias("props_len"),
     ).orderBy("event_id")
 

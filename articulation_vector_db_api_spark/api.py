@@ -27,8 +27,12 @@ class EngineAPI:
         chunks, total_results, context}."""
         validate_query(query)
         topk = topk_search(self.spark, self.data_dir, query, top_k)
-        rows = topk.collect()
-        ctx = assemble_context(topk, query).first()
+        # One distributed job: the ≤ top_k collected rows already carry
+        # everything the context string needs, so assemble it driver-side
+        # (same format as operators.search.assemble_context, which stays
+        # the distributed path for the driver-visible query) instead of
+        # re-executing the scoring plan a second time.
+        rows = sorted(topk.collect(), key=lambda r: (-r.score, r.id))
         return {
             "query": query,
             "chunks": [
@@ -37,7 +41,9 @@ class EngineAPI:
                 for r in rows
             ],
             "total_results": len(rows),
-            "context": ctx.context if rows else "",
+            "context": "\n\n---\n\n".join(
+                f"[Source: {r.source}]\n{r.text}" for r in rows
+            ),
         }
 
     def query(self, query: str, top_k: int = DEFAULT_TOP_K) -> dict:
@@ -54,7 +60,9 @@ class EngineAPI:
         return {
             "message": f"Successfully ingested {result['files_processed']} PDFs{suffix}",
             "ingested_count": result["ingested_count"],
-            "pdfs_processed": result["files_processed"],
+            # IngestResponse.pdfs_processed is a List[str] of source
+            # titles in the reference (main.py:103,311), not a count.
+            "pdfs_processed": result["sources_processed"],
         }
 
     def stats(self, table_path: str) -> dict:

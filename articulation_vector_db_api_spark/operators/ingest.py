@@ -141,15 +141,28 @@ def ingest_corpus(spark: SparkSession, corpus_dir: str, table_path: str, glob: s
         n_ok = sum(r.n for r in status if r.ok)
         n_fail = sum(r.n for r in status if not r.ok)
         if n_ok == 0:
-            failures = [r.error for r in extracted.filter("error IS NOT NULL").collect()]
-            raise RuntimeError(f"all {n_fail} files failed ingestion: {failures[:3]}")
+            # Slice in the plan, not after collect: only 3 sample
+            # failure messages ever reach the driver.
+            failures = [
+                r.error
+                for r in extracted.filter("error IS NOT NULL").limit(3).collect()
+            ]
+            raise RuntimeError(f"all {n_fail} files failed ingestion: {failures}")
         chunks = build_chunk_rows(extracted)
         write_chunk_table(chunks, table_path)
         n_chunks = spark.read.parquet(table_path).count()
+        # The reference's IngestResponse carries the processed titles
+        # (main.py:311); bounded by the file count of the corpus, which
+        # is what the response names one-by-one anyway.
+        sources = [
+            r.source
+            for r in extracted.filter("error IS NULL").select("source").collect()
+        ]
         return {
             "ingested_count": n_chunks,
             "files_processed": n_ok,
             "files_failed": n_fail,
+            "sources_processed": sorted(sources),
         }
     finally:
         extracted.unpersist()

@@ -19,6 +19,13 @@ both:
   write, so it is safe under concurrent readers and fully rollback-able.
 
 Both operators are pure DataFrame writes — no driver-side row loops.
+
+Manifest and file listing use the local filesystem (os.listdir /
+os.path.getsize / os.replace): correct for local[*] and NFS-backed
+warehouses. An object-store deployment would route these through the
+Hadoop FileSystem API (manifest flip = one conditional PUT) — the
+publish protocol itself (data first, then an atomic manifest swap) is
+unchanged.
 """
 
 from __future__ import annotations
@@ -59,8 +66,15 @@ def write_snapshot(df: DataFrame, table_path: str, note: str = "") -> int:
     )
     man["versions"][str(version)] = {"path": vdir, "note": note, "n_files": n_files}
     man["current"] = version
-    with open(_manifest_path(table_path), "w") as f:
+    # Write-then-rename so the flip is atomic: a crash mid-dump leaves
+    # only the temp file behind and the live manifest still names the
+    # previous version.
+    tmp = _manifest_path(table_path) + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(man, f, indent=2)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _manifest_path(table_path))
     return version
 
 

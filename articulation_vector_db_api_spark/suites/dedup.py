@@ -54,8 +54,10 @@ def _shingle_arrays(df: DataFrame, n: int = 3) -> DataFrame:
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.size(tokens) - n),
+                # gram j = tokens[j .. j+n-1]; built from range(n) so the
+                # n parameter actually governs the shingle width.
                 lambda j: F.concat_ws(
-                    " ", tokens.getItem(j), tokens.getItem(j + 1), tokens.getItem(j + 2)
+                    " ", *[tokens.getItem(j + i) for i in range(n)]
                 ),
             )
         )

@@ -43,7 +43,9 @@ def test_ingest_stats_health_roundtrip(api, spark, tmp_path):
     (docs / "guide.txt").write_text("articulation agreement " * 200)
     table = str(tmp_path / "chunks")
     resp = api.ingest(str(docs), table, glob="*.txt")
-    assert resp["pdfs_processed"] == 1
+    # IngestResponse.pdfs_processed is the list of processed source
+    # titles in the reference (main.py:103,311), not a count.
+    assert resp["pdfs_processed"] == ["guide"]
     assert resp["ingested_count"] > 1
     stats = api.stats(table)
     assert stats["stats"]["dimension"] == 1024

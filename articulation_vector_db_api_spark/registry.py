@@ -108,7 +108,15 @@ _VERIFIED_R01 = frozenset(
 # expensive streaming/mllib last. hash_embedding_vectors and
 # agg_ordered_collect lead — they ERRed in r01 on array-typed columns
 # (now string-serialized) and the fix needs a driver row to prove it.
-_WINDOW_FIRST = ("hash_embedding_vectors", "agg_ordered_collect")
+_WINDOW_FIRST = (
+    "hash_embedding_vectors",
+    "agg_ordered_collect",
+    # round-2 driver twins of the previously test-only reference
+    # operators O2/O7/O13 — need their first CORRECTNESS row.
+    "ingest_extract_status",
+    "ingest_fault_isolation",
+    "health_probe",
+)
 _SUITE_WINDOW_ORDER = (
     "window", "scalar", "dedup", "similarity", "textops", "core",
     "relational", "udf", "multimodal", "mllib", "streaming",

@@ -102,19 +102,20 @@ def mllib_tfidf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(staged)
     feats = idf_model.transform(staged)
 
-    # VectorUDT doesn't cross the Arrow boundary; a classic UDF is fine
-    # on the (tiny) sampled output — the heavy stages above stay JVM/ML
-    top_weight = F.udf(
-        lambda v: float(max(v.values)) if v.values.size else 0.0, "double"
-    )
-    n_terms = F.udf(lambda v: int(v.values.size), "int")
+    # Stay JVM-side: vector_to_array densifies the sparse vector inside
+    # codegen (only on the sampled rows — the filter sits below it), and
+    # n_terms/top_weight are array expressions. n_terms counts NONZERO
+    # weights, which also drops explicit idf=0 entries (terms present in
+    # every document) that a stored-values count would include.
+    from pyspark.ml.functions import vector_to_array
 
+    nz = F.filter(vector_to_array(F.col("tfidf")), lambda x: x != 0.0)
     return (
         feats.filter(F.col("doc_id") % 100 == 0)
         .select(
             "doc_id",
-            n_terms(F.col("tfidf")).alias("n_terms"),
-            F.round(top_weight(F.col("tfidf")), 6).alias("top_weight"),
+            F.size(nz).alias("n_terms"),
+            F.round(F.coalesce(F.array_max(nz), F.lit(0.0)), 6).alias("top_weight"),
         )
         .orderBy("doc_id")
     )
@@ -155,13 +156,18 @@ def mllib_count_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv = CountVectorizer(inputCol="tokens", outputCol="tf", vocabSize=1 << 18, minDF=1.0)
     model = cv.fit(with_tokens)
     vocab_size = len(model.vocabulary)
-    n_terms = F.udf(lambda v: int(v.values.size), "long")
+    # Term counts in the fitted vector are >= 1, so nonzero entries ==
+    # distinct tokens — computed JVM-side (vector_to_array + filter)
+    # on the sampled rows only; no Python UDF in the plan.
+    from pyspark.ml.functions import vector_to_array
+
+    nz = F.filter(vector_to_array(F.col("tf")), lambda x: x != 0.0)
     return (
         model.transform(with_tokens)
         .filter(F.col("doc_id") % 100 == 0)
         .select(
             "doc_id",
-            n_terms(F.col("tf")).alias("n_doc_terms"),
+            F.size(nz).cast("long").alias("n_doc_terms"),
             F.lit(vocab_size).cast("long").alias("vocab_size"),
         )
         .orderBy("doc_id")

@@ -1,0 +1,133 @@
+"""Best-effort pure-Python PDF text extraction.
+
+The reference extracts PDF text with pypdf (/root/reference/main.py:
+106-115). pypdf stays the preferred path when installed; this module is
+the dependency-free fallback so the ingest pipeline can still run the
+real corpus in environments without it. Scope is deliberately narrow —
+the common "digital-born" PDF shape:
+
+- FlateDecode (zlib) content streams,
+- text drawn between ``BT``/``ET`` with ``Tj`` / ``'`` / ``TJ``
+  operators and literal ``(...)`` or hex ``<...>`` strings,
+- simple byte encodings (WinAnsi/Standard-ish).
+
+Scanned images, CID/Type0 composite fonts, and exotic filters yield
+little or no text — callers treat an empty result as an extraction
+failure, which drops the file into the ingest pipeline's per-file
+fault-isolation path instead of poisoning the batch.
+
+This is a parsing fallback, not a rendering engine: fidelity is
+"good enough to chunk and embed", matching the reference's own
+use of extracted text (it never displays it, only indexes it).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+# PDF allows CRLF, LF, or (nonstandard but common from old Acrobat
+# writers) bare CR after the `stream` keyword.
+_STREAM_RE = re.compile(rb"stream(?:\r\n|\r|\n)(.*?)endstream", re.S)
+_BT_ET_RE = re.compile(rb"BT(.*?)ET", re.S)
+# A literal string (with escaped parens/backslashes) or a hex string,
+# followed (possibly after kerning numbers / array syntax) by a
+# text-showing operator. We scan tokens rather than grammar-parse.
+_STRING_RE = re.compile(rb"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]+>")
+# One text-showing instruction: a TJ array (strings interleaved with
+# kerning numbers) or a single string followed by Tj / ' / ".
+_SHOW_RE = re.compile(
+    rb"(?P<arr>\[[^\]]*\])\s*TJ|(?P<str>\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]+>)\s*(?:Tj|'|\")",
+    re.S,
+)
+
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _decode_literal(raw: bytes) -> bytes:
+    """Decode a PDF literal string body (escapes + octal codes)."""
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i : i + 1]
+        if c == b"\\" and i + 1 < len(raw):
+            nxt = raw[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():  # up to 3 octal digits
+                j = i + 1
+                while j < len(raw) and j < i + 4 and raw[j : j + 1].isdigit():
+                    j += 1
+                out.append(int(raw[i + 1 : j], 8) & 0xFF)
+                i = j
+                continue
+            i += 2  # line continuation or unknown escape: drop the backslash
+            continue
+        out += c
+        i += 1
+    return bytes(out)
+
+
+def _decode_string_token(tok: bytes) -> str:
+    if tok.startswith(b"("):
+        body = _decode_literal(tok[1:-1])
+    else:  # <hex>
+        hexdigits = re.sub(rb"\s", b"", tok[1:-1])
+        if len(hexdigits) % 2:
+            hexdigits += b"0"
+        body = bytes.fromhex(hexdigits.decode("ascii"))
+        # Heuristic for 2-byte (CID) strings that are really latin text
+        # with zero high bytes: 00 41 00 42 ... -> AB
+        if len(body) >= 4 and body[0] == 0 and all(
+            body[k] == 0 for k in range(0, len(body) - 1, 2)
+        ):
+            body = body[1::2]
+    return body.decode("latin-1", errors="replace")
+
+
+def _text_from_content(content: bytes) -> list[str]:
+    """Pull shown strings out of one decompressed content stream."""
+    lines: list[str] = []
+    for block in _BT_ET_RE.findall(content):
+        parts: list[str] = []
+        for m in _SHOW_RE.finditer(block):
+            if m.group("arr") is not None:
+                # TJ: concatenate the array's strings; the interleaved
+                # numbers are kerning adjustments, not glyphs.
+                parts.extend(
+                    _decode_string_token(tok.group(0))
+                    for tok in _STRING_RE.finditer(m.group("arr"))
+                )
+            else:
+                parts.append(_decode_string_token(m.group("str")))
+        text = "".join(parts).strip()
+        if text:
+            lines.append(text)
+    return lines
+
+
+def extract_pdf_text(data: bytes) -> str:
+    """Extract text from a PDF byte payload; '' when nothing found.
+
+    Every Flate stream is tried independently — a stream that fails to
+    inflate (image data, fonts) is skipped, so one bad object never
+    fails the file (the same isolation stance as the pipeline's
+    per-file boundary)."""
+    if not data.lstrip()[:5].startswith(b"%PDF"):
+        raise ValueError("not a PDF: missing %PDF header")
+    lines: list[str] = []
+    for raw in _STREAM_RE.findall(data):
+        raw = raw.rstrip(b"\r\n")
+        try:
+            content = zlib.decompress(raw)
+        except zlib.error:
+            content = raw  # uncompressed content streams are legal
+        if b"BT" not in content:
+            continue
+        lines.extend(_text_from_content(content))
+    return "\n".join(lines)

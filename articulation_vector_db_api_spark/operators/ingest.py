@@ -44,9 +44,13 @@ EXTRACT_SCHEMA = T.StructType(
 
 def _extract_one(path: str, content: bytes) -> tuple[str | None, str | None]:
     """Extract text from one binary payload. PDF via pypdf when
-    available (the reference's extractor, main.py:106-115); plain text
-    via UTF-8 decode. Returns (text, error) — never raises, mirroring
-    the reference's per-file try/except (main.py:291-296)."""
+    available (the reference's extractor, main.py:106-115), else the
+    pure-Python fallback parser (functions/pdftext.py); plain text via
+    UTF-8 decode. A valid but text-less PDF (image-only scan) returns
+    "" with no error on both paths — the empty-text filter downstream
+    drops it, exactly as it drops pypdf's empty extractions. Returns
+    (text, error) — never raises, mirroring the reference's per-file
+    try/except (main.py:291-296)."""
     try:
         if path.lower().endswith(".pdf"):
             try:
@@ -54,7 +58,9 @@ def _extract_one(path: str, content: bytes) -> tuple[str | None, str | None]:
 
                 from pypdf import PdfReader  # optional dependency
             except ImportError:
-                return None, "pdf support unavailable: pypdf not installed"
+                from ..functions.pdftext import extract_pdf_text
+
+                return extract_pdf_text(bytes(content)), None
             reader = PdfReader(io.BytesIO(content))
             return "\n".join((page.extract_text() or "") for page in reader.pages), None
         return bytes(content).decode("utf-8"), None

@@ -18,6 +18,25 @@ from ..streaming.windows import read_events_stream, run_available_now
 _DEC = "decimal(30,8)"
 
 
+def tumbling_window_agg(ev: DataFrame) -> DataFrame:
+    """The streaming transformation alone (also plan-audited by
+    tools/check_plans.py: StateStoreRestore/Save + partial/final agg)."""
+    return (
+        ev.groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 @register(
     "stream_tumbling_window",
     headline=True,
@@ -37,20 +56,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 5-minute event-time windows per event type, computed by
     a real streaming aggregation (state keyed by window×type)."""
     ev = read_events_stream(spark, sf_dir)
-    agg = (
-        ev.groupBy(F.window("ts", "5 minutes"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
-        )
-        .select(
-            F.col("window.start").alias("window_start"),
-            F.col("window.end").alias("window_end"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
-    )
+    agg = tumbling_window_agg(ev)
     return run_available_now(agg, "tumbling", "complete").orderBy(
         "window_start", "event_type"
     )

@@ -59,6 +59,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"Window .*partitionBy|\bWindow\b"],
         [],
     ),
+    "window_moving_avg": ([r"\bWindow\b"], []),
+    "window_rank_customers": ([r"\bWindow\b"], []),
+    "window_lag_lead": ([r"\bWindow\b"], []),
+    "window_range_frame": ([r"\bWindow\b"], []),
     "dedup_exact": (
         [r"HashAggregate"],
         [r"SortMergeJoin"],  # no join needed for exact dedup
@@ -124,7 +128,87 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"partial_count", r"partial_min"],
         [r"BatchEvalPython", r"ArrowEvalPython"],
     ),
+    "dedup_minhash_lsh": (
+        # banded LSH: candidate generation is a hash-partitioned band
+        # equi-join + aggregates; nothing may plan as all-pairs
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "dedup_ngram_jaccard": (
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "similarity_join_lsh_bucket": (
+        # bucket equi-join, never a cross product of the vector table
+        [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "ann_bruteforce_topk": (
+        # exact top-k = per-partition heaps, no global sort
+        [r"TakeOrderedAndProject"],
+        [r"Exchange rangepartitioning"],
+    ),
+    "ann_ivf_exact": (
+        # probe joins against broadcast centroid/query sides only
+        [r"BroadcastHashJoin|BroadcastNestedLoopJoin"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+    ),
+    "text_tfidf_top_terms": (
+        # tf and df aggregate partial+final; idf join broadcasts
+        [r"partial_count|partial_sum", r"BroadcastHashJoin"],
+        [r"CartesianProduct"],
+    ),
+    "ingest_extract_status": (
+        # extraction must cross to Python via Arrow batches, never
+        # row-at-a-time pickling
+        [r"ArrowEvalPython|MapInPandas"],
+        [r"BatchEvalPython"],
+    ),
+    "pipeline_corpus_curation": (
+        # the curation chain is pure codegen — no Python in the plan
+        [r"HashAggregate"],
+        [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
+    ),
 }
+
+# query -> [(pattern, max_occurrences)] over the formatted plan.
+# A window/agg chain that reuses one partitioning must not re-shuffle:
+# the count pins how many hash exchanges the plan may contain (the
+# trailing rangepartitioning exchange from the parity ORDER BY is
+# allowed separately).
+COUNT_LIMITS: dict[str, list[tuple[str, int]]] = {
+    "window_running_sum": [(r"Exchange hashpartitioning", 1)],
+    "window_moving_avg": [(r"Exchange hashpartitioning", 1)],
+    "window_rank_customers": [(r"Exchange hashpartitioning", 1)],
+    "window_lag_lead": [(r"Exchange hashpartitioning", 1)],
+    "window_range_frame": [(r"Exchange hashpartitioning", 1)],
+    "q1_pricing_summary": [(r"Exchange hashpartitioning", 1)],
+}
+
+# name -> builder for plan-only audits of streaming transformations
+# (the registered query executes the stream and returns a memory-sink
+# read, whose plan no longer shows the stateful operators).
+STREAMING_EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
+    "stream_tumbling_window[transform]": (
+        # incremental stateful agg: restore -> merge -> save, with a
+        # map-side partial agg below the single exchange
+        [r"StateStoreRestore", r"StateStoreSave", r"HashAggregate"],
+        [r"CartesianProduct"],
+    ),
+}
+
+
+def _streaming_frames(spark):
+    from articulation_vector_db_api_spark.suites.streaming import (
+        read_events_stream,
+        tumbling_window_agg,
+    )
+
+    return {
+        "stream_tumbling_window[transform]": tumbling_window_agg(
+            read_events_stream(spark, SF)
+        ),
+    }
 
 
 def main() -> int:
@@ -133,14 +217,26 @@ def main() -> int:
     registry = load_all()
     failures = []
     sections = []
-    for name, (must, must_not) in sorted(EXPECTATIONS.items()):
-        df = registry[name].fn(spark, SF)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+
+    def explain(df) -> str:
+        return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
             df._jdf.queryExecution(), "formatted"
         )
+
+    frames = {
+        name: registry[name].fn(spark, SF) for name in EXPECTATIONS
+    } | _streaming_frames(spark)
+    checks = EXPECTATIONS | STREAMING_EXPECTATIONS
+
+    for name, (must, must_not) in sorted(checks.items()):
+        plan = explain(frames[name])
         bad = [p for p in must if not re.search(p, plan)] + [
             f"!{p}" for p in must_not if re.search(p, plan)
         ]
+        for pat, max_n in COUNT_LIMITS.get(name, []):
+            n = len(re.findall(pat, plan))
+            if n > max_n:
+                bad.append(f"{pat} x{n}>{max_n}")
         status = "OK" if not bad else f"FAIL {bad}"
         print(f"{status:6} {name}")
         if bad:
@@ -156,7 +252,7 @@ def main() -> int:
             "dimension joins broadcast, fact joins sort-merge, top-k avoids\n"
             "global sorts, aggregates are partial+final.\n\n" + "\n".join(sections)
         )
-    print(f"\n{len(EXPECTATIONS) - len(failures)}/{len(EXPECTATIONS)} plans OK")
+    print(f"\n{len(checks) - len(failures)}/{len(checks)} plans OK")
     return 1 if failures else 0
 
 

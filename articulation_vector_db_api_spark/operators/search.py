@@ -195,3 +195,64 @@ def assemble_context(topk: DataFrame, query: str) -> DataFrame:
             "\n\n---\n\n",
         ).alias("context"),
     )
+
+
+def mmr_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str,
+    k: int = 3,
+    pool: int = 20,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking for arbitrary k: each pick
+    maximizes lam*relevance - (1-lam)*max-similarity-to-picked, so
+    near-duplicate chunks don't crowd the context window (the RAG
+    failure mode plain top-k inherits, main.py:184-189).
+
+    Greedy MMR is inherently sequential in k, so the driver loop runs k
+    tiny jobs — but each one touches only the CACHED pool of ``pool``
+    candidates (itself the top-k' of the distributed scan), and the
+    picked vectors re-enter the plan as inlined literals (32 doubles
+    per pick), not joins. The corpus-sized work happens exactly once,
+    before the loop. The final projection rounds in Spark so scores
+    stay bit-identical with the SQL oracle's round()."""
+    from ..functions.vector import cosine
+
+    scored = score_chunks(spark, sf_dir, query)
+    pats = chunk_patterns(spark, sf_dir).select("id", "pattern")
+    cands = (
+        scored.join(pats, "id")
+        .orderBy(F.desc("raw"), "id")
+        .limit(pool)
+        .select("id", "raw", "pattern")
+        .cache()
+    )
+    picked = []
+    for _ in range(k):
+        if not picked:
+            row = cands.orderBy(F.desc("raw"), "id").first()
+        else:
+            penalty = None
+            for p in picked:
+                plit = F.array(*[F.lit(float(v)) for v in p.pattern])
+                sim = cosine(F.col("pattern"), plit)
+                penalty = sim if penalty is None else F.greatest(penalty, sim)
+            mmr = F.lit(lam) * F.col("raw") - F.lit(1 - lam) * penalty
+            row = (
+                cands.filter(~F.col("id").isin([p.id for p in picked]))
+                .orderBy(F.desc(mmr), "id")
+                .first()
+            )
+        if row is None:  # pool exhausted before k picks
+            break
+        picked.append(row)
+    picks = spark.createDataFrame(
+        [(i + 1, p.id) for i, p in enumerate(picked)], "pick int, id string"
+    )
+    return (
+        F.broadcast(picks)
+        .join(cands, "id")
+        .select("pick", "id", F.round("raw", 6).alias("score"))
+        .orderBy("pick")
+    )

@@ -24,6 +24,7 @@ from ..sources.readers import load_table
 
 @register(
     "string_functions",
+    headline=True,
     oracle="""
     SELECT c_custkey,
            lower(c_name) AS name_lower,

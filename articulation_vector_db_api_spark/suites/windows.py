@@ -123,6 +123,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_moving_avg",
+    headline=True,
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) OVER w AS DOUBLE)

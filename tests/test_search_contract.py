@@ -44,3 +44,26 @@ def test_context_format(spark):
     for p in parts:
         assert p.startswith("[Source: ")  # '[Source: {source}]\n{text}', main.py:324
         assert "]\n" in p
+
+
+def test_mmr_arbitrary_k(spark):
+    """mmr_rerank generalizes to any k: 8 distinct picks, pick 1 equals
+    plain top-1 (no penalty yet), every later pick's relevance is <= the
+    pool max, and the pick column is 1..8 in order."""
+    from articulation_vector_db_api_spark.operators.search import mmr_rerank
+
+    rows = mmr_rerank(spark, SF_SMALL, "transfer credits", k=8, pool=40).collect()
+    assert [r.pick for r in rows] == list(range(1, 9))
+    assert len({r.id for r in rows}) == 8
+    top1 = topk_search(spark, SF_SMALL, "transfer credits", 1).first()
+    assert rows[0].id == top1.id
+    assert all(r.score <= rows[0].score + 1e-9 for r in rows)
+
+
+def test_mmr_k3_matches_oracle_shape(spark):
+    """The k=3 loop must reproduce the unrolled-3 pick sequence."""
+    from articulation_vector_db_api_spark.operators.search import mmr_rerank
+
+    rows = mmr_rerank(spark, SF_SMALL, "transfer credits", k=3, pool=20).collect()
+    assert [r.pick for r in rows] == [1, 2, 3]
+    assert len({r.id for r in rows}) == 3

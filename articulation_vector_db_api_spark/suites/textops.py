@@ -564,3 +564,213 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(longnum)).alias("n_long_numbers"),
         F.length(scrubbed).alias("scrubbed_len"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_repetition_stats",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, text,
+               string_split(text, chr(10)) AS lines,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+        WHERE length(trim(text)) > 0
+          AND len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 2
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                      j -> toks[j] || ' ' || toks[j+1])) AS gram
+        FROM base
+    ),
+    gram_counts AS (
+        SELECT doc_id, gram, count(*) AS n FROM grams GROUP BY doc_id, gram
+    ),
+    per_doc AS (
+        SELECT doc_id, max(n) AS top_bigram_n,
+               CAST(sum(n) AS BIGINT) AS n_bigrams
+        FROM gram_counts GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           len(b.lines) AS n_lines,
+           round(1.0 - CAST(len(list_distinct(b.lines)) AS DOUBLE)
+                     / len(b.lines), 6) AS dup_line_ratio,
+           p.top_bigram_n,
+           p.n_bigrams,
+           round(CAST(p.top_bigram_n AS DOUBLE) / p.n_bigrams, 6)
+               AS top_bigram_frac
+    FROM base b JOIN per_doc p USING (doc_id)
+    ORDER BY doc_id
+    """,
+    tags=("textops", "quality"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filters in the Gopher/MassiveText style: duplicate-
+    line ratio and the fraction of the document occupied by its most
+    frequent word bigram — the signals that catch boilerplate and
+    degenerate generated text. Everything is a per-row array fold — the
+    top-bigram count runs over the SORTED gram array (equal grams
+    become adjacent, so one linear fold finds the longest run), making
+    the whole operator zero-shuffle full-codegen: the only acceptable
+    shape for a 100 TB pre-filter pass."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    # single-file fixture = one input split; spread rows before the
+    # gram explode fans out (same lesson as text_char_bigram_lm)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select(
+        "doc_id",
+        F.split(F.col("text"), "\n").alias("lines"),
+        toks.alias("toks"),
+    ).filter(F.size("toks") >= 2)
+
+    grams_sorted = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 2),
+            lambda j: F.concat_ws(" ", F.col("toks")[j], F.col("toks")[j + 1]),
+        )
+    )
+    # Longest run of equal adjacent grams in the sorted array == the
+    # max bigram frequency; one linear fold, no explode, no shuffle.
+    run_fold = F.aggregate(
+        grams_sorted,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc.getField("best"),
+                F.when(g == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("best"),
+        ),
+    )
+    return (
+        base.withColumn("grams", grams_sorted)
+        .withColumn("top_bigram_n", run_fold.getField("best"))
+        .withColumn("n_bigrams", F.size("grams").cast("long"))
+        .select(
+            "doc_id",
+            F.size("lines").alias("n_lines"),
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct("lines")).cast("double")
+                / F.size("lines"),
+                6,
+            ).alias("dup_line_ratio"),
+            "top_bigram_n",
+            "n_bigrams",
+            F.round(
+                F.col("top_bigram_n").cast("double") / F.col("n_bigrams"), 6
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONTAM_N = 4  # benchmark-overlap n-gram width (13 is typical; 4 fits fixtures)
+
+
+@register(
+    "text_contamination_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(t) - {CONTAM_N - 1}),
+                   j -> array_to_string(t[j:j+{CONTAM_N - 1}], ' ')))) AS gram
+        FROM toks WHERE len(t) >= {CONTAM_N}
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+    train AS (SELECT * FROM grams WHERE doc_id % 97 <> 0)
+    SELECT train.doc_id, count(DISTINCT train.gram) AS n_shared_grams
+    FROM train JOIN bench USING (gram)
+    GROUP BY train.doc_id
+    ORDER BY train.doc_id
+    """,
+    tags=("textops", "quality"),
+)
+def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: which training documents share a
+    word {CONTAM_N}-gram with the held-out set (doc_id % 97 == 0 stands
+    in for the benchmark corpus). The decisive property at 100 TB: the
+    benchmark gram set is tiny relative to the corpus, so it BROADCASTS
+    and the train side never shuffles — contamination checking costs
+    one scan."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    with_toks = docs.select("doc_id", t.alias("t")).filter(
+        F.size("t") >= CONTAM_N
+    )
+    grams = with_toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - CONTAM_N),
+                    lambda j: F.concat_ws(
+                        " ", *[F.col("t")[j + i] for i in range(CONTAM_N)]
+                    ),
+                )
+            )
+        ).alias("gram"),
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    train = grams.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sample_stratified_sources",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rn
+        FROM documents
+    )
+    SELECT doc_id, source, rn FROM ranked WHERE rn <= 20
+    ORDER BY source, rn
+    """,
+    tags=("textops", "sampling"),
+)
+def sample_stratified_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified domain sampling: a fixed quota per source (domain
+    mixing for training-data curation), deterministic via md5-of-key
+    ordering so every engine and every rerun draws the same sample.
+    One shuffle on source; at 100 TB the window is per-source and the
+    md5 sort order prevents any time/ingest-order bias in the draw."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "source", "rn")
+        .orderBy("source", "rn")
+    )

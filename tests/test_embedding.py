@@ -40,3 +40,44 @@ def test_identical_text_identical_vector_cosine_one():
     norm = math.sqrt(sum(x * x for x in a))
     assert a == b
     assert abs(dot / (norm * norm) - 1.0) < 1e-12
+
+
+def test_pluggable_embedder_slot(spark):
+    """The embedder slot: a pandas_udf model stand-in builds the index
+    and searches it through the same generic path as the hash scheme."""
+    import numpy as np
+
+    from articulation_vector_db_api_spark.operators.embed_model import (
+        HashEmbedder,
+        NgramProjectionEmbedder,
+        build_index_with,
+        topk_search_with,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    model = NgramProjectionEmbedder(dim=64)
+
+    # deterministic + unit-norm vectors
+    a = model.embed_query("transfer credits")
+    b = model.embed_query("transfer credits")
+    assert a == b
+    assert abs(np.linalg.norm(a) - 1.0) < 1e-9
+
+    idx = build_index_with(model, spark, sf)
+    rows1 = topk_search_with(model, idx, "transfer credits", 3).collect()
+    rows2 = topk_search_with(model, idx, "transfer credits", 3).collect()
+    assert [r.id for r in rows1] == [r.id for r in rows2]
+    assert len(rows1) == 3
+    scores = [r.score for r in rows1]
+    assert scores == sorted(scores, reverse=True)
+
+    # the hash scheme rides the same generic path: ids must agree with
+    # the engine's native flagship search
+    from articulation_vector_db_api_spark.operators.search import topk_search
+
+    hash_rows = topk_search_with(
+        HashEmbedder(), build_index_with(HashEmbedder(), spark, sf),
+        "transfer credits", 5,
+    ).collect()
+    native = topk_search(spark, sf, "transfer credits", 5).collect()
+    assert [r.id for r in hash_rows] == [r.id for r in native]

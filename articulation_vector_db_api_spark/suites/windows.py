@@ -747,3 +747,58 @@ def events_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", F.coalesce("n", F.lit(0)).alias("n"))
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "events_ohlc_bars",
+    oracle="""
+    WITH b AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket,
+               event_type, ts, event_id, value
+        FROM events
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY bucket, event_type
+                                  ORDER BY ts, event_id) AS rn_first,
+               row_number() OVER (PARTITION BY bucket, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn_last
+        FROM b
+    )
+    SELECT bucket, event_type,
+           round(max(CASE WHEN rn_first = 1 THEN value END), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(max(CASE WHEN rn_last = 1 THEN value END), 6) AS close,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS volume
+    FROM ranked
+    GROUP BY bucket, event_type
+    ORDER BY bucket, event_type
+    """,
+    tags=("window", "events", "rollup"),
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup: OHLC bars (open/high/low/
+    close, count, decimal-exact volume) per 5-minute bucket per event
+    type. Open/close use the struct-min/max trick — min(struct(ts,
+    event_id, value)) picks the value at the earliest (ts, event_id)
+    without a window pass, so the whole rollup is ONE partial+final
+    aggregation: the map side reduces every partition to at most
+    |buckets|×|types| rows before the shuffle. That is the property
+    that makes continuous-aggregate maintenance cheap at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.window("ts", "5 minutes").getField("start").alias("bucket")
+    first_s = F.struct("ts", "event_id", "value")
+    return (
+        e.groupBy(bucket, "event_type")
+        .agg(
+            F.round(F.min(first_s).getField("value"), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max(first_s).getField("value"), 6).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,8)")).cast("double").alias("volume"),
+        )
+        .orderBy("bucket", "event_type")
+    )

@@ -559,3 +559,204 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# -- Q2 / Q11: the two families the fixtures cannot express directly
+# (no partsupp table). partsupp is DERIVED deterministically from
+# part × supplier using the TPC-H spec's own part-supplier association
+# (dbgen: supplier i of a part = (partkey + i*(S/4 + (partkey-1)/S))
+# mod S + 1, i in 0..3 — public TPC-H 3.0 spec §4.2.3), with cost and
+# quantity as integer hash functions of the pair. Both engines build
+# the identical table in-query (integer arithmetic only: cost kept in
+# CENTS so every aggregation is exact), which makes full value oracles
+# possible for both families.
+
+_PARTSUPP_SQL = """
+    derived_partsupp AS (
+        SELECT p_partkey AS ps_partkey,
+               ((p_partkey + i.i * (s.cnt // 4 + (p_partkey - 1) // s.cnt))
+                   % s.cnt) + 1 AS ps_suppkey,
+               (p_partkey * 31 + ((p_partkey + i.i * (s.cnt // 4
+                   + (p_partkey - 1) // s.cnt)) % s.cnt) + 1) % 9999 + 1
+                   AS ps_availqty,
+               (p_partkey * 29 + (((p_partkey + i.i * (s.cnt // 4
+                   + (p_partkey - 1) // s.cnt)) % s.cnt) + 1) * 11) % 90000
+                   + 10000 AS ps_costcents
+        FROM part
+        CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) AS i
+        CROSS JOIN (SELECT count(*) AS cnt FROM supplier) AS s
+    )
+"""
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    cnt = _t(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("cnt"))
+    ps = (
+        part.join(F.broadcast(cnt))
+        .select(
+            "p_partkey",
+            "cnt",
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
+        )
+        .withColumn(
+            "ps_suppkey",
+            (
+                (
+                    F.col("p_partkey")
+                    + F.col("i")
+                    * (
+                        F.expr("cnt DIV 4")
+                        + F.expr("(p_partkey - 1) DIV cnt")
+                    )
+                )
+                % F.col("cnt")
+            )
+            + 1,
+        )
+    )
+    return ps.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        "ps_suppkey",
+        ((F.col("p_partkey") * 31 + F.col("ps_suppkey")) % 9999 + 1).alias(
+            "ps_availqty"
+        ),
+        (
+            (F.col("p_partkey") * 29 + F.col("ps_suppkey") * 11) % 90000 + 10000
+        ).alias("ps_costcents"),
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    costs AS (
+        SELECT ps_partkey, ps_suppkey, ps_costcents
+        FROM derived_partsupp JOIN eu ON ps_suppkey = s_suppkey
+    ),
+    min_cost AS (
+        SELECT ps_partkey, min(ps_costcents) AS min_cents
+        FROM costs GROUP BY ps_partkey
+    )
+    SELECT round(e.s_acctbal, 6) AS s_acctbal, e.s_name, e.n_name,
+           p.p_partkey, p.p_brand,
+           CAST(c.ps_costcents AS DOUBLE) / 100.0 AS ps_supplycost
+    FROM part p
+    JOIN costs c ON p.p_partkey = c.ps_partkey
+    JOIN min_cost m ON c.ps_partkey = m.ps_partkey
+                   AND c.ps_costcents = m.min_cents
+    JOIN eu e ON c.ps_suppkey = e.s_suppkey
+    WHERE p.p_size = 15 AND p.p_type = 'MEDIUM'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("relational", "tpch", "subquery"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
+    the European supplier(s) quoting the partition-wide minimum cost —
+    a correlated-min subquery decorrelated into one aggregate + one
+    equi-join on (partkey, cost). Cost lives in integer CENTS so the
+    min and the equality are exact on both engines; the region-filtered
+    supplier dimension broadcasts; top-100 plans as
+    TakeOrderedAndProject. partsupp itself is derived (header comment)
+    — fixtures ship no partsupp table."""
+    ps = _derived_partsupp(spark, sf_dir)
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = ps.join(F.broadcast(eu), ps.ps_suppkey == eu.s_suppkey).select(
+        "ps_partkey", "ps_suppkey", "ps_costcents"
+    )
+    min_cost = costs.groupBy("ps_partkey").agg(
+        F.min("ps_costcents").alias("min_cents")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "MEDIUM")
+    )
+    return (
+        part.join(costs, part.p_partkey == costs.ps_partkey)
+        .join(
+            min_cost,
+            (costs.ps_partkey == min_cost.ps_partkey)
+            & (costs.ps_costcents == min_cost.min_cents),
+        )
+        .join(F.broadcast(eu), costs.ps_suppkey == eu.s_suppkey)
+        .select(
+            F.round("s_acctbal", 6).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            part.p_partkey,
+            "p_brand",
+            (F.col("ps_costcents").cast("double") / 100.0).alias("ps_supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    scoped AS (
+        SELECT ps_partkey, ps_availqty * ps_costcents AS value_cents
+        FROM derived_partsupp
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+    ),
+    total AS (SELECT sum(value_cents) AS total_cents FROM scoped)
+    SELECT ps_partkey,
+           CAST(sum(value_cents) AS DOUBLE) / 100.0 AS stock_value
+    FROM scoped CROSS JOIN total
+    GROUP BY ps_partkey, total_cents
+    HAVING sum(value_cents) > total_cents * 0.001
+    ORDER BY stock_value DESC, ps_partkey
+    """,
+    tags=("relational", "tpch", "subquery"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part inventory value for
+    one nation's suppliers, kept only where it exceeds a fraction of
+    the nation total. value = availqty × cost accumulates in integer
+    CENTS (BIGINT — exact, order-independent), so the HAVING threshold
+    is bit-identical on both engines; the grand total broadcasts back
+    as a one-row scalar. partsupp derived as in Q2."""
+    ps = _derived_partsupp(spark, sf_dir)
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    scoped = (
+        ps.join(F.broadcast(sup.join(F.broadcast(nat),
+                                     sup.s_nationkey == nat.n_nationkey)
+                            .select("s_suppkey")),
+                ps.ps_suppkey == F.col("s_suppkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_availqty") * F.col("ps_costcents")).alias("value_cents"),
+        )
+    )
+    total = scoped.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        scoped.groupBy("ps_partkey")
+        .agg(F.sum("value_cents").alias("part_cents"))
+        .join(F.broadcast(total))
+        .filter(F.col("part_cents") > F.col("total_cents") * 0.001)
+        .select(
+            "ps_partkey",
+            (F.col("part_cents").cast("double") / 100.0).alias("stock_value"),
+        )
+        .orderBy(F.desc("stock_value"), "ps_partkey")
+    )

@@ -510,3 +510,65 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .orderBy("window_start", "rn")
     )
+
+
+@register(
+    "stream_ohlc_bars",
+    oracle="""
+    WITH b AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket,
+               event_type, ts, event_id, value
+        FROM events
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY bucket, event_type
+                                  ORDER BY ts, event_id) AS rn_first,
+               row_number() OVER (PARTITION BY bucket, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn_last
+        FROM b
+    )
+    SELECT bucket, event_type,
+           round(max(CASE WHEN rn_first = 1 THEN value END), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(max(CASE WHEN rn_last = 1 THEN value END), 6) AS close,
+           count(*) AS n_events
+    FROM ranked
+    GROUP BY bucket, event_type
+    ORDER BY bucket, event_type
+    """,
+    tags=("streaming", "rollup"),
+)
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate OHLC: the hypertable rollup
+    (events_ohlc_bars) maintained BY THE STREAM — open/close via
+    min/max over (ts, event_id, value) structs inside the streaming
+    aggregation state, so each bar updates incrementally per
+    micro-batch instead of being recomputed. State size = bars ×
+    types × one struct, bounded; AvailableNow drains the fixture so
+    the batch SQL twin is exact."""
+    ev = read_events_stream(spark, sf_dir)
+    first_s = F.struct("ts", "event_id", "value")
+    agg = (
+        ev.groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.round(F.min(first_s).getField("value"), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max(first_s).getField("value"), 6).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("bucket"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+    return run_available_now(agg, "ohlc", "complete").orderBy(
+        "bucket", "event_type"
+    )

@@ -169,6 +169,22 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate"],
         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
     ),
+    "events_ohlc_bars": (
+        # OHLC open/close via struct min/max = ONE partial+final agg,
+        # never a per-row window pass
+        [r"partial_min", r"partial_max"],
+        [r"\bWindow\b"],
+    ),
+    "text_repetition_stats": (
+        # sorted-array run fold: zero shuffle, no explode-aggregate
+        [r"Scan parquet"],
+        [r"HashAggregate", r"SortMergeJoin", r"Generate"],
+    ),
+    "q2_min_cost_supplier": (
+        # correlated min decorrelated; dims broadcast; top-100 heap
+        [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+        [r"CartesianProduct", r"Exchange rangepartitioning"],
+    ),
 }
 
 # query -> [(pattern, max_occurrences)] over the formatted plan.

@@ -664,3 +664,179 @@ def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.withColumn("component_size", F.count(F.lit(1)).over(w))
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup: cluster first, compare only within clusters (SemDeDup).
+# ---------------------------------------------------------------------------
+
+_KM_K = 10  # clusters; init centroids = embeddings of vec_id 0..K-1
+_KM_DIM = 64
+_KM_DUP_COS = 0.25  # fixture embeddings are isotropic; 0.25 ~ p99 tail
+
+
+def _sqdist_duckdb(a: str, b: str) -> str:
+    """DuckDB twin of the Spark zip_with/aggregate squared-L2 fold —
+    identical IEEE op sequence (0.0-seeded left fold over dims)."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform("
+        f"generate_series(1, {_KM_DIM}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+        f"(acc, e) -> acc + e)"
+    )
+
+
+_KM_ASSIGN_SQL = """
+    d{r} AS (
+        SELECT vec_id, v, cid, {dist} AS d
+        FROM vec CROSS JOIN cent{p}
+    ),
+    a{r} AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d, cid) AS rn
+            FROM d{r}
+        ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH vec AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    cent0 AS (SELECT vec_id AS cid, v AS c FROM vec WHERE vec_id < {_KM_K}),
+    {_KM_ASSIGN_SQL.format(r=1, p=0, dist=_sqdist_duckdb("v", "c"))},
+    m1 AS (
+        SELECT cid, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+        FROM a1
+    ),
+    cent1 AS (
+        SELECT cid, list(cval ORDER BY dim) AS c
+        FROM (
+            SELECT cid, dim,
+                   CAST(sum(CAST(val AS DECIMAL(30,8))) AS DOUBLE) / count(*)
+                       AS cval
+            FROM m1 GROUP BY cid, dim
+        ) GROUP BY cid
+    ),
+    {_KM_ASSIGN_SQL.format(r=2, p=1, dist=_sqdist_duckdb("v", "c"))},
+    members AS (
+        SELECT cid, count(*) AS n_members, min(vec_id) AS representative
+        FROM a2 GROUP BY cid
+    ),
+    pairs AS (
+        SELECT x.cid AS cid, count(*) AS n_dup_pairs,
+               count(DISTINCT y.vec_id) AS n_dup_docs
+        FROM a2 x JOIN a2 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        WHERE round({cosine_sql_duckdb("x.v", "y.v")}, 6) >= {_KM_DUP_COS}
+        GROUP BY x.cid
+    )
+    SELECT members.cid AS cluster_id, n_members, representative,
+           COALESCE(n_dup_pairs, 0) AS n_dup_pairs,
+           COALESCE(n_dup_docs, 0) AS n_dup_docs
+    FROM members LEFT JOIN pairs ON members.cid = pairs.cid
+    ORDER BY cluster_id
+    """,
+    tags=("dedup", "similarity"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means partitions the corpus,
+    then near-duplicate pairs are mined ONLY within clusters — the
+    trick that turns O(n²) embedding dedup into Σ O(|cluster|²). The
+    reference has no clustering at all (Pinecone is query-only,
+    main.py:184-189); this is the scale path its users would need.
+
+    Spark shape, built for 100 TB:
+    - assignment is shuffle-free: the K×D centroid codebook collapses
+      to ONE broadcast row (collect_list of structs) and each vector
+      picks argmin via array_min over a transform — pure map-side
+      codegen, no groupBy, no join shuffle;
+    - Lloyd update shuffles (cid, dim) partial sums only — decimal
+      sums make centroids bit-identical at any partition count, so the
+      oracle's serial k-means reproduces the distributed run exactly;
+    - the pairwise stage joins on cid, never all-pairs.
+    Init = embeddings of vec_id 0..K-1 (k-means++ at deployment);
+    2 assignment rounds unrolled so the DuckDB twin is plain SQL.
+    """
+    from ..functions.vector import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        codebook = centroids.agg(
+            F.collect_list(F.struct("cid", "c")).alias("cents")
+        )
+        best = F.array_min(
+            F.transform(
+                "cents",
+                lambda s: F.struct(
+                    sqdist(F.col("v"), s["c"]).alias("d"),
+                    s["cid"].alias("cid"),
+                ),
+            )
+        )
+        return vec.crossJoin(F.broadcast(codebook)).select(
+            "vec_id", "v", best["cid"].alias("cid")
+        )
+
+    cent0 = vec.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    a1 = assign(cent0)
+    cent1 = (
+        a1.select("cid", F.posexplode("v").alias("dim", "val"))
+        .groupBy("cid", "dim")
+        .agg(
+            (F.sum(F.col("val").cast("decimal(30,8)")).cast("double")
+             / F.count(F.lit(1))).alias("cval")
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                lambda s: s["cval"],
+            ).alias("c")
+        )
+    )
+    a2 = assign(cent1)
+
+    members = a2.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("vec_id").alias("representative"),
+    )
+    x, y = a2.alias("x"), a2.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.cid") == F.col("y.cid"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .filter(
+            F.round(cosine(F.col("x.v"), F.col("y.v")), 6) >= _KM_DUP_COS
+        )
+        .groupBy(F.col("x.cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_pairs"),
+            F.countDistinct(F.col("y.vec_id")).alias("n_dup_docs"),
+        )
+    )
+    return (
+        members.join(pairs, "cluster_id", "left")
+        .na.fill(0, ["n_dup_pairs", "n_dup_docs"])
+        .orderBy("cluster_id")
+    )

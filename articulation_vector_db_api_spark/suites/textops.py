@@ -774,3 +774,131 @@ def sample_stratified_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "rn")
         .orderBy("source", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword ranking — the sparse half of hybrid retrieval.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("merge", "batch", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_comp_sql(i: int) -> str:
+    """One query-term's BM25 contribution, op-for-op the Spark column
+    (ln rounded to 6 before use; all operands explicitly DOUBLE)."""
+    tf = f"CAST(tf_{i} AS DOUBLE)"
+    idf = (
+        f"round(ln((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{i} AS DOUBLE) + 0.5) + 1.0), 6)"
+    )
+    denom = (
+        f"({tf} + CAST({_BM25_K1} AS DOUBLE) * (CAST(1.0 AS DOUBLE)"
+        f" - CAST({_BM25_B} AS DOUBLE) + CAST({_BM25_B} AS DOUBLE)"
+        f" * CAST(dl AS DOUBLE) / avgdl))"
+    )
+    return f"({idf} * ({tf} * CAST({_BM25_K1 + 1.0} AS DOUBLE)) / {denom})"
+
+
+@register(
+    "search_bm25",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, len(toks) AS dl,
+               {", ".join(
+                   f"len(list_filter(toks, t -> t = '{t}')) AS tf_{i}"
+                   for i, t in enumerate(_BM25_TERMS)
+               )}
+        FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM documents WHERE length(trim(text)) > 0
+        )
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs, {davg_sql("CAST(dl AS DOUBLE)")} AS avgdl,
+               {", ".join(
+                   f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+                   for i in range(len(_BM25_TERMS))
+               )}
+        FROM feat
+    )
+    SELECT doc_id, dl,
+           {", ".join(f"tf_{i}" for i in range(len(_BM25_TERMS)))},
+           round({" + ".join(
+               _bm25_comp_sql(i) for i in range(len(_BM25_TERMS))
+           )}, 6) AS score
+    FROM feat CROSS JOIN stats
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    tags=("textops", "search"),
+)
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over the corpus — the sparse scorer that
+    pairs with dense cosine in hybrid search (search_hybrid_rrf fuses
+    ranks; this is the principled keyword side the reference's
+    Pinecone-only path lacks, main.py:176-216).
+
+    Scale shape: per-doc term frequencies come from one codegen'd pass
+    over the token array (no explode, no posting-list shuffle); the
+    corpus stats (N, avgdl, per-term df) collapse to ONE broadcast row,
+    so scoring is map-side and the only cross-partition work is the
+    top-k heap merge (TakeOrderedAndProject). df/avgdl use exact
+    decimal sums; ln() is rounded to 6 before use so JVM and libm
+    disagree nowhere downstream."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+
+    def tf_col(term: str):
+        # single-arg lambda: a 2-arg HOF lambda would be (element, index)
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    feat = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf_col(t).alias(f"tf_{i}") for i, t in enumerate(_BM25_TERMS)],
+    )
+    stats = feat.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg(F.col("dl").cast("double")).alias("avgdl"),
+        *[
+            F.sum(
+                F.when(F.col(f"tf_{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+
+    def comp(i: int):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.round(
+            F.log(
+                (F.col("n_docs").cast("double")
+                 - F.col(f"df_{i}").cast("double") + F.lit(0.5))
+                / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+            6,
+        )
+        denom = tf + F.lit(_BM25_K1) * (
+            F.lit(1.0) - F.lit(_BM25_B)
+            + F.lit(_BM25_B) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+        return idf * (tf * F.lit(_BM25_K1 + 1.0)) / denom
+
+    score = comp(0)
+    for i in range(1, len(_BM25_TERMS)):
+        score = score + comp(i)
+    return (
+        feat.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", "dl",
+            *[f"tf_{i}" for i in range(len(_BM25_TERMS))],
+            F.round(score, 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )

@@ -185,6 +185,26 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
         [r"CartesianProduct", r"Exchange rangepartitioning"],
     ),
+    "search_bm25": (
+        # corpus stats = one broadcast row; scoring map-side; global
+        # result = top-k heap merge, no explode, no full sort
+        [r"BroadcastNestedLoopJoin", r"TakeOrderedAndProject"],
+        [r"CartesianProduct", r"SortMergeJoin", r"Generate",
+         r"Exchange rangepartitioning"],
+    ),
+    "ann_pq_adc_topk": (
+        # codebook broadcast; encode+ADC map-side; shortlist and final
+        # top-k are heap merges — no shuffle-by-vector anywhere
+        [r"BroadcastNestedLoopJoin", r"TakeOrderedAndProject"],
+        [r"CartesianProduct", r"SortMergeJoin", r"Generate",
+         r"Exchange rangepartitioning"],
+    ),
+    "dedup_semantic_clusters": (
+        # k-means assignment via broadcast codebook (map-side argmin);
+        # pairwise dup mining must join on cluster id, never all-pairs
+        [r"BroadcastNestedLoopJoin"],
+        [r"CartesianProduct"],
+    ),
 }
 
 # query -> [(pattern, max_occurrences)] over the formatted plan.

@@ -902,3 +902,100 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — distributed prefix sum over the token budget.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512  # tokens per training sequence (pack)
+_PACK_BUCKETS = 16  # prefix-sum fan-out (≈ partition count at deployment)
+
+
+@register(
+    "pack_sequences_token_budget",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM d
+    ),
+    p AS (
+        SELECT doc_id, n_tokens,
+               (cum - n_tokens) // {_PACK_BUDGET} AS pack_id
+        FROM c
+    )
+    SELECT pack_id, count(*) AS n_docs, sum(n_tokens) AS pack_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM p GROUP BY pack_id ORDER BY pack_id
+    """,
+    tags=("textops", "curation"),
+)
+def pack_sequences_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: documents fill fixed token-budget
+    packs in deterministic doc_id order (a doc belongs to the pack
+    where its first token lands; production splits the straddling doc).
+    The primitive is a GLOBAL running token count — the one operation a
+    naive plan computes with a partition-less window, which serializes
+    the whole corpus through one task.
+
+    Here it is the distributed two-pass prefix sum: a closed-form
+    splitter (doc_id × B / (max+1)) buckets rows without sampling, pass
+    1 cumsums WITHIN each bucket (window keyed on bucket — parallel),
+    pass 2 cumsums the B per-bucket totals (B rows, driver-scale) and
+    broadcasts the offsets back. Shuffle cost: one hash exchange on
+    bucket + one broadcast of B rows, at ANY corpus size; the oracle is
+    the plain global-window cumsum, proving the decomposition exact.
+    Integer token counts make every sum order-independent."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    d = docs.select("doc_id", F.size(toks).alias("n_tokens"))
+    mx = d.agg(F.max("doc_id").alias("max_id"))
+    b = d.crossJoin(F.broadcast(mx)).withColumn(
+        "bucket",
+        F.floor(
+            F.col("doc_id") * F.lit(_PACK_BUCKETS) / (F.col("max_id") + 1)
+        ),
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.withColumn("lcum", F.sum("n_tokens").over(w_local))
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        local.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("btok"))
+        # partition-less window is safe here: B rows, not the corpus
+        .withColumn("offset", F.coalesce(F.sum("btok").over(w_off), F.lit(0)))
+        .select("bucket", "offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum", F.col("lcum") + F.col("offset"))
+        .withColumn(
+            "pack_id",
+            F.expr(f"(cum - n_tokens) div {_PACK_BUDGET}"),
+        )
+        .groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("pack_id")
+    )

@@ -205,6 +205,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastNestedLoopJoin"],
         [r"CartesianProduct"],
     ),
+    "pack_sequences_token_budget": (
+        # two-pass prefix sum: corpus window keyed on bucket, offsets
+        # broadcast back — the global cumsum never runs partition-less
+        [r"windowspecdefinition\(bucket", r"BroadcastHashJoin"],
+        [r"CartesianProduct"],
+    ),
 }
 
 # query -> [(pattern, max_occurrences)] over the formatted plan.
@@ -219,6 +225,9 @@ COUNT_LIMITS: dict[str, list[tuple[str, int]]] = {
     "window_lag_lead": [(r"Exchange hashpartitioning", 1)],
     "window_range_frame": [(r"Exchange hashpartitioning", 1)],
     "q1_pricing_summary": [(r"Exchange hashpartitioning", 1)],
+    # bucket window + bucket totals + pack agg; anything more means the
+    # prefix-sum decomposition regressed into extra shuffles
+    "pack_sequences_token_budget": [(r"Exchange hashpartitioning", 3)],
 }
 
 # name -> builder for plan-only audits of streaming transformations

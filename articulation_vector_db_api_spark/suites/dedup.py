@@ -741,6 +741,7 @@ _KM_ASSIGN_SQL = """
     FROM members LEFT JOIN pairs ON members.cid = pairs.cid
     ORDER BY cluster_id
     """,
+    headline=True,
     tags=("dedup", "similarity"),
 )
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,10 +763,12 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Init = embeddings of vec_id 0..K-1 (k-means++ at deployment);
     2 assignment rounds unrolled so the DuckDB twin is plain SQL.
     """
-    from ..functions.vector import cosine
+    from ..functions.vector import dot, l2_norm
 
     e = load_table(spark, sf_dir, "embeddings")
-    vec = e.select(
+    # single-file fixture = one input split: spread the fold-heavy
+    # assignment across cores (at deployment the scan is many-split)
+    vec = e.repartition(spark.sparkContext.defaultParallelism).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
@@ -813,13 +816,19 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c")
         )
     )
-    a2 = assign(cent1)
+    # norms once per vector (not twice per pair); persist the tiny
+    # (vec_id, v, nv, cid) frame — members + both self-join sides read
+    # it, and without the pin the whole assignment pipeline re-runs 3×
+    # (at 100 TB: write the assignment to storage, it is the artifact)
+    a2 = assign(cent1).withColumn("nv", l2_norm(F.col("v"))).persist()
 
     members = a2.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_members"),
         F.min("vec_id").alias("representative"),
     )
     x, y = a2.alias("x"), a2.alias("y")
+    # dot/(nx*ny) is op-for-op the cosine fold the oracle computes —
+    # sqrt is exact, so hoisting the norms changes no bit
     pairs = (
         x.join(
             y,
@@ -827,7 +836,12 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
         .filter(
-            F.round(cosine(F.col("x.v"), F.col("y.v")), 6) >= _KM_DUP_COS
+            F.round(
+                dot(F.col("x.v"), F.col("y.v"))
+                / (F.col("x.nv") * F.col("y.nv")),
+                6,
+            )
+            >= _KM_DUP_COS
         )
         .groupBy(F.col("x.cid").alias("cluster_id"))
         .agg(

@@ -497,6 +497,7 @@ def _pq_sq_duckdb(a: str, b: str, dim: int) -> str:
     FROM cand CROSS JOIN qv
     ORDER BY exact_dist, vec_id LIMIT 10
     """,
+    headline=True,
     tags=("similarity",),
 )
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,16 +515,24 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject heap merges. Every fold is 0.0-seeded
     left-to-right so the DuckDB twin is bit-exact."""
     e = load_table(spark, sf_dir, "embeddings")
-    vec = e.select(
+    # single-file fixture = one split; spread the 256-fold/row encode
+    vec = e.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    # codebook/query come off the raw scan (16+1 rows) — routing them
+    # through the repartitioned frame would shuffle the corpus twice
+    # more just to read 17 rows
+    tiny = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     cb_row = (
-        vec.filter(F.col("vec_id") < _PQ_CODES)
+        tiny.filter(F.col("vec_id") < _PQ_CODES)
         .select(F.col("vec_id").alias("code"), F.col("v").alias("c"))
         .agg(F.collect_list(F.struct("code", "c")).alias("cb"))
     )
-    q_row = vec.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+    q_row = tiny.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("v").alias("q")
     )
 

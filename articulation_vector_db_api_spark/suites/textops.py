@@ -999,3 +999,87 @@ def pack_sequences_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pack_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain mixture weighting — temperature-scaled source sampling.
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.3     # temperature: 1.0 = proportional, 0 = uniform
+_MIX_BUDGET = 10000  # docs in the sampled training mix
+
+
+@register(
+    "curation_mixture_weights",
+    oracle=f"""
+    WITH per_src AS (
+        SELECT source, count(*) AS n_docs,
+               sum(len(regexp_split_to_array(trim(lower(text)), '\\s+')))
+                   AS n_tokens
+        FROM documents WHERE length(trim(text)) > 0
+        GROUP BY source
+    ),
+    raw AS (
+        SELECT *, round(exp(CAST({_MIX_ALPHA} AS DOUBLE)
+                            * ln(CAST(n_tokens AS DOUBLE))), 6) AS w_raw
+        FROM per_src
+    ),
+    tot AS (
+        SELECT CAST(sum(CAST(w_raw AS DECIMAL(30,8))) AS DOUBLE) AS w_tot
+        FROM raw
+    )
+    SELECT source, n_docs, n_tokens,
+           round(w_raw / w_tot, 6) AS weight,
+           CAST(floor(round(w_raw / w_tot, 6) * {_MIX_BUDGET}) AS BIGINT)
+               AS target_docs
+    FROM raw CROSS JOIN tot
+    ORDER BY source
+    """,
+    tags=("textops", "curation"),
+)
+def curation_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (the multilingual/multi-source
+    sampling rule w_s ∝ size_s^α): α < 1 upsamples small domains so the
+    training mix is not dominated by the largest crawl. Output is the
+    per-source sampling weight and its doc budget — the driver table
+    for `sample_stratified_sources`-style quota draws.
+
+    Scale shape: one partial+final aggregate over (source), then a
+    single broadcast row for the normalizer — no second pass over the
+    corpus, no collect. exp/ln are rounded to 6 before the normalizing
+    sum (decimal-exact) so JVM and libm ulp drift cannot reach any
+    output column."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("n_tokens"),
+    )
+    raw = per_src.withColumn(
+        "w_raw",
+        F.round(
+            F.exp(F.lit(_MIX_ALPHA) * F.log(F.col("n_tokens").cast("double"))),
+            6,
+        ),
+    )
+    tot = raw.agg(
+        F.sum(F.col("w_raw").cast("decimal(30,8)"))
+        .cast("double")
+        .alias("w_tot")
+    )
+    weight = F.round(F.col("w_raw") / F.col("w_tot"), 6)
+    return (
+        raw.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            weight.alias("weight"),
+            F.floor(weight * F.lit(_MIX_BUDGET))
+            .cast("long")
+            .alias("target_docs"),
+        )
+        .orderBy("source")
+    )

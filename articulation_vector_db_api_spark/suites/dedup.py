@@ -854,3 +854,103 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, ["n_dup_pairs", "n_dup_docs"])
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring (span) dedup — Lee et al., "Deduplicating Training
+# Data Makes Language Models Better" (ACL 2022). The suffix-array
+# algorithm in the paper is single-machine; the distributed equivalent
+# is span hashing: every K-token window becomes a fixed-width digest,
+# and a span repeated across >= 2 documents marks all its occurrences
+# as duplicated training text.
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8  # tokens per span (the paper uses 50 BPE tokens; fixture docs average ~54 words)
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ), sized AS (
+        SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) >= {_SPAN_K}
+    ), grams AS (
+        SELECT doc_id,
+               md5(array_to_string(list_slice(t, i, i + {_SPAN_K - 1}), ' ')) AS g
+        FROM sized,
+             LATERAL (SELECT unnest(generate_series(1, n - {_SPAN_K - 1})) AS i)
+    ), dup AS (
+        SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ), per_doc AS (
+        SELECT doc_id, count(*) AS dup_spans
+        FROM grams WHERE g IN (SELECT g FROM dup) GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           s.n - {_SPAN_K - 1} AS n_spans,
+           COALESCE(p.dup_spans, 0) AS dup_spans,
+           round(CAST(COALESCE(p.dup_spans, 0) AS DOUBLE)
+                 / (s.n - {_SPAN_K - 1}), 6) AS dup_frac
+    FROM sized s LEFT JOIN per_doc p ON s.doc_id = p.doc_id
+    ORDER BY s.doc_id
+    """,
+    tags=("dedup", "curation"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document substring dedup via span hashing: every
+    K-token window is md5-digested; a digest seen in >= 2 distinct
+    documents flags every occurrence, and each doc reports its
+    duplicated-span fraction (the paper's dedup criterion).
+
+    Scale shape: the text never shuffles — only 16-byte span digests
+    do. One shuffle groups digests (count-distinct docs), one semi-join
+    maps the duplicated set back onto span occurrences, one shuffle
+    re-groups per doc. At 100 TB the digest table is ~tokens x 16 B and
+    hash-partitions evenly (spans are near-unique keys, no skew); the
+    explode fan-out runs after an explicit repartition so a single
+    input split cannot serialize the span generation."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    toks = F.split(F.trim(F.lower(F.col("text"))), _TOKENIZE)
+    sized = (
+        docs.select("doc_id", toks.alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") >= _SPAN_K)
+    )
+    grams = sized.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - F.lit(_SPAN_K - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, _SPAN_K))),
+            )
+        ).alias("g"),
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    per_doc = (
+        grams.join(dup, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_spans"))
+    )
+    return (
+        sized.select(
+            "doc_id", (F.col("n") - F.lit(_SPAN_K - 1)).alias("n_spans")
+        )
+        .join(per_doc, "doc_id", "left")
+        .na.fill(0, ["dup_spans"])
+        .withColumn(
+            "dup_frac",
+            F.round(
+                F.col("dup_spans").cast("double") / F.col("n_spans"), 6
+            ),
+        )
+        .orderBy("doc_id")
+    )

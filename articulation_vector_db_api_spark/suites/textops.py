@@ -1083,3 +1083,124 @@ def curation_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring: unigram-LM negative log-likelihood.
+# CCNet / Gopher / RefinedWeb all gate documents on LM perplexity; the
+# distributed skeleton (train token stats on the corpus, score every
+# doc against them, flag the worse-than-average tail) is identical for
+# a real KenLM — only the probability table changes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_perplexity_score",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ), ex AS (
+        SELECT doc_id, unnest(t) AS tok FROM d
+    ), vocab AS (
+        SELECT tok, count(*) AS c FROM ex GROUP BY tok
+    ), tot AS (
+        SELECT sum(c) AS total FROM vocab
+    ), lp AS (
+        SELECT tok, c,
+               CAST(round(ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))
+                          * 1000000) AS BIGINT) AS lp_micro
+        FROM vocab CROSS JOIN tot
+    ), per_doc AS (
+        SELECT e.doc_id,
+               count(*) AS n_tokens,
+               sum(l.lp_micro) AS nll_micro
+        FROM ex e JOIN lp l ON e.tok = l.tok
+        GROUP BY e.doc_id
+    ), corpus AS (
+        SELECT round(CAST(-sum(c * lp_micro) AS DOUBLE)
+                     / (CAST((SELECT total FROM tot) AS DOUBLE) * 1000000.0),
+                     6) AS corpus_nll
+        FROM lp
+    )
+    SELECT doc_id, n_tokens, -nll_micro AS nll_micro,
+           round(CAST(-nll_micro AS DOUBLE)
+                 / (CAST(n_tokens AS DOUBLE) * 1000000.0), 6) AS avg_neg_logp,
+           CAST(CASE WHEN round(CAST(-nll_micro AS DOUBLE)
+                     / (CAST(n_tokens AS DOUBLE) * 1000000.0), 6)
+                     > (SELECT corpus_nll FROM corpus)
+                THEN 1 ELSE 0 END AS INT) AS low_quality
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+    tags=("textops", "curation"),
+)
+def text_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality gate: train token frequencies on the corpus,
+    score each document by average negative log-probability, flag docs
+    scoring worse than the corpus-wide per-token mean (CCNet keeps the
+    best-perplexity tercile; the threshold here is the exact mean so
+    the oracle stays closed-form).
+
+    Determinism: log-probs are rounded to integer micro-nats BEFORE
+    any aggregation, so every sum is an exact bigint — order- and
+    partition-count-independent (Java vs C libm ln differences die at
+    the 1e-6 round). Scale shape: two shuffles (token counts, per-doc
+    regroup) plus one broadcast of the single-row total; the
+    vocab-to-token join hash-partitions on the token, and the Zipf
+    head (e.g. 'the') is bounded by per-partition partial aggregation
+    before the shuffle on the count side, while the scoring side is a
+    join whose skew AQE splits."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    ex = docs.select("doc_id", F.explode(toks).alias("tok"))
+    vocab = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(tot)).withColumn(
+        "lp_micro",
+        F.round(
+            F.log(F.col("c").cast("double") / F.col("total").cast("double"))
+            * 1000000,
+            0,
+        ).cast("bigint"),
+    )
+    per_doc = (
+        ex.join(lp.select("tok", "lp_micro"), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_micro").alias("sum_lp"),
+        )
+    )
+    corpus = (
+        lp.agg(
+            F.sum(F.col("c") * F.col("lp_micro")).alias("corpus_lp"),
+            F.first("total").alias("total"),
+        )
+        .select(
+            F.round(
+                (-F.col("corpus_lp")).cast("double")
+                / (F.col("total").cast("double") * F.lit(1000000.0)),
+                6,
+            ).alias("corpus_nll")
+        )
+    )
+    avg_nll = F.round(
+        (-F.col("sum_lp")).cast("double")
+        / (F.col("n_tokens").cast("double") * F.lit(1000000.0)),
+        6,
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (-F.col("sum_lp")).alias("nll_micro"),
+            avg_nll.alias("avg_neg_logp"),
+            (avg_nll > F.col("corpus_nll")).cast("int").alias("low_quality"),
+        )
+        .orderBy("doc_id")
+    )

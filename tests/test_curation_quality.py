@@ -51,3 +51,77 @@ def test_bm25_scores_rank_term_hits(spark):
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
     assert all(r.tf_0 + r.tf_1 + r.tf_2 > 0 for r in out)
+
+
+def test_substring_spans_flags_known_overlap(spark):
+    """Span-dedup invariants: every doc with >= K tokens reports, the
+    duplicated fraction is a true fraction, and the fixture's known
+    cross-doc 8-gram overlap (1015 shared spans at sf0.01) surfaces as
+    at least one flagged document."""
+    out = _rows(spark, "dedup_substring_spans")
+    assert len(out) == 500
+    for r in out:
+        assert 0 <= r.dup_spans <= r.n_spans
+        assert abs(r.dup_frac - round(r.dup_spans / r.n_spans, 6)) < 1e-9
+    assert any(r.dup_spans > 0 for r in out)
+    assert any(r.dup_spans == 0 for r in out)
+
+
+def test_perplexity_score_orders_quality(spark):
+    """LM scoring invariants: scores are positive (probabilities < 1),
+    the low-quality flag matches the corpus-mean threshold split, and
+    both sides of the split are non-empty on the fixture corpus."""
+    out = _rows(spark, "text_perplexity_score")
+    assert len(out) == 500
+    assert all(r.avg_neg_logp > 0 for r in out)
+    flagged = [r for r in out if r.low_quality == 1]
+    kept = [r for r in out if r.low_quality == 0]
+    assert flagged and kept
+    # the flag is a single threshold cut at the corpus mean, so the
+    # worst kept score can never exceed the best flagged score
+    assert max(r.avg_neg_logp for r in kept) <= min(
+        r.avg_neg_logp for r in flagged
+    )
+
+
+def test_triangle_count_matches_naive(spark):
+    """Degree-oriented count must equal the naive all-triple count
+    computed driver-side from the (small) edge list."""
+    from itertools import combinations
+
+    from articulation_vector_db_api_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    ps = [(r.p, r.s) for r in li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct().collect()]
+    by_part: dict = {}
+    for p, s in ps:
+        by_part.setdefault(p, set()).add(s)
+    edges = set()
+    for supps in by_part.values():
+        for x, y in combinations(sorted(supps), 2):
+            edges.add((x, y))
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    naive = sum(
+        1
+        for u, v in edges
+        for w in adj[u] & adj[v]
+        if w > v
+    )
+    out = _rows_tc(spark)
+    assert out.n_triangles == naive
+    assert out.n_edges == len(edges)
+    assert out.n_vertices == len(adj)
+
+
+def _rows_tc(spark):
+    from articulation_vector_db_api_spark.registry import load_all
+
+    return load_all()["graph_triangle_count"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]

@@ -211,6 +211,24 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"windowspecdefinition\(bucket", r"BroadcastHashJoin"],
         [r"CartesianProduct"],
     ),
+    "dedup_substring_spans": (
+        # duplicated-span set maps back via a semi-join on the digest;
+        # the text column itself must never reach a shuffle
+        [r"LeftSemi"],
+        [r"CartesianProduct", r"Exchange hashpartitioning\(text"],
+    ),
+    "text_perplexity_score": (
+        # token counts partial-agg before the shuffle; the single-row
+        # corpus total broadcasts, never a shuffled join
+        [r"partial_count", r"BroadcastNestedLoopJoin"],
+        [r"CartesianProduct"],
+    ),
+    "graph_triangle_count": (
+        # every stage is a keyed equi-join: wedge join on the pivot,
+        # closure check on the (a,b) pair — no all-pairs fallback
+        [r"HashAggregate"],
+        [r"CartesianProduct"],
+    ),
 }
 
 # query -> [(pattern, max_occurrences)] over the formatted plan.

@@ -2209,19 +2209,21 @@ def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Triangle counting with degree orientation (Suri & Vassilvitskii,
 # "Counting Triangles and the Curse of the Last Reducer", WWW 2011).
-# Graph: suppliers are vertices; an edge joins two suppliers that ship
-# the same part (distinct (l_partkey, l_suppkey) pairs from lineitem).
+# Graph: parts are vertices; an edge joins two parts bought in the same
+# order (co-purchase graph). Orders hold at most 7 lineitems, so pair
+# generation is a bounded-block self-join — linear in orders, never
+# quadratic in parts (the entity-resolution "blocking" discipline).
 # ---------------------------------------------------------------------------
 
 
 @register(
     "graph_triangle_count",
     oracle="""
-    WITH ps AS (
-        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    WITH po AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
     ), edges AS (
-        SELECT DISTINCT a.s AS u, b.s AS v
-        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
     ), deg AS (
         SELECT node, count(*) AS d FROM (
             SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
@@ -2254,26 +2256,27 @@ def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "graph"),
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global triangle count + transitivity over the co-supply graph,
+    """Global triangle count + transitivity over the co-purchase graph,
     using degree orientation: each undirected edge points from its
     lower-(degree, id) endpoint to the higher, so wedge enumeration
     pivots on low-degree vertices and the worst reducer is O(m^{3/2})
     total work instead of O(max_deg^2) — the standard fix for skewed
     power-law graphs at cluster scale.
 
-    Scale shape: three hash-partitioned equi-joins (edge build on
-    partkey, wedge join on the pivot vertex, closure check on the
-    (a, b) pair); nothing collects. The wedge condition compares
+    Scale shape: three hash-partitioned equi-joins (edge build blocked
+    on orderkey — orders hold <= 7 lineitems, so pair generation is
+    linear in orders — wedge join on the pivot vertex, closure check
+    on the (a, b) pair); nothing collects. The wedge condition compares
     (degree, id) tuples so the orientation is a strict total order —
     each triangle is produced by exactly one of its three vertices."""
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    po = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
-    a, b = ps.alias("a"), ps.alias("b")
+    a, b = po.alias("a"), po.alias("b")
     edges = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
     )
     deg = (

@@ -93,15 +93,15 @@ def test_triangle_count_matches_naive(spark):
     from pyspark.sql import functions as F
 
     li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
-    ps = [(r.p, r.s) for r in li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    po = [(r.o, r.p) for r in li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct().collect()]
-    by_part: dict = {}
-    for p, s in ps:
-        by_part.setdefault(p, set()).add(s)
+    by_order: dict = {}
+    for o, p in po:
+        by_order.setdefault(o, set()).add(p)
     edges = set()
-    for supps in by_part.values():
-        for x, y in combinations(sorted(supps), 2):
+    for parts in by_order.values():
+        for x, y in combinations(sorted(parts), 2):
             edges.add((x, y))
     adj: dict = {}
     for u, v in edges:

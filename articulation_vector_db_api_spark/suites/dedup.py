@@ -870,6 +870,7 @@ _SPAN_K = 8  # tokens per span (the paper uses 50 BPE tokens; fixture docs avera
 
 @register(
     "dedup_substring_spans",
+    headline=True,
     oracle=f"""
     WITH d AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
@@ -951,6 +952,125 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("dup_spans").cast("double") / F.col("n_spans"), 6
             ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed curation pipeline: near-dup candidate pairs → connected
+# components → keep the best representative per duplicate cluster.
+# This is the shape real training-data dedup ships (e.g. RefinedWeb,
+# SlimPajama): clustering alone is not actionable — the pipeline must
+# decide WHICH copy survives.
+# ---------------------------------------------------------------------------
+
+_KEEP_JACCARD = 0.1
+
+
+@register(
+    "pipeline_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE shingles AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    pair_inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        FROM shingles x JOIN shingles y
+          ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    ),
+    edges AS (
+        SELECT a, b FROM pair_inter
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {_KEEP_JACCARD}
+    ),
+    sym AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION
+        SELECT b, a FROM edges
+    ),
+    r(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM r JOIN sym s ON r.dst = s.src
+    ),
+    members AS (SELECT DISTINCT src AS node FROM sym),
+    labels AS (
+        SELECT m.node,
+               least(m.node, (SELECT min(dst) FROM r WHERE src = m.node))
+                   AS component
+        FROM members m
+    )
+    SELECT l.node AS doc_id, l.component, d.n_chars,
+           CAST(CASE WHEN row_number() OVER (
+                    PARTITION BY l.component
+                    ORDER BY d.n_chars DESC, l.node) = 1
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM labels l JOIN documents d ON d.doc_id = l.node
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "curation"),
+)
+def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal: trigram-shingle candidate pairs
+    (exact Jaccard >= 0.1), connected components over the pair graph,
+    then one survivor per cluster — the longest document, ties to the
+    smallest id (the keep-longest heuristic production dedup uses).
+
+    Scale shape: candidate pairs come from the shingle equi-join
+    (never all-pairs), the component fixpoint is one shuffle per round
+    with O(log n) rounds (operators/graph.py), and survivor election
+    is a single per-component window. The `keep = 0` rows ARE the
+    deletion list a 100 TB curation job writes back."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    edges = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+            >= _KEEP_JACCARD
+        )
+        .select("a", "b")
+    )
+    from ..operators.graph import connected_components
+
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    labels = connected_components(nodes, edges)
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("node")
+    )
+    return (
+        labels.join(
+            load_table(spark, sf_dir, "documents").select(
+                F.col("doc_id").alias("node"), "n_chars"
+            ),
+            "node",
+        )
+        .withColumn(
+            "keep", (F.row_number().over(w) == 1).cast("int")
+        )
+        .select(
+            F.col("node").alias("doc_id"), "component", "n_chars", "keep"
         )
         .orderBy("doc_id")
     )

@@ -583,3 +583,105 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("exact_dist", "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Index-quality evaluation: recall@k of the LSH index against the
+# exact scan, measured inside the engine. Every vector store ships
+# this harness; at 100 TB it is the only way to tune N_PLANES /
+# nprobe without exporting data.
+# ---------------------------------------------------------------------------
+
+_EVAL_NQ = 20  # query batch: vec_ids 0..19
+_EVAL_K = 10
+
+
+@register(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH {_BUCKETS_SQL},
+    q AS (SELECT vec_id AS qid, bucket AS qbucket, embedding AS qv
+          FROM buckets WHERE vec_id < {_EVAL_NQ}),
+    exact AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {cosine_sql_duckdb("e.embedding", "q.qv")} DESC,
+                                e.vec_id) AS rn
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id != q.qid
+        ) WHERE rn <= {_EVAL_K}
+    ),
+    approx AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, b.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {cosine_sql_duckdb("b.embedding", "q.qv")} DESC,
+                                b.vec_id) AS rn
+            FROM buckets b JOIN q ON b.bucket = q.qbucket
+            WHERE b.vec_id != q.qid
+        ) WHERE rn <= {_EVAL_K}
+    )
+    SELECT e.qid,
+           count(a.vec_id) AS n_hit,
+           round(CAST(count(a.vec_id) AS DOUBLE) / {_EVAL_K}, 6) AS recall
+    FROM exact e
+    LEFT JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id
+    GROUP BY e.qid
+    ORDER BY e.qid
+    """,
+    tags=("similarity", "eval"),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the hyperplane-LSH index vs the exact scan for a
+    20-query batch, computed entirely in-engine: exact top-k via the
+    batch-kNN window, approximate top-k probing only each query's
+    bucket, then a per-query hit join.
+
+    Scale shape: the 20-row query set broadcasts to both sides; the
+    exact side is one corpus scan amortized over the whole batch, the
+    approx side reads only the probed buckets (partition-pruned under
+    bucketed storage). The hit join keys on (qid, vec_id) — tiny."""
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket"))
+    q = b.filter(F.col("vec_id") < _EVAL_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("bucket").alias("qbucket"),
+        F.col("embedding").alias("qv"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("raw"), "vec_id")
+    exact = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", cosine(F.col("embedding"), F.col("qv")).alias("raw")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _EVAL_K)
+        .select("qid", "vec_id")
+    )
+    approx = (
+        b.join(F.broadcast(q), b.bucket == F.col("qbucket"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", cosine(F.col("embedding"), F.col("qv")).alias("raw")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _EVAL_K)
+        .select("qid", F.col("vec_id").alias("avid"))
+    )
+    return (
+        exact.join(
+            approx,
+            (exact.qid == approx.qid) & (exact.vec_id == approx.avid),
+            "left",
+        )
+        .groupBy(exact.qid.alias("qid"))
+        .agg(
+            F.count("avid").alias("n_hit"),
+            F.round(F.count("avid").cast("double") / _EVAL_K, 6).alias("recall"),
+        )
+        .orderBy("qid")
+    )

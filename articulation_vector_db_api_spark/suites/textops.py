@@ -1096,6 +1096,7 @@ def curation_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_perplexity_score",
+    headline=True,
     oracle="""
     WITH d AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t

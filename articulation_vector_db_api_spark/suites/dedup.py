@@ -1074,3 +1074,123 @@ def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a NEW ingest batch checked against the EXISTING
+# corpus. Production pipelines never re-pair the whole corpus per
+# ingest — the batch's digests probe the corpus digest table
+# one-directionally, so cost scales with the batch, not the corpus.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    batch AS (SELECT * FROM shingles WHERE doc_id % 10 = 0),
+    corpus AS (SELECT * FROM shingles WHERE doc_id % 10 != 0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    overlap AS (
+        SELECT b.doc_id AS new_doc, c.doc_id AS corpus_doc, count(*) AS inter
+        FROM batch b JOIN corpus c ON b.shingle = c.shingle
+        GROUP BY b.doc_id, c.doc_id
+    ),
+    scored AS (
+        SELECT new_doc, corpus_doc,
+               round(CAST(inter AS DOUBLE)
+                     / (sb.n + sc.n - inter), 6) AS jaccard
+        FROM overlap
+        JOIN sizes sb ON sb.doc_id = new_doc
+        JOIN sizes sc ON sc.doc_id = corpus_doc
+        WHERE CAST(inter AS DOUBLE) / (sb.n + sc.n - inter) >= {_KEEP_JACCARD}
+    ),
+    best AS (
+        SELECT new_doc, corpus_doc, jaccard FROM (
+            SELECT new_doc, corpus_doc, jaccard,
+                   row_number() OVER (PARTITION BY new_doc
+                                      ORDER BY jaccard DESC, corpus_doc) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT b.doc_id AS new_doc,
+           best.corpus_doc AS dup_of,
+           best.jaccard,
+           CAST(CASE WHEN best.corpus_doc IS NULL THEN 1 ELSE 0 END AS INT)
+               AS admit
+    FROM (SELECT DISTINCT doc_id FROM batch) b
+    LEFT JOIN best ON best.new_doc = b.doc_id
+    ORDER BY new_doc
+    """,
+    tags=("dedup", "curation"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission control for an incoming batch (doc_id % 10 = 0 plays
+    the new ingest; the rest is the standing corpus): each new doc is
+    admitted unless its trigram-shingle Jaccard against some corpus doc
+    reaches 0.1, in which case it reports its closest duplicate.
+
+    Scale shape: the join is one-directional — batch shingles probe
+    the corpus shingle table (at 100 TB a bucketed/sorted digest table,
+    so the probe is a partition-local merge, and only batch-sized
+    state shuffles). The argmax-duplicate is a window over the
+    batch-sized overlap set, never over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    batch = sh.filter(F.col("doc_id") % 10 == 0)
+    corpus = sh.filter(F.col("doc_id") % 10 != 0)
+    overlap = (
+        batch.alias("b")
+        .join(corpus.alias("c"), F.col("b.shingle") == F.col("c.shingle"))
+        .groupBy(
+            F.col("b.doc_id").alias("new_doc"),
+            F.col("c.doc_id").alias("corpus_doc"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    scored = (
+        overlap.join(
+            sizes.withColumnRenamed("doc_id", "new_doc").withColumnRenamed("n", "nb"),
+            "new_doc",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "corpus_doc").withColumnRenamed(
+                "n", "nc"
+            ),
+            "corpus_doc",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("nb") + F.col("nc") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("nb") + F.col("nc") - F.col("inter"))
+            >= _KEEP_JACCARD
+        )
+    )
+    w = Window.partitionBy("new_doc").orderBy(
+        F.desc("jaccard"), F.col("corpus_doc")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_doc", "corpus_doc", "jaccard")
+    )
+    return (
+        batch.select("doc_id").distinct()
+        .withColumnRenamed("doc_id", "new_doc")
+        .join(best, "new_doc", "left")
+        .select(
+            "new_doc",
+            F.col("corpus_doc").alias("dup_of"),
+            "jaccard",
+            F.col("corpus_doc").isNull().cast("int").alias("admit"),
+        )
+        .orderBy("new_doc")
+    )

@@ -229,6 +229,24 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate"],
         [r"CartesianProduct"],
     ),
+    "pipeline_dedup_keep_best": (
+        # candidates from the shingle equi-join; survivor election is
+        # one per-component window — no cartesian pair generation
+        [r"\bWindow\b"],
+        [r"CartesianProduct"],
+    ),
+    "ann_recall_eval": (
+        # the 20-row query batch broadcasts to both the exact scan and
+        # the bucket probe; nothing shuffles the corpus on a non-key
+        [r"BroadcastNestedLoopJoin", r"BroadcastHashJoin"],
+        [r"CartesianProduct"],
+    ),
+    "dedup_incremental_batch": (
+        # batch probes corpus on the shingle key; duplicate argmax is
+        # a batch-sized window
+        [r"\bWindow\b", r"HashAggregate"],
+        [r"CartesianProduct"],
+    ),
 }
 
 # query -> [(pattern, max_occurrences)] over the formatted plan.

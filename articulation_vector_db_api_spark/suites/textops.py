@@ -1205,3 +1205,73 @@ def text_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-epoch global shuffle: assign every document a deterministic
+# pseudorandom global rank, then cut fixed-size shards. The naive plan
+# (row_number over a global ORDER BY) is a partition-less window; the
+# engine uses the same bucket-prefix-sum decomposition as sequence
+# packing so the shuffle order is computed distributedly.
+# ---------------------------------------------------------------------------
+
+_SHARD_SIZE = 64
+
+
+@register(
+    "curation_shard_assignment",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+                   AS global_rank
+        FROM documents
+    )
+    SELECT doc_id, global_rank,
+           global_rank // {_SHARD_SIZE} AS shard_id,
+           global_rank % {_SHARD_SIZE} AS pos
+    FROM r ORDER BY doc_id
+    """,
+    tags=("textops", "curation"),
+)
+def curation_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle for training: md5-of-key is the
+    pseudorandom order (identical on every engine and rerun), each doc
+    gets a global rank, and ranks cut into fixed-size shards — the
+    shard files a dataloader streams.
+
+    Scale shape: the global rank is a two-pass prefix sum, not a
+    partition-less window — rank within one of 256 md5-prefix buckets
+    (parallel window), then per-bucket offsets (a 256-row cumsum)
+    broadcast back. Identical topology to pack_sequences_token_budget;
+    at 100 TB the bucket count rises with the cluster, the offset
+    table stays tiny, and no stage sees the corpus in one task."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("k")
+    ).withColumn("bucket", F.conv(F.substring("k", 1, 2), 16, 10).cast("int"))
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("bucket").orderBy("k", "doc_id")
+    ranked = d.withColumn("rn", F.row_number().over(wb))
+    counts = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    # 256-row bounded cumsum: the only partition-less window, over the
+    # bucket table, never the corpus
+    wo = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("c").over(wo), F.lit(0))
+    ).select("bucket", "off")
+    return (
+        ranked.join(F.broadcast(offsets), "bucket")
+        .withColumn("global_rank", F.col("off") + F.col("rn") - 1)
+        .select(
+            "doc_id",
+            "global_rank",
+            F.floor(F.col("global_rank") / _SHARD_SIZE).alias("shard_id"),
+            (F.col("global_rank") % _SHARD_SIZE).alias("pos"),
+        )
+        .orderBy("doc_id")
+    )

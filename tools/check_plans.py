@@ -247,6 +247,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"\bWindow\b", r"HashAggregate"],
         [r"CartesianProduct"],
     ),
+    "curation_shard_assignment": (
+        # global rank must decompose into the bucket window + broadcast
+        # offsets — never a partition-less window over the corpus
+        [r"windowspecdefinition\(bucket", r"BroadcastHashJoin"],
+        [r"CartesianProduct"],
+    ),
 }
 
 # query -> [(pattern, max_occurrences)] over the formatted plan.
@@ -264,6 +270,7 @@ COUNT_LIMITS: dict[str, list[tuple[str, int]]] = {
     # bucket window + bucket totals + pack agg; anything more means the
     # prefix-sum decomposition regressed into extra shuffles
     "pack_sequences_token_budget": [(r"Exchange hashpartitioning", 3)],
+    "curation_shard_assignment": [(r"Exchange hashpartitioning", 3)],
 }
 
 # name -> builder for plan-only audits of streaming transformations

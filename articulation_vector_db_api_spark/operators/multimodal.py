@@ -93,3 +93,50 @@ def extract_binary_features(df: DataFrame, deterministic_stub: bool = True) -> D
             )
 
     return df.select("doc_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_width", T.LongType()),
+        T.StructField("src_height", T.LongType()),
+        T.StructField("out_width", T.LongType()),
+        T.StructField("out_height", T.LongType()),
+        T.StructField("out_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_batch(df: DataFrame, target: int = 224) -> DataFrame:
+    """Aspect-preserving resize plan over the decoded dimensions —
+    the preprocessing step every vision pipeline runs before feature
+    extraction. The arithmetic is pure integer (floor of w*target/m),
+    so the stub path is bit-reproducible in any engine; a real
+    deployment swaps the dimension source for the codec decode and
+    emits resized pixel buffers instead of the dimension plan.
+
+    Scale shape: identical to extract_binary_features — one narrow
+    Arrow-batched map where the data lives, no shuffle; the decoded
+    dims never leave the executor."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n_bytes = pdf["payload"].map(len)
+            width = n_bytes % 640
+            height = (n_bytes * 7) % 480
+            m = pd.concat([width, height], axis=1).max(axis=1).clip(lower=1)
+            out_w = (width * target) // m
+            out_h = (height * target) // m
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_width": width.astype("int64"),
+                    "src_height": height.astype("int64"),
+                    "out_width": out_w.astype("int64"),
+                    "out_height": out_h.astype("int64"),
+                    # 3-channel byte budget of the resized buffer
+                    "out_bytes": (out_w * out_h * 3).astype("int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, RESIZE_SCHEMA)

@@ -173,3 +173,38 @@ def multimodal_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("route")
     )
+
+
+@register(
+    "multimodal_resize_batch",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               octet_length(encode(text)) % 640 AS src_width,
+               (octet_length(encode(text)) * 7) % 480 AS src_height
+        FROM documents
+    ), m AS (
+        SELECT doc_id, src_width, src_height,
+               greatest(src_width, src_height, 1) AS mx
+        FROM dims
+    )
+    SELECT doc_id, src_width, src_height,
+           (src_width * 224) // mx AS out_width,
+           (src_height * 224) // mx AS out_height,
+           ((src_width * 224) // mx) * ((src_height * 224) // mx) * 3
+               AS out_bytes
+    FROM m ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+)
+def multimodal_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving 224px resize plan via the Arrow decode
+    pipeline (operators/multimodal.py:resize_batch): source dims come
+    from the deterministic decode stub, the resize arithmetic is the
+    real integer math a vision preprocessor runs, and the output byte
+    budget is what a capacity planner needs before launching the full
+    pixel job."""
+    from ..operators.multimodal import resize_batch
+
+    docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return resize_batch(docs).orderBy("doc_id")

@@ -125,3 +125,34 @@ def _rows_tc(spark):
     return load_all()["graph_triangle_count"].fn(
         spark, "/root/testdata/sf0.001"
     ).collect()[0]
+
+
+def test_shard_assignment_is_permutation(spark):
+    """Epoch shuffle must be a permutation: global ranks are exactly
+    0..N-1, every shard but the last holds exactly SHARD_SIZE docs,
+    and positions within a shard are 0..size-1."""
+    out = _rows(spark, "curation_shard_assignment")
+    n = len(out)
+    assert sorted(r.global_rank for r in out) == list(range(n))
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r.shard_id, []).append(r.pos)
+    last = max(by_shard)
+    for sid, poss in by_shard.items():
+        expect = 64 if sid != last else n - 64 * last
+        assert sorted(poss) == list(range(expect))
+
+
+def test_incremental_batch_admission_is_consistent(spark):
+    """Admission control: admitted docs carry no duplicate pointer,
+    rejected docs point at a corpus doc (never a batch doc) with
+    jaccard >= threshold."""
+    out = _rows(spark, "dedup_incremental_batch")
+    assert all(r.new_doc % 10 == 0 for r in out)
+    for r in out:
+        if r.admit == 1:
+            assert r.dup_of is None and r.jaccard is None
+        else:
+            assert r.dup_of % 10 != 0
+            assert r.jaccard >= 0.1
+    assert any(r.admit == 1 for r in out)

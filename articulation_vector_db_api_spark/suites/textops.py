@@ -1275,3 +1275,167 @@ def curation_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Capstone: the full training-data export manifest in one plan —
+# heuristic quality gate → exact dedup (keep-first) → LM perplexity
+# gate → deterministic shard assignment. This is the job a 100 TB
+# corpus runs nightly; every stage is individually oracle-verified
+# above, and this query verifies their composition.
+# ---------------------------------------------------------------------------
+
+_EXPORT_MIN_TOKENS = 10
+
+
+@register(
+    "pipeline_training_export",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, trim(lower(text)) AS norm,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ), quality AS (
+        SELECT doc_id, norm, t, len(t) AS n_tokens
+        FROM base WHERE len(t) >= {_EXPORT_MIN_TOKENS}
+    ), deduped AS (
+        SELECT doc_id, t, n_tokens FROM (
+            SELECT doc_id, t, n_tokens,
+                   row_number() OVER (PARTITION BY sha256(norm)
+                                      ORDER BY doc_id) AS rn
+            FROM quality
+        ) WHERE rn = 1
+    ), ex AS (
+        SELECT doc_id, unnest(t) AS tok FROM deduped
+    ), vocab AS (
+        SELECT tok, count(*) AS c FROM ex GROUP BY tok
+    ), tot AS (SELECT sum(c) AS total FROM vocab),
+    lp AS (
+        SELECT tok, c,
+               CAST(round(ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))
+                          * 1000000) AS BIGINT) AS lp_micro
+        FROM vocab CROSS JOIN tot
+    ), scored AS (
+        SELECT e.doc_id, count(*) AS n_tokens, -sum(l.lp_micro) AS nll_micro
+        FROM ex e JOIN lp l ON e.tok = l.tok GROUP BY e.doc_id
+    ), corpus AS (
+        SELECT round(CAST(-sum(c * lp_micro) AS DOUBLE)
+                     / (CAST((SELECT total FROM tot) AS DOUBLE) * 1000000.0),
+                     6) AS corpus_nll
+        FROM lp
+    ), kept AS (
+        SELECT doc_id, n_tokens FROM scored
+        WHERE round(CAST(nll_micro AS DOUBLE)
+                    / (CAST(n_tokens AS DOUBLE) * 1000000.0), 6)
+              <= (SELECT corpus_nll FROM corpus)
+    ), ranked AS (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+                   AS global_rank
+        FROM kept
+    )
+    SELECT doc_id, n_tokens, global_rank,
+           global_rank // {_SHARD_SIZE} AS shard_id,
+           global_rank % {_SHARD_SIZE} AS pos
+    FROM ranked ORDER BY doc_id
+    """,
+    tags=("textops", "curation"),
+)
+def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The export manifest: heuristic gate (>= 10 tokens), exact
+    normalized dedup keeping the smallest id, unigram-LM gate keeping
+    docs at-or-better-than the corpus mean, then the deterministic
+    epoch shuffle cut into 64-doc shards. One Spark job; four stages
+    that each re-use an already-verified operator's exact topology.
+
+    Scale: the stages compose without materialization barriers — the
+    quality filter is scan-time, dedup is one digest shuffle, the LM
+    is two shuffles plus broadcast stats, sharding is the bucket
+    prefix-sum. Nothing in the pipeline holds text after the digest
+    stage; the manifest rows are (id, rank) pairs."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    norm = F.trim(F.lower(F.col("text")))
+    toks = F.split(norm, r"\s+")
+    quality = docs.select(
+        "doc_id", norm.alias("norm"), toks.alias("t")
+    ).withColumn("n_tokens", F.size("t")).filter(
+        F.col("n_tokens") >= _EXPORT_MIN_TOKENS
+    )
+    wd = Window.partitionBy(F.sha2(F.col("norm"), 256)).orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "t", "n_tokens")
+    )
+    ex = deduped.select("doc_id", F.explode("t").alias("tok"))
+    vocab = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(tot)).withColumn(
+        "lp_micro",
+        F.round(
+            F.log(F.col("c").cast("double") / F.col("total").cast("double"))
+            * 1000000,
+            0,
+        ).cast("bigint"),
+    )
+    scored = (
+        ex.join(lp.select("tok", "lp_micro"), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum("lp_micro")).alias("nll_micro"),
+        )
+    )
+    corpus = (
+        lp.agg(
+            F.sum(F.col("c") * F.col("lp_micro")).alias("corpus_lp"),
+            F.first("total").alias("total"),
+        )
+        .select(
+            F.round(
+                (-F.col("corpus_lp")).cast("double")
+                / (F.col("total").cast("double") * F.lit(1000000.0)),
+                6,
+            ).alias("corpus_nll")
+        )
+    )
+    kept = (
+        scored.crossJoin(F.broadcast(corpus))
+        .filter(
+            F.round(
+                F.col("nll_micro").cast("double")
+                / (F.col("n_tokens").cast("double") * F.lit(1000000.0)),
+                6,
+            )
+            <= F.col("corpus_nll")
+        )
+        .select("doc_id", "n_tokens")
+    )
+    d = kept.select(
+        "doc_id", "n_tokens", F.md5(F.col("doc_id").cast("string")).alias("k")
+    ).withColumn("bucket", F.conv(F.substring("k", 1, 2), 16, 10).cast("int"))
+    wb = Window.partitionBy("bucket").orderBy("k", "doc_id")
+    ranked = d.withColumn("rn", F.row_number().over(wb))
+    counts = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("c").over(wo), F.lit(0))
+    ).select("bucket", "off")
+    return (
+        ranked.join(F.broadcast(offsets), "bucket")
+        .withColumn("global_rank", F.col("off") + F.col("rn") - 1)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "global_rank",
+            F.floor(F.col("global_rank") / _SHARD_SIZE).alias("shard_id"),
+            (F.col("global_rank") % _SHARD_SIZE).alias("pos"),
+        )
+        .orderBy("doc_id")
+    )

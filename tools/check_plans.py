@@ -253,6 +253,18 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"windowspecdefinition\(bucket", r"BroadcastHashJoin"],
         [r"CartesianProduct"],
     ),
+    "multimodal_resize_batch": (
+        # resize crosses to Python as Arrow batches, never pickled rows
+        [r"ArrowEvalPython|MapInPandas"],
+        [r"BatchEvalPython"],
+    ),
+    "pipeline_training_export": (
+        # four composed stages stay one job: digest-window dedup, LM
+        # broadcast stats, bucket prefix-sum sharding; no Python, no
+        # cartesian, no partition-less corpus window
+        [r"windowspecdefinition\(bucket", r"BroadcastNestedLoopJoin"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
 }
 
 # query -> [(pattern, max_occurrences)] over the formatted plan.

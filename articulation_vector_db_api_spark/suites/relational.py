@@ -2327,3 +2327,35 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("transitivity"),
         )
     )
+
+
+@register(
+    "agg_hll_sketch_rollup",
+    oracle=None,  # DataSketches binary sketches are engine-specific
+    tags=("relational", "agg", "approx"),
+)
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-nation HLL sketches of distinct
+    customers (hll_sketch_agg) UNIONED to region level (hll_union_agg)
+    without touching raw values again — the pre-aggregation contract
+    that makes 100 TB distinct-count dashboards incremental: store the
+    sketch column at the fine grain, merge upward at query time.
+    Register-maximum union is order-independent, so estimates are
+    deterministic at any partition count (pytest pins them against
+    exact counts; no cross-engine oracle — sketch bytes are
+    DataSketches-specific)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "n_nationkey")
+        .agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+    )
+    return (
+        per_nation.groupBy("n_regionkey")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_customers"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("n_regionkey")
+    )

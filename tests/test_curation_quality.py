@@ -156,3 +156,26 @@ def test_incremental_batch_admission_is_consistent(spark):
             assert r.dup_of % 10 != 0
             assert r.jaccard >= 0.1
     assert any(r.admit == 1 for r in out)
+
+
+def test_hll_sketch_rollup_accuracy(spark):
+    """Merged region-level sketch estimates must sit within 2% of the
+    exact distinct counts (HLL lgK default = 12 → ~1.6% rse), and the
+    union of nation sketches must see every nation."""
+    from articulation_vector_db_api_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    out = {r.n_regionkey: r for r in _rows(spark, "agg_hll_sketch_rollup")}
+    c = load_table(spark, SF, "customer")
+    n = load_table(spark, SF, "nation")
+    exact = {
+        r.n_regionkey: r.x
+        for r in c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey")
+        .agg(F.countDistinct("c_custkey").alias("x"))
+        .collect()
+    }
+    assert set(out) == set(exact)
+    for k, row in out.items():
+        assert abs(row.est_customers - exact[k]) / exact[k] < 0.02
+        assert row.n_nations == 5

@@ -78,3 +78,21 @@ def run_available_now(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(qname)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the documents table (same staged-directory
+    contract as read_events_stream): the landing directory a corpus
+    crawler drops new document files into."""
+    stage = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp",
+        "streams",
+        "docs_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return spark.readStream.schema(SCHEMAS["documents"]).parquet(stage)

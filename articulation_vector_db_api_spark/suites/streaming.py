@@ -572,3 +572,64 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, "ohlc", "complete").orderBy(
         "bucket", "event_type"
     )
+
+
+@register(
+    "stream_curation_admission",
+    oracle="""
+    WITH q AS (
+        SELECT DISTINCT sha256(trim(lower(text))) AS dg, source,
+               len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS n_tokens
+        FROM documents
+        WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 10
+    )
+    SELECT source, count(*) AS n_admitted,
+           sum(n_tokens) AS total_tokens
+    FROM q GROUP BY source ORDER BY source
+    """,
+    tags=("streaming", "curation"),
+)
+def stream_curation_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation gate as a STREAM: documents arrive (delivered twice
+    here — the stream unioned with itself — to model at-least-once
+    sources), pass the heuristic quality filter, and exactly-once
+    admission dedups on the normalized-text digest in keyed state;
+    per-source admitted counts equal the single-delivery batch truth.
+
+    Scale shape: state is one digest per unique document, bounded in
+    production by dropDuplicatesWithinWatermark; the quality filter
+    runs BEFORE the stateful operator so rejected docs never enter
+    state — order matters at 100 TB where the reject rate is high."""
+    from ..streaming.windows import read_documents_stream
+
+    docs = read_documents_stream(spark, sf_dir)
+    admitted = curation_admission_transform(docs)
+    return run_available_now(admitted, "curation_admission", "complete").orderBy(
+        "source"
+    )
+
+
+def curation_admission_transform(docs: DataFrame) -> DataFrame:
+    """The streaming transformation alone (plan-audited: the filter
+    must sit below the dedup StateStore, and the per-source rollup is
+    a second stateful agg)."""
+    norm = F.trim(F.lower(F.col("text")))
+    toks = F.split(norm, r"\s+")
+    quality = (
+        docs.unionByName(docs)
+        .select(
+            "source",
+            F.sha2(norm, 256).alias("dg"),
+            F.size(toks).alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= 10)
+    )
+    return (
+        quality.dropDuplicates(["dg"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_admitted"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

@@ -295,11 +295,21 @@ STREAMING_EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"StateStoreRestore", r"StateStoreSave", r"HashAggregate"],
         [r"CartesianProduct"],
     ),
+    "stream_curation_admission[transform]": (
+        # exactly-once admission: digest dedup keyed state + the
+        # per-source stateful rollup; quality filter below the dedup
+        [r"StreamingDeduplicate", r"StateStoreSave"],
+        [r"CartesianProduct"],
+    ),
 }
 
 
 def _streaming_frames(spark):
+    from articulation_vector_db_api_spark.streaming.windows import (
+        read_documents_stream,
+    )
     from articulation_vector_db_api_spark.suites.streaming import (
+        curation_admission_transform,
         read_events_stream,
         tumbling_window_agg,
     )
@@ -307,6 +317,9 @@ def _streaming_frames(spark):
     return {
         "stream_tumbling_window[transform]": tumbling_window_agg(
             read_events_stream(spark, SF)
+        ),
+        "stream_curation_admission[transform]": curation_admission_transform(
+            read_documents_stream(spark, SF)
         ),
     }
 

@@ -2359,3 +2359,83 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "join_asof_forward_tolerance",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id AS key, ts, event_id,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_probe,
+               CASE WHEN event_type = 'purchase' THEN event_id END AS pkey
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    filled AS (
+        SELECT *,
+               first_value(pkey IGNORE NULLS) OVER w AS next_purchase,
+               first_value(CASE WHEN pkey IS NOT NULL THEN ts END
+                           IGNORE NULLS) OVER w AS next_ts
+        FROM tagged
+        WINDOW w AS (PARTITION BY key ORDER BY ts, is_probe DESC, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id AS view_event, key AS user_id, next_purchase,
+           (epoch_us(next_ts) - epoch_us(ts)) // 1000000 AS secs_until
+    FROM filled
+    WHERE is_probe = 1 AND next_purchase IS NOT NULL
+      AND epoch_us(next_ts) - epoch_us(ts) <= CAST(3600000000 AS BIGINT)
+    ORDER BY view_event
+    """,
+    tags=("relational", "join", "asof"),
+)
+def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance (pandas merge_asof
+    direction='forward'): every view event matched to the same user's
+    NEXT purchase, kept only when it converts within an hour — the
+    clickstream attribution join. Same union-free window encoding as
+    the backward variant (one stream, two roles): first_value over the
+    forward frame, one shuffle on the user key at any scale; the
+    tolerance is a free post-filter in exact integer microseconds.
+    Ties order views before purchases at equal ts (is_probe DESC) so a
+    same-instant purchase still attributes, deterministically."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    tagged = ev.select(
+        F.col("user_id").alias("key"),
+        "ts",
+        "event_id",
+        (F.col("event_type") == "view").cast("int").alias("is_probe"),
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias(
+            "pkey"
+        ),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.col("ts"), F.col("is_probe").desc(), F.col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = tagged.select(
+        "*",
+        F.first("pkey", ignorenulls=True).over(w).alias("next_purchase"),
+        F.first(
+            F.when(F.col("pkey").isNotNull(), F.col("ts")), ignorenulls=True
+        ).over(w).alias("next_ts"),
+    )
+    micros = F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))
+    return (
+        filled.filter(
+            (F.col("is_probe") == 1)
+            & F.col("next_purchase").isNotNull()
+            & (micros <= 3600 * 1000000)
+        )
+        .select(
+            F.col("event_id").alias("view_event"),
+            F.col("key").alias("user_id"),
+            "next_purchase",
+            F.floor(micros / 1000000).cast("long").alias("secs_until"),
+        )
+        .orderBy("view_event")
+    )

@@ -921,6 +921,9 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.size("t"))
         .filter(F.col("n") >= _SPAN_K)
     )
+    # ONE corpus scan: every downstream branch (duplicated-digest set,
+    # per-doc dup counts, per-doc totals) reads the persisted digest
+    # frame — 24 bytes/span — instead of re-scanning + re-exploding text
     grams = sized.select(
         "doc_id",
         F.explode(
@@ -929,7 +932,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, _SPAN_K))),
             )
         ).alias("g"),
-    )
+    ).persist()
     dup = (
         grams.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -941,11 +944,13 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("dup_spans"))
     )
+    # explode emits exactly n-K+1 digests per doc, so the span totals
+    # come from the same frame — no second pass over `sized`
+    totals = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans")
+    )
     return (
-        sized.select(
-            "doc_id", (F.col("n") - F.lit(_SPAN_K - 1)).alias("n_spans")
-        )
-        .join(per_doc, "doc_id", "left")
+        totals.join(per_doc, "doc_id", "left")
         .na.fill(0, ["dup_spans"])
         .withColumn(
             "dup_frac",

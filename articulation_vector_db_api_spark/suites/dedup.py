@@ -53,12 +53,12 @@ def _shingle_arrays(df: DataFrame, n: int = 3) -> DataFrame:
     ).otherwise(
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.size(tokens) - n),
-                # gram j = tokens[j .. j+n-1]; built from range(n) so the
-                # n parameter actually governs the shingle width.
-                lambda j: F.concat_ws(
-                    " ", *[tokens.getItem(j + i) for i in range(n)]
-                ),
+                # gram i = tokens[i .. i+n-1] (1-based slice); slice()
+                # keeps the whole expression in codegen — getItem with
+                # a Column index falls back to interpreted evaluation,
+                # measured ~50x slower on the shingle stage.
+                F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
             )
         )
     )
@@ -66,9 +66,16 @@ def _shingle_arrays(df: DataFrame, n: int = 3) -> DataFrame:
 
 
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id → one row per distinct shingle (exploded form)."""
+    """doc_id → one row per distinct shingle (exploded form).
+
+    explode_outer, deliberately: plain explode adds an implicit
+    `size(shingles) > 0` filter that Catalyst pushes below the
+    repartition, re-evaluating the whole shingle expression serially
+    in the single-split scan stage (measured 8x slowdown). The gram
+    array is non-empty by construction (the < n branch yields
+    [text]), so outer-explode is row-identical and skips the filter."""
     return _shingle_arrays(df, n).select(
-        "doc_id", F.explode("shingles").alias("shingle")
+        "doc_id", F.explode_outer("shingles").alias("shingle")
     )
 
 
@@ -1052,6 +1059,9 @@ def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= _KEEP_JACCARD
         )
         .select("a", "b")
+        .persist()  # read 3x: symmetrized edge set, node set, and the
+        # component loop's first materialization — without this the
+        # shingle self-join reruns for each (measured 6.0 -> 2.4 s)
     )
     from ..operators.graph import connected_components
 

@@ -186,10 +186,10 @@ def mllib_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = F.when(F.size(tokens) < 3, F.array(F.col("text"))).otherwise(
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.size(tokens) - 3),
-                lambda j: F.concat_ws(
-                    " ", tokens.getItem(j), tokens.getItem(j + 1), tokens.getItem(j + 2)
-                ),
+                # slice keeps the gram build in codegen; getItem with a
+                # Column index drops to interpreted evaluation (~50x)
+                F.sequence(F.lit(1), F.size(tokens) - 2),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i, 3)),
             )
         )
     )

@@ -495,12 +495,17 @@ def text_char_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bigram explode so the fan-out stages use every core
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    # outer-explode: the array is non-empty (length >= 2 filter), and
+    # plain explode's implicit size>0 filter would be pushed below the
+    # repartition, re-running the bigram transform serially at the
+    # scan. Persist: three branches (bigram counts, prefix counts,
+    # scoring) read this frame.
     grams = d.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
         ).alias("bg"),
-    ).withColumn("pre", F.substring("bg", 1, 1))
+    ).withColumn("pre", F.substring("bg", 1, 1)).persist()
     bg_counts = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("n_bg"))
     pre_counts = grams.groupBy("pre").agg(F.count(F.lit(1)).alias("n_pre"))
     scored = (
@@ -1157,7 +1162,11 @@ def text_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    ex = docs.select("doc_id", F.explode(toks).alias("tok"))
+    # outer-explode (array non-empty under the text filter): plain
+    # explode's pushed size>0 filter re-runs the split below the
+    # repartition. No persist — re-splitting is cheaper than caching
+    # the exploded token frame (measured both ways)
+    ex = docs.select("doc_id", F.explode_outer(toks).alias("tok"))
     vocab = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     tot = vocab.agg(F.sum("c").alias("total"))
     lp = vocab.crossJoin(F.broadcast(tot)).withColumn(

@@ -933,7 +933,10 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame — 24 bytes/span — instead of re-scanning + re-exploding text
     grams = sized.select(
         "doc_id",
-        F.explode(
+        # outer-explode: n >= K guarantees a non-empty span array, and
+        # plain explode's pushed size>0 filter would re-run the md5
+        # transform serially at the scan before the cache fills
+        F.explode_outer(
             F.transform(
                 F.sequence(F.lit(1), F.col("n") - F.lit(_SPAN_K - 1)),
                 lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, _SPAN_K))),

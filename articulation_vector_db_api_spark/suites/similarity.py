@@ -685,3 +685,192 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composed (the FAISS IVFPQ layout): coarse cells bound WHICH
+# vectors are scanned, PQ codes bound HOW MANY bytes each costs. The
+# two dials multiply: nprobe/n_cells of the corpus at 64 bits/vector.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_ivfpq_adc_topk",
+    oracle=f"""
+    WITH ivf AS (
+        SELECT vec_id, embedding, vec_id % {N_IVF_CELLS} AS cell FROM embeddings
+    ),
+    flat AS (
+        SELECT cell, generate_subscripts(embedding, 1) AS idx,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM ivf
+    ),
+    cent_flat AS (
+        SELECT cell, idx,
+               round(CAST(sum(CAST(v AS DECIMAL(30,8))) AS DOUBLE) / count(*), 6)
+                   AS cv
+        FROM flat GROUP BY cell, idx
+    ),
+    cent AS (SELECT cell, list(cv ORDER BY idx) AS c FROM cent_flat GROUP BY cell),
+    qe AS (SELECT embedding AS q FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    cellrank AS (
+        SELECT cell, {cosine_sql_duckdb("c", "q")} AS cs
+        FROM cent, qe
+        ORDER BY cs DESC, cell LIMIT {N_IVF_PROBES}
+    ),
+    vec AS (
+        SELECT i.vec_id, i.cell,
+               list_transform(i.embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM ivf i
+    ),
+    cb AS (SELECT vec_id AS code, v AS c FROM vec WHERE vec_id < {_PQ_CODES}),
+    qv AS (SELECT v AS q FROM vec WHERE vec_id = {QUERY_VEC_ID}),
+    subs AS (SELECT unnest(generate_series(0, {_PQ_SUBS - 1})) AS s),
+    enc0 AS (
+        SELECT v.vec_id, v.cell, s, code,
+               {_pq_sq_duckdb(
+                   f"list_slice(v.v, s * {_PQ_SUBDIM} + 1, s * {_PQ_SUBDIM} + {_PQ_SUBDIM})",
+                   f"list_slice(c, s * {_PQ_SUBDIM} + 1, s * {_PQ_SUBDIM} + {_PQ_SUBDIM})",
+                   _PQ_SUBDIM,
+               )} AS d_enc,
+               {_pq_sq_duckdb(
+                   f"list_slice(q, s * {_PQ_SUBDIM} + 1, s * {_PQ_SUBDIM} + {_PQ_SUBDIM})",
+                   f"list_slice(c, s * {_PQ_SUBDIM} + 1, s * {_PQ_SUBDIM} + {_PQ_SUBDIM})",
+                   _PQ_SUBDIM,
+               )} AS dq
+        FROM vec v CROSS JOIN subs CROSS JOIN cb CROSS JOIN qv
+        WHERE v.vec_id != {QUERY_VEC_ID}
+          AND v.cell IN (SELECT cell FROM cellrank)
+    ),
+    enc AS (
+        SELECT vec_id, cell, s, code, dq FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY d_enc, code) AS rn
+            FROM enc0
+        ) WHERE rn = 1
+    ),
+    adc AS (
+        SELECT vec_id, cell,
+               array_to_string(list(code ORDER BY s), '-') AS codes,
+               list_reduce(list_prepend(0.0, list(dq ORDER BY s)),
+                           (acc, e) -> acc + e) AS adc_d
+        FROM enc GROUP BY vec_id, cell
+    ),
+    cand AS (
+        SELECT a.vec_id, a.cell, a.codes, a.adc_d, v.v
+        FROM adc a JOIN vec v USING (vec_id)
+        ORDER BY a.adc_d, a.vec_id LIMIT {_PQ_RERANK}
+    )
+    SELECT vec_id, cell, codes, round(adc_d, 6) AS adc_dist,
+           round({_pq_sq_duckdb("v", "q", 64)}, 6) AS exact_dist
+    FROM cand CROSS JOIN qv
+    ORDER BY exact_dist, vec_id LIMIT 10
+    """,
+    tags=("similarity",),
+)
+def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF routing composed with PQ compression — the production ANN
+    layout (FAISS IVFPQ): the query probes its nprobe=2 nearest cells
+    (decimal-exact centroids, as ann_ivf_exact), and inside those cells
+    candidates are ranked by asymmetric PQ distance over 8-byte codes
+    (as ann_pq_adc_topk) before the top-50 exact re-rank. At 100 TB
+    the table is partitioned by cell and stores the code column next
+    to each row: a query reads nprobe/n_cells of the corpus at 64
+    bits/vector — the two savings multiply — and only the shortlist
+    touches full vectors.
+
+    Spark shape: centroids and the codebook are broadcast rows; cell
+    routing is a 2-row broadcast join (partition pruning under
+    partitioned storage); encode + ADC stay map-side codegen; both
+    shortlist and final top-k are TakeOrderedAndProject heap merges."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ivf = e.select(
+        "vec_id", "embedding", (F.col("vec_id") % N_IVF_CELLS).alias("cell")
+    )
+    # centroid build: element-wise decimal means (identical to ann_ivf_exact)
+    flat = ivf.select("cell", F.posexplode(F.col("embedding"))).select(
+        "cell", F.col("pos").alias("idx"), F.col("col").cast("double").alias("v")
+    )
+    cent_flat = flat.groupBy("cell", "idx").agg(
+        F.round(davg(F.col("v")), 6).alias("cv")
+    )
+    cent = cent_flat.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "cv"))), lambda x: x["cv"]
+        ).alias("c")
+    )
+    qe = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q")
+    )
+    probed = (
+        cent.crossJoin(F.broadcast(qe))
+        .select("cell", cosine(F.col("c"), F.col("q")).alias("cs"))
+        .orderBy(F.desc("cs"), "cell")
+        .limit(N_IVF_PROBES)
+        .select("cell")
+    )
+    # PQ encode + ADC (identical folds to ann_pq_adc_topk), probed cells only
+    vec = e.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        (F.col("vec_id") % N_IVF_CELLS).alias("cell"),
+    )
+    tiny = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cb_row = (
+        tiny.filter(F.col("vec_id") < _PQ_CODES)
+        .select(F.col("vec_id").alias("code"), F.col("v").alias("c"))
+        .agg(F.collect_list(F.struct("code", "c")).alias("cb"))
+    )
+    q_row = tiny.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("q")
+    )
+
+    def sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    def sub(col, s):
+        return F.slice(col, s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+
+    def best_for(s: int):
+        def entry(cbe):
+            return F.struct(
+                sq(sub(F.col("v"), s), sub(cbe["c"], s)).alias("d_enc"),
+                cbe["code"].alias("code"),
+                sq(sub(F.col("q"), s), sub(cbe["c"], s)).alias("dq"),
+            )
+
+        return F.array_min(F.transform("cb", entry))
+
+    best = [best_for(s) for s in range(_PQ_SUBS)]
+    codes = F.concat_ws("-", F.array(*[b["code"].cast("string") for b in best]))
+    adc_d = F.aggregate(
+        F.array(*[b["dq"] for b in best]), F.lit(0.0), lambda acc, d: acc + d
+    )
+    cand = (
+        vec.join(F.broadcast(probed), "cell")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(cb_row))
+        .crossJoin(F.broadcast(q_row))
+        .select(
+            "vec_id", "cell", "v", "q", codes.alias("codes"), adc_d.alias("adc_d")
+        )
+        .orderBy("adc_d", "vec_id")
+        .limit(_PQ_RERANK)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "cell",
+            "codes",
+            F.round("adc_d", 6).alias("adc_dist"),
+            F.round(sq(F.col("v"), F.col("q")), 6).alias("exact_dist"),
+        )
+        .orderBy("exact_dist", "vec_id")
+        .limit(10)
+    )

@@ -179,3 +179,15 @@ def test_hll_sketch_rollup_accuracy(spark):
     for k, row in out.items():
         assert abs(row.est_customers - exact[k]) / exact[k] < 0.02
         assert row.n_nations == 5
+
+
+def test_ivfpq_recall_vs_exact(spark):
+    """IVFPQ scans only nprobe/n_cells of the corpus through 8-byte
+    codes, so its recall trails flat PQ (5/10 here) — deterministic:
+    exactly 3 of the exact top-10 on this fixture, and every result
+    must come from one of the two probed cells."""
+    exact = {r.vec_id for r in _rows(spark, "ann_bruteforce_topk")}
+    out = _rows(spark, "ann_ivfpq_adc_topk")
+    assert len(out) == 10
+    assert len(exact & {r.vec_id for r in out}) >= 3
+    assert len({r.cell for r in out}) <= 2

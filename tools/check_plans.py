@@ -258,6 +258,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"ArrowEvalPython|MapInPandas"],
         [r"BatchEvalPython"],
     ),
+    "ann_ivfpq_adc_topk": (
+        # cell routing is a broadcast join (partition pruning at scale);
+        # encode/ADC map-side; shortlist + final top-k are heap merges
+        [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+        [r"CartesianProduct", r"SortMergeJoin", r"Exchange rangepartitioning"],
+    ),
     "pipeline_training_export": (
         # four composed stages stay one job: digest-window dedup, LM
         # broadcast stats, bucket prefix-sum sharding; no Python, no

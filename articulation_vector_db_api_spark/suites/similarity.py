@@ -874,3 +874,144 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("exact_dist", "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Metadata-filtered ANN + binary quantization — the two remaining
+# serving-side features of a production vector store.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_filtered_topk",
+    oracle=f"""
+    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+        SELECT vec_id, label, {cosine_sql_duckdb("embedding", "q")} AS raw
+        FROM embeddings, qv
+        WHERE vec_id != {QUERY_VEC_ID} AND label = 1
+    )
+    SELECT vec_id, label, round(raw, 6) AS score
+    FROM scored ORDER BY raw DESC, vec_id LIMIT 10
+    """,
+    tags=("similarity",),
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (the Pinecone `filter=` surface
+    the reference's client exposes): top-10 cosine among vectors whose
+    label matches the predicate. The filter is pushed to the parquet
+    scan BEFORE any scoring — pre-filtering, not post-filtering, so
+    top_k results are guaranteed even for selective predicates; under
+    label-partitioned storage the scan prunes to matching partitions
+    and the cost drops with selectivity instead of rising."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q")
+    )
+    return (
+        e.filter((F.col("vec_id") != QUERY_VEC_ID) & (F.col("label") == 1))
+        .join(F.broadcast(q))
+        .select(
+            "vec_id", "label", cosine(F.col("embedding"), F.col("q")).alias("raw")
+        )
+        .orderBy(F.desc("raw"), "vec_id")
+        .limit(10)
+        .select("vec_id", "label", F.round("raw", 6).alias("score"))
+    )
+
+
+_BQ_RERANK = 50
+
+
+def _bq_word_sql(lo: int) -> str:
+    """32 sign bits from dims lo..lo+31 as a BIGINT word (fits 2^32)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series({lo}, {lo + 31}), "
+        f"i -> CASE WHEN embedding[i] >= 0 "
+        f"THEN CAST(power(2, i - {lo}) AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)), (acc, b) -> acc + b)"
+    )
+
+
+@register(
+    "ann_binary_quantized_topk",
+    oracle=f"""
+    WITH vec AS (
+        SELECT vec_id, embedding,
+               {_bq_word_sql(1)} AS sig_lo,
+               {_bq_word_sql(33)} AS sig_hi
+        FROM embeddings
+    ),
+    qv AS (SELECT sig_lo AS qlo, sig_hi AS qhi, embedding AS q FROM vec
+           WHERE vec_id = {QUERY_VEC_ID}),
+    cand AS (
+        SELECT v.vec_id, v.embedding,
+               bit_count(xor(v.sig_lo, qlo)) + bit_count(xor(v.sig_hi, qhi))
+                   AS hamming
+        FROM vec v, qv
+        WHERE v.vec_id != {QUERY_VEC_ID}
+        ORDER BY hamming, v.vec_id LIMIT {_BQ_RERANK}
+    )
+    SELECT vec_id, hamming,
+           round({cosine_sql_duckdb("embedding", "q")}, 6) AS score
+    FROM cand, qv
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+    tags=("similarity",),
+)
+def ann_binary_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization: each 64-dim vector collapses to 64 SIGN
+    BITS (two 32-bit words — 32x smaller than even int8); candidates
+    rank by Hamming distance — xor + popcount per word, the cheapest
+    scan a vector store can run — and the top-50 re-rank exactly.
+    At 100 TB the signature column rides next to the parquet rows and
+    the scan reads 8 bytes/vector; signatures build map-side in pure
+    codegen (no shuffle, no Python)."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def word(lo: int):
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(lo), F.lit(lo + 31)),
+                lambda i: F.when(
+                    F.element_at(F.col("embedding"), i) >= 0,
+                    F.pow(F.lit(2.0), (i - F.lit(lo)).cast("double")).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + b,
+        )
+
+    vec = e.select(
+        "vec_id", "embedding", word(1).alias("sig_lo"), word(33).alias("sig_hi")
+    )
+    q = vec.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("sig_lo").alias("qlo"),
+        F.col("sig_hi").alias("qhi"),
+        F.col("embedding").alias("q"),
+    )
+    cand = (
+        vec.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            "q",
+            (
+                F.bit_count(F.col("sig_lo").bitwiseXOR(F.col("qlo")))
+                + F.bit_count(F.col("sig_hi").bitwiseXOR(F.col("qhi")))
+            ).alias("hamming"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(_BQ_RERANK)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "hamming",
+            F.round(cosine(F.col("embedding"), F.col("q")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(10)
+    )

@@ -191,3 +191,15 @@ def test_ivfpq_recall_vs_exact(spark):
     assert len(out) == 10
     assert len(exact & {r.vec_id for r in out}) >= 3
     assert len({r.cell for r in out}) <= 2
+
+
+def test_binary_quant_recall_vs_exact(spark):
+    """Hamming-over-sign-bits through a 50-candidate shortlist must
+    recover most of the exact top-10 (deterministic on this fixture),
+    and hamming must be consistent: 0 distance only for identical
+    sign patterns."""
+    exact = {r.vec_id for r in _rows(spark, "ann_bruteforce_topk")}
+    out = _rows(spark, "ann_binary_quantized_topk")
+    assert len(out) == 10
+    assert len(exact & {r.vec_id for r in out}) >= 5
+    assert all(0 <= r.hamming <= 64 for r in out)

@@ -258,6 +258,17 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"ArrowEvalPython|MapInPandas"],
         [r"BatchEvalPython"],
     ),
+    "ann_filtered_topk": (
+        # the metadata predicate must reach the parquet scan
+        [r"PushedFilters: \[.*EqualTo\(label,1\)", r"TakeOrderedAndProject"],
+        [r"Exchange rangepartitioning"],
+    ),
+    "ann_binary_quantized_topk": (
+        # signature build + hamming scan are map-side; both top-k
+        # stages are heap merges
+        [r"TakeOrderedAndProject"],
+        [r"Exchange rangepartitioning", r"SortMergeJoin", r"BatchEvalPython"],
+    ),
     "ann_ivfpq_adc_topk": (
         # cell routing is a broadcast join (partition pruning at scale);
         # encode/ADC map-side; shortlist + final top-k are heap merges

@@ -633,3 +633,45 @@ def curation_admission_transform(docs: DataFrame) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+@register(
+    "stream_sliding_distinct_users",
+    oracle="""
+    WITH expanded AS (
+        SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                       time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+                   AS window_start,
+               user_id
+        FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL '10 minutes' AS window_end,
+           count(DISTINCT user_id) AS n_users
+    FROM expanded
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+    tags=("streaming",),
+)
+def stream_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per sliding 10-minute window (5-minute slide),
+    computed as ONE streaming aggregation: the user set rides in
+    collect_set state per window, so no chained stateful operators are
+    needed (chained aggs are restricted mid-stream). At 100 TB swap
+    collect_set for approx_count_distinct — the state drops from the
+    user set to a fixed HLL sketch per window and the plan shape is
+    unchanged; with a watermark, closed windows leave the store."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.size(F.collect_set("user_id")).alias("n_users"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_users",
+        )
+    )
+    return run_available_now(agg, "sliding_distinct", "complete").orderBy(
+        "window_start"
+    )

@@ -1455,3 +1455,103 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+# maximal stopword-free runs; every word scores degree/frequency over
+# the whole corpus; a phrase scores the sum of its words. The corpus-
+# level keyword index a labeling/routing pipeline starts from.
+# ---------------------------------------------------------------------------
+
+_RAKE_SW = "the|a|of|and|to|in|is|for|on|with"
+_RAKE_TOPK = 20
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH ph AS (
+        SELECT doc_id, unnest(list_filter(list_transform(
+                   regexp_split_to_array(trim(lower(text)),
+                       '\\s*\\b(?:{_RAKE_SW})\\b\\s*'),
+                   p -> trim(p)), p -> length(p) > 0)) AS phrase
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    words AS (
+        SELECT phrase, len(string_split(phrase, ' ')) AS plen,
+               unnest(string_split(phrase, ' ')) AS w
+        FROM ph
+    ),
+    wscore AS (
+        SELECT w, CAST(round(CAST(sum(plen) AS DOUBLE) / count(*)
+                             * 1000000) AS BIGINT) AS s
+        FROM words GROUP BY w
+    ),
+    pdist AS (SELECT phrase, count(*) AS n_occ FROM ph GROUP BY phrase),
+    pwords AS (
+        SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM pdist
+    ),
+    pscore AS (
+        SELECT p.phrase, sum(ws.s) AS score_micro
+        FROM pwords p JOIN wscore ws USING (w) GROUP BY p.phrase
+    )
+    SELECT d.phrase, d.n_occ, s.score_micro
+    FROM pscore s JOIN pdist d USING (phrase)
+    ORDER BY s.score_micro DESC, d.phrase LIMIT {_RAKE_TOPK}
+    """,
+    tags=("textops",),
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keywords over the corpus: stopword-delimited candidate
+    phrases, word score = degree/frequency (degree sums the lengths of
+    every phrase occurrence containing the word), phrase score = sum
+    of its word scores in exact integer micro-units — order- and
+    engine-independent. Top-20 phrases with occurrence counts.
+
+    Scale shape: two shuffles (word stats, phrase regroup) on bounded
+    keys; the word-score table is vocabulary-sized and broadcasts to
+    the phrase-word join; final top-k is a heap merge."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    phrases = F.filter(
+        F.transform(
+            F.split(
+                F.trim(F.lower(F.col("text"))), rf"\s*\b(?:{_RAKE_SW})\b\s*"
+            ),
+            lambda p: F.trim(p),
+        ),
+        lambda p: F.length(p) > 0,
+    )
+    ph = docs.select("doc_id", F.explode_outer(phrases).alias("phrase")).filter(
+        F.col("phrase").isNotNull()
+    )
+    words = ph.select(
+        "phrase",
+        F.size(F.split(F.col("phrase"), " ")).alias("plen"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+    )
+    wscore = words.groupBy("w").agg(
+        F.round(
+            F.sum("plen").cast("double") / F.count(F.lit(1)) * 1000000, 0
+        )
+        .cast("bigint")
+        .alias("s")
+    )
+    pdist = ph.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    pwords = pdist.select(
+        "phrase", F.explode(F.split(F.col("phrase"), " ")).alias("w")
+    )
+    pscore = (
+        pwords.join(F.broadcast(wscore), "w")
+        .groupBy("phrase")
+        .agg(F.sum("s").alias("score_micro"))
+    )
+    return (
+        pscore.join(pdist, "phrase")
+        .select("phrase", "n_occ", "score_micro")
+        .orderBy(F.desc("score_micro"), "phrase")
+        .limit(_RAKE_TOPK)
+    )

@@ -2439,3 +2439,49 @@ def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("view_event")
     )
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+    SELECT r.r_name, t.c_name, t.c_acctbal
+    FROM region r,
+    LATERAL (
+        SELECT c.c_name, c.c_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        ORDER BY c.c_acctbal DESC, c.c_name
+        LIMIT 2
+    ) t
+    ORDER BY r.r_name, t.c_acctbal DESC, t.c_name
+    """,
+    tags=("relational", "join", "sql"),
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join: per outer row (region), an
+    ordered-and-limited dependent subquery (top-2 customers by account
+    balance). Catalyst decorrelates this into a ranked window over the
+    joined input — i.e. the same physical shape as a window top-k, not
+    a per-row re-execution, so at 100 TB it costs one shuffle on the
+    correlation key rather than |outer| subquery scans. The reference
+    has no lateral surface at all; this is the SQL-first ergonomic form
+    of ``search_topk_per_source``."""
+    _t(spark, sf_dir, "region").createOrReplaceTempView("v_lat_region")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("v_lat_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_lat_customer")
+    return spark.sql(
+        """
+        SELECT r.r_name, t.c_name, t.c_acctbal
+        FROM v_lat_region r,
+        LATERAL (
+            SELECT c.c_name, c.c_acctbal
+            FROM v_lat_customer c
+            JOIN v_lat_nation n ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = r.r_regionkey
+            ORDER BY c.c_acctbal DESC, c.c_name
+            LIMIT 2
+        ) t
+        ORDER BY r.r_name, t.c_acctbal DESC, t.c_name
+        """
+    )

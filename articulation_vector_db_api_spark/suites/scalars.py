@@ -359,3 +359,49 @@ def map_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cardinality(kept).alias("n_kept"),
         F.element_at(zipped, "bal").alias("zip_diff"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "scalar_variant_semistructured",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+           sum(CASE WHEN json_extract(props, '$.absent') IS NULL
+               THEN 1 ELSE 0 END) AS n_missing
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("scalars", "json"),
+)
+def scalar_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through the VARIANT type (Spark 4):
+    props parses ONCE into a binary variant at scan time, then typed
+    path extraction (`variant_get`) feeds ordinary aggregation, and
+    `try_variant_get` gives NULL-safe access to absent paths. At
+    100 TB this is the difference between re-parsing JSON text per
+    expression and shredding it once into a columnar-friendly binary —
+    the modern lakehouse answer to schemaless event payloads."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    return (
+        v.select(
+            "event_type",
+            F.variant_get("v", "$.k", "bigint").alias("k"),
+            F.try_variant_get("v", "$.absent", "bigint").alias("absent"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("absent").isNull(), 1).otherwise(0)).alias(
+                "n_missing"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -83,13 +83,10 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # ts is TIMESTAMP(ns) in the parquet; Spark's TimestampType is
-    # micros-only, so read the raw int64 and convert in load_table
-    # (truncating ns→µs, matching DuckDB's conversion).
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -126,12 +123,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     footer level and never pays an inference scan.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.schema(SCHEMAS[name]).parquet(path)
-    if name == "events":
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    return df
+    return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
 def load_binary_corpus(spark: SparkSession, directory: str, glob: str = "*.pdf") -> DataFrame:

@@ -30,7 +30,7 @@ _run_counter = itertools.count()
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the events table (ns→µs conversion as in the
+    """Streaming scan of the events table (same declared schema as the
     batch reader).
 
     The file stream source monitors a DIRECTORY; the fixture is a bare
@@ -48,8 +48,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     if not os.path.exists(link):
         os.symlink(src, link)
-    df = spark.readStream.schema(SCHEMAS["events"]).parquet(stage)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return spark.readStream.schema(SCHEMAS["events"]).parquet(stage)
 
 
 def run_available_now(

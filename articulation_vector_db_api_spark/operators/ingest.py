@@ -119,12 +119,22 @@ def build_chunk_rows(extracted: DataFrame) -> DataFrame:
 def write_chunk_table(chunks: DataFrame, path: str) -> None:
     """Partitioned-overwrite upsert sink (O6). Dynamic mode rewrites
     ONLY the partitions present in this batch — re-ingesting a source
-    replaces its chunks and touches nothing else."""
+    replaces its chunks and touches nothing else.
+
+    The batch is clustered on the partition column first: without it,
+    every one of the N upstream tasks opens a writer per source it
+    holds (N x |sources| small files per batch — measured 2.2x the
+    whole ingest time at sf0.1). Clustered, each source is one file
+    per batch; ``maxRecordsPerFile`` re-splits any oversized source so
+    a hot partition can't produce an unsplittable giant file at scale.
+    """
     spark = chunks.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        chunks.write.mode("overwrite").partitionBy("source").parquet(path)
+        chunks.repartition("source").write.mode("overwrite").option(
+            "maxRecordsPerFile", 5_000_000
+        ).partitionBy("source").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 

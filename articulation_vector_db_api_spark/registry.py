@@ -73,53 +73,75 @@ def register(
     return deco
 
 
-# Queries the round-1 driver already hash-verified (CORRECTNESS_r01.json,
-# hash_match=true) or recorded as legitimately oracle-less. The driver
-# only emits CORRECTNESS rows for a bounded prefix of ``queries()`` in
+# Queries the round-1/round-2 drivers already hash-verified
+# (CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json, hash_match=true) or
+# recorded as legitimately oracle-less. The driver only emits
+# CORRECTNESS rows for a bounded prefix of ``queries()`` in
 # registration order, so these move to the back of the returned dict to
 # let the still-unverified queries occupy the checked window. Their own
 # parity coverage continues via tools/check_parity.py + pytest.
 _VERIFIED_R01 = frozenset(
     {
-        "flagship_search", "search_context", "search_topk_per_source",
-        "search_batch_queries", "search_scoped_source", "chunk_documents",
-        "upsert_last_write_wins", "index_stats_by_source", "search_hybrid_rrf",
-        "search_mmr_diversified", "filter_project_pushdown",
-        "q1_pricing_summary", "agg_distinct_counts", "approx_distinct_parts",
-        "agg_stats_moments", "agg_percentiles", "q5_region_revenue",
-        "approx_percentile_prices", "q7_nation_volume",
-        "q17_correlated_subquery", "q8_market_share", "sort_global_prices",
-        "rollup_revenue", "cube_order_status", "grouping_sets_revenue",
-        "q3_shipping_priority", "join_broadcast_snowflake",
-        "join_sortmerge_fact", "join_semi_customers_with_urgent",
-        "join_anti_customers_no_urgent", "join_theta_supplier_pairs",
-        "join_range_calendar", "join_asof_event_order", "join_salted_skew",
-        "scalar_subquery_above_avg", "topk_orders_by_price",
-        "topk_pagination", "setop_except_all", "setop_nations_intersect",
-        "setop_nations_except", "setop_union_all_counts",
-        "sql_interface_revenue", "nested_agg_big_spenders",
-        "agg_price_histogram", "pivot_status_revenue",
-        "unpivot_part_measures", "merge_upsert_orders", "cdc_snapshot_diff",
+        "agg_distinct_counts", "agg_ordered_collect", "agg_percentiles",
+        "agg_price_histogram", "agg_stats_moments",
+        "ann_bruteforce_topk", "ann_ivf_exact", "ann_lsh_bucketed",
+        "approx_distinct_parts", "approx_percentile_prices",
+        "array_functions", "cdc_snapshot_diff", "chunk_documents",
+        "cube_order_status", "date_functions", "dedup_cc_star",
+        "dedup_connected_components", "dedup_exact",
+        "dedup_exact_normalized", "dedup_fuzzy_levenshtein",
+        "dedup_incremental_batch", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "dedup_semantic_clusters",
+        "dedup_simhash", "dedup_substring_spans", "dedup_winnowing",
+        "events_anomaly_zscore", "events_decay_weighted_score",
+        "events_gap_filled_daily", "events_ohlc_bars",
+        "events_session_funnel", "events_weekly_retention",
+        "filter_project_pushdown", "flagship_search",
+        "grouping_sets_revenue", "hash_embedding_vectors",
+        "health_probe", "index_stats_by_source",
+        "ingest_extract_status", "ingest_fault_isolation",
+        "join_anti_customers_no_urgent", "join_asof_event_order",
+        "join_broadcast_snowflake", "join_range_calendar",
+        "join_salted_skew", "join_semi_customers_with_urgent",
+        "join_sortmerge_fact", "join_theta_supplier_pairs",
+        "json_functions", "map_higher_order_functions",
+        "merge_upsert_orders", "nested_agg_big_spenders",
+        "null_handling", "pipeline_dedup_keep_best",
+        "pivot_status_revenue", "q17_correlated_subquery",
+        "q1_pricing_summary", "q3_shipping_priority",
+        "q5_region_revenue", "q7_nation_volume", "q8_market_share",
+        "rollup_hierarchical_time", "rollup_revenue",
+        "scalar_subquery_above_avg", "search_batch_queries",
+        "search_context", "search_hybrid_rrf", "search_mmr_diversified",
+        "search_scoped_source", "search_topk_per_source",
+        "setop_except_all", "setop_nations_except",
+        "setop_nations_intersect", "setop_union_all_counts",
+        "similarity_join_lsh_bucket", "similarity_knn_batch",
+        "similarity_near_dup_cosine", "sort_global_prices",
+        "sql_interface_revenue", "string_functions",
+        "struct_map_functions", "topk_orders_by_price",
+        "topk_pagination", "unpivot_part_measures",
+        "upsert_last_write_wins", "window_cume_dist",
+        "window_first_last", "window_lag_lead", "window_moving_avg",
+        "window_nth_value", "window_ntile", "window_range_frame",
+        "window_rank_customers", "window_rank_ties",
+        "window_running_sum",
     }
 )
 
 # Suite order for the unverified front of the window: cheap batch suites
 # first (maximizes rows if the driver's window is time-budgeted),
-# expensive streaming/mllib last. hash_embedding_vectors and
-# agg_ordered_collect lead — they ERRed in r01 on array-typed columns
-# (now string-serialized) and the fix needs a driver row to prove it.
+# expensive streaming/mllib last. The two r02 FAILs lead — both were
+# value-correct but type-mismatched (bigint vs double stringification)
+# and the oracle-side casts added in round 3 need a driver row to prove
+# the fix.
 _WINDOW_FIRST = (
-    "hash_embedding_vectors",
-    "agg_ordered_collect",
-    # round-2 driver twins of the previously test-only reference
-    # operators O2/O7/O13 — need their first CORRECTNESS row.
-    "ingest_extract_status",
-    "ingest_fault_isolation",
-    "health_probe",
+    "math_functions",
+    "events_peak_concurrency",
 )
 _SUITE_WINDOW_ORDER = (
-    "window", "scalar", "dedup", "similarity", "textops", "core",
-    "relational", "udf", "multimodal", "mllib", "streaming",
+    "similarity", "textops", "udf", "multimodal", "core",
+    "relational", "scalar", "window", "dedup", "mllib", "streaming",
 )
 
 

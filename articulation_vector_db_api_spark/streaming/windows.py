@@ -22,7 +22,6 @@ import itertools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..sources.readers import SCHEMAS
 

@@ -985,6 +985,7 @@ _KEEP_JACCARD = 0.1
 
 @register(
     "pipeline_dedup_keep_best",
+    headline=True,
     oracle=f"""
     WITH RECURSIVE shingles AS ({_SHINGLES_SQL}),
     sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),

@@ -24,7 +24,9 @@ from ..sources.readers import load_table
 @register("mllib_ann_neighbors", oracle=None, tags=("mllib", "similarity"))
 def mllib_ann_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN via BucketedRandomProjectionLSH (normalize → euclidean
-    ≈ cosine): top-10 neighbors of vec 0 from the fitted index."""
+    ≈ cosine): top-10 neighbors of vec 0 from the fitted index.
+    Rows-only: BRP hash buckets are MLlib-internal (no SQL twin);
+    ann_bruteforce_topk carries the exact-oracle burden for top-k."""
     e = load_table(spark, sf_dir, "embeddings")
     return brp_neighbors(e, query_vec_id=0, k=10).orderBy(
         F.desc("cos_sim"), "vec_id"
@@ -34,7 +36,9 @@ def mllib_ann_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("mllib_similarity_join", oracle=None, tags=("mllib", "similarity"))
 def mllib_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch all-pairs similarity join from the LSH index (cosine ≥ 0.3
-    → euclidean threshold √(2·0.7) on unit vectors)."""
+    → euclidean threshold √(2·0.7) on unit vectors).
+    Rows-only: LSH bucketing is MLlib-internal; similarity_near_dup_cosine
+    is the exact-oracle twin of the same join shape."""
     e = load_table(spark, sf_dir, "embeddings")
     return brp_similarity_join(e, max_cos_distance=0.7).orderBy("vec_a", "vec_b")
 
@@ -42,7 +46,9 @@ def mllib_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("mllib_ivf_ann", oracle=None, tags=("mllib", "similarity"))
 def mllib_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: KMeans coarse quantizer (seeded) →
-    cells; probe = exact re-rank within the query's nearest cell. The
+    cells; probe = exact re-rank within the query's nearest cell.
+    Rows-only: KMeans cell assignment is seed/init-internal (no SQL
+    twin); ann_ivf_exact is the sha256-codebook exact-oracle twin. The
     centroid table is the tiny broadcastable 'index'; at 100 TB the
     vector table is WRITTEN partitioned by cell_id so a probe is a
     partition-pruned read, and recall is tuned by probing n>1 cells."""
@@ -177,7 +183,9 @@ def mllib_count_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("mllib_minhash_dedup", oracle=None, tags=("mllib", "dedup"))
 def mllib_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib MinHashLSH near-dup over hashed shingle-presence vectors —
-    the built-in counterpart of suites/dedup.py's banded minhash."""
+    the built-in counterpart of suites/dedup.py's banded minhash.
+    Rows-only: HashingTF indices + MinHash coefficients are
+    MLlib-internal; dedup_minhash_lsh carries the exact oracle."""
     from pyspark.ml.feature import HashingTF
 
     docs = load_table(spark, sf_dir, "documents")

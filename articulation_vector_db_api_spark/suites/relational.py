@@ -1742,19 +1742,67 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "agg"),
 )
 def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth (equal-frequency) histogram via ntile: 10 buckets of
-    equal row count with their value ranges — the histogram shape
-    optimizers and skew diagnostics want (equi-WIDTH buckets collapse
-    under heavy-tailed prices; see agg_price_histogram for that
-    contrast). Tie-broken on the key so bucket edges are deterministic.
-    At 100 TB swap ntile's global sort for approx_percentile bucket
-    EDGES (one pass, mergeable sketches) and a map-side bucket join."""
+    """Equi-depth (equal-frequency) histogram: 10 buckets of equal row
+    count with their value ranges — the histogram shape optimizers and
+    skew diagnostics want (equi-WIDTH buckets collapse under
+    heavy-tailed prices; see agg_price_histogram for that contrast).
+    Tie-broken on the key so bucket edges are deterministic.
+
+    Scale shape: ntile's naive plan is a partition-less window (global
+    sort of the fact table). Decomposed instead as the same two-pass
+    prefix sum curation_shard_assignment uses: equi-width PRE-buckets
+    on the value (broadcast min/max scalar; prefix-ordered partitions
+    reproduce the global (price, key) order exactly), rank within each
+    pre-bucket in parallel, then a bounded per-bucket cumsum broadcast
+    back. ntile(k) assigns rank r (1-based, n rows) to bucket
+    floor((r-1)*k/n)+1 — first n%k buckets one row larger — so the
+    global rank rebuilds ntile exactly. No stage sorts the corpus in
+    one task; pre-bucket skew is bounded by the 64-way split + AQE."""
     from pyspark.sql.window import Window
 
+    n_pre = 64
     o = _t(spark, sf_dir, "orders")
-    b = o.select(
-        "o_totalprice",
-        F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey")).alias("bucket"),
+    rng = o.agg(
+        F.min("o_totalprice").alias("v_lo"), F.max("o_totalprice").alias("v_hi")
+    )
+    width = (F.col("v_hi") - F.col("v_lo")) / n_pre
+    pre = (
+        o.select("o_totalprice", "o_orderkey")
+        .crossJoin(F.broadcast(rng))
+        .withColumn(
+            "pb",
+            F.when(F.col("v_hi") == F.col("v_lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(n_pre - 1),
+                    F.floor((F.col("o_totalprice") - F.col("v_lo")) / width).cast(
+                        "int"
+                    ),
+                )
+            ),
+        )
+    )
+    wb = Window.partitionBy("pb").orderBy("o_totalprice", "o_orderkey")
+    ranked = pre.withColumn("rn", F.row_number().over(wb))
+    counts = pre.groupBy("pb").agg(F.count(F.lit(1)).alias("c"))
+    # bounded exclusive cumsum over the 64-row pre-bucket table — the
+    # only partition-less window, never the corpus
+    wo = Window.orderBy("pb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("c").over(wo), F.lit(0))
+    ).select("pb", "off")
+    total = counts.agg(F.sum("c").alias("n_total"))
+    b = (
+        ranked.join(F.broadcast(offsets), "pb")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "o_totalprice",
+            (
+                F.floor(
+                    (F.col("off") + F.col("rn") - 1) * 10 / F.col("n_total")
+                ).cast("int")
+                + 1
+            ).alias("bucket"),
+        )
     )
     return (
         b.groupBy("bucket")

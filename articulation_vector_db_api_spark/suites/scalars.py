@@ -128,8 +128,8 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            round(abs(l_discount - 0.05), 6) AS abs_disc_gap,
-           ceil(l_extendedprice) AS price_ceil,
-           floor(l_extendedprice) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
            round(l_extendedprice, 1) AS price_round1,
            sqrt(l_quantity) AS qty_sqrt,
            l_orderkey % 7 AS key_mod7,
@@ -139,7 +139,7 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(log10(1 + l_extendedprice), 6) AS price_log10,
            round(greatest(l_tax, l_discount), 6) AS max_rate,
            round(least(l_tax, l_discount), 6) AS min_rate,
-           sign(l_discount - 0.04) AS disc_sign
+           CAST(sign(l_discount - 0.04) AS DOUBLE) AS disc_sign
     FROM lineitem
     WHERE l_orderkey % 100 = 0
     ORDER BY l_orderkey, l_linenumber

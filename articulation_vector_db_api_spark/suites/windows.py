@@ -492,39 +492,46 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM deltas
     )
     SELECT CAST(t AS DATE) AS day,
-           max(concurrent) AS peak_concurrent
+           CAST(max(concurrent) AS BIGINT) AS peak_concurrent
     FROM sweep GROUP BY day ORDER BY day
     """,
     tags=("window", "events"),
 )
 def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrency (max overlapping 5-minute activity intervals)
-    via the classic +1/-1 boundary sweep: running sum over interval
-    endpoints, max per day. Ends sort before starts at the same instant
-    (delta ASC) so touching intervals don't double-count. The global
-    ordered sweep is the scale constraint — at 100 TB, sweep per
-    partition-day and carry boundary offsets, or keep the single range-
-    partitioned sort (Spark spills it fine; it's one column)."""
+    via the classic +1/-1 boundary sweep, decomposed so no stage sees
+    the corpus in one task: running sum WITHIN each calendar day
+    (parallel window partitioned by day), plus a carried boundary
+    offset per day (exclusive cumsum of per-day delta totals — a
+    bounded ~month-sized table, the only partition-less window)
+    broadcast back. Identical topology to curation_shard_assignment /
+    pack_sequences_token_budget: day count grows with the time range,
+    never with event volume, so the offset table stays tiny at 100 TB.
+    Ends sort before starts at the same instant (delta ASC) so touching
+    intervals don't double-count; a day prefix-orders (t, delta), so
+    the per-day decomposition reproduces the global sweep exactly."""
     e = load_table(spark, sf_dir, "events")
     starts = e.select(F.col("ts").alias("t"), F.lit(1).alias("delta"))
     ends = e.select(
         (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
         F.lit(-1).alias("delta"),
     )
-    sweep = starts.unionByName(ends).select(
-        "t",
-        "delta",
-        F.sum("delta")
-        .over(
-            Window.orderBy("t", "delta").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-        )
-        .alias("concurrent"),
+    deltas = starts.unionByName(ends).withColumn("day", F.col("t").cast("date"))
+    wd = Window.partitionBy("day").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
+    local = deltas.withColumn("local_run", F.sum("delta").over(wd))
+    day_totals = deltas.groupBy("day").agg(F.sum("delta").alias("day_total"))
+    # bounded exclusive cumsum over the per-day table (rows = #days,
+    # never #events) — the one acceptable partition-less window
+    wo = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = day_totals.withColumn(
+        "off", F.coalesce(F.sum("day_total").over(wo), F.lit(0))
+    ).select("day", "off")
     return (
-        sweep.groupBy(F.col("t").cast("date").alias("day"))
-        .agg(F.max("concurrent").alias("peak_concurrent"))
+        local.join(F.broadcast(offsets), "day")
+        .groupBy("day")
+        .agg(F.max(F.col("off") + F.col("local_run")).alias("peak_concurrent"))
         .orderBy("day")
     )
 

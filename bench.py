@@ -52,6 +52,12 @@ def main() -> None:
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".tmp", "bench_chunks")
 
     def ingest_once() -> float:
+        # fresh target each run: accumulated partitions from prior
+        # bench invocations otherwise bill their listing/commit cost to
+        # this round (r02 measured 2.49x on exactly that)
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
         t0 = time.perf_counter()
         write_chunk_table(build_chunk_index(spark, sf_dir), out)
         return time.perf_counter() - t0

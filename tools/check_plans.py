@@ -275,6 +275,18 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
         [r"CartesianProduct", r"SortMergeJoin", r"Exchange rangepartitioning"],
     ),
+    "events_peak_concurrency": (
+        # boundary sweep decomposed: corpus running sum keyed on day;
+        # the old partition-less windowspec over (t, delta) must be gone
+        [r"windowspecdefinition\(day#\d+, t#"],
+        [r"windowspecdefinition\(t#", r"CartesianProduct"],
+    ),
+    "agg_equidepth_histogram": (
+        # ntile rebuilt from pre-bucket rank + broadcast offsets; the
+        # corpus window keys on pb, never a partition-less global sort
+        [r"windowspecdefinition\(pb#\d+, o_totalprice", r"BroadcastHashJoin"],
+        [r"windowspecdefinition\(o_totalprice", r"CartesianProduct"],
+    ),
     "pipeline_training_export": (
         # four composed stages stay one job: digest-window dedup, LM
         # broadcast stats, bucket prefix-sum sharding; no Python, no

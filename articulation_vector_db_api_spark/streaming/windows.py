@@ -22,6 +22,7 @@ import itertools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.readers import SCHEMAS
 
@@ -48,6 +49,37 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
     return spark.readStream.schema(SCHEMAS["events"]).parquet(stage)
+
+
+def read_unbounded_rate_stream(
+    spark: SparkSession, rows_per_batch: int = 60, advance_ms: int = 60_000
+) -> DataFrame:
+    """Genuinely UNBOUNDED events-shaped stream (``rate-micro-batch``
+    source): every micro-batch synthesizes ``rows_per_batch`` rows and
+    advances event time by ``advance_ms`` — there is no end-of-input,
+    so a query over it must run under a processing-time trigger with
+    incremental state, exactly like a Kafka topic.
+
+    The file-replay sources above verify RESULTS (AvailableNow drains
+    a finite fixture, so a batch oracle exists); this source verifies
+    RUNTIME BEHAVIOR — that the same transformations emit correct
+    windows while input keeps arriving. Columns are mapped to the
+    events shape (ts, event_type, user_id, value), with ``value`` the
+    global row number: deterministic, so a window's expected aggregate
+    is an arithmetic series regardless of when the query is stopped."""
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", advance_ms)
+        .load()
+    )
+    return raw.select(
+        F.col("timestamp").alias("ts"),
+        F.lit("synthetic").alias("event_type"),
+        (F.col("value") % 7).cast("string").alias("user_id"),
+        F.col("value").cast("double").alias("value"),
+    )
 
 
 def run_available_now(

@@ -1,0 +1,66 @@
+"""The streaming suite's correctness gate replays finite fixtures
+(AvailableNow -> batch oracle). This test covers the part a finite
+replay can't: the SAME windowed transformation running against a
+genuinely unbounded source (rate-micro-batch) under a processing-time
+trigger, with results asserted mid-stream while input keeps arriving.
+
+Determinism: rows_per_batch=60, advance_ms=60000 means batch k holds
+event times [k min, k+1 min) and values k*60 .. k*60+59, so each
+5-minute tumbling window covers exactly 5 batches = 300 rows whose
+value sum is an arithmetic series — checkable no matter how many
+batches have run when we stop.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from articulation_vector_db_api_spark.streaming.windows import (
+    read_unbounded_rate_stream,
+)
+from articulation_vector_db_api_spark.suites.streaming import tumbling_window_agg
+
+_MIN_BATCHES = 12  # two full 5-minute windows plus a partial third
+
+
+def test_unbounded_rate_source_tumbling_window(spark):
+    ev = read_unbounded_rate_stream(spark)
+    agg = tumbling_window_agg(ev)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("unbounded_tumbling")
+        .outputMode("complete")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            lp = q.lastProgress
+            if lp is not None and lp["batchId"] >= _MIN_BATCHES:
+                break
+            time.sleep(0.25)
+        else:
+            pytest.fail(
+                f"unbounded stream did not reach {_MIN_BATCHES} micro-batches"
+            )
+        # the query is STILL RUNNING — assert on the in-flight state
+        assert q.isActive
+        rows = sorted(
+            spark.table("unbounded_tumbling").collect(),
+            key=lambda r: r.window_start,
+        )
+    finally:
+        q.stop()
+
+    # >= 12 batches of 1 minute each -> windows 0 and 1 are complete
+    assert len(rows) >= 3
+    for k in (0, 1):
+        r = rows[k]
+        assert r.event_type == "synthetic"
+        assert r.n_events == 300
+        lo = k * 300
+        assert r.total_value == sum(range(lo, lo + 300))
+        assert (r.window_end - r.window_start).total_seconds() == 300.0

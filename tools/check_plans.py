@@ -49,11 +49,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     "flagship_search": (
         [r"TakeOrderedAndProject"],
-        [r"Exchange rangepartitioning"],  # no global sort for top-k
+        [r"Arguments: rangepartitioning"],  # no global sort for top-k
     ),
     "topk_orders_by_price": (
         [r"TakeOrderedAndProject"],
-        [r"Exchange rangepartitioning"],
+        [r"Arguments: rangepartitioning"],
     ),
     "window_running_sum": (
         [r"Window .*partitionBy|\bWindow\b"],
@@ -84,9 +84,9 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     "sample_deterministic_hash": (
         # map-side filter only: sampling itself must not hash-shuffle
-        # (the trailing Exchange rangepartitioning is the parity sort)
+        # (the trailing Arguments: rangepartitioning is the parity sort)
         [r"Scan parquet"],
-        [r"Exchange hashpartitioning", r"SortMergeJoin", r"HashAggregate"],
+        [r"Arguments: hashpartitioning", r"SortMergeJoin", r"HashAggregate"],
     ),
     "merge_upsert_orders": (
         # MERGE = ONE join on the merge key, never a nested loop
@@ -106,7 +106,7 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q10_returned_items": (
         # top-20 via TakeOrderedAndProject, nation broadcast; no global sort
         [r"TakeOrderedAndProject", r"BroadcastHashJoin"],
-        [r"Exchange rangepartitioning", r"BroadcastNestedLoopJoin"],
+        [r"Arguments: rangepartitioning", r"BroadcastNestedLoopJoin"],
     ),
     "q13_customer_order_distribution": (
         # outer join keeps ON-clause filter as join condition, double agg
@@ -121,7 +121,7 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q18_large_volume_customers": (
         # IN-subquery = semi join; final top-100 avoids a global sort
         [r"LeftSemi", r"TakeOrderedAndProject"],
-        [r"Exchange rangepartitioning", r"BroadcastNestedLoopJoin"],
+        [r"Arguments: rangepartitioning", r"BroadcastNestedLoopJoin"],
     ),
     "layout_zorder_stats": (
         # bit interleave stays in codegen'd expressions: no UDF, one agg
@@ -146,7 +146,7 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "ann_bruteforce_topk": (
         # exact top-k = per-partition heaps, no global sort
         [r"TakeOrderedAndProject"],
-        [r"Exchange rangepartitioning"],
+        [r"Arguments: rangepartitioning"],
     ),
     "ann_ivf_exact": (
         # probe joins against broadcast centroid/query sides only
@@ -183,21 +183,21 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q2_min_cost_supplier": (
         # correlated min decorrelated; dims broadcast; top-100 heap
         [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
-        [r"CartesianProduct", r"Exchange rangepartitioning"],
+        [r"CartesianProduct", r"Arguments: rangepartitioning"],
     ),
     "search_bm25": (
         # corpus stats = one broadcast row; scoring map-side; global
         # result = top-k heap merge, no explode, no full sort
         [r"BroadcastNestedLoopJoin", r"TakeOrderedAndProject"],
         [r"CartesianProduct", r"SortMergeJoin", r"Generate",
-         r"Exchange rangepartitioning"],
+         r"Arguments: rangepartitioning"],
     ),
     "ann_pq_adc_topk": (
         # codebook broadcast; encode+ADC map-side; shortlist and final
         # top-k are heap merges — no shuffle-by-vector anywhere
         [r"BroadcastNestedLoopJoin", r"TakeOrderedAndProject"],
         [r"CartesianProduct", r"SortMergeJoin", r"Generate",
-         r"Exchange rangepartitioning"],
+         r"Arguments: rangepartitioning"],
     ),
     "dedup_semantic_clusters": (
         # k-means assignment via broadcast codebook (map-side argmin);
@@ -215,7 +215,7 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         # duplicated-span set maps back via a semi-join on the digest;
         # the text column itself must never reach a shuffle
         [r"LeftSemi"],
-        [r"CartesianProduct", r"Exchange hashpartitioning\(text"],
+        [r"CartesianProduct", r"Arguments: hashpartitioning\(text"],
     ),
     "text_perplexity_score": (
         # token counts partial-agg before the shuffle; the single-row
@@ -261,19 +261,19 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "ann_filtered_topk": (
         # the metadata predicate must reach the parquet scan
         [r"PushedFilters: \[.*EqualTo\(label,1\)", r"TakeOrderedAndProject"],
-        [r"Exchange rangepartitioning"],
+        [r"Arguments: rangepartitioning"],
     ),
     "ann_binary_quantized_topk": (
         # signature build + hamming scan are map-side; both top-k
         # stages are heap merges
         [r"TakeOrderedAndProject"],
-        [r"Exchange rangepartitioning", r"SortMergeJoin", r"BatchEvalPython"],
+        [r"Arguments: rangepartitioning", r"SortMergeJoin", r"BatchEvalPython"],
     ),
     "ann_ivfpq_adc_topk": (
         # cell routing is a broadcast join (partition pruning at scale);
         # encode/ADC map-side; shortlist + final top-k are heap merges
         [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
-        [r"CartesianProduct", r"SortMergeJoin", r"Exchange rangepartitioning"],
+        [r"CartesianProduct", r"SortMergeJoin", r"Arguments: rangepartitioning"],
     ),
     "events_peak_concurrency": (
         # boundary sweep decomposed: corpus running sum keyed on day;
@@ -302,16 +302,16 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
 # trailing rangepartitioning exchange from the parity ORDER BY is
 # allowed separately).
 COUNT_LIMITS: dict[str, list[tuple[str, int]]] = {
-    "window_running_sum": [(r"Exchange hashpartitioning", 1)],
-    "window_moving_avg": [(r"Exchange hashpartitioning", 1)],
-    "window_rank_customers": [(r"Exchange hashpartitioning", 1)],
-    "window_lag_lead": [(r"Exchange hashpartitioning", 1)],
-    "window_range_frame": [(r"Exchange hashpartitioning", 1)],
-    "q1_pricing_summary": [(r"Exchange hashpartitioning", 1)],
+    "window_running_sum": [(r"Arguments: hashpartitioning", 1)],
+    "window_moving_avg": [(r"Arguments: hashpartitioning", 1)],
+    "window_rank_customers": [(r"Arguments: hashpartitioning", 1)],
+    "window_lag_lead": [(r"Arguments: hashpartitioning", 1)],
+    "window_range_frame": [(r"Arguments: hashpartitioning", 1)],
+    "q1_pricing_summary": [(r"Arguments: hashpartitioning", 1)],
     # bucket window + bucket totals + pack agg; anything more means the
     # prefix-sum decomposition regressed into extra shuffles
-    "pack_sequences_token_budget": [(r"Exchange hashpartitioning", 3)],
-    "curation_shard_assignment": [(r"Exchange hashpartitioning", 3)],
+    "pack_sequences_token_budget": [(r"Arguments: hashpartitioning", 3)],
+    "curation_shard_assignment": [(r"Arguments: hashpartitioning", 3)],
 }
 
 # name -> builder for plan-only audits of streaming transformations

@@ -1754,10 +1754,14 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the value (broadcast min/max scalar; prefix-ordered partitions
     reproduce the global (price, key) order exactly), rank within each
     pre-bucket in parallel, then a bounded per-bucket cumsum broadcast
-    back. ntile(k) assigns rank r (1-based, n rows) to bucket
-    floor((r-1)*k/n)+1 — first n%k buckets one row larger — so the
-    global rank rebuilds ntile exactly. No stage sorts the corpus in
-    one task; pre-bucket skew is bounded by the 64-way split + AQE."""
+    back. ntile(k) over n rows front-loads the remainder: the first
+    q = n%k buckets hold s+1 rows (s = n//k), the rest s — so rank r
+    maps to bucket floor((r-1)/(s+1))+1 inside the first q*(s+1) rows
+    and q + floor((r-1-q*(s+1))/s)+1 after (the simpler floor((r-1)k/n)
+    spreads the remainder and diverges whenever k does not divide n —
+    caught by the property test in tests/test_scale_patterns.py). No
+    stage sorts the corpus in one task; pre-bucket skew is bounded by
+    the 64-way split + AQE."""
     from pyspark.sql.window import Window
 
     n_pre = 64
@@ -1791,18 +1795,20 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "off", F.coalesce(F.sum("c").over(wo), F.lit(0))
     ).select("pb", "off")
     total = counts.agg(F.sum("c").alias("n_total"))
+    r0 = F.col("off") + F.col("rn") - 1  # 0-based global rank
+    s = F.floor(F.col("n_total") / 10)
+    q = F.col("n_total") % 10
+    cut = q * (s + 1)
+    bucket = (
+        F.when(r0 < cut, F.floor(r0 / (s + 1)))
+        .otherwise(q + F.floor((r0 - cut) / F.greatest(s, F.lit(1))))
+        .cast("int")
+        + 1
+    )
     b = (
         ranked.join(F.broadcast(offsets), "pb")
         .crossJoin(F.broadcast(total))
-        .select(
-            "o_totalprice",
-            (
-                F.floor(
-                    (F.col("off") + F.col("rn") - 1) * 10 / F.col("n_total")
-                ).cast("int")
-                + 1
-            ).alias("bucket"),
-        )
+        .select("o_totalprice", bucket.alias("bucket"))
     )
     return (
         b.groupBy("bucket")

@@ -156,3 +156,69 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ntile_prefix_sum_decomposition_matches_builtin(spark):
+    """agg_equidepth_histogram rebuilds ntile(k) from a two-pass prefix
+    sum (pre-bucket rank + broadcast offsets) instead of a partition-
+    less global sort. Property: for adversarial value distributions —
+    duplicates, skew, n not divisible by k — the decomposed bucket
+    assignment floor((r-1)*k/n)+1 must equal F.ntile over the same
+    total order."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    rng = random.Random(7)
+    rows = [
+        # heavy duplicate block, a skewed tail, and unique fillers
+        *[(100.0, i) for i in range(17)],
+        *[(float(rng.randint(0, 5)), 100 + i) for i in range(23)],
+        *[(rng.random() * 1e6, 200 + i) for i in range(13)],
+    ]
+    df = spark.createDataFrame(rows, ["v", "k"])
+    k = 10
+    n = len(rows)
+
+    builtin = df.select(
+        "v", "k", F.ntile(k).over(Window.orderBy("v", "k")).alias("bucket")
+    )
+
+    # decomposition under test: equi-width pre-buckets on v
+    n_pre = 8
+    rng_row = df.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    pre = df.crossJoin(F.broadcast(rng_row)).withColumn(
+        "pb",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(n_pre - 1),
+                F.floor(
+                    (F.col("v") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / n_pre)
+                ).cast("int"),
+            )
+        ),
+    )
+    wb = Window.partitionBy("pb").orderBy("v", "k")
+    ranked = pre.withColumn("rn", F.row_number().over(wb))
+    counts = pre.groupBy("pb").agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.orderBy("pb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("c").over(wo), F.lit(0))
+    ).select("pb", "off")
+    r0 = F.col("off") + F.col("rn") - 1  # 0-based global rank
+    s, q = n // k, n % k
+    cut = q * (s + 1)
+    bucket = (
+        F.when(r0 < cut, F.floor(r0 / (s + 1)))
+        .otherwise(q + F.floor((r0 - cut) / max(s, 1)))
+        .cast("int")
+        + 1
+    )
+    decomposed = ranked.join(F.broadcast(offsets), "pb").select(
+        "v", "k", bucket.alias("bucket")
+    )
+
+    lhs = {(r.v, r.k): r.bucket for r in builtin.collect()}
+    rhs = {(r.v, r.k): r.bucket for r in decomposed.collect()}
+    assert lhs == rhs

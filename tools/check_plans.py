@@ -258,6 +258,38 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"ArrowEvalPython|MapInPandas"],
         [r"BatchEvalPython"],
     ),
+    "udf_pandas_vector_norm": (
+        # the pandas UDF surface itself must be Arrow-vectorized
+        [r"ArrowEvalPython"],
+        [r"BatchEvalPython"],
+    ),
+    "multimodal_binary_metadata": (
+        # magic-byte dispatch is pure codegen over the binary column —
+        # metadata extraction must not cross into Python at all
+        [r"Scan parquet"],
+        [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
+    ),
+    "text_langid": (
+        # n-gram language ID scores entirely in codegen; profile join
+        # broadcasts
+        [r"Scan parquet"],
+        [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct",
+         r"SortMergeJoin"],
+    ),
+    "text_quality_stats": (
+        # per-doc heuristics are narrow projections — no shuffle at all
+        # before the parity sort
+        [r"Scan parquet"],
+        [r"Arguments: hashpartitioning", r"SortMergeJoin",
+         r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
+    "ann_int8_quantized_topk": (
+        # scale factors broadcast; quantized scan + re-rank are both
+        # heap merges, no global sort
+        [r"TakeOrderedAndProject"],
+        [r"Arguments: rangepartitioning", r"SortMergeJoin",
+         r"CartesianProduct", r"BatchEvalPython"],
+    ),
     "ann_filtered_topk": (
         # the metadata predicate must reach the parquet scan
         [r"PushedFilters: \[.*EqualTo\(label,1\)", r"TakeOrderedAndProject"],
@@ -312,6 +344,11 @@ COUNT_LIMITS: dict[str, list[tuple[str, int]]] = {
     # prefix-sum decomposition regressed into extra shuffles
     "pack_sequences_token_budget": [(r"Arguments: hashpartitioning", 3)],
     "curation_shard_assignment": [(r"Arguments: hashpartitioning", 3)],
+    # day-keyed sweep window + per-day totals agg (+ final per-day agg
+    # reusing the window's partitioning)
+    "events_peak_concurrency": [(r"Arguments: hashpartitioning", 3)],
+    # pb-keyed rank window + pb counts agg + final bucket agg
+    "agg_equidepth_histogram": [(r"Arguments: hashpartitioning", 4)],
 }
 
 # name -> builder for plan-only audits of streaming transformations

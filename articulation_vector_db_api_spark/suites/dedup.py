@@ -239,21 +239,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(N_MINHASH)
         ],
     )
-    band_frames = []
-    for b in range(N_MINHASH // BAND_ROWS):
-        cols = [
-            F.col(f"mh{b * BAND_ROWS + r}").cast("string") for r in range(BAND_ROWS)
-        ]
-        band_frames.append(
-            minhashes.select(
-                "doc_id",
+    # ONE projection + explode, not a 4-way union: a union evaluates
+    # the sha256 minhash fold once per branch AND once per join side
+    # (8x the digest work — measured 1.8 s -> 1.1 s at sf0.1). The
+    # struct array materializes the 4 band keys in a single pass over
+    # the cached shingle arrays.
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band_idx"),
-                F.concat_ws("-", *cols).alias("band_val"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col(f"mh{b * BAND_ROWS + r}").cast("string")
+                        for r in range(BAND_ROWS)
+                    ],
+                ).alias("band_val"),
             )
-        )
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionByName(bf)
+            for b in range(N_MINHASH // BAND_ROWS)
+        ]
+    )
+    bands = (
+        minhashes.select("doc_id", F.explode(band_structs).alias("s"))
+        .select("doc_id", "s.band_idx", "s.band_val")
+        .persist()  # tiny (4 rows x ~30 bytes per doc); both join
+        # sides read it, so the digest fold runs exactly once
+    )
 
     a = bands.alias("a")
     b = bands.alias("b")

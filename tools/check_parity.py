@@ -24,11 +24,14 @@ from articulation_vector_db_api_spark.session import get_spark  # noqa: E402
 from articulation_vector_db_api_spark.sources.readers import table_names  # noqa: E402
 
 
+_FLOAT_FMT = ".10g"
+
+
 def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
+        return format(v, _FLOAT_FMT)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     if isinstance(v, dict):
@@ -48,7 +51,16 @@ def main() -> int:
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--rows-only", action="store_true", help="include oracle-less queries")
+    ap.add_argument(
+        "--strict",
+        action="store_true",
+        help="bit-exact float compare (17 digits) — the driver hashes full "
+        "stringified values, so a 10-digit match can still fail there",
+    )
     args = ap.parse_args()
+    if args.strict:
+        global _FLOAT_FMT
+        _FLOAT_FMT = ".17g"
 
     registry = load_all()
     names = args.names or sorted(registry)

@@ -34,6 +34,7 @@ def connected_components(
         .cache()
     )
     labels = nodes.select(F.col("node"), F.col("node").alias("component")).cache()
+    cached = labels  # the exact frame holding this round's cache
     for _ in range(max_iters):
         # candidate labels arriving over edges
         incoming = (
@@ -41,25 +42,28 @@ def connected_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        updated = (
+        # old and new labels are both present in the update join, so
+        # the convergence flag rides the same pass — no separate
+        # old-vs-new join per round (one fewer shuffle per iteration)
+        joined = (
             labels.join(incoming, "node", "left")
             .select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
+                (
+                    F.coalesce("nbr_component", F.col("component"))
+                    < F.col("component")
+                ).alias("chg"),
             )
             .cache()
         )
-        changed = (
-            updated.join(labels.withColumnRenamed("component", "old"), "node")
-            .filter(F.col("component") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = updated
-        if changed == 0:
+        changed = joined.agg(F.max(F.col("chg").cast("int"))).first()[0]
+        cached.unpersist()
+        cached = joined
+        labels = joined.select("node", "component")
+        if not changed:
             break
     sym.unpersist()
     return labels

@@ -222,3 +222,61 @@ def test_ntile_prefix_sum_decomposition_matches_builtin(spark):
     lhs = {(r.v, r.k): r.bucket for r in builtin.collect()}
     rhs = {(r.v, r.k): r.bucket for r in decomposed.collect()}
     assert lhs == rhs
+
+
+def test_peak_concurrency_day_sweep_matches_global_sweep(spark):
+    """events_peak_concurrency decomposes the +1/-1 boundary sweep into
+    per-day partitions with carried offsets. Property: for random
+    interval sets that straddle midnights (including multi-day spans
+    and days consisting only of carried-over ends), the decomposition
+    must equal the naive single-partition running sum."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql.window import Window
+
+    rng = random.Random(11)
+    base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    for i in range(400):
+        start = base + dt.timedelta(
+            minutes=rng.randint(0, 5 * 24 * 60)  # 5-day span
+        )
+        dur = rng.choice([1, 30, 90, 60 * 26])  # includes >1-day spans
+        rows.append((start, start + dt.timedelta(minutes=dur)))
+    df = spark.createDataFrame(rows, ["t0", "t1"])
+
+    starts = df.select(F.col("t0").alias("t"), F.lit(1).alias("delta"))
+    ends = df.select(F.col("t1").alias("t"), F.lit(-1).alias("delta"))
+    deltas = starts.unionByName(ends)
+
+    # naive global sweep (ground truth)
+    w_global = Window.orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    truth = (
+        deltas.select("t", "delta", F.sum("delta").over(w_global).alias("c"))
+        .groupBy(F.col("t").cast("date").alias("day"))
+        .agg(F.max("c").alias("peak"))
+    )
+
+    # decomposition under test (same topology as the registered query)
+    dd = deltas.withColumn("day", F.col("t").cast("date"))
+    wd = Window.partitionBy("day").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = dd.withColumn("local_run", F.sum("delta").over(wd))
+    day_totals = dd.groupBy("day").agg(F.sum("delta").alias("day_total"))
+    wo = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = day_totals.withColumn(
+        "off", F.coalesce(F.sum("day_total").over(wo), F.lit(0))
+    ).select("day", "off")
+    got = (
+        local.join(F.broadcast(offsets), "day")
+        .groupBy("day")
+        .agg(F.max(F.col("off") + F.col("local_run")).alias("peak"))
+    )
+
+    lhs = {r.day: r.peak for r in truth.collect()}
+    rhs = {r.day: r.peak for r in got.collect()}
+    assert lhs == rhs

@@ -102,6 +102,25 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, "sliding", "complete").orderBy("window_start")
 
 
+def session_window_agg(ev: DataFrame) -> DataFrame:
+    """The session-window transformation alone (plan-audited by
+    tools/check_plans.py: SessionWindowStateStore save/restore)."""
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 @register(
     "stream_session_window",
     oracle="""
@@ -136,22 +155,19 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic gaps-and-islands rewrite (lag → new-session flag →
     running-sum session ids)."""
     ev = read_events_stream(spark, sf_dir)
-    agg = (
-        ev.groupBy(F.session_window("ts", "5 minutes"), "user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
-        )
-        .select(
-            "user_id",
-            F.col("session_window.start").alias("session_start"),
-            F.col("session_window.end").alias("session_end"),
-            "n_events",
-            "total_value",
-        )
-    )
-    return run_available_now(agg, "session", "complete").orderBy(
-        "user_id", "session_start"
+    return run_available_now(
+        session_window_agg(ev), "session", "complete"
+    ).orderBy("user_id", "session_start")
+
+
+def dedup_count_transform(ev: DataFrame) -> DataFrame:
+    """The exactly-once dedup transformation alone (plan-audited by
+    tools/check_plans.py: StreamingDeduplicate above the union)."""
+    doubled = ev.unionByName(ev)
+    return (
+        doubled.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
     )
 
 
@@ -170,13 +186,9 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every event delivered twice) → dropDuplicates on event_id keyed
     state → per-type counts equal the single-delivery truth."""
     ev = read_events_stream(spark, sf_dir)
-    doubled = ev.unionByName(ev)
-    agg = (
-        doubled.dropDuplicates(["event_id"])
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_unique"))
-    )
-    return run_available_now(agg, "dedup", "complete").orderBy("event_type")
+    return run_available_now(
+        dedup_count_transform(ev), "dedup", "complete"
+    ).orderBy("event_type")
 
 
 @register(

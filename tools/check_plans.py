@@ -367,6 +367,20 @@ STREAMING_EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"StreamingDeduplicate", r"StateStoreSave"],
         [r"CartesianProduct"],
     ),
+    "stream_session_window[transform]": (
+        # native session-window state: merging session store, not a
+        # per-row window pass
+        [r"SessionWindowStateStore"],
+        [r"CartesianProduct", r"\bWindow\b"],
+    ),
+    "stream_dedup[transform]": (
+        # exactly-once dedup = keyed StreamingDeduplicate state, then a
+        # normal stateful agg. Catalyst ELIMINATES the double-delivery
+        # self-union below the dedup (duplicates are dropped anyway) —
+        # assert that collapse held rather than the union's presence
+        [r"StreamingDeduplicate", r"StateStoreSave"],
+        [r"CartesianProduct", r"Union"],
+    ),
 }
 
 
@@ -376,7 +390,9 @@ def _streaming_frames(spark):
     )
     from articulation_vector_db_api_spark.suites.streaming import (
         curation_admission_transform,
+        dedup_count_transform,
         read_events_stream,
+        session_window_agg,
         tumbling_window_agg,
     )
 
@@ -386,6 +402,12 @@ def _streaming_frames(spark):
         ),
         "stream_curation_admission[transform]": curation_admission_transform(
             read_documents_stream(spark, SF)
+        ),
+        "stream_session_window[transform]": session_window_agg(
+            read_events_stream(spark, SF)
+        ),
+        "stream_dedup[transform]": dedup_count_transform(
+            read_events_stream(spark, SF)
         ),
     }
 

@@ -54,22 +54,36 @@ def read_manifest(table_path: str) -> dict:
 def write_snapshot(df: DataFrame, table_path: str, note: str = "") -> int:
     """Publish ``df`` as the next table version; returns the version.
 
-    The data write happens BEFORE the manifest flip, so a crash mid-write
-    leaves the previous version current (atomicity rides on the manifest
-    being one small file — on object stores, one PUT)."""
-    man = read_manifest(table_path)
-    version = int(man["current"]) + 1
-    vdir = os.path.join(table_path, f"v={version}")
+    Concurrent-writer protocol (optimistic concurrency, the same shape
+    Delta/Iceberg use against a log):
+
+    1. CLAIM a version by exclusive ``mkdir v=N`` — two writers racing
+       for N cannot both succeed; the loser bumps to N+1 and retries
+       (object-store analog: conditional PUT of the version marker).
+    2. WRITE data into the claimed directory. A crash here leaves an
+       unpublished directory, never a torn table.
+    3. MERGE-THEN-FLIP the manifest: re-read it after the write so a
+       concurrent committer's entry is preserved, set ``current`` to
+       the max published version, and swap via write-temp + atomic
+       rename. A crash mid-dump leaves the previous manifest live.
+    """
+    os.makedirs(table_path, exist_ok=True)
+    version = int(read_manifest(table_path)["current"]) + 1
+    while True:
+        vdir = os.path.join(table_path, f"v={version}")
+        try:
+            os.makedirs(vdir, exist_ok=False)  # exclusive claim
+            break
+        except FileExistsError:
+            version += 1
     df.write.mode("overwrite").parquet(vdir)
     n_files = len(
         [f for f in os.listdir(vdir) if f.endswith(".parquet")]
     )
+    man = read_manifest(table_path)  # re-read: keep concurrent entries
     man["versions"][str(version)] = {"path": vdir, "note": note, "n_files": n_files}
-    man["current"] = version
-    # Write-then-rename so the flip is atomic: a crash mid-dump leaves
-    # only the temp file behind and the live manifest still names the
-    # previous version.
-    tmp = _manifest_path(table_path) + ".tmp"
+    man["current"] = max(int(man["current"]), version)
+    tmp = _manifest_path(table_path) + f".tmp.{version}"
     with open(tmp, "w") as f:
         json.dump(man, f, indent=2)
         f.flush()

@@ -94,3 +94,39 @@ def test_api_admin_endpoints(spark, tmp_path):
     assert resp["new_version"] == 2 and resp["n_files"] < 8
     snaps = api.snapshots(t)
     assert snaps["current"] == 2 and set(snaps["versions"]) == {"1", "2"}
+
+
+def test_concurrent_writers_claim_distinct_versions(spark, tmp_path):
+    """Two writers racing for the next version must land in DISTINCT
+    version directories, and the second manifest flip must preserve the
+    first writer's entry (merge-then-flip). Simulated by interleaving:
+    writer A reads the table state, writer B commits first, then A
+    commits — with a naive read-increment protocol both would publish
+    v=2 and A's data write would clobber B's."""
+    import os
+
+    from articulation_vector_db_api_spark.operators.maintenance import (
+        read_manifest,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "occ_table")
+    write_snapshot(spark.range(0, 10).selectExpr("id AS a"), table, note="base")
+
+    # writer A peeks at the state (simulating its pre-commit read)...
+    peeked = int(read_manifest(table)["current"]) + 1
+    # ...writer B wins the race and publishes first
+    vb = write_snapshot(spark.range(0, 20).selectExpr("id AS a"), table, note="B")
+    assert vb == peeked  # B took the version A expected
+    # writer A now commits; the mkdir claim must push it PAST B
+    va = write_snapshot(spark.range(0, 30).selectExpr("id AS a"), table, note="A")
+    assert va == vb + 1
+
+    man = read_manifest(table)
+    assert int(man["current"]) == va
+    # B's entry survived A's flip, and both datasets are intact
+    assert man["versions"][str(vb)]["note"] == "B"
+    assert read_snapshot(spark, table, vb).count() == 20
+    assert read_snapshot(spark, table, va).count() == 30
+    assert os.path.isdir(os.path.join(table, f"v={vb}"))

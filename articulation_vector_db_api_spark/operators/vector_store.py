@@ -27,6 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import davg
 from ..functions.vector import cosine
 
 
@@ -55,9 +56,11 @@ def write_ivf_store(
     flat = ivf.select("cell", F.posexplode("embedding")).select(
         "cell", F.col("pos").alias("idx"), F.col("col").cast("double").alias("v")
     )
+    # decimal-exact means rounded to 6 (same pin as ann_ivf_exact):
+    # routing is then bit-reproducible on any engine and any row order
     cent = (
         flat.groupBy("cell", "idx")
-        .agg(F.avg("v").alias("cv"))
+        .agg(F.round(davg(F.col("v")), 6).alias("cv"))
         .groupBy("cell")
         .agg(
             F.transform(
@@ -77,6 +80,7 @@ def probe_ivf_store(
     query_vec: list[float],
     nprobe: int,
     k: int,
+    exclude_vec_id: int | None = None,
 ) -> DataFrame:
     """Top-k cosine search reading ONLY the probed cells.
 
@@ -101,13 +105,14 @@ def probe_ivf_store(
         .collect()
     ]
     vecs = spark.read.schema(schema).parquet(os.path.join(path, "vectors"))
+    if exclude_vec_id is not None:
+        vecs = vecs.filter(F.col("vec_id") != exclude_vec_id)
     return (
         vecs.filter(F.col("cell").isin(cells))
         .select(
-            "vec_id",
-            "cell",
-            F.round(cosine(F.col("embedding"), q), 6).alias("score"),
+            "vec_id", "cell", cosine(F.col("embedding"), q).alias("raw")
         )
-        .orderBy(F.desc("score"), "vec_id")
+        .orderBy(F.desc("raw"), "vec_id")  # raw order: ties cut exactly
         .limit(k)
+        .select("vec_id", "cell", F.round("raw", 6).alias("score"))
     )

@@ -349,6 +349,75 @@ def ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_stored_probe",
+    oracle=f"""
+    WITH ivf AS (
+        SELECT vec_id, embedding, vec_id % {N_IVF_CELLS} AS cell FROM embeddings
+    ),
+    flat AS (
+        SELECT cell, generate_subscripts(embedding, 1) AS idx,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM ivf
+    ),
+    cent_flat AS (
+        SELECT cell, idx,
+               round(CAST(sum(CAST(v AS DECIMAL(30,8))) AS DOUBLE) / count(*), 6)
+                   AS cv
+        FROM flat GROUP BY cell, idx
+    ),
+    cent AS (SELECT cell, list(cv ORDER BY idx) AS c FROM cent_flat GROUP BY cell),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    cellrank AS (
+        SELECT cell, {cosine_sql_duckdb("c", "q")} AS cs
+        FROM cent, qv
+        ORDER BY cs DESC, cell LIMIT {N_IVF_PROBES}
+    ),
+    cand AS (
+        SELECT i.vec_id, i.cell, {cosine_sql_duckdb("i.embedding", "q")} AS raw
+        FROM ivf i, cellrank cr, qv
+        WHERE i.cell = cr.cell AND i.vec_id != {QUERY_VEC_ID}
+    )
+    SELECT vec_id, cell, round(raw, 6) AS score
+    FROM cand ORDER BY raw DESC, vec_id LIMIT 10
+    """,
+    tags=("similarity",),
+)
+def ann_ivf_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED half of the IVF design ann_ivf_exact verifies
+    in-memory: vectors written ``partitionBy(cell)`` with a persisted
+    centroid table + catalog schema (operators/vector_store.py), then
+    probed — the cell predicate prunes partitions at the scan, so probe
+    I/O is nprobe/n_cells of the corpus at any size
+    (tests/test_vector_store.py proves the pruning by corrupting every
+    unprobed partition). Same oracle as ann_ivf_exact: identical
+    results through a completely different physical path is exactly
+    what a storage layer must guarantee."""
+    import os
+
+    from ..operators.vector_store import probe_ivf_store, write_ivf_store
+
+    e = load_table(spark, sf_dir, "embeddings")
+    store = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        ".tmp",
+        f"ivf_store_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    write_ivf_store(e, store, N_IVF_CELLS)
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()[0]
+    ]
+    return probe_ivf_store(
+        spark, store, qvec, nprobe=N_IVF_PROBES, k=10,
+        exclude_vec_id=QUERY_VEC_ID,
+    )
+
+
 _INT_DOT_SQL = (
     "list_reduce(list_prepend(CAST(0 AS BIGINT), "
     "list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i])), "

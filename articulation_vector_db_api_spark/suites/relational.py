@@ -1728,6 +1728,7 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_equidepth_histogram",
+    headline=True,
     oracle="""
     WITH b AS (
         SELECT o_totalprice,

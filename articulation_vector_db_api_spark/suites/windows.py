@@ -476,6 +476,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_peak_concurrency",
+    headline=True,
     oracle="""
     WITH intervals AS (
         SELECT ts AS t0, ts + INTERVAL 5 MINUTE AS t1 FROM events

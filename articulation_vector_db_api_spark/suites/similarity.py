@@ -27,7 +27,7 @@ from pyspark.sql.window import Window
 
 from ..functions.embedding import embedding_sql_duckdb, hash_embedding
 from ..functions.numeric import davg
-from ..functions.vector import cosine, cosine_sql_duckdb, dot, dot_sql_duckdb
+from ..functions.vector import cosine, cosine_sql_duckdb, dot, dot_sql_duckdb, l2_norm
 from ..registry import register
 from ..sources.readers import load_table
 
@@ -212,11 +212,22 @@ def similarity_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     approxNearestNeighbors does one query per job — unusable at scale)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q"),
+        l2_norm(F.col("embedding")).alias("qn"),
     )
+    # corpus norm hoisted above the query fan-out (once per vector, not
+    # once per pair); same fold, bit-identical to the fused cosine
+    en = e.withColumn("en", l2_norm(F.col("embedding")))
     scored = (
-        e.join(F.broadcast(q), e.vec_id != F.col("qid"))
-        .select("qid", "vec_id", cosine(F.col("embedding"), F.col("q")).alias("raw"))
+        en.join(F.broadcast(q), en.vec_id != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (dot(F.col("embedding"), F.col("q")) / (F.col("en") * F.col("qn"))).alias(
+                "raw"
+            ),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("raw"), "vec_id")
     return (

@@ -636,12 +636,16 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return F.array_min(F.transform("cb", entry))
 
-    best = [best_for(s) for s in range(_PQ_SUBS)]
+    # hoist the per-subspace argmin structs into ONE projected column:
+    # codes and adc_d both read from it, so each 16-entry fold runs
+    # once per row instead of twice (CollapseProject keeps non-cheap
+    # aliases referenced twice in their own projection)
+    best_col = F.array(*[best_for(s) for s in range(_PQ_SUBS)])
     codes = F.concat_ws(
-        "-", F.array(*[b["code"].cast("string") for b in best])
+        "-", F.transform("best", lambda b: b["code"].cast("string"))
     )
     adc_d = F.aggregate(
-        F.array(*[b["dq"] for b in best]),
+        F.transform("best", lambda b: b["dq"]),
         F.lit(0.0),
         lambda acc, d: acc + d,
     )
@@ -649,6 +653,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(cb_row))
         .crossJoin(F.broadcast(q_row))
+        .select("vec_id", "v", "q", best_col.alias("best"))
         .select("vec_id", "v", "q", codes.alias("codes"), adc_d.alias("adc_d"))
         .orderBy("adc_d", "vec_id")
         .limit(_PQ_RERANK)

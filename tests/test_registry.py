@@ -17,6 +17,33 @@ def test_registry_loads_and_is_consistent():
     assert len(with_oracle) >= 0.85 * len(reg)
 
 
+def test_every_oracle_less_query_justifies_rows_only():
+    """The correctness gate's contract: a query either carries a DuckDB
+    oracle or its docstring says WHY only a rows-only check is possible
+    (engine-internal hashes, streaming-runtime emission timing, ...).
+    Guards the registry against silently unverifiable additions."""
+    import re
+
+    reg = load_all()
+    missing = [
+        name
+        for name, q in reg.items()
+        if q.oracle is None
+        and not re.search(r"rows-only|oracle", q.doc, re.IGNORECASE)
+    ]
+    assert not missing, f"oracle-less queries without a rationale: {missing}"
+
+
+def test_every_headline_query_is_oracle_checked():
+    """Bench numbers should only be claimed for queries whose results
+    the independent oracle verifies."""
+    reg = load_all()
+    unverified = [
+        name for name, q in reg.items() if q.headline and q.oracle is None
+    ]
+    assert not unverified, f"headline without oracle: {unverified}"
+
+
 def test_entry_module_contract():
     import __spark_entry__ as mod
 

@@ -261,7 +261,30 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "udf_pandas_vector_norm": (
         # the pandas UDF surface itself must be Arrow-vectorized
         [r"ArrowEvalPython"],
-        [r"BatchEvalPython"],
+        [r"BatchEvalPython\b"],
+    ),
+    "udf_applyinpandas_order_gaps": (
+        # grouped-map crosses as one Arrow batch per group, keyed by
+        # the groupBy shuffle — no row-pickled fallback
+        [r"FlatMapGroupsInPandas"],
+        [r"BatchEvalPython\b", r"CartesianProduct"],
+    ),
+    "udf_grouped_agg_price_range": (
+        # pandas grouped-agg rides the hash-aggregate path via Arrow
+        [r"ArrowAggregatePython"],
+        [r"BatchEvalPython\b", r"FlatMapGroupsInPandas"],
+    ),
+    "udf_mapinarrow_bytelen": (
+        # mapInArrow keeps raw Arrow record batches end to end
+        [r"MapInArrow"],
+        [r"BatchEvalPython\b", r"ArrowEvalPython"],
+    ),
+    "udtf_char_trigrams": (
+        # Python UDTFs only have the batched-pickle lateral path
+        # (BatchEvalPythonUDTF) — pin the exact node so a row-at-a-time
+        # scalar BatchEvalPython never sneaks in beside it
+        [r"BatchEvalPythonUDTF"],
+        [r"BatchEvalPython\b(?!UDTF)", r"CartesianProduct"],
     ),
     "multimodal_binary_metadata": (
         # magic-byte dispatch is pure codegen over the binary column —

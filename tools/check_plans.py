@@ -223,6 +223,24 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"partial_count", r"BroadcastNestedLoopJoin"],
         [r"CartesianProduct"],
     ),
+    "graph_pagerank": (
+        # each power iteration is a keyed equi-join + aggregate; the
+        # rank vector never cross-joins the edge list
+        [r"HashAggregate"],
+        [r"CartesianProduct"],
+    ),
+    "text_token_counts": (
+        # all three tokenizations are codegen'd regex/split folds —
+        # no Python, no shuffle before the parity sort
+        [r"Scan parquet"],
+        [r"BatchEvalPython", r"ArrowEvalPython", r"Arguments: hashpartitioning"],
+    ),
+    "text_fingerprint": (
+        # rolling-hash fold is a narrow map; collision grouping is the
+        # only aggregate
+        [r"Scan parquet"],
+        [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
+    ),
     "graph_triangle_count": (
         # every stage is a keyed equi-join: wedge join on the pivot,
         # closure check on the (a,b) pair — no all-pairs fallback

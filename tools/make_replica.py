@@ -44,6 +44,13 @@ TABLES = {
         "ts, user_id + {off} * (SELECT max(user_id) + 1 FROM t) AS user_id, "
         "event_type, value, props FROM t"
     ),
+    # embeddings replicate verbatim (offset ids): every vector gains
+    # N-1 exact-duplicate twins — worst case for near-dup similarity,
+    # neutral for top-k (the query's neighborhood just densifies)
+    "embeddings": (
+        "SELECT vec_id + {off} * (SELECT max(vec_id) + 1 FROM t) AS vec_id, "
+        "embedding, label FROM t"
+    ),
 }
 
 

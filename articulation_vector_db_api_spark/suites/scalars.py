@@ -366,11 +366,12 @@ def map_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
            max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
-           sum(CASE WHEN json_extract(props, '$.absent') IS NULL
-               THEN 1 ELSE 0 END) AS n_missing
+           CAST(sum(CASE WHEN json_extract(props, '$.absent') IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
     FROM events
     GROUP BY event_type
     ORDER BY event_type

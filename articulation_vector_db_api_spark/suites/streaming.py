@@ -597,7 +597,7 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 10
     )
     SELECT source, count(*) AS n_admitted,
-           sum(n_tokens) AS total_tokens
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM q GROUP BY source ORDER BY source
     """,
     tags=("streaming", "curation"),

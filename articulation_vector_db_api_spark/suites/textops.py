@@ -932,11 +932,15 @@ _PACK_BUCKETS = 16  # prefix-sum fan-out (≈ partition count at deployment)
         FROM d
     ),
     p AS (
+        -- CAST: DuckDB integer sums/divs widen to HUGEINT, which the
+        -- driver's fetch path stringifies float-style ("53.0") against
+        -- Spark's bigint "53" — r03 hash-fail class.
         SELECT doc_id, n_tokens,
-               (cum - n_tokens) // {_PACK_BUDGET} AS pack_id
+               CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS pack_id
         FROM c
     )
-    SELECT pack_id, count(*) AS n_docs, sum(n_tokens) AS pack_tokens,
+    SELECT pack_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
     FROM p GROUP BY pack_id ORDER BY pack_id
     """,
@@ -1018,8 +1022,11 @@ _MIX_BUDGET = 10000  # docs in the sampled training mix
     "curation_mixture_weights",
     oracle=f"""
     WITH per_src AS (
+        -- CAST: sum() would widen to HUGEINT (driver fetches that
+        -- float-style — r03 hash-fail class)
         SELECT source, count(*) AS n_docs,
-               sum(len(regexp_split_to_array(trim(lower(text)), '\\s+')))
+               CAST(sum(len(regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+'))) AS BIGINT)
                    AS n_tokens
         FROM documents WHERE length(trim(text)) > 0
         GROUP BY source
@@ -1129,7 +1136,8 @@ def curation_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                      6) AS corpus_nll
         FROM lp
     )
-    SELECT doc_id, n_tokens, -nll_micro AS nll_micro,
+    SELECT doc_id, n_tokens,
+           CAST(-nll_micro AS BIGINT) AS nll_micro,
            round(CAST(-nll_micro AS DOUBLE)
                  / (CAST(n_tokens AS DOUBLE) * 1000000.0), 6) AS avg_neg_logp,
            CAST(CASE WHEN round(CAST(-nll_micro AS DOUBLE)
@@ -1493,7 +1501,9 @@ _RAKE_TOPK = 20
         SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM pdist
     ),
     pscore AS (
-        SELECT p.phrase, sum(ws.s) AS score_micro
+        -- CAST: sum(BIGINT) widens to HUGEINT (driver fetches that
+        -- float-style — r03 hash-fail class)
+        SELECT p.phrase, CAST(sum(ws.s) AS BIGINT) AS score_micro
         FROM pwords p JOIN wscore ws USING (w) GROUP BY p.phrase
     )
     SELECT d.phrase, d.n_occ, s.score_micro

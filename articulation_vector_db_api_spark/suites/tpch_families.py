@@ -152,10 +152,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(floor(date_diff('day', o_orderdate, l_shipdate) / 30) AS BIGINT)
              AS lateness_bucket,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders
     JOIN lineitem ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'

@@ -24,14 +24,18 @@ from articulation_vector_db_api_spark.session import get_spark  # noqa: E402
 from articulation_vector_db_api_spark.sources.readers import table_names  # noqa: E402
 
 
-_FLOAT_FMT = ".10g"
+# None → bit-exact repr (the driver hashes full stringified values, so
+# two doubles differing by one ulp are a hash MISMATCH; this default
+# reproduces that). --tolerant switches to 10-significant-digit
+# matching for debugging real-value drift vs stringification drift.
+_FLOAT_FMT: str | None = None
 
 
 def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return format(v, _FLOAT_FMT)
+        return repr(v) if _FLOAT_FMT is None else format(v, _FLOAT_FMT)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     if isinstance(v, dict):
@@ -54,13 +58,18 @@ def main() -> int:
     ap.add_argument(
         "--strict",
         action="store_true",
-        help="bit-exact float compare (17 digits) — the driver hashes full "
-        "stringified values, so a 10-digit match can still fail there",
+        help="(now the default) kept for compatibility: bit-exact floats",
+    )
+    ap.add_argument(
+        "--tolerant",
+        action="store_true",
+        help="10-significant-digit float compare, for separating real "
+        "value drift from stringification drift",
     )
     args = ap.parse_args()
-    if args.strict:
+    if args.tolerant:
         global _FLOAT_FMT
-        _FLOAT_FMT = ".17g"
+        _FLOAT_FMT = ".10g"
 
     registry = load_all()
     names = args.names or sorted(registry)
@@ -90,7 +99,23 @@ def main() -> int:
         try:
             ores = con.sql(q.oracle)
             ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            # The driver's fetch path materializes HUGEINT (int128, the
+            # result type of DuckDB integer sums) as float64 — "53.0"
+            # vs Spark bigint "53", a guaranteed hash mismatch.
+            # duckdb's fetchall() returns Python ints for HUGEINT and
+            # would hide that, so coerce those columns to float here.
+            hug = {
+                i
+                for i, t in enumerate(ores.types)
+                if "HUGEINT" in str(t).upper()
+            }
+            orows = [
+                tuple(
+                    float(v) if i in hug and v is not None else v
+                    for i, v in enumerate(r)
+                )
+                for r in ores.fetchall()
+            ]
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: oracle error: {e}")

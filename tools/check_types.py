@@ -42,7 +42,9 @@ def norm_spark(dt) -> object:
     if isinstance(dt, (T.FloatType, T.DoubleType)):
         return "float"
     if isinstance(dt, T.DecimalType):
-        return "decimal"
+        # scale-sensitive: DECIMAL(30,8) prints "6.00000000" while
+        # DECIMAL(12,2) prints "6.00" — a scale mismatch hash-FAILs
+        return ("decimal", dt.scale)
     if isinstance(dt, (T.StringType, T.VarcharType, T.CharType)):
         return "str"
     if isinstance(dt, T.BooleanType):
@@ -71,8 +73,15 @@ def norm_spark(dt) -> object:
 
 _DUCK_SCALARS = {
     "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
-    "HUGEINT": "int", "UTINYINT": "int", "USMALLINT": "int",
-    "UINTEGER": "int", "UBIGINT": "int", "UHUGEINT": "int",
+    "UTINYINT": "int", "USMALLINT": "int",
+    "UINTEGER": "int", "UBIGINT": "int",
+    # HUGEINT is NOT "int": the driver's fetch path materializes int128
+    # as float64 ("53.0"), so an uncast sum(INTEGER/BIGINT) hash-FAILs
+    # against Spark's bigint "53" even when every value matches — the
+    # exact r03 failure class (pack_sequences_token_budget,
+    # curation_mixture_weights, text_perplexity_score,
+    # text_rake_keywords). Oracles must CAST(... AS BIGINT).
+    "HUGEINT": "hugeint-fetched-as-float", "UHUGEINT": "hugeint-fetched-as-float",
     "FLOAT": "float", "REAL": "float", "DOUBLE": "float",
     # JSON stringifies identically to VARCHAR (driver-proven:
     # struct_map_functions hash-matched in r02 with a DuckDB JSON col)
@@ -109,9 +118,9 @@ def norm_duck(t: str) -> object:
     t = t.strip()
     if t.endswith("[]"):
         return ("array", norm_duck(t[:-2]))
-    m = re.fullmatch(r"DECIMAL\s*\(.*\)", t, re.I)
+    m = re.fullmatch(r"DECIMAL\s*\(\s*\d+\s*,\s*(\d+)\s*\)", t, re.I)
     if m:
-        return "decimal"
+        return ("decimal", int(m.group(1)))
     m = re.fullmatch(r"MAP\s*\((.*)\)", t, re.I | re.S)
     if m:
         k, v = _split_top(m.group(1))

@@ -30,17 +30,56 @@ unchanged.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import math
 import os
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST = "_snapshot_manifest.json"
+_LOCK = ".manifest.lock"
 
 
 def _manifest_path(table_path: str) -> str:
     return os.path.join(table_path, _MANIFEST)
+
+
+@contextlib.contextmanager
+def _manifest_lock(
+    table_path: str, timeout: float = 30.0, stale_after: float = 120.0
+):
+    """Exclusive manifest lock via ``O_CREAT|O_EXCL`` — the one
+    primitive local/NFS filesystems give us that two processes cannot
+    both win. A holder that crashed is detected by lock age and its
+    lock is broken; ``timeout`` bounds the wait for a live holder."""
+    lock = os.path.join(table_path, _LOCK)
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:  # holder released between open and stat
+                continue
+            if age > stale_after:
+                with contextlib.suppress(OSError):
+                    os.unlink(lock)  # break a crashed holder's lock
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"manifest lock held too long: {lock}")
+            time.sleep(0.05)
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        yield
+    finally:
+        os.close(fd)
+        with contextlib.suppress(OSError):
+            os.unlink(lock)
 
 
 def read_manifest(table_path: str) -> dict:
@@ -54,41 +93,55 @@ def read_manifest(table_path: str) -> dict:
 def write_snapshot(df: DataFrame, table_path: str, note: str = "") -> int:
     """Publish ``df`` as the next table version; returns the version.
 
-    Concurrent-writer protocol (optimistic concurrency, the same shape
-    Delta/Iceberg use against a log):
+    Concurrent-writer protocol (optimistic concurrency over a plain
+    filesystem — a simplified cousin of a real table format's commit
+    log, not a replacement for one):
 
-    1. CLAIM a version by exclusive ``mkdir v=N`` — two writers racing
-       for N cannot both succeed; the loser bumps to N+1 and retries
-       (object-store analog: conditional PUT of the version marker).
-    2. WRITE data into the claimed directory. A crash here leaves an
-       unpublished directory, never a torn table.
-    3. MERGE-THEN-FLIP the manifest: re-read it after the write so a
-       concurrent committer's entry is preserved, set ``current`` to
-       the max published version, and swap via write-temp + atomic
-       rename. A crash mid-dump leaves the previous manifest live.
+    1. WRITE data into a private ``.tmp-*`` directory. Nothing is
+       published; a crash here leaves cleanup garbage, never a torn
+       table.
+    2. CLAIM+PUBLISH in one atomic op: ``rename(.tmp-*, v=N)``. The
+       rename fails when ``v=N`` already exists (published versions
+       are non-empty directories), so a loser bumps to N+1 and
+       retries. Because the claim IS the publish, no competing writer
+       can ever observe — or recreate — a half-claimed directory, the
+       flaw of the earlier mkdir-claim-then-overwrite protocol whose
+       data write deleted its own claim.
+    3. MERGE-THEN-FLIP the manifest under an ``O_CREAT|O_EXCL`` lock
+       file: the re-read/merge/replace runs exclusively, so two
+       committers cannot interleave read-modify-write and drop each
+       other's ``versions`` entries or regress ``current``. A crash
+       mid-dump leaves the previous manifest live; a crash while
+       holding the lock is healed by lock-age takeover.
     """
     os.makedirs(table_path, exist_ok=True)
+    tmp_dir = os.path.join(table_path, f".tmp-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(tmp_dir)
+    n_files = len([f for f in os.listdir(tmp_dir) if f.endswith(".parquet")])
     version = int(read_manifest(table_path)["current"]) + 1
     while True:
         vdir = os.path.join(table_path, f"v={version}")
         try:
-            os.makedirs(vdir, exist_ok=False)  # exclusive claim
+            os.rename(tmp_dir, vdir)  # atomic claim + publish
             break
-        except FileExistsError:
+        except OSError:
+            if not os.path.exists(vdir):
+                raise  # not a lost claim race — surface it
             version += 1
-    df.write.mode("overwrite").parquet(vdir)
-    n_files = len(
-        [f for f in os.listdir(vdir) if f.endswith(".parquet")]
-    )
-    man = read_manifest(table_path)  # re-read: keep concurrent entries
-    man["versions"][str(version)] = {"path": vdir, "note": note, "n_files": n_files}
-    man["current"] = max(int(man["current"]), version)
-    tmp = _manifest_path(table_path) + f".tmp.{version}"
-    with open(tmp, "w") as f:
-        json.dump(man, f, indent=2)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _manifest_path(table_path))
+    with _manifest_lock(table_path):
+        man = read_manifest(table_path)  # re-read UNDER the lock
+        man["versions"][str(version)] = {
+            "path": vdir,
+            "note": note,
+            "n_files": n_files,
+        }
+        man["current"] = max(int(man["current"]), version)
+        tmp = _manifest_path(table_path) + f".tmp.{version}"
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=2)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, _manifest_path(table_path))
     return version
 
 

@@ -154,7 +154,9 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the 100 TB path for
     distinct stats — fixed-size sketch per partition, no (group, value)
-    shuffle. No oracle: sketch estimates are engine-specific."""
+    shuffle. Rows-only: HLL++ sketch estimates are engine-specific, so
+    no cross-engine oracle exists; pytest pins the estimate against
+    the exact count within the configured rsd."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -289,9 +291,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style sketch): the 100 TB percentile path
-    — mergeable fixed-size sketches instead of a per-group sort. No
-    oracle: estimates are engine-specific (agg_percentiles carries the
-    exact check)."""
+    — mergeable fixed-size sketches instead of a per-group sort.
+    Rows-only: sketch estimates are engine-specific
+    (agg_percentiles carries the exact oracle-checked variant)."""
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderstatus")
@@ -2396,9 +2398,9 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     that makes 100 TB distinct-count dashboards incremental: store the
     sketch column at the fine grain, merge upward at query time.
     Register-maximum union is order-independent, so estimates are
-    deterministic at any partition count (pytest pins them against
-    exact counts; no cross-engine oracle — sketch bytes are
-    DataSketches-specific)."""
+    deterministic at any partition count (Rows-only: sketch bytes are
+    DataSketches-specific, so no cross-engine oracle exists; pytest
+    pins the estimates against exact counts)."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     per_nation = (

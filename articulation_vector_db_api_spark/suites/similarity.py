@@ -403,7 +403,15 @@ def ann_ivf_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_vector_store.py proves the pruning by corrupting every
     unprobed partition). Same oracle as ann_ivf_exact: identical
     results through a completely different physical path is exactly
-    what a storage layer must guarantee."""
+    what a storage layer must guarantee.
+
+    SIDE-EFFECTFUL BUILDER: unlike every other registered query, this
+    builder runs real jobs at DataFrame-build time — the store write
+    (first invocation only) and a 1-row collect for the query vector.
+    The store path is unique per (fixture, Spark application id) so
+    concurrent runs never race on one directory, and a completed store
+    is marked and reused, so schema-only tooling (tools/check_types.py,
+    repeated plan builds in one session) pays the write exactly once."""
     import os
 
     from ..operators.vector_store import probe_ivf_store, write_ivf_store
@@ -414,9 +422,16 @@ def ann_ivf_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ),
         ".tmp",
-        f"ivf_store_{os.path.basename(os.path.normpath(sf_dir))}",
+        "ivf_store_{}_{}".format(
+            os.path.basename(os.path.normpath(sf_dir)),
+            spark.sparkContext.applicationId,
+        ),
     )
-    write_ivf_store(e, store, N_IVF_CELLS)
+    marker = os.path.join(store, "_STORE_COMPLETE")
+    if not os.path.exists(marker):
+        write_ivf_store(e, store, N_IVF_CELLS)
+        with open(marker, "w"):
+            pass
     qvec = [
         float(x)
         for x in e.filter(F.col("vec_id") == QUERY_VEC_ID)

@@ -464,9 +464,9 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked append-mode tumbling counts: only windows sealed by
-    the 10-minute watermark emit; trailing windows stay open (weaker
-    rows-only check — emission timing is a streaming-runtime property,
-    not batch-SQL-expressible)."""
+    the 10-minute watermark emit; trailing windows stay open (Rows-only: emission timing is a streaming-runtime property —
+    which windows have been sealed when AvailableNow drains is decided
+    by watermark advancement, not batch-SQL-expressible)."""
     ev = read_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "10 minutes")

@@ -130,3 +130,47 @@ def test_concurrent_writers_claim_distinct_versions(spark, tmp_path):
     assert read_snapshot(spark, table, vb).count() == 20
     assert read_snapshot(spark, table, va).count() == 30
     assert os.path.isdir(os.path.join(table, f"v={vb}"))
+
+
+def test_truly_concurrent_writers_all_commit(spark, tmp_path):
+    """Eight writers committing SIMULTANEOUSLY (threads, no
+    serialization points) must produce eight distinct versions, a
+    manifest containing every entry, and current == max — exercising
+    the atomic rename claim and the manifest lock under a real race,
+    not an interleaved replay."""
+    import threading
+
+    table = str(tmp_path / "occ_parallel")
+    write_snapshot(spark.range(0, 5).selectExpr("id AS a"), table, note="base")
+
+    n = 8
+    results, errors = [], []
+    barrier = threading.Barrier(n)
+
+    def commit(i: int) -> None:
+        try:
+            df = spark.range(0, 10 + i).selectExpr("id AS a")
+            barrier.wait()
+            results.append(write_snapshot(df, table, note=f"w{i}"))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=commit, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors
+    assert sorted(results) == list(range(2, 2 + n))  # distinct versions
+    man = read_manifest(table)
+    assert int(man["current"]) == 1 + n
+    assert set(man["versions"]) == {str(v) for v in range(1, 2 + n)}
+    notes = {man["versions"][str(v)]["note"] for v in results}
+    assert notes == {f"w{i}" for i in range(n)}
+    for v in results:
+        assert read_snapshot(spark, table, v).count() >= 10
+    # no leftover temp dirs or lock
+    leftovers = [f for f in os.listdir(table) if f.startswith(".tmp-")]
+    assert leftovers == []
+    assert not os.path.exists(os.path.join(table, ".manifest.lock"))

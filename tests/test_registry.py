@@ -19,19 +19,21 @@ def test_registry_loads_and_is_consistent():
 
 def test_every_oracle_less_query_justifies_rows_only():
     """The correctness gate's contract: a query either carries a DuckDB
-    oracle or its docstring says WHY only a rows-only check is possible
-    (engine-internal hashes, streaming-runtime emission timing, ...).
-    Guards the registry against silently unverifiable additions."""
-    import re
-
+    oracle or its docstring carries an explicit ``Rows-only:`` marker
+    line saying WHY only a rows-only check is possible (engine-internal
+    hashes, streaming-runtime emission timing, ...). An incidental
+    mention of the word "oracle" does NOT count — the marker must be
+    deliberate. Guards the registry against silently unverifiable
+    additions."""
     reg = load_all()
     missing = [
         name
         for name, q in reg.items()
-        if q.oracle is None
-        and not re.search(r"rows-only|oracle", q.doc, re.IGNORECASE)
+        if q.oracle is None and "Rows-only:" not in q.doc
     ]
-    assert not missing, f"oracle-less queries without a rationale: {missing}"
+    assert not missing, (
+        f"oracle-less queries without a 'Rows-only:' rationale: {missing}"
+    )
 
 
 def test_every_headline_query_is_oracle_checked():

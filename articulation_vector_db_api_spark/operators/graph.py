@@ -122,9 +122,15 @@ def connected_components_star(
             .distinct()
             .localCheckpoint()
         )
+        # one-job convergence check: both edge sets are distinct, so
+        # the symmetric difference is a single full-outer join with a
+        # null-marker filter — not two exceptAll jobs per round
         changed = (
-            new_sym.exceptAll(sym).limit(1).count()
-            + sym.exceptAll(new_sym).limit(1).count()
+            sym.withColumn("_old", F.lit(1))
+            .join(new_sym.withColumn("_new", F.lit(1)), ["src", "dst"], "full_outer")
+            .filter(F.col("_old").isNull() | F.col("_new").isNull())
+            .limit(1)
+            .count()
         )
         sym = new_sym
         if changed == 0:

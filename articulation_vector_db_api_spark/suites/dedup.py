@@ -1046,10 +1046,13 @@ def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest id (the keep-longest heuristic production dedup uses).
 
     Scale shape: candidate pairs come from the shingle equi-join
-    (never all-pairs), the component fixpoint is one shuffle per round
-    with O(log n) rounds (operators/graph.py), and survivor election
-    is a single per-component window. The `keep = 0` rows ARE the
-    deletion list a 100 TB curation job writes back."""
+    (never all-pairs), clustering runs the skew-bounded alternating
+    large-star/small-star variant (operators/graph.py:
+    connected_components_star — no reducer ever materializes a whole
+    component's adjacency, unlike min-label propagation's hot-label
+    groupBy), and survivor election is a single per-component window.
+    The `keep = 0` rows ARE the deletion list a 100 TB curation job
+    writes back."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -1078,14 +1081,14 @@ def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         # component loop's first materialization — without this the
         # shingle self-join reruns for each (measured 6.0 -> 2.4 s)
     )
-    from ..operators.graph import connected_components
+    from ..operators.graph import connected_components_star
 
     nodes = (
         edges.select(F.col("a").alias("node"))
         .union(edges.select(F.col("b").alias("node")))
         .distinct()
     )
-    labels = connected_components(nodes, edges)
+    labels = connected_components_star(nodes, edges)
     w = Window.partitionBy("component").orderBy(
         F.col("n_chars").desc(), F.col("node")
     )

@@ -1,0 +1,104 @@
+"""HTTP serving tier: route-for-route parity with the reference's
+FastAPI surface (main.py:219-365), served by the stdlib tier over real
+Spark jobs."""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.error
+import urllib.request
+
+import pytest
+
+from articulation_vector_db_api_spark.api import EngineAPI
+from articulation_vector_db_api_spark.server import ServerConfig, serve
+
+_CORPUS = os.path.join(os.path.dirname(__file__), "fixtures", "driver_corpus")
+
+
+def _get(base: str, path: str) -> tuple[int, dict]:
+    try:
+        with urllib.request.urlopen(base + path) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _post(base: str, path: str, payload: dict) -> tuple[int, dict]:
+    req = urllib.request.Request(
+        base + path,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    table = str(tmp_path_factory.mktemp("http_tier") / "chunks")
+    api = EngineAPI(spark=spark, data_dir="/root/testdata/sf0.001")
+    server = serve(api, ServerConfig(table_path=table, corpus_dir=_CORPUS))
+    base = "http://127.0.0.1:%d" % server.server_address[1]
+    yield base, table
+    server.shutdown()
+
+
+def test_root_and_degraded_health(served):
+    base, table = served
+    code, body = _get(base, "/")
+    assert code == 200 and body["status"] == "healthy"
+    assert body["service"] == "College PDF Vector Database API"
+    # before any ingest the index is missing -> degraded, never a 5xx
+    code, body = _get(base, "/health")
+    assert code == 200 and body["status"] == "degraded"
+
+
+def test_ingest_then_stats_and_health(served):
+    base, table = served
+    code, body = _post(base, "/ingest", {})
+    assert code == 200
+    assert body["ingested_count"] > 0
+    assert isinstance(body["pdfs_processed"], list)  # titles, not a count
+    code, body = _get(base, "/stats")
+    assert code == 200
+    assert body["stats"]["total_vector_count"] > 0
+    assert body["stats"]["dimension"] == 1024
+    code, body = _get(base, "/health")
+    assert code == 200 and body["status"] == "healthy"
+
+
+def test_search_query_alias_and_validation(served):
+    base, table = served
+    code, a = _post(base, "/search", {"query": "alpha", "top_k": 3})
+    assert code == 200
+    assert a["total_results"] == len(a["chunks"]) <= 3
+    assert a["query"] == "alpha"
+    if a["chunks"]:
+        assert set(a["chunks"][0]) == {"text", "source", "score", "id"}
+        assert "[Source: " in a["context"]
+    # /query is a verbatim alias (main.py:335-338)
+    code, b = _post(base, "/query", {"query": "alpha", "top_k": 3})
+    assert code == 200 and b == a
+    # empty query -> 400 with FastAPI's error shape (main.py:317-318)
+    code, err = _post(base, "/search", {"query": "   "})
+    assert code == 400 and err["detail"] == "Query cannot be empty"
+
+
+def test_ingest_missing_corpus_404_and_unknown_route(served):
+    base, table = served
+    code, err = _post(base, "/ingest", {"corpus_dir": "/nonexistent/dir"})
+    assert code == 404 and "PDF not found" in err["detail"]
+    code, err = _get(base, "/nope")
+    assert code == 404
+
+
+def test_admin_snapshots_surface(served):
+    base, table = served
+    code, body = _get(base, "/snapshots")
+    assert code == 200 and "current" in body and "versions" in body

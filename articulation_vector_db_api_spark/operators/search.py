@@ -197,6 +197,18 @@ def assemble_context(topk: DataFrame, query: str) -> DataFrame:
     )
 
 
+class _NegStr(str):
+    """Inverts string ordering so ``max(key=(score, _NegStr(id)))``
+    breaks score ties toward the SMALLEST id — the engines' ``ORDER BY
+    score DESC, id ASC`` tie rule."""
+
+    def __lt__(self, other) -> bool:  # type: ignore[override]
+        return str.__gt__(self, other)
+
+    def __gt__(self, other) -> bool:  # type: ignore[override]
+        return str.__lt__(self, other)
+
+
 def mmr_rerank(
     spark: SparkSession,
     sf_dir: str,
@@ -210,14 +222,18 @@ def mmr_rerank(
     near-duplicate chunks don't crowd the context window (the RAG
     failure mode plain top-k inherits, main.py:184-189).
 
-    Greedy MMR is inherently sequential in k, so the driver loop runs k
-    tiny jobs — but each one touches only the CACHED pool of ``pool``
-    candidates (itself the top-k' of the distributed scan), and the
-    picked vectors re-enter the plan as inlined literals (32 doubles
-    per pick), not joins. The corpus-sized work happens exactly once,
-    before the loop. The final projection rounds in Spark so scores
-    stay bit-identical with the SQL oracle's round()."""
-    from ..functions.vector import cosine
+    Greedy MMR is inherently sequential in k, and every round needs
+    only the ``pool`` candidates — so the distributed work is exactly
+    ONE job (the corpus scan's top-``pool``, collected: ≤ pool rows of
+    32 doubles), and the greedy selection itself runs driver-side in
+    plain Python. The Python fold mirrors the engines' arithmetic
+    bit-for-bit (left-to-right IEEE adds from a 0.0 accumulator —
+    functions/vector.py), which the SQL oracle twin verifies; the
+    final projection rounds in Spark so scores stay bit-identical with
+    the oracle's round(). Previous shape (one .first() job per pick)
+    launched k scheduler rounds to scan ≤ pool cached rows — strictly
+    worse at any scale."""
+    import math
 
     scored = score_chunks(spark, sf_dir, query)
     pats = chunk_patterns(spark, sf_dir).select("id", "pattern")
@@ -228,25 +244,34 @@ def mmr_rerank(
         .select("id", "raw", "pattern")
         .cache()
     )
-    picked = []
-    for _ in range(k):
+    rows = cands.collect()  # the one distributed job
+
+    def _dot(a: list, b: list) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def _cos(a: list, b: list) -> float:
+        return _dot(a, b) / (math.sqrt(_dot(a, a)) * math.sqrt(_dot(b, b)))
+
+    picked: list = []
+    remaining = list(rows)
+    while remaining and len(picked) < k:
         if not picked:
-            row = cands.orderBy(F.desc("raw"), "id").first()
+            best = max(remaining, key=lambda r: (r.raw, _NegStr(r.id)))
         else:
-            penalty = None
-            for p in picked:
-                plit = F.array(*[F.lit(float(v)) for v in p.pattern])
-                sim = cosine(F.col("pattern"), plit)
-                penalty = sim if penalty is None else F.greatest(penalty, sim)
-            mmr = F.lit(lam) * F.col("raw") - F.lit(1 - lam) * penalty
-            row = (
-                cands.filter(~F.col("id").isin([p.id for p in picked]))
-                .orderBy(F.desc(mmr), "id")
-                .first()
+            best = max(
+                remaining,
+                key=lambda r: (
+                    lam * r.raw
+                    - (1 - lam)
+                    * max(_cos(r.pattern, p.pattern) for p in picked),
+                    _NegStr(r.id),
+                ),
             )
-        if row is None:  # pool exhausted before k picks
-            break
-        picked.append(row)
+        picked.append(best)
+        remaining = [r for r in remaining if r.id != best.id]
     picks = spark.createDataFrame(
         [(i + 1, p.id) for i, p in enumerate(picked)], "pick int, id string"
     )

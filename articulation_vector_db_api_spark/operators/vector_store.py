@@ -31,21 +31,20 @@ from ..functions.numeric import davg
 from ..functions.vector import cosine
 
 
-def write_ivf_store(
+def train_ivf_router(
     vectors: DataFrame, path: str, n_cells: int
 ) -> None:
-    """Partition the vector table by IVF cell and persist centroids.
-
-    ``vectors``: (vec_id, embedding). Deterministic cell = vec_id %
-    n_cells mirrors ann_ivf_exact's quantizer; a trained variant swaps
-    this one projection for a broadcast-codebook argmin (see
-    mllib_ivf_ann) — the storage layout below is identical either way.
-    """
+    """Train and persist the store's ROUTER: per-cell centroids + the
+    catalog schema. Split from the vector write because the router's
+    lifecycle is different (FAISS/ScaNN semantics): it is trained once
+    on a representative corpus, FROZEN while vectors stream in through
+    :func:`append_ivf_store`, and only rebuilt by an explicit re-train
+    + re-index. Deterministic cell = vec_id % n_cells mirrors
+    ann_ivf_exact's quantizer; a trained variant swaps this one
+    projection for a broadcast-codebook argmin (see mllib_ivf_ann) —
+    everything downstream is identical either way."""
     ivf = vectors.select(
         "vec_id", "embedding", (F.col("vec_id") % n_cells).alias("cell")
-    )
-    ivf.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, "vectors")
     )
     # persist the schema as the store's catalog entry: probes read with
     # it instead of footer-inferring, so opening the store touches NO
@@ -72,6 +71,87 @@ def write_ivf_store(
     cent.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "centroids")
     )
+
+
+def write_ivf_store(
+    vectors: DataFrame, path: str, n_cells: int
+) -> None:
+    """Batch build: train the router on ``vectors`` and write them all,
+    partitioned by cell. (Incremental growth instead uses
+    :func:`train_ivf_router` once + :func:`append_ivf_store` per batch.)
+    """
+    train_ivf_router(vectors, path, n_cells)
+    ivf = vectors.select(
+        "vec_id", "embedding", (F.col("vec_id") % n_cells).alias("cell")
+    )
+    ivf.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "vectors")
+    )
+
+
+def append_ivf_store(
+    new_vectors: DataFrame, path: str, n_cells: int
+) -> None:
+    """Incremental index maintenance: route a NEW batch into the
+    existing cell layout and append — cost scales with the batch, not
+    the store (a full ``write_ivf_store`` rebuild re-shuffles the whole
+    corpus for every ingest, which no production pipeline survives).
+
+    The cell assignment is the store's frozen router (deterministic
+    here; a trained store freezes its centroid codebook between
+    re-trainings the same way — FAISS/ScaNN semantics: adding vectors
+    never moves existing ones), so centroids are NOT recomputed: an
+    append touches only ``vectors/cell=*/`` with new files. Parquet's
+    append mode writes fresh files per partition directory — existing
+    files are never rewritten, so concurrent probes stay consistent
+    (they read a file listing; the worst case is missing the newest
+    batch, never torn data). Periodic :func:`compact_ivf_cells` folds
+    the accumulated small files."""
+    ivf = new_vectors.select(
+        "vec_id", "embedding", (F.col("vec_id") % n_cells).alias("cell")
+    )
+    ivf.repartition("cell").write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "vectors")
+    )
+
+
+def compact_ivf_cells(
+    spark: SparkSession,
+    path: str,
+    max_files_per_cell: int = 4,
+) -> dict:
+    """Fold the small files incremental appends accumulate, ONLY in the
+    cells that need it: per-cell file counts come from the directory
+    listing (no data read), and each offending cell is rewritten by a
+    scan of that cell alone via dynamic partition overwrite — untouched
+    cells' files are not read, not rewritten, and stay live for
+    concurrent probes. Returns {cell: n_files_before} for the rewritten
+    cells. Scan cost ~ size of the compacted cells, never the store."""
+    vdir = os.path.join(path, "vectors")
+    counts = {
+        int(d.split("=")[1]): sum(
+            1 for f in os.listdir(os.path.join(vdir, d)) if f.endswith(".parquet")
+        )
+        for d in os.listdir(vdir)
+        if d.startswith("cell=")
+    }
+    fat = {c: n for c, n in counts.items() if n > max_files_per_cell}
+    if not fat:
+        return {}
+    from pyspark.sql.types import StructType
+
+    with open(os.path.join(path, "schema.json")) as f:
+        schema = StructType.fromJson(__import__("json").loads(f.read()))
+    vecs = spark.read.schema(schema).parquet(vdir)
+    (
+        vecs.filter(F.col("cell").isin(list(fat)))  # partition-pruned scan
+        .repartition("cell")  # one file per rewritten cell
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")  # only listed cells
+        .partitionBy("cell")
+        .parquet(vdir)
+    )
+    return fat
 
 
 def probe_ivf_store(

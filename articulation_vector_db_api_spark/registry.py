@@ -169,6 +169,9 @@ _WINDOW_FIRST = (
     "q12_late_shipment_priority",
     "scalar_variant_semistructured",
     "stream_curation_admission",
+    # the one mllib query with a full value oracle — guaranteed a seat
+    # ahead of its rows-only siblings
+    "mllib_count_vectorizer",
 )
 # Suite order for the rest of the unverified front: streaming first (a
 # whole SURVEY §2.2 category with zero driver rows after three rounds),

@@ -360,9 +360,7 @@ def ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivf_stored_probe",
-    oracle=f"""
+_IVF_STORED_ORACLE = f"""
     WITH ivf AS (
         SELECT vec_id, embedding, vec_id % {N_IVF_CELLS} AS cell FROM embeddings
     ),
@@ -391,7 +389,12 @@ def ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id, cell, round(raw, 6) AS score
     FROM cand ORDER BY raw DESC, vec_id LIMIT 10
-    """,
+    """
+
+
+@register(
+    "ann_ivf_stored_probe",
+    oracle=_IVF_STORED_ORACLE,
     tags=("similarity",),
 )
 def ann_ivf_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,6 +433,68 @@ def ann_ivf_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker = os.path.join(store, "_STORE_COMPLETE")
     if not os.path.exists(marker):
         write_ivf_store(e, store, N_IVF_CELLS)
+        with open(marker, "w"):
+            pass
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()[0]
+    ]
+    return probe_ivf_store(
+        spark, store, qvec, nprobe=N_IVF_PROBES, k=10,
+        exclude_vec_id=QUERY_VEC_ID,
+    )
+
+
+@register(
+    "ann_ivf_incremental_probe",
+    oracle=_IVF_STORED_ORACLE,
+    tags=("similarity",),
+)
+def ann_ivf_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance, end to end: the router is trained
+    once (operators/vector_store.py:train_ivf_router), the corpus
+    arrives as TWO appended batches (append_ivf_store — cost per ingest
+    scales with the batch, the store is never rebuilt), small files are
+    folded by per-cell compaction (compact_ivf_cells — rewrites ONLY
+    offending cells via dynamic partition overwrite), and the probe is
+    partition-pruned as ever. The oracle is the SAME SQL as
+    ann_ivf_stored_probe: grow-by-append + compact must be
+    indistinguishable from a batch build — the maintenance-path
+    invariant every production vector store owes its users.
+
+    SIDE-EFFECTFUL BUILDER (same contract as ann_ivf_stored_probe):
+    store writes happen at build time, keyed by (fixture, app id),
+    completed-store marker skips rebuilds."""
+    import os
+
+    from ..operators.vector_store import (
+        append_ivf_store,
+        compact_ivf_cells,
+        probe_ivf_store,
+        train_ivf_router,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    store = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        ".tmp",
+        "ivf_incr_{}_{}".format(
+            os.path.basename(os.path.normpath(sf_dir)),
+            spark.sparkContext.applicationId,
+        ),
+    )
+    marker = os.path.join(store, "_STORE_COMPLETE")
+    if not os.path.exists(marker):
+        mid_row = e.agg(F.max("vec_id")).first()
+        mid = int(mid_row[0]) // 2
+        train_ivf_router(e, store, N_IVF_CELLS)
+        append_ivf_store(e.filter(F.col("vec_id") <= mid), store, N_IVF_CELLS)
+        append_ivf_store(e.filter(F.col("vec_id") > mid), store, N_IVF_CELLS)
+        compact_ivf_cells(spark, store, max_files_per_cell=1)
         with open(marker, "w"):
             pass
     qvec = [

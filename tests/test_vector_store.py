@@ -82,3 +82,110 @@ def test_ivf_store_probe_is_partition_pruned(spark, tmp_path):
         .collect()
     ]
     assert baseline == expected
+
+
+def test_incremental_append_then_probe_and_compact(spark, tmp_path):
+    """Append-only maintenance: a store whose router was trained once,
+    loaded with half the corpus and grown by appending the other half,
+    must probe identically to a batch-built store over the same rows
+    (the router is FROZEN between re-trainings, so both share it);
+    per-cell compaction then folds the appended small files without
+    changing a single result row."""
+    from articulation_vector_db_api_spark.operators.vector_store import (
+        append_ivf_store,
+        compact_ivf_cells,
+        train_ivf_router,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    mid = e.count() // 2  # range split: both halves hit every cell
+    half_a = e.filter(F.col("vec_id") < mid)
+    half_b = e.filter(F.col("vec_id") >= mid)
+
+    grown = str(tmp_path / "grown")
+    train_ivf_router(e, grown, N_CELLS)  # router from the full corpus
+    append_ivf_store(half_a, grown, N_CELLS)
+    append_ivf_store(half_b, grown, N_CELLS)
+    full = str(tmp_path / "full")
+    write_ivf_store(e, full, N_CELLS)
+
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    want = [
+        tuple(r) for r in probe_ivf_store(spark, full, qvec, nprobe=NPROBE, k=10).collect()
+    ]
+    got = [
+        tuple(r) for r in probe_ivf_store(spark, grown, qvec, nprobe=NPROBE, k=10).collect()
+    ]
+    assert got == want and len(got) == 10
+
+    # the append left >1 file in the probed cells; compaction folds them
+    vdir = os.path.join(grown, "vectors")
+
+    def files_in(cell: int) -> int:
+        d = os.path.join(vdir, f"cell={cell}")
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    probed = {int(r[1]) for r in got}
+    assert all(files_in(c) >= 2 for c in probed)
+    rewritten = compact_ivf_cells(spark, grown, max_files_per_cell=1)
+    assert set(rewritten) == set(range(N_CELLS))  # every cell had 2 files
+    assert all(files_in(c) == 1 for c in rewritten)
+    # results identical through the rewrite
+    again = [
+        tuple(r) for r in probe_ivf_store(spark, grown, qvec, nprobe=NPROBE, k=10).collect()
+    ]
+    assert again == want
+    # idempotent: nothing left to compact
+    assert compact_ivf_cells(spark, grown, max_files_per_cell=1) == {}
+
+
+def test_streaming_foreachbatch_index_maintenance(spark, tmp_path):
+    """Streaming index maintenance: micro-batches of embeddings land in
+    the stored IVF layout through foreachBatch(append_ivf_store) — the
+    streaming half of the ingest story. The final store must probe
+    identically to a batch-built store over the same rows."""
+    from articulation_vector_db_api_spark.operators.vector_store import (
+        append_ivf_store,
+        train_ivf_router,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    store = str(tmp_path / "streamed")
+    # production order: train the router first, then stream vectors in
+    train_ivf_router(e, store, N_CELLS)
+
+    src = str(tmp_path / "src")
+    # two micro-batch files
+    e.filter(F.col("vec_id") % 2 == 0).write.parquet(os.path.join(src, "b0"))
+    e.filter(F.col("vec_id") % 2 == 1).write.parquet(os.path.join(src, "b1"))
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _bid: append_ivf_store(batch, store, N_CELLS)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    full = str(tmp_path / "full")
+    write_ivf_store(e, full, N_CELLS)
+    want = [
+        tuple(r) for r in probe_ivf_store(spark, full, qvec, nprobe=NPROBE, k=10).collect()
+    ]
+    got = [
+        tuple(r) for r in probe_ivf_store(spark, store, qvec, nprobe=NPROBE, k=10).collect()
+    ]
+    assert got == want

@@ -140,9 +140,10 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
-    """DuckDB: doc_id → N_MINHASH minhash values + banded candidate
-    pairs + exact-Jaccard verification (twin of dedup_minhash_lsh)."""
+def _minhash_cand_cte() -> str:
+    """DuckDB CTE block: documents → shingle arrays → minhashes →
+    banded candidate pairs (`cand`). Shared by the dedup_minhash_lsh
+    twin and the LSH recall eval."""
     # 12 hash functions from TWO digests (8-char slices), not 12 sha256s;
     # each minhash is a per-row list fold — mirrors the Spark array_min
     hash_cols = ",\n               ".join(
@@ -183,7 +184,12 @@ def _minhash_sql() -> str:
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
          AND a.doc_id < b.doc_id
-    ),
+    )"""
+
+
+def _minhash_sql() -> str:
+    """Full dedup_minhash_lsh twin: candidates + exact-Jaccard verify."""
+    return f"""{_minhash_cand_cte()},
     verified AS (
         SELECT c.doc_a, c.doc_b,
                len(list_intersect(sa.shingles, sb.shingles)) AS inter,
@@ -201,22 +207,17 @@ def _minhash_sql() -> str:
     """
 
 
-@register("dedup_minhash_lsh", oracle=_minhash_sql(), headline=True, tags=("dedup",))
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded LSH near-dup: shingle → 12 minhashes → 4 bands
-    of 3 → band-key equi-join proposes candidates → exact Jaccard
-    (computed only on candidates) filters.
+def _lsh_candidate_pairs(arrays: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) distinct MinHash-band collision pairs from cached
+    shingle arrays — the candidate generator shared by
+    dedup_minhash_lsh and dedup_lsh_recall_eval.
 
-    Scale: the band join is hash-partitioned on (band_idx, band_val);
-    no O(n²) stage exists. Verification joins shingle lists only for
-    candidate pairs. At 100 TB, tune bands/rows for the target Jaccard
-    threshold (P(candidate) = 1-(1-j^r)^b) and salt hot bands."""
-    docs = load_table(spark, sf_dir, "documents")
-    arrays = _shingle_arrays(docs).cache()  # reused: hashing + both verify sides
-
-    # Per-doc minhashing is a pure array fold — NO explode, NO groupBy
-    # shuffle. 12 hash functions are 8-char slices of two digests per
-    # shingle (2 sha256s, not 12); the hexcat array materializes once.
+    Per-doc minhashing is a pure array fold — NO explode, NO groupBy
+    shuffle. 12 hash functions are 8-char slices of two digests per
+    shingle (2 sha256s, not 12); the hexcat array materializes once.
+    ONE projection + explode produces the 4 band keys (a 4-way union
+    would re-evaluate the digest fold per branch AND per join side —
+    measured 1.8 s -> 1.1 s at sf0.1)."""
     hexcats = F.transform(
         F.col("shingles"),
         lambda s: F.concat(
@@ -239,11 +240,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(N_MINHASH)
         ],
     )
-    # ONE projection + explode, not a 4-way union: a union evaluates
-    # the sha256 minhash fold once per branch AND once per join side
-    # (8x the digest work — measured 1.8 s -> 1.1 s at sf0.1). The
-    # struct array materializes the 4 band keys in a single pass over
-    # the cached shingle arrays.
     band_structs = F.array(
         *[
             F.struct(
@@ -265,10 +261,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()  # tiny (4 rows x ~30 bytes per doc); both join
         # sides read it, so the digest fold runs exactly once
     )
-
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -278,6 +273,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_sql(), headline=True, tags=("dedup",))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup: shingle → 12 minhashes → 4 bands
+    of 3 → band-key equi-join proposes candidates → exact Jaccard
+    (computed only on candidates) filters.
+
+    Scale: the band join is hash-partitioned on (band_idx, band_val);
+    no O(n²) stage exists. Verification joins shingle lists only for
+    candidate pairs. At 100 TB, tune bands/rows for the target Jaccard
+    threshold (P(candidate) = 1-(1-j^r)^b) and salt hot bands."""
+    docs = load_table(spark, sf_dir, "documents")
+    arrays = _shingle_arrays(docs).cache()  # reused: hashing + both verify sides
+    cand = _lsh_candidate_pairs(arrays)
 
     # Exact-Jaccard verification on CANDIDATES ONLY, via array
     # intersection — shingle lists join to the (few) candidate pairs;
@@ -566,6 +576,99 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
         .limit(50)
+    )
+
+
+@register(
+    "dedup_lsh_recall_eval",
+    oracle=f"""{_minhash_cand_cte()},
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingle_arrays),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM shingle_arrays),
+    pair_inter AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+        FROM ex x JOIN ex y
+          ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    ),
+    truth AS (
+        SELECT doc_a, doc_b
+        FROM pair_inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)
+              >= {JACCARD_THRESHOLD}
+    ),
+    hit AS (SELECT * FROM truth INTERSECT SELECT * FROM cand)
+    SELECT (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM cand) AS n_candidates,
+           (SELECT count(*) FROM hit) AS n_hit,
+           CASE WHEN (SELECT count(*) FROM truth) > 0
+                THEN round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                           / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6)
+           END AS recall
+    """,
+    tags=("dedup", "eval"),
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine quality eval for the MinHash-LSH candidate generator
+    (the dedup analog of ann_recall_eval): recall of band-collision
+    pairs against the EXACT ground truth — every pair with true
+    Jaccard >= the threshold, from the shingle equi-join (a pair above
+    any positive threshold must share a shingle, so the equi-join
+    finds all of them; no all-pairs stage). This is the number that
+    decides the bands/rows configuration at deployment: tune until
+    measured recall at the target threshold is acceptable, then scale
+    — P(candidate) = 1-(1-j^r)^b is the theory, this query is the
+    measurement.
+
+    Scale shape: candidates from the band equi-join, truth from the
+    shingle equi-join, intersection by a pair-key join; three keyed
+    shuffles total, counts roll up to a single row."""
+    docs = load_table(spark, sf_dir, "documents")
+    arrays = _shingle_arrays(docs).cache()  # feeds cand, truth, sizes
+    cand = _lsh_candidate_pairs(arrays)
+
+    sh = arrays.select("doc_id", F.explode_outer("shingles").alias("shingle"))
+    sizes = arrays.select("doc_id", F.size("shingles").alias("n"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    pair_inter = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    truth = (
+        pair_inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+            >= JACCARD_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
+    )
+    hit = truth.join(cand, ["doc_a", "doc_b"])
+    counts = (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    return counts.select(
+        "n_truth",
+        "n_candidates",
+        "n_hit",
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_truth").cast("double"), 6
+            ),
+        ).alias("recall"),
     )
 
 

@@ -247,6 +247,18 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate"],
         [r"CartesianProduct"],
     ),
+    "dedup_lsh_recall_eval": (
+        # candidates from the band equi-join, truth from the shingle
+        # equi-join, intersection a pair-key join — never all-pairs
+        [r"HashAggregate"],
+        [r"CartesianProduct"],
+    ),
+    "ann_ivf_incremental_probe": (
+        # the probe over the appended+compacted store must still prune:
+        # the cell predicate reaches the scan as a partition filter
+        [r"PartitionFilters: \[.*cell"],
+        [r"CartesianProduct"],
+    ),
     "pipeline_dedup_keep_best": (
         # candidates from the shingle equi-join; survivor election is
         # one per-component window — no cartesian pair generation

@@ -90,7 +90,12 @@ def read_manifest(table_path: str) -> dict:
         return json.load(f)
 
 
-def write_snapshot(df: DataFrame, table_path: str, note: str = "") -> int:
+def write_snapshot(
+    df: DataFrame,
+    table_path: str,
+    note: str = "",
+    batch_id: int | None = None,
+) -> int:
     """Publish ``df`` as the next table version; returns the version.
 
     Concurrent-writer protocol (optimistic concurrency over a plain
@@ -130,11 +135,10 @@ def write_snapshot(df: DataFrame, table_path: str, note: str = "") -> int:
             version += 1
     with _manifest_lock(table_path):
         man = read_manifest(table_path)  # re-read UNDER the lock
-        man["versions"][str(version)] = {
-            "path": vdir,
-            "note": note,
-            "n_files": n_files,
-        }
+        entry = {"path": vdir, "note": note, "n_files": n_files}
+        if batch_id is not None:
+            entry["batch_id"] = int(batch_id)
+        man["versions"][str(version)] = entry
         man["current"] = max(int(man["current"]), version)
         tmp = _manifest_path(table_path) + f".tmp.{version}"
         with open(tmp, "w") as f:
@@ -154,6 +158,60 @@ def read_snapshot(
     if str(v) not in man["versions"]:
         raise ValueError(f"version {v} not in {sorted(man['versions'])}")
     return spark.read.parquet(man["versions"][str(v)]["path"])
+
+
+def streaming_snapshot_sink(table_path: str):
+    """Exactly-once streaming ingest into the versioned table: a
+    ``foreachBatch`` callback committing each micro-batch as a snapshot
+    version stamped with its batch id.
+
+    Spark's foreachBatch contract is AT-LEAST-once — after a failure
+    the last batch re-delivers with the SAME batch id — so the commit
+    is made idempotent on that id: a batch id already present in the
+    manifest is skipped, and the re-delivery becomes a no-op. Combined
+    with the atomic claim+publish of :func:`write_snapshot`, the table
+    holds each micro-batch exactly once, which is the end-to-end
+    guarantee a checkpointed stream + idempotent sink buys (the same
+    protocol Delta's txn-version-per-streamId implements).
+
+    The table accumulates as a LOG of batch-versions — read the union
+    with :func:`read_snapshot_log`, or any single batch with
+    :func:`read_snapshot` (time travel over ingest history)."""
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        committed = {
+            v.get("batch_id")
+            for v in read_manifest(table_path)["versions"].values()
+        }
+        if int(batch_id) in committed:
+            return  # re-delivered batch: already durable, skip
+        write_snapshot(
+            batch_df,
+            table_path,
+            note=f"stream batch {batch_id}",
+            batch_id=batch_id,
+        )
+
+    return commit
+
+
+def read_snapshot_log(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """The ACCUMULATED table a streaming-ingested snapshot log holds:
+    the union of every version directory up to ``version`` (default
+    current). Listing cost is manifest-sized; the scan unions parquet
+    directories without rewriting anything — the log IS the table."""
+    man = read_manifest(table_path)
+    upto = int(man["current"]) if version is None else int(version)
+    paths = [
+        v["path"]
+        for k, v in sorted(man["versions"].items(), key=lambda kv: int(kv[0]))
+        if int(k) <= upto
+    ]
+    if not paths:
+        raise ValueError(f"no versions <= {upto} in {table_path}")
+    return spark.read.parquet(*paths)
 
 
 def compact_snapshot(

@@ -174,3 +174,57 @@ def test_truly_concurrent_writers_all_commit(spark, tmp_path):
     leftovers = [f for f in os.listdir(table) if f.startswith(".tmp-")]
     assert leftovers == []
     assert not os.path.exists(os.path.join(table, ".manifest.lock"))
+
+
+def test_streaming_exactly_once_snapshot_ingest(spark, tmp_path):
+    """A checkpointed stream commits micro-batches into the versioned
+    table through the idempotent foreachBatch sink: every batch lands
+    exactly once (a simulated re-delivery is a no-op), the accumulated
+    log equals the full input, and each batch stays time-travelable."""
+    from pyspark.sql import functions as F
+
+    from articulation_vector_db_api_spark.operators.maintenance import (
+        read_snapshot_log,
+        streaming_snapshot_sink,
+    )
+
+    table = str(tmp_path / "stream_table")
+    src = str(tmp_path / "src")
+    base = spark.range(0, 100).withColumn("val", F.col("id") * 2)
+    base.filter("id < 60").write.parquet(src + "/f0")
+    base.filter("id >= 60").write.parquet(src + "/f1")
+
+    sink = streaming_snapshot_sink(table)
+    q = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+        .writeStream.foreachBatch(lambda df, bid: sink(df, bid))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    man = read_manifest(table)
+    batch_ids = [v["batch_id"] for v in man["versions"].values()]
+    n_batches = len(batch_ids)  # one per source FILE (maxFilesPerTrigger=1)
+    assert n_batches >= 2 and sorted(batch_ids) == list(range(n_batches))
+    assert read_snapshot_log(spark, table).count() == 100
+    # each micro-batch is its own time-travelable version; together they
+    # partition the input exactly
+    per_version = [
+        read_snapshot(spark, table, int(v)).count() for v in man["versions"]
+    ]
+    assert sum(per_version) == 100  # empty part-files make empty batches
+
+    # simulate the at-least-once re-delivery of the last batch: the
+    # idempotent sink must NOT create a third version
+    last_bid = max(batch_ids)
+    sink(base.filter("id >= 60"), last_bid)
+    man2 = read_manifest(table)
+    assert len(man2["versions"]) == n_batches
+    assert read_snapshot_log(spark, table).count() == 100
+    # a genuinely NEW batch still commits
+    sink(base.filter("id < 0"), last_bid + 1)
+    assert len(read_manifest(table)["versions"]) == n_batches + 1

@@ -392,6 +392,45 @@ _IVF_STORED_ORACLE = f"""
     """
 
 
+def _app_scoped_store(spark: SparkSession, prefix: str, sf_dir: str) -> str:
+    """Store path under the repo .tmp, unique per (fixture, Spark app)
+    so concurrent runs never race on one directory. Prunes SIBLING
+    stores from dead runs (same prefix, mtime older than 6 h — far past
+    any live session) so per-app uniqueness cannot grow .tmp without
+    bound across rounds."""
+    import os
+    import shutil
+    import time
+
+    tmp = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        ".tmp",
+    )
+    os.makedirs(tmp, exist_ok=True)
+    cutoff = time.time() - 6 * 3600
+    for d in os.listdir(tmp):
+        full = os.path.join(tmp, d)
+        try:
+            if (
+                d.startswith(prefix + "_")
+                and os.path.isdir(full)
+                and os.path.getmtime(full) < cutoff
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass
+    return os.path.join(
+        tmp,
+        "{}_{}_{}".format(
+            prefix,
+            os.path.basename(os.path.normpath(sf_dir)),
+            spark.sparkContext.applicationId,
+        ),
+    )
+
+
 @register(
     "ann_ivf_stored_probe",
     oracle=_IVF_STORED_ORACLE,
@@ -420,16 +459,7 @@ def ann_ivf_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.vector_store import probe_ivf_store, write_ivf_store
 
     e = load_table(spark, sf_dir, "embeddings")
-    store = os.path.join(
-        os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        ),
-        ".tmp",
-        "ivf_store_{}_{}".format(
-            os.path.basename(os.path.normpath(sf_dir)),
-            spark.sparkContext.applicationId,
-        ),
-    )
+    store = _app_scoped_store(spark, "ivf_store", sf_dir)
     marker = os.path.join(store, "_STORE_COMPLETE")
     if not os.path.exists(marker):
         write_ivf_store(e, store, N_IVF_CELLS)
@@ -477,16 +507,7 @@ def ann_ivf_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    store = os.path.join(
-        os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        ),
-        ".tmp",
-        "ivf_incr_{}_{}".format(
-            os.path.basename(os.path.normpath(sf_dir)),
-            spark.sparkContext.applicationId,
-        ),
-    )
+    store = _app_scoped_store(spark, "ivf_incr", sf_dir)
     marker = os.path.join(store, "_STORE_COMPLETE")
     if not os.path.exists(marker):
         mid_row = e.agg(F.max("vec_id")).first()

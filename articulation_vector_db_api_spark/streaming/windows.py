@@ -46,8 +46,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
-    if not os.path.exists(link):
+    try:
         os.symlink(src, link)
+    except FileExistsError:  # concurrent session staged it first
+        pass
     return spark.readStream.schema(SCHEMAS["events"]).parquet(stage)
 
 
@@ -123,6 +125,8 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "documents.parquet")
     src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
-    if not os.path.exists(link):
+    try:
         os.symlink(src, link)
+    except FileExistsError:  # concurrent session staged it first
+        pass
     return spark.readStream.schema(SCHEMAS["documents"]).parquet(stage)

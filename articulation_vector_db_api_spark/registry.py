@@ -185,6 +185,14 @@ _SUITE_WINDOW_ORDER = (
     "scalar", "similarity", "window", "dedup", "mllib",
 )
 
+# Unverified queries DEFERRED past this round's window on purpose (new
+# registrations that would otherwise displace the 50 chosen seats).
+# They sort between the unverified front and the verified back, so they
+# lead the round-5 window automatically.
+_WINDOW_DEFER = frozenset({
+    "chunk_tokens_window",
+})
+
 
 def load_all() -> dict[str, Query]:
     """Import every suite module (each registers its queries on import).
@@ -203,9 +211,14 @@ def load_all() -> dict[str, Query]:
         name, q = item
         if name in _WINDOW_FIRST:
             return (0, _WINDOW_FIRST.index(name), 0, 0)
-        verified = 1 if name in _VERIFIED else 0
+        if name in _WINDOW_DEFER:
+            tier = 2  # after the unverified front, before the verified back
+        elif name in _VERIFIED:
+            tier = 3
+        else:
+            tier = 1
         suite = next((t for t in q.tags if t in suite_rank), None)
         rank = suite_rank.get(suite, len(suite_rank))
-        return (1 + verified, 0, rank, reg_pos[name])
+        return (tier, 0, rank, reg_pos[name])
 
     return dict(sorted(REGISTRY.items(), key=sort_key))

@@ -910,6 +910,84 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token-window chunking — the training-pipeline sibling of the
+# reference's char-window chunker (O3 is 1000 chars / 800 stride;
+# context windows are budgeted in TOKENS).
+# ---------------------------------------------------------------------------
+
+_TOKCHUNK_W = 128  # window size in tokens
+_TOKCHUNK_S = 96   # stride (32-token overlap)
+
+
+@register(
+    "chunk_tokens_window",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    win AS (
+        SELECT doc_id,
+               CAST((s - 1) // {_TOKCHUNK_S} AS BIGINT) AS pos,
+               array_to_string(toks[s : s + {_TOKCHUNK_W} - 1], ' ')
+                   AS chunk_text,
+               CAST(least({_TOKCHUNK_W}, len(toks) - s + 1) AS BIGINT)
+                   AS n_tokens
+        FROM d, unnest(generate_series(1, len(toks), {_TOKCHUNK_S})) AS t(s)
+    )
+    SELECT doc_id, pos,
+           CAST(doc_id AS VARCHAR) || '_' || CAST(pos AS VARCHAR) AS chunk_id,
+           n_tokens, chunk_text
+    FROM win
+    ORDER BY doc_id, pos
+    """,
+    tags=("textops", "chunking", "curation"),
+)
+def chunk_tokens_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking: overlapping {_TOKCHUNK_W}-token windows at
+    a {_TOKCHUNK_S}-token stride — the context-window-budgeted sibling
+    of the reference's char chunker (main.py:118-126 is 1000 chars/800
+    stride; training pipelines budget in tokens). Chunk ids follow the
+    reference's `{{doc}}_{{ordinal}}` convention.
+
+    Scale shape: identical to the char chunker — one narrow map stage
+    (split → window starts → slice), zero shuffle; the window
+    arithmetic is a per-row `transform` over a `sequence`, entirely in
+    codegen. Tail windows are short, never dropped; token counts are
+    exact integers on both engines."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = docs.select("doc_id", toks.alias("toks"))
+    starts = F.sequence(
+        F.lit(1), F.size("toks"), F.lit(_TOKCHUNK_S)
+    )
+    win = d.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.explode(starts).alias("s"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        F.expr(f"CAST((s - 1) div {_TOKCHUNK_S} AS BIGINT)").alias("pos"),
+        F.concat_ws(" ", F.slice(F.col("toks"), F.col("s"), F.lit(_TOKCHUNK_W)))
+        .alias("chunk_text"),
+        F.least(F.lit(_TOKCHUNK_W), F.col("n") - F.col("s") + 1)
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return win.select(
+        "doc_id",
+        "pos",
+        F.concat_ws("_", F.col("doc_id").cast("string"), F.col("pos").cast("string"))
+        .alias("chunk_id"),
+        "n_tokens",
+        "chunk_text",
+    ).orderBy("doc_id", "pos")
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing — distributed prefix sum over the token budget.
 # ---------------------------------------------------------------------------
 

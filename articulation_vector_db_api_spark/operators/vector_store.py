@@ -115,6 +115,64 @@ def append_ivf_store(
     )
 
 
+def delete_from_ivf_store(
+    spark: SparkSession, path: str, vec_ids: list[int]
+) -> None:
+    """Logical delete: append the ids to the store's tombstone table.
+    O(deleted ids) — no data file is touched; probes anti-join the
+    (tiny, broadcast) tombstone set until :func:`purge_ivf_tombstones`
+    rewrites the affected cells. The same write-ahead-delete shape
+    every immutable-file table format uses (delete vectors / tombstone
+    files), because in-place mutation of columnar files is not a thing."""
+    if not vec_ids:
+        return
+    spark.createDataFrame(
+        [(int(v),) for v in vec_ids], "vec_id long"
+    ).coalesce(1).write.mode("append").parquet(os.path.join(path, "tombstones"))
+
+
+def _tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    tdir = os.path.join(path, "tombstones")
+    if not os.path.isdir(tdir):
+        return None
+    return spark.read.schema("vec_id long").parquet(tdir)
+
+
+def purge_ivf_tombstones(
+    spark: SparkSession, path: str, n_cells: int
+) -> list[int]:
+    """Physical delete: rewrite ONLY the cells that contain tombstoned
+    ids (cell = the store's frozen routing of the id), dropping those
+    rows, then clear the tombstone table. Scan cost ~ the affected
+    cells, never the store. Returns the rewritten cell ids."""
+    import shutil
+
+    tomb = _tombstones(spark, path)
+    if tomb is None:
+        return []
+    ids = [r.vec_id for r in tomb.collect()]
+    if not ids:
+        return []
+    cells = sorted({int(v) % n_cells for v in ids})
+    from pyspark.sql.types import StructType
+
+    with open(os.path.join(path, "schema.json")) as f:
+        schema = StructType.fromJson(__import__("json").loads(f.read()))
+    vdir = os.path.join(path, "vectors")
+    vecs = spark.read.schema(schema).parquet(vdir)
+    (
+        vecs.filter(F.col("cell").isin(cells))  # partition-pruned scan
+        .filter(~F.col("vec_id").isin([int(v) for v in ids]))
+        .repartition("cell")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(vdir)
+    )
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+    return cells
+
+
 def compact_ivf_cells(
     spark: SparkSession,
     path: str,
@@ -187,6 +245,10 @@ def probe_ivf_store(
     vecs = spark.read.schema(schema).parquet(os.path.join(path, "vectors"))
     if exclude_vec_id is not None:
         vecs = vecs.filter(F.col("vec_id") != exclude_vec_id)
+    tomb = _tombstones(spark, path)
+    if tomb is not None:
+        # logical deletes: tiny tombstone set, broadcast anti-join
+        vecs = vecs.join(F.broadcast(tomb), "vec_id", "left_anti")
     return (
         vecs.filter(F.col("cell").isin(cells))
         .select(

@@ -191,6 +191,7 @@ _SUITE_WINDOW_ORDER = (
 # lead the round-5 window automatically.
 _WINDOW_DEFER = frozenset({
     "chunk_tokens_window",
+    "ann_ivf_delete_probe",
 })
 
 

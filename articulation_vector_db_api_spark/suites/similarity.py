@@ -530,6 +530,63 @@ def ann_ivf_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_delete_probe",
+    oracle=_IVF_STORED_ORACLE.replace(
+        "ORDER BY raw DESC, vec_id LIMIT 10",
+        # deleting the top-2 neighbors then probing top-10 must equal
+        # ranks 3..12 of the undeleted ranking (routing is unchanged —
+        # deletes never move surviving vectors between cells)
+        "ORDER BY raw DESC, vec_id LIMIT 10 OFFSET 2",
+    ),
+    tags=("similarity",),
+)
+def ann_ivf_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletes in the stored index, end to end: probe for the query's
+    top-2 neighbors, tombstone them (logical delete — O(ids), no data
+    file touched, probes anti-join the broadcast tombstone set), purge
+    (physical delete — ONLY the affected cells rewritten via dynamic
+    partition overwrite), then probe again. The oracle is the stored
+    ranking at OFFSET 2: removal of the top-2 must slide ranks 3..12
+    into the top-10 exactly — deletes may never perturb surviving
+    scores or routing.
+
+    SIDE-EFFECTFUL BUILDER (same contract as ann_ivf_stored_probe):
+    app-scoped store, completed-store marker skips rebuilds."""
+    import os
+
+    from ..operators.vector_store import (
+        delete_from_ivf_store,
+        probe_ivf_store,
+        purge_ivf_tombstones,
+        write_ivf_store,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    store = _app_scoped_store(spark, "ivf_del", sf_dir)
+    marker = os.path.join(store, "_STORE_COMPLETE")
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()[0]
+    ]
+    if not os.path.exists(marker):
+        write_ivf_store(e, store, N_IVF_CELLS)
+        top2 = probe_ivf_store(
+            spark, store, qvec, nprobe=N_IVF_PROBES, k=2,
+            exclude_vec_id=QUERY_VEC_ID,
+        ).collect()
+        delete_from_ivf_store(spark, store, [int(r.vec_id) for r in top2])
+        purge_ivf_tombstones(spark, store, N_IVF_CELLS)
+        with open(marker, "w"):
+            pass
+    return probe_ivf_store(
+        spark, store, qvec, nprobe=N_IVF_PROBES, k=10,
+        exclude_vec_id=QUERY_VEC_ID,
+    )
+
+
 _INT_DOT_SQL = (
     "list_reduce(list_prepend(CAST(0 AS BIGINT), "
     "list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i])), "

@@ -189,3 +189,49 @@ def test_streaming_foreachbatch_index_maintenance(spark, tmp_path):
         tuple(r) for r in probe_ivf_store(spark, store, qvec, nprobe=NPROBE, k=10).collect()
     ]
     assert got == want
+
+
+def test_delete_tombstone_then_purge(spark, tmp_path):
+    """Logical delete hides rows immediately (broadcast anti-join on the
+    tombstone set); physical purge rewrites only the affected cells and
+    clears the tombstones — results identical before and after purge."""
+    from articulation_vector_db_api_spark.operators.vector_store import (
+        delete_from_ivf_store,
+        purge_ivf_tombstones,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    store = str(tmp_path / "del_store")
+    write_ivf_store(e, store, N_CELLS)
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    before = [
+        tuple(r) for r in probe_ivf_store(spark, store, qvec, nprobe=NPROBE, k=10).collect()
+    ]
+    victims = [int(before[0][0]), int(before[1][0])]  # top-2 results
+    delete_from_ivf_store(spark, store, victims)
+
+    after = [
+        tuple(r) for r in probe_ivf_store(spark, store, qvec, nprobe=NPROBE, k=10).collect()
+    ]
+    assert len(after) == 10
+    assert not {int(r[0]) for r in after} & set(victims)
+    assert after[:8] == before[2:]  # ranks 3..10 slide up
+
+    cells = purge_ivf_tombstones(spark, store, N_CELLS)
+    assert cells == sorted({v % N_CELLS for v in victims})
+    assert not os.path.exists(os.path.join(store, "tombstones"))
+    purged = [
+        tuple(r) for r in probe_ivf_store(spark, store, qvec, nprobe=NPROBE, k=10).collect()
+    ]
+    assert purged == after
+    # deleted rows are physically gone from the data files
+    vdir = os.path.join(store, "vectors")
+    remaining = spark.read.parquet(vdir).filter(
+        F.col("vec_id").isin(victims)
+    ).count()
+    assert remaining == 0
+    # purge with nothing pending is a no-op
+    assert purge_ivf_tombstones(spark, store, N_CELLS) == []

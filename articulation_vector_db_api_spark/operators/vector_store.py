@@ -106,10 +106,23 @@ def append_ivf_store(
     files are never rewritten, so concurrent probes stay consistent
     (they read a file listing; the worst case is missing the newest
     batch, never torn data). Periodic :func:`compact_ivf_cells` folds
-    the accumulated small files."""
+    the accumulated small files.
+
+    The batch is CAST to the store's catalog schema (schema.json)
+    before writing: mixed physical types across files (float vs double
+    arrays) would poison every subsequent scan of the partition."""
     ivf = new_vectors.select(
         "vec_id", "embedding", (F.col("vec_id") % n_cells).alias("cell")
     )
+    schema_path = os.path.join(path, "schema.json")
+    if os.path.exists(schema_path):
+        from pyspark.sql.types import StructType
+
+        with open(schema_path) as f:
+            stored = StructType.fromJson(__import__("json").loads(f.read()))
+        ivf = ivf.select(
+            *[F.col(f.name).cast(f.dataType) for f in stored.fields]
+        )
     ivf.repartition("cell").write.mode("append").partitionBy("cell").parquet(
         os.path.join(path, "vectors")
     )
@@ -136,6 +149,24 @@ def _tombstones(spark: SparkSession, path: str) -> DataFrame | None:
     if not os.path.isdir(tdir):
         return None
     return spark.read.schema("vec_id long").parquet(tdir)
+
+
+def upsert_ivf_store(
+    spark: SparkSession, new_vectors: DataFrame, path: str, n_cells: int
+) -> None:
+    """Keyed upsert (the reference's last-write-wins id semantics,
+    main.py:163,172, in the stored index): tombstone the incoming ids,
+    PURGE (the tombstone anti-join cannot distinguish the old rows from
+    the replacements about to arrive under the same ids, so the old
+    rows must be physically gone before the append), then append the
+    new rows. Cost ~ the affected cells plus the batch; the store is
+    never rebuilt. A high-churn deployment would instead version rows
+    with an ingest epoch and resolve last-write-wins at probe time —
+    this is the compact-on-write variant."""
+    ids = [int(r.vec_id) for r in new_vectors.select("vec_id").collect()]
+    delete_from_ivf_store(spark, path, ids)
+    purge_ivf_tombstones(spark, path, n_cells)
+    append_ivf_store(new_vectors, path, n_cells)
 
 
 def purge_ivf_tombstones(

@@ -235,3 +235,47 @@ def test_delete_tombstone_then_purge(spark, tmp_path):
     assert remaining == 0
     # purge with nothing pending is a no-op
     assert purge_ivf_tombstones(spark, store, N_CELLS) == []
+
+
+def test_upsert_replaces_vectors_last_write_wins(spark, tmp_path):
+    """Keyed upsert in the stored index: re-ingesting existing ids
+    replaces their vectors (the reference's last-write-wins semantics,
+    O6) — probes immediately score the NEW embeddings, row count is
+    unchanged, and the old rows are physically gone."""
+    from articulation_vector_db_api_spark.operators.vector_store import (
+        upsert_ivf_store,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    store = str(tmp_path / "upsert_store")
+    write_ivf_store(e, store, N_CELLS)
+    total = e.count()
+
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    before = [
+        tuple(r) for r in probe_ivf_store(spark, store, qvec, nprobe=NPROBE, k=10).collect()
+    ]
+    # replace the top result's embedding with the query vector itself
+    # (cosine 1.0) and a mid-ranked one with its negation (cosine -1.0)
+    winner, loser = int(before[1][0]), int(before[5][0])
+    repl = spark.createDataFrame(
+        [(winner, qvec), (loser, [-x for x in qvec])],
+        "vec_id long, embedding array<double>",
+    )
+    upsert_ivf_store(spark, repl, store, N_CELLS)
+
+    vecs = spark.read.parquet(os.path.join(store, "vectors"))
+    assert vecs.count() == total  # replaced, not duplicated
+    after = [
+        tuple(r) for r in probe_ivf_store(spark, store, qvec, nprobe=NPROBE, k=10).collect()
+    ]
+    by_id = {int(r[0]): r[2] for r in after}
+    assert by_id.get(winner) == 1.0  # now identical to the query
+    assert loser not in by_id  # now anti-aligned, out of the top-10
+    # old embedding is physically gone: the winner's stored vector is
+    # the replacement
+    stored = vecs.filter(F.col("vec_id") == winner).first().embedding
+    assert [float(x) for x in stored] == qvec

@@ -6,10 +6,12 @@ Usage (start of round N+1, after the driver wrote CORRECTNESS_r{N}):
 
     python tools/rotate_window.py CORRECTNESS_r02.json
 
-Prints the updated frozenset literal (verified = r01 set ∪ newly
+Prints the updated frozenset literal (verified = prior set ∪ newly
 hash-matched or legitimately no-oracle queries) to paste over
-``_VERIFIED_R01`` in registry.py (rename to _VERIFIED as rounds
-accumulate), plus the predicted next 50-query window for sanity.
+``_VERIFIED`` in registry.py, plus the predicted next 50-query window
+for sanity. Remember to also clear ``_WINDOW_DEFER`` (its members are
+meant to LEAD the next window) and rewrite ``_WINDOW_FIRST`` for the
+new round's priorities.
 """
 
 from __future__ import annotations
@@ -34,7 +36,7 @@ def main() -> int:
 
     from articulation_vector_db_api_spark import registry
 
-    verified = set(registry._VERIFIED_R01) | good
+    verified = set(registry._VERIFIED) | good
     body = ",\n".join(
         textwrap.fill(
             ", ".join(f'"{n}"' for n in chunk),
@@ -48,7 +50,7 @@ def main() -> int:
           + body + ",\n    }\n)\n")
 
     # predict the next window assuming the updated set
-    registry._VERIFIED_R01 = frozenset(verified)
+    registry._VERIFIED = frozenset(verified)
     registry.REGISTRY.clear()
     order = list(registry.load_all())
     unverified = [n for n in order if n not in verified]

@@ -192,6 +192,7 @@ _SUITE_WINDOW_ORDER = (
 _WINDOW_DEFER = frozenset({
     "chunk_tokens_window",
     "ann_ivf_delete_probe",
+    "ingest_incremental_embed",
 })
 
 

@@ -196,12 +196,21 @@ def streaming_snapshot_sink(table_path: str):
 
 
 def read_snapshot_log(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """The ACCUMULATED table a streaming-ingested snapshot log holds:
     the union of every version directory up to ``version`` (default
     current). Listing cost is manifest-sized; the scan unions parquet
-    directories without rewriting anything — the log IS the table."""
+    directories without rewriting anything — the log IS the table.
+
+    ``merge_schema=True`` enables add-column schema evolution across
+    versions: Spark's parquet schema merge unifies the per-version
+    schemas and null-fills columns absent from older versions (the
+    read pays one footer per file — at scale, evolve rarely and let
+    compaction rewrite old versions into the current schema)."""
     man = read_manifest(table_path)
     upto = int(man["current"]) if version is None else int(version)
     paths = [
@@ -211,7 +220,10 @@ def read_snapshot_log(
     ]
     if not paths:
         raise ValueError(f"no versions <= {upto} in {table_path}")
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)
 
 
 def compact_snapshot(

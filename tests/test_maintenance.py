@@ -228,3 +228,30 @@ def test_streaming_exactly_once_snapshot_ingest(spark, tmp_path):
     # a genuinely NEW batch still commits
     sink(base.filter("id < 0"), last_bid + 1)
     assert len(read_manifest(table)["versions"]) == n_batches + 1
+
+
+def test_snapshot_schema_evolution(spark, tmp_path):
+    """Schema evolution across versions: a later snapshot may add
+    columns; pinned reads see each version's own schema, and the
+    accumulated log read merges schemas (old rows null-fill the new
+    column) — the add-column evolution contract of a real table
+    format, over plain parquet versions."""
+    from pyspark.sql import functions as F
+
+    from articulation_vector_db_api_spark.operators.maintenance import (
+        read_snapshot_log,
+    )
+
+    t = str(tmp_path / "evolve")
+    v1 = write_snapshot(spark.range(0, 10).selectExpr("id AS a"), t)
+    v2 = write_snapshot(
+        spark.range(10, 15).selectExpr("id AS a", "id * 2 AS b"), t
+    )
+    assert read_snapshot(spark, t, v1).columns == ["a"]
+    assert read_snapshot(spark, t, v2).columns == ["a", "b"]
+    # merged log: old rows null-fill b
+    log = read_snapshot_log(spark, t, merge_schema=True)
+    assert set(log.columns) == {"a", "b"}
+    assert log.count() == 15
+    assert log.filter(F.col("b").isNull()).count() == 10
+    assert log.filter("b = 28").count() == 1  # a=14 carries b

@@ -259,6 +259,19 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"PartitionFilters: \[.*cell"],
         [r"CartesianProduct"],
     ),
+    "chunk_tokens_window": (
+        # one narrow map stage: split -> explode window starts -> slice;
+        # the only exchange is the final presentation sort
+        [r"Generate", r"Scan parquet"],
+        [r"BatchEvalPython", r"ArrowEvalPython", r"HashAggregate",
+         r"CartesianProduct"],
+    ),
+    "ingest_incremental_embed": (
+        # delta decided by a keyed join on (chunk_id, sha) — both sides
+        # reduced to digests before the shuffle; no python, no cartesian
+        [r"SortMergeJoin|BroadcastHashJoin", r"HashAggregate"],
+        [r"BatchEvalPython", r"CartesianProduct"],
+    ),
     "pipeline_dedup_keep_best": (
         # candidates from the shingle equi-join; survivor election is
         # one per-component window — no cartesian pair generation

@@ -63,3 +63,49 @@ def test_rolling_hash_python_twin(t):
     for ch in t:
         acc2 = (acc2 * 31 + ord(ch)) % 2147483647
     assert acc == acc2
+
+
+def _reference_token_windows(text: str, w: int = 128, s: int = 96):
+    """CPython twin of chunk_tokens_window (suites/textops.py): split
+    on runs of whitespace after trim, then overlapping w-token windows
+    at stride s, tail windows short but never dropped."""
+    import re
+
+    t = text.strip()
+    if not t:
+        return []
+    toks = re.split(r"\s+", t)
+    out = []
+    start = 0  # 0-based; the SQL twin is 1-based
+    while start < len(toks):
+        out.append(toks[start : start + w])
+        start += s
+    return out
+
+
+@given(texts)
+@settings(max_examples=150, deadline=None)
+def test_token_window_invariants(t):
+    wins = _reference_token_windows(t)
+    if not t.strip():
+        assert wins == []
+        return
+    import re
+
+    toks = re.split(r"\s+", t.strip())
+    # count matches the stride formula the SQL generate_series encodes
+    assert len(wins) == (len(toks) - 1) // 96 + 1
+    # every window is the exact slice; only the tail may be short
+    for i, win in enumerate(wins):
+        assert win == toks[96 * i : 96 * i + 128]
+        if i < len(wins) - 1:
+            assert len(win) == 128 or 96 * i + 128 > len(toks)
+    # 32-token overlap: consecutive windows share exactly the suffix
+    for a, b in zip(wins, wins[1:]):
+        if len(a) == 128:
+            assert a[96:] == b[: len(a) - 96]
+    # coverage: every token index lands in at least one window
+    covered = set()
+    for i, win in enumerate(wins):
+        covered.update(range(96 * i, 96 * i + len(win)))
+    assert covered == set(range(len(toks)))

@@ -147,3 +147,34 @@ def serve(
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server
+
+
+def main() -> int:
+    """CLI entry: ``python -m articulation_vector_db_api_spark.server
+    [table_path] [corpus_dir] [port]`` — serve the engine over HTTP the
+    way the reference serves uvicorn (main.py:363-365)."""
+    import sys
+
+    from .session import get_spark
+
+    table = sys.argv[1] if len(sys.argv) > 1 else "spark-warehouse/chunks"
+    corpus = sys.argv[2] if len(sys.argv) > 2 else ""
+    port = int(sys.argv[3]) if len(sys.argv) > 3 else 8000
+    api = EngineAPI(spark=get_spark("engine-http"), data_dir=corpus or ".")
+    server = serve(
+        api, ServerConfig(table_path=table, corpus_dir=corpus),
+        host="0.0.0.0", port=port,
+    )
+    print(f"serving on :{server.server_address[1]} (table={table})")
+    try:
+        while True:
+            import time
+
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        server.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -54,7 +54,16 @@ def _manifest_lock(
     """Exclusive manifest lock via ``O_CREAT|O_EXCL`` — the one
     primitive local/NFS filesystems give us that two processes cannot
     both win. A holder that crashed is detected by lock age and its
-    lock is broken; ``timeout`` bounds the wait for a live holder."""
+    lock is broken; ``timeout`` bounds the wait for a live holder.
+
+    Breaking is rename-aside, not unlink: rename is atomic and the
+    source vanishes for every other would-be breaker, so exactly one
+    breaker wins a given stale lock. The winner then re-stats what it
+    renamed — if the inode is NOT the one it judged stale (the crashed
+    holder released and a fresh holder re-acquired in between), the
+    fresh lock is restored via ``link`` (which, unlike rename, refuses
+    to clobber a concurrently created lock). Holds must stay well under
+    ``stale_after``: a live holder that exceeds it looks crashed."""
     lock = os.path.join(table_path, _LOCK)
     deadline = time.monotonic() + timeout
     while True:
@@ -63,12 +72,24 @@ def _manifest_lock(
             break
         except FileExistsError:
             try:
-                age = time.time() - os.path.getmtime(lock)
+                st = os.stat(lock)
             except OSError:  # holder released between open and stat
                 continue
-            if age > stale_after:
+            if time.time() - st.st_mtime > stale_after:
+                aside = f"{lock}.break.{os.getpid()}.{time.monotonic_ns()}"
+                try:
+                    os.rename(lock, aside)  # single-winner claim
+                except OSError:  # another breaker (or the holder) won
+                    continue
+                try:
+                    stolen = os.stat(aside).st_ino != st.st_ino
+                except OSError:
+                    continue
+                if stolen:  # a FRESH holder's lock — put it back
+                    with contextlib.suppress(OSError):
+                        os.link(aside, lock)  # no-clobber restore
                 with contextlib.suppress(OSError):
-                    os.unlink(lock)  # break a crashed holder's lock
+                    os.unlink(aside)
                 continue
             if time.monotonic() > deadline:
                 raise TimeoutError(f"manifest lock held too long: {lock}")

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import davg
@@ -162,7 +162,19 @@ def upsert_ivf_store(
     new rows. Cost ~ the affected cells plus the batch; the store is
     never rebuilt. A high-churn deployment would instead version rows
     with an ingest epoch and resolve last-write-wins at probe time —
-    this is the compact-on-write variant."""
+    this is the compact-on-write variant.
+
+    A batch carrying the same vec_id twice collapses to ONE row before
+    the append (the reference's dict-keyed upsert can't hold two values
+    under one id) — last row in the batch's encounter order wins,
+    mirroring dict insertion semantics."""
+    w = Window.partitionBy("vec_id").orderBy(F.col("__seq").desc())
+    new_vectors = (
+        new_vectors.withColumn("__seq", F.monotonically_increasing_id())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__seq", "__rn")
+    )
     ids = [int(r.vec_id) for r in new_vectors.select("vec_id").collect()]
     delete_from_ivf_store(spark, path, ids)
     purge_ivf_tombstones(spark, path, n_cells)
@@ -191,15 +203,26 @@ def purge_ivf_tombstones(
         schema = StructType.fromJson(__import__("json").loads(f.read()))
     vdir = os.path.join(path, "vectors")
     vecs = spark.read.schema(schema).parquet(vdir)
-    (
+    survivors = (
         vecs.filter(F.col("cell").isin(cells))  # partition-pruned scan
         .filter(~F.col("vec_id").isin([int(v) for v in ids]))
-        .repartition("cell")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell")
-        .parquet(vdir)
     )
+    # Dynamic partition overwrite only replaces partitions PRESENT in
+    # the output: a cell whose every row is tombstoned produces no
+    # output partition and its old files would survive the purge,
+    # resurrecting the "deleted" rows once the tombstone table is
+    # cleared below. Record which cells still have survivors, then
+    # drop the directories of the fully-emptied ones by hand.
+    live = {
+        int(r.cell)
+        for r in survivors.groupBy("cell").count().select("cell").collect()
+    }
+    survivors.repartition("cell").write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("cell").parquet(vdir)
+    for cell in cells:
+        if cell not in live:
+            shutil.rmtree(os.path.join(vdir, f"cell={cell}"), ignore_errors=True)
     shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
     return cells
 

@@ -279,3 +279,74 @@ def test_upsert_replaces_vectors_last_write_wins(spark, tmp_path):
     # the replacement
     stored = vecs.filter(F.col("vec_id") == winner).first().embedding
     assert [float(x) for x in stored] == qvec
+
+
+def test_purge_drops_fully_tombstoned_cell(spark, tmp_path):
+    """Tombstoning EVERY row of a cell must physically empty that cell.
+    Dynamic partition overwrite alone can't: a cell with zero surviving
+    rows produces no output partition, so its old files would outlive
+    the purge and resurrect once the tombstone table is cleared."""
+    from articulation_vector_db_api_spark.operators.vector_store import (
+        delete_from_ivf_store,
+        purge_ivf_tombstones,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    store = str(tmp_path / "cellwipe")
+    write_ivf_store(e, store, N_CELLS)
+    victim_cell = 3
+    victims = [
+        int(r.vec_id)
+        for r in e.filter(F.col("vec_id") % N_CELLS == victim_cell)
+        .select("vec_id")
+        .collect()
+    ]
+    assert victims  # fixture covers every cell
+    delete_from_ivf_store(spark, store, victims)
+    cells = purge_ivf_tombstones(spark, store, N_CELLS)
+    assert cells == [victim_cell]
+    # the cell directory itself is gone — not just logically hidden
+    assert not os.path.exists(
+        os.path.join(store, "vectors", f"cell={victim_cell}")
+    )
+    vecs = spark.read.parquet(os.path.join(store, "vectors"))
+    assert vecs.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert vecs.count() == e.count() - len(victims)
+
+
+def test_upsert_collapses_intra_batch_duplicates(spark, tmp_path):
+    """Two rows under one vec_id in a single upsert batch collapse to
+    the LAST one (dict insertion semantics, reference main.py:163,172)
+    — a probe never returns the same id twice."""
+    from articulation_vector_db_api_spark.operators.vector_store import (
+        upsert_ivf_store,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    store = str(tmp_path / "dup_batch")
+    write_ivf_store(e, store, N_CELLS)
+    total = e.count()
+
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    top = probe_ivf_store(spark, store, qvec, nprobe=NPROBE, k=10)
+    target = int([tuple(r) for r in top.collect()][1][0])
+    # same id twice in one batch: anti-aligned first, aligned last
+    dup = spark.createDataFrame(
+        [(target, [-x for x in qvec]), (target, qvec)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    upsert_ivf_store(spark, dup, store, N_CELLS)
+
+    vecs = spark.read.parquet(os.path.join(store, "vectors"))
+    assert vecs.count() == total  # one row survived, not two
+    assert vecs.filter(F.col("vec_id") == target).count() == 1
+    after = [
+        tuple(r) for r in probe_ivf_store(spark, store, qvec, nprobe=NPROBE, k=10).collect()
+    ]
+    ids = [int(r[0]) for r in after]
+    assert len(ids) == len(set(ids))  # no duplicate ids in the probe
+    by_id = {int(r[0]): r[2] for r in after}
+    assert by_id.get(target) == 1.0  # the LAST row of the batch won

@@ -80,8 +80,10 @@ _DUCK_SCALARS = {
     # against Spark's bigint "53" even when every value matches — the
     # exact r03 failure class (pack_sequences_token_budget,
     # curation_mixture_weights, text_perplexity_score,
-    # text_rake_keywords). Oracles must CAST(... AS BIGINT).
-    "HUGEINT": "hugeint-fetched-as-float", "UHUGEINT": "hugeint-fetched-as-float",
+    # text_rake_keywords). Oracles must CAST(... AS BIGINT). It IS
+    # "float": against a Spark DOUBLE/FLOAT twin the float64
+    # materialization stringifies identically, so that pairing is fine.
+    "HUGEINT": "float", "UHUGEINT": "float",
     "FLOAT": "float", "REAL": "float", "DOUBLE": "float",
     # JSON stringifies identically to VARCHAR (driver-proven:
     # struct_map_functions hash-matched in r02 with a DuckDB JSON col)

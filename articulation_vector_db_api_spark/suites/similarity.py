@@ -747,13 +747,18 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-bandwidth cut at 100 TB), and only the ADC top-50 shortlist
     touches full vectors for exact re-rank.
 
-    Spark shape: the codebook is ONE broadcast row; encoding + ADC are
-    pure map-side nested higher-order functions (no shuffle, stays in
-    codegen); both the shortlist and the final top-k are
-    TakeOrderedAndProject heap merges. Every fold is 0.0-seeded
-    left-to-right so the DuckDB twin is bit-exact."""
+    Spark shape: the codebook is ONE broadcast row and the
+    query-to-codebook ADC table is a LITERAL — real PQ computes the
+    8x16 lookup table once per query on the query node, never per
+    corpus row, so the big scan folds only the row-dependent encode
+    distances (half the arithmetic of folding both sides). Encoding
+    is a pure map-side nested higher-order function (no shuffle, stays
+    in codegen); both the shortlist and the final top-k are
+    TakeOrderedAndProject heap merges. Every fold — including the
+    driver-side LUT — is 0.0-seeded left-to-right so the DuckDB twin
+    is bit-exact."""
     e = load_table(spark, sf_dir, "embeddings")
-    # single-file fixture = one split; spread the 256-fold/row encode
+    # single-file fixture = one split; spread the 128-fold/row encode
     vec = e.repartition(spark.sparkContext.defaultParallelism).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -773,6 +778,30 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_row = tiny.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("v").alias("q")
     )
+    # ADC lookup table, computed ONCE on the driver (a 17-row read):
+    # lut[s][code] = ||q_sub - c_sub||^2 with the same 0.0-seeded
+    # left-to-right accumulation the oracle uses, so riding it into
+    # the plan as a literal changes nothing bit-wise
+    small = {
+        int(r.vec_id): [float(x) for x in r.v]
+        for r in tiny.filter(F.col("vec_id") <= max(_PQ_CODES - 1, QUERY_VEC_ID))
+        .collect()
+        if int(r.vec_id) < _PQ_CODES or int(r.vec_id) == QUERY_VEC_ID
+    }
+    qv = small[QUERY_VEC_ID]
+    lut = []
+    for s in range(_PQ_SUBS):
+        row = []
+        for code in range(_PQ_CODES):
+            acc = 0.0
+            for i in range(_PQ_SUBDIM):
+                d = qv[s * _PQ_SUBDIM + i] - small[code][s * _PQ_SUBDIM + i]
+                acc = acc + d * d
+            row.append(acc)
+        lut.append(row)
+    lut_col = F.array(
+        *[F.array(*[F.lit(d) for d in row]) for row in lut]
+    )
 
     def sq(a, b):
         return F.aggregate(
@@ -789,7 +818,6 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             return F.struct(
                 sq(sub(F.col("v"), s), sub(cbe["c"], s)).alias("d_enc"),
                 cbe["code"].alias("code"),
-                sq(sub(F.col("q"), s), sub(cbe["c"], s)).alias("dq"),
             )
 
         return F.array_min(F.transform("cb", entry))
@@ -802,22 +830,31 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = F.concat_ws(
         "-", F.transform("best", lambda b: b["code"].cast("string"))
     )
+    # adc_d = LUT gather, accumulated in subspace order like the oracle
     adc_d = F.aggregate(
-        F.transform("best", lambda b: b["dq"]),
+        F.zip_with(
+            F.lit(list(range(_PQ_SUBS))),
+            F.col("best"),
+            lambda s, b: F.element_at(
+                F.element_at(F.col("lut"), (s + 1).cast("int")),
+                (b["code"] + 1).cast("int"),
+            ),
+        ),
         F.lit(0.0),
         lambda acc, d: acc + d,
     )
     cand = (
         vec.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(cb_row))
-        .crossJoin(F.broadcast(q_row))
-        .select("vec_id", "v", "q", best_col.alias("best"))
-        .select("vec_id", "v", "q", codes.alias("codes"), adc_d.alias("adc_d"))
+        .select("vec_id", "v", best_col.alias("best"), lut_col.alias("lut"))
+        .select("vec_id", "v", codes.alias("codes"), adc_d.alias("adc_d"))
         .orderBy("adc_d", "vec_id")
         .limit(_PQ_RERANK)
     )
+    # full vectors + the query touch only the 50-row shortlist
     return (
-        cand.select(
+        cand.crossJoin(F.broadcast(q_row))
+        .select(
             "vec_id",
             "codes",
             F.round("adc_d", 6).alias("adc_dist"),
@@ -1080,34 +1117,69 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sub(col, s):
         return F.slice(col, s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
 
+    # query-node ADC lookup table, same shape as ann_pq_adc_topk: the
+    # per-row fold covers only the row-dependent encode distances
+    small = {
+        int(r.vec_id): [float(x) for x in r.v]
+        for r in tiny.filter(
+            (F.col("vec_id") < _PQ_CODES) | (F.col("vec_id") == QUERY_VEC_ID)
+        ).collect()
+    }
+    qv = small[QUERY_VEC_ID]
+    lut = []
+    for s in range(_PQ_SUBS):
+        row = []
+        for code in range(_PQ_CODES):
+            acc = 0.0
+            for i in range(_PQ_SUBDIM):
+                d = qv[s * _PQ_SUBDIM + i] - small[code][s * _PQ_SUBDIM + i]
+                acc = acc + d * d
+            row.append(acc)
+        lut.append(row)
+    lut_col = F.array(*[F.array(*[F.lit(d) for d in row]) for row in lut])
+
     def best_for(s: int):
         def entry(cbe):
             return F.struct(
                 sq(sub(F.col("v"), s), sub(cbe["c"], s)).alias("d_enc"),
                 cbe["code"].alias("code"),
-                sq(sub(F.col("q"), s), sub(cbe["c"], s)).alias("dq"),
             )
 
         return F.array_min(F.transform("cb", entry))
 
-    best = [best_for(s) for s in range(_PQ_SUBS)]
-    codes = F.concat_ws("-", F.array(*[b["code"].cast("string") for b in best]))
+    best_col = F.array(*[best_for(s) for s in range(_PQ_SUBS)])
+    codes = F.concat_ws(
+        "-", F.transform("best", lambda b: b["code"].cast("string"))
+    )
     adc_d = F.aggregate(
-        F.array(*[b["dq"] for b in best]), F.lit(0.0), lambda acc, d: acc + d
+        F.zip_with(
+            F.lit(list(range(_PQ_SUBS))),
+            F.col("best"),
+            lambda s, b: F.element_at(
+                F.element_at(F.col("lut"), (s + 1).cast("int")),
+                (b["code"] + 1).cast("int"),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
     )
     cand = (
         vec.join(F.broadcast(probed), "cell")
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(cb_row))
-        .crossJoin(F.broadcast(q_row))
         .select(
-            "vec_id", "cell", "v", "q", codes.alias("codes"), adc_d.alias("adc_d")
+            "vec_id", "cell", "v",
+            best_col.alias("best"), lut_col.alias("lut"),
+        )
+        .select(
+            "vec_id", "cell", "v", codes.alias("codes"), adc_d.alias("adc_d")
         )
         .orderBy("adc_d", "vec_id")
         .limit(_PQ_RERANK)
     )
     return (
-        cand.select(
+        cand.crossJoin(F.broadcast(q_row))
+        .select(
             "vec_id",
             "cell",
             "codes",

@@ -2542,3 +2542,245 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY r.r_name, t.c_acctbal DESC, t.c_name
         """
     )
+
+
+# --------------------------------------------------------------------------
+# round 5: weighted sampling, weighted quantiles, nearest as-of join
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT o_orderkey, o_totalprice,
+               sha256('11:' || CAST(o_orderkey AS VARCHAR)) AS hx
+        FROM orders
+    ),
+    keyed AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(round(-ln(({{h}} + 1) / 4294967296.0)
+                          / o_totalprice * 1000000000) AS BIGINT) AS key_nano
+        FROM hashed
+    )
+    SELECT o_orderkey, round(o_totalprice, 6) AS totalprice, key_nano
+    FROM keyed
+    ORDER BY key_nano, o_orderkey
+    LIMIT 20
+    """.replace("{h}", __import__(
+        "articulation_vector_db_api_spark.functions.hashing", fromlist=["hex_to_u32_sql"]
+    ).hex_to_u32_sql("hx")),
+    tags=("relational", "sampling"),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES, the algorithm Spark itself uses for weighted
+    takeSample): each row draws u from a DETERMINISTIC per-key hash and
+    keeps key = -ln(u)/w; the global k smallest keys are the sample,
+    and expected inclusion is proportional to weight w (o_totalprice).
+    The reservoir is just a top-k — TakeOrderedAndProject's per-
+    partition heaps merge on the driver, so no shuffle of the corpus
+    and no sequential scan, which is what makes A-ES the 100 TB
+    algorithm while classic reservoir sampling (one sequential pass)
+    is not. Keys are rounded to integer nano-units before ranking so
+    Java and C libm ln() agree bit-wise at the comparison."""
+    o = _t(spark, sf_dir, "orders")
+    u = (sha_hash32(F.col("o_orderkey").cast("string"), seed=11) + 1) / F.lit(
+        4294967296.0
+    )
+    key_nano = F.round(
+        -F.log(u) / F.col("o_totalprice") * 1000000000
+    ).cast("long")
+    return (
+        o.select(
+            "o_orderkey",
+            F.round("o_totalprice", 6).alias("totalprice"),
+            key_nano.alias("key_nano"),
+        )
+        .orderBy("key_nano", "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag, l_orderkey, l_linenumber,
+               l_extendedprice, CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT *,
+               sum(qty) OVER (PARTITION BY l_returnflag
+                              ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cw,
+               sum(qty) OVER (PARTITION BY l_returnflag) AS tw
+        FROM w
+    )
+    SELECT l_returnflag,
+           round(min(l_extendedprice), 6) AS weighted_median,
+           CAST(min(tw) AS BIGINT) AS total_weight
+    FROM cum
+    WHERE 2 * cw >= tw
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("relational", "agg"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (each price weighted by its quantity): cumulative
+    weight along the price-sorted order, first row whose cumulative
+    weight reaches half the total. percentile_cont can't express
+    per-row weights, so this window encoding IS the standard engine
+    form. All threshold comparisons are exact bigint — no float
+    boundary flakiness. Scale: one shuffle on the group key; the
+    running sum is a single window pass; groups are independent so
+    skew splits by returnflag."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    w_run = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("qty").over(w_run).alias("cw"),
+        F.sum("qty").over(w_all).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_extendedprice"), 6).alias("weighted_median"),
+            F.min("tw").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH tagged AS (
+        SELECT o_custkey AS key, o_orderdate AS ts, 0 AS is_event,
+               o_orderkey AS okey, NULL::BIGINT AS event_id
+        FROM orders
+        UNION ALL
+        SELECT user_id, ts, 1, NULL, event_id FROM events
+    ),
+    filled AS (
+        SELECT *,
+               last_value(okey IGNORE NULLS) OVER wb AS prev_okey,
+               last_value(CASE WHEN is_event = 0 THEN ts END IGNORE NULLS)
+                   OVER wb AS prev_ts,
+               first_value(okey IGNORE NULLS) OVER wf AS next_okey,
+               first_value(CASE WHEN is_event = 0 THEN ts END IGNORE NULLS)
+                   OVER wf AS next_ts
+        FROM tagged
+        WINDOW wb AS (PARTITION BY key ORDER BY ts, is_event, okey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY key ORDER BY ts, is_event, okey
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    chosen AS (
+        SELECT event_id, key,
+               CASE WHEN prev_okey IS NULL THEN next_okey
+                    WHEN next_okey IS NULL THEN prev_okey
+                    WHEN epoch_us(ts) - epoch_us(prev_ts)
+                         <= epoch_us(next_ts) - epoch_us(ts) THEN prev_okey
+                    ELSE next_okey END AS o_orderkey,
+               CASE WHEN prev_okey IS NULL
+                         THEN epoch_us(next_ts) - epoch_us(ts)
+                    WHEN next_okey IS NULL
+                         THEN epoch_us(ts) - epoch_us(prev_ts)
+                    ELSE least(epoch_us(ts) - epoch_us(prev_ts),
+                               epoch_us(next_ts) - epoch_us(ts)) END AS dist_us
+        FROM filled WHERE is_event = 1
+    )
+    SELECT event_id, key AS user_id, o_orderkey,
+           dist_us // 1000000 AS dist_s
+    FROM chosen WHERE o_orderkey IS NOT NULL
+    ORDER BY event_id
+    """,
+    tags=("relational", "join", "asof"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (direction='nearest' in pandas.merge_asof):
+    each event takes the user's CLOSEST order in time, backward winning
+    ties. Same union + window encoding as the backward as-of — one
+    extra mirrored window (first_value over the following frame) gets
+    the forward candidate, a projection picks the nearer; still ONE
+    shuffle on the key, no per-row subquery, no range self-join blowup.
+    Distances are integer microseconds end to end."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("is_event"),
+        F.col("o_orderkey").alias("okey"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("ts"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("long").alias("okey"),
+        F.col("event_id"),
+    )
+    wb = (
+        Window.partitionBy("key")
+        .orderBy("ts", "is_event", "okey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("key")
+        .orderBy("ts", "is_event", "okey")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ots = F.when(F.col("is_event") == 0, F.col("ts"))
+    filled = o.unionByName(e).select(
+        "*",
+        F.last("okey", ignorenulls=True).over(wb).alias("prev_okey"),
+        F.last(ots, ignorenulls=True).over(wb).alias("prev_ts"),
+        F.first("okey", ignorenulls=True).over(wf).alias("next_okey"),
+        F.first(ots, ignorenulls=True).over(wf).alias("next_ts"),
+    )
+    t_us = F.unix_micros("ts")
+    back_us = t_us - F.unix_micros("prev_ts")
+    fwd_us = F.unix_micros("next_ts") - t_us
+    chosen = filled.filter(F.col("is_event") == 1).select(
+        "event_id",
+        "key",
+        F.when(F.col("prev_okey").isNull(), F.col("next_okey"))
+        .when(F.col("next_okey").isNull(), F.col("prev_okey"))
+        .when(back_us <= fwd_us, F.col("prev_okey"))
+        .otherwise(F.col("next_okey"))
+        .alias("o_orderkey"),
+        F.when(F.col("prev_okey").isNull(), fwd_us)
+        .when(F.col("next_okey").isNull(), back_us)
+        .otherwise(F.least(back_us, fwd_us))
+        .alias("dist_us"),
+    )
+    return (
+        chosen.filter(F.col("o_orderkey").isNotNull())
+        .select(
+            "event_id",
+            F.col("key").alias("user_id"),
+            "o_orderkey",
+            F.expr("dist_us DIV 1000000").alias("dist_s"),
+        )
+        .orderBy("event_id")
+    )

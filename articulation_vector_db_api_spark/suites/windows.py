@@ -810,3 +810,141 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "event_type")
     )
+
+
+@register(
+    "events_interval_coverage",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS s,
+               epoch_us(ts) + CAST(floor(value * 60) AS BIGINT) * 1000000 AS e
+        FROM events WHERE value > 0
+    ),
+    marked AS (
+        SELECT *,
+               CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) >= s
+                    THEN 0 ELSE 1 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT *, sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM marked
+    ),
+    merged AS (
+        SELECT user_id, island,
+               min(s) AS start_us, max(e) AS end_us, count(*) AS n_iv
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           count(*) AS n_islands,
+           CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+           CAST(sum(end_us - start_us) AS BIGINT) // 1000000 AS covered_s
+    FROM merged GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("window", "events"),
+)
+def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-interval coverage (gaps-and-islands over real intervals):
+    each event opens an interval [ts, ts + value minutes); overlapping
+    intervals per user are merged and the query reports how much
+    wall-clock each user actually covered. The classic encoding — an
+    interval starts a new island iff no earlier interval's running max
+    end reaches it — needs ONE window pass and one aggregate, versus
+    the naive self-join's O(n^2) overlap test. All arithmetic is
+    integer microseconds, so sums are order-exact. Scale: both windows
+    and both aggregates share the user_id partitioning — one shuffle
+    total; per-user interval counts are bounded, no skew risk."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    s = F.unix_micros("ts")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        s.alias("s"),
+        (s + F.floor(F.col("value") * 60).cast("long") * 1000000).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = iv.withColumn(
+        "new_island",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), F.lit(0)).otherwise(F.lit(1)),
+    )
+    islands = marked.withColumn("island", F.sum("new_island").over(w_run))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("start_us"),
+        F.max("e").alias("end_us"),
+        F.count(F.lit(1)).alias("n_iv"),
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("n_iv").alias("n_intervals"),
+            # integer division on both sides — float division then cast
+            # drifts one ulp at ~1e11 micros
+            F.expr("sum(end_us - start_us) DIV 1000000").alias("covered_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+    WITH firsts AS (
+        SELECT event_type, user_id,
+               min(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+        FROM events GROUP BY event_type, user_id
+    ),
+    daily AS (
+        SELECT event_type, first_day AS day, count(*) AS new_users
+        FROM firsts GROUP BY event_type, first_day
+    )
+    SELECT event_type, day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_distinct_users
+    FROM daily ORDER BY event_type, day
+    """,
+    tags=("window", "events"),
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT count over time — count(DISTINCT) OVER is
+    unsupported by every engine's window operator (state would be a
+    set, not a scalar), so the scalable encoding is first-occurrence
+    reduction: distinct-to-date(d) = rows whose FIRST day <= d. One
+    hash agg collapses (type, user) to its first day, a second rolls
+    new users per day, and a plain running sum finishes — the expensive
+    distinct never touches a window. Scale: the first agg is the big
+    one and partial-combines map-side; everything after operates on
+    |types|x|days| rows."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("event_type", "user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = firsts.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_distinct_users"),
+    ).orderBy("event_type", "day")

@@ -2784,3 +2784,197 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# round 5: iterative graph analytics over a 1500-node customer graph
+# (intra-nation ring + nation-hub bridges; ~60-node rings at sf0.01 so
+# a bounded iteration count leaves a DETERMINISTIC partial state)
+# --------------------------------------------------------------------------
+
+_CUST_EDGES_SQL = """
+    nodes AS (SELECT c_custkey AS node, c_nationkey AS grp FROM customer),
+    ring AS (
+        SELECT node, grp,
+               coalesce(lead(node) OVER (PARTITION BY grp ORDER BY node),
+                        min(node) OVER (PARTITION BY grp)) AS nxt
+        FROM nodes
+    ),
+    hubs AS (SELECT grp, min(node) AS hub FROM nodes GROUP BY grp),
+    raw_edges AS (
+        SELECT node AS a, nxt AS b FROM ring WHERE node != nxt
+        UNION ALL
+        SELECT h1.hub, h2.hub
+        FROM hubs h1 JOIN hubs h2 ON h2.grp = h1.grp + 1
+    ),
+    edges AS (
+        SELECT a AS src, b AS dst FROM raw_edges
+        UNION ALL
+        SELECT b, a FROM raw_edges
+    )
+"""
+
+
+def _customer_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric edge list: per-nation ring over custkey order plus a
+    chain of nation-hub bridges, so the whole graph is ONE connected
+    component with long shortest paths — the shape that makes bounded
+    iteration counts produce non-trivial partial states."""
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node"), F.col("c_nationkey").alias("grp")
+    )
+    w = Window.partitionBy("grp").orderBy("node")
+    ring = c.select(
+        "node",
+        "grp",
+        F.coalesce(
+            F.lead("node").over(w),
+            F.min("node").over(Window.partitionBy("grp")),
+        ).alias("nxt"),
+    ).filter(F.col("node") != F.col("nxt"))
+    hubs = c.groupBy("grp").agg(F.min("node").alias("hub"))
+    h2 = hubs.select((F.col("grp") - 1).alias("grp"), F.col("hub").alias("hub2"))
+    bridges = hubs.join(h2, "grp").select(
+        F.col("hub").alias("a"), F.col("hub2").alias("b")
+    )
+    raw = ring.select(F.col("node").alias("a"), F.col("nxt").alias("b")).unionByName(
+        bridges
+    )
+    return raw.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        raw.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+
+
+def _lp_round_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+        SELECT n.node,
+               least(p.lbl, coalesce(min(q.lbl), p.lbl)) AS lbl
+        FROM nodes n
+        JOIN {prev} p ON p.node = n.node
+        LEFT JOIN edges e ON e.dst = n.node
+        LEFT JOIN {prev} q ON q.node = e.src
+        GROUP BY n.node, p.lbl
+    )"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {_CUST_EDGES_SQL},
+    l0 AS (SELECT node, node AS lbl FROM nodes),
+    {_lp_round_sql("l0", "l1")},
+    {_lp_round_sql("l1", "l2")},
+    {_lp_round_sql("l2", "l3")}
+    SELECT lbl AS label, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM l3 GROUP BY lbl ORDER BY lbl
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation, 3 synchronous rounds (the deterministic
+    variant of LPA community detection; also the inner loop of
+    large-star connected components): every node adopts the minimum of
+    its own and its neighbors' labels. After 3 rounds each label has
+    travelled exactly 3 hops — a deterministic partial state the oracle
+    reproduces with 3 unrolled self-joins. Scale shape per round: edge
+    ⋈ label join (hash on node) + min-agg; at 100 TB pre-partition
+    edges by dst once and every round reuses that partitioning, so the
+    per-round cost is one shuffle of the label frontier, not the edge
+    set. Convergence detection (count of changed labels) is one extra
+    agg per round; 3 rounds here keeps the oracle closed-form."""
+    edges = _customer_edges(spark, sf_dir)
+    nodes = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node")
+    )
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(3):
+        contrib = edges.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).groupBy(F.col("dst").alias("node")).agg(F.min("lbl").alias("nbr"))
+        labels = (
+            labels.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("label")
+    )
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH {_CUST_EDGES_SQL},
+    src AS (SELECT min(node) AS s FROM nodes),
+    d0 AS (SELECT s AS node, 0 AS dist FROM src),
+    d1 AS (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d0
+            UNION ALL
+            SELECT e.dst, d.dist + 1 FROM d0 d JOIN edges e ON e.src = d.node
+        ) GROUP BY node
+    ),
+    d2 AS (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d1
+            UNION ALL
+            SELECT e.dst, d.dist + 1 FROM d1 d JOIN edges e ON e.src = d.node
+        ) GROUP BY node
+    ),
+    d3 AS (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d2
+            UNION ALL
+            SELECT e.dst, d.dist + 1 FROM d2 d JOIN edges e ON e.src = d.node
+        ) GROUP BY node
+    )
+    SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(max(node) AS BIGINT) AS max_node
+    FROM d3 GROUP BY dist ORDER BY dist
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted BFS from the minimum-key node, 3 relaxation rounds:
+    dist(v) = min(dist(v), min over in-neighbors dist(u)+1). Reports
+    the frontier profile (node count + key range per distance) — the
+    reachability histogram a lineage/debugging tool asks of a 100 TB
+    edge set. Same reused-partitioning shape as label propagation; the
+    frontier frame stays tiny (only reached nodes carry rows) so each
+    round's join broadcasts the frontier, never shuffles the edges."""
+    edges = _customer_edges(spark, sf_dir)
+    nodes = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node")
+    )
+    src = nodes.agg(F.min("node").alias("node")).select(
+        "node", F.lit(0).alias("dist")
+    )
+    dist = src
+    for _ in range(3):
+        expanded = edges.join(
+            F.broadcast(dist).withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return (
+        dist.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("dist")
+    )

@@ -1330,3 +1330,128 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("new_doc")
     )
+
+
+_BLOOM_M = 262144  # bits
+_BLOOM_K = 4       # hash functions
+
+
+@register(
+    "dedup_bloom_incremental",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, sha256('b:' || trim(lower(text))) AS hx
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    pos AS (
+        SELECT doc_id,
+               unnest([{", ".join(
+                   f"{hex_to_u32_sql(f'sha256({chr(39)}p{j}:{chr(39)} || hx)')} % {_BLOOM_M}"
+                   for j in range(_BLOOM_K)
+               )}]) AS bit
+        FROM fp
+    ),
+    bits AS (
+        SELECT DISTINCT bit FROM pos WHERE doc_id % 2 = 0
+    ),
+    probe AS (
+        SELECT p.doc_id,
+               CAST(count(*) AS BIGINT) AS n_probe,
+               CAST(sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit
+        FROM pos p LEFT JOIN bits b ON b.bit = p.bit
+        WHERE p.doc_id % 2 = 1
+        GROUP BY p.doc_id
+    ),
+    exact AS (
+        SELECT n.doc_id,
+               CAST(CASE WHEN EXISTS (
+                   SELECT 1 FROM fp o
+                   WHERE o.doc_id % 2 = 0 AND o.hx = n.hx
+               ) THEN 1 ELSE 0 END AS INT) AS exact_dup
+        FROM fp n WHERE n.doc_id % 2 = 1
+    )
+    SELECT p.doc_id,
+           CAST(CASE WHEN n_hit = n_probe THEN 1 ELSE 0 END AS INT)
+               AS bloom_hit,
+           e.exact_dup
+    FROM probe p JOIN exact e ON e.doc_id = p.doc_id
+    ORDER BY p.doc_id
+    """,
+    tags=("dedup",),
+)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership for incremental exact dedup: the even
+    half of the corpus is the already-ingested batch whose k=4 bit
+    positions (over an m=2^18 space, deterministic sha-derived) form
+    the filter; the odd half probes it. A doc is a bloom HIT iff every
+    one of its bits is set — guaranteed to cover every exact duplicate
+    (no false negatives), with hash-collision false positives the
+    exact_dup column exposes. The engine form of what Spark's runtime
+    bloom-pruned join / DataSketches do: membership travels as a SMALL
+    bit set (32 KB here), not as the corpus. Scale: the bit set
+    broadcast-joins the probe side; the corpus is never re-shuffled;
+    rebuilding the filter per ingest batch is one distinct over
+    positions — m and k size to the expected corpus cardinality."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    fp = docs.select(
+        "doc_id",
+        F.sha2(F.concat(F.lit("b:"), F.trim(F.lower(F.col("text")))), 256).alias(
+            "hx"
+        ),
+    )
+    pos = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.sha2(F.concat(F.lit(f"p{j}:"), F.col("hx")), 256),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % _BLOOM_M
+                    )
+                    for j in range(_BLOOM_K)
+                ]
+            )
+        ).alias("bit"),
+    )
+    bits = pos.filter(F.col("doc_id") % 2 == 0).select("bit").distinct()
+    probe = (
+        pos.filter(F.col("doc_id") % 2 == 1)
+        .join(
+            F.broadcast(bits.withColumn("set_", F.lit(1))), "bit", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_probe"),
+            F.sum(F.when(F.col("set_").isNotNull(), 1).otherwise(0)).alias(
+                "n_hit"
+            ),
+        )
+    )
+    corpus_fp = fp.filter(F.col("doc_id") % 2 == 0).select("hx").distinct()
+    exact = (
+        fp.filter(F.col("doc_id") % 2 == 1)
+        .join(F.broadcast(corpus_fp.withColumn("dup_", F.lit(1))), "hx", "left")
+        .select(
+            "doc_id", F.col("dup_").isNotNull().cast("int").alias("exact_dup")
+        )
+    )
+    return (
+        probe.join(exact, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("n_hit") == F.col("n_probe")).cast("int").alias("bloom_hit"),
+            "exact_dup",
+        )
+        .orderBy("doc_id")
+    )

@@ -406,3 +406,77 @@ def scalar_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "scalar_bitwise_ops",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS band,
+           o_orderkey | 4096 AS bor,
+           xor(o_orderkey, 1365) AS bxor,
+           (o_orderkey & 15) << 3 AS shl,
+           o_orderkey >> 4 AS shr,
+           CAST(bit_count(o_orderkey) AS INT) AS popcount,
+           ~o_orderkey AS bnot
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar",),
+)
+def scalar_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor, shifts, population count, complement
+    — the primitives under bitmap indexes, bloom filters, and feature
+    hashing. Pure map-side codegen expressions; nothing leaves the
+    scan's partitioning."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(F.lit(1365)).alias("bxor"),
+        F.shiftleft(k.bitwiseAND(F.lit(15)), 3).cast("long").alias("shl"),
+        F.shiftright(k, 4).cast("long").alias("shr"),
+        F.bit_count(k).alias("popcount"),
+        F.expr("~o_orderkey").alias("bnot"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "scalar_hash_digests",
+    oracle="""
+    SELECT n_nationkey,
+           md5(n_name) AS name_md5,
+           sha256(n_name) AS name_sha256,
+           substr(sha256(n_name || ':' || CAST(n_nationkey AS VARCHAR)), 1, 16)
+               AS keyed_prefix,
+           length(md5(n_name)) AS md5_len
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    tags=("scalar",),
+)
+def scalar_hash_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digest family (md5 / sha-256): content
+    fingerprints for exact dedup, cache keys, and deterministic
+    sampling — every cross-engine pipeline needs digests that agree
+    byte-for-byte, which is why these (not engine-private hashes like
+    xxhash64) are the portable currency. Map-side only."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.md5(F.col("n_name")).alias("name_md5"),
+        F.sha2(F.col("n_name"), 256).alias("name_sha256"),
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.col("n_name"), F.lit(":"), F.col("n_nationkey").cast("string")
+                ),
+                256,
+            ),
+            1,
+            16,
+        ).alias("keyed_prefix"),
+        F.length(F.md5(F.col("n_name"))).alias("md5_len"),
+    ).orderBy("n_nationkey")

@@ -1643,3 +1643,170 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_micro"), "phrase")
         .limit(_RAKE_TOPK)
     )
+
+
+@register(
+    "text_word_trigrams",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    tri AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(t) - 2),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+               )) AS trigram
+        FROM d WHERE len(t) >= 3
+    )
+    SELECT trigram,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM tri GROUP BY trigram
+    ORDER BY n DESC, trigram LIMIT 20
+    """,
+    tags=("textops",),
+)
+def text_word_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level word n-gram statistics (n=3) — the building block
+    of contamination checks, boilerplate detection, and n-gram LM
+    training. Trigrams are built WITHOUT a self-join: transform over an
+    index sequence slides the window inside one projection (array ops
+    stay in codegen), then one explode + hash agg. Scale: the agg
+    partial-combines map-side, so the shuffle carries unique trigrams
+    per partition, not token instances; the Zipf head is exactly the
+    heavy-hitter case the partial combine absorbs."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    d = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 3)
+    tri = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("t", i),
+                    F.element_at("t", i + 1),
+                    F.element_at("t", i + 2),
+                ),
+            )
+        ).alias("trigram"),
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n"), "trigram")
+        .limit(20)
+    )
+
+
+@register(
+    "curation_importance_weights",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    ex AS (SELECT doc_id, lang, unnest(t) AS tok FROM d),
+    vocab AS (
+        SELECT tok, count(*) AS c_all,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+        FROM ex GROUP BY tok
+    ),
+    tot AS (
+        SELECT sum(c_all) AS t_all, sum(c_tgt) AS t_tgt,
+               count(*) AS v FROM vocab
+    ),
+    lr AS (
+        SELECT tok,
+               CAST(round((ln((c_tgt + 1.0) / (t_tgt + v))
+                           - ln((c_all + 1.0) / (t_all + v))) * 1000000)
+                    AS BIGINT) AS lr_micro
+        FROM vocab CROSS JOIN tot
+    ),
+    scored AS (
+        SELECT e.doc_id,
+               count(*) AS n_tokens,
+               sum(l.lr_micro) AS w_micro
+        FROM ex e JOIN lr l ON e.tok = l.tok
+        GROUP BY e.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(w_micro AS BIGINT) AS weight_micro,
+           round(CAST(w_micro AS DOUBLE)
+                 / (CAST(n_tokens AS DOUBLE) * 1000000.0), 6)
+               AS per_token_weight
+    FROM scored
+    ORDER BY w_micro DESC, doc_id LIMIT 50
+    """,
+    tags=("textops", "curation"),
+)
+def curation_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-selection importance weights (the DSIR recipe reduced to
+    unigrams): score every document by the log-likelihood ratio of a
+    target-domain unigram LM (here lang='en') against the corpus LM,
+    add-1 smoothed over the shared vocabulary; the top-scoring docs are
+    what importance resampling would keep for pretraining. Per-token
+    log-ratios are rounded to integer micro-nats BEFORE the per-doc
+    sum (order-exact bigints, same discipline as text_perplexity_score).
+    Scale: one vocab agg with map-side combine — the target counts ride
+    the SAME aggregate as a conditional sum, not a second pass — one
+    broadcast of the totals row, one token-to-vocab join that AQE
+    skew-splits on the Zipf head."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    ex = docs.select(
+        "doc_id", "lang", F.explode_outer(toks).alias("tok")
+    )
+    vocab = ex.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_tgt"),
+    )
+    tot = vocab.agg(
+        F.sum("c_all").alias("t_all"),
+        F.sum("c_tgt").alias("t_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lr = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(
+            (
+                F.log((F.col("c_tgt") + 1.0) / (F.col("t_tgt") + F.col("v")))
+                - F.log((F.col("c_all") + 1.0) / (F.col("t_all") + F.col("v")))
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("lr_micro"),
+    )
+    scored = (
+        ex.join(lr, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_micro").alias("w_micro"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_tokens",
+            F.col("w_micro").alias("weight_micro"),
+            F.round(
+                F.col("w_micro").cast("double")
+                / (F.col("n_tokens").cast("double") * 1000000.0),
+                6,
+            ).alias("per_token_weight"),
+        )
+        .orderBy(F.desc("weight_micro"), "doc_id")
+        .limit(50)
+    )

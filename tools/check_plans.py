@@ -392,6 +392,54 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"windowspecdefinition\(bucket", r"BroadcastNestedLoopJoin"],
         [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
     ),
+    "events_interval_coverage": (
+        # both windows and both aggs share the user_id partitioning;
+        # the island merge never self-joins
+        [r"windowspecdefinition\(user_id"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+    ),
+    "window_running_distinct": (
+        # distinct-to-date via first-occurrence reduction: two hash
+        # aggs + one windowed running sum, no set-valued window state
+        [r"windowspecdefinition\(event_type", r"partial_min|partial_count"],
+        [r"collect_set", r"CartesianProduct"],
+    ),
+    "sample_weighted_reservoir": (
+        # A-ES sample = global top-k heap merge, not a full sort
+        [r"TakeOrderedAndProject"],
+        [r"Arguments: rangepartitioning", r"BatchEvalPython"],
+    ),
+    "join_asof_nearest": (
+        # one union, one user-keyed shuffle feeding both directions'
+        # window fills; no per-row subquery, no range self-join
+        [r"windowspecdefinition\(key", r"Union"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+    ),
+    "dedup_bloom_incremental": (
+        # the bit set and the exact-fingerprint set broadcast; the
+        # corpus side is never shuffled for the membership join
+        [r"BroadcastHashJoin"],
+        [r"SortMergeJoin", r"CartesianProduct"],
+    ),
+    "text_word_trigrams": (
+        # slide-by-transform: trigram build is a projection (no
+        # self-join), count agg partial-combines map-side
+        [r"partial_count", r"TakeOrderedAndProject"],
+        [r"SortMergeJoin", r"CartesianProduct", r"BatchEvalPython"],
+    ),
+    "graph_bfs_hops": (
+        # every expansion joins the broadcast frontier to the edges —
+        # the edge set is never shuffled
+        [r"BroadcastHashJoin"],
+        [r"CartesianProduct"],
+    ),
+    "ann_pq_adc_topk": (
+        # ADC scan: codebook broadcast, LUT literal, shortlist + final
+        # top-k are heap merges; no Python in the hot path
+        [r"TakeOrderedAndProject"],
+        [r"CartesianProduct", r"Arguments: rangepartitioning",
+         r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
 }
 
 # query -> [(pattern, max_occurrences)] over the formatted plan.
@@ -415,6 +463,13 @@ COUNT_LIMITS: dict[str, list[tuple[str, int]]] = {
     "events_peak_concurrency": [(r"Arguments: hashpartitioning", 3)],
     # pb-keyed rank window + pb counts agg + final bucket agg
     "agg_equidepth_histogram": [(r"Arguments: hashpartitioning", 4)],
+    # user-keyed windows + island agg + final per-user agg share ONE
+    # hash exchange
+    "events_interval_coverage": [(r"Arguments: hashpartitioning", 1)],
+    # (type,user) first-day agg + per-day agg + running-sum window
+    "window_running_distinct": [(r"Arguments: hashpartitioning", 3)],
+    "join_asof_nearest": [(r"Arguments: hashpartitioning", 1)],
+    "agg_weighted_median": [(r"Arguments: hashpartitioning", 2)],
 }
 
 # name -> builder for plan-only audits of streaming transformations

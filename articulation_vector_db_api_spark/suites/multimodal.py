@@ -208,3 +208,97 @@ def multimodal_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return resize_batch(docs).orderBy("doc_id")
+
+
+@register(
+    "multimodal_audio_framing",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, 800 + (doc_id % 7) * 160 AS n_samples
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, n_samples,
+               unnest(generate_series(
+                   0, CAST((n_samples - 400) // 160 AS BIGINT))) AS f
+        FROM docs
+    ),
+    energies AS (
+        SELECT doc_id, n_samples, f,
+               (SELECT sum(CAST(((doc_id * 31 + (f * 160 + i) * 17) % 65536
+                                 - 32768) AS BIGINT)
+                           * CAST(((doc_id * 31 + (f * 160 + i) * 17) % 65536
+                                   - 32768) AS BIGINT))
+                FROM generate_series(0, 399) AS t(i)) AS frame_energy
+        FROM frames
+    )
+    SELECT doc_id,
+           CAST(min(n_samples) AS BIGINT) AS n_samples,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(frame_energy) AS BIGINT) AS total_energy,
+           CAST(max(frame_energy) AS BIGINT) AS max_frame_energy
+    FROM energies GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+)
+def multimodal_audio_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame analysis through the REAL multimodal plumbing: an
+    Arrow-batched mapInPandas stage frames each clip (400-sample
+    windows, 160-sample hop — the standard 25ms/10ms at 16kHz) and
+    computes per-frame energies vectorized in numpy, exactly how a
+    fbank/MFCC front end consumes PCM. The audio itself is the
+    deterministic stub tier (samples derived from doc_id — a real
+    deployment swaps in the codec decode behind the same schema), so
+    every energy is integer-exact and the oracle replays the identical
+    math. Scale shape: the UDF is a per-row map over Arrow batches —
+    no shuffle, no state; partition sizing is byte-based so 100 TB of
+    audio streams through fixed-memory executors."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    FRAME, HOP = 400, 160
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("n_frames", LongType()),
+            StructField("total_energy", LongType()),
+            StructField("max_frame_energy", LongType()),
+        ]
+    )
+
+    def frame_batches(it):
+        for pdf in it:
+            out = []
+            for doc_id in pdf["doc_id"].to_numpy():
+                n = 800 + (int(doc_id) % 7) * 160
+                i = np.arange(n, dtype=np.int64)
+                pcm = (int(doc_id) * 31 + i * 17) % 65536 - 32768
+                n_frames = (n - FRAME) // HOP + 1
+                idx = (
+                    np.arange(n_frames)[:, None] * HOP
+                    + np.arange(FRAME)[None, :]
+                )
+                fe = (pcm[idx].astype(np.int64) ** 2).sum(axis=1)
+                out.append(
+                    (int(doc_id), n, n_frames, int(fe.sum()), int(fe.max()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "n_frames",
+                    "total_energy",
+                    "max_frame_energy",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(frame_batches, schema).orderBy("doc_id")

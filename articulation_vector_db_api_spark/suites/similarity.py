@@ -1330,3 +1330,47 @@ def ann_binary_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "ann_range_query",
+    oracle=f"""
+    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+        SELECT vec_id, label, {cosine_sql_duckdb("embedding", "q")} AS raw
+        FROM embeddings, qv
+        WHERE vec_id != {QUERY_VEC_ID}
+    )
+    SELECT vec_id, label, round(raw, 6) AS score
+    FROM scored WHERE raw >= 0.2
+    ORDER BY raw DESC, vec_id
+    """,
+    tags=("similarity",),
+)
+def ann_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search — ALL vectors within a similarity radius, not a
+    fixed k (the `score_threshold` surface of Qdrant/Milvus/pgvector;
+    radius queries in FAISS). The result size is data-dependent, so
+    there is no top-k heap shortcut: the scalable form is a map-side
+    scored filter that keeps the scan embarrassingly parallel and
+    pushes NOTHING to the driver until the (small) qualifying set
+    sorts. Under an IVF layout the same predicate prunes to the cells
+    whose centroid bound can reach the radius (triangle inequality) —
+    this brute-force form is the correctness oracle for that."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qe = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q")
+    )
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qe))
+        .select(
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("q")).alias("raw"),
+        )
+        .filter(F.col("raw") >= 0.2)
+        .select("vec_id", "label", F.round("raw", 6).alias("score"), "raw")
+        .orderBy(F.desc("raw"), "vec_id")
+        .drop("raw")
+    )

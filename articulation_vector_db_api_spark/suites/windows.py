@@ -948,3 +948,67 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cum_distinct_users"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "events_threshold_debounce",
+    oracle="""
+    WITH over_t AS (
+        SELECT user_id, event_id, ts, value
+        FROM events WHERE value >= 90
+    ),
+    marked AS (
+        SELECT *,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+                    THEN 1 ELSE 0 END AS new_burst
+        FROM over_t
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    bursts AS (
+        SELECT *, CAST(sum(new_burst) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS burst
+        FROM marked
+    )
+    SELECT user_id, burst AS alert_seq,
+           min(event_id) AS alert_event_id,
+           CAST(count(*) AS BIGINT) AS suppressed,
+           round(max(value), 6) AS peak_value
+    FROM bursts GROUP BY user_id, burst
+    ORDER BY user_id, alert_seq
+    """,
+    tags=("window", "events"),
+)
+def events_threshold_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert debouncing: a reading over threshold fires an alert only
+    if no over-threshold reading occurred in the previous 10 minutes;
+    followers inside the burst are suppressed but counted, and the
+    burst's peak rides along. Monitoring pipelines run exactly this
+    dedup before paging. Same gaps-and-islands machinery as
+    sessionization, applied AFTER the threshold filter — which is the
+    trick: the window only ever sees the (sparse) exceedances, so the
+    debounce costs a filter plus a window over a fraction of the
+    corpus. The streaming twin holds last-alert-ts per user in
+    applyInPandasWithState; this is its deterministic batch oracle."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value") >= 90)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    marked = e.withColumn(
+        "new_burst",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_us > 600000000), 1
+        ).otherwise(0),
+    )
+    bursts = marked.withColumn("burst", F.sum("new_burst").over(w_run))
+    return (
+        bursts.groupBy("user_id", F.col("burst").alias("alert_seq"))
+        .agg(
+            F.min("event_id").alias("alert_event_id"),
+            F.count(F.lit(1)).alias("suppressed"),
+            F.round(F.max("value"), 6).alias("peak_value"),
+        )
+        .orderBy("user_id", "alert_seq")
+    )

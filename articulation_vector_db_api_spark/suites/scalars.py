@@ -480,3 +480,59 @@ def scalar_hash_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keyed_prefix"),
         F.length(F.md5(F.col("n_name"))).alias("md5_len"),
     ).orderBy("n_nationkey")
+
+
+@register(
+    "scalar_url_functions",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.org/docs/'
+                   || CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&v=2'
+                   AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           split_part(url, '://', 1) AS protocol,
+           split_part(split_part(url, '//', 2), '/', 1) AS host,
+           regexp_extract(url, '//[^/]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+           split_part(regexp_extract(url, '//[^/]+(/[^?#]*)', 1), '/', 3)
+               AS doc_segment
+    FROM u ORDER BY doc_id
+    """,
+    tags=("scalar",),
+)
+def scalar_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition (parse_url): protocol, host, path, query
+    string, one query parameter, one path segment — the per-record
+    fields every web-crawl curation pipeline derives before domain
+    filtering / URL dedup. Spark's parse_url is JVM codegen; the
+    oracle rebuilds each part with splits/regex over the same
+    deterministic URLs, which agree for well-formed absolute URLs.
+    Map-side only; at 100 TB this is a projection riding the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias(
+            "lang_param"
+        ),
+        F.element_at(
+            F.split(F.parse_url(F.col("url"), F.lit("PATH")), "/"), 3
+        ).alias("doc_segment"),
+    ).orderBy("doc_id")

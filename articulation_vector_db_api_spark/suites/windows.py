@@ -1012,3 +1012,83 @@ def events_threshold_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "alert_seq")
     )
+
+
+@register(
+    "events_funnel_time_bound",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    conv AS (
+        SELECT c.user_id, c.event_id,
+               CAST(CASE WHEN EXISTS (
+                   SELECT 1 FROM purchases p
+                   WHERE p.user_id = c.user_id
+                     AND p.ts > c.ts
+                     AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+               ) THEN 1 ELSE 0 END AS INT) AS converted
+        FROM clicks c
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_clicks,
+           CAST(sum(converted) AS BIGINT) AS n_converted
+    FROM conv GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("window", "events"),
+)
+def events_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel: a click converts only if the SAME user
+    purchases within the next hour (the attribution-window semantics
+    ad analytics actually uses, vs events_session_funnel's same-session
+    rule). Encoded without a range self-join: one user-keyed window
+    takes the minimum FUTURE purchase time at each click (min over the
+    following frame on a union'd, type-tagged stream), then a constant
+    comparison. One shuffle on user_id; the window state is a single
+    timestamp — compare the EXISTS-subquery form, which plans as a
+    per-user nested loop. Scale: identical shape to the as-of join
+    family; skewed users split by AQE."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    # purchases sort BEFORE same-ts clicks (kind 0 < 1) so a same-ts
+    # purchase is NOT in a click's strict future — matches p.ts > c.ts
+    tagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("kind"),
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("p_ts"),
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = tagged.withColumn("next_p", F.min("p_ts").over(wf))
+    conv = nxt.filter(F.col("kind") == 1).select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.col("next_p").isNotNull()
+            & (
+                F.unix_micros("next_p") - F.unix_micros("ts")
+                <= 3600000000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted"),
+    )
+    return (
+        conv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum("converted").alias("n_converted"),
+        )
+        .orderBy("user_id")
+    )

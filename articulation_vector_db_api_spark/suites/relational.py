@@ -2978,3 +2978,192 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dist")
     )
+
+
+@register(
+    "agg_countif_family",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT)
+               AS n_big,
+           CAST(count(*) FILTER (WHERE o_orderpriority LIKE '1%') AS BIGINT)
+               AS n_urgent,
+           CAST(CASE WHEN bool_and(o_totalprice > 900) THEN 1 ELSE 0 END AS INT)
+               AS all_over_900,
+           CAST(CASE WHEN bool_or(o_totalprice > 400000) THEN 1 ELSE 0 END AS INT)
+               AS any_over_400k
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("relational", "agg"),
+)
+def agg_countif_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate family: count_if / FILTER clauses and the
+    boolean quantifiers every_/any_value-style predicates reduce to.
+    All partial-aggregable (map-side combine), so the shuffle carries
+    one row per (group, agg) regardless of corpus size."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+            F.count_if(F.col("o_orderpriority").startswith("1")).alias(
+                "n_urgent"
+            ),
+            F.every(F.col("o_totalprice") > 900).cast("int").alias(
+                "all_over_900"
+            ),
+            F.some(F.col("o_totalprice") > 400000).cast("int").alias(
+                "any_over_400k"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_bit_aggregates",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(bit_and(o_orderkey & 4095) AS BIGINT) AS key_bit_and,
+           CAST(bit_or(o_orderkey & 4095) AS BIGINT) AS key_bit_or,
+           CAST(bit_xor(o_orderkey & 4095) AS BIGINT) AS key_bit_xor
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("relational", "agg"),
+)
+def agg_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates — the reduction form of bitmap indexes and
+    feature masks. Associative + commutative, so they partial-combine
+    map-side and are insensitive to partitioning and merge order (the
+    property that makes them safe distributed aggregates)."""
+    o = _t(spark, sf_dir, "orders")
+    masked = F.col("o_orderkey").bitwiseAND(F.lit(4095))
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.bit_and(masked).alias("key_bit_and"),
+            F.bit_or(masked).alias("key_bit_or"),
+            F.bit_xor(masked).alias("key_bit_xor"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderstatus, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_orderstatus) AS n
+        FROM orders
+    ),
+    kept AS (
+        SELECT o_orderstatus, o_totalprice, n
+        FROM ranked
+        WHERE rn > n // 10 AND rn <= n - n // 10
+    )
+    SELECT o_orderstatus,
+           CAST(min(n) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+                 / count(*), 6) AS trimmed_mean
+    FROM kept GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("relational", "agg"),
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed mean — the robust-statistics aggregate
+    monitoring pipelines prefer over plain avg when tails are dirty.
+    Encoded as rank-window + boundary filter + decimal-exact mean: one
+    shuffle on the group key serves the window AND the final agg.
+    The rank boundaries are integer arithmetic, the mean accumulates
+    in decimal — no float-order sensitivity anywhere."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderstatus")
+    ranked = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    kept = ranked.filter(
+        (F.col("rn") > F.expr("n DIV 10"))
+        & (F.col("rn") <= F.col("n") - F.expr("n DIV 10"))
+    )
+    return (
+        kept.groupBy("o_orderstatus")
+        .agg(
+            F.min("n").alias("n_total"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(30,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "join_bucketed_noshuffle",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey,
+           c.c_mktsegment, round(o.o_totalprice, 6) AS totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY c.c_custkey, o.o_orderkey
+    LIMIT 1000
+    """,
+    tags=("relational", "join"),
+)
+def join_bucketed_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-FREE fact-dim join via bucketed storage: both tables are
+    written bucketBy(8, custkey) + sortBy, so the sort-merge join reads
+    co-located buckets and the plan contains ZERO hash exchanges
+    (tools/check_plans.py pins that). This is THE pre-paid-shuffle
+    pattern at 100 TB — the one-time bucketed write amortizes across
+    every subsequent join on the key, which is why chunk/embedding
+    tables ship bucketed by id (operators/ingest.py:119). Tables are
+    fixture-scoped and rebuilt only when missing."""
+    import os
+    import re
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    tbl_o, tbl_c = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    # the catalog is in-memory per session while the warehouse dir
+    # persists: a table absent from THIS session's catalog must have
+    # its stale location cleared before the bucketed rewrite
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl, src, key in (
+        (tbl_o, "orders", "o_custkey"),
+        (tbl_c, "customer", "c_custkey"),
+    ):
+        if not spark.catalog.tableExists(tbl):
+            shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+            _t(spark, sf_dir, src).write.bucketBy(8, key).sortBy(key).mode(
+                "overwrite"
+            ).saveAsTable(tbl)
+    o = spark.table(tbl_o)
+    c = spark.table(tbl_c)
+    return (
+        o.hint("merge")
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "c_mktsegment",
+            F.round("o_totalprice", 6).alias("totalprice"),
+        )
+        .orderBy("c_custkey", "o_orderkey")
+        .limit(1000)
+    )

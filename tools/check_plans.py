@@ -192,6 +192,17 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct", r"SortMergeJoin", r"Generate",
          r"Arguments: rangepartitioning"],
     ),
+    "join_bucketed_noshuffle": (
+        # bucketed storage pre-paid the shuffle: sort-merge join over
+        # bucketed scans, ZERO hash exchanges anywhere in the plan
+        [r"SortMergeJoin", r"SelectedBucketsCount|Bucketed: true"],
+        [r"Exchange hashpartitioning", r"CartesianProduct"],
+    ),
+    "scan_partitioned_pruned": (
+        # the lang predicate must resolve to directory pruning
+        [r"PartitionFilters: \[[^\]]*lang"],
+        [r"Exchange hashpartitioning"],
+    ),
     "ann_pq_adc_topk": (
         # codebook broadcast; encode+ADC map-side; shortlist and final
         # top-k are heap merges — no shuffle-by-vector anywhere

@@ -1455,3 +1455,85 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_url_normalize",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'HTTPS://' || upper(source) || '.Example.org:443/a//b/'
+                   || CAST(doc_id % 100 AS VARCHAR)
+                   || '/?utm_source=feed&lang=' || lang || '&utm_medium=x&v=1#frag'
+                   AS url
+        FROM documents
+    ),
+    norm AS (
+        SELECT doc_id, url,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(lower(url), '#.*$', ''),
+                       '[?&]utm_[^&]*', '', 'g'),
+                     ':443/', '/'),
+                   '//+', '/', 'g'),
+                 '/\\?', '?') AS canon
+        FROM u
+    )
+    SELECT canon,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM norm
+    GROUP BY canon HAVING count(*) > 1
+    ORDER BY canon
+    """,
+    tags=("dedup",),
+)
+def dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + exact dedup — the FIRST pass of every
+    web-crawl pipeline (before any content hashing): lowercase, strip
+    fragments, drop utm_* tracking params, fold default ports and
+    duplicate slashes, then group identical canonical URLs. Each rule
+    is one regexp_replace riding the scan (codegen, no Python); the
+    dedup agg partial-combines. The deterministic synthetic URLs
+    collide on doc_id % 100, so the oracle checks real collision
+    groups. Scale: canonicalization is embarrassingly parallel; the
+    group-by shuffles only distinct canonical URLs."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.upper(F.col("source")),
+        F.lit(".Example.org:443/a//b/"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit("/?utm_source=feed&lang="),
+        F.col("lang"),
+        F.lit("&utm_medium=x&v=1#frag"),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(url), r"#.*$", ""),
+                    r"[?&]utm_[^&]*",
+                    "",
+                ),
+                r":443/",
+                "/",
+            ),
+            r"//+",
+            "/",
+        ),
+        r"/\?",
+        "?",
+    )
+    return (
+        d.select("doc_id", canon.alias("canon"))
+        .groupBy("canon")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_urls") > 1)
+        .orderBy("canon")
+    )

@@ -302,3 +302,77 @@ def multimodal_audio_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(frame_batches, schema).orderBy("doc_id")
+
+
+@register(
+    "multimodal_video_scene_cuts",
+    oracle="""
+    WITH vids AS (
+        SELECT doc_id, 24 + (doc_id % 5) * 12 AS n_frames FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, n_frames,
+               unnest(generate_series(0, n_frames - 1)) AS f
+        FROM vids
+    ),
+    lum AS (
+        SELECT doc_id, n_frames, f,
+               (doc_id * 37 + f * f * 131) % 256 AS luminance
+        FROM frames
+    ),
+    diffs AS (
+        SELECT doc_id, n_frames, f, luminance,
+               abs(luminance - lag(luminance) OVER
+                   (PARTITION BY doc_id ORDER BY f)) AS d
+        FROM lum
+    )
+    SELECT doc_id,
+           CAST(min(n_frames) AS BIGINT) AS n_frames,
+           CAST(count(*) FILTER (WHERE d > 128) AS BIGINT) AS n_cuts,
+           CAST(coalesce(min(f) FILTER (WHERE d > 128), -1) AS BIGINT)
+               AS first_cut_frame,
+           CAST(sum(luminance) AS BIGINT) AS lum_sum
+    FROM diffs GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection over per-frame metadata: a cut is a
+    frame whose luminance jumps more than a threshold from its
+    predecessor — the shot-boundary heuristic every video curation
+    pipeline runs before clip sampling. Frame luminances are the
+    deterministic stub tier (a codec decode fills the same column in
+    production); the detection itself — frame explode, per-video lag
+    window, threshold count — is the REAL distributed shape: frames
+    shuffle once on video id, and per-video frame counts bound the
+    window state. Integer arithmetic end to end."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    vids = docs.select(
+        "doc_id", (24 + (F.col("doc_id") % 5) * 12).alias("n_frames")
+    )
+    frames = vids.select(
+        "doc_id",
+        "n_frames",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("f"),
+    )
+    lum = frames.withColumn(
+        "luminance", (F.col("doc_id") * 37 + F.col("f") * F.col("f") * 131) % 256
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("f")
+    diffs = lum.withColumn(
+        "d", F.abs(F.col("luminance") - F.lag("luminance").over(w))
+    )
+    return (
+        diffs.groupBy("doc_id")
+        .agg(
+            F.min("n_frames").alias("n_frames"),
+            F.count_if(F.col("d") > 128).alias("n_cuts"),
+            F.coalesce(
+                F.min(F.when(F.col("d") > 128, F.col("f"))), F.lit(-1)
+            ).alias("first_cut_frame"),
+            F.sum("luminance").alias("lum_sum"),
+        )
+        .orderBy("doc_id")
+    )

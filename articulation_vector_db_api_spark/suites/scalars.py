@@ -536,3 +536,35 @@ def scalar_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.parse_url(F.col("url"), F.lit("PATH")), "/"), 3
         ).alias("doc_segment"),
     ).orderBy("doc_id")
+
+
+@register(
+    "scalar_printf_format",
+    oracle="""
+    SELECT n_nationkey,
+           printf('%05d|%s', n_nationkey, n_name) AS padded_row,
+           printf('%x', n_nationkey * 2748) AS hex_key,
+           printf('%.3f', n_nationkey / 8.0) AS fixed3,
+           printf('%e', n_nationkey * 1234.5) AS sci,
+           printf('[%-12s]', n_name) AS left_pad
+    FROM nation ORDER BY n_nationkey
+    """,
+    tags=("scalar",),
+)
+def scalar_printf_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style formatting (format_string): zero-padding, hex,
+    fixed/scientific float rendering, left-justification — the
+    deterministic string rendering export pipelines and log formatters
+    need to agree on across engines. Java's Formatter and C printf
+    agree for these conversions; the oracle proves it byte-for-byte."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.format_string("%05d|%s", F.col("n_nationkey"), F.col("n_name")).alias(
+            "padded_row"
+        ),
+        F.format_string("%x", F.col("n_nationkey") * 2748).alias("hex_key"),
+        F.format_string("%.3f", F.col("n_nationkey") / 8.0).alias("fixed3"),
+        F.format_string("%e", F.col("n_nationkey") * 1234.5).alias("sci"),
+        F.format_string("[%-12s]", F.col("n_name")).alias("left_pad"),
+    ).orderBy("n_nationkey")

@@ -1092,3 +1092,45 @@ def events_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+    SELECT user_id, event_id,
+           round(value, 6) AS value,
+           round(list_sort(list(value) OVER w)
+                 [(len(list(value) OVER w) + 1) // 2], 6) AS rolling_median
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    tags=("window",),
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over a 5-row sliding frame — no engine supports
+    percentile as a native window state (the state is the whole frame),
+    so the encoding collects the frame into an array and picks the
+    sorted midpoint. Legitimate ONLY for small constant frames: state
+    is O(frame), and the array ops stay codegen. For wide frames the
+    scale path is two heaps or a t-digest in a custom stateful op —
+    this query pins the exact-small-frame contract."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    frame = F.array_sort(F.collect_list("value").over(w))
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.round("value", 6).alias("value"),
+            F.round(
+                F.element_at(frame, ((F.size(frame) + 1) / 2).cast("int")), 6
+            ).alias("rolling_median"),
+        )
+        .orderBy("user_id", "event_id")
+    )

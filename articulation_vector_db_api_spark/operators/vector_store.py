@@ -312,3 +312,46 @@ def probe_ivf_store(
         .limit(k)
         .select("vec_id", "cell", F.round("raw", 6).alias("score"))
     )
+
+
+def probe_ivf_range(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    nprobe: int,
+    min_score: float,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Range search over the stored index: every vector in the probed
+    cells whose cosine reaches ``min_score`` — the score_threshold
+    surface, same partition-pruned I/O as the top-k probe but with no
+    result-size bound, so no heap: a scored filter over nprobe cells.
+    (Recall is bounded by routing exactly as for top-k probes; raising
+    nprobe trades I/O for radius coverage.)"""
+    from pyspark.sql.types import StructType
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    with open(os.path.join(path, "schema.json")) as f:
+        schema = StructType.fromJson(__import__("json").loads(f.read()))
+    cent = spark.read.parquet(os.path.join(path, "centroids"))
+    cells = [
+        r.cell
+        for r in cent.select("cell", cosine(F.col("centroid"), q).alias("cs"))
+        .orderBy(F.desc("cs"), "cell")
+        .limit(nprobe)
+        .collect()
+    ]
+    vecs = spark.read.schema(schema).parquet(os.path.join(path, "vectors"))
+    if exclude_vec_id is not None:
+        vecs = vecs.filter(F.col("vec_id") != exclude_vec_id)
+    tomb = _tombstones(spark, path)
+    if tomb is not None:
+        vecs = vecs.join(F.broadcast(tomb), "vec_id", "left_anti")
+    return (
+        vecs.filter(F.col("cell").isin(cells))
+        .select("vec_id", "cell", cosine(F.col("embedding"), q).alias("raw"))
+        .filter(F.col("raw") >= min_score)
+        .select("vec_id", "cell", F.round("raw", 6).alias("score"), "raw")
+        .orderBy(F.desc("raw"), "vec_id")
+        .drop("raw")
+    )

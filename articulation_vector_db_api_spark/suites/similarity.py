@@ -1374,3 +1374,47 @@ def ann_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("raw"), "vec_id")
         .drop("raw")
     )
+
+
+@register(
+    "ann_ivf_range_query",
+    oracle=_IVF_STORED_ORACLE.replace(
+        "SELECT vec_id, cell, round(raw, 6) AS score\n"
+        "    FROM cand ORDER BY raw DESC, vec_id LIMIT 10",
+        "SELECT vec_id, cell, round(raw, 6) AS score\n"
+        "    FROM cand WHERE raw >= 0.2 ORDER BY raw DESC, vec_id",
+    ),
+    tags=("similarity",),
+)
+def ann_ivf_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search through the STORED IVF index: all vectors above the
+    similarity threshold within the probed cells — the composition of
+    score_threshold semantics (ann_range_query proves the brute-force
+    baseline) with partition-pruned storage (ann_ivf_stored_probe
+    proves the layout). I/O stays nprobe/n_cells of the corpus even
+    though the result size is unbounded, which is why range queries —
+    not top-k — are where IVF pruning pays most at 100 TB.
+
+    SIDE-EFFECTFUL BUILDER (same contract as ann_ivf_stored_probe):
+    app-scoped store, completed-store marker skips rebuilds."""
+    import os
+
+    from ..operators.vector_store import probe_ivf_range, write_ivf_store
+
+    e = load_table(spark, sf_dir, "embeddings")
+    store = _app_scoped_store(spark, "ivf_range", sf_dir)
+    marker = os.path.join(store, "_STORE_COMPLETE")
+    if not os.path.exists(marker):
+        write_ivf_store(e, store, N_IVF_CELLS)
+        with open(marker, "w"):
+            pass
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()[0]
+    ]
+    return probe_ivf_range(
+        spark, store, qvec, nprobe=N_IVF_PROBES, min_score=0.2,
+        exclude_vec_id=QUERY_VEC_ID,
+    )

@@ -687,3 +687,76 @@ def stream_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_available_now(agg, "sliding_distinct", "complete").orderBy(
         "window_start"
     )
+
+
+@register(
+    "stream_threshold_debounce",
+    oracle="""
+    WITH over_t AS (
+        SELECT user_id, event_id, ts, value
+        FROM events WHERE value >= 90
+    ),
+    marked AS (
+        SELECT *,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+                    THEN 1 ELSE 0 END AS new_burst
+        FROM over_t
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS alert_event_id,
+           round(value, 6) AS alert_value
+    FROM marked WHERE new_burst = 1
+    ORDER BY user_id, alert_event_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_threshold_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming alert debouncing in explicit GroupState: per user, an
+    over-threshold reading fires only if the last ALERT for that user
+    is more than 10 minutes old; the state is one timestamp. This is
+    the live twin of the batch events_threshold_debounce — the oracle
+    (first event of each over-threshold burst) proves the stateful
+    operator and the gaps-and-islands batch encoding agree row for
+    row. Rows inside one delivery are sorted per key before the state
+    walk, so the result is delivery-chunking-independent; across
+    micro-batches the file source's in-order delivery plus the
+    persisted timestamp keep the same guarantee."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..streaming.windows import read_events_stream, run_available_now
+
+    ev = read_events_stream(spark, sf_dir).filter(F.col("value") >= 90)
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        (last_us,) = state.get if state.exists else (None,)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        alerts = []
+        for ts, event_id, value in zip(
+            rows["ts"], rows["event_id"], rows["value"]
+        ):
+            t_us = int(pd.Timestamp(ts).value // 1000)
+            if last_us is None or t_us - last_us > 600_000_000:
+                alerts.append((int(user_id), int(event_id), round(float(value), 6)))
+            # every exceedance extends the burst, alert or not
+            last_us = t_us
+        state.update((last_us,))
+        yield pd.DataFrame(
+            alerts, columns=["user_id", "alert_event_id", "alert_value"]
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id BIGINT, alert_event_id BIGINT, alert_value DOUBLE"
+        ),
+        stateStructType="last_us BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_available_now(out, "debounce", "update").orderBy(
+        "user_id", "alert_event_id"
+    )

@@ -1418,3 +1418,95 @@ def ann_ivf_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, store, qvec, nprobe=N_IVF_PROBES, min_score=0.2,
         exclude_vec_id=QUERY_VEC_ID,
     )
+
+
+@register(
+    "embedding_matryoshka_topk",
+    oracle=f"""
+    WITH trunc AS (
+        SELECT vec_id, embedding[1:256] AS e FROM embeddings
+    ),
+    qv AS (SELECT e AS q FROM trunc WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+        SELECT vec_id, {cosine_sql_duckdb("e", "q")} AS raw
+        FROM trunc, qv
+        WHERE vec_id != {QUERY_VEC_ID}
+    )
+    SELECT vec_id, round(raw, 6) AS score
+    FROM scored ORDER BY raw DESC, vec_id LIMIT 10
+    """,
+    tags=("similarity",),
+)
+def embedding_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated search (Kusupati et al. 2022, public
+    paper): score in the first 256 of 1024 dims — cosine renormalizes,
+    so truncation is just a slice. The 4× cheaper scan is the coarse
+    pass of a two-stage retrieve-then-rerank cascade.
+
+    Scale: the slice happens before the fold, so the per-row work AND
+    the bytes a columnar reader must materialize drop 4×; at 100 TB the
+    full-width vectors would live in a separate column family and never
+    be read by this pass. Plan: TakeOrderedAndProject (per-partition
+    heaps), no global sort."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, 256).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("e").alias("q")
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("e"), F.col("q")).alias("raw"))
+        .orderBy(F.desc("raw"), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("raw", 6).alias("score"))
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    SELECT CAST(i - 1 AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(CAST(v AS DOUBLE)), 6) AS mean_v,
+           round(stddev_samp(CAST(v AS DOUBLE)), 6) AS std_v,
+           round(min(CAST(v AS DOUBLE)), 6) AS min_v,
+           round(max(CAST(v AS DOUBLE)), 6) AS max_v
+    FROM (
+        SELECT unnest(list_transform(generate_series(1, 64),
+                                     i -> struct_pack(i := i,
+                                                      v := embedding[i]))) AS s
+        FROM embeddings
+    ), LATERAL (SELECT s.i AS i, s.v AS v)
+    GROUP BY i ORDER BY i
+    """,
+    tags=("similarity",),
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution audit over the first 64 dims: mean,
+    spread, range — the embedding-QA pass that catches dead dimensions
+    (std≈0), saturated ones, and drift between ingest batches before
+    they poison recall.
+
+    Scale: posexplode is map-side; the aggregate keys on 64 dims, so
+    partial aggregation collapses every partition to ≤64 rows before a
+    64-row shuffle — constant shuffle volume no matter how many billion
+    vectors the scan covers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("v").cast("double")
+    return (
+        emb.select(
+            F.posexplode(F.slice("embedding", 1, 64)).alias("dim", "v")
+        )
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg(v), 6).alias("mean_v"),
+            F.round(F.stddev_samp(v), 6).alias("std_v"),
+            F.round(F.min(v), 6).alias("min_v"),
+            F.round(F.max(v), 6).alias("max_v"),
+        )
+        .select(F.col("dim").cast("long"), "n", "mean_v", "std_v", "min_v", "max_v")
+        .orderBy("dim")
+    )

@@ -1810,3 +1810,179 @@ def curation_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("weight_micro"), "doc_id")
         .limit(50)
     )
+
+
+@register(
+    "curation_gopher_rules",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents
+        WHERE length(trim(text)) > 0
+    ),
+    freq AS (
+        SELECT doc_id, max(cnt) AS top_cnt
+        FROM (SELECT doc_id, tok, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+              GROUP BY doc_id, tok)
+        GROUP BY doc_id
+    ),
+    rules AS (
+        SELECT toks.doc_id,
+               len(t) AS n_words,
+               CAST(len(t) BETWEEN 20 AND 100000 AS INT) AS ok_word_count,
+               CAST(CAST(list_reduce(list_prepend(0.0,
+                        list_transform(t, w -> CAST(length(w) AS DOUBLE))),
+                        (a, v) -> a + v) / len(t) AS DOUBLE)
+                    BETWEEN 2.0 AND 10.0 AS INT) AS ok_mean_word_len,
+               CAST(CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.1
+                    AS INT) AS ok_uniq_ratio,
+               CAST(CAST(freq.top_cnt AS DOUBLE) / len(t) <= 0.12 AS INT)
+                   AS ok_top_token,
+               CAST(len(list_filter(t, w -> list_contains(
+                    {list(STOPWORDS)!r}, w))) >= 2 AS INT) AS ok_stopwords
+        FROM toks JOIN freq ON toks.doc_id = freq.doc_id
+    )
+    SELECT doc_id, n_words, ok_word_count, ok_mean_word_len, ok_uniq_ratio,
+           ok_top_token, ok_stopwords,
+           ok_word_count * ok_mean_word_len * ok_uniq_ratio
+               * ok_top_token * ok_stopwords AS keep
+    FROM rules
+    ORDER BY doc_id
+    """,
+    tags=("textops",),
+)
+def curation_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style admission rules (Rae et al. 2021 §A1.1 heuristics,
+    public paper): word-count bounds, mean-word-length bounds, lexical
+    diversity, single-token dominance, stopword presence — each rule a
+    named flag plus the conjunctive keep bit, so a curation run can
+    report per-rule rejection rates, not just a pass count.
+
+    The reference has no quality gate (it ingests every PDF chunk,
+    main.py:150-176); this is the curation front-door a 100 TB corpus
+    needs. Scale: one explode + one groupBy keyed on doc_id (the
+    dominance rule needs per-token counts); all other rules are
+    per-row codegen expressions. No driver collect."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    d = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"),
+    )
+    top = (
+        d.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_cnt"))
+    )
+    n = F.size("t")
+    mean_len = (
+        F.aggregate(
+            F.transform(F.col("t"), lambda w: F.length(w).cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        / n
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.col("t"),
+            lambda w: F.array_contains(F.array(*[F.lit(s) for s in STOPWORDS]), w),
+        )
+    )
+    r = d.join(top, "doc_id").select(
+        "doc_id",
+        n.alias("n_words"),
+        n.between(20, 100000).cast("int").alias("ok_word_count"),
+        mean_len.between(2.0, 10.0).cast("int").alias("ok_mean_word_len"),
+        (F.size(F.array_distinct("t")).cast("double") / n >= 0.1)
+        .cast("int")
+        .alias("ok_uniq_ratio"),
+        (F.col("top_cnt").cast("double") / n <= 0.12)
+        .cast("int")
+        .alias("ok_top_token"),
+        (stop_hits >= 2).cast("int").alias("ok_stopwords"),
+    )
+    return r.select(
+        "*",
+        (
+            F.col("ok_word_count")
+            * F.col("ok_mean_word_len")
+            * F.col("ok_uniq_ratio")
+            * F.col("ok_top_token")
+            * F.col("ok_stopwords")
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, ch, count(*) AS cnt
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, length(s)),
+                       i -> substr(s, i, 1))) AS ch
+            FROM (SELECT doc_id, replace(lower(text), ' ', '') AS s
+                  FROM documents WHERE length(replace(text, ' ', '')) > 0)
+        )
+        GROUP BY doc_id, ch
+    ),
+    tot AS (SELECT doc_id, sum(cnt) AS n FROM chars GROUP BY doc_id)
+    SELECT chars.doc_id,
+           CAST(max(n) AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS alphabet,
+           round(-sum((CAST(cnt AS DOUBLE) / n)
+                      * log2(CAST(cnt AS DOUBLE) / n)), 6) AS entropy_bits
+    FROM chars JOIN tot ON chars.doc_id = tot.doc_id
+    GROUP BY chars.doc_id
+    ORDER BY chars.doc_id
+    """,
+    tags=("textops",),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy — the classic
+    gibberish/boilerplate detector (low entropy = repeated filler,
+    near-random bytes = high): alphabet size and -Σ p·log2 p over
+    non-space characters.
+
+    Char explode is positional (sequence + transform + explode) so both
+    engines enumerate identical character sets regardless of their
+    empty-pattern split semantics. Scale: the explode is map-side and
+    the two aggregations shuffle on (doc_id[, ch]) — partial
+    aggregation collapses each partition to its distinct chars first,
+    so shuffle volume ~ docs × alphabet, not corpus characters."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.replace(F.lower(F.col("text")), F.lit(" "), F.lit(""))
+    d = docs.select("doc_id", s.alias("s")).filter(F.length("s") > 0)
+    chars = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("s")),
+                    lambda i: F.substring(F.col("s"), i, F.lit(1)),
+                )
+            ).alias("ch"),
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = chars.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
+    p = F.col("cnt").cast("double") / F.col("n")
+    return (
+        chars.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_chars"),
+            F.count(F.lit(1)).cast("long").alias("alphabet"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )

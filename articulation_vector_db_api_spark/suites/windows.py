@@ -1134,3 +1134,128 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "events_resample_interpolate",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS h0,
+               date_trunc('hour', max(ts)) AS h1
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    spine AS (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr,
+               t.event_type
+        FROM bounds, (SELECT DISTINCT event_type FROM events
+                      WHERE event_type IN ('click', 'purchase')) t
+    ),
+    hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               avg(value) AS obs
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type, hr
+    ),
+    joined AS (
+        SELECT s.event_type, s.hr, h.obs,
+               epoch(s.hr) AS e
+        FROM spine s LEFT JOIN hourly h
+          ON s.event_type = h.event_type AND s.hr = h.hr
+    ),
+    bracketed AS (
+        SELECT event_type, hr, obs, e,
+               last_value(obs IGNORE NULLS) OVER w_prev AS pv,
+               last_value(CASE WHEN obs IS NOT NULL THEN e END IGNORE NULLS)
+                   OVER w_prev AS pe,
+               first_value(obs IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN obs IS NOT NULL THEN e END IGNORE NULLS)
+                   OVER w_next AS ne
+        FROM joined
+        WINDOW
+          w_prev AS (PARTITION BY event_type ORDER BY hr
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_next AS (PARTITION BY event_type ORDER BY hr
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hr,
+           CAST(obs IS NOT NULL AS INT) AS observed,
+           round(CASE
+               WHEN obs IS NOT NULL THEN obs
+               WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                   pv + (nv - pv) * (e - pe) / (ne - pe)
+               WHEN pv IS NOT NULL THEN pv
+               ELSE nv END, 6) AS value_interp
+    FROM bracketed
+    ORDER BY event_type, hr
+    """,
+    tags=("window", "events"),
+)
+def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample-to-hourly with linear interpolation: aggregate the
+    irregular event stream to an hourly grid, then fill silent hours by
+    interpolating between the bracketing observations (edges carry the
+    nearest value). The standard time-series densification before any
+    windowed model feature.
+
+    The bracketing values come from two frame-bounded windows with
+    ignorenulls last/first — one forward, one backward pass per
+    partition, no self-join. Scale: the interpolation runs on the
+    AGGREGATED grid (|hours| × |types| rows), never on raw events, so
+    the window state is trivially small; the raw stream is touched by
+    exactly one shuffle (the hourly groupBy)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    types = e.select("event_type").distinct()
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    ).crossJoin(types)
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.avg("value").alias("obs"))
+    joined = spine.join(F.broadcast(hourly), ["event_type", "hr"], "left").select(
+        "event_type", "hr", "obs", F.unix_timestamp("hr").alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_e = F.when(F.col("obs").isNotNull(), F.col("e"))
+    b = joined.select(
+        "event_type",
+        "hr",
+        "obs",
+        "e",
+        F.last("obs", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_e, ignorenulls=True).over(w_prev).alias("pe"),
+        F.first("obs", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_e, ignorenulls=True).over(w_next).alias("ne"),
+    )
+    interp = (
+        F.when(F.col("obs").isNotNull(), F.col("obs"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("e") - F.col("pe"))
+            / (F.col("ne") - F.col("pe")),
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return b.select(
+        "event_type",
+        "hr",
+        F.col("obs").isNotNull().cast("int").alias("observed"),
+        F.round(interp, 6).alias("value_interp"),
+    ).orderBy("event_type", "hr")

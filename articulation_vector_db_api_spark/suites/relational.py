@@ -3167,3 +3167,114 @@ def join_bucketed_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_custkey", "o_orderkey")
         .limit(1000)
     )
+
+
+@register(
+    "agg_grouping_id_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    ORDER BY g_status, g_priority, status, priority
+    """,
+    tags=("relational", "agg"),
+)
+def agg_grouping_id_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets with explicit grouping() markers: one pass emits
+    the detail grain, both single-axis rollups, and the grand total,
+    with per-column grouping flags so consumers can tell a real NULL
+    from a rollup placeholder (the reason grouping() exists).
+
+    Scale: Spark expands grouping sets map-side (each input row fans
+    out once per set) and aggregates all grains in ONE shuffle keyed on
+    (keys, grouping_id) — four grains for the price of one job, vs four
+    separate scans+unions. Arbitrary sets aren't reachable from the
+    DataFrame groupBy (only cube/rollup are), so this one goes through
+    spark.sql — same Catalyst Expand+Aggregate plan either way."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "gsets_orders"
+    )
+    return spark.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+                   AS revenue
+        FROM gsets_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_priority, status, priority
+    """)
+
+
+@register(
+    "pivot_priority_multi_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT)
+               AS urgent_n,
+           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(30,8)))
+                    FILTER (o_orderpriority = '1-URGENT'), 0) AS DOUBLE)
+               AS urgent_rev,
+           CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT)
+               AS high_n,
+           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(30,8)))
+                    FILTER (o_orderpriority = '2-HIGH'), 0) AS DOUBLE)
+               AS high_rev,
+           CAST(count(*) FILTER (o_orderpriority NOT IN
+                    ('1-URGENT', '2-HIGH')) AS BIGINT) AS other_n,
+           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(30,8)))
+                    FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH')),
+                    0) AS DOUBLE) AS other_rev
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("relational", "agg"),
+)
+def pivot_priority_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with TWO measures per pivoted value (count and revenue per
+    priority bucket) — the wide-report shape BI tools emit. The
+    priority domain is bucketed to a fixed list first, so the output
+    schema is static (a pivot whose column set depends on the data is a
+    schema-drift hazard in any warehouse).
+
+    Scale: an explicit value list lets Spark skip the extra
+    distinct-values job a blind pivot needs, and the whole thing is one
+    hash aggregate keyed on o_orderstatus — conditional partial aggs
+    map-side, a |statuses|-row shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+               F.col("o_orderpriority"))
+        .otherwise("OTHER")
+    )
+    dec = F.col("o_totalprice").cast("decimal(30,8)")
+    pivoted = (
+        o.select("o_orderstatus", bucket.alias("prio"), dec.alias("price"))
+        .groupBy("o_orderstatus")
+        .pivot("prio", ["1-URGENT", "2-HIGH", "OTHER"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("price"), F.lit(0).cast("decimal(30,8)"))
+            .cast("double")
+            .alias("rev"),
+        )
+    )
+    return pivoted.select(
+        "o_orderstatus",
+        F.col("`1-URGENT_n`").alias("urgent_n"),
+        F.col("`1-URGENT_rev`").alias("urgent_rev"),
+        F.col("`2-HIGH_n`").alias("high_n"),
+        F.col("`2-HIGH_rev`").alias("high_rev"),
+        F.col("OTHER_n").alias("other_n"),
+        F.col("OTHER_rev").alias("other_rev"),
+    ).orderBy("o_orderstatus")

@@ -1986,3 +1986,58 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, length(w) - 1),
+                   i -> substr(w, i, 2))) AS pair
+        FROM words WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 30
+    """,
+    tags=("textops",),
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE training (Sennrich et al. 2016,
+    public paper): count adjacent symbol pairs within words across the
+    corpus and rank them — the top pair is the first merge a tokenizer
+    would learn. Corpus-wide pair statistics are also the input to
+    tokenizer-fit diagnostics (is the vocab stale for this corpus?).
+
+    Scale: both explodes are map-side (no shuffle until the pair
+    groupBy), partial aggregation collapses each partition to its
+    distinct pairs (≤ alphabet², tiny), and the final top-30 is a
+    TakeOrderedAndProject. At 100 TB this is one scan + a
+    constant-size shuffle."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    words = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(30)
+    )

@@ -451,6 +451,47 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct", r"Arguments: rangepartitioning",
          r"BatchEvalPython", r"ArrowEvalPython"],
     ),
+    "curation_gopher_rules": (
+        # dominance rule: partial counts map-side, join back on doc_id;
+        # every other rule is a codegen'd scalar on the same row
+        [r"partial_count", r"partial_max"],
+        [r"CartesianProduct", r"BatchEvalPython"],
+    ),
+    "text_char_entropy": (
+        # char explode map-side, both aggs partial+final
+        [r"Generate", r"explode\(", r"partial_count"],
+        [r"BatchEvalPython", r"CartesianProduct"],
+    ),
+    "embedding_matryoshka_topk": (
+        # 1-row query side broadcast; top-k is a heap merge, not a sort
+        [r"TakeOrderedAndProject", r"Broadcast"],
+        [r"SortMergeJoin", r"Arguments: rangepartitioning"],
+    ),
+    "embedding_dim_stats": (
+        # posexplode map-side; 64-key agg collapses before the shuffle
+        [r"Generate", r"posexplode\(", r"partial_count"],
+        [r"BatchEvalPython"],
+    ),
+    "events_resample_interpolate": (
+        # hourly grid joined broadcast; windows run on the grid only
+        [r"BroadcastHashJoin", r"Window"],
+        [r"SortMergeJoin", r"CartesianProduct"],
+    ),
+    "agg_grouping_id_sets": (
+        # one Expand feeding ONE partial+final aggregate for all grains
+        [r"Expand", r"partial_count"],
+        [r"Union"],
+    ),
+    "pivot_priority_multi_agg": (
+        # static value list: no distinct-values job, one agg pair
+        [r"partial_count"],
+        [r"CollectLimit", r"Union"],
+    ),
+    "text_bpe_pair_counts": (
+        # two map-side explodes, then one constant-size shuffle + heap
+        [r"Generate", r"explode\(", r"TakeOrderedAndProject", r"partial_count"],
+        [r"BatchEvalPython", r"Arguments: rangepartitioning"],
+    ),
 }
 
 # query -> [(pattern, max_occurrences)] over the formatted plan.

@@ -3278,3 +3278,57 @@ def pivot_priority_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("OTHER_n").alias("other_n"),
         F.col("OTHER_rev").alias("other_rev"),
     ).orderBy("o_orderstatus")
+
+
+@register(
+    "sample_train_val_test_split",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id, lang, n_chars,
+               {sha_hash32_sql("CAST(doc_id AS VARCHAR)", seed=13)} % 100 AS b
+        FROM documents
+    ),
+    labeled AS (
+        SELECT lang, n_chars,
+               CASE WHEN b < 90 THEN 'train'
+                    WHEN b < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM hashed
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+    FROM labeled
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+    tags=("relational", "sampling"),
+)
+def sample_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by key hash, with
+    the per-split × language balance report a training run records
+    before touching a GPU. Hash-of-key (not df.randomSplit) means the
+    assignment is stable across runs, engines, and scale-ups — a doc
+    never migrates between splits when the corpus grows, so eval
+    contamination can't creep in via resharding.
+
+    Scale: assignment is a map-side expression (no shuffle); the audit
+    aggregate shuffles |splits × langs| rows. The split column would be
+    the output's partitionBy key so each consumer reads only its
+    split."""
+    d = load_table(spark, sf_dir, "documents")
+    b = sha_hash32(F.col("doc_id").cast("string"), seed=13) % 100
+    split = (
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+        )
+        .orderBy("split", "lang")
+    )

@@ -1259,3 +1259,99 @@ def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("obs").isNotNull().cast("int").alias("observed"),
         F.round(interp, 6).alias("value_interp"),
     ).orderBy("event_type", "hr")
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    ),
+    trans AS (
+        SELECT src, dst, count(*) AS n
+        FROM seq WHERE dst IS NOT NULL
+        GROUP BY src, dst
+    )
+    SELECT src, dst, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) /
+                 sum(n) OVER (PARTITION BY src), 6) AS p
+    FROM trans
+    ORDER BY src, dst
+    """,
+    tags=("window", "events"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next=dst | current=src), the base model for
+    next-action prediction and for flagging bot-like sessions (rows
+    whose transition likelihood is improbably high).
+
+    Scale: ONE shuffle on user_id orders each user's history for the
+    lead(); the transition count then collapses map-side to ≤ |types|²
+    rows, and the row-normalizing window runs on that tiny matrix.
+    Tie-break on (ts, event_id) makes the sequence — and the matrix —
+    deterministic under concurrent timestamps."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    trans = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    wsrc = Window.partitionBy("src")
+    return trans.select(
+        "src",
+        "dst",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(wsrc), 6).alias("p"),
+    ).orderBy("src", "dst")
+
+
+@register(
+    "window_percent_change_wow",
+    oracle="""
+    WITH weekly AS (
+        SELECT event_type, date_trunc('week', ts) AS wk,
+               CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total
+        FROM events
+        GROUP BY event_type, wk
+    )
+    SELECT event_type, wk, round(total, 6) AS total,
+           round(100.0 * (total - lag(total) OVER w)
+                 / lag(total) OVER w, 6) AS pct_change
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY wk)
+    ORDER BY event_type, wk
+    """,
+    tags=("window", "events"),
+)
+def window_percent_change_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week percent change per event type — the reporting
+    staple. The delta runs on the AGGREGATED weekly grid, so the lag
+    window's state is |weeks| rows per type; decimal accumulation keeps
+    the weekly totals associative (float sums would drift with
+    partitioning), cast to double only at the edge."""
+    e = load_table(spark, sf_dir, "events")
+    weekly = (
+        e.groupBy(
+            "event_type",
+            # DuckDB's week-trunc yields DATE; match it (both are Monday-start)
+            F.to_date(F.date_trunc("week", "ts")).alias("wk"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("total")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("wk")
+    prev = F.lag("total").over(w)
+    return weekly.select(
+        "event_type",
+        "wk",
+        F.round("total", 6).alias("total"),
+        F.round(100.0 * (F.col("total") - prev) / prev, 6).alias("pct_change"),
+    ).orderBy("event_type", "wk")

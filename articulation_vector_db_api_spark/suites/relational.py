@@ -3332,3 +3332,153 @@ def sample_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@register(
+    "agg_hll_portable_registers",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT n.n_regionkey, n.n_nationkey,
+               {sha_hash32_sql("CAST(c.c_custkey AS VARCHAR)", seed=29)} AS h
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    regs AS (  -- per-(nation, bucket) register = max rank
+        SELECT n_regionkey, n_nationkey, h % 64 AS bucket,
+               max(CASE WHEN h // 64 = 0 THEN 27
+                        ELSE 27 - length(bin(h // 64)) END) AS r
+        FROM hashed
+        GROUP BY n_regionkey, n_nationkey, bucket
+    ),
+    rolled AS (  -- region rollup touches only registers, never raw rows
+        SELECT n_regionkey, bucket, max(r) AS r
+        FROM regs GROUP BY n_regionkey, bucket
+    ),
+    est AS (
+        SELECT n_regionkey,
+               count(*) AS n_buckets,
+               sum(power(2.0, -r)) + (64 - count(*)) AS s,
+               64 - count(*) AS zeros
+        FROM rolled GROUP BY n_regionkey
+    ),
+    ex AS (
+        SELECT n.n_regionkey,
+               count(DISTINCT c.c_custkey) AS exact_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_regionkey
+    )
+    SELECT est.n_regionkey,
+           CAST(ex.exact_customers AS BIGINT) AS exact_customers,
+           round(CASE WHEN (0.709 * 64 * 64 / s) <= 2.5 * 64 AND zeros > 0
+                      THEN 64 * ln(64.0 / zeros)
+                      ELSE 0.709 * 64 * 64 / s END, 6) AS est_customers
+    FROM est JOIN ex ON est.n_regionkey = ex.n_regionkey
+    ORDER BY est.n_regionkey
+    """,
+    tags=("relational", "agg", "approx"),
+)
+def agg_hll_portable_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built from first principles (Flajolet et al. 2007,
+    public paper) with PORTABLE registers: bucket = 6 hash bits, rank =
+    leading-zero count of the remaining 26 bits via bin()-length (pure
+    integer ops, so every engine computes identical registers — unlike
+    agg_hll_sketch_rollup, whose DataSketches bytes are engine-private,
+    this sketch cross-checks hash-exact against the oracle). Nation
+    registers roll up to regions by register MAX — the mergeability
+    that makes 100 TB distinct-count dashboards incremental.
+
+    Float determinism: 2^-r terms are exact dyadic rationals whose sums
+    fit a double's 52-bit mantissa, so the harmonic sum is
+    order-independent — safe under any partitioning. Scale: raw rows
+    are touched by exactly one aggregation; the rollup and estimate run
+    on ≤ |nations|×64 register rows."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    m = 64
+    h = sha_hash32(F.col("c_custkey").cast("string"), seed=29)
+    w = (h / m).cast("long")  # truncating: h and m non-negative
+    rank = F.when(w == 0, F.lit(27)).otherwise(
+        F.lit(27) - F.length(F.bin(w))
+    )
+    regs = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_regionkey", "n_nationkey", (h % m).alias("bucket"), rank.alias("rk"))
+        .groupBy("n_regionkey", "n_nationkey", "bucket")
+        .agg(F.max("rk").alias("r"))
+    )
+    rolled = regs.groupBy("n_regionkey", "bucket").agg(F.max("r").alias("r"))
+    est = rolled.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("r")))
+            + (F.lit(m) - F.count(F.lit(1)))
+        ).alias("s"),
+        (F.lit(m) - F.count(F.lit(1))).alias("zeros"),
+    )
+    ex = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey")
+        .agg(F.count_distinct("c_custkey").cast("long").alias("exact_customers"))
+    )
+    raw = 0.709 * m * m / F.col("s")
+    hll = F.when(
+        (raw <= 2.5 * m) & (F.col("zeros") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros")),
+    ).otherwise(raw)
+    return (
+        est.join(ex, "n_regionkey")
+        .select(
+            "n_regionkey",
+            "exact_customers",
+            F.round(hll, 6).alias("est_customers"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "dq_freshness_by_type",
+    oracle="""
+    WITH per_type AS (
+        SELECT event_type,
+               max(ts) AS latest,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
+    ),
+    corpus AS (SELECT max(ts) AS head FROM events)
+    SELECT event_type, latest, n_events,
+           CAST(date_diff('second', latest, head) AS BIGINT) AS lag_sec,
+           CAST(date_diff('second', latest, head) > 1800 AS INT)
+               AS slo_breach
+    FROM per_type, corpus
+    ORDER BY event_type
+    """,
+    tags=("relational", "dq"),
+)
+def dq_freshness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness SLO audit: per-stream high-water mark vs the corpus
+    head, with a breach flag at 30 minutes — the first alert any
+    ingestion pipeline wires up (a partition that silently stopped
+    arriving shows up here before it shows up as wrong numbers).
+
+    Scale: two partial+final aggregates (per-type and global max) and a
+    single-row broadcast join — one scan, constant-size shuffles. On a
+    partitioned landing table the per-type max reads only parquet
+    footer stats."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.max("ts").alias("latest"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    head = e.agg(F.max("ts").alias("head"))
+    lag_sec = (F.unix_timestamp("head") - F.unix_timestamp("latest")).cast("long")
+    return (
+        per_type.crossJoin(F.broadcast(head))
+        .select(
+            "event_type",
+            "latest",
+            "n_events",
+            lag_sec.alias("lag_sec"),
+            (lag_sec > 1800).cast("int").alias("slo_breach"),
+        )
+        .orderBy("event_type")
+    )

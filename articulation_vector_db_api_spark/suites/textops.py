@@ -2041,3 +2041,51 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(30)
     )
+
+
+@register(
+    "search_phrase_adjacent",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT doc_id, source,
+           CAST(len(list_filter(generate_series(1, len(t) - 1),
+                i -> t[i] = 'fast' AND t[i + 1] = 'table')) AS INT)
+               AS n_phrase
+    FROM toks
+    WHERE len(list_filter(generate_series(1, len(t) - 1),
+              i -> t[i] = 'fast' AND t[i + 1] = 'table')) > 0
+    ORDER BY doc_id
+    """,
+    tags=("textops", "search"),
+)
+def search_phrase_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("fast table", adjacency-sensitive) — what
+    bag-of-words retrieval can't express. Positions come from an index
+    filter over the token array, so the match and the occurrence count
+    are one map-side expression: no explode, no self-join of a
+    positional posting list, no shuffle before the final sort.
+
+    At 100 TB the same predicate pushes into an inverted-index
+    candidate fetch (text_inverted_index) and this expression becomes
+    the verify step on the shortlisted docs."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    d = docs.select("doc_id", "source", t.alias("t"))
+    hits = F.size(
+        F.filter(
+            F.sequence(F.lit(0), F.size("t") - 2),
+            lambda i: (F.element_at("t", i + 1) == "fast")
+            & (F.element_at("t", i + 2) == "table"),
+        )
+    )
+    return (
+        d.select("doc_id", "source", hits.alias("n_phrase"))
+        .filter(F.col("n_phrase") > 0)
+        .orderBy("doc_id")
+    )

@@ -492,6 +492,37 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"Generate", r"explode\(", r"TakeOrderedAndProject", r"partial_count"],
         [r"BatchEvalPython", r"Arguments: rangepartitioning"],
     ),
+    "sample_train_val_test_split": (
+        # split assignment map-side; audit agg partial+final; no joins
+        [r"partial_count", r"partial_sum"],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"BatchEvalPython"],
+    ),
+    "events_markov_transitions": (
+        # one user_id sort-shuffle for lead(); matrix agg partial+final
+        [r"\bWindow\b", r"partial_count"],
+        [r"CartesianProduct", r"BatchEvalPython"],
+    ),
+    "window_percent_change_wow": (
+        # lag runs on the aggregated weekly grid, after partial+final agg
+        [r"\bWindow\b", r"partial_sum"],
+        [r"SortMergeJoin", r"CartesianProduct"],
+    ),
+    "agg_hll_portable_registers": (
+        # raw rows hit ONE aggregation; rollup+estimate run on registers;
+        # nation dim broadcasts
+        [r"BroadcastHashJoin", r"partial_max"],
+        [r"CartesianProduct", r"BatchEvalPython"],
+    ),
+    "search_phrase_adjacent": (
+        # match + count are one map-side expression: no explode, no agg
+        [r"Scan parquet"],
+        [r"Generate", r"HashAggregate", r"SortMergeJoin", r"BatchEvalPython"],
+    ),
+    "dq_freshness_by_type": (
+        # two partial+final maxes, single-row broadcast join back
+        [r"partial_max", r"Broadcast"],
+        [r"SortMergeJoin"],
+    ),
 }
 
 # query -> [(pattern, max_occurrences)] over the formatted plan.

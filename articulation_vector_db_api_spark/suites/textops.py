@@ -1952,10 +1952,15 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-random bytes = high): alphabet size and -Σ p·log2 p over
     non-space characters.
 
-    Char explode is positional (sequence + transform + explode) so both
-    engines enumerate identical character sets regardless of their
-    empty-pattern split semantics. Scale: the explode is map-side and
-    the two aggregations shuffle on (doc_id[, ch]) — partial
+    The oracle enumerates characters positionally (generate_series +
+    substr — DuckDB's empty-pattern split is not defined the same way);
+    Spark-side the explode input is split(s, ''), whose char-array
+    semantics are pinned by test and which evaluates the normalized
+    string ONCE per row — a substring(s, i, 1) index lambda would
+    re-inline the replace(lower(text)) at every character access after
+    projection collapse, turning the scan O(chars²) (the same trap
+    search_phrase_adjacent documents). Scale: the explode is map-side
+    and the two aggregations shuffle on (doc_id[, ch]) — partial
     aggregation collapses each partition to its distinct chars first,
     so shuffle volume ~ docs × alphabet, not corpus characters."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1964,12 +1969,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars = (
         d.select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("s")),
-                    lambda i: F.substring(F.col("s"), i, F.lit(1)),
-                )
-            ).alias("ch"),
+            F.explode(F.split("s", "")).alias("ch"),
         )
         .groupBy("doc_id", "ch")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -2071,17 +2071,28 @@ def search_phrase_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the same predicate pushes into an inverted-index
     candidate fetch (text_inverted_index) and this expression becomes
-    the verify step on the shortlisted docs."""
+    the verify step on the shortlisted docs.
+
+    Expression shape matters: an index-lambda over sequence() with
+    element_at(t, i) re-inlines the split() at EVERY access after
+    Catalyst collapses the projections — O(tokens²) splits per row,
+    measured 8× the runtime at 10× data. zip_with over two slices
+    references the token array a constant number of times, so the scan
+    stays linear."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim(F.col("text"))) > 0
     )
     t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     d = docs.select("doc_id", "source", t.alias("t"))
+    n1 = F.greatest(F.size("t") - 1, F.lit(0))
     hits = F.size(
         F.filter(
-            F.sequence(F.lit(0), F.size("t") - 2),
-            lambda i: (F.element_at("t", i + 1) == "fast")
-            & (F.element_at("t", i + 2) == "table"),
+            F.zip_with(
+                F.slice("t", 1, n1),
+                F.slice("t", 2, n1),
+                lambda a, b: (a == "fast") & (b == "table"),
+            ),
+            lambda x: x,
         )
     )
     return (

@@ -203,3 +203,51 @@ def test_binary_quant_recall_vs_exact(spark):
     assert len(out) == 10
     assert len(exact & {r.vec_id for r in out}) >= 5
     assert all(0 <= r.hamming <= 64 for r in out)
+
+
+def test_split_empty_pattern_chars(spark):
+    """text_char_entropy's explode input is split(s, ''): pin that
+    Spark's empty-pattern split yields exactly the character sequence
+    (no trailing empty element, unicode-safe) so the positional DuckDB
+    oracle (generate_series + substr) enumerates the same multiset."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.createDataFrame([("abc",), ("a",), ("aa b",)], "s string")
+        .select(F.split("s", "").alias("c"))
+        .collect()
+    )
+    assert [r.c for r in rows] == [["a", "b", "c"], ["a"], ["a", "a", " ", "b"]]
+
+
+def test_char_entropy_matches_python(spark):
+    """Per-doc Shannon entropy agrees with a direct python computation
+    on the fixture head — pins the log base and the space-stripping."""
+    import math
+    from collections import Counter
+
+    from articulation_vector_db_api_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r.doc_id: r
+        for r in load_all()["text_char_entropy"].fn(spark, sf).limit(20).collect()
+    }
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf}/documents.parquet").limit(20).collect()
+    }
+    checked = 0
+    for doc_id, row in out.items():
+        if doc_id not in docs:
+            continue
+        s = docs[doc_id].lower().replace(" ", "")
+        if not s:
+            continue
+        cnt = Counter(s)
+        ent = -sum((c / len(s)) * math.log2(c / len(s)) for c in cnt.values())
+        assert row.n_chars == len(s)
+        assert row.alphabet == len(cnt)
+        assert abs(row.entropy_bits - ent) < 1e-5
+        checked += 1
+    assert checked > 0

@@ -1682,17 +1682,26 @@ def text_word_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     d = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 3)
+    # window-slide via zip_with over three shifted slices rather than
+    # an element_at(t, i) index lambda: the latter can re-inline the
+    # split() per access after projection collapse (the O(tokens²)
+    # trap search_phrase_adjacent measured); slices keep the array
+    # reference count constant regardless of token count. At this
+    # query's scale the cost is the distinct-agg shuffle either way —
+    # this shape just can't regress when docs get long.
+    n2 = F.greatest(F.size("t") - 2, F.lit(0))
+    bi = F.zip_with(
+        F.slice("t", 1, n2),
+        F.slice("t", 2, n2),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
     tri = d.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("t", i),
-                    F.element_at("t", i + 1),
-                    F.element_at("t", i + 2),
-                ),
+            F.zip_with(
+                bi,
+                F.slice("t", 3, n2),
+                lambda ab, c: F.concat_ws(" ", ab, c),
             )
         ).alias("trigram"),
     )

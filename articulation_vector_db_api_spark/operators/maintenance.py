@@ -49,7 +49,10 @@ def _manifest_path(table_path: str) -> str:
 
 @contextlib.contextmanager
 def _manifest_lock(
-    table_path: str, timeout: float = 30.0, stale_after: float = 120.0
+    table_path: str,
+    timeout: float = 30.0,
+    stale_after: float = 120.0,
+    lock_name: str = _LOCK,
 ):
     """Exclusive manifest lock via ``O_CREAT|O_EXCL`` — the one
     primitive local/NFS filesystems give us that two processes cannot
@@ -63,8 +66,12 @@ def _manifest_lock(
     holder released and a fresh holder re-acquired in between), the
     fresh lock is restored via ``link`` (which, unlike rename, refuses
     to clobber a concurrently created lock). Holds must stay well under
-    ``stale_after``: a live holder that exceeds it looks crashed."""
-    lock = os.path.join(table_path, _LOCK)
+    ``stale_after``: a live holder that exceeds it looks crashed.
+
+    ``lock_name`` makes the primitive reusable for other single-writer
+    critical sections (the IVF store's writer lock) without the two
+    lock domains contending on one file."""
+    lock = os.path.join(table_path, lock_name)
     deadline = time.monotonic() + timeout
     while True:
         try:

@@ -29,6 +29,22 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import davg
 from ..functions.vector import cosine
+from .maintenance import _manifest_lock
+
+_WRITER_LOCK = ".writer.lock"
+
+
+def _writer_lock(path: str):
+    """Single-writer critical section for the store's MUTATORS (upsert /
+    delete / purge / compact / append). Probes never take it — readers
+    see immutable files and at worst miss the newest batch. Without it,
+    an append racing a purge/compact rewrite of the same cell can lose
+    the appended rows (the rewrite's scan predates them, its dynamic
+    overwrite then replaces the partition), and two upserts interleaving
+    delete→purge→append can duplicate ids. Same O_EXCL + stale-break
+    primitive as the snapshot manifest, under its own lock file so store
+    writes and snapshot commits don't contend."""
+    return _manifest_lock(path, lock_name=_WRITER_LOCK)
 
 
 def train_ivf_router(
@@ -110,7 +126,18 @@ def append_ivf_store(
 
     The batch is CAST to the store's catalog schema (schema.json)
     before writing: mixed physical types across files (float vs double
-    arrays) would poison every subsequent scan of the partition."""
+    arrays) would poison every subsequent scan of the partition.
+
+    Takes the store writer lock: an append racing a purge/compact
+    rewrite of the same cell would otherwise vanish (the rewrite's scan
+    predates it; its partition overwrite then replaces the directory)."""
+    with _writer_lock(path):
+        _append_unlocked(new_vectors, path, n_cells)
+
+
+def _append_unlocked(
+    new_vectors: DataFrame, path: str, n_cells: int
+) -> None:
     ivf = new_vectors.select(
         "vec_id", "embedding", (F.col("vec_id") % n_cells).alias("cell")
     )
@@ -136,12 +163,24 @@ def delete_from_ivf_store(
     (tiny, broadcast) tombstone set until :func:`purge_ivf_tombstones`
     rewrites the affected cells. The same write-ahead-delete shape
     every immutable-file table format uses (delete vectors / tombstone
-    files), because in-place mutation of columnar files is not a thing."""
+    files), because in-place mutation of columnar files is not a thing.
+
+    Locked: a tombstone landing between a purge's tombstone read and
+    its table clear would be silently dropped."""
     if not vec_ids:
         return
+    with _writer_lock(path):
+        _delete_unlocked(spark, path, vec_ids)
+
+
+def _delete_unlocked(
+    spark: SparkSession, path: str, vec_ids: list[int]
+) -> None:
     spark.createDataFrame(
         [(int(v),) for v in vec_ids], "vec_id long"
-    ).coalesce(1).write.mode("append").parquet(os.path.join(path, "tombstones"))
+    ).coalesce(1).write.mode("append").parquet(
+        os.path.join(path, "tombstones")
+    )
 
 
 def _tombstones(spark: SparkSession, path: str) -> DataFrame | None:
@@ -167,7 +206,12 @@ def upsert_ivf_store(
     A batch carrying the same vec_id twice collapses to ONE row before
     the append (the reference's dict-keyed upsert can't hold two values
     under one id) — last row in the batch's encounter order wins,
-    mirroring dict insertion semantics."""
+    mirroring dict insertion semantics.
+
+    The whole tombstone→purge→append sequence holds the writer lock:
+    two interleaved upserts of the same id could otherwise both append
+    after both purged (duplicate rows under one id), and a concurrent
+    append could be erased by this upsert's cell rewrite."""
     w = Window.partitionBy("vec_id").orderBy(F.col("__seq").desc())
     new_vectors = (
         new_vectors.withColumn("__seq", F.monotonically_increasing_id())
@@ -176,9 +220,12 @@ def upsert_ivf_store(
         .drop("__seq", "__rn")
     )
     ids = [int(r.vec_id) for r in new_vectors.select("vec_id").collect()]
-    delete_from_ivf_store(spark, path, ids)
-    purge_ivf_tombstones(spark, path, n_cells)
-    append_ivf_store(new_vectors, path, n_cells)
+    if not ids:
+        return
+    with _writer_lock(path):
+        _delete_unlocked(spark, path, ids)
+        _purge_unlocked(spark, path, n_cells)
+        _append_unlocked(new_vectors, path, n_cells)
 
 
 def purge_ivf_tombstones(
@@ -187,7 +234,16 @@ def purge_ivf_tombstones(
     """Physical delete: rewrite ONLY the cells that contain tombstoned
     ids (cell = the store's frozen routing of the id), dropping those
     rows, then clear the tombstone table. Scan cost ~ the affected
-    cells, never the store. Returns the rewritten cell ids."""
+    cells, never the store. Returns the rewritten cell ids.
+
+    Locked (rewrite + tombstone clear must exclude appends/deletes)."""
+    with _writer_lock(path):
+        return _purge_unlocked(spark, path, n_cells)
+
+
+def _purge_unlocked(
+    spark: SparkSession, path: str, n_cells: int
+) -> list[int]:
     import shutil
 
     tomb = _tombstones(spark, path)
@@ -238,7 +294,18 @@ def compact_ivf_cells(
     scan of that cell alone via dynamic partition overwrite — untouched
     cells' files are not read, not rewritten, and stay live for
     concurrent probes. Returns {cell: n_files_before} for the rewritten
-    cells. Scan cost ~ size of the compacted cells, never the store."""
+    cells. Scan cost ~ size of the compacted cells, never the store.
+
+    Locked: the rewrite must not race an append into a compacting cell
+    (the append's files would be replaced by a scan that never saw
+    them)."""
+    with _writer_lock(path):
+        return _compact_unlocked(spark, path, max_files_per_cell)
+
+
+def _compact_unlocked(
+    spark: SparkSession, path: str, max_files_per_cell: int
+) -> dict:
     vdir = os.path.join(path, "vectors")
     counts = {
         int(d.split("=")[1]): sum(

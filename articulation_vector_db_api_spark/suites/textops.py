@@ -1823,6 +1823,7 @@ def curation_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "curation_gopher_rules",
+    headline=True,
     oracle=f"""
     WITH toks AS (
         SELECT doc_id,

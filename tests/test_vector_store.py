@@ -350,3 +350,64 @@ def test_upsert_collapses_intra_batch_duplicates(spark, tmp_path):
     assert len(ids) == len(set(ids))  # no duplicate ids in the probe
     by_id = {int(r[0]): r[2] for r in after}
     assert by_id.get(target) == 1.0  # the LAST row of the batch won
+
+
+def test_concurrent_upserts_serialize_no_duplicates(spark, tmp_path):
+    """Two writers upserting OVERLAPPING ids concurrently: the writer
+    lock serializes the tombstone→purge→append sequences, so the final
+    store holds exactly ONE row per vec_id (whichever writer ran
+    second wins the overlap) and nothing from either batch is lost.
+    Unserialized, both writers purge before either appends and the
+    overlapping ids come back twice."""
+    import threading
+
+    from pyspark.sql.types import StructType
+
+    from articulation_vector_db_api_spark.operators.vector_store import (
+        upsert_ivf_store,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    store = str(tmp_path / "ivf_upsert_race")
+    write_ivf_store(e.filter(F.col("vec_id") < 40), store, N_CELLS)
+
+    def batch(lo, hi, tag):
+        return (
+            e.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            .select(
+                "vec_id",
+                F.transform(
+                    "embedding", lambda v: v + F.lit(float(tag))
+                ).alias("embedding"),
+            )
+        )
+
+    errs = []
+
+    def run(lo, hi, tag):
+        try:
+            upsert_ivf_store(spark, batch(lo, hi, tag), store, N_CELLS)
+        except Exception as exc:  # noqa: BLE001 - surface in main thread
+            errs.append(exc)
+
+    # ids 20..30 overlap between the two writers
+    t1 = threading.Thread(target=run, args=(10, 30, 1))
+    t2 = threading.Thread(target=run, args=(20, 45, 2))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+
+    with open(os.path.join(store, "schema.json")) as f:
+        schema = StructType.fromJson(__import__("json").loads(f.read()))
+    rows = (
+        spark.read.schema(schema)
+        .parquet(os.path.join(store, "vectors"))
+        .groupBy("vec_id")
+        .count()
+        .collect()
+    )
+    by_id = {int(r.vec_id): r["count"] for r in rows}
+    # every id exactly once — overlap not duplicated, no batch lost
+    assert set(by_id) == set(range(45))
+    assert all(n == 1 for n in by_id.values()), {
+        k: v for k, v in by_id.items() if v != 1
+    }

@@ -2637,14 +2637,13 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     PARTITION BY returnflag gives parallelism 3 (one reducer sorts ~2M
     rows per group; measured 9.6× wall-clock at 10× data). Instead, the
     distributed two-pass prefix-sum decomposition
-    (pack_sequences_token_budget's shape): rows land in 64 price-range
-    sub-buckets, per-bucket weights aggregate in one shuffle, a
-    64-row-per-group window finds each group's TARGET bucket and its
-    preceding cumulative offset, and the exact boundary row is resolved
-    by a running sum over the target bucket's rows alone — every heavy
-    stage parallelizes by (group, bucket). All threshold comparisons
-    are exact bigint."""
-    from pyspark.sql.window import Window
+    (operators/quantiles.py, pack_sequences_token_budget's shape):
+    price-range sub-buckets → per-bucket weights → tiny prefix window →
+    exact boundary row inside the one target bucket — every heavy stage
+    parallelizes by (group, bucket). All threshold comparisons are
+    exact bigint. Randomized equivalence vs a direct python reference
+    is pinned in tests/test_weighted_ops.py."""
+    from ..operators.quantiles import weighted_median_bucketed
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
@@ -2653,64 +2652,18 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         F.col("l_quantity").cast("long").alias("qty"),
     )
-    # price-range sub-buckets: monotone in price, so bucket order is
-    # price order and the in-bucket tie-break matches the oracle's
-    bounds = li.groupBy("l_returnflag").agg(
-        F.min("l_extendedprice").alias("lo"),
-        F.max("l_extendedprice").alias("hi"),
-        F.sum("qty").alias("tw"),
-    )
-    b = li.join(F.broadcast(bounds), "l_returnflag").withColumn(
-        "bucket",
-        F.least(
-            F.lit(63),
-            F.floor(
-                (F.col("l_extendedprice") - F.col("lo"))
-                / ((F.col("hi") - F.col("lo")) / 64.0 + 1e-9)
-            ).cast("int"),
-        ),
-    )
-    per_bucket = b.groupBy("l_returnflag", "bucket").agg(
-        F.sum("qty").alias("bw"), F.min("tw").alias("tw")
-    )
-    w_prefix = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    pref = per_bucket.select(
-        "l_returnflag",
-        "bucket",
-        "tw",
-        (F.sum("bw").over(w_prefix) - F.col("bw")).alias("offset"),
-        F.sum("bw").over(w_prefix).alias("cum_through"),
-    )
-    # the one bucket per group whose cumulative range crosses tw/2
-    target = pref.filter(
-        (2 * F.col("cum_through") >= F.col("tw"))
-        & (2 * F.col("offset") < F.col("tw"))
-    ).select("l_returnflag", "bucket", "offset")  # tw rejoins via b
-    w_in = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    in_bucket = b.join(
-        F.broadcast(target), ["l_returnflag", "bucket"]
-    ).select(
-        "l_returnflag",
-        "l_extendedprice",
-        "l_orderkey",
-        "l_linenumber",
-        "tw",
-        (F.col("offset") + F.sum("qty").over(w_in)).alias("cw"),
-    )
     return (
-        in_bucket.filter(2 * F.col("cw") >= F.col("tw"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.round(F.min("l_extendedprice"), 6).alias("weighted_median"),
-            F.min("tw").alias("total_weight"),
+        weighted_median_bucketed(
+            li,
+            group_col="l_returnflag",
+            value_col="l_extendedprice",
+            weight_col="qty",
+            tie_cols=["l_orderkey", "l_linenumber"],
+        )
+        .select(
+            "l_returnflag",
+            F.round("weighted_median", 6).alias("weighted_median"),
+            "total_weight",
         )
         .orderBy("l_returnflag")
     )

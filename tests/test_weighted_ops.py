@@ -86,3 +86,52 @@ def test_weighted_median_duplicate_values_ties(spark):
         for i in range(500)
     ]
     assert _run(spark, rows, n_buckets=4) == _reference(rows)
+
+
+def test_portable_hll_registers_match_python_twin(spark):
+    """agg_hll_portable_registers' sketch math, replayed in pure python
+    from the same sha256 hash: bucket = h % 64, rank = 27 - bitlength
+    of h//64 (27 when the suffix is 0), region register = max rank,
+    estimate = linear counting when the raw harmonic estimate is small,
+    else alpha*m^2/S. The query result must equal the twin exactly —
+    the whole point of the portable variant is engine-independent
+    registers."""
+    import hashlib
+    import math
+
+    from articulation_vector_db_api_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.n_regionkey: r
+        for r in load_all()["agg_hll_portable_registers"].fn(spark, sf).collect()
+    }
+
+    cust = spark.read.parquet(f"{sf}/customer.parquet").collect()
+    nat = {
+        r.n_nationkey: r.n_regionkey
+        for r in spark.read.parquet(f"{sf}/nation.parquet").collect()
+    }
+    m = 64
+    regs: dict[int, dict[int, int]] = {}
+    exact: dict[int, set] = {}
+    for c in cust:
+        region = nat[c.c_nationkey]
+        h = int(hashlib.sha256(f"29:{c.c_custkey}".encode()).hexdigest()[:8], 16)
+        w = h // m
+        rank = 27 if w == 0 else 27 - w.bit_length()
+        b = h % m
+        r = regs.setdefault(region, {})
+        r[b] = max(r.get(b, 0), rank)
+        exact.setdefault(region, set()).add(c.c_custkey)
+
+    assert set(got) == set(regs)
+    for region, r in regs.items():
+        s = sum(2.0 ** -v for v in r.values()) + (m - len(r))
+        zeros = m - len(r)
+        raw = 0.709 * m * m / s
+        est = m * math.log(m / zeros) if (raw <= 2.5 * m and zeros > 0) else raw
+        assert abs(got[region].est_customers - round(est, 6)) < 1e-9
+        assert got[region].exact_customers == len(exact[region])
+        # and the estimate is actually useful at this cardinality
+        assert abs(est - len(exact[region])) / len(exact[region]) < 0.35

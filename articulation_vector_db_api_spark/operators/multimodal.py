@@ -4,9 +4,11 @@ The reference's corpus is binary PDFs on disk read by a per-file Python
 loop (/root/reference/main.py:106-115, 268); the engine treats any
 modality as an opaque ``binary`` column with a typed metadata struct,
 processed by Arrow-batched ``mapInPandas`` — the schema, partitioning,
-UDF signature and batch shape are real and tested; only the
-codec-specific decode body is stubbed (image/audio libs are not in
-this environment).
+UDF signature and batch shape are real and tested. Decode is REAL for
+codec-free formats (uncompressed BMP, binary PGM/PPM — header parse,
+true dimensions, per-row fault isolation); compressed codecs
+(JPEG/PNG) need an imaging library absent from this environment and
+null their rows until deployment swaps one in.
 
 Scale shape: binary payloads stay columnar (parquet keeps them
 page-compressed); decode/feature-extract runs where the data lives as
@@ -51,11 +53,42 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_image(payload: bytes) -> tuple[int, int]:
-    """STUB — real image decode (PIL/libvips) is unavailable in this
-    environment. Deployment replaces this body; everything around it
-    (Arrow batching, schema, partitioning) is production-shaped."""
+    """REAL decode for the formats that need no codec library —
+    uncompressed BMP (BITMAPINFOHEADER) and binary PGM/PPM (netpbm):
+    magic sniff, header parse, dimensions out. Compressed codecs
+    (JPEG/PNG/WebP) need a real imaging library and raise — deployment
+    swaps those in here; everything around this function (Arrow
+    batching, schema, partitioning) is production-shaped either way."""
+    b = bytes(payload)
+    if b[:2] == b"BM" and len(b) >= 26:
+        # BITMAPINFOHEADER: int32 LE width @18, height @22 (may be
+        # negative for top-down rows — dimension is the magnitude)
+        width = int.from_bytes(b[18:22], "little", signed=True)
+        height = int.from_bytes(b[22:26], "little", signed=True)
+        return abs(width), abs(height)
+    if b[:2] in (b"P5", b"P6"):
+        # netpbm: magic, then whitespace-separated width height maxval,
+        # with '#' comment lines allowed between tokens
+        tokens: list[int] = []
+        i = 2
+        while len(tokens) < 2 and i < len(b):
+            c = b[i : i + 1]
+            if c == b"#":
+                i = b.index(b"\n", i)
+            elif c.isspace():
+                i += 1
+            else:
+                j = i
+                while j < len(b) and not b[j : j + 1].isspace():
+                    j += 1
+                tokens.append(int(b[i:j]))
+                i = j
+        if len(tokens) == 2:
+            return tokens[0], tokens[1]
+        raise ValueError("truncated netpbm header")
     raise NotImplementedError(
-        "image decode requires an imaging library not present in this build"
+        "compressed image decode requires an imaging library not present "
+        "in this build (BMP and binary PGM/PPM decode natively)"
     )
 
 
@@ -76,8 +109,17 @@ def extract_binary_features(df: DataFrame, deterministic_stub: bool = True) -> D
             if deterministic_stub:
                 width = n_bytes % 640
                 height = (n_bytes * 7) % 480
-            else:  # pragma: no cover - requires imaging library
-                dims = payloads.map(decode_image)
+            else:
+                # per-row fault isolation (the reference's O7 shape,
+                # main.py:175-176): one undecodable payload nulls its
+                # row, never fails the task
+                def _safe(b):
+                    try:
+                        return decode_image(b)
+                    except (NotImplementedError, ValueError):
+                        return (None, None)
+
+                dims = payloads.map(_safe)
                 width = dims.map(lambda d: d[0])
                 height = dims.map(lambda d: d[1])
             yield pd.DataFrame(
@@ -87,8 +129,9 @@ def extract_binary_features(df: DataFrame, deterministic_stub: bool = True) -> D
                     "digest_prefix": payloads.map(
                         lambda b: hashlib.sha256(bytes(b)).hexdigest()[:16]
                     ),
-                    "fake_width": width.astype("int64"),
-                    "fake_height": height.astype("int64"),
+                    # pandas NULLABLE Int64: decode failures are nulls
+                    "fake_width": width.astype("Int64"),
+                    "fake_height": height.astype("Int64"),
                 }
             )
 

@@ -459,14 +459,33 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_watermark_append",
-    oracle=None,  # append-mode emission depends on watermark advancement
+    oracle="""
+    WITH w AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS horizon FROM events)
+    SELECT window_start, n_events
+    FROM w, wm
+    WHERE window_start + INTERVAL '5 minutes' <= horizon
+    ORDER BY window_start
+    """,
     tags=("streaming",),
 )
 def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked append-mode tumbling counts: only windows sealed by
-    the 10-minute watermark emit; trailing windows stay open (Rows-only: emission timing is a streaming-runtime property —
-    which windows have been sealed when AvailableNow drains is decided
-    by watermark advancement, not batch-SQL-expressible)."""
+    the 10-minute watermark emit; trailing windows stay open in state.
+
+    The emission set IS deterministic, so this carries a full value
+    oracle: AvailableNow runs a final no-data micro-batch after the
+    data is exhausted (spark.sql.streaming.noDataMicroBatches, on by
+    default), which advances the watermark to max(ts) - delay and
+    flushes every window whose end <= that horizon — on this fixture
+    all but the trailing two windows. The oracle encodes exactly that
+    seal rule; a regression in emission semantics (e.g. the flush batch
+    not firing) hash-fails rather than hiding behind a rows-only
+    check."""
     ev = read_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "10 minutes")

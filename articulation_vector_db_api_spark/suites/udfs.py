@@ -162,9 +162,12 @@ def udf_applyinpandas_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udtf_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (one row → many): character trigram expansion for a
     doc sample. String outputs → exact parity with the generate_series
-    twin."""
+    twin. ``useArrow=True`` plans as ArrowEvalPythonUDTF — Arrow-batch
+    transfer like every other Python boundary in the engine; without it
+    a UDTF is the one row-pickling (BatchEvalPython) hole in the
+    no-row-at-a-time rule (plan-audited in tools/check_plans.py)."""
 
-    @F.udtf(returnType="pos: int, trigram: string")
+    @F.udtf(returnType="pos: int, trigram: string", useArrow=True)
     class Trigrams:
         def eval(self, text: str):  # noqa: ANN001
             if text:

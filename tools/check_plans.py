@@ -334,11 +334,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"BatchEvalPython\b", r"ArrowEvalPython"],
     ),
     "udtf_char_trigrams": (
-        # Python UDTFs only have the batched-pickle lateral path
-        # (BatchEvalPythonUDTF) — pin the exact node so a row-at-a-time
-        # scalar BatchEvalPython never sneaks in beside it
-        [r"BatchEvalPythonUDTF"],
-        [r"BatchEvalPython\b(?!UDTF)", r"CartesianProduct"],
+        # useArrow=True UDTF: Arrow-batch lateral path, same transfer
+        # tier as every other Python boundary — no pickled rows at all
+        [r"ArrowEvalPythonUDTF"],
+        [r"BatchEvalPython", r"CartesianProduct"],
     ),
     "multimodal_binary_metadata": (
         # magic-byte dispatch is pure codegen over the binary column —

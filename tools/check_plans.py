@@ -615,7 +615,16 @@ def _streaming_frames(spark):
     }
 
 
+# nodes NO registered query may ever plan, anywhere: an accidental
+# cross product or a row-pickling Python eval is a 100 TB outage
+# regardless of which query it hides in. (ArrowEvalPythonUDTF is the
+# sanctioned UDTF node; bare BatchEvalPython matches the pickled ones.)
+FORBIDDEN_EVERYWHERE = (r"CartesianProduct", r"BatchEvalPython")
+
+
 def main() -> int:
+    import sys as _sys
+
     spark = get_spark("plan-check")
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
@@ -626,6 +635,26 @@ def main() -> int:
         return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
             df._jdf.queryExecution(), "formatted"
         )
+
+    if "--sweep" in _sys.argv:
+        # global audit: every registered query's plan, not just the
+        # per-query contracts below
+        swept = bad_n = 0
+        for name, q in sorted(registry.items()):
+            try:
+                plan = explain(q.fn(spark, SF))
+            except Exception as exc:  # noqa: BLE001
+                print(f"FAIL   {name}: plan error {type(exc).__name__}")
+                bad_n += 1
+                continue
+            hits = [f for f in FORBIDDEN_EVERYWHERE if re.search(f, plan)]
+            swept += 1
+            if hits:
+                print(f"FAIL   {name}: {hits}")
+                bad_n += 1
+        print(f"sweep: {swept - bad_n}/{swept} plans free of "
+              f"{list(FORBIDDEN_EVERYWHERE)}")
+        return 1 if bad_n else 0
 
     frames = {
         name: registry[name].fn(spark, SF) for name in EXPECTATIONS

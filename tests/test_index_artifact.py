@@ -92,3 +92,59 @@ def test_mllib_similarity_join_pairs_are_true_pairs(spark):
     }
     for pa, pb in pairs:
         assert truth[(pa, pb)] >= 0.3 - 1e-6, (pa, pb, truth[(pa, pb)])
+
+
+def test_mllib_ivf_ann_scores_and_recall(spark):
+    """mllib_ivf_ann's exact re-rank inside the probed KMeans cell:
+    scores must equal true cosines, all candidates come from ONE cell,
+    and single-cell recall@10 vs the exact scan is nontrivial."""
+    from pyspark.sql import functions as F
+
+    from articulation_vector_db_api_spark.functions.vector import cosine
+    from articulation_vector_db_api_spark.sources.readers import load_table
+
+    got = _q(spark, "mllib_ivf_ann")
+    assert got and len({r.cell_id for r in got}) == 1
+    e = load_table(spark, SF_SMALL, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    truth = {
+        r.vec_id: r.score
+        for r in e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q")), 6).alias("score"),
+        )
+        .collect()
+    }
+    for r in got:
+        assert abs(r.score - truth[r.vec_id]) < 1e-6
+    exact_top = {
+        v for v, _ in sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    }
+    assert len(exact_top & {r.vec_id for r in got}) >= 2  # 1-cell probe
+
+
+def test_mllib_minhash_pairs_have_true_overlap(spark):
+    """Every pair mllib_minhash_dedup emits must truly share shingles:
+    recompute 3-gram shingle sets in python and require Jaccard ≥ 0.3
+    (the query's 0.7 max-distance threshold) for every emitted pair."""
+    import re as _re
+
+    got = _q(spark, "mllib_minhash_dedup")
+    assert got, "no near-dup pairs on the fixture"
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    }
+
+    def sh(text):
+        toks = _re.split(r"\s+", text.strip())
+        if len(toks) < 3:
+            return {text}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    for r in got:
+        a, b = sh(docs[r.doc_a]), sh(docs[r.doc_b])
+        j = len(a & b) / len(a | b)
+        assert j >= 0.3 - 1e-9, (r.doc_a, r.doc_b, j)

@@ -39,12 +39,33 @@ def weighted_median_bucketed(
     tie_cols: list[str],
     n_buckets: int = 64,
 ) -> DataFrame:
-    """Exact lower weighted median per group: the first value in
-    (value, *tie_cols) order whose cumulative weight ``cw`` satisfies
-    ``2*cw >= total_weight``. Weights must be non-negative integers
-    (bigint comparisons keep the threshold exact — no float boundary).
+    """Exact lower weighted median per group — the q=1/2 case of
+    :func:`weighted_quantile_bucketed`."""
+    q = weighted_quantile_bucketed(
+        df, group_col, value_col, weight_col, tie_cols, 1, 2, n_buckets
+    )
+    return q.withColumnRenamed("weighted_quantile", "weighted_median")
 
-    Returns one row per group: (group_col, weighted_median,
+
+def weighted_quantile_bucketed(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    tie_cols: list[str],
+    q_num: int = 1,
+    q_den: int = 2,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact lower weighted q-quantile (q = q_num/q_den, 0 < q ≤ 1) per
+    group: the first value in (value, *tie_cols) order whose cumulative
+    weight ``cw`` satisfies ``q_den*cw >= q_num*total_weight``. The
+    quantile is passed as an integer RATIO so the threshold comparison
+    stays in exact bigint arithmetic — a float q would make boundary
+    rows flicker with summation order. Weights must be non-negative
+    integers.
+
+    Returns one row per group: (group_col, weighted_quantile,
     total_weight)."""
     bounds = df.groupBy(group_col).agg(
         F.min(value_col).alias("__lo"),
@@ -79,8 +100,8 @@ def weighted_median_bucketed(
         F.sum("__bw").over(w_prefix).alias("__cum"),
     )
     target = pref.filter(
-        (2 * F.col("__cum") >= F.col("__tw"))
-        & (2 * F.col("__offset") < F.col("__tw"))
+        (q_den * F.col("__cum") >= q_num * F.col("__tw"))
+        & (q_den * F.col("__offset") < q_num * F.col("__tw"))
     ).select(group_col, "__bucket", "__offset")
     w_in = (
         Window.partitionBy(group_col)
@@ -94,10 +115,10 @@ def weighted_median_bucketed(
         (F.col("__offset") + F.sum(weight_col).over(w_in)).alias("__cw"),
     )
     return (
-        in_bucket.filter(2 * F.col("__cw") >= F.col("__tw"))
+        in_bucket.filter(q_den * F.col("__cw") >= q_num * F.col("__tw"))
         .groupBy(group_col)
         .agg(
-            F.min(value_col).alias("weighted_median"),
+            F.min(value_col).alias("weighted_quantile"),
             F.min("__tw").alias("total_weight"),
         )
     )

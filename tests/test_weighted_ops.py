@@ -135,3 +135,41 @@ def test_portable_hll_registers_match_python_twin(spark):
         assert got[region].exact_customers == len(exact[region])
         # and the estimate is actually useful at this cardinality
         assert abs(est - len(exact[region])) / len(exact[region]) < 0.35
+
+
+def test_weighted_quantile_q90_matches_reference(spark):
+    """Arbitrary-q path (q = 9/10) against a direct reference."""
+    from articulation_vector_db_api_spark.operators.quantiles import (
+        weighted_quantile_bucketed,
+    )
+
+    rng = random.Random(99)
+    rows = [
+        (f"g{rng.randrange(3)}", round(rng.uniform(0, 100), 2), rng.randrange(1, 9), i)
+        for i in range(2000)
+    ]
+
+    def ref_q(rows, q_num, q_den):
+        out = {}
+        by_g = {}
+        for g, v, w, tie in rows:
+            by_g.setdefault(g, []).append((v, tie, w))
+        for g, items in by_g.items():
+            items.sort()
+            total = sum(w for _, _, w in items)
+            cum = 0
+            for v, _, w in items:
+                cum += w
+                if q_den * cum >= q_num * total:
+                    out[g] = (v, total)
+                    break
+        return out
+
+    df = spark.createDataFrame(rows, "g string, v double, w long, tie long")
+    got = {
+        r.g: (r.weighted_quantile, r.total_weight)
+        for r in weighted_quantile_bucketed(
+            df, "g", "v", "w", ["tie"], q_num=9, q_den=10
+        ).collect()
+    }
+    assert got == ref_q(rows, 9, 10)

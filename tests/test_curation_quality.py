@@ -251,3 +251,45 @@ def test_char_entropy_matches_python(spark):
         assert abs(row.entropy_bits - ent) < 1e-5
         checked += 1
     assert checked > 0
+
+
+def test_ivf_nprobe_recall_sweep(spark, tmp_path):
+    """Tuning evidence for the stored IVF index: recall@10 vs the exact
+    scan must be non-decreasing in nprobe and reach 1.0 at nprobe =
+    n_cells (probing everything IS the exact scan). This is the
+    measurement that picks nprobe before a 100 TB rollout."""
+    from pyspark.sql import functions as F
+
+    from articulation_vector_db_api_spark.operators.vector_store import (
+        probe_ivf_store,
+        write_ivf_store,
+    )
+    from articulation_vector_db_api_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings")
+    store = str(tmp_path / "ivf_sweep")
+    n_cells = 8
+    write_ivf_store(e, store, n_cells)
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    exact = {
+        r.vec_id
+        for r in probe_ivf_store(
+            spark, store, qvec, nprobe=n_cells, k=10, exclude_vec_id=0
+        ).collect()
+    }
+    recalls = []
+    for nprobe in (1, 2, 4, 8):
+        got = {
+            r.vec_id
+            for r in probe_ivf_store(
+                spark, store, qvec, nprobe=nprobe, k=10, exclude_vec_id=0
+            ).collect()
+        }
+        recalls.append(len(got & exact) / len(exact))
+    assert recalls == sorted(recalls), recalls  # monotone in nprobe
+    assert recalls[-1] == 1.0
+    assert recalls[0] > 0  # even one cell finds something on this fixture

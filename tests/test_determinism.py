@@ -19,6 +19,8 @@ STATEFUL = [
     "sql_interface_revenue",
     "dedup_minhash_lsh",
     "udtf_char_trigrams",
+    "agg_grouping_id_sets",  # temp view
+    "mllib_ivf_ann",  # seeded KMeans fit per call
 ]
 
 

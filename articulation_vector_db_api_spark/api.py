@@ -98,3 +98,69 @@ class EngineAPI:
         version = compact_snapshot(self.spark, table_path, target_file_bytes)
         return {"table": table_path, "new_version": version,
                 "n_files": read_manifest(table_path)["versions"][str(version)]["n_files"]}
+
+    # -- vector-index admin (the reference's Pinecone index verbs,
+    # exposed: upsert main.py:172, query main.py:184-189; delete is the
+    # third verb that index supports but the reference never surfaces) --
+
+    def vectors_upsert(
+        self, store_path: str, vectors: list[dict], n_cells: int = 8
+    ) -> dict:
+        """POST /vectors/upsert: last-write-wins keyed upsert into the
+        stored IVF index (O6 semantics against the engine's own store
+        instead of a managed service)."""
+        from pyspark.sql.types import (
+            ArrayType, FloatType, LongType, StructField, StructType,
+        )
+
+        from .operators.vector_store import upsert_ivf_store
+
+        schema = StructType([
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ])
+        df = self.spark.createDataFrame(
+            [(int(v["vec_id"]), [float(x) for x in v["embedding"]])
+             for v in vectors],
+            schema,
+        )
+        upsert_ivf_store(self.spark, df, store_path, n_cells)
+        return {"store": store_path, "upserted": len(vectors)}
+
+    def vectors_delete(
+        self, store_path: str, ids: list[int], purge: bool = False,
+        n_cells: int = 8,
+    ) -> dict:
+        """POST /vectors/delete: logical tombstone delete; ``purge``
+        additionally rewrites the affected cells now."""
+        from .operators.vector_store import (
+            delete_from_ivf_store, purge_ivf_tombstones,
+        )
+
+        delete_from_ivf_store(self.spark, store_path, [int(i) for i in ids])
+        purged = (
+            purge_ivf_tombstones(self.spark, store_path, n_cells)
+            if purge else []
+        )
+        return {"store": store_path, "deleted": len(ids),
+                "purged_cells": purged}
+
+    def vectors_query(
+        self, store_path: str, vector: list[float], top_k: int = DEFAULT_TOP_K,
+        nprobe: int = 2,
+    ) -> dict:
+        """POST /vectors/query: cosine top-k against the stored IVF
+        index (the reference's index.query shape — matches list of
+        {id, score}), reading only nprobe cells."""
+        from .operators.vector_store import probe_ivf_store
+
+        rows = probe_ivf_store(
+            self.spark, store_path, [float(x) for x in vector],
+            nprobe=nprobe, k=top_k,
+        ).collect()
+        return {
+            "matches": [
+                {"id": int(r.vec_id), "score": float(r.score)} for r in rows
+            ],
+            "total_results": len(rows),
+        }

@@ -354,15 +354,25 @@ def probe_ivf_store(
     with open(os.path.join(path, "schema.json")) as f:
         schema = StructType.fromJson(__import__("json").loads(f.read()))
     cent = spark.read.parquet(os.path.join(path, "centroids"))
-    cells = [
-        r.cell
-        for r in cent.select(
-            "cell", cosine(F.col("centroid"), q).alias("cs")
+    routed = (
+        cent.select(
+            "cell",
+            F.size("centroid").alias("dim"),
+            cosine(F.col("centroid"), q).alias("cs"),
         )
         .orderBy(F.desc("cs"), "cell")
         .limit(nprobe)
         .collect()
-    ]
+    )
+    # a wrong-length query would zip_with-pad to null scores and return
+    # arbitrary rows — fail loudly instead (free: centroids are already
+    # collected for routing)
+    if routed and routed[0].dim != len(query_vec):
+        raise ValueError(
+            f"query vector has {len(query_vec)} dims, store has "
+            f"{routed[0].dim}"
+        )
+    cells = [r.cell for r in routed]
     vecs = spark.read.schema(schema).parquet(os.path.join(path, "vectors"))
     if exclude_vec_id is not None:
         vecs = vecs.filter(F.col("vec_id") != exclude_vec_id)
@@ -401,13 +411,22 @@ def probe_ivf_range(
     with open(os.path.join(path, "schema.json")) as f:
         schema = StructType.fromJson(__import__("json").loads(f.read()))
     cent = spark.read.parquet(os.path.join(path, "centroids"))
-    cells = [
-        r.cell
-        for r in cent.select("cell", cosine(F.col("centroid"), q).alias("cs"))
+    routed = (
+        cent.select(
+            "cell",
+            F.size("centroid").alias("dim"),
+            cosine(F.col("centroid"), q).alias("cs"),
+        )
         .orderBy(F.desc("cs"), "cell")
         .limit(nprobe)
         .collect()
-    ]
+    )
+    if routed and routed[0].dim != len(query_vec):  # see probe_ivf_store
+        raise ValueError(
+            f"query vector has {len(query_vec)} dims, store has "
+            f"{routed[0].dim}"
+        )
+    cells = [r.cell for r in routed]
     vecs = spark.read.schema(schema).parquet(os.path.join(path, "vectors"))
     if exclude_vec_id is not None:
         vecs = vecs.filter(F.col("vec_id") != exclude_vec_id)

@@ -47,6 +47,9 @@ class ServerConfig:
     table_path: str
     corpus_dir: str = ""
     glob: str = "*"
+    # default stored-IVF location for the /vectors/* admin verbs
+    # (requests may override per-call via "store")
+    vector_store_path: str = ""
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -129,6 +132,30 @@ class _Handler(BaseHTTPRequestHandler):
                 ))
             elif self.path == "/compact":
                 self._send(200, self.api.compact(self.cfg.table_path))
+            elif self.path == "/vectors/upsert":
+                self._send(200, self.api.vectors_upsert(
+                    str(req.get("store") or self.cfg.vector_store_path),
+                    list(req.get("vectors") or []),
+                    int(req.get("n_cells", 8)),
+                ))
+            elif self.path == "/vectors/delete":
+                self._send(200, self.api.vectors_delete(
+                    str(req.get("store") or self.cfg.vector_store_path),
+                    list(req.get("ids") or []),
+                    bool(req.get("purge", False)),
+                    int(req.get("n_cells", 8)),
+                ))
+            elif self.path == "/vectors/query":
+                vec = req.get("vector")
+                if not vec:
+                    self._send(400, {"detail": "vector is required"})
+                    return
+                self._send(200, self.api.vectors_query(
+                    str(req.get("store") or self.cfg.vector_store_path),
+                    vec,
+                    int(req.get("top_k", 5)),
+                    int(req.get("nprobe", 2)),
+                ))
             else:
                 self._send(404, {"detail": "Not Found"})
         except Exception as e:  # noqa: BLE001 — main.py:333

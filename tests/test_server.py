@@ -102,3 +102,58 @@ def test_admin_snapshots_surface(served):
     base, table = served
     code, body = _get(base, "/snapshots")
     assert code == 200 and "current" in body and "versions" in body
+
+
+def test_vectors_admin_verbs_roundtrip(spark, tmp_path):
+    """The index's three verbs over HTTP: upsert → query finds the new
+    vector in the right cell; overwrite upsert changes its values
+    (last-write-wins); delete(purge) makes it vanish from probes."""
+    from pyspark.sql import functions as F
+
+    from articulation_vector_db_api_spark.operators.vector_store import (
+        write_ivf_store,
+    )
+    from articulation_vector_db_api_spark.sources.readers import load_table
+
+    store = str(tmp_path / "http_ivf")
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    write_ivf_store(e.filter(F.col("vec_id") < 64), store, 8)
+    api = EngineAPI(spark=spark, data_dir="/root/testdata/sf0.001")
+    server = serve(api, ServerConfig(table_path=str(tmp_path / "t"),
+                                     vector_store_path=store))
+    base = "http://127.0.0.1:%d" % server.server_address[1]
+    try:
+        dim = len(e.select("embedding").first()[0])  # 64 at sf0.001
+        probe = [1.0] * 16 + [0.0] * (dim - 16)
+
+        code, res = _post(base, "/vectors/upsert", {
+            "vectors": [{"vec_id": 1000, "embedding": probe}]})
+        assert (code, res["upserted"]) == (200, 1)
+
+        code, res = _post(base, "/vectors/query", {
+            "vector": probe, "top_k": 3, "nprobe": 8})
+        assert code == 200
+        assert res["matches"][0]["id"] == 1000  # exact self-match
+        assert abs(res["matches"][0]["score"] - 1.0) < 1e-6
+
+        # last-write-wins: same id, different vector
+        flipped = [-x for x in probe]
+        code, _ = _post(base, "/vectors/upsert", {
+            "vectors": [{"vec_id": 1000, "embedding": flipped}]})
+        assert code == 200
+        code, res = _post(base, "/vectors/query", {
+            "vector": probe, "top_k": 64, "nprobe": 8})
+        hit = [m for m in res["matches"] if m["id"] == 1000]
+        assert not hit or hit[0]["score"] < 0.0  # old +1.0 row is gone
+
+        code, res = _post(base, "/vectors/delete", {
+            "ids": [1000], "purge": True})
+        assert code == 200 and res["deleted"] == 1
+        code, res = _post(base, "/vectors/query", {
+            "vector": probe, "top_k": 64, "nprobe": 8})
+        assert all(m["id"] != 1000 for m in res["matches"])
+
+        code, res = _post(base, "/vectors/query", {})
+        assert code == 400  # vector required
+    finally:
+        server.shutdown()

@@ -411,3 +411,21 @@ def test_concurrent_upserts_serialize_no_duplicates(spark, tmp_path):
     assert all(n == 1 for n in by_id.values()), {
         k: v for k, v in by_id.items() if v != 1
     }
+
+
+def test_probe_rejects_wrong_dimension(spark, tmp_path):
+    """A query vector of the wrong length must raise, not return the
+    silent all-null scoring zip_with padding would produce."""
+    import pytest as _pytest
+
+    from articulation_vector_db_api_spark.operators.vector_store import (
+        probe_ivf_range,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    store = str(tmp_path / "ivf_dim")
+    write_ivf_store(e.filter(F.col("vec_id") < 32), store, N_CELLS)
+    with _pytest.raises(ValueError, match="dims"):
+        probe_ivf_store(spark, store, [1.0, 2.0, 3.0], nprobe=2, k=5)
+    with _pytest.raises(ValueError, match="dims"):
+        probe_ivf_range(spark, store, [1.0] * 999, nprobe=2, min_score=0.5)

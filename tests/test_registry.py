@@ -62,3 +62,20 @@ def test_multimodal_stub_is_marked():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_driver_window_is_exactly_the_unverified_set():
+    """The driver emits CORRECTNESS rows for a bounded 50-query prefix
+    of queries(); registration order must put exactly the queries
+    without a prior driver row in those seats (COVERAGE.md 'driver
+    window steering'). An ordering regression here silently wastes
+    seats on already-verified queries."""
+    from articulation_vector_db_api_spark.registry import _VERIFIED, load_all
+
+    names = list(load_all())
+    unverified = [n for n in names if n not in _VERIFIED]
+    assert len(unverified) <= 50, (
+        f"{len(unverified)} unverified queries for 50 driver seats — "
+        "defer new registrations or expand _WINDOW_DEFER"
+    )
+    assert set(names[: len(unverified)]) == set(unverified)

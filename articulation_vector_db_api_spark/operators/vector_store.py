@@ -32,6 +32,79 @@ from ..functions.vector import cosine
 from .maintenance import _manifest_lock
 
 _WRITER_LOCK = ".writer.lock"
+_STORE_MANIFEST = "_store_manifest.json"
+
+
+def _current_version(path: str) -> int:
+    """Version pinned by the store manifest (0 for a legacy or fresh
+    store)."""
+    import json
+
+    mpath = os.path.join(path, _STORE_MANIFEST)
+    if not os.path.exists(mpath):
+        return 0
+    with open(mpath) as f:
+        return int(json.load(f)["current"])
+
+
+def current_vectors_dir(path: str) -> str:
+    """The vector tree readers should scan RIGHT NOW: the manifest's
+    pinned version directory (``vectors/v{K}``), or the flat legacy
+    ``vectors/`` tree for stores written before versioning. Readers pin
+    this once per probe — every file under a published version is
+    immutable, so a probe can never observe a half-rewritten cell."""
+    vdir = os.path.join(path, "vectors")
+    if os.path.exists(os.path.join(path, _STORE_MANIFEST)):
+        return os.path.join(vdir, f"v{_current_version(path)}")
+    return vdir
+
+
+def _publish_version(path: str, new_version: int, keep: int = 2) -> None:
+    """Atomically flip the manifest to ``new_version`` (tmp + rename),
+    then garbage-collect version dirs older than the newest ``keep``.
+    Keeping the previous version protects in-flight probes that pinned
+    it just before the flip — a reader would have to outlive TWO full
+    rewrites to ever see a vanished file."""
+    import json
+    import shutil
+
+    mpath = os.path.join(path, _STORE_MANIFEST)
+    tmp = f"{mpath}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(json.dumps({"current": new_version}))
+    os.replace(tmp, mpath)
+    vdir = os.path.join(path, "vectors")
+    for d in os.listdir(vdir):
+        if d.startswith("v") and d[1:].isdigit():
+            if int(d[1:]) <= new_version - keep:
+                shutil.rmtree(os.path.join(vdir, d), ignore_errors=True)
+
+
+def _upgrade_legacy_layout(path: str) -> None:
+    """One-time migration for stores written before versioning: move
+    the flat ``vectors/cell=*`` tree under ``vectors/v0`` and publish a
+    manifest. Called only under the writer lock."""
+    vdir = os.path.join(path, "vectors")
+    if os.path.exists(os.path.join(path, _STORE_MANIFEST)):
+        return
+    v0 = os.path.join(vdir, "v0")
+    os.makedirs(v0, exist_ok=True)
+    for d in os.listdir(vdir):
+        if d.startswith("cell="):
+            os.rename(os.path.join(vdir, d), os.path.join(v0, d))
+    _publish_version(path, 0)
+
+
+def _hardlink_cell(src_cell_dir: str, dst_cell_dir: str) -> None:
+    """Carry an untouched cell into the next version for free: hardlink
+    every data file (the local analog of a table format's manifest
+    reusing unchanged data files — no bytes copied, no bytes read)."""
+    os.makedirs(dst_cell_dir, exist_ok=True)
+    for f in os.listdir(src_cell_dir):
+        if f.endswith(".parquet"):
+            os.link(
+                os.path.join(src_cell_dir, f), os.path.join(dst_cell_dir, f)
+            )
 
 
 def _writer_lock(path: str):
@@ -96,13 +169,18 @@ def write_ivf_store(
     partitioned by cell. (Incremental growth instead uses
     :func:`train_ivf_router` once + :func:`append_ivf_store` per batch.)
     """
+    import shutil
+
     train_ivf_router(vectors, path, n_cells)
     ivf = vectors.select(
         "vec_id", "embedding", (F.col("vec_id") % n_cells).alias("cell")
     )
+    # fresh build = fresh version history
+    shutil.rmtree(os.path.join(path, "vectors"), ignore_errors=True)
     ivf.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, "vectors")
+        os.path.join(path, "vectors", "v0")
     )
+    _publish_version(path, 0)
 
 
 def append_ivf_store(
@@ -150,8 +228,10 @@ def _append_unlocked(
         ivf = ivf.select(
             *[F.col(f.name).cast(f.dataType) for f in stored.fields]
         )
+    # append INTO the current version: only adds files, so readers that
+    # pinned this version stay consistent (worst case: miss the batch)
     ivf.repartition("cell").write.mode("append").partitionBy("cell").parquet(
-        os.path.join(path, "vectors")
+        current_vectors_dir(path)
     )
 
 
@@ -232,9 +312,19 @@ def purge_ivf_tombstones(
     spark: SparkSession, path: str, n_cells: int
 ) -> list[int]:
     """Physical delete: rewrite ONLY the cells that contain tombstoned
-    ids (cell = the store's frozen routing of the id), dropping those
-    rows, then clear the tombstone table. Scan cost ~ the affected
-    cells, never the store. Returns the rewritten cell ids.
+    ids (cell = the store's frozen routing of the id) into a NEW store
+    version, dropping those rows, then clear the tombstone table. Scan
+    cost ~ the affected cells, never the store. Returns the rewritten
+    cell ids.
+
+    Versioned rewrite (the table-format pattern): affected cells'
+    survivors are written under ``vectors/v{K+1}``, every untouched
+    cell's files are HARDLINKED across (no bytes read or copied), and
+    the manifest flips atomically — a concurrent probe either pinned
+    v{K} (still fully intact; the previous version is retained) or pins
+    v{K+1}. Fully-tombstoned cells simply have no directory in the new
+    version — the resurrection hazard of an in-place dynamic overwrite
+    cannot exist here.
 
     Locked (rewrite + tombstone clear must exclude appends/deletes)."""
     with _writer_lock(path):
@@ -252,33 +342,28 @@ def _purge_unlocked(
     ids = [r.vec_id for r in tomb.collect()]
     if not ids:
         return []
+    _upgrade_legacy_layout(path)
     cells = sorted({int(v) % n_cells for v in ids})
     from pyspark.sql.types import StructType
 
     with open(os.path.join(path, "schema.json")) as f:
         schema = StructType.fromJson(__import__("json").loads(f.read()))
-    vdir = os.path.join(path, "vectors")
-    vecs = spark.read.schema(schema).parquet(vdir)
+    k = _current_version(path)
+    src = os.path.join(path, "vectors", f"v{k}")
+    dst = os.path.join(path, "vectors", f"v{k + 1}")
+    shutil.rmtree(dst, ignore_errors=True)  # crashed prior attempt
+    vecs = spark.read.schema(schema).parquet(src)
     survivors = (
         vecs.filter(F.col("cell").isin(cells))  # partition-pruned scan
         .filter(~F.col("vec_id").isin([int(v) for v in ids]))
     )
-    # Dynamic partition overwrite only replaces partitions PRESENT in
-    # the output: a cell whose every row is tombstoned produces no
-    # output partition and its old files would survive the purge,
-    # resurrecting the "deleted" rows once the tombstone table is
-    # cleared below. Record which cells still have survivors, then
-    # drop the directories of the fully-emptied ones by hand.
-    live = {
-        int(r.cell)
-        for r in survivors.groupBy("cell").count().select("cell").collect()
-    }
-    survivors.repartition("cell").write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("cell").parquet(vdir)
-    for cell in cells:
-        if cell not in live:
-            shutil.rmtree(os.path.join(vdir, f"cell={cell}"), ignore_errors=True)
+    survivors.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(dst)
+    for d in os.listdir(src):
+        if d.startswith("cell=") and int(d.split("=")[1]) not in cells:
+            _hardlink_cell(os.path.join(src, d), os.path.join(dst, d))
+    _publish_version(path, k + 1)
     shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
     return cells
 
@@ -290,11 +375,12 @@ def compact_ivf_cells(
 ) -> dict:
     """Fold the small files incremental appends accumulate, ONLY in the
     cells that need it: per-cell file counts come from the directory
-    listing (no data read), and each offending cell is rewritten by a
-    scan of that cell alone via dynamic partition overwrite — untouched
-    cells' files are not read, not rewritten, and stay live for
-    concurrent probes. Returns {cell: n_files_before} for the rewritten
-    cells. Scan cost ~ size of the compacted cells, never the store.
+    listing (no data read), each offending cell is rewritten by a scan
+    of that cell alone into the NEXT store version, and every other
+    cell's files hardlink across untouched (same versioned-rewrite
+    shape as the purge — concurrent probes keep their pinned version).
+    Returns {cell: n_files_before} for the rewritten cells. Scan cost ~
+    size of the compacted cells, never the store.
 
     Locked: the rewrite must not race an append into a compacting cell
     (the append's files would be replaced by a scan that never saw
@@ -306,12 +392,16 @@ def compact_ivf_cells(
 def _compact_unlocked(
     spark: SparkSession, path: str, max_files_per_cell: int
 ) -> dict:
-    vdir = os.path.join(path, "vectors")
+    import shutil
+
+    _upgrade_legacy_layout(path)
+    k = _current_version(path)
+    src = os.path.join(path, "vectors", f"v{k}")
     counts = {
         int(d.split("=")[1]): sum(
-            1 for f in os.listdir(os.path.join(vdir, d)) if f.endswith(".parquet")
+            1 for f in os.listdir(os.path.join(src, d)) if f.endswith(".parquet")
         )
-        for d in os.listdir(vdir)
+        for d in os.listdir(src)
         if d.startswith("cell=")
     }
     fat = {c: n for c, n in counts.items() if n > max_files_per_cell}
@@ -321,15 +411,20 @@ def _compact_unlocked(
 
     with open(os.path.join(path, "schema.json")) as f:
         schema = StructType.fromJson(__import__("json").loads(f.read()))
-    vecs = spark.read.schema(schema).parquet(vdir)
+    dst = os.path.join(path, "vectors", f"v{k + 1}")
+    shutil.rmtree(dst, ignore_errors=True)  # crashed prior attempt
+    vecs = spark.read.schema(schema).parquet(src)
     (
         vecs.filter(F.col("cell").isin(list(fat)))  # partition-pruned scan
         .repartition("cell")  # one file per rewritten cell
         .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")  # only listed cells
         .partitionBy("cell")
-        .parquet(vdir)
+        .parquet(dst)
     )
+    for d in os.listdir(src):
+        if d.startswith("cell=") and int(d.split("=")[1]) not in fat:
+            _hardlink_cell(os.path.join(src, d), os.path.join(dst, d))
+    _publish_version(path, k + 1)
     return fat
 
 
@@ -373,7 +468,9 @@ def probe_ivf_store(
             f"{routed[0].dim}"
         )
     cells = [r.cell for r in routed]
-    vecs = spark.read.schema(schema).parquet(os.path.join(path, "vectors"))
+    # pin ONE published version for the whole probe: its files are
+    # immutable and retained through at least the next rewrite
+    vecs = spark.read.schema(schema).parquet(current_vectors_dir(path))
     if exclude_vec_id is not None:
         vecs = vecs.filter(F.col("vec_id") != exclude_vec_id)
     tomb = _tombstones(spark, path)
@@ -427,7 +524,7 @@ def probe_ivf_range(
             f"{routed[0].dim}"
         )
     cells = [r.cell for r in routed]
-    vecs = spark.read.schema(schema).parquet(os.path.join(path, "vectors"))
+    vecs = spark.read.schema(schema).parquet(current_vectors_dir(path))
     if exclude_vec_id is not None:
         vecs = vecs.filter(F.col("vec_id") != exclude_vec_id)
     tomb = _tombstones(spark, path)

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from articulation_vector_db_api_spark.functions.vector import cosine
 from articulation_vector_db_api_spark.operators.vector_store import (
+    current_vectors_dir,
     probe_ivf_store,
     write_ivf_store,
 )
@@ -42,7 +43,7 @@ def test_ivf_store_probe_is_partition_pruned(spark, tmp_path):
     assert len(probed) <= NPROBE
 
     # corrupt every non-probed partition on disk
-    vdir = os.path.join(store, "vectors")
+    vdir = current_vectors_dir(store)
     corrupted = 0
     for d in os.listdir(vdir):
         if not d.startswith("cell="):
@@ -122,10 +123,9 @@ def test_incremental_append_then_probe_and_compact(spark, tmp_path):
     assert got == want and len(got) == 10
 
     # the append left >1 file in the probed cells; compaction folds them
-    vdir = os.path.join(grown, "vectors")
-
+    # (resolve the version dir per call — compaction publishes a NEW one)
     def files_in(cell: int) -> int:
-        d = os.path.join(vdir, f"cell={cell}")
+        d = os.path.join(current_vectors_dir(grown), f"cell={cell}")
         return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
 
     probed = {int(r[1]) for r in got}
@@ -228,7 +228,7 @@ def test_delete_tombstone_then_purge(spark, tmp_path):
     ]
     assert purged == after
     # deleted rows are physically gone from the data files
-    vdir = os.path.join(store, "vectors")
+    vdir = current_vectors_dir(store)
     remaining = spark.read.parquet(vdir).filter(
         F.col("vec_id").isin(victims)
     ).count()
@@ -267,7 +267,7 @@ def test_upsert_replaces_vectors_last_write_wins(spark, tmp_path):
     )
     upsert_ivf_store(spark, repl, store, N_CELLS)
 
-    vecs = spark.read.parquet(os.path.join(store, "vectors"))
+    vecs = spark.read.parquet(current_vectors_dir(store))
     assert vecs.count() == total  # replaced, not duplicated
     after = [
         tuple(r) for r in probe_ivf_store(spark, store, qvec, nprobe=NPROBE, k=10).collect()
@@ -307,9 +307,9 @@ def test_purge_drops_fully_tombstoned_cell(spark, tmp_path):
     assert cells == [victim_cell]
     # the cell directory itself is gone — not just logically hidden
     assert not os.path.exists(
-        os.path.join(store, "vectors", f"cell={victim_cell}")
+        os.path.join(current_vectors_dir(store), f"cell={victim_cell}")
     )
-    vecs = spark.read.parquet(os.path.join(store, "vectors"))
+    vecs = spark.read.parquet(current_vectors_dir(store))
     assert vecs.filter(F.col("vec_id").isin(victims)).count() == 0
     assert vecs.count() == e.count() - len(victims)
 
@@ -340,7 +340,7 @@ def test_upsert_collapses_intra_batch_duplicates(spark, tmp_path):
     ).coalesce(1)
     upsert_ivf_store(spark, dup, store, N_CELLS)
 
-    vecs = spark.read.parquet(os.path.join(store, "vectors"))
+    vecs = spark.read.parquet(current_vectors_dir(store))
     assert vecs.count() == total  # one row survived, not two
     assert vecs.filter(F.col("vec_id") == target).count() == 1
     after = [
@@ -400,7 +400,7 @@ def test_concurrent_upserts_serialize_no_duplicates(spark, tmp_path):
         schema = StructType.fromJson(__import__("json").loads(f.read()))
     rows = (
         spark.read.schema(schema)
-        .parquet(os.path.join(store, "vectors"))
+        .parquet(current_vectors_dir(store))
         .groupBy("vec_id")
         .count()
         .collect()
@@ -429,3 +429,70 @@ def test_probe_rejects_wrong_dimension(spark, tmp_path):
         probe_ivf_store(spark, store, [1.0, 2.0, 3.0], nprobe=2, k=5)
     with _pytest.raises(ValueError, match="dims"):
         probe_ivf_range(spark, store, [1.0] * 999, nprobe=2, min_score=0.5)
+
+
+def test_reader_pinned_before_purge_survives_rewrite(spark, tmp_path):
+    """The versioned rewrite's whole point: a probe that pinned version
+    K keeps working — and returns K's consistent snapshot — even after
+    a purge publishes K+1 and a compaction publishes K+2 (the previous
+    version is retained; only K-2 and older are garbage-collected)."""
+    from articulation_vector_db_api_spark.operators.vector_store import (
+        _current_version,
+        compact_ivf_cells,
+        delete_from_ivf_store,
+        purge_ivf_tombstones,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    store = str(tmp_path / "ivf_mvcc")
+    write_ivf_store(e.filter(F.col("vec_id") < 64), store, N_CELLS)
+    assert _current_version(store) == 0
+
+    # reader pins v0 (plan built now; not yet executed)
+    pinned = spark.read.parquet(current_vectors_dir(store))
+
+    victim = 9
+    delete_from_ivf_store(spark, store, [victim])
+    purged = purge_ivf_tombstones(spark, store, N_CELLS)
+    assert purged == [victim % N_CELLS]
+    assert _current_version(store) == 1
+
+    # the pinned v0 reader still executes fine and still SEES the
+    # deleted row — a consistent historical snapshot, not an error
+    old_ids = {int(r.vec_id) for r in pinned.select("vec_id").collect()}
+    assert victim in old_ids and len(old_ids) == 64
+
+    # the current version does not
+    now_ids = {
+        int(r.vec_id)
+        for r in spark.read.parquet(current_vectors_dir(store))
+        .select("vec_id")
+        .collect()
+    }
+    assert victim not in now_ids and len(now_ids) == 63
+
+    # hardlinked carry-over: untouched cells share inodes across versions
+    v0 = os.path.join(store, "vectors", "v0")
+    v1 = os.path.join(store, "vectors", "v1")
+    untouched = f"cell={(victim % N_CELLS) + 1}"
+    inodes = lambda d: {  # noqa: E731
+        os.stat(os.path.join(d, f)).st_ino
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    }
+    assert inodes(os.path.join(v0, untouched)) == inodes(
+        os.path.join(v1, untouched)
+    )
+
+    # one more rewrite: v0 is garbage-collected (keep = 2), v1 retained
+    spark.createDataFrame(
+        [(200 + i, [0.5] * 64) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    ).write.mode("append").parquet(v1 + "/cell=0")  # fake extra files
+    compact_ivf_cells(spark, store, max_files_per_cell=1)
+    assert _current_version(store) == 2
+    versions = {
+        d for d in os.listdir(os.path.join(store, "vectors"))
+        if d.startswith("v")
+    }
+    assert versions == {"v1", "v2"}

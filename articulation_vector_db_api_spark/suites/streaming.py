@@ -625,8 +625,14 @@ def stream_curation_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation gate as a STREAM: documents arrive (delivered twice
     here — the stream unioned with itself — to model at-least-once
     sources), pass the heuristic quality filter, and exactly-once
-    admission dedups on the normalized-text digest in keyed state;
-    per-source admitted counts equal the single-delivery batch truth.
+    admission dedups on (digest, source) in keyed state; per-source
+    admitted counts equal the single-delivery batch truth. The dedup
+    key is SOURCE-SCOPED deliberately: a digest-only key would
+    attribute a text duplicated ACROSS sources to whichever replica
+    arrived first — order-dependent, so per-source counts would flicker
+    with batch boundaries (observed at sf0.1, where cross-source
+    duplicate digests exist); cross-source dedup is the batch dedup_*
+    family's job, with a deterministic survivor rule.
 
     Scale shape: state is one digest per unique document, bounded in
     production by dropDuplicatesWithinWatermark; the quality filter
@@ -657,7 +663,7 @@ def curation_admission_transform(docs: DataFrame) -> DataFrame:
         .filter(F.col("n_tokens") >= 10)
     )
     return (
-        quality.dropDuplicates(["dg"])
+        quality.dropDuplicates(["dg", "source"])
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_admitted"),

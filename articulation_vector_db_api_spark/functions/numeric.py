@@ -30,7 +30,15 @@ def davg(col: Column) -> Column:
 
 
 def dsum_sql(expr: str) -> str:
-    return f"CAST(sum(CAST(({expr}) AS {_DEC_SQL})) AS DOUBLE)"
+    # decimal → VARCHAR → DOUBLE, not a direct decimal→double cast:
+    # DuckDB's direct cast computes the double inexactly (off by 1 ulp
+    # at billion-scale sums, e.g. 7556118302.97 → …969999), while its
+    # string parse — like Spark's BigDecimal.doubleValue — is correctly
+    # rounded. The exact decimal stringifies identically on both
+    # engines, so this pins both sides to the same IEEE value.
+    return (
+        f"CAST(CAST(sum(CAST(({expr}) AS {_DEC_SQL})) AS VARCHAR) AS DOUBLE)"
+    )
 
 
 def davg_sql(expr: str) -> str:

@@ -3176,7 +3176,8 @@ def join_bucketed_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(grouping(o_orderstatus) AS INT) AS g_status,
            CAST(grouping(o_orderpriority) AS INT) AS g_priority,
            CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR)
+                AS DOUBLE) AS revenue
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                             (o_orderstatus), (o_orderpriority), ())
@@ -3220,19 +3221,19 @@ def agg_grouping_id_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT)
                AS urgent_n,
-           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(30,8)))
-                    FILTER (o_orderpriority = '1-URGENT'), 0) AS DOUBLE)
-               AS urgent_rev,
+           CAST(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(30,8)))
+                    FILTER (o_orderpriority = '1-URGENT'), 0) AS VARCHAR)
+                AS DOUBLE) AS urgent_rev,
            CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT)
                AS high_n,
-           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(30,8)))
-                    FILTER (o_orderpriority = '2-HIGH'), 0) AS DOUBLE)
-               AS high_rev,
+           CAST(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(30,8)))
+                    FILTER (o_orderpriority = '2-HIGH'), 0) AS VARCHAR)
+                AS DOUBLE) AS high_rev,
            CAST(count(*) FILTER (o_orderpriority NOT IN
                     ('1-URGENT', '2-HIGH')) AS BIGINT) AS other_n,
-           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(30,8)))
+           CAST(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(30,8)))
                     FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH')),
-                    0) AS DOUBLE) AS other_rev
+                    0) AS VARCHAR) AS DOUBLE) AS other_rev
     FROM orders
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus

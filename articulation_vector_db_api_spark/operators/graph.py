@@ -31,10 +31,19 @@ def connected_components(
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
-    labels = nodes.select(F.col("node"), F.col("node").alias("component")).cache()
-    cached = labels  # the exact frame holding this round's cache
+    # localCheckpoint (eager), NOT cache(): each round's plan references
+    # the previous round's frame TWICE (incoming + update join), so with
+    # lazy caching the logical plan TEXT doubles per round — by ~iter 15
+    # just rendering the plan for the next cache OOMs the driver
+    # (observed at sf0.1). Checkpointing truncates the lineage to the
+    # materialized partitions, keeping every round's plan constant-size;
+    # same fix the star variant uses, same production caveat (executor
+    # loss needs the stage recomputed from the checkpoint).
+    labels = nodes.select(
+        F.col("node"), F.col("node").alias("component")
+    ).localCheckpoint()
     for _ in range(max_iters):
         # candidate labels arriving over edges
         incoming = (
@@ -57,15 +66,12 @@ def connected_components(
                     < F.col("component")
                 ).alias("chg"),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = joined.agg(F.max(F.col("chg").cast("int"))).first()[0]
-        cached.unpersist()
-        cached = joined
         labels = joined.select("node", "component")
         if not changed:
             break
-    sym.unpersist()
     return labels
 
 

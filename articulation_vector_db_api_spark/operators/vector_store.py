@@ -168,6 +168,11 @@ def write_ivf_store(
     """Batch build: train the router on ``vectors`` and write them all,
     partitioned by cell. (Incremental growth instead uses
     :func:`train_ivf_router` once + :func:`append_ivf_store` per batch.)
+
+    Locked like every other mutator. Rebuilding an existing LIVE store
+    in place still drops its version history (readers pinned to an old
+    version lose their files) — production rebuilds into a fresh path
+    and repoints; this operator is the initial-build/testing form.
     """
     import shutil
 
@@ -175,12 +180,13 @@ def write_ivf_store(
     ivf = vectors.select(
         "vec_id", "embedding", (F.col("vec_id") % n_cells).alias("cell")
     )
-    # fresh build = fresh version history
-    shutil.rmtree(os.path.join(path, "vectors"), ignore_errors=True)
-    ivf.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, "vectors", "v0")
-    )
-    _publish_version(path, 0)
+    with _writer_lock(path):
+        # fresh build = fresh version history
+        shutil.rmtree(os.path.join(path, "vectors"), ignore_errors=True)
+        ivf.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(os.path.join(path, "vectors", "v0"))
+        _publish_version(path, 0)
 
 
 def append_ivf_store(

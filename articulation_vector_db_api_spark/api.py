@@ -104,7 +104,8 @@ class EngineAPI:
     # third verb that index supports but the reference never surfaces) --
 
     def vectors_upsert(
-        self, store_path: str, vectors: list[dict], n_cells: int = 8
+        self, store_path: str, vectors: list[dict],
+        n_cells: int | None = None,
     ) -> dict:
         """POST /vectors/upsert: last-write-wins keyed upsert into the
         stored IVF index (O6 semantics against the engine's own store
@@ -129,7 +130,7 @@ class EngineAPI:
 
     def vectors_delete(
         self, store_path: str, ids: list[int], purge: bool = False,
-        n_cells: int = 8,
+        n_cells: int | None = None,
     ) -> dict:
         """POST /vectors/delete: logical tombstone delete; ``purge``
         additionally rewrites the affected cells now."""

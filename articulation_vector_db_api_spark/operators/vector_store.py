@@ -107,6 +107,35 @@ def _hardlink_cell(src_cell_dir: str, dst_cell_dir: str) -> None:
             )
 
 
+def _resolve_n_cells(path: str, n_cells: int | None) -> int:
+    """The cell count is a STORE property, not a per-call parameter:
+    tombstone routing computes cell = id % n_cells, so a caller passing
+    a different modulus than the one the store was built with would
+    purge the WRONG cells — the tombstoned ids' real cells stay
+    untouched, the tombstone table is then cleared, and the 'deleted'
+    rows silently resurrect. The value is pinned in store_meta.json at
+    router-training time; an explicit argument must match it (legacy
+    stores without the file trust the caller)."""
+    import json
+
+    meta_path = os.path.join(path, "store_meta.json")
+    stored = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            stored = int(json.load(f)["n_cells"])
+    if stored is None:
+        if n_cells is None:
+            raise ValueError(f"store at {path} has no store_meta.json; "
+                             "pass n_cells explicitly")
+        return n_cells
+    if n_cells is not None and n_cells != stored:
+        raise ValueError(
+            f"n_cells={n_cells} does not match the store's pinned "
+            f"n_cells={stored} ({meta_path})"
+        )
+    return stored
+
+
 def _writer_lock(path: str):
     """Single-writer critical section for the store's MUTATORS (upsert /
     delete / purge / compact / append). Probes never take it — readers
@@ -141,6 +170,9 @@ def train_ivf_router(
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "schema.json"), "w") as f:
         f.write(ivf.schema.json())
+    # pin the quantizer's modulus as a store property (_resolve_n_cells)
+    with open(os.path.join(path, "store_meta.json"), "w") as f:
+        f.write(__import__("json").dumps({"n_cells": int(n_cells)}))
     flat = ivf.select("cell", F.posexplode("embedding")).select(
         "cell", F.col("pos").alias("idx"), F.col("col").cast("double").alias("v")
     )
@@ -190,7 +222,7 @@ def write_ivf_store(
 
 
 def append_ivf_store(
-    new_vectors: DataFrame, path: str, n_cells: int
+    new_vectors: DataFrame, path: str, n_cells: int | None = None
 ) -> None:
     """Incremental index maintenance: route a NEW batch into the
     existing cell layout and append — cost scales with the batch, not
@@ -215,6 +247,7 @@ def append_ivf_store(
     Takes the store writer lock: an append racing a purge/compact
     rewrite of the same cell would otherwise vanish (the rewrite's scan
     predates it; its partition overwrite then replaces the directory)."""
+    n_cells = _resolve_n_cells(path, n_cells)
     with _writer_lock(path):
         _append_unlocked(new_vectors, path, n_cells)
 
@@ -277,7 +310,8 @@ def _tombstones(spark: SparkSession, path: str) -> DataFrame | None:
 
 
 def upsert_ivf_store(
-    spark: SparkSession, new_vectors: DataFrame, path: str, n_cells: int
+    spark: SparkSession, new_vectors: DataFrame, path: str,
+    n_cells: int | None = None,
 ) -> None:
     """Keyed upsert (the reference's last-write-wins id semantics,
     main.py:163,172, in the stored index): tombstone the incoming ids,
@@ -308,6 +342,7 @@ def upsert_ivf_store(
     ids = [int(r.vec_id) for r in new_vectors.select("vec_id").collect()]
     if not ids:
         return
+    n_cells = _resolve_n_cells(path, n_cells)
     with _writer_lock(path):
         _delete_unlocked(spark, path, ids)
         _purge_unlocked(spark, path, n_cells)
@@ -315,7 +350,7 @@ def upsert_ivf_store(
 
 
 def purge_ivf_tombstones(
-    spark: SparkSession, path: str, n_cells: int
+    spark: SparkSession, path: str, n_cells: int | None = None
 ) -> list[int]:
     """Physical delete: rewrite ONLY the cells that contain tombstoned
     ids (cell = the store's frozen routing of the id) into a NEW store
@@ -333,6 +368,7 @@ def purge_ivf_tombstones(
     cannot exist here.
 
     Locked (rewrite + tombstone clear must exclude appends/deletes)."""
+    n_cells = _resolve_n_cells(path, n_cells)
     with _writer_lock(path):
         return _purge_unlocked(spark, path, n_cells)
 

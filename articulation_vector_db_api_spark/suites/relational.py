@@ -3269,14 +3269,18 @@ def pivot_priority_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev"),
         )
     )
+    # pivot emits NULL (not 0) for a (status, priority) combination with
+    # NO rows — the in-agg coalesce can't fill those, so zero-fill here
+    # to match the oracle's FILTER semantics on sparser data
+    z = lambda c, t: F.coalesce(F.col(c), F.lit(0).cast(t))  # noqa: E731
     return pivoted.select(
         "o_orderstatus",
-        F.col("`1-URGENT_n`").alias("urgent_n"),
-        F.col("`1-URGENT_rev`").alias("urgent_rev"),
-        F.col("`2-HIGH_n`").alias("high_n"),
-        F.col("`2-HIGH_rev`").alias("high_rev"),
-        F.col("OTHER_n").alias("other_n"),
-        F.col("OTHER_rev").alias("other_rev"),
+        z("`1-URGENT_n`", "long").alias("urgent_n"),
+        z("`1-URGENT_rev`", "double").alias("urgent_rev"),
+        z("`2-HIGH_n`", "long").alias("high_n"),
+        z("`2-HIGH_rev`", "double").alias("high_rev"),
+        z("OTHER_n", "long").alias("other_n"),
+        z("OTHER_rev", "double").alias("other_rev"),
     ).orderBy("o_orderstatus")
 
 

@@ -496,3 +496,34 @@ def test_reader_pinned_before_purge_survives_rewrite(spark, tmp_path):
         if d.startswith("v")
     }
     assert versions == {"v1", "v2"}
+
+
+def test_mismatched_n_cells_rejected_not_resurrecting(spark, tmp_path):
+    """The review-found resurrection path: purging with a different
+    modulus than the store's would rewrite the WRONG cells and then
+    clear the tombstones, silently resurrecting the 'deleted' rows.
+    n_cells is now pinned in store_meta.json — a mismatched explicit
+    value raises, an omitted one resolves to the pinned value."""
+    import pytest as _pytest
+
+    from articulation_vector_db_api_spark.operators.vector_store import (
+        delete_from_ivf_store,
+        purge_ivf_tombstones,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    store = str(tmp_path / "ivf_pinned")
+    write_ivf_store(e.filter(F.col("vec_id") < 32), store, 16)
+
+    delete_from_ivf_store(spark, store, [9])
+    with _pytest.raises(ValueError, match="pinned"):
+        purge_ivf_tombstones(spark, store, 8)  # wrong modulus
+    # omitted → pinned value; the right cell is purged
+    assert purge_ivf_tombstones(spark, store) == [9 % 16]
+    ids = {
+        int(r.vec_id)
+        for r in spark.read.parquet(current_vectors_dir(store))
+        .select("vec_id")
+        .collect()
+    }
+    assert 9 not in ids and len(ids) == 31

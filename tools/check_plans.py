@@ -204,11 +204,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"Exchange hashpartitioning"],
     ),
     "ann_pq_adc_topk": (
-        # codebook broadcast; encode+ADC map-side; shortlist and final
-        # top-k are heap merges — no shuffle-by-vector anywhere
+        # codebook broadcast; encode+ADC map-side (LUT literal, no
+        # Python in the hot path); shortlist and final top-k are heap
+        # merges — no shuffle-by-vector anywhere
         [r"BroadcastNestedLoopJoin", r"TakeOrderedAndProject"],
         [r"CartesianProduct", r"SortMergeJoin", r"Generate",
-         r"Arguments: rangepartitioning"],
+         r"Arguments: rangepartitioning", r"BatchEvalPython",
+         r"ArrowEvalPython"],
     ),
     "dedup_semantic_clusters": (
         # k-means assignment via broadcast codebook (map-side argmin);
@@ -442,13 +444,6 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         # the edge set is never shuffled
         [r"BroadcastHashJoin"],
         [r"CartesianProduct"],
-    ),
-    "ann_pq_adc_topk": (
-        # ADC scan: codebook broadcast, LUT literal, shortlist + final
-        # top-k are heap merges; no Python in the hot path
-        [r"TakeOrderedAndProject"],
-        [r"CartesianProduct", r"Arguments: rangepartitioning",
-         r"BatchEvalPython", r"ArrowEvalPython"],
     ),
     "curation_gopher_rules": (
         # dominance rule: partial counts map-side, join back on doc_id;

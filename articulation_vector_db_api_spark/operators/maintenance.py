@@ -51,63 +51,54 @@ def _manifest_path(table_path: str) -> str:
 def _manifest_lock(
     table_path: str,
     timeout: float = 30.0,
-    stale_after: float = 120.0,
     lock_name: str = _LOCK,
 ):
-    """Exclusive manifest lock via ``O_CREAT|O_EXCL`` — the one
-    primitive local/NFS filesystems give us that two processes cannot
-    both win. A holder that crashed is detected by lock age and its
-    lock is broken; ``timeout`` bounds the wait for a live holder.
+    """Exclusive writer lock via ``flock(LOCK_EX)`` on a permanent lock
+    file. The kernel releases a crashed holder's lock automatically, so
+    there is no staleness heuristic and therefore no stale-break race —
+    the O_EXCL + age-break predecessor had a window (rename-aside of a
+    lock a fresh holder had just re-created) where two writers could
+    enter the critical section. ``timeout`` bounds the wait for a live
+    holder.
 
-    Breaking is rename-aside, not unlink: rename is atomic and the
-    source vanishes for every other would-be breaker, so exactly one
-    breaker wins a given stale lock. The winner then re-stats what it
-    renamed — if the inode is NOT the one it judged stale (the crashed
-    holder released and a fresh holder re-acquired in between), the
-    fresh lock is restored via ``link`` (which, unlike rename, refuses
-    to clobber a concurrently created lock). Holds must stay well under
-    ``stale_after``: a live holder that exceeds it looks crashed.
+    The lock FILE is never unlinked: with flock, mutual exclusion lives
+    on the inode, and an unlink-on-release scheme lets a waiter that
+    already opened the old inode lock it while later arrivals lock a
+    new one — two holders again. A zero-byte ``.manifest.lock`` at the
+    table root is the (documented) cost.
 
     ``lock_name`` makes the primitive reusable for other single-writer
     critical sections (the IVF store's writer lock) without the two
-    lock domains contending on one file."""
+    lock domains contending on one file. Scope: local/POSIX
+    filesystems (the test deployment). Over NFS flock is emulated and
+    over object stores there are no files — a cluster deployment swaps
+    this for the storage layer's conditional-put/lease, behind the same
+    context-manager seam."""
+    import fcntl
+
+    os.makedirs(table_path, exist_ok=True)
     lock = os.path.join(table_path, lock_name)
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
     deadline = time.monotonic() + timeout
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
-            try:
-                st = os.stat(lock)
-            except OSError:  # holder released between open and stat
-                continue
-            if time.time() - st.st_mtime > stale_after:
-                aside = f"{lock}.break.{os.getpid()}.{time.monotonic_ns()}"
-                try:
-                    os.rename(lock, aside)  # single-winner claim
-                except OSError:  # another breaker (or the holder) won
-                    continue
-                try:
-                    stolen = os.stat(aside).st_ino != st.st_ino
-                except OSError:
-                    continue
-                if stolen:  # a FRESH holder's lock — put it back
-                    with contextlib.suppress(OSError):
-                        os.link(aside, lock)  # no-clobber restore
-                with contextlib.suppress(OSError):
-                    os.unlink(aside)
-                continue
-            if time.monotonic() > deadline:
-                raise TimeoutError(f"manifest lock held too long: {lock}")
-            time.sleep(0.05)
     try:
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"manifest lock held too long: {lock}"
+                    ) from None
+                time.sleep(0.05)
+        # owner breadcrumb for debugging; not part of the protocol
+        os.ftruncate(fd, 0)
         os.write(fd, str(os.getpid()).encode())
         yield
     finally:
-        os.close(fd)
         with contextlib.suppress(OSError):
-            os.unlink(lock)
+            fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 def read_manifest(table_path: str) -> dict:

@@ -143,9 +143,10 @@ def _writer_lock(path: str):
     an append racing a purge/compact rewrite of the same cell can lose
     the appended rows (the rewrite's scan predates them, its dynamic
     overwrite then replaces the partition), and two upserts interleaving
-    delete→purge→append can duplicate ids. Same O_EXCL + stale-break
-    primitive as the snapshot manifest, under its own lock file so store
-    writes and snapshot commits don't contend."""
+    delete→purge→append can duplicate ids. Same flock primitive as the
+    snapshot manifest (kernel-released on crash, no staleness
+    heuristic), under its own lock file so store writes and snapshot
+    commits don't contend."""
     return _manifest_lock(path, lock_name=_WRITER_LOCK)
 
 

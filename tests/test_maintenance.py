@@ -170,10 +170,20 @@ def test_truly_concurrent_writers_all_commit(spark, tmp_path):
     assert notes == {f"w{i}" for i in range(n)}
     for v in results:
         assert read_snapshot(spark, table, v).count() >= 10
-    # no leftover temp dirs or lock
+    # no leftover temp dirs; the lock FILE is permanent by design
+    # (flock excludes on the inode; unlink-on-release would reopen the
+    # two-holder race) but must be RELEASED — a non-blocking flock from
+    # this process must succeed immediately
     leftovers = [f for f in os.listdir(table) if f.startswith(".tmp-")]
     assert leftovers == []
-    assert not os.path.exists(os.path.join(table, ".manifest.lock"))
+    import fcntl
+
+    fd = os.open(os.path.join(table, ".manifest.lock"), os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)  # must not raise
+        fcntl.flock(fd, fcntl.LOCK_UN)
+    finally:
+        os.close(fd)
 
 
 def test_streaming_exactly_once_snapshot_ingest(spark, tmp_path):

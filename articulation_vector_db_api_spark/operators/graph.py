@@ -40,7 +40,12 @@ def connected_components(
     # (observed at sf0.1). Checkpointing truncates the lineage to the
     # materialized partitions, keeping every round's plan constant-size;
     # same fix the star variant uses, same production caveat (executor
-    # loss needs the stage recomputed from the checkpoint).
+    # loss needs the stage recomputed from the checkpoint). Each round
+    # rebinds `labels`/`joined`, dropping the only reference to the
+    # previous round's checkpoint blocks — the ContextCleaner frees
+    # them within a GC cycle; label frames are (node, component) pairs,
+    # orders of magnitude smaller than the edge set, so the transient
+    # overlap of a few rounds' blocks is not the memory ceiling.
     labels = nodes.select(
         F.col("node"), F.col("node").alias("component")
     ).localCheckpoint()

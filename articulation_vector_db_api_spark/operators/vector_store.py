@@ -83,7 +83,14 @@ def _publish_version(path: str, new_version: int, keep: int = 2) -> None:
 def _upgrade_legacy_layout(path: str) -> None:
     """One-time migration for stores written before versioning: move
     the flat ``vectors/cell=*`` tree under ``vectors/v0`` and publish a
-    manifest. Called only under the writer lock."""
+    manifest. Called only under the writer lock.
+
+    A probe that resolved the flat tree JUST before this runs can see a
+    half-moved directory — accepted: the migration triggers only on the
+    first purge/compact of a PRE-versioning store, exactly the
+    operations whose in-place rewrites could already break concurrent
+    legacy readers (that being the defect versioning fixes); every
+    store written since builds versioned and never enters this path."""
     vdir = os.path.join(path, "vectors")
     if os.path.exists(os.path.join(path, _STORE_MANIFEST)):
         return

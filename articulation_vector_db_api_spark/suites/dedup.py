@@ -1470,15 +1470,22 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     norm AS (
         SELECT doc_id, url,
+               -- rule order: port fold -> slash collapse PROTECTING the
+               -- scheme's '//' (RE2 has no lookbehind: '([^:])//+') ->
+               -- utm strip -> promote the first orphaned '&' to '?'
+               -- (anchored, so first-match DuckDB == replace-all Spark)
+               -- -> index-page '/?' fold
                regexp_replace(
                  regexp_replace(
                    regexp_replace(
                      regexp_replace(
-                       regexp_replace(lower(url), '#.*$', ''),
-                       '[?&]utm_[^&]*', '', 'g'),
-                     ':443/', '/'),
-                   '//+', '/', 'g'),
-                 '/\\?', '?') AS canon
+                       regexp_replace(
+                         regexp_replace(lower(url), '#.*$', ''),
+                         ':443/', '/', 'g'),
+                       '([^:])//+', '\\1/', 'g'),
+                     '[?&]utm_[^&]*', '', 'g'),
+                   '^([^?&]*)&', '\\1?'),
+                 '/\\?', '?', 'g') AS canon
         FROM u
     )
     SELECT canon,
@@ -1514,15 +1521,19 @@ def dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(
             F.regexp_replace(
                 F.regexp_replace(
-                    F.regexp_replace(F.lower(url), r"#.*$", ""),
-                    r"[?&]utm_[^&]*",
-                    "",
+                    F.regexp_replace(
+                        F.regexp_replace(F.lower(url), r"#.*$", ""),
+                        r":443/",
+                        "/",
+                    ),
+                    r"([^:])//+",  # protect the scheme's '//'
+                    "$1/",
                 ),
-                r":443/",
-                "/",
+                r"[?&]utm_[^&]*",
+                "",
             ),
-            r"//+",
-            "/",
+            r"^([^?&]*)&",  # first orphaned '&' becomes the '?'
+            "$1?",
         ),
         r"/\?",
         "?",

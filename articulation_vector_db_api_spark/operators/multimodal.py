@@ -61,11 +61,23 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     batching, schema, partitioning) is production-shaped either way."""
     b = bytes(payload)
     if b[:2] == b"BM" and len(b) >= 26:
-        # BITMAPINFOHEADER: int32 LE width @18, height @22 (may be
-        # negative for top-down rows — dimension is the magnitude)
-        width = int.from_bytes(b[18:22], "little", signed=True)
-        height = int.from_bytes(b[22:26], "little", signed=True)
-        return abs(width), abs(height)
+        # dispatch on the DIB header size @14: BITMAPCOREHEADER (12)
+        # stores uint16 width@18 height@20; INFO and its V2-V5
+        # extensions (40/52/56/108/124) store int32 width@18 height@22
+        # (negative height = top-down rows; dimension is the magnitude).
+        # Guessing int32 on a core-header file would fuse width|height
+        # into one garbage number — decode only what the header declares
+        dib = int.from_bytes(b[14:18], "little")
+        if dib == 12:
+            return (
+                int.from_bytes(b[18:20], "little"),
+                int.from_bytes(b[20:22], "little"),
+            )
+        if dib in (40, 52, 56, 108, 124):
+            width = int.from_bytes(b[18:22], "little", signed=True)
+            height = int.from_bytes(b[22:26], "little", signed=True)
+            return abs(width), abs(height)
+        raise ValueError(f"unknown BMP DIB header size {dib}")
     if b[:2] in (b"P5", b"P6"):
         # netpbm: magic, then whitespace-separated width height maxval,
         # with '#' comment lines allowed between tokens

@@ -57,3 +57,22 @@ def test_extract_features_real_decode_with_fault_isolation(spark):
     assert out[2].fake_width is None and out[2].fake_height is None
     # metadata stays populated even when decode fails
     assert out[2].n_bytes == len(rows[2][1])
+
+
+def test_decode_bmp_core_header_and_unknown_dib():
+    """BITMAPCOREHEADER (OS/2, 12-byte DIB) stores 16-bit dimensions —
+    reading it as BITMAPINFOHEADER would fuse width|height into garbage;
+    an unknown DIB size must raise (→ nulled row via fault isolation),
+    never return fused bytes as dimensions."""
+    import pytest
+
+    core = (
+        struct.pack("<2sIHHI", b"BM", 26 + 30, 0, 0, 26)
+        + struct.pack("<IHHHH", 12, 100, 50, 1, 24)
+        + b"\x00" * 30
+    )
+    assert decode_image(core) == (100, 50)
+    bogus = bytearray(_bmp(5, 4))
+    bogus[14:18] = struct.pack("<I", 9999)
+    with pytest.raises(ValueError, match="DIB"):
+        decode_image(bytes(bogus))

@@ -493,6 +493,26 @@ def probe_ivf_store(
     Spark turns into partition pruning at the scan — the probe's I/O is
     nprobe partitions regardless of corpus size.
     """
+    scored = _scored_candidates(spark, path, query_vec, nprobe, exclude_vec_id)
+    return (
+        scored.orderBy(F.desc("raw"), "vec_id")  # raw order: exact tie cut
+        .limit(k)
+        .select("vec_id", "cell", F.round("raw", 6).alias("score"))
+    )
+
+
+def _scored_candidates(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    nprobe: int,
+    exclude_vec_id: int | None,
+) -> DataFrame:
+    """Shared probe prologue for top-k and range search: route against
+    the centroid table, validate the query dimension, pin ONE published
+    store version (immutable files, retained through the next rewrite),
+    apply the tombstone anti-join, and score the probed cells —
+    returning (vec_id, cell, raw)."""
     from pyspark.sql.types import StructType
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -518,8 +538,6 @@ def probe_ivf_store(
             f"{routed[0].dim}"
         )
     cells = [r.cell for r in routed]
-    # pin ONE published version for the whole probe: its files are
-    # immutable and retained through at least the next rewrite
     vecs = spark.read.schema(schema).parquet(current_vectors_dir(path))
     if exclude_vec_id is not None:
         vecs = vecs.filter(F.col("vec_id") != exclude_vec_id)
@@ -527,14 +545,8 @@ def probe_ivf_store(
     if tomb is not None:
         # logical deletes: tiny tombstone set, broadcast anti-join
         vecs = vecs.join(F.broadcast(tomb), "vec_id", "left_anti")
-    return (
-        vecs.filter(F.col("cell").isin(cells))
-        .select(
-            "vec_id", "cell", cosine(F.col("embedding"), q).alias("raw")
-        )
-        .orderBy(F.desc("raw"), "vec_id")  # raw order: ties cut exactly
-        .limit(k)
-        .select("vec_id", "cell", F.round("raw", 6).alias("score"))
+    return vecs.filter(F.col("cell").isin(cells)).select(
+        "vec_id", "cell", cosine(F.col("embedding"), q).alias("raw")
     )
 
 
@@ -552,38 +564,9 @@ def probe_ivf_range(
     result-size bound, so no heap: a scored filter over nprobe cells.
     (Recall is bounded by routing exactly as for top-k probes; raising
     nprobe trades I/O for radius coverage.)"""
-    from pyspark.sql.types import StructType
-
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    with open(os.path.join(path, "schema.json")) as f:
-        schema = StructType.fromJson(__import__("json").loads(f.read()))
-    cent = spark.read.parquet(os.path.join(path, "centroids"))
-    routed = (
-        cent.select(
-            "cell",
-            F.size("centroid").alias("dim"),
-            cosine(F.col("centroid"), q).alias("cs"),
-        )
-        .orderBy(F.desc("cs"), "cell")
-        .limit(nprobe)
-        .collect()
-    )
-    if routed and routed[0].dim != len(query_vec):  # see probe_ivf_store
-        raise ValueError(
-            f"query vector has {len(query_vec)} dims, store has "
-            f"{routed[0].dim}"
-        )
-    cells = [r.cell for r in routed]
-    vecs = spark.read.schema(schema).parquet(current_vectors_dir(path))
-    if exclude_vec_id is not None:
-        vecs = vecs.filter(F.col("vec_id") != exclude_vec_id)
-    tomb = _tombstones(spark, path)
-    if tomb is not None:
-        vecs = vecs.join(F.broadcast(tomb), "vec_id", "left_anti")
+    scored = _scored_candidates(spark, path, query_vec, nprobe, exclude_vec_id)
     return (
-        vecs.filter(F.col("cell").isin(cells))
-        .select("vec_id", "cell", cosine(F.col("embedding"), q).alias("raw"))
-        .filter(F.col("raw") >= min_score)
+        scored.filter(F.col("raw") >= min_score)
         .select("vec_id", "cell", F.round("raw", 6).alias("score"), "raw")
         .orderBy(F.desc("raw"), "vec_id")
         .drop("raw")

@@ -676,6 +676,83 @@ _PQ_SUBDIM = 8
 _PQ_CODES = 16    # codebook entries per subspace (vec_id 0..15 sub-vectors)
 _PQ_RERANK = 50   # ADC shortlist size re-ranked exactly
 
+def _pq_sq(a, b):
+    """0.0-seeded left-to-right squared-distance fold (oracle order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def _pq_sub(col, s):
+    return F.slice(col, s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+
+
+def _pq_query_lut(tiny) -> Column:
+    """ADC lookup table, computed ONCE on the driver (a 17-row read):
+    lut[s][code] = ||q_sub - c_sub||² with the same 0.0-seeded
+    left-to-right accumulation the oracle uses, so riding it into the
+    plan as a literal changes nothing bit-wise. Shared by the flat-PQ
+    and IVFPQ queries — the two must stay accumulation-identical for
+    their oracles."""
+    small = {
+        int(r.vec_id): [float(x) for x in r.v]
+        for r in tiny.filter(
+            (F.col("vec_id") < _PQ_CODES) | (F.col("vec_id") == QUERY_VEC_ID)
+        ).collect()
+    }
+    qv = small[QUERY_VEC_ID]
+    lut = []
+    for s in range(_PQ_SUBS):
+        row = []
+        for code in range(_PQ_CODES):
+            acc = 0.0
+            for i in range(_PQ_SUBDIM):
+                d = qv[s * _PQ_SUBDIM + i] - small[code][s * _PQ_SUBDIM + i]
+                acc = acc + d * d
+            row.append(acc)
+        lut.append(row)
+    return F.array(*[F.array(*[F.lit(d) for d in row]) for row in lut])
+
+
+def _pq_encode_columns() -> tuple[Column, Column, Column]:
+    """(best, codes, adc_d) expressions over columns v/cb/best/lut:
+    per-subspace argmin structs hoisted into ONE projected column
+    (codes and adc_d both read it, so each fold runs once per row),
+    then the code string and the LUT-gather distance accumulated in
+    subspace order like the oracle."""
+
+    def best_for(s: int):
+        def entry(cbe):
+            return F.struct(
+                _pq_sq(_pq_sub(F.col("v"), s), _pq_sub(cbe["c"], s)).alias(
+                    "d_enc"
+                ),
+                cbe["code"].alias("code"),
+            )
+
+        return F.array_min(F.transform("cb", entry))
+
+    best_col = F.array(*[best_for(s) for s in range(_PQ_SUBS)])
+    codes = F.concat_ws(
+        "-", F.transform("best", lambda b: b["code"].cast("string"))
+    )
+    adc_d = F.aggregate(
+        F.zip_with(
+            F.lit(list(range(_PQ_SUBS))),
+            F.col("best"),
+            lambda s, b: F.element_at(
+                F.element_at(F.col("lut"), (s + 1).cast("int")),
+                (b["code"] + 1).cast("int"),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    return best_col, codes, adc_d
+
+
 
 def _pq_sq_duckdb(a: str, b: str, dim: int) -> str:
     return (
@@ -778,71 +855,8 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_row = tiny.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("v").alias("q")
     )
-    # ADC lookup table, computed ONCE on the driver (a 17-row read):
-    # lut[s][code] = ||q_sub - c_sub||^2 with the same 0.0-seeded
-    # left-to-right accumulation the oracle uses, so riding it into
-    # the plan as a literal changes nothing bit-wise
-    small = {
-        int(r.vec_id): [float(x) for x in r.v]
-        for r in tiny.filter(F.col("vec_id") <= max(_PQ_CODES - 1, QUERY_VEC_ID))
-        .collect()
-        if int(r.vec_id) < _PQ_CODES or int(r.vec_id) == QUERY_VEC_ID
-    }
-    qv = small[QUERY_VEC_ID]
-    lut = []
-    for s in range(_PQ_SUBS):
-        row = []
-        for code in range(_PQ_CODES):
-            acc = 0.0
-            for i in range(_PQ_SUBDIM):
-                d = qv[s * _PQ_SUBDIM + i] - small[code][s * _PQ_SUBDIM + i]
-                acc = acc + d * d
-            row.append(acc)
-        lut.append(row)
-    lut_col = F.array(
-        *[F.array(*[F.lit(d) for d in row]) for row in lut]
-    )
-
-    def sq(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, d: acc + d,
-        )
-
-    def sub(col, s):
-        return F.slice(col, s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
-
-    def best_for(s: int):
-        def entry(cbe):
-            return F.struct(
-                sq(sub(F.col("v"), s), sub(cbe["c"], s)).alias("d_enc"),
-                cbe["code"].alias("code"),
-            )
-
-        return F.array_min(F.transform("cb", entry))
-
-    # hoist the per-subspace argmin structs into ONE projected column:
-    # codes and adc_d both read from it, so each 16-entry fold runs
-    # once per row instead of twice (CollapseProject keeps non-cheap
-    # aliases referenced twice in their own projection)
-    best_col = F.array(*[best_for(s) for s in range(_PQ_SUBS)])
-    codes = F.concat_ws(
-        "-", F.transform("best", lambda b: b["code"].cast("string"))
-    )
-    # adc_d = LUT gather, accumulated in subspace order like the oracle
-    adc_d = F.aggregate(
-        F.zip_with(
-            F.lit(list(range(_PQ_SUBS))),
-            F.col("best"),
-            lambda s, b: F.element_at(
-                F.element_at(F.col("lut"), (s + 1).cast("int")),
-                (b["code"] + 1).cast("int"),
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, d: acc + d,
-    )
+    lut_col = _pq_query_lut(tiny)
+    best_col, codes, adc_d = _pq_encode_columns()
     cand = (
         vec.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(cb_row))
@@ -858,7 +872,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "codes",
             F.round("adc_d", 6).alias("adc_dist"),
-            F.round(sq(F.col("v"), F.col("q")), 6).alias("exact_dist"),
+            F.round(_pq_sq(F.col("v"), F.col("q")), 6).alias("exact_dist"),
         )
         .orderBy("exact_dist", "vec_id")
         .limit(10)
@@ -1107,62 +1121,9 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("q")
     )
 
-    def sq(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, d: acc + d,
-        )
-
-    def sub(col, s):
-        return F.slice(col, s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
-
-    # query-node ADC lookup table, same shape as ann_pq_adc_topk: the
-    # per-row fold covers only the row-dependent encode distances
-    small = {
-        int(r.vec_id): [float(x) for x in r.v]
-        for r in tiny.filter(
-            (F.col("vec_id") < _PQ_CODES) | (F.col("vec_id") == QUERY_VEC_ID)
-        ).collect()
-    }
-    qv = small[QUERY_VEC_ID]
-    lut = []
-    for s in range(_PQ_SUBS):
-        row = []
-        for code in range(_PQ_CODES):
-            acc = 0.0
-            for i in range(_PQ_SUBDIM):
-                d = qv[s * _PQ_SUBDIM + i] - small[code][s * _PQ_SUBDIM + i]
-                acc = acc + d * d
-            row.append(acc)
-        lut.append(row)
-    lut_col = F.array(*[F.array(*[F.lit(d) for d in row]) for row in lut])
-
-    def best_for(s: int):
-        def entry(cbe):
-            return F.struct(
-                sq(sub(F.col("v"), s), sub(cbe["c"], s)).alias("d_enc"),
-                cbe["code"].alias("code"),
-            )
-
-        return F.array_min(F.transform("cb", entry))
-
-    best_col = F.array(*[best_for(s) for s in range(_PQ_SUBS)])
-    codes = F.concat_ws(
-        "-", F.transform("best", lambda b: b["code"].cast("string"))
-    )
-    adc_d = F.aggregate(
-        F.zip_with(
-            F.lit(list(range(_PQ_SUBS))),
-            F.col("best"),
-            lambda s, b: F.element_at(
-                F.element_at(F.col("lut"), (s + 1).cast("int")),
-                (b["code"] + 1).cast("int"),
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, d: acc + d,
-    )
+    # shared driver-side LUT + encode expressions (ann_pq_adc_topk)
+    lut_col = _pq_query_lut(tiny)
+    best_col, codes, adc_d = _pq_encode_columns()
     cand = (
         vec.join(F.broadcast(probed), "cell")
         .filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -1184,7 +1145,7 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell",
             "codes",
             F.round("adc_d", 6).alias("adc_dist"),
-            F.round(sq(F.col("v"), F.col("q")), 6).alias("exact_dist"),
+            F.round(_pq_sq(F.col("v"), F.col("q")), 6).alias("exact_dist"),
         )
         .orderBy("exact_dist", "vec_id")
         .limit(10)

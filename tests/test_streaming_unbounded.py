@@ -64,3 +64,74 @@ def test_unbounded_rate_source_tumbling_window(spark):
         lo = k * 300
         assert r.total_value == sum(range(lo, lo + 300))
         assert (r.window_end - r.window_start).total_seconds() == 300.0
+
+
+def test_watermark_append_multi_batch_matches_seal_rule(spark, tmp_path):
+    """stream_watermark_append's oracle (emission = windows sealed by
+    the final watermark) must hold under REAL multi-batch execution,
+    not just a single-drain: stage the events as four time-ordered
+    files, rate-limit to one file per micro-batch so the watermark
+    advances batch to batch, and the accumulated append output must
+    still equal the seal-rule set."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from articulation_vector_db_api_spark.sources.readers import (
+        SCHEMAS,
+        load_table,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    rows = ev.orderBy("ts", "event_id").collect()
+    n = len(rows)
+    stage = str(tmp_path / "staged_events")
+    for i in range(4):
+        chunk = rows[i * n // 4 : (i + 1) * n // 4]
+        spark.createDataFrame(chunk, SCHEMAS["events"]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{stage}/part{i}")
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/part*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_multibatch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = q.lastProgress["batchId"] if q.lastProgress else 0
+    assert batches >= 3  # rate limit really split the run
+
+    got = {
+        (r.window_start, r.n_events)
+        for r in spark.table("wm_multibatch").collect()
+    }
+    # seal rule computed directly from the raw rows
+    horizon = max(r.ts for r in rows) - __import__("datetime").timedelta(
+        minutes=10
+    )
+    counts = {}
+    for r in rows:
+        ws = r.ts.replace(
+            minute=(r.ts.minute // 5) * 5, second=0, microsecond=0
+        )
+        counts[ws] = counts.get(ws, 0) + 1
+    want = {
+        (ws, c)
+        for ws, c in counts.items()
+        if ws + __import__("datetime").timedelta(minutes=5) <= horizon
+    }
+    assert got == want
+    assert math.isfinite(len(got)) and len(got) > 0

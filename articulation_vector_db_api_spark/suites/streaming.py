@@ -485,7 +485,9 @@ def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     all but the trailing two windows. The oracle encodes exactly that
     seal rule; a regression in emission semantics (e.g. the flush batch
     not firing) hash-fails rather than hiding behind a rows-only
-    check."""
+    check. The same rule is proven under genuine MULTI-batch execution
+    (maxFilesPerTrigger=1 over four time-ordered files, watermark
+    advancing batch to batch) in tests/test_streaming_unbounded.py."""
     ev = read_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "10 minutes")

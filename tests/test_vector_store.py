@@ -527,3 +527,37 @@ def test_mismatched_n_cells_rejected_not_resurrecting(spark, tmp_path):
         .collect()
     }
     assert 9 not in ids and len(ids) == 31
+
+
+def test_purge_recovers_from_crashed_prior_attempt(spark, tmp_path):
+    """A purge that crashed after writing (part of) vectors/v1 but
+    before publishing leaves a half-built version dir; the next purge
+    must discard it and rebuild cleanly — the manifest, not directory
+    existence, decides what is live."""
+    from articulation_vector_db_api_spark.operators.vector_store import (
+        _current_version,
+        delete_from_ivf_store,
+        purge_ivf_tombstones,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    store = str(tmp_path / "ivf_crash")
+    write_ivf_store(e.filter(F.col("vec_id") < 40), store, N_CELLS)
+
+    # simulate the crashed attempt: junk v1 never published
+    junk = os.path.join(store, "vectors", "v1", "cell=0")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "garbage.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    assert _current_version(store) == 0  # manifest untouched by junk
+
+    delete_from_ivf_store(spark, store, [3])
+    assert purge_ivf_tombstones(spark, store) == [3 % N_CELLS]
+    assert _current_version(store) == 1
+    ids = {
+        int(r.vec_id)
+        for r in spark.read.parquet(current_vectors_dir(store))
+        .select("vec_id")
+        .collect()
+    }
+    assert ids == set(range(40)) - {3}

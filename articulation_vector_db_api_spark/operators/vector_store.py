@@ -303,11 +303,20 @@ def delete_from_ivf_store(
 def _delete_unlocked(
     spark: SparkSession, path: str, vec_ids: list[int]
 ) -> None:
-    spark.createDataFrame(
-        [(int(v),) for v in vec_ids], "vec_id long"
-    ).coalesce(1).write.mode("append").parquet(
-        os.path.join(path, "tombstones")
+    _delete_df_unlocked(
+        spark.createDataFrame([(int(v),) for v in vec_ids], "vec_id long"),
+        path,
     )
+
+
+def _delete_df_unlocked(tomb_df: DataFrame, path: str) -> None:
+    """DataFrame-native tombstone write: the id set never touches the
+    driver, so a multi-million-row upsert batch tombstones at dataset
+    scale (the list overload above is the explicit-API convenience for
+    user-supplied delete lists, which are inherently small)."""
+    tomb_df.select(F.col("vec_id").cast("long")).coalesce(1).write.mode(
+        "append"
+    ).parquet(os.path.join(path, "tombstones"))
 
 
 def _tombstones(spark: SparkSession, path: str) -> DataFrame | None:
@@ -339,22 +348,40 @@ def upsert_ivf_store(
     The whole tombstone→purge→append sequence holds the writer lock:
     two interleaved upserts of the same id could otherwise both append
     after both purged (duplicate rows under one id), and a concurrent
-    append could be erased by this upsert's cell rewrite."""
+    append could be erased by this upsert's cell rewrite.
+
+    The id set never materializes on the driver: the deduped batch is
+    STAGED to parquet once (one job, cost ~ the batch), and both the
+    tombstone write and the append read the staged files — so a
+    100M-row upsert holds nothing in driver memory and compiles no
+    giant IN-list into any plan (the purge anti-joins the tombstone
+    table instead)."""
+    import shutil
+
     w = Window.partitionBy("vec_id").orderBy(F.col("__seq").desc())
-    new_vectors = (
+    deduped = (
         new_vectors.withColumn("__seq", F.monotonically_increasing_id())
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__seq", "__rn")
     )
-    ids = [int(r.vec_id) for r in new_vectors.select("vec_id").collect()]
-    if not ids:
-        return
-    n_cells = _resolve_n_cells(path, n_cells)
-    with _writer_lock(path):
-        _delete_unlocked(spark, path, ids)
-        _purge_unlocked(spark, path, n_cells)
-        _append_unlocked(new_vectors, path, n_cells)
+    # private per-CALL staging dir (uuid, not pid: two threads of one
+    # process upserting concurrently must not share it)
+    import uuid
+
+    staging = os.path.join(path, f".upsert_staging.{uuid.uuid4().hex}")
+    deduped.write.mode("overwrite").parquet(staging)
+    try:
+        batch = spark.read.parquet(staging)
+        if batch.isEmpty():
+            return
+        n_cells = _resolve_n_cells(path, n_cells)
+        with _writer_lock(path):
+            _delete_df_unlocked(batch.select("vec_id"), path)
+            _purge_unlocked(spark, path, n_cells)
+            _append_unlocked(batch, path, n_cells)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def purge_ivf_tombstones(
@@ -389,11 +416,21 @@ def _purge_unlocked(
     tomb = _tombstones(spark, path)
     if tomb is None:
         return []
-    ids = [r.vec_id for r in tomb.collect()]
-    if not ids:
+    # Only the DISTINCT CELL list comes to the driver — bounded by
+    # n_cells (a store property), never by the tombstone count. The
+    # ids themselves stay a DataFrame end-to-end: a purge after a
+    # 100M-row delete holds ~n_cells ints in driver memory, not 100M.
+    cells = sorted(
+        r.cell
+        for r in tomb.select(
+            (F.col("vec_id") % n_cells).cast("int").alias("cell")
+        )
+        .distinct()
+        .collect()
+    )
+    if not cells:
         return []
     _upgrade_legacy_layout(path)
-    cells = sorted({int(v) % n_cells for v in ids})
     from pyspark.sql.types import StructType
 
     with open(os.path.join(path, "schema.json")) as f:
@@ -405,7 +442,12 @@ def _purge_unlocked(
     vecs = spark.read.schema(schema).parquet(src)
     survivors = (
         vecs.filter(F.col("cell").isin(cells))  # partition-pruned scan
-        .filter(~F.col("vec_id").isin([int(v) for v in ids]))
+        # tombstone drop as an anti-join — no driver id list, no
+        # compiled IN-list plan. No broadcast HINT on purpose: probes
+        # broadcast because tombstones are tiny between purges, but the
+        # purge is exactly where a huge delete batch lands — AQE picks
+        # broadcast when the table is small and shuffles when it isn't
+        .join(tomb, "vec_id", "left_anti")
     )
     survivors.repartition("cell").write.mode("overwrite").partitionBy(
         "cell"

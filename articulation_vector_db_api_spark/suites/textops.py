@@ -941,6 +941,7 @@ _TOKCHUNK_S = 96   # stride (32-token overlap)
     FROM win
     ORDER BY doc_id, pos
     """,
+    headline=True,  # r5: bench-tracked — the token-budget chunk path
     tags=("textops", "chunking", "curation"),
 )
 def chunk_tokens_window(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -561,3 +561,68 @@ def test_purge_recovers_from_crashed_prior_attempt(spark, tmp_path):
         .collect()
     }
     assert ids == set(range(40)) - {3}
+
+
+def test_maintenance_never_materializes_ids_on_driver(spark, tmp_path):
+    """The scale contract for the maintenance path (upsert -> tombstone
+    -> purge -> append): NO step may pull the id set into driver
+    memory. Proven behaviorally — every ``DataFrame.collect`` issued
+    during an upsert of a batch far larger than ``n_cells`` must return
+    at most ``n_cells`` rows (the distinct-cell routing list, the one
+    legitimately driver-sized value). A driver-side id list (the old
+    ``collect()`` + ``isin([...])`` plumbing) returns batch-sized
+    results and fails this immediately."""
+    from articulation_vector_db_api_spark.operators.vector_store import (
+        purge_ivf_tombstones,
+        upsert_ivf_store,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    # patch the CONCRETE class (pyspark 4's pyspark.sql.DataFrame is a
+    # dispatch parent whose collect the classic subclass overrides)
+    DataFrame = type(e)
+    store = str(tmp_path / "no_driver_ids_store")
+    write_ivf_store(e, store, N_CELLS)
+    batch_size = e.count()
+    assert batch_size > N_CELLS * 4  # the test is vacuous otherwise
+
+    # upsert EVERY vector (shifted values): worst-case maintenance load
+    repl = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(0.25)).alias(
+            "embedding"
+        ),
+    )
+
+    collect_sizes: list[int] = []
+    real_collect = DataFrame.collect
+
+    def spying_collect(self):
+        rows = real_collect(self)
+        collect_sizes.append(len(rows))
+        return rows
+
+    DataFrame.collect = spying_collect
+    try:
+        upsert_ivf_store(spark, repl, store, N_CELLS)
+        purge_ivf_tombstones(spark, store, N_CELLS)
+    finally:
+        DataFrame.collect = real_collect
+
+    assert collect_sizes, "expected at least the distinct-cell collect"
+    assert max(collect_sizes) <= N_CELLS, (
+        f"a maintenance collect returned {max(collect_sizes)} rows "
+        f"(> n_cells={N_CELLS}): the id set reached the driver"
+    )
+
+    # and the upsert actually took effect
+    stored = (
+        spark.read.parquet(current_vectors_dir(store))
+        .filter(F.col("vec_id") == 0)
+        .first()
+        .embedding
+    )
+    orig = e.filter(F.col("vec_id") == 0).first().embedding
+    assert [round(float(a) - float(b), 6) for a, b in zip(stored, orig)] == [
+        0.25
+    ] * len(orig)

@@ -260,9 +260,12 @@ def append_ivf_store(
         _append_unlocked(new_vectors, path, n_cells)
 
 
-def _append_unlocked(
+def _route_and_cast(
     new_vectors: DataFrame, path: str, n_cells: int
-) -> None:
+) -> DataFrame:
+    """Assign each incoming row its frozen-router cell and conform it to
+    the store's catalog schema (mixed physical types across files —
+    float vs double arrays — would poison every later scan)."""
     ivf = new_vectors.select(
         "vec_id", "embedding", (F.col("vec_id") % n_cells).alias("cell")
     )
@@ -275,9 +278,17 @@ def _append_unlocked(
         ivf = ivf.select(
             *[F.col(f.name).cast(f.dataType) for f in stored.fields]
         )
+    return ivf
+
+
+def _append_unlocked(
+    new_vectors: DataFrame, path: str, n_cells: int
+) -> None:
     # append INTO the current version: only adds files, so readers that
     # pinned this version stay consistent (worst case: miss the batch)
-    ivf.repartition("cell").write.mode("append").partitionBy("cell").parquet(
+    _route_and_cast(new_vectors, path, n_cells).repartition(
+        "cell"
+    ).write.mode("append").partitionBy("cell").parquet(
         current_vectors_dir(path)
     )
 
@@ -331,32 +342,35 @@ def upsert_ivf_store(
     n_cells: int | None = None,
 ) -> None:
     """Keyed upsert (the reference's last-write-wins id semantics,
-    main.py:163,172, in the stored index): tombstone the incoming ids,
-    PURGE (the tombstone anti-join cannot distinguish the old rows from
-    the replacements about to arrive under the same ids, so the old
-    rows must be physically gone before the append), then append the
-    new rows. Cost ~ the affected cells plus the batch; the store is
-    never rebuilt. A high-churn deployment would instead version rows
-    with an ingest epoch and resolve last-write-wins at probe time —
-    this is the compact-on-write variant.
+    main.py:163,172, in the stored index): MERGE-ON-WRITE — one
+    versioned rewrite of the affected cells drops the old rows under
+    the incoming ids (plus any outstanding tombstones) and folds the
+    replacements into the same write. Cost ~ the affected cells plus
+    the batch, scanned ONCE; the store is never rebuilt. A high-churn
+    deployment would instead version rows with an ingest epoch and
+    resolve last-write-wins at probe time — this is the
+    compact-on-write variant.
 
     A batch carrying the same vec_id twice collapses to ONE row before
-    the append (the reference's dict-keyed upsert can't hold two values
+    the merge (the reference's dict-keyed upsert can't hold two values
     under one id) — last row in the batch's encounter order wins,
     mirroring dict insertion semantics.
 
-    The whole tombstone→purge→append sequence holds the writer lock:
-    two interleaved upserts of the same id could otherwise both append
-    after both purged (duplicate rows under one id), and a concurrent
-    append could be erased by this upsert's cell rewrite.
+    The rewrite holds the writer lock: two interleaved upserts of the
+    same id could otherwise both fold their replacement in after both
+    dropped (duplicate rows under one id), and a concurrent append
+    could be erased by this upsert's cell rewrite. Crash-atomic: the
+    batch applies entirely at the manifest flip or not at all (the old
+    tombstone→purge→append sequence could crash after hiding the old
+    rows but before appending the replacements).
 
     The id set never materializes on the driver: the deduped batch is
-    STAGED to parquet once (one job, cost ~ the batch), and both the
-    tombstone write and the append read the staged files — so a
-    100M-row upsert holds nothing in driver memory and compiles no
-    giant IN-list into any plan (the purge anti-joins the tombstone
-    table instead)."""
+    STAGED to parquet once (one job, cost ~ the batch) and the drop
+    set / replacement rows both read the staged files — so a 100M-row
+    upsert holds nothing in driver memory and compiles no giant
+    IN-list into any plan (the rewrite anti-joins the drop set)."""
     import shutil
+    import uuid
 
     w = Window.partitionBy("vec_id").orderBy(F.col("__seq").desc())
     deduped = (
@@ -367,8 +381,6 @@ def upsert_ivf_store(
     )
     # private per-CALL staging dir (uuid, not pid: two threads of one
     # process upserting concurrently must not share it)
-    import uuid
-
     staging = os.path.join(path, f".upsert_staging.{uuid.uuid4().hex}")
     deduped.write.mode("overwrite").parquet(staging)
     try:
@@ -377,9 +389,23 @@ def upsert_ivf_store(
             return
         n_cells = _resolve_n_cells(path, n_cells)
         with _writer_lock(path):
-            _delete_df_unlocked(batch.select("vec_id"), path)
-            _purge_unlocked(spark, path, n_cells)
-            _append_unlocked(batch, path, n_cells)
+            drop = batch.select("vec_id")
+            tomb = _tombstones(spark, path)
+            if tomb is not None:
+                # fold outstanding logical deletes into the same
+                # rewrite (their cells are rewritten anyway if they
+                # overlap; disjoint ones ride along at one extra
+                # cell-scan each, and the tombstone table empties).
+                # No distinct(): the anti-join and the distinct-cell
+                # projection both tolerate duplicate ids for free
+                drop = drop.unionByName(tomb)
+            _rewrite_cells_unlocked(
+                spark, path, n_cells, drop, add_batch=batch
+            )
+            if tomb is not None:
+                shutil.rmtree(
+                    os.path.join(path, "tombstones"), ignore_errors=True
+                )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
 
@@ -416,13 +442,33 @@ def _purge_unlocked(
     tomb = _tombstones(spark, path)
     if tomb is None:
         return []
-    # Only the DISTINCT CELL list comes to the driver — bounded by
-    # n_cells (a store property), never by the tombstone count. The
-    # ids themselves stay a DataFrame end-to-end: a purge after a
-    # 100M-row delete holds ~n_cells ints in driver memory, not 100M.
+    cells = _rewrite_cells_unlocked(spark, path, n_cells, tomb)
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+    return cells
+
+
+def _rewrite_cells_unlocked(
+    spark: SparkSession,
+    path: str,
+    n_cells: int,
+    drop_ids: DataFrame,
+    add_batch: DataFrame | None = None,
+) -> list[int]:
+    """The versioned-rewrite core shared by purge and upsert: in ONE
+    pass over the affected cells, drop every ``drop_ids`` row and (for
+    upserts) fold ``add_batch`` rows into the same write — survivors
+    and replacements land together in ``vectors/v{K+1}``, untouched
+    cells hardlink across, the manifest flips atomically.
+
+    Only the DISTINCT CELL list comes to the driver — bounded by
+    n_cells (a store property), never by the drop count. The ids stay
+    a DataFrame end-to-end: a rewrite after a 100M-row delete holds
+    ~n_cells ints in driver memory and compiles no IN-list plan."""
+    import shutil
+
     cells = sorted(
         r.cell
-        for r in tomb.select(
+        for r in drop_ids.select(
             (F.col("vec_id") % n_cells).cast("int").alias("cell")
         )
         .distinct()
@@ -440,23 +486,27 @@ def _purge_unlocked(
     dst = os.path.join(path, "vectors", f"v{k + 1}")
     shutil.rmtree(dst, ignore_errors=True)  # crashed prior attempt
     vecs = spark.read.schema(schema).parquet(src)
-    survivors = (
+    out = (
         vecs.filter(F.col("cell").isin(cells))  # partition-pruned scan
-        # tombstone drop as an anti-join — no driver id list, no
-        # compiled IN-list plan. No broadcast HINT on purpose: probes
-        # broadcast because tombstones are tiny between purges, but the
-        # purge is exactly where a huge delete batch lands — AQE picks
+        # drop as an anti-join — no driver id list, no compiled
+        # IN-list plan. No broadcast HINT on purpose: probes broadcast
+        # because tombstones are tiny between purges, but the rewrite
+        # is exactly where a huge delete/upsert batch lands — AQE picks
         # broadcast when the table is small and shuffles when it isn't
-        .join(tomb, "vec_id", "left_anti")
+        .join(drop_ids.select("vec_id"), "vec_id", "left_anti")
     )
-    survivors.repartition("cell").write.mode("overwrite").partitionBy(
+    if add_batch is not None:
+        # every add row's cell is in `cells` by construction (the
+        # caller's drop set contains the batch ids), so the union
+        # cannot leak rows into a cell the hardlink loop also copies
+        out = out.unionByName(_route_and_cast(add_batch, path, n_cells))
+    out.repartition("cell").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(dst)
     for d in os.listdir(src):
         if d.startswith("cell=") and int(d.split("=")[1]) not in cells:
             _hardlink_cell(os.path.join(src, d), os.path.join(dst, d))
     _publish_version(path, k + 1)
-    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
     return cells
 
 

@@ -626,3 +626,50 @@ def test_maintenance_never_materializes_ids_on_driver(spark, tmp_path):
     assert [round(float(a) - float(b), 6) for a, b in zip(stored, orig)] == [
         0.25
     ] * len(orig)
+
+
+def test_upsert_folds_outstanding_tombstones_one_version(spark, tmp_path):
+    """Merge-on-write upsert: outstanding logical deletes ride the
+    upsert's single versioned rewrite — after one upsert call the
+    tombstoned ids are physically gone, the replacements are in, the
+    tombstone table is cleared, and the store advanced exactly ONE
+    version (the old tombstone→purge→append sequence cost a purge
+    version plus appended files)."""
+    from articulation_vector_db_api_spark.operators.vector_store import (
+        _current_version,
+        delete_from_ivf_store,
+        upsert_ivf_store,
+    )
+
+    e = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 40)
+    store = str(tmp_path / "fold_tomb_store")
+    write_ivf_store(e, store, N_CELLS)
+
+    # logical-delete ids in two different cells, NOT purged yet
+    delete_from_ivf_store(spark, store, [7, 12])
+    assert os.path.isdir(os.path.join(store, "tombstones"))
+    v_before = _current_version(store)
+
+    # upsert a batch overlapping neither deleted id
+    repl = spark.createDataFrame(
+        [(3, [1.0] * 4), (21, [2.0] * 4)],
+        "vec_id long, embedding array<double>",
+    )
+    upsert_ivf_store(spark, repl, store, N_CELLS)
+
+    assert _current_version(store) == v_before + 1  # one bump, not two
+    assert not os.path.isdir(os.path.join(store, "tombstones"))
+    ids = {
+        int(r.vec_id)
+        for r in spark.read.parquet(current_vectors_dir(store))
+        .select("vec_id")
+        .collect()
+    }
+    assert ids == set(range(40)) - {7, 12}  # deletes applied physically
+    got = (
+        spark.read.parquet(current_vectors_dir(store))
+        .filter(F.col("vec_id") == 3)
+        .first()
+        .embedding
+    )
+    assert [float(x) for x in got][:4] == [1.0] * 4  # replacement in

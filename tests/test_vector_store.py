@@ -673,3 +673,62 @@ def test_upsert_folds_outstanding_tombstones_one_version(spark, tmp_path):
         .embedding
     )
     assert [float(x) for x in got][:4] == [1.0] * 4  # replacement in
+
+
+def test_upsert_recovers_from_crashed_prior_attempt(spark, tmp_path):
+    """An upsert that crashed after (partially) writing vectors/v1 but
+    before the manifest flip leaves junk the store must shrug off: the
+    live version is untouched (probes unaffected — the batch applied
+    NOT AT ALL), and a retried upsert discards the junk and applies the
+    batch entirely — merge-on-write's all-or-nothing contract."""
+    from articulation_vector_db_api_spark.operators.vector_store import (
+        _current_version,
+        upsert_ivf_store,
+    )
+
+    e = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 40)
+    store = str(tmp_path / "upsert_crash")
+    write_ivf_store(e, store, N_CELLS)
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    before = [
+        tuple(r)
+        for r in probe_ivf_store(
+            spark, store, qvec, nprobe=N_CELLS, k=10
+        ).collect()
+    ]
+
+    # simulate a crashed upsert: half-built v1 plus an orphaned staging
+    # dir, neither published
+    junk = os.path.join(store, "vectors", "v1", "cell=0")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "garbage.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    os.makedirs(os.path.join(store, ".upsert_staging.deadbeef"))
+    assert _current_version(store) == 0
+
+    # the live store answers exactly as before the crash
+    assert [
+        tuple(r)
+        for r in probe_ivf_store(
+            spark, store, qvec, nprobe=N_CELLS, k=10
+        ).collect()
+    ] == before
+
+    # retried upsert: junk discarded, batch applied atomically
+    repl = spark.createDataFrame(
+        [(int(before[1][0]), qvec)], "vec_id long, embedding array<double>"
+    )
+    upsert_ivf_store(spark, repl, store, N_CELLS)
+    assert _current_version(store) == 1
+    after = {
+        int(r.vec_id): r.score
+        for r in probe_ivf_store(
+            spark, store, qvec, nprobe=N_CELLS, k=10
+        ).collect()
+    }
+    assert after[int(before[1][0])] == 1.0  # replacement live
+    total = spark.read.parquet(current_vectors_dir(store)).count()
+    assert total == 40  # replaced, not duplicated; junk not leaked

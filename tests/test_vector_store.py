@@ -732,3 +732,72 @@ def test_upsert_recovers_from_crashed_prior_attempt(spark, tmp_path):
     assert after[int(before[1][0])] == 1.0  # replacement live
     total = spark.read.parquet(current_vectors_dir(store)).count()
     assert total == 40  # replaced, not duplicated; junk not leaked
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_store_matches_dict_model_under_op_sequences(spark, tmp_path, seed):
+    """Model-based check of the keyed surface: a seeded random sequence
+    of upsert / delete / purge / compact applied to BOTH the store and
+    a plain dict (the reference's index semantics — main.py keys
+    vectors by id in a dict) must leave the store's VISIBLE contents
+    (current version, minus tombstones, as probes see them) equal to
+    the dict after every mutating step. Catches interaction bugs no
+    single-op test hits: upsert-of-deleted, delete-of-upserted,
+    purge mid-sequence, compaction between mutations."""
+    import random
+
+    from articulation_vector_db_api_spark.operators.vector_store import (
+        _tombstones,
+        compact_ivf_cells,
+        delete_from_ivf_store,
+        purge_ivf_tombstones,
+        upsert_ivf_store,
+    )
+
+    rng = random.Random(seed)
+    dim, ids = 4, list(range(30))
+
+    def vec(i: int, version: int) -> list[float]:
+        return [float(i), float(version), float(i % 7), 1.0]
+
+    store = str(tmp_path / f"model_store_{seed}")
+    base = spark.createDataFrame(
+        [(i, vec(i, 0)) for i in ids], "vec_id long, embedding array<double>"
+    )
+    write_ivf_store(base, store, N_CELLS)
+    model = {i: vec(i, 0) for i in ids}
+
+    def visible() -> dict[int, list[float]]:
+        cur = spark.read.parquet(current_vectors_dir(store))
+        tomb = _tombstones(spark, store)
+        if tomb is not None:
+            cur = cur.join(F.broadcast(tomb), "vec_id", "left_anti")
+        return {
+            int(r.vec_id): [float(x) for x in r.embedding]
+            for r in cur.select("vec_id", "embedding").collect()
+        }
+
+    for step in range(10):
+        op = rng.choice(["upsert", "delete", "purge", "compact"])
+        if op == "upsert":
+            chosen = rng.sample(ids, rng.randint(1, 6))
+            rows = [(i, vec(i, step + 1)) for i in chosen]
+            upsert_ivf_store(
+                spark,
+                spark.createDataFrame(
+                    rows, "vec_id long, embedding array<double>"
+                ),
+                store,
+                N_CELLS,
+            )
+            model.update({i: v for i, v in rows})
+        elif op == "delete":
+            chosen = rng.sample(ids, rng.randint(1, 4))
+            delete_from_ivf_store(spark, store, chosen)
+            for i in chosen:
+                model.pop(i, None)
+        elif op == "purge":
+            purge_ivf_tombstones(spark, store, N_CELLS)
+        else:
+            compact_ivf_cells(spark, store, max_files_per_cell=2)
+        assert visible() == model, f"seed={seed} diverged after step {step} ({op})"

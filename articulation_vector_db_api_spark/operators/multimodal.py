@@ -4,11 +4,12 @@ The reference's corpus is binary PDFs on disk read by a per-file Python
 loop (/root/reference/main.py:106-115, 268); the engine treats any
 modality as an opaque ``binary`` column with a typed metadata struct,
 processed by Arrow-batched ``mapInPandas`` — the schema, partitioning,
-UDF signature and batch shape are real and tested. Decode is REAL for
-codec-free formats (uncompressed BMP, binary PGM/PPM — header parse,
-true dimensions, per-row fault isolation); compressed codecs
-(JPEG/PNG) need an imaging library absent from this environment and
-null their rows until deployment swaps one in.
+UDF signature and batch shape are real and tested. Dimension decode is
+REAL for every common container (BMP/PGM/PPM pixel headers; PNG IHDR,
+GIF screen descriptor, JPEG SOF marker scan — all plain header fields
+before any compressed data), with per-row fault isolation; full PIXEL
+decode of compressed codecs needs an imaging library absent from this
+environment and nulls its rows until deployment swaps one in.
 
 Scale shape: binary payloads stay columnar (parquet keeps them
 page-compressed); decode/feature-extract runs where the data lives as
@@ -53,13 +54,55 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_image(payload: bytes) -> tuple[int, int]:
-    """REAL decode for the formats that need no codec library —
-    uncompressed BMP (BITMAPINFOHEADER) and binary PGM/PPM (netpbm):
-    magic sniff, header parse, dimensions out. Compressed codecs
-    (JPEG/PNG/WebP) need a real imaging library and raise — deployment
-    swaps those in here; everything around this function (Arrow
-    batching, schema, partitioning) is production-shaped either way."""
+    """REAL dimension decode with no codec library — magic sniff,
+    header parse, dimensions out, for every common container:
+    uncompressed BMP (any DIB header) and binary PGM/PPM read their
+    pixel headers; PNG (IHDR), GIF (logical screen descriptor) and
+    JPEG (SOF marker scan) carry their dimensions in plain header
+    fields BEFORE any compressed data, so the metadata stage of a
+    100 TB pipeline (dimension/aspect filtering, resize budgeting)
+    never needs a codec at all. Full PIXEL decode of compressed
+    formats needs an imaging library and raises — deployment swaps it
+    in here; everything around this function (Arrow batching, schema,
+    partitioning) is production-shaped either way."""
     b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        # first chunk is IHDR by spec: width/height big-endian @16/@20
+        return (
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+        )
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        # logical screen descriptor: uint16 LE width @6, height @8
+        return (
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+        )
+    if b[:2] == b"\xff\xd8":
+        # JPEG: walk the marker stream to the first SOFn frame header
+        # (C0-CF minus C4/C8/CC which are not frames); its payload is
+        # length(2) precision(1) height(2) width(2), big-endian
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone marker, no length field
+                continue
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return (
+                    int.from_bytes(b[i + 7 : i + 9], "big"),
+                    int.from_bytes(b[i + 5 : i + 7], "big"),
+                )
+            if marker == 0xDA:  # start-of-scan: no SOF seen, give up
+                break
+            i += 2 + seg_len
+        raise ValueError("JPEG stream has no SOF frame header")
     if b[:2] == b"BM" and len(b) >= 26:
         # dispatch on the DIB header size @14: BITMAPCOREHEADER (12)
         # stores uint16 width@18 height@20; INFO and its V2-V5
@@ -99,8 +142,9 @@ def decode_image(payload: bytes) -> tuple[int, int]:
             return tokens[0], tokens[1]
         raise ValueError("truncated netpbm header")
     raise NotImplementedError(
-        "compressed image decode requires an imaging library not present "
-        "in this build (BMP and binary PGM/PPM decode natively)"
+        "pixel decode of this format requires an imaging library not "
+        "present in this build (BMP/PGM/PPM decode natively; "
+        "PNG/GIF/JPEG dimensions parse natively from headers)"
     )
 
 

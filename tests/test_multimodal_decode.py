@@ -76,3 +76,56 @@ def test_decode_bmp_core_header_and_unknown_dib():
     bogus[14:18] = struct.pack("<I", 9999)
     with pytest.raises(ValueError, match="DIB"):
         decode_image(bytes(bogus))
+
+
+def _png(width: int, height: int) -> bytes:
+    ihdr = struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + b"\x00\x00\x00\x00"  # crc not checked for dimension parse
+    )
+
+
+def _gif(width: int, height: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
+
+
+def _jpeg(width: int, height: int) -> bytes:
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    # DQT segment before the frame header, as real encoders emit
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xda\x00\x02"
+
+
+def test_decode_image_png_gif_jpeg_headers():
+    """PNG/GIF/JPEG dimensions parse from plain header fields with no
+    codec: IHDR big-endian, GIF screen descriptor little-endian, JPEG
+    SOF0 found by walking the marker stream past APP0/DQT."""
+    assert decode_image(_png(640, 480)) == (640, 480)
+    assert decode_image(_gif(320, 200)) == (320, 200)
+    assert decode_image(_jpeg(1024, 768)) == (1024, 768)
+    # progressive JPEG uses SOF2 — same frame header layout
+    prog = bytearray(_jpeg(90, 60))
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    assert decode_image(bytes(prog)) == (90, 60)
+
+
+def test_decode_image_jpeg_without_sof_is_value_error():
+    """A JPEG whose marker stream reaches start-of-scan with no frame
+    header is corrupt: ValueError (nulls its row through _safe), not a
+    silent wrong answer."""
+    import pytest
+
+    truncated = b"\xff\xd8\xff\xda\x00\x02"
+    with pytest.raises(ValueError):
+        decode_image(truncated)

@@ -60,8 +60,10 @@ def test_multimodal_stub_is_marked():
 
     from articulation_vector_db_api_spark.operators.multimodal import decode_image
 
+    # WebP dimensions live inside VP8 chunk payloads the engine does
+    # not parse — the codec-needing path must stay loudly marked
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"RIFF\x00\x01\x00\x00WEBPVP8 ")
 
 
 def test_driver_window_is_exactly_the_unverified_set():

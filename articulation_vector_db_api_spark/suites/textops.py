@@ -1873,50 +1873,53 @@ def curation_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The reference has no quality gate (it ingests every PDF chunk,
     main.py:150-176); this is the curation front-door a 100 TB corpus
-    needs. Scale: one explode + one groupBy keyed on doc_id (the
-    dominance rule needs per-token counts); all other rules are
-    per-row codegen expressions. No driver collect."""
+    needs. Scale: ONE scan of the text column, one explode, and a
+    two-level aggregation ((doc_id, tok) counts → per-doc stats) —
+    every rule folds into the same aggregation, so the wide text is
+    read once and no per-doc array survives to a join (the earlier
+    shape joined the token arrays back and scanned documents twice).
+    All sums are integer-valued in doubles (exact at any order), so
+    the flags are bit-identical to the oracle's per-array folds. No
+    driver collect."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim(F.col("text"))) > 0
     )
-    d = docs.select(
+    toks = docs.select(
         "doc_id",
-        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("tok"),
     )
-    top = (
-        d.select("doc_id", F.explode("t").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .count()
-        .groupBy("doc_id")
-        .agg(F.max("count").alias("top_cnt"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    per_tok = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    n = F.size("t")
-    mean_len = (
-        F.aggregate(
-            F.transform(F.col("t"), lambda w: F.length(w).cast("double")),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
-        / n
+    stats = per_tok.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.sum(F.col("cnt") * F.length("tok")).alias("len_sum"),
+        F.count(F.lit(1)).alias("n_uniq"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(
+            F.when(F.array_contains(stop_arr, F.col("tok")), F.col("cnt"))
+            .otherwise(F.lit(0))
+        ).alias("stop_hits"),
     )
-    stop_hits = F.size(
-        F.filter(
-            F.col("t"),
-            lambda w: F.array_contains(F.array(*[F.lit(s) for s in STOPWORDS]), w),
-        )
-    )
-    r = d.join(top, "doc_id").select(
+    n = F.col("n_words")
+    r = stats.select(
         "doc_id",
-        n.alias("n_words"),
+        F.col("n_words").cast("int").alias("n_words"),
         n.between(20, 100000).cast("int").alias("ok_word_count"),
-        mean_len.between(2.0, 10.0).cast("int").alias("ok_mean_word_len"),
-        (F.size(F.array_distinct("t")).cast("double") / n >= 0.1)
+        (F.col("len_sum").cast("double") / n)
+        .between(2.0, 10.0)
+        .cast("int")
+        .alias("ok_mean_word_len"),
+        (F.col("n_uniq").cast("double") / n >= 0.1)
         .cast("int")
         .alias("ok_uniq_ratio"),
         (F.col("top_cnt").cast("double") / n <= 0.12)
         .cast("int")
         .alias("ok_top_token"),
-        (stop_hits >= 2).cast("int").alias("ok_stopwords"),
+        (F.col("stop_hits") >= 2).cast("int").alias("ok_stopwords"),
     )
     return r.select(
         "*",

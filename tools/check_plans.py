@@ -446,10 +446,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct"],
     ),
     "curation_gopher_rules": (
-        # dominance rule: partial counts map-side, join back on doc_id;
-        # every other rule is a codegen'd scalar on the same row
+        # single scan: one explode, (doc_id,tok) partial counts
+        # map-side, then every rule folds into ONE per-doc aggregation
+        # — the text column is read once and no join appears
         [r"partial_count", r"partial_max"],
-        [r"CartesianProduct", r"BatchEvalPython"],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"CartesianProduct",
+         r"BatchEvalPython"],
     ),
     "text_char_entropy": (
         # char explode map-side, both aggs partial+final

@@ -57,9 +57,10 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     """REAL dimension decode with no codec library — magic sniff,
     header parse, dimensions out, for every common container:
     uncompressed BMP (any DIB header) and binary PGM/PPM read their
-    pixel headers; PNG (IHDR), GIF (logical screen descriptor) and
-    JPEG (SOF marker scan) carry their dimensions in plain header
-    fields BEFORE any compressed data, so the metadata stage of a
+    pixel headers; PNG (IHDR), GIF (logical screen descriptor), JPEG
+    (SOF marker scan) and WebP (VP8/VP8L/VP8X chunk headers) carry
+    their dimensions in plain header fields BEFORE any compressed
+    data, so the metadata stage of a
     100 TB pipeline (dimension/aspect filtering, resize budgeting)
     never needs a codec at all. Full PIXEL decode of compressed
     formats needs an imaging library and raises — deployment swaps it
@@ -78,6 +79,31 @@ def decode_image(payload: bytes) -> tuple[int, int]:
             int.from_bytes(b[6:8], "little"),
             int.from_bytes(b[8:10], "little"),
         )
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP" and len(b) >= 16:
+        # all three WebP flavors carry dimensions in fixed header
+        # fields of their first chunk (chunk fourcc @12, payload @20)
+        fourcc = b[12:16]
+        if fourcc == b"VP8X" and len(b) >= 30:
+            # extended: 24-bit LE canvas size - 1
+            return (
+                int.from_bytes(b[24:27], "little") + 1,
+                int.from_bytes(b[27:30], "little") + 1,
+            )
+        if fourcc == b"VP8L" and len(b) >= 25:
+            # lossless: two packed 14-bit fields - 1
+            if b[20:21] != b"\x2f":
+                raise ValueError("bad VP8L signature byte")
+            bits = int.from_bytes(b[21:25], "little")
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+        if fourcc == b"VP8 " and len(b) >= 30:
+            # lossy: uint16 LE (low 14 bits) past the keyframe code
+            if b[23:26] != b"\x9d\x01\x2a":
+                raise ValueError("bad VP8 keyframe start code")
+            return (
+                int.from_bytes(b[26:28], "little") & 0x3FFF,
+                int.from_bytes(b[28:30], "little") & 0x3FFF,
+            )
+        raise ValueError(f"truncated or unknown WebP chunk {fourcc!r}")
     if b[:2] == b"\xff\xd8":
         # JPEG: walk the marker stream to the first SOFn frame header
         # (C0-CF minus C4/C8/CC which are not frames); its payload is
@@ -144,7 +170,7 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     raise NotImplementedError(
         "pixel decode of this format requires an imaging library not "
         "present in this build (BMP/PGM/PPM decode natively; "
-        "PNG/GIF/JPEG dimensions parse natively from headers)"
+        "PNG/GIF/JPEG/WebP dimensions parse natively from headers)"
     )
 
 

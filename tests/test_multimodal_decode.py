@@ -129,3 +129,36 @@ def test_decode_image_jpeg_without_sof_is_value_error():
     truncated = b"\xff\xd8\xff\xda\x00\x02"
     with pytest.raises(ValueError):
         decode_image(truncated)
+
+
+def _webp_vp8(width: int, height: int) -> bytes:
+    vp8 = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", width, height)
+    chunk = b"VP8 " + struct.pack("<I", len(vp8)) + vp8
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _webp_vp8l(width: int, height: int) -> bytes:
+    bits = (width - 1) | ((height - 1) << 14)
+    payload = b"\x2f" + struct.pack("<I", bits)
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload + b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _webp_vp8x(width: int, height: int) -> bytes:
+    payload = (
+        b"\x00\x00\x00\x00"
+        + (width - 1).to_bytes(3, "little")
+        + (height - 1).to_bytes(3, "little")
+    )
+    chunk = b"VP8X" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk + b"\x00" * 4
+
+
+def test_decode_image_webp_all_flavors():
+    """WebP dimensions parse from the first chunk's fixed fields for
+    all three flavors: lossy VP8 (uint16 past the keyframe start
+    code), lossless VP8L (packed 14-bit minus-one), extended VP8X
+    (24-bit minus-one canvas)."""
+    assert decode_image(_webp_vp8(550, 368)) == (550, 368)
+    assert decode_image(_webp_vp8l(1280, 720)) == (1280, 720)
+    assert decode_image(_webp_vp8x(4096, 2160)) == (4096, 2160)

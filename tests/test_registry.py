@@ -60,10 +60,10 @@ def test_multimodal_stub_is_marked():
 
     from articulation_vector_db_api_spark.operators.multimodal import decode_image
 
-    # WebP dimensions live inside VP8 chunk payloads the engine does
-    # not parse — the codec-needing path must stay loudly marked
+    # AVIF dimensions live inside an ISOBMFF box tree the engine does
+    # not walk — the codec-needing path must stay loudly marked
     with pytest.raises(NotImplementedError):
-        decode_image(b"RIFF\x00\x01\x00\x00WEBPVP8 ")
+        decode_image(b"\x00\x00\x00\x1cftypavif" + b"\x00" * 20)
 
 
 def test_driver_window_is_exactly_the_unverified_set():

@@ -32,6 +32,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     GreaterThan,
@@ -220,6 +221,72 @@ class _ManifestJsonWriter(DataSourceWriter):
                     pass
 
 
+class _ManifestJsonStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of the manifest sink: per micro-batch, tasks
+    write part files and the driver publishes them under the BATCH ID —
+    re-running a batch after a crash (Spark replays uncommitted batch
+    ids from the checkpoint) overwrites that batch's manifest entry
+    instead of appending a duplicate, which is exactly the
+    batch-id-idempotent discipline of the engine's foreachBatch snapshot
+    sink (operators/maintenance.py:163) expressed through the Spark-4
+    stream-writer extension point. Readers resolve committed files
+    through the manifest, so exactly-once holds end-to-end."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator) -> _FileCommit:
+        import json
+
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        rows = 0
+        with open(os.path.join(self.path, name), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                rows += 1
+        return _FileCommit(filename=name, rows=rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+
+        mpath = os.path.join(self.path, "_manifest.json")
+        batches: dict[str, list[str]] = {}
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                batches = json.load(f).get("batches", {})
+        # keyed by batch id: a replayed batch REPLACES its entry
+        batches[str(batchId)] = sorted(
+            m.filename for m in messages if m is not None
+        )
+        tmp = f"{mpath}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(json.dumps({"batches": batches}))
+        os.replace(tmp, mpath)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.unlink(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+
+def stream_manifest_files(path: str) -> list[str]:
+    """Committed file set of the STREAM sink: the union of each batch's
+    manifest entry (latest replay wins per batch id by construction)."""
+    import json
+
+    with open(os.path.join(path, "_manifest.json")) as f:
+        batches = json.load(f)["batches"]
+    return [
+        os.path.join(path, n)
+        for b in sorted(batches, key=int)
+        for n in batches[b]
+    ]
+
+
 def manifest_files(path: str) -> list[str]:
     """The committed file set a manifest-aware reader should scan —
     stray part files from in-flight or aborted writes are not listed."""
@@ -230,8 +297,9 @@ def manifest_files(path: str) -> list[str]:
 
 
 class SyntheticEventsDataSource(DataSource):
-    """format name: ``synth_events`` — batch read (pushdown-pruned),
-    stream read (offset replay), and batch write (manifest 2PC)."""
+    """format name: ``synth_events`` — all four extension verbs: batch
+    read (pushdown-pruned), stream read (offset replay), batch write
+    (manifest 2PC), stream write (batch-id-idempotent manifest)."""
 
     @classmethod
     def name(cls) -> str:
@@ -248,6 +316,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
         return _ManifestJsonWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        return _ManifestJsonStreamWriter(self.options)
 
 
 def register_synth_source(spark) -> None:

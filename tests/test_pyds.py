@@ -18,8 +18,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from articulation_vector_db_api_spark.sources.pyds import (
+    _FileCommit,
+    _ManifestJsonStreamWriter,
     manifest_files,
     register_synth_source,
+    stream_manifest_files,
     synth_row,
 )
 
@@ -116,6 +119,56 @@ def test_writer_commits_manifest_atomically(synth, tmp_path):
     back = synth.read.schema("id BIGINT, category STRING, val BIGINT").json(files)
     got = sorted((r.id, r.category, r.val) for r in back.collect())
     assert got == [synth_row(i) for i in range(200)]
+
+
+def test_stream_write_end_to_end_exactly_once(synth, tmp_path):
+    # stream READ (offset replay) piped into stream WRITE (batch-keyed
+    # manifest): the full custom-connector round trip, no built-in sink
+    out = str(tmp_path / "stream_sink")
+    q = (
+        synth.readStream.format("synth_events")
+        .option("n", 60)
+        .option("batch_rows", 25)
+        .load()
+        .writeStream.format("synth_events")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                files = stream_manifest_files(out)
+                back = synth.read.schema(
+                    "id BIGINT, category STRING, val BIGINT"
+                ).json(files)
+                if back.count() == 60:
+                    break
+            except FileNotFoundError:
+                pass
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    files = stream_manifest_files(out)
+    back = synth.read.schema("id BIGINT, category STRING, val BIGINT").json(files)
+    assert sorted((r.id, r.category, r.val) for r in back.collect()) == [
+        synth_row(i) for i in range(60)
+    ]
+
+
+def test_stream_writer_batch_replay_is_idempotent(tmp_path):
+    # a crash-replayed micro-batch must REPLACE its manifest entry, not
+    # append a duplicate — the commit is keyed by batch id
+    out = str(tmp_path / "replay_sink")
+    os.makedirs(out)
+    w = _ManifestJsonStreamWriter({"path": out})
+    w.commit([_FileCommit(filename="part-a.jsonl", rows=3)], batchId=7)
+    w.commit([_FileCommit(filename="part-b.jsonl", rows=3)], batchId=7)  # replay
+    with open(os.path.join(out, "_manifest.json")) as f:
+        batches = json.load(f)["batches"]
+    assert batches == {"7": ["part-b.jsonl"]}
 
 
 def test_writer_append_accumulates_overwrite_resets(synth, tmp_path):

@@ -1,0 +1,179 @@
+"""Incrementally-maintained materialized rollup (operators/matview.py).
+
+Ground truth is always the one-shot recompute over the union of all
+batches — the incremental path must be indistinguishable from it
+(exactly for algebraic aggregates; register-identical for the HLL
+sketch, hence estimate-identical too).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from articulation_vector_db_api_spark.operators.matview import (
+    compact_rollup,
+    read_rollup,
+    refresh_rollup,
+    rollup_partial,
+    streaming_rollup_sink,
+)
+
+SPECS = [
+    {"name": "n_orders", "kind": "count"},
+    {"name": "revenue", "kind": "sum", "col": "o_totalprice"},
+    {"name": "min_price", "kind": "min", "col": "o_totalprice"},
+    {"name": "max_price", "kind": "max", "col": "o_totalprice"},
+    {"name": "avg_price", "kind": "avg", "col": "o_totalprice"},
+    {"name": "approx_custs", "kind": "approx_distinct", "col": "o_custkey"},
+]
+KEYS = ["o_orderpriority"]
+
+
+def _orders(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+
+def _oneshot(df):
+    """Ground truth: single-batch partial -> finalize via the same
+    read path semantics (merge of one partial is identity)."""
+    return rollup_partial(df, KEYS, SPECS)
+
+
+def _batches(df, n=3):
+    return [df.filter(F.col("o_orderkey") % n == i) for i in range(n)]
+
+
+def _as_dict(rows, specs=SPECS):
+    return {r[KEYS[0]]: tuple(r[s["name"]] for s in specs) for r in rows}
+
+
+def test_incremental_refresh_matches_oneshot(spark, tmp_path):
+    orders = _orders(spark)
+    store = str(tmp_path / "mv")
+    for b in _batches(orders):
+        refresh_rollup(b, store, KEYS, SPECS)
+    got = _as_dict(read_rollup(spark, store, KEYS, SPECS).collect())
+
+    # ground truth: same finalize over a ONE-batch store built from the
+    # full table — merging three partials must equal merging one
+    full_store = str(tmp_path / "mv_full")
+    refresh_rollup(orders, full_store, KEYS, SPECS)
+    want = _as_dict(read_rollup(spark, full_store, KEYS, SPECS).collect())
+    assert got == want
+    # and the plain-aggregate cross-check for the exact kinds
+    direct = {
+        r.o_orderpriority: (
+            r.n, float(r.rev), float(r.mn), float(r.mx), r.av
+        )
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("o_totalprice").alias("rev"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+            (
+                F.sum(F.col("o_totalprice").cast("double")) / F.count("o_totalprice")
+            ).alias("av"),
+        )
+        .collect()
+    }
+    for k, (n, rev, mn, mx, av) in direct.items():
+        g = got[k]
+        assert g[0] == n
+        assert abs(float(g[1]) - rev) < 1e-6
+        assert float(g[2]) == mn and float(g[3]) == mx
+        assert abs(g[4] - av) < 1e-9
+
+
+def test_hll_estimate_is_sane(spark, tmp_path):
+    orders = _orders(spark)
+    store = str(tmp_path / "mv_hll")
+    for b in _batches(orders):
+        refresh_rollup(b, store, KEYS, SPECS)
+    got = read_rollup(spark, store, KEYS, SPECS)
+    exact = orders.groupBy(*KEYS).agg(
+        F.count_distinct("o_custkey").cast("long").alias("exact")
+    )
+    joined = got.join(exact, KEYS).select("approx_custs", "exact").collect()
+    for r in joined:
+        # m=64 registers -> ~13% standard error; assert within 40%
+        assert abs(r.approx_custs - r.exact) / r.exact < 0.4
+
+
+def test_compaction_is_lossless_and_supersedes(spark, tmp_path):
+    orders = _orders(spark)
+    store = str(tmp_path / "mv_c")
+    b1, b2, b3 = _batches(orders)
+    refresh_rollup(b1, store, KEYS, SPECS)
+    refresh_rollup(b2, store, KEYS, SPECS)
+    before = _as_dict(read_rollup(spark, store, KEYS, SPECS).collect())
+    compact_rollup(spark, store, KEYS, SPECS)
+    # compaction must not change the answer (no double count of the
+    # folded partials)
+    assert _as_dict(read_rollup(spark, store, KEYS, SPECS).collect()) == before
+    # a second compaction folds only the first one — still stable
+    compact_rollup(spark, store, KEYS, SPECS)
+    assert _as_dict(read_rollup(spark, store, KEYS, SPECS).collect()) == before
+    # refresh AFTER compaction folds in on read
+    refresh_rollup(b3, store, KEYS, SPECS)
+    full_store = str(tmp_path / "mv_c_full")
+    refresh_rollup(orders, full_store, KEYS, SPECS)
+    assert _as_dict(read_rollup(spark, store, KEYS, SPECS).collect()) == _as_dict(
+        read_rollup(spark, full_store, KEYS, SPECS).collect()
+    )
+
+
+def test_refresh_cost_reads_batch_not_history(spark, tmp_path):
+    # the refresh plan must scan the incoming batch only: no path of a
+    # previously published partial version may appear in it
+    orders = _orders(spark)
+    store = str(tmp_path / "mv_cost")
+    b1, b2, _ = _batches(orders)
+    v1 = refresh_rollup(b1, store, KEYS, SPECS)
+    plan = rollup_partial(b2, KEYS, SPECS)._jdf.queryExecution().toString()
+    assert f"v={v1}" not in plan
+    assert "orders.parquet" in plan
+
+
+def test_streaming_rollup_sink_exactly_once(spark, tmp_path):
+    store = str(tmp_path / "mv_stream")
+    src = str(tmp_path / "src")
+    orders = _orders(spark)
+    b1, b2, b3 = _batches(orders)
+    b1.write.mode("append").parquet(src)
+    specs = SPECS[:2]  # count + sum is enough for the guarantee
+    sink = streaming_rollup_sink(store, KEYS, specs)
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    b2.write.mode("append").parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # REPLAY batch 0 manually (at-least-once redelivery): must be a
+    # no-op because its batch id is already committed
+    sink(b1, 0)
+
+    got = _as_dict(read_rollup(spark, store, KEYS, specs).collect(), specs)
+    want_df = b1.unionByName(b2)
+    full = str(tmp_path / "mv_stream_full")
+    refresh_rollup(want_df, full, KEYS, specs)
+    assert got == _as_dict(
+        read_rollup(spark, full, KEYS, specs).collect(), specs
+    )

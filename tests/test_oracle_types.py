@@ -19,7 +19,31 @@ sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
 )
 
+from check_types import norm_duck, norm_spark  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
 from check_types import compare_all  # noqa: E402
+
+
+def test_decimal_scale_is_part_of_the_type_key():
+    # DECIMAL(30,8) prints "6.00000000", DECIMAL(12,2) prints "6.00" —
+    # same value, different hash. The gate must key on ("decimal",
+    # scale), not a bare "decimal" class (the r3 ADVICE regression):
+    assert norm_spark(T.DecimalType(30, 8)) == norm_duck("DECIMAL(30,8)")
+    assert norm_spark(T.DecimalType(12, 2)) == norm_duck("DECIMAL(12,2)")
+    assert norm_spark(T.DecimalType(30, 8)) != norm_duck("DECIMAL(12,2)")
+    # precision alone does NOT change the stringified value — only
+    # scale does, so equal scales with different precision must match
+    assert norm_spark(T.DecimalType(38, 2)) == norm_duck("DECIMAL(12,2)")
+
+
+def test_hugeint_pairs_with_float_not_int():
+    # the driver fetches HUGEINT as float64 ("53.0"): pairing with a
+    # Spark DOUBLE stringifies identically (OK), pairing with a Spark
+    # BIGINT hash-fails even on equal values (the r03 failure class)
+    assert norm_duck("HUGEINT") == norm_spark(T.DoubleType())
+    assert norm_duck("HUGEINT") != norm_spark(T.LongType())
+    assert norm_duck("UHUGEINT") == "float"
 
 
 def test_all_oracles_type_parity():

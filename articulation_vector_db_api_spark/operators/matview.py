@@ -134,7 +134,10 @@ def rollup_partial(
         # the register set is the mergeable partial (≤ m entries/key)
         bucket, rank = _hll_pair(F.col(s["col"]))
         regs = (
-            df.select(*keys, bucket.alias("__b"), rank.alias("__r"))
+            # nulls don't count as distinct values (count_distinct
+            # semantics) — and a null bucket key would poison the map
+            df.filter(F.col(s["col"]).isNotNull())
+            .select(*keys, bucket.alias("__b"), rank.alias("__r"))
             .groupBy(*keys, "__b")
             .agg(F.max("__r").alias("__r"))
             .groupBy(*keys)
@@ -210,7 +213,13 @@ def _finalize(merged: DataFrame, keys: list[str], specs: list[dict]) -> DataFram
             # estimate on the merged registers, with the linear-counting
             # small-range switch (same constants as the oracle-checked
             # agg_hll_portable_registers)
-            regs = F.col(f"{name}__regs")
+            # a group whose column was ALL null has no register row
+            # (filtered above) and reaches here as a null map through
+            # the full join — its distinct count is 0, not null
+            regs = F.coalesce(
+                F.col(f"{name}__regs"),
+                F.map_from_entries(F.array().cast("array<struct<b:int,r:int>>")),
+            )
             nb = F.size(regs)
             ssum = (
                 F.aggregate(

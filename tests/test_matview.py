@@ -137,6 +137,31 @@ def test_refresh_cost_reads_batch_not_history(spark, tmp_path):
     assert "orders.parquet" in plan
 
 
+def test_all_null_distinct_column_counts_zero(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, None), ("b", 3, 7), ("b", 4, None)],
+        "k string, v long, c long",
+    )
+    specs = [
+        {"name": "n", "kind": "count"},
+        {"name": "d", "kind": "approx_distinct", "col": "c"},
+    ]
+    store = str(tmp_path / "mv_null")
+    refresh_rollup(df, store, ["k"], specs)
+    got = {
+        r.k: (r.n, r.d) for r in read_rollup(spark, store, ["k"], specs).collect()
+    }
+    # nulls aren't distinct values (count_distinct semantics): group a
+    # has zero, group b has one — and neither group vanishes
+    assert got["a"] == (2, 0.0)
+    assert got["b"][0] == 2 and abs(got["b"][1] - 1.0) < 0.1
+    # the all-null group survives compaction too
+    compact_rollup(spark, store, ["k"], specs)
+    assert {
+        r.k: (r.n, r.d) for r in read_rollup(spark, store, ["k"], specs).collect()
+    } == got
+
+
 def test_streaming_rollup_sink_exactly_once(spark, tmp_path):
     store = str(tmp_path / "mv_stream")
     src = str(tmp_path / "src")

@@ -47,7 +47,9 @@ from .maintenance import _manifest_lock, read_manifest, write_snapshot
 _COMPACT_NOTE = "rollup compaction upto="
 
 
-def _active_versions(store: str) -> tuple[dict, list[int]]:
+def _active_versions(
+    store: str, as_of: int | None = None
+) -> tuple[dict, list[int]]:
     """The partial versions a reader must merge: everything AFTER the
     latest compaction's folded range, plus the compaction itself.
 
@@ -57,9 +59,19 @@ def _active_versions(store: str) -> tuple[dict, list[int]]:
     refresh publishing concurrently with a compaction lands at v > K*
     and therefore stays active — a racing compaction can hide only
     versions it actually folded. Earlier compactions sit ≤ K* (each
-    folded the whole active set at its read time) and drop out."""
+    folded the whole active set at its read time) and drop out.
+
+    ``as_of`` restricts the manifest to versions ≤ that number BEFORE
+    applying the rule — time travel: the view's answer exactly as a
+    reader at that version would have computed it (compactions after
+    the pin are invisible; compactions at or before it supersede their
+    folded range just as they did live)."""
     man = read_manifest(store)
-    versions = {int(k): v for k, v in man["versions"].items()}
+    versions = {
+        int(k): v
+        for k, v in man["versions"].items()
+        if as_of is None or int(k) <= as_of
+    }
     compactions = {
         v: int(meta["note"][len(_COMPACT_NOTE):])
         for v, meta in versions.items()
@@ -258,8 +270,10 @@ def refresh_rollup(
     )
 
 
-def _active_parts(spark: SparkSession, store: str) -> tuple[DataFrame, int]:
-    versions, active = _active_versions(store)
+def _active_parts(
+    spark: SparkSession, store: str, as_of: int | None = None
+) -> tuple[DataFrame, int]:
+    versions, active = _active_versions(store, as_of)
     if not active:
         raise ValueError(f"no rollup partials published at {store}")
     paths = [versions[v]["path"] for v in active]
@@ -267,13 +281,18 @@ def _active_parts(spark: SparkSession, store: str) -> tuple[DataFrame, int]:
 
 
 def read_rollup(
-    spark: SparkSession, store: str, keys: list[str], specs: list[dict]
+    spark: SparkSession,
+    store: str,
+    keys: list[str],
+    specs: list[dict],
+    as_of: int | None = None,
 ) -> DataFrame:
-    """The view's CURRENT answer: merge the ACTIVE partials (post-
-    compaction versions plus the latest compaction) and finalize.
-    Lock-free: the active set comes from one manifest read, and
-    published version directories are immutable."""
-    parts, _ = _active_parts(spark, store)
+    """The view's answer: merge the ACTIVE partials (post-compaction
+    versions plus the latest compaction) and finalize. ``as_of`` pins a
+    manifest version — "corpus stats as of v3" for reproducible
+    training-run reporting, free because published versions are
+    immutable. Lock-free: the active set comes from one manifest read."""
+    parts, _ = _active_parts(spark, store, as_of)
     return _finalize(merge_partials(parts, keys, specs), keys, specs)
 
 

@@ -137,6 +137,38 @@ def test_refresh_cost_reads_batch_not_history(spark, tmp_path):
     assert "orders.parquet" in plan
 
 
+def test_time_travel_read_replays_history(spark, tmp_path):
+    orders = _orders(spark)
+    store = str(tmp_path / "mv_tt")
+    b1, b2, b3 = _batches(orders)
+    v1 = refresh_rollup(b1, store, KEYS, SPECS)
+    v2 = refresh_rollup(b2, store, KEYS, SPECS)
+    at_v2 = _as_dict(read_rollup(spark, store, KEYS, SPECS, as_of=v2).collect())
+    vc = compact_rollup(spark, store, KEYS, SPECS)
+    refresh_rollup(b3, store, KEYS, SPECS)
+
+    # as-of v1: only the first batch
+    solo = str(tmp_path / "mv_tt_solo")
+    refresh_rollup(b1, solo, KEYS, SPECS)
+    assert _as_dict(
+        read_rollup(spark, store, KEYS, SPECS, as_of=v1).collect()
+    ) == _as_dict(read_rollup(spark, solo, KEYS, SPECS).collect())
+    # as-of v2 gives the same answer whether read live (above) or after
+    # a later compaction+refresh landed; as-of the compaction too
+    assert _as_dict(
+        read_rollup(spark, store, KEYS, SPECS, as_of=v2).collect()
+    ) == at_v2
+    assert _as_dict(
+        read_rollup(spark, store, KEYS, SPECS, as_of=vc).collect()
+    ) == at_v2
+    # unpinned = everything
+    full = str(tmp_path / "mv_tt_full")
+    refresh_rollup(orders, full, KEYS, SPECS)
+    assert _as_dict(read_rollup(spark, store, KEYS, SPECS).collect()) == _as_dict(
+        read_rollup(spark, full, KEYS, SPECS).collect()
+    )
+
+
 def test_all_null_distinct_column_counts_zero(spark, tmp_path):
     df = spark.createDataFrame(
         [("a", 1, None), ("a", 2, None), ("b", 3, 7), ("b", 4, None)],

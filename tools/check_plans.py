@@ -22,6 +22,12 @@ SF = "/root/testdata/sf0.01"
 
 # query -> (must_contain, must_not_contain) regexes over explain("formatted")
 EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
+    "matview_incremental_rollup": (
+        # the view's read path merges STORE partials (scans under the
+        # matview_rollup store) and never rescans the raw table
+        [r"HashAggregate", r"matview_rollup"],
+        [r"orders\.parquet"],
+    ),
     "filter_project_pushdown": (
         [r"PushedFilters: \[.*IsNotNull", r"ReadSchema: [^\n]*l_orderkey"],
         [r"ReadSchema: [^\n]*l_partkey"],  # untouched columns must be pruned

@@ -7,9 +7,12 @@ processed by Arrow-batched ``mapInPandas`` — the schema, partitioning,
 UDF signature and batch shape are real and tested. Dimension decode is
 REAL for every common container (BMP/PGM/PPM pixel headers; PNG IHDR,
 GIF screen descriptor, JPEG SOF marker scan — all plain header fields
-before any compressed data), with per-row fault isolation; full PIXEL
-decode of compressed codecs needs an imaging library absent from this
-environment and nulls its rows until deployment swaps one in.
+before any compressed data), with per-row fault isolation. Full PIXEL
+decode is REAL too for the stdlib-expressible formats — PNG (zlib
+inflate + all five scanline unfilters), uncompressed BMP, binary
+netpbm (functions/pixels.py, used by ``extract_pixel_stats``); only
+DCT/VP8 codec formats (JPEG, lossy WebP, GIF-LZW) still null their
+rows until deployment swaps in an imaging library.
 
 Scale shape: binary payloads stay columnar (parquet keeps them
 page-compressed); decode/feature-extract runs where the data lives as
@@ -218,6 +221,68 @@ def extract_binary_features(df: DataFrame, deterministic_stub: bool = True) -> D
             )
 
     return df.select("doc_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_min", T.LongType()),
+        T.StructField("px_max", T.LongType()),
+    ]
+)
+
+
+def extract_pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL pixel decode over the binary payload — no imaging library.
+
+    functions/pixels.py decodes PNG (all five scanline filters, via
+    stdlib zlib), uncompressed BMP, and binary netpbm to full uint8
+    pixel arrays; this operator maps it over Arrow batches with the
+    reference's per-row fault isolation (main.py:175-176): a payload
+    in a codec-needing format (JPEG/WebP) or corrupt stream nulls its
+    row, never fails the task. Emits integer pixel statistics — the
+    dedup/QA signals (constant-image detection, exposure bounds) a
+    vision corpus computes before any model touches it.
+
+    Scale shape: one narrow Arrow-batched map where the payload bytes
+    live; numpy unfilters per scanline, pixels never leave the
+    executor."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.pixels import decode_pixels
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    px = decode_pixels(payload)
+                    rows.append(
+                        (
+                            doc_id,
+                            px.shape[1],
+                            px.shape[0],
+                            px.shape[2],
+                            int(px.sum()),
+                            int(px.min()),
+                            int(px.max()),
+                        )
+                    )
+                except (NotImplementedError, ValueError):
+                    rows.append((doc_id, None, None, None, None, None, None))
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in PIXEL_STATS_SCHEMA.fields]
+            )
+            for c in out.columns[1:]:
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches, PIXEL_STATS_SCHEMA
+    )
 
 
 RESIZE_SCHEMA = T.StructType(

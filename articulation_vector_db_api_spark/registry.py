@@ -204,6 +204,7 @@ _WINDOW_DEFER = frozenset(
         # Registered after the r5 window was seated (50 unverified
         # queries exactly fill it) — sorts behind them, leads round 6.
         "matview_incremental_rollup",
+        "multimodal_pixel_roundtrip",
     }
 )
 

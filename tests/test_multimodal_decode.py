@@ -162,3 +162,209 @@ def test_decode_image_webp_all_flavors():
     assert decode_image(_webp_vp8(550, 368)) == (550, 368)
     assert decode_image(_webp_vp8l(1280, 720)) == (1280, 720)
     assert decode_image(_webp_vp8x(4096, 2160)) == (4096, 2160)
+
+
+# ---- full pixel codecs (functions/pixels.py) ----------------------
+
+import numpy as np
+import pytest
+import zlib
+
+from articulation_vector_db_api_spark.functions.pixels import (
+    decode_bmp,
+    decode_netpbm,
+    decode_pixels,
+    decode_png,
+    encode_png,
+)
+
+
+def _spec_filter_scanlines(a: np.ndarray, filters: list[int]) -> bytes:
+    """Independent scalar reference: applies the W3C PNG §9 filter
+    formulas pixel-by-pixel, straight from the spec text — shares no
+    code with encode_png, so a joint encoder/decoder bug can't hide."""
+    h, w, nch = a.shape
+    flat = a.reshape(h, w * nch).astype(int)
+    out = bytearray()
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        out.append(ft)
+        for x in range(w * nch):
+            raw = flat[y][x]
+            left = flat[y][x - nch] if x >= nch else 0
+            up = flat[y - 1][x] if y else 0
+            ul = flat[y - 1][x - nch] if y and x >= nch else 0
+            if ft == 0:
+                v = raw
+            elif ft == 1:
+                v = raw - left
+            elif ft == 2:
+                v = raw - up
+            elif ft == 3:
+                v = raw - (left + up) // 2
+            else:  # Paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                v = raw - pred
+            out.append(v & 0xFF)
+    return bytes(out)
+
+
+def _png_from_scanlines(w, h, ctype, scanlines, plte=b""):
+    import struct
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    png = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    )
+    if plte:
+        png += chunk(b"PLTE", plte)
+    return png + chunk(b"IDAT", zlib.compress(scanlines)) + chunk(b"IEND", b"")
+
+
+def test_png_roundtrip_all_filters_all_channel_counts():
+    """encode → decode is the identity for grey/RGB/RGBA with every
+    scanline filter type forced — the decoder's five unfilter paths
+    are all exercised on the same image."""
+    rng = np.random.default_rng(7)
+    for nch in (1, 3, 4):
+        a = rng.integers(0, 256, size=(9, 5, nch), dtype=np.uint8)
+        png = encode_png(a, filters=[0, 1, 2, 3, 4])
+        assert decode_png(png).shape == (9, 5, nch)
+        np.testing.assert_array_equal(decode_png(png), a)
+
+
+def test_png_decoder_against_spec_reference_filters():
+    """Decode scanlines filtered by the INDEPENDENT per-pixel spec
+    implementation — catches any bug shared by encode_png/decode_png."""
+    rng = np.random.default_rng(11)
+    for nch, ctype in ((1, 0), (3, 2), (4, 6)):
+        a = rng.integers(0, 256, size=(7, 6, nch), dtype=np.uint8)
+        for ft in (0, 1, 2, 3, 4):
+            png = _png_from_scanlines(
+                6, 7, ctype, _spec_filter_scanlines(a, [ft])
+            )
+            np.testing.assert_array_equal(decode_png(png), a)
+
+
+def test_png_palette_decode():
+    rng = np.random.default_rng(3)
+    plte = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(5, 8, 1), dtype=np.uint8)
+    scan = _spec_filter_scanlines(idx, [0, 2])
+    png = _png_from_scanlines(8, 5, 3, scan, plte=plte.tobytes())
+    np.testing.assert_array_equal(decode_png(png), plte[idx[:, :, 0]])
+
+
+def test_png_unsupported_forms_raise():
+    import struct as _s
+
+    a = np.zeros((2, 2, 1), dtype=np.uint8)
+    png = bytearray(encode_png(a))
+    png[24] = 16  # bit depth 16
+    # re-CRC not needed: decoder checks fields, not CRCs
+    with pytest.raises(ValueError):
+        decode_png(bytes(png))
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\x00" + b"\x00" * 30)
+    # truncated pixel payload
+    bad = _png_from_scanlines(4, 4, 0, b"\x00" * 9)
+    with pytest.raises(ValueError):
+        decode_png(bad)
+    _ = _s  # keep import local-style consistent
+
+
+def _bmp24(px: np.ndarray, bottom_up: bool = True) -> bytes:
+    import struct as s
+
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    rows = px[::-1] if bottom_up else px
+    raster = bytearray()
+    for y in range(h):
+        row = rows[y][:, [2, 1, 0]].tobytes()  # RGB → BGR on disk
+        raster += row + b"\x00" * (stride - len(row))
+    off = 14 + 40
+    return (
+        b"BM" + s.pack("<IHHI", off + len(raster), 0, 0, off)
+        + s.pack(
+            "<IiiHHIIiiII", 40, w, h if bottom_up else -h, 1, 24, 0,
+            len(raster), 2835, 2835, 0, 0,
+        )
+        + raster
+    )
+
+
+def test_bmp24_roundtrip_both_orientations_and_stride_pad():
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)  # stride pad 1
+    np.testing.assert_array_equal(decode_bmp(_bmp24(px, True)), px)
+    np.testing.assert_array_equal(decode_bmp(_bmp24(px, False)), px)
+
+
+def test_bmp8_palette_decode():
+    import struct as s
+
+    rng = np.random.default_rng(9)
+    table = rng.integers(0, 256, size=(16, 4), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(2, 6), dtype=np.uint8)
+    stride = (6 + 3) & ~3
+    raster = b"".join(
+        idx[::-1][y].tobytes() + b"\x00" * (stride - 6) for y in range(2)
+    )
+    off = 14 + 40 + 64
+    bmp = (
+        b"BM" + s.pack("<IHHI", off + len(raster), 0, 0, off)
+        + s.pack("<IiiHHIIiiII", 40, 6, 2, 1, 8, 0, len(raster), 0, 0, 16, 16)
+        + table.tobytes()
+        + raster
+    )
+    np.testing.assert_array_equal(decode_bmp(bmp), table[idx][:, :, [2, 1, 0]])
+
+
+def test_netpbm_pixel_roundtrip_with_comment():
+    rng = np.random.default_rng(13)
+    g = rng.integers(0, 256, size=(4, 3, 1), dtype=np.uint8)
+    pgm = b"P5\n# a comment\n3 4\n255\n" + g.tobytes()
+    np.testing.assert_array_equal(decode_netpbm(pgm), g)
+    c = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    ppm = b"P6 2 2 255\n" + c.tobytes()
+    np.testing.assert_array_equal(decode_netpbm(ppm), c)
+
+
+def test_decode_pixels_dispatch_and_codec_gate():
+    a = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    np.testing.assert_array_equal(decode_pixels(encode_png(a)), a)
+    np.testing.assert_array_equal(decode_pixels(_bmp24(a)), a)
+    # JPEG still needs a real codec: loud, catchable, per-row isolable
+    with pytest.raises(NotImplementedError):
+        decode_pixels(b"\xff\xd8\xff\xe0" + b"\x00" * 40)
+
+
+def test_extract_pixel_stats_real_decode_with_fault_isolation(spark):
+    """The REAL pixel path end-to-end in Spark: PNG and BMP payloads
+    decode to exact integer stats; a codec-needing JPEG nulls its row
+    (the reference's O7 per-file isolation, main.py:175-176)."""
+    from articulation_vector_db_api_spark.operators.multimodal import (
+        extract_pixel_stats,
+    )
+
+    a = np.arange(24, dtype=np.uint8).reshape(4, 2, 3)
+    rows = [
+        (0, bytearray(encode_png(a, filters=[4, 3, 2, 1]))),
+        (1, bytearray(_bmp24(a))),
+        (2, bytearray(b"\xff\xd8\xff\xe0fake-jpeg")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in extract_pixel_stats(df).collect()}
+    for i in (0, 1):
+        assert (out[i].width, out[i].height, out[i].channels) == (2, 4, 3)
+        assert out[i].px_sum == int(a.sum())
+        assert (out[i].px_min, out[i].px_max) == (0, 23)
+    assert out[2].px_sum is None and out[2].width is None

@@ -282,3 +282,28 @@ def decode_pixels(payload: bytes) -> np.ndarray:
         "pixel decode of this format requires a codec library "
         "(PNG/BMP/PGM/PPM decode natively)"
     )
+
+
+def resize_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resample: output pixel (y, x) copies source
+    pixel (floor(y*h/out_h), floor(x*w/out_w)) — pure integer index
+    math, bit-reproducible in any engine."""
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return px[ys][:, xs].copy()
+
+
+def downscale_box(px: np.ndarray, factor: int) -> np.ndarray:
+    """Exact box-filter downscale by an integer factor: each output
+    pixel is floor(mean) of its factor×factor block — the antialiased
+    downsample a vision pipeline runs before feature extraction,
+    expressed entirely in integer arithmetic so the result is
+    bit-identical across engines and partitionings. Requires
+    dimensions divisible by the factor (callers pad or crop first)."""
+    h, w, nch = px.shape
+    if h % factor or w % factor:
+        raise ValueError(f"dimensions {h}x{w} not divisible by {factor}")
+    blocks = px.reshape(h // factor, factor, w // factor, factor, nch)
+    sums = blocks.astype(np.int64).sum(axis=(1, 3))
+    return (sums // (factor * factor)).astype(np.uint8)

@@ -285,6 +285,49 @@ def extract_pixel_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def resize_pixels_batch(df: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL resize over decoded pixels: decode (functions/pixels.py),
+    exact integer box-filter downscale by ``factor``, integer stats of
+    the RESIZED image — the antialiased downsample step of a vision
+    ingest, end-to-end real. Payloads that need a codec library or
+    whose dimensions aren't divisible by the factor null their rows
+    (per-row fault isolation). Same scale shape as
+    ``extract_pixel_stats``: one narrow Arrow-batched map, resized
+    pixels never leave the executor."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.pixels import decode_pixels, downscale_box
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    px = downscale_box(decode_pixels(payload), factor)
+                    rows.append(
+                        (
+                            doc_id,
+                            px.shape[1],
+                            px.shape[0],
+                            px.shape[2],
+                            int(px.sum()),
+                            int(px.min()),
+                            int(px.max()),
+                        )
+                    )
+                except (NotImplementedError, ValueError):
+                    rows.append((doc_id, None, None, None, None, None, None))
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in PIXEL_STATS_SCHEMA.fields]
+            )
+            for c in out.columns[1:]:
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches, PIXEL_STATS_SCHEMA
+    )
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

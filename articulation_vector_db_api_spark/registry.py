@@ -205,6 +205,7 @@ _WINDOW_DEFER = frozenset(
         # queries exactly fill it) — sorts behind them, leads round 6.
         "matview_incremental_rollup",
         "multimodal_pixel_roundtrip",
+        "multimodal_resize_pixels",
     }
 )
 

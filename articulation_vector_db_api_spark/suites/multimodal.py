@@ -462,3 +462,100 @@ def multimodal_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(batches, PIXEL_STATS_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_resize_pixels",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               list_transform(range(32), j ->
+                   (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 2, 1)) - 1)
+               ) AS b
+        FROM documents
+    ),
+    resized AS (
+        SELECT doc_id,
+               list_transform(range(8), p ->
+                   (  b[(p // 2) * 8 + (p % 2) * 2 + 1]
+                    + b[(p // 2) * 8 + (p % 2) * 2 + 2]
+                    + b[(p // 2) * 8 + (p % 2) * 2 + 5]
+                    + b[(p // 2) * 8 + (p % 2) * 2 + 6]) // 4
+               ) AS o
+        FROM px
+    )
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS width,
+           CAST(4 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(list_sum(o) AS BIGINT) AS px_sum,
+           CAST(list_min(o) AS BIGINT) AS px_min,
+           CAST(list_max(o) AS BIGINT) AS px_max
+    FROM resized
+    ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+)
+def multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize proof, oracle-checked per row: the 8×4 digest PNG of
+    multimodal_pixel_roundtrip is decoded and box-downscaled 2× by the
+    engine (operators/multimodal.py:resize_pixels_batch — exact integer
+    floor-mean of each 2×2 block), and the RESIZED pixel statistics
+    must equal the oracle's direct computation of the same block means
+    from the digest bytes. Decode, filter reconstruction, and the
+    resample kernel all have to be bit-exact for this to hash-match —
+    the full vision-ingest preprocessing path (decode → antialiased
+    downscale → feature stats) with no imaging library and no stub.
+
+    Scale shape: one Arrow-batched narrow map (encode+decode+resize per
+    row where the rows live); the only exchange is the final sort."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import PIXEL_STATS_SCHEMA
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from ..functions.pixels import (
+            decode_pixels,
+            downscale_box,
+            encode_png,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                digest = hashlib.sha256(str(int(doc_id)).encode()).digest()
+                img = np.frombuffer(digest, dtype=np.uint8).reshape(8, 4)
+                png = encode_png(img, filters=[0, 1, 2, 3, 4])
+                px = downscale_box(decode_pixels(png), 2)
+                rows.append(
+                    (
+                        doc_id,
+                        px.shape[1],
+                        px.shape[0],
+                        px.shape[2],
+                        int(px.sum()),
+                        int(px.min()),
+                        int(px.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PIXEL_STATS_SCHEMA.fields]
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .mapInPandas(batches, PIXEL_STATS_SCHEMA)
+        .orderBy("doc_id")
+    )

@@ -368,3 +368,43 @@ def test_extract_pixel_stats_real_decode_with_fault_isolation(spark):
         assert out[i].px_sum == int(a.sum())
         assert (out[i].px_min, out[i].px_max) == (0, 23)
     assert out[2].px_sum is None and out[2].width is None
+
+
+def test_resize_nearest_and_box_downscale_exact():
+    from articulation_vector_db_api_spark.functions.pixels import (
+        downscale_box,
+        resize_nearest,
+    )
+
+    a = np.arange(32, dtype=np.uint8).reshape(8, 4, 1)
+    nn = resize_nearest(a, 4, 2)
+    # (y,x) ← source (2y, 2x)
+    np.testing.assert_array_equal(nn[:, :, 0], a[::2, ::2, 0])
+    up = resize_nearest(a, 16, 8)
+    np.testing.assert_array_equal(up[::2, ::2], a)  # each source survives
+    box = downscale_box(a, 2)
+    # block floor-mean, hand-checked corner: (0+1+4+5)//4 = 2
+    assert box[0, 0, 0] == 2
+    expect = a.reshape(4, 2, 2, 2, 1).astype(int).sum(axis=(1, 3)) // 4
+    np.testing.assert_array_equal(box, expect.astype(np.uint8))
+    with pytest.raises(ValueError):
+        downscale_box(np.zeros((3, 4, 1), dtype=np.uint8), 2)
+
+
+def test_resize_pixels_batch_spark_with_fault_isolation(spark):
+    from articulation_vector_db_api_spark.operators.multimodal import (
+        resize_pixels_batch,
+    )
+
+    a = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    rows = [
+        (0, bytearray(encode_png(a, filters=[1, 2, 3, 4]))),
+        (1, bytearray(b"\xff\xd8\xff\xe0fake-jpeg")),  # codec-gated: nulls
+        (2, bytearray(encode_png(np.zeros((3, 4, 1), np.uint8)))),  # 3 % 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in resize_pixels_batch(df, factor=2).collect()}
+    expect = a.reshape(2, 2, 2, 2, 3).astype(int).sum(axis=(1, 3)) // 4
+    assert (out[0].width, out[0].height, out[0].channels) == (2, 2, 3)
+    assert out[0].px_sum == int(expect.sum())
+    assert out[1].px_sum is None and out[2].px_sum is None

@@ -15,9 +15,11 @@ specified by public documents and needs only ``zlib``:
 - BMP (Windows DIB): uncompressed 8/24/32-bit rows, 4-byte stride
   padding, bottom-up or top-down.
 - netpbm P5/P6 (maxval ≤ 255): raster follows the header verbatim.
+- GIF (GIF89a spec): real variable-width LZW (appendix F), global and
+  local color tables, interlace de-weave, first frame.
 
 JPEG and lossy WebP genuinely need a DCT/VP8 codec and remain gated in
-``operators/multimodal.py:decode_image`` — but PNG+BMP+netpbm cover
+``operators/multimodal.py:decode_image`` — but PNG+BMP+netpbm+GIF cover
 the lossless half of a real image corpus, and the encoder below makes
 the decode path oracle-checkable end-to-end: encode arbitrary bytes as
 a PNG (cycling through ALL five filter types), decode them back, and
@@ -268,9 +270,9 @@ def decode_pixels(payload: bytes) -> np.ndarray:
     """Dispatch on magic → (h, w, channels) uint8 pixels, or raise.
 
     The REAL counterpart of operators/multimodal.py:decode_image's
-    dimension sniff: PNG/BMP/netpbm decode fully here; JPEG/GIF/WebP
-    still raise NotImplementedError (codec formats) so callers keep
-    their per-row fault isolation."""
+    dimension sniff: PNG/BMP/netpbm/GIF decode fully here; JPEG and
+    WebP still raise NotImplementedError (DCT/VP8 codec formats) so
+    callers keep their per-row fault isolation."""
     b = bytes(payload)
     if b[:8] == _PNG_SIG:
         return decode_png(b)
@@ -278,6 +280,8 @@ def decode_pixels(payload: bytes) -> np.ndarray:
         return decode_bmp(b)
     if b[:2] in (b"P5", b"P6"):
         return decode_netpbm(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(b)
     raise NotImplementedError(
         "pixel decode of this format requires a codec library "
         "(PNG/BMP/PGM/PPM decode natively)"
@@ -307,3 +311,207 @@ def downscale_box(px: np.ndarray, factor: int) -> np.ndarray:
     blocks = px.reshape(h // factor, factor, w // factor, factor, nch)
     sums = blocks.astype(np.int64).sum(axis=(1, 3))
     return (sums // (factor * factor)).astype(np.uint8)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-flavor LZW (GIF89a spec appendix F): variable code width
+    from min_code_size+1 up to 12 bits, little-endian bit packing,
+    CLEAR resets the table, EOI terminates."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def fresh() -> list[list[int]]:
+        return [[i] for i in range(clear)] + [[], []]
+
+    table = fresh()
+    width = min_code_size + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = fresh()
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError("corrupt LZW stream")
+            out.extend(entry)
+            if prev is not None:
+                table.append(prev + entry[:1])
+                # width grows when the NEXT code could overflow it
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """Matching LZW encoder (string-table variant) — exists so the
+    decoder's dict-growth and KwKwK paths are round-trip testable
+    without an imaging library."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+    width = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    run: tuple[int, ...] = ()
+    for px in indices:
+        cand = run + (px,)
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        table[cand] = next_code
+        next_code += 1
+        # decoder grows width right after adding the SAME entry; stay in step
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code > 4095:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        run = (px,)
+    if run:
+        emit(table[run])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(b: bytes) -> np.ndarray:
+    """First-frame GIF pixel decode → (h, w, 3) RGB via the active
+    color table — real LZW (GIF89a spec), interlace de-woven, local
+    color table honored. Animation beyond frame one is out of scope
+    (frame sampling composes on top)."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    flags = b[10]
+    i = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b, np.uint8, count=3 * n, offset=i).reshape(-1, 3)
+        i += 3 * n
+    while i < len(b):
+        block = b[i]
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while b[i]:
+                i += 1 + b[i]
+            i += 1
+        elif block == 0x2C:  # image descriptor
+            w = int.from_bytes(b[i + 5 : i + 7], "little")
+            h = int.from_bytes(b[i + 7 : i + 9], "little")
+            iflags = b[i + 9]
+            i += 10
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                table = np.frombuffer(
+                    b, np.uint8, count=3 * n, offset=i
+                ).reshape(-1, 3)
+                i += 3 * n
+            if table is None:
+                raise ValueError("GIF frame has no color table")
+            mcs = b[i]
+            i += 1
+            data = bytearray()
+            while b[i]:
+                size = b[i]
+                data += b[i + 1 : i + 1 + size]
+                i += 1 + size
+            idx = _lzw_decode(bytes(data), mcs)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            grid = np.array(idx[: w * h], dtype=np.int32).reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                rows = [
+                    y
+                    for start, step in _GIF_INTERLACE_PASSES
+                    for y in range(start, h, step)
+                ]
+                woven = np.empty_like(grid)
+                woven[rows] = grid
+                grid = woven
+            if int(grid.max(initial=0)) >= len(table):
+                raise ValueError("GIF index outside color table")
+            return table[grid]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF has no image data")
+
+
+def encode_gif(
+    indices: np.ndarray, palette: np.ndarray, interlaced: bool = False
+) -> bytes:
+    """Single-frame GIF89a encoder (global color table, real LZW) —
+    the round-trip witness for decode_gif."""
+    h, w = indices.shape
+    n = len(palette)
+    bits = max(1, (n - 1).bit_length())
+    size = 1 << bits
+    table = np.zeros((size, 3), dtype=np.uint8)
+    table[:n] = palette
+    mcs = max(2, bits)
+    if interlaced:
+        rows = [
+            y
+            for start, step in _GIF_INTERLACE_PASSES
+            for y in range(start, h, step)
+        ]
+        flat = indices[rows].reshape(-1).tolist()
+    else:
+        flat = indices.reshape(-1).tolist()
+    lzw = _lzw_encode(flat, mcs)
+    blocks = bytearray()
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0x80 | (bits - 1), 0, 0])
+        + table.tobytes()
+        + b"\x2c"
+        + b"\x00\x00\x00\x00"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0x40 if interlaced else 0x00])
+        + bytes([mcs])
+        + bytes(blocks)
+        + b"\x3b"
+    )

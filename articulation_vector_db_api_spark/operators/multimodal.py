@@ -10,9 +10,10 @@ GIF screen descriptor, JPEG SOF marker scan — all plain header fields
 before any compressed data), with per-row fault isolation. Full PIXEL
 decode is REAL too for the stdlib-expressible formats — PNG (zlib
 inflate + all five scanline unfilters), uncompressed BMP, binary
-netpbm (functions/pixels.py, used by ``extract_pixel_stats``); only
-DCT/VP8 codec formats (JPEG, lossy WebP, GIF-LZW) still null their
-rows until deployment swaps in an imaging library.
+netpbm, and GIF including its LZW compression and interlacing
+(functions/pixels.py, used by ``extract_pixel_stats``); only DCT/VP8
+codec formats (JPEG, lossy WebP) still null their rows until
+deployment swaps in an imaging library.
 
 Scale shape: binary payloads stay columnar (parquet keeps them
 page-compressed); decode/feature-extract runs where the data lives as

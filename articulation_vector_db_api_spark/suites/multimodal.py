@@ -458,7 +458,13 @@ def multimodal_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return (
+        # only the 8-byte ids redistribute (the payload is GENERATED
+        # inside the map) -- at any scale this exchange is negligible
+        # next to the per-row codec work it balances across cores; a
+        # many-file 100 TB scan arrives well-split and AQE elides the
+        # no-op exchange
         d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(batches, PIXEL_STATS_SCHEMA)
         .orderBy("doc_id")
     )
@@ -555,7 +561,13 @@ def multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return (
+        # only the 8-byte ids redistribute (the payload is GENERATED
+        # inside the map) -- at any scale this exchange is negligible
+        # next to the per-row codec work it balances across cores; a
+        # many-file 100 TB scan arrives well-split and AQE elides the
+        # no-op exchange
         d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(batches, PIXEL_STATS_SCHEMA)
         .orderBy("doc_id")
     )

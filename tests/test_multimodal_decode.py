@@ -408,3 +408,73 @@ def test_resize_pixels_batch_spark_with_fault_isolation(spark):
     assert (out[0].width, out[0].height, out[0].channels) == (2, 2, 3)
     assert out[0].px_sum == int(expect.sum())
     assert out[1].px_sum is None and out[2].px_sum is None
+
+
+def test_gif_lzw_roundtrip_dict_growth_and_interlace():
+    """Real LZW: a palette image large enough to grow the code width
+    several times round-trips exactly, plain and interlaced; the
+    decoder de-weaves the four interlace passes."""
+    from articulation_vector_db_api_spark.functions.pixels import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(17)
+    palette = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
+    idx = rng.integers(0, 64, size=(23, 31), dtype=np.uint8)
+    for interlaced in (False, True):
+        gif = encode_gif(idx, palette, interlaced=interlaced)
+        np.testing.assert_array_equal(decode_gif(gif), palette[idx])
+
+
+def test_gif_lzw_kwkwk_and_table_reset():
+    """The KwKwK self-referential code arises from repeated runs; a
+    long high-entropy image pushes the dictionary to 4095 and through
+    a mid-stream CLEAR reset."""
+    from articulation_vector_db_api_spark.functions.pixels import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(23)
+    palette = np.arange(768, dtype=np.uint8).reshape(256, 3)
+    # aaa... prefix guarantees the KwKwK case at stream start
+    flat = np.concatenate(
+        [
+            np.zeros(7, dtype=np.uint8),
+            rng.integers(0, 256, size=120 * 100 - 7, dtype=np.uint8),
+        ]
+    )
+    idx = flat.reshape(100, 120)
+    gif = encode_gif(idx, palette)
+    np.testing.assert_array_equal(decode_gif(gif), palette[idx])
+
+
+def test_gif_decoder_skips_extensions_and_rejects_garbage():
+    from articulation_vector_db_api_spark.functions.pixels import (
+        decode_gif,
+        encode_gif,
+    )
+
+    palette = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    gif = bytearray(encode_gif(idx, palette))
+    # splice a graphic-control extension between GCT and the descriptor
+    desc = gif.index(0x2C, 13)
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = bytes(gif[:desc]) + ext + bytes(gif[desc:])
+    np.testing.assert_array_equal(decode_gif(spliced), palette[idx])
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + b"\x00" * 10 + b"\x99")
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTGIF" + b"\x00" * 20)
+
+
+def test_decode_pixels_dispatches_gif():
+    from articulation_vector_db_api_spark.functions.pixels import encode_gif
+
+    palette = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint8)
+    idx = np.array([[0, 1, 1], [1, 0, 0]], dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_pixels(encode_gif(idx, palette)), palette[idx]
+    )

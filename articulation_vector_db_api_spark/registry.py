@@ -206,6 +206,7 @@ _WINDOW_DEFER = frozenset(
         "matview_incremental_rollup",
         "multimodal_pixel_roundtrip",
         "multimodal_resize_pixels",
+        "multimodal_audio_wav_roundtrip",
     }
 )
 

@@ -571,3 +571,112 @@ def multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(batches, PIXEL_STATS_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_audio_wav_roundtrip",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               list_transform(range(32), j ->
+                   (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 2, 1)) - 1)
+               ) AS b
+        FROM documents
+    ),
+    smp AS (
+        SELECT doc_id,
+               list_transform(range(16), j ->
+                   b[2 * j + 1] + 256 * b[2 * j + 2]
+                   - CASE WHEN b[2 * j + 2] >= 128 THEN 65536 ELSE 0 END
+               ) AS s
+        FROM px
+    ),
+    en AS (
+        SELECT doc_id,
+               list_transform(range(3), f ->
+                   list_sum(list_transform(range(8), i ->
+                       s[4 * f + i + 1] * s[4 * f + i + 1]))
+               ) AS e
+        FROM smp
+    )
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS n_samples,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(3 AS BIGINT) AS n_frames,
+           CAST(list_sum(e) AS BIGINT) AS total_energy,
+           CAST(list_max(e) AS BIGINT) AS max_frame_energy
+    FROM en
+    ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+)
+def multimodal_audio_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec proof, oracle-checked per row: each doc's
+    sha256 digest becomes 16 little-endian int16 PCM samples, encoded
+    as a canonical RIFF/WAVE file (functions/audio.py), decoded back by
+    the engine's chunk-walking WAV reader, and framed (8-sample
+    windows, 4-sample hop) into exact integer energies — which must
+    equal the oracle's direct int16 reconstruction from the same digest
+    hex. Container walk, PCM layout, signedness, and the framing
+    arithmetic all have to be bit-exact to hash-match: the full audio
+    front-end path (decode → frame → energy) with no media library.
+
+    Scale shape: identical to the pixel queries — one Arrow-batched
+    narrow map over repartitioned 8-byte ids; samples never leave the
+    executor and the only exchange is the final sort."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("total_energy", T.LongType()),
+            T.StructField("max_frame_energy", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from ..functions.audio import decode_wav, encode_wav, frame_energies
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                digest = hashlib.sha256(str(int(doc_id)).encode()).digest()
+                pcm = np.frombuffer(digest, dtype="<i2")
+                rate, samples = decode_wav(encode_wav(pcm, 16000))
+                e = frame_energies(samples, frame=8, hop=4)
+                rows.append(
+                    (
+                        doc_id,
+                        samples.shape[0],
+                        rate,
+                        len(e),
+                        int(e.sum()),
+                        int(e.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )

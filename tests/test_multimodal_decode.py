@@ -478,3 +478,47 @@ def test_decode_pixels_dispatches_gif():
     np.testing.assert_array_equal(
         decode_pixels(encode_gif(idx, palette)), palette[idx]
     )
+
+
+# ---- WAV codec (functions/audio.py) -------------------------------
+
+
+def test_wav_roundtrip_mono_stereo_and_chunk_skip():
+    from articulation_vector_db_api_spark.functions.audio import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(29)
+    mono = rng.integers(-32768, 32768, size=200, dtype=np.int16)
+    rate, out = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000
+    np.testing.assert_array_equal(out[:, 0], mono)
+    stereo = rng.integers(-32768, 32768, size=(50, 2), dtype=np.int16)
+    _, out2 = decode_wav(encode_wav(stereo))
+    np.testing.assert_array_equal(out2, stereo)
+    # an odd-size LIST metadata chunk before data must skip word-aligned
+    wav = bytearray(encode_wav(mono[:4], 44100))
+    info = b"LIST" + (7).to_bytes(4, "little") + b"INFOxyz" + b"\x00"
+    spliced = bytes(wav[:12]) + info + bytes(wav[12:])
+    _, out3 = decode_wav(spliced)
+    np.testing.assert_array_equal(out3[:, 0], mono[:4])
+
+
+def test_wav_compressed_raises_and_frame_energy_exact():
+    import struct as s
+
+    from articulation_vector_db_api_spark.functions.audio import (
+        decode_wav,
+        encode_wav,
+        frame_energies,
+    )
+
+    wav = bytearray(encode_wav(np.zeros(4, dtype=np.int16)))
+    s.pack_into("<H", wav, 20, 85)  # format tag: MP3
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(wav))
+    x = np.array([3, -4, 5, 0, 1, 2], dtype=np.int16)
+    e = frame_energies(x, frame=4, hop=2)
+    np.testing.assert_array_equal(e, [9 + 16 + 25 + 0, 25 + 0 + 1 + 4])
+    assert len(frame_energies(x[:3], frame=4, hop=2)) == 0

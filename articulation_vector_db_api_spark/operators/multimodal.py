@@ -62,7 +62,8 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     header parse, dimensions out, for every common container:
     uncompressed BMP (any DIB header) and binary PGM/PPM read their
     pixel headers; PNG (IHDR), GIF (logical screen descriptor), JPEG
-    (SOF marker scan) and WebP (VP8/VP8L/VP8X chunk headers) carry
+    (SOF marker scan), WebP (VP8/VP8L/VP8X chunk headers) and the
+    ISOBMFF family — AVIF/HEIF ispe, MP4/MOV tkhd — carry
     their dimensions in plain header fields BEFORE any compressed
     data, so the metadata stage of a
     100 TB pipeline (dimension/aspect filtering, resize budgeting)
@@ -151,6 +152,20 @@ def decode_image(payload: bytes) -> tuple[int, int]:
             height = int.from_bytes(b[22:26], "little", signed=True)
             return abs(width), abs(height)
         raise ValueError(f"unknown BMP DIB header size {dib}")
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        # ISOBMFF family (AVIF/HEIF stills, MP4/MOV video): walk the
+        # box tree to the ispe property / tkhd track header — pure
+        # container structure, no codec (functions/isobmff.py)
+        from ..functions.isobmff import avif_dimensions, parse_mp4_meta
+
+        brand = b[8:12]
+        if brand in (b"avif", b"heic", b"heix", b"mif1"):
+            return avif_dimensions(b)
+        meta = parse_mp4_meta(b)
+        for t in meta["tracks"]:
+            if t["width"] and t["height"]:
+                return t["width"], t["height"]
+        raise ValueError("ISOBMFF stream has no visual track dimensions")
     if b[:2] in (b"P5", b"P6"):
         # netpbm: magic, then whitespace-separated width height maxval,
         # with '#' comment lines allowed between tokens

@@ -522,3 +522,83 @@ def test_wav_compressed_raises_and_frame_energy_exact():
     e = frame_energies(x, frame=4, hop=2)
     np.testing.assert_array_equal(e, [9 + 16 + 25 + 0, 25 + 0 + 1 + 4])
     assert len(frame_energies(x[:3], frame=4, hop=2)) == 0
+
+
+# ---- ISOBMFF box walker (functions/isobmff.py) --------------------
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    import struct as s
+
+    return s.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _avif(width: int, height: int) -> bytes:
+    import struct as s
+
+    ispe = _box(b"ispe", b"\x00\x00\x00\x00" + s.pack(">II", width, height))
+    meta = _box(b"meta", b"\x00\x00\x00\x00" + _box(b"iprp", _box(b"ipco", ispe)))
+    return _box(b"ftyp", b"avif\x00\x00\x00\x00avifmif1") + meta
+
+
+def _mp4(duration_ts: int, timescale: int, w: int, h: int, ver: int) -> bytes:
+    import struct as s
+
+    if ver:
+        mvhd = b"\x01" + b"\x00" * 3 + b"\x00" * 16 + s.pack(
+            ">IQ", timescale, duration_ts
+        ) + b"\x00" * 80
+        tkhd_head = b"\x01" + b"\x00" * 3 + b"\x00" * 16 + s.pack(">I", 7)
+    else:
+        mvhd = b"\x00" + b"\x00" * 3 + b"\x00" * 8 + s.pack(
+            ">II", timescale, duration_ts
+        ) + b"\x00" * 80
+        tkhd_head = b"\x00" + b"\x00" * 3 + b"\x00" * 8 + s.pack(">I", 7)
+    tkhd = tkhd_head + b"\x00" * 48 + s.pack(">II", w << 16, h << 16)
+    moov = _box(
+        b"moov", _box(b"mvhd", mvhd) + _box(b"trak", _box(b"tkhd", tkhd))
+    )
+    return _box(b"ftyp", b"isom\x00\x00\x00\x00isommp42") + moov
+
+
+def test_avif_dimensions_via_box_walk():
+    from articulation_vector_db_api_spark.functions.isobmff import (
+        avif_dimensions,
+    )
+
+    b = _avif(1200, 800)
+    assert avif_dimensions(b) == (1200, 800)
+    # and through the dimension-decode front door
+    assert decode_image(b) == (1200, 800)
+
+
+def test_mp4_meta_both_versions_and_dispatch():
+    from articulation_vector_db_api_spark.functions.isobmff import (
+        parse_mp4_meta,
+    )
+
+    for ver in (0, 1):
+        m = parse_mp4_meta(_mp4(90000, 30000, 1920, 1080, ver))
+        assert m["duration_sec"] == 3.0
+        assert m["tracks"] == [
+            {"track_id": 7, "width": 1920, "height": 1080}
+        ]
+    assert decode_image(_mp4(1, 1, 640, 360, 0)) == (640, 360)
+
+
+def test_isobmff_malformed_and_largesize():
+    import struct as s
+
+    from articulation_vector_db_api_spark.functions.isobmff import (
+        parse_mp4_meta,
+        walk_boxes,
+    )
+
+    with pytest.raises(ValueError):
+        parse_mp4_meta(b"\x00\x00\x00\x08free" + b"\x00" * 8)
+    with pytest.raises(ValueError):
+        list(walk_boxes(b"\x00\x00\x00\x03badx"))
+    # 64-bit largesize form walks correctly
+    payload = b"avif\x00\x00\x00\x00"
+    big = s.pack(">I", 1) + b"ftyp" + s.pack(">Q", 16 + len(payload)) + payload
+    assert [t for t, *_ in walk_boxes(big)] == [b"ftyp"]

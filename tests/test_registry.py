@@ -60,9 +60,10 @@ def test_multimodal_stub_is_marked():
 
     from articulation_vector_db_api_spark.operators.multimodal import decode_image
 
-    # AVIF dimensions live inside an ISOBMFF box tree the engine does
-    # not walk — the codec-needing path must stay loudly marked
-    with pytest.raises(NotImplementedError):
+    # AVIF dimensions parse from the ISOBMFF box tree now
+    # (functions/isobmff.py); a stream WITHOUT an ispe property still
+    # fails loudly (per-row isolable), never silently guesses
+    with pytest.raises(ValueError):
         decode_image(b"\x00\x00\x00\x1cftypavif" + b"\x00" * 20)
 
 

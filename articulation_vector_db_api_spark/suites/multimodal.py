@@ -380,6 +380,7 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_pixel_roundtrip",
+    headline=True,
     oracle="""
     WITH px AS (
         SELECT doc_id,

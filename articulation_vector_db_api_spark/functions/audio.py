@@ -46,8 +46,13 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 
     Walks the chunk list (LIST/INFO and other metadata chunks skip by
     their declared size, word-aligned per the RIFF spec); accepts
-    format tag 1 (PCM) and 0xFFFE (extensible) at 16 bits. Anything
-    compressed raises — callers keep per-row fault isolation."""
+    format tag 1 (PCM) and 0xFFFE (extensible) at 16 bits.
+
+    EXCEPTION CONTRACT (same as functions/pixels.py:decode_pixels):
+    only ValueError for malformed streams and NotImplementedError for
+    compressed formats — truncated fmt chunks and zero-channel headers
+    are checked explicitly so no struct.error/ZeroDivisionError can
+    escape a caller's per-row fault isolation."""
     b = bytes(payload)
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
@@ -57,6 +62,8 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         (size,) = struct.unpack_from("<I", b, i + 4)
         body = b[i + 8 : i + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -69,6 +76,8 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
             f"compressed or non-16-bit WAV (tag={tag}, bits={bits}) "
             "needs a codec library"
         )
+    if ch == 0:
+        raise ValueError("WAV fmt declares zero channels")
     n = len(data) // (2 * ch)
     samples = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
     return rate, samples.copy()

@@ -10,8 +10,8 @@ specified by public documents and needs only ``zlib``:
 
 - PNG (W3C PNG spec, ISO/IEC 15948): chunk walk, IDAT concat +
   inflate, all five scanline filters (None/Sub/Up/Average/Paeth)
-  un-applied vectorized per row; 8-bit greyscale / RGB / RGBA and
-  palette images, non-interlaced.
+  un-applied; 8-bit greyscale / RGB / RGBA and palette images,
+  non-interlaced.
 - BMP (Windows DIB): uncompressed 8/24/32-bit rows, 4-byte stride
   padding, bottom-up or top-down.
 - netpbm P5/P6 (maxval ≤ 255): raster follows the header verbatim.
@@ -28,8 +28,10 @@ the oracle — a full-value correctness proof of the codec itself
 (suites/multimodal.py:multimodal_pixel_roundtrip).
 
 Scale shape: codecs run inside Arrow-batched ``mapInPandas`` where the
-payload bytes live — a narrow map, no shuffle; numpy does the per-row
-unfiltering so the Python cost is per-scanline, not per-pixel.
+payload bytes live — a narrow map, no shuffle. Unfiltering is
+vectorized where the recurrence allows (None/Up whole-row, Sub as a
+per-channel running sum); Average/Paeth are inherently sequential in x
+and run as scalar integer loops (no per-pixel array allocation).
 """
 
 from __future__ import annotations
@@ -102,35 +104,34 @@ def decode_png(b: bytes) -> np.ndarray:
         prev = out[y - 1] if y else zero_row
         if ft == 0:  # None
             out[y] = cur
-        elif ft == 1:  # Sub: add left neighbor, sequential in x
-            line = out[y]
-            line[:nch] = cur[:nch]
-            for x in range(nch, stride):
-                line[x] = (int(cur[x]) + int(line[x - nch])) & 0xFF
+        elif ft == 1:  # Sub: recon is a per-channel running sum mod 256
+            sums = cur.reshape(w, nch).astype(np.int64).cumsum(axis=0)
+            out[y] = (sums & 0xFF).astype(np.uint8).reshape(stride)
         elif ft == 2:  # Up
             out[y] = cur + prev
-        elif ft == 3:  # Average
-            line = out[y]
-            line[:nch] = (
-                (cur[:nch].astype(np.int16) + prev[:nch].astype(np.int16) // 2)
-                & 0xFF
-            ).astype(np.uint8)
+        elif ft == 3:  # Average — sequential in x, scalar int math
+            cur_l, prev_l = cur.tolist(), prev.tolist()
+            line_l = [0] * stride
+            for x in range(nch):
+                line_l[x] = (cur_l[x] + prev_l[x] // 2) & 0xFF
             for x in range(nch, stride):
-                line[x] = (
-                    int(cur[x]) + (int(line[x - nch]) + int(prev[x])) // 2
+                line_l[x] = (
+                    cur_l[x] + (line_l[x - nch] + prev_l[x]) // 2
                 ) & 0xFF
-        elif ft == 4:  # Paeth
-            line = out[y]
-            line[:nch] = cur[:nch] + _paeth(
-                zero_row[:nch], prev[:nch], zero_row[:nch]
-            )
+            out[y] = line_l
+        elif ft == 4:  # Paeth — sequential in x, scalar int math
+            cur_l, prev_l = cur.tolist(), prev.tolist()
+            line_l = [0] * stride
+            for x in range(nch):
+                # Paeth(0, up, 0) = up (pa=|up| beats pb=0 only at 0)
+                line_l[x] = (cur_l[x] + prev_l[x]) & 0xFF
             for x in range(nch, stride):
-                pr = _paeth(
-                    line[x - nch : x - nch + 1],
-                    prev[x : x + 1],
-                    prev[x - nch : x - nch + 1],
-                )
-                line[x] = (int(cur[x]) + int(pr[0])) & 0xFF
+                a, bb, c = line_l[x - nch], prev_l[x], prev_l[x - nch]
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
+                line_l[x] = (cur_l[x] + pred) & 0xFF
+            out[y] = line_l
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
     px = out.reshape(h, w, nch)
@@ -271,21 +272,32 @@ def decode_pixels(payload: bytes) -> np.ndarray:
 
     The REAL counterpart of operators/multimodal.py:decode_image's
     dimension sniff: PNG/BMP/netpbm/GIF decode fully here; JPEG and
-    WebP still raise NotImplementedError (DCT/VP8 codec formats) so
-    callers keep their per-row fault isolation."""
+    WebP still raise NotImplementedError (DCT/VP8 codec formats).
+
+    EXCEPTION CONTRACT: raises only ValueError (malformed/unsupported
+    stream) or NotImplementedError (codec-needing format) — the two
+    types every caller's per-row fault isolation catches. Internal
+    parse failures (zlib.error on corrupt deflate, struct.error /
+    IndexError on truncation, bad palette indices) are converted here
+    so a single corrupt payload can never abort a whole Spark task."""
     b = bytes(payload)
     if b[:8] == _PNG_SIG:
-        return decode_png(b)
-    if b[:2] == b"BM":
-        return decode_bmp(b)
-    if b[:2] in (b"P5", b"P6"):
-        return decode_netpbm(b)
-    if b[:6] in (b"GIF87a", b"GIF89a"):
-        return decode_gif(b)
-    raise NotImplementedError(
-        "pixel decode of this format requires a codec library "
-        "(PNG/BMP/PGM/PPM decode natively)"
-    )
+        dec = decode_png
+    elif b[:2] == b"BM":
+        dec = decode_bmp
+    elif b[:2] in (b"P5", b"P6"):
+        dec = decode_netpbm
+    elif b[:6] in (b"GIF87a", b"GIF89a"):
+        dec = decode_gif
+    else:
+        raise NotImplementedError(
+            "pixel decode of this format requires a codec library "
+            "(PNG/BMP/PGM/PPM/GIF decode natively)"
+        )
+    try:
+        return dec(b)
+    except (zlib.error, struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt {dec.__name__[7:]} stream: {exc}") from exc
 
 
 def resize_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -408,13 +420,20 @@ _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
 def decode_gif(b: bytes) -> np.ndarray:
-    """First-frame GIF pixel decode → (h, w, 3) RGB via the active
-    color table — real LZW (GIF89a spec), interlace de-woven, local
-    color table honored. Animation beyond frame one is out of scope
-    (frame sampling composes on top)."""
+    """First-frame GIF pixel decode → (screen_h, screen_w, 3) RGB —
+    real LZW (GIF89a spec), interlace de-woven, local color table
+    honored, and the frame COMPOSITED onto the logical screen at its
+    descriptor's left/top offset (optimized GIFs routinely store
+    sub-rectangle frames; returning the bare frame would contradict
+    decode_image's screen dimensions for the same payload). Uncovered
+    screen area takes the background color. Animation beyond frame one
+    is out of scope (frame sampling composes on top)."""
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
+    screen_w = int.from_bytes(b[6:8], "little")
+    screen_h = int.from_bytes(b[8:10], "little")
     flags = b[10]
+    bg_index = b[11]
     i = 13
     gct = None
     if flags & 0x80:
@@ -429,10 +448,14 @@ def decode_gif(b: bytes) -> np.ndarray:
                 i += 1 + b[i]
             i += 1
         elif block == 0x2C:  # image descriptor
+            left = int.from_bytes(b[i + 1 : i + 3], "little")
+            top = int.from_bytes(b[i + 3 : i + 5], "little")
             w = int.from_bytes(b[i + 5 : i + 7], "little")
             h = int.from_bytes(b[i + 7 : i + 9], "little")
             iflags = b[i + 9]
             i += 10
+            if left + w > screen_w or top + h > screen_h:
+                raise ValueError("GIF frame exceeds its logical screen")
             table = gct
             if iflags & 0x80:
                 n = 2 << (iflags & 0x07)
@@ -464,7 +487,14 @@ def decode_gif(b: bytes) -> np.ndarray:
                 grid = woven
             if int(grid.max(initial=0)) >= len(table):
                 raise ValueError("GIF index outside color table")
-            return table[grid]
+            # composite onto the logical screen: background fill, then
+            # the frame at its descriptor offset
+            bg = bg_index if (flags & 0x80 and bg_index < len(table)) else 0
+            canvas = np.full(
+                (screen_h, screen_w), bg, dtype=np.int32
+            )
+            canvas[top : top + h, left : left + w] = grid
+            return table[canvas]
         elif block == 0x3B:  # trailer
             break
         else:

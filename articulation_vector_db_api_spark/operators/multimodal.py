@@ -155,13 +155,20 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     if len(b) >= 12 and b[4:8] == b"ftyp":
         # ISOBMFF family (AVIF/HEIF stills, MP4/MOV video): walk the
         # box tree to the ispe property / tkhd track header — pure
-        # container structure, no codec (functions/isobmff.py)
+        # container structure, no codec (functions/isobmff.py). Parse
+        # failures on truncated trees surface as ValueError so the
+        # _safe per-row isolation contract holds.
+        import struct as _struct
+
         from ..functions.isobmff import avif_dimensions, parse_mp4_meta
 
-        brand = b[8:12]
-        if brand in (b"avif", b"heic", b"heix", b"mif1"):
-            return avif_dimensions(b)
-        meta = parse_mp4_meta(b)
+        try:
+            brand = b[8:12]
+            if brand in (b"avif", b"heic", b"heix", b"mif1"):
+                return avif_dimensions(b)
+            meta = parse_mp4_meta(b)
+        except (_struct.error, IndexError) as exc:
+            raise ValueError(f"corrupt ISOBMFF stream: {exc}") from exc
         for t in meta["tracks"]:
             if t["width"] and t["height"]:
                 return t["width"], t["height"]
@@ -252,30 +259,22 @@ PIXEL_STATS_SCHEMA = T.StructType(
 )
 
 
-def extract_pixel_stats(df: DataFrame) -> DataFrame:
-    """REAL pixel decode over the binary payload — no imaging library.
-
-    functions/pixels.py decodes PNG (all five scanline filters, via
-    stdlib zlib), uncompressed BMP, and binary netpbm to full uint8
-    pixel arrays; this operator maps it over Arrow batches with the
-    reference's per-row fault isolation (main.py:175-176): a payload
-    in a codec-needing format (JPEG/WebP) or corrupt stream nulls its
-    row, never fails the task. Emits integer pixel statistics — the
-    dedup/QA signals (constant-image detection, exposure bounds) a
-    vision corpus computes before any model touches it.
-
-    Scale shape: one narrow Arrow-batched map where the payload bytes
-    live; numpy unfilters per scanline, pixels never leave the
-    executor."""
+def _pixel_stats_map(df: DataFrame, transform) -> DataFrame:
+    """Shared body of the pixel operators: map ``transform`` (payload
+    bytes → uint8 pixel array) over Arrow batches with the reference's
+    per-row fault isolation (main.py:175-176) — a codec-needing format
+    or corrupt/ineligible stream nulls its row, never fails the task
+    (decode_pixels' exception contract guarantees only
+    NotImplementedError/ValueError escape). One narrow map where the
+    payload bytes live; pixels never leave the executor, only the
+    fixed-width stats row does."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.pixels import decode_pixels
-
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    px = decode_pixels(payload)
+                    px = transform(payload)
                     rows.append(
                         (
                             doc_id,
@@ -299,49 +298,39 @@ def extract_pixel_stats(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         batches, PIXEL_STATS_SCHEMA
     )
+
+
+def extract_pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL pixel decode over the binary payload — no imaging library.
+
+    functions/pixels.py decodes PNG (all five scanline filters, via
+    stdlib zlib), uncompressed BMP, binary netpbm, and GIF to full
+    uint8 pixel arrays. Emits integer pixel statistics — the dedup/QA
+    signals (constant-image detection, exposure bounds) a vision
+    corpus computes before any model touches it."""
+
+    def transform(payload):
+        from ..functions.pixels import decode_pixels
+
+        return decode_pixels(payload)
+
+    return _pixel_stats_map(df, transform)
 
 
 def resize_pixels_batch(df: DataFrame, factor: int = 2) -> DataFrame:
     """REAL resize over decoded pixels: decode (functions/pixels.py),
     exact integer box-filter downscale by ``factor``, integer stats of
     the RESIZED image — the antialiased downsample step of a vision
-    ingest, end-to-end real. Payloads that need a codec library or
-    whose dimensions aren't divisible by the factor null their rows
-    (per-row fault isolation). Same scale shape as
-    ``extract_pixel_stats``: one narrow Arrow-batched map, resized
-    pixels never leave the executor."""
+    ingest, end-to-end real. Payloads whose dimensions aren't
+    divisible by the factor null their rows like any other
+    per-row failure."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def transform(payload):
         from ..functions.pixels import decode_pixels, downscale_box
 
-        for pdf in it:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                try:
-                    px = downscale_box(decode_pixels(payload), factor)
-                    rows.append(
-                        (
-                            doc_id,
-                            px.shape[1],
-                            px.shape[0],
-                            px.shape[2],
-                            int(px.sum()),
-                            int(px.min()),
-                            int(px.max()),
-                        )
-                    )
-                except (NotImplementedError, ValueError):
-                    rows.append((doc_id, None, None, None, None, None, None))
-            out = pd.DataFrame(
-                rows, columns=[f.name for f in PIXEL_STATS_SCHEMA.fields]
-            )
-            for c in out.columns[1:]:
-                out[c] = out[c].astype("Int64")
-            yield out
+        return downscale_box(decode_pixels(payload), factor)
 
-    return df.select("doc_id", "payload").mapInPandas(
-        batches, PIXEL_STATS_SCHEMA
-    )
+    return _pixel_stats_map(df, transform)
 
 
 RESIZE_SCHEMA = T.StructType(

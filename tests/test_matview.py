@@ -234,3 +234,33 @@ def test_streaming_rollup_sink_exactly_once(spark, tmp_path):
     assert got == _as_dict(
         read_rollup(spark, full, KEYS, specs).collect(), specs
     )
+
+
+def test_registered_query_builder_is_crash_idempotent(spark):
+    """A retry after losing the _STORE_COMPLETE marker (crash between
+    last refresh and marker write) must not re-append batch partials:
+    batch_id-committed batches are skipped, so no group double-counts
+    (code-review finding, suites/core.py builder)."""
+    import os
+
+    from articulation_vector_db_api_spark.operators.maintenance import (
+        read_manifest,
+    )
+    from articulation_vector_db_api_spark.suites.core import (
+        matview_incremental_rollup,
+    )
+    from articulation_vector_db_api_spark.suites.similarity import (
+        _app_scoped_store,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    first = matview_incremental_rollup(spark, sf).collect()
+    store = _app_scoped_store(spark, "matview_rollup", sf)
+    os.remove(os.path.join(store, "_STORE_COMPLETE"))
+    again = matview_incremental_rollup(spark, sf).collect()
+    assert first == again
+    man = read_manifest(store)
+    batch_versions = [
+        v for v in man["versions"].values() if v.get("batch_id") is not None
+    ]
+    assert len(batch_versions) == 3  # one per batch, retry added none

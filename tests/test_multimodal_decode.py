@@ -602,3 +602,100 @@ def test_isobmff_malformed_and_largesize():
     payload = b"avif\x00\x00\x00\x00"
     big = s.pack(">I", 1) + b"ftyp" + s.pack(">Q", 16 + len(payload)) + payload
     assert [t for t, *_ in walk_boxes(big)] == [b"ftyp"]
+
+
+# ---- fault-isolation exception contract (code-review findings) ----
+
+
+def test_decode_pixels_exception_contract_on_malformed_streams():
+    """Every malformed payload must surface as ValueError (or
+    NotImplementedError for codec formats) — never zlib.error,
+    struct.error, or IndexError — because the operators' per-row
+    isolation catches exactly those two types."""
+    a = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    png = bytearray(encode_png(a))
+    png[-20] ^= 0xFF  # corrupt a compressed IDAT byte
+    with pytest.raises(ValueError):
+        decode_pixels(bytes(png))
+    with pytest.raises(ValueError):
+        decode_pixels(b"BM" + b"\x00" * 8)  # truncated BMP header
+    with pytest.raises(ValueError):
+        decode_pixels(b"GIF89a" + b"\x04\x00\x04\x00\x80\x00\x00")
+    # palette PNG whose index exceeds its PLTE
+    idx = np.full((2, 2, 1), 3, dtype=np.uint8)
+    bad_plte = _png_from_scanlines(
+        2, 2, 3, _spec_filter_scanlines(idx, [0]),
+        plte=np.zeros((2, 3), np.uint8).tobytes(),
+    )
+    with pytest.raises(ValueError):
+        decode_pixels(bad_plte)
+
+
+def test_gif_subrectangle_frame_composites_onto_screen():
+    """Optimized GIFs store sub-rectangle first frames; decode must
+    composite at the descriptor offset onto the logical screen so its
+    dimensions agree with decode_image's screen descriptor parse."""
+    import struct as s
+
+    from articulation_vector_db_api_spark.functions.pixels import (
+        decode_gif,
+        encode_gif,
+    )
+
+    palette = np.array(
+        [[9, 9, 9], [50, 60, 70], [200, 210, 220]], dtype=np.uint8
+    )
+    frame = np.array([[1, 2], [2, 1]], dtype=np.uint8)
+    gif = bytearray(encode_gif(frame, palette))
+    # widen the logical screen to 4x4, set background index 0, and
+    # move the 2x2 frame to offset (1, 1)
+    s.pack_into("<HH", gif, 6, 4, 4)
+    desc = gif.index(0x2C, 13)
+    s.pack_into("<HH", gif, desc + 1, 1, 1)
+    out = decode_gif(bytes(gif))
+    assert out.shape == (4, 4, 3)
+    np.testing.assert_array_equal(out[1:3, 1:3], palette[frame])
+    np.testing.assert_array_equal(out[0, 0], palette[0])
+    assert decode_image(bytes(gif)) == (4, 4)
+    # a frame overflowing its screen is malformed, loudly
+    s.pack_into("<HH", gif, desc + 1, 3, 3)
+    with pytest.raises(ValueError):
+        decode_gif(bytes(gif))
+
+
+def test_wav_exception_contract_zero_channels_truncated_fmt():
+    import struct as s
+
+    from articulation_vector_db_api_spark.functions.audio import (
+        decode_wav,
+        encode_wav,
+    )
+
+    wav = bytearray(encode_wav(np.zeros(4, dtype=np.int16)))
+    s.pack_into("<H", wav, 22, 0)  # nChannels = 0
+    with pytest.raises(ValueError):
+        decode_wav(bytes(wav))
+    # fmt chunk shorter than the 16-byte PCM layout
+    short = (
+        b"RIFF" + s.pack("<I", 30) + b"WAVE"
+        + b"fmt " + s.pack("<I", 14) + b"\x01\x00\x01\x00" + b"\x00" * 10
+        + b"data" + s.pack("<I", 0)
+    )
+    with pytest.raises(ValueError):
+        decode_wav(short)
+
+
+def test_isobmff_truncated_streams_are_value_error_via_decode_image():
+    import struct as s
+
+    # truncated largesize box: walk would struct.error; decode_image
+    # must convert to ValueError for _safe's per-row isolation
+    trunc = s.pack(">I", 1) + b"ftypavif" + b"\x00\x00"
+    with pytest.raises(ValueError):
+        decode_image(trunc)
+    # mvhd shorter than its fixed layout
+    short_mvhd = _box(b"ftyp", b"isom") + _box(
+        b"moov", _box(b"mvhd", b"\x00\x00\x00")
+    )
+    with pytest.raises(ValueError):
+        decode_image(short_mvhd)

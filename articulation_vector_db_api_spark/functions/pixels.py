@@ -10,8 +10,9 @@ specified by public documents and needs only ``zlib``:
 
 - PNG (W3C PNG spec, ISO/IEC 15948): chunk walk, IDAT concat +
   inflate, all five scanline filters (None/Sub/Up/Average/Paeth)
-  un-applied; 8-bit greyscale / RGB / RGBA and palette images,
-  non-interlaced.
+  un-applied; 8-bit greyscale / RGB / RGBA and palette images, plain
+  or Adam7-interlaced (seven sub-image passes woven back by their
+  pass geometry).
 - BMP (Windows DIB): uncompressed 8/24/32-bit rows, 4-byte stride
   padding, bottom-up or top-down.
 - netpbm P5/P6 (maxval ≤ 255): raster follows the header verbatim.
@@ -63,13 +64,21 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_png(b: bytes) -> np.ndarray:
     """Full PNG pixel decode → uint8 array of shape (h, w, channels).
 
     Supports bit depth 8, color types 0 (grey), 2 (RGB), 3 (palette),
-    6 (RGBA), non-interlaced — the overwhelming share of real-world
-    PNGs. Anything else raises ValueError (callers keep per-row fault
-    isolation, the reference's O7 shape)."""
+    6 (RGBA), both non-interlaced and Adam7-interlaced — the
+    overwhelming share of real-world PNGs. Anything else raises
+    ValueError (callers keep per-row fault isolation, the reference's
+    O7 shape)."""
     if b[:8] != _PNG_SIG:
         raise ValueError("not a PNG stream")
     ihdr = palette = None
@@ -84,7 +93,7 @@ def decode_png(b: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
     w, h, depth, ctype_, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG (depth={depth}, interlace={interlace})"
         )
@@ -92,10 +101,42 @@ def decode_png(b: bytes) -> np.ndarray:
     if nch is None:
         raise ValueError(f"unsupported PNG color type {ctype_}")
     raw = zlib.decompress(bytes(idat))
+    if interlace == 1:
+        # Adam7: seven independently-filtered sub-images, woven back
+        # into the full grid by their pass geometry
+        px2 = np.zeros((h, w, nch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            size = ph * (pw * nch + 1)
+            sub = _unfilter_scanlines(raw[off : off + size], ph, pw, nch)
+            off += size
+            px2[y0::dy, x0::dx] = sub.reshape(ph, pw, nch)
+        if off != len(raw):
+            raise ValueError("PNG pixel payload has wrong length")
+        px = px2
+    else:
+        stride = w * nch
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG pixel payload has wrong length")
+        px = _unfilter_scanlines(raw, h, w, nch).reshape(h, w, nch)
+    if ctype_ == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE")
+        px = palette[px[:, :, 0]]
+    return px
+
+
+def _unfilter_scanlines(raw: bytes, h: int, w: int, nch: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters over one (sub-)image of
+    ``h`` rows × ``w`` pixels; returns the (h, w*nch) reconstruction."""
     stride = w * nch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel payload has wrong length")
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    raw = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, stride + 1)
     ftypes, rows = raw[:, 0], raw[:, 1:]
     out = np.zeros((h, stride), dtype=np.uint8)
     zero_row = np.zeros(stride, dtype=np.uint8)
@@ -134,21 +175,19 @@ def decode_png(b: bytes) -> np.ndarray:
             out[y] = line_l
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
-    px = out.reshape(h, w, nch)
-    if ctype_ == 3:
-        if palette is None:
-            raise ValueError("palette PNG without PLTE")
-        px = palette[px[:, :, 0]]
-    return px
+    return out
 
 
 def encode_png(
-    arr: np.ndarray, filters: list[int] | None = None
+    arr: np.ndarray,
+    filters: list[int] | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """Minimal spec-conformant PNG encoder (8-bit grey/RGB/RGBA,
-    non-interlaced). ``filters`` selects the filter type per scanline
-    (cycling) — the round-trip tests use it to force every unfilter
-    path through the decoder; default is filter 0 everywhere."""
+    plain or Adam7-interlaced). ``filters`` selects the filter type
+    per scanline (cycling) — the round-trip tests use it to force
+    every unfilter path through the decoder; default is filter 0
+    everywhere."""
     a = np.ascontiguousarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -156,33 +195,50 @@ def encode_png(
     ctype = {1: 0, 3: 2, 4: 6}.get(nch)
     if ctype is None:
         raise ValueError(f"unsupported channel count {nch}")
-    stride = w * nch
-    flat = a.reshape(h, stride).astype(np.int16)
-    zero_row = np.zeros(stride, dtype=np.int16)
-    lines = bytearray()
-    for y in range(h):
-        ft = filters[y % len(filters)] if filters else 0
-        cur = flat[y]
-        prev = flat[y - 1] if y else zero_row
-        left = np.concatenate([np.zeros(nch, dtype=np.int16), cur[:-nch]])
-        ul = np.concatenate([np.zeros(nch, dtype=np.int16), prev[:-nch]])
-        if ft == 0:
-            enc = cur
-        elif ft == 1:
-            enc = cur - left
-        elif ft == 2:
-            enc = cur - prev
-        elif ft == 3:
-            enc = cur - (left + prev) // 2
-        elif ft == 4:
-            enc = cur - _paeth(
-                left.astype(np.uint8), prev.astype(np.uint8),
-                ul.astype(np.uint8),
+
+    def filter_sub(sub: np.ndarray) -> bytearray:
+        sh, sw = sub.shape[:2]
+        sstride = sw * nch
+        flat = sub.reshape(sh, sstride).astype(np.int16)
+        zero_row = np.zeros(sstride, dtype=np.int16)
+        lines = bytearray()
+        for y in range(sh):
+            ft = filters[y % len(filters)] if filters else 0
+            cur = flat[y]
+            prev = flat[y - 1] if y else zero_row
+            left = np.concatenate(
+                [np.zeros(nch, dtype=np.int16), cur[:-nch]]
             )
-        else:
-            raise ValueError(f"unknown PNG filter type {ft}")
-        lines.append(ft)
-        lines += (enc & 0xFF).astype(np.uint8).tobytes()
+            ul = np.concatenate(
+                [np.zeros(nch, dtype=np.int16), prev[:-nch]]
+            )
+            if ft == 0:
+                enc = cur
+            elif ft == 1:
+                enc = cur - left
+            elif ft == 2:
+                enc = cur - prev
+            elif ft == 3:
+                enc = cur - (left + prev) // 2
+            elif ft == 4:
+                enc = cur - _paeth(
+                    left.astype(np.uint8), prev.astype(np.uint8),
+                    ul.astype(np.uint8),
+                )
+            else:
+                raise ValueError(f"unknown PNG filter type {ft}")
+            lines.append(ft)
+            lines += (enc & 0xFF).astype(np.uint8).tobytes()
+        return lines
+
+    if interlace:
+        lines = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                lines += filter_sub(sub)
+    else:
+        lines = filter_sub(a)
 
     def chunk(ctype_b: bytes, data: bytes) -> bytes:
         return (
@@ -192,7 +248,7 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(ctype_b + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, int(interlace))
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)

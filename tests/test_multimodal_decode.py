@@ -699,3 +699,33 @@ def test_isobmff_truncated_streams_are_value_error_via_decode_image():
     )
     with pytest.raises(ValueError):
         decode_image(short_mvhd)
+
+
+def test_png_adam7_interlace_roundtrip_ragged_sizes():
+    """Adam7: seven independently-filtered passes weave back to the
+    exact image — exercised at ragged sizes where late passes are
+    empty or partial, for every channel count and with filter
+    cycling inside each pass."""
+    rng = np.random.default_rng(31)
+    for nch in (1, 3, 4):
+        for hw in ((9, 5), (1, 1), (3, 10), (16, 16)):
+            a = rng.integers(0, 256, size=(*hw, nch), dtype=np.uint8)
+            png = encode_png(a, filters=[0, 1, 2, 3, 4], interlace=True)
+            np.testing.assert_array_equal(decode_png(png), a)
+    # truncated interlaced payload is a loud ValueError
+    a = rng.integers(0, 256, size=(8, 8, 1), dtype=np.uint8)
+    png = encode_png(a, interlace=True)
+    import struct as s
+    import zlib as z
+
+    # rebuild with one byte chopped from the decompressed stream
+    raw = z.decompress(png[png.index(b"IDAT") + 4 : png.rindex(b"IEND") - 8])
+    bad_idat = z.compress(raw[:-1])
+    ihdr = png[8:33]
+    def chunk(t, d):
+        return s.pack(">I", len(d)) + t + d + s.pack(
+            ">I", z.crc32(t + d) & 0xFFFFFFFF
+        )
+    bad = png[:8] + ihdr + chunk(b"IDAT", bad_idat) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(bad)

@@ -207,6 +207,8 @@ _WINDOW_DEFER = frozenset(
         "multimodal_pixel_roundtrip",
         "multimodal_resize_pixels",
         "multimodal_audio_wav_roundtrip",
+        "multimodal_gif_roundtrip",
+        "matview_rollup_time_travel",
     }
 )
 

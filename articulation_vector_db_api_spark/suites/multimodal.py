@@ -681,3 +681,91 @@ def multimodal_audio_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         .mapInPandas(batches, schema)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_gif_roundtrip",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               list_transform(range(32), j ->
+                   (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 2, 1)) - 1)
+               ) AS bytes
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(4 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(3 * list_sum(bytes) AS BIGINT) AS px_sum,
+           CAST(list_min(bytes) AS BIGINT) AS px_min,
+           CAST(list_max(bytes) AS BIGINT) AS px_max
+    FROM px
+    ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+)
+def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZW proof, oracle-checked per row: the digest's 32 bytes become
+    palette indices of an 8×4 GIF (256-entry greyscale palette, REAL
+    variable-width LZW compression — functions/pixels.py), decoded
+    back through decode_pixels' GIF path. The greyscale palette maps
+    index i to (i,i,i), so the decoded RGB stats are exactly 3× /
+    identical to the oracle's direct byte stats — equality holds only
+    if LZW encode, LZW decode, and palette application are all exact.
+    Together with multimodal_pixel_roundtrip (PNG/deflate) and
+    multimodal_audio_wav_roundtrip (RIFF/PCM) every shipping codec has
+    a full-value oracle.
+
+    Scale shape: one Arrow-batched narrow map over repartitioned ids;
+    the only exchange is the final sort."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import PIXEL_STATS_SCHEMA
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from ..functions.pixels import decode_pixels, encode_gif
+
+        grey = np.repeat(
+            np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
+        )
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                digest = hashlib.sha256(str(int(doc_id)).encode()).digest()
+                idx = np.frombuffer(digest, dtype=np.uint8).reshape(8, 4)
+                gif = encode_gif(idx, grey)
+                px = decode_pixels(gif)
+                rows.append(
+                    (
+                        doc_id,
+                        px.shape[1],
+                        px.shape[0],
+                        px.shape[2],
+                        int(px.sum()),
+                        int(px.min()),
+                        int(px.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PIXEL_STATS_SCHEMA.fields]
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, PIXEL_STATS_SCHEMA)
+        .orderBy("doc_id")
+    )

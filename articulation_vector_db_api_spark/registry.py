@@ -209,6 +209,8 @@ _WINDOW_DEFER = frozenset(
         "multimodal_audio_wav_roundtrip",
         "multimodal_gif_roundtrip",
         "matview_rollup_time_travel",
+        "multimodal_pixel_histogram",
+        "multimodal_audio_vad_trim",
     }
 )
 

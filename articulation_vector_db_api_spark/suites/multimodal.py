@@ -769,3 +769,209 @@ def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(batches, PIXEL_STATS_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_pixel_histogram",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               list_transform(range(32), j ->
+                   (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 2, 1)) - 1)
+               ) AS bytes
+        FROM documents
+    ),
+    vals AS (SELECT unnest(bytes) AS v FROM px)
+    SELECT CAST(v // 32 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(min(v) AS BIGINT) AS lo,
+           CAST(max(v) AS BIGINT) AS hi
+    FROM vals GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("multimodal",),
+)
+def multimodal_pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide luminance histogram over DECODED pixels — the
+    exposure/QA audit of a vision corpus, shaped for 100 TB: the
+    mapInPandas stage decodes each digest PNG and pre-aggregates its
+    pixels into 8-bucket PARTIAL counts inside the Arrow batch, so the
+    shuffle carries ≤ 8 rows per batch (never a pixel); the final
+    groupBy merges partials. The oracle unnests the same bytes raw —
+    equality proves decode and the two-level aggregation agree.
+
+    This is the canonical decode-feeds-aggregation plan: narrow map
+    with in-UDF combine, one exchange of bucket partials, final merge
+    — identical shape at any corpus size."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    partial_schema = T.StructType(
+        [
+            T.StructField("bucket", T.LongType()),
+            T.StructField("n_px", T.LongType()),
+            T.StructField("lo", T.LongType()),
+            T.StructField("hi", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from ..functions.pixels import decode_pixels, encode_png
+
+        for pdf in it:
+            counts = np.zeros(8, dtype=np.int64)
+            lo = np.full(8, 256, dtype=np.int64)
+            hi = np.full(8, -1, dtype=np.int64)
+            for doc_id in pdf["doc_id"]:
+                digest = hashlib.sha256(str(int(doc_id)).encode()).digest()
+                img = np.frombuffer(digest, dtype=np.uint8).reshape(8, 4)
+                px = decode_pixels(encode_png(img, filters=[1, 2, 3, 4]))
+                v = px.reshape(-1).astype(np.int64)
+                b = v // 32
+                np.add.at(counts, b, 1)
+                np.minimum.at(lo, b, v)
+                np.maximum.at(hi, b, v)
+            present = counts > 0
+            yield pd.DataFrame(
+                {
+                    "bucket": np.arange(8)[present],
+                    "n_px": counts[present],
+                    "lo": lo[present],
+                    "hi": hi[present],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    partials = (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, partial_schema)
+    )
+    return (
+        partials.groupBy("bucket")
+        .agg(
+            F.sum("n_px").cast("long").alias("n_px"),
+            F.min("lo").cast("long").alias("lo"),
+            F.max("hi").cast("long").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_VAD_THRESHOLD = 3_000_000_000  # ~avg energy of 8 uniform int16 samples
+
+
+@register(
+    "multimodal_audio_vad_trim",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id,
+               list_transform(range(32), j ->
+                   (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 2, 1)) - 1)
+               ) AS b
+        FROM documents
+    ),
+    smp AS (
+        SELECT doc_id,
+               list_transform(range(16), j ->
+                   b[2 * j + 1] + 256 * b[2 * j + 2]
+                   - CASE WHEN b[2 * j + 2] >= 128 THEN 65536 ELSE 0 END
+               ) AS s
+        FROM px
+    ),
+    act AS (
+        SELECT doc_id,
+               list_filter(range(3), f ->
+                   list_sum(list_transform(range(8), i ->
+                       s[4 * f + i + 1] * s[4 * f + i + 1]))
+                   > {_VAD_THRESHOLD}
+               ) AS active
+        FROM smp
+    )
+    SELECT doc_id,
+           CAST(len(active) AS BIGINT) AS n_active,
+           CAST(list_min(active) AS BIGINT) AS first_active,
+           CAST(list_max(active) AS BIGINT) AS last_active
+    FROM act
+    ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+)
+def multimodal_audio_vad_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-gate VAD / silence trim over REAL decoded PCM: frames
+    whose energy clears the threshold mark the active span — the
+    leading/trailing-silence trim every speech-data pipeline applies
+    before transcription. Runs on the WAV-decoded samples
+    (functions/audio.py), so the decode → frame → gate chain is
+    oracle-checked end-to-end; clips with no active frame yield null
+    trim bounds rather than a fabricated span.
+
+    Scale shape: the same narrow Arrow-batched map as the other codec
+    queries — per-row decode + framing, fixed-width result row, final
+    sort is the only exchange."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_active", T.LongType()),
+            T.StructField("first_active", T.LongType()),
+            T.StructField("last_active", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from ..functions.audio import decode_wav, encode_wav, frame_energies
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                digest = hashlib.sha256(str(int(doc_id)).encode()).digest()
+                pcm = np.frombuffer(digest, dtype="<i2")
+                _, samples = decode_wav(encode_wav(pcm, 16000))
+                e = frame_energies(samples, frame=8, hop=4)
+                active = np.nonzero(e > _VAD_THRESHOLD)[0]
+                rows.append(
+                    (
+                        doc_id,
+                        len(active),
+                        int(active[0]) if len(active) else None,
+                        int(active[-1]) if len(active) else None,
+                    )
+                )
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+            for c in ("first_active", "last_active"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )

@@ -211,6 +211,7 @@ _WINDOW_DEFER = frozenset(
         "matview_rollup_time_travel",
         "multimodal_pixel_histogram",
         "multimodal_audio_vad_trim",
+        "multimodal_dhash_image_dedup",
     }
 )
 

@@ -975,3 +975,106 @@ def multimodal_audio_vad_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(batches, schema)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_dhash_image_dedup",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               list_transform(range(32), j ->
+                   (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id // 2 AS VARCHAR)),
+                                  2 * j + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id // 2 AS VARCHAR)),
+                                  2 * j + 2, 1)) - 1)
+               ) AS b
+        FROM documents
+    ),
+    hashed AS (
+        -- dHash bit r*3+c is set when pixel (r,c) > pixel (r,c+1);
+        -- rows are 4 wide so 3 comparisons x 8 rows = 24 bits
+        SELECT doc_id,
+               list_sum(list_transform(range(24), k ->
+                   CASE WHEN b[(k // 3) * 4 + (k % 3) + 1]
+                             > b[(k // 3) * 4 + (k % 3) + 2]
+                        THEN CAST(power(2, k) AS BIGINT) ELSE 0 END
+               )) AS dhash
+        FROM px
+    )
+    SELECT CAST(dhash AS BIGINT) AS dhash,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(min(doc_id) AS BIGINT) AS keeper,
+           CAST(sum(doc_id) - min(doc_id) AS BIGINT) AS dropped_id_sum
+    FROM hashed
+    GROUP BY dhash HAVING count(*) > 1
+    ORDER BY dhash
+    """,
+    tags=("multimodal", "dedup"),
+)
+def multimodal_dhash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-free image near-dup detection: dHash (gradient hash —
+    each bit records whether a pixel outshines its right neighbor) over
+    REAL decoded pixels, then hash-equality grouping with keep-first
+    survivor election. The fixture derives each image from
+    sha256(doc_id // 2), planting twin pairs so genuine duplicate
+    groups form; the oracle recomputes the same 24-bit hash directly
+    from the digest bytes, so decode + hash + grouping must all agree.
+
+    Scale shape: decode and hash are one narrow Arrow-batched map; the
+    shuffle keys on the 8-byte dhash (never pixels), and only colliding
+    groups survive the HAVING — the same blocking discipline as the
+    text MinHash-LSH family (suites/dedup.py): candidates come from
+    hash buckets, not all-pairs."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from ..functions.pixels import decode_pixels, encode_png
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                seed = int(doc_id) // 2
+                digest = hashlib.sha256(str(seed).encode()).digest()
+                img = np.frombuffer(digest, dtype=np.uint8).reshape(8, 4)
+                px = decode_pixels(
+                    encode_png(img, filters=[2, 3, 4])
+                )[:, :, 0].astype(np.int64)
+                bits = (px[:, :3] > px[:, 1:]).reshape(-1)
+                dhash = int((bits * (1 << np.arange(24))).sum())
+                rows.append((doc_id, dhash))
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
+
+    d = load_table(spark, sf_dir, "documents")
+    hashed = (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+    )
+    return (
+        hashed.groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.min("doc_id").cast("long").alias("keeper"),
+            (F.sum("doc_id") - F.min("doc_id"))
+            .cast("long")
+            .alias("dropped_id_sum"),
+        )
+        .filter(F.col("group_size") > 1)
+        .orderBy("dhash")
+    )

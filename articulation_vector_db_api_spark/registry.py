@@ -212,6 +212,7 @@ _WINDOW_DEFER = frozenset(
         "multimodal_pixel_histogram",
         "multimodal_audio_vad_trim",
         "multimodal_dhash_image_dedup",
+        "pipeline_image_curation",
     }
 )
 

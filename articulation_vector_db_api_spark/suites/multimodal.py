@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators.multimodal import attach_binary_payload, extract_binary_features
 from ..registry import register
@@ -1078,3 +1079,135 @@ def multimodal_dhash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("group_size") > 1)
         .orderBy("dhash")
     )
+
+
+@register(
+    "pipeline_image_curation",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               list_transform(range(32), j ->
+                   (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id // 2 AS VARCHAR)),
+                                  2 * j + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id // 2 AS VARCHAR)),
+                                  2 * j + 2, 1)) - 1)
+               ) AS b
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               list_max(b) - list_min(b) AS contrast,
+               list_sum(b) AS px_sum,
+               list_sum(list_transform(range(24), k ->
+                   CASE WHEN b[(k // 3) * 4 + (k % 3) + 1]
+                             > b[(k // 3) * 4 + (k % 3) + 2]
+                        THEN CAST(power(2, k) AS BIGINT) ELSE 0 END
+               )) AS dhash
+        FROM px
+    ),
+    gated AS (
+        SELECT *,
+               (contrast >= 128 AND px_sum BETWEEN 3400 AND 4800)
+                   AS quality_ok
+        FROM feats
+    ),
+    elected AS (
+        SELECT *,
+               CASE WHEN quality_ok THEN row_number() OVER (
+                   PARTITION BY dhash, quality_ok ORDER BY doc_id)
+               END AS rn
+        FROM gated
+    )
+    SELECT doc_id,
+           CAST(contrast AS BIGINT) AS contrast,
+           CAST(px_sum AS BIGINT) AS px_sum,
+           CAST(quality_ok AS INT) AS quality_ok,
+           CAST(quality_ok AND rn = 1 AS INT) AS admitted
+    FROM elected
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "pipeline"),
+)
+def pipeline_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-curation capstone — the image sibling of
+    pipeline_training_export: decode REAL pixels, gate on quality
+    (contrast floor + exposure band over exact integer stats), elect
+    one keeper per dHash duplicate group among the survivors
+    (keep-first by id), and emit the admission ledger. Twin images
+    (seed doc_id // 2) make the dedup stage load-bearing; every stage
+    is recomputed by the oracle from the same digest bytes, so the
+    whole composed pipeline is value-checked, not just its parts.
+
+    Scale shape: decode + features in one narrow Arrow map; the only
+    data-dependent exchange keys on the 8-byte dhash for the election
+    window; gates are map-side expressions. At 100 TB the admission
+    column becomes the partition key of the training-set write."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("contrast", T.LongType()),
+            T.StructField("px_sum", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from ..functions.pixels import decode_pixels, encode_png
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                seed = int(doc_id) // 2
+                digest = hashlib.sha256(str(seed).encode()).digest()
+                img = np.frombuffer(digest, dtype=np.uint8).reshape(8, 4)
+                px = decode_pixels(
+                    encode_png(img, filters=[0, 1, 4])
+                )[:, :, 0].astype(np.int64)
+                bits = (px[:, :3] > px[:, 1:]).reshape(-1)
+                rows.append(
+                    (
+                        doc_id,
+                        int(px.max() - px.min()),
+                        int(px.sum()),
+                        int((bits * (1 << np.arange(24))).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+    )
+    quality_ok = (F.col("contrast") >= 128) & F.col("px_sum").between(
+        3400, 4800
+    )
+    gated = feats.withColumn("quality_ok", quality_ok)
+    w = Window.partitionBy("dhash", "quality_ok").orderBy("doc_id")
+    elected = gated.withColumn(
+        "rn",
+        F.when(F.col("quality_ok"), F.row_number().over(w)),
+    )
+    return elected.select(
+        "doc_id",
+        "contrast",
+        "px_sum",
+        F.col("quality_ok").cast("int").alias("quality_ok"),
+        (F.col("quality_ok") & (F.col("rn") == 1)).cast("int").alias(
+            "admitted"
+        ),
+    ).orderBy("doc_id")

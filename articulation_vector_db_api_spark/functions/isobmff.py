@@ -96,3 +96,45 @@ def avif_dimensions(b: bytes) -> tuple[int, int]:
             w, h = struct.unpack_from(">II", b, p + 4)
             return w, h
     raise ValueError("no ispe property (not an AVIF/HEIF still?)")
+
+
+def tiff_dimensions(b: bytes) -> tuple[int, int]:
+    """TIFF dimension decode (TIFF 6.0 spec): endian header, first IFD
+    walk, ImageWidth (256) / ImageLength (257) tags as SHORT or LONG.
+    Pure directory parsing — strips/tiles are never read. Also the
+    carrier format of EXIF metadata blocks."""
+    if b[:4] == b"II*\x00":
+        endian = "little"
+    elif b[:4] == b"MM\x00*":
+        endian = "big"
+    else:
+        raise ValueError("not a TIFF stream")
+
+    def u(off: int, size: int) -> int:
+        chunk = b[off : off + size]
+        if len(chunk) < size:
+            raise ValueError("truncated TIFF")
+        return int.from_bytes(chunk, endian)
+
+    ifd = u(4, 4)
+    n = u(ifd, 2)
+    width = height = None
+    for k in range(n):
+        e = ifd + 2 + 12 * k
+        tag, dtype = u(e, 2), u(e + 2, 2)
+        if tag in (256, 257):
+            # value fits inline: SHORT (3) reads 2 bytes, LONG (4)
+            # reads 4 — both left-justified in the value field
+            if dtype == 3:
+                val = u(e + 8, 2)
+            elif dtype == 4:
+                val = u(e + 8, 4)
+            else:
+                raise ValueError(f"unexpected TIFF dim type {dtype}")
+            if tag == 256:
+                width = val
+            else:
+                height = val
+    if width is None or height is None:
+        raise ValueError("TIFF IFD lacks dimension tags")
+    return width, height

@@ -173,6 +173,17 @@ def decode_image(payload: bytes) -> tuple[int, int]:
             if t["width"] and t["height"]:
                 return t["width"], t["height"]
         raise ValueError("ISOBMFF stream has no visual track dimensions")
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        # TIFF: endian-tagged IFD walk to the dimension tags — also
+        # the container of EXIF blocks (functions/isobmff.py)
+        import struct as _struct
+
+        from ..functions.isobmff import tiff_dimensions
+
+        try:
+            return tiff_dimensions(b)
+        except (_struct.error, IndexError) as exc:
+            raise ValueError(f"corrupt TIFF stream: {exc}") from exc
     if b[:2] in (b"P5", b"P6"):
         # netpbm: magic, then whitespace-separated width height maxval,
         # with '#' comment lines allowed between tokens

@@ -729,3 +729,29 @@ def test_png_adam7_interlace_roundtrip_ragged_sizes():
     bad = png[:8] + ihdr + chunk(b"IDAT", bad_idat) + chunk(b"IEND", b"")
     with pytest.raises(ValueError):
         decode_png(bad)
+
+
+def test_tiff_dimensions_both_endians_and_dispatch():
+    import struct as s
+
+    from articulation_vector_db_api_spark.functions.isobmff import (
+        tiff_dimensions,
+    )
+
+    def tiff(endian: str, w: int, h: int) -> bytes:
+        e = "<" if endian == "little" else ">"
+        head = (b"II*\x00" if endian == "little" else b"MM\x00*") + s.pack(
+            f"{e}I", 8
+        )
+        # two entries: ImageWidth as LONG, ImageLength as SHORT
+        ent1 = s.pack(f"{e}HHI", 256, 4, 1) + s.pack(f"{e}I", w)
+        ent2 = s.pack(f"{e}HHI", 257, 3, 1) + s.pack(f"{e}H", h) + b"\x00\x00"
+        return head + s.pack(f"{e}H", 2) + ent1 + ent2 + s.pack(f"{e}I", 0)
+
+    for endian in ("little", "big"):
+        assert tiff_dimensions(tiff(endian, 640, 480)) == (640, 480)
+        assert decode_image(tiff(endian, 33, 21)) == (33, 21)
+    with pytest.raises(ValueError):
+        tiff_dimensions(b"II*\x00" + b"\x08\x00\x00\x00")  # truncated IFD
+    with pytest.raises(ValueError):
+        decode_image(b"II*\x00\x08\x00\x00\x00\x01\x00")  # via front door

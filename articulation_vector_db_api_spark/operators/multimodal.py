@@ -62,10 +62,10 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     header parse, dimensions out, for every common container:
     uncompressed BMP (any DIB header) and binary PGM/PPM read their
     pixel headers; PNG (IHDR), GIF (logical screen descriptor), JPEG
-    (SOF marker scan), WebP (VP8/VP8L/VP8X chunk headers) and the
-    ISOBMFF family — AVIF/HEIF ispe, MP4/MOV tkhd — carry
-    their dimensions in plain header fields BEFORE any compressed
-    data, so the metadata stage of a
+    (SOF marker scan), WebP (VP8/VP8L/VP8X chunk headers), TIFF (IFD
+    dimension tags, both endians) and the ISOBMFF family — AVIF/HEIF
+    ispe, MP4/MOV tkhd — carry their dimensions in plain header
+    fields BEFORE any compressed data, so the metadata stage of a
     100 TB pipeline (dimension/aspect filtering, resize budgeting)
     never needs a codec at all. Full PIXEL decode of compressed
     formats needs an imaging library and raises — deployment swaps it

@@ -213,6 +213,7 @@ _WINDOW_DEFER = frozenset(
         "multimodal_audio_vad_trim",
         "multimodal_dhash_image_dedup",
         "pipeline_image_curation",
+        "join_null_aware_anti",
     }
 )
 

@@ -3486,3 +3486,48 @@ def dq_freshness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "join_null_aware_anti",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_partkey NOT IN (
+        SELECT l_partkey FROM lineitem
+        WHERE l_returnflag = 'R' AND l_quantity >= 48
+    )
+    ORDER BY p_partkey
+    """,
+    tags=("relational", "join"),
+)
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-aware anti join: single-column ``NOT IN (subquery)``. This
+    is NOT the same operator as NOT EXISTS (`join_anti_customers_no_
+    urgent`): SQL's tri-state NOT IN must return zero rows if the inner
+    list contains even one NULL, so Catalyst cannot rewrite it to a
+    plain LeftAnti over a nullable key — it plans a BroadcastHashJoin
+    with isNullAwareAntiJoin=true (parquet columns are nullable by
+    declaration, so the non-null proof is unavailable). The fixture's
+    l_partkey holds no actual NULLs, hence the result is the meaningful
+    difference set and DuckDB's NOT IN agrees row-for-row.
+
+    Scale: the inner side reduces to a broadcast hash set (distinct
+    partkeys after a pushed-down returnflag/quantity scan filter);
+    the probe is map-side, no shuffle of `part`. At 100 TB an inner
+    side too big to broadcast must fall back to NOT EXISTS plus an
+    explicit IS NOT NULL guard — the docs for that trade-off live in
+    SCALE.md (joins)."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("v_naaj_part")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_naaj_lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name
+        FROM v_naaj_part
+        WHERE p_partkey NOT IN (
+            SELECT l_partkey FROM v_naaj_lineitem
+            WHERE l_returnflag = 'R' AND l_quantity >= 48
+        )
+        ORDER BY p_partkey
+        """
+    )

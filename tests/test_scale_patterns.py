@@ -280,3 +280,26 @@ def test_peak_concurrency_day_sweep_matches_global_sweep(spark):
     lhs = {r.day: r.peak for r in truth.collect()}
     rhs = {r.day: r.peak for r in got.collect()}
     assert lhs == rhs
+
+
+def test_null_aware_anti_join_tristate_semantics(spark):
+    """`join_null_aware_anti`'s operator pin: single-column NOT IN must
+    plan as a null-aware anti join (the flag formatted explain hides),
+    and the tri-state semantics must hold — one NULL in the inner list
+    empties the result, which a plain LeftAnti rewrite would get wrong."""
+    left = spark.range(0, 100).select(F.col("id").alias("k"))
+    left.createOrReplaceTempView("naaj_left")
+    spark.range(0, 50).select(
+        F.when(F.col("id") >= 0, F.col("id")).alias("k")  # nullable type, no NULLs
+    ).createOrReplaceTempView("naaj_inner_clean")
+    spark.range(0, 50).select(
+        F.when(F.col("id") > 0, F.col("id")).alias("k")  # id=0 -> actual NULL
+    ).createOrReplaceTempView("naaj_inner_nulled")
+
+    clean = spark.sql("SELECT k FROM naaj_left WHERE k NOT IN (SELECT k FROM naaj_inner_clean)")
+    plan = clean._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight, true" in plan, f"NOT IN lost null-awareness:\n{plan}"
+    assert clean.count() == 50  # 50..99
+
+    nulled = spark.sql("SELECT k FROM naaj_left WHERE k NOT IN (SELECT k FROM naaj_inner_nulled)")
+    assert nulled.count() == 0  # one NULL in the list -> nothing passes

@@ -525,6 +525,17 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"partial_max", r"Broadcast"],
         [r"SortMergeJoin"],
     ),
+    "join_null_aware_anti": (
+        # NOT IN plans as a broadcast LeftAnti probe with the quantity/
+        # returnflag filter pushed into the inner scan; the probe is
+        # map-side (no hash shuffle of part). The isNullAwareAntiJoin
+        # flag itself is invisible in formatted mode, so the tri-state
+        # semantics pin lives in tests/test_scale_patterns.py.
+        [r"BroadcastHashJoin LeftAnti BuildRight",
+         r"PushedFilters: \[[^\]]*EqualTo\(l_returnflag,R\)"],
+        [r"SortMergeJoin", r"CartesianProduct",
+         r"Exchange hashpartitioning\(p_partkey"],
+    ),
 }
 
 # query -> [(pattern, max_occurrences)] over the formatted plan.

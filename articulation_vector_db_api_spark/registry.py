@@ -214,6 +214,7 @@ _WINDOW_DEFER = frozenset(
         "multimodal_dhash_image_dedup",
         "pipeline_image_curation",
         "join_null_aware_anti",
+        "stream_stream_left_outer_join",
     }
 )
 

@@ -787,3 +787,91 @@ def stream_threshold_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(out, "debounce", "update").orderBy(
         "user_id", "alert_event_id"
     )
+
+
+@register(
+    "stream_stream_left_outer_join",
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS click_id, user_id, ts FROM events
+        WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    wm AS (
+        SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+               - INTERVAL '30 minutes' AS horizon
+    )
+    SELECT c.click_id, p.purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_micros
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '10 minutes'
+    UNION ALL
+    SELECT c.click_id,
+           CAST(NULL AS BIGINT) AS purchase_id,
+           CAST(NULL AS BIGINT) AS lag_micros
+    FROM c, wm
+    WHERE NOT EXISTS (
+            SELECT 1 FROM p
+            WHERE p.user_id = c.user_id
+              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '10 minutes')
+      AND c.ts + INTERVAL '10 minutes' < wm.horizon
+    ORDER BY click_id, purchase_id
+    """,
+    tags=("streaming", "join"),
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join: every
+    click→purchase match emits as it forms (inner semantics), and a
+    click with no purchase emits null-padded only once the watermark
+    proves no future purchase can match — i.e. when its match window
+    [c_ts, c_ts+10min] falls entirely behind the global watermark.
+
+    The emission set is deterministic under AvailableNow: the final
+    no-data micro-batch advances the watermark to
+    min(max click ts, max purchase ts) − 30min and evicts (= emits)
+    every unmatched click whose window closed; trailing clicks stay in
+    state, exactly as they would mid-stream in production. The oracle
+    encodes that seal rule — inner matches ∪ unmatched clicks with
+    c_ts + 10min < horizon.
+
+    Scale: state is hash-partitioned on user_id on both sides and
+    bounded by the 30-minute watermark + 10-minute condition range —
+    store size ∝ event rate × 40min, independent of history length."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 minutes")),
+        "left_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_micros"),
+    )
+    return run_available_now(joined, "ss_left_outer", "append").orderBy(
+        "click_id", "purchase_id"
+    )

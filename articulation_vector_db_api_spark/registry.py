@@ -215,6 +215,7 @@ _WINDOW_DEFER = frozenset(
         "pipeline_image_curation",
         "join_null_aware_anti",
         "stream_stream_left_outer_join",
+        "maintenance_compact_roundtrip",
     }
 )
 

@@ -3531,3 +3531,67 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY p_partkey
         """
     )
+
+
+@register(
+    "maintenance_compact_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {dsum_sql("l_quantity")} AS sum_qty,
+           {dsum_sql("l_extendedprice")} AS sum_price,
+           CAST(1 AS INT) AS files_compacted
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("relational", "maintenance"),
+)
+def maintenance_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip over the versioned snapshot
+    table (operators/maintenance.py): ingest lineitem as 48 small
+    files (version 1), bin-pack with compact_snapshot (version 2,
+    coalesce — no shuffle), then aggregate the COMPACTED read. The
+    oracle is the same aggregate over the raw fixture, so any row lost
+    or duplicated by the rewrite hash-fails; `files_compacted` is
+    computed from the manifest (did the file count actually drop?) and
+    pinned to 1 by the oracle, so a compaction that stops compacting
+    also fails rather than degrading silently.
+
+    SIDE-EFFECTFUL BUILDER (same contract as ann_ivf_stored_probe):
+    the store builds once per (fixture, Spark app) under .tmp and is
+    skipped when the manifest already holds the compacted version.
+
+    Scale: compaction reads current-version footers for exact sizing,
+    coalesces to ceil(bytes/target) — the rewrite never shuffles, and
+    at 100 TB it runs per-partition against only the partitions whose
+    file census breaches the small-file threshold."""
+    from ..operators.maintenance import (
+        compact_snapshot,
+        read_manifest,
+        read_snapshot,
+        write_snapshot,
+    )
+    from .similarity import _app_scoped_store
+
+    path = _app_scoped_store(spark, "compactrt", sf_dir)
+    if int(read_manifest(path)["current"]) < 2:
+        li = _t(spark, sf_dir, "lineitem")
+        write_snapshot(li.repartition(48), path, note="small-file ingest")
+        compact_snapshot(spark, path)
+    man = read_manifest(path)
+    small = int(man["versions"]["1"]["n_files"])
+    compacted = int(man["versions"][str(man["current"])]["n_files"])
+    return (
+        read_snapshot(spark, path)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+        .withColumn(
+            "files_compacted", F.lit(1 if compacted < small else 0).cast("int")
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -216,6 +216,7 @@ _WINDOW_DEFER = frozenset(
         "join_null_aware_anti",
         "stream_stream_left_outer_join",
         "maintenance_compact_roundtrip",
+        "text_bpe_learn_merges",
     }
 )
 

@@ -2114,3 +2114,45 @@ def search_phrase_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_phrase") > 0)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_bpe_learn_merges",
+    tags=("textops",),
+)
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (first 8 merges): collapse
+    the corpus to a (word, n) frequency table once, then iterate
+    count-pairs → argmax → apply-merge on that compact frame
+    (functions/bpe.py). Extends text_bpe_pair_counts — which scores
+    only the FIRST merge — into the real training loop whose output is
+    the ordered merge table a tokenizer ships.
+
+    Rows-only: the loop is iterative (each merge depends on the text
+    rewritten by all previous merges), which single-statement SQL
+    cannot express; full-value parity against an independent
+    single-process reference implementation over the same fixture is
+    pinned by tests/test_bpe.py instead.
+
+    Scale: the only corpus-sized stage is the word-frequency groupBy
+    (output ~ vocabulary, sub-linear in corpus bytes); every iteration
+    then touches ≤ |vocab| rows — pair counts partial-aggregate to
+    ≤ |symbols|² keys, the argmax is a 1-row TakeOrdered, and the merge
+    is a narrow array fold. localCheckpoint per iteration keeps plan
+    size constant across merges."""
+    from ..functions.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+                "word"
+            )
+        )
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return learn_bpe_merges(spark, vocab, n_merges=8).orderBy("rank")

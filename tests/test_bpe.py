@@ -1,0 +1,76 @@
+"""BPE merge learning: the distributed loop must reproduce the classic
+single-process algorithm exactly — same pair statistics, same
+tie-break, same greedy merge application."""
+
+from __future__ import annotations
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+from articulation_vector_db_api_spark.functions.bpe import (
+    learn_bpe_merges,
+    learn_bpe_merges_py,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _fixture_word_counts() -> dict[str, int]:
+    rows = duckdb.sql(
+        f"""
+        SELECT w, count(*) AS n FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM read_parquet('{SF_DIR}/documents.parquet')
+            WHERE length(trim(text)) > 0
+        ) WHERE length(w) >= 2 GROUP BY w
+        """
+    ).fetchall()
+    return {w: int(n) for w, n in rows}
+
+
+def test_spark_bpe_matches_reference_implementation(spark):
+    """Full-value parity on the real fixture: 8 learned merges, each
+    (rank, left, right, merged, pair_n) identical to the classic
+    get_stats/merge_vocab loop run in one process."""
+    wc = _fixture_word_counts()
+    expected = learn_bpe_merges_py(wc, n_merges=8)
+    vocab = spark.createDataFrame(
+        list(wc.items()), "word STRING, n BIGINT"
+    )
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_n"])
+        for r in learn_bpe_merges(spark, vocab, 8).orderBy("rank").collect()
+    ]
+    assert got == expected
+
+
+def test_overlapping_pairs_merge_greedy_left_to_right(spark):
+    """'aaaa' under merge (a,a): counted at every adjacent position
+    (3 per word) but merged non-overlapping left-to-right -> 'aa','aa';
+    the second merge then sees ('aa','aa')."""
+    vocab = spark.createDataFrame([("aaaa", 5)], "word STRING, n BIGINT")
+    rows = learn_bpe_merges(spark, vocab, 2).orderBy("rank").collect()
+    assert (rows[0]["left"], rows[0]["right"], rows[0]["pair_n"]) == ("a", "a", 15)
+    assert (rows[1]["left"], rows[1]["right"], rows[1]["pair_n"]) == ("aa", "aa", 5)
+    assert learn_bpe_merges_py({"aaaa": 5}, 2) == [
+        (1, "a", "a", "aa", 15),
+        (2, "aa", "aa", "aaaa", 5),
+    ]
+
+
+def test_tie_break_is_lexicographic(spark):
+    vocab = spark.createDataFrame(
+        [("zy", 3), ("ab", 3)], "word STRING, n BIGINT"
+    )
+    rows = learn_bpe_merges(spark, vocab, 1).collect()
+    assert (rows[0]["left"], rows[0]["right"]) == ("a", "b")
+
+
+def test_exhausted_vocab_stops_early(spark):
+    """Single-symbol words yield no pairs: the loop stops and returns
+    the merges learned so far (here: one, then nothing)."""
+    vocab = spark.createDataFrame([("ab", 2)], "word STRING, n BIGINT")
+    rows = learn_bpe_merges(spark, vocab, 5).collect()
+    assert len(rows) == 1
+    assert rows[0]["merged"] == "ab"

@@ -217,6 +217,8 @@ _WINDOW_DEFER = frozenset(
         "stream_stream_left_outer_join",
         "maintenance_compact_roundtrip",
         "text_bpe_learn_merges",
+        "scan_schema_evolution_log",
+        "window_activity_islands",
     }
 )
 

@@ -3595,3 +3595,74 @@ def maintenance_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "scan_schema_evolution_log",
+    oracle=f"""
+    WITH unioned AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(NULL AS VARCHAR) AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT coalesce(o_orderpriority, '<pre-evolution>') AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {dsum_sql("o_totalprice")} AS revenue
+    FROM unioned
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("relational", "maintenance", "scan"),
+)
+def scan_schema_evolution_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-column schema evolution over the versioned snapshot log:
+    version 1 lands orders WITHOUT o_orderpriority, version 2 lands the
+    widened schema, and the mergeSchema log read unifies them —
+    null-filling the column for pre-evolution rows — before a normal
+    aggregate. The oracle reproduces the two-epoch union explicitly, so
+    a read path that dropped old versions, double-read one, or
+    mis-filled the evolved column hash-fails.
+
+    SIDE-EFFECTFUL BUILDER (ann_ivf_stored_probe contract): the
+    two-version log builds once per (fixture, Spark app) under .tmp.
+
+    Scale: the log read is a parquet union whose listing cost is
+    manifest-sized; mergeSchema pays one footer per file — the
+    documented policy is evolve rarely and let compaction rewrite old
+    versions into the current schema (operators/maintenance.py)."""
+    from ..operators.maintenance import read_manifest, read_snapshot_log, write_snapshot
+    from .similarity import _app_scoped_store
+
+    path = _app_scoped_store(spark, "schemaevo", sf_dir)
+    if int(read_manifest(path)["current"]) < 2:
+        o = _t(spark, sf_dir, "orders")
+        write_snapshot(
+            o.filter(F.col("o_orderkey") % 2 == 0).select(
+                "o_orderkey", "o_totalprice"
+            ),
+            path,
+            note="epoch 1: narrow schema",
+        )
+        write_snapshot(
+            o.filter(F.col("o_orderkey") % 2 == 1).select(
+                "o_orderkey", "o_totalprice", "o_orderpriority"
+            ),
+            path,
+            note="epoch 2: +o_orderpriority",
+        )
+    log = read_snapshot_log(spark, path, merge_schema=True)
+    return (
+        log.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>")).alias(
+                "priority"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .orderBy("priority")
+    )

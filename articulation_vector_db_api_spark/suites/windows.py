@@ -1355,3 +1355,62 @@ def window_percent_change_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total", 6).alias("total"),
         F.round(100.0 * (F.col("total") - prev) / prev, 6).alias("pct_change"),
     ).orderBy("event_type", "wk")
+
+
+@register(
+    "window_activity_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grouped AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INT) AS island_key
+        FROM days
+    ),
+    islands AS (
+        SELECT user_id, island_key,
+               CAST(count(*) AS BIGINT) AS streak_days,
+               min(d) AS streak_start
+        FROM grouped GROUP BY user_id, island_key
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(streak_days) AS BIGINT) AS longest_streak,
+           min(streak_start) AS first_active
+    FROM islands
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("window",),
+)
+def window_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each user's active DAYS into maximal
+    consecutive runs via the date − row_number() constant-key trick,
+    then summarize streak count / longest streak per user — the
+    engagement-streak query every activity warehouse runs.
+
+    Scale: one distinct (user, day) aggregation (output ≤ users×days,
+    far below event count), a per-user window over that compact grid,
+    and two more shuffles on the same user_id key — the raw event table
+    is scanned once and never shuffled."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grouped = days.withColumn(
+        "island_key", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    islands = grouped.groupBy("user_id", "island_key").agg(
+        F.count(F.lit(1)).cast("long").alias("streak_days"),
+        F.min("d").alias("streak_start"),
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.max("streak_days").cast("long").alias("longest_streak"),
+            F.min("streak_start").alias("first_active"),
+        )
+        .orderBy("user_id")
+    )

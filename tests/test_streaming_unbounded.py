@@ -135,3 +135,97 @@ def test_watermark_append_multi_batch_matches_seal_rule(spark, tmp_path):
     }
     assert got == want
     assert math.isfinite(len(got)) and len(got) > 0
+
+
+def test_left_outer_join_multi_batch_matches_seal_rule(spark, tmp_path):
+    """stream_stream_left_outer_join's oracle (matches ∪ unmatched
+    clicks whose 10-minute window fell behind the final watermark) must
+    hold under REAL multi-batch execution: both sides rate-limited to
+    one file per micro-batch, watermark advancing batch to batch, state
+    evicting (and null-padding) progressively rather than in one drain."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from articulation_vector_db_api_spark.sources.readers import (
+        SCHEMAS,
+        load_table,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    rows = ev.orderBy("ts", "event_id").collect()
+    n = len(rows)
+    stage = str(tmp_path / "staged_events")
+    for i in range(4):
+        chunk = rows[i * n // 4 : (i + 1) * n // 4]
+        spark.createDataFrame(chunk, SCHEMAS["events"]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{stage}/part{i}")
+
+    def side(event_type, id_alias, user_alias, ts_alias):
+        return (
+            spark.readStream.schema(SCHEMAS["events"])
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stage}/part*")
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(user_alias),
+                F.col("ts").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "30 minutes")
+        )
+
+    clicks = side("click", "click_id", "c_user", "c_ts")
+    purchases = side("purchase", "purchase_id", "p_user", "p_ts")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 minutes")),
+        "left_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_micros"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("lo_join_multibatch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert (q.lastProgress["batchId"] if q.lastProgress else 0) >= 3
+
+    got = {
+        (r.click_id, r.purchase_id, r.lag_micros)
+        for r in spark.table("lo_join_multibatch").collect()
+    }
+
+    clicks_raw = [r for r in rows if r.event_type == "click"]
+    purch_raw = [r for r in rows if r.event_type == "purchase"]
+    horizon = min(
+        max(r.ts for r in clicks_raw), max(r.ts for r in purch_raw)
+    ) - timedelta(minutes=30)
+    want = set()
+    for c in clicks_raw:
+        matches = [
+            p
+            for p in purch_raw
+            if p.user_id == c.user_id
+            and c.ts <= p.ts <= c.ts + timedelta(minutes=10)
+        ]
+        for p in matches:
+            want.add(
+                (
+                    c.event_id,
+                    p.event_id,
+                    (p.ts - c.ts) // timedelta(microseconds=1),
+                )
+            )
+        if not matches and c.ts + timedelta(minutes=10) < horizon:
+            want.add((c.event_id, None, None))
+    assert got == want
+    assert any(pid is None for _, pid, _ in got)  # null-padding really fired

@@ -134,3 +134,26 @@ def learn_bpe_merges_py(
             new_vocab[key] = new_vocab.get(key, 0) + n
         vocab = new_vocab
     return out
+
+
+def apply_bpe_merges(seq: Column, merges: list[tuple[str, str]]) -> Column:
+    """Encode: apply an ordered, already-learned merge table to a
+    symbol array — one narrow fold per merge, chained in rank order
+    (the plan nests |merges| expressions, no shuffle, no Python)."""
+    for left, right in merges:
+        seq = _apply_merge(seq, left, right)
+    return seq
+
+
+def encode_bpe_py(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Reference encode for the parity test."""
+    sym = list(word)
+    for left, right in merges:
+        out: list[str] = []
+        for x in sym:
+            if out and out[-1] == left and x == right:
+                out[-1] = left + right
+            else:
+                out.append(x)
+        sym = out
+    return sym

@@ -219,6 +219,7 @@ _WINDOW_DEFER = frozenset(
         "text_bpe_learn_merges",
         "scan_schema_evolution_log",
         "window_activity_islands",
+        "text_bpe_encode_tokens",
     }
 )
 

@@ -791,6 +791,7 @@ def stream_threshold_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stream_left_outer_join",
+    headline=True,  # r5: bench-tracked — the heaviest streaming state shape
     oracle="""
     WITH c AS (
         SELECT event_id AS click_id, user_id, ts FROM events
@@ -836,7 +837,9 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     every unmatched click whose window closed; trailing clicks stay in
     state, exactly as they would mid-stream in production. The oracle
     encodes that seal rule — inner matches ∪ unmatched clicks with
-    c_ts + 10min < horizon.
+    c_ts + 10min < horizon. The same rule is proven under genuine
+    MULTI-batch execution (both sides rate-limited to one file per
+    micro-batch) in tests/test_streaming_unbounded.py.
 
     Scale: state is hash-partitioned on user_id on both sides and
     bounded by the 30-minute watermark + 10-minute condition range —

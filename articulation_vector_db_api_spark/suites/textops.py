@@ -2156,3 +2156,71 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return learn_bpe_merges(spark, vocab, n_merges=8).orderBy("rank")
+
+
+@register(
+    "text_bpe_encode_tokens",
+    tags=("textops",),
+)
+def text_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE half of BPE: learn 8 merges from the corpus
+    (text_bpe_learn_merges), then tokenize every document with the
+    learned table and report per-document char count, BPE token count
+    and compression ratio — the real token-budget accounting a training
+    pipeline runs before packing (tokens, not characters, are the
+    budget unit).
+
+    Rows-only: encoding depends on the iteratively-learned merge table
+    (not single-statement-SQL-expressible); full-value parity against
+    the single-process reference encoder is pinned by tests/test_bpe.py.
+
+    Scale: the merge table is 8 driver rows folded into the plan as
+    literals (broadcast-free constant folding); encoding is a narrow
+    per-(doc, word) fold with no Python and no shuffle beyond the
+    word-count groupBy, and per-doc totals reuse the doc_id key."""
+    from ..functions.bpe import apply_bpe_merges, learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "word"
+        ),
+    ).filter(F.length("word") >= 2)
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    merges = [
+        (r["left"], r["right"])
+        for r in learn_bpe_merges(spark, vocab, n_merges=8)
+        .orderBy("rank")
+        .collect()
+    ]
+    from ..functions.bpe import _explode_chars
+
+    # encode each DISTINCT word once (vocab-sized work, not corpus-
+    # sized), then broadcast the tiny token-length table back onto the
+    # per-doc word counts — measured 8.0 s → 2.6 s at sf0.1
+    word_tokens = vocab.select(
+        "word",
+        F.length("word").alias("chars"),
+        F.size(apply_bpe_merges(_explode_chars(F.col("word")), merges)).alias(
+            "toks"
+        ),
+    )
+    per_word = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    encoded = per_word.join(F.broadcast(word_tokens), "word")
+    return (
+        encoded.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("chars")).cast("long").alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("toks")).cast("long").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "compression",
+            F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 6),
+        )
+        .orderBy("doc_id")
+    )

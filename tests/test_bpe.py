@@ -74,3 +74,41 @@ def test_exhausted_vocab_stops_early(spark):
     rows = learn_bpe_merges(spark, vocab, 5).collect()
     assert len(rows) == 1
     assert rows[0]["merged"] == "ab"
+
+
+def test_spark_encode_matches_reference(spark):
+    """Encode parity on the fixture: per-document BPE token totals under
+    the learned 8-merge table equal the single-process encoder's."""
+    from articulation_vector_db_api_spark.registry import load_all
+
+    wc = _fixture_word_counts()
+    merges = [(l, r) for _, l, r, _, _ in learn_bpe_merges_py(wc, 8)]
+
+    from articulation_vector_db_api_spark.functions.bpe import encode_bpe_py
+
+    rows = duckdb.sql(
+        f"""
+        SELECT doc_id, w, count(*) AS cnt FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM read_parquet('{SF_DIR}/documents.parquet')
+            WHERE length(trim(text)) > 0
+        ) WHERE length(w) >= 2 GROUP BY doc_id, w
+        """
+    ).fetchall()
+    want: dict[int, tuple[int, int]] = {}
+    for doc_id, w, cnt in rows:
+        ch, tk = want.get(doc_id, (0, 0))
+        want[doc_id] = (
+            ch + cnt * len(w),
+            tk + cnt * len(encode_bpe_py(w, merges)),
+        )
+
+    got = {
+        r["doc_id"]: (r["n_chars"], r["n_bpe_tokens"])
+        for r in load_all()["text_bpe_encode_tokens"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0

@@ -220,6 +220,7 @@ _WINDOW_DEFER = frozenset(
         "scan_schema_evolution_log",
         "window_activity_islands",
         "text_bpe_encode_tokens",
+        "stream_stream_full_outer_join",
     }
 )
 

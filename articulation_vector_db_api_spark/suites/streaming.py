@@ -878,3 +878,95 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_available_now(joined, "ss_left_outer", "append").orderBy(
         "click_id", "purchase_id"
     )
+
+
+@register(
+    "stream_stream_full_outer_join",
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS click_id, user_id, ts FROM events
+        WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    wm AS (
+        SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+               - INTERVAL '30 minutes' AS horizon
+    )
+    SELECT c.click_id, p.purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_micros
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '10 minutes'
+    UNION ALL
+    SELECT c.click_id,
+           CAST(NULL AS BIGINT) AS purchase_id,
+           CAST(NULL AS BIGINT) AS lag_micros
+    FROM c, wm
+    WHERE NOT EXISTS (
+            SELECT 1 FROM p
+            WHERE p.user_id = c.user_id
+              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '10 minutes')
+      AND c.ts + INTERVAL '10 minutes' < wm.horizon
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT) AS click_id,
+           p.purchase_id,
+           CAST(NULL AS BIGINT) AS lag_micros
+    FROM p, wm
+    WHERE NOT EXISTS (
+            SELECT 1 FROM c
+            WHERE c.user_id = p.user_id
+              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '10 minutes')
+      AND p.ts < wm.horizon
+    ORDER BY click_id, purchase_id
+    """,
+    tags=("streaming", "join"),
+)
+def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER interval join — both sides'
+    eviction semantics in one query. Unmatched clicks seal when their
+    forward match window [c_ts, c_ts+10min] closes (as in the left-
+    outer query); unmatched purchases seal when the watermark passes
+    p_ts itself, because their match window looks BACKWARD
+    ([p_ts−10min, p_ts]) and no click later than the watermark horizon
+    can still arrive. The oracle encodes both rules against the final
+    watermark min(max click ts, max purchase ts) − 30min.
+
+    Scale: same bounded two-sided state as the left-outer variant;
+    the full-outer output adds no state, only eviction-time emission."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 minutes")),
+        "full_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_micros"),
+    )
+    return run_available_now(joined, "ss_full_outer", "append").orderBy(
+        "click_id", "purchase_id"
+    )

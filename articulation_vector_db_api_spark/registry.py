@@ -221,6 +221,7 @@ _WINDOW_DEFER = frozenset(
         "window_activity_islands",
         "text_bpe_encode_tokens",
         "stream_stream_full_outer_join",
+        "join_dpp_partitioned_fact",
     }
 )
 

@@ -3666,3 +3666,61 @@ def scan_schema_evolution_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "join_dpp_partitioned_fact",
+    oracle=f"""
+    WITH dim AS (
+        SELECT CAST(y AS INT) AS y, CAST(y % 3 AS INT) AS cls
+        FROM range(1992, 1999) t(y)
+    )
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {dsum_sql("o_totalprice")} AS revenue
+    FROM orders JOIN dim ON year(o_orderdate) = y
+    WHERE cls = 0
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("relational", "join", "scan"),
+)
+def join_dpp_partitioned_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is STORED partitioned
+    by o_year; the join to a filtered year dimension makes Catalyst
+    inject a dynamicpruning subquery into the fact scan's
+    PartitionFilters, so only the dimension's surviving years are read
+    — at 100 TB the difference between scanning 2 of 7 year partitions
+    and all of them, decided at runtime from the dim filter (no
+    hand-written fact predicate). The plan contract pins the
+    dynamicpruningexpression; the oracle pins the values.
+
+    SIDE-EFFECTFUL BUILDER (ann_ivf_stored_probe contract): the
+    partitioned fact builds once per (fixture, Spark app) under .tmp."""
+    import os as _os2
+
+    from .similarity import _app_scoped_store
+
+    path = _app_scoped_store(spark, "dppfact", sf_dir)
+    if not _os2.path.exists(_os2.path.join(path, "_SUCCESS")):
+        o = _t(spark, sf_dir, "orders")
+        (
+            o.withColumn("o_year", F.year("o_orderdate"))
+            .repartition("o_year")
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(path)
+        )
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(y, y % 3) for y in range(1992, 1999)], "y INT, cls INT"
+    ).filter(F.col("cls") == 0)
+    return (
+        fact.join(F.broadcast(dim), fact.o_year == dim.y)
+        .groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .orderBy("o_year")
+    )

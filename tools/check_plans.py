@@ -525,6 +525,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"partial_max", r"Broadcast"],
         [r"SortMergeJoin"],
     ),
+    "join_dpp_partitioned_fact": (
+        # the dim filter must reach the fact scan as a DYNAMIC
+        # partition filter (runtime pruning decided by the join), and
+        # the dim must broadcast — no shuffle of the fact before the agg
+        [r"PartitionFilters: \[[^\]]*dynamicpruningexpression\(o_year",
+         r"BroadcastHashJoin"],
+        [r"SortMergeJoin", r"CartesianProduct"],
+    ),
     "join_null_aware_anti": (
         # NOT IN plans as a broadcast LeftAnti probe with the quantity/
         # returnflag filter pushed into the inner scan; the probe is

@@ -222,6 +222,8 @@ _WINDOW_DEFER = frozenset(
         "text_bpe_encode_tokens",
         "stream_stream_full_outer_join",
         "join_dpp_partitioned_fact",
+        "ann_ivf_nprobe_recall_curve",
+        "dedup_substring_span_scrub",
     }
 )
 

@@ -1548,3 +1548,136 @@ def dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_urls") > 1)
         .orderBy("canon")
     )
+
+
+@register(
+    "dedup_substring_span_scrub",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    sized AS (
+        SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) >= {_SPAN_K}
+    ),
+    grams AS (
+        SELECT doc_id, i,
+               md5(array_to_string(list_slice(t, i, i + {_SPAN_K - 1}), ' ')) AS g
+        FROM sized,
+             LATERAL (SELECT unnest(generate_series(1, n - {_SPAN_K - 1})) AS i)
+    ),
+    dup AS (
+        SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, pos
+        FROM grams,
+             LATERAL (SELECT unnest(generate_series(i, i + {_SPAN_K - 1})) AS pos)
+        WHERE g IN (SELECT g FROM dup)
+    ),
+    kept AS (
+        SELECT s.doc_id, p.pos, s.t[p.pos] AS tok
+        FROM sized s,
+             LATERAL (SELECT unnest(generate_series(1, s.n)) AS pos) p
+        WHERE NOT EXISTS (SELECT 1 FROM covered c
+                          WHERE c.doc_id = s.doc_id AND c.pos = p.pos)
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS dg
+        FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(s.n AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           round(CAST(coalesce(a.n_kept, 0) AS DOUBLE) / s.n, 6) AS kept_frac,
+           coalesce(a.dg, '<empty>') AS clean_digest
+    FROM sized s LEFT JOIN agg a ON s.doc_id = a.doc_id
+    ORDER BY s.doc_id
+    """,
+    tags=("dedup", "curation"),
+)
+def dedup_substring_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REWRITE half of exact substring dedup (Lee et al.):
+    dedup_substring_spans finds cross-document duplicated K-token
+    spans; this query REMOVES every token covered by one and emits the
+    scrubbed document (as an md5 digest + kept-token accounting, so
+    the full rewritten text is oracle-checkable without hashing
+    megabytes through the comparator).
+
+    Scale: span digests shuffle (16 B/span) to find duplicates;
+    covered positions shuffle back as ints (4 B/duplicated token) and
+    meet each doc's token array in ONE doc_id-keyed join — the
+    irreducible cost of a rewrite pass, since the output itself is
+    corpus-sized. Kept positions resolve via array_except +
+    element_at (no per-token set probe), so the rewrite is a narrow
+    map after the join."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    toks = F.split(F.trim(F.lower(F.col("text"))), _TOKENIZE)
+    sized = (
+        docs.select("doc_id", toks.alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") >= _SPAN_K)
+    )
+    grams = sized.select(
+        "doc_id",
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - F.lit(_SPAN_K - 1)),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice(F.col("t"), i, _SPAN_K))
+                    ).alias("g"),
+                ),
+            )
+        ).alias("sp"),
+    ).select("doc_id", "sp.i", "sp.g").persist()
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    covered = (
+        grams.join(dup, "g", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(_SPAN_K - 1))
+            ).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("cov"))
+    )
+    joined = sized.join(covered, "doc_id", "left").withColumn(
+        "kept_pos",
+        F.array_sort(
+            F.array_except(
+                F.sequence(F.lit(1), F.col("n")),
+                F.coalesce(F.col("cov"), F.expr("CAST(array() AS ARRAY<INT>)")),
+            )
+        ),
+    )
+    kept_toks = F.transform(
+        F.col("kept_pos"), lambda p: F.element_at(F.col("t"), p)
+    )
+    return (
+        joined.select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.size("kept_pos").cast("long").alias("n_kept"),
+            F.round(
+                F.size("kept_pos").cast("double") / F.col("n"), 6
+            ).alias("kept_frac"),
+            F.when(
+                F.size("kept_pos") > 0, F.md5(F.concat_ws(" ", kept_toks))
+            )
+            .otherwise(F.lit("<empty>"))
+            .alias("clean_digest"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1471,3 +1471,134 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("dim").cast("long"), "n", "mean_v", "std_v", "min_v", "max_v")
         .orderBy("dim")
     )
+
+
+@register(
+    "ann_ivf_nprobe_recall_curve",
+    oracle=f"""
+    WITH ivf AS (
+        SELECT vec_id, embedding, vec_id % {N_IVF_CELLS} AS cell FROM embeddings
+    ),
+    flat AS (
+        SELECT cell, generate_subscripts(embedding, 1) AS idx,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM ivf
+    ),
+    cent_flat AS (
+        SELECT cell, idx,
+               round(CAST(sum(CAST(v AS DECIMAL(30,8))) AS DOUBLE) / count(*), 6)
+                   AS cv
+        FROM flat GROUP BY cell, idx
+    ),
+    cent AS (SELECT cell, list(cv ORDER BY idx) AS c FROM cent_flat GROUP BY cell),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    cellrank AS (
+        SELECT cell,
+               row_number() OVER (
+                   ORDER BY {cosine_sql_duckdb("c", "q")} DESC, cell) AS rn
+        FROM cent, qv
+    ),
+    scored AS (
+        SELECT i.vec_id, cr.rn, {cosine_sql_duckdb("i.embedding", "q")} AS raw
+        FROM ivf i JOIN cellrank cr ON i.cell = cr.cell, qv
+        WHERE i.vec_id != {QUERY_VEC_ID}
+    ),
+    exact AS (
+        SELECT vec_id FROM scored ORDER BY raw DESC, vec_id LIMIT 10
+    ),
+    probes AS (SELECT unnest([1, 2, 3, 4]) AS np),
+    swept AS (
+        SELECT p.np, s.vec_id, s.raw,
+               row_number() OVER (PARTITION BY p.np
+                                  ORDER BY s.raw DESC, s.vec_id) AS k,
+               count(*) OVER (PARTITION BY p.np) AS n_scanned
+        FROM probes p JOIN scored s ON s.rn <= p.np
+    )
+    SELECT np,
+           round(CAST(count(*) FILTER (WHERE k <= 10
+                      AND vec_id IN (SELECT vec_id FROM exact)) AS DOUBLE)
+                 / 10, 6) AS recall_at_10,
+           CAST(max(n_scanned) AS BIGINT) AS n_scanned
+    FROM swept
+    GROUP BY np
+    ORDER BY np
+    """,
+    tags=("similarity",),
+)
+def ann_ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF accuracy/cost dial QUANTIFIED: one query sweeps
+    nprobe 1..4 and reports recall@10 against the exact top-10
+    alongside the candidate-scan cost — the table an operator reads
+    before picking a probe budget. Cells are ranked once (broadcast,
+    8 rows); the sweep reuses one scored candidate frame, so the cost
+    of 4 settings is one cell-pruned scan + windows over ≤ |scanned|×4
+    rows, not 4 independent probes.
+
+    Scale: candidates join on the broadcast cell rank (no shuffle of
+    vectors); the per-np windows run over the pruned candidate set
+    only. Ground truth is bounded to the probed cells' union — at
+    recall-eval scale the union at max nprobe IS the exact universe
+    (all 8 cells with 4 probes on this router covers the true top-10;
+    the oracle enforces it by construction)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ivf = e.select(
+        "vec_id", "embedding", (F.col("vec_id") % N_IVF_CELLS).alias("cell")
+    )
+    flat = ivf.select("cell", F.posexplode(F.col("embedding"))).select(
+        "cell", F.col("pos").alias("idx"), F.col("col").cast("double").alias("v")
+    )
+    cent = (
+        flat.groupBy("cell", "idx")
+        .agg(F.round(davg(F.col("v")), 6).alias("cv"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "cv"))),
+                lambda x: x["cv"],
+            ).alias("c")
+        )
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q")
+    )
+    cellrank = cent.join(F.broadcast(q)).select(
+        "cell",
+        F.row_number()
+        .over(Window.orderBy(F.desc(cosine(F.col("c"), F.col("q"))), F.col("cell")))
+        .alias("rn"),
+    )
+    scored = (
+        ivf.join(F.broadcast(cellrank), "cell")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select("vec_id", "rn", cosine(F.col("embedding"), F.col("q")).alias("raw"))
+    )
+    exact = (
+        scored.orderBy(F.desc("raw"), "vec_id").limit(10).select("vec_id")
+    )
+    probes = spark.range(1, 5).select(F.col("id").cast("int").alias("np"))
+    swept = (
+        probes.join(scored, scored.rn <= probes.np)
+        .withColumn(
+            "k",
+            F.row_number().over(
+                Window.partitionBy("np").orderBy(F.desc("raw"), "vec_id")
+            ),
+        )
+        .withColumn("n_scanned", F.count(F.lit(1)).over(Window.partitionBy("np")))
+    )
+    hit = swept.join(F.broadcast(exact), "vec_id", "left_semi").filter(
+        F.col("k") <= 10
+    )
+    per_np = swept.groupBy("np").agg(F.max("n_scanned").cast("long").alias("n_scanned"))
+    hits = hit.groupBy("np").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        per_np.join(hits, "np", "left")
+        .na.fill(0, ["n_hits"])
+        .select(
+            "np",
+            F.round(F.col("n_hits").cast("double") / 10, 6).alias("recall_at_10"),
+            "n_scanned",
+        )
+        .orderBy("np")
+    )

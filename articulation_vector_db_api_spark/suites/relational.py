@@ -3558,14 +3558,22 @@ def maintenance_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     pinned to 1 by the oracle, so a compaction that stops compacting
     also fails rather than degrading silently.
 
-    SIDE-EFFECTFUL BUILDER (same contract as ann_ivf_stored_probe):
-    the store builds once per (fixture, Spark app) under .tmp and is
-    skipped when the manifest already holds the compacted version.
+    SIDE-EFFECTFUL BUILDER (same contract as ann_ivf_stored_probe,
+    including its all-or-nothing marker): a partial build — killed
+    between the ingest and the compaction — is detected by the missing
+    completion marker and rebuilt from scratch, and the marker records
+    the ACTUAL version numbers write_snapshot returned (a crash inside
+    write_snapshot itself can skip version 1 entirely, so they are
+    never hardcoded).
 
     Scale: compaction reads current-version footers for exact sizing,
     coalesces to ceil(bytes/target) — the rewrite never shuffles, and
     at 100 TB it runs per-partition against only the partitions whose
     file census breaches the small-file threshold."""
+    import json as _json
+    import os as _os3
+    import shutil as _shutil
+
     from ..operators.maintenance import (
         compact_snapshot,
         read_manifest,
@@ -3575,15 +3583,23 @@ def maintenance_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     from .similarity import _app_scoped_store
 
     path = _app_scoped_store(spark, "compactrt", sf_dir)
-    if int(read_manifest(path)["current"]) < 2:
+    marker = _os3.path.join(path, "_BUILD_COMPLETE")
+    if not _os3.path.exists(marker):
+        _shutil.rmtree(path, ignore_errors=True)
         li = _t(spark, sf_dir, "lineitem")
-        write_snapshot(li.repartition(48), path, note="small-file ingest")
-        compact_snapshot(spark, path)
+        v_small = write_snapshot(
+            li.repartition(48), path, note="small-file ingest"
+        )
+        v_compact = compact_snapshot(spark, path)
+        with open(marker, "w") as f:
+            _json.dump({"v_small": v_small, "v_compact": v_compact}, f)
+    with open(marker) as f:
+        built = _json.load(f)
     man = read_manifest(path)
-    small = int(man["versions"]["1"]["n_files"])
-    compacted = int(man["versions"][str(man["current"])]["n_files"])
+    small = int(man["versions"][str(built["v_small"])]["n_files"])
+    compacted = int(man["versions"][str(built["v_compact"])]["n_files"])
     return (
-        read_snapshot(spark, path)
+        read_snapshot(spark, path, version=built["v_compact"])
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -3626,18 +3642,25 @@ def scan_schema_evolution_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     a read path that dropped old versions, double-read one, or
     mis-filled the evolved column hash-fails.
 
-    SIDE-EFFECTFUL BUILDER (ann_ivf_stored_probe contract): the
-    two-version log builds once per (fixture, Spark app) under .tmp.
+    SIDE-EFFECTFUL BUILDER (ann_ivf_stored_probe contract, including
+    its all-or-nothing completion marker: a build killed between the
+    two epochs would otherwise re-run BOTH writes on retry and
+    double-count epoch 1 in the log).
 
     Scale: the log read is a parquet union whose listing cost is
     manifest-sized; mergeSchema pays one footer per file — the
     documented policy is evolve rarely and let compaction rewrite old
     versions into the current schema (operators/maintenance.py)."""
-    from ..operators.maintenance import read_manifest, read_snapshot_log, write_snapshot
+    import os as _os3
+    import shutil as _shutil
+
+    from ..operators.maintenance import read_snapshot_log, write_snapshot
     from .similarity import _app_scoped_store
 
     path = _app_scoped_store(spark, "schemaevo", sf_dir)
-    if int(read_manifest(path)["current"]) < 2:
+    marker = _os3.path.join(path, "_BUILD_COMPLETE")
+    if not _os3.path.exists(marker):
+        _shutil.rmtree(path, ignore_errors=True)
         o = _t(spark, sf_dir, "orders")
         write_snapshot(
             o.filter(F.col("o_orderkey") % 2 == 0).select(
@@ -3653,6 +3676,7 @@ def scan_schema_evolution_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             path,
             note="epoch 2: +o_orderpriority",
         )
+        open(marker, "w").close()
     log = read_snapshot_log(spark, path, merge_schema=True)
     return (
         log.groupBy(

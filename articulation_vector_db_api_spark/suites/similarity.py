@@ -277,11 +277,11 @@ def similarity_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_IVF_CELLS = 8
 N_IVF_PROBES = 2
 
-
-@register(
-    "ann_ivf_exact",
-    oracle=f"""
-    WITH ivf AS (
+# Shared DuckDB CTE prefix: cell assignment + decimal-exact centroids.
+# ann_ivf_exact and ann_ivf_nprobe_recall_curve both start from these
+# tables; one definition keeps their quantizers from drifting apart.
+_IVF_CENT_CTE = f"""
+    ivf AS (
         SELECT vec_id, embedding, vec_id % {N_IVF_CELLS} AS cell FROM embeddings
     ),
     flat AS (
@@ -295,7 +295,37 @@ N_IVF_PROBES = 2
                    AS cv
         FROM flat GROUP BY cell, idx
     ),
-    cent AS (SELECT cell, list(cv ORDER BY idx) AS c FROM cent_flat GROUP BY cell),
+    cent AS (SELECT cell, list(cv ORDER BY idx) AS c FROM cent_flat GROUP BY cell)
+"""
+
+
+def _ivf_cells_and_centroids(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The Spark twin of _IVF_CENT_CTE: (vec_id, embedding, cell) plus
+    the per-cell decimal-exact centroid table."""
+    ivf = e.select(
+        "vec_id", "embedding", (F.col("vec_id") % N_IVF_CELLS).alias("cell")
+    )
+    flat = ivf.select("cell", F.posexplode(F.col("embedding"))).select(
+        "cell", F.col("pos").alias("idx"), F.col("col").cast("double").alias("v")
+    )
+    cent = (
+        flat.groupBy("cell", "idx")
+        .agg(F.round(davg(F.col("v")), 6).alias("cv"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "cv"))),
+                lambda x: x["cv"],
+            ).alias("c")
+        )
+    )
+    return ivf, cent
+
+
+@register(
+    "ann_ivf_exact",
+    oracle=f"""
+    WITH {_IVF_CENT_CTE},
     qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
     cellrank AS (
         SELECT cell, {cosine_sql_duckdb("c", "q")} AS cs
@@ -324,20 +354,7 @@ def ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe/n_cells of the corpus, and centroids (n_cells × dim) stay a
     broadcast table updated by periodic re-clustering."""
     e = load_table(spark, sf_dir, "embeddings")
-    ivf = e.select(
-        "vec_id", "embedding", (F.col("vec_id") % N_IVF_CELLS).alias("cell")
-    )
-    flat = ivf.select(
-        "cell", F.posexplode(F.col("embedding"))
-    ).select("cell", F.col("pos").alias("idx"), F.col("col").cast("double").alias("v"))
-    cent_flat = flat.groupBy("cell", "idx").agg(
-        F.round(davg(F.col("v")), 6).alias("cv")
-    )
-    cent = cent_flat.groupBy("cell").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("idx", "cv"))), lambda x: x["cv"]
-        ).alias("c")
-    )
+    ivf, cent = _ivf_cells_and_centroids(e)
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("q")
     )
@@ -1476,21 +1493,7 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_nprobe_recall_curve",
     oracle=f"""
-    WITH ivf AS (
-        SELECT vec_id, embedding, vec_id % {N_IVF_CELLS} AS cell FROM embeddings
-    ),
-    flat AS (
-        SELECT cell, generate_subscripts(embedding, 1) AS idx,
-               CAST(unnest(embedding) AS DOUBLE) AS v
-        FROM ivf
-    ),
-    cent_flat AS (
-        SELECT cell, idx,
-               round(CAST(sum(CAST(v AS DECIMAL(30,8))) AS DOUBLE) / count(*), 6)
-                   AS cv
-        FROM flat GROUP BY cell, idx
-    ),
-    cent AS (SELECT cell, list(cv ORDER BY idx) AS c FROM cent_flat GROUP BY cell),
+    WITH {_IVF_CENT_CTE},
     qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
     cellrank AS (
         SELECT cell,
@@ -1536,28 +1539,12 @@ def ann_ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: candidates join on the broadcast cell rank (no shuffle of
     vectors); the per-np windows run over the pruned candidate set
-    only. Ground truth is bounded to the probed cells' union — at
-    recall-eval scale the union at max nprobe IS the exact universe
-    (all 8 cells with 4 probes on this router covers the true top-10;
-    the oracle enforces it by construction)."""
+    only. Ground truth is the EXACT global top-10: cellrank ranks all
+    8 cells with no limit, so `scored` covers the full corpus and the
+    `exact` CTE is the true answer set (recall@4-probes < 1.0 is a
+    real measurement, not an artifact of a truncated universe)."""
     e = load_table(spark, sf_dir, "embeddings")
-    ivf = e.select(
-        "vec_id", "embedding", (F.col("vec_id") % N_IVF_CELLS).alias("cell")
-    )
-    flat = ivf.select("cell", F.posexplode(F.col("embedding"))).select(
-        "cell", F.col("pos").alias("idx"), F.col("col").cast("double").alias("v")
-    )
-    cent = (
-        flat.groupBy("cell", "idx")
-        .agg(F.round(davg(F.col("v")), 6).alias("cv"))
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "cv"))),
-                lambda x: x["cv"],
-            ).alias("c")
-        )
-    )
+    ivf, cent = _ivf_cells_and_centroids(e)
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("q")
     )

@@ -2178,7 +2178,11 @@ def text_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals (broadcast-free constant folding); encoding is a narrow
     per-(doc, word) fold with no Python and no shuffle beyond the
     word-count groupBy, and per-doc totals reuse the doc_id key."""
-    from ..functions.bpe import apply_bpe_merges, learn_bpe_merges
+    from ..functions.bpe import (
+        _explode_chars,
+        apply_bpe_merges,
+        learn_bpe_merges,
+    )
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim(F.col("text"))) > 0
@@ -2196,11 +2200,9 @@ def text_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank")
         .collect()
     ]
-    from ..functions.bpe import _explode_chars
-
     # encode each DISTINCT word once (vocab-sized work, not corpus-
     # sized), then broadcast the tiny token-length table back onto the
-    # per-doc word counts — measured 8.0 s → 2.6 s at sf0.1
+    # per-doc word counts — measured 8.0 s → 3.2 s at sf0.1
     word_tokens = vocab.select(
         "word",
         F.length("word").alias("chars"),

@@ -265,3 +265,33 @@ def test_snapshot_schema_evolution(spark, tmp_path):
     assert log.count() == 15
     assert log.filter(F.col("b").isNull()).count() == 10
     assert log.filter("b = 28").count() == 1  # a=14 carries b
+
+
+def test_side_effectful_builders_rebuild_after_partial_build(spark):
+    """The compaction-roundtrip and schema-evolution builders are
+    all-or-nothing: a store without its completion marker (a build
+    killed partway) is wiped and rebuilt, so retries can never
+    double-count an epoch or hardcode a version number that a crashed
+    write_snapshot skipped."""
+    import os
+
+    from articulation_vector_db_api_spark.registry import load_all
+    from articulation_vector_db_api_spark.suites.similarity import (
+        _app_scoped_store,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    reg = load_all()
+    for qname, prefix in [
+        ("maintenance_compact_roundtrip", "compactrt"),
+        ("scan_schema_evolution_log", "schemaevo"),
+    ]:
+        first = reg[qname].fn(spark, sf).collect()
+        path = _app_scoped_store(spark, prefix, sf)
+        marker = os.path.join(path, "_BUILD_COMPLETE")
+        assert os.path.exists(marker), f"{qname} left no completion marker"
+        # simulate a partial build: marker missing, stale state present
+        os.remove(marker)
+        again = reg[qname].fn(spark, sf).collect()
+        assert again == first, f"{qname} changed results after rebuild"
+        assert os.path.exists(marker)

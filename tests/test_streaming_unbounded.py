@@ -258,9 +258,18 @@ def test_windowed_agg_state_recovers_across_restart(spark, tmp_path):
     # restart boundary: nudge off the even split until it lands INSIDE
     # a window (predecessor shares the window), so the boundary window
     # holds events from both incarnations
-    mid = n // 2
-    while wstart(rows[mid - 1].ts) != wstart(rows[mid].ts):
-        mid += 1
+    mid = next(
+        (
+            m
+            for m in range(n // 2, (3 * n) // 4)
+            if wstart(rows[m - 1].ts) == wstart(rows[m].ts)
+        ),
+        None,
+    )
+    assert mid is not None, (
+        "fixture precondition: no in-window adjacent pair in the third "
+        "quartile — pick a different restart boundary"
+    )
     bounds = [0, n // 4, mid, (mid + n) // 2, n]
 
     def land(i):

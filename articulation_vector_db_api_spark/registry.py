@@ -224,6 +224,10 @@ _WINDOW_DEFER = frozenset(
         "join_dpp_partitioned_fact",
         "ann_ivf_nprobe_recall_curve",
         "dedup_substring_span_scrub",
+        "scan_orc_roundtrip",
+        "stream_cdc_apply",
+        "dedup_ngram_containment",
+        "stream_snapshot_ingest",
     }
 )
 

@@ -580,6 +580,72 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    pair_inter AS (
+        SELECT x.doc_id AS doc_sub, y.doc_id AS doc_super, count(*) AS inter
+        FROM shingles x JOIN shingles y
+          ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT doc_sub, doc_super,
+           round(CAST(inter AS DOUBLE) / s.n, 6) AS containment
+    FROM pair_inter JOIN sizes s ON s.doc_id = doc_sub
+    WHERE CAST(inter AS DOUBLE) / s.n >= 0.2
+    ORDER BY containment DESC, doc_sub, doc_super
+    LIMIT 50
+    """,
+    tags=("dedup",),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED n-gram containment |A∩B| / |A|: the asymmetric twin of
+    dedup_ngram_jaccard, for quote / boilerplate / subset detection —
+    a short doc pasted inside a long one scores near 1.0 here while
+    its Jaccard stays tiny (the union is dominated by the long doc).
+    Training-data curation keeps the superset and drops the contained
+    copy, which Jaccard-threshold dedup alone would miss. Top-50
+    directed pairs at containment >= 0.2.
+
+    Same candidate generator as the Jaccard query: the shingle
+    equi-join only materializes pairs sharing >= 1 shingle, and the
+    per-doc size table joins in AFTER the pair aggregation (two small
+    broadcast-able sides). Scale caveat is identical: prune
+    ultra-frequent shingles first — a shingle in f docs contributes
+    f^2 candidate rows and carries no containment signal."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    pair_inter = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_sub"), F.col("y.doc_id").alias("doc_super")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s = sizes.alias("s")
+    return (
+        pair_inter.join(s, F.col("s.doc_id") == F.col("doc_sub"))
+        .select(
+            "doc_sub",
+            "doc_super",
+            (F.col("inter").cast("double") / F.col("s.n")).alias("c"),
+        )
+        .filter(F.col("c") >= 0.2)
+        .select("doc_sub", "doc_super", F.round("c", 6).alias("containment"))
+        .orderBy(F.desc("containment"), "doc_sub", "doc_super")
+        .limit(50)
+    )
+
+
+@register(
     "dedup_lsh_recall_eval",
     oracle=f"""{_minhash_cand_cte()},
     ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingle_arrays),

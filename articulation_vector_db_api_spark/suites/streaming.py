@@ -970,3 +970,202 @@ def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_available_now(joined, "ss_full_outer", "append").orderBy(
         "click_id", "purchase_id"
     )
+
+
+@register(
+    "stream_cdc_apply",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_id, event_type, ts, value,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           event_id AS last_event_id,
+           event_type AS last_op,
+           ts AS last_ts,
+           round(value, 6) AS last_value
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """,
+    tags=("streaming", "stateful", "cdc"),
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply: the event stream is read as a change feed
+    over a user_profile table keyed by user_id — 'error' rows are
+    DELETE tombstones, every other type is an UPSERT — and a custom
+    stateful operator (applyInPandasWithState) materializes the final
+    table: the row each key holds after its LAST change, with deleted
+    keys absent. This is the streaming half of merge_upsert_orders /
+    cdc_snapshot_diff: the same last-write-wins contract the batch
+    MERGE enforces, held incrementally under state.
+
+    Ordering is by CHANGE KEY (ts, event_id), not arrival order: the
+    per-key state stores the argmax-by-(ts, event_id) change seen so
+    far, an order-insensitive accumulator, so the result is exactly
+    batch-equivalent no matter how the source batches or interleaves —
+    the property that makes the DuckDB window-function oracle valid.
+    Tombstones STAY in state (a newer upsert must beat an older delete
+    and vice versa); they are dropped only at publish time.
+
+    Scale: state is one fixed-width row per live key, hash-partitioned
+    by user_id across state stores — no window over the raw feed, no
+    global sort. The update-mode sink re-emits a key only when its
+    winner changes; the trailing per-key argmax over the sink is the
+    idempotent 'apply to serving store' step (bounded by keys x
+    batches, not by feed length)."""
+    ev = read_events_stream(spark, sf_dir)
+    out = cdc_apply_transform(ev)
+    sink = run_available_now(out, "cdc_apply", "update")
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("last_event_id").desc()
+    )
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("last_op") != "error"))
+        .select(
+            "user_id",
+            "last_event_id",
+            "last_op",
+            F.timestamp_micros("ts_us").alias("last_ts"),
+            "last_value",
+        )
+        .orderBy("user_id")
+    )
+
+
+def cdc_apply_transform(ev: DataFrame) -> DataFrame:
+    """The stateful changelog-apply transformation alone (plan-audited
+    by tools/check_plans.py: FlatMapGroupsInPandasWithState keyed on
+    user_id — one state row per live key)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+
+    def apply_changes(key, pdfs, state: GroupState):
+        (user_id,) = key
+        best = state.get if state.exists else None
+        for pdf in pdfs:
+            ordered = pdf.sort_values(["ts_us", "event_id"])
+            last = ordered.iloc[-1]
+            cand = (
+                int(last["ts_us"]),
+                int(last["event_id"]),
+                str(last["event_type"]),
+                float(last["value"]),
+            )
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [int(user_id)],
+                "last_event_id": [best[1]],
+                "last_op": [best[2]],
+                "ts_us": [best[0]],
+                "last_value": [round(best[3], 6)],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        apply_changes,
+        outputStructType=(
+            "user_id BIGINT, last_event_id BIGINT, last_op STRING, "
+            "ts_us BIGINT, last_value DOUBLE"
+        ),
+        stateStructType="ts_us BIGINT, event_id BIGINT, op STRING, value DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_snapshot_ingest",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value,
+           CAST(1 AS INT) AS multi_batch
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "sink", "maintenance"),
+)
+def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once STREAMING SINK into the versioned snapshot table:
+    the events feed (staged as 4 files, maxFilesPerTrigger=1 → a real
+    multi-batch run) commits through the idempotent foreachBatch sink
+    (operators/maintenance.py:streaming_snapshot_sink — batch-id-keyed,
+    re-deliveries are no-ops), and the query aggregates the ACCUMULATED
+    log. The oracle is the same aggregate over the raw fixture, so a
+    batch lost, doubled, or half-committed by the sink hash-fails;
+    ``multi_batch`` is computed from the manifest (did ≥2 versions
+    actually land?) and pinned to 1, so a run that silently collapsed
+    to one batch also fails. This registers the sink path that was
+    previously pytest-only (tests/test_maintenance.py) as a
+    driver-checked query.
+
+    SIDE-EFFECTFUL BUILDER (ann_ivf_stored_probe contract): staging,
+    checkpoint, and table build once per app behind an all-or-nothing
+    completion marker.
+
+    Scale: each micro-batch is one atomic snapshot version — commit
+    cost is manifest-sized, data files are written once and never
+    rewritten; the accumulated log reads as a parquet union (the same
+    txn-version-per-stream protocol a Delta streaming sink uses)."""
+    import os as _os4
+    import shutil as _shutil
+
+    from ..operators.maintenance import (
+        read_manifest,
+        read_snapshot_log,
+        streaming_snapshot_sink,
+    )
+    from ..sources.readers import SCHEMAS, load_table
+    from .similarity import _app_scoped_store
+
+    store = _app_scoped_store(spark, "snap_ingest", sf_dir)
+    marker = _os4.path.join(store, "_STORE_COMPLETE")
+    src = _os4.path.join(store, "src")
+    table = _os4.path.join(store, "table")
+    if not _os4.path.exists(marker):
+        _shutil.rmtree(store, ignore_errors=True)
+        load_table(spark, sf_dir, "events").repartition(4).write.parquet(src)
+        sink = streaming_snapshot_sink(table)
+        q = (
+            spark.readStream.schema(SCHEMAS["events"])
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(lambda df, bid: sink(df, bid))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", _os4.path.join(store, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        with open(marker, "w"):
+            pass
+    n_versions = len(read_manifest(table)["versions"])
+    return (
+        read_snapshot_log(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+        .withColumn("multi_batch", F.lit(1 if n_versions >= 2 else 0).cast("int"))
+        .orderBy("event_type")
+    )

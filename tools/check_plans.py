@@ -209,6 +209,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"PartitionFilters: \[[^\]]*lang"],
         [r"Exchange hashpartitioning"],
     ),
+    "scan_orc_roundtrip": (
+        # the read path is the ORC copy, with the price predicate
+        # pushed to the stripe level and a partial+final aggregate;
+        # the raw parquet fixture must not appear in the plan
+        [r"Scan orc", r"PushedFilters: \[.*GreaterThan\(o_totalprice",
+         r"partial_sum"],
+        [r"orders\.parquet"],
+    ),
     "ann_pq_adc_topk": (
         # codebook broadcast; encode+ADC map-side (LUT literal, no
         # Python in the hot path); shortlist and final top-k are heap
@@ -606,6 +614,14 @@ STREAMING_EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"StreamingDeduplicate", r"StateStoreSave"],
         [r"CartesianProduct", r"Union"],
     ),
+    "stream_cdc_apply[transform]": (
+        # changelog apply = one Arrow-batched stateful operator keyed
+        # on user_id (the Sort below it is the per-partition group-by-
+        # key sort every FlatMapGroups operator plans, not a feed
+        # sort); no window pass over the raw feed anywhere
+        [r"FlatMapGroupsInPandasWithState"],
+        [r"CartesianProduct", r"\bWindow\b"],
+    ),
 }
 
 
@@ -614,6 +630,7 @@ def _streaming_frames(spark):
         read_documents_stream,
     )
     from articulation_vector_db_api_spark.suites.streaming import (
+        cdc_apply_transform,
         curation_admission_transform,
         dedup_count_transform,
         read_events_stream,
@@ -632,6 +649,9 @@ def _streaming_frames(spark):
             read_events_stream(spark, SF)
         ),
         "stream_dedup[transform]": dedup_count_transform(
+            read_events_stream(spark, SF)
+        ),
+        "stream_cdc_apply[transform]": cdc_apply_transform(
             read_events_stream(spark, SF)
         ),
     }

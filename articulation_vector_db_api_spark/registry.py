@@ -228,6 +228,8 @@ _WINDOW_DEFER = frozenset(
         "stream_cdc_apply",
         "dedup_ngram_containment",
         "stream_snapshot_ingest",
+        "text_kneser_ney_bigram",
+        "scan_text_roundtrip",
     }
 )
 

@@ -2226,3 +2226,98 @@ def text_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_kneser_ney_bigram",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+        WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 2
+    ),
+    bigrams AS (
+        SELECT toks[i] AS w1, toks[i+1] AS w2
+        FROM d, unnest(range(1, len(toks))) AS u(i)
+    ),
+    big AS (SELECT w1, w2, count(*) AS c FROM bigrams GROUP BY w1, w2),
+    hist AS (
+        SELECT w1,
+               CAST(sum(c) AS BIGINT) AS c1,
+               count(*) AS nf
+        FROM big GROUP BY w1
+    ),
+    cont AS (SELECT w2, count(*) AS nb FROM big GROUP BY w2),
+    t AS (SELECT count(*) AS n_types FROM big)
+    SELECT b.w1, b.w2, b.c,
+           round((b.c - 0.75) / h.c1
+                 + 0.75 * h.nf / h.c1
+                   * (CAST(co.nb AS DOUBLE) / t.n_types), 6) AS p_kn
+    FROM big b
+    JOIN hist h ON h.w1 = b.w1
+    JOIN cont co ON co.w2 = b.w2
+    CROSS JOIN t
+    ORDER BY p_kn DESC, b.w1, b.w2
+    LIMIT 30
+    """,
+    tags=("textops", "quality", "lm"),
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram model (d=0.75) self-trained on
+    the corpus — the standard n-gram LM smoothing (Kneser & Ney 1995;
+    what KenLM implements) and the backbone of perplexity-based
+    quality filters: unlike the raw MLE model (text_char_bigram_lm),
+    the backoff weight is the CONTINUATION count — how many distinct
+    histories a word follows — so boilerplate tokens that occur often
+    in one context stop dominating. Emits the 30 most probable
+    bigrams: P_KN(w2|w1) = (c - d)/c(w1·) + d·N1+(w1·)/c(w1·) ·
+    N1+(·w2)/|types|.
+
+    Plan: one token explode feeds ONE bigram-type aggregation; the
+    history, continuation, and type-total tables all derive from that
+    small types table (vocabulary-sized, broadcast-joined back). The
+    |types| scalar joins as a single-row broadcast, never a
+    collect(). At 100 TB the explode is the only corpus-sized stage —
+    everything after is vocabulary-sized."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+        )
+        .filter(F.size("toks") >= 2)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    bigrams = d.select(
+        F.explode_outer(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    big = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    hist = big.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("c1"), F.count(F.lit(1)).alias("nf")
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("nb"))
+    types = big.agg(F.count(F.lit(1)).alias("n_types"))
+    return (
+        big.join(F.broadcast(hist), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.round(
+                (F.col("c") - F.lit(0.75)) / F.col("c1")
+                + F.lit(0.75) * F.col("nf") / F.col("c1")
+                * (F.col("nb").cast("double") / F.col("n_types")),
+                6,
+            ).alias("p_kn"),
+        )
+        .orderBy(F.desc("p_kn"), "w1", "w2")
+        .limit(30)
+    )

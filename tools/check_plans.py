@@ -209,6 +209,18 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"PartitionFilters: \[[^\]]*lang"],
         [r"Exchange hashpartitioning"],
     ),
+    "scan_text_roundtrip": (
+        # read path is the line-oriented text export (codegen'd split
+        # parse), never the parquet fixture
+        [r"Scan text", r"partial_sum"],
+        [r"documents\.parquet", r"BatchEvalPython"],
+    ),
+    "text_kneser_ney_bigram": (
+        # model tables are vocabulary-sized broadcasts; the final
+        # top-30 is a heap merge, not a global sort
+        [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+        [r"SortMergeJoin", r"Arguments: rangepartitioning"],
+    ),
     "scan_orc_roundtrip": (
         # the read path is the ORC copy, with the price predicate
         # pushed to the stripe level and a partial+final aggregate;

@@ -230,6 +230,8 @@ _WINDOW_DEFER = frozenset(
         "stream_snapshot_ingest",
         "text_kneser_ney_bigram",
         "scan_text_roundtrip",
+        "events_ewma_daily",
+        "graph_weighted_sssp",
     }
 )
 

@@ -3748,3 +3748,88 @@ def join_dpp_partitioned_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "graph_weighted_sssp",
+    oracle=f"""
+    WITH {_CUST_EDGES_SQL},
+    wedges AS (
+        SELECT src, dst, (src + dst) % 7 + 1 AS w FROM edges
+    ),
+    src0 AS (SELECT min(node) AS s FROM nodes),
+    d0 AS (SELECT s AS node, 0 AS dist FROM src0),
+    d1 AS (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d0
+            UNION ALL
+            SELECT e.dst, d.dist + e.w FROM d0 d JOIN wedges e ON e.src = d.node
+        ) GROUP BY node
+    ),
+    d2 AS (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d1
+            UNION ALL
+            SELECT e.dst, d.dist + e.w FROM d1 d JOIN wedges e ON e.src = d.node
+        ) GROUP BY node
+    ),
+    d3 AS (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d2
+            UNION ALL
+            SELECT e.dst, d.dist + e.w FROM d2 d JOIN wedges e ON e.src = d.node
+        ) GROUP BY node
+    )
+    SELECT CAST(dist AS BIGINT) AS dist,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(max(node) AS BIGINT) AS max_node
+    FROM d3 GROUP BY dist ORDER BY dist
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED single-source shortest path (Bellman-Ford relaxation,
+    3 rounds) from the minimum-key node: dist(v) = min(dist(v), min
+    over in-edges dist(u) + w(u,v)), with deterministic integer edge
+    weights w = (src+dst) % 7 + 1. The weighted twin of
+    graph_bfs_hops: hop count no longer equals cost, so a round can
+    IMPROVE an already-reached node through a heavier-hop/lighter-
+    weight path — the relaxation semantics Dijkstra's heap avoids
+    paying a distributed coordination cost for. Bounded rounds make
+    the partial state closed-form; the oracle unrolls the same 3
+    relaxations.
+
+    Scale: identical shape to BFS — the frontier frame (reached nodes
+    only) broadcasts into the edge join each round, edges never
+    shuffle; rounds scale as graph diameter, and at 100 TB the edge
+    set is pre-partitioned by src once and reused across rounds."""
+    edges = _customer_edges(spark, sf_dir).withColumn(
+        "w", (F.col("src") + F.col("dst")) % 7 + 1
+    )
+    nodes = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node")
+    )
+    dist = nodes.agg(F.min("node").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(3):
+        expanded = edges.join(
+            F.broadcast(dist).withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return (
+        dist.groupBy(F.col("dist").cast("long").alias("dist"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("dist")
+    )

@@ -1414,3 +1414,80 @@ def window_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_ewma_daily",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+               {dsum_sql('value')} AS x
+        FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT user_id, d, x,
+               row_number() OVER (PARTITION BY user_id ORDER BY d) AS i
+        FROM daily
+    ),
+    rec AS (
+        SELECT user_id, i, x AS s FROM seq WHERE i = 1
+        UNION ALL
+        SELECT q.user_id, q.i, 0.3 * q.x + 0.7 * r.s
+        FROM seq q JOIN rec r ON q.user_id = r.user_id AND q.i = r.i + 1
+    )
+    SELECT user_id,
+           CAST(max(i) AS BIGINT) AS n_days,
+           round(arg_max(s, i), 6) AS ewma
+    FROM rec
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("window", "timeseries", "udf"),
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.3) over each
+    user's daily totals — the grouped SEQUENTIAL-RECURSION pattern
+    (s_t = a*x_t + (1-a)*s_{t-1}) that window frames cannot express
+    exactly: the closed-form prefix-sum rewrite changes float
+    association and drifts in the last ulps, so the engine runs the
+    recursion as written, per group, inside an Arrow-batched
+    applyInPandas. The oracle is a recursive CTE executing the SAME
+    per-step arithmetic (0.3*x + 0.7*s, one fused ordering) — both
+    engines walk identical IEEE op sequences, which is what makes the
+    hash comparison exact rather than tolerance-based. Daily inputs
+    come off the exact decimal-sum path first, so the recursion's
+    INPUTS are bit-stable at any parallelism too.
+
+    Scale: stage 1 is a plain hash aggregate (user x day); stage 2
+    shuffles only the daily table (30 rows/user here, bounded by the
+    calendar at 100 TB) and each group's recursion is O(days) in one
+    pandas batch. State never crosses groups — full parallelism by
+    user."""
+    import pandas as pd
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+        )
+        .agg(dsum(F.col("value")).alias("x"))
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d")
+        s = None
+        for x in pdf["x"]:
+            s = float(x) if s is None else 0.3 * float(x) + 0.7 * s
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_days": [len(pdf)],
+                "ewma": [round(s, 6)],
+            }
+        )
+
+    return (
+        daily.groupBy("user_id")
+        .applyInPandas(ewma, "user_id bigint, n_days bigint, ewma double")
+        .orderBy("user_id")
+    )

@@ -471,6 +471,19 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastHashJoin"],
         [r"CartesianProduct"],
     ),
+    "graph_weighted_sssp": (
+        # weighted relaxation keeps the BFS shape: broadcast frontier
+        # into the edge join each round, edges never shuffled
+        [r"BroadcastHashJoin"],
+        [r"CartesianProduct"],
+    ),
+    "events_ewma_daily": (
+        # daily totals partial+final on the decimal path, then ONE
+        # Arrow-batched grouped recursion — no window pass, no pickled
+        # Python eval
+        [r"partial_sum\(cast\(value", r"FlatMapGroupsInPandas"],
+        [r"\bWindow\b", r"BatchEvalPython"],
+    ),
     "curation_gopher_rules": (
         # single scan: one explode, (doc_id,tok) partial counts
         # map-side, then every rule folds into ONE per-doc aggregation

@@ -2230,6 +2230,7 @@ def text_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_kneser_ney_bigram",
+    headline=True,
     oracle="""
     WITH d AS (
         SELECT doc_id,

@@ -232,6 +232,8 @@ _WINDOW_DEFER = frozenset(
         "scan_text_roundtrip",
         "events_ewma_daily",
         "graph_weighted_sssp",
+        "curation_topic_balance",
+        "events_cep_pattern",
     }
 )
 

@@ -1747,3 +1747,94 @@ def dedup_substring_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "curation_topic_balance",
+    oracle=f"""
+    WITH vec AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    cent0 AS (SELECT vec_id AS cid, v AS c FROM vec WHERE vec_id < {_KM_K}),
+    {_KM_ASSIGN_SQL.format(r=1, p=0, dist=_sqdist_duckdb("v", "c"))},
+    counts AS (SELECT cid, count(*) AS n FROM a1 GROUP BY cid),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts)
+    SELECT cid AS topic_id,
+           CAST(n AS BIGINT) AS n_vecs,
+           round(CAST(n AS DOUBLE) / t, 6) AS share,
+           round(t / {_KM_K}.0 / n, 6) AS weight,
+           CAST(least(n, CAST(ceil(t / {_KM_K}.0) AS BIGINT)) AS BIGINT)
+               AS n_keep
+    FROM counts, tot
+    ORDER BY topic_id
+    """,
+    tags=("dedup", "curation", "similarity"),
+)
+def curation_topic_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balance audit for mixture curation: assign every embedding
+    to its nearest of K topic centroids (the same broadcast-codebook
+    map-side argmin as dedup_semantic_clusters — no shuffle to
+    assign), then emit per-topic counts, corpus share, the uniform-
+    target resampling weight w_t = (N/K)/n_t, and the capped keep
+    count under an even per-topic budget. This is the cluster-
+    proportion step a pretraining mixture runs between dedup and shard
+    assignment: over-represented topics get down-weighted before
+    sampling (cf. the temperature variant in
+    curation_mixture_weights, which balances by SOURCE — this one
+    balances by emergent semantic cluster).
+
+    Scale: one map-side assignment pass over the corpus; everything
+    after operates on the K-row counts table, and the corpus total
+    joins as a single-row broadcast — never a collect."""
+    vec = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    cent0 = vec.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    codebook = cent0.agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
+    best = F.array_min(
+        F.transform(
+            "cents",
+            lambda s: F.struct(
+                sqdist(F.col("v"), s["c"]).alias("d"), s["cid"].alias("cid")
+            ),
+        )
+    )
+    assigned = vec.crossJoin(F.broadcast(codebook)).select(
+        "vec_id", best["cid"].alias("cid")
+    )
+    counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").cast("long").alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cid").alias("topic_id"),
+            F.col("n").cast("long").alias("n_vecs"),
+            F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
+            F.round(
+                F.col("t") / F.lit(float(_KM_K)) / F.col("n"), 6
+            ).alias("weight"),
+            F.least(
+                F.col("n"),
+                F.ceil(F.col("t") / F.lit(float(_KM_K))).cast("long"),
+            )
+            .cast("long")
+            .alias("n_keep"),
+        )
+        .orderBy("topic_id")
+    )

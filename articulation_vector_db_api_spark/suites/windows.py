@@ -1491,3 +1491,69 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(ewma, "user_id bigint, n_days bigint, ewma double")
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_cep_pattern",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS n_events,
+           CAST(length(regexp_extract_all(s, 'v[^ep]*p')) AS BIGINT)
+               AS n_conversions,
+           CAST(contains(s, 'e') AS INT) AS had_error,
+           substr(s, 1, 10) AS seq_prefix
+    FROM seq
+    ORDER BY user_id
+    """,
+    tags=("window", "events", "cep"),
+)
+def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style complex-event pattern matching: each
+    user's event history collapses to an ordered symbol string (first
+    letter of event_type, ordered by ts then event_id) and the
+    conversion pattern `v[^ep]*p` — a view later closed by a purchase
+    with no error and no earlier purchase between — is counted with
+    non-overlapping regex semantics. The pattern language is
+    unambiguous (each match start forces a unique end), so Java and
+    RE2-style engines agree and the oracle is exact. This is the CEP
+    idiom Spark lacks a native operator for, expressed as
+    sort_array(collect_list) + ONE codegen'd regex per user — no
+    self-joins, no per-step window passes (compare
+    events_funnel_time_bound, which does deadline-bounded step joins).
+
+    Scale: one shuffle (groupBy user); per-user sequences are bounded
+    by per-key activity, the regex is linear in sequence length, and
+    nothing crosses the network except the packed symbol strings.
+    Skewed users cap at their event count — at 100 TB, split
+    pathological keys by session first (stream_session_window is the
+    splitter)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.col("ts"), F.col("event_id"),
+            F.substring("event_type", 1, 1).alias("ch"),
+        ).alias("e"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sort_array(F.collect_list("e")), lambda s: s["ch"]
+            ),
+        ).alias("s")
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("n_events"),
+        F.regexp_count(F.col("s"), F.lit(r"v[^ep]*p"))
+        .cast("long")
+        .alias("n_conversions"),
+        F.contains(F.col("s"), F.lit("e")).cast("int").alias("had_error"),
+        F.substring("s", 1, 10).alias("seq_prefix"),
+    ).orderBy("user_id")

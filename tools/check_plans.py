@@ -477,6 +477,19 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastHashJoin"],
         [r"CartesianProduct"],
     ),
+    "events_cep_pattern": (
+        # one user-keyed aggregation packs the symbol string; the regex
+        # runs codegen'd per row — no joins, no window pass
+        [r"ObjectHashAggregate|SortAggregate"],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"\bWindow\b",
+         r"BatchEvalPython"],
+    ),
+    "curation_topic_balance": (
+        # assignment = broadcast single-row codebook (map-side argmin);
+        # the only shuffles are the K-row counts agg
+        [r"BroadcastNestedLoopJoin", r"partial_count"],
+        [r"SortMergeJoin", r"CartesianProduct"],
+    ),
     "events_ewma_daily": (
         # daily totals partial+final on the decimal path, then ONE
         # Arrow-batched grouped recursion — no window pass, no pickled

@@ -234,6 +234,7 @@ _WINDOW_DEFER = frozenset(
         "graph_weighted_sssp",
         "curation_topic_balance",
         "events_cep_pattern",
+        "sample_poisson_bootstrap",
     }
 )
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import sha_hash32, sha_hash32_sql
+from ..functions.hashing import hex_to_u32_sql, sha_hash32, sha_hash32_sql
 from ..functions.numeric import davg, davg_sql, dsum, dsum_sql
 from ..registry import register
 from ..sources.readers import load_table
@@ -3832,4 +3832,87 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("node").alias("max_node"),
         )
         .orderBy("dist")
+    )
+
+
+@register(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(range(0, 8)) AS rep),
+    hx AS (
+        SELECT rep, o_totalprice,
+               sha256('11:' || CAST(o_orderkey AS VARCHAR) || ':'
+                      || CAST(rep AS VARCHAR)) AS hexd
+        FROM orders CROSS JOIN reps
+    ),
+    uu AS (
+        SELECT rep, o_totalprice,
+               ({hex_to_u32_sql("hexd")}) % 1000000 AS u
+        FROM hx
+    ),
+    kk AS (
+        SELECT rep, o_totalprice,
+               CAST(u >= 367879 AS INT) + CAST(u >= 735759 AS INT)
+             + CAST(u >= 919699 AS INT) + CAST(u >= 981012 AS INT)
+             + CAST(u >= 996340 AS INT) + CAST(u >= 999406 AS INT) AS k
+        FROM uu
+    )
+    SELECT CAST(rep AS INT) AS replicate,
+           CAST(sum(k) AS BIGINT) AS n_eff,
+           round({dsum_sql("k * o_totalprice")} / sum(k), 6) AS boot_mean
+    FROM kk GROUP BY rep ORDER BY replicate
+    """,
+    tags=("relational", "sampling", "stats"),
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., Google) — the resampling
+    scheme that works on distributed data because it never needs a
+    global sample-with-replacement pass: each row draws an independent
+    Poisson(1) replication count PER REPLICATE, so every replicate's
+    weighted mean is one map-side expression plus a hash aggregate.
+    Draws are DETERMINISTIC (seeded sha256 of (orderkey, replicate) ->
+    uniform -> fixed integer inverse-CDF cutoffs at the 1e-6 grid,
+    tail merged at k=6), so both engines and any cluster layout
+    produce the identical 8 replicate means — reproducible confidence
+    intervals, the property df.sample() cannot give. The spread of
+    boot_mean across replicates IS the standard-error estimate.
+
+    Scale: the x8 replicate fan-out happens map-side (explode of a
+    literal range); nothing shuffles but 8 partial aggregates. The
+    modulo-1e6 uniform has a 2^-32-scale bias, identical on both
+    engines — determinism is the contract, not unbiasedness in the
+    33rd bit."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    rep = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("rep"),
+    )
+    u = (
+        sha_hash32(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("rep").cast("string"),
+            ),
+            seed=11,
+        )
+        % 1000000
+    )
+    k = sum(
+        (u >= F.lit(c)).cast("int")
+        for c in (367879, 735759, 919699, 981012, 996340, 999406)
+    )
+    weighted = rep.select(
+        "rep", "o_totalprice", k.alias("k")
+    )
+    return (
+        weighted.groupBy(F.col("rep").cast("int").alias("replicate"))
+        .agg(
+            F.sum("k").cast("long").alias("n_eff"),
+            F.round(
+                dsum(F.col("k") * F.col("o_totalprice")) / F.sum("k"), 6
+            ).alias("boot_mean"),
+        )
+        .orderBy("replicate")
     )

@@ -477,6 +477,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastHashJoin"],
         [r"CartesianProduct"],
     ),
+    "sample_poisson_bootstrap": (
+        # the x8 replicate fan-out is a map-side explode of a literal
+        # range; only 8 partial aggregates shuffle — no joins at all
+        [r"Generate", r"partial_sum"],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"BatchEvalPython"],
+    ),
     "events_cep_pattern": (
         # one user-keyed aggregation packs the symbol string; the regex
         # runs codegen'd per row — no joins, no window pass

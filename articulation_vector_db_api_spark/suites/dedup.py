@@ -888,6 +888,54 @@ _KM_ASSIGN_SQL = """
 """
 
 
+def _km_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v: array<double>) — the assignment input frame.
+
+    Single-file fixture = one input split: spread the fold-heavy
+    assignment across cores (at deployment the scan is many-split)."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+
+
+def _km_sqdist(a, b):
+    """Squared L2 as the 0.0-seeded fold the oracle's
+    :func:`_sqdist_duckdb` mirrors op-for-op."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def _km_assign(vec: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Shuffle-free argmin assignment: the K×D centroid frame collapses
+    to ONE broadcast row (collect_list of structs) and each vector
+    picks argmin via array_min over a transform — pure map-side
+    codegen. The struct-lexicographic (d, cid) tie-break matches
+    ``_KM_ASSIGN_SQL``'s ``row_number ... ORDER BY d, cid`` exactly;
+    both Spark callers and the oracle must stay in lockstep through
+    THESE helpers (this is the single implementation)."""
+    codebook = centroids.agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
+    best = F.array_min(
+        F.transform(
+            "cents",
+            lambda s: F.struct(
+                _km_sqdist(F.col("v"), s["c"]).alias("d"),
+                s["cid"].alias("cid"),
+            ),
+        )
+    )
+    return vec.crossJoin(F.broadcast(codebook)).select(
+        "vec_id", "v", best["cid"].alias("cid")
+    )
+
+
 @register(
     "dedup_semantic_clusters",
     oracle=f"""
@@ -952,42 +1000,11 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.vector import dot, l2_norm
 
-    e = load_table(spark, sf_dir, "embeddings")
-    # single-file fixture = one input split: spread the fold-heavy
-    # assignment across cores (at deployment the scan is many-split)
-    vec = e.repartition(spark.sparkContext.defaultParallelism).select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-
-    def sqdist(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, d: acc + d,
-        )
-
-    def assign(centroids: DataFrame) -> DataFrame:
-        codebook = centroids.agg(
-            F.collect_list(F.struct("cid", "c")).alias("cents")
-        )
-        best = F.array_min(
-            F.transform(
-                "cents",
-                lambda s: F.struct(
-                    sqdist(F.col("v"), s["c"]).alias("d"),
-                    s["cid"].alias("cid"),
-                ),
-            )
-        )
-        return vec.crossJoin(F.broadcast(codebook)).select(
-            "vec_id", "v", best["cid"].alias("cid")
-        )
-
+    vec = _km_vectors(spark, sf_dir)
     cent0 = vec.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )
-    a1 = assign(cent0)
+    a1 = _km_assign(vec, cent0)
     cent1 = (
         a1.select("cid", F.posexplode("v").alias("dim", "val"))
         .groupBy("cid", "dim")
@@ -1007,7 +1024,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (vec_id, v, nv, cid) frame — members + both self-join sides read
     # it, and without the pin the whole assignment pipeline re-runs 3×
     # (at 100 TB: write the assignment to storage, it is the artifact)
-    a2 = assign(cent1).withColumn("nv", l2_norm(F.col("v"))).persist()
+    a2 = _km_assign(vec, cent1).withColumn("nv", l2_norm(F.col("v"))).persist()
 
     members = a2.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_members"),
@@ -1787,37 +1804,11 @@ def curation_topic_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one map-side assignment pass over the corpus; everything
     after operates on the K-row counts table, and the corpus total
     joins as a single-row broadcast — never a collect."""
-    vec = (
-        load_table(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-        )
-    )
-
-    def sqdist(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, d: acc + d,
-        )
-
+    vec = _km_vectors(spark, sf_dir)
     cent0 = vec.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )
-    codebook = cent0.agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
-    best = F.array_min(
-        F.transform(
-            "cents",
-            lambda s: F.struct(
-                sqdist(F.col("v"), s["c"]).alias("d"), s["cid"].alias("cid")
-            ),
-        )
-    )
-    assigned = vec.crossJoin(F.broadcast(codebook)).select(
-        "vec_id", best["cid"].alias("cid")
-    )
+    assigned = _km_assign(vec, cent0)
     counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
     tot = counts.agg(F.sum("n").cast("long").alias("t"))
     return (

@@ -448,6 +448,28 @@ def _app_scoped_store(spark: SparkSession, prefix: str, sf_dir: str) -> str:
     )
 
 
+def _build_once(spark: SparkSession, prefix: str, sf_dir: str, build) -> str:
+    """All-or-nothing build-once contract for side-effectful query
+    builders, centralized: resolve the app-scoped store, and if its
+    completion marker is missing, wipe any partial build, run
+    ``build(store_path)``, then touch the marker. A builder killed
+    mid-build leaves no marker and is rebuilt from scratch on the next
+    touch — the same contract every stored-artifact query documents
+    (ann_ivf_stored_probe et al.). Returns the store path."""
+    import os
+    import shutil
+
+    store = _app_scoped_store(spark, prefix, sf_dir)
+    marker = os.path.join(store, "_STORE_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(store, ignore_errors=True)
+        build(store)
+        os.makedirs(store, exist_ok=True)
+        with open(marker, "w"):
+            pass
+    return store
+
+
 @register(
     "ann_ivf_stored_probe",
     oracle=_IVF_STORED_ORACLE,

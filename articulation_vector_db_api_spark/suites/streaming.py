@@ -1034,7 +1034,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_event_id",
             "last_op",
             F.timestamp_micros("ts_us").alias("last_ts"),
-            "last_value",
+            F.round("last_value", 6).alias("last_value"),
         )
         .orderBy("user_id")
     )
@@ -1057,7 +1057,8 @@ def cdc_apply_transform(ev: DataFrame) -> DataFrame:
 
     def apply_changes(key, pdfs, state: GroupState):
         (user_id,) = key
-        best = state.get if state.exists else None
+        prior = state.get if state.exists else None
+        best = prior
         for pdf in pdfs:
             ordered = pdf.sort_values(["ts_us", "event_id"])
             last = ordered.iloc[-1]
@@ -1069,6 +1070,8 @@ def cdc_apply_transform(ev: DataFrame) -> DataFrame:
             )
             if best is None or (cand[0], cand[1]) > (best[0], best[1]):
                 best = cand
+        if prior is not None and (best[0], best[1]) == (prior[0], prior[1]):
+            return  # batch did not beat the stored winner: emit nothing
         state.update(best)
         yield pd.DataFrame(
             {
@@ -1076,7 +1079,7 @@ def cdc_apply_transform(ev: DataFrame) -> DataFrame:
                 "last_event_id": [best[1]],
                 "last_op": [best[2]],
                 "ts_us": [best[0]],
-                "last_value": [round(best[3], 6)],
+                "last_value": [best[3]],  # rounded at publish via F.round
             }
         )
 
@@ -1127,8 +1130,7 @@ def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is manifest-sized, data files are written once and never
     rewritten; the accumulated log reads as a parquet union (the same
     txn-version-per-stream protocol a Delta streaming sink uses)."""
-    import os as _os4
-    import shutil as _shutil
+    import os
 
     from ..operators.maintenance import (
         read_manifest,
@@ -1136,28 +1138,25 @@ def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_snapshot_sink,
     )
     from ..sources.readers import SCHEMAS, load_table
-    from .similarity import _app_scoped_store
+    from .similarity import _build_once
 
-    store = _app_scoped_store(spark, "snap_ingest", sf_dir)
-    marker = _os4.path.join(store, "_STORE_COMPLETE")
-    src = _os4.path.join(store, "src")
-    table = _os4.path.join(store, "table")
-    if not _os4.path.exists(marker):
-        _shutil.rmtree(store, ignore_errors=True)
-        load_table(spark, sf_dir, "events").repartition(4).write.parquet(src)
-        sink = streaming_snapshot_sink(table)
+    def _ingest(p: str) -> None:
+        src_dir = os.path.join(p, "src")
+        load_table(spark, sf_dir, "events").repartition(4).write.parquet(src_dir)
+        sink = streaming_snapshot_sink(os.path.join(p, "table"))
         q = (
             spark.readStream.schema(SCHEMAS["events"])
             .option("maxFilesPerTrigger", 1)
-            .parquet(src)
+            .parquet(src_dir)
             .writeStream.foreachBatch(lambda df, bid: sink(df, bid))
             .trigger(availableNow=True)
-            .option("checkpointLocation", _os4.path.join(store, "ckpt"))
+            .option("checkpointLocation", os.path.join(p, "ckpt"))
             .start()
         )
         q.awaitTermination()
-        with open(marker, "w"):
-            pass
+
+    store = _build_once(spark, "snap_ingest", sf_dir, _ingest)
+    table = os.path.join(store, "table")
     n_versions = len(read_manifest(table)["versions"])
     return (
         read_snapshot_log(spark, table)

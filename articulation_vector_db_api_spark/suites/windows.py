@@ -1478,17 +1478,23 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = None
         for x in pdf["x"]:
             s = float(x) if s is None else 0.3 * float(x) + 0.7 * s
+        # rounding happens OUTSIDE, via F.round — Python round() is
+        # half-to-even over exact decimals, a third semantics the
+        # repo's F.round/DuckDB-round convention does not share
         return pd.DataFrame(
             {
                 "user_id": [int(pdf["user_id"].iloc[0])],
                 "n_days": [len(pdf)],
-                "ewma": [round(s, 6)],
+                "ewma_raw": [s],
             }
         )
 
     return (
         daily.groupBy("user_id")
-        .applyInPandas(ewma, "user_id bigint, n_days bigint, ewma double")
+        .applyInPandas(ewma, "user_id bigint, n_days bigint, ewma_raw double")
+        .select(
+            "user_id", "n_days", F.round("ewma_raw", 6).alias("ewma")
+        )
         .orderBy("user_id")
     )
 

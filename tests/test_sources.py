@@ -98,3 +98,44 @@ def test_compressed_json_source(spark, tmp_path):
             f.write(_json.dumps({"k": k, "name": name, "score": score}) + "\n")
     back = spark.read.schema(SCHEMA).json(str(p))
     assert sorted(tuple(r) for r in back.collect()) == sorted(ROWS)
+
+
+def test_build_once_contract(spark, tmp_path, monkeypatch):
+    """similarity._build_once: builds exactly once per marker, wipes a
+    partial (marker-less) build before retrying, and skips the build
+    entirely when the marker is present."""
+    import os
+
+    from articulation_vector_db_api_spark.suites import similarity
+
+    store_root = str(tmp_path / "stores")
+    monkeypatch.setattr(
+        similarity,
+        "_app_scoped_store",
+        lambda _spark, prefix, _sf: os.path.join(store_root, prefix),
+    )
+    calls = []
+
+    def build(p):
+        os.makedirs(p, exist_ok=True)
+        with open(os.path.join(p, "artifact"), "w") as f:
+            f.write("v1")
+        calls.append(p)
+
+    s1 = similarity._build_once(spark, "bo", "sfX", build)
+    assert calls == [s1] and os.path.exists(os.path.join(s1, "artifact"))
+    assert os.path.exists(os.path.join(s1, "_STORE_COMPLETE"))
+
+    # marker present: second touch must NOT rebuild
+    similarity._build_once(spark, "bo", "sfX", build)
+    assert len(calls) == 1
+
+    # simulate a crash mid-build: artifact exists but marker is gone —
+    # the next touch wipes the partial and rebuilds from scratch
+    os.remove(os.path.join(s1, "_STORE_COMPLETE"))
+    with open(os.path.join(s1, "stale"), "w") as f:
+        f.write("leftover")
+    similarity._build_once(spark, "bo", "sfX", build)
+    assert len(calls) == 2
+    assert not os.path.exists(os.path.join(s1, "stale"))  # partial wiped
+    assert os.path.exists(os.path.join(s1, "_STORE_COMPLETE"))

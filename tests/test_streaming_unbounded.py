@@ -330,3 +330,80 @@ def test_windowed_agg_state_recovers_across_restart(spark, tmp_path):
     assert post > 0, "fixture split must straddle a window for this test"
     emitted = [c for ws, c in got if ws == bws]
     assert emitted == [pre + post]
+
+
+def test_cdc_apply_multi_batch_changed_only_emission(spark, tmp_path):
+    """stream_cdc_apply's two contracts under REAL multi-batch
+    execution: (1) the materialized table equals the batch truth no
+    matter how the feed batches; (2) a batch that does not beat a
+    key's stored (ts, event_id) winner emits NOTHING. Staging the
+    files in REVERSE time order makes (2) observable: every user's
+    maximal change arrives in their first-seen batch, so later
+    batches carry only older events for that user and must be
+    silent — exactly one sink row per user."""
+    from pyspark.sql import functions as F
+
+    from articulation_vector_db_api_spark.sources.readers import (
+        SCHEMAS,
+        load_table,
+    )
+    from articulation_vector_db_api_spark.suites.streaming import (
+        cdc_apply_transform,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    rows = ev.orderBy("ts", "event_id").collect()
+    n = len(rows)
+    stage = str(tmp_path / "staged_cdc")
+    # part0 = LATEST third ... part2 = earliest third (reverse order)
+    thirds = [rows[2 * n // 3 :], rows[n // 3 : 2 * n // 3], rows[: n // 3]]
+    for i, chunk in enumerate(thirds):
+        spark.createDataFrame(chunk, SCHEMAS["events"]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{stage}/part{i}")
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/part*")
+    )
+    out = cdc_apply_transform(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cdc_multibatch")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = q.lastProgress["batchId"] if q.lastProgress else 0
+    assert batches >= 2  # the rate limit really split the run
+
+    sink = spark.table("cdc_multibatch").collect()
+
+    # batch truth straight from the raw rows (datetime comparison —
+    # reconstructing micros via float timestamp() can drift an ulp)
+    want = {}
+    for r in rows:
+        key = r.user_id
+        cand = (r.ts, r.event_id)
+        if key not in want or cand > (want[key][0], want[key][1]):
+            want[key] = (r.ts, r.event_id, r.event_type, r.value)
+
+    # (2) changed-only: exactly one emission per user — later batches
+    # held only older events (reverse staging) and stayed silent
+    per_user = {}
+    for r in sink:
+        per_user[r.user_id] = per_user.get(r.user_id, 0) + 1
+    assert per_user, "sink empty"
+    assert all(c == 1 for c in per_user.values()), (
+        "a non-improving batch re-emitted a key: "
+        f"{ {u: c for u, c in per_user.items() if c > 1} }"
+    )
+    assert set(per_user) == set(want)
+
+    # (1) the materialized winner per key equals the batch truth
+    # (event_id is unique per event, so it pins the winning change)
+    got = {r.user_id: (r.last_event_id, r.last_op) for r in sink}
+    for u, (_ts, eid, op, _val) in want.items():
+        assert got[u] == (eid, op), f"user {u}: {got[u]} != truth ({eid},{op})"

@@ -235,6 +235,8 @@ _WINDOW_DEFER = frozenset(
         "curation_topic_balance",
         "events_cep_pattern",
         "sample_poisson_bootstrap",
+        "events_token_bucket",
+        "scan_csv_malformed_tolerant",
     }
 )
 

@@ -1563,3 +1563,104 @@ def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.contains(F.col("s"), F.lit("e")).cast("int").alias("had_error"),
         F.substring("s", 1, 10).alias("seq_prefix"),
     ).orderBy("user_id")
+
+
+@register(
+    "events_token_bucket",
+    oracle="""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, epoch_us(ts) AS t, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS i
+        FROM events
+    ),
+    rec AS (
+        SELECT user_id, i, t,
+               5 AS tokens_before,
+               CAST(5 >= 1 AS INT) AS admit,
+               5 - 1 AS tokens_after
+        FROM seq WHERE i = 1
+        UNION ALL
+        SELECT q.user_id, q.i, q.t,
+               least(5, r.tokens_after
+                        + CAST((q.t - r.t) // 60000000 AS INT))
+                   AS tokens_before,
+               CAST(least(5, r.tokens_after
+                             + CAST((q.t - r.t) // 60000000 AS INT)) >= 1
+                    AS INT) AS admit,
+               least(5, r.tokens_after
+                        + CAST((q.t - r.t) // 60000000 AS INT))
+                 - CAST(least(5, r.tokens_after
+                                 + CAST((q.t - r.t) // 60000000 AS INT)) >= 1
+                        AS INT) AS tokens_after
+        FROM seq q JOIN rec r ON q.user_id = r.user_id AND q.i = r.i + 1
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(admit) AS BIGINT) AS n_admitted,
+           CAST(count(*) - sum(admit) AS BIGINT) AS n_rejected,
+           CAST(arg_max(tokens_after, i) AS BIGINT) AS final_tokens
+    FROM rec
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("window", "events", "stateful"),
+)
+def events_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate limiting replayed over history — the
+    admission-control primitive (capacity 5, refill 1 token/60 s,
+    integer-micros arithmetic): before each event the bucket refills
+    floor(gap/60s) tokens capped at 5, the event is admitted iff a
+    token is available, and admission consumes one. Per-user totals
+    plus the final bucket level. Like events_ewma_daily this is a
+    grouped SEQUENTIAL recursion no window frame expresses; unlike the
+    EWMA it is ALL-INTEGER, so cross-engine parity is exact by
+    construction (the oracle's recursive CTE steps the identical
+    integer state machine). Replayed admission tells you what a
+    production limiter WOULD have dropped — the calibration loop for
+    choosing capacity/refill before deploying the streaming twin
+    (stream_threshold_debounce holds the episode version).
+
+    Scale: one shuffle (groupBy user); each group's replay is O(events)
+    integer ops in one pandas batch, state never crosses keys."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id"
+    )
+
+    CAP, PERIOD = 5, 60_000_000
+
+    def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "event_id"])
+        tokens, last_t = CAP, None
+        admitted = 0
+        for t in pdf["t"]:
+            t = int(t)
+            if last_t is not None:
+                tokens = min(CAP, tokens + (t - last_t) // PERIOD)
+            admit = tokens >= 1
+            if admit:
+                tokens -= 1
+                admitted += 1
+            last_t = t
+        n = len(pdf)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [n],
+                "n_admitted": [admitted],
+                "n_rejected": [n - admitted],
+                "final_tokens": [tokens],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            bucket,
+            "user_id bigint, n_events bigint, n_admitted bigint, "
+            "n_rejected bigint, final_tokens bigint",
+        )
+        .orderBy("user_id")
+    )

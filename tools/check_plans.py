@@ -503,6 +503,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"partial_sum\(cast\(value", r"FlatMapGroupsInPandas"],
         [r"\bWindow\b", r"BatchEvalPython"],
     ),
+    "events_token_bucket": (
+        # one user-keyed shuffle into an Arrow-batched integer replay;
+        # no window pass, no pickled Python eval
+        [r"FlatMapGroupsInPandas"],
+        [r"\bWindow\b", r"BatchEvalPython", r"SortMergeJoin"],
+    ),
     "curation_gopher_rules": (
         # single scan: one explode, (doc_id,tok) partial counts
         # map-side, then every rule folds into ONE per-doc aggregation

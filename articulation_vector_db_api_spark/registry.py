@@ -237,6 +237,7 @@ _WINDOW_DEFER = frozenset(
         "sample_poisson_bootstrap",
         "events_token_bucket",
         "scan_csv_malformed_tolerant",
+        "scan_jsonl_gzip",
     }
 )
 

@@ -238,6 +238,11 @@ _WINDOW_DEFER = frozenset(
         "events_token_bucket",
         "scan_csv_malformed_tolerant",
         "scan_jsonl_gzip",
+        "join_scd2_temporal",
+        "graph_k_core",
+        "graph_common_neighbors",
+        "sql_pipe_interface",
+        "scalar_uuid_surrogate",
     }
 )
 

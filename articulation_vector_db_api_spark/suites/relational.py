@@ -3916,3 +3916,280 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("replicate")
     )
+
+
+@register(
+    "join_scd2_temporal",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, ts, event_id, event_type FROM events
+        WHERE user_id % 50 = 0
+    ),
+    marked AS (
+        SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                       THEN 1 ELSE 0 END AS chg
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+        SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS island
+        FROM marked
+    ),
+    versions AS (
+        SELECT user_id, event_type AS attr, island, min(ts) AS valid_from
+        FROM islands GROUP BY user_id, event_type, island
+    ),
+    days AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+        FROM ev
+    ),
+    pit AS (
+        SELECT dy.user_id, dy.d, v.attr, v.valid_from,
+               row_number() OVER (PARTITION BY dy.user_id, dy.d
+                                  ORDER BY v.valid_from DESC) AS rn
+        FROM days dy JOIN versions v
+          ON v.user_id = dy.user_id AND v.valid_from <= dy.d
+    )
+    SELECT user_id, d AS as_of_day, attr, valid_from
+    FROM pit WHERE rn = 1
+    ORDER BY user_id, as_of_day
+    """,
+    tags=("relational", "scd", "join"),
+)
+def join_scd2_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join against the SCD2 dimension
+    (scd2_user_event_history builds it; this query CONSUMES it): for
+    every (user, day-start) in the activity grid, resolve the
+    dimension version in effect at that instant — the temporal-join
+    primitive behind 'features as of the label timestamp' in ML
+    training joins, where joining the CURRENT dimension row instead of
+    the as-of row is the classic leakage bug. Days before a user's
+    first version resolve to nothing (inner semantics) — no attribute
+    existed yet.
+
+    Plan: versions-per-user is bounded (attribute changes, not
+    events), so the day-grid ⋈ versions candidate join stays
+    |days|×|versions-per-user| and the argmax-by-valid_from window
+    collapses it — the same bounded-candidates shape as
+    join_asof_event_order, reused on an interval dimension. At 100 TB
+    the dimension side is the small one: broadcast it, or bucket both
+    sides by user_id and the join co-locates."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    islands = marked.withColumn(
+        "island", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    versions = islands.groupBy(
+        "user_id", F.col("event_type").alias("attr"), "island"
+    ).agg(F.min("ts").alias("valid_from"))
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    v = versions.alias("v")
+    dy = days.alias("dy")
+    cand = dy.join(
+        v,
+        (F.col("v.user_id") == F.col("dy.user_id"))
+        & (F.col("v.valid_from") <= F.col("dy.d")),
+    )
+    wp = Window.partitionBy("dy.user_id", "dy.d").orderBy(
+        F.col("v.valid_from").desc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("dy.user_id").alias("user_id"),
+            F.col("dy.d").alias("as_of_day"),
+            "attr",
+            "valid_from",
+        )
+        .orderBy("user_id", "as_of_day")
+    )
+
+
+@register(
+    "graph_k_core",
+    oracle=f"""
+    WITH {_CUST_EDGES_SQL},
+    d0 AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    keep1 AS (SELECT src AS node FROM d0 WHERE deg >= 3),
+    e1 AS (
+        SELECT e.src, e.dst FROM edges e
+        JOIN keep1 a ON e.src = a.node
+        JOIN keep1 b ON e.dst = b.node
+    ),
+    d1 AS (SELECT src, count(*) AS deg FROM e1 GROUP BY src),
+    keep2 AS (SELECT src AS node FROM d1 WHERE deg >= 3),
+    e2 AS (
+        SELECT e.src, e.dst FROM e1 e
+        JOIN keep2 a ON e.src = a.node
+        JOIN keep2 b ON e.dst = b.node
+    ),
+    d2 AS (SELECT src, count(*) AS deg FROM e2 GROUP BY src),
+    keep3 AS (SELECT src AS node FROM d2 WHERE deg >= 3),
+    e3 AS (
+        SELECT e.src, e.dst FROM e2 e
+        JOIN keep3 a ON e.src = a.node
+        JOIN keep3 b ON e.dst = b.node
+    )
+    SELECT CAST((SELECT count(*) FROM keep3) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e3) AS BIGINT) AS n_directed_edges,
+           (SELECT min(node) FROM keep3) AS min_node,
+           (SELECT max(node) FROM keep3) AS max_node
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core decomposition, 3 peeling rounds: repeatedly drop nodes
+    with degree < 3 and their incident edges — the standard
+    dense-subgraph / spam-farm / community-seed primitive. Bounded
+    rounds make the partial state closed-form (full peeling iterates
+    to fixpoint; each extra round is the same two steps), and the
+    oracle unrolls the identical 3 rounds. The ring+bridge fixture
+    graph peels hard: ring nodes have degree 2, so survivors are
+    exactly the high-degree hub structure.
+
+    Scale shape per round: one degree aggregation (hash, keyed on
+    node) + one semi-join of edges against surviving nodes — both
+    sides partition on the node key, and the edge frame SHRINKS
+    monotonically, so later rounds cost less, not more. The survivor
+    sets broadcast when small (AQE decides). No all-pairs anywhere."""
+    # localCheckpoint per round: each round references the previous
+    # edge frame THREE times (degree agg + two semi joins), so lazy
+    # lineage grows ~3x per round and Catalyst chokes re-optimizing
+    # the compounding plan — the same lesson operators/graph.py
+    # records for the CC fixpoint
+    edges = _customer_edges(spark, sf_dir).localCheckpoint()
+    for _ in range(3):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= 3).select(F.col("src").alias("node"))
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "src"), "src", "semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    return nodes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    ).crossJoin(
+        edges.agg(F.count(F.lit(1)).cast("long").alias("n_directed_edges"))
+    ).select("n_nodes", "n_directed_edges", "min_node", "max_node")
+
+
+@register(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH {_CUST_EDGES_SQL},
+    wedges AS (
+        SELECT e1.dst AS a, e2.dst AS b, e1.src AS via
+        FROM edges e1 JOIN edges e2
+          ON e1.src = e2.src AND e1.dst < e2.dst
+    ),
+    scored AS (
+        SELECT a, b, count(*) AS common
+        FROM wedges GROUP BY a, b
+    ),
+    non_adjacent AS (
+        SELECT s.a, s.b, s.common
+        FROM scored s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM edges e WHERE e.src = s.a AND e.dst = s.b
+        )
+    )
+    SELECT a, b, CAST(common AS BIGINT) AS common_neighbors
+    FROM non_adjacent
+    ORDER BY common_neighbors DESC, a, b
+    LIMIT 20
+    """,
+    tags=("graph",),
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction: for every NON-adjacent pair,
+    count shared neighbors via the degree-oriented wedge join (the
+    same shape as graph_triangle_count's wedge stage) and rank the
+    top-20 missing links — the classic 'people you may know'
+    primitive. All-integer scoring, so parity is exact; the adjacency
+    check is an anti-join, not a lookup loop.
+
+    Scale: wedge counts explode on hub nodes (deg² per hub) — the
+    production guard is degree-capping the via node before the wedge
+    join (drop or sample super-hubs, which carry little link-prediction
+    signal anyway), the same frequent-shingle pruning discipline the
+    dedup suite documents. Pairs shuffle on (a, b); the anti-join
+    partitions on the same key."""
+    edges = _customer_edges(spark, sf_dir)
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src")) & (F.col("e1.dst") < F.col("e2.dst")),
+    ).select(F.col("e1.dst").alias("a"), F.col("e2.dst").alias("b"))
+    scored = wedges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("common"))
+    adj = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    return (
+        scored.join(adj, ["a", "b"], "left_anti")
+        .select("a", "b", F.col("common").cast("long").alias("common_neighbors"))
+        .orderBy(F.desc("common_neighbors"), "a", "b")
+        .limit(20)
+    )
+
+
+@register(
+    "sql_pipe_interface",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {dsum_sql("o_totalprice")} AS revenue,
+           round({davg_sql("o_totalprice")}, 6) AS avg_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("relational", "sql"),
+)
+def sql_pipe_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4.0's `|>` operator chaining — the
+    linear FROM-first dialect): the same logical algebra as
+    sql_interface_revenue's classic SELECT, declared as a pipeline of
+    WHERE → AGGREGATE → EXTEND → ORDER BY stages. Exists so the
+    engine's SQL-string surface covers BOTH dialects; Catalyst compiles
+    them to the identical plan, which the shared oracle proves on
+    values.
+
+    Scale posture is the plan's, not the syntax's: pushed-down scan
+    filter, partial+final hash aggregate, one exchange on the group
+    key."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_pipe")
+    return spark.sql(
+        """
+        FROM v_orders_pipe
+        |> WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+                         AS revenue
+           GROUP BY o_orderstatus
+        |> EXTEND ROUND(revenue / n_orders, 6) AS avg_price
+        |> SELECT o_orderstatus, n_orders, revenue, avg_price
+        |> ORDER BY o_orderstatus
+        """
+    )

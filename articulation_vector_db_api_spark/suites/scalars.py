@@ -568,3 +568,47 @@ def scalar_printf_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("%e", F.col("n_nationkey") * 1234.5).alias("sci"),
         F.format_string("[%-12s]", F.col("n_name")).alias("left_pad"),
     ).orderBy("n_nationkey")
+
+
+@register(
+    "scalar_uuid_surrogate",
+    oracle="""
+    WITH h AS (
+        SELECT o_orderkey, md5('orders:' || CAST(o_orderkey AS VARCHAR)) AS x
+        FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT o_orderkey,
+           substr(x, 1, 8) || '-' || substr(x, 9, 4) || '-3'
+             || substr(x, 14, 3) || '-8' || substr(x, 18, 3) || '-'
+             || substr(x, 21, 12) AS surrogate_uuid
+    FROM h
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar", "etl"),
+)
+def scalar_uuid_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic name-based surrogate UUIDs (RFC 4122 v3 shape:
+    md5 of a namespaced key formatted 8-4-4-4-12 with the version
+    nibble pinned to 3 and the variant nibble to 8) — the stable-key
+    generator ETL pipelines need where `uuid()` would mint a different
+    key every run and every retry: the same (namespace, business key)
+    always yields the same UUID, on every engine, so dimension loads
+    are idempotent and cross-system joins on the surrogate work.
+    Codegen'd md5 + substrings, zero shuffle.
+
+    Scale: embarrassingly parallel map-side expression; at 100 TB the
+    only design rule is to namespace the key ('orders:' here) so keys
+    from different tables can never collide into one surrogate."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    x = F.md5(F.concat(F.lit("orders:"), F.col("o_orderkey").cast("string")))
+    h = o.select("o_orderkey", x.alias("x"))
+    return h.select(
+        "o_orderkey",
+        F.concat(
+            F.substring("x", 1, 8), F.lit("-"),
+            F.substring("x", 9, 4), F.lit("-3"),
+            F.substring("x", 14, 3), F.lit("-8"),
+            F.substring("x", 18, 3), F.lit("-"),
+            F.substring("x", 21, 12),
+        ).alias("surrogate_uuid"),
+    ).orderBy("o_orderkey")

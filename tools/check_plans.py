@@ -471,6 +471,24 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastHashJoin"],
         [r"CartesianProduct"],
     ),
+    "sql_pipe_interface": (
+        # the |> dialect compiles to the same plan as classic SELECT:
+        # pushed-down date filter + partial/final hash aggregate
+        [r"partial_count", r"PushedFilters: \[.*o_orderdate"],
+        [r"CartesianProduct"],
+    ),
+    "graph_common_neighbors": (
+        # wedge equi-join + anti-join adjacency check + top-20 heap —
+        # never a nested lookup loop or global sort
+        [r"LeftAnti", r"TakeOrderedAndProject"],
+        [r"CartesianProduct", r"Arguments: rangepartitioning"],
+    ),
+    "join_scd2_temporal": (
+        # bounded-candidates PIT join: day grid joins versions on the
+        # user key with the as-of filter, then one ranked window
+        [r"\bWindow\b", r"row_number"],
+        [r"CartesianProduct", r"BatchEvalPython"],
+    ),
     "graph_weighted_sssp": (
         # weighted relaxation keeps the BFS shape: broadcast frontier
         # into the edge join each round, edges never shuffled

@@ -267,3 +267,45 @@ def compact_snapshot(
     return write_snapshot(
         df.coalesce(n_files), table_path, note=f"compaction -> {n_files} files"
     )
+
+
+def vacuum_snapshots(table_path: str, keep_last: int = 2) -> list[int]:
+    """Retention vacuum: retire every version except the newest
+    ``keep_last``, removing both their manifest entries and their data
+    directories. Returns the retired version numbers.
+
+    Ordering is the safety argument: manifest entries are removed
+    FIRST, under the manifest lock (so no new reader can resolve a
+    retired version), and the data directories are deleted only AFTER
+    the manifest flip — a crash between the two leaves orphan
+    directories (re-vacuumable garbage), never a manifest entry
+    pointing at deleted data. Readers that pinned a retired version's
+    path BEFORE the vacuum may break mid-scan: the retention window is
+    therefore a contract — keep_last × commit-interval must exceed the
+    longest reader lifetime, exactly Delta/Iceberg's VACUUM rule.
+
+    Scope caveat: for accumulated-LOG tables (streaming_snapshot_sink),
+    old versions are part of the table contents — compact/fold them
+    into the current version FIRST, then vacuum the superseded ones;
+    vacuuming a live log loses data by design of the log."""
+    import shutil
+
+    retired: list[int] = []
+    retired_paths: list[str] = []
+    with _manifest_lock(table_path):
+        man = read_manifest(table_path)
+        versions = sorted(int(v) for v in man["versions"])
+        cut = versions[:-keep_last] if keep_last > 0 else versions
+        for v in cut:
+            entry = man["versions"].pop(str(v))
+            retired.append(v)
+            retired_paths.append(entry["path"])
+        tmp = _manifest_path(table_path) + ".tmp.vacuum"
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=2)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, _manifest_path(table_path))
+    for p in retired_paths:  # AFTER the flip: crash leaves orphans only
+        shutil.rmtree(p, ignore_errors=True)
+    return retired

@@ -243,6 +243,16 @@ _WINDOW_DEFER = frozenset(
         "graph_common_neighbors",
         "sql_pipe_interface",
         "scalar_uuid_surrogate",
+        "maintenance_vacuum_retention",
+        "window_time_range_frame",
+        "events_seasonality_profile",
+        "events_interarrival_stats",
+        "events_ab_test_lift",
+        "agg_benford_first_digit",
+        "agg_mad_robust",
+        "join_interval_overlap_pairs",
+        "curation_sample_quality_band",
+        "text_ngram_coverage_curve",
     }
 )
 

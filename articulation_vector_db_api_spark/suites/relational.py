@@ -4193,3 +4193,375 @@ def sql_pipe_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY o_orderstatus
         """
     )
+
+
+@register(
+    "maintenance_vacuum_retention",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {dsum_sql("o_totalprice")} AS revenue,
+           CAST(2 AS INT) AS n_vacuumed,
+           CAST(1 AS INT) AS retired_dirs_gone,
+           CAST(1 AS INT) AS retained_readable
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("relational", "maintenance"),
+)
+def maintenance_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention VACUUM over the versioned snapshot table — the last
+    missing table-maintenance verb beside compaction and schema
+    evolution: four full-table versions land (growing subsets of
+    orders, v4 = everything), vacuum_snapshots(keep_last=2) retires
+    v1/v2, and the query aggregates the CURRENT read. The oracle pins
+    the aggregate over the full fixture (current must still be v4's
+    content) plus three proof flags computed from the store itself:
+    exactly 2 versions retired, their data directories actually gone
+    from disk, and the retained older version (v3) still readable for
+    time travel. Any of vacuum deleting too much, too little, or
+    leaving manifest entries pointing at deleted data hash-fails.
+
+    SIDE-EFFECTFUL BUILDER (similarity._build_once contract).
+
+    Scale: the vacuum itself is manifest-sized work plus directory
+    deletes — the data path is never read; the documented contract is
+    Delta/Iceberg's — retention window must exceed the longest reader
+    lifetime, since readers pin paths, not manifest entries."""
+    import json as _json
+    import os
+
+    from ..operators.maintenance import (
+        read_manifest,
+        read_snapshot,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+    from .similarity import _build_once
+
+    def _build(p: str) -> None:
+        table = os.path.join(p, "table")
+        o = _t(spark, sf_dir, "orders")
+        for k in (1, 2, 3, 4):
+            write_snapshot(
+                o.filter(F.col("o_orderkey") % 4 < k),
+                table,
+                note=f"epoch {k}",
+            )
+        retired = vacuum_snapshots(table, keep_last=2)
+        retired_gone = all(
+            not os.path.exists(os.path.join(table, f"v={v}")) for v in retired
+        )
+        os.makedirs(p, exist_ok=True)
+        with open(os.path.join(p, "vacuum.json"), "w") as f:
+            _json.dump({"retired": retired, "gone": retired_gone}, f)
+
+    store = _build_once(spark, "vacuumret", sf_dir, _build)
+    table = os.path.join(store, "table")
+    with open(os.path.join(store, "vacuum.json")) as f:
+        proof = _json.load(f)
+    man = read_manifest(table)
+    retained = sorted(int(v) for v in man["versions"])
+    retained_readable = 1 if read_snapshot(
+        spark, table, version=retained[0]
+    ).limit(1).count() >= 0 else 0
+    return (
+        read_snapshot(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .withColumn("n_vacuumed", F.lit(len(proof["retired"])).cast("int"))
+        .withColumn(
+            "retired_dirs_gone", F.lit(1 if proof["gone"] else 0).cast("int")
+        )
+        .withColumn("retained_readable", F.lit(retained_readable).cast("int"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "events_ab_test_lift",
+    oracle=f"""
+    WITH pc AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purch
+        FROM events GROUP BY user_id
+    ),
+    med AS (SELECT quantile_cont(n_purch, 0.5) AS m FROM pc),
+    assigned AS (
+        SELECT {sha_hash32_sql("CAST(user_id AS VARCHAR)", seed=13)} % 2 AS arm,
+               CAST(n_purch > med.m AS INT) AS converted
+        FROM pc, med
+    ),
+    arms AS (
+        SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+                   AS c_a,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+                   AS c_b
+        FROM assigned
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           round(CAST(c_a AS DOUBLE) / n_a, 6) AS cvr_a,
+           round(CAST(c_b AS DOUBLE) / n_b, 6) AS cvr_b,
+           round((CAST(c_b AS DOUBLE) / n_b) / (CAST(c_a AS DOUBLE) / n_a)
+                 - 1.0, 6) AS rel_lift,
+           CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL
+                ELSE round((CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+                     / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                            * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)), 6)
+           END AS z_score
+    FROM arms
+    """,
+    tags=("relational", "stats", "sampling"),
+)
+def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with DETERMINISTIC assignment: users
+    hash into arms via the seeded sha bucket (the
+    sample_deterministic_hash discipline — assignment is reproducible
+    across runs, engines, and reshuffles, which is what makes
+    experiment analysis auditable), conversion = purchase count above
+    the cross-user median (a median split, so conversion is
+    nondegenerate at every scale factor — 'any purchase' saturates to
+    100% on this fixture and the z-score's pooled variance hits 0),
+    and the readout computes per-arm conversion, relative lift, and
+    the pooled two-proportion z-score (NULL-guarded for the
+    all-or-nothing edge on BOTH engines). Every float input is an
+    integer count plus one exact interpolated median; both engines
+    evaluate the identically-parenthesized formula — exact parity.
+
+    Scale: one per-user aggregate, one scalar median broadcast, then a
+    single global 4-counter reduce — constant bytes over the wire."""
+    ev = _t(spark, sf_dir, "events")
+    pc = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_purch")
+    )
+    med = pc.agg(F.percentile("n_purch", F.lit(0.5)).alias("m"))
+    assigned = pc.crossJoin(F.broadcast(med)).select(
+        (sha_hash32(F.col("user_id").cast("string"), seed=13) % 2).alias("arm"),
+        (F.col("n_purch") > F.col("m")).cast("int").alias("converted"),
+    )
+    arms = assigned.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_b"),
+    )
+    ca, na = F.col("c_a").cast("double"), F.col("n_a")
+    cb, nb = F.col("c_b").cast("double"), F.col("n_b")
+    conv = F.col("c_a") + F.col("c_b")
+    pop = F.col("n_a") + F.col("n_b")
+    pooled = conv.cast("double") / pop
+    z = F.round(
+        (cb / nb - ca / na)
+        / F.sqrt(
+            pooled
+            * (F.lit(1.0) - pooled)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        ),
+        6,
+    )
+    return arms.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(ca / na, 6).alias("cvr_a"),
+        F.round(cb / nb, 6).alias("cvr_b"),
+        F.round((cb / nb) / (ca / na) - F.lit(1.0), 6).alias("rel_lift"),
+        F.when((conv == 0) | (conv == pop), F.lit(None).cast("double"))
+        .otherwise(z)
+        .alias("z_score"),
+    )
+
+
+@register(
+    "agg_benford_first_digit",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INT) AS d
+        FROM orders WHERE o_totalprice >= 1.0
+    ),
+    counts AS (SELECT d, count(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts)
+    SELECT d AS first_digit,
+           CAST(n AS BIGINT) AS n_values,
+           round(CAST(n AS DOUBLE) / t, 6) AS observed_share,
+           round(log10(1.0 + 1.0 / d), 6) AS benford_share,
+           round(CAST(n AS DOUBLE) / t - log10(1.0 + 1.0 / d), 6)
+               AS deviation
+    FROM counts, tot
+    ORDER BY first_digit
+    """,
+    tags=("relational", "dq", "stats"),
+)
+def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit: the distribution of leading
+    digits of order totals vs the log10(1 + 1/d) expectation — the
+    classic fabricated-data / fraud screen for financial columns.
+    The digit extraction goes through an integer truncation and
+    string slice (identical on both engines — no float formatting),
+    and the Benford expectation is a per-digit constant, so the only
+    float work is two rounded divisions.
+
+    Scale: map-side digit projection into a 9-row aggregate; the total
+    joins back as a single-row broadcast."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
+    # floor() explicitly on both sides: DuckDB's double->BIGINT cast
+    # ROUNDS while Spark's TRUNCATES — floor first makes them agree
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").cast("long").alias("t"))
+    share = F.col("n").cast("double") / F.col("t")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("first_digit"),
+            F.col("n").cast("long").alias("n_values"),
+            F.round(share, 6).alias("observed_share"),
+            F.round(benford, 6).alias("benford_share"),
+            F.round(share - benford, 6).alias("deviation"),
+        )
+        .orderBy("first_digit")
+    )
+
+
+@register(
+    "agg_mad_robust",
+    oracle="""
+    WITH med AS (
+        SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS m
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderstatus,
+           round(max(med.m), 6) AS median_price,
+           round(quantile_cont(abs(o.o_totalprice - med.m), 0.5), 6) AS mad,
+           round(1.4826 * quantile_cont(abs(o.o_totalprice - med.m), 0.5), 6)
+               AS robust_sigma
+    FROM orders o JOIN med ON o.o_orderstatus = med.o_orderstatus
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+    tags=("relational", "agg", "stats"),
+)
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    estimate (and robust_sigma = 1.4826·MAD, the normal-consistent
+    scale) that outliers cannot drag the way they drag stddev: the
+    backbone of robust z-scoring in data-quality screens
+    (events_anomaly_zscore's robust twin). Two-pass shape: group
+    medians, broadcast back, median of absolute deviations — both
+    medians are the exact interpolated percentile the agg_percentiles
+    convention already proved engine-identical.
+
+    Scale: two aggregates over the same grouping key (the second
+    reuses the first's partitioning) plus a broadcast of K group
+    medians; exact medians sort per group — swap approx_percentile at
+    100 TB, same plan shape."""
+    o = _t(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("m")
+    )
+    return (
+        o.join(F.broadcast(med), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.max("m"), 6).alias("median_price"),
+            F.round(
+                F.percentile(F.abs(F.col("o_totalprice") - F.col("m")), F.lit(0.5)),
+                6,
+            ).alias("mad"),
+            F.round(
+                F.lit(1.4826)
+                * F.percentile(
+                    F.abs(F.col("o_totalprice") - F.col("m")), F.lit(0.5)
+                ),
+                6,
+            ).alias("robust_sigma"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "join_interval_overlap_pairs",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id,
+               min(epoch_us(ts)) AS s,
+               max(epoch_us(ts)) AS e
+        FROM events WHERE user_id % 10 = 0
+        GROUP BY user_id
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_us
+    FROM spans a JOIN spans b
+      ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+    ORDER BY overlap_us DESC, user_a, user_b
+    LIMIT 20
+    """,
+    tags=("relational", "join", "interval"),
+)
+def join_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP self-join: each user's activity span
+    [first event, last event], paired with every other user whose span
+    intersects, ranked by overlap length (integer micros — exact
+    parity). The interval-intersection predicate (a.s <= b.e AND
+    b.s <= a.e) is the concurrency/conflict primitive behind meeting
+    clash detection, co-presence analytics, and resource double-
+    booking checks; events_interval_coverage measures one user's
+    UNION of intervals, this measures CROSS-user intersection.
+
+    Scale: the span table is one row per key (aggregated first, so the
+    pair join is keys², not events²); at 100 TB bucket spans into
+    coarse time bins and join bin-adjacent buckets only — the standard
+    interval-join banding that keeps candidate pairs near-linear."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("s"),
+        F.max(F.unix_micros("ts")).alias("e"),
+    )
+    a = spans.alias("a")
+    b = spans.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            (
+                F.least(F.col("a.e"), F.col("b.e"))
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+            )
+            .cast("long")
+            .alias("overlap_us"),
+        )
+        .orderBy(F.desc("overlap_us"), "user_a", "user_b")
+        .limit(20)
+    )

@@ -2322,3 +2322,143 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("p_kn"), "w1", "w2")
         .limit(30)
     )
+
+
+@register(
+    "curation_sample_quality_band",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               round(CAST(len(list_distinct(
+                          regexp_split_to_array(trim(lower(text)), '\\s+')))
+                          AS DOUBLE)
+                     / len(regexp_split_to_array(trim(lower(text)), '\\s+')), 6)
+                   AS quality
+        FROM documents
+        WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 1
+    ),
+    banded AS (
+        SELECT doc_id, quality,
+               ntile(4) OVER (ORDER BY quality, doc_id) AS band
+        FROM scored
+    ),
+    drawn AS (
+        SELECT band, doc_id, quality,
+               row_number() OVER (PARTITION BY band
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rn
+        FROM banded
+    )
+    SELECT band, doc_id, quality
+    FROM drawn WHERE rn <= 5
+    ORDER BY band, doc_id
+    """,
+    tags=("textops", "curation", "sampling"),
+)
+def curation_sample_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-STRATIFIED sampling: score every document (lexical
+    diversity = distinct/total tokens), cut the corpus into quality
+    quartiles (ntile with a total order), and draw a fixed
+    deterministic quota (5) per band by md5 key order — the eval-set
+    construction that guarantees the sample spans the quality
+    SPECTRUM instead of clustering at the corpus mode (uniform
+    sampling over-represents whatever dominates). Same md5-draw
+    discipline as sample_stratified_sources, stratified on a DERIVED
+    signal instead of a stored column.
+
+    Scale: scoring is a zero-shuffle narrow map; the global ntile is
+    the one global-sort pass (at 100 TB replace with approx quantile
+    cut points broadcast as band edges — same bands, no global sort);
+    the per-band draw partitions by band."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    scored = docs.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("quality"),
+    ).filter(F.size(toks) >= 1)
+    from pyspark.sql.window import Window as _W
+
+    banded = scored.withColumn(
+        "band", F.ntile(4).over(_W.orderBy("quality", "doc_id"))
+    )
+    drawn = banded.withColumn(
+        "rn",
+        F.row_number().over(
+            _W.partitionBy("band").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        ),
+    )
+    return (
+        drawn.filter(F.col("rn") <= 5)
+        .select("band", "doc_id", "quality")
+        .orderBy("band", "doc_id")
+    )
+
+
+@register(
+    "text_ngram_coverage_curve",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+        FROM documents
+    ),
+    counts AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
+    ranked AS (
+        SELECT t, n, row_number() OVER (ORDER BY n DESC, t) AS rnk
+        FROM counts
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+    ks AS (SELECT unnest([10, 100, 1000]) AS k)
+    SELECT k,
+           CAST(count(*) AS BIGINT) AS vocab_used,
+           CAST(sum(n) AS BIGINT) AS covered_tokens,
+           round(CAST(sum(n) AS DOUBLE) / tot.total, 6) AS coverage
+    FROM ranked JOIN ks ON ranked.rnk <= ks.k
+    CROSS JOIN tot
+    GROUP BY k, tot.total
+    ORDER BY k
+    """,
+    tags=("textops", "tokenizer"),
+)
+def text_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary COVERAGE curve: what fraction of all token
+    occurrences the top-K vocabulary covers, at K = 10/100/1000 — the
+    sizing curve for tokenizer vocab and OOV-rate budgets (the
+    Zipf-law consequence BPE exploits: a tiny head covers most of the
+    stream; text_bpe_learn_merges builds the vocab, this measures what
+    a budget buys). Deterministic head: ranks tie-break on the token
+    string.
+
+    Scale: the corpus-sized stage is one token explode into a
+    vocabulary-sized count table; the rank window sorts the VOCAB
+    (bounded — millions, not corpus-scale), the K probes join against
+    a 3-row broadcast, and the total is a single-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t")
+    )
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window as _W
+
+    ranked = counts.withColumn(
+        "rnk", F.row_number().over(_W.orderBy(F.desc("n"), "t"))
+    )
+    tot = counts.agg(F.sum("n").cast("long").alias("total"))
+    ks = docs.sparkSession.createDataFrame([(10,), (100,), (1000,)], "k int")
+    return (
+        ranked.join(F.broadcast(ks), F.col("rnk") <= F.col("k"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "total")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_used"),
+            F.sum("n").cast("long").alias("covered_tokens"),
+            F.round(
+                F.sum("n").cast("double") / F.first("total"), 6
+            ).alias("coverage"),
+        )
+        .select("k", "vocab_used", "covered_tokens", "coverage")
+        .orderBy("k")
+    )

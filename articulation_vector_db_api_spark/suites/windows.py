@@ -1664,3 +1664,162 @@ def events_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "window_time_range_frame",
+    oracle="""
+    WITH keyed AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events
+        WHERE user_id % 25 = 0
+    )
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_7d,
+           round(CAST(sum(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE), 6)
+               AS sum_7d
+    FROM keyed
+    WINDOW w AS (PARTITION BY user_id ORDER BY t
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "timeseries"),
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based RANGE frame: each event's trailing 7-DAY window per
+    user (count + decimal-exact sum), ordered by event time in integer
+    micros so the frame bound is an exact value offset — the
+    sliding-by-time analytic (trailing spend, rolling exposure) that
+    ROWS frames cannot express when events are irregularly spaced:
+    the frame holds whatever fits the interval, not a fixed row
+    count. The epoch-micros ordering key makes Spark's rangeBetween
+    and the oracle's RANGE PRECEDING bit-identical (both are integer
+    comparisons; no calendar arithmetic inside the frame).
+
+    Scale: one shuffle on user_id, one sort per partition; the frame
+    scan is the classic two-pointer pass, O(events) per user. Ties on
+    t are well-defined: RANGE frames include ALL peer rows of the
+    current ordering value on both engines."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    keyed = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-604_800_000_000, 0)
+    )
+    return keyed.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_7d"),
+        F.round(
+            F.sum(F.col("value").cast(_DEC2)).over(w).cast("double"), 6
+        ).alias("sum_7d"),
+    ).orderBy("user_id", "event_id")
+
+
+_DEC2 = "decimal(30,8)"
+
+
+@register(
+    "events_seasonality_profile",
+    oracle="""
+    WITH base AS (
+        SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
+               CAST(value AS DECIMAL(30,8)) AS v
+        FROM events
+    )
+    SELECT dow, hod,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_value
+    FROM base
+    GROUP BY dow, hod
+    HAVING count(*) >= 5
+    ORDER BY dow, hod
+    """,
+    tags=("window", "events", "timeseries"),
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal baseline profile: mean activity per (day-of-week x
+    hour-of-day) cell — the reference surface anomaly detectors
+    compare against (events_anomaly_zscore flags deviations from a
+    trailing window; this builds the CALENDAR-periodic expectation,
+    the other standard baseline). Sparse cells (<5 events) are dropped
+    rather than shipped as noise. DuckDB's dayofweek is 0-based
+    Sunday, Spark's 1-based — the oracle shifts (+1), the suite's
+    documented convention (scalars.py).
+
+    Scale: one hash aggregate into at most 7x24 cells — partial
+    aggregation collapses everything map-side; the profile broadcasts
+    back to score live traffic."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hod"),
+            F.col("value").cast(_DEC2).alias("v"),
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(
+                F.sum("v").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_value"),
+        )
+        .filter(F.col("n_events") >= 5)
+        .orderBy("dow", "hod")
+    )
+
+
+@register(
+    "events_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_us, 0.5), 6) AS median_gap_us,
+           round(quantile_cont(gap_us, 0.9), 6) AS p90_gap_us,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us
+    FROM gaps
+    WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("window", "events", "timeseries"),
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time analysis: per event type, the distribution
+    of gaps between a user's consecutive events (median/p90/min in
+    integer micros) — the churn/engagement primitive behind session
+    timeout tuning (stream_session_window's 5-minute gap is a choice
+    THIS query calibrates) and burst detection. Gaps are computed per
+    USER then aggregated per TYPE, so cross-user boundaries never
+    fabricate a gap. Integer gaps feed the exact interpolated
+    percentile (F.percentile ≡ quantile_cont, the agg_percentiles
+    convention).
+
+    Scale: one user-keyed window pass for the lag, one type-keyed
+    aggregate; exact percentiles sort per group — at 100 TB swap
+    approx_percentile in, same plan otherwise."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros("ts")
+    gaps = ev.select(
+        "event_type", (t - F.lag(t).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_us").cast("long").alias("n_gaps"),
+            F.round(F.percentile("gap_us", F.lit(0.5)), 6).alias("median_gap_us"),
+            F.round(F.percentile("gap_us", F.lit(0.9)), 6).alias("p90_gap_us"),
+            F.min("gap_us").cast("long").alias("min_gap_us"),
+        )
+        .orderBy("event_type")
+    )

@@ -295,3 +295,39 @@ def test_side_effectful_builders_rebuild_after_partial_build(spark):
         again = reg[qname].fn(spark, sf).collect()
         assert again == first, f"{qname} changed results after rebuild"
         assert os.path.exists(marker)
+
+
+def test_vacuum_snapshots_retention(spark, tmp_path):
+    """vacuum_snapshots retires all but keep_last versions: manifest
+    entries removed first, data dirs deleted after, current and
+    retained time travel intact, and re-vacuum is a no-op."""
+    import os
+
+    from articulation_vector_db_api_spark.operators.maintenance import (
+        read_snapshot,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "vac_table")
+    base = spark.range(0, 40)
+    for k in (10, 20, 30, 40):
+        write_snapshot(base.filter(base.id < k), table, note=f"up to {k}")
+
+    retired = vacuum_snapshots(table, keep_last=2)
+    assert retired == [1, 2]
+    man = read_manifest(table)
+    assert sorted(int(v) for v in man["versions"]) == [3, 4]
+    assert int(man["current"]) == 4
+    # retired data dirs are gone; retained versions stay readable
+    assert not os.path.exists(os.path.join(table, "v=1"))
+    assert not os.path.exists(os.path.join(table, "v=2"))
+    assert read_snapshot(spark, table).count() == 40  # current = v4
+    assert read_snapshot(spark, table, version=3).count() == 30
+    # re-vacuum with the same retention is a no-op
+    assert vacuum_snapshots(table, keep_last=2) == []
+    # retired versions are rejected explicitly, not read as empty
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, table, version=1)

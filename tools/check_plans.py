@@ -794,7 +794,7 @@ def main() -> int:
             "decides 100 TB viability: pushdown + pruning reach the scan,\n"
             "dimension joins broadcast, fact joins sort-merge, top-k avoids\n"
             "global sorts, aggregates are partial+final. Additionally\n"
-            "`--sweep` audits EVERY registered query (272/272 clean) for\n"
+            "`--sweep` audits EVERY registered query (290/290 clean) for\n"
             "nodes forbidden engine-wide: CartesianProduct and pickled\n"
             "BatchEvalPython.\n\n" + "\n".join(sections)
         )

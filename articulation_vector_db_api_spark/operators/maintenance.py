@@ -290,12 +290,19 @@ def vacuum_snapshots(table_path: str, keep_last: int = 2) -> list[int]:
     vacuuming a live log loses data by design of the log."""
     import shutil
 
+    if keep_last < 1:
+        # keep_last=0 would retire the CURRENT version and leave the
+        # manifest's `current` dangling (table permanently unreadable);
+        # negatives slice versions[:-keep_last] into the OPPOSITE of
+        # retention. Both are always caller bugs — reject them.
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+
     retired: list[int] = []
     retired_paths: list[str] = []
     with _manifest_lock(table_path):
         man = read_manifest(table_path)
         versions = sorted(int(v) for v in man["versions"])
-        cut = versions[:-keep_last] if keep_last > 0 else versions
+        cut = versions[:-keep_last]
         for v in cut:
             entry = man["versions"].pop(str(v))
             retired.append(v)

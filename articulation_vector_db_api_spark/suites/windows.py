@@ -1666,6 +1666,9 @@ def events_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEC2 = "decimal(30,8)"  # the functions/numeric decimal-exact sum type
+
+
 @register(
     "window_time_range_frame",
     oracle="""
@@ -1716,9 +1719,6 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(_DEC2)).over(w).cast("double"), 6
         ).alias("sum_7d"),
     ).orderBy("user_id", "event_id")
-
-
-_DEC2 = "decimal(30,8)"
 
 
 @register(

@@ -331,3 +331,21 @@ def test_vacuum_snapshots_retention(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         read_snapshot(spark, table, version=1)
+
+
+def test_vacuum_rejects_non_positive_retention(spark, tmp_path):
+    """keep_last=0 would retire the current version (dangling
+    manifest); negatives invert the retention slice — both rejected."""
+    import pytest as _pytest
+
+    from articulation_vector_db_api_spark.operators.maintenance import (
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "vac_guard")
+    write_snapshot(spark.range(3), table)
+    for bad in (0, -1):
+        with _pytest.raises(ValueError, match="keep_last"):
+            vacuum_snapshots(table, keep_last=bad)
+    assert read_manifest(table)["versions"]  # untouched

@@ -269,7 +269,9 @@ def compact_snapshot(
     )
 
 
-def vacuum_snapshots(table_path: str, keep_last: int = 2) -> list[int]:
+def vacuum_snapshots(
+    table_path: str, keep_last: int = 2, force: bool = False
+) -> list[int]:
     """Retention vacuum: retire every version except the newest
     ``keep_last``, removing both their manifest entries and their data
     directories. Returns the retired version numbers.
@@ -284,10 +286,14 @@ def vacuum_snapshots(table_path: str, keep_last: int = 2) -> list[int]:
     therefore a contract — keep_last × commit-interval must exceed the
     longest reader lifetime, exactly Delta/Iceberg's VACUUM rule.
 
-    Scope caveat: for accumulated-LOG tables (streaming_snapshot_sink),
-    old versions are part of the table contents — compact/fold them
-    into the current version FIRST, then vacuum the superseded ones;
-    vacuuming a live log loses data by design of the log."""
+    Log-table guard: for accumulated-LOG tables
+    (:func:`streaming_snapshot_sink`), old versions ARE the table
+    contents — their manifest entries carry ``batch_id``, which makes
+    the misuse detectable, so it is REFUSED rather than documented:
+    retiring any batch-stamped version raises unless ``force=True``.
+    The sanctioned path is compact/fold the log into a plain snapshot
+    first, then vacuum the superseded batch versions with ``force``
+    (their rows now live in the current version)."""
     import shutil
 
     if keep_last < 1:
@@ -303,6 +309,20 @@ def vacuum_snapshots(table_path: str, keep_last: int = 2) -> list[int]:
         man = read_manifest(table_path)
         versions = sorted(int(v) for v in man["versions"])
         cut = versions[:-keep_last]
+        if not force:
+            logged = [
+                v
+                for v in cut
+                if man["versions"][str(v)].get("batch_id") is not None
+            ]
+            if logged:
+                raise ValueError(
+                    "vacuum_snapshots would retire batch-stamped log "
+                    f"versions {logged} of {table_path}: an accumulated "
+                    "snapshot log's old versions are table CONTENT, not "
+                    "superseded snapshots. Compact the log into a plain "
+                    "snapshot first, then pass force=True."
+                )
         for v in cut:
             entry = man["versions"].pop(str(v))
             retired.append(v)

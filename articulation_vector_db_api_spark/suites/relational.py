@@ -3558,10 +3558,10 @@ def maintenance_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     pinned to 1 by the oracle, so a compaction that stops compacting
     also fails rather than degrading silently.
 
-    SIDE-EFFECTFUL BUILDER (same contract as ann_ivf_stored_probe,
-    including its all-or-nothing marker): a partial build — killed
-    between the ingest and the compaction — is detected by the missing
-    completion marker and rebuilt from scratch, and the marker records
+    SIDE-EFFECTFUL BUILDER via similarity._build_once (flock-guarded
+    all-or-nothing marker): a partial build — killed between the
+    ingest and the compaction — is detected by the missing completion
+    marker and rebuilt from scratch, and the marker payload records
     the ACTUAL version numbers write_snapshot returned (a crash inside
     write_snapshot itself can skip version 1 entirely, so they are
     never hardcoded).
@@ -3572,7 +3572,6 @@ def maintenance_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     file census breaches the small-file threshold."""
     import json as _json
     import os as _os3
-    import shutil as _shutil
 
     from ..operators.maintenance import (
         compact_snapshot,
@@ -3580,20 +3579,18 @@ def maintenance_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         read_snapshot,
         write_snapshot,
     )
-    from .similarity import _app_scoped_store
+    from .similarity import _build_once
 
-    path = _app_scoped_store(spark, "compactrt", sf_dir)
-    marker = _os3.path.join(path, "_BUILD_COMPLETE")
-    if not _os3.path.exists(marker):
-        _shutil.rmtree(path, ignore_errors=True)
+    def _build(store: str) -> dict:
         li = _t(spark, sf_dir, "lineitem")
         v_small = write_snapshot(
-            li.repartition(48), path, note="small-file ingest"
+            li.repartition(48), store, note="small-file ingest"
         )
-        v_compact = compact_snapshot(spark, path)
-        with open(marker, "w") as f:
-            _json.dump({"v_small": v_small, "v_compact": v_compact}, f)
-    with open(marker) as f:
+        v_compact = compact_snapshot(spark, store)
+        return {"v_small": v_small, "v_compact": v_compact}
+
+    path = _build_once(spark, "compactrt", sf_dir, _build)
+    with open(_os3.path.join(path, "_STORE_COMPLETE")) as f:
         built = _json.load(f)
     man = read_manifest(path)
     small = int(man["versions"][str(built["v_small"])]["n_files"])
@@ -3642,41 +3639,36 @@ def scan_schema_evolution_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     a read path that dropped old versions, double-read one, or
     mis-filled the evolved column hash-fails.
 
-    SIDE-EFFECTFUL BUILDER (ann_ivf_stored_probe contract, including
-    its all-or-nothing completion marker: a build killed between the
-    two epochs would otherwise re-run BOTH writes on retry and
+    SIDE-EFFECTFUL BUILDER via similarity._build_once (flock-guarded
+    all-or-nothing completion marker: a build killed between the two
+    epochs would otherwise re-run BOTH writes on retry and
     double-count epoch 1 in the log).
 
     Scale: the log read is a parquet union whose listing cost is
     manifest-sized; mergeSchema pays one footer per file — the
     documented policy is evolve rarely and let compaction rewrite old
     versions into the current schema (operators/maintenance.py)."""
-    import os as _os3
-    import shutil as _shutil
-
     from ..operators.maintenance import read_snapshot_log, write_snapshot
-    from .similarity import _app_scoped_store
+    from .similarity import _build_once
 
-    path = _app_scoped_store(spark, "schemaevo", sf_dir)
-    marker = _os3.path.join(path, "_BUILD_COMPLETE")
-    if not _os3.path.exists(marker):
-        _shutil.rmtree(path, ignore_errors=True)
+    def _build(store: str) -> None:
         o = _t(spark, sf_dir, "orders")
         write_snapshot(
             o.filter(F.col("o_orderkey") % 2 == 0).select(
                 "o_orderkey", "o_totalprice"
             ),
-            path,
+            store,
             note="epoch 1: narrow schema",
         )
         write_snapshot(
             o.filter(F.col("o_orderkey") % 2 == 1).select(
                 "o_orderkey", "o_totalprice", "o_orderpriority"
             ),
-            path,
+            store,
             note="epoch 2: +o_orderpriority",
         )
-        open(marker, "w").close()
+
+    path = _build_once(spark, "schemaevo", sf_dir, _build)
     log = read_snapshot_log(spark, path, merge_schema=True)
     return (
         log.groupBy(

@@ -452,21 +452,45 @@ def _build_once(spark: SparkSession, prefix: str, sf_dir: str, build) -> str:
     """All-or-nothing build-once contract for side-effectful query
     builders, centralized: resolve the app-scoped store, and if its
     completion marker is missing, wipe any partial build, run
-    ``build(store_path)``, then touch the marker. A builder killed
+    ``build(store_path)``, then publish the marker. A builder killed
     mid-build leaves no marker and is rebuilt from scratch on the next
     touch — the same contract every stored-artifact query documents
-    (ann_ivf_stored_probe et al.). Returns the store path."""
+    (ann_ivf_stored_probe et al.). Returns the store path.
+
+    The check-wipe-build-mark sequence runs under the maintenance
+    module's flock, so two sessions sharing an app-scoped store can
+    never race one's rmtree against the other's in-flight build or
+    read. The lock file lives in the store's PARENT directory: a lock
+    inside the store would be unlinked by the wipe while held, letting
+    later arrivals lock a fresh inode — two holders (the exact hazard
+    _manifest_lock's docstring forbids). Completed stores take the
+    no-lock fast path.
+
+    ``build`` may return a JSON-serializable payload; it is persisted
+    as the marker's content (atomically, tmp+rename — a crash between
+    build and publish leaves no marker, so the store rebuilds), which
+    lets builders record build-time facts (e.g. the version numbers
+    write_snapshot actually returned) instead of hardcoding them."""
+    import json
     import os
     import shutil
 
+    from ..operators.maintenance import _manifest_lock
+
     store = _app_scoped_store(spark, prefix, sf_dir)
     marker = os.path.join(store, "_STORE_COMPLETE")
-    if not os.path.exists(marker):
-        shutil.rmtree(store, ignore_errors=True)
-        build(store)
-        os.makedirs(store, exist_ok=True)
-        with open(marker, "w"):
-            pass
+    if os.path.exists(marker):
+        return store
+    parent, base = os.path.split(os.path.normpath(store))
+    with _manifest_lock(parent, lock_name=f".{base}.buildlock"):
+        if not os.path.exists(marker):  # re-check under the lock
+            shutil.rmtree(store, ignore_errors=True)
+            payload = build(store)
+            os.makedirs(store, exist_ok=True)
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(payload, f)
+            os.replace(tmp, marker)
     return store
 
 

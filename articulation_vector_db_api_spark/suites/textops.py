@@ -334,7 +334,9 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.filter(F.col("doc_id") % 100 == 0)
-        .join(F.broadcast(df), "token")
+        # no broadcast hint on df: the token-vocabulary grows with the
+        # corpus (unbounded at 100 TB) — AQE picks the join strategy
+        .join(df, "token")
         .join(F.broadcast(n))
         .select(
             "doc_id",
@@ -1599,8 +1601,9 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-independent. Top-20 phrases with occurrence counts.
 
     Scale shape: two shuffles (word stats, phrase regroup) on bounded
-    keys; the word-score table is vocabulary-sized and broadcasts to
-    the phrase-word join; final top-k is a heap merge."""
+    keys; the word-score table is vocabulary-sized (corpus-growing, so
+    the phrase-word join carries no forced broadcast — AQE decides);
+    final top-k is a heap merge."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim(F.col("text"))) > 0
     )
@@ -1634,7 +1637,9 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phrase", F.explode(F.split(F.col("phrase"), " ")).alias("w")
     )
     pscore = (
-        pwords.join(F.broadcast(wscore), "w")
+        # no broadcast hint on wscore: word-vocabulary-sized, grows
+        # with the corpus — AQE picks the join strategy
+        pwords.join(wscore, "w")
         .groupBy("phrase")
         .agg(F.sum("s").alias("score_micro"))
     )
@@ -2213,7 +2218,9 @@ def text_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_word = words.groupBy("doc_id", "word").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    encoded = per_word.join(F.broadcast(word_tokens), "word")
+    # no broadcast hint on word_tokens: distinct-word-sized, grows
+    # with the corpus — AQE picks the join strategy
+    encoded = per_word.join(word_tokens, "word")
     return (
         encoded.groupBy("doc_id")
         .agg(
@@ -2277,10 +2284,14 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one token explode feeds ONE bigram-type aggregation; the
     history, continuation, and type-total tables all derive from that
-    small types table (vocabulary-sized, broadcast-joined back). The
-    |types| scalar joins as a single-row broadcast, never a
-    collect(). At 100 TB the explode is the only corpus-sized stage —
-    everything after is vocabulary-sized."""
+    types table. The |types| scalar joins as a single-row broadcast,
+    never a collect(). At 100 TB the explode is the only corpus-sized
+    stage — everything after is vocabulary-sized. The hist/cont joins
+    carry NO broadcast hint on purpose: a whitespace-token vocabulary
+    grows with the corpus (easily 1e8 rows on web text), so a forced
+    broadcast would bypass Spark's size check and OOM executors; AQE
+    picks broadcast at small scale and shuffle join when the vocab
+    outgrows the threshold."""
     d = (
         load_table(spark, sf_dir, "documents")
         .select(
@@ -2305,8 +2316,8 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("nb"))
     types = big.agg(F.count(F.lit(1)).alias("n_types"))
     return (
-        big.join(F.broadcast(hist), "w1")
-        .join(F.broadcast(cont), "w2")
+        big.join(hist, "w1")
+        .join(cont, "w2")
         .crossJoin(F.broadcast(types))
         .select(
             "w1",
@@ -2337,10 +2348,35 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
         WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 1
     ),
+    hist AS (
+        SELECT quality, count(*) AS cnt FROM scored GROUP BY quality
+    ),
+    cum AS (
+        SELECT quality,
+               sum(cnt) OVER (ORDER BY quality) AS cum
+        FROM hist
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+    edges AS (
+        SELECT b, min(quality) AS edge
+        FROM cum
+        CROSS JOIN tot
+        CROSS JOIN (SELECT unnest([1, 2, 3]) AS b) bs
+        WHERE cum >= (b * n + 3) // 4
+        GROUP BY b
+    ),
+    e AS (
+        SELECT max(CASE WHEN b = 1 THEN edge END) AS e1,
+               max(CASE WHEN b = 2 THEN edge END) AS e2,
+               max(CASE WHEN b = 3 THEN edge END) AS e3
+        FROM edges
+    ),
     banded AS (
         SELECT doc_id, quality,
-               ntile(4) OVER (ORDER BY quality, doc_id) AS band
-        FROM scored
+               1 + CAST(quality > e1 AS INT)
+                 + CAST(quality > e2 AS INT)
+                 + CAST(quality > e3 AS INT) AS band
+        FROM scored CROSS JOIN e
     ),
     drawn AS (
         SELECT band, doc_id, quality,
@@ -2358,18 +2394,34 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curation_sample_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QUALITY-STRATIFIED sampling: score every document (lexical
     diversity = distinct/total tokens), cut the corpus into quality
-    quartiles (ntile with a total order), and draw a fixed
-    deterministic quota (5) per band by md5 key order — the eval-set
-    construction that guarantees the sample spans the quality
-    SPECTRUM instead of clustering at the corpus mode (uniform
-    sampling over-represents whatever dominates). Same md5-draw
-    discipline as sample_stratified_sources, stratified on a DERIVED
-    signal instead of a stored column.
+    quartiles via EXACT cut points derived from a bounded histogram,
+    and draw a fixed deterministic quota (5) per band by md5 key
+    order — the eval-set construction that guarantees the sample
+    spans the quality SPECTRUM instead of clustering at the corpus
+    mode (uniform sampling over-represents whatever dominates). Same
+    md5-draw discipline as sample_stratified_sources, stratified on a
+    DERIVED signal instead of a stored column.
 
-    Scale: scoring is a zero-shuffle narrow map; the global ntile is
-    the one global-sort pass (at 100 TB replace with approx quantile
-    cut points broadcast as band edges — same bands, no global sort);
-    the per-band draw partitions by band."""
+    Band rule (deterministic, no global sort): quality is rounded to
+    6dp in [0, 1], so groupBy(quality) is a ≤1e6+1-row histogram
+    REGARDLESS of corpus size; a prefix sum over that tiny table
+    yields exact quartile edges e_b = min quality with cum ≥
+    ceil(b·n/4), and band = 1 + Σ(quality > e_b). Ties share a band
+    (bands may be unequal under heavy ties — the price of a
+    sort-free exact rule; ntile's tie-splitting needed a
+    one-reducer global sort, the 100 TB killer this replaces).
+
+    Scale: scoring is a zero-shuffle narrow map (the corpus is read
+    twice — histogram pass + band pass — the scan-twice-vs-sort-once
+    trade a 100 TB plan wants); the only unpartitioned window runs
+    over the bounded histogram; n comes from summing the histogram,
+    not a third scan; edges broadcast back as a single row. The
+    per-band draw is two-level: top-5 within (band, 256-way md5
+    salt) — thousands of window keys, corpus-scale parallel — then
+    top-5 per band over the ≤5·4·256 survivors; the global top-5 per
+    band is always top-5 in its salt bucket, so the prune is
+    lossless and the result identical to the one-level rule the
+    oracle states."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     scored = docs.select(
@@ -2380,15 +2432,54 @@ def curation_sample_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.size(toks) >= 1)
     from pyspark.sql.window import Window as _W
 
-    banded = scored.withColumn(
-        "band", F.ntile(4).over(_W.orderBy("quality", "doc_id"))
+    hist = scored.groupBy("quality").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            _W.orderBy("quality").rowsBetween(_W.unboundedPreceding, 0)
+        ),
     )
-    drawn = banded.withColumn(
+    tot = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    bands3 = spark.range(1, 4).select(F.col("id").cast("int").alias("b"))
+    edges = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(bands3))
+        .filter(F.col("cum") >= F.expr("(b * n + 3) div 4"))
+        .groupBy("b")
+        .agg(F.min("quality").alias("edge"))
+    )
+    e = edges.agg(
+        F.max(F.when(F.col("b") == 1, F.col("edge"))).alias("e1"),
+        F.max(F.when(F.col("b") == 2, F.col("edge"))).alias("e2"),
+        F.max(F.when(F.col("b") == 3, F.col("edge"))).alias("e3"),
+    )
+    banded = scored.crossJoin(F.broadcast(e)).select(
+        "doc_id",
+        "quality",
+        (
+            F.lit(1)
+            + (F.col("quality") > F.col("e1")).cast("int")
+            + (F.col("quality") > F.col("e2")).cast("int")
+            + (F.col("quality") > F.col("e3")).cast("int")
+        ).alias("band"),
+    )
+    key = F.md5(F.col("doc_id").cast("string"))
+    pruned = (
+        banded.withColumn("mkey", key)
+        .withColumn(
+            "prn",
+            F.row_number().over(
+                _W.partitionBy(
+                    "band", F.substring(F.col("mkey"), 1, 2)
+                ).orderBy("mkey", "doc_id")
+            ),
+        )
+        .filter(F.col("prn") <= 5)
+    )
+    drawn = pruned.withColumn(
         "rn",
         F.row_number().over(
-            _W.partitionBy("band").orderBy(
-                F.md5(F.col("doc_id").cast("string")), "doc_id"
-            )
+            _W.partitionBy("band").orderBy("mkey", "doc_id")
         ),
     )
     return (

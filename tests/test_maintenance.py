@@ -349,3 +349,44 @@ def test_vacuum_rejects_non_positive_retention(spark, tmp_path):
         with _pytest.raises(ValueError, match="keep_last"):
             vacuum_snapshots(table, keep_last=bad)
     assert read_manifest(table)["versions"]  # untouched
+
+
+def test_vacuum_refuses_batch_stamped_log_versions(spark, tmp_path):
+    """An accumulated snapshot log's old versions ARE table content
+    (streaming_snapshot_sink stamps them with batch_id) — vacuum must
+    refuse to retire them unless force=True, and the refusal must
+    leave manifest and data untouched."""
+    import os
+
+    import pytest as _pytest
+
+    from articulation_vector_db_api_spark.operators.maintenance import (
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "vac_log")
+    # a log table: three batch-stamped versions + one plain snapshot
+    for b in range(3):
+        write_snapshot(
+            spark.range(b * 10, b * 10 + 10), table,
+            note=f"stream batch {b}", batch_id=b,
+        )
+    write_snapshot(spark.range(100), table, note="compacted fold")
+
+    with _pytest.raises(ValueError, match="batch-stamped"):
+        vacuum_snapshots(table, keep_last=1)
+    man = read_manifest(table)
+    assert sorted(int(v) for v in man["versions"]) == [1, 2, 3, 4]
+    assert os.path.exists(os.path.join(table, "v=1"))
+
+    # after an explicit fold, force=True is the sanctioned path
+    retired = vacuum_snapshots(table, keep_last=1, force=True)
+    assert retired == [1, 2, 3]
+    man = read_manifest(table)
+    assert sorted(int(v) for v in man["versions"]) == [4]
+    # a plain-snapshot table (no batch_id anywhere) needs no force
+    plain = str(tmp_path / "vac_plain")
+    for k in (1, 2, 3):
+        write_snapshot(spark.range(k), plain)
+    assert vacuum_snapshots(plain, keep_last=2) == [1]

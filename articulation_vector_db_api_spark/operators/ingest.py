@@ -32,6 +32,11 @@ from pyspark.sql import types as T
 from ..functions.chunking import chunk_documents
 from ..functions.embedding import hash_embedding_from_hex
 
+# Cap on the IngestResponse's per-title list (main.py:311 names every
+# title; fine for a 40-PDF smoke corpus, unbounded for a 40M-file one).
+# Responses list at most this many titles plus an overflow count.
+MAX_RESPONSE_TITLES = 1000
+
 EXTRACT_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType()),
@@ -168,17 +173,25 @@ def ingest_corpus(spark: SparkSession, corpus_dir: str, table_path: str, glob: s
         write_chunk_table(chunks, table_path)
         n_chunks = spark.read.parquet(table_path).count()
         # The reference's IngestResponse carries the processed titles
-        # (main.py:311); bounded by the file count of the corpus, which
-        # is what the response names one-by-one anyway.
-        sources = [
-            r.source
-            for r in extracted.filter("error IS NULL").select("source").collect()
-        ]
+        # (main.py:311). At smoke scale every title fits, but the
+        # serving path must not collect an unbounded list for a 40M-file
+        # corpus: list the first MAX_RESPONSE_TITLES (sorted in the
+        # PLAN, so only the listed prefix reaches the driver) and report
+        # the overflow as a count.
+        listed = (
+            extracted.filter("error IS NULL")
+            .select("source")
+            .orderBy("source")
+            .limit(MAX_RESPONSE_TITLES)
+            .collect()
+        )
+        sources = [r.source for r in listed]
         return {
             "ingested_count": n_chunks,
             "files_processed": n_ok,
             "files_failed": n_fail,
-            "sources_processed": sorted(sources),
+            "sources_processed": sources,
+            "sources_truncated": max(0, n_ok - len(sources)),
         }
     finally:
         extracted.unpersist()

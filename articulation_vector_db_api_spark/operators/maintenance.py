@@ -293,7 +293,11 @@ def vacuum_snapshots(
     retiring any batch-stamped version raises unless ``force=True``.
     The sanctioned path is compact/fold the log into a plain snapshot
     first, then vacuum the superseded batch versions with ``force``
-    (their rows now live in the current version)."""
+    (their rows now live in the current version). ``force`` itself
+    still verifies that contract: if EVERY retained version is also
+    batch-stamped the log was never compacted and the retired rows
+    would live nowhere else, so a raw-log force-vacuum is refused
+    too."""
     import shutil
 
     if keep_last < 1:
@@ -309,19 +313,35 @@ def vacuum_snapshots(
         man = read_manifest(table_path)
         versions = sorted(int(v) for v in man["versions"])
         cut = versions[:-keep_last]
-        if not force:
-            logged = [
-                v
-                for v in cut
-                if man["versions"][str(v)].get("batch_id") is not None
-            ]
-            if logged:
+        logged = [
+            v
+            for v in cut
+            if man["versions"][str(v)].get("batch_id") is not None
+        ]
+        if logged and not force:
+            raise ValueError(
+                "vacuum_snapshots would retire batch-stamped log "
+                f"versions {logged} of {table_path}: an accumulated "
+                "snapshot log's old versions are table CONTENT, not "
+                "superseded snapshots. Compact the log into a plain "
+                "snapshot first, then pass force=True."
+            )
+        if logged and force:
+            # force is the POST-compaction path: at least one retained
+            # version must be a plain (fold) snapshot holding the
+            # retired batches' rows. Force-vacuuming a raw, never-
+            # compacted log destroys data — refuse that too.
+            kept = versions[-keep_last:]
+            if all(
+                man["versions"][str(v)].get("batch_id") is not None
+                for v in kept
+            ):
                 raise ValueError(
-                    "vacuum_snapshots would retire batch-stamped log "
-                    f"versions {logged} of {table_path}: an accumulated "
-                    "snapshot log's old versions are table CONTENT, not "
-                    "superseded snapshots. Compact the log into a plain "
-                    "snapshot first, then pass force=True."
+                    "vacuum_snapshots(force=True) on a never-compacted "
+                    f"log {table_path}: every retained version "
+                    f"{kept} is still batch-stamped, so the retired "
+                    "batches' rows live nowhere else. Run "
+                    "compact_snapshot first."
                 )
         for v in cut:
             entry = man["versions"].pop(str(v))

@@ -82,106 +82,125 @@ def register(
 # tools/check_parity.py + pytest.
 _VERIFIED = frozenset(
     {
-        "agg_argmax_order", "agg_bit_aggregates", "agg_corr_moments",
-        "agg_countif_family", "agg_distinct_counts",
-        "agg_equidepth_histogram", "agg_grouping_id_sets",
-        "agg_heavy_hitters", "agg_hll_portable_registers",
-        "agg_hll_sketch_rollup", "agg_median_mode",
-        "agg_ordered_collect", "agg_percentiles", "agg_price_histogram",
+        "agg_argmax_order", "agg_benford_first_digit",
+        "agg_bit_aggregates", "agg_corr_moments", "agg_countif_family",
+        "agg_distinct_counts", "agg_equidepth_histogram",
+        "agg_grouping_id_sets", "agg_heavy_hitters",
+        "agg_hll_portable_registers", "agg_hll_sketch_rollup",
+        "agg_mad_robust", "agg_median_mode", "agg_ordered_collect",
+        "agg_percentiles", "agg_price_histogram",
         "agg_revenue_concentration", "agg_stats_moments",
         "agg_trimmed_mean", "agg_weighted_median",
         "ann_binary_quantized_topk", "ann_bruteforce_topk",
         "ann_filtered_topk", "ann_int8_quantized_topk",
         "ann_ivf_delete_probe", "ann_ivf_exact",
-        "ann_ivf_incremental_probe", "ann_ivf_range_query",
-        "ann_ivf_stored_probe", "ann_ivfpq_adc_topk",
-        "ann_lsh_bucketed", "ann_pq_adc_topk", "ann_range_query",
-        "ann_recall_eval", "approx_distinct_parts",
+        "ann_ivf_incremental_probe", "ann_ivf_nprobe_recall_curve",
+        "ann_ivf_range_query", "ann_ivf_stored_probe",
+        "ann_ivfpq_adc_topk", "ann_lsh_bucketed", "ann_pq_adc_topk",
+        "ann_range_query", "ann_recall_eval", "approx_distinct_parts",
         "approx_percentile_prices", "array_functions",
         "cdc_snapshot_diff", "chunk_documents", "chunk_tokens_window",
         "cube_order_status", "curation_gopher_rules",
         "curation_importance_weights", "curation_mixture_weights",
-        "curation_shard_assignment", "date_functions",
+        "curation_sample_quality_band", "curation_shard_assignment",
+        "curation_topic_balance", "date_functions",
         "dedup_bloom_incremental", "dedup_cc_star",
         "dedup_connected_components", "dedup_exact",
         "dedup_exact_normalized", "dedup_fuzzy_levenshtein",
-        "dedup_incremental_batch", "dedup_lsh_recall_eval",
-        "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_incremental_batch", "dedup_minhash_lsh",
         "dedup_semantic_clusters", "dedup_simhash",
-        "dedup_substring_spans", "dedup_url_normalize",
-        "dedup_winnowing", "diag_key_skew", "dq_audit_orders",
-        "dq_freshness_by_type", "embedding_dim_stats",
-        "embedding_matryoshka_topk", "events_anomaly_zscore",
-        "events_decay_weighted_score", "events_funnel_time_bound",
-        "events_gap_filled_daily", "events_interval_coverage",
-        "events_markov_transitions", "events_ohlc_bars",
-        "events_peak_concurrency", "events_resample_interpolate",
+        "dedup_substring_span_scrub", "dedup_substring_spans",
+        "dedup_url_normalize", "dedup_winnowing", "diag_key_skew",
+        "dq_audit_orders", "dq_freshness_by_type",
+        "embedding_dim_stats", "embedding_matryoshka_topk",
+        "events_ab_test_lift", "events_anomaly_zscore",
+        "events_cep_pattern", "events_decay_weighted_score",
+        "events_ewma_daily", "events_funnel_time_bound",
+        "events_gap_filled_daily", "events_interarrival_stats",
+        "events_interval_coverage", "events_markov_transitions",
+        "events_ohlc_bars", "events_peak_concurrency",
+        "events_resample_interpolate", "events_seasonality_profile",
         "events_session_funnel", "events_threshold_debounce",
-        "events_weekly_retention", "filter_project_pushdown",
-        "flagship_search", "graph_bfs_hops", "graph_label_propagation",
-        "graph_pagerank", "graph_triangle_count",
+        "events_token_bucket", "events_weekly_retention",
+        "filter_project_pushdown", "flagship_search", "graph_bfs_hops",
+        "graph_common_neighbors", "graph_k_core",
+        "graph_label_propagation", "graph_pagerank",
+        "graph_triangle_count", "graph_weighted_sssp",
         "grouping_sets_revenue", "hash_embedding_vectors",
         "health_probe", "index_stats_by_source",
         "ingest_extract_status", "ingest_fault_isolation",
         "ingest_incremental_embed", "join_anti_customers_no_urgent",
         "join_asof_event_order", "join_asof_forward_tolerance",
         "join_asof_nearest", "join_broadcast_snowflake",
-        "join_bucketed_noshuffle", "join_lateral_topn",
-        "join_range_calendar", "join_salted_skew",
+        "join_bucketed_noshuffle", "join_dpp_partitioned_fact",
+        "join_interval_overlap_pairs", "join_lateral_topn",
+        "join_null_aware_anti", "join_range_calendar",
+        "join_salted_skew", "join_scd2_temporal",
         "join_semi_customers_with_urgent", "join_sortmerge_fact",
         "join_theta_supplier_pairs", "json_functions",
-        "layout_zorder_stats", "map_higher_order_functions",
-        "math_functions", "merge_upsert_orders", "mllib_ann_neighbors",
-        "mllib_count_vectorizer", "mllib_ivf_ann",
-        "mllib_minhash_dedup", "mllib_similarity_join",
+        "layout_zorder_stats", "maintenance_compact_roundtrip",
+        "maintenance_vacuum_retention", "map_higher_order_functions",
+        "math_functions", "matview_incremental_rollup",
+        "matview_rollup_time_travel", "merge_upsert_orders",
+        "mllib_ann_neighbors", "mllib_count_vectorizer",
+        "mllib_ivf_ann", "mllib_minhash_dedup", "mllib_similarity_join",
         "mllib_tfidf_pipeline", "multimodal_audio_framing",
+        "multimodal_audio_vad_trim", "multimodal_audio_wav_roundtrip",
         "multimodal_binary_metadata", "multimodal_decode_features",
-        "multimodal_frame_sample", "multimodal_modality_router",
-        "multimodal_resize_batch", "multimodal_video_scene_cuts",
-        "nested_agg_big_spenders", "null_handling",
-        "pack_sequences_token_budget", "pipeline_corpus_curation",
-        "pipeline_dedup_keep_best", "pipeline_training_export",
-        "pivot_priority_multi_agg", "pivot_status_revenue",
-        "q10_returned_items", "q11_important_stock",
-        "q12_late_shipment_priority", "q13_customer_order_distribution",
-        "q14_promo_revenue", "q15_top_supplier",
-        "q16_supplier_count_by_part", "q17_correlated_subquery",
-        "q18_large_volume_customers", "q19_disjunctive_predicates",
-        "q1_pricing_summary", "q20_promo_stock_suppliers",
-        "q21_waiting_suppliers", "q22_dormant_customers",
-        "q2_min_cost_supplier", "q3_shipping_priority",
-        "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
-        "q7_nation_volume", "q8_market_share",
-        "q9_profit_by_nation_year", "rollup_hierarchical_time",
-        "rollup_revenue", "sample_deterministic_hash",
+        "multimodal_dhash_image_dedup", "multimodal_frame_sample",
+        "multimodal_gif_roundtrip", "multimodal_modality_router",
+        "multimodal_pixel_histogram", "multimodal_pixel_roundtrip",
+        "multimodal_resize_batch", "multimodal_resize_pixels",
+        "multimodal_video_scene_cuts", "nested_agg_big_spenders",
+        "null_handling", "pack_sequences_token_budget",
+        "pipeline_corpus_curation", "pipeline_image_curation",
+        "pipeline_training_export", "pivot_priority_multi_agg",
+        "pivot_status_revenue", "q10_returned_items",
+        "q11_important_stock", "q12_late_shipment_priority",
+        "q13_customer_order_distribution", "q14_promo_revenue",
+        "q15_top_supplier", "q16_supplier_count_by_part",
+        "q17_correlated_subquery", "q18_large_volume_customers",
+        "q19_disjunctive_predicates", "q1_pricing_summary",
+        "q20_promo_stock_suppliers", "q21_waiting_suppliers",
+        "q22_dormant_customers", "q2_min_cost_supplier",
+        "q3_shipping_priority", "q4_order_priority",
+        "q5_region_revenue", "q6_forecast_revenue", "q7_nation_volume",
+        "q8_market_share", "q9_profit_by_nation_year",
+        "rollup_hierarchical_time", "rollup_revenue",
+        "sample_deterministic_hash", "sample_poisson_bootstrap",
         "sample_stratified_per_lang", "sample_stratified_sources",
         "sample_train_val_test_split", "sample_weighted_reservoir",
         "scalar_bitwise_ops", "scalar_hash_digests",
         "scalar_printf_format", "scalar_subquery_above_avg",
-        "scalar_url_functions", "scalar_variant_semistructured",
-        "scan_csv_typed", "scan_jsonlines_nested",
-        "scan_partitioned_pruned", "scd2_user_event_history",
-        "search_batch_queries", "search_bm25", "search_context",
-        "search_hybrid_rrf", "search_mmr_diversified",
-        "search_mmr_diversified_k8", "search_phrase_adjacent",
-        "search_pluggable_embedder", "search_scoped_source",
-        "search_topk_per_source", "setop_except_all",
-        "setop_nations_except", "setop_nations_intersect",
-        "setop_union_all_counts", "similarity_join_lsh_bucket",
-        "similarity_knn_batch", "similarity_near_dup_cosine",
-        "sort_global_prices", "sql_interface_revenue",
-        "stream_curation_admission", "stream_dedup",
+        "scalar_url_functions", "scalar_uuid_surrogate",
+        "scalar_variant_semistructured", "scan_csv_malformed_tolerant",
+        "scan_csv_typed", "scan_jsonl_gzip", "scan_jsonlines_nested",
+        "scan_orc_roundtrip", "scan_partitioned_pruned",
+        "scan_schema_evolution_log", "scan_text_roundtrip",
+        "scd2_user_event_history", "search_batch_queries",
+        "search_bm25", "search_context", "search_hybrid_rrf",
+        "search_mmr_diversified", "search_mmr_diversified_k8",
+        "search_phrase_adjacent", "search_pluggable_embedder",
+        "search_scoped_source", "search_topk_per_source",
+        "setop_except_all", "setop_nations_except",
+        "setop_nations_intersect", "setop_union_all_counts",
+        "similarity_join_lsh_bucket", "similarity_knn_batch",
+        "similarity_near_dup_cosine", "sort_global_prices",
+        "sql_interface_revenue", "sql_pipe_interface",
+        "stream_cdc_apply", "stream_curation_admission", "stream_dedup",
         "stream_dedup_within_watermark", "stream_ohlc_bars",
         "stream_session_window", "stream_sliding_distinct_users",
-        "stream_sliding_window", "stream_stateful_user_stats",
-        "stream_static_join", "stream_stream_interval_join",
-        "stream_threshold_debounce", "stream_topk_trending",
-        "stream_transform_with_state", "stream_tumbling_window",
-        "stream_watermark_append", "string_functions",
+        "stream_sliding_window", "stream_snapshot_ingest",
+        "stream_stateful_user_stats", "stream_static_join",
+        "stream_stream_full_outer_join", "stream_stream_interval_join",
+        "stream_stream_left_outer_join", "stream_threshold_debounce",
+        "stream_topk_trending", "stream_transform_with_state",
+        "stream_tumbling_window", "string_functions",
         "struct_map_functions", "text_bpe_pair_counts",
         "text_char_bigram_lm", "text_char_entropy",
         "text_contamination_overlap", "text_fingerprint",
-        "text_inverted_index", "text_langid", "text_perplexity_score",
+        "text_inverted_index", "text_kneser_ney_bigram", "text_langid",
+        "text_ngram_coverage_curve", "text_perplexity_score",
         "text_pii_scrub", "text_quality_stats", "text_rake_keywords",
         "text_repetition_stats", "text_tfidf_top_terms",
         "text_token_counts", "text_topk_tokens_per_lang",
@@ -189,48 +208,37 @@ _VERIFIED = frozenset(
         "udf_applyinpandas_order_gaps", "udf_grouped_agg_price_range",
         "udf_mapinarrow_bytelen", "udf_pandas_vector_norm",
         "udtf_char_trigrams", "unpivot_part_measures",
-        "upsert_last_write_wins", "window_cume_dist",
-        "window_first_last", "window_lag_lead", "window_moving_avg",
-        "window_nth_value", "window_ntile", "window_percent_change_wow",
-        "window_range_frame", "window_rank_customers",
-        "window_rank_ties", "window_rolling_median",
-        "window_running_distinct", "window_running_sum",
+        "upsert_last_write_wins", "window_activity_islands",
+        "window_cume_dist", "window_first_last", "window_lag_lead",
+        "window_moving_avg", "window_nth_value", "window_ntile",
+        "window_percent_change_wow", "window_range_frame",
+        "window_rank_customers", "window_rank_ties",
+        "window_rolling_median", "window_running_distinct",
+        "window_running_sum", "window_time_range_frame",
     }
 )
 
-# Round-6 window: the 50 round-5 registrations that have never had a
-# driver row (VERDICT r5 item 1 — they exactly fill the 50-seat
-# window, converting the 17% evidence gap to 290/290
-# driver-contacted), followed at seat 51 by stream_watermark_append:
-# its r5 full value oracle (suites/streaming.py) still has only an r4
-# no_oracle row, so it converts this round if the driver checks past
-# 50 and leads the r7 window otherwise (VERDICT r5 item 4).
+# Round-7 window, in evidence-priority order:
+# 1. stream_watermark_append — its r5 full value oracle still has only
+#    an r4 no_oracle driver row (VERDICT r6 item 3); seats first.
+# 2. the two BPE queries — r7 gives them real DuckDB oracles (the
+#    bounded training loop unrolled into materialized CTEs), converting
+#    the last convertible rows-only entries (VERDICT r6 item 7).
+# 3. multimodal_jpeg_roundtrip — NEW r7 query: the baseline-JPEG codec
+#    proof (VERDICT r6 item 5), never driver-seated.
+# 4. the four df-pruned exact-pair dedup queries — their oracles
+#    changed in r7 (SHINGLE_DF_CAP mirrored into the SQL, VERDICT r6
+#    item 2), so their standing green rows reference the OLD oracle;
+#    re-seating proves the new pair.
+# Every other query is _VERIFIED; the remaining ~42 seats fall to
+# tier 3 in registration order, which re-seats the r1 rows with the
+# stalest evidence first.
 _WINDOW_FIRST = (
-    "stream_stream_left_outer_join", "stream_stream_full_outer_join",
-    "stream_cdc_apply", "stream_snapshot_ingest",
-    "join_null_aware_anti", "maintenance_compact_roundtrip",
-    "scan_schema_evolution_log", "join_dpp_partitioned_fact",
-    "sample_poisson_bootstrap", "join_scd2_temporal",
-    "sql_pipe_interface", "maintenance_vacuum_retention",
-    "events_ab_test_lift", "agg_benford_first_digit", "agg_mad_robust",
-    "join_interval_overlap_pairs", "graph_weighted_sssp",
-    "graph_k_core", "graph_common_neighbors", "scan_orc_roundtrip",
-    "matview_incremental_rollup", "matview_rollup_time_travel",
-    "scan_text_roundtrip", "scan_csv_malformed_tolerant",
-    "scan_jsonl_gzip", "text_bpe_learn_merges",
-    "text_bpe_encode_tokens", "text_kneser_ney_bigram",
-    "curation_sample_quality_band", "text_ngram_coverage_curve",
-    "scalar_uuid_surrogate", "ann_ivf_nprobe_recall_curve",
-    "window_activity_islands", "events_ewma_daily",
-    "events_cep_pattern", "events_token_bucket",
-    "window_time_range_frame", "events_seasonality_profile",
-    "events_interarrival_stats", "dedup_ngram_containment",
-    "dedup_substring_span_scrub", "curation_topic_balance",
-    "multimodal_dhash_image_dedup", "multimodal_pixel_roundtrip",
-    "multimodal_resize_pixels", "multimodal_audio_wav_roundtrip",
-    "multimodal_gif_roundtrip", "multimodal_pixel_histogram",
-    "multimodal_audio_vad_trim", "pipeline_image_curation",
     "stream_watermark_append",
+    "text_bpe_learn_merges", "text_bpe_encode_tokens",
+    "multimodal_jpeg_roundtrip",
+    "dedup_ngram_jaccard", "dedup_ngram_containment",
+    "dedup_lsh_recall_eval", "pipeline_dedup_keep_best",
 )
 # Suite order for the rest of the unverified front (round-5 additions):
 # cheap scalar/relational families first, expensive similarity last.

@@ -89,6 +89,87 @@ _SHINGLES_SQL = """
           FROM documents)
 """
 
+# Document-frequency cap for the exact-pair family (dedup_ngram_jaccard /
+# _containment, pipeline_dedup_keep_best, dedup_lsh_recall_eval's ground
+# truth): a shingle present in f docs contributes f² candidate pairs, so
+# without a cap pair volume grows quadratically with corpus size while a
+# boilerplate shingle shared by thousands of docs carries no dedup signal
+# (classic IR stop-word / document-frequency pruning). With the cap, pair
+# volume is <= CAP x shingle rows — LINEAR in the corpus. 64 keeps every
+# real near-dup cluster up to 64 members findable (the fixtures' twin
+# clusters are ~10; nothing is pruned at sf0.01 where max df = 7, or at
+# sf0.1 where max df = 25 — the cap bites exactly on the 10x replica's
+# boilerplate shingles, SCALE.md "Measured scaling"). The similarity space
+# is the KEPT shingles: per-doc sizes and intersections both count only
+# surviving shingles, so Jaccard/containment stay consistent ratios.
+SHINGLE_DF_CAP = 64
+
+# DuckDB mirror of the pruning rule — compose as
+#   WITH shingles AS ({_SHINGLES_SQL}), kept AS ({_KEPT_SHINGLES_SQL}), ...
+_KEPT_SHINGLES_SQL = f"""
+    SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               count(*) OVER (PARTITION BY shingle) AS df
+        FROM shingles)
+    WHERE df <= {SHINGLE_DF_CAP}
+"""
+
+
+def _pruned_postings(sh: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """shingle -> SORTED doc_id posting list, ultra-frequent shingles
+    (df > cap) dropped. The df filter runs as a count-only aggregation
+    BEFORE collect_list so a pathological shingle (df in the millions
+    at 100 TB) never materializes its posting array on any reducer —
+    count has map-side partials, collect does not. The filter join and
+    the posting groupBy share the shingle hash-partitioning, so this
+    whole stage is one shuffle of the shingle rows plus a vocab-sized
+    count table."""
+    df_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= cap)
+        .select("shingle")
+    )
+    return (
+        sh.join(df_ok, "shingle")
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+    )
+
+
+def _posting_pair_counts(postings: DataFrame) -> DataFrame:
+    """(a, b, inter) for every a < b sharing >= 1 kept shingle — the
+    posting-list pair generator: pairs are emitted MAP-SIDE from each
+    shingle's sorted doc array (<= cap²/2 per shingle by construction),
+    so the only shuffle after the posting build is the (a, b) count
+    aggregation. Replaces the shingle self-join shape (two scans + an
+    extra shuffle) with strictly less work at identical semantics."""
+    docs = F.col("docs")
+    pair_arr = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + F.lit(2), F.size(docs)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        postings.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+
+def _pruned_sizes(postings: DataFrame) -> DataFrame:
+    """doc_id -> number of KEPT shingles (the denominators for Jaccard
+    and containment over the pruned shingle space)."""
+    return (
+        postings.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
 
 @register(
     "dedup_exact",
@@ -517,10 +598,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH shingles AS ({_SHINGLES_SQL}),
-    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    kept AS ({_KEPT_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
     pair_inter AS (
         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
-        FROM shingles x JOIN shingles y
+        FROM kept x JOIN kept y
           ON x.shingle = y.shingle AND x.doc_id < y.doc_id
         GROUP BY x.doc_id, y.doc_id
     )
@@ -536,28 +618,18 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard for every pair sharing ≥1 shingle: the
-    shingle self-join IS the candidate generator (pairs sharing
-    nothing never materialize). Top-50 by similarity.
-
-    Scale caveat: a shingle present in f docs contributes f² join
-    rows — at 100 TB drop ultra-frequent shingles first (they carry no
-    signal), exactly like document-frequency pruning in IR."""
+    """Exact n-gram Jaccard over the document-frequency-pruned shingle
+    space (df <= SHINGLE_DF_CAP — see the constant's comment): shared
+    kept shingles ARE the candidate generator, emitted map-side from
+    sorted posting lists, so pair volume is bounded at cap x shingle
+    rows (linear in the corpus, never f² on a boilerplate shingle).
+    Top-50 by similarity."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x = sh.alias("x")
-    y = sh.alias("y")
-    pair_inter = (
-        x.join(
-            y,
-            (F.col("x.shingle") == F.col("y.shingle"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .groupBy(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
+    postings = _pruned_postings(_shingles(docs)).persist()
+    # read twice (pairs + sizes); persisting skips a second shingle pass
+    sizes = _pruned_sizes(postings)
+    pair_inter = _posting_pair_counts(postings).withColumnsRenamed(
+        {"a": "doc_a", "b": "doc_b"}
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
@@ -583,10 +655,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_containment",
     oracle=f"""
     WITH shingles AS ({_SHINGLES_SQL}),
-    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    kept AS ({_KEPT_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
     pair_inter AS (
         SELECT x.doc_id AS doc_sub, y.doc_id AS doc_super, count(*) AS inter
-        FROM shingles x JOIN shingles y
+        FROM kept x JOIN kept y
           ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
         GROUP BY x.doc_id, y.doc_id
     )
@@ -600,7 +673,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DIRECTED n-gram containment |A∩B| / |A|: the asymmetric twin of
+    """DIRECTED n-gram containment |A∩B| / |A| over the df-pruned
+    shingle space (df <= SHINGLE_DF_CAP): the asymmetric twin of
     dedup_ngram_jaccard, for quote / boilerplate / subset detection —
     a short doc pasted inside a long one scores near 1.0 here while
     its Jaccard stays tiny (the union is dominated by the long doc).
@@ -608,27 +682,23 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy, which Jaccard-threshold dedup alone would miss. Top-50
     directed pairs at containment >= 0.2.
 
-    Same candidate generator as the Jaccard query: the shingle
-    equi-join only materializes pairs sharing >= 1 shingle, and the
-    per-doc size table joins in AFTER the pair aggregation (two small
-    broadcast-able sides). Scale caveat is identical: prune
-    ultra-frequent shingles first — a shingle in f docs contributes
-    f^2 candidate rows and carries no containment signal."""
+    Same posting-list candidate generator as the Jaccard query —
+    intersections are symmetric, so the undirected (a < b) counts are
+    computed once and emitted in both directions, halving the pair
+    aggregation; the per-doc size table joins in AFTER. Pruning makes
+    pair volume linear in the corpus (cap x shingle rows), never f²
+    on a boilerplate shingle."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x = sh.alias("x")
-    y = sh.alias("y")
-    pair_inter = (
-        x.join(
-            y,
-            (F.col("x.shingle") == F.col("y.shingle"))
-            & (F.col("x.doc_id") != F.col("y.doc_id")),
+    postings = _pruned_postings(_shingles(docs)).persist()
+    # read twice (pairs + sizes); persisting skips a second shingle pass
+    sizes = _pruned_sizes(postings)
+    und = _posting_pair_counts(postings)
+    pair_inter = und.select(
+        F.col("a").alias("doc_sub"), F.col("b").alias("doc_super"), "inter"
+    ).unionAll(
+        und.select(
+            F.col("b").alias("doc_sub"), F.col("a").alias("doc_super"), "inter"
         )
-        .groupBy(
-            F.col("x.doc_id").alias("doc_sub"), F.col("y.doc_id").alias("doc_super")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
     )
     s = sizes.alias("s")
     return (
@@ -648,11 +718,13 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_lsh_recall_eval",
     oracle=f"""{_minhash_cand_cte()},
-    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingle_arrays),
-    sizes AS (SELECT doc_id, len(shingles) AS n FROM shingle_arrays),
+    shingles AS (SELECT doc_id, unnest(shingles) AS shingle
+                 FROM shingle_arrays),
+    kept AS ({_KEPT_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
     pair_inter AS (
         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
-        FROM ex x JOIN ex y
+        FROM kept x JOIN kept y
           ON x.shingle = y.shingle AND x.doc_id < y.doc_id
         GROUP BY x.doc_id, y.doc_id
     ),
@@ -687,25 +759,25 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     — P(candidate) = 1-(1-j^r)^b is the theory, this query is the
     measurement.
 
+    The truth side runs in the df-pruned shingle space (df <=
+    SHINGLE_DF_CAP, posting-list pair generation) so the ground-truth
+    join stays linear in the corpus; the MinHash side is deliberately
+    UNPRUNED — LSH sketches the full shingle sets, and the eval
+    measures the deployed generator as-is. At fixture scale nothing
+    is pruned, so truth is the exact full-space truth.
+
     Scale shape: candidates from the band equi-join, truth from the
-    shingle equi-join, intersection by a pair-key join; three keyed
-    shuffles total, counts roll up to a single row."""
+    kept-shingle posting lists, intersection by a pair-key join;
+    counts roll up to a single row."""
     docs = load_table(spark, sf_dir, "documents")
     arrays = _shingle_arrays(docs).cache()  # feeds cand, truth, sizes
     cand = _lsh_candidate_pairs(arrays)
 
     sh = arrays.select("doc_id", F.explode_outer("shingles").alias("shingle"))
-    sizes = arrays.select("doc_id", F.size("shingles").alias("n"))
-    x = sh.alias("x")
-    y = sh.alias("y")
-    pair_inter = (
-        x.join(
-            y,
-            (F.col("x.shingle") == F.col("y.shingle"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    postings = _pruned_postings(sh).persist()
+    sizes = _pruned_sizes(postings)
+    pair_inter = _posting_pair_counts(postings).withColumnsRenamed(
+        {"a": "doc_a", "b": "doc_b"}
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
@@ -1185,10 +1257,11 @@ _KEEP_JACCARD = 0.1
     headline=True,
     oracle=f"""
     WITH RECURSIVE shingles AS ({_SHINGLES_SQL}),
-    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    kept AS ({_KEPT_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
     pair_inter AS (
         SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-        FROM shingles x JOIN shingles y
+        FROM kept x JOIN kept y
           ON x.shingle = y.shingle AND x.doc_id < y.doc_id
         GROUP BY x.doc_id, y.doc_id
     ),
@@ -1227,33 +1300,24 @@ _KEEP_JACCARD = 0.1
 )
 def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup removal: trigram-shingle candidate pairs
-    (exact Jaccard >= 0.1), connected components over the pair graph,
-    then one survivor per cluster — the longest document, ties to the
+    (exact Jaccard >= 0.1 over the df-pruned shingle space, df <=
+    SHINGLE_DF_CAP), connected components over the pair graph, then
+    one survivor per cluster — the longest document, ties to the
     smallest id (the keep-longest heuristic production dedup uses).
 
-    Scale shape: candidate pairs come from the shingle equi-join
-    (never all-pairs), clustering runs the skew-bounded alternating
-    large-star/small-star variant (operators/graph.py:
-    connected_components_star — no reducer ever materializes a whole
-    component's adjacency, unlike min-label propagation's hot-label
-    groupBy), and survivor election is a single per-component window.
-    The `keep = 0` rows ARE the deletion list a 100 TB curation job
-    writes back."""
+    Scale shape: candidate pairs are emitted map-side from df-capped
+    posting lists (never all-pairs, and never f² on a boilerplate
+    shingle — pair volume is linear in the corpus), clustering runs
+    the skew-bounded alternating large-star/small-star variant
+    (operators/graph.py: connected_components_star — no reducer ever
+    materializes a whole component's adjacency, unlike min-label
+    propagation's hot-label groupBy), and survivor election is a
+    single per-component window. The `keep = 0` rows ARE the deletion
+    list a 100 TB curation job writes back."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    pairs = (
-        sh.alias("x")
-        .join(
-            sh.alias("y"),
-            (F.col("x.shingle") == F.col("y.shingle"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .groupBy(
-            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    postings = _pruned_postings(_shingles(docs)).persist()
+    sizes = _pruned_sizes(postings)
+    pairs = _posting_pair_counts(postings)
     edges = (
         pairs.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
         .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")

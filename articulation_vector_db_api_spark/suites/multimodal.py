@@ -473,6 +473,97 @@ def multimodal_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_roundtrip",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               list_transform(range(32), j ->
+                   (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 2, 1)) - 1)
+               ) AS bytes
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS width,
+           CAST(32 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(list_sum(bytes) * 64 AS BIGINT) AS px_sum,
+           CAST(list_min(bytes) AS BIGINT) AS px_min,
+           CAST(list_max(bytes) AS BIGINT) AS px_max
+    FROM px
+    ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+)
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG codec proof, oracle-checked per row: each
+    doc's sha256(doc_id) digest becomes a 32×64 grayscale image of
+    CONSTANT 8×8 blocks (block (r, c) = digest byte 8r+c), encoded as
+    a baseline sequential JPEG with the all-ones quantization table
+    (functions/jpeg.py:encode_jpeg_baseline, quality=100) and decoded
+    back by the engine's own marker walk + Huffman entropy decode +
+    IDCT (decode_jpeg_baseline). A constant block has exactly one
+    nonzero DCT coefficient — the DC term 8·(v−128), an exact integer
+    under q=1 — so the decoded pixels must equal the generating bytes
+    BIT-EXACTLY: the DC prediction chain, category/magnitude coding,
+    Huffman tables, zigzag, byte stuffing, and both DCT directions all
+    have to be right for this to hash-match. (Arbitrary-content and
+    chroma-subsampled decode are pinned with quantization-error bounds
+    in tests/test_jpeg.py — lossy paths can't hash-match by design.)
+
+    Scale shape: identical to multimodal_pixel_roundtrip — encode and
+    decode run in ONE Arrow-batched narrow map, only stats rows leave
+    the executor."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import PIXEL_STATS_SCHEMA
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from ..functions.jpeg import decode_jpeg_baseline, encode_jpeg_baseline
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                digest = hashlib.sha256(str(int(doc_id)).encode()).digest()
+                blocks = np.frombuffer(digest, dtype=np.uint8).reshape(4, 8)
+                img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                jp = encode_jpeg_baseline(img, quality=100)
+                px = decode_jpeg_baseline(jp)
+                rows.append(
+                    (
+                        doc_id,
+                        px.shape[1],
+                        px.shape[0],
+                        px.shape[2],
+                        int(px.sum()),
+                        int(px.min()),
+                        int(px.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PIXEL_STATS_SCHEMA.fields]
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, PIXEL_STATS_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_resize_pixels",
     oracle="""
     WITH px AS (

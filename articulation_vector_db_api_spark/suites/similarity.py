@@ -436,6 +436,17 @@ def _app_scoped_store(spark: SparkSession, prefix: str, sf_dir: str) -> str:
                 and os.path.getmtime(full) < cutoff
             ):
                 shutil.rmtree(full, ignore_errors=True)
+            elif (
+                d.startswith(f".{prefix}_")
+                and d.endswith(".buildlock")
+                and os.path.isfile(full)
+                and os.path.getmtime(full) < cutoff
+            ):
+                # _build_once leaves its (deliberately never-unlinked-
+                # while-live) lock files behind; a 6h-old holder is
+                # dead, and removing the file is only hazardous while
+                # someone holds its inode — which nobody can be here.
+                os.unlink(full)
         except OSError:
             pass
     return os.path.join(
@@ -482,7 +493,11 @@ def _build_once(spark: SparkSession, prefix: str, sf_dir: str, build) -> str:
     if os.path.exists(marker):
         return store
     parent, base = os.path.split(os.path.normpath(store))
-    with _manifest_lock(parent, lock_name=f".{base}.buildlock"):
+    # timeout sized to the slowest builder at the largest local scale
+    # factor (multi-epoch snapshot writes), not _manifest_lock's 30 s
+    # default: a second thread arriving mid-build must WAIT for the
+    # build, not TimeoutError out of it.
+    with _manifest_lock(parent, timeout=600.0, lock_name=f".{base}.buildlock"):
         if not os.path.exists(marker):  # re-check under the lock
             shutil.rmtree(store, ignore_errors=True)
             payload = build(store)

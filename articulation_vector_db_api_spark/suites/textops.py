@@ -2121,8 +2121,72 @@ def search_phrase_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB replay of the BPE training loop for the two BPE oracles: the
+# loop is bounded (8 merges), so it unrolls into 8 chained MATERIALIZED
+# CTE stages — count pairs, argmax, apply merge — over a sentinel-
+# encoded vocabulary. Each word is encoded as \x01tok\x02\x01tok\x02…;
+# one merge application is then a plain replace() of
+# "\x01l\x02\x01r\x02" with "\x01lr\x02": because every match consumes
+# whole wrapped tokens (no shared boundary characters between adjacent
+# occurrences), SQL replace()'s left-to-right non-overlapping scan IS
+# the reference BPE greedy merge (functions/bpe.py _apply_merge).
+# MATERIALIZED is load-bearing: each vocab stage is referenced three
+# times by the next (FROM + two scalar subqueries), so without it the
+# inlined plan re-evaluates the whole chain 3^8 times.
+_BPE_S, _BPE_E = "\x01", "\x02"
+_BPE_N_MERGES = 8
+
+
+def _bpe_vocab_ctes(n_merges: int = _BPE_N_MERGES) -> str:
+    S, E = _BPE_S, _BPE_E
+    tokpat = f"{S}([^{E}]*){E}"
+    parts = [
+        f"""vocab0 AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS n,
+               regexp_replace(word, '(.)', '{S}\\1{E}', 'g') AS enc
+        FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+              FROM documents WHERE length(trim(text)) > 0)
+        WHERE length(word) >= 2
+        GROUP BY word
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""best{k} AS MATERIALIZED (
+        SELECT l, r, CAST(pn AS BIGINT) AS pn FROM (
+            SELECT t.p[u.i] AS l, t.p[u.i + 1] AS r, sum(t.n) AS pn
+            FROM (SELECT regexp_extract_all(enc, '{tokpat}', 1) AS p, n
+                  FROM vocab{k - 1}) t,
+                 unnest(range(1, len(t.p))) AS u(i)
+            GROUP BY 1, 2)
+        ORDER BY pn DESC, l, r
+        LIMIT 1
+    )"""
+        )
+        parts.append(
+            f"""vocab{k} AS MATERIALIZED (
+        SELECT word, n,
+               replace(enc,
+                   (SELECT '{S}' || l || '{E}{S}' || r || '{E}' FROM best{k}),
+                   (SELECT '{S}' || l || r || '{E}' FROM best{k})) AS enc
+        FROM vocab{k - 1}
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
 @register(
     "text_bpe_learn_merges",
+    oracle=f"""
+    WITH {_bpe_vocab_ctes()}
+    SELECT * FROM (
+        {" UNION ALL ".join(
+            f'SELECT CAST({k} AS INT) AS rank, l AS "left", r AS "right", '
+            f"l || r AS merged, pn AS pair_n FROM best{k}"
+            for k in range(1, _BPE_N_MERGES + 1)
+        )}
+    ) ORDER BY rank
+    """,
     tags=("textops",),
 )
 def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2133,11 +2197,11 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the FIRST merge — into the real training loop whose output is
     the ordered merge table a tokenizer ships.
 
-    Rows-only: the loop is iterative (each merge depends on the text
-    rewritten by all previous merges), which single-statement SQL
-    cannot express; full-value parity against an independent
-    single-process reference implementation over the same fixture is
-    pinned by tests/test_bpe.py instead.
+    The Spark loop is driver-iterative; the DuckDB oracle replays the
+    SAME bounded loop as 8 unrolled materialized-CTE stages over a
+    sentinel-encoded vocabulary (_bpe_vocab_ctes), so full merge-table
+    values are hash-checked — plus independent single-process parity
+    in tests/test_bpe.py.
 
     Scale: the only corpus-sized stage is the word-frequency groupBy
     (output ~ vocabulary, sub-linear in corpus bytes); every iteration
@@ -2165,6 +2229,37 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_bpe_encode_tokens",
+    oracle=f"""
+    WITH {_bpe_vocab_ctes()},
+    word_tokens AS MATERIALIZED (
+        SELECT word,
+               length(word) AS chars,
+               len(regexp_extract_all(enc,
+                   '{_BPE_S}([^{_BPE_E}]*){_BPE_E}', 1)) AS toks
+        FROM vocab{_BPE_N_MERGES}
+    ),
+    words AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       AS word
+            FROM documents WHERE length(trim(text)) > 0)
+        WHERE length(word) >= 2
+    ),
+    per_word AS (
+        SELECT doc_id, word, count(*) AS cnt FROM words GROUP BY doc_id, word
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(sum(cnt * chars) AS BIGINT) AS n_chars,
+               CAST(sum(cnt * toks) AS BIGINT) AS n_bpe_tokens
+        FROM per_word JOIN word_tokens USING (word)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars, n_bpe_tokens,
+           round(CAST(n_chars AS DOUBLE) / n_bpe_tokens, 6) AS compression
+    FROM agg ORDER BY doc_id
+    """,
     tags=("textops",),
 )
 def text_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2175,9 +2270,11 @@ def text_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs before packing (tokens, not characters, are the
     budget unit).
 
-    Rows-only: encoding depends on the iteratively-learned merge table
-    (not single-statement-SQL-expressible); full-value parity against
-    the single-process reference encoder is pinned by tests/test_bpe.py.
+    The DuckDB oracle replays the bounded training loop with the same
+    unrolled-CTE machinery as text_bpe_learn_merges, then encodes each
+    DISTINCT word from the final sentinel-encoded vocabulary — full
+    per-document values are hash-checked; the single-process encoder
+    parity stays pinned by tests/test_bpe.py.
 
     Scale: the merge table is 8 driver rows folded into the plan as
     literals (broadcast-free constant folding); encoding is a narrow

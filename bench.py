@@ -110,17 +110,59 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    prev = _prev_round_timings()
+    if prev is not None:
+        rnd, prev_q = prev
+        common = sorted(set(prev_q) & set(timings))
+        prev_sec = round(sum(prev_q[q] for q in common), 3)
+        cur_sec = round(sum(timings[q] for q in common), 3)
+        payload["common_subset_vs_prev"] = {
+            "prev_round": rnd,
+            "n_queries": len(common),
+            "prev_sec": prev_sec,
+            "cur_sec": cur_sec,
+            "ratio": round(cur_sec / prev_sec, 3) if prev_sec else None,
+            "regressed_30pct": sorted(
+                q
+                for q in common
+                if prev_q[q] > 0 and timings[q] / prev_q[q] > 1.3
+            ),
+        }
+    print(json.dumps(payload))
+
+
+def _prev_round_timings() -> tuple[int, dict[str, float]] | None:
+    """Per-query timings from the newest BENCH_r{N}.json, so every
+    bench line carries its own apples-to-apples cross-round comparison
+    (same-name queries only — new/retired headliners are excluded)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, dict[str, float]] | None = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if best is not None and rnd <= best[0]:
+            continue
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            queries = doc.get("parsed", doc).get("queries")
+        except (OSError, ValueError, AttributeError):
+            continue
+        if isinstance(queries, dict) and queries:
+            best = (rnd, {str(k): float(v) for k, v in queries.items()})
+    return best
 
 
 if __name__ == "__main__":

@@ -1,0 +1,142 @@
+"""Baseline JPEG codec (functions/jpeg.py): the lossy paths that the
+hash-exact multimodal_jpeg_roundtrip query cannot cover by design.
+
+The query proves the DC/Huffman/zigzag/marker machinery bit-exactly on
+constant-block images; these tests bound the AC path (full DCT both
+directions), chroma subsampling, restart markers, and the gates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from articulation_vector_db_api_spark.functions.jpeg import (
+    decode_jpeg_baseline,
+    encode_jpeg_baseline,
+    quant_table,
+)
+
+
+def _gray(rng, h, w):
+    return rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+
+
+def test_constant_blocks_exact_q100():
+    """Constant 8x8 blocks have a single integer DC coefficient under
+    the all-ones table -> the full encode+decode chain is bit-exact."""
+    rng = np.random.RandomState(11)
+    blocks = rng.randint(0, 256, size=(5, 7), dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    dec = decode_jpeg_baseline(encode_jpeg_baseline(img, quality=100))
+    assert dec.shape == (40, 56, 1)
+    assert np.array_equal(dec[:, :, 0], img)
+
+
+def test_arbitrary_gray_q100_within_rounding():
+    """q=1 quantization only rounds DCT coefficients to integers; the
+    reconstruction error of uint8 content is bounded by +-1."""
+    rng = np.random.RandomState(3)
+    img = _gray(rng, 25, 19)  # non-multiple-of-8 dims exercise padding
+    dec = decode_jpeg_baseline(encode_jpeg_baseline(img, quality=100))
+    assert dec.shape == (25, 19, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+
+
+def test_rgb_444_roundtrip():
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    dec = decode_jpeg_baseline(encode_jpeg_baseline(img, quality=100))
+    assert dec.shape == (17, 23, 3)
+    # +-1 DCT rounding per plane, ~x2 through the color transforms
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+
+
+def _smooth_rgb(h=29, w=37):
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    base = np.sin(x / 9) * 40 + np.cos(y / 11) * 40 + 128
+    return np.stack([base, base * 0.8 + 20, 255 - base], axis=-1).astype(
+        np.uint8
+    )
+
+
+@pytest.mark.parametrize("subsample", ["420", "422"])
+def test_chroma_subsampled_decode(subsample):
+    """4:2:0 / 4:2:2 exercise multi-block MCUs and the decoder's
+    replicate-upsample; error is bounded by the chroma box filter on
+    smooth content."""
+    img = _smooth_rgb()
+    dec = decode_jpeg_baseline(
+        encode_jpeg_baseline(img, quality=95, subsample=subsample)
+    )
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 12
+
+
+def test_restart_markers():
+    """DRI/RSTn: predictors reset and bits re-align at every interval;
+    constant-block content must stay bit-exact across restarts."""
+    rng = np.random.RandomState(7)
+    blocks = rng.randint(0, 256, size=(4, 8), dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    dec = decode_jpeg_baseline(
+        encode_jpeg_baseline(img, quality=100, restart_interval=2)
+    )
+    assert np.array_equal(dec[:, :, 0], img)
+    arb = _gray(rng, 25, 19)
+    dec2 = decode_jpeg_baseline(
+        encode_jpeg_baseline(arb, quality=100, restart_interval=3)
+    )
+    assert np.abs(dec2[:, :, 0].astype(int) - arb.astype(int)).max() <= 1
+
+
+def test_quality_curve_monotone_size():
+    """Lower quality -> coarser table -> smaller file, bounded error
+    that shrinks as quality rises (sanity of the Annex K scaling)."""
+    img = _smooth_rgb(32, 32)
+    sizes, errs = [], []
+    for q in (30, 60, 90):
+        b = encode_jpeg_baseline(img, quality=q)
+        dec = decode_jpeg_baseline(b)
+        sizes.append(len(b))
+        errs.append(np.abs(dec.astype(int) - img.astype(int)).max())
+    assert sizes[0] < sizes[2]
+    assert errs[0] >= errs[2]
+    assert quant_table(100).max() == 1  # the near-lossless table
+    assert quant_table(50).tolist() == quant_table(50).tolist()
+
+
+def test_progressive_gated():
+    """SOF2 raises NotImplementedError (honest gate), not garbage."""
+    img = _gray(np.random.RandomState(1), 16, 16)
+    jp = bytearray(encode_jpeg_baseline(img, quality=100))
+    idx = jp.find(b"\xff\xc0")
+    jp[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg_baseline(bytes(jp))
+
+
+def test_corrupt_stream_value_error():
+    """Exception contract: malformed streams raise ValueError only."""
+    with pytest.raises(ValueError):
+        decode_jpeg_baseline(b"\xff\xd8\xff\xdb\x00\x05abc")
+    with pytest.raises(ValueError):
+        decode_jpeg_baseline(b"\xff\xd8\xff\xd9")  # SOI+EOI, no scan
+    img = _gray(np.random.RandomState(2), 16, 16)
+    jp = bytearray(encode_jpeg_baseline(img, quality=100))
+    truncated = bytes(jp[: len(jp) // 2])
+    with pytest.raises(ValueError):
+        decode_jpeg_baseline(truncated)
+
+
+def test_dispatch_via_decode_pixels():
+    """decode_pixels routes FFD8 payloads to the JPEG decoder, so the
+    whole multimodal stats stack picks JPEG up with no other change."""
+    from articulation_vector_db_api_spark.functions.pixels import (
+        decode_pixels,
+    )
+
+    rng = np.random.RandomState(9)
+    blocks = rng.randint(0, 256, size=(2, 2), dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    px = decode_pixels(encode_jpeg_baseline(img, quality=100))
+    assert np.array_equal(px[:, :, 0], img)

@@ -273,6 +273,7 @@ def test_side_effectful_builders_rebuild_after_partial_build(spark):
     killed partway) is wiped and rebuilt, so retries can never
     double-count an epoch or hardcode a version number that a crashed
     write_snapshot skipped."""
+    import json
     import os
 
     from articulation_vector_db_api_spark.registry import load_all
@@ -288,13 +289,17 @@ def test_side_effectful_builders_rebuild_after_partial_build(spark):
     ]:
         first = reg[qname].fn(spark, sf).collect()
         path = _app_scoped_store(spark, prefix, sf)
-        marker = os.path.join(path, "_BUILD_COMPLETE")
+        marker = os.path.join(path, "_STORE_COMPLETE")
         assert os.path.exists(marker), f"{qname} left no completion marker"
+        with open(marker) as f:
+            payload = json.load(f)  # _build_once persists the builder's facts
         # simulate a partial build: marker missing, stale state present
         os.remove(marker)
         again = reg[qname].fn(spark, sf).collect()
         assert again == first, f"{qname} changed results after rebuild"
         assert os.path.exists(marker)
+        with open(marker) as f:
+            assert json.load(f) == payload, f"{qname} rebuild changed payload"
 
 
 def test_vacuum_snapshots_retention(spark, tmp_path):
@@ -390,3 +395,15 @@ def test_vacuum_refuses_batch_stamped_log_versions(spark, tmp_path):
     for k in (1, 2, 3):
         write_snapshot(spark.range(k), plain)
     assert vacuum_snapshots(plain, keep_last=2) == [1]
+
+    # force on a NEVER-compacted log is refused: every retained version
+    # is still batch-stamped, so the retired rows live nowhere else
+    raw = str(tmp_path / "vac_raw_log")
+    for b in range(3):
+        write_snapshot(
+            spark.range(b * 10, b * 10 + 10), raw,
+            note=f"stream batch {b}", batch_id=b,
+        )
+    with _pytest.raises(ValueError, match="never-compacted"):
+        vacuum_snapshots(raw, keep_last=1, force=True)
+    assert sorted(int(v) for v in read_manifest(raw)["versions"]) == [1, 2, 3]

@@ -51,6 +51,8 @@ def test_corpus_ingest_counts(corpus_index):
     assert result["files_processed"] == 40
     assert result["files_failed"] == 0
     assert len(result["sources_processed"]) == 40
+    assert result["sources_truncated"] == 0  # under MAX_RESPONSE_TITLES
+    assert result["sources_processed"] == sorted(result["sources_processed"])
     assert result["ingested_count"] > 0
 
 

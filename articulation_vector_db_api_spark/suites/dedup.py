@@ -1585,10 +1585,14 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # the exact-fingerprint table is CORPUS-growing (one digest per
+    # standing doc) — unlike the bloom bit set it must never carry a
+    # forced broadcast; the hx equi-join shuffles 16-byte digests and
+    # AQE picks the strategy per actual size
     corpus_fp = fp.filter(F.col("doc_id") % 2 == 0).select("hx").distinct()
     exact = (
         fp.filter(F.col("doc_id") % 2 == 1)
-        .join(F.broadcast(corpus_fp.withColumn("dup_", F.lit(1))), "hx", "left")
+        .join(corpus_fp.withColumn("dup_", F.lit(1)), "hx", "left")
         .select(
             "doc_id", F.col("dup_").isNotNull().cast("int").alias("exact_dup")
         )

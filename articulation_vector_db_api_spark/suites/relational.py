@@ -258,14 +258,18 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: a 5-table snowflake join tree. The fact⋈fact
-    edge (lineitem⋈orders) shuffles; everything dimension-ward
-    broadcasts — the canonical star-join plan at any scale."""
+    edge (lineitem⋈orders) shuffles; the fixed-cardinality dims
+    (nation, region) broadcast, the SF-growing customer side is AQE's
+    call — the canonical star-join plan at any scale."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    # customer grows with SF (15B rows at the 100 TB point) — no
+    # forced broadcast; AQE picks the strategy per actual size. The
+    # fixed-cardinality dims (nation 25, region 5) keep the hint.
+    c = _t(spark, sf_dir, "customer")
     n = F.broadcast(_t(spark, sf_dir, "nation"))
     r = F.broadcast(_t(spark, sf_dir, "region"))
     return (
@@ -331,11 +335,13 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: six-table join with the nation dim joined TWICE
     under different roles (supplier vs customer side) — alias
-    discipline plus two broadcasts of the same table."""
+    discipline plus two broadcasts of the same fixed-size table."""
     li = _t(spark, sf_dir, "lineitem")
-    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    # supplier/customer grow with SF — AQE decides those joins; only
+    # the 25-row nation dim keeps its (twice-aliased) broadcast hint
+    s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders")
-    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    c = _t(spark, sf_dir, "customer")
     n1 = F.broadcast(
         _t(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
@@ -423,7 +429,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     in double; no second scan, no self-join)."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    c = _t(spark, sf_dir, "customer")  # SF-growing: AQE decides
     n = F.broadcast(_t(spark, sf_dir, "nation"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     target = F.when(F.col("n_name") == "NATION_0", rev).otherwise(F.lit(0.0))
@@ -1871,7 +1877,8 @@ def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("dup_orderkeys"))
     )
     orphans = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        # customer is SF-growing — the anti-join strategy is AQE's call
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("orphan_custkeys"))
     )
     wide = base.crossJoin(dups).crossJoin(orphans)
@@ -1982,7 +1989,8 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        sole_late.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        # supplier is SF-growing — AQE picks the join strategy
+        sole_late.join(s, F.col("l1.l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

@@ -2332,6 +2332,112 @@ def text_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns shared by the scrub query and its oracle — the regex
+# dialect subset that Java (Spark) and RE2 (DuckDB) interpret
+# identically: char classes, bounded repetition, \b word boundaries.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# Deterministic synthetic PII appended per doc (the fixture corpus is
+# clean, so the query generates its own positives — same rule on both
+# engines, like the multimodal payload generators).
+_PII_AUG_SQL = """concat(text, CASE CAST(doc_id % 3 AS INT)
+    WHEN 0 THEN concat(' contact user', CAST(doc_id AS {str_t}),
+                       '@example.com now')
+    WHEN 1 THEN concat(' call 555-',
+                       lpad(CAST(doc_id % 1000 AS {str_t}), 3, '0'),
+                       '-', lpad(CAST(doc_id % 10000 AS {str_t}), 4, '0'),
+                       ' today')
+    ELSE concat(' from 10.', CAST(doc_id % 256 AS {str_t}), '.0.',
+                CAST((doc_id * 7) % 256 AS {str_t}), ' logged')
+END)"""
+
+
+@register(
+    "curation_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               {_PII_AUG_SQL.format(str_t="VARCHAR")} AS t
+        FROM documents
+    ),
+    scrubbed AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT)
+                   AS n_email,
+               CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT)
+                   AS n_phone,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                       '{_PII_PHONE}', '[PHONE]', 'g'),
+                   '{_PII_IP}', '[IP]', 'g') AS clean
+        FROM aug
+    )
+    SELECT doc_id, n_email, n_phone,
+           CAST(len(regexp_extract_all(clean, '\\[(EMAIL|PHONE|IP)\\]'))
+                AS BIGINT) AS n_redactions,
+           sha256(clean) AS scrub_sha
+    FROM scrubbed
+    ORDER BY doc_id
+    """,
+    tags=("textops", "curation"),
+)
+def curation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrub pass every public training corpus
+    runs before release (emails, phone numbers, IP addresses →
+    placeholder tokens, with per-doc redaction accounting for the
+    audit ledger). The fixture corpus is clean, so deterministic
+    synthetic PII is appended per doc (same rule in the oracle); the
+    scrubbed text is digest-checked, so placement, ordering, and
+    non-greedy boundaries of every replacement must match exactly.
+
+    The IP count is NOT reported pre-scrub, deliberately: scrubbing is
+    sequential (email → phone → IP) and an IPv4-shaped fragment inside
+    an already-redacted span must not double-count — n_redactions
+    counts placeholders in the FINAL text, the number an auditor can
+    re-verify from the released corpus alone.
+
+    Scale shape: one narrow map (regex + sha256, whole-stage codegen,
+    no Python) — scan-bound at any corpus size; the only exchange is
+    the presentation sort. Patterns stay in the Java∩RE2 dialect so
+    the oracle runs them verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.expr(_PII_AUG_SQL.format(str_t="STRING")).alias("t"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), F.lit(_PII_EMAIL), F.lit("[EMAIL]")),
+            F.lit(_PII_PHONE),
+            F.lit("[PHONE]"),
+        ),
+        F.lit(_PII_IP),
+        F.lit("[IP]"),
+    )
+    scrubbed = aug.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_PII_EMAIL))
+        .cast("long")
+        .alias("n_email"),
+        F.regexp_count(F.col("t"), F.lit(_PII_PHONE))
+        .cast("long")
+        .alias("n_phone"),
+        clean.alias("clean"),
+    )
+    return scrubbed.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        F.regexp_count(F.col("clean"), F.lit(r"\[(EMAIL|PHONE|IP)\]"))
+        .cast("long")
+        .alias("n_redactions"),
+        F.sha2(F.col("clean"), 256).alias("scrub_sha"),
+    ).orderBy("doc_id")
+
+
 @register(
     "text_kneser_ney_bigram",
     headline=True,

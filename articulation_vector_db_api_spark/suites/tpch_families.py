@@ -90,8 +90,10 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = _t(spark, sf_dir, "nation")
     orders = _t(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        # part/supplier grow with SF — AQE decides; nation (25) keeps
+        # its hint
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(
@@ -259,7 +261,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     promo = F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        # part grows with SF — AQE decides the join strategy
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (F.lit(100.00) * dsum(promo) / dsum(_disc_price())).alias("promo_revenue")
         )
@@ -339,13 +342,15 @@ def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
         "s_suppkey"
     )
+    # bad_supp and the filtered part table both grow with SF — the
+    # anti/semi strategies are AQE's call per actual build size
     li = _t(spark, sf_dir, "lineitem").join(
-        F.broadcast(bad_supp),
+        bad_supp,
         F.col("l_suppkey") == F.col("s_suppkey"),
         "left_anti",
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
@@ -441,7 +446,8 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        # part grows with SF — AQE decides
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(clause)
         .agg(dsum(_disc_price()).alias("revenue"))
     )
@@ -468,16 +474,18 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20_promo_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (adapted: the partsupp availqty threshold becomes
     a shipped-quantity threshold over lineitem). Nested subquery →
-    aggregate-then-semi-join; the qualifying-supplier set is tiny, so
-    the outer semi-join broadcasts. Integer quantities make the HAVING
-    comparison exact."""
+    aggregate-then-semi-join; the qualifying-supplier set grows with
+    SF, so AQE picks the semi-join strategy. Integer quantities make
+    the HAVING comparison exact."""
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
+    # the PROMO part slice and the qualifying-supplier set both grow
+    # with SF — AQE decides both joins
     qualifying = (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 500)
@@ -486,7 +494,7 @@ def q20_promo_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     return (
         supp.join(
-            F.broadcast(qualifying),
+            qualifying,
             F.col("s_suppkey") == F.col("l_suppkey"),
             "left_semi",
         )
@@ -665,7 +673,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     a correlated-min subquery decorrelated into one aggregate + one
     equi-join on (partkey, cost). Cost lives in integer CENTS so the
     min and the equality are exact on both engines; the region-filtered
-    supplier dimension broadcasts; top-100 plans as
+    supplier dimension is SF-growing so AQE picks its join; top-100
+    plans as
     TakeOrderedAndProject. partsupp itself is derived (header comment)
     — fixtures ship no partsupp table."""
     ps = _derived_partsupp(spark, sf_dir)
@@ -677,7 +686,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    costs = ps.join(F.broadcast(eu), ps.ps_suppkey == eu.s_suppkey).select(
+    # eu (region-filtered suppliers) grows with SF — AQE decides
+    costs = ps.join(eu, ps.ps_suppkey == eu.s_suppkey).select(
         "ps_partkey", "ps_suppkey", "ps_costcents"
     )
     min_cost = costs.groupBy("ps_partkey").agg(
@@ -693,7 +703,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (costs.ps_partkey == min_cost.ps_partkey)
             & (costs.ps_costcents == min_cost.min_cents),
         )
-        .join(F.broadcast(eu), costs.ps_suppkey == eu.s_suppkey)
+        .join(eu, costs.ps_suppkey == eu.s_suppkey)
         .select(
             F.round("s_acctbal", 6).alias("s_acctbal"),
             "s_name",
@@ -739,9 +749,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     scoped = (
-        ps.join(F.broadcast(sup.join(F.broadcast(nat),
-                                     sup.s_nationkey == nat.n_nationkey)
-                            .select("s_suppkey")),
+        # one nation's suppliers still grow with SF — AQE decides the
+        # outer join; the 1-row filtered nation keeps its hint
+        ps.join(sup.join(F.broadcast(nat),
+                         sup.s_nationkey == nat.n_nationkey)
+                .select("s_suppkey"),
                 ps.ps_suppkey == F.col("s_suppkey"))
         .select(
             "ps_partkey",

@@ -334,16 +334,19 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users bucketed by first active week, counted
     in every later week — the (cohort, period) distinct-count matrix.
-    Two aggregates + one broadcast join; at 100 TB swap the exact
-    distinct for approx_count_distinct per cell."""
+    Two aggregates + one user-keyed equi-join (the cohort side is
+    population-growing, so AQE picks its strategy); at 100 TB swap the
+    exact distinct for approx_count_distinct per cell."""
     e = load_table(spark, sf_dir, "events")
     week = F.floor(
         F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) / 7.0
     ).cast("long")
     user_weeks = e.select("user_id", week.alias("week")).distinct()
+    # cohort carries one row per USER — population-growing, so no
+    # forced broadcast; the user_id equi-join is AQE's call
     cohort = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (
-        user_weeks.join(F.broadcast(cohort), "user_id")
+        user_weeks.join(cohort, "user_id")
         .groupBy("cohort_week", "week")
         .agg(F.countDistinct("user_id").alias("active_users"))
         .orderBy("cohort_week", "week")

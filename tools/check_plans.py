@@ -456,10 +456,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct", r"SortMergeJoin"],
     ),
     "dedup_bloom_incremental": (
-        # the bit set and the exact-fingerprint set broadcast; the
-        # corpus side is never shuffled for the membership join
+        # the bloom BIT set (bounded by the filter size) broadcasts;
+        # the corpus-growing exact-fingerprint join lost its forced
+        # hint in r7 — AQE picks it (broadcast at fixture scale, so the
+        # positive pattern still holds), and no shape may go cartesian
         [r"BroadcastHashJoin"],
-        [r"SortMergeJoin", r"CartesianProduct"],
+        [r"CartesianProduct"],
     ),
     "text_word_trigrams": (
         # slide-by-transform: trigram build is a projection (no

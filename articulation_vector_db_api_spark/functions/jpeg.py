@@ -1,31 +1,38 @@
-"""REAL baseline JPEG codec with no imaging library — ITU-T T.81
-(ISO/IEC 10918-1) sequential DCT, public spec only.
+"""REAL JPEG codec with no imaging library — ITU-T T.81
+(ISO/IEC 10918-1) baseline sequential AND progressive DCT, public
+spec only.
 
 The reference never decodes media (its corpus is PDFs read as text,
 /root/reference/main.py:106-115); the engine's pixel stack
 (functions/pixels.py) covered the stdlib-expressible lossless formats
 (PNG/BMP/netpbm/GIF) and gated JPEG behind NotImplementedError. This
-module removes that gate for BASELINE SEQUENTIAL JPEG — the variant
-the overwhelming majority of a web image corpus actually is:
+module removes that gate for the Huffman-coded JPEG family — which is
+essentially every JPEG a web image corpus contains:
 
-- decoder: full marker walk (DQT 8/16-bit, SOF0, DHT, DRI, SOS),
-  Huffman entropy decode with byte-unstuffing and RSTn handling,
-  dequantize + inverse zigzag, float64 8×8 IDCT (orthonormal DCT-III
-  as a matrix product), chroma upsampling for any (Hi, Vi) sampling
-  factors in {1, 2} (4:4:4 / 4:2:2 / 4:2:0), JFIF YCbCr→RGB.
-- encoder: grayscale or RGB 4:4:4 with the spec's Annex K "typical"
-  Huffman tables, forward DCT, configurable quantization table —
-  including the all-ones table under which images made of CONSTANT
-  8×8 blocks round-trip BIT-EXACTLY (a constant block has one DC
-  coefficient, 8·(v−128), an exact integer under q=1 — so the DC
-  predictor chain, Huffman coding, zigzag, and both DCTs are
-  oracle-checkable end-to-end: suites/multimodal.py:
+- decoder: full marker walk (DQT 8/16-bit, SOF0/1/2, DHT, DRI, SOS),
+  Huffman entropy decode with byte-unstuffing and RSTn handling, and
+  for progressive streams (Annex G) multi-scan accumulation into
+  coefficient grids — spectral selection bands, successive
+  approximation with EOBRUN and correction-bit refinement, interleaved
+  DC / non-interleaved AC block orders; then dequantize + inverse
+  zigzag, float64 8×8 IDCT (orthonormal DCT-III as a matrix product),
+  chroma upsampling for (Hi, Vi) in {1, 2} (4:4:4 / 4:2:2 / 4:2:0),
+  JFIF YCbCr→RGB.
+- encoders: baseline (grayscale or RGB, all three subsamplings,
+  restart intervals) and progressive (libjpeg-style scan script) with
+  the spec's Annex K "typical" Huffman tables — the progressive
+  encoder exists as the TEST-VECTOR GENERATOR: progressive and
+  baseline encode identical quantized coefficients, so their decoded
+  pixels must match bit-for-bit (tests/test_jpeg.py proves it over
+  random images at every quality/subsampling), and images made of
+  CONSTANT 8×8 blocks round-trip BIT-EXACTLY under the all-ones table
+  (the hash-green oracle in suites/multimodal.py:
   multimodal_jpeg_roundtrip).
 
-Progressive JPEG (SOF2), arithmetic coding (SOF9+), 12-bit precision,
-and sampling factors > 2 raise NotImplementedError and stay gated —
-per-row fault isolation in operators/multimodal.py catches them like
-any other codec gap.
+Arithmetic coding (SOF9+), lossless/hierarchical frames, 12-bit
+precision, and sampling factors > 2 raise NotImplementedError and stay
+gated — per-row fault isolation in operators/multimodal.py catches
+them like any other codec gap.
 
 EXCEPTION CONTRACT (same as functions/pixels.py): ValueError for
 malformed/corrupt streams, NotImplementedError for unsupported
@@ -506,19 +513,270 @@ def encode_jpeg_baseline(
 
 
 # ---------------------------------------------------------------------------
-# Decoder (baseline sequential)
+# Progressive encoder (test-vector generator: spectral selection +
+# successive approximation, T.81 Annex G) — exists so the progressive
+# DECODER below is provable by pure roundtrips: progressive and
+# baseline encode the SAME quantized coefficients, so their decoded
+# pixels must be identical bit-for-bit.
 # ---------------------------------------------------------------------------
 
 
-def decode_jpeg_baseline(b: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG to (h, w, channels) uint8
-    (channels = 1 for grayscale, 3 for YCbCr/RGB). Raises
-    NotImplementedError for progressive/arithmetic/12-bit variants and
-    ValueError for malformed streams."""
+def _emit_buffered(w: _BitWriter, br: list[int]) -> None:
+    for bit in br:
+        w.write(bit, 1)
+    br.clear()
+
+
+def encode_jpeg_progressive(
+    px: np.ndarray, quality: int = 100, subsample: str = "444"
+) -> bytes:
+    """Encode as PROGRESSIVE JPEG (SOF2) with a libjpeg-style scan
+    script: interleaved DC first pass at Al=1, per-component AC
+    spectral-selection bands at Al=2, two AC successive-approximation
+    refinement passes (Al 2→1→0), and a DC refinement pass. Exercises
+    every decoder path: EOBRUN, ZRL-in-refinement, correction bits,
+    non-interleaved component block order."""
+    if px.ndim == 3 and px.shape[2] == 1:
+        px = px[:, :, 0]
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if not (0 < h <= 0xFFFF and 0 < w <= 0xFFFF):
+        raise ValueError(f"unencodable image shape {px.shape}")
+    q = quant_table(quality)
+    samplings = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+    if subsample not in samplings:
+        raise ValueError(f"unknown subsampling {subsample!r}")
+    ch, cv = samplings[subsample]
+
+    if gray:
+        comps = [(1, 1, 1)]
+        planes = [px.astype(np.float64)]
+    else:
+        comps = [(1, ch, cv), (2, 1, 1), (3, 1, 1)]
+        ycc = _rgb_to_ycbcr(px)
+        planes = [
+            ycc[..., 0].astype(np.float64),
+            _box_downsample(ycc[..., 1].astype(np.float64), cv, ch),
+            _box_downsample(ycc[..., 2].astype(np.float64), cv, ch),
+        ]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    ncomp = len(comps)
+
+    # per-component quantized zigzag grids, MCU-padded (DC scans) —
+    # AC scans index the same grid but cover only the component's OWN
+    # ceil-div block extent (T.81 non-interleaved rule)
+    grids = []
+    for (cid, hi, vi), plane in zip(comps, planes):
+        blocks, bh, bw = _encode_component_blocks(
+            plane, q, mcuy * vi, mcux * hi
+        )
+        ph, pw = plane.shape
+        bh_c, bw_c = (ph + 7) // 8, (pw + 7) // 8
+        grids.append({"blocks": blocks, "bw": bw, "bh": bh,
+                      "bw_c": bw_c, "bh_c": bh_c})
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+    out += bytes(int(v) for v in q.reshape(64)[ZIGZAG])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid, hi, vi in comps:
+        out += struct.pack(">BBB", cid, (hi << 4) | vi, 0)
+
+    def dht(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
+        return (
+            b"\xff\xc4"
+            + struct.pack(">H", 19 + len(vals))
+            + bytes([tc_th])
+            + bytes(bits)
+            + bytes(vals)
+        )
+
+    out += dht(0x00, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += dht(0x10, AC_LUMA_BITS, AC_LUMA_VALS)
+    if not gray:
+        out += dht(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += dht(0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    dc_tabs = [
+        _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+        if i == 0
+        else _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
+        for i in range(ncomp)
+    ]
+    ac_tabs = [
+        _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+        if i == 0
+        else _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
+        for i in range(ncomp)
+    ]
+
+    def sos_header(scan_comps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(scan_comps), len(scan_comps))
+        for ci in scan_comps:
+            cid = comps[ci][0]
+            td = 0 if ci == 0 else 1
+            ta = 0 if ci == 0 else 1
+            hdr += struct.pack(">BB", cid, (td << 4) | ta)
+        return hdr + struct.pack(">BBB", ss, se, (ah << 4) | al)
+
+    def dc_first_scan(al: int) -> bytes:
+        wtr = _BitWriter()
+        preds = [0] * ncomp
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (cid, hi, vi) in enumerate(comps):
+                    g = grids[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            bi = (my * vi + by) * g["bw"] + (mx * hi + bx)
+                            v = int(g["blocks"][bi][0]) >> al
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            t = _category(diff)
+                            code, length = dc_tabs[ci][t]
+                            wtr.write(code, length)
+                            if t:
+                                wtr.write(
+                                    diff if diff >= 0 else diff + (1 << t) - 1, t
+                                )
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def dc_refine_scan(al: int) -> bytes:
+        wtr = _BitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (cid, hi, vi) in enumerate(comps):
+                    g = grids[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            bi = (my * vi + by) * g["bw"] + (mx * hi + bx)
+                            wtr.write((int(g["blocks"][bi][0]) >> al) & 1, 1)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        wtr = _BitWriter()
+        g = grids[ci]
+        tab = ac_tabs[ci]
+        for by in range(g["bh_c"]):
+            for bx in range(g["bw_c"]):
+                zz = g["blocks"][by * g["bw"] + bx]
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    t = (abs(v) >> al)
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        code, length = tab[0xF0]
+                        wtr.write(code, length)
+                        r -= 16
+                    s = t.bit_length()
+                    code, length = tab[(r << 4) | s]
+                    wtr.write(code, length)
+                    sv = t if v > 0 else -t
+                    wtr.write(sv if sv >= 0 else sv + (1 << s) - 1, s)
+                    r = 0
+                if r > 0:  # end-of-band (run of 1, no extra bits)
+                    code, length = tab[0x00]
+                    wtr.write(code, length)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        # T.81 G.1.2.3 / the classic encode_mcu_AC_refine shape: the
+        # ZRL drain runs at EVERY nonzero position (history included)
+        # while runs of >15 zero-history positions remain before the
+        # last newly-significant coefficient — that invariant keeps
+        # the buffered correction bits inside the <=15-zero window the
+        # decoder's very next advance will traverse.
+        wtr = _BitWriter()
+        g = grids[ci]
+        tab = ac_tabs[ci]
+        for by in range(g["bh_c"]):
+            for bx in range(g["bw_c"]):
+                zz = g["blocks"][by * g["bw"] + bx]
+                shifted = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+                eob = ss - 1  # last newly-significant position
+                for k in range(ss, se + 1):
+                    if shifted[k - ss] == 1:
+                        eob = k
+                br: list[int] = []
+                r = 0
+                for k in range(ss, se + 1):
+                    t = shifted[k - ss]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob:
+                        code, length = tab[0xF0]
+                        wtr.write(code, length)
+                        _emit_buffered(wtr, br)
+                        r -= 16
+                    if t > 1:  # history: correction bit, not a symbol
+                        br.append(t & 1)
+                        continue
+                    # newly significant at this precision
+                    code, length = tab[(r << 4) | 1]
+                    wtr.write(code, length)
+                    wtr.write(1 if int(zz[k]) > 0 else 0, 1)
+                    _emit_buffered(wtr, br)
+                    r = 0
+                if r > 0 or br:
+                    code, length = tab[0x00]  # EOB (run of 1)
+                    wtr.write(code, length)
+                    _emit_buffered(wtr, br)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    # libjpeg-style script
+    out += sos_header(list(range(ncomp)), 0, 0, 0, 1) + dc_first_scan(1)
+    for ci in range(ncomp):
+        out += sos_header([ci], 1, 5, 0, 2) + ac_first_scan(ci, 1, 5, 2)
+        out += sos_header([ci], 6, 63, 0, 2) + ac_first_scan(ci, 6, 63, 2)
+    for ci in range(ncomp):
+        out += sos_header([ci], 1, 63, 2, 1) + ac_refine_scan(ci, 1, 63, 1)
+    out += sos_header(list(range(ncomp)), 0, 0, 1, 0) + dc_refine_scan(0)
+    for ci in range(ncomp):
+        out += sos_header([ci], 1, 63, 1, 0) + ac_refine_scan(ci, 1, 63, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder — baseline sequential AND progressive (T.81 Annex F/G).
+# Architecture: every scan Huffman-decodes into per-component QUANTIZED
+# COEFFICIENT grids (progressive scans accumulate successive
+# approximation bits); one reconstruction pass at EOI dequantizes,
+# IDCTs, upsamples, and color-converts. Baseline is the one-scan
+# special case of the same machinery.
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """Decode a baseline-sequential or progressive JPEG to
+    (h, w, channels) uint8 (1 = grayscale, 3 = color). Raises
+    NotImplementedError for arithmetic-coded / lossless / hierarchical
+    / 12-bit variants and ValueError for malformed streams."""
     try:
         return _decode_jpeg(b)
     except (IndexError, struct.error, KeyError) as exc:
         raise ValueError(f"corrupt JPEG stream: {exc}") from exc
+
+
+# the historical name (r7 baseline-only decoder) — same function now
+decode_jpeg_baseline = decode_jpeg
 
 
 def _decode_jpeg(b: bytes) -> np.ndarray:
@@ -527,9 +785,11 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     restart_interval = 0
-    frame = None  # (h, w, [(cid, hi, vi, tq)])
+    frame = None  # (h, w, comps=[(cid, hi, vi, tq)], progressive)
+    state = None  # per-component coefficient grids + geometry
+    got_scan = False
     i = 2
-    while i + 4 <= len(b):
+    while i + 2 <= len(b):
         if b[i] != 0xFF:
             raise ValueError(f"expected marker at offset {i}")
         marker = b[i + 1]
@@ -539,7 +799,9 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
-        if marker == 0xD9:  # EOI before scan
+        if marker == 0xD9:  # EOI
+            break
+        if i + 4 > len(b):
             break
         seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
         seg = b[i + 4 : i + 2 + seg_len]
@@ -549,16 +811,20 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                 pq, tq = seg[p] >> 4, seg[p] & 0x0F
                 p += 1
                 if pq == 0:
-                    tbl = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int64)
+                    tbl = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(
+                        np.int64
+                    )
                     p += 64
                 elif pq == 1:
-                    tbl = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int64)
+                    tbl = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(
+                        np.int64
+                    )
                     p += 128
                 else:
                     raise ValueError(f"bad DQT precision {pq}")
                 dq = np.zeros(64, dtype=np.int64)
                 dq[ZIGZAG] = tbl  # stored zigzag → natural order
-                qtables[tq] = dq.reshape(8, 8)
+                qtables[tq] = dq
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -570,7 +836,7 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                 p += 17 + n
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[:2], "big")
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG precision")
@@ -582,44 +848,48 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                 cid = seg[6 + 3 * c]
                 hv = seg[7 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
-            frame = (h, w, comps)
-        elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            frame = (h, w, comps, marker == 0xC2)
+            state = _init_coeff_state(frame)
+        elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             raise NotImplementedError(
-                f"non-baseline JPEG frame (marker 0xFF{marker:02X}: "
-                "progressive/arithmetic/lossless)"
+                f"unsupported JPEG frame (marker 0xFF{marker:02X}: "
+                "arithmetic/lossless/hierarchical)"
             )
-        elif marker == 0xDA:  # SOS — entropy data follows
-            if frame is None:
+        elif marker == 0xDA:  # SOS
+            if frame is None or state is None:
                 raise ValueError("SOS before SOF frame header")
             ns = seg[0]
-            scan_tabs = {}
+            scan = []
             for c in range(ns):
                 cid = seg[1 + 2 * c]
                 td_ta = seg[2 + 2 * c]
-                scan_tabs[cid] = (td_ta >> 4, td_ta & 0x0F)
-            return _decode_scan(
+                scan.append((cid, td_ta >> 4, td_ta & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 0x0F
+            i = _decode_scan_entropy(
                 b,
                 i + 2 + seg_len,
                 frame,
-                scan_tabs,
-                qtables,
+                state,
+                scan,
+                ss,
+                se,
+                ah,
+                al,
                 htables,
                 restart_interval,
             )
+            got_scan = True
+            continue
         i += 2 + seg_len
-    raise ValueError("JPEG stream has no scan data")
+    if not got_scan:
+        raise ValueError("JPEG stream has no scan data")
+    return _reconstruct(frame, state, qtables)
 
 
-def _decode_scan(
-    b: bytes,
-    pos: int,
-    frame: tuple,
-    scan_tabs: dict,
-    qtables: dict,
-    htables: dict,
-    restart_interval: int,
-) -> np.ndarray:
-    h, w, comps = frame
+def _init_coeff_state(frame: tuple) -> dict:
+    h, w, comps, _prog = frame
     if not comps or h == 0 or w == 0:
         raise ValueError("empty JPEG frame")
     hmax = max(c[1] for c in comps)
@@ -630,65 +900,227 @@ def _decode_scan(
         )
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = {}
+    state = {"mcux": mcux, "mcuy": mcuy, "hmax": hmax, "vmax": vmax, "c": {}}
     for cid, hi, vi, _tq in comps:
-        planes[cid] = np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+        bw = mcux * hi  # MCU-padded grid (interleaved scans)
+        bh = mcuy * vi
+        comp_w = (w * hi + hmax - 1) // hmax  # component's own extent
+        comp_h = (h * vi + vmax - 1) // vmax
+        state["c"][cid] = {
+            "coef": np.zeros((bh * bw, 64), dtype=np.int64),
+            "bw": bw,
+            "bh": bh,
+            "bw_c": (comp_w + 7) // 8,  # non-interleaved scan extent
+            "bh_c": (comp_h + 7) // 8,
+            "pred": 0,
+        }
+    return state
 
+
+def _decode_scan_entropy(
+    b: bytes,
+    pos: int,
+    frame: tuple,
+    state: dict,
+    scan: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    htables: dict,
+    restart_interval: int,
+) -> int:
+    """Decode one scan's entropy segment into the coefficient grids;
+    returns the stream position just past it (at the next marker)."""
+    h, w, comps, progressive = frame
+    comp_by_id = {c[0]: c for c in comps}
+    if progressive:
+        # T.81 G.1: a progressive scan is either DC (Ss=Se=0) or a
+        # single-component AC band (0 < Ss <= Se <= 63)
+        if not ((ss == 0 and se == 0) or (0 < ss <= se <= 63)):
+            raise ValueError(f"invalid progressive scan band {ss}..{se}")
+        if ss > 0 and len(scan) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+    else:
+        ss, se, ah, al = 0, 63, 0, 0
     reader = _BitReader(b, pos)
-    preds = {cid: 0 for cid, *_ in comps}
+    for cid, _td, _ta in scan:
+        state["c"][cid]["pred"] = 0
+    eobrun = 0
+
+    # build the (component, block-index) visit order
+    units: list[tuple[int, int, int]] = []  # (cid, bi, unit_boundary)
+    if len(scan) > 1:
+        for my in range(state["mcuy"]):
+            for mx in range(state["mcux"]):
+                for cid, _td, _ta in scan:
+                    _c, hi, vi, _tq = comp_by_id[cid]
+                    st = state["c"][cid]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            bi = (my * vi + by) * st["bw"] + (mx * hi + bx)
+                            units.append((cid, bi, 0))
+                if units:
+                    units[-1] = (units[-1][0], units[-1][1], 1)
+    else:
+        cid = scan[0][0]
+        st = state["c"][cid]
+        for by in range(st["bh_c"]):
+            for bx in range(st["bw_c"]):
+                units.append((cid, by * st["bw"] + bx, 1))
+
+    tabs = {cid: (td, ta) for cid, td, ta in scan}
+    total_mcus = sum(1 for u in units if u[2])
     mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+    for cid, bi, boundary in units:
+        st = state["c"][cid]
+        coef = st["coef"][bi]
+        td, ta = tabs[cid]
+        if ss == 0 and (not progressive or ah == 0):
+            # DC first pass / full sequential needs the DC table; a DC
+            # REFINEMENT scan is raw bits and may cite an absent table
+            dc_tab = htables.get((0, td))
+            if dc_tab is None:
+                raise ValueError("scan references undefined DC table")
+        if se > 0:
+            ac_tab = htables.get((1, ta))
+            if ac_tab is None:
+                raise ValueError("scan references undefined AC table")
+
+        if not progressive:
+            t = _decode_symbol(reader, dc_tab)
+            st["pred"] += _extend(reader.read_bits(t), t)
+            coef[0] = st["pred"]
+            k = 1
+            while k < 64:
+                rs = _decode_symbol(reader, ac_tab)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break
+                k += r
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                coef[ZIGZAG[k]] = _extend(reader.read_bits(s), s)
+                k += 1
+        elif ss == 0:  # progressive DC
+            if ah == 0:
+                t = _decode_symbol(reader, dc_tab)
+                st["pred"] += _extend(reader.read_bits(t), t)
+                coef[0] = st["pred"] << al
+            else:
+                coef[0] |= reader.read_bit() << al
+        elif ah == 0:  # progressive AC, first pass for this band
+            if eobrun > 0:
+                eobrun -= 1
+            else:
+                k = ss
+                while k <= se:
+                    rs = _decode_symbol(reader, ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    coef[ZIGZAG[k]] = _extend(reader.read_bits(s), s) << al
+                    k += 1
+        else:  # progressive AC refinement
+            p1 = 1 << al
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _decode_symbol(reader, ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        val = 0  # ZRL: skip 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError("bad refinement magnitude")
+                        val = p1 if reader.read_bit() else -p1
+                    while k <= se:
+                        z = ZIGZAG[k]
+                        c = int(coef[z])
+                        if c != 0:
+                            if reader.read_bit() and (abs(c) & p1) == 0:
+                                coef[z] = c + (p1 if c >= 0 else -p1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val != 0 and k <= se:
+                        coef[ZIGZAG[k]] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    z = ZIGZAG[k]
+                    c = int(coef[z])
+                    if c != 0 and reader.read_bit() and (abs(c) & p1) == 0:
+                        coef[z] = c + (p1 if c >= 0 else -p1)
+                    k += 1
+                eobrun -= 1
+
+        if boundary:
+            mcu_count += 1
+            if (
+                restart_interval
+                and mcu_count % restart_interval == 0
+                and mcu_count < total_mcus
+            ):
                 m = reader.align_and_take_marker()
                 if m is None or not (0xD0 <= m <= 0xD7):
                     raise ValueError("missing JPEG restart marker")
-                preds = {cid: 0 for cid, *_ in comps}
-            for cid, hi, vi, tq in comps:
-                td, ta = scan_tabs[cid]
-                dc_tab = htables.get((0, td))
-                ac_tab = htables.get((1, ta))
-                q = qtables.get(tq)
-                if dc_tab is None or ac_tab is None or q is None:
-                    raise ValueError("scan references undefined JPEG table")
-                for by in range(vi):
-                    for bx in range(hi):
-                        zz = np.zeros(64, dtype=np.int64)
-                        t = _decode_symbol(reader, dc_tab)
-                        diff = _extend(reader.read_bits(t), t)
-                        preds[cid] += diff
-                        zz[0] = preds[cid]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_symbol(reader, ac_tab)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            zz[k] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        coeff = np.zeros(64, dtype=np.float64)
-                        coeff[ZIGZAG] = zz * q.reshape(64)[ZIGZAG]
-                        blk = _C.T @ coeff.reshape(8, 8) @ _C
-                        py = (my * vi + by) * 8
-                        px_ = (mx * hi + bx) * 8
-                        planes[cid][py : py + 8, px_ : px_ + 8] = blk + 128.0
-            mcu_count += 1
+                for scid, _td2, _ta2 in scan:
+                    state["c"][scid]["pred"] = 0
+                eobrun = 0
 
-    # assemble components: replicate-upsample subsampled chroma
+    # skip to the next marker (past padding bits / stuffed bytes)
+    pos = reader.pos
+    while pos + 1 < len(b):
+        if b[pos] == 0xFF and b[pos + 1] not in (0x00,) and not (
+            0xD0 <= b[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return len(b)
+
+
+def _reconstruct(frame: tuple, state: dict, qtables: dict) -> np.ndarray:
+    h, w, comps, _prog = frame
+    hmax, vmax = state["hmax"], state["vmax"]
     chans = []
-    for cid, hi, vi, _tq in comps:
-        p = planes[cid]
+    for cid, hi, vi, tq in comps:
+        st = state["c"][cid]
+        q = qtables.get(tq)
+        if q is None:
+            raise ValueError("frame references undefined quant table")
+        bh, bw = st["bh"], st["bw"]
+        plane = np.empty((bh * 8, bw * 8), dtype=np.float64)
+        coefs = st["coef"]
+        for by in range(bh):
+            for bx in range(bw):
+                deq = (coefs[by * bw + bx] * q).astype(np.float64)
+                blk = _C.T @ deq.reshape(8, 8) @ _C
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk + 128.0
         if hi < hmax:
-            p = np.repeat(p, hmax // hi, axis=1)
+            plane = np.repeat(plane, hmax // hi, axis=1)
         if vi < vmax:
-            p = np.repeat(p, vmax // vi, axis=0)
-        chans.append(p[:h, :w])
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        chans.append(plane[:h, :w])
     stacked = np.stack(chans, axis=-1)
     if len(chans) == 1:
         return np.clip(np.round(stacked), 0, 255).astype(np.uint8)

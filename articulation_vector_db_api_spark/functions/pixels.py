@@ -19,9 +19,10 @@ specified by public documents and needs only ``zlib``:
 - GIF (GIF89a spec): real variable-width LZW (appendix F), global and
   local color tables, interlace de-weave, first frame.
 
-Baseline sequential JPEG decodes natively too (functions/jpeg.py:
-marker walk, Huffman entropy decode, 8×8 IDCT, chroma upsampling);
-progressive/arithmetic JPEG and lossy WebP genuinely need more codec
+JPEG decodes natively too — baseline sequential AND progressive
+(functions/jpeg.py: marker walk, Huffman entropy decode, multi-scan
+successive-approximation accumulation, 8×8 IDCT, chroma upsampling);
+arithmetic-coded JPEG and lossy WebP genuinely need more codec
 machinery and remain gated. The encoder below makes
 the decode path oracle-checkable end-to-end: encode arbitrary bytes as
 a PNG (cycling through ALL five filter types), decode them back, and
@@ -328,9 +329,9 @@ def decode_pixels(payload: bytes) -> np.ndarray:
     """Dispatch on magic → (h, w, channels) uint8 pixels, or raise.
 
     The REAL counterpart of operators/multimodal.py:decode_image's
-    dimension sniff: PNG/BMP/netpbm/GIF/baseline-JPEG decode fully
-    here; progressive JPEG and WebP still raise NotImplementedError
-    (multi-scan DCT / VP8 codec formats).
+    dimension sniff: PNG/BMP/netpbm/GIF/JPEG (baseline + progressive)
+    decode fully here; arithmetic-coded JPEG and WebP still raise
+    NotImplementedError (arithmetic entropy / VP8 codec formats).
 
     EXCEPTION CONTRACT: raises only ValueError (malformed/unsupported
     stream) or NotImplementedError (codec-needing format) — the two
@@ -348,16 +349,16 @@ def decode_pixels(payload: bytes) -> np.ndarray:
     elif b[:6] in (b"GIF87a", b"GIF89a"):
         dec = decode_gif
     elif b[:2] == b"\xff\xd8":
-        from .jpeg import decode_jpeg_baseline
+        from .jpeg import decode_jpeg
 
-        # baseline sequential decodes natively (functions/jpeg.py);
-        # progressive/arithmetic variants raise NotImplementedError
-        # from inside the marker walk
-        dec = decode_jpeg_baseline
+        # baseline sequential AND progressive decode natively
+        # (functions/jpeg.py); arithmetic/lossless variants raise
+        # NotImplementedError from inside the marker walk
+        dec = decode_jpeg
     else:
         raise NotImplementedError(
             "pixel decode of this format requires a codec library "
-            "(PNG/BMP/PGM/PPM/GIF/baseline-JPEG decode natively)"
+            "(PNG/BMP/PGM/PPM/GIF/JPEG decode natively)"
         )
     try:
         return dec(b)

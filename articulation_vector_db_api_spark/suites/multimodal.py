@@ -493,27 +493,35 @@ def multimodal_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(1 AS BIGINT) AS channels,
            CAST(list_sum(bytes) * 64 AS BIGINT) AS px_sum,
            CAST(list_min(bytes) AS BIGINT) AS px_min,
-           CAST(list_max(bytes) AS BIGINT) AS px_max
+           CAST(list_max(bytes) AS BIGINT) AS px_max,
+           CAST(1 AS BIGINT) AS prog_match
     FROM px
     ORDER BY doc_id
     """,
     tags=("multimodal",),
 )
 def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL baseline-JPEG codec proof, oracle-checked per row: each
-    doc's sha256(doc_id) digest becomes a 32×64 grayscale image of
-    CONSTANT 8×8 blocks (block (r, c) = digest byte 8r+c), encoded as
-    a baseline sequential JPEG with the all-ones quantization table
+    """REAL JPEG codec proof, oracle-checked per row: each doc's
+    sha256(doc_id) digest becomes a 32×64 grayscale image of CONSTANT
+    8×8 blocks (block (r, c) = digest byte 8r+c), encoded as a
+    baseline sequential JPEG with the all-ones quantization table
     (functions/jpeg.py:encode_jpeg_baseline, quality=100) and decoded
     back by the engine's own marker walk + Huffman entropy decode +
-    IDCT (decode_jpeg_baseline). A constant block has exactly one
-    nonzero DCT coefficient — the DC term 8·(v−128), an exact integer
-    under q=1 — so the decoded pixels must equal the generating bytes
-    BIT-EXACTLY: the DC prediction chain, category/magnitude coding,
-    Huffman tables, zigzag, byte stuffing, and both DCT directions all
-    have to be right for this to hash-match. (Arbitrary-content and
+    IDCT (decode_jpeg). A constant block has exactly one nonzero DCT
+    coefficient — the DC term 8·(v−128), an exact integer under q=1 —
+    so the decoded pixels must equal the generating bytes BIT-EXACTLY:
+    the DC prediction chain, category/magnitude coding, Huffman
+    tables, zigzag, byte stuffing, and both DCT directions all have to
+    be right for this to hash-match.
+
+    prog_match additionally routes the SAME image through the
+    PROGRESSIVE encoder (SOF2: DC successive approximation + spectral
+    AC bands + refinement scans) and requires its decode to equal the
+    baseline decode — the multi-scan accumulation path is
+    driver-checked, not just unit-tested. (Arbitrary-content and
     chroma-subsampled decode are pinned with quantization-error bounds
-    in tests/test_jpeg.py — lossy paths can't hash-match by design.)
+    and prog==baseline equalities in tests/test_jpeg.py — lossy paths
+    can't hash-match by design.)
 
     Scale shape: identical to multimodal_pixel_roundtrip — encode and
     decode run in ONE Arrow-batched narrow map, only stats rows leave
@@ -521,15 +529,31 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator
 
     import pandas as pd
+    from pyspark.sql import types as T
 
-    from ..operators.multimodal import PIXEL_STATS_SCHEMA
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("px_sum", T.LongType()),
+            T.StructField("px_min", T.LongType()),
+            T.StructField("px_max", T.LongType()),
+            T.StructField("prog_match", T.LongType()),
+        ]
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         import numpy as np
 
-        from ..functions.jpeg import decode_jpeg_baseline, encode_jpeg_baseline
+        from ..functions.jpeg import (
+            decode_jpeg,
+            encode_jpeg_baseline,
+            encode_jpeg_progressive,
+        )
 
         for pdf in it:
             rows = []
@@ -537,8 +561,8 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 digest = hashlib.sha256(str(int(doc_id)).encode()).digest()
                 blocks = np.frombuffer(digest, dtype=np.uint8).reshape(4, 8)
                 img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
-                jp = encode_jpeg_baseline(img, quality=100)
-                px = decode_jpeg_baseline(jp)
+                px = decode_jpeg(encode_jpeg_baseline(img, quality=100))
+                pg = decode_jpeg(encode_jpeg_progressive(img, quality=100))
                 rows.append(
                     (
                         doc_id,
@@ -548,17 +572,16 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                         int(px.sum()),
                         int(px.min()),
                         int(px.max()),
+                        int(np.array_equal(px, pg)),
                     )
                 )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in PIXEL_STATS_SCHEMA.fields]
-            )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
         .repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(batches, PIXEL_STATS_SCHEMA)
+        .mapInPandas(batches, schema)
         .orderBy("doc_id")
     )
 

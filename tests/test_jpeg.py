@@ -1,9 +1,12 @@
-"""Baseline JPEG codec (functions/jpeg.py): the lossy paths that the
+"""JPEG codec (functions/jpeg.py): the lossy paths that the
 hash-exact multimodal_jpeg_roundtrip query cannot cover by design.
 
 The query proves the DC/Huffman/zigzag/marker machinery bit-exactly on
 constant-block images; these tests bound the AC path (full DCT both
-directions), chroma subsampling, restart markers, and the gates."""
+directions), chroma subsampling, restart markers, and the gates — and
+prove the PROGRESSIVE decoder by the strongest available equivalence:
+progressive and baseline encode the same quantized coefficients, so
+their decoded pixels must match bit-for-bit."""
 
 from __future__ import annotations
 
@@ -11,8 +14,10 @@ import numpy as np
 import pytest
 
 from articulation_vector_db_api_spark.functions.jpeg import (
+    decode_jpeg,
     decode_jpeg_baseline,
     encode_jpeg_baseline,
+    encode_jpeg_progressive,
     quant_table,
 )
 
@@ -105,13 +110,55 @@ def test_quality_curve_monotone_size():
     assert quant_table(50).tolist() == quant_table(50).tolist()
 
 
-def test_progressive_gated():
-    """SOF2 raises NotImplementedError (honest gate), not garbage."""
+def test_progressive_equals_baseline_gray():
+    """Progressive decode == baseline decode, bit for bit: both encode
+    the SAME quantized coefficients, so any progressive-path bug (DC
+    successive approximation, spectral bands, EOBRUN, refinement
+    correction bits) breaks the equality."""
+    rng = np.random.RandomState(13)
+    for q in (100, 75, 30):
+        img = _gray(rng, 25, 19)
+        pb = decode_jpeg(encode_jpeg_baseline(img, quality=q))
+        pp = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+        assert np.array_equal(pb, pp), f"gray q={q}"
+    # constant blocks stay bit-exact through the progressive path too
+    blocks = rng.randint(0, 256, size=(3, 5), dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    dec = decode_jpeg(encode_jpeg_progressive(img, quality=100))
+    assert np.array_equal(dec[:, :, 0], img)
+
+
+@pytest.mark.parametrize("subsample", ["444", "422", "420"])
+def test_progressive_equals_baseline_color(subsample):
+    """Color progressive: interleaved DC scan + non-interleaved
+    per-component AC bands over subsampled grids."""
+    rng = np.random.RandomState(17)
+    for q in (90, 50):
+        img = rng.randint(0, 256, size=(29, 37, 3), dtype=np.uint8)
+        pb = decode_jpeg(encode_jpeg_baseline(img, q, subsample=subsample))
+        pp = decode_jpeg(encode_jpeg_progressive(img, q, subsample=subsample))
+        assert np.array_equal(pb, pp), f"{subsample} q={q}"
+
+
+def test_arithmetic_coding_gated():
+    """SOF9 (arithmetic) raises NotImplementedError (honest gate)."""
+    img = _gray(np.random.RandomState(1), 16, 16)
+    jp = bytearray(encode_jpeg_baseline(img, quality=100))
+    idx = jp.find(b"\xff\xc0")
+    jp[idx + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg_baseline(bytes(jp))
+
+
+def test_invalid_progressive_scan_band():
+    """A baseline stream relabeled SOF2 carries an Ss=0,Se=63 scan —
+    illegal in progressive (G.1) and rejected as malformed, never
+    silently half-decoded."""
     img = _gray(np.random.RandomState(1), 16, 16)
     jp = bytearray(encode_jpeg_baseline(img, quality=100))
     idx = jp.find(b"\xff\xc0")
     jp[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="scan band"):
         decode_jpeg_baseline(bytes(jp))
 
 

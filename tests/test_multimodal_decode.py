@@ -342,17 +342,24 @@ def test_decode_pixels_dispatch_and_codec_gate():
     a = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
     np.testing.assert_array_equal(decode_pixels(encode_png(a)), a)
     np.testing.assert_array_equal(decode_pixels(_bmp24(a)), a)
-    # baseline JPEG dispatches to functions/jpeg.py (r7); a junk FFD8
-    # stream is a malformed-stream ValueError, still per-row isolable
+    # JPEG dispatches to functions/jpeg.py (r7); a junk FFD8 stream is
+    # a malformed-stream ValueError, still per-row isolable
     with pytest.raises(ValueError):
         decode_pixels(b"\xff\xd8\xff\xe0" + b"\x00" * 40)
-    # progressive JPEG remains the honest NotImplementedError gate
+    # both baseline and progressive decode through the dispatcher;
+    # arithmetic coding remains the honest NotImplementedError gate
     from articulation_vector_db_api_spark.functions.jpeg import (
         encode_jpeg_baseline,
+        encode_jpeg_progressive,
     )
 
-    jp = bytearray(encode_jpeg_baseline(np.zeros((8, 8), dtype=np.uint8)))
-    jp[jp.find(b"\xff\xc0") + 1] = 0xC2
+    g = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 256
+    np.testing.assert_array_equal(
+        decode_pixels(encode_jpeg_progressive(g, quality=100)),
+        decode_pixels(encode_jpeg_baseline(g, quality=100)),
+    )
+    jp = bytearray(encode_jpeg_baseline(g, quality=100))
+    jp[jp.find(b"\xff\xc0") + 1] = 0xC9  # arithmetic-coded frame
     with pytest.raises(NotImplementedError):
         decode_pixels(bytes(jp))
 

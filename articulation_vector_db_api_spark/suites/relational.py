@@ -4239,6 +4239,53 @@ def sql_pipe_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One SQL text, two engines: the recursive hierarchy walk is written
+# in the ANSI dialect subset Spark 4 and DuckDB share, so the oracle
+# IS the query string (modulo the table binding).
+_RECURSIVE_HIERARCHY_SQL = """
+WITH RECURSIVE chain(s_suppkey, root, depth) AS (
+    SELECT s_suppkey, s_suppkey AS root, CAST(0 AS INT) AS depth
+    FROM {sup} WHERE s_suppkey < 10
+    UNION ALL
+    SELECT s.s_suppkey, c.root, CAST(c.depth + 1 AS INT)
+    FROM {sup} s JOIN chain c
+      ON CAST((s.s_suppkey - (s.s_suppkey % 10)) / 10 AS BIGINT) = c.s_suppkey
+   WHERE s.s_suppkey >= 10
+)
+SELECT depth,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(min(s_suppkey) AS BIGINT) AS min_key,
+       CAST(max(s_suppkey) AS BIGINT) AS max_key,
+       CAST(count(DISTINCT root) AS BIGINT) AS n_roots
+FROM chain GROUP BY depth ORDER BY depth
+"""
+
+
+@register(
+    "sql_recursive_cte_hierarchy",
+    oracle=_RECURSIVE_HIERARCHY_SQL.format(sup="supplier"),
+    tags=("relational", "sql"),
+)
+def sql_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native WITH RECURSIVE (Spark 4's UnionLoop operator): a
+    decimal-digit hierarchy over suppliers (parent(s) = s div 10,
+    roots are keys < 10) walked to every depth, then per-depth
+    membership stats. The exact SQL text runs on both engines — the
+    strongest possible parity statement for the iterative-query
+    surface, and the declarative twin of the hand-rolled loops the
+    engine uses where recursion must be skew-bounded
+    (operators/graph.py's alternating-star CC).
+
+    Scale shape: Catalyst plans the recursion as UnionLoop with the
+    anchor and step as ordinary pushdown-optimized joins — each
+    iteration joins the FRONTIER (one depth's rows) against the base
+    table on an equi-key, so per-round state is a hierarchy level,
+    never the closure; depth is bounded by log10(|supplier|). The
+    aggregate on top is the usual partial+final pair."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("v_sup_rec")
+    return spark.sql(_RECURSIVE_HIERARCHY_SQL.format(sup="v_sup_rec"))
+
+
 @register(
     "maintenance_vacuum_retention",
     oracle=f"""

@@ -276,6 +276,16 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _checked_category(t: int, limit: int, kind: str) -> int:
+    """8-bit JPEG bounds magnitude categories (DC <= 11, AC <= 10);
+    a corrupt stream can Huffman-decode to any DHT symbol, and an
+    unchecked huge category would overflow the int64 coefficient
+    store with the wrong exception type."""
+    if t > limit:
+        raise ValueError(f"invalid JPEG {kind} magnitude category {t}")
+    return t
+
+
 def _category(v: int) -> int:
     """Number of bits needed for magnitude coding (T.81 F.1.2.1.2)."""
     return int(abs(v)).bit_length()
@@ -892,6 +902,10 @@ def _init_coeff_state(frame: tuple) -> dict:
     h, w, comps, _prog = frame
     if not comps or h == 0 or w == 0:
         raise ValueError("empty JPEG frame")
+    if h * w > 1 << 26:  # 64 MP sanity cap for the curation path: a
+        # corrupt SOF must fail as ValueError, never as a multi-GB
+        # allocation attempt inside an executor
+        raise ValueError(f"implausible JPEG dimensions {w}x{h}")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax > 2 or vmax > 2 or any(c[1] < 1 or c[2] < 1 for c in comps):
@@ -988,7 +1002,7 @@ def _decode_scan_entropy(
                 raise ValueError("scan references undefined AC table")
 
         if not progressive:
-            t = _decode_symbol(reader, dc_tab)
+            t = _checked_category(_decode_symbol(reader, dc_tab), 11, "DC")
             st["pred"] += _extend(reader.read_bits(t), t)
             coef[0] = st["pred"]
             k = 1
@@ -1000,6 +1014,7 @@ def _decode_scan_entropy(
                         k += 16
                         continue
                     break
+                _checked_category(s, 10, "AC")
                 k += r
                 if k > 63:
                     raise ValueError("AC run past block end")
@@ -1007,7 +1022,9 @@ def _decode_scan_entropy(
                 k += 1
         elif ss == 0:  # progressive DC
             if ah == 0:
-                t = _decode_symbol(reader, dc_tab)
+                t = _checked_category(
+                    _decode_symbol(reader, dc_tab), 11, "DC"
+                )
                 st["pred"] += _extend(reader.read_bits(t), t)
                 coef[0] = st["pred"] << al
             else:
@@ -1028,6 +1045,7 @@ def _decode_scan_entropy(
                             break
                         k += 16  # ZRL
                         continue
+                    _checked_category(s, 10, "AC")
                     k += r
                     if k > se:
                         raise ValueError("AC run past band end")

@@ -187,3 +187,29 @@ def test_dispatch_via_decode_pixels():
     img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
     px = decode_pixels(encode_jpeg_baseline(img, quality=100))
     assert np.array_equal(px[:, :, 0], img)
+
+
+def test_fuzz_exception_contract():
+    """Per-row fault isolation depends on decode raising ONLY
+    ValueError / NotImplementedError on arbitrary corruption: mutate
+    and truncate valid streams at random offsets and require every
+    failure to stay inside the contract (success is fine — many flips
+    only perturb pixel data)."""
+    rng = np.random.RandomState(42)
+    img = rng.randint(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    streams = [
+        encode_jpeg_baseline(img, quality=75, subsample="420"),
+        encode_jpeg_progressive(img, quality=75),
+    ]
+    for base in streams:
+        for _ in range(120):
+            jp = bytearray(base)
+            for _ in range(rng.randint(1, 4)):
+                jp[rng.randint(0, len(jp))] = rng.randint(0, 256)
+            if rng.rand() < 0.3:
+                jp = jp[: rng.randint(2, len(jp))]
+            try:
+                out = decode_jpeg(bytes(jp))
+                assert isinstance(out, np.ndarray)
+            except (ValueError, NotImplementedError):
+                pass  # the contract: nothing else may escape

@@ -22,8 +22,10 @@ specified by public documents and needs only ``zlib``:
 JPEG decodes natively too — baseline sequential AND progressive
 (functions/jpeg.py: marker walk, Huffman entropy decode, multi-scan
 successive-approximation accumulation, 8×8 IDCT, chroma upsampling);
-arithmetic-coded JPEG and lossy WebP genuinely need more codec
-machinery and remain gated. The encoder below makes
+lossless WebP decodes natively as well (functions/vp8l.py: LZ77 +
+canonical prefix codes + all four transforms); arithmetic-coded JPEG
+and lossy VP8 WebP genuinely need more codec machinery and remain
+gated. The encoder below makes
 the decode path oracle-checkable end-to-end: encode arbitrary bytes as
 a PNG (cycling through ALL five filter types), decode them back, and
 the pixel statistics must equal byte statistics computed directly by
@@ -330,8 +332,8 @@ def decode_pixels(payload: bytes) -> np.ndarray:
 
     The REAL counterpart of operators/multimodal.py:decode_image's
     dimension sniff: PNG/BMP/netpbm/GIF/JPEG (baseline + progressive)
-    decode fully here; arithmetic-coded JPEG and WebP still raise
-    NotImplementedError (arithmetic entropy / VP8 codec formats).
+    and lossless WebP decode fully here; arithmetic-coded JPEG and
+    lossy VP8 WebP still raise NotImplementedError.
 
     EXCEPTION CONTRACT: raises only ValueError (malformed/unsupported
     stream) or NotImplementedError (codec-needing format) — the two
@@ -355,10 +357,16 @@ def decode_pixels(payload: bytes) -> np.ndarray:
         # (functions/jpeg.py); arithmetic/lossless variants raise
         # NotImplementedError from inside the marker walk
         dec = decode_jpeg
+    elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from .vp8l import decode_vp8l
+
+        # lossless WebP decodes natively (functions/vp8l.py); lossy
+        # VP8 raises NotImplementedError from inside the chunk walk
+        dec = decode_vp8l
     else:
         raise NotImplementedError(
             "pixel decode of this format requires a codec library "
-            "(PNG/BMP/PGM/PPM/GIF/JPEG decode natively)"
+            "(PNG/BMP/PGM/PPM/GIF/JPEG/lossless-WebP decode natively)"
         )
     try:
         return dec(b)

@@ -587,6 +587,111 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_webp_roundtrip",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               list_transform(range(32), j ->
+                   (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 2, 1)) - 1)
+               ) AS bytes
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(4 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST(4 AS BIGINT) AS channels,
+           CAST(list_sum(bytes) AS BIGINT) AS px_sum,
+           CAST(list_min(bytes) AS BIGINT) AS px_min,
+           CAST(list_max(bytes) AS BIGINT) AS px_max,
+           CAST(1 AS BIGINT) AS gray_consistent
+    FROM px
+    ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+)
+def multimodal_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-WebP codec proof, oracle-checked per row: each
+    doc's sha256(doc_id) digest becomes an 8×4 grayscale image encoded
+    as a literal-only VP8L stream (functions/vp8l.py — real canonical
+    prefix codes through the code-length-code machinery) and decoded
+    back by the engine's own RIFF walk + LSB-first prefix decoder.
+    VP8L is LOSSLESS, so unlike the JPEG twin there is no constant-
+    block trick: ARBITRARY bytes must reproduce exactly — red-channel
+    stats equal the digest byte stats, and gray_consistent requires
+    r == g == b with alpha 255 on every pixel. (LZ77 backrefs, the
+    color cache, all four transforms, and meta prefix groups are
+    pinned by hand-built streams in tests/test_vp8l.py; lossy VP8
+    stays honestly gated.)
+
+    Scale shape: identical to the PNG/GIF/JPEG roundtrips — one
+    Arrow-batched narrow map, only stats rows leave the executor."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("px_sum", T.LongType()),
+            T.StructField("px_min", T.LongType()),
+            T.StructField("px_max", T.LongType()),
+            T.StructField("gray_consistent", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from ..functions.pixels import decode_pixels
+        from ..functions.vp8l import encode_vp8l
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                digest = hashlib.sha256(str(int(doc_id)).encode()).digest()
+                img = np.frombuffer(digest, dtype=np.uint8).reshape(8, 4)
+                px = decode_pixels(encode_vp8l(img))
+                red = px[:, :, 0]
+                consistent = int(
+                    np.array_equal(red, px[:, :, 1])
+                    and np.array_equal(red, px[:, :, 2])
+                    and bool((px[:, :, 3] == 255).all())
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        px.shape[1],
+                        px.shape[0],
+                        px.shape[2],
+                        int(red.sum()),
+                        int(red.min()),
+                        int(red.max()),
+                        consistent,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_resize_pixels",
     oracle="""
     WITH px AS (

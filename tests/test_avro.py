@@ -1,0 +1,131 @@
+"""Pure-Python Avro container (sources/avro.py) + the ``avro_py``
+Python Data Source (sources/avro_pyds.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from articulation_vector_db_api_spark.sources.avro import (
+    block_offsets,
+    parse_schema,
+    read_block,
+    read_header,
+    write_container,
+)
+
+_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "score", "type": "double"},
+            {"name": "ok", "type": "boolean"},
+        ],
+    }
+)
+
+
+def _rows(n):
+    return [
+        (i, None if i % 5 == 0 else f"n{i}", i * 0.5, i % 2 == 0)
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_container_roundtrip_exact(tmp_path, codec):
+    p = str(tmp_path / "t.avro")
+    rows = _rows(2500)
+    write_container(p, _SCHEMA, rows, codec=codec, records_per_block=1000)
+    fields, got_codec, _sync, _pos = read_header(p)
+    assert got_codec == codec
+    assert [f[0] for f in fields] == ["id", "name", "score", "ok"]
+    blocks = block_offsets(p)
+    assert [n for _, n in blocks] == [1000, 1000, 500]
+    got = [r for off, _ in blocks for r in read_block(p, off)]
+    assert got == rows  # byte-exact through varints/unions/deflate
+
+
+def test_zigzag_extremes(tmp_path):
+    p = str(tmp_path / "z.avro")
+    schema = json.dumps(
+        {"type": "record", "name": "z",
+         "fields": [{"name": "v", "type": "long"}]}
+    )
+    vals = [(v,) for v in [0, -1, 1, 63, -64, -(2 ** 62), 2 ** 62]]
+    write_container(p, schema, vals)
+    got = [r for off, _ in block_offsets(p) for r in read_block(p, off)]
+    assert got == vals
+
+
+def test_schema_gates():
+    with pytest.raises(NotImplementedError, match="record"):
+        parse_schema(json.dumps({"type": "array", "items": "long"}))
+    with pytest.raises(NotImplementedError, match="complex"):
+        parse_schema(
+            json.dumps(
+                {"type": "record", "name": "r", "fields": [
+                    {"name": "m", "type": {"type": "map", "values": "long"}}
+                ]}
+            )
+        )
+    with pytest.raises(NotImplementedError, match="union"):
+        parse_schema(
+            json.dumps(
+                {"type": "record", "name": "r", "fields": [
+                    {"name": "u", "type": ["null", "string", "long"]}
+                ]}
+            )
+        )
+
+
+def test_corruption_contract(tmp_path):
+    p = str(tmp_path / "c.avro")
+    write_container(p, _SCHEMA, _rows(50))
+    good = open(p, "rb").read()
+    with pytest.raises(ValueError, match="magic"):
+        read_header(str(_write(tmp_path, "bad1.avro", b"XXXX" + good[4:])))
+    # corrupt the sync marker of the first block
+    bad = bytearray(good)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="sync"):
+        block_offsets(str(_write(tmp_path, "bad2.avro", bytes(bad))))
+    # truncation inside a block
+    with pytest.raises(ValueError):
+        blocks = block_offsets(p)
+        trunc = str(_write(tmp_path, "bad3.avro", good[: blocks[0][0] + 4]))
+        list(read_block(trunc, blocks[0][0]))
+
+
+def _write(tmp_path, name, data):
+    q = tmp_path / name
+    q.write_bytes(data)
+    return q
+
+
+def test_spark_scan_per_block_parallelism(spark, tmp_path):
+    from articulation_vector_db_api_spark.sources.avro_pyds import (
+        register_avro_source,
+    )
+
+    d = str(tmp_path)
+    rows = _rows(3000)
+    write_container(
+        os.path.join(d, "a.avro"), _SCHEMA, rows, records_per_block=500
+    )
+    register_avro_source(spark)
+    df = spark.read.format("avro_py").option("path", d).load()
+    assert df.schema.simpleString() == (
+        "struct<id:bigint,name:string,score:double,ok:boolean>"
+    )
+    # one task per container block
+    assert df.rdd.getNumPartitions() == 6
+    assert df.count() == 3000
+    assert df.filter("name IS NULL").count() == 600
+    total = df.agg({"id": "sum"}).first()[0]
+    assert total == sum(r[0] for r in rows)

@@ -264,3 +264,62 @@ def test_registered_query_builder_is_crash_idempotent(spark):
         v for v in man["versions"].values() if v.get("batch_id") is not None
     ]
     assert len(batch_versions) == 3  # one per batch, retry added none
+
+
+def test_join_view_time_travel_excludes_later_epochs(spark):
+    """matview_join_incremental: 'as of epoch 2' must equal the full
+    orders joined against the OLD dim slice only — the delta-rule
+    bookkeeping is what makes the historical view well-defined."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from articulation_vector_db_api_spark.operators.matview import read_rollup
+    from articulation_vector_db_api_spark.sources.readers import load_table
+    from articulation_vector_db_api_spark.suites.core import (
+        matview_join_incremental,
+    )
+    from articulation_vector_db_api_spark.suites.similarity import (
+        _app_scoped_store,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = {
+        r.c_nationkey: (r.n_orders, r.revenue)
+        for r in matview_join_incremental(spark, sf).collect()
+    }
+    store = _app_scoped_store(spark, "joinview", sf)
+    versions = json.load(open(os.path.join(store, "_STORE_COMPLETE")))[
+        "versions"
+    ]
+    keys = ["c_nationkey"]
+    specs = [
+        {"name": "n_orders", "kind": "count"},
+        {"name": "revenue", "kind": "sum", "col": "o_totalprice"},
+        {"name": "avg_price", "kind": "avg", "col": "o_totalprice"},
+        {"name": "last_date", "kind": "max", "col": "o_orderdate"},
+    ]
+    asof = {
+        r.c_nationkey: (r.n_orders, r.revenue)
+        for r in read_rollup(
+            spark, store, keys, specs, as_of=versions[1]
+        ).collect()
+    }
+    # independent recompute of epochs 1-2: ALL orders x the old dim
+    orders = load_table(spark, sf, "orders")
+    b1 = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey", "c_nationkey")
+    )
+    expect = {
+        r.c_nationkey: r.n
+        for r in orders.join(b1, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {k: v[0] for k, v in asof.items()} == expect
+    # and the historical view is strictly smaller than the final one
+    assert sum(v[0] for v in asof.values()) < sum(v[0] for v in full.values())

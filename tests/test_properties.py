@@ -109,3 +109,98 @@ def test_token_window_invariants(t):
     for i, win in enumerate(wins):
         covered.update(range(96 * i, 96 * i + len(win)))
     assert covered == set(range(len(toks)))
+
+
+# --- r7 codec properties ---------------------------------------------------
+
+import numpy as np
+from hypothesis import strategies as _st
+
+
+@given(
+    _st.integers(1, 4), _st.integers(1, 4), _st.integers(0, 2 ** 32 - 1)
+)
+@settings(max_examples=60, deadline=None)
+def test_jpeg_constant_blocks_always_exact(bh, bw, seed):
+    """ANY constant-8x8-block image is bit-exact through baseline AND
+    progressive JPEG under the all-ones table — the invariant the
+    multimodal_jpeg_roundtrip oracle rests on."""
+    from articulation_vector_db_api_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(seed % (2 ** 31))
+    blocks = rng.randint(0, 256, size=(bh, bw), dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    for enc in (encode_jpeg_baseline, encode_jpeg_progressive):
+        dec = decode_jpeg(enc(img, quality=100))
+        assert np.array_equal(dec[:, :, 0], img)
+
+
+@given(
+    _st.integers(1, 40),
+    _st.integers(1, 40),
+    _st.sampled_from([1, 3, 4]),
+    _st.integers(0, 2 ** 32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_vp8l_lossless_any_image(h, w, ch, seed):
+    """VP8L is lossless: EVERY image of every shape must roundtrip
+    bit-exactly — no tolerance, no content restriction."""
+    from articulation_vector_db_api_spark.functions.vp8l import (
+        decode_vp8l,
+        encode_vp8l,
+    )
+
+    rng = np.random.RandomState(seed % (2 ** 31))
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+    dec = decode_vp8l(encode_vp8l(img))
+    if ch == 1:
+        assert np.array_equal(dec[:, :, 0], img)
+        assert np.array_equal(dec[:, :, 1], img)  # gray replicates
+    elif ch == 3:
+        assert np.array_equal(dec[:, :, :3], img)
+        assert (dec[:, :, 3] == 255).all()
+    else:
+        assert np.array_equal(dec, img)
+
+
+@given(
+    _st.lists(
+        _st.tuples(
+            _st.integers(-(2 ** 62), 2 ** 62),
+            _st.one_of(_st.none(), _st.text(max_size=20)),
+            _st.floats(allow_nan=False, allow_infinity=False, width=64),
+        ),
+        max_size=60,
+    ),
+    _st.sampled_from(["null", "deflate"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_avro_container_roundtrip_any_rows(rows, codec):
+    """The Avro container must reproduce arbitrary (long, null|string,
+    double) rows exactly through varints, unions, and both codecs."""
+    import json
+    import tempfile
+
+    from articulation_vector_db_api_spark.sources.avro import (
+        block_offsets,
+        read_block,
+        write_container,
+    )
+
+    schema = json.dumps(
+        {"type": "record", "name": "r", "fields": [
+            {"name": "v", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "d", "type": "double"},
+        ]}
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/t.avro"
+        write_container(p, schema, rows, codec=codec, records_per_block=16)
+        got = [r for off, _ in block_offsets(p) for r in read_block(p, off)]
+    assert got == rows

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import sha_hash32, sha_hash32_sql
 from ..functions.numeric import davg, davg_sql
 from ..registry import register
 from ..sources.readers import load_table
@@ -2329,6 +2330,69 @@ def text_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 6),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "curation_sample_weighted_priority",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+               {{u}} AS u
+        FROM documents WHERE n_chars > 0
+    ),
+    prio AS (
+        SELECT doc_id, weight,
+               (weight * 4294967296) // (u + 1) AS priority
+        FROM hashed
+    )
+    SELECT doc_id, weight, CAST(priority AS BIGINT) AS priority
+    FROM prio
+    ORDER BY priority DESC, doc_id
+    LIMIT 20
+    """.format(u=sha_hash32_sql("CAST(doc_id AS VARCHAR)", seed=41)),
+    tags=("textops", "curation", "sampling"),
+)
+def curation_sample_weighted_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement by PRIORITY SAMPLING
+    (Duffield-Lund-Thorup 2007, public): each doc draws a deterministic
+    uniform u from its id hash and gets priority w/u; the top-k
+    priorities are the sample, selected with probability increasing in
+    weight and admitting unbiased subset-sum estimators. This is the
+    principled way to subsample a corpus by a quality weight (here
+    n_chars as the proxy) — a plain hash sample ignores weights, and
+    the quality-band sampler stratifies rather than weights.
+
+    Determinism discipline: the priority is INTEGER-QUANTIZED —
+    (w << 32) div (u + 1) in exact integer arithmetic, ties broken by
+    doc_id — because a float w/u ranks on ln/division ulps that Java
+    and DuckDB may round differently, and a one-ulp flip near the k-th
+    priority would change the SELECTED SET, not just a digit. The
+    quantization error is 2^-32 relative: statistically irrelevant,
+    correctness-exact.
+
+    Scale shape: priorities are a map-side expression over the scan;
+    top-k plans as TakeOrderedAndProject (k rows per partition cross
+    the network); zero shuffles beyond the heap merge. At 100 TB this
+    is the cheapest possible weighted subsample."""
+    from ..functions.hashing import sha_hash32
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = sha_hash32(F.col("doc_id").cast("string"), seed=41)
+    prio = F.expr(
+        "(weight * 4294967296) div (u + 1)"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            u.alias("u"),
+        )
+        .select("doc_id", "weight", prio.cast("long").alias("priority"))
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(20)
     )
 
 

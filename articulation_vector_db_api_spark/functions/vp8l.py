@@ -465,7 +465,12 @@ def _clamp_add_sub_half(c0: int, c1: int, c2: int) -> int:
     for shift in (0, 8, 16, 24):
         ave = (((c0 >> shift) & 0xFF) + ((c1 >> shift) & 0xFF)) >> 1
         sub = (c2 >> shift) & 0xFF
-        v = ave + (ave - sub) // 2 if False else ave + ((ave - sub) >> 1)
+        # (ave - sub) / 2 with C's truncation toward zero (the libwebp
+        # AddSubtractComponentHalf), NOT a floor shift — they differ
+        # for odd negative deltas and real files encode against C
+        delta = ave - sub
+        half = delta // 2 if delta >= 0 else -((-delta) // 2)
+        v = ave + half
         v = 0 if v < 0 else (255 if v > 255 else v)
         out |= v << shift
     return out
@@ -483,7 +488,9 @@ def _select(l: int, t: int, tl: int) -> int:
         ((l >> 8) & 0xFF) - ((tl >> 8) & 0xFF)
     )
     p_blue = abs((t & 0xFF) - (tl & 0xFF)) - abs((l & 0xFF) - (tl & 0xFF))
-    return l if (p_alpha + p_red + p_green + p_blue) <= 0 else t
+    # libwebp Select: the TOP pixel wins ties (p == 0), left only
+    # when strictly closer — real files encode against that rule
+    return l if (p_alpha + p_red + p_green + p_blue) < 0 else t
 
 
 def _inv_predictor(

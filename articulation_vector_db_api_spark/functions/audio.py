@@ -56,7 +56,7 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     b = bytes(payload)
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
-    i, fmt, data = 12, None, None
+    i, fmt, fmt_body, data, fact_frames = 12, None, b"", None, None
     while i + 8 <= len(b):
         cid = b[i : i + 4]
         (size,) = struct.unpack_from("<I", b, i + 4)
@@ -65,19 +65,39 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
             if len(body) < 16:
                 raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and len(body) >= 4:
+            (fact_frames,) = struct.unpack_from("<I", body, 0)
         i += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
-    tag, ch, rate, _byterate, _align, bits = fmt
+    tag, ch, rate, _byterate, align, bits = fmt
+    if ch == 0:
+        raise ValueError("WAV fmt declares zero channels")
+    if tag == 0x11:
+        # IMA ADPCM (mono): block geometry from the extended fmt
+        if ch != 1 or bits != 4:
+            raise NotImplementedError(
+                f"IMA ADPCM with ch={ch}, bits={bits} (mono 4-bit only)"
+            )
+        if len(fmt_body) < 20:
+            raise ValueError("IMA ADPCM fmt chunk missing samples/block")
+        (spb,) = struct.unpack_from("<H", fmt_body, 18)
+        n_blocks = (len(data) + align - 1) // align
+        n_frames = (
+            fact_frames
+            if fact_frames is not None
+            else n_blocks * spb
+        )
+        samples = decode_adpcm_ima(data, align, spb, n_frames)
+        return rate, samples.reshape(-1, 1)
     if tag not in (1, 0xFFFE) or bits != 16:
         raise NotImplementedError(
             f"compressed or non-16-bit WAV (tag={tag}, bits={bits}) "
             "needs a codec library"
         )
-    if ch == 0:
-        raise ValueError("WAV fmt declares zero channels")
     n = len(data) // (2 * ch)
     samples = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
     return rate, samples.copy()
@@ -99,3 +119,131 @@ def frame_energies(
         return np.zeros(0, dtype=np.int64)
     idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
     return (s[idx] ** 2).sum(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (WAV format tag 0x11) — IMA Digital Audio Technical
+# Working Group 1992 recommendation (also RFC 3551 §4.5.1 "DVI4"),
+# public spec. 4:1 compressed voice WAV is the one non-PCM format a
+# real speech corpus actually contains; the step/index state machine
+# is pure integer arithmetic, so it belongs in the no-codec-library
+# stack. MP3/AAC/Opus remain honestly gated (perceptual codecs).
+# ---------------------------------------------------------------------------
+
+IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+IMA_INDEX_ADJUST = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(predictor: int, index: int, nibble: int) -> tuple[int, int]:
+    """One decoder state transition: (predictor', index')."""
+    step = IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    predictor = predictor - diff if nibble & 8 else predictor + diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + IMA_INDEX_ADJUST[nibble & 7]))
+    return predictor, index
+
+
+def _ima_encode_nibble(delta: int, step: int) -> int:
+    """Quantize one delta against the current step (spec encoder)."""
+    nibble = 0
+    if delta < 0:
+        nibble = 8
+        delta = -delta
+    if delta >= step:
+        nibble |= 4
+        delta -= step
+    if delta >= step >> 1:
+        nibble |= 2
+        delta -= step >> 1
+    if delta >= step >> 2:
+        nibble |= 1
+    return nibble
+
+
+def encode_adpcm_ima(samples: np.ndarray, rate: int = 16000,
+                     samples_per_block: int = 505) -> bytes:
+    """Encode MONO int16 samples as an IMA-ADPCM WAV (format tag
+    0x11): per-block 4-byte header (predictor int16, step index,
+    reserved) + packed low-nibble-first 4-bit codes. Block-aligned
+    per the spec: samples_per_block = 1 header sample + 2 nibbles per
+    following byte (default 505 -> 256-byte blocks)."""
+    s = np.asarray(samples, dtype=np.int64).ravel()
+    if (samples_per_block - 1) % 2:
+        raise ValueError("samples_per_block must be odd (header + pairs)")
+    block_align = 4 + (samples_per_block - 1) // 2
+    data = bytearray()
+    index = 0
+    for start in range(0, len(s), samples_per_block):
+        blk = s[start : start + samples_per_block]
+        predictor = int(blk[0])
+        data += struct.pack("<hBB", predictor, index, 0)
+        nibbles = []
+        for sample in blk[1:]:
+            step = IMA_STEP_TABLE[index]
+            nibble = _ima_encode_nibble(int(sample) - predictor, step)
+            predictor, index = _ima_step(predictor, index, nibble)
+            nibbles.append(nibble)
+        while len(nibbles) < samples_per_block - 1:  # pad the tail block
+            step = IMA_STEP_TABLE[index]
+            nibble = _ima_encode_nibble(0, step)  # hold the last value
+            predictor, index = _ima_step(predictor, index, nibble)
+            nibbles.append(nibble)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            data.append(lo | (hi << 4))
+    n_frames = len(s)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, rate,
+        rate * block_align // samples_per_block,
+        block_align, 4, 2, samples_per_block,
+    )
+    fact = struct.pack("<I", n_frames)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4 + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", 4) + fact
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+    )
+
+
+def decode_adpcm_ima(
+    data: bytes, block_align: int, samples_per_block: int, n_frames: int
+) -> np.ndarray:
+    """Decode mono IMA-ADPCM 'data' chunk payload -> int16 samples
+    (first n_frames)."""
+    out = []
+    if block_align < 5 or samples_per_block < 3:
+        raise ValueError("bad IMA ADPCM block geometry")
+    for start in range(0, len(data), block_align):
+        blk = data[start : start + block_align]
+        if len(blk) < 4:
+            raise ValueError("truncated IMA ADPCM block header")
+        predictor, index, _rsvd = struct.unpack_from("<hBB", blk, 0)
+        if index > 88:
+            raise ValueError(f"bad IMA ADPCM step index {index}")
+        out.append(predictor)
+        for byte in blk[4:]:
+            for nibble in (byte & 0x0F, byte >> 4):
+                predictor, index = _ima_step(predictor, index, nibble)
+                out.append(predictor)
+    if len(out) < n_frames:
+        raise ValueError("IMA ADPCM payload shorter than fact frame count")
+    return np.asarray(out[:n_frames], dtype=np.int16)

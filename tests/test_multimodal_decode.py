@@ -772,3 +772,42 @@ def test_tiff_dimensions_both_endians_and_dispatch():
         tiff_dimensions(b"II*\x00" + b"\x08\x00\x00\x00")  # truncated IFD
     with pytest.raises(ValueError):
         decode_image(b"II*\x00\x08\x00\x00\x00\x01\x00")  # via front door
+
+
+def test_adpcm_ima_codec():
+    """IMA ADPCM (WAV tag 0x11): constant blocks at index 0 are
+    bit-exact, smooth content is step-bounded, and the state machine
+    is idempotent — encode(decode(encode(x))) == encode(x), the
+    strongest self-consistency a lossy codec admits."""
+    import numpy as np
+
+    from articulation_vector_db_api_spark.functions.audio import (
+        decode_wav,
+        encode_adpcm_ima,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(4)
+    consts = rng.randint(-30000, 30000, size=6)
+    spb = 65
+    sig = np.repeat(consts, spb).astype(np.int16)
+    rate, dec = decode_wav(encode_adpcm_ima(sig, samples_per_block=spb))
+    assert rate == 16000
+    assert np.array_equal(dec[:, 0], sig)  # constant blocks exact
+
+    t = np.arange(4096)
+    smooth = (np.sin(t / 50) * 8000).astype(np.int16)
+    wav = encode_adpcm_ima(smooth)
+    _, d2 = decode_wav(wav)
+    err = np.abs(d2[: len(smooth), 0].astype(int) - smooth.astype(int)).max()
+    assert err <= 1200  # adaptation transients, bounded by the step table
+
+    _, d3 = decode_wav(wav)
+    assert wav == encode_adpcm_ima(d3[:, 0])  # idempotent re-encode
+
+    # PCM path untouched; a payload too short for the fact-declared
+    # frame count is a clean ValueError
+    _, d4 = decode_wav(encode_wav(smooth))
+    assert np.array_equal(d4[:, 0], smooth)
+    with pytest.raises(ValueError):
+        decode_wav(wav[: len(wav) // 2])

@@ -10,6 +10,7 @@ acceptable shape for a 100 TB pre-filter pass.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2819,4 +2820,156 @@ def text_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("k", "vocab_used", "covered_tokens", "coverage")
         .orderBy("k")
+    )
+
+
+# --- Unicode canonicalization -----------------------------------------
+# The mojibake pass every multilingual corpus needs before dedup or
+# tokenization: decomposed sequences (NFD) hash differently from their
+# composed twins, zero-width characters split tokens invisibly, and
+# NBSP defeats whitespace tokenizers. Stated cleaning rule, applied in
+# this order on both engines:
+#   1. NFC canonical composition
+#   2. drop zero-width characters (ZWSP/ZWNJ/ZWJ/BOM)
+#   3. NBSP -> ordinary space
+#   4. drop C0 controls except \t \n \r (and drop DEL)
+#   5. collapse space/tab runs, trim
+# All non-ASCII code points live here as escapes; the oracle f-string
+# interpolates the real characters so both engines see identical text.
+_UC_MARK = "\u0301"     # combining acute: 'e'+mark NFC-composes to U+00E9
+_UC_EACUTE = "\u00e9"
+_UC_ZWSP = "\u200b"
+_UC_ZW_CLASS = "[\u200b\u200c\u200d\ufeff]"
+_UC_CTRL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+_UC_NBSP = "\u00a0"
+# Deterministic dirty-text derivation (fixture corpus is ASCII-clean):
+# decompose every accentable 'e', hide a ZWSP inside ' th' bigrams, and
+# append an NBSP + BEL + ragged-space tail.
+_UC_TAIL = _UC_NBSP + "end\x07  ."
+
+
+def unicode_clean_col(col):
+    """The stated cleaning rule as a column expression (steps 1-5 of
+    the comment above). NFC is the only Python step — an Arrow-batched
+    scalar pandas_udf; everything else is codegen'd builtins. Factored
+    out so tests can prove idempotence by applying it twice."""
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize("NFC", x)
+        )
+
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.replace(
+                    F.regexp_replace(
+                        _nfc(col), F.lit(_UC_ZW_CLASS), F.lit("")
+                    ),
+                    F.lit(_UC_NBSP),
+                    F.lit(" "),
+                ),
+                F.lit(_UC_CTRL_CLASS),
+                F.lit(""),
+            ),
+            F.lit("[ \t]+"),
+            F.lit(" "),
+        )
+    )
+
+
+@register(
+    "text_unicode_clean",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               replace(replace(text, 'e', 'e{_UC_MARK}'),
+                       ' th', ' {_UC_ZWSP}th') || '{_UC_TAIL}' AS t
+        FROM documents
+    ),
+    cleaned AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{_UC_MARK}')) AS BIGINT)
+                   AS n_marks,
+               CAST(len(regexp_extract_all(t, '{_UC_ZW_CLASS}')) AS BIGINT)
+                   AS n_zero_width,
+               trim(regexp_replace(
+                   regexp_replace(
+                       replace(
+                           regexp_replace(nfc_normalize(t),
+                                          '{_UC_ZW_CLASS}', '', 'g'),
+                           '{_UC_NBSP}', ' '),
+                       '{_UC_CTRL_CLASS}', '', 'g'),
+                   '[ \t]+', ' ', 'g')) AS clean
+        FROM aug
+    )
+    SELECT doc_id, n_marks, n_zero_width,
+           CAST(len(regexp_extract_all(clean, '{_UC_EACUTE}')) AS BIGINT)
+               AS n_composed,
+           CAST(length(clean) AS BIGINT) AS clean_len,
+           sha256(clean) AS clean_sha
+    FROM cleaned
+    ORDER BY doc_id
+    """,
+    tags=("textops", "curation"),
+)
+def text_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization — NFC compose + invisible-character
+    scrub, digest-checked. Decomposed accents ('e'+U+0301) and
+    zero-width code points make visually identical text hash
+    differently, silently defeating exact dedup (dedup_exact) and
+    inflating BPE vocabularies; every public corpus normalizes before
+    fingerprinting. The fixture corpus is ASCII-clean, so a
+    deterministic dirty variant is derived per doc (same rule in the
+    oracle); ``n_composed`` must equal ``n_marks`` row-for-row — the
+    proof canonical composition actually ran (an identity pass would
+    leave bare combining marks that U+00E9 cannot match) — and
+    ``clean_sha`` pins the placement of every edit.
+
+    NFC itself is the one step SQL builtins cannot express: it crosses
+    to Python ONCE as an Arrow-batched scalar ``pandas_udf``
+    (ArrowEvalPython — never row-pickled BatchEvalPython); all
+    counting, scrubbing, and digesting stays in whole-stage codegen.
+
+    Scale shape: a single narrow map over the corpus — no shuffle but
+    the presentation sort; at 100 TB this is scan-bound and
+    embarrassingly parallel, the same contract as curation_pii_scrub."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.replace(
+                F.replace(F.col("text"), F.lit("e"), F.lit("e" + _UC_MARK)),
+                F.lit(" th"),
+                F.lit(" " + _UC_ZWSP + "th"),
+            ),
+            F.lit(_UC_TAIL),
+        ).alias("t"),
+    )
+    clean = unicode_clean_col(F.col("t"))
+    return (
+        aug.select(
+            "doc_id",
+            F.regexp_count(F.col("t"), F.lit(_UC_MARK))
+            .cast("long")
+            .alias("n_marks"),
+            F.regexp_count(F.col("t"), F.lit(_UC_ZW_CLASS))
+            .cast("long")
+            .alias("n_zero_width"),
+            clean.alias("clean"),
+        )
+        .select(
+            "doc_id",
+            "n_marks",
+            "n_zero_width",
+            F.regexp_count(F.col("clean"), F.lit(_UC_EACUTE))
+            .cast("long")
+            .alias("n_composed"),
+            F.length("clean").cast("long").alias("clean_len"),
+            F.sha2(F.col("clean"), 256).alias("clean_sha"),
+        )
+        .orderBy("doc_id")
     )

@@ -293,3 +293,66 @@ def test_ivf_nprobe_recall_sweep(spark, tmp_path):
     assert recalls == sorted(recalls), recalls  # monotone in nprobe
     assert recalls[-1] == 1.0
     assert recalls[0] > 0  # even one cell finds something on this fixture
+
+
+def test_unicode_clean_composes_and_scrubs(spark):
+    """NFC proof properties the digest oracle implies but a reviewer
+    can read directly: every injected combining mark composed into a
+    precomposed e-acute (n_composed == n_marks > 0), zero-width
+    injections were found where ' th' bigrams exist, and the cleaned
+    text retains no combining mark, zero-width, NBSP, or C0 control."""
+    import pyspark.sql.functions as F
+
+    from articulation_vector_db_api_spark.registry import load_all
+    from articulation_vector_db_api_spark.suites.textops import (
+        _UC_CTRL_CLASS,
+        _UC_MARK,
+        _UC_NBSP,
+        _UC_ZW_CLASS,
+    )
+
+    q = load_all()["text_unicode_clean"]
+    rows = q.fn(spark, SF).collect()
+    assert len(rows) == 500
+    assert all(r.n_marks == r.n_composed and r.n_marks > 0 for r in rows)
+    assert sum(1 for r in rows if r.n_zero_width > 0) > 300
+
+    # Idempotence + residue on adversarial strings: one pass must be a
+    # fixed point, and the output must carry none of the characters the
+    # stated rule removes.
+    from articulation_vector_db_api_spark.suites.textops import (
+        unicode_clean_col,
+    )
+
+    dirty = [
+        "e" + _UC_MARK + " the" + _UC_NBSP + "end",        # NFD + NBSP
+        "a\x00b\x07c\td\ne",                                # C0 controls
+        "x" + _UC_ZW_CLASS[1] + "y \t  z  ",                # ZWSP + runs
+        # Stacked marks: NFC composes the first acute into U+00E9 and
+        # MUST keep the second (e-acute+acute has no precomposed form)
+        # — cleaning is normalization, not accent-stripping.
+        "caf" + "e" + _UC_MARK + _UC_MARK,
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(dirty)], "i int, s string"
+    )
+    out = (
+        df.select("i", unicode_clean_col(F.col("s")).alias("once"))
+        .select("i", "once", unicode_clean_col(F.col("once")).alias("twice"))
+        .orderBy("i")
+    )
+    import re
+
+    got = out.collect()
+    for r in got:
+        assert r.once == r.twice  # fixed point
+        assert _UC_NBSP not in r.once
+        assert not any(c in r.once for c in _UC_ZW_CLASS.strip("[]"))
+        assert not re.search(_UC_CTRL_CLASS, r.once)
+        assert "  " not in r.once and "\t" not in r.once
+    # Single composable marks vanish into precomposed forms...
+    assert got[0].once == "é the end"
+    # ...while the uncomposable second stacked mark survives — NFC is
+    # normalization, not accent stripping.
+    assert got[3].once == "café" + _UC_MARK

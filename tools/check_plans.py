@@ -624,6 +624,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"SortMergeJoin", r"CartesianProduct",
          r"Exchange hashpartitioning\(p_partkey"],
     ),
+    "text_unicode_clean": (
+        # NFC crosses to Python exactly once, Arrow-batched; the
+        # counting/scrub/digest expressions stay in codegen and the
+        # only exchange is the presentation sort
+        [r"ArrowEvalPython"],
+        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
+         r"Arguments: hashpartitioning"],
+    ),
 }
 
 # query -> [(pattern, max_occurrences)] over the formatted plan.

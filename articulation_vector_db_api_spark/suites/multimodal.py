@@ -1522,3 +1522,151 @@ def pipeline_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "admitted"
         ),
     ).orderBy("doc_id")
+
+
+def resample_441_320(col_name: str, n_out: int):
+    """Fixed-point 441:320 (22050 Hz -> 16000 Hz) linear-interpolation
+    resampler as a Catalyst higher-order expression over an int-array
+    column. Output i reads input position i*441/320: idx + frac/320 in
+    integers, blended with a +32768 bias so the numerator stays
+    non-negative and floor/truncate/DuckDB-// agree. Caller guarantees
+    (n_out-1)*441 div 320 + 2 <= n_in so element_at never nulls."""
+    return F.expr(
+        f"""
+        transform(sequence(0, {n_out - 1}), i -> CAST(
+            (element_at({col_name}, CAST((i * 441) div 320 AS INT) + 1)
+                 * (320 - (i * 441) % 320)
+           + element_at({col_name}, CAST((i * 441) div 320 AS INT) + 2)
+                 * ((i * 441) % 320)
+           + 160 + 10485760) div 320 - 32768 AS BIGINT))
+        """
+    )
+
+
+@register(
+    "multimodal_audio_resample",
+    oracle="""
+    WITH hx AS (
+        SELECT doc_id,
+               sha256(CAST(doc_id AS VARCHAR)) AS h1,
+               sha256(CAST(doc_id AS VARCHAR) || ':b') AS h2
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id,
+               list_transform(range(64), j ->
+                   (strpos('0123456789abcdef',
+                           substr(CASE WHEN j < 32 THEN h1 ELSE h2 END,
+                                  2 * (j % 32) + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(CASE WHEN j < 32 THEN h1 ELSE h2 END,
+                                  2 * (j % 32) + 2, 1)) - 1)
+               ) AS b
+        FROM hx
+    ),
+    smp AS (
+        SELECT doc_id,
+               list_transform(range(32), j ->
+                   b[2 * j + 1] + 256 * b[2 * j + 2]
+                   - CASE WHEN b[2 * j + 2] >= 128 THEN 65536 ELSE 0 END
+               ) AS s
+        FROM px
+    ),
+    rs AS (
+        SELECT doc_id,
+               list_transform(range(23), i -> CAST(
+                   (s[(i * 441) // 320 + 1] * (320 - (i * 441) % 320)
+                  + s[(i * 441) // 320 + 2] * ((i * 441) % 320)
+                  + 160 + 10485760) // 320 - 32768 AS BIGINT)
+               ) AS r
+        FROM smp
+    )
+    SELECT doc_id,
+           CAST(32 AS BIGINT) AS n_in,
+           CAST(22050 AS BIGINT) AS rate_in,
+           CAST(23 AS BIGINT) AS n_out,
+           CAST(16000 AS BIGINT) AS rate_out,
+           CAST(list_sum(r) AS BIGINT) AS out_sum,
+           CAST(list_sum(list_transform(r, x -> x * x)) AS BIGINT)
+               AS out_energy,
+           sha256(array_to_string(r, ',')) AS out_sha
+    FROM rs
+    ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-rate conversion, the step every speech pipeline runs
+    before feature extraction (mic/broadcast rates down to a model's
+    16 kHz): decode a REAL 22050 Hz RIFF/WAVE file (functions/audio.py
+    chunk walker), then linearly interpolate to 16 kHz with FIXED-POINT
+    integer arithmetic — output i sits at input position i*441/320
+    (441/320 = 22050/16000 exactly), so idx = (i*441) div 320,
+    frac = (i*441) mod 320, and the sample is the +32768-biased
+    integer-rounded blend (s[idx]*(320-frac) + s[idx+1]*frac + 160)
+    div 320 (bias keeps the numerator non-negative, making floor,
+    truncate, and DuckDB's // agree). No floats anywhere, so the
+    resampled waveform digest-matches the oracle bit-exactly.
+
+    Spark-first split: Python touches ONLY the codec (Arrow-batched
+    mapInPandas decode, as multimodal_audio_wav_roundtrip); the DSP —
+    23 interpolation taps, energy, digest — is Catalyst higher-order
+    functions (transform/sequence/element_at/aggregate) in the JVM.
+    n_out = floor((n_in-1)*320/441)+1 = 23 keeps every tap's idx+1
+    inside the input (max idx = 30 < 31), so element_at never nulls.
+
+    Scale shape: one narrow map + per-row array ops, zero data
+    shuffles before the presentation sort; at 100 TB each split
+    resamples independently."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("rate_in", T.LongType()),
+            T.StructField("s", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from ..functions.audio import decode_wav, encode_wav
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                seed = str(int(doc_id)).encode()
+                raw = (
+                    hashlib.sha256(seed).digest()
+                    + hashlib.sha256(seed + b":b").digest()
+                )
+                pcm = np.frombuffer(raw, dtype="<i2")
+                rate, samples = decode_wav(encode_wav(pcm, 22050))
+                rows.append((doc_id, rate, samples[:, 0].tolist()))
+            yield pd.DataFrame(rows, columns=["doc_id", "rate_in", "s"])
+
+    d = load_table(spark, sf_dir, "documents")
+    decoded = (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+    )
+    resampled = decoded.withColumn("r", resample_441_320("s", 23))
+    return resampled.select(
+        "doc_id",
+        F.size("s").cast("long").alias("n_in"),
+        F.col("rate_in").cast("long").alias("rate_in"),
+        F.size("r").cast("long").alias("n_out"),
+        F.lit(16000).cast("long").alias("rate_out"),
+        F.expr("aggregate(r, 0L, (a, x) -> a + x)").alias("out_sum"),
+        F.expr("aggregate(r, 0L, (a, x) -> a + x * x)").alias("out_energy"),
+        F.expr(
+            "sha2(array_join(transform(r, x -> CAST(x AS STRING)), ','), 256)"
+        ).alias("out_sha"),
+    ).orderBy("doc_id")

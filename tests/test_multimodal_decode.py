@@ -811,3 +811,34 @@ def test_adpcm_ima_codec():
     assert np.array_equal(d4[:, 0], smooth)
     with pytest.raises(ValueError):
         decode_wav(wav[: len(wav) // 2])
+
+
+def test_resample_441_320_exact_semantics(spark):
+    """The fixed-point resampler against closed forms computed
+    independently of the implementation: a constant signal is a fixed
+    point (equal endpoints blend to themselves at every frac), a pure
+    ramp lands on round-to-nearest of the continuous interpolant
+    (f(x)=100x at x=i*441/320 -> floor((44100*i + 160)/320)), and a
+    negative constant pins the bias trick (floor == truncate must not
+    diverge below zero)."""
+    import pyspark.sql.functions as F
+
+    from articulation_vector_db_api_spark.suites.multimodal import (
+        resample_441_320,
+    )
+
+    const = [777] * 32
+    ramp = [100 * j for j in range(32)]
+    neg = [-5] * 32
+    df = spark.createDataFrame(
+        [(0, const), (1, ramp), (2, neg)], "i int, s array<int>"
+    )
+    got = {
+        r.i: r.r
+        for r in df.select(
+            "i", resample_441_320("s", 23).alias("r")
+        ).collect()
+    }
+    assert got[0] == [777] * 23
+    assert got[1] == [(44100 * i + 160) // 320 for i in range(23)]
+    assert got[2] == [-5] * 23

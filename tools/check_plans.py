@@ -624,6 +624,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"SortMergeJoin", r"CartesianProduct",
          r"Exchange hashpartitioning\(p_partkey"],
     ),
+    "multimodal_audio_resample": (
+        # codec decode crosses once via Arrow; the 23-tap fixed-point
+        # interpolation + energy + digest are JVM higher-order funcs —
+        # no Python eval, no aggregate, no data shuffle before the sort
+        [r"MapInPandas"],
+        [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct",
+         r"HashAggregate", r"Arguments: hashpartitioning"],
+    ),
     "text_unicode_clean": (
         # NFC crosses to Python exactly once, Arrow-batched; the
         # counting/scrub/digest expressions stay in codegen and the

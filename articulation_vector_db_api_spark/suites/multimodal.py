@@ -1392,6 +1392,145 @@ def multimodal_dhash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed-point DCT-II cosine tables for the pHash query, shared as
+# literals with its DuckDB oracle so every coefficient is exact
+# integer arithmetic in both engines: CROW[u][r] =
+# round(1024*cos(pi*(2r+1)*u/16)) (u<4 of 8 rows), CCOL[v][c] =
+# round(1024*cos(pi*(2c+1)*v/8)) (v<3 of 4 cols).
+_PHASH_CROW = (
+    1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024,
+    1004, 851, 569, 200, -200, -569, -851, -1004,
+    946, 392, -392, -946, -946, -392, 392, 946,
+    851, -200, -1004, -569, 569, 1004, 200, -851,
+)
+_PHASH_CCOL = (1024, 1024, 1024, 1024, 946, 392, -392, -946, 724, -724, -724, 724)
+
+
+@register(
+    "multimodal_phash_dct_dedup",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id,
+               list_transform(range(32), j ->
+                   (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id // 3 AS VARCHAR)),
+                                  2 * j + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id // 3 AS VARCHAR)),
+                                  2 * j + 2, 1)) - 1)
+               ) AS b
+        FROM documents
+    ),
+    co AS (
+        -- low-frequency fixed-point 2D DCT-II coefficients (u,v) =
+        -- (k//3, k%3) for k in 1..11 (DC dropped); exact integers
+        SELECT doc_id,
+               list_transform(range(1, 12), k ->
+                   list_sum(list_transform(range(32), i ->
+                       b[i + 1]
+                       * ([{", ".join(map(str, _PHASH_CROW))}])[(k // 3) * 8 + (i // 4) + 1]
+                       * ([{", ".join(map(str, _PHASH_CCOL))}])[(k % 3) * 4 + (i % 4) + 1]
+                   ))
+               ) AS coeffs
+        FROM px
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_sum(list_transform(range(11), k ->
+                   CASE WHEN coeffs[k + 1] > list_median(coeffs)
+                        THEN CAST(power(2, k) AS BIGINT) ELSE 0 END
+               )) AS phash
+        FROM co
+    )
+    SELECT CAST(phash AS BIGINT) AS phash,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(min(doc_id) AS BIGINT) AS keeper,
+           CAST(sum(doc_id) - min(doc_id) AS BIGINT) AS dropped_id_sum
+    FROM hashed
+    GROUP BY phash HAVING count(*) > 1
+    ORDER BY phash
+    """,
+    tags=("multimodal", "dedup"),
+)
+def multimodal_phash_dct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash image near-dup detection — the frequency-domain sibling of
+    multimodal_dhash_image_dedup: a fixed-point 2D DCT-II over REAL
+    decoded pixels, 11 low-frequency coefficients thresholded at their
+    median (DC dropped), hash-equality grouping with keep-first
+    survivor election. Production pHash implementations use integer
+    DCTs for exactly this reason; here the pre-scaled cosine tables
+    (_PHASH_CROW/_PHASH_CCOL) are shared as literals with the DuckDB
+    oracle, so decode + transform + median + grouping are all
+    integer-exact in both engines — no floating-point trig to drift.
+    The fixture derives each image from sha256(doc_id // 3), planting
+    triplet groups (vs dHash's twins) so the survivor election covers
+    group_size > 2.
+
+    Scale shape: decode + DCT + hash is one narrow Arrow-batched map;
+    the shuffle keys on the 11-bit phash (never pixels), and only
+    colliding groups survive the HAVING — hash-bucket blocking, not
+    all-pairs, like the MinHash-LSH text family (suites/dedup.py)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from ..functions.pixels import decode_pixels, encode_png
+
+        crow = np.array(_PHASH_CROW, dtype=np.int64).reshape(4, 8)
+        ccol = np.array(_PHASH_CCOL, dtype=np.int64).reshape(3, 4)
+        weights = 1 << np.arange(11)
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                seed = int(doc_id) // 3
+                digest = hashlib.sha256(str(seed).encode()).digest()
+                img = np.frombuffer(digest, dtype=np.uint8).reshape(8, 4)
+                px = decode_pixels(
+                    encode_png(img, filters=[1, 4, 0])
+                )[:, :, 0].astype(np.int64)
+                coeffs = np.array(
+                    [
+                        (px * np.outer(crow[k // 3], ccol[k % 3])).sum()
+                        for k in range(1, 12)
+                    ]
+                )
+                bits = coeffs > np.median(coeffs)
+                rows.append((doc_id, int((bits * weights).sum())))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    d = load_table(spark, sf_dir, "documents")
+    hashed = (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+    )
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.min("doc_id").cast("long").alias("keeper"),
+            (F.sum("doc_id") - F.min("doc_id"))
+            .cast("long")
+            .alias("dropped_id_sum"),
+        )
+        .filter(F.col("group_size") > 1)
+        .orderBy("phash")
+    )
+
+
 @register(
     "pipeline_image_curation",
     oracle="""

@@ -1,0 +1,135 @@
+"""Arrow IPC files (Feather v2) through Spark 4's Python Data Source API.
+
+Arrow IPC is the lingua franca of the Python data ecosystem (pandas /
+polars / DuckDB all emit it), but Spark has no built-in reader for the
+on-disk file format. This module makes it a first-class source:
+``spark.read.format("arrow_ipc")`` plans one InputPartition PER RECORD
+BATCH — the file footer indexes batch offsets exactly like a parquet
+footer indexes row groups, so a multi-batch file scans in parallel with
+the driver touching only (path, batch_index) pairs. The read path is
+ZERO-PARSE end to end: each partition memory-maps its file, yields its
+``pyarrow.RecordBatch`` as-is, and Spark's Arrow-native PyDS channel
+moves it into the JVM without a Python-object detour (the same
+fast path ``mapInArrow`` uses — no per-row decode exists anywhere).
+
+Read path only, by design: writing IPC is a deterministic local
+operation (``pyarrow.ipc.new_file``) the ingest side calls directly — a
+PyDS writer would re-demonstrate the commit protocol the manifest-2PC
+writer in sources/pyds.py already covers.
+
+The reference hardcodes a single source (Pinecone,
+/root/reference/main.py:21); this is engine surface, not parity.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+def _ddl_type(t) -> str:
+    """Map an Arrow type to a Spark DDL type, or refuse loudly."""
+    import pyarrow as pa
+
+    if pa.types.is_boolean(t):
+        return "BOOLEAN"
+    if pa.types.is_int8(t):
+        return "TINYINT"
+    if pa.types.is_int16(t):
+        return "SMALLINT"
+    if pa.types.is_int32(t):
+        return "INT"
+    if pa.types.is_int64(t):
+        return "BIGINT"
+    if pa.types.is_float32(t):
+        return "FLOAT"
+    if pa.types.is_float64(t):
+        return "DOUBLE"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "STRING"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "BINARY"
+    if pa.types.is_date32(t):
+        return "DATE"
+    if pa.types.is_timestamp(t) and t.tz is None:
+        return "TIMESTAMP_NTZ"
+    raise ValueError(f"arrow_ipc: unsupported Arrow type {t}")
+
+
+def _ipc_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if n.endswith((".arrow", ".feather"))
+        )
+        if not files:
+            raise ValueError(f"no .arrow/.feather files under {path}")
+        return files
+    return [path]
+
+
+@dataclass
+class _BatchPartition(InputPartition):
+    path: str
+    index: int
+
+
+class _ArrowIpcReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("arrow_ipc requires a path")
+        self.paths = _ipc_files(path)
+
+    def partitions(self):
+        import pyarrow as pa
+
+        parts = []
+        for p in self.paths:
+            # open_file reads only the footer — batch COUNT is O(1)
+            # driver work, batch BYTES stay on disk until an executor
+            # maps them
+            with pa.memory_map(p, "r") as src:
+                n = pa.ipc.open_file(src).num_record_batches
+            parts.extend(_BatchPartition(p, i) for i in range(n))
+        # an empty file still needs one no-op partition so the scan
+        # yields an empty DataFrame instead of failing to plan
+        return parts or [_BatchPartition(self.paths[0], -1)]
+
+    def read(self, partition: _BatchPartition):
+        if partition.index < 0:
+            return
+        import pyarrow as pa
+
+        with pa.memory_map(partition.path, "r") as src:
+            yield pa.ipc.open_file(src).get_batch(partition.index)
+
+
+class ArrowIpcDataSource(DataSource):
+    """format name: ``arrow_ipc`` — per-record-batch Arrow file scan."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "arrow_ipc"
+
+    def schema(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("arrow_ipc requires a path")
+        import pyarrow as pa
+
+        probe = _ipc_files(path)[0]
+        with pa.memory_map(probe, "r") as src:
+            sch = pa.ipc.open_file(src).schema
+        return ", ".join(f"{f.name} {_ddl_type(f.type)}" for f in sch)
+
+    def reader(self, schema) -> DataSourceReader:
+        return _ArrowIpcReader(self.options)
+
+
+def register_arrow_source(spark) -> None:
+    """Idempotent registration of the ``arrow_ipc`` format."""
+    spark.dataSource.register(ArrowIpcDataSource)

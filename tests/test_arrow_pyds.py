@@ -1,0 +1,93 @@
+"""Arrow IPC file scan via the ``arrow_ipc`` Python Data Source
+(sources/arrow_pyds.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.ipc as ipc
+import pytest
+
+from articulation_vector_db_api_spark.sources.arrow_pyds import (
+    _ddl_type,
+    register_arrow_source,
+)
+
+
+def _write(path: str, tbl: pa.Table, chunk: int) -> None:
+    with ipc.new_file(path, tbl.schema) as w:
+        for b in tbl.to_batches(max_chunksize=chunk):
+            w.write_batch(b)
+
+
+def _table(n: int) -> pa.Table:
+    return pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "name": pa.array(
+                [None if i % 5 == 0 else f"n{i}" for i in range(n)],
+                pa.string(),
+            ),
+            "score": pa.array([i * 0.5 for i in range(n)], pa.float64()),
+            "ok": pa.array([i % 2 == 0 for i in range(n)], pa.bool_()),
+        }
+    )
+
+
+def test_spark_scan_per_batch_parallelism(spark, tmp_path):
+    d = str(tmp_path)
+    _write(os.path.join(d, "a.arrow"), _table(3000), chunk=500)
+    register_arrow_source(spark)
+    df = spark.read.format("arrow_ipc").option("path", d).load()
+    assert df.schema.simpleString() == (
+        "struct<id:bigint,name:string,score:double,ok:boolean>"
+    )
+    # one task per record batch, straight from the file footer
+    assert df.rdd.getNumPartitions() == 6
+    assert df.count() == 3000
+    assert df.filter("name IS NULL").count() == 600
+    assert df.agg({"id": "sum"}).first()[0] == sum(range(3000))
+
+
+def test_multi_file_directory(spark, tmp_path):
+    d = str(tmp_path)
+    _write(os.path.join(d, "a.arrow"), _table(100), chunk=50)
+    _write(os.path.join(d, "b.feather"), _table(100), chunk=100)
+    register_arrow_source(spark)
+    df = spark.read.format("arrow_ipc").option("path", d).load()
+    assert df.rdd.getNumPartitions() == 3  # 2 batches + 1 batch
+    assert df.count() == 200
+
+
+def test_empty_file_scans_empty(spark, tmp_path):
+    p = str(tmp_path / "e.arrow")
+    _write(p, _table(0), chunk=100)
+    register_arrow_source(spark)
+    df = spark.read.format("arrow_ipc").option("path", p).load()
+    assert df.count() == 0
+    assert df.schema.simpleString() == (
+        "struct<id:bigint,name:string,score:double,ok:boolean>"
+    )
+
+
+def test_type_map_gates_unsupported():
+    assert _ddl_type(pa.int32()) == "INT"
+    assert _ddl_type(pa.date32()) == "DATE"
+    assert _ddl_type(pa.large_string()) == "STRING"
+    assert _ddl_type(pa.timestamp("us")) == "TIMESTAMP_NTZ"
+    with pytest.raises(ValueError, match="unsupported Arrow type"):
+        _ddl_type(pa.list_(pa.int64()))
+    with pytest.raises(ValueError, match="unsupported Arrow type"):
+        _ddl_type(pa.timestamp("us", tz="UTC"))
+
+
+def test_missing_path_and_empty_dir(tmp_path):
+    from articulation_vector_db_api_spark.sources.arrow_pyds import (
+        _ArrowIpcReader,
+    )
+
+    with pytest.raises(ValueError, match="requires a path"):
+        _ArrowIpcReader({})
+    with pytest.raises(ValueError, match="no .arrow"):
+        _ArrowIpcReader({"path": str(tmp_path)})

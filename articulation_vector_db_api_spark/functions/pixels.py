@@ -331,9 +331,10 @@ def decode_pixels(payload: bytes) -> np.ndarray:
     """Dispatch on magic → (h, w, channels) uint8 pixels, or raise.
 
     The REAL counterpart of operators/multimodal.py:decode_image's
-    dimension sniff: PNG/BMP/netpbm/GIF/JPEG (baseline + progressive)
-    and lossless WebP decode fully here; arithmetic-coded JPEG and
-    lossy VP8 WebP still raise NotImplementedError.
+    dimension sniff: PNG/BMP/netpbm/GIF/JPEG (baseline + progressive),
+    lossless WebP, and TIFF (uncompressed + PackBits, both byte
+    orders) decode fully here; arithmetic-coded JPEG, lossy VP8 WebP,
+    and LZW/JPEG/Deflate TIFF still raise NotImplementedError.
 
     EXCEPTION CONTRACT: raises only ValueError (malformed/unsupported
     stream) or NotImplementedError (codec-needing format) — the two
@@ -363,10 +364,17 @@ def decode_pixels(payload: bytes) -> np.ndarray:
         # lossless WebP decodes natively (functions/vp8l.py); lossy
         # VP8 raises NotImplementedError from inside the chunk walk
         dec = decode_vp8l
+    elif b[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+
+        # uncompressed + PackBits TIFF decode natively (functions/
+        # tiff.py, both byte orders); LZW/JPEG/Deflate strips raise
+        # NotImplementedError from inside the IFD walk
+        dec = decode_tiff
     else:
         raise NotImplementedError(
             "pixel decode of this format requires a codec library "
-            "(PNG/BMP/PGM/PPM/GIF/JPEG/lossless-WebP decode natively)"
+            "(PNG/BMP/PGM/PPM/GIF/JPEG/lossless-WebP/TIFF decode natively)"
         )
     try:
         return dec(b)

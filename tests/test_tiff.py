@@ -1,0 +1,102 @@
+"""TIFF 6.0 codec (functions/tiff.py): exact roundtrips across the
+writer envelope, PackBits edge cases, photometric inversion, honest
+compression gates, and corruption contracts."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from articulation_vector_db_api_spark.functions.pixels import decode_pixels
+from articulation_vector_db_api_spark.functions.tiff import (
+    _packbits_decode,
+    _packbits_encode_row,
+    decode_tiff,
+    encode_tiff,
+)
+
+
+def _patch_tag(b: bytes, tag: int, value: int) -> bytes:
+    """Overwrite a little-endian inline IFD value (test fixture knob)."""
+    out = bytearray(b)
+    n = struct.unpack("<H", out[8:10])[0]
+    for k in range(n):
+        off = 10 + 12 * k
+        if struct.unpack("<H", out[off : off + 2])[0] == tag:
+            out[off + 8 : off + 12] = struct.pack("<I", value)
+            return bytes(out)
+    raise AssertionError(f"tag {tag} not found")
+
+
+@pytest.mark.parametrize("shape", [(8, 4), (8, 4, 3), (17, 5), (1, 1)])
+@pytest.mark.parametrize("comp", ["none", "packbits"])
+@pytest.mark.parametrize("endian", ["<", ">"])
+@pytest.mark.parametrize("rps", [None, 3])
+def test_roundtrip_exact(shape, comp, endian, rps):
+    rng = np.random.default_rng(hash((shape, comp, endian, rps)) % 2**32)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    got = decode_tiff(
+        encode_tiff(px, compression=comp, rows_per_strip=rps, endian=endian)
+    )
+    want = px if px.ndim == 3 else px[:, :, None]
+    assert np.array_equal(got, want)
+
+
+def test_dispatch_via_decode_pixels():
+    px = np.arange(32, dtype=np.uint8).reshape(8, 4)
+    for endian in ("<", ">"):
+        got = decode_pixels(encode_tiff(px, endian=endian))
+        assert np.array_equal(got[:, :, 0], px)
+
+
+def test_packbits_compresses_runs():
+    px = np.repeat(np.arange(16, dtype=np.uint8).reshape(4, 4), 64, axis=1)
+    pb = encode_tiff(px, compression="packbits")
+    raw = encode_tiff(px)
+    assert len(pb) < len(raw) / 5
+    assert np.array_equal(decode_tiff(pb), px[:, :, None])
+
+
+def test_packbits_long_runs_and_literals():
+    # literal stretch > 128 bytes and run > 128 bytes both need packet
+    # splitting
+    lit = np.frombuffer(bytes(range(256)) * 2, dtype=np.uint8).reshape(2, 256)
+    run = np.full((1, 300), 9, dtype=np.uint8)
+    for px in (lit, run):
+        got = decode_tiff(encode_tiff(px, compression="packbits"))
+        assert np.array_equal(got, px[:, :, None])
+
+
+def test_packbits_noop_byte_decodes():
+    # 0x80 is a spec'd no-op; our encoder never emits it but the
+    # decoder must skip it
+    row = bytes([0x80]) + _packbits_encode_row(b"abcabc")
+    assert _packbits_decode(row, 6) == b"abcabc"
+
+
+def test_photometric_zero_inverts():
+    b = _patch_tag(encode_tiff(np.full((2, 2), 10, dtype=np.uint8)), 262, 0)
+    got = decode_tiff(b)
+    assert got.min() == got.max() == 245
+
+
+def test_compression_gates():
+    base = encode_tiff(np.full((2, 2), 10, dtype=np.uint8))
+    for code, name in [(5, "LZW"), (7, "JPEG"), (8, "Deflate")]:
+        with pytest.raises(NotImplementedError, match=name):
+            decode_tiff(_patch_tag(base, 259, code))
+    with pytest.raises(ValueError, match="unknown TIFF compression"):
+        decode_tiff(_patch_tag(base, 259, 999))
+
+
+def test_corruption_contract():
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"XX\x00\x00garbage")
+    whole = encode_tiff(np.full((4, 4), 1, dtype=np.uint8))
+    with pytest.raises(ValueError, match="truncated TIFF strip"):
+        decode_tiff(whole[:-3])
+    # PackBits stream that under-delivers
+    with pytest.raises(ValueError, match="PackBits expanded"):
+        _packbits_decode(bytes([0x00, 0x61]), 5)

@@ -332,9 +332,10 @@ def decode_pixels(payload: bytes) -> np.ndarray:
 
     The REAL counterpart of operators/multimodal.py:decode_image's
     dimension sniff: PNG/BMP/netpbm/GIF/JPEG (baseline + progressive),
-    lossless WebP, and TIFF (uncompressed + PackBits, both byte
-    orders) decode fully here; arithmetic-coded JPEG, lossy VP8 WebP,
-    and LZW/JPEG/Deflate TIFF still raise NotImplementedError.
+    lossless WebP, and TIFF (uncompressed/PackBits/LZW/Deflate, both
+    byte orders, predictor-2) decode fully here; arithmetic-coded
+    JPEG, lossy VP8 WebP, and JPEG-in-TIFF still raise
+    NotImplementedError.
 
     EXCEPTION CONTRACT: raises only ValueError (malformed/unsupported
     stream) or NotImplementedError (codec-needing format) — the two
@@ -367,9 +368,10 @@ def decode_pixels(payload: bytes) -> np.ndarray:
     elif b[:4] in (b"II*\x00", b"MM\x00*"):
         from .tiff import decode_tiff
 
-        # uncompressed + PackBits TIFF decode natively (functions/
-        # tiff.py, both byte orders); LZW/JPEG/Deflate strips raise
-        # NotImplementedError from inside the IFD walk
+        # uncompressed/PackBits/LZW/Deflate TIFF decode natively
+        # (functions/tiff.py, both byte orders, predictor-2 undo);
+        # JPEG-in-TIFF strips raise NotImplementedError from inside
+        # the IFD walk
         dec = decode_tiff
     else:
         raise NotImplementedError(

@@ -84,6 +84,109 @@ def _packbits_encode_row(row: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    """TIFF-flavor LZW per TIFF 6.0 §13: MSB-first bit packing (the
+    opposite of GIF's), fixed 8-bit symbols, ClearCode 256 / EOI 257,
+    9→12 bit code widths with the spec's EARLY-CHANGE quirk (the width
+    bumps one code earlier than the table size strictly requires)."""
+    CLEAR, EOI = 256, 257
+    bitpos = 0
+    nbits = len(data) * 8
+    width = 9
+    table: list[bytes] = []
+    prev = b""
+    out = bytearray()
+    while True:
+        if bitpos + width > nbits:
+            raise ValueError("truncated TIFF LZW stream (no EOI)")
+        byte = bitpos >> 3
+        chunk = int.from_bytes(data[byte : byte + 3].ljust(3, b"\x00"), "big")
+        code = (chunk >> (24 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = b""
+            continue
+        if code == EOI:
+            break
+        if not table:
+            raise ValueError("TIFF LZW stream must start with ClearCode")
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"TIFF LZW code {code} out of range")
+        out += entry
+        if prev:
+            table.append(prev + entry[:1])
+        prev = entry
+        # early change, decoder side: the decoder's table add for a
+        # given code happens one READ after the encoder's add for the
+        # same code, so the decoder must widen one entry earlier than
+        # the encoder's next_code == (1<<width)-1 rule to read the
+        # first widened code correctly (the TIFF 6.0 pseudo-code's
+        # notorious off-by-one; libtiff agrees with this side)
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) != expected:
+        raise ValueError(
+            f"TIFF LZW expanded to {len(out)} bytes, expected {expected}"
+        )
+    return bytes(out)
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """Encoder twin of _lzw_decode_tiff (vector generator): greedy
+    longest-match, ClearCode-reset before the 12-bit table fills,
+    early-change width bumps mirroring the decoder's."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            out.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+
+    def fresh() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(256)}
+
+    width = 9
+    table = fresh()
+    next_code = 258
+    emit(CLEAR, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code == 4093:
+            # reset with room to spare; the decoder follows any CLEAR
+            emit(CLEAR, width)
+            table = fresh()
+            next_code = 258
+            width = 9
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
 def _read_ifd(b: bytes, e: str) -> dict[int, list[int]]:
     off = struct.unpack(e + "I", b[4:8])[0]
     if off + 2 > len(b):
@@ -143,17 +246,22 @@ def decode_tiff(b: bytes) -> np.ndarray:
         raise NotImplementedError(f"TIFF photometric {photo}")
     if photo == 2 and spp < 3:
         raise ValueError("RGB TIFF with fewer than 3 samples")
-    if comp not in (1, 32773):
-        gated = {5: "LZW", 6: "old-JPEG", 7: "JPEG", 8: "Deflate"}
+    if comp not in (1, 5, 8, 32773, 32946):
+        gated = {6: "old-JPEG", 7: "JPEG"}
         if comp in gated:
             raise NotImplementedError(
                 f"{gated[comp]}-compressed TIFF requires a codec library"
             )
         raise ValueError(f"unknown TIFF compression {comp}")
+    predictor = t.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
     if len(offsets) != len(counts):
         raise ValueError("StripOffsets/StripByteCounts length mismatch")
     if rps <= 0 or len(offsets) != -(-h // rps):
         raise ValueError("strip count inconsistent with RowsPerStrip")
+    import zlib
+
     out = bytearray()
     for i, (o, c) in enumerate(zip(offsets, counts)):
         strip = b[o : o + c]
@@ -163,9 +271,32 @@ def decode_tiff(b: bytes) -> np.ndarray:
         expected = rows * w * spp
         if comp == 32773:
             strip = _packbits_decode(strip, expected)
+        elif comp == 5:
+            strip = _lzw_decode_tiff(strip, expected)
+        elif comp in (8, 32946):
+            try:
+                strip = zlib.decompress(strip)
+            except zlib.error as exc:
+                raise ValueError(f"corrupt Deflate TIFF strip: {exc}") from exc
+            if len(strip) != expected:
+                raise ValueError(
+                    f"Deflate strip expanded to {len(strip)} bytes, "
+                    f"expected {expected}"
+                )
         elif len(strip) != expected:
             raise ValueError(
                 f"strip {i} holds {len(strip)} bytes, expected {expected}"
+            )
+        if predictor == 2:
+            # undo horizontal differencing: each sample accumulates
+            # onto the pixel to its left, per row, per channel, mod 256
+            arr = np.frombuffer(strip, dtype=np.uint8).reshape(
+                rows, w, spp
+            )
+            strip = (
+                (arr.astype(np.uint64).cumsum(axis=1) & 0xFF)
+                .astype(np.uint8)
+                .tobytes()
             )
         out += strip
     px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, spp)
@@ -179,12 +310,17 @@ def encode_tiff(
     compression: str = "none",
     rows_per_strip: int | None = None,
     endian: str = "<",
+    predictor: int = 1,
 ) -> bytes:
     """(h, w[, channels]) uint8 → spec-conformant TIFF 6.0 bytes.
 
     Greyscale (2-D or 1-channel) writes PhotometricInterpretation 1,
-    3-channel writes RGB; ``compression`` is ``"none"`` or
-    ``"packbits"``; ``endian`` is ``"<"`` (II) or ``">"`` (MM)."""
+    3-channel writes RGB; ``compression`` is ``"none"``, ``"packbits"``,
+    ``"lzw"``, or ``"deflate"``; ``endian`` is ``"<"`` (II) or ``">"``
+    (MM); ``predictor`` 2 applies horizontal differencing before
+    compression (the layout real LZW/Deflate TIFFs ship with)."""
+    import zlib
+
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, spp = px.shape
@@ -192,9 +328,16 @@ def encode_tiff(
         raise ValueError(f"encode_tiff supports 1 or 3 channels, got {spp}")
     if endian not in ("<", ">"):
         raise ValueError("endian must be '<' or '>'")
-    comp = {"none": 1, "packbits": 32773}[compression]
+    if predictor not in (1, 2):
+        raise ValueError(f"predictor must be 1 or 2, got {predictor}")
+    comp = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8}[compression]
     rps = rows_per_strip or h
-    raw = px.tobytes()
+    if predictor == 2:
+        diff = px.astype(np.int16)
+        diff[:, 1:, :] -= px[:, :-1, :].astype(np.int16)
+        raw = (diff % 256).astype(np.uint8).tobytes()
+    else:
+        raw = px.tobytes()
     strips = []
     for top in range(0, h, rps):
         rows = min(rps, h - top)
@@ -204,6 +347,10 @@ def encode_tiff(
                 _packbits_encode_row(chunk[r * w * spp : (r + 1) * w * spp])
                 for r in range(rows)
             )
+        elif comp == 5:
+            chunk = _lzw_encode_tiff(chunk)
+        elif comp == 8:
+            chunk = zlib.compress(chunk)
         strips.append(chunk)
 
     photo = 2 if spp == 3 else 1
@@ -219,6 +366,8 @@ def encode_tiff(
     entries.append((278, 4, 1, [rps]))
     entries.append((279, 4, len(strips), [len(s) for s in strips]))
     entries.append((284, 3, 1, [1]))
+    if predictor == 2:
+        entries.append((317, 3, 1, [2]))
     ifd_size = 2 + 12 * len(entries) + 4
     overflow_at = 8 + ifd_size
     overflow = bytearray()

@@ -1562,17 +1562,21 @@ def multimodal_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL TIFF codec proof, oracle-checked per row: each doc's
     sha256(doc_id) digest becomes a 16×8 greyscale image (each digest
     byte a 2×2 block), encoded as a spec-conformant TIFF 6.0 stream
-    (functions/tiff.py) cycling ALL FOUR writer variants across the
-    corpus — little-/big-endian × uncompressed/PackBits — with a
+    (functions/tiff.py) cycling EIGHT writer variants across the
+    corpus — little-/big-endian × uncompressed/PackBits/LZW/Deflate,
+    with horizontal-differencing predictor 2 on the LZW and Deflate
+    rows (the layout real compressed TIFFs ship with) — and a
     3-rows-per-strip layout that forces multi-strip assembly and a
     short tail strip. The engine decodes its own bytes back through
     decode_pixels' magic dispatch, and the decoded pixel statistics
     must equal byte statistics the oracle computes directly from the
     digest hex: equality holds only if IFD layout, endian handling,
-    strip math, and the PackBits run/literal codec are all bit-exact.
-    TIFF is the scanned-document carrier a real multimodal corpus hits
-    constantly; LZW/JPEG/Deflate-compressed variants stay behind
-    honest NotImplementedError gates (same policy as arithmetic JPEG).
+    strip math, the PackBits run/literal codec, TIFF-flavor LZW
+    (MSB-first, early-change width bumps), zlib strips, and the
+    predictor undo are all bit-exact. TIFF is the scanned-document
+    carrier a real multimodal corpus hits constantly; only
+    JPEG-in-TIFF strips stay behind the honest NotImplementedError
+    gate (same policy as arithmetic JPEG).
 
     Scale shape: identical to multimodal_pixel_roundtrip — encode and
     decode run in ONE Arrow-batched narrow map where the rows live; the
@@ -1606,11 +1610,13 @@ def multimodal_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     2,
                     axis=1,
                 )
+                comp = ("none", "packbits", "lzw", "deflate")[(i // 2) % 4]
                 tiff = encode_tiff(
                     img,
-                    compression="packbits" if (i // 2) % 2 else "none",
+                    compression=comp,
                     rows_per_strip=3,
                     endian=">" if i % 2 else "<",
+                    predictor=2 if comp in ("lzw", "deflate") else 1,
                 )
                 px = decode_pixels(tiff)
                 rows.append(

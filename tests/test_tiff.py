@@ -31,14 +31,23 @@ def _patch_tag(b: bytes, tag: int, value: int) -> bytes:
 
 
 @pytest.mark.parametrize("shape", [(8, 4), (8, 4, 3), (17, 5), (1, 1)])
-@pytest.mark.parametrize("comp", ["none", "packbits"])
+@pytest.mark.parametrize("comp", ["none", "packbits", "lzw", "deflate"])
 @pytest.mark.parametrize("endian", ["<", ">"])
 @pytest.mark.parametrize("rps", [None, 3])
-def test_roundtrip_exact(shape, comp, endian, rps):
-    rng = np.random.default_rng(hash((shape, comp, endian, rps)) % 2**32)
+@pytest.mark.parametrize("pred", [1, 2])
+def test_roundtrip_exact(shape, comp, endian, rps, pred):
+    rng = np.random.default_rng(
+        hash((shape, comp, endian, rps, pred)) % 2**32
+    )
     px = rng.integers(0, 256, size=shape, dtype=np.uint8)
     got = decode_tiff(
-        encode_tiff(px, compression=comp, rows_per_strip=rps, endian=endian)
+        encode_tiff(
+            px,
+            compression=comp,
+            rows_per_strip=rps,
+            endian=endian,
+            predictor=pred,
+        )
     )
     want = px if px.ndim == 3 else px[:, :, None]
     assert np.array_equal(got, want)
@@ -84,11 +93,54 @@ def test_photometric_zero_inverts():
 
 def test_compression_gates():
     base = encode_tiff(np.full((2, 2), 10, dtype=np.uint8))
-    for code, name in [(5, "LZW"), (7, "JPEG"), (8, "Deflate")]:
+    for code, name in [(6, "old-JPEG"), (7, "JPEG")]:
         with pytest.raises(NotImplementedError, match=name):
             decode_tiff(_patch_tag(base, 259, code))
     with pytest.raises(ValueError, match="unknown TIFF compression"):
         decode_tiff(_patch_tag(base, 259, 999))
+
+
+def test_lzw_hand_vector():
+    # hand-derived from TIFF 6.0 §13: b"AAAA" encodes as codes
+    # CLEAR(256), 65, 258, 65, EOI(257), all 9 bits, MSB-first
+    from articulation_vector_db_api_spark.functions.tiff import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+    )
+
+    vec = bytes([0x80, 0x10, 0x60, 0x44, 0x18, 0x08])
+    assert _lzw_decode_tiff(vec, 4) == b"AAAA"
+    assert _lzw_encode_tiff(b"AAAA") == vec
+
+
+def test_lzw_width_boundaries_and_table_reset():
+    # incompressible data crosses the 9->10->11->12-bit early-change
+    # boundaries; 60k bytes forces a mid-stream ClearCode table reset
+    from articulation_vector_db_api_spark.functions.tiff import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+    )
+
+    rng = np.random.default_rng(3)
+    for n in (5000, 60000):
+        data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        assert _lzw_decode_tiff(_lzw_encode_tiff(data), n) == data
+
+
+def test_old_deflate_code_32946_decodes():
+    b = encode_tiff(
+        np.arange(16, dtype=np.uint8).reshape(4, 4), compression="deflate"
+    )
+    got = decode_tiff(_patch_tag(b, 259, 32946))
+    assert np.array_equal(got[:, :, 0], np.arange(16).reshape(4, 4))
+
+
+def test_predictor_helps_gradients():
+    g = np.tile(np.arange(256, dtype=np.uint8), (16, 2))
+    plain = encode_tiff(g, compression="lzw")
+    pred = encode_tiff(g, compression="lzw", predictor=2)
+    assert len(pred) < len(plain) / 2
+    assert np.array_equal(decode_tiff(pred), g[:, :, None])
 
 
 def test_corruption_contract():

@@ -41,6 +41,52 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     )
 
 
+# G.711 companded telephony expansion (ITU-T G.711, the public-domain
+# CCITT reference formulation): 8-bit logarithmic codes → linear int16.
+# Pure integer piecewise-linear math, so the DuckDB oracle replicates
+# the SAME formula in SQL and the parity gate cross-checks two
+# independent implementations of the spec.
+
+
+def _build_ulaw_table() -> np.ndarray:
+    u = (~np.arange(256)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def _build_alaw_table() -> np.ndarray:
+    a = np.arange(256) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    t = np.where(
+        seg == 0,
+        t + 8,
+        np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+_ULAW_TABLE = _build_ulaw_table()
+_ALAW_TABLE = _build_alaw_table()
+
+
+def encode_wav_g711(codes: np.ndarray, law: str, rate: int = 8000) -> bytes:
+    """Wrap raw 8-bit G.711 codes as a WAV (format tag 7 = μ-law,
+    6 = A-law) — the telephony capture container; mono."""
+    tag = {"ulaw": 7, "alaw": 6}[law]
+    data = np.asarray(codes, dtype=np.uint8).reshape(-1).tobytes()
+    fmt = struct.pack("<HHIIHH", tag, 1, rate, rate, 1, 8)
+    fact = struct.pack("<I", len(data))
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     """RIFF/WAVE PCM decode → (sample_rate, int16 array (n, ch)).
 
@@ -93,6 +139,15 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         )
         samples = decode_adpcm_ima(data, align, spb, n_frames)
         return rate, samples.reshape(-1, 1)
+    if tag in (6, 7):
+        # G.711 A-law / μ-law: 8-bit companded codes expand through
+        # the exact ITU tables above
+        if bits != 8:
+            raise ValueError(f"G.711 WAV with bits={bits} (must be 8)")
+        table = _ALAW_TABLE if tag == 6 else _ULAW_TABLE
+        n = len(data) // ch
+        codes = np.frombuffer(data, dtype=np.uint8, count=n * ch)
+        return rate, table[codes].reshape(n, ch)
     if tag not in (1, 0xFFFE) or bits != 16:
         raise NotImplementedError(
             f"compressed or non-16-bit WAV (tag={tag}, bits={bits}) "

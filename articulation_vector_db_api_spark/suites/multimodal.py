@@ -784,6 +784,131 @@ def multimodal_audio_adpcm_roundtrip(
 
 
 @register(
+    "multimodal_audio_g711_roundtrip",
+    oracle="""
+    WITH codes AS (
+        SELECT doc_id,
+               list_transform(range(32), j ->
+                   (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 2, 1)) - 1)
+               ) AS c
+        FROM documents
+    ),
+    lin AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN
+                   -- μ-law expansion (ITU-T G.711): complement, then
+                   -- piecewise ((mantissa*8+132) << exponent) - 132
+                   list_transform(c, x ->
+                       CASE WHEN (255 - x) >= 128
+                            THEN 132 - ((((255 - x) & 15) * 8 + 132)
+                                        << (((255 - x) >> 4) & 7))
+                            ELSE ((((255 - x) & 15) * 8 + 132)
+                                  << (((255 - x) >> 4) & 7)) - 132
+                       END)
+               ELSE
+                   -- A-law expansion: xor 0x55, segment-wise linear
+                   list_transform(c, x ->
+                       (CASE WHEN xor(x, 85) >= 128 THEN 1 ELSE -1 END)
+                       * (CASE WHEN ((xor(x, 85) >> 4) & 7) = 0
+                               THEN ((xor(x, 85) & 15) << 4) + 8
+                               WHEN ((xor(x, 85) >> 4) & 7) = 1
+                               THEN ((xor(x, 85) & 15) << 4) + 264
+                               ELSE (((xor(x, 85) & 15) << 4) + 264)
+                                    << (((xor(x, 85) >> 4) & 7) - 1)
+                          END))
+               END AS v
+        FROM codes
+    )
+    SELECT doc_id,
+           CAST(32 AS BIGINT) AS n_samples,
+           CAST(list_sum(v) AS BIGINT) AS lin_sum,
+           CAST(list_min(v) AS BIGINT) AS lin_min,
+           CAST(list_max(v) AS BIGINT) AS lin_max,
+           CAST(list_sum(list_transform(v, y -> abs(y))) AS BIGINT)
+               AS lin_abs_sum
+    FROM lin
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "audio"),
+)
+def multimodal_audio_g711_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL G.711 telephony codec proof, cross-implemented: each doc's
+    sha256 digest bytes ARE 32 companded 8-bit codes — μ-law for even
+    doc_ids, A-law for odd — wrapped as a format-tag-7/6 WAV
+    (functions/audio.py:encode_wav_g711) and expanded to linear int16
+    by the engine's ITU table decode. The oracle replicates the SAME
+    piecewise-linear expansion formula independently in SQL (bit ops
+    on the raw bytes), so the parity gate checks two separate
+    implementations of the published spec against each other — a
+    stronger check than a self-roundtrip. G.711 is the telephone-speech
+    format every call-center/voicemail corpus arrives in; the table
+    anchors (±32124 μ-law, ±32256 A-law full scale, the 0xFF/0x7F zero
+    pair) are pinned in tests/test_multimodal_decode.py.
+
+    Scale shape: same Arrow-batched narrow map as every codec
+    roundtrip; only the 6-column stats row leaves the executor."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("lin_sum", T.LongType()),
+            T.StructField("lin_min", T.LongType()),
+            T.StructField("lin_max", T.LongType()),
+            T.StructField("lin_abs_sum", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from ..functions.audio import decode_wav, encode_wav_g711
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                codes = np.frombuffer(
+                    hashlib.sha256(str(i).encode()).digest(), dtype=np.uint8
+                )
+                wav = encode_wav_g711(codes, "ulaw" if i % 2 == 0 else "alaw")
+                _rate, dec = decode_wav(wav)
+                s = dec[:, 0].astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        len(s),
+                        int(s.sum()),
+                        int(s.min()),
+                        int(s.max()),
+                        int(np.abs(s).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_resize_pixels",
     oracle="""
     WITH px AS (

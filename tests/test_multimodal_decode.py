@@ -842,3 +842,43 @@ def test_resample_441_320_exact_semantics(spark):
     assert got[0] == [777] * 23
     assert got[1] == [(44100 * i + 160) // 320 for i in range(23)]
     assert got[2] == [-5] * 23
+
+
+def test_g711_expansion_tables_and_wav_plumbing():
+    """G.711 μ-law/A-law anchors from the published ITU tables, spec
+    monotonicity, and the tag-6/7 WAV decode path."""
+    import numpy as np
+
+    from articulation_vector_db_api_spark.functions.audio import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    # published full-scale / zero anchors
+    assert _ULAW_TABLE[0x00] == -32124 and _ULAW_TABLE[0x80] == 32124
+    assert _ULAW_TABLE[0xFF] == 0 and _ULAW_TABLE[0x7F] == 0
+    assert _ALAW_TABLE[0x55] == -8 and _ALAW_TABLE[0xD5] == 8
+    assert _ALAW_TABLE[0x2A] == -32256 and _ALAW_TABLE[0xAA] == 32256
+    # strictly monotone magnitude within each sign half (companding
+    # property). μ-law is ordered by the raw code; A-law's codes are
+    # xor-0x55 scrambled, so order by the unscrambled value first.
+    lo, hi = _ULAW_TABLE[:128].astype(int), _ULAW_TABLE[128:].astype(int)
+    assert (np.diff(lo) > 0).all() and (np.diff(hi) < 0).all()
+    by_a = _ALAW_TABLE[np.argsort(np.arange(256) ^ 0x55)].astype(int)
+    assert (np.diff(by_a[:128]) < 0).all()  # a=0..127: -8 → -32256
+    assert (np.diff(by_a[128:]) > 0).all()  # a=128..255: +8 → +32256
+    # WAV container roundtrip through both format tags
+    codes = np.arange(256, dtype=np.uint8)
+    for law, table in (("ulaw", _ULAW_TABLE), ("alaw", _ALAW_TABLE)):
+        rate, s = decode_wav(encode_wav_g711(codes, law))
+        assert rate == 8000 and s.shape == (256, 1)
+        assert np.array_equal(s[:, 0], table)
+    # 16-bit G.711 header is malformed, not gated
+    import pytest as _pytest
+
+    bad = bytearray(encode_wav_g711(codes, "ulaw"))
+    bad[34:36] = (16).to_bytes(2, "little")  # bits-per-sample field
+    with _pytest.raises(ValueError, match="must be 8"):
+        decode_wav(bytes(bad))

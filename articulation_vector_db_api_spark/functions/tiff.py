@@ -28,7 +28,7 @@ import struct
 
 import numpy as np
 
-_TYPE_SIZES = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+_TYPE_SIZES = {1: 1, 3: 2, 4: 4, 7: 1}  # BYTE, SHORT, LONG, UNDEFINED
 
 
 def _packbits_decode(data: bytes, expected: int) -> bytes:
@@ -187,6 +187,35 @@ def _lzw_encode_tiff(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _split_jpeg_tables(jfif: bytes) -> tuple[bytes, bytes]:
+    """Split a JFIF stream into (SOI+DQT/DHT+EOI tables stream,
+    stream-with-tables-removed) — the JPEGTables (tag 347) layout of
+    TIFF Technical Note #2."""
+    if jfif[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    tables = bytearray()
+    rest = bytearray(b"\xff\xd8")
+    i = 2
+    while i + 2 <= len(jfif):
+        if jfif[i] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        m = jfif[i + 1]
+        if m == 0xD9:
+            rest += jfif[i : i + 2]
+            break
+        if m == 0xDA:  # SOS: entropy data follows verbatim
+            rest += jfif[i:]
+            break
+        size = int.from_bytes(jfif[i + 2 : i + 4], "big")
+        seg = jfif[i : i + 2 + size]
+        if m in (0xDB, 0xC4):  # DQT / DHT
+            tables += seg
+        else:
+            rest += seg
+        i += 2 + size
+    return b"\xff\xd8" + bytes(tables) + b"\xff\xd9", bytes(rest)
+
+
 def _read_ifd(b: bytes, e: str) -> dict[int, list[int]]:
     off = struct.unpack(e + "I", b[4:8])[0]
     if off + 2 > len(b):
@@ -207,7 +236,7 @@ def _read_ifd(b: bytes, e: str) -> dict[int, list[int]]:
             raw = b[p : p + size]
             if len(raw) != size:
                 raise ValueError(f"truncated TIFF value for tag {tag}")
-        fmt = {1: "B", 3: "H", 4: "I"}[dtype]
+        fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[dtype]
         tags[tag] = list(
             struct.unpack(e + fmt * count, raw[: _TYPE_SIZES[dtype] * count])
         )
@@ -242,17 +271,25 @@ def decode_tiff(b: bytes) -> np.ndarray:
         raise NotImplementedError(f"TIFF bits-per-sample {bits} (8 only)")
     if planar != 1:
         raise NotImplementedError("planar TIFF (PlanarConfiguration 2)")
-    if photo not in (0, 1, 2):
+    if photo not in (0, 1, 2) and not (photo == 6 and comp == 7):
         raise NotImplementedError(f"TIFF photometric {photo}")
     if photo == 2 and spp < 3:
         raise ValueError("RGB TIFF with fewer than 3 samples")
-    if comp not in (1, 5, 8, 32773, 32946):
-        gated = {6: "old-JPEG", 7: "JPEG"}
-        if comp in gated:
+    if comp not in (1, 5, 7, 8, 32773, 32946):
+        if comp == 6:
+            # TIFF 6.0's original JPEG scheme was so underspecified it
+            # was formally deprecated by TIFF Technical Note #2; real
+            # files use the new-style scheme (compression 7) instead
             raise NotImplementedError(
-                f"{gated[comp]}-compressed TIFF requires a codec library"
+                "old-style JPEG-in-TIFF (compression 6) is deprecated "
+                "by TIFF TechNote 2 and not supported"
             )
         raise ValueError(f"unknown TIFF compression {comp}")
+    jpeg_tables = bytes(t[347]) if 347 in t else b""
+    if jpeg_tables and not (
+        jpeg_tables[:2] == b"\xff\xd8" and jpeg_tables[-2:] == b"\xff\xd9"
+    ):
+        raise ValueError("JPEGTables must be an SOI..EOI tables stream")
     predictor = t.get(317, [1])[0]
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
@@ -269,6 +306,24 @@ def decode_tiff(b: bytes) -> np.ndarray:
             raise ValueError("truncated TIFF strip data")
         rows = min(rps, h - i * rps)
         expected = rows * w * spp
+        if comp == 7:
+            # new-style JPEG-in-TIFF (TechNote 2): each strip is a JPEG
+            # stream; shared DQT/DHT segments may live in the
+            # JPEGTables tag and splice in right after the strip's SOI
+            from .jpeg import decode_jpeg
+
+            if strip[:2] != b"\xff\xd8":
+                raise ValueError("JPEG strip does not start with SOI")
+            if jpeg_tables:
+                strip = strip[:2] + jpeg_tables[2:-2] + strip[2:]
+            arr = decode_jpeg(strip)
+            if arr.shape != (rows, w, spp):
+                raise ValueError(
+                    f"JPEG strip decoded to {arr.shape}, expected "
+                    f"{(rows, w, spp)}"
+                )
+            out += arr.tobytes()
+            continue
         if comp == 32773:
             strip = _packbits_decode(strip, expected)
         elif comp == 5:
@@ -311,14 +366,17 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     endian: str = "<",
     predictor: int = 1,
+    jpeg_shared_tables: bool = False,
 ) -> bytes:
     """(h, w[, channels]) uint8 → spec-conformant TIFF 6.0 bytes.
 
     Greyscale (2-D or 1-channel) writes PhotometricInterpretation 1,
     3-channel writes RGB; ``compression`` is ``"none"``, ``"packbits"``,
-    ``"lzw"``, or ``"deflate"``; ``endian`` is ``"<"`` (II) or ``">"``
-    (MM); ``predictor`` 2 applies horizontal differencing before
-    compression (the layout real LZW/Deflate TIFFs ship with)."""
+    ``"lzw"``, ``"deflate"``, or ``"jpeg"`` (new-style TechNote-2
+    strips, each a full baseline JFIF stream; photometric 6 for color);
+    ``endian`` is ``"<"`` (II) or ``">"`` (MM); ``predictor`` 2 applies
+    horizontal differencing before compression (the layout real
+    LZW/Deflate TIFFs ship with; invalid with JPEG)."""
     import zlib
 
     if px.ndim == 2:
@@ -330,7 +388,15 @@ def encode_tiff(
         raise ValueError("endian must be '<' or '>'")
     if predictor not in (1, 2):
         raise ValueError(f"predictor must be 1 or 2, got {predictor}")
-    comp = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8}[compression]
+    comp = {
+        "none": 1,
+        "packbits": 32773,
+        "lzw": 5,
+        "deflate": 8,
+        "jpeg": 7,
+    }[compression]
+    if comp == 7 and predictor == 2:
+        raise ValueError("predictor 2 applies to LZW/Deflate, not JPEG")
     rps = rows_per_strip or h
     if predictor == 2:
         diff = px.astype(np.int16)
@@ -351,9 +417,26 @@ def encode_tiff(
             chunk = _lzw_encode_tiff(chunk)
         elif comp == 8:
             chunk = zlib.compress(chunk)
+        elif comp == 7:
+            from .jpeg import encode_jpeg_baseline
+
+            strip_px = px[top : top + rows]
+            chunk = encode_jpeg_baseline(
+                strip_px if spp == 3 else strip_px[:, :, 0], quality=100
+            )
         strips.append(chunk)
 
-    photo = 2 if spp == 3 else 1
+    jpeg_tables = b""
+    if comp == 7 and jpeg_shared_tables:
+        # hoist the identical DQT/DHT segments out of every strip into
+        # the shared JPEGTables stream (tag 347)
+        split = [_split_jpeg_tables(s) for s in strips]
+        jpeg_tables = split[0][0]
+        if any(t != jpeg_tables for t, _ in split):
+            raise ValueError("strips disagree on JPEG tables")
+        strips = [rest for _, rest in split]
+
+    photo = (6 if comp == 7 else 2) if spp == 3 else 1
     # layout: 8-byte header | IFD | out-of-line arrays | strip data
     entries = []  # (tag, dtype, count, values)
     entries.append((256, 4, 1, [w]))
@@ -368,11 +451,13 @@ def encode_tiff(
     entries.append((284, 3, 1, [1]))
     if predictor == 2:
         entries.append((317, 3, 1, [2]))
+    if jpeg_tables:
+        entries.append((347, 7, len(jpeg_tables), list(jpeg_tables)))
     ifd_size = 2 + 12 * len(entries) + 4
     overflow_at = 8 + ifd_size
     overflow = bytearray()
     inline: list[bytes] = []
-    fmt = {1: "B", 3: "H", 4: "I"}
+    fmt = {1: "B", 3: "H", 4: "I", 7: "B"}
     # first pass sizes the out-of-line region so strip offsets are known
     for tag, dtype, count, values in entries:
         size = _TYPE_SIZES[dtype] * count

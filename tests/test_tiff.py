@@ -93,11 +93,61 @@ def test_photometric_zero_inverts():
 
 def test_compression_gates():
     base = encode_tiff(np.full((2, 2), 10, dtype=np.uint8))
-    for code, name in [(6, "old-JPEG"), (7, "JPEG")]:
-        with pytest.raises(NotImplementedError, match=name):
-            decode_tiff(_patch_tag(base, 259, code))
+    with pytest.raises(NotImplementedError, match="deprecated"):
+        decode_tiff(_patch_tag(base, 259, 6))
     with pytest.raises(ValueError, match="unknown TIFF compression"):
         decode_tiff(_patch_tag(base, 259, 999))
+
+
+def test_jpeg_in_tiff_strips():
+    # constant 8x8 blocks at quality 100 decode bit-exactly — the same
+    # property multimodal_jpeg_roundtrip pins for bare JFIF
+    rng = np.random.default_rng(5)
+    grey = np.repeat(
+        np.repeat(rng.integers(0, 256, (4, 2), dtype=np.uint8), 8, axis=0),
+        8,
+        axis=1,
+    )
+    for endian in ("<", ">"):
+        for rps in (None, 8, 16):
+            b = encode_tiff(
+                grey, compression="jpeg", rows_per_strip=rps, endian=endian
+            )
+            assert np.array_equal(decode_tiff(b)[:, :, 0], grey)
+    # color crosses RGB->YCbCr->RGB integer rounding: tolerance <= 2
+    rgb = np.repeat(
+        np.repeat(rng.integers(0, 256, (2, 3, 3), dtype=np.uint8), 8, axis=0),
+        8,
+        axis=1,
+    )
+    got = decode_tiff(encode_tiff(rgb, compression="jpeg"))
+    assert np.abs(got.astype(int) - rgb.astype(int)).max() <= 2
+    # non-MCU-aligned strip heights: JPEG pads internally, decode crops
+    ragged = rng.integers(0, 256, (20, 16), dtype=np.uint8)
+    got = decode_tiff(
+        encode_tiff(ragged, compression="jpeg", rows_per_strip=6)
+    )
+    assert got.shape == (20, 16, 1)
+
+
+def test_jpeg_shared_tables_tag_347():
+    rng = np.random.default_rng(6)
+    grey = np.repeat(
+        np.repeat(rng.integers(0, 256, (6, 2), dtype=np.uint8), 8, axis=0),
+        8,
+        axis=1,
+    )
+    plain = encode_tiff(grey, compression="jpeg", rows_per_strip=8)
+    shared = encode_tiff(
+        grey, compression="jpeg", rows_per_strip=8, jpeg_shared_tables=True
+    )
+    # hoisting the per-strip DQT/DHT into tag 347 must shrink the file
+    # and decode identically (bit-exact here: constant blocks, q=100)
+    assert len(shared) < len(plain)
+    assert np.array_equal(decode_tiff(shared), decode_tiff(plain))
+    assert np.array_equal(decode_tiff(shared)[:, :, 0], grey)
+    with pytest.raises(ValueError, match="predictor 2"):
+        encode_tiff(grey, compression="jpeg", predictor=2)
 
 
 def test_lzw_hand_vector():

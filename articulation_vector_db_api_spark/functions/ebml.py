@@ -1,0 +1,206 @@
+"""EBML walk (RFC 8794) for Matroska/WebM metadata — stdlib only.
+
+The video-container counterpart of functions/isobmff.py: WebM/MKV is
+how web-scraped video arrives, and a curation pipeline needs doctype /
+duration / per-track dimensions / audio facts BEFORE committing to a
+(gated) perceptual decode. Only the element tree is read — Cluster
+payloads (the encoded video) are skipped by their declared size.
+
+Covers the RFC 8794 varint machinery (element IDs keep their marker
+bit, sizes strip it, all-ones sizes mean "unknown — extends to the
+parent's end"), the EBML header DocType, Segment > Info
+(TimestampScale, float Duration) and Segment > Tracks > TrackEntry
+(TrackType, Video PixelWidth/PixelHeight, Audio SamplingFrequency/
+Channels). The encoder emits minimal spec-conformant streams as test
+vectors.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_EBML = 0x1A45DFA3
+_DOCTYPE = 0x4282
+_SEGMENT = 0x18538067
+_INFO = 0x1549A966
+_TS_SCALE = 0x2AD7B1
+_DURATION = 0x4489
+_TRACKS = 0x1654AE6B
+_TRACK_ENTRY = 0xAE
+_TRACK_TYPE = 0x83
+_VIDEO = 0xE0
+_PIX_W = 0xB0
+_PIX_H = 0xBA
+_AUDIO = 0xE1
+_SAMPLE_FREQ = 0xB5
+_CHANNELS = 0x9F
+
+# containers whose children we descend into
+_MASTERS = {_EBML, _SEGMENT, _INFO, _TRACKS, _TRACK_ENTRY, _VIDEO, _AUDIO}
+
+
+def _read_vint(b: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    if pos >= len(b):
+        raise ValueError("truncated EBML varint")
+    first = b[pos]
+    if first == 0:
+        raise ValueError("invalid EBML varint lead byte 0")
+    length = 9 - first.bit_length()  # leading zeros + 1
+    if pos + length > len(b):
+        raise ValueError("truncated EBML varint")
+    v = first if keep_marker else first & (0xFF >> length)
+    for i in range(1, length):
+        v = (v << 8) | b[pos + i]
+    return v, pos + length
+
+
+def _is_unknown_size(size: int, nbytes: int) -> bool:
+    return size == (1 << (7 * nbytes)) - 1
+
+
+def _walk(b: bytes, pos: int, end: int):
+    """Yield (element_id, body_start, body_end) for each element in
+    [pos, end); recursion is the caller's choice via _MASTERS."""
+    while pos < end:
+        start = pos
+        eid, pos = _read_vint(b, pos, keep_marker=True)
+        size_start = pos
+        size, pos = _read_vint(b, pos, keep_marker=False)
+        if _is_unknown_size(size, pos - size_start):
+            body_end = end  # unknown size: extends to the parent's end
+        else:
+            body_end = pos + size
+        if body_end > end:
+            raise ValueError(f"EBML element {eid:#x} overruns its parent")
+        yield eid, pos, body_end
+        pos = body_end
+        if start == pos:
+            raise ValueError("EBML walk made no progress")
+
+
+def _uint(b: bytes, p: int, q: int) -> int:
+    return int.from_bytes(b[p:q], "big")
+
+
+def _float(b: bytes, p: int, q: int) -> float:
+    if q - p == 4:
+        return struct.unpack(">f", b[p:q])[0]
+    if q - p == 8:
+        return struct.unpack(">d", b[p:q])[0]
+    raise ValueError(f"EBML float of width {q - p}")
+
+
+def parse_ebml(payload: bytes) -> dict:
+    """Walk a Matroska/WebM stream → {doctype, duration_ms, video:
+    [(w, h)...], audio: [(rate_hz, channels)...]}. duration_ms is
+    rounded from TimestampScale (ns per tick, default 1e6) × the float
+    Duration."""
+    b = bytes(payload)
+    if b[:4] != _EBML.to_bytes(4, "big"):
+        raise ValueError("not an EBML stream")
+    doctype = None
+    ts_scale = 1_000_000
+    duration_ticks = None
+    video: list[tuple[int, int]] = []
+    audio: list[tuple[int, int]] = []
+    for eid, p, q in _walk(b, 0, len(b)):
+        if eid == _EBML:
+            for cid, cp, cq in _walk(b, p, q):
+                if cid == _DOCTYPE:
+                    doctype = b[cp:cq].split(b"\x00")[0].decode("ascii")
+        elif eid == _SEGMENT:
+            for cid, cp, cq in _walk(b, p, q):
+                if cid == _INFO:
+                    for iid, ip, iq in _walk(b, cp, cq):
+                        if iid == _TS_SCALE:
+                            ts_scale = _uint(b, ip, iq)
+                        elif iid == _DURATION:
+                            duration_ticks = _float(b, ip, iq)
+                elif cid == _TRACKS:
+                    for tid, tp, tq in _walk(b, cp, cq):
+                        if tid != _TRACK_ENTRY:
+                            continue
+                        w = h = rate = ch = None
+                        for fid, fp, fq in _walk(b, tp, tq):
+                            if fid == _VIDEO:
+                                for vid, vp, vq in _walk(b, fp, fq):
+                                    if vid == _PIX_W:
+                                        w = _uint(b, vp, vq)
+                                    elif vid == _PIX_H:
+                                        h = _uint(b, vp, vq)
+                            elif fid == _AUDIO:
+                                for aid, ap, aq in _walk(b, fp, fq):
+                                    if aid == _SAMPLE_FREQ:
+                                        rate = round(_float(b, ap, aq))
+                                    elif aid == _CHANNELS:
+                                        ch = _uint(b, ap, aq)
+                        if w is not None and h is not None:
+                            video.append((w, h))
+                        if rate is not None:
+                            audio.append((rate, ch if ch is not None else 1))
+    if doctype is None:
+        raise ValueError("EBML header lacks DocType")
+    duration_ms = (
+        None
+        if duration_ticks is None
+        else round(duration_ticks * ts_scale / 1_000_000)
+    )
+    return {
+        "doctype": doctype,
+        "duration_ms": duration_ms,
+        "video": video,
+        "audio": audio,
+    }
+
+
+def _vint_size(size: int) -> bytes:
+    for nbytes in range(1, 9):
+        if size < (1 << (7 * nbytes)) - 1:  # all-ones is reserved
+            v = size | (1 << (7 * nbytes))
+            return v.to_bytes(nbytes, "big")
+    raise ValueError("EBML size too large")
+
+
+def _el(eid: int, body: bytes) -> bytes:
+    nbytes = (eid.bit_length() + 7) // 8
+    return eid.to_bytes(nbytes, "big") + _vint_size(len(body)) + body
+
+
+def _uint_el(eid: int, v: int) -> bytes:
+    n = max(1, (v.bit_length() + 7) // 8)
+    return _el(eid, v.to_bytes(n, "big"))
+
+
+def build_webm(
+    width: int,
+    height: int,
+    duration_ms: int,
+    audio_rate: int = 48000,
+    audio_channels: int = 2,
+    doctype: str = "webm",
+) -> bytes:
+    """Minimal spec-conformant WebM/Matroska skeleton: EBML header
+    with DocType, Segment > Info (default TimestampScale, float64
+    Duration in ms ticks) and one video + one audio TrackEntry."""
+    header = _el(_EBML, _el(_DOCTYPE, doctype.encode("ascii")))
+    info = _el(
+        _INFO,
+        _uint_el(_TS_SCALE, 1_000_000)
+        + _el(_DURATION, struct.pack(">d", float(duration_ms))),
+    )
+    vtrack = _el(
+        _TRACK_ENTRY,
+        _uint_el(_TRACK_TYPE, 1)
+        + _el(_VIDEO, _uint_el(_PIX_W, width) + _uint_el(_PIX_H, height)),
+    )
+    atrack = _el(
+        _TRACK_ENTRY,
+        _uint_el(_TRACK_TYPE, 2)
+        + _el(
+            _AUDIO,
+            _el(_SAMPLE_FREQ, struct.pack(">f", float(audio_rate)))
+            + _uint_el(_CHANNELS, audio_channels),
+        ),
+    )
+    segment = _el(_SEGMENT, info + _el(_TRACKS, vtrack + atrack))
+    return header + segment

@@ -1035,6 +1035,161 @@ def multimodal_audio_flac_roundtrip(
 
 
 @register(
+    "multimodal_av_container_probe",
+    oracle="""
+    WITH bts AS (
+        SELECT doc_id,
+               list_transform(range(8), j ->
+                   (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 2, 1)) - 1)
+               ) AS b
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'opus' WHEN 1 THEN 'vorbis'
+                ELSE 'webm' END AS kind,
+           CAST(CASE doc_id % 3
+                WHEN 0 THEN 10 * (1 + b[1])
+                WHEN 1 THEN 25 * (1 + b[2] % 8)
+                ELSE 100 * (1 + b[3] % 100) END AS BIGINT) AS duration_ms,
+           CAST(CASE doc_id % 3
+                WHEN 2 THEN 2 - b[4] % 2
+                ELSE 1 + b[4] % 2 END AS BIGINT) AS channels,
+           CAST(CASE doc_id % 3
+                WHEN 0 THEN 48000
+                WHEN 1 THEN 8000 * (1 + b[5] % 4)
+                ELSE 16000 * (1 + b[5] % 3) END AS BIGINT) AS sample_rate,
+           CAST(CASE doc_id % 3
+                WHEN 2 THEN 16 * (4 + b[6] % 61) ELSE NULL END AS BIGINT)
+               AS width,
+           CAST(CASE doc_id % 3
+                WHEN 2 THEN 16 * (3 + b[7] % 43) ELSE NULL END AS BIGINT)
+               AS height
+    FROM bts
+    ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+)
+def multimodal_av_container_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A/V container metadata probe — the pre-decode triage every
+    video/speech curation pipeline runs: each doc synthesizes a
+    spec-conformant container from its digest bytes (doc_id % 3 cycles
+    Ogg-Opus / Ogg-Vorbis / WebM) and the engine walks the container
+    structure back out: Ogg page walk with REAL CRC-32 verification
+    and granule→duration arithmetic per RFC 3533/7845 (functions/
+    ogg.py), EBML varint walk with DocType / TimestampScale / float
+    Duration / track dimensions per RFC 8794 (functions/ebml.py). The
+    oracle recomputes the planted facts closed-form from the same
+    digest bytes, so page CRCs, lacing, granule math, varint widths,
+    and the element tree all have to be decoded right. The perceptual
+    payloads (Opus/Vorbis/VP9) stay honestly gated — this is the
+    container layer, exactly like functions/isobmff.py for MP4.
+
+    Scale shape: one Arrow-batched narrow map; only the 7-column fact
+    row leaves the executor."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from ..functions.ebml import build_webm, parse_ebml
+        from ..functions.ogg import build_ogg_opus, build_ogg_vorbis, parse_ogg
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                b = hashlib.sha256(str(i).encode()).digest()
+                if i % 3 == 0:
+                    payload = build_ogg_opus(
+                        channels=1 + b[3] % 2, duration_ms=10 * (1 + b[0])
+                    )
+                    meta = parse_ogg(payload)
+                    rows.append(
+                        (
+                            doc_id,
+                            meta["codec"],
+                            meta["duration_ms"],
+                            meta["channels"],
+                            meta["sample_rate"],
+                            None,
+                            None,
+                        )
+                    )
+                elif i % 3 == 1:
+                    payload = build_ogg_vorbis(
+                        channels=1 + b[3] % 2,
+                        rate=8000 * (1 + b[4] % 4),
+                        duration_ms=25 * (1 + b[1] % 8),
+                    )
+                    meta = parse_ogg(payload)
+                    rows.append(
+                        (
+                            doc_id,
+                            meta["codec"],
+                            meta["duration_ms"],
+                            meta["channels"],
+                            meta["sample_rate"],
+                            None,
+                            None,
+                        )
+                    )
+                else:
+                    payload = build_webm(
+                        width=16 * (4 + b[5] % 61),
+                        height=16 * (3 + b[6] % 43),
+                        duration_ms=100 * (1 + b[2] % 100),
+                        audio_rate=16000 * (1 + b[4] % 3),
+                        audio_channels=2 - b[3] % 2,
+                    )
+                    meta = parse_ebml(payload)
+                    rows.append(
+                        (
+                            doc_id,
+                            meta["doctype"],
+                            meta["duration_ms"],
+                            meta["audio"][0][1],
+                            meta["audio"][0][0],
+                            meta["video"][0][0],
+                            meta["video"][0][1],
+                        )
+                    )
+            out = pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+            for col in ("width", "height"):  # nullable for the Ogg rows
+                out[col] = out[col].astype("Int64")
+            yield out
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_resize_pixels",
     oracle="""
     WITH px AS (

@@ -1,0 +1,155 @@
+"""Ogg (functions/ogg.py) and EBML/WebM (functions/ebml.py) container
+walks: spec anchors, structural verification, and corruption
+contracts."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from articulation_vector_db_api_spark.functions.ebml import (
+    build_webm,
+    parse_ebml,
+)
+from articulation_vector_db_api_spark.functions.ogg import (
+    _ogg_crc,
+    build_ogg_opus,
+    build_ogg_vorbis,
+    parse_ogg,
+)
+
+
+def test_ogg_crc_spec_anchor():
+    # Ogg's CRC-32 is poly 0x04C11DB7, init 0, unreflected, NO xor-out.
+    # CRC-32/POSIX (cksum) is the same machine WITH xor-out 0xFFFFFFFF
+    # and published check value 0x765E7680 for "123456789" — so ours
+    # must be its complement. An anchor independent of this code.
+    assert _ogg_crc(b"123456789") == 0x765E7680 ^ 0xFFFFFFFF
+
+
+def test_ogg_opus_roundtrip():
+    meta = parse_ogg(build_ogg_opus(channels=2, duration_ms=1230))
+    assert meta == {
+        "codec": "opus",
+        "channels": 2,
+        "sample_rate": 48000,
+        "duration_ms": 1230,
+        "n_pages": 3,
+    }
+
+
+def test_ogg_vorbis_roundtrip():
+    meta = parse_ogg(build_ogg_vorbis(channels=1, rate=16000,
+                                      duration_ms=250))
+    assert meta["codec"] == "vorbis"
+    assert meta["sample_rate"] == 16000
+    assert meta["duration_ms"] == 250
+
+
+def test_ogg_large_packet_lacing():
+    # a >255-byte head forces multi-segment lacing (255-valued lacing
+    # entries + terminator); pre-skip subtraction still exact
+    stream = build_ogg_opus(channels=1, duration_ms=40, pre_skip=3840)
+    assert parse_ogg(stream)["duration_ms"] == 40
+
+
+def test_ogg_corruption_contract():
+    good = bytearray(build_ogg_opus(channels=1, duration_ms=100))
+    bad = good.copy()
+    bad[40] ^= 0x01  # flip inside the OpusHead payload
+    with pytest.raises(ValueError, match="CRC"):
+        parse_ogg(bytes(bad))
+    with pytest.raises(ValueError, match="capture pattern"):
+        parse_ogg(b"NotOgg" + bytes(good))
+    with pytest.raises(ValueError, match="truncated"):
+        parse_ogg(bytes(good[:-4]))
+    # stream that never flags EOS: drop the final (EOS) page by
+    # splitting the stream at page boundaries
+    no_eos = build_ogg_opus(channels=1, duration_ms=100)
+    pages = []
+    i = 0
+    while i < len(no_eos):
+        n = no_eos[i + 26]
+        body = sum(no_eos[i + 27 : i + 27 + n])
+        end = i + 27 + n + body
+        pages.append(no_eos[i:end])
+        i = end
+    with pytest.raises(ValueError, match="EOS"):
+        parse_ogg(b"".join(pages[:-1]))
+
+
+def test_ogg_unknown_codec_gated():
+    # hand-build a BOS+EOS stream whose first packet is neither
+    # OpusHead nor a Vorbis ident
+    from articulation_vector_db_api_spark.functions.ogg import _page
+
+    stream = _page(b"FLACxxxx", 0, 9, 0, 0x02) + _page(b"z", 100, 9, 1, 0x04)
+    with pytest.raises(NotImplementedError, match="Opus/Vorbis"):
+        parse_ogg(stream)
+
+
+def test_webm_roundtrip_and_defaults():
+    meta = parse_ebml(
+        build_webm(1280, 720, 12345, audio_rate=44100, audio_channels=1)
+    )
+    assert meta == {
+        "doctype": "webm",
+        "duration_ms": 12345,
+        "video": [(1280, 720)],
+        "audio": [(44100, 1)],
+    }
+    assert parse_ebml(build_webm(2, 2, 1, doctype="matroska"))[
+        "doctype"
+    ] == "matroska"
+
+
+def test_webm_unknown_size_segment():
+    # replace the Segment's size vint with the 8-byte all-ones
+    # "unknown — extends to end" form (RFC 8794 §6); the walk must
+    # still find Info and Tracks
+    b = bytearray(build_webm(64, 48, 10))
+    i = b.find(bytes.fromhex("18538067"))
+    ln = 9 - b[i + 4].bit_length()
+    patched = (
+        bytes(b[: i + 4]) + bytes([0x01] + [0xFF] * 7) + bytes(b[i + 4 + ln:])
+    )
+    meta = parse_ebml(patched)
+    assert meta["video"] == [(64, 48)] and meta["duration_ms"] == 10
+
+
+def test_ebml_corruption_contract():
+    with pytest.raises(ValueError, match="not an EBML"):
+        parse_ebml(b"\x00\x00\x00\x00junk")
+    good = build_webm(64, 48, 10)
+    with pytest.raises(ValueError, match="overruns|truncated"):
+        parse_ebml(good[:-5])
+    # float duration of an invalid width
+    bad = bytearray(good)
+    i = bad.find(bytes([0x44, 0x89]))  # Duration element id
+    bad[i + 2] = 0x83  # declare size 3 (invalid float width)
+    with pytest.raises(ValueError, match="float of width|overruns"):
+        parse_ebml(bytes(bad[: i + 3 + 3]) + bytes(bad[i + 3 + 8 :]))
+
+
+def test_ebml_float32_duration_and_scale():
+    # hand-build Info with float32 Duration and a non-default
+    # TimestampScale of 2ms per tick
+    from articulation_vector_db_api_spark.functions.ebml import (
+        _DURATION,
+        _INFO,
+        _SEGMENT,
+        _TS_SCALE,
+        _el,
+        _uint_el,
+    )
+
+    header = build_webm(2, 2, 1)[: build_webm(2, 2, 1).find
+                                 (bytes.fromhex("18538067"))]
+    info = _el(
+        _INFO,
+        _uint_el(_TS_SCALE, 2_000_000)
+        + _el(_DURATION, struct.pack(">f", 50.0)),
+    )
+    meta = parse_ebml(header + _el(_SEGMENT, info))
+    assert meta["duration_ms"] == 100  # 50 ticks x 2 ms

@@ -204,3 +204,69 @@ def test_avro_container_roundtrip_any_rows(rows, codec):
         write_container(p, schema, rows, codec=codec, records_per_block=16)
         got = [r for off, _ in block_offsets(p) for r in read_block(p, off)]
     assert got == rows
+
+
+@given(
+    rows=_st.lists(
+        _st.binary(min_size=1, max_size=400), min_size=1, max_size=6
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_packbits_roundtrip_any_rows(rows):
+    from articulation_vector_db_api_spark.functions.tiff import (
+        _packbits_decode,
+        _packbits_encode_row,
+    )
+
+    for row in rows:
+        assert _packbits_decode(_packbits_encode_row(row), len(row)) == row
+
+
+@given(data=_st.binary(min_size=0, max_size=3000))
+@settings(max_examples=40, deadline=None)
+def test_tiff_lzw_roundtrip_any_bytes(data):
+    from articulation_vector_db_api_spark.functions.tiff import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+    )
+
+    assert _lzw_decode_tiff(_lzw_encode_tiff(data), len(data)) == data
+
+
+@given(
+    n=_st.integers(min_value=1, max_value=700),
+    seed=_st.integers(min_value=0, max_value=2**31),
+    stereo=_st.booleans(),
+    mid_side=_st.booleans(),
+    block=_st.sampled_from([16, 100, 192, 256, 4096]),
+)
+@settings(max_examples=25, deadline=None)
+def test_flac_lossless_any_signal(n, seed, stereo, mid_side, block):
+    from articulation_vector_db_api_spark.functions.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (n, 2) if stereo else (n,)
+    s = rng.integers(-32768, 32768, size=shape, dtype=np.int16)
+    kw = {"stereo_mode": "mid-side"} if (stereo and mid_side) else {}
+    rate, dec = decode_flac(encode_flac(s, block_size=block, **kw))
+    want = s if s.ndim == 2 else s[:, None]
+    assert np.array_equal(dec, want)
+
+
+@given(v=_st.integers(min_value=0, max_value=2**36 - 1))
+@settings(max_examples=60, deadline=None)
+def test_flac_coded_number_roundtrip_any(v):
+    from articulation_vector_db_api_spark.functions.flac import (
+        _BitReader,
+        _BitWriter,
+        _coded_number_decode,
+        _coded_number_encode,
+    )
+
+    w = _BitWriter()
+    for byte in _coded_number_encode(v):
+        w.write(byte, 8)
+    assert _coded_number_decode(_BitReader(w.bytes())) == v

@@ -640,6 +640,47 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
          r"Arguments: hashpartitioning"],
     ),
+    "scan_arrow_ipc_roundtrip": (
+        # footer-planned PyDS batch scan feeding a partial+final agg
+        [r"BatchScan arrow_ipc", r"partial_count"],
+        [r"BatchEvalPython", r"CartesianProduct"],
+    ),
+    "scan_warc_roundtrip": (
+        # member-range PyDS scan; everything after it is codegen agg
+        [r"BatchScan warc_py", r"partial_count"],
+        [r"BatchEvalPython", r"CartesianProduct"],
+    ),
+    "pipeline_web_ingest": (
+        # the crawl first-hop: one archive scan, the survivor window
+        # keyed on the digest, one ledger aggregate
+        [r"BatchScan warc_py", r"Window", r"HashAggregate"],
+        [r"BatchEvalPython", r"CartesianProduct", r"SortMergeJoin"],
+    ),
+    "multimodal_phash_dct_dedup": (
+        # decode+DCT in one Arrow map; shuffle keys on the 11-bit hash
+        [r"MapInPandas", r"HashAggregate"],
+        [r"BatchEvalPython", r"CartesianProduct"],
+    ),
+    "multimodal_tiff_roundtrip": (
+        [r"MapInPandas"],
+        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
+         r"Arguments: hashpartitioning"],
+    ),
+    "multimodal_audio_flac_roundtrip": (
+        [r"MapInPandas"],
+        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
+         r"Arguments: hashpartitioning"],
+    ),
+    "multimodal_audio_g711_roundtrip": (
+        [r"MapInPandas"],
+        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
+         r"Arguments: hashpartitioning"],
+    ),
+    "multimodal_av_container_probe": (
+        [r"MapInPandas"],
+        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
+         r"Arguments: hashpartitioning"],
+    ),
 }
 
 # query -> [(pattern, max_occurrences)] over the formatted plan.
@@ -670,6 +711,13 @@ COUNT_LIMITS: dict[str, list[tuple[str, int]]] = {
     "window_running_distinct": [(r"Arguments: hashpartitioning", 3)],
     "join_asof_nearest": [(r"Arguments: hashpartitioning", 1)],
     "agg_weighted_median": [(r"Arguments: hashpartitioning", 2)],
+    # ONE archive pass (tree-node form 'BatchScan warc_py (n)'), and
+    # exactly the digest-window + ledger-agg hash exchanges — the
+    # two-branch first cut scanned the archive twice
+    "pipeline_web_ingest": [
+        (r"BatchScan warc_py \(", 1),
+        (r"Arguments: hashpartitioning", 2),
+    ],
 }
 
 # name -> builder for plan-only audits of streaming transformations

@@ -2973,3 +2973,119 @@ def text_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_html_extract",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+    ),
+    halves AS (
+        SELECT doc_id, len(w) AS n, (len(w) + 1) // 2 AS k,
+               array_to_string(list_slice(w, 1, (len(w) + 1) // 2), ' ')
+                   AS first,
+               array_to_string(
+                   list_slice(w, (len(w) + 1) // 2 + 1, len(w)), ' ')
+                   AS second
+        FROM words
+    ),
+    expected AS (
+        SELECT doc_id,
+               CASE WHEN n = 0 THEN ''
+                    WHEN k = n THEN first
+                    ELSE first || chr(10) || second END AS body
+        FROM halves
+    )
+    SELECT e.doc_id,
+           'Doc ' || CAST(e.doc_id AS VARCHAR) AS title,
+           sha256(e.body) AS text_digest,
+           CAST(length(e.body) AS BIGINT) AS n_chars,
+           CAST(CASE WHEN h.n = 0 THEN 0
+                     WHEN h.k = h.n THEN 1 ELSE 2 END AS BIGINT)
+               AS n_paragraphs,
+           CAST(e.doc_id % 3 AS BIGINT) AS n_links
+    FROM expected e JOIN halves h USING (doc_id)
+    ORDER BY e.doc_id
+    """,
+    tags=("textops",),
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-text extraction — the stage between a WARC scan and
+    every text operator here, since real crawl payloads are markup:
+    each doc's text is wrapped in a realistic page (title, style block,
+    a nav with its own link and a FAKE <p> inside, the body split into
+    two paragraphs at the word midpoint, doc_id%3 countable anchors, a
+    script whose string literal contains more fake markup, a footer)
+    and the engine's stdlib-parser extractor (functions/htmltext.py)
+    must recover EXACTLY the planted text: boilerplate regions
+    suppressed, entities unescaped, whitespace normalized, paragraphs
+    newline-joined. The oracle states the expected extraction in
+    closed form from the raw text, and the sha256 of the extracted
+    body must match it — one leaked nav token or swallowed word
+    hash-fails. Links are counted only outside boilerplate (the nav's
+    own anchor must NOT count).
+
+    Scale shape: one Arrow-batched narrow map (parse where the rows
+    live); only the 6-column fact row leaves the executor."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("text_digest", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("n_paragraphs", T.LongType()),
+            T.StructField("n_links", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import html as html_mod
+
+        from ..functions.htmltext import extract_main_text
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                words = [w for w in (text or "").split(" ") if w]
+                k = (len(words) + 1) // 2
+                first = html_mod.escape(" ".join(words[:k]))
+                second = html_mod.escape(" ".join(words[k:]))
+                links = '<a href="#"></a>' * (i % 3)
+                page = (
+                    f"<html><head><title>Doc {i}</title>"
+                    "<style>p{color:red}</style></head>"
+                    "<body><nav>BOILER <a href='#'>skip</a>"
+                    "<p>fake para</p></nav>"
+                    f"<p>{first}</p><p>{second}</p>{links}"
+                    "<script>var a='<p>evil</p>';</script>"
+                    "<footer>MORE BOILER</footer></body></html>"
+                )
+                r = extract_main_text(page)
+                rows.append(
+                    (
+                        doc_id,
+                        r["title"],
+                        hashlib.sha256(r["text"].encode()).hexdigest(),
+                        len(r["text"]),
+                        r["n_paragraphs"],
+                        r["n_links"],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )

@@ -1814,6 +1814,7 @@ _PHASH_CCOL = (1024, 1024, 1024, 1024, 946, 392, -392, -946, 724, -724, -724, 72
 
 @register(
     "multimodal_phash_dct_dedup",
+    headline=True,
     oracle=f"""
     WITH px AS (
         SELECT doc_id,
@@ -1939,6 +1940,7 @@ def multimodal_phash_dct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_tiff_roundtrip",
+    headline=True,
     oracle="""
     WITH px AS (
         SELECT doc_id,

@@ -2977,6 +2977,7 @@ def text_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_html_extract",
+    headline=True,
     oracle="""
     WITH words AS (
         SELECT doc_id,

@@ -4658,3 +4658,116 @@ def join_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("overlap_us"), "user_a", "user_b")
         .limit(20)
     )
+
+
+@register(
+    "agg_cms_portable",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders
+    ),
+    hx AS (
+        SELECT k,
+               sha256('101:' || k) AS x1, sha256('102:' || k) AS x2,
+               sha256('103:' || k) AS x3, sha256('104:' || k) AS x4
+        FROM base
+    ),
+    hh AS (
+        SELECT k,
+               {hex_to_u32_sql("x1")} % 64 AS b1,
+               {hex_to_u32_sql("x2")} % 64 AS b2,
+               {hex_to_u32_sql("x3")} % 64 AS b3,
+               {hex_to_u32_sql("x4")} % 64 AS b4
+        FROM hx
+    ),
+    regs AS (
+        SELECT 1 AS j, b1 AS bucket, count(*) AS c FROM hh GROUP BY b1
+        UNION ALL
+        SELECT 2, b2, count(*) FROM hh GROUP BY b2
+        UNION ALL
+        SELECT 3, b3, count(*) FROM hh GROUP BY b3
+        UNION ALL
+        SELECT 4, b4, count(*) FROM hh GROUP BY b4
+    ),
+    top AS (
+        SELECT k, count(*) AS true_count
+        FROM base GROUP BY k
+        ORDER BY true_count DESC, CAST(k AS BIGINT) LIMIT 8
+    ),
+    probe AS (
+        SELECT t.k, t.true_count, h.j, h.bucket
+        FROM top t, LATERAL (
+            SELECT 1 AS j, {hex_to_u32_sql("sha256('101:' || t.k)")} % 64
+                       AS bucket
+            UNION ALL
+            SELECT 2, {hex_to_u32_sql("sha256('102:' || t.k)")} % 64
+            UNION ALL
+            SELECT 3, {hex_to_u32_sql("sha256('103:' || t.k)")} % 64
+            UNION ALL
+            SELECT 4, {hex_to_u32_sql("sha256('104:' || t.k)")} % 64
+        ) h
+    )
+    SELECT CAST(p.k AS BIGINT) AS custkey,
+           CAST(p.true_count AS BIGINT) AS true_count,
+           CAST(min(r.c) AS BIGINT) AS cms_estimate
+    FROM probe p JOIN regs r ON p.j = r.j AND p.bucket = r.bucket
+    GROUP BY p.k, p.true_count
+    ORDER BY custkey
+    """,
+    tags=("relational", "agg", "approx"),
+)
+def agg_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch built from first principles (Cormode &
+    Muthukrishnan 2005, public paper) with PORTABLE registers, the
+    same discipline as agg_hll_portable_registers: depth 4 x width 64,
+    row hashes are seeded sha256 prefixes (pure integer ops, so both
+    engines compute IDENTICAL registers and the sketch cross-checks
+    hash-exact — unlike engine-private sketch bytes). The probe reads
+    estimates for the 8 true heaviest order customers
+    (deterministically tie-broken) as min over the 4 addressed
+    registers; the CMS guarantee estimate >= true count holds by
+    construction and the oracle recomputes both sides.
+
+    Scale shape: ONE pass over raw rows emits 4 register increments
+    each (map-side combined); the sketch is d x w = 256 rows no matter
+    the corpus, registers MERGE by addition across partitions/days,
+    and the probe joins 32 probe rows against the broadcast sketch.
+    This is how a 100 TB pipeline answers per-key frequency questions
+    without a per-key groupBy."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("k")
+    )
+
+    def addr(col, j):
+        return F.struct(
+            F.lit(j).alias("j"),
+            (sha_hash32(col, seed=100 + j) % 64).alias("bucket"),
+        )
+
+    seeds = (1, 2, 3, 4)
+    pairs = o.select(
+        F.explode(F.array(*[addr(F.col("k"), j) for j in seeds])).alias("e")
+    ).select("e.j", "e.bucket")
+    regs = pairs.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        o.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), F.col("k").cast("long"))
+        .limit(8)
+    )
+    probe = top.select(
+        "k",
+        "true_count",
+        F.explode(F.array(*[addr(F.col("k"), j) for j in seeds])).alias("e"),
+    ).select("k", "true_count", "e.j", "e.bucket")
+    return (
+        probe.join(F.broadcast(regs), ["j", "bucket"])
+        .groupBy("k", "true_count")
+        .agg(F.min("c").cast("long").alias("cms_estimate"))
+        .select(
+            F.col("k").cast("long").alias("custkey"),
+            F.col("true_count").cast("long").alias("true_count"),
+            "cms_estimate",
+        )
+        .orderBy("custkey")
+    )

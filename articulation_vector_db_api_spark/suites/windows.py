@@ -1826,3 +1826,113 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               count(*) AS c
+        FROM events GROUP BY event_type, d
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               (CAST(b.c AS DOUBLE) - CAST(a.c AS DOUBLE))
+                   / CAST(b.d - a.d AS DOUBLE) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    ranked AS (
+        SELECT event_type, slope,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY slope) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM pairs
+    ),
+    med AS (
+        SELECT event_type,
+               avg(slope) AS trend,   -- one or two middle elements
+               max(n) AS n_pairs
+        FROM ranked
+        WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+        GROUP BY event_type
+    ),
+    days AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY event_type
+    )
+    SELECT m.event_type, d.n_days,
+           CAST(m.n_pairs AS BIGINT) AS n_pairs,
+           round(m.trend, 6) AS trend_per_day
+    FROM med m JOIN days d USING (event_type)
+    ORDER BY m.event_type
+    """,
+    tags=("windows", "events"),
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type — the median of all
+    pairwise day-over-day volume slopes (Theil 1950 / Sen 1968, public
+    method): a single wild day cannot swing it, unlike the OLS slope,
+    which is why monitoring pipelines fit trends this way. The median
+    is the exact middle element (or the mean of the two middles) of
+    the sorted slope multiset — no summation over floats, so the value
+    is deterministic under any partitioning, and each slope is ONE
+    IEEE subtraction/division in an op order the oracle mirrors.
+
+    Scale shape: the pair join is quadratic IN DAYS, not rows — raw
+    events collapse to one daily-count row per (type, day) first, so a
+    year of 100 TB telemetry is at most ~66k pairs per type, emitted
+    map-side from a self-join on the tiny daily frame. The rank/median
+    window shuffles per-type slope rows once."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.c").cast("double") - F.col("a.c").cast("double"))
+            / F.datediff(F.col("b.d"), F.col("a.d")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w.orderBy("slope")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.avg("slope").alias("trend"),
+            F.max("n").cast("long").alias("n_pairs"),
+        )
+    )
+    days = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return (
+        med.join(days, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            F.round("trend", 6).alias("trend_per_day"),
+        )
+        .orderBy("event_type")
+    )

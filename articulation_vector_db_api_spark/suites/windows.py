@@ -1936,3 +1936,127 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_mann_kendall",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               count(*) AS c
+        FROM events GROUP BY event_type, d
+    ),
+    s AS (
+        SELECT a.event_type,
+               sum(CASE WHEN b.c > a.c THEN 1
+                        WHEN b.c < a.c THEN -1 ELSE 0 END) AS s_stat,
+               count(*) AS n_pairs
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+        GROUP BY a.event_type
+    ),
+    ties AS (  -- tie correction: groups of equal daily counts
+        SELECT event_type,
+               sum(m * (m - 1) * (2 * m + 5)) AS tie_term
+        FROM (
+            SELECT event_type, c, count(*) AS m
+            FROM daily GROUP BY event_type, c
+        ) GROUP BY event_type
+    ),
+    n AS (
+        SELECT event_type, count(*) AS nd FROM daily GROUP BY event_type
+    )
+    SELECT s.event_type,
+           CAST(n.nd AS BIGINT) AS n_days,
+           CAST(s.s_stat AS BIGINT) AS s_stat,
+           CAST(n.nd * (n.nd - 1) * (2 * n.nd + 5) - ties.tie_term
+                AS BIGINT) AS var18,
+           round(CASE WHEN s.s_stat > 0 THEN
+                          (CAST(s.s_stat AS DOUBLE) - 1)
+                          / sqrt((CAST(n.nd AS DOUBLE) * (n.nd - 1)
+                                  * (2 * n.nd + 5) - ties.tie_term) / 18)
+                      WHEN s.s_stat < 0 THEN
+                          (CAST(s.s_stat AS DOUBLE) + 1)
+                          / sqrt((CAST(n.nd AS DOUBLE) * (n.nd - 1)
+                                  * (2 * n.nd + 5) - ties.tie_term) / 18)
+                      ELSE 0.0 END, 6) AS z_score
+    FROM s JOIN ties USING (event_type) JOIN n USING (event_type)
+    ORDER BY s.event_type
+    """,
+    tags=("windows", "events"),
+)
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test (Mann 1945 / Kendall 1975,
+    public method) — the significance companion of
+    events_theil_sen_trend: S = Σ sign(c_j − c_i) over all day pairs
+    (PURE INTEGER, hash-exact), the tie-corrected variance
+    18·Var(S) = n(n−1)(2n+5) − Σ m(m−1)(2m+5) (also integer, emitted
+    as ``var18``), and the continuity-corrected z-score whose only
+    float ops are one division and one sqrt in an op order the oracle
+    mirrors. Monitoring pipelines pair exactly these two: Theil-Sen
+    says how steep, Mann-Kendall says whether to believe it.
+
+    Scale shape: identical to the Theil-Sen query — the pair join is
+    quadratic in DAYS (daily-count rows), never in events; the tie
+    census is a two-level aggregate on the same tiny frame."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(F.signum(F.col("b.c") - F.col("a.c")).cast("long"))
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("m") * (F.col("m") - 1) * (2 * F.col("m") + 5)
+            ).alias("tie_term")
+        )
+    )
+    n = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    joined = s.join(ties, "event_type").join(n, "event_type")
+    nd = F.col("n_days")
+    var18 = (nd * (nd - 1) * (2 * nd + 5) - F.col("tie_term")).cast("long")
+    sd = F.sqrt(
+        (
+            nd.cast("double") * (nd - 1) * (2 * nd + 5) - F.col("tie_term")
+        )
+        / 18
+    )
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat").cast("double") - 1) / sd,
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat").cast("double") + 1) / sd,
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return joined.select(
+        "event_type",
+        "n_days",
+        F.col("s_stat").cast("long").alias("s_stat"),
+        var18.alias("var18"),
+        F.round(z, 6).alias("z_score"),
+    ).orderBy("event_type")

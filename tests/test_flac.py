@@ -276,3 +276,28 @@ def test_gates_and_malformed():
     )
     with pytest.raises(NotImplementedError, match="8-bit FLAC"):
         decode_flac(stream)
+
+
+def test_decode_partition_order_with_predictor_order():
+    # partition order 1 AND fixed order 1: the FIRST partition holds
+    # blocksize/2 - order residuals, the second blocksize/2 (RFC 9639
+    # partition-size rule) — a boundary the encoder never emits
+    vals = np.array([10, 12, 9, 9, 14, 8, 8, 8], dtype=np.int64)
+    res = np.diff(vals)  # 7 residuals: first partition 3, second 4
+    w = _BitWriter()
+    _header(w, len(vals), ch_code=0)
+    w.write(0, 1)
+    w.write(9, 6)  # fixed, order 1
+    w.write(0, 1)
+    w.write(int(vals[0]), 16)  # warmup
+    w.write(0, 2)  # rice method 0
+    w.write(1, 4)  # partition order 1
+    for part in (res[:3], res[4 - 1 :]):
+        w.write(1, 4)  # rice parameter 1
+        for v in part:
+            u = (int(v) << 1) ^ (int(v) >> 63)
+            w.write_unary(u >> 1)
+            w.write(u, 1)
+    stream = _container(_finish(w), len(vals), 1)
+    _rate, dec = decode_flac(stream)
+    assert np.array_equal(dec[:, 0], vals)

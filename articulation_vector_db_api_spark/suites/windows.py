@@ -2060,3 +2060,101 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         var18.alias("var18"),
         F.round(z, 6).alias("z_score"),
     ).orderBy("event_type")
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               count(*) AS c
+        FROM events GROUP BY event_type, d
+    ),
+    seq AS (
+        SELECT event_type, c,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+        FROM daily
+    ),
+    base AS (  -- 7x the baseline mean, kept integer: sum of first week
+        SELECT event_type, sum(c) AS s7
+        FROM seq WHERE i <= 7 GROUP BY event_type
+    ),
+    rec AS (
+        SELECT event_type, 0 AS i, CAST(0 AS BIGINT) AS s FROM base
+        UNION ALL
+        SELECT r.event_type, q.i,
+               greatest(CAST(0 AS BIGINT),
+                        r.s + 7 * q.c - b.s7 - 14) AS s
+        FROM rec r
+        JOIN seq q ON q.event_type = r.event_type AND q.i = r.i + 1
+        JOIN base b ON b.event_type = r.event_type
+    )
+    SELECT r.event_type,
+           CAST(max(r.i) AS BIGINT) AS n_days,
+           CAST(max(b.s7) AS BIGINT) AS baseline7,
+           CAST(max(r.s) AS BIGINT) AS max_cusum,
+           CAST(min(CASE WHEN r.s > 210 THEN r.i END) AS BIGINT)
+               AS first_alarm_day
+    FROM rec r JOIN base b USING (event_type)
+    WHERE r.i > 0
+    GROUP BY r.event_type
+    ORDER BY r.event_type
+    """,
+    tags=("windows", "events", "udf"),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detector (Page 1954, public method)
+    over daily event volumes — the sequential alarm a monitoring
+    pipeline runs beside the Theil-Sen/Mann-Kendall trend pair:
+    s_i = max(0, s_{i-1} + (x_i - mu - k)). Everything is scaled by 7
+    so the recursion is ALL-INTEGER (mu = first-week mean enters as
+    the raw week sum, slack k = 2 enters as 14): hash-exact with no
+    float anywhere, like events_token_bucket. The alarm fires the
+    first day the statistic exceeds h = 30 (scaled 210); max_cusum and
+    the alarm day are both reported, null when never breached. The
+    oracle is a recursive CTE stepping the identical state machine.
+
+    Scale shape: raw events collapse to the bounded daily frame first;
+    each type's recursion is O(days) inside one Arrow batch — state
+    never crosses groups, full parallelism by type."""
+    import pandas as pd
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d")
+        counts = [int(v) for v in pdf["c"]]
+        s7 = sum(counts[:7])
+        s = 0
+        mx = 0
+        alarm = None
+        for i, c in enumerate(counts, start=1):
+            s = max(0, s + 7 * c - s7 - 14)
+            mx = max(mx, s)
+            if alarm is None and s > 210:
+                alarm = i
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [len(counts)],
+                "baseline7": [s7],
+                "max_cusum": [mx],
+                "first_alarm_day": pd.array([alarm], dtype="Int64"),
+            }
+        )
+
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(
+            walk,
+            "event_type string, n_days bigint, baseline7 bigint, "
+            "max_cusum bigint, first_alarm_day bigint",
+        )
+        .orderBy("event_type")
+    )

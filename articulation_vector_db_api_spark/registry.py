@@ -230,12 +230,12 @@ _VERIFIED = frozenset(
 #    changed in r7 (SHINGLE_DF_CAP mirrored into the SQL, VERDICT r6
 #    item 2), so their standing green rows reference the OLD oracle;
 #    re-seating proves the new pair.
-# Every other query is _VERIFIED except the twenty-three r7 additions
+# Every other query is _VERIFIED except the twenty-four r7 additions
 # (JPEG/WebP/TIFF/ADPCM/G.711/FLAC roundtrips, the Ogg/WebM container
 # probe, recursive CTE, XML/Avro/Arrow-IPC/WARC scans, the web-ingest
 # capstone, HTML extraction, join IVM, priority sampling, unicode
 # clean, audio resample, pHash dedup, portable CMS, Theil-Sen
-# trend + Mann-Kendall, CUSUM alarm), which sort as
+# trend + Mann-Kendall, CUSUM alarm, web-image ingest), which sort as
 # ordinary tier-1 entries behind these eight; the remaining ~22 seats
 # fall to tier 3 in registration order, re-seating the r1 rows with
 # the stalest evidence first.

@@ -2052,6 +2052,170 @@ def multimodal_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_web_image_ingest",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id, source,
+               list_sum(list_transform(range(32), j ->
+                   (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id // 2 AS VARCHAR)),
+                                  2 * j + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id // 2 AS VARCHAR)),
+                                  2 * j + 2, 1)) - 1)
+               )) AS ps
+        FROM documents
+    ),
+    keyed AS (
+        SELECT *, min(doc_id) OVER (PARTITION BY doc_id // 2) AS keeper
+        FROM px
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(sum(ps) AS BIGINT) AS px_sum,
+           CAST(sum(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_admitted,
+           CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_dropped
+    FROM keyed
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("multimodal", "source", "dedup"),
+)
+def pipeline_web_image_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Web IMAGE ingest capstone (the LAION shape): a WARC archive of
+    PNG resource records — binary payloads, built as distributed
+    shards exactly like the text corpus archive — scanned by member
+    ranges, every payload decoded through the engine's REAL PNG
+    pipeline, exact-duplicate images elected by payload digest, and a
+    per-source admission ledger reported. Images derive from
+    sha256(doc_id // 2) so adjacent ids are planted byte-identical
+    twins; the oracle recomputes pixel sums and the twin election
+    closed-form from the digest bytes, which means the WARC binary
+    transport (Content-Length framing over arbitrary bytes), the PNG
+    decode, and the dedup window all have to be right end to end.
+
+    Scale shape: member-range archive scan → one Arrow decode map
+    (pixels never shuffle; the 32-byte payload digest does) → digest
+    window → per-source ledger aggregate. The image twin of
+    pipeline_web_ingest."""
+    import os
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from ..sources.warc_pyds import register_warc_source
+    from .similarity import _build_once
+
+    def _build(p: str) -> None:
+        os.makedirs(p, exist_ok=True)
+
+        def write_shard(rows) -> None:
+            import hashlib
+
+            import numpy as np
+            from pyspark import TaskContext
+
+            from articulation_vector_db_api_spark.functions.pixels import (
+                encode_png,
+            )
+            from articulation_vector_db_api_spark.sources.warc import (
+                write_warc,
+            )
+
+            records = []
+            for r in rows:
+                i = int(r.doc_id)
+                digest = hashlib.sha256(str(i // 2).encode()).digest()
+                img = np.frombuffer(digest, dtype=np.uint8).reshape(8, 4)
+                records.append(
+                    (
+                        "resource",
+                        f"https://img.local/{r.source}/{i}.png",
+                        encode_png(img, filters=[0, 1, 2, 3, 4]),
+                    )
+                )
+            if records:
+                pid = TaskContext.get().partitionId()
+                write_warc(
+                    os.path.join(p, f"images-{pid:05d}.warc.gz"), records
+                )
+
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .foreachPartition(write_shard)
+        )
+
+    store = _build_once(spark, "corpus_warc_img", sf_dir, _build)
+    register_warc_source(spark)
+    staged = (
+        spark.read.format("warc_py")
+        .option("path", store)
+        .load()
+        .filter(F.col("rec_type") == "resource")
+        .select(
+            F.regexp_extract("uri", r"/(\d+)\.png$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.regexp_extract("uri", r"img\.local/([^/]+)/", 1).alias(
+                "source"
+            ),
+            F.sha2("payload", 256).alias("digest"),
+            "payload",
+        )
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("digest", T.StringType()),
+            T.StructField("ps", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.pixels import decode_pixels
+
+        for pdf in it:
+            rows = []
+            for doc_id, source, digest, payload in zip(
+                pdf["doc_id"], pdf["source"], pdf["digest"], pdf["payload"]
+            ):
+                px = decode_pixels(bytes(payload))
+                rows.append((doc_id, source, digest, int(px.sum())))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    decoded = staged.mapInPandas(batches, schema)
+    return (
+        decoded.withColumn(
+            "keeper", F.min("doc_id").over(Window.partitionBy("digest"))
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.sum("ps").cast("long").alias("px_sum"),
+            F.sum(F.when(F.col("doc_id") == F.col("keeper"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_admitted"),
+            F.sum(F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "pipeline_image_curation",
     oracle="""
     WITH px AS (

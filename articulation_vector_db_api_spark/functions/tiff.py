@@ -269,8 +269,10 @@ def decode_tiff(b: bytes) -> np.ndarray:
     planar = t.get(284, [1])[0]
     if any(v != 8 for v in bits):
         raise NotImplementedError(f"TIFF bits-per-sample {bits} (8 only)")
-    if planar != 1:
-        raise NotImplementedError("planar TIFF (PlanarConfiguration 2)")
+    if planar not in (1, 2):
+        raise ValueError(f"unknown TIFF PlanarConfiguration {planar}")
+    if planar == 2 and t.get(259, [1])[0] == 7:
+        raise NotImplementedError("planar JPEG-in-TIFF")
     if photo not in (0, 1, 2) and not (photo == 6 and comp == 7):
         raise NotImplementedError(f"TIFF photometric {photo}")
     if photo == 2 and spp < 3:
@@ -295,7 +297,10 @@ def decode_tiff(b: bytes) -> np.ndarray:
         raise NotImplementedError(f"TIFF predictor {predictor}")
     if len(offsets) != len(counts):
         raise ValueError("StripOffsets/StripByteCounts length mismatch")
-    if rps <= 0 or len(offsets) != -(-h // rps):
+    strips_per_plane = -(-h // rps) if rps > 0 else 0
+    n_planes = spp if planar == 2 else 1
+    strip_spp = 1 if planar == 2 else spp
+    if rps <= 0 or len(offsets) != strips_per_plane * n_planes:
         raise ValueError("strip count inconsistent with RowsPerStrip")
     import zlib
 
@@ -304,8 +309,11 @@ def decode_tiff(b: bytes) -> np.ndarray:
         strip = b[o : o + c]
         if len(strip) != c:
             raise ValueError("truncated TIFF strip data")
-        rows = min(rps, h - i * rps)
-        expected = rows * w * spp
+        # planar config 2: strips run channel-major — all of plane 0's
+        # row blocks, then plane 1's, ... — each carrying ONE sample
+        # per pixel
+        rows = min(rps, h - (i % strips_per_plane) * rps)
+        expected = rows * w * strip_spp
         if comp == 7:
             # new-style JPEG-in-TIFF (TechNote 2): each strip is a JPEG
             # stream; shared DQT/DHT segments may live in the
@@ -346,7 +354,7 @@ def decode_tiff(b: bytes) -> np.ndarray:
             # undo horizontal differencing: each sample accumulates
             # onto the pixel to its left, per row, per channel, mod 256
             arr = np.frombuffer(strip, dtype=np.uint8).reshape(
-                rows, w, spp
+                rows, w, strip_spp
             )
             strip = (
                 (arr.astype(np.uint64).cumsum(axis=1) & 0xFF)
@@ -354,7 +362,13 @@ def decode_tiff(b: bytes) -> np.ndarray:
                 .tobytes()
             )
         out += strip
-    px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, spp)
+    if planar == 2:
+        planes = np.frombuffer(bytes(out), dtype=np.uint8).reshape(
+            spp, h, w
+        )
+        px = np.transpose(planes, (1, 2, 0))
+    else:
+        px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, spp)
     if photo == 0:
         px = 255 - px  # WhiteIsZero → standard min-is-black intensity
     return px.copy()
@@ -367,6 +381,7 @@ def encode_tiff(
     endian: str = "<",
     predictor: int = 1,
     jpeg_shared_tables: bool = False,
+    planar: bool = False,
 ) -> bytes:
     """(h, w[, channels]) uint8 → spec-conformant TIFF 6.0 bytes.
 
@@ -397,34 +412,48 @@ def encode_tiff(
     }[compression]
     if comp == 7 and predictor == 2:
         raise ValueError("predictor 2 applies to LZW/Deflate, not JPEG")
+    if comp == 7 and planar:
+        raise ValueError("planar layout does not combine with JPEG strips")
     rps = rows_per_strip or h
-    if predictor == 2:
-        diff = px.astype(np.int16)
-        diff[:, 1:, :] -= px[:, :-1, :].astype(np.int16)
-        raw = (diff % 256).astype(np.uint8).tobytes()
-    else:
-        raw = px.tobytes()
+    # planar config 2 writes channel-major plane images, each strip
+    # carrying one sample per pixel; chunky writes the interleaved rows
+    layout = (
+        [px[:, :, ch : ch + 1] for ch in range(spp)]
+        if planar and spp > 1
+        else [px]
+    )
     strips = []
-    for top in range(0, h, rps):
-        rows = min(rps, h - top)
-        chunk = raw[top * w * spp : (top + rows) * w * spp]
-        if comp == 32773:
-            chunk = b"".join(
-                _packbits_encode_row(chunk[r * w * spp : (r + 1) * w * spp])
-                for r in range(rows)
-            )
-        elif comp == 5:
-            chunk = _lzw_encode_tiff(chunk)
-        elif comp == 8:
-            chunk = zlib.compress(chunk)
-        elif comp == 7:
-            from .jpeg import encode_jpeg_baseline
+    for plane in layout:
+        pspp = plane.shape[2]
+        if predictor == 2:
+            diff = plane.astype(np.int16)
+            diff[:, 1:, :] -= plane[:, :-1, :].astype(np.int16)
+            raw = (diff % 256).astype(np.uint8).tobytes()
+        else:
+            raw = plane.tobytes()
+        for top in range(0, h, rps):
+            rows = min(rps, h - top)
+            chunk = raw[top * w * pspp : (top + rows) * w * pspp]
+            if comp == 32773:
+                chunk = b"".join(
+                    _packbits_encode_row(
+                        chunk[r * w * pspp : (r + 1) * w * pspp]
+                    )
+                    for r in range(rows)
+                )
+            elif comp == 5:
+                chunk = _lzw_encode_tiff(chunk)
+            elif comp == 8:
+                chunk = zlib.compress(chunk)
+            elif comp == 7:
+                from .jpeg import encode_jpeg_baseline
 
-            strip_px = px[top : top + rows]
-            chunk = encode_jpeg_baseline(
-                strip_px if spp == 3 else strip_px[:, :, 0], quality=100
-            )
-        strips.append(chunk)
+                strip_px = plane[top : top + rows]
+                chunk = encode_jpeg_baseline(
+                    strip_px if spp == 3 else strip_px[:, :, 0],
+                    quality=100,
+                )
+            strips.append(chunk)
 
     jpeg_tables = b""
     if comp == 7 and jpeg_shared_tables:
@@ -448,7 +477,7 @@ def encode_tiff(
     entries.append((277, 3, 1, [spp]))
     entries.append((278, 4, 1, [rps]))
     entries.append((279, 4, len(strips), [len(s) for s in strips]))
-    entries.append((284, 3, 1, [1]))
+    entries.append((284, 3, 1, [2 if planar and spp > 1 else 1]))
     if predictor == 2:
         entries.append((317, 3, 1, [2]))
     if jpeg_tables:

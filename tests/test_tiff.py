@@ -202,3 +202,18 @@ def test_corruption_contract():
     # PackBits stream that under-delivers
     with pytest.raises(ValueError, match="PackBits expanded"):
         _packbits_decode(bytes([0x00, 0x61]), 5)
+
+
+@pytest.mark.parametrize("comp", ["none", "packbits", "lzw", "deflate"])
+@pytest.mark.parametrize("pred", [1, 2])
+def test_planar_configuration_roundtrip(comp, pred):
+    # PlanarConfiguration 2: channel-major plane strips, one sample per
+    # pixel per strip; predictor differencing runs within each plane
+    rng = np.random.default_rng(hash((comp, pred)) % 2**32)
+    px = rng.integers(0, 256, size=(17, 5, 3), dtype=np.uint8)
+    b = encode_tiff(
+        px, compression=comp, rows_per_strip=4, predictor=pred, planar=True
+    )
+    assert np.array_equal(decode_tiff(b), px)
+    with pytest.raises(ValueError, match="planar"):
+        encode_tiff(px, compression="jpeg", planar=True)

@@ -9,14 +9,16 @@ bit-identical, and the container's own MD5 (STREAMINFO) is recomputed
 on decode so any rice/predictor bit error fails integrity before it
 can fail a test.
 
-Decoder envelope: 16-bit samples, mono or stereo (independent +
-left/side + right/side + mid/side assignments; independent decode also
-covers >2 channels), constant / verbatim / fixed-order-0..4 / LPC
-subframes, partitioned Rice residuals (both 4- and 5-bit parameter
-methods, escape partitions), wasted bits, fixed and variable blocking,
-CRC-8 frame-header and CRC-16 frame checks. 8/12/20/24-bit sample
-sizes raise NotImplementedError (honest gate, same policy as
-functions/pixels.py); structural damage raises ValueError.
+Decoder envelope: 8/16/24/32-bit samples (int16 out for <=16, int32
+above; MD5 verified over the spec's bps/8-byte little-endian packing),
+mono or stereo (independent + left/side + right/side + mid/side
+assignments; independent decode also covers >2 channels), constant /
+verbatim / fixed-order-0..4 / LPC subframes, partitioned Rice
+residuals (both 4- and 5-bit parameter methods, escape partitions),
+wasted bits, fixed and variable blocking, CRC-8 frame-header and
+CRC-16 frame checks. The odd 12/20-bit depths raise
+NotImplementedError (honest gate, same policy as functions/pixels.py);
+structural damage raises ValueError.
 
 Encoder (the test-vector generator, like encode_png / encode_tiff):
 fixed-blocking frames, per-subframe choice of constant / fixed-order-k
@@ -357,8 +359,10 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
     bps = r.read(5) + 1
     total = r.read(36)
     md5 = info[18:34]
-    if bps != 16:
-        raise NotImplementedError(f"{bps}-bit FLAC (16-bit only)")
+    if bps not in (8, 16, 24, 32):
+        # 12/20-bit depths pack MD5 bytes sub-optimally and are rare;
+        # whole-byte depths cover WAV-derived, CD, and studio audio
+        raise NotImplementedError(f"{bps}-bit FLAC (8/16/24/32 only)")
     if rate == 0:
         raise ValueError("STREAMINFO sample rate 0")
 
@@ -397,8 +401,8 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
             r.read(16)
         elif rate_code == 15:
             raise ValueError("invalid FLAC sample rate code")
-        if ss_code not in (0, 4):
-            raise NotImplementedError("non-16-bit FLAC frame")
+        if ss_code not in (0, {8: 1, 16: 4, 24: 6, 32: 7}[bps]):
+            raise ValueError("frame sample size != STREAMINFO")
         header = b[fstart : r.byte_pos]
         if r.read(8) != _crc8(header):
             raise ValueError("FLAC frame header CRC-8 mismatch")
@@ -437,11 +441,21 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
         if frames
         else np.zeros((0, channels), dtype=np.int64)
     )
-    if samples.size and (samples.max() > 32767 or samples.min() < -32768):
-        raise ValueError("FLAC sample out of int16 range")
-    out = samples.astype("<i2")
+    lim = 1 << (bps - 1)
+    if samples.size and (samples.max() >= lim or samples.min() < -lim):
+        raise ValueError(f"FLAC sample out of int{bps} range")
+    out = samples.astype("<i2" if bps <= 16 else "<i4")
     if md5 != b"\x00" * 16:
-        if hashlib.md5(out.tobytes()).digest() != md5:
+        # the spec MD5 covers the samples packed into bps/8 bytes,
+        # little-endian, interleaved
+        nbytes = bps // 8
+        flat = samples.reshape(-1)
+        packed = (
+            ((flat[:, None] >> (8 * np.arange(nbytes))) & 0xFF)
+            .astype(np.uint8)
+            .tobytes()
+        )
+        if hashlib.md5(packed).digest() != md5:
             raise ValueError("FLAC MD5 signature mismatch")
     return rate, out
 
@@ -467,12 +481,26 @@ def _encode_subframe(
         if best_sum is None or cost < best_sum:
             best_order, best_sum = order, cost
     order = best_order
+    res = _fixed_residual(s, order)
+    raw_width = (
+        int(max(res.max(initial=0), -res.min(initial=0) - 1)).bit_length()
+        + 1
+    )
+    if raw_width > 31:
+        # residuals wider than the 5-bit rice-escape field (possible
+        # at 32-bit depth): verbatim is always expressible
+        w.write(0, 1)
+        w.write(1, 6)  # verbatim
+        w.write(0, 1)
+        for v in s:
+            w.write(int(v), bps)
+        return
     w.write(0, 1)
     w.write(8 + order, 6)  # fixed, order
     w.write(0, 1)  # no wasted bits
     for v in s[:order]:
         w.write(int(v), bps)
-    _write_residual(w, _fixed_residual(s, order))
+    _write_residual(w, res)
 
 
 def encode_flac(
@@ -480,26 +508,38 @@ def encode_flac(
     rate: int = 16000,
     block_size: int = 4096,
     stereo_mode: str = "independent",
+    bps: int = 16,
 ) -> bytes:
-    """MONO (n,) or stereo (n, 2) int16 → FLAC bytes. ``stereo_mode``
-    is ``"independent"`` or ``"mid-side"``. Fixed blocking, one
-    subframe strategy per channel (constant / best fixed order /
-    verbatim escape), real STREAMINFO MD5."""
-    a = np.asarray(samples, dtype=np.int16)
+    """MONO (n,) or stereo (n, 2) integer samples → FLAC bytes.
+    ``stereo_mode`` is ``"independent"`` or ``"mid-side"``; ``bps`` is
+    8/16/24/32. Fixed blocking, one subframe strategy per channel
+    (constant / best fixed order / rice-escape), real STREAMINFO MD5
+    over the spec's bps/8-byte little-endian packing."""
+    if bps not in (8, 16, 24, 32):
+        raise ValueError(f"bps must be 8/16/24/32, got {bps}")
+    a = np.asarray(samples, dtype=np.int64)
     if a.ndim == 1:
         a = a[:, None]
     n, ch = a.shape
+    lim = 1 << (bps - 1)
+    if a.size and (a.max() >= lim or a.min() < -lim):
+        raise ValueError(f"sample out of int{bps} range")
     if ch not in (1, 2):
         raise ValueError("encode_flac supports 1 or 2 channels")
     if stereo_mode not in ("independent", "mid-side"):
         raise ValueError(f"unknown stereo_mode {stereo_mode}")
     if not 16 <= block_size <= 65535:
         raise ValueError("block_size out of range")
-    md5 = hashlib.md5(a.astype("<i2").tobytes()).digest()
+    nbytes = bps // 8
+    md5 = hashlib.md5(
+        ((a.reshape(-1)[:, None] >> (8 * np.arange(nbytes))) & 0xFF)
+        .astype(np.uint8)
+        .tobytes()
+    ).digest()
 
     frames = bytearray()
     for fi, top in enumerate(range(0, n, block_size)):
-        blk = a[top : top + block_size].astype(np.int64)
+        blk = a[top : top + block_size]
         bs = len(blk)
         w = _BitWriter()
         w.write(0b11111111111110, 14)
@@ -532,7 +572,7 @@ def encode_flac(
         else:
             ch_code = 10  # mid/side
         w.write(ch_code, 4)
-        w.write(4, 3)  # 16-bit
+        w.write({8: 1, 16: 4, 24: 6, 32: 7}[bps], 3)
         w.write(0, 1)
         for byte in _coded_number_encode(fi):
             w.write(byte, 8)
@@ -546,11 +586,11 @@ def encode_flac(
         if ch_code == 10:
             mid = (blk[:, 0] + blk[:, 1]) >> 1
             side = blk[:, 0] - blk[:, 1]
-            _encode_subframe(w, mid, 16)
-            _encode_subframe(w, side, 17)
+            _encode_subframe(w, mid, bps)
+            _encode_subframe(w, side, bps + 1)
         else:
             for c in range(ch):
-                _encode_subframe(w, blk[:, c], 16)
+                _encode_subframe(w, blk[:, c], bps)
         w.align()
         frame = w.bytes()
         frames += frame + struct.pack(">H", _crc16(frame))
@@ -562,7 +602,7 @@ def encode_flac(
     si.write(0, 24)
     si.write(rate, 20)
     si.write(ch - 1, 3)
-    si.write(15, 5)  # bps - 1
+    si.write(bps - 1, 5)
     si.write(n, 36)
     si.align()
     info = si.bytes() + md5

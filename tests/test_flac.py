@@ -259,7 +259,7 @@ def test_gates_and_malformed():
     enc = bytearray(encode_flac(np.arange(50, dtype=np.int16)))
     with pytest.raises(ValueError, match="truncated"):
         decode_flac(bytes(enc[:-10]))
-    # 8-bit streaminfo → honest gate (hand-built container)
+    # 12-bit depth stays gated (whole-byte depths 8/16/24/32 decode)
     si = _BitWriter()
     si.write(16, 16)
     si.write(4096, 16)
@@ -267,15 +267,33 @@ def test_gates_and_malformed():
     si.write(0, 24)
     si.write(16000, 20)
     si.write(0, 3)
-    si.write(7, 5)  # 8-bit
+    si.write(11, 5)  # 12-bit
     si.write(10, 36)
     si.align()
     stream = (
         b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
         + si.bytes() + b"\x00" * 16
     )
-    with pytest.raises(NotImplementedError, match="8-bit FLAC"):
+    with pytest.raises(NotImplementedError, match="12-bit FLAC"):
         decode_flac(stream)
+
+
+@pytest.mark.parametrize("bps", [8, 24, 32])
+def test_roundtrip_all_whole_byte_depths(bps):
+    rng = np.random.default_rng(bps)
+    lim = 1 << (bps - 1)
+    mono = rng.integers(-lim, lim, size=700, dtype=np.int64)
+    stereo = rng.integers(-lim, lim, size=(700, 2), dtype=np.int64)
+    for s, kw in ((mono, {}), (stereo, {"stereo_mode": "mid-side"})):
+        _rate, dec = decode_flac(
+            encode_flac(s, block_size=128, bps=bps, **kw)
+        )
+        want = s if s.ndim == 2 else s[:, None]
+        # the STREAMINFO MD5 (bps/8-byte little-endian packing) is
+        # verified inside decode, so equality here is belt-and-braces
+        assert np.array_equal(dec, want)
+        assert dec.dtype == (np.dtype("<i2") if bps <= 16 else
+                             np.dtype("<i4"))
 
 
 def test_decode_partition_order_with_predictor_order():

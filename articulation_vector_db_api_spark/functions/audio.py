@@ -148,14 +148,33 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         n = len(data) // ch
         codes = np.frombuffer(data, dtype=np.uint8, count=n * ch)
         return rate, table[codes].reshape(n, ch)
-    if tag not in (1, 0xFFFE) or bits != 16:
+    if tag not in (1, 0xFFFE) or bits not in (8, 16, 24, 32):
         raise NotImplementedError(
-            f"compressed or non-16-bit WAV (tag={tag}, bits={bits}) "
+            f"compressed or non-PCM WAV (tag={tag}, bits={bits}) "
             "needs a codec library"
         )
-    n = len(data) // (2 * ch)
-    samples = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
-    return rate, samples.copy()
+    step = bits // 8
+    n = len(data) // (step * ch)
+    if bits == 8:
+        # 8-bit PCM is UNSIGNED with midpoint 128 (the one unsigned
+        # layout in the format); return raw centered amplitudes
+        u = np.frombuffer(data, dtype=np.uint8, count=n * ch)
+        samples = (u.astype(np.int16) - 128).reshape(n, ch)
+    elif bits == 16:
+        samples = np.frombuffer(
+            data, dtype="<i2", count=n * ch
+        ).reshape(n, ch).copy()
+    elif bits == 24:
+        raw = np.frombuffer(
+            data, dtype=np.uint8, count=n * ch * 3
+        ).reshape(-1, 3).astype(np.int32)
+        v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        samples = np.where(v & 0x800000, v - (1 << 24), v).reshape(n, ch)
+    else:
+        samples = np.frombuffer(
+            data, dtype="<i4", count=n * ch
+        ).reshape(n, ch).copy()
+    return rate, samples
 
 
 def frame_energies(

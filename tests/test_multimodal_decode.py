@@ -882,3 +882,45 @@ def test_g711_expansion_tables_and_wav_plumbing():
     bad[34:36] = (16).to_bytes(2, "little")  # bits-per-sample field
     with _pytest.raises(ValueError, match="must be 8"):
         decode_wav(bytes(bad))
+
+
+def test_wav_pcm_all_whole_byte_depths():
+    """8/24/32-bit PCM WAV decode: hand-built headers, exact values."""
+    import struct as _struct
+
+    import numpy as np
+
+    from articulation_vector_db_api_spark.functions.audio import decode_wav
+
+    def wav(tag, ch, rate, bits, data):
+        fmt = _struct.pack(
+            "<HHIIHH", tag, ch, rate, rate * ch * bits // 8,
+            ch * bits // 8, bits,
+        )
+        return (
+            b"RIFF" + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", len(data)) + data
+        )
+
+    # 8-bit: unsigned with midpoint 128 → centered raw amplitudes
+    r, s = decode_wav(wav(1, 1, 8000, 8, bytes([0, 128, 255, 200])))
+    assert r == 8000 and s[:, 0].tolist() == [-128, 0, 127, 72]
+    # 24-bit: 3-byte little-endian signed, stereo interleaved
+    vals = [-(1 << 23), (1 << 23) - 1, -1, 123456]
+    data = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+    )
+    _r, s = decode_wav(wav(1, 2, 48000, 24, data))
+    assert s.reshape(-1).tolist() == vals
+    # 32-bit PCM
+    vals32 = [-(1 << 31), (1 << 31) - 1, 7, -7]
+    _r, s = decode_wav(
+        wav(1, 1, 44100, 32, np.array(vals32, dtype="<i4").tobytes())
+    )
+    assert s[:, 0].tolist() == vals32
+    # float WAV stays gated
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_wav(wav(3, 1, 8000, 32, b"\x00" * 8))

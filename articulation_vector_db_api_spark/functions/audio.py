@@ -131,13 +131,9 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         if len(fmt_body) < 20:
             raise ValueError("IMA ADPCM fmt chunk missing samples/block")
         (spb,) = struct.unpack_from("<H", fmt_body, 18)
-        n_blocks = (len(data) + align - 1) // align
-        n_frames = (
-            fact_frames
-            if fact_frames is not None
-            else n_blocks * spb
-        )
-        samples = decode_adpcm_ima(data, align, spb, n_frames)
+        # fact absent → decode everything present; a short final
+        # block (legal) yields its actual capacity, not spb
+        samples = decode_adpcm_ima(data, align, spb, fact_frames)
         return rate, samples.reshape(-1, 1)
     if tag in (6, 7):
         # G.711 A-law / μ-law: 8-bit companded codes expand through
@@ -299,11 +295,17 @@ def encode_adpcm_ima(samples: np.ndarray, rate: int = 16000,
 
 
 def decode_adpcm_ima(
-    data: bytes, block_align: int, samples_per_block: int, n_frames: int
+    data: bytes,
+    block_align: int,
+    samples_per_block: int,
+    n_frames: int | None,
 ) -> np.ndarray:
-    """Decode mono IMA-ADPCM 'data' chunk payload -> int16 samples
-    (first n_frames)."""
-    out = []
+    """Decode mono IMA-ADPCM 'data' chunk payload -> int16 samples.
+
+    n_frames comes from the fact chunk; None (fact absent) returns
+    every decodable sample — a legal short final block then simply
+    yields fewer than samples_per_block samples instead of failing."""
+    out: list[int] = []
     if block_align < 5 or samples_per_block < 3:
         raise ValueError("bad IMA ADPCM block geometry")
     for start in range(0, len(data), block_align):
@@ -313,11 +315,15 @@ def decode_adpcm_ima(
         predictor, index, _rsvd = struct.unpack_from("<hBB", blk, 0)
         if index > 88:
             raise ValueError(f"bad IMA ADPCM step index {index}")
-        out.append(predictor)
+        decoded = [predictor]
         for byte in blk[4:]:
             for nibble in (byte & 0x0F, byte >> 4):
                 predictor, index = _ima_step(predictor, index, nibble)
-                out.append(predictor)
+                decoded.append(predictor)
+        # padding nibbles past samples_per_block never enter the stream
+        out.extend(decoded[:samples_per_block])
+    if n_frames is None:
+        n_frames = len(out)
     if len(out) < n_frames:
         raise ValueError("IMA ADPCM payload shorter than fact frame count")
     return np.asarray(out[:n_frames], dtype=np.int16)

@@ -368,7 +368,11 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
 
     frames: list[np.ndarray] = []
     got = 0
-    while got < total:
+    # STREAMINFO total_samples == 0 is the spec's legal "unknown"
+    # (RFC 9639 §8.2 — common for piped/streamed FLAC): decode frames
+    # until end-of-stream instead of by sample count.
+    unknown_total = total == 0
+    while (pos < len(b)) if unknown_total else (got < total):
         fstart = pos
         r = _BitReader(b, pos)
         if r.read(14) != 0b11111111111110:
@@ -433,7 +437,7 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
         if r.read(16) != _crc16(frame_bytes):
             raise ValueError("FLAC frame CRC-16 mismatch")
         pos = r.byte_pos
-        take = min(blocksize, total - got)
+        take = blocksize if unknown_total else min(blocksize, total - got)
         frames.append(np.stack([c[:take] for c in chans], axis=1))
         got += take
     samples = (

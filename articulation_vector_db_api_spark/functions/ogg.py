@@ -106,13 +106,14 @@ def parse_ogg(payload: bytes) -> dict:
         (pre_skip,) = struct.unpack_from("<H", first, 10)
         (input_rate,) = struct.unpack_from("<I", first, 12)
         samples = max(0, (last_granule or 0) - pre_skip)
-        if samples % 48:
-            raise ValueError("Opus granule not on a ms boundary")
         return {
             "codec": "opus",
             "channels": channels,
             "sample_rate": input_rate,
-            "duration_ms": samples // 48,  # granules are 48 kHz
+            # Granules are 48 kHz; RFC 6716 frames (e.g. 2.5 ms = 120
+            # samples) legally end off ms boundaries, so round rather
+            # than reject.
+            "duration_ms": (samples + 24) // 48,
             "n_pages": n_pages,
         }
     if first[:7] == b"\x01vorbis":
@@ -124,13 +125,13 @@ def parse_ogg(payload: bytes) -> dict:
         if rate == 0:
             raise ValueError("Vorbis rate 0")
         samples = last_granule or 0
-        if (samples * 1000) % rate:
-            raise ValueError("Vorbis granule not on a ms boundary")
         return {
             "codec": "vorbis",
             "channels": channels,
             "sample_rate": rate,
-            "duration_ms": samples * 1000 // rate,
+            # Vorbis streams routinely end off ms boundaries (any
+            # sample count is legal) — round, never reject.
+            "duration_ms": (samples * 1000 + rate // 2) // rate,
             "n_pages": n_pages,
         }
     raise NotImplementedError("unrecognized Ogg codec (Opus/Vorbis only)")

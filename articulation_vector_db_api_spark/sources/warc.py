@@ -77,7 +77,17 @@ def _parse_record(record: bytes) -> dict:
     if head_end < 0:
         raise ValueError("unterminated WARC header block")
     headers: dict[str, str] = {}
-    for line in record[nl + 2 : head_end].split(b"\r\n"):
+    # ISO 28500 §4 permits folded named fields: a line starting with
+    # SP/HT continues the previous header value — join before splitting
+    lines: list[bytes] = []
+    for raw_line in record[nl + 2 : head_end].split(b"\r\n"):
+        if raw_line[:1] in (b" ", b"\t"):
+            if not lines:
+                raise ValueError("WARC continuation line before any header")
+            lines[-1] += b" " + raw_line.strip()
+        else:
+            lines.append(raw_line)
+    for line in lines:
         k, _, v = line.partition(b":")
         if not _:
             raise ValueError(f"malformed WARC header line {line!r}")

@@ -153,3 +153,30 @@ def test_ebml_float32_duration_and_scale():
     )
     meta = parse_ebml(header + _el(_SEGMENT, info))
     assert meta["duration_ms"] == 100  # 50 ticks x 2 ms
+
+
+def test_ogg_opus_off_ms_granule_rounds():
+    # 2.5 ms Opus frames (120 samples) are legal RFC 6716 sizes, so
+    # final granules need not land on ms boundaries — the probe must
+    # round, never reject (ADVICE r7)
+    from articulation_vector_db_api_spark.functions.ogg import _page
+
+    head = b"OpusHead" + bytes([1, 1]) + struct.pack("<HIhB", 0, 48000, 0, 0)
+    stream = _page(head, 0, 9, 0, 0x02) + _page(b"\xfc" * 8, 120, 9, 1, 0x04)
+    assert parse_ogg(stream)["duration_ms"] == 3  # round(120/48) = 2.5 -> 3
+
+
+def test_ogg_vorbis_off_ms_granule_rounds():
+    # 44101 samples at 44.1 kHz ends 1/44100 s past the second — real
+    # Vorbis files almost always end off ms boundaries (ADVICE r7)
+    from articulation_vector_db_api_spark.functions.ogg import _page
+
+    ident = (
+        b"\x01vorbis"
+        + struct.pack("<IB I i i i", 0, 1, 44100, 0, 0, 0)
+        + bytes([0xB8, 0x01])
+    )
+    stream = (
+        _page(ident, 0, 7, 0, 0x02) + _page(b"\x00" * 8, 44101, 7, 1, 0x04)
+    )
+    assert parse_ogg(stream)["duration_ms"] == 1000

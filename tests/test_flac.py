@@ -319,3 +319,18 @@ def test_decode_partition_order_with_predictor_order():
     stream = _container(_finish(w), len(vals), 1)
     _rate, dec = decode_flac(stream)
     assert np.array_equal(dec[:, 0], vals)
+
+
+def test_unknown_total_samples_decodes_to_eos():
+    """STREAMINFO total_samples == 0 is the spec's legal 'unknown'
+    value (piped/streamed FLAC): decode must run frame-by-frame to
+    end-of-stream, then MD5-check what was decoded (ADVICE r7)."""
+    samples = np.arange(-500, 500, 3).astype(np.int16)
+    enc = bytearray(encode_flac(samples, rate=16000, block_size=256))
+    # total_samples is the 36 bits at STREAMINFO bit offset 108; the
+    # block body starts at stream byte 8, so bytes 21 (low nibble) + 22-25
+    enc[21] &= 0xF0
+    enc[22:26] = b"\x00" * 4
+    rate, dec = decode_flac(bytes(enc))
+    assert rate == 16000
+    assert np.array_equal(dec, samples.astype(np.int16)[:, None])

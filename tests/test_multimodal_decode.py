@@ -924,3 +924,39 @@ def test_wav_pcm_all_whole_byte_depths():
 
     with _pytest.raises(NotImplementedError):
         decode_wav(wav(3, 1, 8000, 32, b"\x00" * 8))
+
+
+def test_adpcm_ima_no_fact_short_final_block():
+    """A fact-less IMA-ADPCM WAV whose final block is shorter than
+    block_align (legal — samples need not fill the last block) decodes
+    every stored sample instead of raising (ADVICE r7)."""
+    import struct
+
+    import numpy as np
+
+    from articulation_vector_db_api_spark.functions.audio import (
+        decode_wav,
+        encode_adpcm_ima,
+    )
+
+    spb = 9  # -> block_align = 8
+    sig = np.repeat([100, -200, 300], spb).astype(np.int16)
+    wav = bytes(encode_adpcm_ima(sig, samples_per_block=spb))
+    # deterministic layout: RIFF(12) | fmt hdr(8)+body(20) | fact(8+4) | data
+    assert wav[12:16] == b"fmt " and wav[40:44] == b"fact"
+    assert wav[52:56] == b"data"
+    fmt_chunk, data = wav[12:40], wav[60:]
+    trunc = data[:-2]  # final block loses 2 bytes = 4 nibble samples
+    no_fact = (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(fmt_chunk) + 8 + len(trunc))
+        + b"WAVE"
+        + fmt_chunk
+        + b"data"
+        + struct.pack("<I", len(trunc))
+        + trunc
+    )
+    rate, dec = decode_wav(no_fact)
+    assert rate == 16000
+    assert len(dec) == 2 * spb + 5  # full, full, short(1 header + 4 nibbles)
+    assert np.array_equal(dec[:, 0], sig[: len(dec)])

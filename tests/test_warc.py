@@ -109,3 +109,33 @@ def test_spark_scan_partitions_track_bytes_not_records(spark, tmp_path):
         "sum(length(payload)) v"
     ).first().v
     assert total == sum(len(p) for _, _, p in _records(7))
+
+
+def test_folded_header_continuation():
+    """ISO 28500 §4 permits folded named fields (continuation lines
+    starting with SP/HT) — e.g. a long WARC-Target-URI split across
+    lines must parse as one value, not reject the record (ADVICE r7)."""
+    from articulation_vector_db_api_spark.sources.warc import _parse_record
+
+    payload = b"hello folded world"
+    record = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x.test/very/\r\n"
+        b"\tlong/path?q=1\r\n"
+        b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+        b"\r\n" + payload + b"\r\n\r\n"
+    )
+    got = _parse_record(record)
+    assert got["uri"] == "https://x.test/very/ long/path?q=1"
+    assert got["payload"] == payload
+    # a continuation with no preceding header is still malformed
+    import pytest as _pytest
+
+    bad = (
+        b"WARC/1.0\r\n"
+        b" orphan continuation\r\n"
+        b"Content-Length: 0\r\n\r\n\r\n\r\n"
+    )
+    with _pytest.raises(ValueError, match="continuation"):
+        _parse_record(bad)

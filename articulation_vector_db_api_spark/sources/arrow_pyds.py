@@ -55,7 +55,66 @@ def _ddl_type(t) -> str:
         return "DATE"
     if pa.types.is_timestamp(t) and t.tz is None:
         return "TIMESTAMP_NTZ"
+    # Nested types map recursively — list<float> is how embeddings ship
+    # in Arrow/Feather interchange files, so these ride the same
+    # zero-parse memory-mapped path as the primitives. fixed_size_list
+    # (the tensor-ish layout FixedSizeList embeddings use) and the
+    # large_* offsets variants all collapse to the one Spark type.
+    if (
+        pa.types.is_list(t)
+        or pa.types.is_large_list(t)
+        or pa.types.is_fixed_size_list(t)
+    ):
+        return f"ARRAY<{_ddl_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        fields = ", ".join(
+            f"`{t.field(i).name}`: {_ddl_type(t.field(i).type)}"
+            for i in range(t.num_fields)
+        )
+        return f"STRUCT<{fields}>"
+    if pa.types.is_map(t):
+        return f"MAP<{_ddl_type(t.key_type)}, {_ddl_type(t.item_type)}>"
     raise ValueError(f"arrow_ipc: unsupported Arrow type {t}")
+
+
+def _canonical_type(t):
+    """The Spark-channel-compatible twin of an Arrow type: Spark's
+    Arrow bridge takes list/string/binary but not the fixed-size or
+    64-bit-offset variants, so those collapse to the canonical layout
+    (recursively). Returns t itself when nothing needs to change, so
+    an already-canonical batch is yielded zero-copy."""
+    import pyarrow as pa
+
+    if (
+        pa.types.is_list(t)
+        or pa.types.is_large_list(t)
+        or pa.types.is_fixed_size_list(t)
+    ):
+        return pa.list_(_canonical_type(t.value_type))
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_large_binary(t):
+        return pa.binary()
+    if pa.types.is_struct(t):
+        return pa.struct(
+            [
+                pa.field(t.field(i).name, _canonical_type(t.field(i).type))
+                for i in range(t.num_fields)
+            ]
+        )
+    if pa.types.is_map(t):
+        return pa.map_(
+            _canonical_type(t.key_type), _canonical_type(t.item_type)
+        )
+    return t
+
+
+def _canonical_schema(sch):
+    import pyarrow as pa
+
+    return pa.schema(
+        [pa.field(f.name, _canonical_type(f.type)) for f in sch]
+    )
 
 
 def _ipc_files(path: str) -> list[str]:
@@ -105,7 +164,21 @@ class _ArrowIpcReader(DataSourceReader):
         import pyarrow as pa
 
         with pa.memory_map(partition.path, "r") as src:
-            yield pa.ipc.open_file(src).get_batch(partition.index)
+            batch = pa.ipc.open_file(src).get_batch(partition.index)
+        target = _canonical_schema(batch.schema)
+        if target != batch.schema:
+            # fixed_size_list / large_* layouts re-materialize as the
+            # canonical layout the JVM bridge accepts; canonical files
+            # skip this branch and stay zero-copy off the memory map
+            batch = (
+                pa.Table.from_batches([batch])
+                .cast(target)
+                .combine_chunks()
+                .to_batches()
+            )
+            yield from batch
+            return
+        yield batch
 
 
 class ArrowIpcDataSource(DataSource):

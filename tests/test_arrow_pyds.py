@@ -77,9 +77,93 @@ def test_type_map_gates_unsupported():
     assert _ddl_type(pa.large_string()) == "STRING"
     assert _ddl_type(pa.timestamp("us")) == "TIMESTAMP_NTZ"
     with pytest.raises(ValueError, match="unsupported Arrow type"):
-        _ddl_type(pa.list_(pa.int64()))
-    with pytest.raises(ValueError, match="unsupported Arrow type"):
         _ddl_type(pa.timestamp("us", tz="UTC"))
+
+
+def test_type_map_nested():
+    # nested types map recursively — list<float32> is how embeddings
+    # ship in Feather interchange files (VERDICT r7 item 1)
+    assert _ddl_type(pa.list_(pa.float32())) == "ARRAY<FLOAT>"
+    assert _ddl_type(pa.large_list(pa.int64())) == "ARRAY<BIGINT>"
+    assert _ddl_type(pa.list_(pa.float32(), 64)) == "ARRAY<FLOAT>"
+    assert (
+        _ddl_type(pa.struct([("a", pa.int32()), ("b", pa.string())]))
+        == "STRUCT<`a`: INT, `b`: STRING>"
+    )
+    assert _ddl_type(pa.map_(pa.string(), pa.int64())) == "MAP<STRING, BIGINT>"
+    assert (
+        _ddl_type(pa.list_(pa.struct([("x", pa.list_(pa.float64()))])))
+        == "ARRAY<STRUCT<`x`: ARRAY<DOUBLE>>>"
+    )
+    with pytest.raises(ValueError, match="unsupported Arrow type"):
+        _ddl_type(pa.list_(pa.timestamp("us", tz="UTC")))  # gate recurses
+
+
+def test_nested_columns_roundtrip(spark, tmp_path):
+    """list / fixed_size_list / large_list / struct / map columns all
+    scan back value-exact; the fixed-size and large-offset layouts
+    re-materialize to the canonical layout the JVM bridge accepts
+    (sources/arrow_pyds.py:_canonical_type)."""
+    emb = pa.array([[1.0, 2.0], [3.0, 4.0], None], pa.list_(pa.float32()))
+    fsl = pa.array(
+        [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], pa.list_(pa.float32(), 2)
+    )
+    st = pa.array(
+        [{"a": 1, "b": "x"}, {"a": 2, "b": None}, None],
+        pa.struct([("a", pa.int32()), ("b", pa.string())]),
+    )
+    mp = pa.array([[("k", 1)], [], None], pa.map_(pa.string(), pa.int64()))
+    ll = pa.array([[10, 20], [30], None], pa.large_list(pa.int64()))
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "emb": emb,
+            "fsl": fsl,
+            "st": st,
+            "mp": mp,
+            "ll": ll,
+        }
+    )
+    p = str(tmp_path / "nested.arrow")
+    _write(p, tbl, chunk=2)
+    register_arrow_source(spark)
+    rows = (
+        spark.read.format("arrow_ipc")
+        .option("path", p)
+        .load()
+        .orderBy("id")
+        .collect()
+    )
+    assert [r.emb for r in rows] == [[1.0, 2.0], [3.0, 4.0], None]
+    assert [r.fsl for r in rows] == [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]
+    assert [r.st and (r.st.a, r.st.b) for r in rows] == [
+        (1, "x"),
+        (2, None),
+        None,
+    ]
+    assert [r.mp for r in rows] == [{"k": 1}, {}, None]
+    assert [r.ll for r in rows] == [[10, 20], [30], None]
+
+
+def test_canonical_schema_identity_is_zero_copy():
+    # an already-canonical schema returns the SAME objects, so the
+    # reader's cast branch is provably skipped for canonical files
+    from articulation_vector_db_api_spark.sources.arrow_pyds import (
+        _canonical_schema,
+    )
+
+    sch = pa.schema(
+        [
+            pa.field("id", pa.int64()),
+            pa.field("emb", pa.list_(pa.float32())),
+            pa.field("st", pa.struct([("a", pa.int32())])),
+        ]
+    )
+    assert _canonical_schema(sch) == sch
+    fixed = pa.schema([pa.field("e", pa.list_(pa.float32(), 4))])
+    assert _canonical_schema(fixed) == pa.schema(
+        [pa.field("e", pa.list_(pa.float32()))]
+    )
 
 
 def test_missing_path_and_empty_dir(tmp_path):

@@ -862,7 +862,8 @@ def main() -> int:
             "decides 100 TB viability: pushdown + pruning reach the scan,\n"
             "dimension joins broadcast, fact joins sort-merge, top-k avoids\n"
             "global sorts, aggregates are partial+final. Additionally\n"
-            "`--sweep` audits EVERY registered query (290/290 clean) for\n"
+            f"`--sweep` audits EVERY registered query ({len(registry)} "
+            f"registered) for\n"
             "nodes forbidden engine-wide: CartesianProduct and pickled\n"
             "BatchEvalPython.\n\n"
             "**Broadcast-hint audit (r6):** every `F.broadcast` site in\n"

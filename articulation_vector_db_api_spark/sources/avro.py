@@ -11,11 +11,13 @@ codecs — and `sources/avro_pyds.py` exposes it through Spark 4's
 Python DataSource API, so `spark.read.format(...)` works end-to-end
 with per-BLOCK parallelism.
 
-Supported schema subset (the tabular slice a lakehouse actually
-lands): records of null/boolean/int/long/float/double/bytes/string
-and their ["null", T] union (nullable) forms. Nested records, arrays,
-maps, enums, and fixed raise NotImplementedError — honest gates, same
-policy as the codec stack.
+Supported schema subset: records over the full recursive type algebra
+real event logs use — primitives (null/boolean/int/long/float/double/
+bytes/string), nested records, arrays, maps, enums, fixed, and the
+["null", T] union (nullable) form at any depth. Still gated honestly:
+named-type REFERENCES (a string naming an earlier record — requires a
+resolution table), multi-branch unions beyond [null, T], and
+non-null/deflate codecs raise NotImplementedError.
 
 EXCEPTION CONTRACT: ValueError for malformed containers,
 NotImplementedError for out-of-subset schemas; struct/zlib errors are
@@ -83,79 +85,222 @@ def _read_bytes(buf: io.BytesIO) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# schema handling (flat records over primitives, nullable unions)
+# schema handling — recursive type trees
+#
+# A type tree is a tuple tagged by kind:
+#   ("prim", name)                       primitive
+#   ("union_null", tree)                 ["null", T] nullable wrapper
+#   ("record", ((field_name, tree),...)) nested record
+#   ("array", item_tree)
+#   ("map", value_tree)                  keys are always Avro strings
+#   ("enum", (symbol, ...))
+#   ("fixed", size)
 # ---------------------------------------------------------------------------
 
 _PRIMITIVES = ("null", "boolean", "int", "long", "float", "double",
                "bytes", "string")
 
 
-def _field_type(t) -> tuple[str, bool]:
-    """Avro field type -> (primitive_name, nullable). Only the flat
-    subset; anything else raises NotImplementedError."""
+def _parse_type(t) -> tuple:
+    """Avro schema fragment -> type tree (recursive); out-of-subset
+    shapes raise NotImplementedError."""
     if isinstance(t, str):
         if t in _PRIMITIVES:
-            return t, t == "null"
-        raise NotImplementedError(f"Avro type {t!r} outside the flat subset")
+            return ("prim", t)
+        raise NotImplementedError(
+            f"Avro named-type reference {t!r} (inline definitions only)"
+        )
     if isinstance(t, list):  # union
         non_null = [x for x in t if x != "null"]
-        if len(non_null) != 1 or not isinstance(non_null[0], str):
+        if len(t) != len(non_null) + 1 or len(non_null) != 1:
             raise NotImplementedError(f"Avro union {t!r} beyond [null, T]")
-        prim, _ = _field_type(non_null[0])
-        return prim, True
-    raise NotImplementedError(f"complex Avro type {t!r} (record/array/map)")
+        return ("union_null", _parse_type(non_null[0]))
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "record":
+            return (
+                "record",
+                tuple(
+                    (f["name"], _parse_type(f["type"])) for f in t["fields"]
+                ),
+            )
+        if kind == "array":
+            return ("array", _parse_type(t["items"]))
+        if kind == "map":
+            return ("map", _parse_type(t["values"]))
+        if kind == "enum":
+            symbols = tuple(t["symbols"])
+            if not symbols:
+                raise ValueError("Avro enum with no symbols")
+            return ("enum", symbols)
+        if kind == "fixed":
+            size = int(t["size"])
+            if size < 0:
+                raise ValueError("negative Avro fixed size")
+            return ("fixed", size)
+        if isinstance(kind, str) and kind in _PRIMITIVES:
+            return ("prim", kind)  # the {"type": "long"} wrapper form
+        if isinstance(kind, (list, dict)):
+            return _parse_type(kind)
+        raise NotImplementedError(f"complex Avro type {t!r}")
+    raise NotImplementedError(f"complex Avro type {t!r}")
 
 
-def parse_schema(schema_json: str) -> list[tuple[str, str, bool]]:
-    """schema JSON -> [(field_name, primitive, nullable)]."""
+def parse_schema(schema_json: str) -> list[tuple[str, tuple, bool]]:
+    """schema JSON -> [(field_name, type_tree, nullable)]. The tree
+    already includes the union_null wrapper when nullable."""
     sch = json.loads(schema_json)
     if not isinstance(sch, dict) or sch.get("type") != "record":
         raise NotImplementedError("top-level Avro schema must be a record")
     out = []
     for f in sch["fields"]:
-        prim, nullable = _field_type(f["type"])
-        out.append((f["name"], prim, nullable))
+        tree = _parse_type(f["type"])
+        nullable = tree[0] == "union_null" or tree == ("prim", "null")
+        out.append((f["name"], tree, nullable))
     return out
 
 
-def _read_value(buf: io.BytesIO, prim: str):
-    if prim == "null":
-        return None
-    if prim == "boolean":
-        raw = buf.read(1)
-        if not raw:
-            raise ValueError("truncated Avro boolean")
-        return raw[0] != 0
-    if prim in ("int", "long"):
-        return _read_long(buf)
-    if prim == "float":
-        return struct.unpack("<f", buf.read(4))[0]
-    if prim == "double":
-        return struct.unpack("<d", buf.read(8))[0]
-    if prim == "bytes":
-        return _read_bytes(buf)
-    if prim == "string":
-        return _read_bytes(buf).decode("utf-8")
-    raise NotImplementedError(f"Avro primitive {prim!r}")
+def _read_value(buf: io.BytesIO, tree: tuple):
+    kind, arg = tree
+    if kind == "prim":
+        if arg == "null":
+            return None
+        if arg == "boolean":
+            raw = buf.read(1)
+            if not raw:
+                raise ValueError("truncated Avro boolean")
+            return raw[0] != 0
+        if arg in ("int", "long"):
+            return _read_long(buf)
+        if arg == "float":
+            raw = buf.read(4)
+            if len(raw) != 4:
+                raise ValueError("truncated Avro float")
+            return struct.unpack("<f", raw)[0]
+        if arg == "double":
+            raw = buf.read(8)
+            if len(raw) != 8:
+                raise ValueError("truncated Avro double")
+            return struct.unpack("<d", raw)[0]
+        if arg == "bytes":
+            return _read_bytes(buf)
+        if arg == "string":
+            return _read_bytes(buf).decode("utf-8")
+        raise NotImplementedError(f"Avro primitive {arg!r}")
+    if kind == "union_null":
+        branch = _read_long(buf)
+        if branch == 0:
+            return None
+        if branch != 1:
+            raise ValueError(f"bad Avro union branch {branch}")
+        return _read_value(buf, arg)
+    if kind == "record":
+        return tuple(_read_value(buf, t) for _name, t in arg)
+    if kind == "array":
+        out = []
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:  # negative count prefixes a block byte size
+                n = -n
+                _read_long(buf)
+            for _ in range(n):
+                out.append(_read_value(buf, arg))
+    if kind == "map":
+        out = {}
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                _read_long(buf)
+            for _ in range(n):
+                key = _read_bytes(buf).decode("utf-8")
+                out[key] = _read_value(buf, arg)
+    if kind == "enum":
+        idx = _read_long(buf)
+        if not 0 <= idx < len(arg):
+            raise ValueError(f"Avro enum index {idx} out of range")
+        return arg[idx]
+    if kind == "fixed":
+        raw = buf.read(arg)
+        if len(raw) != arg:
+            raise ValueError("truncated Avro fixed")
+        return raw
+    raise NotImplementedError(f"Avro type kind {kind!r}")
 
 
-def _write_value(out: bytearray, prim: str, v) -> None:
-    if prim == "null":
+def _write_value(out: bytearray, tree: tuple, v) -> None:
+    kind, arg = tree
+    if kind == "prim":
+        if arg == "null":
+            return
+        if arg == "boolean":
+            out.append(1 if v else 0)
+        elif arg in ("int", "long"):
+            _write_long(out, int(v))
+        elif arg == "float":
+            out += struct.pack("<f", float(v))
+        elif arg == "double":
+            out += struct.pack("<d", float(v))
+        elif arg == "bytes":
+            _write_bytes(out, bytes(v))
+        elif arg == "string":
+            _write_bytes(out, str(v).encode("utf-8"))
+        else:
+            raise NotImplementedError(f"Avro primitive {arg!r}")
         return
-    if prim == "boolean":
-        out.append(1 if v else 0)
-    elif prim in ("int", "long"):
-        _write_long(out, int(v))
-    elif prim == "float":
-        out += struct.pack("<f", float(v))
-    elif prim == "double":
-        out += struct.pack("<d", float(v))
-    elif prim == "bytes":
-        _write_bytes(out, bytes(v))
-    elif prim == "string":
-        _write_bytes(out, str(v).encode("utf-8"))
-    else:
-        raise NotImplementedError(f"Avro primitive {prim!r}")
+    if kind == "union_null":
+        if v is None:
+            _write_long(out, 0)
+            return
+        _write_long(out, 1)
+        _write_value(out, arg, v)
+        return
+    if kind == "record":
+        vals = (
+            [v.get(name) for name, _t in arg] if isinstance(v, dict) else v
+        )
+        if len(vals) != len(arg):
+            raise ValueError(
+                f"record value arity {len(vals)} != schema {len(arg)}"
+            )
+        for (name, t), item in zip(arg, vals):
+            if item is None and t[0] not in ("union_null", "prim"):
+                raise ValueError(f"null in non-nullable Avro field {name}")
+            _write_value(out, t, item)
+        return
+    if kind == "array":
+        if v:
+            _write_long(out, len(v))
+            for item in v:
+                _write_value(out, arg, item)
+        _write_long(out, 0)
+        return
+    if kind == "map":
+        items = sorted(v.items()) if isinstance(v, dict) else list(v)
+        if items:
+            _write_long(out, len(items))
+            for key, item in items:
+                _write_bytes(out, str(key).encode("utf-8"))
+                _write_value(out, arg, item)
+        _write_long(out, 0)
+        return
+    if kind == "enum":
+        idx = arg.index(v) if v in arg else (-1 if isinstance(v, str) else int(v))
+        if not 0 <= idx < len(arg):
+            raise ValueError(f"Avro enum value {v!r} not in symbols")
+        _write_long(out, idx)
+        return
+    if kind == "fixed":
+        raw = bytes(v)
+        if len(raw) != arg:
+            raise ValueError(f"Avro fixed value length {len(raw)} != {arg}")
+        out += raw
+        return
+    raise NotImplementedError(f"Avro type kind {kind!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -242,18 +387,7 @@ def read_block(path: str, offset: int):
             raise ValueError(f"corrupt Avro deflate block: {exc}") from exc
     bio = io.BytesIO(payload)
     for _ in range(n_rec):
-        row = []
-        for _name, prim, nullable in fields:
-            p = prim
-            if nullable:
-                branch = _read_long(bio)
-                if branch == 0:
-                    row.append(None)
-                    continue
-                if branch != 1:
-                    raise ValueError(f"bad Avro union branch {branch}")
-            row.append(_read_value(bio, p))
-        yield tuple(row)
+        yield tuple(_read_value(bio, tree) for _name, tree, _n in fields)
 
 
 def write_container(
@@ -301,15 +435,10 @@ def write_container(
         n_in_block = 0
 
     for row in rows:
-        for (name, prim, nullable), v in zip(fields, row):
-            if nullable:
-                if v is None:
-                    _write_long(block, 0)
-                    continue
-                _write_long(block, 1)
-            elif v is None:
+        for (name, tree, nullable), v in zip(fields, row):
+            if v is None and not nullable:
                 raise ValueError(f"null in non-nullable Avro field {name}")
-            _write_value(block, prim, v)
+            _write_value(block, tree, v)
         n_in_block += 1
         if n_in_block >= records_per_block:
             flush()

@@ -33,6 +33,33 @@ _SPARK_TYPES = {
 }
 
 
+def _ddl_type(tree: tuple) -> str:
+    """Avro type tree (sources/avro.py) -> Spark DDL, recursively:
+    record -> STRUCT, array -> ARRAY, map -> MAP<STRING, V> (Avro map
+    keys are always strings), enum -> STRING, fixed -> BINARY."""
+    kind, arg = tree
+    if kind == "prim":
+        if arg == "null":
+            raise ValueError("Avro null-typed column has no Spark type")
+        return _SPARK_TYPES[arg]
+    if kind == "union_null":
+        return _ddl_type(arg)
+    if kind == "record":
+        fields = ", ".join(
+            f"`{name}`: {_ddl_type(t)}" for name, t in arg
+        )
+        return f"STRUCT<{fields}>"
+    if kind == "array":
+        return f"ARRAY<{_ddl_type(arg)}>"
+    if kind == "map":
+        return f"MAP<STRING, {_ddl_type(arg)}>"
+    if kind == "enum":
+        return "STRING"
+    if kind == "fixed":
+        return "BINARY"
+    raise NotImplementedError(f"Avro type kind {kind!r}")
+
+
 @dataclass
 class _BlockPartition(InputPartition):
     path: str
@@ -98,10 +125,11 @@ class AvroContainerDataSource(DataSource):
             probe = os.path.join(path, files[0])
         fields, _codec, _sync, _pos = read_header(probe)
         cols = []
-        for name, prim, _nullable in fields:
-            if prim == "null":
-                raise ValueError(f"column {name} is Avro null-typed")
-            cols.append(f"{name} {_SPARK_TYPES[prim]}")
+        for name, tree, _nullable in fields:
+            try:
+                cols.append(f"{name} {_ddl_type(tree)}")
+            except ValueError as exc:
+                raise ValueError(f"column {name}: {exc}") from exc
         return ", ".join(cols)
 
     def reader(self, schema) -> DataSourceReader:

@@ -66,11 +66,11 @@ def test_zigzag_extremes(tmp_path):
 def test_schema_gates():
     with pytest.raises(NotImplementedError, match="record"):
         parse_schema(json.dumps({"type": "array", "items": "long"}))
-    with pytest.raises(NotImplementedError, match="complex"):
+    with pytest.raises(NotImplementedError, match="named-type"):
         parse_schema(
             json.dumps(
                 {"type": "record", "name": "r", "fields": [
-                    {"name": "m", "type": {"type": "map", "values": "long"}}
+                    {"name": "x", "type": "SomeEarlierRecord"}
                 ]}
             )
         )
@@ -81,6 +81,112 @@ def test_schema_gates():
                     {"name": "u", "type": ["null", "string", "long"]}
                 ]}
             )
+        )
+
+
+_NESTED_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "event",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {
+                "name": "meta",
+                "type": {
+                    "type": "record",
+                    "name": "meta",
+                    "fields": [
+                        {"name": "lang", "type": {
+                            "type": "enum", "name": "lang_e",
+                            "symbols": ["de", "en", "fr"]}},
+                        {"name": "score", "type": ["null", "double"]},
+                    ],
+                },
+            },
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "props", "type": {"type": "map", "values": "long"}},
+            {"name": "fp", "type": {
+                "type": "fixed", "name": "fp8", "size": 8}},
+            {"name": "nested", "type": ["null", {
+                "type": "array",
+                "items": {"type": "array", "items": ["null", "long"]}}]},
+        ],
+    }
+)
+
+
+def _nested_rows(n):
+    return [
+        (
+            i,
+            (["de", "en", "fr"][i % 3], None if i % 4 == 0 else i * 0.5),
+            [f"t{j}" for j in range(i % 3)],
+            {f"k{j}": i * 10 + j for j in range(i % 2 + 1)},
+            i.to_bytes(8, "big"),
+            None if i % 5 == 0 else [[i, None], []],
+        )
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_nested_roundtrip_exact(tmp_path, codec):
+    """record/array/map/enum/fixed and nullable unions at every depth
+    survive the container byte-exactly (VERDICT r7 item 2)."""
+    p = str(tmp_path / "n.avro")
+    rows = _nested_rows(700)
+    write_container(
+        p, _NESTED_SCHEMA, rows, codec=codec, records_per_block=256
+    )
+    got = [r for off, _ in block_offsets(p) for r in read_block(p, off)]
+    assert got == rows
+
+
+def test_nested_spark_scan(spark, tmp_path):
+    """The avro_py source maps the type tree to Spark nested types and
+    the scanned values match the written ones."""
+    from articulation_vector_db_api_spark.sources.avro_pyds import (
+        register_avro_source,
+    )
+
+    p = str(tmp_path / "n.avro")
+    rows = _nested_rows(40)
+    write_container(p, _NESTED_SCHEMA, rows, records_per_block=16)
+    register_avro_source(spark)
+    df = spark.read.format("avro_py").option("path", p).load()
+    assert dict(df.dtypes) == {
+        "id": "bigint",
+        "meta": "struct<lang:string,score:double>",
+        "tags": "array<string>",
+        "props": "map<string,bigint>",
+        "fp": "binary",
+        "nested": "array<array<bigint>>",
+    }
+    got = df.orderBy("id").collect()
+    for r, (i, meta, tags, props, fp, nested) in zip(got, rows):
+        assert (r.id, tuple(r.meta), r.tags, r.props) == (
+            i, meta, tags, props,
+        )
+        assert bytes(r.fp) == fp
+        assert r.nested == nested
+
+
+def test_write_value_contract_errors(tmp_path):
+    p = str(tmp_path / "bad.avro")
+    with pytest.raises(ValueError, match="arity"):
+        write_container(
+            p, _NESTED_SCHEMA,
+            [(1, ("en",), [], {}, b"\x00" * 8, None)],  # meta arity 1 != 2
+        )
+    with pytest.raises(ValueError, match="fixed value length"):
+        write_container(
+            p, _NESTED_SCHEMA,
+            [(1, ("en", None), [], {}, b"\x00" * 3, None)],
+        )
+    with pytest.raises(ValueError, match="enum value"):
+        write_container(
+            p, _NESTED_SCHEMA,
+            [(1, ("xx", None), [], {}, b"\x00" * 8, None)],
         )
 
 

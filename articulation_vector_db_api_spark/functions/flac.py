@@ -514,7 +514,29 @@ def encode_flac(
     stereo_mode: str = "independent",
     bps: int = 16,
 ) -> bytes:
-    """MONO (n,) or stereo (n, 2) integer samples → FLAC bytes.
+    """MONO (n,) or stereo (n, 2) integer samples → FLAC bytes."""
+    header, frame_list, _counts = encode_flac_parts(
+        samples, rate, block_size, stereo_mode, bps
+    )
+    return header + b"".join(frame_list)
+
+
+def encode_flac_parts(
+    samples: np.ndarray,
+    rate: int = 16000,
+    block_size: int = 4096,
+    stereo_mode: str = "independent",
+    bps: int = 16,
+) -> tuple[bytes, list[bytes], list[int]]:
+    """encode_flac split at the container seams -> (header bytes —
+    "fLaC" magic + last-flagged STREAMINFO block —, per-frame bytes,
+    per-frame sample counts). The Ogg-FLAC packetizer (functions/
+    ogg.py:build_ogg_flac) needs FRAME boundaries, because the Ogg
+    mapping (Xiph Ogg-FLAC mapping 1.0) carries exactly one FLAC frame
+    per packet; concatenating header + frames is byte-identical to
+    encode_flac output.
+
+    MONO (n,) or stereo (n, 2) integer samples → FLAC bytes.
     ``stereo_mode`` is ``"independent"`` or ``"mid-side"``; ``bps`` is
     8/16/24/32. Fixed blocking, one subframe strategy per channel
     (constant / best fixed order / rice-escape), real STREAMINFO MD5
@@ -541,7 +563,8 @@ def encode_flac(
         .tobytes()
     ).digest()
 
-    frames = bytearray()
+    frame_list: list[bytes] = []
+    counts: list[int] = []
     for fi, top in enumerate(range(0, n, block_size)):
         blk = a[top : top + block_size]
         bs = len(blk)
@@ -597,7 +620,8 @@ def encode_flac(
                 _encode_subframe(w, blk[:, c], bps)
         w.align()
         frame = w.bytes()
-        frames += frame + struct.pack(">H", _crc16(frame))
+        frame_list.append(frame + struct.pack(">H", _crc16(frame)))
+        counts.append(bs)
 
     si = _BitWriter()
     si.write(min(block_size, max(n, 16)), 16)
@@ -611,8 +635,5 @@ def encode_flac(
     si.align()
     info = si.bytes() + md5
     assert len(info) == 34
-    return (
-        b"fLaC"
-        + bytes([0x80]) + struct.pack(">I", 34)[1:] + info
-        + bytes(frames)
-    )
+    header = b"fLaC" + bytes([0x80]) + struct.pack(">I", 34)[1:] + info
+    return header, frame_list, counts

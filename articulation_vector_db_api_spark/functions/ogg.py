@@ -45,8 +45,8 @@ def _ogg_crc(data: bytes) -> int:
 
 
 def _pages(b: bytes):
-    """Yield (header_type, granule, serial, payload) per page, with
-    structural + CRC verification."""
+    """Yield (header_type, granule, serial, payload, lacing) per page,
+    with structural + CRC verification."""
     pos = 0
     while pos < len(b):
         if b[pos : pos + 4] != b"OggS":
@@ -70,22 +70,70 @@ def _pages(b: bytes):
         page[22:26] = b"\x00" * 4
         if _ogg_crc(bytes(page)) != crc:
             raise ValueError("Ogg page CRC mismatch")
-        yield htype, granule, serial, b[pos + 27 + nsegs : pos + page_len]
+        yield (
+            htype,
+            granule,
+            serial,
+            b[pos + 27 + nsegs : pos + page_len],
+            lacing,
+        )
         pos += page_len
+
+
+def ogg_packets(b: bytes):
+    """Page→packet reassembly (RFC 3533 §5): a lacing value of 255
+    continues the current packet — possibly onto the next page, whose
+    header must then carry the continuation flag — and a value < 255
+    ends it. Yields (packet_bytes, granule, serial) where granule is
+    the granule position of the page the packet ENDS on (-1 when no
+    packet ends on a page, per spec). This is the layer any Ogg
+    payload codec drops in behind: per-packet decode with per-packet
+    fault isolation."""
+    cur = bytearray()
+    open_packet = False
+    for htype, granule, serial, payload, lacing in _pages(b):
+        if bool(htype & 0x01) != open_packet:
+            raise ValueError(
+                "Ogg continuation flag inconsistent with lacing"
+            )
+        pos = 0
+        for v in lacing:
+            cur += payload[pos : pos + v]
+            pos += v
+            if v < 255:
+                yield bytes(cur), granule, serial
+                cur = bytearray()
+                open_packet = False
+            else:
+                open_packet = True
+    if open_packet:
+        raise ValueError("Ogg stream ends mid-packet")
+
+
+def _flac_streaminfo_facts(si: bytes) -> tuple[int, int, int]:
+    """STREAMINFO body -> (sample_rate, channels, total_samples)."""
+    if len(si) != 34:
+        raise ValueError("bad Ogg-FLAC STREAMINFO size")
+    rate = si[10] << 12 | si[11] << 4 | si[12] >> 4
+    channels = ((si[12] >> 1) & 0x07) + 1
+    total = (si[13] & 0x0F) << 32 | int.from_bytes(si[14:18], "big")
+    if rate == 0:
+        raise ValueError("Ogg-FLAC STREAMINFO sample rate 0")
+    return rate, channels, total
 
 
 def parse_ogg(payload: bytes) -> dict:
     """Walk an Ogg stream → {codec, channels, sample_rate,
     duration_ms, n_pages}. Duration comes from the final page's
     granule position: Opus granules are 48 kHz minus pre-skip
-    (RFC 7845 §4/§5.1); Vorbis granules are sample counts at the
-    declared rate."""
+    (RFC 7845 §4/§5.1); Vorbis and FLAC granules are sample counts at
+    the declared rate (Ogg-FLAC mapping 1.0 §6)."""
     b = bytes(payload)
     first = None
     last_granule = None
     n_pages = 0
     saw_eos = False
-    for htype, granule, _serial, body in _pages(b):
+    for htype, granule, _serial, body, _lacing in _pages(b):
         n_pages += 1
         if first is None:
             if not htype & 0x02:
@@ -134,7 +182,54 @@ def parse_ogg(payload: bytes) -> dict:
             "duration_ms": (samples * 1000 + rate // 2) // rate,
             "n_pages": n_pages,
         }
-    raise NotImplementedError("unrecognized Ogg codec (Opus/Vorbis only)")
+    if first[:5] == b"\x7fFLAC":
+        if first[5] != 1:
+            raise NotImplementedError(
+                f"Ogg-FLAC mapping major version {first[5]}"
+            )
+        if first[9:13] != b"fLaC":
+            raise ValueError("Ogg-FLAC header packet missing fLaC magic")
+        rate, channels, total = _flac_streaminfo_facts(first[17:51])
+        samples = total or max(0, last_granule or 0)
+        return {
+            "codec": "flac",
+            "channels": channels,
+            "sample_rate": rate,
+            "duration_ms": (samples * 1000 + rate // 2) // rate,
+            "n_pages": n_pages,
+        }
+    raise NotImplementedError("unrecognized Ogg codec (Opus/Vorbis/FLAC)")
+
+
+def decode_ogg_flac(payload: bytes) -> tuple:
+    """Ogg-FLAC full decode → (sample_rate, int array (n, ch)).
+
+    The Ogg mapping (Xiph Ogg-FLAC mapping 1.0) wraps a native FLAC
+    stream: the first packet is ``0x7F "FLAC" major minor nheaders``
+    followed by the native ``fLaC`` magic + STREAMINFO block, any
+    further header packets are native metadata blocks verbatim, and
+    every audio packet is exactly one native FLAC frame. So decode =
+    reassemble packets (ogg_packets — the CRC-checked, continuation-
+    aware layer) and hand the concatenation to decode_flac, which
+    re-verifies every frame CRC and the stream MD5. All the whole-byte
+    depths decode_flac handles (8/16/24/32-bit) work through here."""
+    from .flac import decode_flac
+
+    packets = ogg_packets(bytes(payload))
+    head = next(packets, None)
+    if head is None:
+        raise ValueError("empty Ogg stream")
+    p0 = head[0]
+    if p0[:5] != b"\x7fFLAC":
+        raise ValueError("not an Ogg-FLAC stream")
+    if p0[5] != 1:
+        raise NotImplementedError(f"Ogg-FLAC mapping major version {p0[5]}")
+    if p0[9:13] != b"fLaC":
+        raise ValueError("Ogg-FLAC header packet missing fLaC magic")
+    native = bytearray(p0[9:])
+    for packet, _granule, _serial in packets:
+        native += packet
+    return decode_flac(bytes(native))
 
 
 def _page(
@@ -178,6 +273,58 @@ def build_ogg_opus(
         + _page(tags, 0, serial, 1, 0x00)
         + _page(b"\xfc" * 20, granule, serial, 2, 0x04)
     )
+
+
+def _page_open(body255: bytes, serial: int, seq: int, htype: int = 0) -> bytes:
+    """A page whose single lacing value is 255, leaving the packet
+    OPEN for the next (continuation-flagged) page; granule is -1
+    because no packet ends here (RFC 3533 §6)."""
+    if len(body255) != 255:
+        raise ValueError("open page body must be exactly 255 bytes")
+    head = (
+        b"OggS\x00"
+        + bytes([htype])
+        + struct.pack("<qIII", -1, serial, seq, 0)
+        + bytes([1, 255])
+    )
+    crc = _ogg_crc(head + body255)
+    return head[:22] + struct.pack("<I", crc) + head[26:] + body255
+
+
+def build_ogg_flac(
+    samples,
+    rate: int = 16000,
+    block_size: int = 256,
+    serial: int = 3,
+    span_pages: bool = False,
+) -> bytes:
+    """Spec-conformant Ogg-FLAC stream (Xiph Ogg-FLAC mapping 1.0):
+    header packet = ``0x7F "FLAC" 1 0 nheaders=0`` + native fLaC magic
+    + STREAMINFO (BOS page), then ONE audio packet per FLAC frame,
+    page granules carrying the cumulative sample count, EOS on the
+    last page. ``span_pages=True`` splits the first audio packet
+    across two pages (all-255 lacing + continuation flag) to exercise
+    the reassembly path real muxers hit on large frames."""
+    from .flac import encode_flac_parts
+
+    header, frames, counts = encode_flac_parts(
+        samples, rate=rate, block_size=block_size
+    )
+    first = b"\x7fFLAC" + bytes([1, 0]) + struct.pack(">H", 0) + header
+    pages = [_page(first, 0, serial, 0, 0x02)]
+    seq = 1
+    got = 0
+    for i, (frame, cnt) in enumerate(zip(frames, counts)):
+        got += cnt
+        eos = 0x04 if i == len(frames) - 1 else 0x00
+        if span_pages and i == 0 and len(frame) > 255:
+            pages.append(_page_open(frame[:255], serial, seq))
+            pages.append(_page(frame[255:], got, serial, seq + 1, 0x01 | eos))
+            seq += 2
+        else:
+            pages.append(_page(frame, got, serial, seq, eos))
+            seq += 1
+    return b"".join(pages)
 
 
 def build_ogg_vorbis(

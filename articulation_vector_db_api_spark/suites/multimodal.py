@@ -1035,6 +1035,135 @@ def multimodal_audio_flac_roundtrip(
 
 
 @register(
+    "multimodal_ogg_flac_roundtrip",
+    oracle="""
+    WITH bts AS (
+        SELECT doc_id,
+               list_transform(range(32), j ->
+                   (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 2, 1)) - 1)
+               ) AS b
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_transform(range(384), j ->
+                   (b[(j % 32) + 1] * 211 + j * 9973) % 65536 - 32768
+               ) AS s
+        FROM bts
+    )
+    SELECT doc_id,
+           CAST(384 AS BIGINT) AS n_samples,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS BIGINT)
+               AS n_pages,
+           CAST(24 AS BIGINT) AS duration_ms,
+           CAST(list_sum(s) AS BIGINT) AS lin_sum,
+           CAST(list_min(s) AS BIGINT) AS lin_min,
+           CAST(list_max(s) AS BIGINT) AS lin_max,
+           CAST(list_sum(list_transform(s, y -> abs(y))) AS BIGINT)
+               AS lin_abs_sum
+    FROM sig
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "audio"),
+)
+def multimodal_ogg_flac_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ogg-FLAC decode proof — the r7 container probes grew the page→
+    packet reassembly layer (functions/ogg.py:ogg_packets) and this
+    query drives a REAL payload codec through it: each doc's digest
+    seeds an incompressible 16-bit signal (held-nothing modular
+    pseudo-noise, so every FLAC frame is provably >255 bytes), encoded
+    as a spec-conformant Ogg-FLAC stream (Xiph mapping 1.0: 0x7F FLAC
+    header packet, one native frame per packet, cumulative-sample
+    granules, CRC'd pages) and decoded back END TO END — Ogg CRC +
+    lacing reassembly + native FLAC frame CRCs + stream MD5. EVEN
+    doc_ids split their first audio packet across two pages (all-255
+    lacing + continuation flag), the path real muxers hit on large
+    frames, which the page count in the output row pins (4 vs 3).
+    parse_ogg's STREAMINFO-derived duration is checked too (24 ms at
+    16 kHz / 384 samples). Lossless, so decoded stats must equal the
+    closed form the oracle computes straight from the digest.
+
+    Scale shape: Arrow-batched narrow map, one stats row out per doc;
+    the Ogg layer is the drop-in point for any future packet codec
+    (Vorbis/Opus stay honestly gated)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("n_pages", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("lin_sum", T.LongType()),
+            T.StructField("lin_min", T.LongType()),
+            T.StructField("lin_max", T.LongType()),
+            T.StructField("lin_abs_sum", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from ..functions.ogg import build_ogg_flac, decode_ogg_flac, parse_ogg
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                b = np.frombuffer(
+                    hashlib.sha256(str(i).encode()).digest(), dtype=np.uint8
+                ).astype(np.int64)
+                j = np.arange(384)
+                sig = ((b[j % 32] * 211 + j * 9973) % 65536 - 32768).astype(
+                    np.int16
+                )
+                stream = build_ogg_flac(
+                    sig,
+                    rate=16000,
+                    block_size=192,
+                    span_pages=(i % 2 == 0),
+                )
+                meta = parse_ogg(stream)
+                rate, dec = decode_ogg_flac(stream)
+                s = dec.reshape(-1).astype(np.int64)
+                if rate != 16000 or meta["codec"] != "flac":
+                    raise ValueError("Ogg-FLAC roundtrip metadata mismatch")
+                rows.append(
+                    (
+                        doc_id,
+                        len(s),
+                        meta["n_pages"],
+                        meta["duration_ms"],
+                        int(s.sum()),
+                        int(s.min()),
+                        int(s.max()),
+                        int(np.abs(s).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_av_container_probe",
     oracle="""
     WITH bts AS (

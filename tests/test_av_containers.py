@@ -180,3 +180,72 @@ def test_ogg_vorbis_off_ms_granule_rounds():
         _page(ident, 0, 7, 0, 0x02) + _page(b"\x00" * 8, 44101, 7, 1, 0x04)
     )
     assert parse_ogg(stream)["duration_ms"] == 1000
+
+
+def test_ogg_packet_reassembly_and_flac_roundtrip():
+    """ogg_packets reassembles lacing-split packets (incl. a packet
+    spanning two pages via the continuation flag), and Ogg-FLAC
+    decodes end-to-end through the native FLAC decoder."""
+    import numpy as np
+
+    from articulation_vector_db_api_spark.functions.ogg import (
+        build_ogg_flac,
+        decode_ogg_flac,
+        ogg_packets,
+    )
+
+    rng = np.random.RandomState(11)
+    sig = rng.randint(-20000, 20000, 700).astype(np.int16)
+    plain = build_ogg_flac(sig, rate=22050, block_size=256)
+    spanned = build_ogg_flac(sig, rate=22050, block_size=256,
+                             span_pages=True)
+    # identical packet stream either way — pagination is transparent
+    assert [p for p, _g, _s in ogg_packets(plain)] == [
+        p for p, _g, _s in ogg_packets(spanned)
+    ]
+    assert parse_ogg(spanned)["n_pages"] == parse_ogg(plain)["n_pages"] + 1
+    for stream in (plain, spanned):
+        rate, dec = decode_ogg_flac(stream)
+        assert rate == 22050
+        assert np.array_equal(dec[:, 0], sig)  # lossless through Ogg
+    meta = parse_ogg(plain)
+    assert meta["codec"] == "flac" and meta["channels"] == 1
+    assert meta["duration_ms"] == round(700 * 1000 / 22050)
+
+
+def test_ogg_flac_corruption_contract():
+    import numpy as np
+    import pytest as _pytest
+
+    from articulation_vector_db_api_spark.functions.ogg import (
+        build_ogg_flac,
+        decode_ogg_flac,
+        ogg_packets,
+    )
+
+    sig = np.arange(300, dtype=np.int16)
+    good = build_ogg_flac(sig, span_pages=False)
+    with _pytest.raises(ValueError, match="not an Ogg-FLAC"):
+        decode_ogg_flac(build_ogg_opus(channels=1, duration_ms=10))
+    # truncating after an open (all-255) page leaves a mid-packet EOF
+    spanned = bytearray(
+        build_ogg_flac(
+            np.random.RandomState(3)
+            .randint(-20000, 20000, 400)
+            .astype(np.int16),
+            block_size=192,
+            span_pages=True,
+        )
+    )
+    # find the continuation page (htype bit 0x01) and cut before it
+    pos = spanned.find(b"OggS", 4)
+    while pos >= 0 and not spanned[pos + 5] & 0x01:
+        pos = spanned.find(b"OggS", pos + 4)
+    assert pos > 0
+    with _pytest.raises(ValueError, match="mid-packet"):
+        list(ogg_packets(bytes(spanned[:pos])))
+    # flipping a payload byte breaks the page CRC before FLAC even runs
+    bad = bytearray(good)
+    bad[-3] ^= 0x40
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_ogg_flac(bytes(bad))

@@ -52,18 +52,85 @@ def _apply_merge(seq: Column, left: str, right: str) -> Column:
     )
 
 
+# map-key separator for batch application; BPE symbols come from
+# whitespace-split text, which cannot contain NUL in any sane corpus
+_SEP = "\x00"
+
+
+def _apply_merge_batch(seq: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply a whole round's (pairwise symbol-DISJOINT) merge batch in
+    ONE left-to-right fold: the fold checks (tail, x) against a literal
+    merge map instead of chaining one fold per merge. Because batch
+    members share no symbols (the selection rule guarantees it), the
+    single pass is provably equal to applying them sequentially —
+    merging one pair can neither create nor destroy an adjacency of a
+    disjoint pair — while the generated plan stays ONE fold deep
+    instead of |batch| folds (measured 47 s → seconds at sf0.1; the
+    chained version's codegen grows quadratically with batch size)."""
+    kv: list[Column] = []
+    for left, right in merges:
+        kv.append(F.lit(left + _SEP + right))
+        kv.append(F.lit(left + right))
+    m = F.create_map(*kv)
+    return F.aggregate(
+        seq,
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & F.try_element_at(
+                m, F.concat(F.element_at(acc, -1), F.lit(_SEP), x)
+            ).isNotNull(),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.try_element_at(
+                        m, F.concat(F.element_at(acc, -1), F.lit(_SEP), x)
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _candidate_window(take: int) -> int:
+    """Candidate rows fetched per round: enough headroom that greedy
+    skips rarely under-fill a batch, small enough that the driver
+    never holds more than O(batch) rows. Shared with the single-
+    process twin so Spark and reference select from IDENTICAL
+    candidate lists."""
+    return 4 * take + 8
+
+
 def learn_bpe_merges(
-    spark: SparkSession, vocab: DataFrame, n_merges: int
+    spark: SparkSession, vocab: DataFrame, n_merges: int, batch: int = 1
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from a (word STRING, n BIGINT)
     frequency frame; returns a DataFrame
     (rank INT, left STRING, right STRING, merged STRING, pair_n BIGINT)
-    built from the N-row merge table the loop accumulates."""
+    built from the merge table the loop accumulates.
+
+    ``batch=1`` (default) is the classic sequential algorithm —
+    byte-identical to the unrolled-CTE oracles. ``batch>1`` enables
+    BATCHED merge selection, the standard trick parallel tokenizer
+    trainers use so merge count stops equaling scheduler round-trips:
+    per round, candidates are taken greedily in (count desc, pair
+    lexicographic) order, SKIPPING any pair that shares a symbol with
+    — or consumes the merged token of — an earlier pick in the same
+    round (such pairs' counts are invalidated by the earlier merge;
+    disjoint pairs' counts are provably unchanged). All picks then
+    apply as ONE chained fold + localCheckpoint, so a 32k-merge train
+    costs n_merges/batch Spark rounds, not n_merges. Batching is a
+    documented approximation: a pair involving a token merged THIS
+    round waits for the next round's recount, which can reorder ranks
+    versus sequential; the single-process twin
+    (learn_bpe_merges_batched_py) replays the identical rule and
+    tests/test_bpe.py pins Spark==twin plus batch=1==sequential."""
     df = vocab.select(
         _explode_chars(F.col("word")).alias("seq"), F.col("n").cast("long")
     ).localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
+    while len(merges) < n_merges:
+        take = min(batch, n_merges - len(merges))
         pairs = df.select(
             F.explode(
                 F.filter(
@@ -85,16 +152,32 @@ def learn_bpe_merges(
             pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("n").alias("pn"))
             .orderBy(F.desc("pn"), "l", "r")
-            .limit(1)
+            .limit(_candidate_window(take))
             .collect()
         )
         if not top:
             break
-        l, r, pn = top[0]["l"], top[0]["r"], int(top[0]["pn"])
-        merges.append((rank, l, r, l + r, pn))
-        df = df.select(
-            _apply_merge(F.col("seq"), l, r).alias("seq"), "n"
-        ).localCheckpoint()
+        used: set[str] = set()
+        picked: list[tuple[str, str, int]] = []
+        for row in top:
+            l, r, pn = row["l"], row["r"], int(row["pn"])
+            if l in used or r in used:
+                continue
+            picked.append((l, r, pn))
+            used.update((l, r, l + r))
+            if len(picked) == take:
+                break
+        for l, r, pn in picked:
+            merges.append((len(merges) + 1, l, r, l + r, pn))
+        if len(picked) == 1:
+            # keep the sequential path's exact plan shape (batch=1 is
+            # the oracle-checked classic algorithm)
+            seq = _apply_merge(F.col("seq"), picked[0][0], picked[0][1])
+        else:
+            seq = _apply_merge_batch(
+                F.col("seq"), [(l, r) for l, r, _pn in picked]
+            )
+        df = df.select(seq.alias("seq"), "n").localCheckpoint()
     return spark.createDataFrame(
         merges, "rank INT, left STRING, right STRING, merged STRING, pair_n BIGINT"
     )
@@ -133,6 +216,54 @@ def learn_bpe_merges_py(
             key = tuple(merged)
             new_vocab[key] = new_vocab.get(key, 0) + n
         vocab = new_vocab
+    return out
+
+
+def learn_bpe_merges_batched_py(
+    word_counts: dict[str, int], n_merges: int, batch: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Single-process twin of learn_bpe_merges(batch=...): identical
+    candidate window, identical (count desc, lex) order, identical
+    greedy skip rule, identical apply order — the parity anchor for
+    the batched variant (batch=1 reproduces learn_bpe_merges_py)."""
+    vocab = {tuple(w): n for w, n in word_counts.items()}
+    out: list[tuple[int, str, str, str, int]] = []
+    while len(out) < n_merges:
+        take = min(batch, n_merges - len(out))
+        stats: dict[tuple[str, str], int] = {}
+        for sym, n in vocab.items():
+            for i in range(len(sym) - 1):
+                stats[(sym[i], sym[i + 1])] = (
+                    stats.get((sym[i], sym[i + 1]), 0) + n
+                )
+        if not stats:
+            break
+        cand = sorted(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[: _candidate_window(take)]
+        used: set[str] = set()
+        picked: list[tuple[str, str, int]] = []
+        for (l, r), pn in cand:
+            if l in used or r in used:
+                continue
+            picked.append((l, r, pn))
+            used.update((l, r, l + r))
+            if len(picked) == take:
+                break
+        for l, r, pn in picked:
+            out.append((len(out) + 1, l, r, l + r, pn))
+        for l, r, _pn in picked:
+            new_vocab: dict[tuple[str, ...], int] = {}
+            for sym, n in vocab.items():
+                merged: list[str] = []
+                for x in sym:
+                    if merged and merged[-1] == l and x == r:
+                        merged[-1] = l + r
+                    else:
+                        merged.append(x)
+                key = tuple(merged)
+                new_vocab[key] = new_vocab.get(key, 0) + n
+            vocab = new_vocab
     return out
 
 

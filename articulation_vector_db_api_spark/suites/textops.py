@@ -2335,6 +2335,81 @@ def text_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_learn_merges_batched",
+    # No SQL oracle: a 256-merge training loop is an iterative
+    # algorithm (the 8-merge twin's oracle already unrolls the loop as
+    # materialized CTEs; 256 unrolled stages is not expressible as a
+    # practical query). Ground truth is pinned the MLlib/sketch way:
+    # tests/test_bpe.py recomputes the identical batched algorithm
+    # single-process and asserts full-value equality, plus batch=1 ==
+    # the sequential (oracle-checked) implementation.
+    tags=("textops",),
+    headline=True,
+)
+def text_bpe_learn_merges_batched(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BPE merge learning at PRODUCTION merge counts: 256 merges
+    learned in batches of 64 — the batched-selection trick (take the
+    top candidates per round greedily, skipping pairs whose symbols an
+    earlier same-round pick touched; apply the whole batch as one
+    chained fold) that makes tokenizer training viable on a cluster,
+    where the sequential loop's one-scheduler-round-trip-per-merge
+    (VERDICT r7: 32k merges = 32k round trips) is the real bottleneck,
+    not data volume. 256/64 = 4 Spark rounds total — HALF the job
+    count the 8-merge sequential query pays.
+
+    Output is the full ordered merge table; determinism comes from the
+    (count desc, pair lexicographic) candidate order and the fixed
+    candidate window (functions/bpe.py:_candidate_window).
+
+    Training units are adjacent-word BIGRAMS (the fixture's word
+    vocabulary is 30 strings — single words saturate near 90 merges;
+    bigram units give the loop a phrase-piece-style vocabulary that
+    genuinely sustains 256). The bigram table is built with the same
+    no-shuffle positional-zip trick the pair counter uses.
+
+    Scale: identical per-round shape to text_bpe_learn_merges (pair
+    explode → partial/final agg over a ≤|symbols|² key space → one
+    bounded collect), but rounds are n_merges/batch. The unit-frequency
+    frame stays the only corpus-sized stage."""
+    from ..functions.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    # materialize the word array in its own projection: referencing a
+    # column attribute inside the positional lambda is O(1), while an
+    # inline split() expression would re-evaluate per element (O(len²)
+    # per doc — measured 8 s of the build at sf0.1)
+    words = docs.select(
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda w: F.length(w) >= 2,
+        ).alias("ws")
+    )
+    bigrams = F.filter(
+        F.transform(
+            F.col("ws"),
+            lambda x, i: F.struct(
+                x.alias("w1"),
+                F.try_element_at(F.col("ws"), i + 2).alias("w2"),
+            ),
+        ),
+        lambda p: p["w2"].isNotNull(),
+    )
+    vocab = (
+        words.select(F.explode(bigrams).alias("b"))
+        .select(F.concat_ws(" ", "b.w1", "b.w2").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return learn_bpe_merges(spark, vocab, n_merges=256, batch=64).orderBy(
+        "rank"
+    )
+
+
+@register(
     "curation_sample_weighted_priority",
     oracle=f"""
     WITH hashed AS (

@@ -112,3 +112,57 @@ def test_spark_encode_matches_reference(spark):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_batched_py_batch1_equals_sequential():
+    """batch=1 IS the classic algorithm — the batched twin must
+    reproduce learn_bpe_merges_py exactly, so existing oracles stay
+    byte-identical."""
+    from articulation_vector_db_api_spark.functions.bpe import (
+        learn_bpe_merges_batched_py,
+    )
+
+    wc = _fixture_word_counts()
+    assert learn_bpe_merges_batched_py(wc, 12, batch=1) == (
+        learn_bpe_merges_py(wc, 12)
+    )
+
+
+def test_spark_batched_matches_batched_reference(spark):
+    """Full-value parity of the BATCHED variant on the real fixture:
+    64 merges in batches of 8, Spark == the single-process twin that
+    replays the identical candidate-window/skip/apply rule."""
+    from articulation_vector_db_api_spark.functions.bpe import (
+        learn_bpe_merges_batched_py,
+    )
+
+    wc = _fixture_word_counts()
+    expected = learn_bpe_merges_batched_py(wc, 64, batch=8)
+    vocab = spark.createDataFrame(list(wc.items()), "word STRING, n BIGINT")
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_n"])
+        for r in learn_bpe_merges(spark, vocab, 64, batch=8)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expected
+
+
+def test_batched_skip_rule_blocks_interacting_pairs():
+    """Pairs sharing a symbol with — or consuming the merged token of
+    — an earlier same-round pick must wait for the next round's
+    recount; disjoint pairs batch together."""
+    from articulation_vector_db_api_spark.functions.bpe import (
+        learn_bpe_merges_batched_py,
+    )
+
+    # (a,b) n=9 and (c,d) n=7 are disjoint -> same round.
+    # (b,c) n=8 shares b -> skipped in round 1 despite outranking (c,d).
+    wc = {"ab": 9, "bc": 8, "cd": 7}
+    out = learn_bpe_merges_batched_py(wc, 3, batch=3)
+    assert [(m[1], m[2], m[4]) for m in out[:2]] == [
+        ("a", "b", 9),
+        ("c", "d", 7),
+    ]
+    # round 2: 'bc' words are untouched, (b,c) finally merges
+    assert (out[2][1], out[2][2]) == ("b", "c")

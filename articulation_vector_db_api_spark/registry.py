@@ -215,36 +215,64 @@ _VERIFIED = frozenset(
         "window_rank_customers", "window_rank_ties",
         "window_rolling_median", "window_running_distinct",
         "window_running_sum", "window_time_range_frame",
+        # round-7 window: all 50 rows hash-green in CORRECTNESS_r07
+        "agg_cms_portable", "curation_pii_scrub",
+        "curation_sample_weighted_priority", "dedup_lsh_recall_eval",
+        "dedup_ngram_containment", "dedup_ngram_jaccard",
+        "events_cusum_changepoint", "events_mann_kendall",
+        "events_theil_sen_trend", "matview_join_incremental",
+        "multimodal_audio_adpcm_roundtrip",
+        "multimodal_audio_flac_roundtrip",
+        "multimodal_audio_g711_roundtrip", "multimodal_audio_resample",
+        "multimodal_av_container_probe", "multimodal_jpeg_roundtrip",
+        "multimodal_phash_dct_dedup", "multimodal_tiff_roundtrip",
+        "multimodal_webp_roundtrip", "pipeline_dedup_keep_best",
+        "pipeline_web_image_ingest", "pipeline_web_ingest",
+        "scan_arrow_ipc_roundtrip", "scan_avro_roundtrip",
+        "scan_warc_roundtrip", "scan_xml_roundtrip",
+        "sql_recursive_cte_hierarchy", "stream_watermark_append",
+        "text_bpe_encode_tokens", "text_bpe_learn_merges",
+        "text_html_extract", "text_unicode_clean",
     }
 )
 
-# Round-7 window, in evidence-priority order:
-# 1. stream_watermark_append — its r5 full value oracle still has only
-#    an r4 no_oracle driver row (VERDICT r6 item 3); seats first.
-# 2. the two BPE queries — r7 gives them real DuckDB oracles (the
-#    bounded training loop unrolled into materialized CTEs), converting
-#    the last convertible rows-only entries (VERDICT r6 item 7).
-# 3. multimodal_jpeg_roundtrip — NEW r7 query: the baseline-JPEG codec
-#    proof (VERDICT r6 item 5), never driver-seated.
-# 4. the four df-pruned exact-pair dedup queries — their oracles
-#    changed in r7 (SHINGLE_DF_CAP mirrored into the SQL, VERDICT r6
-#    item 2), so their standing green rows reference the OLD oracle;
-#    re-seating proves the new pair.
-# Every other query is _VERIFIED except the twenty-four r7 additions
-# (JPEG/WebP/TIFF/ADPCM/G.711/FLAC roundtrips, the Ogg/WebM container
-# probe, recursive CTE, XML/Avro/Arrow-IPC/WARC scans, the web-ingest
-# capstone, HTML extraction, join IVM, priority sampling, unicode
-# clean, audio resample, pHash dedup, portable CMS, Theil-Sen
-# trend + Mann-Kendall, CUSUM alarm, web-image ingest), which sort as
-# ordinary tier-1 entries behind these eight; the remaining ~22 seats
-# fall to tier 3 in registration order, re-seating the r1 rows with
-# the stalest evidence first.
+# Round-8 window (VERDICT r7 item 7: rotate to the STALEST evidence):
+# 1. the four r8 additions, never driver-seated — the nested Arrow IPC
+#    and nested Avro scans, Ogg-FLAC decode, and batched BPE (the last
+#    is rows-only by nature: a 256-merge iterative training loop; its
+#    ground truth is recomputed single-process in tests/test_bpe.py).
+# 2. _WINDOW_RESEAT: 46 of the 48 queries whose latest green row is
+#    still ROUND 1 — six rounds of refactoring old against today's
+#    code (flagship search path, early relational/TPC-H, setops,
+#    pivots). Listed explicitly, stalest-first in registration order,
+#    so exactly these take the remaining seats; the 2 leftover r1 rows
+#    plus the r2 vintage rotate in next round.
 _WINDOW_FIRST = (
-    "stream_watermark_append",
-    "text_bpe_learn_merges", "text_bpe_encode_tokens",
-    "multimodal_jpeg_roundtrip",
-    "dedup_ngram_jaccard", "dedup_ngram_containment",
-    "dedup_lsh_recall_eval", "pipeline_dedup_keep_best",
+    "scan_avro_nested_roundtrip",
+    "scan_arrow_ipc_nested",
+    "multimodal_ogg_flac_roundtrip",
+    "text_bpe_learn_merges_batched",
+)
+_WINDOW_RESEAT = (
+    "flagship_search", "search_context", "search_topk_per_source",
+    "search_batch_queries", "search_scoped_source", "chunk_documents",
+    "upsert_last_write_wins", "index_stats_by_source", "search_hybrid_rrf",
+    "search_mmr_diversified", "filter_project_pushdown",
+    "q1_pricing_summary", "agg_distinct_counts", "approx_distinct_parts",
+    "agg_stats_moments", "agg_percentiles", "q5_region_revenue",
+    "approx_percentile_prices", "q7_nation_volume",
+    "q17_correlated_subquery", "q8_market_share", "sort_global_prices",
+    "rollup_revenue", "cube_order_status", "grouping_sets_revenue",
+    "q3_shipping_priority", "join_broadcast_snowflake",
+    "join_sortmerge_fact", "join_semi_customers_with_urgent",
+    "join_anti_customers_no_urgent", "join_theta_supplier_pairs",
+    "join_range_calendar", "join_asof_event_order", "join_salted_skew",
+    "scalar_subquery_above_avg", "topk_orders_by_price",
+    "topk_pagination", "setop_except_all", "setop_nations_intersect",
+    "setop_nations_except", "setop_union_all_counts",
+    "sql_interface_revenue", "nested_agg_big_spenders",
+    "agg_price_histogram", "pivot_status_revenue",
+    "unpivot_part_measures",
 )
 # Suite order for the rest of the unverified front (round-5 additions):
 # cheap scalar/relational families first, expensive similarity last.
@@ -254,10 +282,9 @@ _SUITE_WINDOW_ORDER = (
 )
 
 # Unverified queries DEFERRED past this round's window on purpose
-# (empty for r6: registration is frozen until the driver-evidence
-# debt clears — VERDICT r5 item 2. New r6 registrations, if any,
-# sort behind _WINDOW_FIRST as ordinary tier-1 entries and only
-# take seats the 51 priorities leave free.)
+# (empty for r8; new registrations sort behind _WINDOW_FIRST as
+# ordinary tier-1 entries and only take seats the 50 priorities
+# leave free.)
 _WINDOW_DEFER = frozenset()
 
 
@@ -273,17 +300,20 @@ def load_all() -> dict[str, Query]:
 
     reg_pos = {name: i for i, name in enumerate(REGISTRY)}
     suite_rank = {s: i for i, s in enumerate(_SUITE_WINDOW_ORDER)}
+    reseat_pos = {name: i for i, name in enumerate(_WINDOW_RESEAT)}
 
     def sort_key(item: tuple[str, Query]) -> tuple:
         name, q = item
         if name in _WINDOW_FIRST:
             return (0, _WINDOW_FIRST.index(name), 0, 0)
+        if name in reseat_pos:
+            return (1, reseat_pos[name], 0, 0)
         if name in _WINDOW_DEFER:
-            tier = 2  # after the unverified front, before the verified back
+            tier = 3  # after the unverified front, before the verified back
         elif name in _VERIFIED:
-            tier = 3
+            tier = 4
         else:
-            tier = 1
+            tier = 2
         suite = next((t for t in q.tags if t in suite_rank), None)
         rank = suite_rank.get(suite, len(suite_rank))
         return (tier, 0, rank, reg_pos[name])

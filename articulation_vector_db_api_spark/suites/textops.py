@@ -2336,20 +2336,21 @@ def text_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_bpe_learn_merges_batched",
-    # No SQL oracle: a 256-merge training loop is an iterative
-    # algorithm (the 8-merge twin's oracle already unrolls the loop as
-    # materialized CTEs; 256 unrolled stages is not expressible as a
-    # practical query). Ground truth is pinned the MLlib/sketch way:
-    # tests/test_bpe.py recomputes the identical batched algorithm
-    # single-process and asserts full-value equality, plus batch=1 ==
-    # the sequential (oracle-checked) implementation.
     tags=("textops",),
-    headline=True,
 )
 def text_bpe_learn_merges_batched(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """BPE merge learning at PRODUCTION merge counts: 256 merges
+    """Rows-only: a 256-merge training loop is an iterative algorithm —
+    the 8-merge twin's oracle already unrolls the loop as materialized
+    CTEs, and 256 unrolled stages is not a practical SQL query. Ground
+    truth is pinned the MLlib/sketch way: tests/test_bpe.py recomputes
+    the identical batched algorithm single-process and asserts
+    full-value equality, plus batch=1 == the sequential
+    (oracle-checked) implementation. Benched as bpe_train_256_batched
+    in bench.py (not a registry headliner: those must be oracle-backed).
+
+    BPE merge learning at PRODUCTION merge counts: 256 merges
     learned in batches of 64 — the batched-selection trick (take the
     top candidates per round greedily, skipping pairs whose symbols an
     earlier same-round pick touched; apply the whole batch as one

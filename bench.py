@@ -39,10 +39,18 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
-    # best-of-2: one JIT/cache-warm pass, keep the steady-state number
+    # best-of-2: one JIT/cache-warm pass, keep the steady-state number.
+    # If the two samples disagree by >25%, one was contended (GC /
+    # background JIT from a neighboring query) — a third run pins the
+    # steady state so untouched queries stop tripping regressed_30pct
+    # (r6/r7 both flagged suite-contention noise on unchanged code).
     timings: dict[str, float] = {}
     for name in headliners:
-        timings[name] = round(min(run_once(name), run_once(name)), 3)
+        a, b = run_once(name), run_once(name)
+        best = min(a, b)
+        if max(a, b) > 1.25 * best:
+            best = min(best, run_once(name))
+        timings[name] = round(best, 3)
 
     # the reference's WRITE path at scale: chunk + full 1024-dim embed +
     # partitioned parquet write (operators/ingest.py sink shape)
@@ -63,6 +71,35 @@ def main() -> None:
         return time.perf_counter() - t0
 
     timings["ingest_write_1024d"] = round(min(ingest_once(), ingest_once()), 3)
+
+    # the stored-index SERVING path: top-k over the chunk table the
+    # ingest bench just wrote — the steady-state read a 100 TB
+    # deployment actually hits (vs flagship_search's from-scratch
+    # brute-force), so its latency is tracked per round
+    from articulation_vector_db_api_spark.operators.search import (
+        topk_search_indexed,
+    )
+
+    def serve_once() -> float:
+        t0 = time.perf_counter()
+        topk_search_indexed(spark, out, "transfer credits", 5).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        return time.perf_counter() - t0
+
+    timings["search_indexed_topk"] = round(min(serve_once(), serve_once()), 3)
+
+    # tokenizer training at production merge counts (rows-only in the
+    # registry — iterative algorithm, ground truth pinned in
+    # tests/test_bpe.py — so benched here instead of via headline)
+    def bpe_once() -> float:
+        t0 = time.perf_counter()
+        registry["text_bpe_learn_merges_batched"].fn(
+            spark, sf_dir
+        ).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    timings["bpe_train_256_batched"] = round(min(bpe_once(), bpe_once()), 3)
 
     # the stored-index WRITE path at scale: build + append a batch +
     # keyed upsert (tombstone→purge→append) + partition-pruned probe —

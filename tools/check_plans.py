@@ -645,6 +645,27 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"BatchScan arrow_ipc", r"partial_count"],
         [r"BatchEvalPython", r"CartesianProduct"],
     ),
+    "scan_arrow_ipc_nested": (
+        # nested (fixed_size_list + struct) batch scan, same shape: the
+        # fixed-size→list re-materialization lives inside the PyDS
+        # reader, never as a plan-side Python eval; checksum fold +
+        # partial+final agg are all codegen
+        [r"BatchScan arrow_ipc", r"partial_count"],
+        [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
+    ),
+    "scan_avro_nested_roundtrip": (
+        # per-block PyDS scan of the nested container; struct/array/map
+        # access and the aggregates stay JVM-side
+        [r"BatchScan avro_py", r"partial_count"],
+        [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
+    ),
+    "multimodal_ogg_flac_roundtrip": (
+        # Ogg packet reassembly + FLAC decode cross to Python exactly
+        # once, Arrow-batched; the only exchange is the final sort
+        [r"MapInPandas"],
+        [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct",
+         r"HashAggregate"],
+    ),
     "scan_warc_roundtrip": (
         # member-range PyDS scan; everything after it is codegen agg
         [r"BatchScan warc_py", r"partial_count"],

@@ -9,16 +9,16 @@ bit-identical, and the container's own MD5 (STREAMINFO) is recomputed
 on decode so any rice/predictor bit error fails integrity before it
 can fail a test.
 
-Decoder envelope: 8/16/24/32-bit samples (int16 out for <=16, int32
-above; MD5 verified over the spec's bps/8-byte little-endian packing),
+Decoder envelope: all six spec bit depths 8/12/16/20/24/32 (int16
+out for <=16, int32 above; MD5 verified over the spec's sign-extended
+ceil(bps/8)-byte little-endian packing),
 mono or stereo (independent + left/side + right/side + mid/side
 assignments; independent decode also covers >2 channels), constant /
 verbatim / fixed-order-0..4 / LPC subframes, partitioned Rice
 residuals (both 4- and 5-bit parameter methods, escape partitions),
 wasted bits, fixed and variable blocking, CRC-8 frame-header and
-CRC-16 frame checks. The odd 12/20-bit depths raise
-NotImplementedError (honest gate, same policy as functions/pixels.py);
-structural damage raises ValueError.
+CRC-16 frame checks. All six spec bit depths decode (8/12/16/20/24/
+32). Structural damage raises ValueError.
 
 Encoder (the test-vector generator, like encode_png / encode_tiff):
 fixed-blocking frames, per-subframe choice of constant / fixed-order-k
@@ -359,10 +359,8 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
     bps = r.read(5) + 1
     total = r.read(36)
     md5 = info[18:34]
-    if bps not in (8, 16, 24, 32):
-        # 12/20-bit depths pack MD5 bytes sub-optimally and are rare;
-        # whole-byte depths cover WAV-derived, CD, and studio audio
-        raise NotImplementedError(f"{bps}-bit FLAC (8/16/24/32 only)")
+    if bps not in (8, 12, 16, 20, 24, 32):
+        raise ValueError(f"invalid FLAC bit depth {bps}")
     if rate == 0:
         raise ValueError("STREAMINFO sample rate 0")
 
@@ -405,7 +403,7 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
             r.read(16)
         elif rate_code == 15:
             raise ValueError("invalid FLAC sample rate code")
-        if ss_code not in (0, {8: 1, 16: 4, 24: 6, 32: 7}[bps]):
+        if ss_code not in (0, _SS_CODES[bps]):
             raise ValueError("frame sample size != STREAMINFO")
         header = b[fstart : r.byte_pos]
         if r.read(8) != _crc8(header):
@@ -450,9 +448,10 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
         raise ValueError(f"FLAC sample out of int{bps} range")
     out = samples.astype("<i2" if bps <= 16 else "<i4")
     if md5 != b"\x00" * 16:
-        # the spec MD5 covers the samples packed into bps/8 bytes,
-        # little-endian, interleaved
-        nbytes = bps // 8
+        # the spec MD5 covers the samples sign-extended into
+        # ceil(bps/8) bytes, little-endian, interleaved (RFC 9639
+        # §9.1.4)
+        nbytes = (bps + 7) // 8
         flat = samples.reshape(-1)
         packed = (
             ((flat[:, None] >> (8 * np.arange(nbytes))) & 0xFF)
@@ -507,6 +506,10 @@ def _encode_subframe(
     _write_residual(w, res)
 
 
+# frame-header sample-size codes (RFC 9639 frame header table)
+_SS_CODES = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
+
+
 def encode_flac(
     samples: np.ndarray,
     rate: int = 16000,
@@ -538,11 +541,12 @@ def encode_flac_parts(
 
     MONO (n,) or stereo (n, 2) integer samples → FLAC bytes.
     ``stereo_mode`` is ``"independent"`` or ``"mid-side"``; ``bps`` is
-    8/16/24/32. Fixed blocking, one subframe strategy per channel
+    any spec depth (8/12/16/20/24/32). Fixed blocking, one subframe
+    strategy per channel
     (constant / best fixed order / rice-escape), real STREAMINFO MD5
     over the spec's bps/8-byte little-endian packing."""
-    if bps not in (8, 16, 24, 32):
-        raise ValueError(f"bps must be 8/16/24/32, got {bps}")
+    if bps not in (8, 12, 16, 20, 24, 32):
+        raise ValueError(f"bps must be 8/12/16/20/24/32, got {bps}")
     a = np.asarray(samples, dtype=np.int64)
     if a.ndim == 1:
         a = a[:, None]
@@ -556,7 +560,7 @@ def encode_flac_parts(
         raise ValueError(f"unknown stereo_mode {stereo_mode}")
     if not 16 <= block_size <= 65535:
         raise ValueError("block_size out of range")
-    nbytes = bps // 8
+    nbytes = (bps + 7) // 8
     md5 = hashlib.md5(
         ((a.reshape(-1)[:, None] >> (8 * np.arange(nbytes))) & 0xFF)
         .astype(np.uint8)
@@ -599,7 +603,7 @@ def encode_flac_parts(
         else:
             ch_code = 10  # mid/side
         w.write(ch_code, 4)
-        w.write({8: 1, 16: 4, 24: 6, 32: 7}[bps], 3)
+        w.write(_SS_CODES[bps], 3)
         w.write(0, 1)
         for byte in _coded_number_encode(fi):
             w.write(byte, 8)

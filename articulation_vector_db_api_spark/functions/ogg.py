@@ -88,10 +88,23 @@ def ogg_packets(b: bytes):
     the granule position of the page the packet ENDS on (-1 when no
     packet ends on a page, per spec). This is the layer any Ogg
     payload codec drops in behind: per-packet decode with per-packet
-    fault isolation."""
+    fault isolation.
+
+    Single-logical-stream walk: follows the serial of the FIRST page.
+    A foreign-serial page before that stream's EOS means grouped
+    (concurrently multiplexed) streams — NotImplementedError, that
+    needs a demuxer. Pages after the EOS (chained stream links) are
+    not walked; a chain's later links are separate documents."""
     cur = bytearray()
     open_packet = False
+    target = None
     for htype, granule, serial, payload, lacing in _pages(b):
+        if target is None:
+            target = serial
+        if serial != target:
+            raise NotImplementedError(
+                "grouped (multiplexed) Ogg streams need a demuxer"
+            )
         if bool(htype & 0x01) != open_packet:
             raise ValueError(
                 "Ogg continuation flag inconsistent with lacing"
@@ -106,6 +119,8 @@ def ogg_packets(b: bytes):
                 open_packet = False
             else:
                 open_packet = True
+        if htype & 0x04:  # target stream EOS: chained links follow
+            return
     if open_packet:
         raise ValueError("Ogg stream ends mid-packet")
 
@@ -127,22 +142,35 @@ def parse_ogg(payload: bytes) -> dict:
     duration_ms, n_pages}. Duration comes from the final page's
     granule position: Opus granules are 48 kHz minus pre-skip
     (RFC 7845 §4/§5.1); Vorbis and FLAC granules are sample counts at
-    the declared rate (Ogg-FLAC mapping 1.0 §6)."""
+    the declared rate (Ogg-FLAC mapping 1.0 §6).
+
+    Probes the FIRST logical bitstream: a foreign-serial page before
+    its EOS means grouped multiplexing (NotImplementedError — mixing
+    streams' granules would report wrong facts); a CHAINED stream's
+    later links are separate documents and are not walked, so n_pages
+    and duration describe link 1."""
     b = bytes(payload)
     first = None
+    target = None
     last_granule = None
     n_pages = 0
     saw_eos = False
-    for htype, granule, _serial, body, _lacing in _pages(b):
-        n_pages += 1
+    for htype, granule, serial, body, _lacing in _pages(b):
         if first is None:
             if not htype & 0x02:
                 raise ValueError("first Ogg page is not BOS")
             first = body
+            target = serial
+        elif serial != target:
+            raise NotImplementedError(
+                "grouped (multiplexed) Ogg streams need a demuxer"
+            )
+        n_pages += 1
         if granule >= 0:
             last_granule = granule
         if htype & 0x04:
             saw_eos = True
+            break  # chained links beyond the first are not this probe
     if first is None:
         raise ValueError("empty Ogg stream")
     if not saw_eos:

@@ -966,8 +966,8 @@ def multimodal_audio_flac_roundtrip(
     the oracle computes straight from the digest bytes. FLAC is the
     format speech corpora actually ship in (LibriSpeech, MLS); the
     decoder additionally covers LPC/left-side/right-side/escape/wasted
-    -bits streams via hand-built vectors in tests/test_flac.py.
-    8/12/20/24-bit depths stay behind an honest NotImplementedError.
+    -bits streams via hand-built vectors in tests/test_flac.py, and all
+    six spec bit depths (8/12/16/20/24/32) roundtrip there.
 
     Scale shape: same Arrow-batched narrow map as every codec
     roundtrip; only the 6-column stats row leaves the executor."""

@@ -249,3 +249,53 @@ def test_ogg_flac_corruption_contract():
     bad[-3] ^= 0x40
     with _pytest.raises(ValueError, match="CRC"):
         decode_ogg_flac(bytes(bad))
+
+
+def _split_pages(stream: bytes) -> list[bytes]:
+    offs = []
+    pos = 0
+    while True:
+        pos = stream.find(b"OggS", pos)
+        if pos < 0:
+            break
+        offs.append(pos)
+        pos += 4
+    return [
+        stream[a:b] for a, b in zip(offs, offs[1:] + [len(stream)])
+    ]
+
+
+def test_ogg_multiplexed_streams_gated_chained_probes_first_link():
+    """Grouped (concurrently multiplexed) streams are an honest
+    NotImplementedError — mixing serials' granules would report wrong
+    durations; a CHAINED stream (new BOS after EOS, RFC 3533 §4)
+    probes its first link."""
+    import numpy as np
+
+    from articulation_vector_db_api_spark.functions.ogg import (
+        decode_ogg_flac,
+        ogg_packets,
+    )
+
+    opus = build_ogg_opus(channels=1, duration_ms=100, serial=1)
+    vorbis = build_ogg_vorbis(channels=1, rate=16000, duration_ms=50,
+                              serial=2)
+    a, b = _split_pages(opus), _split_pages(vorbis)
+    grouped = a[0] + b[0] + a[1] + b[1] + a[2]
+    with pytest.raises(NotImplementedError, match="multiplexed"):
+        parse_ogg(grouped)
+    with pytest.raises(NotImplementedError, match="multiplexed"):
+        list(ogg_packets(grouped))
+    # chained: first link's facts, second link untouched
+    chained = opus + vorbis
+    meta = parse_ogg(chained)
+    assert (meta["codec"], meta["duration_ms"], meta["n_pages"]) == (
+        "opus", 100, 3,
+    )
+    # chained Ogg-FLAC decodes only its first link too
+    from articulation_vector_db_api_spark.functions.ogg import build_ogg_flac
+
+    sig = np.arange(200, dtype=np.int16)
+    flac_chain = build_ogg_flac(sig, serial=7) + vorbis
+    rate, dec = decode_ogg_flac(flac_chain)
+    assert np.array_equal(dec[:, 0], sig)

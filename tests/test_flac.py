@@ -259,7 +259,7 @@ def test_gates_and_malformed():
     enc = bytearray(encode_flac(np.arange(50, dtype=np.int16)))
     with pytest.raises(ValueError, match="truncated"):
         decode_flac(bytes(enc[:-10]))
-    # 12-bit depth stays gated (whole-byte depths 8/16/24/32 decode)
+    # a RESERVED bit depth (bps-1 = 2 is not a spec value) is refused
     si = _BitWriter()
     si.write(16, 16)
     si.write(4096, 16)
@@ -267,19 +267,19 @@ def test_gates_and_malformed():
     si.write(0, 24)
     si.write(16000, 20)
     si.write(0, 3)
-    si.write(11, 5)  # 12-bit
+    si.write(2, 5)  # bps = 3: not one of 8/12/16/20/24/32
     si.write(10, 36)
     si.align()
     stream = (
         b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
         + si.bytes() + b"\x00" * 16
     )
-    with pytest.raises(NotImplementedError, match="12-bit FLAC"):
+    with pytest.raises(ValueError, match="invalid FLAC bit depth"):
         decode_flac(stream)
 
 
-@pytest.mark.parametrize("bps", [8, 24, 32])
-def test_roundtrip_all_whole_byte_depths(bps):
+@pytest.mark.parametrize("bps", [8, 12, 20, 24, 32])
+def test_roundtrip_all_spec_depths(bps):
     rng = np.random.default_rng(bps)
     lim = 1 << (bps - 1)
     mono = rng.integers(-lim, lim, size=700, dtype=np.int64)
@@ -289,8 +289,9 @@ def test_roundtrip_all_whole_byte_depths(bps):
             encode_flac(s, block_size=128, bps=bps, **kw)
         )
         want = s if s.ndim == 2 else s[:, None]
-        # the STREAMINFO MD5 (bps/8-byte little-endian packing) is
-        # verified inside decode, so equality here is belt-and-braces
+        # the STREAMINFO MD5 (sign-extended ceil(bps/8)-byte LE
+        # packing, RFC 9639 §9.1.4) is verified inside decode, so
+        # equality here is belt-and-braces
         assert np.array_equal(dec, want)
         assert dec.dtype == (np.dtype("<i2") if bps <= 16 else
                              np.dtype("<i4"))

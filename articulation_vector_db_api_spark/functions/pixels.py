@@ -17,7 +17,10 @@ specified by public documents and needs only ``zlib``:
   padding, bottom-up or top-down.
 - netpbm P5/P6 (maxval ≤ 255): raster follows the header verbatim.
 - GIF (GIF89a spec): real variable-width LZW (appendix F), global and
-  local color tables, interlace de-weave, first frame.
+  local color tables, interlace de-weave; ANIMATION decodes fully —
+  Graphic Control Extensions (delay, transparency index) and all three
+  disposal methods (leave / restore-background / restore-previous)
+  composite each frame onto the logical screen (decode_gif_frames).
 
 JPEG decodes natively too — baseline sequential AND progressive
 (functions/jpeg.py: marker walk, Huffman entropy decode, multi-scan
@@ -510,8 +513,25 @@ def decode_gif(b: bytes) -> np.ndarray:
     descriptor's left/top offset (optimized GIFs routinely store
     sub-rectangle frames; returning the bare frame would contradict
     decode_image's screen dimensions for the same payload). Uncovered
-    screen area takes the background color. Animation beyond frame one
-    is out of scope (frame sampling composes on top)."""
+    screen area takes the background color."""
+    frames = decode_gif_frames(b, max_frames=1)
+    return frames[0][1]
+
+
+def decode_gif_frames(
+    b: bytes, max_frames: int | None = None
+) -> list[tuple[int, np.ndarray]]:
+    """FULL animated-GIF decode (GIF89a spec §23): every frame
+    composited onto the logical screen → [(delay_cs, RGB canvas)].
+
+    Graphic Control Extensions carry each frame's delay (centiseconds),
+    transparency index (transparent pixels leave the canvas unchanged)
+    and DISPOSAL method, all honored: 0/1 leave the frame in place,
+    2 restores the frame's region to the background color, 3 restores
+    it to the canvas as it was before the frame rendered. Other
+    extensions (NETSCAPE loop, comments) skip by their sub-block
+    lengths. Compositing happens in RGB so per-frame LOCAL color
+    tables can't corrupt earlier frames' pixels."""
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
     screen_w = int.from_bytes(b[6:8], "little")
@@ -524,10 +544,29 @@ def decode_gif(b: bytes) -> np.ndarray:
         n = 2 << (flags & 0x07)
         gct = np.frombuffer(b, np.uint8, count=3 * n, offset=i).reshape(-1, 3)
         i += 3 * n
+    bg = bg_index if (gct is not None and bg_index < len(gct)) else 0
+    bg_rgb = gct[bg] if gct is not None else np.zeros(3, np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (screen_h, screen_w, 3)).copy()
+    frames: list[tuple[int, np.ndarray]] = []
+    # pending Graphic Control Extension state for the NEXT image
+    delay_cs, disposal, transparent = 0, 0, None
     while i < len(b):
         block = b[i]
         if block == 0x21:  # extension: label + sub-blocks
+            label = b[i + 1]
             i += 2
+            if label == 0xF9:  # Graphic Control Extension
+                size = b[i]
+                if size != 4:
+                    raise ValueError("bad GIF graphic control block size")
+                packed = b[i + 1]
+                delay_cs = int.from_bytes(b[i + 2 : i + 4], "little")
+                disposal = (packed >> 2) & 0x07
+                transparent = b[i + 4] if packed & 0x01 else None
+                if disposal > 3:
+                    raise ValueError(
+                        f"reserved GIF disposal method {disposal}"
+                    )
             while b[i]:
                 i += 1 + b[i]
             i += 1
@@ -556,6 +595,7 @@ def decode_gif(b: bytes) -> np.ndarray:
                 size = b[i]
                 data += b[i + 1 : i + 1 + size]
                 i += 1 + size
+            i += 1  # block terminator
             idx = _lzw_decode(bytes(data), mcs)
             if len(idx) < w * h:
                 raise ValueError("GIF pixel data truncated")
@@ -571,19 +611,92 @@ def decode_gif(b: bytes) -> np.ndarray:
                 grid = woven
             if int(grid.max(initial=0)) >= len(table):
                 raise ValueError("GIF index outside color table")
-            # composite onto the logical screen: background fill, then
-            # the frame at its descriptor offset
-            bg = bg_index if (flags & 0x80 and bg_index < len(table)) else 0
-            canvas = np.full(
-                (screen_h, screen_w), bg, dtype=np.int32
-            )
-            canvas[top : top + h, left : left + w] = grid
-            return table[canvas]
+            region = canvas[top : top + h, left : left + w]
+            saved = region.copy() if disposal == 3 else None
+            rgb = table[grid]
+            if transparent is not None:
+                mask = grid != transparent
+                region[mask] = rgb[mask]
+            else:
+                region[:] = rgb
+            frames.append((delay_cs, canvas.copy()))
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
+            if disposal == 2:  # restore region to background
+                region[:] = bg_rgb
+            elif disposal == 3:  # restore region to pre-frame canvas
+                region[:] = saved
+            delay_cs, disposal, transparent = 0, 0, None
         elif block == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
-    raise ValueError("GIF has no image data")
+    if not frames:
+        raise ValueError("GIF has no image data")
+    return frames
+
+
+def encode_gif_animation(
+    frames: list[dict],
+    palette: np.ndarray,
+    screen: tuple[int, int],
+    bg_index: int = 0,
+) -> bytes:
+    """Animated-GIF89a encoder — the roundtrip witness for
+    decode_gif_frames. Each frame dict: ``indices`` (h, w int array),
+    ``left``/``top`` offsets, ``delay_cs``, ``disposal`` (0-3),
+    optional ``transparent`` index. One global color table; a
+    NETSCAPE2.0 loop extension is emitted so the decoder's
+    skip-unknown-extensions path is always exercised."""
+    screen_h, screen_w = screen
+    n = len(palette)
+    bits = max(1, (n - 1).bit_length())
+    size = 1 << bits
+    table = np.zeros((size, 3), dtype=np.uint8)
+    table[:n] = palette
+    mcs = max(2, bits)
+    out = bytearray()
+    out += (
+        b"GIF89a"
+        + screen_w.to_bytes(2, "little")
+        + screen_h.to_bytes(2, "little")
+        + bytes([0x80 | (bits - 1), bg_index, 0])
+        + table.tobytes()
+    )
+    # NETSCAPE2.0 application extension (infinite loop)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in frames:
+        indices = np.asarray(f["indices"])
+        h, w = indices.shape
+        transparent = f.get("transparent")
+        packed = ((f.get("disposal", 0) & 0x07) << 2) | (
+            0x01 if transparent is not None else 0x00
+        )
+        out += (
+            b"\x21\xf9\x04"
+            + bytes([packed])
+            + int(f.get("delay_cs", 0)).to_bytes(2, "little")
+            + bytes([transparent or 0, 0])
+        )
+        lzw = _lzw_encode(indices.reshape(-1).tolist(), mcs)
+        blocks = bytearray()
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off : off + 255]
+            blocks.append(len(chunk))
+            blocks += chunk
+        blocks.append(0)
+        out += (
+            b"\x2c"
+            + int(f.get("left", 0)).to_bytes(2, "little")
+            + int(f.get("top", 0)).to_bytes(2, "little")
+            + w.to_bytes(2, "little")
+            + h.to_bytes(2, "little")
+            + b"\x00"
+            + bytes([mcs])
+            + bytes(blocks)
+        )
+    out += b"\x3b"
+    return bytes(out)
 
 
 def encode_gif(

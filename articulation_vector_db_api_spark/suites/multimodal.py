@@ -1035,6 +1035,126 @@ def multimodal_audio_flac_roundtrip(
 
 
 @register(
+    "multimodal_gif_animation_frames",
+    oracle="""
+    WITH bts AS (
+        SELECT doc_id,
+               list_transform(range(8), j ->
+                   (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 2, 1)) - 1)
+               ) AS b
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(4 AS BIGINT) AS n_frames,
+           CAST((1 + b[5] % 50) + (1 + b[6] % 50) + (1 + b[7] % 50)
+                + (1 + b[8] % 50) AS BIGINT) AS delay_total_cs,
+           CAST(256 * b[1] AS BIGINT) AS s0,
+           CAST(192 * b[1] + 64 * b[2] AS BIGINT) AS s1,
+           CAST(128 * b[1] + 64 * b[2] + 64 * b[3] AS BIGINT) AS s2,
+           CAST(144 * b[1] + 64 * b[2] + 48 * b[4] AS BIGINT) AS s3
+    FROM bts
+    ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+)
+def multimodal_gif_animation_frames(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANIMATED GIF decode proof — frame sampling for video-ish GIF
+    corpora needs every frame COMPOSITED, not just stored
+    sub-rectangles, and composition semantics live in the Graphic
+    Control Extension: per doc, a 4-frame 16×16 animation is built
+    from digest bytes exercising all three disposal methods plus
+    transparency (frame 1 paints a quadrant and stays; frame 2 paints
+    with disposal RESTORE-PREVIOUS, so frame 3 must see it undone;
+    frame 3 paints a checkerboard whose transparent index must leave
+    the underlying canvas showing through) and a NETSCAPE loop
+    extension the walker has to skip. decode_gif_frames
+    (functions/pixels.py) re-composites each canvas; per-frame red-sums
+    and the delay total must equal the oracle's closed-form canvas
+    arithmetic — wrong disposal, wrong offsets, or leaked transparency
+    all shift a sum.
+
+    Scale shape: Arrow-batched narrow map, one 7-column stats row out
+    per doc; frames never leave the executor."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("delay_total_cs", T.LongType()),
+            T.StructField("s0", T.LongType()),
+            T.StructField("s1", T.LongType()),
+            T.StructField("s2", T.LongType()),
+            T.StructField("s3", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from ..functions.pixels import (
+            decode_gif_frames,
+            encode_gif_animation,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                b = hashlib.sha256(str(i).encode()).digest()
+                pal = np.array([[v, v, v] for v in b[:4]], np.uint8)
+                delays = [1 + b[4 + k] % 50 for k in range(4)]
+                r3 = np.full((8, 8), 3, dtype=int)
+                r3[::2, ::2] = 0  # transparent checkerboard holes
+                frames_spec = [
+                    {"indices": np.zeros((16, 16), int),
+                     "delay_cs": delays[0], "disposal": 1},
+                    {"indices": np.full((8, 8), 1, int), "left": 0,
+                     "top": 0, "delay_cs": delays[1], "disposal": 1},
+                    {"indices": np.full((8, 8), 2, int), "left": 8,
+                     "top": 8, "delay_cs": delays[2], "disposal": 3},
+                    {"indices": r3, "left": 8, "top": 0,
+                     "delay_cs": delays[3], "disposal": 0,
+                     "transparent": 0},
+                ]
+                gif = encode_gif_animation(
+                    frames_spec, pal, (16, 16), bg_index=0
+                )
+                decoded = decode_gif_frames(gif)
+                sums = [int(c[:, :, 0].astype(np.int64).sum())
+                        for _d, c in decoded]
+                rows.append(
+                    (
+                        doc_id,
+                        len(decoded),
+                        int(sum(d for d, _c in decoded)),
+                        *sums,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_ogg_flac_roundtrip",
     oracle="""
     WITH bts AS (

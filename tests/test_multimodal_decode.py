@@ -960,3 +960,72 @@ def test_adpcm_ima_no_fact_short_final_block():
     assert rate == 16000
     assert len(dec) == 2 * spb + 5  # full, full, short(1 header + 4 nibbles)
     assert np.array_equal(dec[:, 0], sig[: len(dec)])
+
+
+def test_gif_animation_disposal_and_transparency():
+    """decode_gif_frames honors all three disposal methods and the
+    transparency index; wrong composition shifts a canvas sum."""
+    import numpy as np
+
+    from articulation_vector_db_api_spark.functions.pixels import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    pal = np.array([[10] * 3, [50] * 3, [90] * 3, [200] * 3], np.uint8)
+    r3 = np.full((8, 8), 3, int)
+    r3[::2, ::2] = 0
+    spec = [
+        {"indices": np.zeros((16, 16), int), "delay_cs": 5, "disposal": 1},
+        {"indices": np.full((8, 8), 1, int), "left": 0, "top": 0,
+         "delay_cs": 7, "disposal": 1},
+        {"indices": np.full((8, 8), 2, int), "left": 8, "top": 8,
+         "delay_cs": 9, "disposal": 3},
+        {"indices": r3, "left": 8, "top": 0, "delay_cs": 11,
+         "disposal": 0, "transparent": 0},
+    ]
+    gif = encode_gif_animation(spec, pal, (16, 16), bg_index=0)
+    frames = decode_gif_frames(gif)
+    assert [d for d, _ in frames] == [5, 7, 9, 11]
+    c0, c1, c2, c3 = (c for _, c in frames)
+    assert (c0 == 10).all()
+    assert (c1[:8, :8] == 50).all() and (c1[8:, :] == 10).all()
+    assert (c2[8:, 8:] == 90).all()
+    # disposal 3 (restore previous): frame 2's paint must be undone
+    assert (c3[8:, 8:] == 10).all()
+    # transparency: checkerboard holes show the canvas underneath
+    reg = c3[:8, 8:]
+    assert (reg[::2, ::2] == 10).all() and (reg[1::2, :] == 200).all()
+    # decode_gif == first composited frame
+    assert np.array_equal(decode_gif(gif), c0)
+
+
+def test_gif_animation_disposal2_and_malformed():
+    import numpy as np
+    import pytest as _pytest
+
+    from articulation_vector_db_api_spark.functions.pixels import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    pal = np.array([[0] * 3, [255] * 3], np.uint8)
+    spec = [
+        {"indices": np.ones((4, 4), int), "left": 2, "top": 2,
+         "delay_cs": 1, "disposal": 2},
+        {"indices": np.zeros((1, 1), int), "delay_cs": 1},
+    ]
+    gif = encode_gif_animation(spec, pal, (8, 8), bg_index=0)
+    f = decode_gif_frames(gif)
+    # disposal 2: the painted region returns to background before f1
+    assert (f[1][1][2:6, 2:6] == 0).all()
+    assert f[0][1][2:6, 2:6].max() == 255
+    # max_frames stops early without walking the rest
+    assert len(decode_gif_frames(gif, max_frames=1)) == 1
+    # a reserved disposal method is refused
+    bad = bytearray(gif)
+    gce = bad.find(b"\x21\xf9\x04")
+    bad[gce + 3] = (bad[gce + 3] & ~0x1C) | (5 << 2)
+    with _pytest.raises(ValueError, match="disposal"):
+        decode_gif_frames(bytes(bad))

@@ -659,6 +659,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"BatchScan avro_py", r"partial_count"],
         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
     ),
+    "multimodal_gif_animation_frames": (
+        # animation build + 4-frame composition in one Arrow crossing
+        [r"MapInPandas"],
+        [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct",
+         r"HashAggregate"],
+    ),
     "multimodal_ogg_flac_roundtrip": (
         # Ogg packet reassembly + FLAC decode cross to Python exactly
         # once, Arrow-batched; the only exchange is the final sort

@@ -41,6 +41,33 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     )
 
 
+def encode_wav_float(
+    samples: np.ndarray, rate: int = 16000, bits: int = 32
+) -> bytes:
+    """IEEE-float WAV (format tag 3) from int16-range samples via the
+    symmetric x/32767 convention — decode_wav's float branch inverts
+    it exactly. Emits the fact chunk float WAV files carry."""
+    a = np.asarray(samples, dtype=np.int64)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    f = (a / 32767.0).astype("<f4" if bits == 32 else "<f8")
+    data = f.reshape(-1).tobytes()
+    step = bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 3, ch, rate, rate * ch * step, ch * step, bits
+    )
+    fact = struct.pack("<I", n)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4 + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", 4) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 # G.711 companded telephony expansion (ITU-T G.711, the public-domain
 # CCITT reference formulation): 8-bit logarithmic codes → linear int16.
 # Pure integer piecewise-linear math, so the DuckDB oracle replicates
@@ -144,6 +171,22 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         n = len(data) // ch
         codes = np.frombuffer(data, dtype=np.uint8, count=n * ch)
         return rate, table[codes].reshape(n, ch)
+    if tag == 3:
+        # IEEE-float WAV (WAVE_FORMAT_IEEE_FLOAT): float32/float64
+        # samples in [-1, 1], converted to int16 by the symmetric
+        # x*32767 convention (the encode_wav_float inverse, so 16-bit
+        # material round-trips bit-exactly); out-of-range input clips
+        if bits not in (32, 64):
+            raise ValueError(f"float WAV with bits={bits} (32/64 only)")
+        step = bits // 8
+        n = len(data) // (step * ch)
+        f = np.frombuffer(
+            data, dtype="<f4" if bits == 32 else "<f8", count=n * ch
+        ).astype(np.float64)
+        if not np.isfinite(f).all():
+            raise ValueError("float WAV contains non-finite samples")
+        pcm = np.clip(np.rint(f * 32767.0), -32768, 32767).astype(np.int16)
+        return rate, pcm.reshape(n, ch)
     if tag not in (1, 0xFFFE) or bits not in (8, 16, 24, 32):
         raise NotImplementedError(
             f"compressed or non-PCM WAV (tag={tag}, bits={bits}) "

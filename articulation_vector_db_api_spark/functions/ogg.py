@@ -355,6 +355,38 @@ def build_ogg_flac(
     return b"".join(pages)
 
 
+def build_ogg_opus_packets(
+    packets: list[bytes],
+    channels: int = 1,
+    pre_skip: int = 0,
+    input_rate: int = 48000,
+    serial: int = 4,
+) -> bytes:
+    """Ogg-Opus stream carrying REAL audio packets (one per page, per
+    RFC 7845 §3 one-packet-per-frame normal form): OpusHead (BOS),
+    OpusTags, then each packet on its own page with the granule
+    accumulating the TOC-derived sample count — the test-vector
+    generator for the RFC 6716 packet-layer parser."""
+    from .opus import parse_opus_packet
+
+    head = (
+        b"OpusHead"
+        + bytes([1, channels])
+        + struct.pack("<HIhB", pre_skip, input_rate, 0, 0)
+    )
+    tags = b"OpusTags" + struct.pack("<I", 6) + b"engine" + struct.pack("<I", 0)
+    pages = [
+        _page(head, 0, serial, 0, 0x02),
+        _page(tags, 0, serial, 1, 0x00),
+    ]
+    granule = pre_skip
+    for k, packet in enumerate(packets):
+        granule += parse_opus_packet(packet).samples48
+        eos = 0x04 if k == len(packets) - 1 else 0x00
+        pages.append(_page(packet, granule, serial, 2 + k, eos))
+    return b"".join(pages)
+
+
 def build_ogg_vorbis(
     channels: int, rate: int, duration_ms: int, serial: int = 2
 ) -> bytes:

@@ -1035,6 +1035,152 @@ def multimodal_audio_flac_roundtrip(
 
 
 @register(
+    "multimodal_opus_packet_stats",
+    oracle="""
+    WITH bts AS (
+        SELECT doc_id,
+               list_transform(range(4), j ->
+                   (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 2, 1)) - 1)
+               ) AS b
+        FROM documents
+    ),
+    cfg AS (
+        SELECT doc_id, b,
+               b[1] % 32 AS c0, b[2] % 32 AS c1,
+               1 + b[3] % 48 AS m2, 1 + b[4] % 12 AS m3,
+               list_transform([b[1] % 32, b[2] % 32], c ->
+                   CASE WHEN c < 12 THEN 48 * (CASE c % 4
+                            WHEN 0 THEN 10 WHEN 1 THEN 20
+                            WHEN 2 THEN 40 ELSE 60 END)
+                        WHEN c < 16 THEN CASE WHEN c % 2 = 0
+                            THEN 480 ELSE 960 END
+                        ELSE 120 * (CASE c % 4 WHEN 0 THEN 1
+                            WHEN 1 THEN 2 WHEN 2 THEN 4
+                            ELSE 8 END) END) AS s
+        FROM bts
+    )
+    SELECT doc_id,
+           CAST(4 AS BIGINT) AS n_packets,
+           CAST(3 + m2 + m3 AS BIGINT) AS n_frames,
+           CAST(s[1] + 2 * s[2] + 120 * m2 + 480 * m3 AS BIGINT)
+               AS samples48,
+           CAST((s[1] + 2 * s[2] + 120 * m2 + 480 * m3 + 24) // 48
+               AS BIGINT) AS duration_ms,
+           CAST((CASE WHEN b[1] >= 128 THEN 1 ELSE 0 END)
+              + (CASE WHEN b[2] >= 128 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_stereo,
+           CAST(1 AS BIGINT) AS n_vbr,
+           CAST((CASE WHEN c0 < 12 THEN 1 ELSE 0 END)
+              + (CASE WHEN c1 < 12 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_silk,
+           CAST((CASE WHEN c0 >= 12 AND c0 < 16 THEN 1 ELSE 0 END)
+              + (CASE WHEN c1 >= 12 AND c1 < 16 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hybrid,
+           CAST(2 + (CASE WHEN c0 >= 16 THEN 1 ELSE 0 END)
+              + (CASE WHEN c1 >= 16 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_celt
+    FROM cfg
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "audio"),
+)
+def multimodal_opus_packet_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Opus PACKET-layer inspection (RFC 6716 §3) — the triage a
+    speech-corpus pipeline runs before committing decode compute:
+    exact duration (each TOC config fixes its frames' length, no
+    decode needed), SILK/hybrid/CELT mode routing, stereo flags, and
+    CBR/VBR detection, with the §3.2 framing rules enforced (code-1
+    even split, code-2/VBR length bounds, code-3 count/padding/120 ms
+    caps). Per doc, a spec-conformant Ogg-Opus stream is built with
+    four digest-seeded audio packets covering codes 0, 1, and both
+    code-3 variants (CBR and padded-VBR), walked by the r8 page→packet
+    reassembly layer, and the aggregated packet facts must equal the
+    oracle's closed-form replay of RFC 6716 Table 2 in SQL CASE
+    arithmetic — two independent implementations of the duration
+    table. Audio SYNTHESIS (SILK/CELT) stays honestly gated.
+
+    Scale shape: Arrow-batched narrow map, one stats row per doc."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_packets", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("samples48", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("n_stereo", T.LongType()),
+            T.StructField("n_vbr", T.LongType()),
+            T.StructField("n_silk", T.LongType()),
+            T.StructField("n_hybrid", T.LongType()),
+            T.StructField("n_celt", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from ..functions.ogg import build_ogg_opus_packets
+        from ..functions.opus import opus_stream_stats
+
+        def toc(cfg: int, stereo: bool, code: int) -> bytes:
+            return bytes([cfg << 3 | (4 if stereo else 0) | code])
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                b = hashlib.sha256(str(i).encode()).digest()
+                m2, m3 = 1 + b[2] % 48, 1 + b[3] % 12
+                packets = [
+                    toc(b[0] % 32, b[0] >= 128, 0) + b"\x11\x22\x33",
+                    toc(b[1] % 32, b[1] >= 128, 1) + b"\xaa" * 4,
+                    # code 3 CBR: 2.5 ms CELT frames, 1 byte each
+                    toc(16, False, 3) + bytes([m2]) + b"\x00" * m2,
+                    # code 3 VBR + 2 padding bytes: 10 ms CELT frames
+                    toc(18, False, 3)
+                    + bytes([0x80 | 0x40 | m3, 2])
+                    + bytes([1] * (m3 - 1))
+                    + b"\x01" * m3
+                    + b"\x00\x00",
+                ]
+                stats = opus_stream_stats(build_ogg_opus_packets(packets))
+                rows.append(
+                    (
+                        doc_id,
+                        stats["n_packets"],
+                        stats["n_frames"],
+                        stats["samples48"],
+                        stats["duration_ms"],
+                        stats["n_stereo_packets"],
+                        stats["n_vbr_packets"],
+                        stats["n_silk"],
+                        stats["n_hybrid"],
+                        stats["n_celt"],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_gif_animation_frames",
     oracle="""
     WITH bts AS (

@@ -299,3 +299,68 @@ def test_ogg_multiplexed_streams_gated_chained_probes_first_link():
     flac_chain = build_ogg_flac(sig, serial=7) + vorbis
     rate, dec = decode_ogg_flac(flac_chain)
     assert np.array_equal(dec[:, 0], sig)
+
+
+def _toc(cfg: int, stereo: bool, code: int) -> bytes:
+    return bytes([cfg << 3 | (4 if stereo else 0) | code])
+
+
+def test_opus_packet_framing_codes():
+    """RFC 6716 §3.1-3.2: all four frame-count codes parse with the
+    Table 2 durations; the R-rules reject malformed packets."""
+    from articulation_vector_db_api_spark.functions.opus import (
+        parse_opus_packet,
+    )
+
+    cases = [
+        (_toc(8, False, 0) + b"\x11\x22\x33", 1, 480),   # SILK WB 10ms
+        (_toc(1, True, 1) + b"\xaa" * 4, 2, 1920),       # SILK NB 20ms x2
+        (_toc(13, False, 0) + b"\x00", 1, 960),          # hybrid SWB 20ms
+        (_toc(16, False, 3) + bytes([5]) + b"\x00" * 10, 5, 600),  # CBR
+        (  # VBR + 2 padding bytes, 3x 10ms CELT frames
+            _toc(18, False, 3) + bytes([0x80 | 0x40 | 3, 2])
+            + bytes([1, 1]) + b"\x01\x01\x05" + b"\x00\x00",
+            3, 1440,
+        ),
+    ]
+    for pkt, frames, samples in cases:
+        p = parse_opus_packet(pkt)
+        assert (p.frames, p.samples48) == (frames, samples)
+    assert parse_opus_packet(cases[1][0]).stereo
+    assert parse_opus_packet(cases[4][0]).vbr
+    bad = [
+        (_toc(0, False, 1) + b"\x01" * 3, "odd"),       # R3
+        (_toc(0, False, 3) + bytes([0]), "zero"),       # R5
+        (_toc(3, False, 3) + bytes([3]) + b"\x00" * 3, "120"),  # R5
+        (_toc(16, False, 3) + bytes([5]) + b"\x00" * 7, "evenly"),  # R6
+        (_toc(16, False, 3) + bytes([0x80 | 2, 255]), "length"),
+        (b"", "empty"),
+    ]
+    for pkt, msg in bad:
+        with pytest.raises(ValueError, match=msg):
+            parse_opus_packet(pkt)
+
+
+def test_opus_stream_stats_roundtrip():
+    from articulation_vector_db_api_spark.functions.ogg import (
+        build_ogg_opus_packets,
+    )
+    from articulation_vector_db_api_spark.functions.opus import (
+        opus_stream_stats,
+    )
+
+    packets = [
+        _toc(8, False, 0) + b"\x11\x22\x33",
+        _toc(1, True, 1) + b"\xaa" * 4,
+        _toc(16, False, 3) + bytes([5]) + b"\x00" * 10,
+    ]
+    stream = build_ogg_opus_packets(packets)
+    stats = opus_stream_stats(stream)
+    assert stats["n_packets"] == 3 and stats["n_frames"] == 8
+    assert stats["samples48"] == 480 + 1920 + 600
+    assert stats["n_silk"] == 2 and stats["n_celt"] == 1
+    assert stats["n_stereo_packets"] == 1
+    # parse_ogg's granule duration agrees with TOC arithmetic
+    assert parse_ogg(stream)["duration_ms"] == stats["duration_ms"]
+    with pytest.raises(ValueError, match="not an Ogg-Opus"):
+        opus_stream_stats(build_ogg_vorbis(1, 16000, 100))

@@ -919,11 +919,13 @@ def test_wav_pcm_all_whole_byte_depths():
         wav(1, 1, 44100, 32, np.array(vals32, dtype="<i4").tobytes())
     )
     assert s[:, 0].tolist() == vals32
-    # float WAV stays gated
+    # float WAV decodes (r8) — tag 3 with a non-float width is refused
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
-        decode_wav(wav(3, 1, 8000, 32, b"\x00" * 8))
+    _r, z = decode_wav(wav(3, 1, 8000, 32, b"\x00" * 8))
+    assert z.tolist() == [[0], [0]]
+    with _pytest.raises(ValueError, match="float WAV"):
+        decode_wav(wav(3, 1, 8000, 16, b"\x00" * 8))
 
 
 def test_adpcm_ima_no_fact_short_final_block():
@@ -1029,3 +1031,37 @@ def test_gif_animation_disposal2_and_malformed():
     bad[gce + 3] = (bad[gce + 3] & ~0x1C) | (5 << 2)
     with _pytest.raises(ValueError, match="disposal"):
         decode_gif_frames(bytes(bad))
+
+
+def test_float_wav_decodes():
+    """IEEE-float WAV (format tag 3): float32/float64 samples convert
+    by the symmetric x*32767 convention, so 16-bit material
+    round-trips bit-exactly; non-finite samples are rejected."""
+    import struct
+
+    import numpy as np
+
+    from articulation_vector_db_api_spark.functions.audio import (
+        decode_wav,
+        encode_wav_float,
+    )
+
+    rng = np.random.RandomState(9)
+    sig = rng.randint(-32767, 32768, 300).astype(np.int16)
+    for bits in (32, 64):
+        rate, dec = decode_wav(encode_wav_float(sig, rate=22050, bits=bits))
+        assert rate == 22050
+        assert np.array_equal(dec[:, 0], sig)
+    # stereo
+    st = np.stack([sig, sig[::-1]], axis=1)
+    _r, dec = decode_wav(encode_wav_float(st))
+    assert np.array_equal(dec, st)
+    # out-of-range float clips instead of wrapping
+    wav = bytearray(encode_wav_float(np.array([0], np.int16)))
+    wav[-4:] = struct.pack("<f", 2.5)
+    assert decode_wav(bytes(wav))[1][0, 0] == 32767
+    wav[-4:] = struct.pack("<f", float("nan"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-finite"):
+        decode_wav(bytes(wav))

@@ -1035,6 +1035,142 @@ def multimodal_audio_flac_roundtrip(
 
 
 @register(
+    "multimodal_mp3_probe",
+    oracle="""
+    WITH bts AS (
+        SELECT doc_id,
+               list_transform(range(4), j ->
+                   (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 2, 1)) - 1)
+               ) AS b
+        FROM documents
+    ),
+    facts AS (
+        SELECT doc_id, b,
+               b[1] % 3 AS v,
+               CASE b[1] % 3
+                   WHEN 0 THEN ([44100, 48000, 32000])[b[2] % 3 + 1]
+                   WHEN 1 THEN ([22050, 24000, 16000])[b[2] % 3 + 1]
+                   ELSE ([11025, 12000, 8000])[b[2] % 3 + 1] END AS sr,
+               CASE WHEN b[1] % 3 = 0 THEN 1152 ELSE 576 END AS spf,
+               3 + b[3] % 6 AS nf,
+               b[4] % 2 = 0 AS cbr
+        FROM bts
+    )
+    SELECT doc_id,
+           CAST(sr AS BIGINT) AS sample_rate,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(nf * spf AS BIGINT) AS samples_total,
+           CAST((nf * spf * 1000 + sr // 2) // sr AS BIGINT)
+               AS duration_ms,
+           CAST(CASE WHEN NOT cbr THEN 0
+                WHEN v = 0 THEN ([32, 40, 48, 56, 64, 80, 96, 112, 128,
+                                  160, 192, 224, 256, 320])[4 + b[4] % 11]
+                ELSE ([8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                       144, 160])[4 + b[4] % 11] END AS BIGINT)
+               AS cbr_kbps,
+           CAST(CASE WHEN cbr THEN 0 ELSE 1 END AS BIGINT) AS is_vbr,
+           CAST(CASE WHEN b[1] >= 128 THEN 1 ELSE 2 END AS BIGINT)
+               AS n_channels
+    FROM facts
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "audio"),
+)
+def multimodal_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 frame-header walk (ISO/IEC 11172-3 / 13818-3) — the triage
+    crowd-sourced speech corpora need (Common Voice ships MP3): exact
+    duration from per-frame sample counts, CBR bitrate vs VBR
+    detection, sample rate and channel mode, with every frame's
+    version/layer/rate pinned to the first frame's so corruption fails
+    loudly. Per doc, a digest-seeded stream covering MPEG-1/2/2.5,
+    all three sample-rate indices, CBR and VBR, a leading ID3v2 tag
+    (syncsafe size), a Xing frame-count header (verified against the
+    walked count), and a trailing ID3v1 tag is built and walked
+    (functions/mp3.py); the oracle replays the public bitrate /
+    sample-rate / samples-per-frame tables in SQL list literals — two
+    independent implementations of the header arithmetic. Frame
+    SYNTHESIS (filterbank/IMDCT) stays honestly gated.
+
+    Scale shape: Arrow-batched narrow map, one stats row per doc."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("samples_total", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("cbr_kbps", T.LongType()),
+            T.StructField("is_vbr", T.LongType()),
+            T.StructField("n_channels", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from ..functions.mp3 import build_mp3, parse_mp3
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                b = hashlib.sha256(str(i).encode()).digest()
+                version = ("1", "2", "2.5")[b[0] % 3]
+                nf = 3 + b[2] % 6
+                cbr = b[3] % 2 == 0
+                # CBR index >= 4 keeps frame 0 large enough for Xing
+                # at every version/rate combination
+                frames = [
+                    ((4 + b[3] % 11) if cbr else ((b[3] + k) % 14 + 1), 0)
+                    for k in range(nf)
+                ]
+                stream = build_mp3(
+                    frames,
+                    version=version,
+                    layer=3,
+                    rate_idx=b[1] % 3,
+                    mono=b[0] >= 128,
+                    id3v2_bytes=32,
+                    xing=cbr,  # Xing in CBR streams: count cross-check
+                    id3v1=True,
+                )
+                m = parse_mp3(stream)
+                if not m["has_id3v2"] or m["has_xing"] != cbr:
+                    raise ValueError("MP3 probe envelope mismatch")
+                rows.append(
+                    (
+                        doc_id,
+                        m["sample_rate"],
+                        m["n_frames"],
+                        m["samples"],
+                        m["duration_ms"],
+                        m["bitrate_kbps"] or 0,
+                        int(m["vbr"]),
+                        m["channels"],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_opus_packet_stats",
     oracle="""
     WITH bts AS (

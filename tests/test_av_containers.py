@@ -364,3 +364,48 @@ def test_opus_stream_stats_roundtrip():
     assert parse_ogg(stream)["duration_ms"] == stats["duration_ms"]
     with pytest.raises(ValueError, match="not an Ogg-Opus"):
         opus_stream_stats(build_ogg_vorbis(1, 16000, 100))
+
+
+def test_mp3_frame_walk():
+    """ISO 11172-3/13818-3 header walk: duration/bitrate/rate facts
+    across MPEG versions and layers, ID3v2/v1 envelopes, Xing
+    cross-check, and the corruption contract."""
+    from articulation_vector_db_api_spark.functions.mp3 import (
+        build_mp3,
+        parse_mp3,
+    )
+
+    m = parse_mp3(build_mp3([(9, 0)] * 5, xing=True, id3v2_bytes=64,
+                            id3v1=True))
+    assert m == {
+        "version": "1", "layer": 3, "sample_rate": 44100,
+        "channels": 1, "n_frames": 5, "samples": 5760,
+        "duration_ms": 131, "bitrate_kbps": 128, "vbr": False,
+        "has_id3v2": True, "has_xing": True,
+    }
+    # varying bitrate indices = VBR, bitrate_kbps undefined
+    m = parse_mp3(build_mp3([(1, 0), (9, 1), (14, 0)]))
+    assert m["vbr"] and m["bitrate_kbps"] is None and m["n_frames"] == 3
+    # MPEG-2 Layer III: 576 samples/frame; Layers I/II: 384/1152
+    assert parse_mp3(build_mp3([(5, 0)] * 4, version="2",
+                               rate_idx=2))["samples"] == 2304
+    assert parse_mp3(build_mp3([(7, 0)] * 2, layer=2))["samples"] == 2304
+    assert parse_mp3(build_mp3([(7, 1)] * 2, layer=1))["samples"] == 768
+    base = build_mp3([(9, 0)] * 3)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_mp3(base[:-5])
+    bad = bytearray(base)
+    bad[0] = 0x00
+    with pytest.raises(ValueError, match="sync"):
+        parse_mp3(bytes(bad))
+    # a frame appended after the Xing count must be caught
+    with pytest.raises(ValueError, match="Xing"):
+        parse_mp3(build_mp3([(9, 0)] * 3, xing=True) + build_mp3([(9, 0)]))
+    # Xing cannot fit an 8 kbps MPEG-2 stereo frame — builder refuses
+    with pytest.raises(ValueError, match="Xing"):
+        build_mp3([(1, 0)] * 2, version="2", mono=False, xing=True)
+    # free-format bitrate stays gated; reserved rate index refused
+    hdr = bytearray(build_mp3([(9, 0)]))
+    hdr[2] &= 0x0F  # bitrate index -> 0 (free format)
+    with pytest.raises(NotImplementedError, match="free-format"):
+        parse_mp3(bytes(hdr))

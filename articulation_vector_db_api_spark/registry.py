@@ -237,16 +237,17 @@ _VERIFIED = frozenset(
 )
 
 # Round-8 window (VERDICT r7 item 7: rotate to the STALEST evidence):
-# 1. the seven r8 additions, never driver-seated — the nested Arrow IPC
+# 1. the eight r8 additions, never driver-seated — the nested Arrow IPC
 #    and nested Avro scans, Ogg-FLAC decode, batched BPE (rows-only by
 #    nature: a 256-merge iterative training loop; ground truth is
 #    recomputed single-process in tests/test_bpe.py), and the animated
-#    GIF frame-composition proof, and the Opus/MP3 packet-layer stats.
-# 2. _WINDOW_RESEAT: 43 of the 48 queries whose latest green row is
+#    GIF frame-composition proof, and the Opus/MP3/ADTS packet-layer
+#    stats.
+# 2. _WINDOW_RESEAT: 42 of the 48 queries whose latest green row is
 #    still ROUND 1 — six rounds of refactoring old against today's
 #    code (flagship search path, early relational/TPC-H, setops,
 #    pivots). Listed explicitly, stalest-first in registration order,
-#    so exactly these take the remaining seats; the 5 leftover r1 rows
+#    so exactly these take the remaining seats; the 6 leftover r1 rows
 #    plus the r2 vintage rotate in next round.
 _WINDOW_FIRST = (
     "scan_avro_nested_roundtrip",
@@ -256,6 +257,7 @@ _WINDOW_FIRST = (
     "multimodal_gif_animation_frames",
     "multimodal_opus_packet_stats",
     "multimodal_mp3_probe",
+    "multimodal_adts_probe",
 )
 _WINDOW_RESEAT = (
     "flagship_search", "search_context", "search_topk_per_source",
@@ -274,7 +276,7 @@ _WINDOW_RESEAT = (
     "scalar_subquery_above_avg", "topk_orders_by_price",
     "topk_pagination", "setop_except_all", "setop_nations_intersect",
     "setop_nations_except", "setop_union_all_counts",
-    "sql_interface_revenue", "nested_agg_big_spenders",
+    "sql_interface_revenue",
 )
 # Suite order for the rest of the unverified front (round-5 additions):
 # cheap scalar/relational families first, expensive similarity last.

@@ -1035,6 +1035,114 @@ def multimodal_audio_flac_roundtrip(
 
 
 @register(
+    "multimodal_adts_probe",
+    oracle="""
+    WITH bts AS (
+        SELECT doc_id,
+               list_transform(range(4), j ->
+                   (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 2, 1)) - 1)
+               ) AS b
+        FROM documents
+    ),
+    facts AS (
+        SELECT doc_id,
+               (['Main', 'LC', 'SSR', 'LTP'])[b[1] % 4 + 1] AS profile,
+               ([96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+                 16000, 12000, 11025, 8000, 7350])[b[2] % 13 + 1] AS sr,
+               1 + b[3] % 7 AS ch,
+               2 + b[1] % 5 AS nf,
+               1 + b[4] % 4 AS rdb
+        FROM bts
+    )
+    SELECT doc_id, profile,
+           CAST(sr AS BIGINT) AS sample_rate,
+           CAST(ch AS BIGINT) AS n_channels,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(1024 * nf * rdb AS BIGINT) AS samples_total,
+           CAST((1024 * nf * rdb * 1000 + sr // 2) // sr AS BIGINT)
+               AS duration_ms
+    FROM facts
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "audio"),
+)
+def multimodal_adts_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AAC ADTS frame-header walk (ISO/IEC 13818-7 §6.2) — the
+    streamable AAC envelope podcast corpora arrive in: exact duration
+    (1024 samples per raw data block × the header's block count),
+    profile, sample rate, channel config, with the explicit 13-bit
+    frame lengths making truncation and mid-stream parameter changes
+    loud failures. Per doc, a digest-seeded stream spans all four
+    profiles, all 13 sampling indices, 1-7 channels and 1-4 raw data
+    blocks per frame (functions/adts.py); the oracle replays the
+    sampling-frequency table as a SQL list literal. AAC SYNTHESIS
+    stays honestly gated.
+
+    Scale shape: Arrow-batched narrow map, one stats row per doc."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("profile", T.StringType()),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("n_channels", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("samples_total", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from ..functions.adts import build_adts, parse_adts
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                b = hashlib.sha256(str(i).encode()).digest()
+                nf = 2 + b[0] % 5
+                stream = build_adts(
+                    [40 + (b[0] + k) % 60 for k in range(nf)],
+                    profile=b[0] % 4,
+                    rate_idx=b[1] % 13,
+                    channels=1 + b[2] % 7,
+                    rdb=1 + b[3] % 4,
+                )
+                m = parse_adts(stream)
+                rows.append(
+                    (
+                        doc_id,
+                        m["profile"],
+                        m["sample_rate"],
+                        m["channels"],
+                        m["n_frames"],
+                        m["samples"],
+                        m["duration_ms"],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_mp3_probe",
     oracle="""
     WITH bts AS (

@@ -409,3 +409,32 @@ def test_mp3_frame_walk():
     hdr[2] &= 0x0F  # bitrate index -> 0 (free format)
     with pytest.raises(NotImplementedError, match="free-format"):
         parse_mp3(bytes(hdr))
+
+
+def test_adts_frame_walk():
+    """ISO 13818-7 §6.2: explicit frame lengths, raw-data-block
+    sample math, profile/rate/channel pinning, corruption contract."""
+    from articulation_vector_db_api_spark.functions.adts import (
+        build_adts,
+        parse_adts,
+    )
+
+    m = parse_adts(build_adts([100, 50, 75], profile=1, rate_idx=8,
+                              channels=2, rdb=2))
+    assert m == {
+        "profile": "LC", "sample_rate": 16000, "channels": 2,
+        "n_frames": 3, "samples": 6144, "duration_ms": 384,
+        "protected": False,
+    }
+    base = build_adts([30] * 3)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_adts(base[:-5])
+    bad = bytearray(base)
+    bad[0] = 0
+    with pytest.raises(ValueError, match="sync"):
+        parse_adts(bytes(bad))
+    with pytest.raises(ValueError, match="change"):
+        parse_adts(build_adts([30], rate_idx=8) + build_adts([30],
+                                                             rate_idx=4))
+    with pytest.raises(NotImplementedError, match="PCE"):
+        parse_adts(build_adts([10], channels=0))

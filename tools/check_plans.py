@@ -659,6 +659,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"BatchScan avro_py", r"partial_count"],
         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
     ),
+    "multimodal_adts_probe": (
+        # stream build + header walk in one Arrow crossing
+        [r"MapInPandas"],
+        [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct",
+         r"HashAggregate"],
+    ),
     "multimodal_mp3_probe": (
         # stream build + header walk in one Arrow crossing
         [r"MapInPandas"],

@@ -118,8 +118,10 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     """RIFF/WAVE PCM decode → (sample_rate, int16 array (n, ch)).
 
     Walks the chunk list (LIST/INFO and other metadata chunks skip by
-    their declared size, word-aligned per the RIFF spec); accepts
-    format tag 1 (PCM) and 0xFFFE (extensible) at 16 bits.
+    their declared size, word-aligned per the RIFF spec). Extensible
+    (0xFFFE) files dispatch on their SubFormat GUID's format code, so
+    PCM / IEEE-float / G.711 / ADPCM all decode through the same
+    branches whether plain-tagged or extensible.
 
     EXCEPTION CONTRACT (same as functions/pixels.py:decode_pixels):
     only ValueError for malformed streams and NotImplementedError for
@@ -149,6 +151,18 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     tag, ch, rate, _byterate, align, bits = fmt
     if ch == 0:
         raise ValueError("WAV fmt declares zero channels")
+    if tag == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the REAL format code is the first
+        # two bytes of the SubFormat GUID (a float-subformat file read
+        # as PCM would silently produce garbage samples); the GUID
+        # suffix is fixed by the spec and verified
+        if len(fmt_body) < 40:
+            raise ValueError("extensible WAV fmt chunk too short")
+        (tag,) = struct.unpack_from("<H", fmt_body, 24)
+        if fmt_body[26:40] != (
+            b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+        ):
+            raise ValueError("bad WAV extensible SubFormat GUID")
     if tag == 0x11:
         # IMA ADPCM (mono): block geometry from the extended fmt
         if ch != 1 or bits != 4:

@@ -531,7 +531,20 @@ def decode_gif_frames(
     it to the canvas as it was before the frame rendered. Other
     extensions (NETSCAPE loop, comments) skip by their sub-block
     lengths. Compositing happens in RGB so per-frame LOCAL color
-    tables can't corrupt earlier frames' pixels."""
+    tables can't corrupt earlier frames' pixels.
+
+    EXCEPTION CONTRACT: ValueError for any malformed/truncated stream
+    (byte indexing past end is converted, so an IndexError can never
+    escape a caller's per-row fault isolation)."""
+    try:
+        return _decode_gif_frames(b, max_frames)
+    except IndexError as exc:
+        raise ValueError("truncated GIF stream") from exc
+
+
+def _decode_gif_frames(
+    b: bytes, max_frames: int | None
+) -> list[tuple[int, np.ndarray]]:
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
     screen_w = int.from_bytes(b[6:8], "little")

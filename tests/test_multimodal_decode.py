@@ -1065,3 +1065,84 @@ def test_float_wav_decodes():
 
     with _pytest.raises(ValueError, match="non-finite"):
         decode_wav(bytes(wav))
+
+
+def test_wav_extensible_subformat_dispatch():
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) must dispatch on the SubFormat
+    GUID: a float-subformat extensible file previously decoded as int32
+    PCM garbage. PCM and float GUIDs both route correctly; a corrupt
+    GUID suffix is refused."""
+    import struct
+
+    import numpy as np
+
+    from articulation_vector_db_api_spark.functions.audio import (
+        decode_wav,
+        encode_wav,
+        encode_wav_float,
+    )
+
+    guid_suffix = (
+        b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    )
+    sig = np.array([100, -2000, 32767, -32768], np.int16)
+
+    def to_extensible(wav: bytes, sub: int) -> bytes:
+        # rewrite the 16-byte fmt body as a 40-byte extensible one
+        body = bytearray(wav[20:36])
+        bits = struct.unpack_from("<H", body, 14)[0]
+        struct.pack_into("<H", body, 0, 0xFFFE)
+        ext = (
+            struct.pack("<HHI", 22, bits, 0)
+            + struct.pack("<H", sub)
+            + guid_suffix
+        )
+        rest = wav[36:]
+        return (
+            wav[:16]
+            + struct.pack("<I", 16 + len(ext))
+            + bytes(body)
+            + ext
+            + rest
+        )
+
+    pcm = to_extensible(encode_wav(sig), 1)
+    _r, d = decode_wav(pcm)
+    assert np.array_equal(d[:, 0], sig)
+
+    flt = encode_wav_float(sig)
+    # float WAV layout: fmt at 12 (16-byte body), fact, data — rebuild
+    # with an extensible fmt; reuse to_extensible's arithmetic by
+    # noting its offsets only assume fmt-at-12 with a 16-byte body
+    flt_ext = to_extensible(flt, 3)
+    _r, d = decode_wav(flt_ext)
+    assert np.array_equal(d[:, 0], sig)
+
+    import pytest as _pytest
+
+    bad = bytearray(pcm)
+    bad[bad.find(guid_suffix) + 3] ^= 0xFF
+    with _pytest.raises(ValueError, match="GUID"):
+        decode_wav(bytes(bad))
+
+
+def test_gif_truncation_is_valueerror():
+    """Truncating an animation anywhere must surface as ValueError
+    (the per-row fault-isolation contract), never IndexError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from articulation_vector_db_api_spark.functions.pixels import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    pal = np.array([[0] * 3, [255] * 3], np.uint8)
+    gif = encode_gif_animation(
+        [{"indices": np.ones((6, 6), int), "delay_cs": 2}],
+        pal,
+        (6, 6),
+    )
+    for cut in (7, 14, len(gif) // 2, len(gif) - 2):
+        with _pytest.raises(ValueError):
+            decode_gif_frames(gif[:cut])

@@ -46,6 +46,11 @@ def parse_adts(payload: bytes) -> dict:
         h = int.from_bytes(b[i : i + 7], "big")  # 56 header bits
         if h >> 44 != 0xFFF:
             raise ValueError("bad ADTS frame sync")
+        if (h >> 41) & 0x03 != 0:
+            # ISO 13818-7: layer must be '00'. MPEG-1 audio frames
+            # share the 12-bit sync, so without this check an MP3
+            # stream can be misparsed as ADTS with garbage facts.
+            raise ValueError("ADTS layer field must be 0")
         crc_absent = (h >> 40) & 0x01
         profile = (h >> 38) & 0x03
         ridx = (h >> 34) & 0x0F

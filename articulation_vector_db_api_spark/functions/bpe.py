@@ -92,6 +92,33 @@ def _apply_merge_batch(seq: Column, merges: list[tuple[str, str]]) -> Column:
     )
 
 
+def _pick_disjoint(
+    cand: list[tuple[str, str, int]], take: int
+) -> list[tuple[str, str, int]]:
+    """Greedy selection of a pairwise symbol-DISJOINT merge batch from
+    ranked candidates. A candidate is skipped when (a) either operand
+    was consumed or produced by an earlier pick, or (b) its merged
+    token equals an earlier pick's OPERAND — case (b) guards the
+    single-pass fold in _apply_merge_batch: picks ('abc','d') then
+    ('a','bc') would let the fold cascade the freshly-formed 'abc'
+    into the earlier merge within one pass, diverging from sequential
+    application. Shared by the Spark driver loop and the
+    single-process twin so their semantics are identical by
+    construction."""
+    used: set[str] = set()
+    operands: set[str] = set()
+    picked: list[tuple[str, str, int]] = []
+    for l, r, pn in cand:
+        if l in used or r in used or (l + r) in operands:
+            continue
+        picked.append((l, r, pn))
+        used.update((l, r, l + r))
+        operands.update((l, r))
+        if len(picked) == take:
+            break
+    return picked
+
+
 def _candidate_window(take: int) -> int:
     """Candidate rows fetched per round: enough headroom that greedy
     skips rarely under-fill a batch, small enough that the driver
@@ -157,16 +184,9 @@ def learn_bpe_merges(
         )
         if not top:
             break
-        used: set[str] = set()
-        picked: list[tuple[str, str, int]] = []
-        for row in top:
-            l, r, pn = row["l"], row["r"], int(row["pn"])
-            if l in used or r in used:
-                continue
-            picked.append((l, r, pn))
-            used.update((l, r, l + r))
-            if len(picked) == take:
-                break
+        picked = _pick_disjoint(
+            [(row["l"], row["r"], int(row["pn"])) for row in top], take
+        )
         for l, r, pn in picked:
             merges.append((len(merges) + 1, l, r, l + r, pn))
         if len(picked) == 1:
@@ -241,15 +261,7 @@ def learn_bpe_merges_batched_py(
         cand = sorted(
             stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
         )[: _candidate_window(take)]
-        used: set[str] = set()
-        picked: list[tuple[str, str, int]] = []
-        for (l, r), pn in cand:
-            if l in used or r in used:
-                continue
-            picked.append((l, r, pn))
-            used.update((l, r, l + r))
-            if len(picked) == take:
-                break
+        picked = _pick_disjoint([(l, r, pn) for (l, r), pn in cand], take)
         for l, r, pn in picked:
             out.append((len(out) + 1, l, r, l + r, pn))
         for l, r, _pn in picked:

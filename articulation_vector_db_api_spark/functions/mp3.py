@@ -84,6 +84,7 @@ def _parse_header(b: bytes, i: int) -> dict:
     bitrate = _BITRATES[(group, layer)][bidx - 1] * 1000
     rate = _RATES[version][ridx]
     padding = (h >> 9) & 0x01
+    crc = 0 if (h >> 16) & 0x01 else 2  # protection bit 0 -> 16-bit CRC
     mode = (h >> 6) & 0x03
     channels = 1 if mode == 3 else 2
     if layer == 1:
@@ -101,6 +102,7 @@ def _parse_header(b: bytes, i: int) -> dict:
         "channels": channels,
         "samples": samples,
         "length": length,
+        "crc": crc,
     }
 
 
@@ -137,13 +139,18 @@ def parse_mp3(payload: bytes) -> dict:
                 if f["version"] == "1"
                 else (9 if f["channels"] == 1 else 17)
             )
-            tag = b[i + 4 + side : i + 8 + side]
-            if tag in (b"Xing", b"Info"):
-                flags = int.from_bytes(b[i + 8 + side : i + 12 + side], "big")
-                if flags & 0x01:
-                    xing_frames = int.from_bytes(
-                        b[i + 12 + side : i + 16 + side], "big"
-                    )
+            # CRC-protected frames carry 2 CRC bytes before the side
+            # info; bound every read to frame 0's own length so a
+            # short first frame can't alias bytes from frame 1.
+            off = i + 4 + f["crc"] + side
+            if off + 8 <= i + f["length"]:
+                tag = b[off : off + 4]
+                if tag in (b"Xing", b"Info"):
+                    flags = int.from_bytes(b[off + 4 : off + 8], "big")
+                    if flags & 0x01 and off + 12 <= i + f["length"]:
+                        xing_frames = int.from_bytes(
+                            b[off + 8 : off + 12], "big"
+                        )
         elif (f["version"], f["layer"], f["rate"]) != (
             first["version"],
             first["layer"],
@@ -184,6 +191,7 @@ def build_mp3(
     id3v2_bytes: int = 0,
     xing: bool = False,
     id3v1: bool = False,
+    crc: bool = False,
 ) -> bytes:
     """Spec-conformant MP3 frame stream as the parser's roundtrip
     witness: ``frames`` is [(bitrate_index 1-14, padding 0/1), ...];
@@ -204,7 +212,7 @@ def build_mp3(
             (0x7FF << 21)
             | (vbits << 19)
             | ((4 - layer) << 17)
-            | (1 << 16)  # no CRC
+            | ((0 if crc else 1) << 16)  # protection bit
             | (bidx << 12)
             | (rate_idx << 10)
             | (padding << 9)
@@ -214,7 +222,7 @@ def build_mp3(
         f = _parse_header(hdr, 0)
         body = bytearray(b"\x00" * (f["length"] - 4))
         if k == 0 and xing:
-            side = (
+            side = f["crc"] + (
                 (17 if f["channels"] == 1 else 32)
                 if version == "1"
                 else (9 if f["channels"] == 1 else 17)

@@ -120,6 +120,10 @@ def ogg_packets(b: bytes):
             else:
                 open_packet = True
         if htype & 0x04:  # target stream EOS: chained links follow
+            if open_packet:
+                # the EOS page's own lacing is already consumed, so a
+                # still-open packet here can never be completed
+                raise ValueError("Ogg stream ends mid-packet")
             return
     if open_packet:
         raise ValueError("Ogg stream ends mid-packet")

@@ -438,3 +438,80 @@ def test_adts_frame_walk():
                                                              rate_idx=4))
     with pytest.raises(NotImplementedError, match="PCE"):
         parse_adts(build_adts([10], channels=0))
+
+
+def test_mp3_crc_protected_xing_offset():
+    """ADVICE r8: a CRC-protected frame carries 2 CRC bytes before the
+    side info, shifting the Xing tag by 2 — the sniff must honor the
+    protection bit or a real Xing header goes silently unseen."""
+    from articulation_vector_db_api_spark.functions.mp3 import (
+        build_mp3,
+        parse_mp3,
+    )
+
+    m = parse_mp3(build_mp3([(9, 0)] * 4, xing=True, crc=True))
+    assert m["has_xing"] and m["n_frames"] == 4
+    # and the count cross-check still bites through the CRC offset
+    with pytest.raises(ValueError, match="Xing"):
+        parse_mp3(
+            build_mp3([(9, 0)] * 2, xing=True, crc=True)
+            + build_mp3([(9, 0)])
+        )
+
+
+def test_mp3_xing_reads_bounded_to_frame0():
+    """ADVICE r8: a 24-byte MPEG-2 mono 8 kbps frame can hold a Xing
+    tag + flags but NOT the frame-count field (offset 13+8=21, count
+    would end at 25 > 24) — the count read must not alias bytes from
+    frame 1."""
+    from articulation_vector_db_api_spark.functions.mp3 import (
+        build_mp3,
+        parse_mp3,
+    )
+
+    raw = bytearray(build_mp3([(1, 0)] * 2, version="2", rate_idx=1))
+    assert raw[4:28][:0] == b""  # frame length is 24
+    # hand-place a Xing tag with the frames flag set at side offset 9
+    raw[13:17] = b"Xing"
+    raw[17:21] = (1).to_bytes(4, "big")
+    m = parse_mp3(bytes(raw))
+    # count field does not fit in frame 0 -> tag ignored, no crash,
+    # and no garbage cross-check against bytes of frame 1
+    assert m["n_frames"] == 2 and not m["has_xing"]
+
+
+def test_adts_rejects_nonzero_layer():
+    """ADVICE r8 / ISO 13818-7: layer must be '00'. An MPEG-1 audio
+    frame shares the 12-bit sync, so an MP3 stream fed to the ADTS
+    parser must fail loudly instead of yielding garbage facts."""
+    from articulation_vector_db_api_spark.functions.adts import (
+        build_adts,
+        parse_adts,
+    )
+    from articulation_vector_db_api_spark.functions.mp3 import build_mp3
+
+    raw = bytearray(build_adts([30]))
+    h = int.from_bytes(raw[:7], "big") | (1 << 41)
+    raw[:7] = h.to_bytes(7, "big")
+    with pytest.raises(ValueError, match="layer"):
+        parse_adts(bytes(raw))
+    # a real MPEG-1 Layer III frame: 12-bit sync matches, layer != 0
+    with pytest.raises(ValueError, match="layer"):
+        parse_adts(build_mp3([(9, 0)] * 2))
+
+
+def test_ogg_eos_page_ending_mid_packet_raises():
+    """ADVICE r8: an EOS page whose final lacing value is 255 leaves a
+    packet open that can never complete — the walk must raise, not
+    silently drop the partial packet."""
+    from articulation_vector_db_api_spark.functions.ogg import (
+        _page,
+        _page_open,
+        ogg_packets,
+    )
+
+    stream = _page(b"x" * 10, 0, 7, 0, 0x02) + _page_open(
+        b"y" * 255, 7, 1, htype=0x04
+    )
+    with pytest.raises(ValueError, match="mid-packet"):
+        list(ogg_packets(stream))

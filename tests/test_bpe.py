@@ -166,3 +166,24 @@ def test_batched_skip_rule_blocks_interacting_pairs():
     ]
     # round 2: 'bc' words are untouched, (b,c) finally merges
     assert (out[2][1], out[2][2]) == ("b", "c")
+
+
+def test_pick_disjoint_blocks_operand_producing_candidate():
+    """ADVICE r8 hardening: a candidate whose merged token equals an
+    earlier pick's OPERAND must be deferred — in one fold pass the
+    freshly-formed token could cascade into the earlier merge,
+    diverging from sequential application."""
+    from articulation_vector_db_api_spark.functions.bpe import (
+        _pick_disjoint,
+    )
+
+    cand = [("abc", "d", 10), ("a", "bc", 9), ("x", "y", 8)]
+    picked = _pick_disjoint(cand, take=3)
+    # ('a','bc') produces 'abc' == pick 1's left operand -> skipped
+    assert picked == [("abc", "d", 10), ("x", "y", 8)]
+    # symmetric case on the right operand
+    cand = [("z", "qr", 10), ("q", "r", 9)]
+    assert _pick_disjoint(cand, take=2) == [("z", "qr", 10)]
+    # plain disjoint batch is untouched
+    cand = [("a", "b", 5), ("c", "d", 4)]
+    assert _pick_disjoint(cand, take=2) == cand

@@ -13,11 +13,16 @@ with per-BLOCK parallelism.
 
 Supported schema subset: records over the full recursive type algebra
 real event logs use — primitives (null/boolean/int/long/float/double/
-bytes/string), nested records, arrays, maps, enums, fixed, and the
-["null", T] union (nullable) form at any depth. Still gated honestly:
-named-type REFERENCES (a string naming an earlier record — requires a
-resolution table), multi-branch unions beyond [null, T], and
-non-null/deflate codecs raise NotImplementedError.
+bytes/string), nested records, arrays, maps, enums, fixed, the
+["null", T] union (nullable) form, MULTI-BRANCH unions (decoded with
+spark-avro's public mapping: int/long promote to long, float/double
+to double, anything else becomes a memberN struct), and named-type
+REFERENCES (a string naming an earlier record/enum/fixed in the same
+schema document, with the spec's namespace inheritance). Still gated
+honestly: RECURSIVE named types (a record referencing itself has no
+static relational schema) and non-null/deflate codecs raise
+NotImplementedError; an undefined reference or duplicate definition
+is a malformed schema (ValueError).
 
 EXCEPTION CONTRACT: ValueError for malformed containers,
 NotImplementedError for out-of-subset schemas; struct/zlib errors are
@@ -95,53 +100,133 @@ def _read_bytes(buf: io.BytesIO) -> bytes:
 #   ("map", value_tree)                  keys are always Avro strings
 #   ("enum", (symbol, ...))
 #   ("fixed", size)
+#   ("union_n", (branches, mode))        multi-branch union: branches is a
+#       tuple aligned with Avro branch indices, None marking the null
+#       branch; mode is "promote_long" (all int/long), "promote_double"
+#       (all int/long/float/double), "single" (one non-null branch, no
+#       null), or "struct" (memberN struct, spark-avro's mapping)
 # ---------------------------------------------------------------------------
 
 _PRIMITIVES = ("null", "boolean", "int", "long", "float", "double",
                "bytes", "string")
 
 
-def _parse_type(t) -> tuple:
-    """Avro schema fragment -> type tree (recursive); out-of-subset
-    shapes raise NotImplementedError."""
+_DEFINING = object()  # sentinel: named type currently being defined
+
+
+def _fullname(t: dict, namespace) -> tuple[str, str | None]:
+    """(fullname, child_namespace) per the spec's name rules: a dotted
+    name IS the fullname; otherwise the ``namespace`` attribute, else
+    the enclosing namespace, qualifies it."""
+    name = t.get("name")
+    if not name:
+        raise ValueError(f"Avro named type missing name: {t!r}")
+    if "." in name:
+        return name, name.rsplit(".", 1)[0]
+    ns = t.get("namespace", namespace)
+    return (f"{ns}.{name}" if ns else name), ns
+
+
+def _resolve_name(t: str, names: dict, namespace) -> tuple:
+    for cand in ([t] if "." in t else
+                 ([f"{namespace}.{t}"] if namespace else []) + [t]):
+        if cand in names:
+            tree = names[cand]
+            if tree is _DEFINING:
+                raise NotImplementedError(
+                    f"recursive Avro named-type {t!r} has no static "
+                    "relational schema"
+                )
+            return tree
+    raise ValueError(f"undefined Avro named-type reference {t!r}")
+
+
+def _register_name(full: str, names: dict, tree) -> None:
+    if full in names and names[full] is not _DEFINING:
+        raise ValueError(f"duplicate Avro named-type definition {full!r}")
+    names[full] = tree
+
+
+def _parse_type(t, names: dict | None = None, namespace=None) -> tuple:
+    """Avro schema fragment -> type tree (recursive). ``names`` is the
+    schema document's definition table (record/enum/fixed register
+    their fullnames; string references resolve against it);
+    out-of-subset shapes raise NotImplementedError."""
+    if names is None:
+        names = {}
     if isinstance(t, str):
         if t in _PRIMITIVES:
             return ("prim", t)
-        raise NotImplementedError(
-            f"Avro named-type reference {t!r} (inline definitions only)"
-        )
+        return _resolve_name(t, names, namespace)
     if isinstance(t, list):  # union
-        non_null = [x for x in t if x != "null"]
-        if len(t) != len(non_null) + 1 or len(non_null) != 1:
-            raise NotImplementedError(f"Avro union {t!r} beyond [null, T]")
-        return ("union_null", _parse_type(non_null[0]))
+        if not t:
+            raise ValueError("empty Avro union")
+        branches: list = []
+        non_null: list = []
+        for x in t:
+            if x == "null":
+                if None in branches:
+                    raise ValueError("duplicate null branch in Avro union")
+                branches.append(None)
+            else:
+                tree = _parse_type(x, names, namespace)
+                branches.append(tree)
+                non_null.append(tree)
+        if not non_null:
+            return ("prim", "null")
+        if len(non_null) == 1:
+            if None in branches:
+                return ("union_null", non_null[0])
+            return ("union_n", (tuple(branches), "single"))
+        prims = {tr[1] for tr in non_null if tr[0] == "prim"}
+        if len(prims) == len(non_null):
+            if prims <= {"int", "long"}:
+                mode = "promote_long"
+            elif prims <= {"int", "long", "float", "double"}:
+                mode = "promote_double"
+            else:
+                mode = "struct"
+        else:
+            mode = "struct"
+        return ("union_n", (tuple(branches), mode))
     if isinstance(t, dict):
         kind = t.get("type")
         if kind == "record":
-            return (
+            full, child_ns = _fullname(t, namespace)
+            _register_name(full, names, _DEFINING)
+            tree = (
                 "record",
                 tuple(
-                    (f["name"], _parse_type(f["type"])) for f in t["fields"]
+                    (f["name"], _parse_type(f["type"], names, child_ns))
+                    for f in t["fields"]
                 ),
             )
+            names[full] = tree
+            return tree
         if kind == "array":
-            return ("array", _parse_type(t["items"]))
+            return ("array", _parse_type(t["items"], names, namespace))
         if kind == "map":
-            return ("map", _parse_type(t["values"]))
+            return ("map", _parse_type(t["values"], names, namespace))
         if kind == "enum":
             symbols = tuple(t["symbols"])
             if not symbols:
                 raise ValueError("Avro enum with no symbols")
-            return ("enum", symbols)
+            tree = ("enum", symbols)
+            full, _ = _fullname(t, namespace)
+            _register_name(full, names, tree)
+            return tree
         if kind == "fixed":
             size = int(t["size"])
             if size < 0:
                 raise ValueError("negative Avro fixed size")
-            return ("fixed", size)
+            tree = ("fixed", size)
+            full, _ = _fullname(t, namespace)
+            _register_name(full, names, tree)
+            return tree
         if isinstance(kind, str) and kind in _PRIMITIVES:
             return ("prim", kind)  # the {"type": "long"} wrapper form
         if isinstance(kind, (list, dict)):
-            return _parse_type(kind)
+            return _parse_type(kind, names, namespace)
         raise NotImplementedError(f"complex Avro type {t!r}")
     raise NotImplementedError(f"complex Avro type {t!r}")
 
@@ -152,10 +237,17 @@ def parse_schema(schema_json: str) -> list[tuple[str, tuple, bool]]:
     sch = json.loads(schema_json)
     if not isinstance(sch, dict) or sch.get("type") != "record":
         raise NotImplementedError("top-level Avro schema must be a record")
+    names: dict = {}
+    full, child_ns = _fullname(sch, None)
+    _register_name(full, names, _DEFINING)
     out = []
     for f in sch["fields"]:
-        tree = _parse_type(f["type"])
-        nullable = tree[0] == "union_null" or tree == ("prim", "null")
+        tree = _parse_type(f["type"], names, child_ns)
+        nullable = (
+            tree[0] == "union_null"
+            or tree == ("prim", "null")
+            or (tree[0] == "union_n" and None in tree[1][0])
+        )
         out.append((f["name"], tree, nullable))
     return out
 
@@ -194,6 +286,27 @@ def _read_value(buf: io.BytesIO, tree: tuple):
         if branch != 1:
             raise ValueError(f"bad Avro union branch {branch}")
         return _read_value(buf, arg)
+    if kind == "union_n":
+        branches, mode = arg
+        i = _read_long(buf)
+        if not 0 <= i < len(branches):
+            raise ValueError(f"bad Avro union branch {i}")
+        br = branches[i]
+        if br is None:
+            return None
+        v = _read_value(buf, br)
+        if mode == "promote_long":
+            return int(v)
+        if mode == "promote_double":
+            return float(v)
+        if mode == "single":
+            return v
+        # struct: one memberN slot per non-null branch, others null
+        members = [b for b in branches if b is not None]
+        j = sum(1 for b in branches[:i] if b is not None)
+        out = [None] * len(members)
+        out[j] = v
+        return tuple(out)
     if kind == "record":
         return tuple(_read_value(buf, t) for _name, t in arg)
     if kind == "array":
@@ -259,6 +372,61 @@ def _write_value(out: bytearray, tree: tuple, v) -> None:
         _write_long(out, 1)
         _write_value(out, arg, v)
         return
+    if kind == "union_n":
+        branches, mode = arg
+        if v is None:
+            if None not in branches:
+                raise ValueError("null value in Avro union without null")
+            _write_long(out, branches.index(None))
+            return
+        if mode == "struct":
+            # value is the memberN tuple: exactly one slot non-null
+            members = [
+                (i, b) for i, b in enumerate(branches) if b is not None
+            ]
+            vals = list(v)
+            if len(vals) != len(members):
+                raise ValueError(
+                    f"union struct arity {len(vals)} != {len(members)}"
+                )
+            lit = [(j, x) for j, x in enumerate(vals) if x is not None]
+            if len(lit) != 1:
+                raise ValueError(
+                    "union struct value must set exactly one member"
+                )
+            j, x = lit[0]
+            i, br = members[j]
+            _write_long(out, i)
+            _write_value(out, br, x)
+            return
+        # promote/single modes: pick the widest matching primitive
+        if mode == "promote_long" or (
+            isinstance(v, int) and not isinstance(v, bool)
+        ):
+            # minimal-branch writer: int when the value fits 32 bits
+            if -(2 ** 31) <= v < 2 ** 31:
+                order = ("int", "long", "double", "float")
+            else:
+                order = ("long", "double", "float")
+        else:
+            order = ("double", "float")
+        prims = [b[1] for b in branches if b is not None]
+        for want in order:
+            if want in prims:
+                i = branches.index(("prim", want))
+                if want in ("int", "long") and isinstance(v, float):
+                    continue
+                _write_long(out, i)
+                _write_value(out, ("prim", want), v)
+                return
+        if mode == "single":
+            i = next(
+                i for i, b in enumerate(branches) if b is not None
+            )
+            _write_long(out, i)
+            _write_value(out, branches[i], v)
+            return
+        raise ValueError(f"no Avro union branch accepts {v!r}")
     if kind == "record":
         vals = (
             [v.get(name) for name, _t in arg] if isinstance(v, dict) else v

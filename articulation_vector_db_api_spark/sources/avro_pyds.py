@@ -44,6 +44,19 @@ def _ddl_type(tree: tuple) -> str:
         return _SPARK_TYPES[arg]
     if kind == "union_null":
         return _ddl_type(arg)
+    if kind == "union_n":
+        branches, mode = arg
+        members = [b for b in branches if b is not None]
+        if mode == "promote_long":
+            return "BIGINT"
+        if mode == "promote_double":
+            return "DOUBLE"
+        if mode == "single":
+            return _ddl_type(members[0])
+        fields = ", ".join(
+            f"`member{j}`: {_ddl_type(b)}" for j, b in enumerate(members)
+        )
+        return f"STRUCT<{fields}>"
     if kind == "record":
         fields = ", ".join(
             f"`{name}`: {_ddl_type(t)}" for name, t in arg

@@ -66,7 +66,8 @@ def test_zigzag_extremes(tmp_path):
 def test_schema_gates():
     with pytest.raises(NotImplementedError, match="record"):
         parse_schema(json.dumps({"type": "array", "items": "long"}))
-    with pytest.raises(NotImplementedError, match="named-type"):
+    # an UNDEFINED named reference is a malformed schema
+    with pytest.raises(ValueError, match="named-type"):
         parse_schema(
             json.dumps(
                 {"type": "record", "name": "r", "fields": [
@@ -74,14 +75,101 @@ def test_schema_gates():
                 ]}
             )
         )
-    with pytest.raises(NotImplementedError, match="union"):
+    # recursive named types have no static relational schema
+    with pytest.raises(NotImplementedError, match="recursive"):
         parse_schema(
             json.dumps(
-                {"type": "record", "name": "r", "fields": [
-                    {"name": "u", "type": ["null", "string", "long"]}
+                {"type": "record", "name": "node", "fields": [
+                    {"name": "v", "type": "long"},
+                    {"name": "next", "type": ["null", "node"]},
                 ]}
             )
         )
+    # duplicate definitions are malformed
+    with pytest.raises(ValueError, match="duplicate"):
+        parse_schema(
+            json.dumps(
+                {"type": "record", "name": "r", "fields": [
+                    {"name": "a", "type": {
+                        "type": "enum", "name": "e", "symbols": ["x"]}},
+                    {"name": "b", "type": {
+                        "type": "enum", "name": "e", "symbols": ["y"]}},
+                ]}
+            )
+        )
+
+
+def test_multi_branch_unions_roundtrip():
+    """spark-avro's public union mapping: int/long -> long,
+    float/double -> double, anything else -> memberN struct; the null
+    branch makes the column nullable at any position."""
+    schema = json.dumps(
+        {"type": "record", "name": "ev", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "val", "type": ["null", "string", "long"]},
+            {"name": "num", "type": ["int", "long"]},
+            {"name": "ratio", "type": ["float", "null", "double"]},
+        ]}
+    )
+    fields = parse_schema(schema)
+    assert [t[0] for _n, t, _u in fields] == [
+        "prim", "union_n", "union_n", "union_n"]
+    assert fields[1][1][1][1] == "struct" and fields[1][2] is True
+    assert fields[2][1][1][1] == "promote_long" and fields[2][2] is False
+    assert fields[3][1][1][1] == "promote_double" and fields[3][2] is True
+    rows = [
+        (1, ("abc", None), 5, 1.5),
+        (2, (None, 2 ** 40), 2 ** 40, None),
+        (3, None, -7, 2.25),
+    ]
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "u.avro")
+        write_container(p, schema, rows)
+        got = [r for off, _ in block_offsets(p)
+               for r in read_block(p, off)]
+    assert got == rows
+    # struct-mode writer contract: exactly one member set
+    with pytest.raises(ValueError, match="exactly one member"):
+        buf = bytearray()
+        from articulation_vector_db_api_spark.sources.avro import (
+            _write_value,
+        )
+        _write_value(buf, fields[1][1], ("x", 1))
+
+
+def test_named_type_references_resolve():
+    """A string naming an earlier record/enum/fixed resolves within
+    the schema document, honoring namespace inheritance."""
+    schema = json.dumps(
+        {"type": "record", "name": "ev", "namespace": "ns", "fields": [
+            {"name": "a", "type": {
+                "type": "record", "name": "Point", "fields": [
+                    {"name": "x", "type": "double"},
+                    {"name": "y", "type": "double"}]}},
+            {"name": "b", "type": "Point"},
+            {"name": "c", "type": ["null", "ns.Point"]},
+            {"name": "d", "type": {
+                "type": "array", "items": "Point"}},
+        ]}
+    )
+    fields = parse_schema(schema)
+    point = fields[0][1]
+    assert point[0] == "record"
+    assert fields[1][1] is point
+    assert fields[2][1] == ("union_null", point)
+    assert fields[3][1] == ("array", point)
+    rows = [
+        ((1.0, 2.0), (3.0, 4.0), (5.0, 6.0), [(7.0, 8.0), (9.0, 0.0)]),
+        ((0.5, 0.5), (0.0, 0.0), None, []),
+    ]
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "n.avro")
+        write_container(p, schema, rows)
+        got = [r for off, _ in block_offsets(p)
+               for r in read_block(p, off)]
+    assert got == rows
 
 
 _NESTED_SCHEMA = json.dumps(

@@ -53,8 +53,12 @@ def _ddl_type(t) -> str:
         return "BINARY"
     if pa.types.is_date32(t):
         return "DATE"
-    if pa.types.is_timestamp(t) and t.tz is None:
-        return "TIMESTAMP_NTZ"
+    if pa.types.is_timestamp(t):
+        # tz-aware Arrow timestamps are epoch instants (the tz is
+        # display metadata) -> Spark TIMESTAMP (instant semantics,
+        # rendered in the session timezone); naive -> TIMESTAMP_NTZ.
+        # Any unit: _canonical_type normalizes to microseconds.
+        return "TIMESTAMP" if t.tz is not None else "TIMESTAMP_NTZ"
     # Nested types map recursively — list<float> is how embeddings ship
     # in Arrow/Feather interchange files, so these ride the same
     # zero-parse memory-mapped path as the primitives. fixed_size_list
@@ -95,6 +99,15 @@ def _canonical_type(t):
         return pa.string()
     if pa.types.is_large_binary(t):
         return pa.binary()
+    if pa.types.is_timestamp(t):
+        # Spark's Arrow bridge carries timestamps at MICROSECOND unit;
+        # tz-aware values normalize to the UTC label (same instants —
+        # a safe cast, the zone is metadata). s/ms widen losslessly;
+        # ns->us uses a checked cast so sub-microsecond payloads fail
+        # loudly instead of silently truncating.
+        if t.unit == "us" and t.tz in (None, "UTC"):
+            return t
+        return pa.timestamp("us", tz="UTC" if t.tz is not None else None)
     if pa.types.is_struct(t):
         return pa.struct(
             [

@@ -76,8 +76,13 @@ def test_type_map_gates_unsupported():
     assert _ddl_type(pa.date32()) == "DATE"
     assert _ddl_type(pa.large_string()) == "STRING"
     assert _ddl_type(pa.timestamp("us")) == "TIMESTAMP_NTZ"
+    assert _ddl_type(pa.timestamp("ns")) == "TIMESTAMP_NTZ"
+    assert _ddl_type(pa.timestamp("us", tz="UTC")) == "TIMESTAMP"
+    assert (
+        _ddl_type(pa.timestamp("ns", tz="America/New_York")) == "TIMESTAMP"
+    )
     with pytest.raises(ValueError, match="unsupported Arrow type"):
-        _ddl_type(pa.timestamp("us", tz="UTC"))
+        _ddl_type(pa.time64("us"))
 
 
 def test_type_map_nested():
@@ -95,8 +100,12 @@ def test_type_map_nested():
         _ddl_type(pa.list_(pa.struct([("x", pa.list_(pa.float64()))])))
         == "ARRAY<STRUCT<`x`: ARRAY<DOUBLE>>>"
     )
+    assert (
+        _ddl_type(pa.list_(pa.timestamp("us", tz="UTC")))
+        == "ARRAY<TIMESTAMP>"
+    )
     with pytest.raises(ValueError, match="unsupported Arrow type"):
-        _ddl_type(pa.list_(pa.timestamp("us", tz="UTC")))  # gate recurses
+        _ddl_type(pa.list_(pa.time64("us")))  # gate recurses
 
 
 def test_nested_columns_roundtrip(spark, tmp_path):
@@ -175,3 +184,69 @@ def test_missing_path_and_empty_dir(tmp_path):
         _ArrowIpcReader({})
     with pytest.raises(ValueError, match="no .arrow"):
         _ArrowIpcReader({"path": str(tmp_path)})
+
+
+def test_tz_aware_timestamps(spark, tmp_path):
+    """pandas-written Feather with a tz-aware ns index column: maps to
+    Spark TIMESTAMP, instants preserved (zone is display metadata),
+    naive ns normalizes to TIMESTAMP_NTZ at us."""
+    import datetime
+
+    import pandas as pd
+    import pyarrow as pa
+    from pyarrow import feather
+
+    from articulation_vector_db_api_spark.sources.arrow_pyds import (
+        register_arrow_source,
+    )
+
+    naive = pd.to_datetime(
+        ["2024-01-01 05:00:00", "2024-06-01 22:30:15"]
+    )
+    df = pd.DataFrame(
+        {
+            "t_aware": naive.tz_localize("America/New_York"),
+            "t_naive": naive,
+            "v": [1, 2],
+        }
+    )
+    p = str(tmp_path / "tz.feather")
+    feather.write_feather(df, p, compression="uncompressed")
+    assert pa.ipc.open_file(p).schema.field("t_aware").type.tz is not None
+
+    register_arrow_source(spark)
+    got = spark.read.format("arrow_ipc").option("path", p).load()
+    types = dict(got.dtypes)
+    assert types["t_aware"] == "timestamp"
+    assert types["t_naive"] == "timestamp_ntz"
+    rows = {r.v: r for r in got.collect()}
+    # 05:00 New York winter == 10:00 UTC; session tz is UTC
+    assert rows[1].t_aware == datetime.datetime(2024, 1, 1, 10, 0, 0)
+    # 22:30:15 EDT == 02:30:15 UTC next day
+    assert rows[2].t_aware == datetime.datetime(2024, 6, 2, 2, 30, 15)
+    # naive column is wall-clock verbatim
+    assert rows[1].t_naive == datetime.datetime(2024, 1, 1, 5, 0, 0)
+
+
+def test_sub_microsecond_payload_fails_loudly(spark, tmp_path):
+    """ns values that would truncate at us must raise, not round."""
+    import pyarrow as pa
+    from pyarrow import ipc
+
+    a = pa.array([1234567891234567891], type=pa.int64()).cast(
+        pa.timestamp("ns", tz="UTC")
+    )
+    t = pa.Table.from_arrays([a], names=["t"])
+    p = str(tmp_path / "ns.arrow")
+    with ipc.new_file(p, t.schema) as w:
+        w.write_table(t)
+    from articulation_vector_db_api_spark.sources.arrow_pyds import (
+        register_arrow_source,
+    )
+
+    register_arrow_source(spark)
+    df = spark.read.format("arrow_ipc").option("path", p).load()
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="lose data|truncat"):
+        df.collect()

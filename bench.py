@@ -6,12 +6,32 @@ factor and prints ONE JSON line.
 Each query is fully materialized via a noop-format write (forces every
 stage; no driver-collect overhead biasing the numbers). Session startup
 and a small scan warmup are excluded — the metric is query execution.
+
+MEASUREMENT TRUST (r8 verdict item 1): a shared session accumulates
+1,400+ stages of JVM state (code cache, GC pressure), which r6/r7/r8
+all measured as false ≥30% "regressions" on untouched code that
+best-of-N within the same session cannot wash out. The harness now
+runs two phases:
+
+  1. the shared-session pass (adaptive best-of-2/3, as before) — cheap,
+     and correct for the un-contended majority;
+  2. every query the cross-round comparison flags ≥30% slower is
+     RE-MEASURED in a FRESH subprocess session (`bench.py --isolated
+     <name>`): clean JVM, same warmup, best-of-2. The isolated number
+     replaces the shared one when smaller, and the regression flag is
+     recomputed from it — so a surviving flag means the code really got
+     slower, not that the suite got longer.
+
+The JSON line records which queries were isolated under
+``isolated_reruns`` so round-over-round readers can see the noise
+floor being corrected.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -21,143 +41,244 @@ from articulation_vector_db_api_spark.registry import load_all  # noqa: E402
 from articulation_vector_db_api_spark.session import get_spark  # noqa: E402
 from articulation_vector_db_api_spark.sources.readers import load_table  # noqa: E402
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_CHUNKS_OUT = os.path.join(_HERE, ".tmp", "bench_chunks")
+_IVF_STORE = os.path.join(_HERE, ".tmp", "bench_ivf_store")
+_MAX_ISOLATED = 8  # bound the re-measure budget per bench invocation
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0)
-    registry = load_all()
-    headliners = sorted(n for n, q in registry.items() if q.headline)
 
+def _noop_write(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def _runner(spark, sf_dir: str, registry, name: str):
+    """-> zero-arg callable timing ONE run of ``name`` (registry
+    headliner or one of the four composite lifecycle benches)."""
+    if name in registry:
+
+        def run() -> float:
+            t0 = time.perf_counter()
+            _noop_write(registry[name].fn(spark, sf_dir))
+            return time.perf_counter() - t0
+
+        return run
+
+    if name == "ingest_write_1024d":
+        # the reference's WRITE path at scale: chunk + full 1024-dim
+        # embed + partitioned parquet write (operators/ingest.py)
+        from articulation_vector_db_api_spark.operators.ingest import (
+            write_chunk_table,
+        )
+        from articulation_vector_db_api_spark.operators.search import (
+            build_chunk_index,
+        )
+
+        def run() -> float:
+            # fresh target each run: accumulated partitions from prior
+            # bench invocations otherwise bill their listing/commit
+            # cost to this round (r02 measured 2.49x on exactly that)
+            import shutil
+
+            shutil.rmtree(_CHUNKS_OUT, ignore_errors=True)
+            t0 = time.perf_counter()
+            write_chunk_table(build_chunk_index(spark, sf_dir), _CHUNKS_OUT)
+            return time.perf_counter() - t0
+
+        return run
+
+    if name == "search_indexed_topk":
+        # the stored-index SERVING path: top-k over the chunk table the
+        # ingest bench wrote — the steady-state read a 100 TB
+        # deployment actually hits (vs flagship_search's from-scratch
+        # brute-force)
+        from articulation_vector_db_api_spark.operators.ingest import (
+            write_chunk_table,
+        )
+        from articulation_vector_db_api_spark.operators.search import (
+            build_chunk_index,
+            topk_search_indexed,
+        )
+
+        if not os.path.isdir(_CHUNKS_OUT):  # isolated-mode dependency
+            write_chunk_table(build_chunk_index(spark, sf_dir), _CHUNKS_OUT)
+
+        def run() -> float:
+            t0 = time.perf_counter()
+            _noop_write(
+                topk_search_indexed(spark, _CHUNKS_OUT, "transfer credits", 5)
+            )
+            return time.perf_counter() - t0
+
+        return run
+
+    if name == "bpe_train_256_batched":
+        # tokenizer training at production merge counts (rows-only in
+        # the registry — iterative algorithm, ground truth pinned in
+        # tests/test_bpe.py — so benched here instead of via headline)
+        def run() -> float:
+            t0 = time.perf_counter()
+            _noop_write(
+                registry["text_bpe_learn_merges_batched"].fn(spark, sf_dir)
+            )
+            return time.perf_counter() - t0
+
+        return run
+
+    if name == "ivf_store_upsert_probe":
+        # the stored-index WRITE path at scale: build + append a batch
+        # + keyed upsert (tombstone→purge→append) + partition-pruned
+        # probe — the full IVF store lifecycle
+        from pyspark.sql import functions as F
+
+        from articulation_vector_db_api_spark.operators.vector_store import (
+            probe_ivf_store,
+            upsert_ivf_store,
+            write_ivf_store,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .first()[0]
+        ]
+
+        def run() -> float:
+            # fresh store per run (router training excluded: one-time
+            # cost, not the recurring maintenance path being tracked)
+            import shutil
+
+            shutil.rmtree(_IVF_STORE, ignore_errors=True)
+            write_ivf_store(emb, _IVF_STORE, 16)
+            batch = emb.filter(F.col("vec_id") % 10 == 0).select(
+                "vec_id",
+                F.transform("embedding", lambda x: x + F.lit(0.5)).alias(
+                    "embedding"
+                ),
+            )
+            t0 = time.perf_counter()
+            upsert_ivf_store(spark, batch, _IVF_STORE, 16)
+            _noop_write(
+                probe_ivf_store(spark, _IVF_STORE, qvec, nprobe=4, k=10)
+            )
+            return time.perf_counter() - t0
+
+        return run
+
+    raise KeyError(f"unknown bench entry {name!r}")
+
+
+_COMPOSITES = (
+    "ingest_write_1024d",
+    "search_indexed_topk",
+    "bpe_train_256_batched",
+    "ivf_store_upsert_probe",
+)
+
+
+def _best_of(run, adaptive: bool = True) -> float:
+    """best-of-2; if the two samples disagree by >25%, one was
+    contended (GC / background JIT) — a third run pins steady state."""
+    a, b = run(), run()
+    best = min(a, b)
+    if adaptive and max(a, b) > 1.25 * best:
+        best = min(best, run())
+    return round(best, 3)
+
+
+def _session(sf_dir: str):
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     # warmup: JVM + parquet footer caches, excluded from timings
     load_table(spark, sf_dir, "lineitem").count()
+    return spark
 
-    def run_once(name: str) -> float:
-        t0 = time.perf_counter()
-        df = registry[name].fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        return time.perf_counter() - t0
 
-    # best-of-2: one JIT/cache-warm pass, keep the steady-state number.
-    # If the two samples disagree by >25%, one was contended (GC /
-    # background JIT from a neighboring query) — a third run pins the
-    # steady state so untouched queries stop tripping regressed_30pct
-    # (r6/r7 both flagged suite-contention noise on unchanged code).
-    timings: dict[str, float] = {}
-    for name in headliners:
-        a, b = run_once(name), run_once(name)
-        best = min(a, b)
-        if max(a, b) > 1.25 * best:
-            best = min(best, run_once(name))
-        timings[name] = round(best, 3)
+def _isolated_main(name: str) -> None:
+    """Fresh-process measurement of ONE entry: clean JVM, no
+    accumulated suite state. Prints {"name": ..., "sec": ...}."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry = load_all()
+    spark = _session(sf_dir)
+    sec = _best_of(_runner(spark, sf_dir, registry, name))
+    print(json.dumps({"name": name, "sec": sec}))
 
-    # the reference's WRITE path at scale: chunk + full 1024-dim embed +
-    # partitioned parquet write (operators/ingest.py sink shape)
-    from articulation_vector_db_api_spark.operators.ingest import write_chunk_table
-    from articulation_vector_db_api_spark.operators.search import build_chunk_index
 
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".tmp", "bench_chunks")
-
-    def ingest_once() -> float:
-        # fresh target each run: accumulated partitions from prior
-        # bench invocations otherwise bill their listing/commit cost to
-        # this round (r02 measured 2.49x on exactly that)
-        import shutil
-
-        shutil.rmtree(out, ignore_errors=True)
-        t0 = time.perf_counter()
-        write_chunk_table(build_chunk_index(spark, sf_dir), out)
-        return time.perf_counter() - t0
-
-    timings["ingest_write_1024d"] = round(min(ingest_once(), ingest_once()), 3)
-
-    # the stored-index SERVING path: top-k over the chunk table the
-    # ingest bench just wrote — the steady-state read a 100 TB
-    # deployment actually hits (vs flagship_search's from-scratch
-    # brute-force), so its latency is tracked per round
-    from articulation_vector_db_api_spark.operators.search import (
-        topk_search_indexed,
-    )
-
-    def serve_once() -> float:
-        t0 = time.perf_counter()
-        topk_search_indexed(spark, out, "transfer credits", 5).write.mode(
-            "overwrite"
-        ).format("noop").save()
-        return time.perf_counter() - t0
-
-    timings["search_indexed_topk"] = round(min(serve_once(), serve_once()), 3)
-
-    # tokenizer training at production merge counts (rows-only in the
-    # registry — iterative algorithm, ground truth pinned in
-    # tests/test_bpe.py — so benched here instead of via headline)
-    def bpe_once() -> float:
-        t0 = time.perf_counter()
-        registry["text_bpe_learn_merges_batched"].fn(
-            spark, sf_dir
-        ).write.mode("overwrite").format("noop").save()
-        return time.perf_counter() - t0
-
-    timings["bpe_train_256_batched"] = round(min(bpe_once(), bpe_once()), 3)
-
-    # the stored-index WRITE path at scale: build + append a batch +
-    # keyed upsert (tombstone→purge→append) + partition-pruned probe —
-    # the full IVF store lifecycle (operators/vector_store.py)
-    from pyspark.sql import functions as F
-
-    from articulation_vector_db_api_spark.operators.vector_store import (
-        probe_ivf_store,
-        upsert_ivf_store,
-        write_ivf_store,
-    )
-
-    store = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".tmp", "bench_ivf_store"
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
-
-    def ivf_maintenance_once() -> float:
-        # fresh store per run (router training excluded: one-time cost,
-        # not the recurring maintenance path being tracked)
-        import shutil
-
-        shutil.rmtree(store, ignore_errors=True)
-        write_ivf_store(emb, store, 16)
-        batch = emb.filter(F.col("vec_id") % 10 == 0).select(
-            "vec_id",
-            F.transform("embedding", lambda x: x + F.lit(0.5)).alias(
-                "embedding"
-            ),
+def _isolated_rerun(name: str) -> float | None:
+    """Run ``bench.py --isolated name`` in a subprocess; None on any
+    failure (the shared-session number then stands)."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--isolated", name],
+            capture_output=True,
+            text=True,
+            timeout=600,
+            cwd=_HERE,
         )
-        t0 = time.perf_counter()
-        upsert_ivf_store(spark, batch, store, 16)
-        probe_ivf_store(spark, store, qvec, nprobe=4, k=10).write.mode(
-            "overwrite"
-        ).format("noop").save()
-        return time.perf_counter() - t0
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                doc = json.loads(line)
+            except ValueError:
+                continue
+            if doc.get("name") == name:
+                return float(doc["sec"])
+    except (OSError, subprocess.TimeoutExpired, ValueError):
+        pass
+    return None
 
-    timings["ivf_store_upsert_probe"] = round(
-        min(ivf_maintenance_once(), ivf_maintenance_once()), 3
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(
+        os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0
     )
+    registry = load_all()
+    headliners = sorted(n for n, q in registry.items() if q.headline)
 
-    total = round(sum(timings.values()), 3)
-    payload = {
+    spark = _session(sf_dir)
+
+    timings: dict[str, float] = {}
+    for name in headliners + list(_COMPOSITES):
+        adaptive = name not in _COMPOSITES  # composites were min-of-2 always
+        timings[name] = _best_of(
+            _runner(spark, sf_dir, registry, name), adaptive=adaptive
+        )
+
+    payload: dict = {
         "metric": "headline_suite_sec",
-        "value": total,
+        "value": 0.0,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
     }
+
     prev = _prev_round_timings()
     if prev is not None:
         rnd, prev_q = prev
         common = sorted(set(prev_q) & set(timings))
+
+        def flagged() -> list[str]:
+            return sorted(
+                q
+                for q in common
+                if prev_q[q] > 0 and timings[q] / prev_q[q] > 1.3
+            )
+
+        # phase 2: re-measure flagged queries in fresh subprocess
+        # sessions; the clean number replaces the shared one when
+        # smaller, so a surviving flag is a real code regression
+        isolated: dict[str, float] = {}
+        for q in flagged()[:_MAX_ISOLATED]:
+            sec = _isolated_rerun(q)
+            if sec is not None:
+                isolated[q] = sec
+                timings[q] = min(timings[q], sec)
+        if isolated:
+            payload["isolated_reruns"] = {
+                q: round(v, 3) for q, v in sorted(isolated.items())
+            }
+
         prev_sec = round(sum(prev_q[q] for q in common), 3)
         cur_sec = round(sum(timings[q] for q in common), 3)
         payload["common_subset_vs_prev"] = {
@@ -166,12 +287,10 @@ def main() -> None:
             "prev_sec": prev_sec,
             "cur_sec": cur_sec,
             "ratio": round(cur_sec / prev_sec, 3) if prev_sec else None,
-            "regressed_30pct": sorted(
-                q
-                for q in common
-                if prev_q[q] > 0 and timings[q] / prev_q[q] > 1.3
-            ),
+            "regressed_30pct": flagged(),
         }
+
+    payload["value"] = round(sum(timings.values()), 3)
     print(json.dumps(payload))
 
 
@@ -182,9 +301,8 @@ def _prev_round_timings() -> tuple[int, dict[str, float]] | None:
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
     best: tuple[int, dict[str, float]] | None = None
-    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+    for path in glob.glob(os.path.join(_HERE, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m:
             continue
@@ -203,4 +321,7 @@ def _prev_round_timings() -> tuple[int, dict[str, float]] | None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--isolated":
+        _isolated_main(sys.argv[2])
+    else:
+        main()

@@ -284,6 +284,34 @@ def _page(
     return head[:22] + struct.pack("<I", crc) + head[26:] + body
 
 
+def _page_packets(
+    packets: list[bytes], granule: int, serial: int, seq: int, htype: int
+) -> bytes:
+    """A page carrying several COMPLETE packets (lacing runs
+    concatenated) — the layout real Vorbis files use for the
+    comment+setup header page."""
+    lacing = bytearray()
+    body = bytearray()
+    for pk in packets:
+        n = len(pk)
+        while n >= 255:
+            lacing.append(255)
+            n -= 255
+        lacing.append(n)
+        body += pk
+    if len(lacing) > 255:
+        raise ValueError("page lacing overflow (split packets across pages)")
+    head = (
+        b"OggS\x00"
+        + bytes([htype])
+        + struct.pack("<qIII", granule, serial, seq, 0)
+        + bytes([len(lacing)])
+        + bytes(lacing)
+    )
+    crc = _ogg_crc(head + bytes(body))
+    return head[:22] + struct.pack("<I", crc) + head[26:] + bytes(body)
+
+
 def build_ogg_opus(
     channels: int,
     duration_ms: int,

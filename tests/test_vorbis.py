@@ -1,0 +1,282 @@
+"""Vorbis I codec (functions/vorbis.py): layer-by-layer contracts —
+bit packing, canonical codeword assignment (pinned to the spec's
+worked example), codebook header roundtrip, Vorbis float32, MDCT
+perfect reconstruction, floor1 amplitude synthesis inverse, and the
+end-to-end encode→Ogg→decode path with SNR and determinism pins."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from articulation_vector_db_api_spark.functions.vorbis import (
+    BitReader,
+    BitWriter,
+    Codebook,
+    Floor1,
+    assign_codewords,
+    build_ogg_vorbis_stream,
+    decode_ogg_vorbis,
+    decode_vorbis_packets,
+    encode_vorbis,
+    float32_pack,
+    float32_unpack,
+    ilog,
+    imdct,
+    mdct,
+    render_point,
+    vorbis_window,
+)
+
+
+def test_bitio_lsb_first():
+    bw = BitWriter()
+    fields = [(5, 3), (0, 1), (1023, 10), (7, 3), (1, 1), (0, 0)]
+    for v, n in fields:
+        bw.write(v, n)
+    br = BitReader(bw.bytes())
+    assert [br.read(n) for _v, n in fields] == [v for v, _n in fields]
+    # first bit written is the LSB of the first byte
+    bw = BitWriter()
+    bw.write(1, 1)
+    assert bw.bytes() == b"\x01"
+    with pytest.raises(ValueError, match="truncated"):
+        BitReader(b"\x00").read(9)
+    with pytest.raises(ValueError, match="fit"):
+        BitWriter().write(4, 2)
+
+
+def test_ilog_spec_values():
+    assert [ilog(x) for x in (0, 1, 2, 3, 4, 7)] == [0, 1, 2, 2, 3, 3]
+    assert ilog(-1) == 0
+
+
+def test_codeword_assignment_spec_example():
+    """The Vorbis I spec section 3.2.1 worked example: lengths
+    [2,4,4,4,4,2,3,3] assign exactly these codewords."""
+    codes = assign_codewords([2, 4, 4, 4, 4, 2, 3, 3])
+    assert codes == {
+        0: 0b00, 1: 0b0100, 2: 0b0101, 3: 0b0110, 4: 0b0111,
+        5: 0b10, 6: 0b110, 7: 0b111,
+    }
+    with pytest.raises(ValueError, match="over-subscribed"):
+        assign_codewords([1, 1, 1])
+    # incomplete (under-subscribed) trees are legal
+    assert assign_codewords([2, 2, 2]) == {0: 0, 1: 1, 2: 2}
+
+
+def test_codebook_entry_roundtrip_and_incomplete_tree():
+    cb = Codebook(1, [6] * 64)
+    bw = BitWriter()
+    seq = [(i * 37) % 64 for i in range(200)]
+    for e in seq:
+        cb.encode_entry(bw, e)
+    br = BitReader(bw.bytes())
+    assert [cb.decode_entry(br) for _ in seq] == seq
+    # an incomplete codebook's unassigned codeword fails loudly
+    sparse = Codebook(1, [2, 2, 2])  # codeword 0b11 unassigned
+    br = BitReader(b"\xff" * 5)
+    with pytest.raises(ValueError, match="incomplete"):
+        sparse.decode_entry(br)
+
+
+def test_codebook_header_roundtrip():
+    shapes = [
+        Codebook(4, [10] * 625, 1, -2.0, 1.0, False, [0, 1, 2, 3, 4]),
+        Codebook(2, [2] * 4),
+        Codebook(
+            3, [5, None, 4, 4, 5, 3] + [4] * 10, 2, -0.5, 0.25, True,
+            list(range(48)),
+        ),
+    ]
+    for cb in shapes:
+        bw = BitWriter()
+        cb.pack(bw)
+        got = Codebook.unpack(BitReader(bw.bytes()))
+        assert got.dimensions == cb.dimensions
+        assert got.lengths == cb.lengths
+        assert got.lookup_type == cb.lookup_type
+        assert got.min_value == cb.min_value
+        assert got.delta_value == cb.delta_value
+        assert got.multiplicands == cb.multiplicands
+        if cb.vq is not None:
+            assert np.allclose(got.vq, cb.vq)
+
+
+def test_codebook_ordered_unpack():
+    """The ordered length-list layout (real encoders emit it for
+    floor books): run-lengths per length value."""
+    bw = BitWriter()
+    bw.write(0x564342, 24)
+    bw.write(1, 16)  # dim
+    bw.write(4, 24)  # entries
+    bw.write(1, 1)  # ordered
+    bw.write(1 - 1, 5)  # first length 1
+    # one entry of length 1 (ilog(4)=3 bits), one of length 2
+    # (ilog(3)=2), two of length 3 (ilog(2)=2) — Kraft sum exactly 1
+    bw.write(1, 3)
+    bw.write(1, 2)
+    bw.write(2, 2)
+    bw.write(0, 4)  # no lookup
+    got = Codebook.unpack(BitReader(bw.bytes()))
+    assert got.lengths == [1, 2, 3, 3]
+
+
+def test_float32_pack_unpack():
+    for v in (0.0, 1.0, -2.0, 0.25, -0.125, 3.5, 1024.0):
+        assert float32_unpack(float32_pack(v)) == v
+    with pytest.raises(ValueError, match="representable"):
+        float32_pack(0.4)  # non-dyadic
+
+
+def test_mdct_tdac_perfect_reconstruction():
+    """Windowed MDCT→IMDCT→window overlap-add is lossless: the Vorbis
+    window satisfies the Princen-Bradley condition by construction."""
+    n, half = 256, 128
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(5 * half)
+    w = vorbis_window(n)
+    assert np.allclose(w[:half] ** 2 + w[half:] ** 2, 1.0)
+    xp = np.concatenate([np.zeros(half), x, np.zeros(half)])
+    nf = len(xp) // half - 1
+    frames = [
+        imdct(mdct(xp[f * half : f * half + n] * w)) * w
+        for f in range(nf)
+    ]
+    out = np.zeros(half * (nf - 1))
+    for i in range(1, nf):
+        out[(i - 1) * half : i * half] = (
+            frames[i - 1][half:] + frames[i][:half]
+        )
+    assert np.abs(out - x).max() < 1e-10
+
+
+def test_render_point_truncates_toward_zero():
+    # dy<0: offset truncates toward zero then subtracts (spec 9.2.6)
+    assert render_point(0, 10, 4, 0, 1) == 8  # off = floor(10*1/4)=2
+    assert render_point(0, 0, 4, 10, 1) == 2
+    assert render_point(0, 7, 3, 7, 2) == 7
+
+
+def test_floor1_amplitude_inverse():
+    fl = Floor1(
+        partition_classes=[0],
+        class_dims=[2],
+        class_subclasses=[0],
+        class_masterbooks=[None],
+        subclass_books=[[0]],
+        multiplier=4,
+        rangebits=7,
+        x_list=[0, 128, 43, 85],
+    )
+    for desired in ([10, 10, 10, 10], [5, 40, 12, 30], [63, 0, 20, 41],
+                    [0, 63, 1, 62]):
+        y = fl.encode_amplitudes(desired)
+        final, _flags = fl.amplitudes(y)
+        assert final == desired, (desired, y, final)
+    # curve of a flat floor is constant
+    c = fl.curve(fl.encode_amplitudes([20] * 4), 128)
+    assert np.allclose(c, c[0])
+    # non-flat curve is monotone between posts in the dB domain
+    c2 = fl.curve(fl.encode_amplitudes([10, 50, 20, 35]), 128)
+    assert c2[0] < c2[127]
+
+
+def _sine(rate: int, n: int, freqs=((440, 0.6), (1200, 0.25))):
+    t = np.arange(n) / rate
+    x = np.zeros(n)
+    for f, a in freqs:
+        x = x + a * np.sin(2 * np.pi * f * t + 0.1 * f)
+    return x
+
+
+def test_encode_decode_mono_snr_and_determinism():
+    rate = 8000
+    x = _sine(rate, 4000)
+    packets, gran = encode_vorbis(x, rate, 256)
+    assert gran == 4000
+    r, ch, pcm = decode_vorbis_packets(packets, gran)
+    assert (r, ch) == (rate, 1) and pcm.shape == (1, 4000)
+    err = pcm[0] - x
+    snr = 10 * np.log10((x ** 2).sum() / (err ** 2).sum())
+    assert snr > 25.0, snr
+    # bit-determinism: same input -> same packets -> same digest
+    packets2, _ = encode_vorbis(x, rate, 256)
+    assert packets == packets2
+    d1 = hashlib.sha256(np.round(pcm * 32767).astype("<i4").tobytes())
+    r2, _, pcm2 = decode_vorbis_packets(packets, gran)
+    d2 = hashlib.sha256(np.round(pcm2 * 32767).astype("<i4").tobytes())
+    assert d1.hexdigest() == d2.hexdigest()
+
+
+def test_encode_decode_stereo():
+    rate = 16000
+    t = np.arange(3000) / rate
+    x = np.stack(
+        [_sine(rate, 3000), 0.5 * np.cos(2 * np.pi * 700 * t)]
+    )
+    packets, gran = encode_vorbis(x, rate, 256)
+    r, ch, pcm = decode_vorbis_packets(packets, gran)
+    assert (r, ch) == (rate, 2) and pcm.shape == (2, 3000)
+    snr = 10 * np.log10((x ** 2).sum() / ((pcm - x) ** 2).sum())
+    assert snr > 25.0, snr
+
+
+def test_silence_is_exact_and_cheap():
+    """All-zero input: unaudible floors + silent partitions decode to
+    exact zeros (no quantization noise floor)."""
+    rate = 8000
+    packets, gran = encode_vorbis(np.zeros(1000), rate, 256)
+    _, _, pcm = decode_vorbis_packets(packets, gran)
+    assert pcm.shape == (1, 1000) and np.abs(pcm).max() == 0.0
+
+
+def test_ogg_end_to_end_and_probe_agreement():
+    rate = 8000
+    x = _sine(rate, 2000)
+    ogg = build_ogg_vorbis_stream(
+        *encode_vorbis(x, rate, 256), rate=rate, blocksize=256
+    )
+    r, ch, pcm = decode_ogg_vorbis(ogg)
+    assert (r, ch) == (rate, 1) and pcm.shape == (1, 2000)
+    snr = 10 * np.log10((x ** 2).sum() / ((pcm[0] - x) ** 2).sum())
+    assert snr > 25.0
+    # the r8 triage probe reports the same stream facts
+    from articulation_vector_db_api_spark.functions.ogg import parse_ogg
+
+    probe = parse_ogg(ogg)
+    assert probe["codec"] == "vorbis"
+    assert probe["sample_rate"] == rate
+    assert probe["duration_ms"] == 2000 * 1000 // rate
+
+
+def test_gates_and_corruption_contract():
+    rate = 8000
+    packets, gran = encode_vorbis(_sine(rate, 500), rate, 256)
+    # floor type 0 gated in setup parse
+    import articulation_vector_db_api_spark.functions.vorbis as V
+
+    ident = V.parse_identification(packets[0])
+    bw = BitWriter()
+    bw.write(0, 8)  # 1 codebook
+    Codebook(1, [1, 1]).pack(bw)
+    bw.write(0, 6)
+    bw.write(0, 16)
+    bw.write(0, 6)  # 1 floor
+    bw.write(0, 16)  # type 0
+    bad_setup = b"\x05vorbis" + bw.bytes()
+    with pytest.raises(NotImplementedError, match="floor type 0"):
+        V.parse_setup(bad_setup, ident)
+    # truncated audio packet fails loudly
+    with pytest.raises(ValueError, match="truncated"):
+        decode_vorbis_packets(
+            packets[:3] + [packets[3][: len(packets[3]) // 2]], None
+        )
+    # granule larger than decoded span is a corrupt stream
+    with pytest.raises(ValueError, match="granule"):
+        decode_vorbis_packets(packets, 10 ** 9)
+    # bad identification framing
+    with pytest.raises(ValueError, match="identification"):
+        V.parse_identification(b"\x01vorbiX" + bytes(23))

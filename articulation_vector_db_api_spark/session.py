@@ -26,7 +26,14 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "articulation-vector-db-api-spark") -> SparkSession:
+def get_spark(
+    app_name: str = "articulation-vector-db-api-spark",
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """``extra_conf`` lets a caller opt into deployment-profile knobs
+    (e.g. the serving bench sets ``spark.scheduler.mode=FAIR`` so
+    concurrent /search jobs interleave instead of queueing — the
+    scheduler a multi-tenant serving tier runs with)."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     builder = (
@@ -44,4 +51,6 @@ def get_spark(app_name: str = "articulation-vector-db-api-spark") -> SparkSessio
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -205,6 +205,112 @@ def _isolated_main(name: str) -> None:
     print(json.dumps({"name": name, "sec": sec}))
 
 
+_SERVING_QUERIES = [
+    "transfer credits", "tuition refund policy", "parking permit",
+    "graduate admission requirements", "financial aid deadline",
+    "course withdrawal", "housing application", "library hours",
+]
+
+
+def _serving_main() -> None:
+    """Concurrent-serving latency: N worker threads issue /search
+    calls against the STORED chunk table (the reference's steady-state
+    read, operators/search.py:topk_search_indexed) under the FAIR
+    scheduler — the deployment profile of a multi-tenant serving tier.
+    Each call is the full EngineAPI.search shape: top-k scoring +
+    bounded collect + driver-side context assembly. Prints
+    {"serving_p50_concurrent": ..., "serving_p95_concurrent": ...}."""
+    import statistics
+    import threading
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench-serving", {"spark.scheduler.mode": "FAIR"})
+    spark.sparkContext.setLogLevel("ERROR")
+    from articulation_vector_db_api_spark.operators.search import (
+        build_chunk_index,
+        topk_search_indexed,
+    )
+
+    if not os.path.isdir(_CHUNKS_OUT):
+        from articulation_vector_db_api_spark.operators.ingest import (
+            write_chunk_table,
+        )
+
+        write_chunk_table(build_chunk_index(spark, sf_dir), _CHUNKS_OUT)
+
+    def serve(q: str) -> float:
+        t0 = time.perf_counter()
+        rows = sorted(
+            topk_search_indexed(spark, _CHUNKS_OUT, q, 5).collect(),
+            key=lambda r: (-r.score, r.id),
+        )
+        # context assembly is part of the served response
+        "\n\n---\n\n".join(
+            f"[Source: {r.source}]\n{r.text}" for r in rows
+        )
+        return time.perf_counter() - t0
+
+    serve(_SERVING_QUERIES[0])  # warm the table scan + codegen
+
+    n_workers = int(os.environ.get("SPARK_GRAFT_SERVING_WORKERS", "8"))
+    calls_per_worker = 3
+    latencies: list[float] = []
+    lock = threading.Lock()
+
+    def worker(wid: int) -> None:
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"serve-{wid}"
+        )
+        for k in range(calls_per_worker):
+            q = _SERVING_QUERIES[(wid + k) % len(_SERVING_QUERIES)]
+            sec = serve(q)
+            with lock:
+                latencies.append(sec)
+
+    threads = [
+        threading.Thread(target=worker, args=(w,)) for w in range(n_workers)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    latencies.sort()
+    p50 = statistics.median(latencies)
+    p95 = latencies[min(len(latencies) - 1, int(0.95 * len(latencies)))]
+    print(
+        json.dumps(
+            {
+                "serving_p50_concurrent": round(p50, 3),
+                "serving_p95_concurrent": round(p95, 3),
+                "n_calls": len(latencies),
+                "n_workers": n_workers,
+            }
+        )
+    )
+
+
+def _serving_rerun() -> dict | None:
+    """Run the serving bench in its own FAIR-scheduled subprocess."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--serving"],
+            capture_output=True,
+            text=True,
+            timeout=600,
+            cwd=_HERE,
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                doc = json.loads(line)
+            except ValueError:
+                continue
+            if "serving_p50_concurrent" in doc:
+                return doc
+    except (OSError, subprocess.TimeoutExpired, ValueError):
+        pass
+    return None
+
+
 def _isolated_rerun(name: str) -> float | None:
     """Run ``bench.py --isolated name`` in a subprocess; None on any
     failure (the shared-session number then stands)."""
@@ -290,6 +396,18 @@ def main() -> None:
             "regressed_30pct": flagged(),
         }
 
+    # concurrent-serving latency in a FAIR-scheduled subprocess (the
+    # chunk table the ingest bench wrote is reused); p50/p95 ride in
+    # the queries dict so round-over-round tracking picks them up
+    serving = _serving_rerun()
+    if serving is not None:
+        timings["serving_p50_concurrent"] = serving[
+            "serving_p50_concurrent"
+        ]
+        timings["serving_p95_concurrent"] = serving[
+            "serving_p95_concurrent"
+        ]
+
     payload["value"] = round(sum(timings.values()), 3)
     print(json.dumps(payload))
 
@@ -323,5 +441,7 @@ def _prev_round_timings() -> tuple[int, dict[str, float]] | None:
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--isolated":
         _isolated_main(sys.argv[2])
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--serving":
+        _serving_main()
     else:
         main()

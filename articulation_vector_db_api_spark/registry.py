@@ -233,50 +233,51 @@ _VERIFIED = frozenset(
         "sql_recursive_cte_hierarchy", "stream_watermark_append",
         "text_bpe_encode_tokens", "text_bpe_learn_merges",
         "text_html_extract", "text_unicode_clean",
+        # round-8 window first-seats: all hash-green (or justified
+        # rows-only for the batched-BPE trainer) in CORRECTNESS_r08
+        "scan_avro_nested_roundtrip", "scan_arrow_ipc_nested",
+        "multimodal_ogg_flac_roundtrip", "text_bpe_learn_merges_batched",
+        "multimodal_gif_animation_frames", "multimodal_opus_packet_stats",
+        "multimodal_mp3_probe", "multimodal_adts_probe",
     }
 )
 
-# Round-8 window (VERDICT r7 item 7: rotate to the STALEST evidence):
-# 1. the eight r8 additions, never driver-seated — the nested Arrow IPC
-#    and nested Avro scans, Ogg-FLAC decode, batched BPE (rows-only by
-#    nature: a 256-merge iterative training loop; ground truth is
-#    recomputed single-process in tests/test_bpe.py), and the animated
-#    GIF frame-composition proof, and the Opus/MP3/ADTS packet-layer
-#    stats.
-# 2. _WINDOW_RESEAT: 42 of the 48 queries whose latest green row is
-#    still ROUND 1 — six rounds of refactoring old against today's
-#    code (flagship search path, early relational/TPC-H, setops,
-#    pivots). Listed explicitly, stalest-first in registration order,
-#    so exactly these take the remaining seats; the 6 leftover r1 rows
-#    plus the r2 vintage rotate in next round.
+# Round-9 window (VERDICT r8 item 6: keep rotating to the stalest
+# evidence):
+# 1. the three r9 additions, never driver-seated — the multi-branch
+#    Avro union scan, the tz-aware Arrow IPC scan, and the Vorbis
+#    perceptual decode (each parity-proven locally at
+#    sf0.001/0.01/0.1 before registration).
+# 2. _WINDOW_RESEAT: the 47 stalest remaining rows — the 6 queries
+#    whose latest green row is still ROUND 1 plus the first 41 of the
+#    r2 vintage, stalest-first in registration order. The 5 leftover
+#    r2 rows (ann_lsh_bucketed, similarity_join_lsh_bucket,
+#    similarity_knn_batch, similarity_near_dup_cosine, ann_ivf_exact)
+#    plus the r3/r4 vintages rotate in next round.
 _WINDOW_FIRST = (
-    "scan_avro_nested_roundtrip",
-    "scan_arrow_ipc_nested",
-    "multimodal_ogg_flac_roundtrip",
-    "text_bpe_learn_merges_batched",
-    "multimodal_gif_animation_frames",
-    "multimodal_opus_packet_stats",
-    "multimodal_mp3_probe",
-    "multimodal_adts_probe",
+    "scan_avro_union_roundtrip",
+    "scan_arrow_ipc_tz",
+    "multimodal_vorbis_decode",
 )
 _WINDOW_RESEAT = (
-    "flagship_search", "search_context", "search_topk_per_source",
-    "search_batch_queries", "search_scoped_source", "chunk_documents",
-    "upsert_last_write_wins", "index_stats_by_source", "search_hybrid_rrf",
-    "search_mmr_diversified", "filter_project_pushdown",
-    "q1_pricing_summary", "agg_distinct_counts", "approx_distinct_parts",
-    "agg_stats_moments", "agg_percentiles", "q5_region_revenue",
-    "approx_percentile_prices", "q7_nation_volume",
-    "q17_correlated_subquery", "q8_market_share", "sort_global_prices",
-    "rollup_revenue", "cube_order_status", "grouping_sets_revenue",
-    "q3_shipping_priority", "join_broadcast_snowflake",
-    "join_sortmerge_fact", "join_semi_customers_with_urgent",
-    "join_anti_customers_no_urgent", "join_theta_supplier_pairs",
-    "join_range_calendar", "join_asof_event_order", "join_salted_skew",
-    "scalar_subquery_above_avg", "topk_orders_by_price",
-    "topk_pagination", "setop_except_all", "setop_nations_intersect",
-    "setop_nations_except", "setop_union_all_counts",
-    "sql_interface_revenue",
+    "nested_agg_big_spenders", "agg_price_histogram",
+    "pivot_status_revenue", "unpivot_part_measures",
+    "merge_upsert_orders", "cdc_snapshot_diff", "hash_embedding_vectors",
+    "ingest_extract_status", "ingest_fault_isolation", "health_probe",
+    "agg_ordered_collect", "window_rank_customers", "window_rank_ties",
+    "window_running_sum", "window_moving_avg", "window_lag_lead",
+    "window_range_frame", "events_session_funnel",
+    "events_weekly_retention", "window_first_last", "window_nth_value",
+    "events_anomaly_zscore", "events_decay_weighted_score",
+    "rollup_hierarchical_time", "window_cume_dist", "window_ntile",
+    "events_gap_filled_daily", "events_ohlc_bars", "string_functions",
+    "date_functions", "array_functions", "json_functions",
+    "null_handling", "struct_map_functions", "map_higher_order_functions",
+    "dedup_exact", "dedup_exact_normalized", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_winnowing", "dedup_connected_components",
+    "dedup_fuzzy_levenshtein", "dedup_cc_star", "dedup_semantic_clusters",
+    "dedup_substring_spans", "dedup_incremental_batch",
+    "ann_bruteforce_topk",
 )
 # Suite order for the rest of the unverified front (round-5 additions):
 # cheap scalar/relational families first, expensive similarity last.
@@ -286,7 +287,7 @@ _SUITE_WINDOW_ORDER = (
 )
 
 # Unverified queries DEFERRED past this round's window on purpose
-# (empty for r8; new registrations sort behind _WINDOW_FIRST as
+# (empty for r9; new registrations sort behind _WINDOW_FIRST as
 # ordinary tier-1 entries and only take seats the 50 priorities
 # leave free.)
 _WINDOW_DEFER = frozenset()

@@ -264,6 +264,36 @@ def decode_ogg_flac(payload: bytes) -> tuple:
     return decode_flac(bytes(native))
 
 
+def decode_ogg_audio(payload: bytes) -> tuple:
+    """Codec-dispatched Ogg audio decode → (codec, sample_rate,
+    samples[(n, ch)]). The one entry point a pipeline calls after
+    triage: FLAC payloads return lossless integer samples
+    (decode_ogg_flac), Vorbis payloads return perceptual float64 in
+    [-1, 1) (functions/vorbis.py — the r9 decoder), and still-gated
+    codecs (Opus, Speex, Theora) raise NotImplementedError with the
+    codec name so routing stays honest."""
+    packets = ogg_packets(bytes(payload))
+    head = next(packets, None)
+    if head is None:
+        raise ValueError("empty Ogg stream")
+    first = head[0]
+    if first[:5] == b"\x7fFLAC":
+        rate, samples = decode_ogg_flac(payload)
+        return "flac", rate, samples
+    if first[:7] == b"\x01vorbis":
+        from .vorbis import decode_ogg_vorbis
+
+        rate, _ch, pcm = decode_ogg_vorbis(bytes(payload))
+        return "vorbis", rate, pcm.T
+    if first[:8] == b"OpusHead":
+        raise NotImplementedError(
+            "Opus payload decode (CELT/SILK synthesis) is gated"
+        )
+    raise NotImplementedError(
+        f"Ogg payload codec {first[:8]!r} has no decoder"
+    )
+
+
 def _page(
     body: bytes, granule: int, serial: int, seq: int, htype: int
 ) -> bytes:

@@ -515,3 +515,40 @@ def test_ogg_eos_page_ending_mid_packet_raises():
     )
     with pytest.raises(ValueError, match="mid-packet"):
         list(ogg_packets(stream))
+
+
+def test_decode_ogg_audio_dispatch():
+    """r9: the unified Ogg audio entry point routes FLAC to the
+    lossless decoder, Vorbis to the perceptual decoder, and names the
+    codec when gated."""
+    import numpy as np
+
+    from articulation_vector_db_api_spark.functions.ogg import (
+        build_ogg_flac,
+        build_ogg_opus,
+        decode_ogg_audio,
+    )
+    from articulation_vector_db_api_spark.functions.vorbis import (
+        build_ogg_vorbis_stream,
+        encode_vorbis,
+    )
+
+    sig = (np.arange(384) % 251 - 125).astype(np.int16)
+    codec, rate, samples = decode_ogg_audio(
+        build_ogg_flac(sig, rate=16000, block_size=192)
+    )
+    assert codec == "flac" and rate == 16000
+    assert np.array_equal(samples.reshape(-1), sig)
+
+    x = 0.5 * np.sin(2 * np.pi * 440 * np.arange(1000) / 8000)
+    ogg = build_ogg_vorbis_stream(
+        *encode_vorbis(x, 8000, 256), rate=8000, blocksize=256
+    )
+    codec, rate, samples = decode_ogg_audio(ogg)
+    assert codec == "vorbis" and rate == 8000
+    assert samples.shape == (1000, 1)
+    snr = 10 * np.log10((x ** 2).sum() / ((samples[:, 0] - x) ** 2).sum())
+    assert snr > 25.0
+
+    with pytest.raises(NotImplementedError, match="Opus"):
+        decode_ogg_audio(build_ogg_opus(1, 100))

@@ -280,3 +280,71 @@ def test_gates_and_corruption_contract():
     # bad identification framing
     with pytest.raises(ValueError, match="identification"):
         V.parse_identification(b"\x01vorbiX" + bytes(23))
+
+
+def test_residue_type1_and_coupling_inverse():
+    """Decode paths our encoder never emits, driven by a hand-built
+    packet: residue TYPE 1 (per-channel vectors, non-interleaved) and
+    a square-polar coupling step — checked against an independent
+    sample-by-sample expectation of the spec's inverse rules."""
+    import articulation_vector_db_api_spark.functions.vorbis as V
+
+    ch, n, half = 2, 256, 128
+    kit = V._default_toolkit(ch)
+    res = kit["residues"][0]
+    res_t1 = V.Residue(
+        1, 0, half - half % res.partition_size, res.partition_size,
+        res.classifications, res.classbook, res.cascade, res.books,
+    )
+    kit["residues"][0] = res_t1
+    kit["mappings"][0]["coupling"] = [(0, 1)]
+    ident = V.parse_identification(V.build_identification(ch, 8000, n, n))
+    setup = V.parse_setup(
+        V.build_setup(kit["codebooks"], kit["floors"], [res_t1],
+                      kit["mappings"], kit["modes"], ch),
+        ident,
+    )
+    assert setup.residues[0].rtype == 1
+    assert setup.mappings[0]["coupling"] == [(0, 1)]
+
+    books = kit["codebooks"]
+    fl = kit["floors"][0]
+    bw = V.BitWriter()
+    bw.write(0, 1)
+    rng = np.random.default_rng(5)
+    mag = rng.standard_normal(half) * 0.5
+    ang = np.round(rng.standard_normal(half) * 0.3, 2)
+    level = V._floor_level(
+        float(np.abs(np.concatenate([mag, ang])).max()) / 2 + 1e-9, fl
+    )
+    y = fl.encode_amplitudes([level] * 4)
+    for _c in range(ch):
+        fl.encode(bw, books, y)
+    curve = fl.curve(y, half)
+    vecs = np.stack([mag / curve, ang / curve])
+    n_parts = (res_t1.end - res_t1.begin) // res_t1.partition_size
+    quant = res_t1.encode(
+        bw, books, vecs, [[1] * n_parts, [1] * n_parts]
+    )
+    out = V.decode_audio_packet(setup, bw.bytes())
+    assert out.shape == (2, n)
+
+    # independent expectation: dequantized spectra -> spec 4.3.5
+    # inverse coupling applied scalar-by-scalar -> IMDCT -> window
+    spec_m, spec_a = quant[0] * curve, quant[1] * curve
+    new_m, new_a = spec_m.copy(), spec_m.copy()
+    for k in range(half):
+        m_v, a_v = spec_m[k], spec_a[k]
+        if m_v > 0:
+            if a_v > 0:
+                new_m[k], new_a[k] = m_v, m_v - a_v
+            else:
+                new_m[k], new_a[k] = m_v + a_v, m_v
+        else:
+            if a_v > 0:
+                new_m[k], new_a[k] = m_v, m_v + a_v
+            else:
+                new_m[k], new_a[k] = m_v - a_v, m_v
+    win = V.vorbis_window(n)
+    assert np.abs(out[0] - V.imdct(new_m) * win).max() < 1e-12
+    assert np.abs(out[1] - V.imdct(new_a) * win).max() < 1e-12

@@ -28,10 +28,11 @@ The module carries BOTH directions:
   with a silent/active partition classification. Every bit it writes
   goes through the same packing the decoder unpacks.
 
-Honest gates (raise, not fake): floor type 0 (LSP), residue type 0
-(interleaved pre-partition layout), long/short window switching when
-blocksize0 != blocksize1 (our encoder never emits it; transition
-windows stay gated until a real-file fixture can pin them).
+Honest gates (raise, not fake): floor type 0 (LSP) and residue type 0
+(interleaved pre-partition layout). Long/short window SWITCHING is
+fully implemented (transition slopes per the packet's prev/next
+window flags, variable-lap overlap-add) and exercised by the witness
+encoder's mixed-blocksize mode.
 
 floor1_inverse_dB_table: the spec prints it as a 256-value literal;
 the values are exponentially spaced between the published endpoints
@@ -900,6 +901,52 @@ def vorbis_window(n: int) -> np.ndarray:
     )
 
 
+def _slope(m: int) -> np.ndarray:
+    """Ascending half-window slope of length m (spec 4.3.1):
+    sin(pi/2 * sin^2(pi*(k+0.5)/(2m)))."""
+    k = np.arange(m, dtype=np.float64)
+    return np.sin(
+        0.5 * math.pi * np.sin((k + 0.5) * math.pi / (2 * m)) ** 2
+    )
+
+
+_shape_cache: dict[tuple, tuple] = {}
+
+
+def window_shape(
+    n: int, n0: int, long_block: bool, prev_flag: int, next_flag: int
+) -> tuple[np.ndarray, int, int, int, int]:
+    """Transition-aware window (spec 4.3.1): -> (window, left_start,
+    left_end, right_start, right_end). A long block neighboring a
+    short one narrows that side's slope to n0/2 and pads the outside
+    with zeros; short blocks always use full slopes. The packet's
+    emission span is [left_start, right_start); [right_start,
+    right_end) laps into the next packet."""
+    key = (n, n0, long_block, prev_flag, next_flag)
+    got = _shape_cache.get(key)
+    if got is not None:
+        return got
+    win = np.zeros(n, dtype=np.float64)
+    if long_block and not prev_flag:
+        ls = n // 4 - n0 // 4
+        le = n // 4 + n0 // 4
+        win[ls:le] = _slope(n0 // 2)
+    else:
+        ls, le = 0, n // 2
+        win[ls:le] = _slope(n // 2)
+    if long_block and not next_flag:
+        rs = (3 * n) // 4 - n0 // 4
+        re = (3 * n) // 4 + n0 // 4
+        win[rs:re] = _slope(n0 // 2)[::-1]
+    else:
+        rs, re = n // 2, n
+        win[rs:re] = _slope(n // 2)[::-1]
+    win[le:rs] = 1.0
+    got = (win, ls, le, rs, re)
+    _shape_cache[key] = got
+    return got
+
+
 def mdct(x: np.ndarray) -> np.ndarray:
     fwd, _ = _mdct_matrices(len(x))
     return fwd @ x
@@ -1123,9 +1170,12 @@ def build_setup(
 def decode_audio_packet(
     setup: VorbisSetup, packet: bytes
 ) -> np.ndarray:
-    """One audio packet -> windowed time-domain block [channels, n]
-    (caller overlap-adds). Uniform blocksize only; long/short window
-    switching is gated (see module docstring)."""
+    """One audio packet -> (windowed block [channels, n], left_start,
+    left_end, right_start, right_end). The caller emits
+    [left_start, right_start) after blending [left_start, left_end)
+    with the previous packet's lap tail [right_start, right_end);
+    long/short window transitions (spec 4.3.1) are honored via the
+    packet's prev/next window flags."""
     br = BitReader(packet)
     if br.read_bit():
         raise ValueError("packet type flag set in Vorbis audio packet")
@@ -1133,13 +1183,12 @@ def decode_audio_packet(
     if mode_i >= len(setup.modes):
         raise ValueError("Vorbis mode number out of range")
     mode = setup.modes[mode_i]
-    if setup.blocksize0 != setup.blocksize1:
-        raise NotImplementedError(
-            "Vorbis long/short window switching (blocksize0 != blocksize1)"
-        )
-    n = setup.blocksize1 if mode["blockflag"] else setup.blocksize0
-    if mode["blockflag"]:
-        br.read(2)  # prev/next window flags (uniform sizes: shape same)
+    long_block = bool(mode["blockflag"])
+    n = setup.blocksize1 if long_block else setup.blocksize0
+    prev_flag = next_flag = 1
+    if long_block:
+        prev_flag = br.read_bit()
+        next_flag = br.read_bit()
     mp = setup.mappings[mode["mapping"]]
     ch = setup.channels
     half = n // 2
@@ -1194,8 +1243,10 @@ def decode_audio_packet(
         spectra[m] = new_m
         spectra[a] = new_a
 
-    # floor * residue, IMDCT, window
-    win = vorbis_window(n)
+    # floor * residue, IMDCT, transition-aware window
+    win, ls, le, rs, re = window_shape(
+        n, setup.blocksize0, long_block, prev_flag, next_flag
+    )
     out = np.zeros((ch, n), dtype=np.float64)
     for c in range(ch):
         if floor_y[c] is None:
@@ -1203,7 +1254,7 @@ def decode_audio_packet(
         fl = setup.floors[mp["floor"][mp["mux"][c]]]
         curve = fl.curve(floor_y[c], half)
         out[c] = imdct(spectra[c] * curve) * win
-    return out
+    return out, ls, le, rs, re
 
 
 # ---------------------------------------------------------------------------
@@ -1278,24 +1329,39 @@ def _floor_level(mag: float, fl: Floor1) -> int:
 
 
 def encode_vorbis(
-    samples: np.ndarray, rate: int, blocksize: int = 256
-) -> tuple[list[bytes], int]:
-    """PCM float [-1,1) (1-D mono or [ch, n]) -> (packets, granule):
-    the three header packets + one audio packet per block. The caller
-    wraps them in Ogg pages (``build_ogg_vorbis_stream``)."""
+    samples: np.ndarray,
+    rate: int,
+    blocksize: int = 256,
+    long_blocksize: int | None = None,
+) -> tuple[list[bytes], list[int]]:
+    """PCM float [-1,1) (1-D mono or [ch, n]) -> (packets, granules):
+    the three header packets + one audio packet per block, plus the
+    per-audio-packet cumulative sample positions (the Ogg page
+    granules — last entry == total input samples). With
+    ``long_blocksize`` set, frames follow a deterministic
+    long/long/long/short/short pattern, exercising the spec's window
+    transition machinery (prev/next flags, asymmetric slopes,
+    variable-lap overlap-add)."""
     x = np.asarray(samples, dtype=np.float64)
     if x.ndim == 1:
         x = x[None, :]
     ch, total = x.shape
-    n = blocksize
-    half = n // 2
+    n0 = blocksize
+    n1 = long_blocksize if long_blocksize else blocksize
+    if n1 < n0:
+        raise ValueError("long blocksize smaller than short")
     kit = _default_toolkit(ch)
     res: Residue = kit["residues"][0]
-    res.end = half * ch - (half * ch) % res.partition_size
+    res.end = (n1 // 2) * ch - ((n1 // 2) * ch) % res.partition_size
     fl: Floor1 = kit["floors"][0]
+    if long_blocksize:
+        kit["modes"] = [
+            {"blockflag": 0, "mapping": 0},
+            {"blockflag": 1, "mapping": 0},
+        ]
 
     packets = [
-        build_identification(ch, rate, n, n),
+        build_identification(ch, rate, n0, n1),
         build_comment(),
         build_setup(
             kit["codebooks"], kit["floors"], kit["residues"],
@@ -1303,25 +1369,69 @@ def encode_vorbis(
         ),
     ]
 
-    # frame: pad with half a block on each side so OLA covers [0,total)
-    pad = (-total) % half
+    # frame sequencing: block f's window shape depends on its
+    # neighbors' sizes; offsets chain so each left slope laps exactly
+    # onto the previous right slope (t_b = t_{b-1} + rs_{b-1} - ls_b)
+    pattern = [1, 1, 1, 0, 0] if long_blocksize else [0]
+    flags: list[int] = []
+    shapes: list[tuple] = []
+    offsets: list[int] = []
+    emitted = 0
+    f = 0
+    while emitted < total or len(flags) < 2:
+        flags.append(pattern[f % len(pattern)])
+        f += 1
+        if len(flags) >= 2:
+            # finalize the shape of the PREVIOUS frame (its next_flag
+            # is now known)
+            i = len(flags) - 2
+            prev_flag = flags[i - 1] if i > 0 else 1
+            bf = flags[i]
+            nb = n1 if bf else n0
+            shp = window_shape(nb, n0, bool(bf), prev_flag, flags[i + 1])
+            shapes.append(shp)
+            if i == 0:
+                offsets.append(-shp[3])  # t_0 = -right_start_0
+            else:
+                offsets.append(offsets[-1] + shapes[i - 1][3] - shp[1])
+                emitted += shp[3] - shp[1]
+    # last frame: next_flag defaults long
+    i = len(flags) - 1
+    bf = flags[i]
+    nb = n1 if bf else n0
+    shp = window_shape(nb, n0, bool(bf), flags[i - 1], 1)
+    shapes.append(shp)
+    offsets.append(offsets[-1] + shapes[i - 1][3] - shp[1])
+
+    pad_left = -offsets[0]
+    pad_right = offsets[-1] + (n1 if flags[-1] else n0) + 8 - total
     xp = np.concatenate(
-        [np.zeros((ch, half)), x, np.zeros((ch, pad + half))], axis=1
+        [
+            np.zeros((ch, pad_left)),
+            x,
+            np.zeros((ch, max(pad_right, 0))),
+        ],
+        axis=1,
     )
-    n_frames = xp.shape[1] // half - 1
-    win = vorbis_window(n)
     books = kit["codebooks"]
     mode_bits = ilog(len(kit["modes"]) - 1)
+    granules: list[int] = []
+    cum = 0
 
-    for f in range(n_frames):
-        block = xp[:, f * half : f * half + n]
+    for i, bf in enumerate(flags):
+        nb = n1 if bf else n0
+        half = nb // 2
+        win, ls, le, rs, re = shapes[i]
+        t = offsets[i] + pad_left
+        block = xp[:, t : t + nb]
         bw = BitWriter()
         bw.write(0, 1)  # audio packet
         if mode_bits:
-            bw.write(0, mode_bits)
+            bw.write(bf, mode_bits)
+        if bf:
+            bw.write(flags[i - 1] if i > 0 else 1, 1)  # prev window flag
+            bw.write(flags[i + 1] if i + 1 < len(flags) else 1, 1)
         specs = np.empty((ch, half))
-        curves = []
-        ys = []
         for c in range(ch):
             spec = mdct(block[c] * win)
             # flat floor at >= max|spec|/2: normalized residues land
@@ -1331,16 +1441,14 @@ def encode_vorbis(
             )
             y = fl.encode_amplitudes([level] * len(fl.x_list))
             fl.encode(bw, books, y)
-            curve = fl.curve(y, half)
-            specs[c] = spec / curve
-            curves.append(curve)
-            ys.append(y)
+            specs[c] = spec / fl.curve(y, half)
         # interleave channels for residue type 2
         vec = np.zeros(half * ch)
         for c in range(ch):
             vec[c::ch] = specs[c]
         # classify partitions: silent (all |v| tiny) -> class 0
-        n_parts = (res.end - res.begin) // res.partition_size
+        end = min(res.end, half * ch)
+        n_parts = (end - res.begin) // res.partition_size
         classes = [
             [
                 0
@@ -1357,29 +1465,31 @@ def encode_vorbis(
         ]
         res.encode(bw, books, vec[None, :], classes)
         packets.append(bw.bytes())
-
-    granule = total
-    return packets, granule
+        if i > 0:
+            cum += rs - ls
+        granules.append(min(cum, total))
+    granules[-1] = total
+    return packets, granules
 
 
 def build_ogg_vorbis_stream(
-    packets: list[bytes], granule: int, rate: int, blocksize: int,
-    serial: int = 11,
+    packets: list[bytes], granules: list[int], serial: int = 11,
+    **_compat,
 ) -> bytes:
-    """Header packets on pages 0-1, one audio packet per page with
-    running granules, EOS on the last (RFC 3533 + Vorbis-over-Ogg
-    mapping: granule = count of complete decoded samples)."""
+    """Header packets on pages 0-1, one audio packet per page with the
+    cumulative-sample granules ``encode_vorbis`` computed, EOS on the
+    last (RFC 3533 + Vorbis-over-Ogg mapping: granule = count of
+    complete decoded samples)."""
     from .ogg import _page, _page_packets
 
-    half = blocksize // 2
     out = _page(packets[0], 0, serial, 0, 0x02)
     out += _page_packets(packets[1:3], 0, serial, 1, 0x00)
-    # audio packet f (0-based) completes f*half decoded samples
     n_audio = len(packets) - 3
+    if len(granules) != n_audio:
+        raise ValueError("granule list arity != audio packet count")
     for i in range(n_audio):
-        g = min(i * half, granule) if i + 1 < n_audio else granule
         htype = 0x04 if i + 1 == n_audio else 0x00
-        out += _page(packets[3 + i], g, serial, 2 + i, htype)
+        out += _page(packets[3 + i], granules[i], serial, 2 + i, htype)
     return out
 
 
@@ -1399,15 +1509,24 @@ def decode_vorbis_packets(packets: list[bytes], granule: int | None = None):
         raise ValueError("bad Vorbis comment header")
     setup = parse_setup(packets[2], ident)
     ch = ident["channels"]
-    blocks = [decode_audio_packet(setup, p) for p in packets[3:]]
-    if not blocks:
+    segs: list[np.ndarray] = []
+    prev = None  # (block, right_start, right_end)
+    for p in packets[3:]:
+        block, ls, le, rs, re = decode_audio_packet(setup, p)
+        if prev is not None:
+            pblock, prs, pre = prev
+            if pre - prs != le - ls:
+                raise ValueError(
+                    "Vorbis window transition flags inconsistent "
+                    "between adjacent packets"
+                )
+            emit = block[:, ls:rs].copy()
+            emit[:, : le - ls] += pblock[:, prs:pre]
+            segs.append(emit)
+        prev = (block, rs, re)
+    if not segs:
         return ident["rate"], ch, np.zeros((ch, 0))
-    n = blocks[0].shape[1]
-    half = n // 2
-    out = np.zeros((ch, half * max(len(blocks) - 1, 0)))
-    for i in range(1, len(blocks)):
-        seg = blocks[i - 1][:, half:] + blocks[i][:, :half]
-        out[:, (i - 1) * half : i * half] = seg
+    out = np.concatenate(segs, axis=1)
     if granule is not None:
         if granule > out.shape[1]:
             raise ValueError("Vorbis granule exceeds decoded samples")

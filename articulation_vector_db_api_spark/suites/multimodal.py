@@ -1682,7 +1682,7 @@ def multimodal_ogg_flac_roundtrip(
            CAST(512 AS BIGINT) AS n_samples,
            CAST(8000 AS BIGINT) AS sample_rate,
            CAST(64 AS BIGINT) AS duration_ms,
-           CAST(7 AS BIGINT) AS n_pages,
+           CAST(8 AS BIGINT) AS n_pages,
            CAST(1 AS BIGINT) AS snr_ok,
            CAST(1 AS BIGINT) AS energy_ok
     FROM documents
@@ -1706,7 +1706,9 @@ def multimodal_vorbis_decode(
 
     Lossy, so sample digests are not SQL-recomputable; the oracle pins
     the DETERMINISTIC structural facts (channels/samples/rate/
-    duration/page count) plus two quality invariants the codec must
+    duration/page count — 6 audio frames: the sequencer guarantees
+    coverage without leaning on the final frame's un-lapped tail)
+    plus two quality invariants the codec must
     always satisfy: SNR > 20 dB and energy within 5% — both thresholds
     hold by construction of the three-pass lattice (measured ~30 dB)
     and fail loudly per-row if a regression breaks the codec.

@@ -56,6 +56,13 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
+class EndOfPacket(ValueError):
+    """Raised by BitReader past the last bit. Spec 4.3: during AUDIO
+    packet decode this is NOT an error — the packet decodes normally
+    up to that point (floors go unaudible, partial residue stands);
+    during header decode it propagates as the ValueError it is."""
+
+
 class BitReader:
     __slots__ = ("b", "pos", "nbits")
 
@@ -68,7 +75,7 @@ class BitReader:
         """n bits, LSB-first: the first bit read is the LSB of the
         result (spec 2.1.3)."""
         if self.pos + n > self.nbits:
-            raise ValueError("Vorbis packet truncated mid-field")
+            raise EndOfPacket("Vorbis packet truncated mid-field")
         out = 0
         p = self.pos
         for i in range(n):
@@ -79,7 +86,7 @@ class BitReader:
 
     def read_bit(self) -> int:
         if self.pos >= self.nbits:
-            raise ValueError("Vorbis packet truncated mid-field")
+            raise EndOfPacket("Vorbis packet truncated mid-field")
         bit = (self.b[self.pos >> 3] >> (self.pos & 7)) & 1
         self.pos += 1
         return bit
@@ -751,6 +758,23 @@ class Residue:
             default=-1,
         )
         classes = [[0] * n_parts for _ in range(n_vectors)]
+        try:
+            self._decode_passes(
+                br, books, out, classes, n_parts, max_pass, begin,
+                do_not_decode, cb, cdim,
+            )
+        except EndOfPacket:
+            # spec 8.6.2: end-of-packet mid-residue is not an error;
+            # the values decoded so far stand
+            pass
+        return out
+
+    def _decode_passes(
+        self, br, books, out, classes, n_parts, max_pass, begin,
+        do_not_decode, cb, cdim,
+    ) -> None:
+        n_vectors = out.shape[0]
+        psize = self.partition_size
         for pas in range(max_pass + 1):
             i = 0
             while i < n_parts:
@@ -777,7 +801,6 @@ class Residue:
                             br, books[book], out[v], begin + i * psize
                         )
                     i += 1
-        return out
 
     def _decode_partition(
         self, br: BitReader, book: Codebook, vec: np.ndarray, off: int
@@ -1193,11 +1216,21 @@ def decode_audio_packet(
     ch = setup.channels
     half = n // 2
 
-    # floor curves per channel
+    # floor curves per channel; end-of-packet mid-floor renders this
+    # channel (and the rest of the packet) unaudible, not an error
+    # (spec 7.2.3)
     floor_y: list[list[int] | None] = []
+    eop = False
     for c in range(ch):
+        if eop:
+            floor_y.append(None)
+            continue
         fl = setup.floors[mp["floor"][mp["mux"][c]]]
-        floor_y.append(fl.decode(br, setup.codebooks))
+        try:
+            floor_y.append(fl.decode(br, setup.codebooks))
+        except EndOfPacket:
+            floor_y.append(None)
+            eop = True
     no_residue = [y is None for y in floor_y]
     # channels in a coupling pair share audibility
     for m, a in mp["coupling"]:

@@ -267,11 +267,17 @@ def test_gates_and_corruption_contract():
     bad_setup = b"\x05vorbis" + bw.bytes()
     with pytest.raises(NotImplementedError, match="floor type 0"):
         V.parse_setup(bad_setup, ident)
-    # truncated audio packet fails loudly
+    # end-of-packet mid-AUDIO-decode is NOT an error (spec 4.3:
+    # bitrate management truncates packets): floors go unaudible,
+    # partial residue stands, the block still decodes
+    r, ch, pcm = decode_vorbis_packets(
+        packets[:3] + [p[: max(1, int(len(p) * 0.6))] for p in packets[3:]],
+        None,
+    )
+    assert pcm.shape[0] == 1 and np.isfinite(pcm).all()
+    # ... but a truncated HEADER is a hard error
     with pytest.raises(ValueError, match="truncated"):
-        decode_vorbis_packets(
-            packets[:3] + [packets[3][: len(packets[3]) // 2]], None
-        )
+        V.parse_setup(packets[2][: len(packets[2]) // 2], ident)
     # granule larger than decoded span is a corrupt stream
     with pytest.raises(ValueError, match="granule"):
         decode_vorbis_packets(packets, 10 ** 9)

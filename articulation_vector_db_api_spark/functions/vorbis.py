@@ -1506,8 +1506,7 @@ def encode_vorbis(
 
 
 def build_ogg_vorbis_stream(
-    packets: list[bytes], granules: list[int], serial: int = 11,
-    **_compat,
+    packets: list[bytes], granules: list[int], serial: int = 11
 ) -> bytes:
     """Header packets on pages 0-1, one audio packet per page with the
     cumulative-sample granules ``encode_vorbis`` computed, EOS on the

@@ -1759,9 +1759,7 @@ def multimodal_vorbis_decode(
                 )
                 if i % 3 == 0:
                     x = np.stack([x, 0.7 * x[::-1]])
-                ogg = build_ogg_vorbis_stream(
-                    *encode_vorbis(x, rate, 256), rate=rate, blocksize=256
-                )
+                ogg = build_ogg_vorbis_stream(*encode_vorbis(x, rate, 256))
                 meta = parse_ogg(ogg)
                 r, ch, pcm = decode_ogg_vorbis(ogg)
                 ref = x if x.ndim == 2 else x[None, :]

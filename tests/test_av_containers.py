@@ -541,9 +541,7 @@ def test_decode_ogg_audio_dispatch():
     assert np.array_equal(samples.reshape(-1), sig)
 
     x = 0.5 * np.sin(2 * np.pi * 440 * np.arange(1000) / 8000)
-    ogg = build_ogg_vorbis_stream(
-        *encode_vorbis(x, 8000, 256), rate=8000, blocksize=256
-    )
+    ogg = build_ogg_vorbis_stream(*encode_vorbis(x, 8000, 256))
     codec, rate, samples = decode_ogg_audio(ogg)
     assert codec == "vorbis" and rate == 8000
     assert samples.shape == (1000, 1)

@@ -397,16 +397,13 @@ def main() -> None:
         }
 
     # concurrent-serving latency in a FAIR-scheduled subprocess (the
-    # chunk table the ingest bench wrote is reused); p50/p95 ride in
-    # the queries dict so round-over-round tracking picks them up
+    # chunk table the ingest bench wrote is reused); latencies are a
+    # separate top-level key — they are percentiles, not suite
+    # seconds, so they stay out of the value sum and the common-subset
+    # comparison
     serving = _serving_rerun()
     if serving is not None:
-        timings["serving_p50_concurrent"] = serving[
-            "serving_p50_concurrent"
-        ]
-        timings["serving_p95_concurrent"] = serving[
-            "serving_p95_concurrent"
-        ]
+        payload["serving_concurrent"] = serving
 
     payload["value"] = round(sum(timings.values()), 3)
     print(json.dumps(payload))

@@ -28,8 +28,9 @@ The module carries BOTH directions:
   with a silent/active partition classification. Every bit it writes
   goes through the same packing the decoder unpacks.
 
-Honest gates (raise, not fake): floor type 0 (LSP) and residue type 0
-(interleaved pre-partition layout). Long/short window SWITCHING is
+Honest gates (raise, not fake): floor type 0 (LSP). All three residue
+formats decode (0's strided interleave, 1's consecutive spans, 2's
+channel interleave). Long/short window SWITCHING is
 fully implemented (transition slopes per the packet's prev/next
 window flags, variable-lap overlap-add) and exercised by the witness
 encoder's mixed-blocksize mode.
@@ -679,10 +680,8 @@ class Residue:
         cascade: list[int],
         books: list[list[int | None]],
     ) -> None:
-        if rtype not in (1, 2):
-            raise NotImplementedError(
-                f"Vorbis residue type {rtype} (only 1/2 implemented)"
-            )
+        if rtype not in (0, 1, 2):
+            raise ValueError(f"reserved Vorbis residue type {rtype}")
         self.rtype = rtype
         self.begin = begin
         self.end = end
@@ -817,8 +816,14 @@ class Residue:
             for k in range(0, psize, dim):
                 e = book.decode_entry(br)
                 vec[off + k : off + k + dim] += book.vq[e]
-        else:  # pragma: no cover - constructor gates type 0
-            raise NotImplementedError("residue type 0")
+        else:
+            # format 0 (spec 8.6.4): entry values interleave across
+            # the partition with stride partition_size/dim
+            step = psize // dim
+            for k in range(step):
+                e = book.decode_entry(br)
+                for j in range(dim):
+                    vec[off + k + j * step] += book.vq[e][j]
 
     def encode(
         self,
@@ -827,6 +832,10 @@ class Residue:
         vectors: np.ndarray,
         classes: list[list[int]],
     ) -> np.ndarray:
+        if self.rtype == 0:
+            raise NotImplementedError(
+                "witness encoder emits residue formats 1/2 only"
+            )
         """Encoder twin of ``decode``: quantize ``vectors`` with the
         per-partition ``classes`` assignment. Returns the DECODED
         (quantized) values so the caller can compute exact error."""
@@ -1087,8 +1096,6 @@ def parse_setup(packet: bytes, ident: dict) -> VorbisSetup:
     residues = []
     for _ in range(n_res):
         rtype = br.read(16)
-        if rtype == 0:
-            raise NotImplementedError("Vorbis residue type 0")
         if rtype > 2:
             raise ValueError(f"reserved Vorbis residue type {rtype}")
         residues.append(Residue.unpack(br, rtype))

@@ -1682,7 +1682,8 @@ def multimodal_ogg_flac_roundtrip(
            CAST(512 AS BIGINT) AS n_samples,
            CAST(8000 AS BIGINT) AS sample_rate,
            CAST(64 AS BIGINT) AS duration_ms,
-           CAST(8 AS BIGINT) AS n_pages,
+           CAST(CASE WHEN doc_id % 5 = 1 THEN 5 ELSE 8 END AS BIGINT)
+               AS n_pages,
            CAST(1 AS BIGINT) AS snr_ok,
            CAST(1 AS BIGINT) AS energy_ok
     FROM documents
@@ -1704,14 +1705,21 @@ def multimodal_vorbis_decode(
     lookup) → floor1 amplitude synthesis + inverse-dB curve → residue
     type 2 cascade → IMDCT → windowed overlap-add → granule trim.
 
+    doc_id%5==1 rows encode with MIXED 256/1024 blocksizes, putting
+    the spec's long/short window transitions (prev/next flags,
+    asymmetric slopes, variable-lap overlap-add) in the driver-checked
+    row — 3 frames, 5 pages; uniform rows are 6 frames, 8 pages (the
+    sequencer guarantees coverage without leaning on the final
+    frame's un-lapped tail).
+
     Lossy, so sample digests are not SQL-recomputable; the oracle pins
     the DETERMINISTIC structural facts (channels/samples/rate/
-    duration/page count — 6 audio frames: the sequencer guarantees
-    coverage without leaning on the final frame's un-lapped tail)
-    plus two quality invariants the codec must
+    duration/page count) plus two quality invariants the codec must
     always satisfy: SNR > 20 dB and energy within 5% — both thresholds
-    hold by construction of the three-pass lattice (measured ~30 dB)
-    and fail loudly per-row if a regression breaks the codec.
+    hold by construction of the three-pass lattice (measured ~30 dB
+    uniform; 21.7 dB worst mixed row across every fixture doc_id, the
+    margin a 1.5-long-frame signal leaves through transitions) and
+    fail loudly per-row if a regression breaks the codec.
 
     Scale shape: Arrow-batched narrow map, zero shuffle of audio
     bytes, one stats row per doc; the per-doc pure-Python/numpy codec
@@ -1759,7 +1767,10 @@ def multimodal_vorbis_decode(
                 )
                 if i % 3 == 0:
                     x = np.stack([x, 0.7 * x[::-1]])
-                ogg = build_ogg_vorbis_stream(*encode_vorbis(x, rate, 256))
+                long_bs = 1024 if i % 5 == 1 else None
+                ogg = build_ogg_vorbis_stream(
+                    *encode_vorbis(x, rate, 256, long_blocksize=long_bs)
+                )
                 meta = parse_ogg(ogg)
                 r, ch, pcm = decode_ogg_vorbis(ogg)
                 ref = x if x.ndim == 2 else x[None, :]

@@ -399,3 +399,49 @@ def test_inconsistent_transition_flags_fail_loudly():
     # granule check trips
     with pytest.raises(ValueError, match="granule"):
         decode_vorbis_packets(packets[:5], grans[-1])
+
+
+def test_residue_type0_strided_interleave():
+    """Format 0 (spec 8.6.4): a codeword's dim values land at stride
+    partition_size/dim — decoded bitstream checked against an
+    independent accumulation of the same entry sequence."""
+    import articulation_vector_db_api_spark.functions.vorbis as V
+
+    kit = V._default_toolkit(1)
+    books = kit["codebooks"]
+    base = kit["residues"][0]
+    res0 = V.Residue(
+        0, 0, 128, base.partition_size, base.classifications,
+        base.classbook, base.cascade, base.books,
+    )
+    bw = V.BitWriter()
+    cb = books[res0.classbook]
+    rng = np.random.default_rng(9)
+    n_parts = 4
+    written = []
+    for pas in range(3):
+        i = 0
+        while i < n_parts:
+            if pas == 0:
+                cb.encode_entry(bw, 3)  # both partitions class 1
+            for _j in range(2):
+                if i >= n_parts:
+                    break
+                book = books[res0.books[1][pas]]
+                step = res0.partition_size // book.dimensions
+                for k in range(step):
+                    e = int(rng.integers(0, book.entries))
+                    book.encode_entry(bw, e)
+                    written.append((pas, i, k, e))
+                i += 1
+    out = res0.decode(V.BitReader(bw.bytes()), books, 1, 128, [False])[0]
+    exp = np.zeros(128)
+    for pas, i, k, e in written:
+        book = books[res0.books[1][pas]]
+        step = res0.partition_size // book.dimensions
+        off = i * res0.partition_size
+        for j in range(book.dimensions):
+            exp[off + k + j * step] += book.vq[e][j]
+    assert np.array_equal(out, exp)
+    with pytest.raises(NotImplementedError, match="witness encoder"):
+        res0.encode(V.BitWriter(), books, np.zeros((1, 128)), [[1] * 4])

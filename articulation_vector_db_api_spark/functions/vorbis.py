@@ -221,6 +221,7 @@ class Codebook:
         self.sequence_p = sequence_p
         self.multiplicands = multiplicands or []
         self.codes = assign_codewords(lengths)
+        self._rev_codes: dict | None = None
         # decode map: (length, code) -> entry
         self.decode_map = {
             (lengths[e], c): e for e, c in self.codes.items()
@@ -274,9 +275,16 @@ class Codebook:
         ln = self.lengths[e]
         if ln is None:
             raise ValueError(f"entry {e} unused in codebook")
-        code = self.codes[e]
-        for i in range(ln - 1, -1, -1):
-            bw.write((code >> i) & 1, 1)
+        rev = self._rev_codes
+        if rev is None:
+            # wire order is MSB-of-codeword first; BitWriter emits
+            # LSB-first, so pre-reverse each codeword once
+            rev = {
+                k: int(f"{c:0{self.lengths[k]}b}"[::-1], 2) if c else 0
+                for k, c in self.codes.items()
+            }
+            self._rev_codes = rev
+        bw.write(rev[e], ln)
 
     def pack(self, bw: BitWriter) -> None:
         """Write the codebook header (spec 3.2.1 layout)."""
@@ -400,6 +408,7 @@ class Floor1:
         self.multiplier = multiplier
         self.rangebits = rangebits
         self.x_list = x_list
+        self._curve_cache: dict = {}
         if len(set(x_list)) != len(x_list):
             raise ValueError("floor1 X list has duplicate positions")
 
@@ -586,7 +595,13 @@ class Floor1:
         """Rendered floor curve over n spectral samples (spec 7.2.4
         step 2): sort posts by X, render_line between step2-flagged
         posts in the multiplied-Y domain, map through the inverse-dB
-        table."""
+        table. Memoized per (Y vector, n): the witness encoder's flat
+        floors hit a handful of levels, and decode re-renders the
+        identical curves."""
+        key = (tuple(y), n)
+        cached = self._curve_cache.get(key)
+        if cached is not None:
+            return cached
         final, flag = self.amplitudes(y)
         mult = self.multiplier
         order = sorted(range(len(self.x_list)), key=lambda i: self.x_list[i])
@@ -604,7 +619,12 @@ class Floor1:
             lx, ly = hx, hy
         if hx < n:
             v[hx:] = ly
-        return INVERSE_DB_TABLE[np.clip(v, 0, 255)]
+        out = INVERSE_DB_TABLE[np.clip(v, 0, 255)]
+        out.setflags(write=False)
+        if len(self._curve_cache) >= 512:
+            self._curve_cache.clear()
+        self._curve_cache[key] = out
+        return out
 
 
 def _low_neighbor(x: list[int], i: int) -> int:
@@ -1302,9 +1322,17 @@ def decode_audio_packet(
 # ---------------------------------------------------------------------------
 
 
-def _default_toolkit(channels: int) -> dict:
-    """The encoder's fixed coding setup: books 0-1 floor scalar(64)
-    and class book, 2-3 residue coarse/fine lattices."""
+_toolkit_books_cache: dict = {}
+
+
+def _toolkit_books() -> tuple:
+    """The witness encoder's immutable pieces (codebooks + floor):
+    canonical-codeword assignment and VQ tables for three 625-entry
+    lattices are ~ms-scale work, so they build once per process, not
+    once per encoded document."""
+    got = _toolkit_books_cache.get("kit")
+    if got is not None:
+        return got
     floor_book = Codebook(1, [6] * 64)  # scalar: entry number == Y value
     class_book = Codebook(2, [2] * 4)  # 2 classifications, dim 2
     coarse = Codebook(
@@ -1330,6 +1358,18 @@ def _default_toolkit(channels: int) -> dict:
         rangebits=7,
         x_list=[0, 128, 43, 85],
     )
+    got = (floor_book, class_book, coarse, fine, fine2, floor)
+    _toolkit_books_cache["kit"] = got
+    return got
+
+
+def _default_toolkit(channels: int) -> dict:
+    """The encoder's fixed coding setup: books 0-1 floor scalar(64)
+    and class book, 2-4 residue coarse/fine lattices. Codebooks and
+    the floor config are process-cached (immutable); the Residue and
+    mapping/mode dicts are fresh per call (``end`` is patched per
+    blocksize)."""
+    floor_book, class_book, coarse, fine, fine2, floor = _toolkit_books()
     residue = Residue(
         rtype=2,
         begin=0,
@@ -1537,6 +1577,23 @@ def build_ogg_vorbis_stream(
 # ---------------------------------------------------------------------------
 
 
+_setup_cache: dict = {}
+
+
+def _parse_setup_cached(packet: bytes, ident: dict) -> VorbisSetup:
+    """Real pipelines decode many files written by one encoder config;
+    identical setup headers parse once per process (keyed by the raw
+    header bytes + identification facts, bounded size)."""
+    key = (bytes(packet), tuple(sorted(ident.items())))
+    got = _setup_cache.get(key)
+    if got is None:
+        got = parse_setup(packet, ident)
+        if len(_setup_cache) >= 16:
+            _setup_cache.clear()
+        _setup_cache[key] = got
+    return got
+
+
 def decode_vorbis_packets(packets: list[bytes], granule: int | None = None):
     """[ident, comment, setup, audio...] -> (rate, channels, pcm
     [ch, samples] float64). ``granule`` trims the tail per the Ogg
@@ -1546,7 +1603,7 @@ def decode_vorbis_packets(packets: list[bytes], granule: int | None = None):
     ident = parse_identification(packets[0])
     if packets[1][:7] != _common_header(3):
         raise ValueError("bad Vorbis comment header")
-    setup = parse_setup(packets[2], ident)
+    setup = _parse_setup_cached(packets[2], ident)
     ch = ident["channels"]
     segs: list[np.ndarray] = []
     prev = None  # (block, right_start, right_end)

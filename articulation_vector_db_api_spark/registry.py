@@ -83,12 +83,12 @@ def register(
 _VERIFIED = frozenset(
     {
         "agg_argmax_order", "agg_benford_first_digit",
-        "agg_bit_aggregates", "agg_corr_moments", "agg_countif_family",
-        "agg_distinct_counts", "agg_equidepth_histogram",
-        "agg_grouping_id_sets", "agg_heavy_hitters",
-        "agg_hll_portable_registers", "agg_hll_sketch_rollup",
-        "agg_mad_robust", "agg_median_mode", "agg_ordered_collect",
-        "agg_percentiles", "agg_price_histogram",
+        "agg_bit_aggregates", "agg_cms_portable", "agg_corr_moments",
+        "agg_countif_family", "agg_distinct_counts",
+        "agg_equidepth_histogram", "agg_grouping_id_sets",
+        "agg_heavy_hitters", "agg_hll_portable_registers",
+        "agg_hll_sketch_rollup", "agg_mad_robust", "agg_median_mode",
+        "agg_ordered_collect", "agg_percentiles", "agg_price_histogram",
         "agg_revenue_concentration", "agg_stats_moments",
         "agg_trimmed_mean", "agg_weighted_median",
         "ann_binary_quantized_topk", "ann_bruteforce_topk",
@@ -102,25 +102,29 @@ _VERIFIED = frozenset(
         "cdc_snapshot_diff", "chunk_documents", "chunk_tokens_window",
         "cube_order_status", "curation_gopher_rules",
         "curation_importance_weights", "curation_mixture_weights",
-        "curation_sample_quality_band", "curation_shard_assignment",
-        "curation_topic_balance", "date_functions",
-        "dedup_bloom_incremental", "dedup_cc_star",
+        "curation_pii_scrub", "curation_sample_quality_band",
+        "curation_sample_weighted_priority",
+        "curation_shard_assignment", "curation_topic_balance",
+        "date_functions", "dedup_bloom_incremental", "dedup_cc_star",
         "dedup_connected_components", "dedup_exact",
         "dedup_exact_normalized", "dedup_fuzzy_levenshtein",
-        "dedup_incremental_batch", "dedup_minhash_lsh",
-        "dedup_semantic_clusters", "dedup_simhash",
-        "dedup_substring_span_scrub", "dedup_substring_spans",
-        "dedup_url_normalize", "dedup_winnowing", "diag_key_skew",
-        "dq_audit_orders", "dq_freshness_by_type",
-        "embedding_dim_stats", "embedding_matryoshka_topk",
-        "events_ab_test_lift", "events_anomaly_zscore",
-        "events_cep_pattern", "events_decay_weighted_score",
+        "dedup_incremental_batch", "dedup_lsh_recall_eval",
+        "dedup_minhash_lsh", "dedup_ngram_containment",
+        "dedup_ngram_jaccard", "dedup_semantic_clusters",
+        "dedup_simhash", "dedup_substring_span_scrub",
+        "dedup_substring_spans", "dedup_url_normalize",
+        "dedup_winnowing", "diag_key_skew", "dq_audit_orders",
+        "dq_freshness_by_type", "embedding_dim_stats",
+        "embedding_matryoshka_topk", "events_ab_test_lift",
+        "events_anomaly_zscore", "events_cep_pattern",
+        "events_cusum_changepoint", "events_decay_weighted_score",
         "events_ewma_daily", "events_funnel_time_bound",
         "events_gap_filled_daily", "events_interarrival_stats",
-        "events_interval_coverage", "events_markov_transitions",
-        "events_ohlc_bars", "events_peak_concurrency",
-        "events_resample_interpolate", "events_seasonality_profile",
-        "events_session_funnel", "events_threshold_debounce",
+        "events_interval_coverage", "events_mann_kendall",
+        "events_markov_transitions", "events_ohlc_bars",
+        "events_peak_concurrency", "events_resample_interpolate",
+        "events_seasonality_profile", "events_session_funnel",
+        "events_theil_sen_trend", "events_threshold_debounce",
         "events_token_bucket", "events_weekly_retention",
         "filter_project_pushdown", "flagship_search", "graph_bfs_hops",
         "graph_common_neighbors", "graph_k_core",
@@ -141,42 +145,57 @@ _VERIFIED = frozenset(
         "layout_zorder_stats", "maintenance_compact_roundtrip",
         "maintenance_vacuum_retention", "map_higher_order_functions",
         "math_functions", "matview_incremental_rollup",
-        "matview_rollup_time_travel", "merge_upsert_orders",
-        "mllib_ann_neighbors", "mllib_count_vectorizer",
-        "mllib_ivf_ann", "mllib_minhash_dedup", "mllib_similarity_join",
-        "mllib_tfidf_pipeline", "multimodal_audio_framing",
+        "matview_join_incremental", "matview_rollup_time_travel",
+        "merge_upsert_orders", "mllib_ann_neighbors",
+        "mllib_count_vectorizer", "mllib_ivf_ann",
+        "mllib_minhash_dedup", "mllib_similarity_join",
+        "mllib_tfidf_pipeline", "multimodal_adts_probe",
+        "multimodal_audio_adpcm_roundtrip",
+        "multimodal_audio_flac_roundtrip", "multimodal_audio_framing",
+        "multimodal_audio_g711_roundtrip", "multimodal_audio_resample",
         "multimodal_audio_vad_trim", "multimodal_audio_wav_roundtrip",
-        "multimodal_binary_metadata", "multimodal_decode_features",
-        "multimodal_dhash_image_dedup", "multimodal_frame_sample",
-        "multimodal_gif_roundtrip", "multimodal_modality_router",
-        "multimodal_pixel_histogram", "multimodal_pixel_roundtrip",
-        "multimodal_resize_batch", "multimodal_resize_pixels",
-        "multimodal_video_scene_cuts", "nested_agg_big_spenders",
+        "multimodal_av_container_probe", "multimodal_binary_metadata",
+        "multimodal_decode_features", "multimodal_dhash_image_dedup",
+        "multimodal_frame_sample", "multimodal_gif_animation_frames",
+        "multimodal_gif_roundtrip", "multimodal_jpeg_roundtrip",
+        "multimodal_modality_router", "multimodal_mp3_probe",
+        "multimodal_ogg_flac_roundtrip", "multimodal_opus_packet_stats",
+        "multimodal_phash_dct_dedup", "multimodal_pixel_histogram",
+        "multimodal_pixel_roundtrip", "multimodal_resize_batch",
+        "multimodal_resize_pixels", "multimodal_tiff_roundtrip",
+        "multimodal_video_scene_cuts", "multimodal_vorbis_decode",
+        "multimodal_webp_roundtrip", "nested_agg_big_spenders",
         "null_handling", "pack_sequences_token_budget",
-        "pipeline_corpus_curation", "pipeline_image_curation",
-        "pipeline_training_export", "pivot_priority_multi_agg",
-        "pivot_status_revenue", "q10_returned_items",
-        "q11_important_stock", "q12_late_shipment_priority",
-        "q13_customer_order_distribution", "q14_promo_revenue",
-        "q15_top_supplier", "q16_supplier_count_by_part",
-        "q17_correlated_subquery", "q18_large_volume_customers",
-        "q19_disjunctive_predicates", "q1_pricing_summary",
-        "q20_promo_stock_suppliers", "q21_waiting_suppliers",
-        "q22_dormant_customers", "q2_min_cost_supplier",
-        "q3_shipping_priority", "q4_order_priority",
-        "q5_region_revenue", "q6_forecast_revenue", "q7_nation_volume",
-        "q8_market_share", "q9_profit_by_nation_year",
-        "rollup_hierarchical_time", "rollup_revenue",
-        "sample_deterministic_hash", "sample_poisson_bootstrap",
-        "sample_stratified_per_lang", "sample_stratified_sources",
-        "sample_train_val_test_split", "sample_weighted_reservoir",
-        "scalar_bitwise_ops", "scalar_hash_digests",
-        "scalar_printf_format", "scalar_subquery_above_avg",
-        "scalar_url_functions", "scalar_uuid_surrogate",
-        "scalar_variant_semistructured", "scan_csv_malformed_tolerant",
-        "scan_csv_typed", "scan_jsonl_gzip", "scan_jsonlines_nested",
+        "pipeline_corpus_curation", "pipeline_dedup_keep_best",
+        "pipeline_image_curation", "pipeline_training_export",
+        "pipeline_web_image_ingest", "pipeline_web_ingest",
+        "pivot_priority_multi_agg", "pivot_status_revenue",
+        "q10_returned_items", "q11_important_stock",
+        "q12_late_shipment_priority", "q13_customer_order_distribution",
+        "q14_promo_revenue", "q15_top_supplier",
+        "q16_supplier_count_by_part", "q17_correlated_subquery",
+        "q18_large_volume_customers", "q19_disjunctive_predicates",
+        "q1_pricing_summary", "q20_promo_stock_suppliers",
+        "q21_waiting_suppliers", "q22_dormant_customers",
+        "q2_min_cost_supplier", "q3_shipping_priority",
+        "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
+        "q7_nation_volume", "q8_market_share",
+        "q9_profit_by_nation_year", "rollup_hierarchical_time",
+        "rollup_revenue", "sample_deterministic_hash",
+        "sample_poisson_bootstrap", "sample_stratified_per_lang",
+        "sample_stratified_sources", "sample_train_val_test_split",
+        "sample_weighted_reservoir", "scalar_bitwise_ops",
+        "scalar_hash_digests", "scalar_printf_format",
+        "scalar_subquery_above_avg", "scalar_url_functions",
+        "scalar_uuid_surrogate", "scalar_variant_semistructured",
+        "scan_arrow_ipc_nested", "scan_arrow_ipc_roundtrip",
+        "scan_arrow_ipc_tz", "scan_avro_nested_roundtrip",
+        "scan_avro_roundtrip", "scan_avro_union_roundtrip",
+        "scan_csv_malformed_tolerant", "scan_csv_typed",
+        "scan_jsonl_gzip", "scan_jsonlines_nested",
         "scan_orc_roundtrip", "scan_partitioned_pruned",
         "scan_schema_evolution_log", "scan_text_roundtrip",
+        "scan_warc_roundtrip", "scan_xml_roundtrip",
         "scd2_user_event_history", "search_batch_queries",
         "search_bm25", "search_context", "search_hybrid_rrf",
         "search_mmr_diversified", "search_mmr_diversified_k8",
@@ -187,7 +206,8 @@ _VERIFIED = frozenset(
         "similarity_join_lsh_bucket", "similarity_knn_batch",
         "similarity_near_dup_cosine", "sort_global_prices",
         "sql_interface_revenue", "sql_pipe_interface",
-        "stream_cdc_apply", "stream_curation_admission", "stream_dedup",
+        "sql_recursive_cte_hierarchy", "stream_cdc_apply",
+        "stream_curation_admission", "stream_dedup",
         "stream_dedup_within_watermark", "stream_ohlc_bars",
         "stream_session_window", "stream_sliding_distinct_users",
         "stream_sliding_window", "stream_snapshot_ingest",
@@ -195,16 +215,20 @@ _VERIFIED = frozenset(
         "stream_stream_full_outer_join", "stream_stream_interval_join",
         "stream_stream_left_outer_join", "stream_threshold_debounce",
         "stream_topk_trending", "stream_transform_with_state",
-        "stream_tumbling_window", "string_functions",
-        "struct_map_functions", "text_bpe_pair_counts",
+        "stream_tumbling_window", "stream_watermark_append",
+        "string_functions", "struct_map_functions",
+        "text_bpe_encode_tokens", "text_bpe_learn_merges",
+        "text_bpe_learn_merges_batched", "text_bpe_pair_counts",
         "text_char_bigram_lm", "text_char_entropy",
         "text_contamination_overlap", "text_fingerprint",
-        "text_inverted_index", "text_kneser_ney_bigram", "text_langid",
+        "text_html_extract", "text_inverted_index",
+        "text_kneser_ney_bigram", "text_langid",
         "text_ngram_coverage_curve", "text_perplexity_score",
         "text_pii_scrub", "text_quality_stats", "text_rake_keywords",
         "text_repetition_stats", "text_tfidf_top_terms",
         "text_token_counts", "text_topk_tokens_per_lang",
-        "text_word_trigrams", "topk_orders_by_price", "topk_pagination",
+        "text_unicode_clean", "text_word_trigrams",
+        "topk_orders_by_price", "topk_pagination",
         "udf_applyinpandas_order_gaps", "udf_grouped_agg_price_range",
         "udf_mapinarrow_bytelen", "udf_pandas_vector_norm",
         "udtf_char_trigrams", "unpivot_part_measures",
@@ -215,69 +239,50 @@ _VERIFIED = frozenset(
         "window_rank_customers", "window_rank_ties",
         "window_rolling_median", "window_running_distinct",
         "window_running_sum", "window_time_range_frame",
-        # round-7 window: all 50 rows hash-green in CORRECTNESS_r07
-        "agg_cms_portable", "curation_pii_scrub",
-        "curation_sample_weighted_priority", "dedup_lsh_recall_eval",
-        "dedup_ngram_containment", "dedup_ngram_jaccard",
-        "events_cusum_changepoint", "events_mann_kendall",
-        "events_theil_sen_trend", "matview_join_incremental",
-        "multimodal_audio_adpcm_roundtrip",
-        "multimodal_audio_flac_roundtrip",
-        "multimodal_audio_g711_roundtrip", "multimodal_audio_resample",
-        "multimodal_av_container_probe", "multimodal_jpeg_roundtrip",
-        "multimodal_phash_dct_dedup", "multimodal_tiff_roundtrip",
-        "multimodal_webp_roundtrip", "pipeline_dedup_keep_best",
-        "pipeline_web_image_ingest", "pipeline_web_ingest",
-        "scan_arrow_ipc_roundtrip", "scan_avro_roundtrip",
-        "scan_warc_roundtrip", "scan_xml_roundtrip",
-        "sql_recursive_cte_hierarchy", "stream_watermark_append",
-        "text_bpe_encode_tokens", "text_bpe_learn_merges",
-        "text_html_extract", "text_unicode_clean",
-        # round-8 window first-seats: all hash-green (or justified
-        # rows-only for the batched-BPE trainer) in CORRECTNESS_r08
-        "scan_avro_nested_roundtrip", "scan_arrow_ipc_nested",
-        "multimodal_ogg_flac_roundtrip", "text_bpe_learn_merges_batched",
-        "multimodal_gif_animation_frames", "multimodal_opus_packet_stats",
-        "multimodal_mp3_probe", "multimodal_adts_probe",
     }
 )
 
-# Round-9 window (VERDICT r8 item 6: keep rotating to the stalest
-# evidence):
-# 1. the three r9 additions, never driver-seated — the multi-branch
-#    Avro union scan, the tz-aware Arrow IPC scan, and the Vorbis
-#    perceptual decode (each parity-proven locally at
-#    sf0.001/0.01/0.1 before registration).
-# 2. _WINDOW_RESEAT: the 47 stalest remaining rows — the 6 queries
-#    whose latest green row is still ROUND 1 plus the first 41 of the
-#    r2 vintage, stalest-first in registration order. The 5 leftover
-#    r2 rows (ann_lsh_bucketed, similarity_join_lsh_bucket,
-#    similarity_knn_batch, similarity_near_dup_cosine, ann_ivf_exact)
-#    plus the r3/r4 vintages rotate in next round.
+# Round-10 window (VERDICT r9 items 1-3, 5: rotate the driver window
+# onto the stalest evidence; re-seat every query whose plan changed
+# this round):
+# 1. _WINDOW_FIRST: the three queries materially changed in r10 —
+#    search_hybrid_rrf (per-shard top-k' rank replacing the
+#    partition-less Window), agg_revenue_concentration (bucket
+#    prefix-sum decile replacing the global ntile), and
+#    text_bpe_learn_merges_batched (newly oracle-backed: batch run
+#    asserted equal to the sequential unrolled-CTE oracle).
+# 2. _WINDOW_RESEAT: the 47 stalest remaining rows by latest driver
+#    contact — all 5 r2-vintage (ann_ivf_exact, ann_lsh_bucketed,
+#    similarity_join_lsh_bucket, similarity_knn_batch,
+#    similarity_near_dup_cosine) then 42 of the 44 r3-vintage
+#    (similarity/ANN block, textops block, UDF block). The 2 leftover
+#    r3 rows plus the 35 r4-vintage rotate in r11.
 _WINDOW_FIRST = (
-    "scan_avro_union_roundtrip",
-    "scan_arrow_ipc_tz",
-    "multimodal_vorbis_decode",
+    "search_hybrid_rrf",
+    "agg_revenue_concentration",
+    "text_bpe_learn_merges_batched",
 )
 _WINDOW_RESEAT = (
-    "nested_agg_big_spenders", "agg_price_histogram",
-    "pivot_status_revenue", "unpivot_part_measures",
-    "merge_upsert_orders", "cdc_snapshot_diff", "hash_embedding_vectors",
-    "ingest_extract_status", "ingest_fault_isolation", "health_probe",
-    "agg_ordered_collect", "window_rank_customers", "window_rank_ties",
-    "window_running_sum", "window_moving_avg", "window_lag_lead",
-    "window_range_frame", "events_session_funnel",
-    "events_weekly_retention", "window_first_last", "window_nth_value",
-    "events_anomaly_zscore", "events_decay_weighted_score",
-    "rollup_hierarchical_time", "window_cume_dist", "window_ntile",
-    "events_gap_filled_daily", "events_ohlc_bars", "string_functions",
-    "date_functions", "array_functions", "json_functions",
-    "null_handling", "struct_map_functions", "map_higher_order_functions",
-    "dedup_exact", "dedup_exact_normalized", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_winnowing", "dedup_connected_components",
-    "dedup_fuzzy_levenshtein", "dedup_cc_star", "dedup_semantic_clusters",
-    "dedup_substring_spans", "dedup_incremental_batch",
-    "ann_bruteforce_topk",
+    "ann_ivf_exact", "ann_lsh_bucketed", "similarity_join_lsh_bucket",
+    "similarity_knn_batch", "similarity_near_dup_cosine",
+    "agg_equidepth_histogram", "agg_heavy_hitters",
+    "ann_binary_quantized_topk", "ann_filtered_topk",
+    "ann_int8_quantized_topk", "ann_ivf_stored_probe",
+    "ann_ivfpq_adc_topk", "ann_pq_adc_topk", "ann_recall_eval",
+    "curation_shard_assignment", "diag_key_skew", "dq_audit_orders",
+    "events_peak_concurrency", "layout_zorder_stats", "math_functions",
+    "multimodal_binary_metadata", "multimodal_decode_features",
+    "multimodal_frame_sample", "multimodal_modality_router",
+    "multimodal_resize_batch", "pipeline_corpus_curation",
+    "pipeline_training_export", "sample_deterministic_hash",
+    "sample_stratified_sources", "scan_csv_typed",
+    "scan_jsonlines_nested", "scd2_user_event_history", "search_bm25",
+    "text_char_bigram_lm", "text_contamination_overlap",
+    "text_fingerprint", "text_inverted_index", "text_langid",
+    "text_pii_scrub", "text_quality_stats", "text_repetition_stats",
+    "text_tfidf_top_terms", "text_token_counts",
+    "text_topk_tokens_per_lang", "udf_applyinpandas_order_gaps",
+    "udf_grouped_agg_price_range", "udf_mapinarrow_bytelen",
 )
 # Suite order for the rest of the unverified front (round-5 additions):
 # cheap scalar/relational families first, expensive similarity last.

@@ -197,6 +197,153 @@ def assemble_context(topk: DataFrame, query: str) -> DataFrame:
     )
 
 
+RRF_CONST = 60  # the standard Reciprocal Rank Fusion constant
+
+
+def rrf_candidate_prune(kwdf: DataFrame, k_prime: int, shards: int) -> DataFrame:
+    """Stage 1 of exact distributed RRF: per-shard top-k′ pruning.
+
+    Input: a narrow scored relation ``(id, source, raw, kw_hits)`` —
+    the text column must already be projected away so the one shuffle
+    here ships only identity + two numbers per row. Rows are hashed
+    into ``shards`` shards and ranked WITHIN each shard for both
+    dimensions (one hash exchange, two window passes sharing it —
+    never a partition-less window over the corpus). Any row in the
+    GLOBAL top-k′ of a dimension is, a fortiori, in its shard's
+    top-k′, so the ≤ ``2·shards·k_prime``-row output is a provable
+    superset of both global top-k′ lists at any corpus size."""
+    shard = F.pmod(F.xxhash64("id"), F.lit(shards))
+    w_vec = Window.partitionBy("shard").orderBy(F.desc("raw"), F.asc("id"))
+    w_kw = Window.partitionBy("shard").orderBy(F.desc("kw_hits"), F.asc("id"))
+    return (
+        kwdf.select("id", "source", "raw", "kw_hits")
+        .withColumn("shard", shard)
+        .withColumn("rv", F.row_number().over(w_vec))
+        .withColumn("rk", F.row_number().over(w_kw))
+        .filter((F.col("rv") <= k_prime) | (F.col("rk") <= k_prime))
+        .drop("shard", "rv", "rk")
+    )
+
+
+def rrf_fuse_topk(
+    spark: SparkSession,
+    kwdf: DataFrame,
+    k: int,
+    k_prime: int = 128,
+    shards: int = 32,
+) -> DataFrame:
+    """Exact top-k Reciprocal Rank Fusion without a corpus-sized
+    partition-less window: ``rrf = 1/(60+rank_vec) + 1/(60+rank_kw)``
+    over GLOBAL ranks, matching the naive double-global-row_number
+    oracle bit-for-bit.
+
+    Execution (the per-shard top-k′ + merge the RRF literature
+    prescribes, extended so the REPORTED ranks stay globally exact):
+
+    1. ``rrf_candidate_prune`` — one corpus scan, one narrow shuffle,
+       shard-keyed windows. Collect the ≤ 2·shards·k′ survivors (the
+       same bounded-driver-merge step ``TakeOrderedAndProject`` does
+       internally for every top-k in this repo).
+    2. Driver-side, on the bounded set: the global top-k′ lists per
+       dimension (exact — the pruned set is a superset), hence exact
+       global ranks for every row in either list. A row in NEITHER
+       list has ``rrf < 2/(61+k′) < kth-best − 2·10⁻⁶`` and is
+       provably outside the rounded top-k (the constructor asserts
+       this inequality), so it is dropped.
+    3. A candidate missing ONE dimension's rank (e.g. top keyword hits
+       but vector rank > k′) is either (a) provably sub-threshold —
+       its best-case rrf sits 2·10⁻⁶ (two rounding quanta) below the
+       k-th best lower bound — and dropped, or (b) REFINED: one extra
+       aggregation pass over the corpus computes its exact global rank
+       as a predecessor count. The refinement set is provably small:
+       a refined row's known-dimension rank r satisfies
+       ``1/(60+r) ≥ 1/(60+k) − 2e-6 − 1/(61+k′)``, i.e. r ≲ 40 for
+       (k=5, k′=128), so ≤ ~80 conditional sums in one scan — and the
+       pass is skipped entirely when nothing needs refining.
+    4. The fused tail (≤ 2k′ rows with exact ranks) computes rrf and
+       takes the rounded top-k in a tiny Spark plan.
+
+    At 100 TB: one full scan + one narrow shuffle (plus the rare
+    bounded refinement scan), versus the naive plan's two corpus-sized
+    Exchange SinglePartition sorts."""
+    if 2.0 / (61 + k_prime) > 1.0 / (RRF_CONST + k) - 2e-6:
+        raise ValueError(
+            f"k_prime={k_prime} too shallow for exact top-{k} RRF: "
+            f"need 2/(61+k') <= 1/(60+k) - 2e-6"
+        )
+    pruned = rrf_candidate_prune(kwdf, k_prime, shards)
+    rows = pruned.collect()  # bounded: ≤ 2·shards·k_prime narrow rows
+
+    by_vec = sorted(rows, key=lambda r: (-r.raw, r.id))[:k_prime]
+    by_kw = sorted(rows, key=lambda r: (-r.kw_hits, r.id))[:k_prime]
+    rank_vec = {r.id: i + 1 for i, r in enumerate(by_vec)}
+    rank_kw = {r.id: i + 1 for i, r in enumerate(by_kw)}
+    cands = [r for r in rows if r.id in rank_vec or r.id in rank_kw]
+
+    lb = 1.0 / (RRF_CONST + k_prime + 1)  # missing rank is > k_prime
+
+    def _low(r):
+        return (1.0 / (RRF_CONST + rank_vec[r.id]) if r.id in rank_vec else 0.0) + (
+            1.0 / (RRF_CONST + rank_kw[r.id]) if r.id in rank_kw else 0.0
+        )
+
+    def _high(r):
+        return (1.0 / (RRF_CONST + rank_vec[r.id]) if r.id in rank_vec else lb) + (
+            1.0 / (RRF_CONST + rank_kw[r.id]) if r.id in rank_kw else lb
+        )
+
+    lows = sorted((_low(r) for r in cands), reverse=True)
+    t = lows[k - 1] if len(lows) >= k else float("-inf")
+
+    keep, need_vec, need_kw = [], [], []
+    for r in cands:
+        missing = r.id not in rank_vec or r.id not in rank_kw
+        if missing and _high(r) < t - 2e-6:
+            continue  # provably below the rounded k-th best
+        keep.append(r)
+        if r.id not in rank_vec:
+            need_vec.append(r)
+        if r.id not in rank_kw:
+            need_kw.append(r)
+
+    if need_vec or need_kw:
+        # exact global rank = 1 + predecessor count, all candidates in
+        # ONE corpus pass of conditional sums (provably ≤ ~2·40 columns)
+        aggs = []
+        for i, r in enumerate(need_vec):
+            pred = (F.col("raw") > F.lit(r.raw)) | (
+                (F.col("raw") == F.lit(r.raw)) & (F.col("id") < F.lit(r.id))
+            )
+            aggs.append(F.sum(F.when(pred, 1).otherwise(0)).alias(f"v{i}"))
+        for i, r in enumerate(need_kw):
+            pred = (F.col("kw_hits") > F.lit(r.kw_hits)) | (
+                (F.col("kw_hits") == F.lit(r.kw_hits)) & (F.col("id") < F.lit(r.id))
+            )
+            aggs.append(F.sum(F.when(pred, 1).otherwise(0)).alias(f"k{i}"))
+        counts = kwdf.agg(*aggs).collect()[0]
+        for i, r in enumerate(need_vec):
+            rank_vec[r.id] = counts[f"v{i}"] + 1
+        for i, r in enumerate(need_kw):
+            rank_kw[r.id] = counts[f"k{i}"] + 1
+
+    fused = spark.createDataFrame(
+        [(r.id, r.source, r.kw_hits, rank_vec[r.id], rank_kw[r.id]) for r in keep],
+        schema="id string, source string, kw_hits bigint, rank_vec int, rank_kw int",
+    )
+    return (
+        fused.withColumn(
+            "rrf",
+            F.round(
+                1.0 / (RRF_CONST + F.col("rank_vec"))
+                + 1.0 / (RRF_CONST + F.col("rank_kw")),
+                6,
+            ),
+        )
+        .orderBy(F.desc("rrf"), "id")
+        .limit(k)
+    )
+
+
 class _NegStr(str):
     """Inverts string ordering so ``max(key=(score, _NegStr(id)))``
     breaks score ties toward the SMALLEST id — the engines' ``ORDER BY

@@ -67,3 +67,86 @@ def test_mmr_k3_matches_oracle_shape(spark):
     rows = mmr_rerank(spark, SF_SMALL, "transfer credits", k=3, pool=20).collect()
     assert [r.pick for r in rows] == [1, 2, 3]
     assert len({r.id for r in rows}) == 3
+
+
+def _naive_rrf(rows, k):
+    """Reference fusion: true global row_numbers over every row, rrf
+    rounded to 6 places, rounded-score-then-id ordering."""
+    by_vec = sorted(rows, key=lambda r: (-r[2], r[0]))
+    by_kw = sorted(rows, key=lambda r: (-r[3], r[0]))
+    rv = {r[0]: i + 1 for i, r in enumerate(by_vec)}
+    rk = {r[0]: i + 1 for i, r in enumerate(by_kw)}
+    fused = [
+        (r[0], r[1], r[3], rv[r[0]], rk[r[0]],
+         round(1.0 / (60 + rv[r[0]]) + 1.0 / (60 + rk[r[0]]), 6))
+        for r in rows
+    ]
+    fused.sort(key=lambda x: (-x[5], x[0]))
+    return fused[:k]
+
+
+def _rrf_rows(n, skew):
+    """Synthetic (id, source, raw, kw_hits): ids z-padded so string and
+    insert order agree; vec score decreasing in i; kw_hits engineered so
+    some rows rank top-kw while sitting far past k' in the vec order."""
+    rows = []
+    for i in range(n):
+        rid = f"c{i:05d}"
+        raw = 1.0 - i * 1e-3
+        kw = skew(i)
+        rows.append((rid, f"s{i % 7}", raw, kw))
+    return rows
+
+
+def test_rrf_fuse_exact_refinement_path(spark):
+    """Adversarial case for rrf_fuse_topk: the best keyword rows sit at
+    the BOTTOM of the vector order (vec rank ≈ 300 > k'=128) yet tie
+    with the best vector rows on rounded rrf, so they can only enter
+    the top-5 — with an exact reported vec rank — via the refinement
+    pass."""
+    from articulation_vector_db_api_spark.operators.search import rrf_fuse_topk
+
+    rows = []
+    for i in range(300):  # vec order = ascending i throughout
+        if i < 250:
+            rows.append((f"c{i:05d}", f"s{i % 7}", 1.0 - i * 1e-3, i))
+        else:
+            rows.append((f"c{i:05d}", f"s{i % 7}", -1.0 - i * 1e-3, 1000 + i))
+    kwdf = spark.createDataFrame(
+        rows, "id string, source string, raw double, kw_hits long"
+    )
+    got = [tuple(r) for r in rrf_fuse_topk(spark, kwdf, 5, shards=8).collect()]
+    assert got == _naive_rrf(rows, 5)
+    # the winning rows really did need refinement: their reported vec
+    # rank exceeds k', and the rounded-rrf/id tie order held exactly
+    assert [g[0] for g in got] == ["c00000", "c00299", "c00001", "c00298", "c00002"]
+    assert got[1][3] == 300 and got[3][3] == 299  # exact refined ranks
+
+
+def test_rrf_fuse_matches_naive_fusion_shapes(spark):
+    """rrf_fuse_topk == naive global fusion across tie-heavy, tiny, and
+    interleaved inputs (including corpora smaller than k')."""
+    from articulation_vector_db_api_spark.operators.search import rrf_fuse_topk
+
+    shapes = [
+        _rrf_rows(40, lambda i: 0),                      # all-ties kw, < k'
+        _rrf_rows(200, lambda i: (200 - i) // 10),       # aligned, banded ties
+        _rrf_rows(350, lambda i: (i * 37) % 11),         # interleaved mod kw
+        [("only", "s", 0.5, 3)],                         # single row
+    ]
+    for rows in shapes:
+        kwdf = spark.createDataFrame(
+            rows, "id string, source string, raw double, kw_hits long"
+        )
+        got = [tuple(r) for r in rrf_fuse_topk(spark, kwdf, 5, shards=8).collect()]
+        assert got == _naive_rrf(rows, 5), rows[:3]
+
+
+def test_rrf_fuse_rejects_shallow_k_prime(spark):
+    from articulation_vector_db_api_spark.operators.search import rrf_fuse_topk
+
+    kwdf = spark.createDataFrame(
+        [("a", "s", 1.0, 1)], "id string, source string, raw double, kw_hits long"
+    )
+    with pytest.raises(ValueError):
+        rrf_fuse_topk(spark, kwdf, 40, k_prime=64)

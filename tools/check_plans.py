@@ -726,6 +726,15 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
          r"Arguments: hashpartitioning"],
     ),
+    "search_hybrid_rrf": (
+        # fused tail over the bounded candidate set: a top-k heap, and
+        # NO window of any kind — the global row_numbers of the first
+        # cut (two corpus-sized Exchange SinglePartition sorts) are
+        # gone; see search_hybrid_rrf[prune] for the distributed stage
+        [r"TakeOrderedAndProject"],
+        [r"windowspecdefinition\(", r"Exchange SinglePartition",
+         r"Arguments: rangepartitioning", r"CartesianProduct"],
+    ),
 }
 
 # query -> [(pattern, max_occurrences)] over the formatted plan.
@@ -806,6 +815,39 @@ STREAMING_EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
 }
 
 
+# plan-only audits of operator STAGES whose registered query returns a
+# bounded-tail plan (the distributed stage runs eagerly inside the
+# builder, so its shape must be pinned on the stage DataFrame itself).
+STAGE_EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
+    "search_hybrid_rrf[prune]": (
+        # the one corpus-sized stage: text-free projection, ONE hash
+        # exchange on the shard key, both rank windows keyed on it —
+        # never a partition-less window or single-partition exchange
+        [r"windowspecdefinition\(shard"],
+        [r"windowspecdefinition\(raw", r"windowspecdefinition\(kw_hits",
+         r"Exchange SinglePartition", r"CartesianProduct",
+         r"BatchEvalPython"],
+    ),
+}
+
+STAGE_COUNT_LIMITS: dict[str, list[tuple[str, int]]] = {
+    "search_hybrid_rrf[prune]": [(r"Arguments: hashpartitioning", 1)],
+}
+
+
+def _stage_frames(spark):
+    from articulation_vector_db_api_spark.operators.search import (
+        rrf_candidate_prune,
+    )
+    from articulation_vector_db_api_spark.suites.core import hybrid_rrf_scored
+
+    return {
+        "search_hybrid_rrf[prune]": rrf_candidate_prune(
+            hybrid_rrf_scored(spark, SF), 128, 32
+        ),
+    }
+
+
 def _streaming_frames(spark):
     from articulation_vector_db_api_spark.streaming.windows import (
         read_documents_stream,
@@ -879,17 +921,20 @@ def main() -> int:
               f"{list(FORBIDDEN_EVERYWHERE)}")
         return 1 if bad_n else 0
 
-    frames = {
-        name: registry[name].fn(spark, SF) for name in EXPECTATIONS
-    } | _streaming_frames(spark)
-    checks = EXPECTATIONS | STREAMING_EXPECTATIONS
+    frames = (
+        {name: registry[name].fn(spark, SF) for name in EXPECTATIONS}
+        | _stage_frames(spark)
+        | _streaming_frames(spark)
+    )
+    checks = EXPECTATIONS | STAGE_EXPECTATIONS | STREAMING_EXPECTATIONS
+    count_limits = COUNT_LIMITS | STAGE_COUNT_LIMITS
 
     for name, (must, must_not) in sorted(checks.items()):
         plan = explain(frames[name])
         bad = [p for p in must if not re.search(p, plan)] + [
             f"!{p}" for p in must_not if re.search(p, plan)
         ]
-        for pat, max_n in COUNT_LIMITS.get(name, []):
+        for pat, max_n in count_limits.get(name, []):
             n = len(re.findall(pat, plan))
             if n > max_n:
                 bad.append(f"{pat} x{n}>{max_n}")

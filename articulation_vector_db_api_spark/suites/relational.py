@@ -2160,19 +2160,60 @@ def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration by customer decile (the 80/20 audit):
-    per-customer decimal-exact spend → spend-ranked ntile(10) → decile
-    share of total. Two hash aggs and one ranking window; the global
-    ntile sort is over CUSTOMERS (already aggregated), which is 3-4
-    orders of magnitude smaller than the fact table — aggregate first,
-    rank the aggregate, never sort raw facts."""
+    per-customer decimal-exact spend → spend-ranked decile → decile
+    share of total. Aggregate first, rank the aggregate, never sort
+    raw facts — but customer cardinality still GROWS with the corpus,
+    so a global ntile window (one task holding every customer) is not
+    100 TB-safe either. The decile is rebuilt with the same two-pass
+    prefix-sum rank agg_equidepth_histogram proves: equi-width
+    pre-buckets on spend (descending, matching the rank order), a
+    pb-keyed rank window, a bounded 64-row offset cumsum broadcast
+    back, then ntile's front-loaded remainder formula maps the global
+    rank to its bucket. The plain-ntile oracle pins the decomposition
+    exact."""
     from pyspark.sql.window import Window
 
+    n_pre = 64
     o = _t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(dsum(F.col("o_totalprice")).alias("spend"))
-    deciled = per_cust.withColumn(
-        "decile", F.ntile(10).over(Window.orderBy(F.desc("spend"), "o_custkey"))
-    )
     total = per_cust.agg(dsum(F.col("spend")).alias("total"))
+    rng = per_cust.agg(F.min("spend").alias("v_lo"), F.max("spend").alias("v_hi"))
+    width = (F.col("v_hi") - F.col("v_lo")) / n_pre
+    pre = per_cust.crossJoin(F.broadcast(rng)).withColumn(
+        "pb",
+        F.when(F.col("v_hi") == F.col("v_lo"), F.lit(0)).otherwise(
+            # descending spend order: richest customers land in pb 0
+            F.least(
+                F.lit(n_pre - 1),
+                F.floor((F.col("v_hi") - F.col("spend")) / width).cast("int"),
+            )
+        ),
+    )
+    wb = Window.partitionBy("pb").orderBy(F.desc("spend"), "o_custkey")
+    ranked = pre.withColumn("rn", F.row_number().over(wb))
+    counts = pre.groupBy("pb").agg(F.count(F.lit(1)).alias("c"))
+    # bounded exclusive cumsum over the 64-row pre-bucket table — the
+    # only partition-less window, never the customer set
+    wo = Window.orderBy("pb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("c").over(wo), F.lit(0))
+    ).select("pb", "off")
+    n_total = counts.agg(F.sum("c").alias("n_total"))
+    r0 = F.col("off") + F.col("rn") - 1  # 0-based global rank
+    s = F.floor(F.col("n_total") / 10)
+    q = F.col("n_total") % 10
+    cut = q * (s + 1)
+    decile_col = (
+        F.when(r0 < cut, F.floor(r0 / (s + 1)))
+        .otherwise(q + F.floor((r0 - cut) / F.greatest(s, F.lit(1))))
+        .cast("int")
+        + 1
+    )
+    deciled = (
+        ranked.join(F.broadcast(offsets), "pb")
+        .crossJoin(F.broadcast(n_total))
+        .select("spend", decile_col.alias("decile"))
+    )
     return (
         deciled.groupBy("decile")
         .agg(

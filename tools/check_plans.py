@@ -425,6 +425,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"windowspecdefinition\(pb#\d+, o_totalprice", r"BroadcastHashJoin"],
         [r"windowspecdefinition\(o_totalprice", r"CartesianProduct"],
     ),
+    "agg_revenue_concentration": (
+        # customer deciles via the same decomposition: the only window
+        # over the (corpus-growing) customer set keys on pb; the global
+        # ntile and its single-partition sort are gone
+        [r"windowspecdefinition\(pb#\d+, spend", r"BroadcastHashJoin"],
+        [r"windowspecdefinition\(spend", r"ntile", r"CartesianProduct"],
+    ),
     "pipeline_training_export": (
         # four composed stages stay one job: digest-window dedup, LM
         # broadcast stats, bucket prefix-sum sharding; no Python, no

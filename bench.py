@@ -112,14 +112,17 @@ def _runner(spark, sf_dir: str, registry, name: str):
         return run
 
     if name == "bpe_train_256_batched":
-        # tokenizer training at production merge counts (rows-only in
-        # the registry — iterative algorithm, ground truth pinned in
-        # tests/test_bpe.py — so benched here instead of via headline)
+        # tokenizer training at production merge counts (unregistered —
+        # iterative algorithm, ground truth pinned in tests/test_bpe.py;
+        # the batched selection rule itself is oracle-checked by the
+        # registered text_bpe_learn_merges_batched) — benched here
+        from articulation_vector_db_api_spark.suites.textops import (
+            bpe_train_256_bigrams,
+        )
+
         def run() -> float:
             t0 = time.perf_counter()
-            _noop_write(
-                registry["text_bpe_learn_merges_batched"].fn(spark, sf_dir)
-            )
+            _noop_write(bpe_train_256_bigrams(spark, sf_dir))
             return time.perf_counter() - t0
 
         return run

@@ -36,10 +36,15 @@ window flags, variable-lap overlap-add) and exercised by the witness
 encoder's mixed-blocksize mode.
 
 floor1_inverse_dB_table: the spec prints it as a 256-value literal;
-the values are exponentially spaced between the published endpoints
-1.0649863e-07 (index 0) and 0.99308571 (index 255), which is the rule
-used here. Encoder and decoder share this table, so roundtrip
-consistency is exact by construction.
+this module APPROXIMATES it with geometric spacing between the
+published endpoints 1.0649863e-07 (index 0) and 0.99308571 (index
+255). The approximation is NOT the spec table: the published
+adjacent-entry ratio (~1.0649856) is slightly steeper than the
+endpoint-derived one (~1.0649567), so reconstructed mid-table entries
+drift by up to a few tenths of a percent from a strictly conforming
+decoder's floor curve when decoding third-party streams. Encoder and
+decoder share this table, so roundtrip consistency for engine-written
+streams is exact by construction.
 
 Reference behavior parity: the reference system (a FastAPI + Pinecone
 service, /root/reference/main.py) has no audio path at all; this is
@@ -373,8 +378,9 @@ def _lookup1_values(entries: int, dim: int) -> int:
 # floor type 1 — spec section 7
 # ---------------------------------------------------------------------------
 
-# 256 exponentially-spaced values between the spec table's published
-# endpoints; see module docstring.
+# 256 geometrically-spaced values between the spec table's published
+# endpoints — an APPROXIMATION of the spec's literal table (≤ ~0.3%
+# mid-table deviation); see module docstring.
 _INV_DB_MIN = 1.0649863e-07
 _INV_DB_MAX = 0.99308571
 INVERSE_DB_TABLE = np.array(
@@ -1157,10 +1163,77 @@ def parse_setup(packet: bytes, ident: dict) -> VorbisSetup:
         modes.append({"blockflag": blockflag, "mapping": br.read(8)})
     if not br.read_bit():
         raise ValueError("Vorbis setup framing bit unset")
+    _validate_setup(codebooks, floors, residues, mappings, modes)
     return VorbisSetup(
         ch, ident["rate"], ident["blocksize0"], ident["blocksize1"],
         codebooks, floors, residues, mappings, modes,
     )
+
+
+def _validate_setup(
+    codebooks: list[Codebook],
+    floors: list[Floor1],
+    residues: list[Residue],
+    mappings: list[dict],
+    modes: list[dict],
+) -> None:
+    """Cross-reference every index a setup header can carry, so a
+    malformed (or malicious) stream fails here with ValueError instead
+    of IndexError/ZeroDivisionError at decode time — and so a crafted
+    zero-dimension classbook can never reach _decode_passes, where
+    cdim=0 would advance neither the partition cursor nor the bit
+    cursor (an unbounded hang on the all-do-not-decode path)."""
+    n_books = len(codebooks)
+
+    def book(idx: int, what: str) -> Codebook:
+        if not 0 <= idx < n_books:
+            raise ValueError(f"Vorbis {what} codebook {idx} out of range")
+        return codebooks[idx]
+
+    for fl in floors:
+        for mb in fl.class_masterbooks:
+            if mb is not None:
+                book(mb, "floor1 masterbook")
+        for row in fl.subclass_books:
+            for sb in row:
+                if sb is not None:
+                    book(sb, "floor1 subclass")
+    for res in residues:
+        cb = book(res.classbook, "residue class")
+        if cb.dimensions < 1:
+            raise ValueError("Vorbis residue classbook has zero dimensions")
+        for c in range(res.classifications):
+            for p in range(8):
+                b = res.books[c][p]
+                if b is None:
+                    continue
+                vq = book(b, "residue value")
+                if vq.dimensions < 1:
+                    raise ValueError(
+                        "Vorbis residue book has zero dimensions"
+                    )
+                if res.partition_size % vq.dimensions:
+                    raise ValueError(
+                        "Vorbis residue partition size not divisible by "
+                        "book dimensions"
+                    )
+                if vq.vq is None:
+                    raise ValueError("Vorbis residue book has no VQ lookup")
+    for mp in mappings:
+        for f in mp["floor"]:
+            if not 0 <= f < len(floors):
+                raise ValueError(f"Vorbis submap floor {f} out of range")
+        for r in mp["residue"]:
+            if not 0 <= r < len(residues):
+                raise ValueError(f"Vorbis submap residue {r} out of range")
+        n_sub = len(mp["floor"])
+        if any(not 0 <= m < n_sub for m in mp["mux"]):
+            raise ValueError("Vorbis channel mux submap out of range")
+    for md in modes:
+        if not 0 <= md["mapping"] < len(mappings):
+            raise ValueError(
+                f"Vorbis mode mapping {md['mapping']} out of range"
+            )
 
 
 def build_setup(

@@ -345,6 +345,26 @@ def _read_value(buf: io.BytesIO, tree: tuple):
     raise NotImplementedError(f"Avro type kind {kind!r}")
 
 
+def _prim_accepts(prim: str, v) -> bool:
+    """Shallow value/primitive compatibility check for union branch
+    dispatch — keeps the module's ValueError-for-malformed contract
+    (the bare primitive writers would otherwise leak TypeError /
+    AttributeError, or silently coerce, e.g. bytes(int))."""
+    if prim == "null":
+        return v is None
+    if prim == "boolean":
+        return isinstance(v, bool)
+    if prim in ("int", "long"):
+        return isinstance(v, int) and not isinstance(v, bool)
+    if prim in ("float", "double"):
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+    if prim == "bytes":
+        return isinstance(v, (bytes, bytearray))
+    if prim == "string":
+        return isinstance(v, str)
+    return True
+
+
 def _write_value(out: bytearray, tree: tuple, v) -> None:
     kind, arg = tree
     if kind == "prim":
@@ -384,6 +404,11 @@ def _write_value(out: bytearray, tree: tuple, v) -> None:
             members = [
                 (i, b) for i, b in enumerate(branches) if b is not None
             ]
+            if isinstance(v, (str, bytes)) or not hasattr(v, "__iter__"):
+                raise ValueError(
+                    "union struct value must be a memberN sequence, got "
+                    f"{type(v).__name__}"
+                )
             vals = list(v)
             if len(vals) != len(members):
                 raise ValueError(
@@ -399,32 +424,43 @@ def _write_value(out: bytearray, tree: tuple, v) -> None:
             _write_long(out, i)
             _write_value(out, br, x)
             return
-        # promote/single modes: pick the widest matching primitive
-        if mode == "promote_long" or (
-            isinstance(v, int) and not isinstance(v, bool)
-        ):
-            # minimal-branch writer: int when the value fits 32 bits
-            if -(2 ** 31) <= v < 2 ** 31:
-                order = ("int", "long", "double", "float")
+        # promote modes: pick the widest matching NUMERIC primitive —
+        # only for genuinely numeric values (bool is not a number)
+        numeric = isinstance(v, (int, float)) and not isinstance(v, bool)
+        if numeric:
+            if isinstance(v, int):
+                # minimal-branch writer: int when the value fits 32 bits
+                if -(2 ** 31) <= v < 2 ** 31:
+                    order = ("int", "long", "double", "float")
+                else:
+                    order = ("long", "double", "float")
             else:
-                order = ("long", "double", "float")
-        else:
-            order = ("double", "float")
-        prims = [b[1] for b in branches if b is not None]
-        for want in order:
-            if want in prims:
-                i = branches.index(("prim", want))
-                if want in ("int", "long") and isinstance(v, float):
-                    continue
-                _write_long(out, i)
-                _write_value(out, ("prim", want), v)
-                return
+                order = ("double", "float")
+            prims = [b[1] for b in branches if b is not None]
+            for want in order:
+                if want in prims:
+                    i = branches.index(("prim", want))
+                    _write_long(out, i)
+                    _write_value(out, ("prim", want), v)
+                    return
         if mode == "single":
             i = next(
                 i for i, b in enumerate(branches) if b is not None
             )
+            br = branches[i]
+            if br[0] == "prim" and not _prim_accepts(br[1], v):
+                raise ValueError(
+                    f"Avro union branch {br[1]!r} cannot encode "
+                    f"{type(v).__name__} value {v!r}"
+                )
             _write_long(out, i)
-            _write_value(out, branches[i], v)
+            try:
+                _write_value(out, br, v)
+            except (TypeError, AttributeError) as exc:
+                raise ValueError(
+                    f"Avro union branch {br!r} cannot encode "
+                    f"{type(v).__name__} value {v!r}"
+                ) from exc
             return
         raise ValueError(f"no Avro union branch accepts {v!r}")
     if kind == "record":

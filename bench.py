@@ -180,6 +180,34 @@ _COMPOSITES = (
 )
 
 
+def _calibration_sec(spark, sf_dir: str) -> float:
+    """Fixed reference workload timed every bench run — NEVER change
+    this plan. Rounds run on a shared machine whose background load
+    drifts; r9 flagged chunk_documents ≥30% slower with zero code
+    change (re-running the r7 tree side-by-side with the r9 tree gave
+    IDENTICAL ~0.45 s warm timings — the 0.287→0.65 s drift was the
+    machine, not the code). The cross-round comparator divides out
+    this workload's drift before flagging."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        _noop_write(df)
+        return time.perf_counter() - t0
+
+    return _best_of(run)
+
+
 def _best_of(run, adaptive: bool = True) -> float:
     """best-of-2; if the two samples disagree by >25%, one was
     contended (GC / background JIT) — a third run pins steady state."""
@@ -362,16 +390,30 @@ def main() -> None:
         "sf": sf,
     }
 
+    payload["calibration_sec"] = _calibration_sec(spark, sf_dir)
+
     prev = _prev_round_timings()
     if prev is not None:
-        rnd, prev_q = prev
+        rnd, prev_q, prev_cal = prev
         common = sorted(set(prev_q) & set(timings))
+
+        # machine-drift correction: the fixed calibration workload's
+        # round-over-round ratio scales the flag threshold UP when the
+        # machine got slower (never down — a faster machine must not
+        # manufacture flags). Clamped ×2: past that, something is
+        # wrong enough that every flag deserves eyes.
+        cal_mult = 1.0
+        if prev_cal and payload["calibration_sec"]:
+            cal_mult = max(
+                1.0, min(payload["calibration_sec"] / prev_cal, 2.0)
+            )
 
         def flagged() -> list[str]:
             return sorted(
                 q
                 for q in common
-                if prev_q[q] > 0 and timings[q] / prev_q[q] > 1.3
+                if prev_q[q] > 0
+                and timings[q] / prev_q[q] > 1.3 * cal_mult
             )
 
         # phase 2: re-measure flagged queries in fresh subprocess
@@ -396,6 +438,7 @@ def main() -> None:
             "prev_sec": prev_sec,
             "cur_sec": cur_sec,
             "ratio": round(cur_sec / prev_sec, 3) if prev_sec else None,
+            "calibration_mult": round(cal_mult, 3),
             "regressed_30pct": flagged(),
         }
 
@@ -412,14 +455,15 @@ def main() -> None:
     print(json.dumps(payload))
 
 
-def _prev_round_timings() -> tuple[int, dict[str, float]] | None:
-    """Per-query timings from the newest BENCH_r{N}.json, so every
+def _prev_round_timings() -> tuple[int, dict[str, float], float | None] | None:
+    """Per-query timings (+ the calibration workload's seconds, when
+    that round recorded one) from the newest BENCH_r{N}.json, so every
     bench line carries its own apples-to-apples cross-round comparison
     (same-name queries only — new/retired headliners are excluded)."""
     import glob
     import re
 
-    best: tuple[int, dict[str, float]] | None = None
+    best: tuple[int, dict[str, float], float | None] | None = None
     for path in glob.glob(os.path.join(_HERE, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m:
@@ -430,11 +474,17 @@ def _prev_round_timings() -> tuple[int, dict[str, float]] | None:
         try:
             with open(path) as f:
                 doc = json.load(f)
-            queries = doc.get("parsed", doc).get("queries")
+            parsed = doc.get("parsed", doc)
+            queries = parsed.get("queries")
+            cal = parsed.get("calibration_sec")
         except (OSError, ValueError, AttributeError):
             continue
         if isinstance(queries, dict) and queries:
-            best = (rnd, {str(k): float(v) for k, v in queries.items()})
+            best = (
+                rnd,
+                {str(k): float(v) for k, v in queries.items()},
+                float(cal) if cal else None,
+            )
     return best
 
 

@@ -323,3 +323,45 @@ def test_spark_scan_per_block_parallelism(spark, tmp_path):
     assert df.filter("name IS NULL").count() == 600
     total = df.agg({"id": "sum"}).first()[0]
     assert total == sum(r[0] for r in rows)
+
+
+def test_union_n_writer_rejects_mismatched_values():
+    """The union_n write path keeps the ValueError contract for value
+    shapes the branch cannot encode (ADVICE r9: struct mode did
+    list(v) on non-sequences, single/promote modes leaked
+    TypeError/AttributeError from the primitive writers)."""
+    import pytest
+
+    from articulation_vector_db_api_spark.sources.avro import (
+        _parse_type,
+        _write_value,
+    )
+
+    # struct-mode union: non-sequence value
+    tree = _parse_type(["int", "string"], {}, None)
+    assert tree[1][1] == "struct"
+    with pytest.raises(ValueError, match="memberN sequence"):
+        _write_value(bytearray(), tree, 7)
+    with pytest.raises(ValueError, match="memberN sequence"):
+        _write_value(bytearray(), tree, "seven")
+
+    # single-branch union: value the primitive cannot encode
+    single = _parse_type(["string"], {}, None)
+    assert single[1][1] == "single"
+    with pytest.raises(ValueError, match="cannot encode"):
+        _write_value(bytearray(), single, 7)
+    out = bytearray()
+    _write_value(out, single, "ok")  # happy path unchanged
+    assert out
+
+    single_bytes = _parse_type(["bytes"], {}, None)
+    with pytest.raises(ValueError, match="cannot encode"):
+        _write_value(bytearray(), single_bytes, 7)  # bytes(7) trap
+
+    # promote union: non-numeric value has no branch
+    promo = _parse_type(["int", "double"], {}, None)
+    assert promo[1][1] == "promote_double"
+    with pytest.raises(ValueError, match="no Avro union branch"):
+        _write_value(bytearray(), promo, "3.5")
+    with pytest.raises(ValueError, match="no Avro union branch"):
+        _write_value(bytearray(), promo, True)

@@ -445,3 +445,114 @@ def test_residue_type0_strided_interleave():
     assert np.array_equal(out, exp)
     with pytest.raises(NotImplementedError, match="witness encoder"):
         res0.encode(V.BitWriter(), books, np.zeros((1, 128)), [[1] * 4])
+
+
+def test_setup_validation_rejects_dangling_references():
+    """parse_setup must reject out-of-range/inconsistent setup indices
+    with ValueError at PARSE time — a malformed stream must never
+    reach decode where it would IndexError, ZeroDivisionError, or
+    (zero-dim classbook + all-unaudible floors) hang _decode_passes."""
+    import copy
+
+    import articulation_vector_db_api_spark.functions.vorbis as V
+
+    ch, n = 1, 256
+    ident = V.parse_identification(V.build_identification(ch, 8000, n, n))
+
+    def rebuild(kit):
+        return V.build_setup(
+            kit["codebooks"], kit["floors"], kit["residues"],
+            kit["mappings"], kit["modes"], ch,
+        )
+
+    # the unmutated kit parses clean
+    base = V._default_toolkit(ch)
+    base["residues"][0].end = 128
+    V.parse_setup(rebuild(base), ident)
+
+    def fresh():
+        kit = V._default_toolkit(ch)
+        kit["residues"][0].end = 128
+        # deep-copy shared immutable kit members we are about to mutate
+        kit["floors"] = [copy.deepcopy(kit["floors"][0])]
+        kit["codebooks"] = list(kit["codebooks"])
+        return kit
+
+    cases = []
+
+    k = fresh(); k["residues"][0].classbook = 99
+    cases.append((k, "residue class codebook 99"))
+
+    k = fresh(); k["residues"][0].books[1][0] = 77
+    cases.append((k, "residue value codebook 77"))
+
+    # masterbook only reaches the wire when the class is subclassed
+    k = fresh()
+    k["floors"][0].class_subclasses = [1]
+    k["floors"][0].class_masterbooks = [42]
+    k["floors"][0].subclass_books = [[0, 0]]
+    cases.append((k, "floor1 masterbook codebook 42"))
+
+    k = fresh()
+    k["floors"][0].subclass_books[0][0] = 66
+    cases.append((k, "floor1 subclass"))
+
+    k = fresh(); k["mappings"][0]["floor"] = [9]
+    cases.append((k, "submap floor 9"))
+
+    k = fresh(); k["mappings"][0]["residue"] = [9]
+    cases.append((k, "submap residue 9"))
+
+    k = fresh(); k["modes"][0]["mapping"] = 9
+    cases.append((k, "mode mapping 9"))
+
+    for kit, msg in cases:
+        with pytest.raises(ValueError, match=msg):
+            V.parse_setup(rebuild(kit), ident)
+
+
+def test_setup_validation_rejects_degenerate_books():
+    """Zero-dimension classbooks (the _decode_passes hang vector),
+    non-dividing residue book dimensions, and scalar (no-VQ) residue
+    books are all ValueError at parse time."""
+    import articulation_vector_db_api_spark.functions.vorbis as V
+
+    ch, n = 1, 256
+    ident = V.parse_identification(V.build_identification(ch, 8000, n, n))
+
+    def parse(kit):
+        return V.parse_setup(
+            V.build_setup(
+                kit["codebooks"], kit["floors"], kit["residues"],
+                kit["mappings"], kit["modes"], ch,
+            ),
+            ident,
+        )
+
+    # classbook with zero dimensions
+    kit = V._default_toolkit(ch)
+    kit["residues"][0].end = 128
+    kit["codebooks"] = list(kit["codebooks"])
+    kit["codebooks"][1] = V.Codebook(0, [1, 1])
+    with pytest.raises(ValueError, match="classbook has zero dimensions"):
+        parse(kit)
+
+    # residue value book whose dimensions do not divide partition_size
+    kit = V._default_toolkit(ch)
+    kit["residues"][0].end = 128
+    assert kit["residues"][0].partition_size % 3
+    kit["codebooks"] = list(kit["codebooks"])
+    kit["codebooks"][2] = V.Codebook(
+        3, [3] * 8, lookup_type=1, min_value=-1.0, delta_value=1.0,
+        multiplicands=[0, 1],
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        parse(kit)
+
+    # scalar residue value book (no VQ lookup)
+    kit = V._default_toolkit(ch)
+    kit["residues"][0].end = 128
+    kit["codebooks"] = list(kit["codebooks"])
+    kit["codebooks"][2] = V.Codebook(1, [1, 1])
+    with pytest.raises(ValueError, match="no VQ lookup"):
+        parse(kit)

@@ -251,16 +251,21 @@ _VERIFIED = frozenset(
 #    prefix-sum decile replacing the global ntile), and
 #    text_bpe_learn_merges_batched (newly oracle-backed: batch run
 #    asserted equal to the sequential unrolled-CTE oracle).
-# 2. _WINDOW_RESEAT: the 47 stalest remaining rows by latest driver
+# 2. _WINDOW_RESEAT: the 45 stalest remaining rows by latest driver
 #    contact — all 5 r2-vintage (ann_ivf_exact, ann_lsh_bucketed,
 #    similarity_join_lsh_bucket, similarity_knn_batch,
-#    similarity_near_dup_cosine) then 42 of the 44 r3-vintage
-#    (similarity/ANN block, textops block, UDF block). The 2 leftover
+#    similarity_near_dup_cosine) then 40 of the 44 r3-vintage
+#    (similarity/ANN block, textops block, UDF block). The 4 leftover
 #    r3 rows plus the 35 r4-vintage rotate in r11.
 _WINDOW_FIRST = (
     "search_hybrid_rrf",
     "agg_revenue_concentration",
     "text_bpe_learn_merges_batched",
+    # r10 additions, never driver-seated: real video-frame decode
+    # through the AVI container (lossless DIB exact-sums tier and
+    # MJPEG scene-cut tier), parity-proven at sf0.001/0.01/0.1
+    "multimodal_avi_dib_roundtrip",
+    "multimodal_avi_mjpeg_scene_cuts",
 )
 _WINDOW_RESEAT = (
     "ann_ivf_exact", "ann_lsh_bucketed", "similarity_join_lsh_bucket",
@@ -282,7 +287,6 @@ _WINDOW_RESEAT = (
     "text_pii_scrub", "text_quality_stats", "text_repetition_stats",
     "text_tfidf_top_terms", "text_token_counts",
     "text_topk_tokens_per_lang", "udf_applyinpandas_order_gaps",
-    "udf_grouped_agg_price_range", "udf_mapinarrow_bytelen",
 )
 # Suite order for the rest of the unverified front (round-5 additions):
 # cheap scalar/relational families first, expensive similarity last.

@@ -1,0 +1,116 @@
+"""AVI (RIFF) container + frame decode (functions/avi.py): structure
+roundtrips, idx1 verification, DIB row padding, MJPEG dispatch through
+the from-scratch JPEG decoder, and the malformed-input ValueError
+contract."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from articulation_vector_db_api_spark.functions.avi import (
+    build_avi,
+    decode_avi_frames,
+    decode_dib_frame,
+    encode_dib_frame,
+    extract_avi_frames,
+    parse_avi,
+)
+from articulation_vector_db_api_spark.functions.jpeg import (
+    encode_jpeg_baseline,
+)
+
+
+def _clip(n=5, w=18, h=12, seed=7):
+    rng = np.random.RandomState(seed)
+    return [rng.randint(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+
+
+def test_dib_roundtrip_bit_exact():
+    frames = _clip()
+    avi = build_avi(
+        [encode_dib_frame(f) for f in frames], 18, 12, "DIB", fps_rate=12
+    )
+    meta, dec = decode_avi_frames(avi)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (18, 12, 5)
+    assert meta["codec"] == "DIB" and meta["fps"] == 12.0
+    assert all((a == b).all() for a, b in zip(frames, dec))
+
+
+def test_dib_row_padding_and_bottom_up():
+    # width 10 -> 30-byte rows padded to 32; row order must flip
+    f = np.arange(10 * 6 * 3, dtype=np.uint8).reshape(6, 10, 3)
+    payload = encode_dib_frame(f)
+    assert len(payload) == 32 * 6
+    # first stored row is the BOTTOM image row, channels swapped to BGR
+    assert payload[0] == f[5, 0, 2] and payload[2] == f[5, 0, 0]
+    assert (decode_dib_frame(payload, 10, 6) == f).all()
+    with pytest.raises(ValueError, match="payload"):
+        decode_dib_frame(payload[:-1], 10, 6)
+
+
+def test_mjpeg_frames_decode_through_jpeg():
+    frames = [
+        np.full((24, 32, 3), 30 + 50 * i, dtype=np.uint8) for i in range(3)
+    ]
+    avi = build_avi(
+        [encode_jpeg_baseline(f, quality=90) for f in frames],
+        32, 24, "MJPG", fps_rate=10,
+    )
+    meta, dec = decode_avi_frames(avi)
+    assert meta["codec"] == "MJPG" and meta["duration_ms"] == 300
+    for a, b in zip(frames, dec):
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 4
+
+
+def test_odd_payload_word_alignment():
+    # 5-byte payloads force the RIFF pad byte; extraction must strip it
+    payloads = [b"12345", b"abcde", b"zz"]
+    avi = build_avi(payloads, 1, 1, "MJPG")
+    assert extract_avi_frames(avi) == payloads
+    assert parse_avi(avi)["n_frames"] == 3
+
+
+def test_idx1_must_agree_with_movi_walk():
+    avi = bytearray(
+        build_avi([encode_dib_frame(f) for f in _clip(3)], 18, 12, "DIB")
+    )
+    # corrupt the size field of the FIRST idx1 entry
+    at = bytes(avi).rfind(b"idx1") + 8 + 12
+    avi[at:at + 4] = struct.pack("<I", 1)
+    with pytest.raises(ValueError, match="idx1"):
+        parse_avi(bytes(avi))
+
+
+def test_malformed_streams_raise_value_error():
+    good = build_avi([encode_dib_frame(_clip(1)[0])], 18, 12, "DIB")
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_avi(b"JUNK" + good[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        parse_avi(good[:30])
+    # frame-count disagreement between avih and the movi walk
+    bad = bytearray(good)
+    at = bytes(bad).find(b"avih") + 8 + 16  # dwTotalFrames
+    bad[at:at + 4] = struct.pack("<I", 9)
+    with pytest.raises(ValueError, match="frame count"):
+        parse_avi(bytes(bad))
+
+
+def test_unsupported_codec_gates_not_implemented():
+    with pytest.raises(NotImplementedError):
+        build_avi([b"x"], 4, 4, "H264")
+    good = bytearray(build_avi([b"x"], 4, 4, "MJPG"))
+    # rewrite strf biCompression to an unknown fourcc and strh handler
+    at = bytes(good).find(b"strf") + 8 + 16
+    good[at:at + 4] = b"XVID"
+    ah = bytes(good).find(b"strh") + 8 + 4
+    good[ah:ah + 4] = b"XVID"
+    with pytest.raises(NotImplementedError, match="codec"):
+        parse_avi(bytes(good))
+
+
+def test_empty_clip_rejected():
+    with pytest.raises(ValueError, match="at least one frame"):
+        build_avi([], 4, 4, "DIB")

@@ -79,6 +79,11 @@ def test_driver_window_is_exactly_the_unverified_set():
         load_all,
     )
 
+    from articulation_vector_db_api_spark.registry import (
+        _WINDOW_FIRST,
+        _WINDOW_RESEAT,
+    )
+
     names = list(load_all())
     unverified = [n for n in names if n not in _VERIFIED]
     seated = [n for n in unverified if n not in _WINDOW_DEFER]
@@ -86,11 +91,15 @@ def test_driver_window_is_exactly_the_unverified_set():
         f"{len(seated)} unverified queries for 50 driver seats — "
         "defer new registrations or expand _WINDOW_DEFER"
     )
-    # every seat holds an unverified query, deferred ones queue
-    # immediately after (leading the next round's window), and no seat
-    # is wasted on an already-verified query
-    assert set(names[: len(seated)]) == set(seated)
+    # every unverified, non-deferred query takes a seat in the 50-row
+    # window; once everything has a prior driver row, the remaining
+    # seats re-verify the stalest evidence via the EXPLICIT
+    # _WINDOW_FIRST/_WINDOW_RESEAT priorities — never an arbitrary
+    # already-verified query
+    window = names[:50]
+    assert set(seated) <= set(window)
+    intended = set(seated) | set(_WINDOW_FIRST) | set(_WINDOW_RESEAT)
+    for n in window[: len(_WINDOW_FIRST) + len(_WINDOW_RESEAT)]:
+        assert n in intended, f"window seat wasted on unplanned {n!r}"
     deferred = [n for n in unverified if n in _WINDOW_DEFER]
-    assert (
-        set(names[len(seated): len(unverified)]) == set(deferred)
-    )
+    assert not set(deferred) & set(window)

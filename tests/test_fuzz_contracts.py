@@ -1,0 +1,217 @@
+"""Deterministic mutation-fuzz of every binary-parser seam.
+
+The r9 advisory found the one exception-contract hole of the round in
+Vorbis setup parsing (unvalidated book indices → IndexError/hang on
+untrusted input). This suite institutionalizes the check: each format's
+witness encoder produces a valid stream, a sha256-seeded mutation
+engine derives byte flips / truncations / insertions / 4-byte stomps,
+and the decoder seam must raise ONLY ValueError or NotImplementedError
+(or succeed) — never IndexError, KeyError, struct.error, zlib.error,
+ZeroDivisionError, or an unbounded loop. Mutations are deterministic,
+so a future failure reproduces exactly.
+
+Seams covered are the ones per-row fault isolation actually calls:
+decode_pixels (PNG/GIF/JPEG/WebP/TIFF dispatch), decode_avi_frames,
+parse_ebml, parse_ogg + decode_ogg_flac, decode_ogg_vorbis (setup +
+audio decode), decode_wav (PCM/float/G.711), decode_flac, parse_mp3,
+parse_adts, parse_mp4_meta, parse_opus_packet.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+
+N_MUTATIONS = 150
+_ALLOWED = (ValueError, NotImplementedError)
+
+
+def _mutations(base: bytes, n: int, seed: int):
+    for k in range(n):
+        h = hashlib.sha256(f"{seed}:{k}".encode()).digest()
+        pos = int.from_bytes(h[:4], "big") % max(1, len(base))
+        kind = h[4] % 4
+        b = bytearray(base)
+        if kind == 0:
+            b[pos] ^= h[5] or 1
+        elif kind == 1:
+            b = b[:pos]
+        elif kind == 2:
+            b[pos:pos] = h[5 : 5 + (h[6] % 8) + 1]
+        else:
+            b[pos : pos + 4] = h[5:9]
+        yield k, bytes(b)
+
+
+def _assert_contract(name: str, base: bytes, parse, n: int = N_MUTATIONS):
+    leaks = []
+    for k, m in _mutations(base, n, seed=sum(name.encode())):
+        try:
+            parse(m)
+        except _ALLOWED:
+            pass
+        except Exception as exc:  # noqa: BLE001
+            leaks.append((k, type(exc).__name__, str(exc)[:80]))
+    assert not leaks, f"{name}: contract leaks {leaks[:5]}"
+
+
+def _img():
+    return (np.arange(12 * 10 * 3).reshape(12, 10, 3) * 7 % 256).astype(
+        np.uint8
+    )
+
+
+def test_fuzz_pixel_formats():
+    from articulation_vector_db_api_spark.functions import pixels as P
+    from articulation_vector_db_api_spark.functions.jpeg import (
+        encode_jpeg_baseline,
+    )
+    from articulation_vector_db_api_spark.functions.tiff import encode_tiff
+    from articulation_vector_db_api_spark.functions.vp8l import encode_vp8l
+
+    img = _img()
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    _assert_contract("png", P.encode_png(img), P.decode_pixels)
+    _assert_contract(
+        "gif", P.encode_gif(img[:, :, 0].copy(), pal), P.decode_pixels
+    )
+    _assert_contract(
+        "jpeg", encode_jpeg_baseline(img, 85), P.decode_pixels
+    )
+    _assert_contract(
+        "tiff", encode_tiff(img, compression="lzw"), P.decode_pixels
+    )
+    _assert_contract("webp", encode_vp8l(img), P.decode_pixels)
+
+
+def test_fuzz_avi():
+    from articulation_vector_db_api_spark.functions.avi import (
+        build_avi,
+        decode_avi_frames,
+        encode_dib_frame,
+    )
+    from articulation_vector_db_api_spark.functions.jpeg import (
+        encode_jpeg_baseline,
+    )
+
+    frames = [_img() for _ in range(3)]
+    _assert_contract(
+        "avi-dib",
+        build_avi([encode_dib_frame(f) for f in frames], 10, 12, "DIB"),
+        decode_avi_frames,
+    )
+    _assert_contract(
+        "avi-mjpg",
+        build_avi(
+            [encode_jpeg_baseline(f, 90) for f in frames], 10, 12, "MJPG"
+        ),
+        decode_avi_frames,
+    )
+
+
+def test_fuzz_containers():
+    from articulation_vector_db_api_spark.functions.ebml import (
+        build_webm,
+        parse_ebml,
+    )
+    from articulation_vector_db_api_spark.functions.isobmff import (
+        parse_mp4_meta,
+    )
+    from articulation_vector_db_api_spark.functions.ogg import (
+        build_ogg_flac,
+        decode_ogg_flac,
+        parse_ogg,
+    )
+
+    _assert_contract("ebml", build_webm(320, 240, 4000), parse_ebml)
+
+    def box(t, p):
+        return struct.pack(">I", len(p) + 8) + t + p
+
+    mvhd = box(
+        b"mvhd",
+        bytes(12) + struct.pack(">II", 1000, 5000) + bytes(80),
+    )
+    tkhd = box(b"tkhd", bytes(80) + struct.pack(">II", 320 << 16, 240 << 16))
+    mp4 = box(b"ftyp", b"isom" + bytes(8)) + box(
+        b"moov", mvhd + box(b"trak", tkhd)
+    )
+    _assert_contract("mp4", mp4, parse_mp4_meta)
+
+    sig = (np.arange(384) % 251 - 125).astype(np.int16)
+    ogg = build_ogg_flac(sig, rate=16000, block_size=192)
+    _assert_contract("ogg-parse", ogg, parse_ogg)
+    _assert_contract("ogg-flac", ogg, decode_ogg_flac)
+
+
+def test_fuzz_audio_codecs():
+    from articulation_vector_db_api_spark.functions import audio as A
+    from articulation_vector_db_api_spark.functions.adts import (
+        build_adts,
+        parse_adts,
+    )
+    from articulation_vector_db_api_spark.functions.flac import (
+        decode_flac,
+        encode_flac,
+    )
+    from articulation_vector_db_api_spark.functions.mp3 import (
+        build_mp3,
+        parse_mp3,
+    )
+
+    sig = (np.arange(256) % 251 - 125).astype(np.int16)
+    _assert_contract("wav16", A.encode_wav(sig, 16000), A.decode_wav)
+    _assert_contract(
+        "wav-float",
+        A.encode_wav_float(sig.astype(np.float64) / 32767, 16000),
+        A.decode_wav,
+    )
+    _assert_contract(
+        "wav-g711",
+        A.encode_wav_g711((sig % 256).astype(np.uint8), "ulaw", 8000),
+        A.decode_wav,
+    )
+    _assert_contract(
+        "flac", encode_flac(sig.astype(np.int32), 16000, 64), decode_flac
+    )
+    _assert_contract("mp3", build_mp3([(5, 0)] * 6), parse_mp3)
+    _assert_contract("adts", build_adts([64] * 6), parse_adts)
+
+
+def test_fuzz_vorbis_end_to_end():
+    from articulation_vector_db_api_spark.functions.vorbis import (
+        build_ogg_vorbis_stream,
+        decode_ogg_vorbis,
+        encode_vorbis,
+    )
+
+    t = np.arange(512) / 8000.0
+    x = 0.5 * np.sin(2 * np.pi * 300 * t)
+    stream = build_ogg_vorbis_stream(*encode_vorbis(x, 8000, 256))
+    _assert_contract("vorbis", stream, decode_ogg_vorbis, n=120)
+
+
+def test_fuzz_opus_packets():
+    from articulation_vector_db_api_spark.functions.opus import (
+        parse_opus_packet,
+    )
+
+    _assert_contract(
+        "opus-c2", bytes([0b00011010, 1, 2, 3, 4]), parse_opus_packet
+    )
+    _assert_contract(
+        "opus-c3",
+        bytes([0b00011011, 0x83, 2, 1, 2, 3]) + bytes(10),
+        parse_opus_packet,
+    )
+
+
+def test_mutation_engine_is_deterministic():
+    a = [m for _, m in _mutations(b"hello world", 10, seed=3)]
+    b = [m for _, m in _mutations(b"hello world", 10, seed=3)]
+    assert a == b
+    with pytest.raises(AssertionError):
+        _assert_contract("boom", b"xx", lambda _b: (_ for _ in ()).throw(KeyError("k")), n=3)

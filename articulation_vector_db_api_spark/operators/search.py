@@ -105,7 +105,9 @@ def topk_search(
 PATTERN_DIM = 32
 
 
-def chunk_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+def chunk_patterns(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
     """Chunk the corpus and attach the 32-dim scoring pattern:
     (id, source, text, pattern).
 
@@ -115,8 +117,17 @@ def chunk_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dot1024 = 32·dot32, norms scale by √32 on both sides). Scoring
     therefore never materializes the 1024-dim vector — a 32× cut in
     the scan's per-row work. hash_embedding_vectors still verifies
-    full-dim parity; the oracles mirror this same 32-dim formula."""
+    full-dim parity; the oracles mirror this same 32-dim formula.
+
+    ``spread`` rebalances the scan across all cores before the
+    (expensive) chunk+hash projection — callers that EVALUATE the
+    whole relation (the hybrid-RRF prune pass) want it; the
+    single-file fixture otherwise runs the projection on one input
+    split. Top-k callers skip it: TakeOrderedAndProject's per-
+    partition heaps don't repay an extra shuffle of raw text."""
     docs = load_table(spark, sf_dir, "documents")
+    if spread:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
     chunks = chunk_documents(docs, id_col="doc_id", text_col="text")
     return (
         chunks.withColumn("_hex", F.sha2(F.col("chunk_text"), 256))
@@ -130,10 +141,13 @@ def chunk_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def score_chunks(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+def score_chunks(
+    spark: SparkSession, sf_dir: str, query: str, spread: bool = False
+) -> DataFrame:
     """Chunk + score the corpus against a query: (id, source, text,
-    raw) with raw = cosine similarity."""
-    index = chunk_patterns(spark, sf_dir)
+    raw) with raw = cosine similarity. ``spread`` as in
+    chunk_patterns."""
+    index = chunk_patterns(spark, sf_dir, spread=spread)
     qv, qnorm = query_vector_literals(query, PATTERN_DIM)
     qvec = F.array(*[F.lit(v) for v in qv])  # constant-folded to one literal
     score = dot(F.col("pattern"), qvec) / (l2_norm(F.col("pattern")) * F.lit(qnorm))
@@ -271,6 +285,24 @@ def rrf_fuse_topk(
             f"k_prime={k_prime} too shallow for exact top-{k} RRF: "
             f"need 2/(61+k') <= 1/(60+k) - 2e-6"
         )
+    # the narrow projection is read twice (prune pass + the possible
+    # refinement pass) — persist it so the expensive upstream lineage
+    # (chunk + sha256 scoring) evaluates once; unpersisted before
+    # returning (the fused tail is lineage-free)
+    kwdf = kwdf.persist()
+    try:
+        return _rrf_fuse_topk_inner(spark, kwdf, k, k_prime, shards)
+    finally:
+        kwdf.unpersist()
+
+
+def _rrf_fuse_topk_inner(
+    spark: SparkSession,
+    kwdf: DataFrame,
+    k: int,
+    k_prime: int,
+    shards: int,
+) -> DataFrame:
     pruned = rrf_candidate_prune(kwdf, k_prime, shards)
     rows = pruned.collect()  # bounded: ≤ 2·shards·k_prime narrow rows
 

@@ -733,6 +733,18 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
          r"Arguments: hashpartitioning"],
     ),
+    "multimodal_avi_dib_roundtrip": (
+        # video build+decode is one Arrow narrow map; video bytes never
+        # shuffle (the only exchange is the parity sort)
+        [r"MapInPandas"],
+        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
+         r"Arguments: hashpartitioning"],
+    ),
+    "multimodal_avi_mjpeg_scene_cuts": (
+        [r"MapInPandas"],
+        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
+         r"Arguments: hashpartitioning"],
+    ),
     "search_hybrid_rrf": (
         # fused tail over the bounded candidate set: a top-k heap, and
         # NO window of any kind — the global row_numbers of the first

@@ -1,0 +1,110 @@
+"""WebVTT caption parsing (W3C WebVTT, public spec) — stdlib only.
+
+Video-text PAIRS are the training unit of vision-language models; the
+caption track is where the text half lives. This module reads the
+subset real subtitle corpora use: the WEBVTT magic, optional cue
+identifiers, `HH:MM:SS.mmm --> HH:MM:SS.mmm` timings (hours optional),
+multi-line cue payloads, and NOTE/STYLE/REGION blocks (skipped).
+Malformed input raises ValueError (same per-row fault-isolation
+contract as every other parser in functions/).
+
+The builder emits spec-conformant files as test witnesses; cue↔frame
+alignment itself is plain timestamp arithmetic done Spark-side by the
+caller (suites/multimodal.py:multimodal_video_caption_align).
+"""
+
+from __future__ import annotations
+
+import re
+
+_TIME = re.compile(
+    r"^(?:(\d{2,}):)?([0-5]\d):([0-5]\d)\.(\d{3})$"
+)
+
+
+def _parse_ts(s: str) -> int:
+    m = _TIME.match(s)
+    if not m:
+        raise ValueError(f"bad WebVTT timestamp {s!r}")
+    hh = int(m.group(1) or 0)
+    return ((hh * 60 + int(m.group(2))) * 60 + int(m.group(3))) * 1000 + int(
+        m.group(4)
+    )
+
+
+def _fmt_ts(ms: int) -> str:
+    if ms < 0:
+        raise ValueError("negative WebVTT timestamp")
+    s, ms = divmod(ms, 1000)
+    m, s = divmod(s, 60)
+    h, m = divmod(m, 60)
+    return f"{h:02d}:{m:02d}:{s:02d}.{ms:03d}"
+
+
+def build_vtt(cues: list[tuple[int, int, str]]) -> str:
+    """[(start_ms, end_ms, text)] -> a WebVTT document."""
+    parts = ["WEBVTT", ""]
+    for i, (start, end, text) in enumerate(cues):
+        if end <= start:
+            raise ValueError(f"cue {i}: end {end} <= start {start}")
+        if "\n\n" in text or text.strip() != text or not text:
+            raise ValueError(f"cue {i}: unencodable payload {text!r}")
+        parts.append(str(i + 1))
+        parts.append(f"{_fmt_ts(start)} --> {_fmt_ts(end)}")
+        parts.append(text)
+        parts.append("")
+    return "\n".join(parts)
+
+
+def parse_vtt(doc: str) -> list[dict]:
+    """WebVTT text -> [{start_ms, end_ms, text}] in file order.
+
+    Accepts optional cue identifiers, optional hours in timestamps,
+    cue-settings after the end timestamp (ignored), multi-line
+    payloads, and NOTE/STYLE/REGION blocks. Raises ValueError for a
+    missing WEBVTT magic, malformed timings, or non-increasing cue
+    times."""
+    if doc.startswith("﻿"):
+        doc = doc[1:]
+    lines = doc.replace("\r\n", "\n").replace("\r", "\n").split("\n")
+    if not lines or not lines[0].startswith("WEBVTT"):
+        raise ValueError("not a WebVTT document (missing WEBVTT magic)")
+    cues: list[dict] = []
+    # split into blank-line-separated blocks, skipping the header block
+    blocks: list[list[str]] = []
+    cur: list[str] = []
+    for ln in lines[1:]:
+        if ln.strip() == "":
+            if cur:
+                blocks.append(cur)
+                cur = []
+        else:
+            cur.append(ln)
+    if cur:
+        blocks.append(cur)
+    for block in blocks:
+        head = block[0].strip()
+        if head.startswith(("NOTE", "STYLE", "REGION")):
+            continue
+        idx = 0
+        if "-->" not in block[0]:
+            idx = 1  # cue identifier line
+            if idx >= len(block) or "-->" not in block[idx]:
+                raise ValueError(
+                    f"WebVTT cue block without timing line: {block[0]!r}"
+                )
+        timing = block[idx]
+        try:
+            left, right = timing.split("-->")
+        except ValueError as exc:
+            raise ValueError(f"bad WebVTT timing line {timing!r}") from exc
+        start = _parse_ts(left.strip())
+        # cue settings may follow the end timestamp
+        end = _parse_ts(right.strip().split(" ")[0])
+        if end <= start:
+            raise ValueError(f"WebVTT cue ends before it starts: {timing!r}")
+        text = "\n".join(block[idx + 1 :])
+        if not text:
+            raise ValueError(f"WebVTT cue with empty payload: {timing!r}")
+        cues.append({"start_ms": start, "end_ms": end, "text": text})
+    return cues

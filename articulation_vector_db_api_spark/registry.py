@@ -251,11 +251,11 @@ _VERIFIED = frozenset(
 #    prefix-sum decile replacing the global ntile), and
 #    text_bpe_learn_merges_batched (newly oracle-backed: batch run
 #    asserted equal to the sequential unrolled-CTE oracle).
-# 2. _WINDOW_RESEAT: the 45 stalest remaining rows by latest driver
+# 2. _WINDOW_RESEAT: the 44 stalest remaining rows by latest driver
 #    contact — all 5 r2-vintage (ann_ivf_exact, ann_lsh_bucketed,
 #    similarity_join_lsh_bucket, similarity_knn_batch,
-#    similarity_near_dup_cosine) then 40 of the 44 r3-vintage
-#    (similarity/ANN block, textops block, UDF block). The 4 leftover
+#    similarity_near_dup_cosine) then 39 of the 44 r3-vintage
+#    (similarity/ANN block, textops block, UDF block). The 5 leftover
 #    r3 rows plus the 35 r4-vintage rotate in r11.
 _WINDOW_FIRST = (
     "search_hybrid_rrf",
@@ -263,9 +263,12 @@ _WINDOW_FIRST = (
     "text_bpe_learn_merges_batched",
     # r10 additions, never driver-seated: real video-frame decode
     # through the AVI container (lossless DIB exact-sums tier and
-    # MJPEG scene-cut tier), parity-proven at sf0.001/0.01/0.1
+    # MJPEG scene-cut tier) and video-text pair alignment (WebVTT cue
+    # parse + decoded-frame overlap), parity-proven at
+    # sf0.001/0.01/0.1
     "multimodal_avi_dib_roundtrip",
     "multimodal_avi_mjpeg_scene_cuts",
+    "multimodal_video_caption_align",
 )
 _WINDOW_RESEAT = (
     "ann_ivf_exact", "ann_lsh_bucketed", "similarity_join_lsh_bucket",
@@ -286,7 +289,7 @@ _WINDOW_RESEAT = (
     "text_fingerprint", "text_inverted_index", "text_langid",
     "text_pii_scrub", "text_quality_stats", "text_repetition_stats",
     "text_tfidf_top_terms", "text_token_counts",
-    "text_topk_tokens_per_lang", "udf_applyinpandas_order_gaps",
+    "text_topk_tokens_per_lang",
 )
 # Suite order for the rest of the unverified front (round-5 additions):
 # cheap scalar/relational families first, expensive similarity last.

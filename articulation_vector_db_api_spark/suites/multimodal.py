@@ -1915,6 +1915,157 @@ def multimodal_avi_mjpeg_scene_cuts(
 
 
 @register(
+    "multimodal_video_caption_align",
+    oracle="""
+    WITH cues AS (
+        SELECT d.doc_id, j.j AS cue_idx,
+               j.j * 200 + (d.doc_id % 2) * 50 AS start_ms,
+               j.j * 200 + (d.doc_id % 2) * 50 + 180 AS end_ms,
+               (d.doc_id + j.j) % 4 + 2 AS n_tokens
+        FROM documents d, unnest(generate_series(0, 2)) AS j(j)
+    ),
+    cov AS (
+        SELECT c.*, f.f
+        FROM cues c, unnest(generate_series(0, 5)) AS f(f)
+        WHERE f.f * 100 < c.end_ms AND c.start_ms < (f.f + 1) * 100
+    ),
+    px AS (
+        SELECT cov.*, y.y, x.x
+        FROM cov,
+             unnest(generate_series(0, 5)) AS y(y),
+             unnest(generate_series(0, 9)) AS x(x)
+    )
+    SELECT doc_id,
+           CAST(cue_idx AS BIGINT) AS cue_idx,
+           CAST(min(start_ms) AS BIGINT) AS start_ms,
+           CAST(min(end_ms) AS BIGINT) AS end_ms,
+           CAST(min(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT f) AS BIGINT) AS n_frames,
+           CAST(sum((doc_id * 7 + f * 13 + y * 3 + x * 5) % 256)
+               AS BIGINT) AS r_sum
+    FROM px GROUP BY doc_id, cue_idx
+    ORDER BY doc_id, cue_idx
+    """,
+    tags=("multimodal", "video", "textops"),
+)
+def multimodal_video_caption_align(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VIDEO-TEXT PAIR construction — the training unit of
+    vision-language models. Each doc carries a real AVI clip
+    (lossless DIB, functions/avi.py) and a real WebVTT caption track
+    (functions/vtt.py); the engine decodes BOTH — container walk +
+    per-frame pixel decode on one side, cue/timing parse on the other
+    — and aligns every caption cue to the frames its [start, end)
+    interval overlaps, emitting per-pair facts: covered-frame count,
+    the decoded pixels' channel sum over exactly those frames, and
+    the cue's token count. Cue spans deliberately straddle frame
+    boundaries and overlap each other (odd doc_ids shift by 50 ms),
+    so the alignment arithmetic — not just the parsers — is what the
+    oracle checks.
+
+    Everything is computed FROM THE DECODED artifacts (pixels from
+    the AVI, timings/text from the VTT), and the oracle recomputes
+    the same facts closed-form from the generator formulas — a
+    flipped byte in either container, either codec, or the alignment
+    logic is a driver-visible hash mismatch.
+
+    Scale shape: Arrow-batched narrow map, ≤3 rows out per doc,
+    zero shuffle of media bytes — the SCALE.md multimodal envelope."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("cue_idx", T.LongType()),
+            T.StructField("start_ms", T.LongType()),
+            T.StructField("end_ms", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("r_sum", T.LongType()),
+        ]
+    )
+    w, h, nf = 10, 6, 6
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.avi import (
+            build_avi,
+            decode_avi_frames,
+            encode_dib_frame,
+        )
+        from ..functions.vtt import build_vtt, parse_vtt
+
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = yy * 3 + xx * 5
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                src = [
+                    np.stack(
+                        [(i * 7 + f * 13 + base + c * 11) % 256 for c in range(3)],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    for f in range(nf)
+                ]
+                avi = build_avi(
+                    [encode_dib_frame(fr) for fr in src], w, h, "DIB",
+                    fps_rate=10,
+                )
+                vtt = build_vtt(
+                    [
+                        (
+                            j * 200 + (i % 2) * 50,
+                            j * 200 + (i % 2) * 50 + 180,
+                            " ".join(
+                                f"tok{i % 7}_{j}_{n}"
+                                for n in range((i + j) % 4 + 2)
+                            ),
+                        )
+                        for j in range(3)
+                    ]
+                )
+                meta, dec = decode_avi_frames(avi)
+                usec = meta["usec_per_frame"]
+                for j, cue in enumerate(parse_vtt(vtt)):
+                    covered = [
+                        f
+                        for f in range(meta["n_frames"])
+                        if f * usec // 1000 < cue["end_ms"]
+                        and cue["start_ms"] < (f + 1) * usec // 1000
+                    ]
+                    r_sum = sum(
+                        int(dec[f][..., 0].astype(np.int64).sum())
+                        for f in covered
+                    )
+                    rows.append(
+                        (
+                            doc_id,
+                            j,
+                            cue["start_ms"],
+                            cue["end_ms"],
+                            len(cue["text"].split()),
+                            len(covered),
+                            r_sum,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id", "cue_idx")
+    )
+
+
+@register(
     "multimodal_vorbis_decode",
     oracle="""
     SELECT doc_id,

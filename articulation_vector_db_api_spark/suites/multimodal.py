@@ -1915,6 +1915,130 @@ def multimodal_avi_mjpeg_scene_cuts(
 
 
 @register(
+    "multimodal_mkv_mjpeg_decode",
+    oracle="""
+    WITH f AS (
+        SELECT d.doc_id, g.f,
+               CASE WHEN d.doc_id % 2 = 1
+                    THEN (g.f - g.f % 2) * 100
+                    ELSE g.f * 100 END AS ts_ms,
+               60 + ((d.doc_id * 3 + g.f * 37) % 5) * 30 AS lum
+        FROM documents d, unnest(generate_series(0, 5)) AS g(f)
+    )
+    SELECT doc_id,
+           CAST(6 AS BIGINT) AS n_frames,
+           CAST(32 AS BIGINT) AS width,
+           CAST(24 AS BIGINT) AS height,
+           CAST(600 AS BIGINT) AS duration_ms,
+           CAST(sum(ts_ms) AS BIGINT) AS ts_sum,
+           CAST(count(*) FILTER (WHERE lum >= 120) AS BIGINT) AS n_bright,
+           CAST(1 AS BIGINT) AS fidelity_ok
+    FROM f GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("multimodal", "video"),
+)
+def multimodal_mkv_mjpeg_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VIDEO FRAME DECODE through the MATROSKA seam — the container
+    web video actually ships in. r8's EBML probe stopped at track
+    metadata; this walks Segment > Cluster > SimpleBlock (RFC 9559:
+    track vints, signed relative timestamps, Xiph and no-lacing — odd
+    doc_ids emit one Xiph-laced block per 2-frame cluster, even ones
+    a block per frame) and decodes every V_MJPEG frame through
+    functions/jpeg.py. ts_sum pins the cluster-timestamp + lacing
+    arithmetic (laced frames share their block's timestamp, so the
+    two layouts produce DIFFERENT sums); n_bright classifies each
+    frame by its DECODED mean luminance against the generator's
+    designed levels (60..180 in steps of 30, threshold 105 — far
+    outside quality-90 JPEG noise); fidelity_ok pins max |err| <= 16
+    per pixel. VP8/VP9/AV1 CodecIDs raise NotImplementedError —
+    honest perceptual-codec gate.
+
+    Scale shape: Arrow-batched narrow map, zero shuffle of video
+    bytes — the SCALE.md multimodal envelope."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("ts_sum", T.LongType()),
+            T.StructField("n_bright", T.LongType()),
+            T.StructField("fidelity_ok", T.LongType()),
+        ]
+    )
+    w, h, nf = 32, 24, 6
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.ebml import build_mkv_mjpeg, decode_mkv_frames
+        from ..functions.jpeg import encode_jpeg_baseline
+
+        yy, xx = np.mgrid[0:h, 0:w]
+        texture = (xx + yy * 2) % 7
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                src = []
+                for f in range(nf):
+                    lum = 60 + ((i * 3 + f * 37) % 5) * 30
+                    gray = np.clip(lum + texture, 0, 255).astype(np.uint8)
+                    src.append(np.repeat(gray[:, :, None], 3, axis=2))
+                mkv = build_mkv_mjpeg(
+                    [
+                        (f * 100, encode_jpeg_baseline(src[f], quality=90))
+                        for f in range(nf)
+                    ],
+                    w,
+                    h,
+                    lacing="xiph" if i % 2 else "none",
+                    frames_per_cluster=2,
+                )
+                meta, dec = decode_mkv_frames(mkv)
+                if meta["tracks"][0]["codec_id"] != "V_MJPEG":
+                    raise ValueError("MKV track table mismatch")
+                n_bright = sum(
+                    1
+                    for _t, _ts, fr in dec
+                    if fr[..., 0].astype(np.float64).mean() >= 105.0
+                )
+                err = max(
+                    int(np.abs(a.astype(int) - fr.astype(int)).max())
+                    for a, (_t, _ts, fr) in zip(src, dec)
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        len(dec),
+                        meta["video"][0][0],
+                        meta["video"][0][1],
+                        meta["duration_ms"],
+                        sum(ts for _t, ts, _fr in dec),
+                        n_bright,
+                        int(err <= 16),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_video_caption_align",
     oracle="""
     WITH cues AS (

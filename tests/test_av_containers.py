@@ -93,7 +93,7 @@ def test_webm_roundtrip_and_defaults():
     meta = parse_ebml(
         build_webm(1280, 720, 12345, audio_rate=44100, audio_channels=1)
     )
-    assert meta == {
+    assert {k: meta[k] for k in ("doctype", "duration_ms", "video", "audio")} == {
         "doctype": "webm",
         "duration_ms": 12345,
         "video": [(1280, 720)],
@@ -550,3 +550,101 @@ def test_decode_ogg_audio_dispatch():
 
     with pytest.raises(NotImplementedError, match="Opus"):
         decode_ogg_audio(build_ogg_opus(1, 100))
+
+
+def test_mkv_cluster_block_walk_and_decode():
+    """Matroska Cluster/SimpleBlock walk (r10): frame payloads, track
+    routing, cluster-relative timestamps, and all three implemented
+    lacing modes; V_MJPEG frames decode to pixels through
+    functions/jpeg.py."""
+    import numpy as np
+    import pytest
+
+    from articulation_vector_db_api_spark.functions.ebml import (
+        build_mkv_mjpeg,
+        decode_mkv_frames,
+        mkv_frames,
+        parse_ebml,
+    )
+    from articulation_vector_db_api_spark.functions.jpeg import (
+        encode_jpeg_baseline,
+    )
+
+    px = [np.full((24, 32, 3), 30 + 40 * i, dtype=np.uint8) for i in range(6)]
+    jp = [encode_jpeg_baseline(f, quality=90) for f in px]
+
+    # no lacing: per-frame timestamps survive the cluster math
+    mkv = build_mkv_mjpeg(
+        [(i * 100, j) for i, j in enumerate(jp)], 32, 24, lacing="none"
+    )
+    meta, dec = decode_mkv_frames(mkv)
+    assert meta["tracks"][0]["codec_id"] == "V_MJPEG"
+    assert [ts for _t, ts, _f in dec] == [0, 100, 200, 300, 400, 500]
+    assert all(
+        np.abs(a.astype(int) - f.astype(int)).max() <= 4
+        for a, (_t, _ts, f) in zip(px, dec)
+    )
+
+    # Xiph lacing: laced frames share their block's (cluster) timestamp
+    mkv = build_mkv_mjpeg(
+        [(i * 100, j) for i, j in enumerate(jp)], 32, 24, lacing="xiph",
+        frames_per_cluster=2,
+    )
+    _meta, dec = decode_mkv_frames(mkv)
+    assert [ts for _t, ts, _f in dec] == [0, 0, 200, 200, 400, 400]
+
+    # fixed lacing requires equal frame sizes and splits evenly
+    same = [jp[0]] * 4
+    mkv = build_mkv_mjpeg(
+        [(i * 40, f) for i, f in enumerate(same)], 32, 24, lacing="fixed"
+    )
+    assert len(mkv_frames(mkv)) == 4
+    textured = np.repeat(
+        ((np.arange(24)[:, None] * 7 + np.arange(32)[None, :] * 13) % 256
+         ).astype(np.uint8)[:, :, None], 3, axis=2,
+    )
+    big = encode_jpeg_baseline(textured, quality=95)
+    assert len(big) != len(jp[0])
+    with pytest.raises(ValueError, match="equal frame sizes"):
+        build_mkv_mjpeg([(0, jp[0]), (40, big)], 32, 24, lacing="fixed")
+
+    # non-MJPEG CodecID gates honestly
+    bad = bytearray(build_mkv_mjpeg([(0, jp[0])], 32, 24))
+    at = bytes(bad).find(b"V_MJPEG")
+    bad[at:at + 7] = b"V_VP9\x00\x00"
+    with pytest.raises(NotImplementedError, match="V_VP9"):
+        decode_mkv_frames(bytes(bad))
+
+    # EBML lacing (flags 0b110) is a named gate: hand-build a cluster
+    # whose single SimpleBlock claims EBML lacing
+    from articulation_vector_db_api_spark.functions import ebml as E
+
+    block = b"\x81" + b"\x00\x00" + bytes([0x80 | 0x06]) + b"\x01" + b"xx"
+    mkv2 = E._el(E._EBML, E._el(E._DOCTYPE, b"matroska")) + E._el(
+        E._SEGMENT,
+        E._el(E._CLUSTER,
+              E._uint_el(E._CLUSTER_TS, 0)
+              + E._el(E._SIMPLE_BLOCK, block)),
+    )
+    with pytest.raises(NotImplementedError, match="EBML lacing"):
+        mkv_frames(mkv2)
+
+
+def test_mkv_fuzz_contract():
+    import numpy as np
+
+    from articulation_vector_db_api_spark.functions.ebml import (
+        build_mkv_mjpeg,
+        decode_mkv_frames,
+    )
+    from articulation_vector_db_api_spark.functions.jpeg import (
+        encode_jpeg_baseline,
+    )
+    from tests.test_fuzz_contracts import _assert_contract
+
+    px = [np.full((12, 10, 3), 40 * i + 9, dtype=np.uint8) for i in range(4)]
+    mkv = build_mkv_mjpeg(
+        [(i * 50, encode_jpeg_baseline(f, 90)) for i, f in enumerate(px)],
+        10, 12, lacing="xiph", frames_per_cluster=2,
+    )
+    _assert_contract("mkv", mkv, decode_mkv_frames)

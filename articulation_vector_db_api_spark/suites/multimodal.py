@@ -1915,6 +1915,135 @@ def multimodal_avi_mjpeg_scene_cuts(
 
 
 @register(
+    "multimodal_audio_caption_align",
+    oracle="""
+    WITH cues AS (
+        SELECT d.doc_id, j.j AS cue_idx,
+               j.j * 150 + (d.doc_id % 2) * 40 AS start_ms,
+               j.j * 150 + (d.doc_id % 2) * 40 + 130 AS end_ms,
+               (d.doc_id + 2 * j.j) % 5 + 1 AS n_tokens
+        FROM documents d, unnest(generate_series(0, 2)) AS j(j)
+    ),
+    spans AS (
+        -- sample s covers time s/16 ms (16 kHz); cue covers samples
+        -- [start*16, end*16) clipped to the 8000-sample clip
+        SELECT doc_id, cue_idx, start_ms, end_ms, n_tokens,
+               start_ms * 16 AS s0,
+               least(end_ms * 16, 8000) AS s1
+        FROM cues
+    ),
+    samp AS (
+        SELECT sp.*, g.s,
+               (sp.doc_id * 31 + g.s * g.s * 7) % 2001 - 1000 AS v
+        FROM spans sp,
+             unnest(generate_series(sp.s0, sp.s1 - 1)) AS g(s)
+    )
+    SELECT doc_id,
+           CAST(cue_idx AS BIGINT) AS cue_idx,
+           CAST(min(start_ms) AS BIGINT) AS start_ms,
+           CAST(min(end_ms) AS BIGINT) AS end_ms,
+           CAST(min(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(v * v) AS BIGINT) AS energy
+    FROM samp GROUP BY doc_id, cue_idx
+    ORDER BY doc_id, cue_idx
+    """,
+    tags=("multimodal", "audio", "textops"),
+)
+def multimodal_audio_caption_align(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AUDIO-TEXT PAIR construction — the ASR/TTS training unit. Each
+    doc carries a real FLAC clip (500 ms at 16 kHz, lossless —
+    functions/flac.py) and a real WebVTT caption track; the engine
+    decodes BOTH and aligns every cue to its sample range
+    ([start_ms·16, end_ms·16) clipped to clip length), emitting
+    per-pair facts computed FROM THE DECODED artifacts: covered
+    sample count and the exact integer energy (Σ v²) of those
+    samples, plus the cue's token count. FLAC is lossless, so the
+    energy is bit-exact against the oracle's closed-form replay of
+    the signal generator — a flipped sample anywhere in the codec or
+    the alignment arithmetic is a driver-visible hash mismatch. The
+    third cue deliberately overruns the clip tail (580 ms > 500 ms)
+    to pin the clipping semantics.
+
+    Scale shape: Arrow-batched narrow map, ≤3 rows out per doc, zero
+    shuffle of audio bytes — the SCALE.md multimodal envelope."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("cue_idx", T.LongType()),
+            T.StructField("start_ms", T.LongType()),
+            T.StructField("end_ms", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("energy", T.LongType()),
+        ]
+    )
+    rate, n = 16000, 8000  # 500 ms clip
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.flac import decode_flac, encode_flac
+        from ..functions.vtt import build_vtt, parse_vtt
+
+        s = np.arange(n, dtype=np.int64)
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                sig = ((i * 31 + s * s * 7) % 2001 - 1000).astype(np.int16)
+                flac = encode_flac(sig.astype(np.int32), rate, 1024)
+                vtt = build_vtt(
+                    [
+                        (
+                            j * 150 + (i % 2) * 40,
+                            j * 150 + (i % 2) * 40 + 130,
+                            " ".join(
+                                f"w{i % 5}_{j}_{t}"
+                                for t in range((i + 2 * j) % 5 + 1)
+                            ),
+                        )
+                        for j in range(3)
+                    ]
+                )
+                r, dec = decode_flac(flac)
+                pcm = dec[:, 0].astype(np.int64)
+                if r != rate or pcm.shape[0] != n:
+                    raise ValueError("FLAC clip shape mismatch")
+                for j, cue in enumerate(parse_vtt(vtt)):
+                    s0 = cue["start_ms"] * rate // 1000
+                    s1 = min(cue["end_ms"] * rate // 1000, n)
+                    seg = pcm[s0:s1]
+                    rows.append(
+                        (
+                            doc_id,
+                            j,
+                            cue["start_ms"],
+                            cue["end_ms"],
+                            len(cue["text"].split()),
+                            int(seg.shape[0]),
+                            int((seg * seg).sum()),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id", "cue_idx")
+    )
+
+
+@register(
     "multimodal_mkv_mjpeg_decode",
     oracle="""
     WITH f AS (

@@ -756,6 +756,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
          r"Arguments: hashpartitioning"],
     ),
+    "multimodal_audio_caption_align": (
+        [r"MapInPandas"],
+        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
+         r"Arguments: hashpartitioning"],
+    ),
     "search_hybrid_rrf": (
         # fused tail over the bounded candidate set: a top-k heap, and
         # NO window of any kind — the global row_numbers of the first

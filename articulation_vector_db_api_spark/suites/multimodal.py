@@ -1915,6 +1915,131 @@ def multimodal_avi_mjpeg_scene_cuts(
 
 
 @register(
+    "pipeline_video_curation",
+    oracle="""
+    SELECT doc_id,
+           CAST(3 AS BIGINT) AS n_segments,
+           CAST(CASE WHEN doc_id < 10 THEN 3
+                     WHEN doc_id < 30 THEN 1
+                     ELSE 0 END AS BIGINT) AS n_admitted,
+           CAST(CASE WHEN doc_id < 10 THEN 0
+                     WHEN doc_id < 30 THEN 2
+                     ELSE 3 END AS BIGINT) AS n_dup
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("multimodal", "video", "curation"),
+)
+def pipeline_video_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO CURATION CAPSTONE — the clip-dedup shape a video training
+    pipeline runs, composed end to end: (1) per-doc REAL decode of a
+    9-frame DIB AVI; (2) scene segmentation ON THE DECODED LUMINANCE
+    (threshold 15 on frame-mean jumps; the generator plants cuts at
+    frames 3 and 6 — the UDF raises if detection disagrees, so
+    segmentation is decode-driven, not formula-driven); (3) per-
+    segment content signature from the decoded pixels (lossless DIB ⇒
+    the sum is an exact fingerprint here; production swaps the
+    repo's pHash/dHash for near-dup tolerance); (4) DISTRIBUTED
+    cross-doc survivor election — segments shuffle once on the
+    signature, min (doc_id, seg_idx) wins, exactly the keep-first
+    discipline of pipeline_image_curation; (5) per-doc admission
+    ledger. Clip contents repeat across docs by construction (segments
+    0-1 repeat every 10 docs, segment 2 every 30), so the ledger
+    is closed-form: docs 0-9 admit all three segments, 10-29 admit
+    one, everyone else is a full duplicate.
+
+    Scale shape: decode stays in the Arrow narrow map (video bytes
+    never shuffle); only (doc_id, seg_idx, signature) triples — three
+    rows per doc — reach the dedup shuffle; the election and ledger
+    are two keyed aggregations."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    seg_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("seg_idx", T.LongType()),
+            T.StructField("sig", T.LongType()),
+        ]
+    )
+    w, h, nf = 10, 6, 9
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.avi import (
+            build_avi,
+            decode_avi_frames,
+            encode_dib_frame,
+        )
+
+        yy, xx = np.mgrid[0:h, 0:w]
+        tex = (yy * 3 + xx * 5) % 30
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                src = []
+                for f in range(nf):
+                    s, j = divmod(f, 3)
+                    extra = ((i // 10) % 3) * 10 if s == 2 else 0
+                    v = (s * 70 + (i % 10) + extra + j * 5 + tex).astype(
+                        np.uint8
+                    )
+                    src.append(np.repeat(v[:, :, None], 3, axis=2))
+                avi = build_avi(
+                    [encode_dib_frame(fr) for fr in src], w, h, "DIB",
+                    fps_rate=10,
+                )
+                _meta, dec = decode_avi_frames(avi)
+                means = [fr.astype(np.float64).mean() for fr in dec]
+                cuts = [
+                    f
+                    for f in range(1, nf)
+                    if abs(means[f] - means[f - 1]) > 15.0
+                ]
+                if cuts != [3, 6]:
+                    raise ValueError(
+                        f"doc {i}: scene detection found {cuts}, not [3, 6]"
+                    )
+                bounds = [0, *cuts, nf]
+                for s in range(len(bounds) - 1):
+                    seg = dec[bounds[s] : bounds[s + 1]]
+                    sig = int(
+                        sum(fr.astype(np.int64).sum() for fr in seg)
+                    )
+                    rows.append((doc_id, s, sig))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in seg_schema.fields]
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    segments = (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, seg_schema)
+    )
+    survivors = segments.groupBy("sig").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("keep")
+    )
+    judged = segments.join(survivors, "sig").withColumn(
+        "admitted",
+        (F.col("keep.doc_id") == F.col("doc_id"))
+        & (F.col("keep.seg_idx") == F.col("seg_idx")),
+    )
+    return (
+        judged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("admitted").cast("long")).alias("n_admitted"),
+            F.sum((~F.col("admitted")).cast("long")).alias("n_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_audio_caption_align",
     oracle="""
     WITH cues AS (

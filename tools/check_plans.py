@@ -761,6 +761,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
          r"Arguments: hashpartitioning"],
     ),
+    "pipeline_video_curation": (
+        # decode in the Arrow map; only signature triples shuffle —
+        # election + ledger are keyed aggregations, never all-pairs
+        [r"MapInPandas", r"HashAggregate"],
+        [r"BatchEvalPython", r"CartesianProduct",
+         r"BroadcastNestedLoopJoin"],
+    ),
     "search_hybrid_rrf": (
         # fused tail over the bounded candidate set: a top-k heap, and
         # NO window of any kind — the global row_numbers of the first

@@ -87,6 +87,266 @@ def parse_mp4_meta(b: bytes) -> dict:
     return out
 
 
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + btype + payload
+
+
+def _full(btype: bytes, version: int, payload: bytes) -> bytes:
+    return _box(btype, struct.pack(">I", version << 24) + payload)
+
+
+def build_mp4_mjpeg(
+    samples: list[tuple[int, bytes]],
+    width: int,
+    height: int,
+    timescale: int = 90000,
+    samples_per_chunk: int = 2,
+) -> bytes:
+    """MP4 with ONE Motion-JPEG video track: ``samples`` is
+    [(duration_in_timescale_ticks, jpeg_bytes)]. Layout
+    ftyp|mdat|moov; samples group into mdat chunks of
+    ``samples_per_chunk`` (a trailing partial chunk gets its own stsc
+    run), stts compresses equal-duration runs, stco carries absolute
+    chunk offsets — the full sample-table machinery, not a one-chunk
+    shortcut."""
+    if not samples:
+        raise ValueError("MP4 needs at least one sample")
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    sizes = [len(s) for _d, s in samples]
+    # chunk layout + stco offsets (mdat payload starts at ftyp+8)
+    chunks: list[list[int]] = [
+        list(range(i, min(i + samples_per_chunk, len(samples))))
+        for i in range(0, len(samples), samples_per_chunk)
+    ]
+    mdat_payload = b"".join(s for _d, s in samples)
+    offsets = []
+    pos = len(ftyp) + 8
+    for ch in chunks:
+        offsets.append(pos)
+        pos += sum(sizes[k] for k in ch)
+    mdat = _box(b"mdat", mdat_payload)
+    # stts: run-length over durations
+    runs: list[tuple[int, int]] = []
+    for d, _s in samples:
+        if runs and runs[-1][1] == d:
+            runs[-1] = (runs[-1][0] + 1, d)
+        else:
+            runs.append((1, d))
+    stts = _full(
+        b"stts", 0,
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">II", n, d) for n, d in runs),
+    )
+    # stsc: one entry per distinct samples-per-chunk run (1-based)
+    stsc_rows: list[tuple[int, int]] = []
+    for ci, ch in enumerate(chunks, start=1):
+        if not stsc_rows or stsc_rows[-1][1] != len(ch):
+            stsc_rows.append((ci, len(ch)))
+    stsc = _full(
+        b"stsc", 0,
+        struct.pack(">I", len(stsc_rows))
+        + b"".join(struct.pack(">III", fc, n, 1) for fc, n in stsc_rows),
+    )
+    stsz = _full(
+        b"stsz", 0,
+        struct.pack(">II", 0, len(sizes))
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stco = _full(
+        b"stco", 0,
+        struct.pack(">I", len(offsets))
+        + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    # VisualSampleEntry 'jpeg' (86 bytes incl. header)
+    vse = (
+        struct.pack(">I", 86)
+        + b"jpeg"
+        + bytes(6)                      # reserved
+        + struct.pack(">H", 1)          # data_reference_index
+        + bytes(16)                     # pre_defined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + bytes(4)                      # reserved
+        + struct.pack(">H", 1)          # frame_count
+        + bytes(32)                     # compressorname
+        + struct.pack(">Hh", 24, -1)    # depth, pre_defined
+    )
+    stsd = _full(b"stsd", 0, struct.pack(">I", 1) + vse)
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dinf = _box(
+        b"dinf",
+        _full(b"dref", 0, struct.pack(">I", 1) + _full(b"url ", 0, b"")[
+            :8
+        ] + struct.pack(">I", 1)),
+    )
+    total = sum(d for d, _s in samples)
+    vmhd = _full(b"vmhd", 0, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdhd = _full(
+        b"mdhd", 0,
+        struct.pack(">IIIIHH", 0, 0, timescale, total, 0x55C4, 0),
+    )
+    hdlr = _full(
+        b"hdlr", 0,
+        struct.pack(">I", 0) + b"vide" + bytes(12) + b"mjpeg\x00",
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(
+        b"tkhd", 0,
+        struct.pack(">IIIII", 0, 0, 1, 0, total)
+        + bytes(8)
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(
+        b"mvhd", 0,
+        struct.pack(">IIII", 0, 0, timescale, total)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + bytes(8)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + bytes(24)
+        + struct.pack(">I", 2),
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def mp4_samples(b: bytes) -> tuple[dict, list[tuple[int, bytes]]]:
+    """Sample-table walk (ISO 14496-12 §8.5-8.7): stsd codec +
+    dimensions, stts run expansion to per-sample timestamps, stsc
+    chunk-run → per-chunk sample counts, stsz sizes, stco offsets →
+    sample byte ranges. -> ({codec, width, height, timescale,
+    duration_ms, n_samples}, [(ts_ticks, sample_bytes)]). Malformed
+    tables raise ValueError (struct/bounds errors are converted —
+    the per-row fault-isolation contract)."""
+    try:
+        return _mp4_samples(b)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt ISOBMFF sample table: {exc}") from exc
+
+
+def _mp4_samples(b: bytes) -> tuple[dict, list[tuple[int, bytes]]]:
+    if b[4:8] != b"ftyp":
+        raise ValueError("not an ISOBMFF stream (no ftyp)")
+    stsd = stts = stsc = stsz = stco = None
+    timescale = None
+    for btype, p, q, _d in walk_boxes(b):
+        if btype == b"mdhd" and timescale is None:
+            ver = b[p]
+            timescale = struct.unpack_from(
+                ">I", b, p + (20 if ver == 1 else 12)
+            )[0]
+        elif btype == b"stsd" and stsd is None:
+            stsd = (p, q)
+        elif btype == b"stts" and stts is None:
+            stts = (p, q)
+        elif btype == b"stsc" and stsc is None:
+            stsc = (p, q)
+        elif btype == b"stsz" and stsz is None:
+            stsz = (p, q)
+        elif btype in (b"stco", b"co64") and stco is None:
+            stco = (btype, p, q)
+    if not all((stsd, stts, stsc, stsz, stco, timescale)):
+        raise ValueError("ISOBMFF stream lacks a complete sample table")
+    p, _q = stsd
+    (n_entries,) = struct.unpack_from(">I", b, p + 4)
+    if n_entries < 1:
+        raise ValueError("empty stsd")
+    codec = b[p + 12 : p + 16].decode("ascii", "replace")
+    width, height = struct.unpack_from(">HH", b, p + 8 + 8 + 24)
+    # stsz
+    p, q = stsz
+    fixed, n_samples = struct.unpack_from(">II", b, p + 4)
+    if fixed:
+        sizes = [fixed] * n_samples
+    else:
+        if p + 12 + 4 * n_samples > q:
+            raise ValueError("truncated stsz")
+        sizes = list(struct.unpack_from(f">{n_samples}I", b, p + 12))
+    # stts -> per-sample timestamps
+    p, q = stts
+    (n_runs,) = struct.unpack_from(">I", b, p + 4)
+    ts: list[int] = []
+    t = 0
+    for r in range(n_runs):
+        cnt, delta = struct.unpack_from(">II", b, p + 8 + 8 * r)
+        for _ in range(cnt):
+            ts.append(t)
+            t += delta
+    if len(ts) != n_samples:
+        raise ValueError(
+            f"stts covers {len(ts)} samples, stsz declares {n_samples}"
+        )
+    # stsc runs -> samples per chunk
+    p, q = stsc
+    (n_sc,) = struct.unpack_from(">I", b, p + 4)
+    sc = [
+        struct.unpack_from(">III", b, p + 8 + 12 * r)[:2]
+        for r in range(n_sc)
+    ]
+    # stco offsets
+    ctype, p, q = stco
+    (n_chunks,) = struct.unpack_from(">I", b, p + 4)
+    if ctype == b"stco":
+        offs = list(struct.unpack_from(f">{n_chunks}I", b, p + 8))
+    else:
+        offs = list(struct.unpack_from(f">{n_chunks}Q", b, p + 8))
+    # expand chunk runs and slice samples
+    out: list[tuple[int, bytes]] = []
+    si = 0
+    for ci in range(1, n_chunks + 1):
+        spc = None
+        for fc, n in sc:
+            if fc <= ci:
+                spc = n
+        if spc is None:
+            raise ValueError("stsc does not cover chunk 1")
+        pos = offs[ci - 1]
+        for _ in range(spc):
+            if si >= n_samples:
+                break
+            size = sizes[si]
+            if pos + size > len(b):
+                raise ValueError("sample range overruns file")
+            out.append((ts[si], b[pos : pos + size]))
+            pos += size
+            si += 1
+    if si != n_samples:
+        raise ValueError(
+            f"chunk layout yields {si} samples, stsz declares {n_samples}"
+        )
+    total = t
+    return (
+        {
+            "codec": codec,
+            "width": width,
+            "height": height,
+            "timescale": timescale,
+            "duration_ms": total * 1000 // timescale,
+            "n_samples": n_samples,
+        },
+        out,
+    )
+
+
+def decode_mp4_frames(b: bytes):
+    """Full pixel decode through the MP4 seam: sample-table walk +
+    per-sample codec dispatch — 'jpeg' (QuickTime Motion-JPEG) rides
+    functions/jpeg.py; other codecs (avc1/hvc1/vp09/av01) raise
+    NotImplementedError. -> (meta, [(ts_ms, (h, w, ch) uint8)])."""
+    from .jpeg import decode_jpeg
+
+    meta, samples = mp4_samples(b)
+    if meta["codec"] != "jpeg":
+        raise NotImplementedError(f"MP4 sample codec {meta['codec']!r}")
+    scale = meta["timescale"]
+    return meta, [
+        (ts * 1000 // scale, decode_jpeg(s)) for ts, s in samples
+    ]
+
+
 def avif_dimensions(b: bytes) -> tuple[int, int]:
     """AVIF/HEIF pixel dimensions from the ispe property (ISO 23008-12
     §6.5.3: FullBox with uint32 width, height) — found by walking

@@ -1915,6 +1915,126 @@ def multimodal_avi_mjpeg_scene_cuts(
 
 
 @register(
+    "multimodal_mp4_mjpeg_decode",
+    oracle="""
+    WITH f AS (
+        SELECT d.doc_id, g.f,
+               CASE WHEN g.f < 2 THEN g.f * 100
+                    ELSE 200 + (g.f - 2) * 50 END AS ts_ms,
+               55 + ((d.doc_id * 7 + g.f * 41) % 5) * 35 AS lum
+        FROM documents d, unnest(generate_series(0, 4)) AS g(f)
+    )
+    SELECT doc_id,
+           CAST(5 AS BIGINT) AS n_samples,
+           CAST(32 AS BIGINT) AS width,
+           CAST(24 AS BIGINT) AS height,
+           CAST(350 AS BIGINT) AS duration_ms,
+           CAST(sum(ts_ms) AS BIGINT) AS ts_sum,
+           CAST(count(*) FILTER (WHERE lum >= 125) AS BIGINT) AS n_bright,
+           CAST(1 AS BIGINT) AS fidelity_ok
+    FROM f GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("multimodal", "video"),
+)
+def multimodal_mp4_mjpeg_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VIDEO FRAME DECODE through the MP4 seam — the sample-table
+    machinery (ISO 14496-12) the r4 box walker stopped short of. Each
+    doc's clip exercises the real layout: stts with TWO duration runs
+    (2×9000 then 3×4500 ticks at timescale 90000 → the oracle's ts_sum
+    is wrong unless run expansion is exact), stsc with a trailing
+    partial chunk (5 samples in chunks of 2 → runs [1→2, 3→1]), stsz
+    per-sample sizes, and stco absolute offsets into mdat; every
+    'jpeg' (QuickTime Motion-JPEG) sample then decodes to pixels
+    through functions/jpeg.py, and n_bright classifies frames by
+    DECODED mean luminance against the designed levels (55..195 step
+    35, threshold 125 — outside q90 noise). avc1/hvc1/vp09/av01
+    sample codecs raise NotImplementedError — honest gate. With AVI
+    and Matroska this completes frame-level decode across all three
+    containers web video ships in.
+
+    Scale shape: Arrow-batched narrow map, zero shuffle of video
+    bytes — the SCALE.md multimodal envelope."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("ts_sum", T.LongType()),
+            T.StructField("n_bright", T.LongType()),
+            T.StructField("fidelity_ok", T.LongType()),
+        ]
+    )
+    w, h, nf = 32, 24, 5
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.isobmff import build_mp4_mjpeg, decode_mp4_frames
+        from ..functions.jpeg import encode_jpeg_baseline
+
+        yy, xx = np.mgrid[0:h, 0:w]
+        texture = (xx + yy * 2) % 7
+        durs = [9000, 9000, 4500, 4500, 4500]  # two stts runs
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                src = []
+                for f in range(nf):
+                    lum = 55 + ((i * 7 + f * 41) % 5) * 35
+                    gray = np.clip(lum + texture, 0, 255).astype(np.uint8)
+                    src.append(np.repeat(gray[:, :, None], 3, axis=2))
+                mp4 = build_mp4_mjpeg(
+                    [
+                        (durs[f], encode_jpeg_baseline(src[f], quality=90))
+                        for f in range(nf)
+                    ],
+                    w,
+                    h,
+                )
+                meta, dec = decode_mp4_frames(mp4)
+                n_bright = sum(
+                    1
+                    for _ts, fr in dec
+                    if fr[..., 0].astype(np.float64).mean() >= 125.0
+                )
+                err = max(
+                    int(np.abs(a.astype(int) - fr.astype(int)).max())
+                    for a, (_ts, fr) in zip(src, dec)
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        meta["n_samples"],
+                        meta["width"],
+                        meta["height"],
+                        meta["duration_ms"],
+                        sum(ts for ts, _fr in dec),
+                        n_bright,
+                        int(err <= 16),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "pipeline_video_curation",
     oracle="""
     SELECT doc_id,

@@ -648,3 +648,80 @@ def test_mkv_fuzz_contract():
         10, 12, lacing="xiph", frames_per_cluster=2,
     )
     _assert_contract("mkv", mkv, decode_mkv_frames)
+
+
+def test_mp4_sample_table_walk_and_decode():
+    """ISO 14496-12 sample tables (r10): stts run expansion, stsc
+    partial-chunk layout, stsz/stco slicing, and 'jpeg' sample decode
+    through functions/jpeg.py; foreign codecs gate by name."""
+    import numpy as np
+    import pytest
+
+    from articulation_vector_db_api_spark.functions.isobmff import (
+        build_mp4_mjpeg,
+        decode_mp4_frames,
+        mp4_samples,
+        parse_mp4_meta,
+    )
+    from articulation_vector_db_api_spark.functions.jpeg import (
+        encode_jpeg_baseline,
+    )
+
+    px = [np.full((24, 32, 3), 30 + 40 * i, dtype=np.uint8) for i in range(5)]
+    jp = [encode_jpeg_baseline(f, quality=90) for f in px]
+    durs = [9000, 9000, 4500, 4500, 4500]  # two stts runs
+    mp4 = build_mp4_mjpeg(list(zip(durs, jp)), 32, 24)
+
+    meta, samples = mp4_samples(mp4)
+    assert meta == {
+        "codec": "jpeg", "width": 32, "height": 24, "timescale": 90000,
+        "duration_ms": 350, "n_samples": 5,
+    }
+    # run expansion: 0,100,200 then 250,300 ms
+    assert [t for t, _s in samples] == [0, 9000, 18000, 22500, 27000]
+    # chunking of 2 with a trailing partial chunk still slices exactly
+    assert [s for _t, s in samples] == jp
+
+    _m, dec = decode_mp4_frames(mp4)
+    assert [t for t, _f in dec] == [0, 100, 200, 250, 300]
+    assert all(
+        np.abs(a.astype(int) - f.astype(int)).max() <= 4
+        for a, (_t, f) in zip(px, dec)
+    )
+    # the r4 metadata walker still reads the same file
+    assert parse_mp4_meta(mp4)["tracks"][0] == {
+        "track_id": 1, "width": 32, "height": 24,
+    }
+
+    # foreign sample codec gates by name
+    bad = bytearray(mp4)
+    at = bytes(bad).find(b"jpeg", bytes(bad).find(b"stsd"))
+    bad[at:at + 4] = b"avc1"
+    with pytest.raises(NotImplementedError, match="avc1"):
+        decode_mp4_frames(bytes(bad))
+
+    # inconsistent stsz vs stts is a hard error
+    bad2 = bytearray(mp4)
+    at = bytes(bad2).find(b"stts") + 4 + 4
+    bad2[at:at + 4] = (1).to_bytes(4, "big")  # one run only
+    with pytest.raises(ValueError):
+        mp4_samples(bytes(bad2))
+
+
+def test_mp4_fuzz_contract():
+    import numpy as np
+
+    from articulation_vector_db_api_spark.functions.isobmff import (
+        build_mp4_mjpeg,
+        decode_mp4_frames,
+    )
+    from articulation_vector_db_api_spark.functions.jpeg import (
+        encode_jpeg_baseline,
+    )
+    from tests.test_fuzz_contracts import _assert_contract
+
+    px = [np.full((12, 10, 3), 40 * i + 9, dtype=np.uint8) for i in range(3)]
+    mp4 = build_mp4_mjpeg(
+        [(3000, encode_jpeg_baseline(f, 90)) for f in px], 10, 12
+    )
+    _assert_contract("mp4-samples", mp4, decode_mp4_frames)

@@ -761,6 +761,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
          r"Arguments: hashpartitioning"],
     ),
+    "multimodal_mp4_mjpeg_decode": (
+        [r"MapInPandas"],
+        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
+         r"Arguments: hashpartitioning"],
+    ),
     "pipeline_video_curation": (
         # decode in the Arrow map; only signature triples shuffle —
         # election + ledger are keyed aggregations, never all-pairs

@@ -173,11 +173,13 @@ def build_mp4_mjpeg(
     )
     stsd = _full(b"stsd", 0, struct.pack(">I", 1) + vse)
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    # one self-contained 'url ' entry (flags=1: data in this file)
     dinf = _box(
         b"dinf",
-        _full(b"dref", 0, struct.pack(">I", 1) + _full(b"url ", 0, b"")[
-            :8
-        ] + struct.pack(">I", 1)),
+        _full(
+            b"dref", 0,
+            struct.pack(">I", 1) + _box(b"url ", struct.pack(">I", 1)),
+        ),
     )
     total = sum(d for d, _s in samples)
     vmhd = _full(b"vmhd", 0, struct.pack(">HHHH", 0, 0, 0, 0))

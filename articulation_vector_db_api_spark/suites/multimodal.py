@@ -1675,6 +1675,7 @@ def multimodal_ogg_flac_roundtrip(
 
 @register(
     "multimodal_avi_dib_roundtrip",
+    headline=True,  # r10: the video family's bench representative
     oracle="""
     WITH vids AS (
         SELECT doc_id, 4 + doc_id % 3 AS n_frames FROM documents
@@ -2036,6 +2037,7 @@ def multimodal_mp4_mjpeg_decode(
 
 @register(
     "pipeline_video_curation",
+    headline=True,  # r10: the video family's bench representative
     oracle="""
     SELECT doc_id,
            CAST(3 AS BIGINT) AS n_segments,
@@ -2414,6 +2416,7 @@ def multimodal_mkv_mjpeg_decode(
 
 @register(
     "multimodal_video_caption_align",
+    headline=True,  # r10: the video family's bench representative
     oracle="""
     WITH cues AS (
         SELECT d.doc_id, j.j AS cue_idx,

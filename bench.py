@@ -416,7 +416,18 @@ def main() -> None:
                 and timings[q] / prev_q[q] > 1.3 * cal_mult
             )
 
-        # phase 2: re-measure flagged queries in fresh subprocess
+        # phase 1.5: flagged queries get extra SAME-SESSION runs first —
+        # best-of-2/3 on a sub-second query often catches the JIT still
+        # warming (r10: two flags at 1.4-1.7x converged to their prior-
+        # round steady state by run 4-6), and this is far cheaper than
+        # a subprocess rerun
+        for q in flagged()[: 2 * _MAX_ISOLATED]:
+            timings[q] = min(
+                timings[q],
+                _best_of(_runner(spark, sf_dir, registry, q)),
+            )
+
+        # phase 2: re-measure still-flagged queries in fresh subprocess
         # sessions; the clean number replaces the shared one when
         # smaller, so a surviving flag is a real code regression
         isolated: dict[str, float] = {}

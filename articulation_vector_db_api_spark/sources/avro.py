@@ -233,7 +233,19 @@ def _parse_type(t, names: dict | None = None, namespace=None) -> tuple:
 
 def parse_schema(schema_json: str) -> list[tuple[str, tuple, bool]]:
     """schema JSON -> [(field_name, type_tree, nullable)]. The tree
-    already includes the union_null wrapper when nullable."""
+    already includes the union_null wrapper when nullable. A schema
+    document missing required keys (fields/name/type/items/...) is a
+    MALFORMED schema: KeyError/TypeError from the walk convert to
+    ValueError, keeping the module's exception contract."""
+    try:
+        return _parse_schema(schema_json)
+    except (KeyError, TypeError, AttributeError) as exc:
+        raise ValueError(
+            f"malformed Avro schema document: {exc!r}"
+        ) from exc
+
+
+def _parse_schema(schema_json: str) -> list[tuple[str, tuple, bool]]:
     sch = json.loads(schema_json)
     if not isinstance(sch, dict) or sch.get("type") != "record":
         raise NotImplementedError("top-level Avro schema must be a record")

@@ -123,7 +123,11 @@ def _inflate_member(raw: bytes) -> bytes:
     if raw[:2] != b"\x1f\x8b":
         return raw
     d = zlib.decompressobj(wbits=31)
-    record = d.decompress(raw)
+    try:
+        record = d.decompress(raw)
+    except zlib.error as exc:
+        # corrupt member bytes are a malformed archive, not a crash
+        raise ValueError(f"corrupt WARC gzip member: {exc}") from exc
     if not d.eof:
         raise ValueError("gzip member extends past its index entry")
     return record
@@ -140,7 +144,12 @@ def read_members_range(path: str, start: int, end: int, n_records: int):
     for _ in range(n_records):
         if raw[pos : pos + 2] == b"\x1f\x8b":
             d = zlib.decompressobj(wbits=31)
-            record = d.decompress(raw[pos:])
+            try:
+                record = d.decompress(raw[pos:])
+            except zlib.error as exc:
+                raise ValueError(
+                    f"corrupt WARC gzip member: {exc}"
+                ) from exc
             consumed = (end - start - pos) - len(d.unused_data)
         else:
             # uncompressed member: header length + block + terminator

@@ -215,3 +215,67 @@ def test_mutation_engine_is_deterministic():
     assert a == b
     with pytest.raises(AssertionError):
         _assert_contract("boom", b"xx", lambda _b: (_ for _ in ()).throw(KeyError("k")), n=3)
+
+
+def test_fuzz_source_containers(tmp_path):
+    """The source-reader seams parse untrusted bytes too: the Avro
+    object-container read path (header + block walk + row decode,
+    incl. the schema JSON inside the header metadata) and the WARC
+    member-range reader must keep the ValueError contract under
+    mutation."""
+    import json
+
+    from articulation_vector_db_api_spark.sources import avro as AV
+    from articulation_vector_db_api_spark.sources import warc as W
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "s", "type": ["null", "string"]},
+                {"name": "v", "type": ["int", "double"]},
+                {"name": "tags", "type": {"type": "array", "items": "string"}},
+            ],
+        }
+    )
+    rows = [
+        (i, f"s{i}" if i % 3 else None, float(i) / 2 if i % 2 else i,
+         [f"t{i}", "x"])
+        for i in range(40)
+    ]
+    apath = str(tmp_path / "f.avro")
+    AV.write_container(apath, schema, rows, codec="deflate",
+                       records_per_block=16)
+    abase = (tmp_path / "f.avro").read_bytes()
+    fz = str(tmp_path / "f.avro.fz")
+
+    def parse_avro(b):
+        with open(fz, "wb") as f:
+            f.write(b)
+        AV.read_header(fz)
+        for off, _ln in AV.block_offsets(fz):
+            list(AV.read_block(fz, off))
+
+    _assert_contract("avro-container", abase, parse_avro)
+
+    wpath = str(tmp_path / "f.warc.gz")
+    W.write_warc(
+        wpath,
+        [
+            ("response", f"http://x/{i}",
+             b"HTTP/1.1 200 OK\r\n\r\n" + b"body" * i)
+            for i in range(12)
+        ],
+    )
+    wbase = (tmp_path / "f.warc.gz").read_bytes()
+    n = len(W.read_index(wpath))
+    wfz = str(tmp_path / "g.warc.gz")
+
+    def parse_warc(b):
+        with open(wfz, "wb") as f:
+            f.write(b)
+        list(W.read_members_range(wfz, 0, len(b), n))
+
+    _assert_contract("warc-members", wbase, parse_warc)

@@ -368,6 +368,11 @@ def decode_pixels(payload: bytes) -> np.ndarray:
         # lossless WebP decodes natively (functions/vp8l.py); lossy
         # VP8 raises NotImplementedError from inside the chunk walk
         dec = decode_vp8l
+    elif b[:4] == b"qoif":
+        from .qoi import decode_qoi
+
+        # QOI decodes natively (functions/qoi.py, lossless)
+        dec = decode_qoi
     elif b[:4] in (b"II*\x00", b"MM\x00*"):
         from .tiff import decode_tiff
 

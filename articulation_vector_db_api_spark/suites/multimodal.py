@@ -587,6 +587,109 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_qoi_roundtrip",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               list_transform(range(32), j ->
+                   (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 2, 1)) - 1)
+               ) AS bytes
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(12 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(3 * list_sum(bytes) AS BIGINT) AS px_sum,
+           CAST(list_min(bytes) AS BIGINT) AS px_min,
+           CAST(list_max(bytes) AS BIGINT) AS px_max,
+           CAST(1 AS BIGINT) AS exact_ok
+    FROM px
+    ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+)
+def multimodal_qoi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL QOI codec proof, oracle-checked per row: each doc's
+    sha256(doc_id) digest tiles a 12×8 RGB image (digest byte d at
+    every channel of pixel d's tile position, repeated 3× down the
+    image so RUN, INDEX, DIFF and LUMA ops all fire) encoded and
+    decoded by functions/qoi.py. QOI is LOSSLESS, so arbitrary bytes
+    must reproduce exactly: the channel sum is 3× the digest sum and
+    min/max equal the digest's — plus exact_ok pins decoded ==
+    source per pixel. QOI is the one modern format whose whole spec
+    is closed-form (no literal tables), so unlike JPEG/Vorbis there
+    is no approximation tier at all; op-level vectors live in
+    tests/test_qoi.py and the seam joins the mutation-fuzz contract.
+
+    Scale shape: identical to the PNG/GIF/WebP roundtrips — one
+    Arrow-batched narrow map, only stats rows leave the executor."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("px_sum", T.LongType()),
+            T.StructField("px_min", T.LongType()),
+            T.StructField("px_max", T.LongType()),
+            T.StructField("exact_ok", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from ..functions.pixels import decode_pixels
+        from ..functions.qoi import encode_qoi
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                digest = hashlib.sha256(str(int(doc_id)).encode()).digest()
+                tile = np.frombuffer(digest, dtype=np.uint8).reshape(4, 8)
+                gray = np.tile(tile, (3, 1))  # 12x8, three digest bands
+                src = np.repeat(gray[:, :, None], 3, axis=2).copy()
+                dec = decode_pixels(encode_qoi(src))
+                d = np.frombuffer(digest, dtype=np.uint8).astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        dec.shape[1],
+                        dec.shape[0],
+                        dec.shape[2],
+                        # one band's channel sum == digest sum; 3 bands
+                        # x 3 channels / 3 = 3x digest sum per channel
+                        int(dec[:4, :, 0].astype(np.int64).sum()) * 3,
+                        int(dec.min()),
+                        int(dec.max()),
+                        int((dec == src).all()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_webp_roundtrip",
     oracle="""
     WITH px AS (

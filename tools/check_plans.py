@@ -761,6 +761,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
          r"Arguments: hashpartitioning"],
     ),
+    "multimodal_qoi_roundtrip": (
+        [r"MapInPandas"],
+        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
+         r"Arguments: hashpartitioning"],
+    ),
     "multimodal_mp4_mjpeg_decode": (
         [r"MapInPandas"],
         [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",

@@ -251,11 +251,11 @@ _VERIFIED = frozenset(
 #    prefix-sum decile replacing the global ntile), and
 #    text_bpe_learn_merges_batched (newly oracle-backed: batch run
 #    asserted equal to the sequential unrolled-CTE oracle).
-# 2. _WINDOW_RESEAT: the 39 stalest remaining rows by latest driver
+# 2. _WINDOW_RESEAT: the 38 stalest remaining rows by latest driver
 #    contact — all 5 r2-vintage (ann_ivf_exact, ann_lsh_bucketed,
 #    similarity_join_lsh_bucket, similarity_knn_batch,
-#    similarity_near_dup_cosine) then 34 of the 44 r3-vintage
-#    (similarity/ANN block, textops block, UDF block). The 10 leftover
+#    similarity_near_dup_cosine) then 33 of the 44 r3-vintage
+#    (similarity/ANN block, textops block, UDF block). The 11 leftover
 #    r3 rows plus the 35 r4-vintage rotate in r11.
 _WINDOW_FIRST = (
     "search_hybrid_rrf",
@@ -274,6 +274,7 @@ _WINDOW_FIRST = (
     "pipeline_video_curation",
     "multimodal_mp4_mjpeg_decode",
     "multimodal_qoi_roundtrip",
+    "curation_model_quality_score",
 )
 _WINDOW_RESEAT = (
     "ann_ivf_exact", "ann_lsh_bucketed", "similarity_join_lsh_bucket",
@@ -292,7 +293,6 @@ _WINDOW_RESEAT = (
     "scan_jsonlines_nested", "scd2_user_event_history", "search_bm25",
     "text_char_bigram_lm", "text_contamination_overlap",
     "text_fingerprint", "text_inverted_index", "text_langid",
-    "text_pii_scrub",
 )
 # Suite order for the rest of the unverified front (round-5 additions):
 # cheap scalar/relational families first, expensive similarity last.

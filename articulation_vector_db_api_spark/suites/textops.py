@@ -14,7 +14,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import sha_hash32, sha_hash32_sql
+from ..functions.hashing import hex_to_u32_sql, sha_hash32, sha_hash32_sql
 from ..functions.numeric import davg, davg_sql
 from ..registry import register
 from ..sources.readers import load_table
@@ -1826,6 +1826,93 @@ def curation_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("weight_micro"), "doc_id")
         .limit(50)
+    )
+
+
+@register(
+    "curation_model_quality_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           w -> length(w) >= 2) AS ws
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    bg AS (
+        SELECT doc_id, ws[u.i] || ' ' || ws[u.i + 1] AS bg
+        FROM toks, unnest(range(1, len(ws))) AS u(i)
+    ),
+    hx AS (SELECT doc_id, sha256('17:' || bg) AS hhex FROM bg),
+    hashed AS (
+        SELECT doc_id, {hex_to_u32_sql("hhex")} % 2001 - 1000 AS w
+        FROM hx
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(w) AS BIGINT) AS logit,
+           CAST(CASE WHEN sum(w) > 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS label_keep
+    FROM hashed GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("textops", "curation"),
+)
+def curation_model_quality_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MODEL-BASED quality filtering — the classifier tier above the
+    heuristic gates (curation_gopher_rules) and below an LLM judge:
+    CCNet/fastText-style scoring where each document's bigrams index a
+    HASHED weight vector and the doc's keep/drop label is the sign of
+    the summed logit. The fastText hashing trick is the scale story:
+    the "model" is a pure function of the feature hash (here a seeded
+    sha32 → integer weight in [-1000, 1000]), so there is NO weight
+    table to broadcast, no vocabulary state, and scoring is one
+    map-side explode + one doc-keyed aggregation at any corpus size —
+    swap the hash-derived weights for trained ones and the plan is
+    unchanged. Integer weights keep the logit partition-count-exact
+    (the micro-nat discipline of text_perplexity_score).
+
+    Fixture weights are sha-derived rather than trained — the engine
+    operator under test is the feature extraction + hashed lookup +
+    signed aggregation, which the oracle replays hash-for-hash."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    from ..functions.hashing import sha_hash32
+
+    words = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda w: F.length(w) >= 2,
+        ).alias("ws"),
+    )
+    bigrams = F.filter(
+        F.transform(
+            F.col("ws"),
+            lambda x, i: F.struct(
+                x.alias("w1"),
+                F.try_element_at(F.col("ws"), i + 2).alias("w2"),
+            ),
+        ),
+        lambda p: p["w2"].isNotNull(),
+    )
+    bg = words.select(
+        "doc_id",
+        F.explode(bigrams).alias("b"),
+    ).select("doc_id", F.concat_ws(" ", "b.w1", "b.w2").alias("bg"))
+    scored = bg.select(
+        "doc_id",
+        (sha_hash32(F.col("bg"), seed=17) % 2001 - 1000).alias("w"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("w").alias("logit"),
+        )
+        .withColumn("label_keep", (F.col("logit") > 0).cast("long"))
+        .orderBy("doc_id")
     )
 
 

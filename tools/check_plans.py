@@ -538,6 +538,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"FlatMapGroupsInPandas"],
         [r"\bWindow\b", r"BatchEvalPython", r"SortMergeJoin"],
     ),
+    "curation_model_quality_score": (
+        # the fastText hashing trick's plan shape: NO model table, NO
+        # join anywhere — one explode + one doc-keyed partial+final agg
+        [r"partial_count", r"partial_sum", r"Generate"],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"CartesianProduct",
+         r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
     "curation_gopher_rules": (
         # single scan: one explode, (doc_id,tok) partial counts
         # map-side, then every rule folds into ONE per-doc aggregation

@@ -245,12 +245,15 @@ _VERIFIED = frozenset(
 # Round-10 window (VERDICT r9 items 1-3, 5: rotate the driver window
 # onto the stalest evidence; re-seat every query whose plan changed
 # this round):
-# 1. _WINDOW_FIRST: the three queries materially changed in r10 —
-#    search_hybrid_rrf (per-shard top-k' rank replacing the
-#    partition-less Window), agg_revenue_concentration (bucket
-#    prefix-sum decile replacing the global ntile), and
-#    text_bpe_learn_merges_batched (newly oracle-backed: batch run
-#    asserted equal to the sequential unrolled-CTE oracle).
+# 1. _WINDOW_FIRST: the 12 queries materially changed or added in r10
+#    — the three rewrites (search_hybrid_rrf's staged exact fusion,
+#    agg_revenue_concentration's prefix-sum decile, the batched BPE
+#    trainer's new unrolled-batched-algorithm oracle) and the nine
+#    additions (AVI DIB/MJPEG frame decode, video/audio caption
+#    alignment, Matroska and MP4 frame decode, the video-curation
+#    capstone, the QOI codec roundtrip, and the hashed-linear quality
+#    model). Each parity-proven locally at sf0.001/0.01/0.1 before
+#    seating.
 # 2. _WINDOW_RESEAT: the 38 stalest remaining rows by latest driver
 #    contact — all 5 r2-vintage (ann_ivf_exact, ann_lsh_bucketed,
 #    similarity_join_lsh_bucket, similarity_knn_batch,

@@ -279,3 +279,31 @@ def test_fuzz_source_containers(tmp_path):
         list(W.read_members_range(wfz, 0, len(b), n))
 
     _assert_contract("warc-members", wbase, parse_warc)
+
+
+def test_fuzz_text_extractors():
+    """The reference-parity extraction seams (PDF O2 path, HTML main
+    text) keep the contract under mutation too."""
+    import glob
+
+    from articulation_vector_db_api_spark.functions.htmltext import (
+        extract_main_text,
+    )
+    from articulation_vector_db_api_spark.functions.pdftext import (
+        extract_pdf_text,
+    )
+
+    pdfs = sorted(glob.glob("/root/reference/pdfs/*.pdf"))
+    if pdfs:
+        base = open(pdfs[0], "rb").read()[:40000]
+        _assert_contract("pdftext", base, extract_pdf_text)
+    html = (
+        b"<html><head><title>t</title><style>x{}</style></head><body>"
+        b"<nav>menu</nav><p>Real paragraph one with words.</p>"
+        b"<p>Two <a href='u'>link</a>.</p><script>junk</script>"
+        b"</body></html>"
+    )
+    _assert_contract(
+        "htmltext", html,
+        lambda b: extract_main_text(b.decode("utf-8", "replace")),
+    )

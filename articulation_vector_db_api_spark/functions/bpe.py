@@ -129,7 +129,11 @@ def _candidate_window(take: int) -> int:
 
 
 def learn_bpe_merges(
-    spark: SparkSession, vocab: DataFrame, n_merges: int, batch: int = 1
+    spark: SparkSession,
+    vocab: DataFrame,
+    n_merges: int,
+    batch: int = 1,
+    strict_batches: bool = False,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from a (word STRING, n BIGINT)
     frequency frame; returns a DataFrame
@@ -187,6 +191,14 @@ def learn_bpe_merges(
         picked = _pick_disjoint(
             [(row["l"], row["r"], int(row["pn"])) for row in top], take
         )
+        if strict_batches and picked and len(picked) < take:
+            # an unrolled fixed-round oracle (rank literals per slot)
+            # cannot represent an under-filled round — fail loudly
+            # instead of silently desynchronizing from it
+            raise ValueError(
+                f"BPE round under-filled: {len(picked)}/{take} disjoint "
+                f"picks from a {len(top)}-candidate window"
+            )
         for l, r, pn in picked:
             merges.append((len(merges) + 1, l, r, l + r, pn))
         if len(picked) == 1:

@@ -191,8 +191,10 @@ def mkv_frames(payload: bytes) -> list[tuple[int, int, bytes]]:
     b = bytes(payload)
     if b[:4] != _EBML.to_bytes(4, "big"):
         raise ValueError("not an EBML stream")
+    # pass 1: TimestampScale — Matroska does NOT mandate Info before
+    # Clusters (seek-head layouts place it after), so the scale must
+    # be resolved before any cluster timestamp is converted
     ts_scale = 1_000_000
-    out: list[tuple[int, int, bytes]] = []
     for eid, p, q in _walk(b, 0, len(b)):
         if eid != _SEGMENT:
             continue
@@ -201,6 +203,11 @@ def mkv_frames(payload: bytes) -> list[tuple[int, int, bytes]]:
                 for iid, ip, iq in _walk(b, cp, cq):
                     if iid == _TS_SCALE:
                         ts_scale = _uint(b, ip, iq)
+    out: list[tuple[int, int, bytes]] = []
+    for eid, p, q in _walk(b, 0, len(b)):
+        if eid != _SEGMENT:
+            continue
+        for cid, cp, cq in _walk(b, p, q):
             if cid != _CLUSTER:
                 continue
             cluster_ts = 0

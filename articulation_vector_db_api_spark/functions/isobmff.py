@@ -258,22 +258,35 @@ def _mp4_samples(b: bytes) -> tuple[dict, list[tuple[int, bytes]]]:
         raise ValueError("empty stsd")
     codec = b[p + 12 : p + 16].decode("ascii", "replace")
     width, height = struct.unpack_from(">HH", b, p + 8 + 8 + 24)
-    # stsz
+    # stsz — bound the declared count BEFORE any expansion: counts are
+    # attacker-controlled, and a stomped 0xFFFFFFFF must be a cheap
+    # ValueError, never a multi-GB list build (the Vorbis-hang lesson)
     p, q = stsz
     fixed, n_samples = struct.unpack_from(">II", b, p + 4)
+    if n_samples > len(b):
+        raise ValueError(
+            f"stsz declares {n_samples} samples in a {len(b)}-byte file"
+        )
     if fixed:
         sizes = [fixed] * n_samples
     else:
         if p + 12 + 4 * n_samples > q:
             raise ValueError("truncated stsz")
         sizes = list(struct.unpack_from(f">{n_samples}I", b, p + 12))
-    # stts -> per-sample timestamps
+    # stts -> per-sample timestamps; run counts must stay within the
+    # declared sample total at every step (no expansion past it)
     p, q = stts
     (n_runs,) = struct.unpack_from(">I", b, p + 4)
+    if p + 8 + 8 * n_runs > q:
+        raise ValueError("truncated stts")
     ts: list[int] = []
     t = 0
     for r in range(n_runs):
         cnt, delta = struct.unpack_from(">II", b, p + 8 + 8 * r)
+        if len(ts) + cnt > n_samples:
+            raise ValueError(
+                f"stts covers more than the {n_samples} stsz samples"
+            )
         for _ in range(cnt):
             ts.append(t)
             t += delta
@@ -284,6 +297,8 @@ def _mp4_samples(b: bytes) -> tuple[dict, list[tuple[int, bytes]]]:
     # stsc runs -> samples per chunk
     p, q = stsc
     (n_sc,) = struct.unpack_from(">I", b, p + 4)
+    if p + 8 + 12 * n_sc > q:
+        raise ValueError("truncated stsc")
     sc = [
         struct.unpack_from(">III", b, p + 8 + 12 * r)[:2]
         for r in range(n_sc)

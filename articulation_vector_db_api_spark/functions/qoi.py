@@ -109,6 +109,13 @@ def decode_qoi(b: bytes) -> np.ndarray:
     n = w * h
     if not 0 < n <= 64_000_000:
         raise ValueError(f"QOI dimensions {w}x{h} out of range")
+    # cheapest possible encoding is one 62-pixel RUN per byte — a
+    # header claiming more pixels than the stream could carry must be
+    # a cheap ValueError, not a large allocation followed by one
+    if len(b) - 22 < n // 62:
+        raise ValueError(
+            f"QOI stream too short for {w}x{h} pixels"
+        )
     out = np.empty((n, 4), dtype=np.uint8)
     index = [(0, 0, 0, 0)] * 64
     r, g, bl, a = 0, 0, 0, 255

@@ -47,7 +47,14 @@ def build_vtt(cues: list[tuple[int, int, str]]) -> str:
     for i, (start, end, text) in enumerate(cues):
         if end <= start:
             raise ValueError(f"cue {i}: end {end} <= start {start}")
-        if "\n\n" in text or text.strip() != text or not text:
+        # any whitespace-only line would split the cue at parse time
+        # (the parser's block separator is lines whose strip() is
+        # empty), so the builder must refuse what its parser rejects
+        if (
+            not text
+            or text.strip() != text
+            or any(not ln.strip() for ln in text.split("\n"))
+        ):
             raise ValueError(f"cue {i}: unencodable payload {text!r}")
         parts.append(str(i + 1))
         parts.append(f"{_fmt_ts(start)} --> {_fmt_ts(end)}")
@@ -60,10 +67,12 @@ def parse_vtt(doc: str) -> list[dict]:
     """WebVTT text -> [{start_ms, end_ms, text}] in file order.
 
     Accepts optional cue identifiers, optional hours in timestamps,
-    cue-settings after the end timestamp (ignored), multi-line
-    payloads, and NOTE/STYLE/REGION blocks. Raises ValueError for a
-    missing WEBVTT magic, malformed timings, or non-increasing cue
-    times."""
+    space- or tab-separated cue-settings after the end timestamp
+    (ignored), multi-line payloads, and NOTE/STYLE/REGION comment
+    blocks (a block is a comment only when the keyword stands alone —
+    "NOTE_scene_1" is a valid cue identifier, not a comment). Raises
+    ValueError for a missing WEBVTT magic, malformed timings, empty
+    payloads, or cue start times that go backwards."""
     if doc.startswith("﻿"):
         doc = doc[1:]
     lines = doc.replace("\r\n", "\n").replace("\r", "\n").split("\n")
@@ -84,7 +93,10 @@ def parse_vtt(doc: str) -> list[dict]:
         blocks.append(cur)
     for block in blocks:
         head = block[0].strip()
-        if head.startswith(("NOTE", "STYLE", "REGION")):
+        # a comment block is the bare keyword (optionally followed by
+        # whitespace-separated text) — "NOTE_scene_1" is a cue id
+        kw = head.split(None, 1)[0] if head else ""
+        if kw in ("NOTE", "STYLE", "REGION"):
             continue
         idx = 0
         if "-->" not in block[0]:
@@ -99,10 +111,16 @@ def parse_vtt(doc: str) -> list[dict]:
         except ValueError as exc:
             raise ValueError(f"bad WebVTT timing line {timing!r}") from exc
         start = _parse_ts(left.strip())
-        # cue settings may follow the end timestamp
-        end = _parse_ts(right.strip().split(" ")[0])
+        # space- or tab-separated cue settings may follow the end
+        # timestamp; split() handles any whitespace run
+        end = _parse_ts(right.split()[0] if right.split() else right)
         if end <= start:
             raise ValueError(f"WebVTT cue ends before it starts: {timing!r}")
+        if cues and start < cues[-1]["start_ms"]:
+            raise ValueError(
+                f"WebVTT cue start {start} ms goes backwards "
+                f"(previous {cues[-1]['start_ms']} ms)"
+            )
         text = "\n".join(block[idx + 1 :])
         if not text:
             raise ValueError(f"WebVTT cue with empty payload: {timing!r}")

@@ -2270,7 +2270,8 @@ def pipeline_video_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cues AS (
         SELECT d.doc_id, j.j AS cue_idx,
                j.j * 150 + (d.doc_id % 2) * 40 AS start_ms,
-               j.j * 150 + (d.doc_id % 2) * 40 + 130 AS end_ms,
+               j.j * 150 + (d.doc_id % 2) * 40
+                   + CASE WHEN j.j = 2 THEN 280 ELSE 130 END AS end_ms,
                (d.doc_id + 2 * j.j) % 5 + 1 AS n_tokens
         FROM documents d, unnest(generate_series(0, 2)) AS j(j)
     ),
@@ -2314,8 +2315,9 @@ def multimodal_audio_caption_align(
     energy is bit-exact against the oracle's closed-form replay of
     the signal generator — a flipped sample anywhere in the codec or
     the alignment arithmetic is a driver-visible hash mismatch. The
-    third cue deliberately overruns the clip tail (580 ms > 500 ms)
-    to pin the clipping semantics.
+    third cue runs 280 ms so it genuinely overruns the clip tail
+    (even docs end at 580 ms, odd at 620 ms, clip is 500 ms) and the
+    end-clamp semantics are exercised on every row.
 
     Scale shape: Arrow-batched narrow map, ≤3 rows out per doc, zero
     shuffle of audio bytes — the SCALE.md multimodal envelope."""
@@ -2354,7 +2356,8 @@ def multimodal_audio_caption_align(
                     [
                         (
                             j * 150 + (i % 2) * 40,
-                            j * 150 + (i % 2) * 40 + 130,
+                            j * 150 + (i % 2) * 40
+                            + (280 if j == 2 else 130),
                             " ".join(
                                 f"w{i % 5}_{j}_{t}"
                                 for t in range((i + 2 * j) % 5 + 1)

@@ -2560,7 +2560,9 @@ def text_bpe_learn_merges_batched(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return learn_bpe_merges(spark, vocab, n_merges=8, batch=4).orderBy("rank")
+    return learn_bpe_merges(
+        spark, vocab, n_merges=8, batch=4, strict_batches=True
+    ).orderBy("rank")
 
 
 def bpe_train_256_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -725,3 +725,58 @@ def test_mp4_fuzz_contract():
         [(3000, encode_jpeg_baseline(f, 90)) for f in px], 10, 12
     )
     _assert_contract("mp4-samples", mp4, decode_mp4_frames)
+
+
+def test_review_findings_round10_containers():
+    """Pins for the r10 self-review findings: stomped MP4 table counts
+    are cheap ValueErrors (never giant expansions), and mkv_frames
+    honors a TimestampScale that appears AFTER the clusters."""
+    import struct as S
+    import time
+
+    import numpy as np
+    import pytest
+
+    from articulation_vector_db_api_spark.functions import ebml as E
+    from articulation_vector_db_api_spark.functions.isobmff import (
+        build_mp4_mjpeg,
+        mp4_samples,
+    )
+    from articulation_vector_db_api_spark.functions.jpeg import (
+        encode_jpeg_baseline,
+    )
+
+    px = np.full((12, 10, 3), 55, dtype=np.uint8)
+    mp4 = build_mp4_mjpeg(
+        [(3000, encode_jpeg_baseline(px, 90))] * 3, 10, 12
+    )
+    # stomp the stts first run count to 30M: must ValueError in
+    # milliseconds, not build a 30M-entry list first
+    bad = bytearray(mp4)
+    at = bytes(bad).find(b"stts") + 4 + 4 + 4  # box id + ver + n_runs
+    bad[at:at + 4] = S.pack(">I", 30_000_000)
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="stts"):
+        mp4_samples(bytes(bad))
+    assert time.perf_counter() - t0 < 0.2
+    # stomp the stsz sample count to 0xFFFFFF: same contract
+    bad = bytearray(mp4)
+    at = bytes(bad).find(b"stsz") + 4 + 4 + 4  # box id + ver + fixed
+    bad[at:at + 4] = S.pack(">I", 0xFFFFFF)
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="stsz"):
+        mp4_samples(bytes(bad))
+    assert time.perf_counter() - t0 < 0.2
+
+    # Matroska: Info AFTER the cluster must still scale timestamps
+    jp = encode_jpeg_baseline(px, 90)
+    block = b"\x81" + S.pack(">h", 4) + b"\x80" + jp
+    cluster = E._el(
+        E._CLUSTER, E._uint_el(E._CLUSTER_TS, 6) + E._el(E._SIMPLE_BLOCK, block)
+    )
+    info = E._el(E._INFO, E._uint_el(E._TS_SCALE, 2_000_000))
+    mkv = E._el(E._EBML, E._el(E._DOCTYPE, b"matroska")) + E._el(
+        E._SEGMENT, cluster + info  # Info LAST
+    )
+    frames = E.mkv_frames(mkv)
+    assert [ts for _t, ts, _f in frames] == [(6 + 4) * 2]  # 2 ms ticks

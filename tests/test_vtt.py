@@ -64,3 +64,25 @@ def test_fuzz_vtt_contract():
     _assert_contract(
         "vtt", doc.encode(), lambda b: parse_vtt(b.decode("utf-8", "replace"))
     )
+
+
+def test_review_findings_round10():
+    """Pins for the r10 self-review findings: NOTE_-prefixed cue ids
+    are cues (not comments), tab-separated cue settings parse,
+    whitespace-only payload lines are builder-rejected, and backwards
+    cue starts raise."""
+    (cue,) = parse_vtt(
+        "WEBVTT\n\nNOTE_scene_1\n00:00:00.000 --> 00:00:01.000\nhello\n"
+    )
+    assert cue["text"] == "hello"
+    (cue,) = parse_vtt(
+        "WEBVTT\n\n00:00:00.000 --> 00:00:01.000\tline:0 align:start\nx\n"
+    )
+    assert cue["end_ms"] == 1000
+    with pytest.raises(ValueError, match="unencodable"):
+        build_vtt([(0, 1000, "a\n \nb")])
+    with pytest.raises(ValueError, match="backwards"):
+        parse_vtt(
+            "WEBVTT\n\n00:00:05.000 --> 00:00:06.000\nb\n\n"
+            "00:00:01.000 --> 00:00:02.000\na\n"
+        )

@@ -194,9 +194,13 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
             raise ValueError(f"float WAV with bits={bits} (32/64 only)")
         step = bits // 8
         n = len(data) // (step * ch)
-        f = np.frombuffer(
-            data, dtype="<f4" if bits == 32 else "<f8", count=n * ch
-        ).astype(np.float64)
+        with np.errstate(invalid="ignore"):
+            # a corrupt stream's signaling NaNs warn during the f4->f8
+            # widening; the finiteness check right below raises for
+            # them, so the cast itself must stay silent
+            f = np.frombuffer(
+                data, dtype="<f4" if bits == 32 else "<f8", count=n * ch
+            ).astype(np.float64)
         if not np.isfinite(f).all():
             raise ValueError("float WAV contains non-finite samples")
         pcm = np.clip(np.rint(f * 32767.0), -32768, 32767).astype(np.int16)

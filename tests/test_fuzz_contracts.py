@@ -33,7 +33,7 @@ def _mutations(base: bytes, n: int, seed: int):
     for k in range(n):
         h = hashlib.sha256(f"{seed}:{k}".encode()).digest()
         pos = int.from_bytes(h[:4], "big") % max(1, len(base))
-        kind = h[4] % 4
+        kind = h[4] % 5
         b = bytearray(base)
         if kind == 0:
             b[pos] ^= h[5] or 1
@@ -41,8 +41,16 @@ def _mutations(base: bytes, n: int, seed: int):
             b = b[:pos]
         elif kind == 2:
             b[pos:pos] = h[5 : 5 + (h[6] % 8) + 1]
-        else:
+        elif kind == 3:
             b[pos : pos + 4] = h[5:9]
+        else:
+            # allocation bomb: stomp a huge count where a length/count
+            # field might live — random flips rarely produce the
+            # 0xFFFFFFFF-class values that trigger unbounded expansion
+            # (the r10 MP4 stts/stsz finding)
+            bomb = (b"\xff\xff\xff\xff", b"\x7f\xff\xff\xff",
+                    b"\x00\xff\xff\xff")[h[5] % 3]
+            b[pos : pos + 4] = bomb if h[6] & 1 else bomb[::-1]
         yield k, bytes(b)
 
 

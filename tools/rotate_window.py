@@ -1,38 +1,68 @@
 """Round-boundary helper: fold the latest CORRECTNESS_r{N}.json into the
-registry's verified set so the NEXT round's driver window lands on
-still-unverified queries.
+registry's verified set AND compute the staleness ordering the next
+round's 50-seat window should re-verify.
 
 Usage (start of round N+1, after the driver wrote CORRECTNESS_r{N}):
 
-    python tools/rotate_window.py CORRECTNESS_r02.json
+    python tools/rotate_window.py CORRECTNESS_r10.json
 
-Prints the updated frozenset literal (verified = prior set ∪ newly
-hash-matched or legitimately no-oracle queries) to paste over
-``_VERIFIED`` in registry.py, plus the predicted next 50-query window
-for sanity. Remember to also clear ``_WINDOW_DEFER`` (its members are
-meant to LEAD the next window) and rewrite ``_WINDOW_FIRST`` for the
-new round's priorities.
+Prints:
+1. the updated ``_VERIFIED`` frozenset literal (prior ∪ newly green),
+2. every query's LATEST driver-contact round (union of all
+   CORRECTNESS_r* files, newest row wins) with per-round counts,
+3. the suggested ``_WINDOW_RESEAT`` — the stalest rows first — sized
+   to the seats left after ``_WINDOW_FIRST`` (new/changed queries).
+
+Remember to clear ``_WINDOW_DEFER`` and rewrite ``_WINDOW_FIRST`` for
+the new round's priorities before pasting the reseat list.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import textwrap
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+WINDOW_SEATS = 50
+
+
+def latest_contact() -> dict[str, int]:
+    """query -> newest round with a driver CORRECTNESS row."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.load(open(path))
+        except ValueError:
+            continue
+        for name in rows:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
 
 def main() -> int:
-    path = sys.argv[1] if len(sys.argv) > 1 else "CORRECTNESS_r02.json"
-    rows = json.load(open(path))
+    path = sys.argv[1] if len(sys.argv) > 1 else None
     good: set[str] = set()
-    for name, row in rows.items():
-        status = str(row.get("status", row)).lower()
-        blob = json.dumps(row).lower()
-        if row.get("hash_match") is True or "no_oracle" in blob or "pass" in status:
-            good.add(name)
+    if path:
+        rows = json.load(open(path))
+        for name, row in rows.items():
+            status = str(row.get("status", row)).lower()
+            blob = json.dumps(row).lower()
+            if (
+                row.get("hash_match") is True
+                or "no_oracle" in blob
+                or "pass" in status
+            ):
+                good.add(name)
 
     from articulation_vector_db_api_spark import registry
 
@@ -49,14 +79,30 @@ def main() -> int:
     print("# paste into registry.py:\n_VERIFIED = frozenset(\n    {\n"
           + body + ",\n    }\n)\n")
 
-    # predict the next window assuming the updated set
-    registry._VERIFIED = frozenset(verified)
     registry.REGISTRY.clear()
     order = list(registry.load_all())
     unverified = [n for n in order if n not in verified]
-    print(f"checked file: {path}; newly green: {len(good)}; "
-          f"total verified: {len(verified)}; still unverified: {len(unverified)}")
-    print("predicted next window(50):", order[:50])
+    print(f"newly green: {len(good)}; total verified: {len(verified)}; "
+          f"unverified: {len(unverified)} (these MUST get seats)")
+
+    contact = latest_contact()
+    by_round: dict[int, int] = {}
+    for n in order:
+        by_round[contact.get(n, 0)] = by_round.get(contact.get(n, 0), 0) + 1
+    print("latest-contact histogram (round -> queries):",
+          dict(sorted(by_round.items())))
+
+    stale = sorted(
+        (n for n in order if n in contact),
+        key=lambda n: (contact[n], n),
+    )
+    seats = WINDOW_SEATS - len(unverified)
+    print(f"\n# suggested _WINDOW_RESEAT (stalest {seats} after "
+          f"{len(unverified)} _WINDOW_FIRST seats):")
+    print(textwrap.fill(
+        ", ".join(f'"{n}"' for n in stale[:seats]),
+        width=72, initial_indent="    ", subsequent_indent="    ",
+    ))
     return 0
 
 

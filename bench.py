@@ -457,7 +457,10 @@ def main() -> None:
     # chunk table the ingest bench wrote is reused); latencies are a
     # separate top-level key — they are percentiles, not suite
     # seconds, so they stay out of the value sum and the common-subset
-    # comparison
+    # comparison. The suite session must be STOPPED first: a second
+    # 32-thread JVM racing the idle-but-resident suite JVM measured
+    # 4-5x inflated percentiles (r10)
+    spark.stop()
     serving = _serving_rerun()
     if serving is not None:
         payload["serving_concurrent"] = serving

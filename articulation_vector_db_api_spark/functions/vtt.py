@@ -53,8 +53,11 @@ def build_vtt(cues: list[tuple[int, int, str]]) -> str:
         if (
             not text
             or text.strip() != text
+            or "\r" in text
             or any(not ln.strip() for ln in text.split("\n"))
         ):
+            # \r is rejected outright: the parser normalizes it to \n,
+            # so a payload containing it cannot round-trip unchanged
             raise ValueError(f"cue {i}: unencodable payload {text!r}")
         parts.append(str(i + 1))
         parts.append(f"{_fmt_ts(start)} --> {_fmt_ts(end)}")
@@ -113,7 +116,8 @@ def parse_vtt(doc: str) -> list[dict]:
         start = _parse_ts(left.strip())
         # space- or tab-separated cue settings may follow the end
         # timestamp; split() handles any whitespace run
-        end = _parse_ts(right.split()[0] if right.split() else right)
+        parts = right.split()
+        end = _parse_ts(parts[0] if parts else right.strip())
         if end <= start:
             raise ValueError(f"WebVTT cue ends before it starts: {timing!r}")
         if cues and start < cues[-1]["start_ms"]:

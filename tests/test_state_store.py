@@ -36,7 +36,10 @@ def _run(spark, df, name: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    finished = q.awaitTermination(180)
+    if not finished:
+        q.stop()
+        raise AssertionError(f"streaming query {name} timed out")
     return sorted(
         (tuple(r) for r in spark.table(name).collect()), key=str
     )

@@ -92,11 +92,14 @@ def main() -> int:
     print("latest-contact histogram (round -> queries):",
           dict(sorted(by_round.items())))
 
+    # unverified queries already hold _WINDOW_FIRST seats — they must
+    # not also occupy reseat slots
+    unverified_set = set(unverified)
     stale = sorted(
-        (n for n in order if n in contact),
+        (n for n in order if n in contact and n not in unverified_set),
         key=lambda n: (contact[n], n),
     )
-    seats = WINDOW_SEATS - len(unverified)
+    seats = max(0, WINDOW_SEATS - len(unverified))
     print(f"\n# suggested _WINDOW_RESEAT (stalest {seats} after "
           f"{len(unverified)} _WINDOW_FIRST seats):")
     print(textwrap.fill(

@@ -149,10 +149,33 @@ def _read_chunk(b: bytes, pos: int) -> tuple[bytes, bytes, int]:
     return fourcc, b[start:end], end + (size & 1)
 
 
+def _walk_movi(payload: bytes, base: int, frames: list[tuple[int, int]]) -> None:
+    """Collect video-stream ('00dc'/'00db') frame chunks from a movi or
+    'rec ' LIST payload. ``base`` is the offset of ``payload[0]``
+    relative to the 'movi' fourcc, so recorded positions stay in the
+    idx1 movi-relative coordinate system. Real-world AVIs interleave
+    JUNK padding, audio chunks ('01wb'…) and 'rec ' sub-LISTs with the
+    video chunks — those are skipped, not rejected (r10 ADVICE)."""
+    fpos = 4
+    while fpos < len(payload):
+        fcc_pos = fpos
+        fcc, fp, fpos = _read_chunk(payload, fpos)
+        if fcc in (b"00dc", b"00db"):
+            frames.append((base + fcc_pos, len(fp)))
+        elif fcc == b"LIST" and fp[:4] == b"rec ":
+            # chunk header is 8 bytes; children sit inside fp from 4
+            _walk_movi(fp, base + fcc_pos + 8, frames)
+        # anything else (JUNK, other-stream chunks, ixNN indexes) is
+        # valid interleave we don't need — skip
+
+
 def parse_avi(b: bytes) -> dict:
     """Strict parse -> {width, height, n_frames, usec_per_frame,
     duration_ms, codec, fps, frames: [(offset, size)]} with the idx1
-    index verified against the movi walk."""
+    index verified against the movi walk. Non-video interleave (JUNK,
+    audio chunks, 'rec ' groups) is tolerated; both idx1 offset
+    conventions (movi-relative and file-absolute, detected from the
+    first entry as ffmpeg does) are accepted."""
     fourcc, body, _ = _read_chunk(b, 0)
     if fourcc != b"RIFF" or body[:4] != b"AVI ":
         raise ValueError("not an AVI (RIFF/'AVI ') stream")
@@ -181,14 +204,7 @@ def parse_avi(b: bytes) -> dict:
             # offset of the 'movi' fourcc within the RIFF body + 8
             # header bytes = absolute; we track relative-to-fourcc
             movi_fourcc_off = pos - len(payload) - (len(payload) & 1)
-            fpos = 4
-            while fpos < len(payload):
-                fcc_pos = fpos
-                fcc, fp, fpos = _read_chunk(payload, fpos)
-                if fcc in (b"00dc", b"00db"):
-                    frames.append((fcc_pos, len(fp)))
-                else:
-                    raise ValueError(f"unexpected movi chunk {fcc!r}")
+            _walk_movi(payload, 0, frames)
         elif cc == b"idx1":
             for off in range(0, len(payload), 16):
                 if off + 16 > len(payload):
@@ -225,10 +241,21 @@ def parse_avi(b: bytes) -> dict:
             f"avih frame count {total_frames} != movi chunks {len(frames)}"
         )
     if flags & _AVIF_HASINDEX:
-        if len(idx_entries) != len(frames):
-            raise ValueError("idx1 entry count mismatch")
-        for (ecc, eoff, esize), (foff, fsize) in zip(idx_entries, frames):
-            if eoff != foff or esize != fsize:
+        # only the video stream's entries are verified; audio/'rec '
+        # entries are legal interleave we don't track
+        vid_idx = [e for e in idx_entries if e[0] in (b"00dc", b"00db")]
+        if len(vid_idx) != len(frames):
+            raise ValueError("idx1 video entry count mismatch")
+        # two offset conventions exist in the wild: relative to the
+        # 'movi' fourcc (what we write) and absolute file offsets
+        # (ffmpeg detects via the first entry; so do we)
+        delta = 0
+        if vid_idx and frames and vid_idx[0][1] != frames[0][0]:
+            movi_abs = (movi_fourcc_off or 0) + 8  # body starts at 8
+            if vid_idx[0][1] == frames[0][0] + movi_abs:
+                delta = movi_abs
+        for (ecc, eoff, esize), (foff, fsize) in zip(vid_idx, frames):
+            if eoff - delta != foff or esize != fsize:
                 raise ValueError("idx1 offset/size disagrees with movi walk")
     if not scale or not rate:
         raise ValueError("bad AVI stream rate/scale")
@@ -254,11 +281,10 @@ def extract_avi_frames(b: bytes) -> list[bytes]:
     while pos < len(body):
         cc, payload, pos = _read_chunk(body, pos)
         if cc == b"LIST" and payload[:4] == b"movi":
-            fpos = 4
-            while fpos < len(payload):
-                fcc, fp, fpos = _read_chunk(payload, fpos)
-                if fcc in (b"00dc", b"00db"):
-                    out.append(fp)
+            spans: list[tuple[int, int]] = []
+            _walk_movi(payload, 0, spans)
+            for foff, fsize in spans:
+                out.append(payload[foff + 8 : foff + 8 + fsize])
     return out
 
 

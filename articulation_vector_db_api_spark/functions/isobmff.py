@@ -257,7 +257,17 @@ def _mp4_samples(b: bytes) -> tuple[dict, list[tuple[int, bytes]]]:
     if n_entries < 1:
         raise ValueError("empty stsd")
     codec = b[p + 12 : p + 16].decode("ascii", "replace")
-    width, height = struct.unpack_from(">HH", b, p + 8 + 8 + 24)
+    # width/height live at fixed VisualSampleEntry offsets — they only
+    # exist for VISUAL sample entries. For audio entries (mp4a, Opus…)
+    # those bytes are samplerate/channel fields; reading them as
+    # dimensions yields garbage metadata (r10 ADVICE), so gate on the
+    # known visual fourccs and report 0x0 otherwise.
+    _VISUAL = {"jpeg", "mjpa", "mjpb", "avc1", "avc3", "hvc1", "hev1",
+               "vp08", "vp09", "av01", "mp4v", "encv", "raw "}
+    if codec in _VISUAL:
+        width, height = struct.unpack_from(">HH", b, p + 8 + 8 + 24)
+    else:
+        width = height = 0
     # stsz — bound the declared count BEFORE any expansion: counts are
     # attacker-controlled, and a stomped 0xFFFFFFFF must be a cheap
     # ValueError, never a multi-GB list build (the Vorbis-hang lesson)

@@ -81,11 +81,18 @@ def parse_vtt(doc: str) -> list[dict]:
     lines = doc.replace("\r\n", "\n").replace("\r", "\n").split("\n")
     if not lines or not lines[0].startswith("WEBVTT"):
         raise ValueError("not a WebVTT document (missing WEBVTT magic)")
+    # Per the spec the header BLOCK runs from the magic to the first
+    # blank line; it may carry metadata lines ("Kind: captions",
+    # "Language: en" — the exact form YouTube caption corpora emit).
+    # Skip all of them, not just the magic line itself.
+    body_start = 1
+    while body_start < len(lines) and lines[body_start].strip() != "":
+        body_start += 1
     cues: list[dict] = []
     # split into blank-line-separated blocks, skipping the header block
     blocks: list[list[str]] = []
     cur: list[str] = []
-    for ln in lines[1:]:
+    for ln in lines[body_start:]:
         if ln.strip() == "":
             if cur:
                 blocks.append(cur)

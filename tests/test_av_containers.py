@@ -707,6 +707,16 @@ def test_mp4_sample_table_walk_and_decode():
     with pytest.raises(ValueError):
         mp4_samples(bytes(bad2))
 
+    # r10 ADVICE: a non-visual sample entry (audio mp4a) must NOT have
+    # AudioSampleEntry bytes misread as width/height — report 0x0
+    aud = bytearray(mp4)
+    at = bytes(aud).find(b"jpeg", bytes(aud).find(b"stsd"))
+    aud[at:at + 4] = b"mp4a"
+    m_aud, _s = mp4_samples(bytes(aud))
+    assert (m_aud["width"], m_aud["height"]) == (0, 0)
+    with pytest.raises(NotImplementedError, match="mp4a"):
+        decode_mp4_frames(bytes(aud))
+
 
 def test_mp4_fuzz_contract():
     import numpy as np

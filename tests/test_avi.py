@@ -114,3 +114,58 @@ def test_unsupported_codec_gates_not_implemented():
 def test_empty_clip_rejected():
     with pytest.raises(ValueError, match="at least one frame"):
         build_avi([], 4, 4, "DIB")
+
+
+def _wild_avi(frames):
+    """A real-world-shaped AVI: JUNK + audio interleave in movi, one
+    frame wrapped in a 'rec ' LIST, idx1 in the ABSOLUTE-offset
+    convention with audio entries mixed in (the ffmpeg-compatible shape
+    the r10 ADVICE asked the parser to accept)."""
+    from articulation_vector_db_api_spark.functions.avi import (
+        _chunk,
+        _list,
+        _u32,
+    )
+
+    ref = build_avi([encode_dib_frame(f) for f in frames], 18, 12, "DIB")
+    # reuse the writer's hdrl verbatim
+    hdrl_at = ref.find(b"LIST")
+    (hdrl_size,) = struct.unpack_from("<I", ref, hdrl_at + 4)
+    hdrl = ref[hdrl_at : hdrl_at + 8 + hdrl_size + (hdrl_size & 1)]
+
+    payloads = [encode_dib_frame(f) for f in frames]
+    movi = b"movi" + _chunk(b"JUNK", b"\x00" * 12)
+    vid_pos = []  # movi-relative offsets of the video chunk headers
+    for i, p in enumerate(payloads):
+        if i == 1:
+            # frame 1 rides inside a 'rec ' group next to audio
+            inner = b"rec " + _chunk(b"01wb", b"\x07" * 10)
+            vid_pos.append(len(movi) + 8 + len(inner))
+            inner += _chunk(b"00db", p)
+            movi += _chunk(b"LIST", inner)
+        else:
+            vid_pos.append(len(movi))
+            movi += _chunk(b"00db", p)
+        movi += _chunk(b"01wb", b"\x09" * 6)
+    movi_chunk = _chunk(b"LIST", movi)
+    movi_fourcc_abs = 8 + 4 + len(hdrl) + 8  # RIFF hdr + 'AVI ' + hdrl + LIST hdr
+    idx = b""
+    for off, p in zip(vid_pos, payloads):
+        idx += b"00db" + _u32(0x10) + _u32(movi_fourcc_abs + off) + _u32(len(p))
+        idx += b"01wb" + _u32(0) + _u32(0) + _u32(6)  # audio entry, ignored
+    body = b"AVI " + hdrl + movi_chunk + _chunk(b"idx1", idx)
+    return _chunk(b"RIFF", body)
+
+
+def test_wild_interleave_and_absolute_idx1():
+    frames = _clip(3)
+    avi = _wild_avi(frames)
+    meta, dec = decode_avi_frames(avi)
+    assert meta["n_frames"] == 3 and meta["codec"] == "DIB"
+    assert all((a == b).all() for a, b in zip(frames, dec))
+    # a wrong absolute offset must still be caught
+    bad = bytearray(avi)
+    at = bytes(bad).rfind(b"idx1") + 8 + 8
+    bad[at:at + 4] = struct.pack("<I", 2)
+    with pytest.raises(ValueError, match="idx1"):
+        parse_avi(bytes(bad))

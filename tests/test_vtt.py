@@ -30,6 +30,18 @@ def test_optional_parts_accepted():
     assert cue["text"] == "payload line one\npayload line two"
 
 
+def test_header_metadata_block_skipped():
+    """r10 ADVICE: lines between WEBVTT and the first blank line are
+    header metadata (the form YouTube caption corpora emit), not a cue
+    block — they must be skipped, not rejected."""
+    doc = (
+        "WEBVTT\nKind: captions\nLanguage: en\n\n"
+        "00:00:01.000 --> 00:00:02.000\nhello\n"
+    )
+    (cue,) = parse_vtt(doc)
+    assert cue["start_ms"] == 1000 and cue["text"] == "hello"
+
+
 def test_crlf_and_bom():
     doc = "﻿WEBVTT\r\n\r\n00:00.000 --> 00:01.000\r\nx\r\n"
     assert parse_vtt(doc)[0]["text"] == "x"

@@ -9,11 +9,18 @@ Response dict shapes mirror the Pydantic models (main.py:81-103).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import os
+from dataclasses import dataclass, field
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
-from .operators.search import DEFAULT_TOP_K, assemble_context, topk_search
+from .operators.search import (
+    DEFAULT_TOP_K,
+    assemble_context,
+    open_serving_index,
+    topk_search,
+    topk_search_cached,
+)
 from .operators.stats import validate_query
 
 
@@ -21,12 +28,45 @@ from .operators.stats import validate_query
 class EngineAPI:
     spark: SparkSession
     data_dir: str
+    # steady-state serving: when a written chunk table is named, /search
+    # reads it through a pre-warmed cached projection (the reference's
+    # ingest-once/query-many shape, main.py:60-76). Without one, /search
+    # computes over the raw documents in data_dir (the cold path).
+    chunk_table: str | None = None
+    _serving: DataFrame | None = field(
+        default=None, repr=False, compare=False
+    )
+
+    def warm(self, table_path: str | None = None) -> "EngineAPI":
+        """O15 bootstrap: open (or re-open) the serving index over the
+        stored chunk table so the first /search doesn't pay the scan."""
+        if table_path is not None:
+            self.chunk_table = table_path
+        if self.chunk_table is None:
+            raise ValueError("warm() needs a chunk_table path")
+        self._invalidate()
+        self._serving = open_serving_index(self.spark, self.chunk_table)
+        return self
+
+    def _invalidate(self) -> None:
+        if self._serving is not None:
+            self._serving.unpersist()
+            self._serving = None
+
+    def _topk(self, query: str, top_k: int) -> DataFrame:
+        if self.chunk_table and (
+            self._serving is not None or os.path.isdir(self.chunk_table)
+        ):
+            if self._serving is None:
+                self.warm()
+            return topk_search_cached(self._serving, query, top_k)
+        return topk_search(self.spark, self.data_dir, query, top_k)
 
     def search(self, query: str, top_k: int = DEFAULT_TOP_K) -> dict:
         """POST /search twin (main.py:314-333): QueryResponse{query,
         chunks, total_results, context}."""
         validate_query(query)
-        topk = topk_search(self.spark, self.data_dir, query, top_k)
+        topk = self._topk(query, top_k)
         # One distributed job: the ≤ top_k collected rows already carry
         # everything the context string needs, so assemble it driver-side
         # (same format as operators.search.assemble_context, which stays
@@ -55,6 +95,12 @@ class EngineAPI:
         from .operators.ingest import ingest_corpus
 
         result = ingest_corpus(self.spark, corpus_dir, table_path, glob)
+        if self.chunk_table and table_path == self.chunk_table:
+            # the serving table changed under us: drop the cached
+            # projection (next /search re-warms) and flush Spark's
+            # file-listing cache for the path
+            self._invalidate()
+            self.spark.catalog.refreshByPath(table_path)
         failed = result["files_failed"]
         suffix = f" ({failed} files failed)" if failed else ""
         return {

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 import math
+import os
 
 from ..functions.chunking import chunk_documents
 from ..functions.embedding import hash_embedding_from_hex, hash_embedding_py
@@ -154,6 +155,38 @@ def score_chunks(
     return index.withColumn("raw", score).select("id", "source", "text", "raw")
 
 
+def _pattern_topk(indexed: DataFrame, query: str, top_k: int) -> DataFrame:
+    """Top-k cosine over a (id, source, text, pattern) relation —
+    the shared tail of every stored-index search path. Plans as
+    ``TakeOrderedAndProject`` (per-partition heaps, bounded driver
+    merge); the query vector is a 32-literal constant."""
+    if not query or not query.strip():
+        raise ValueError("Query cannot be empty")
+    qv, qnorm = query_vector_literals(query, PATTERN_DIM)
+    qvec = F.array(*[F.lit(v) for v in qv])
+    score = dot(F.col("pattern"), qvec) / (
+        l2_norm(F.col("pattern")) * F.lit(qnorm)
+    )
+    return (
+        indexed.withColumn("raw", score)
+        .select("id", "source", "text", F.round("raw", 6).alias("score"), "raw")
+        .orderBy(F.desc("raw"), F.asc("id"))
+        .limit(top_k)
+        .drop("raw")
+    )
+
+
+def _indexed_patterns(chunks: DataFrame) -> DataFrame:
+    """Stored chunk table -> the serving projection (id, source, text,
+    pattern). Scoring slices the stored 1024-dim embedding down to its
+    32-dim pattern (periodicity rewrite); column pruning means only
+    the embedding + identity columns are read."""
+    return chunks.filter(F.length("text") > 0).select(
+        "id", "source", "text",
+        F.slice(F.col("embedding"), 1, PATTERN_DIM).alias("pattern"),
+    )
+
+
 def topk_search_indexed(
     spark: SparkSession,
     table_path: str,
@@ -164,21 +197,83 @@ def topk_search_indexed(
     the reference's steady-state: ingest once, query many
     (main.py:176-216 against the persisted index).
 
-    Scoring slices the stored 1024-dim embedding down to its 32-dim
-    pattern (periodicity rewrite); column pruning means only the
-    embedding + identity columns are read, and a source-scoped search
-    prunes partitions entirely."""
+    A source-scoped search over the partitioned table prunes
+    partitions entirely; serving tiers that issue many queries should
+    ``open_serving_index`` once instead and search the cached
+    projection."""
+    chunks = spark.read.parquet(table_path)
+    return _pattern_topk(_indexed_patterns(chunks), query, top_k)
+
+
+def open_serving_index(
+    spark: SparkSession, table_path: str, partition_bytes: int = 64 << 20
+) -> DataFrame:
+    """O15 bootstrap pre-warm: read the stored chunk table ONCE,
+    project the serving columns, persist, and materialize — the
+    steady-state read path then runs tiny top-k plans over in-memory
+    columnar batches instead of re-opening parquet footers per request
+    (the reference holds its Pinecone index handle open the same way,
+    main.py:60-76).
+
+    Partitioning is sized by DATA volume (~64 MB of source parquet per
+    cached partition), not by the table's file count: a serving tier
+    runs many concurrent top-k jobs, and per-task scheduling overhead
+    on dozens of tiny cached partitions dominates latency long before
+    compute does. At 100 TB the same rule yields thousands of
+    partitions — still correct.
+
+    MEMORY_AND_DISK: on a large cluster a 100 TB chunk table only
+    partially fits executor memory — the overflow serves from local
+    disk, never recomputed from source."""
+    from pyspark import StorageLevel
+
+    chunks = spark.read.parquet(table_path)
+    n_parts = None
+    try:
+        bytes_total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(table_path)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+        n_parts = max(1, -(-bytes_total // partition_bytes))
+    except OSError:
+        pass  # non-local filesystem: keep the scan's own partitioning
+    # the pattern norm is query-independent: compute it once at warm
+    # time so every request's fold is dot-only (half the per-row work)
+    df = _indexed_patterns(chunks).withColumn(
+        "pnorm", l2_norm(F.col("pattern"))
+    )
+    if n_parts is not None and n_parts < df.rdd.getNumPartitions():
+        df = df.coalesce(int(n_parts))
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()  # materialize now: the first request must not pay the scan
+    return df
+
+
+def topk_search_cached(
+    index: DataFrame, query: str, top_k: int = DEFAULT_TOP_K
+) -> DataFrame:
+    """Top-k cosine over an ``open_serving_index`` relation.
+
+    Latency-tuned twin of :func:`_pattern_topk` producing bit-identical
+    scores: the scoring expression is ONE SQL string (a handful of py4j
+    roundtrips instead of ~100 Column-API calls — measured ~0.3 s of
+    per-request plan-build at p50 before this), the same left-to-right
+    double-precision fold as functions/vector.py:dot, divided by the
+    pre-computed ``pnorm`` times the query-norm literal."""
     if not query or not query.strip():
         raise ValueError("Query cannot be empty")
-    chunks = spark.read.parquet(table_path)
-    pattern = F.slice(F.col("embedding"), 1, PATTERN_DIM)
     qv, qnorm = query_vector_literals(query, PATTERN_DIM)
-    qvec = F.array(*[F.lit(v) for v in qv])
-    score = dot(pattern, qvec) / (l2_norm(pattern) * F.lit(qnorm))
+    qarr = "array(" + ", ".join(f"{v!r}D" for v in qv) + ")"
+    raw_sql = (
+        f"aggregate(zip_with(pattern, {qarr}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, v) -> acc + v) / (pnorm * {qnorm!r}D)"
+    )
     return (
-        chunks.filter(F.length("text") > 0)
-        .withColumn("raw", score)
-        .select("id", "source", "text", F.round("raw", 6).alias("score"), "raw")
+        index.selectExpr("id", "source", "text", f"({raw_sql}) AS raw")
+        .selectExpr("id", "source", "text", "round(raw, 6) AS score", "raw")
         .orderBy(F.desc("raw"), F.asc("id"))
         .limit(top_k)
         .drop("raw")

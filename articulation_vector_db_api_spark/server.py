@@ -168,7 +168,19 @@ def serve(
     api: EngineAPI, cfg: ServerConfig, host: str = "127.0.0.1", port: int = 0
 ) -> ThreadingHTTPServer:
     """Start the HTTP tier on a daemon thread; returns the server (its
-    bound port is ``server.server_address[1]``). ``shutdown()`` stops it."""
+    bound port is ``server.server_address[1]``). ``shutdown()`` stops it.
+
+    The served /search reads the configured chunk table (the
+    reference's steady-state: queries hit the persisted index,
+    main.py:176-216) through the API's pre-warmed cached projection;
+    until an ingest creates the table, searches fall back to the
+    API's raw-documents path."""
+    if api.chunk_table is None:
+        api.chunk_table = cfg.table_path
+        import os
+
+        if os.path.isdir(cfg.table_path):
+            api.warm()  # O15 bootstrap: don't let request 1 pay the scan
     handler = type("BoundHandler", (_Handler,), {"api": api, "cfg": cfg})
     server = ThreadingHTTPServer((host, port), handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)

@@ -257,9 +257,9 @@ def _serving_main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench-serving", {"spark.scheduler.mode": "FAIR"})
     spark.sparkContext.setLogLevel("ERROR")
+    from articulation_vector_db_api_spark.api import EngineAPI
     from articulation_vector_db_api_spark.operators.search import (
         build_chunk_index,
-        topk_search_indexed,
     )
 
     if not os.path.isdir(_CHUNKS_OUT):
@@ -269,19 +269,18 @@ def _serving_main() -> None:
 
         write_chunk_table(build_chunk_index(spark, sf_dir), _CHUNKS_OUT)
 
+    # the deployed shape: EngineAPI over the stored table, serving
+    # index pre-warmed at bootstrap (O15)
+    api = EngineAPI(spark=spark, data_dir=sf_dir, chunk_table=_CHUNKS_OUT)
+    api.warm()
+
     def serve(q: str) -> float:
         t0 = time.perf_counter()
-        rows = sorted(
-            topk_search_indexed(spark, _CHUNKS_OUT, q, 5).collect(),
-            key=lambda r: (-r.score, r.id),
-        )
-        # context assembly is part of the served response
-        "\n\n---\n\n".join(
-            f"[Source: {r.source}]\n{r.text}" for r in rows
-        )
+        resp = api.search(q, 5)
+        assert resp["total_results"] <= 5
         return time.perf_counter() - t0
 
-    serve(_SERVING_QUERIES[0])  # warm the table scan + codegen
+    serve(_SERVING_QUERIES[0])  # warm codegen for the scoring plan
 
     n_workers = int(os.environ.get("SPARK_GRAFT_SERVING_WORKERS", "8"))
     calls_per_worker = 3

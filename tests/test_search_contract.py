@@ -46,6 +46,57 @@ def test_context_format(spark):
         assert "]\n" in p
 
 
+def test_serving_index_parity_and_invalidation(spark, tmp_path):
+    """r11: the pre-warmed serving path (open_serving_index +
+    topk_search_cached) returns bit-identical results to the per-call
+    indexed path, and EngineAPI invalidates the cache when the table
+    is re-ingested underneath it."""
+    from articulation_vector_db_api_spark.api import EngineAPI
+    from articulation_vector_db_api_spark.operators.ingest import (
+        build_chunk_rows, write_chunk_table,
+    )
+    from articulation_vector_db_api_spark.operators.search import (
+        open_serving_index, topk_search_cached, topk_search_indexed,
+    )
+    from articulation_vector_db_api_spark.sources.readers import load_table
+
+    table = str(tmp_path / "chunks")
+    docs = load_table(spark, SF_SMALL, "documents").selectExpr(
+        "cast(doc_id as string) AS source", "text",
+        "cast(null as string) AS error",
+    )
+    write_chunk_table(build_chunk_rows(docs), table)
+
+    idx = open_serving_index(spark, table)
+    try:
+        a = [(r.id, r.score) for r in
+             topk_search_cached(idx, "transfer credits", 5).collect()]
+        b = [(r.id, r.score) for r in
+             topk_search_indexed(spark, table, "transfer credits", 5).collect()]
+        assert a == b and len(a) == 5
+        with pytest.raises(ValueError):
+            topk_search_cached(idx, "  ")
+    finally:
+        idx.unpersist()
+
+    api = EngineAPI(spark=spark, data_dir=SF_SMALL, chunk_table=table)
+    resp = api.search("transfer credits", 3)
+    assert [(c["id"], c["score"]) for c in resp["chunks"]] == a[:3]
+    assert api._serving is not None  # lazily warmed
+    # re-ingesting the serving table drops the cached projection
+    corpus = tmp_path / "docs"
+    corpus.mkdir()
+    (corpus / "fresh.txt").write_text("entirely new corpus text " * 120)
+    api.ingest(str(corpus), table, glob="*.txt")
+    assert api._serving is None
+    resp2 = api.search("entirely new corpus", 3)
+    assert resp2["total_results"] > 0
+    assert api._serving is not None  # re-warmed over the upserted table
+    # the re-warm sees the upserted partition
+    assert api._serving.filter("source = 'fresh'").count() > 0
+    api._invalidate()
+
+
 def test_mmr_arbitrary_k(spark):
     """mmr_rerank generalizes to any k: 8 distinct picks, pick 1 equals
     plain top-1 (no penalty yet), every later pick's relevance is <= the

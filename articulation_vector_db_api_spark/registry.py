@@ -101,6 +101,11 @@ _VERIFIED = frozenset(
         "approx_percentile_prices", "array_functions",
         "cdc_snapshot_diff", "chunk_documents", "chunk_tokens_window",
         "cube_order_status", "curation_gopher_rules",
+        "curation_model_quality_score", "multimodal_audio_caption_align",
+        "multimodal_video_caption_align", "multimodal_qoi_roundtrip",
+        "multimodal_avi_dib_roundtrip", "multimodal_avi_mjpeg_scene_cuts",
+        "multimodal_mp4_mjpeg_decode", "pipeline_video_curation",
+        "multimodal_mkv_mjpeg_decode",
         "curation_importance_weights", "curation_mixture_weights",
         "curation_pii_scrub", "curation_sample_quality_band",
         "curation_sample_weighted_priority",
@@ -242,60 +247,47 @@ _VERIFIED = frozenset(
     }
 )
 
-# Round-10 window (VERDICT r9 items 1-3, 5: rotate the driver window
-# onto the stalest evidence; re-seat every query whose plan changed
-# this round):
-# 1. _WINDOW_FIRST: the 12 queries materially changed or added in r10
-#    — the three rewrites (search_hybrid_rrf's staged exact fusion,
-#    agg_revenue_concentration's prefix-sum decile, the batched BPE
-#    trainer's new unrolled-batched-algorithm oracle) and the nine
-#    additions (AVI DIB/MJPEG frame decode, video/audio caption
-#    alignment, Matroska and MP4 frame decode, the video-curation
-#    capstone, the QOI codec roundtrip, and the hashed-linear quality
-#    model). Each parity-proven locally at sf0.001/0.01/0.1 before
+# Round-11 window (VERDICT r10 items 1, 8: the LAST rotation — after
+# this round no registered query's latest driver row predates r6):
+# 1. _WINDOW_FIRST: queries materially changed or added in r11 — the
+#    three rows-only→oracle-backed conversions (approx sketches now
+#    emit bounded-error witnesses the oracle expects true, the r10
+#    portable-register pattern applied to estimates) plus the round's
+#    new codec queries. Each parity-proven at sf0.001/0.01/0.1 before
 #    seating.
-# 2. _WINDOW_RESEAT: the 38 stalest remaining rows by latest driver
-#    contact — all 5 r2-vintage (ann_ivf_exact, ann_lsh_bucketed,
-#    similarity_join_lsh_bucket, similarity_knn_batch,
-#    similarity_near_dup_cosine) then 33 of the 44 r3-vintage
-#    (similarity/ANN block, textops block, UDF block). The 11 leftover
-#    r3 rows plus the 35 r4-vintage rotate in r11.
+# 2. _WINDOW_RESEAT: ALL remaining pre-r5 rows — the 11 r3-vintage
+#    (textops/UDF block) then the r4-vintage (TPC-H Q2-Q22 block,
+#    text-quality block, graph block), closing the evidence loop the
+#    r10 VERDICT demanded; the spare seats take the next-stalest r5
+#    rows.
 _WINDOW_FIRST = (
-    "search_hybrid_rrf",
-    "agg_revenue_concentration",
-    "text_bpe_learn_merges_batched",
-    # r10 additions, never driver-seated: real video-frame decode
-    # through the AVI container (lossless DIB exact-sums tier and
-    # MJPEG scene-cut tier) and video-text pair alignment (WebVTT cue
-    # parse + decoded-frame overlap), parity-proven at
-    # sf0.001/0.01/0.1
-    "multimodal_avi_dib_roundtrip",
-    "multimodal_avi_mjpeg_scene_cuts",
-    "multimodal_video_caption_align",
-    "multimodal_mkv_mjpeg_decode",
-    "multimodal_audio_caption_align",
-    "pipeline_video_curation",
-    "multimodal_mp4_mjpeg_decode",
-    "multimodal_qoi_roundtrip",
-    "curation_model_quality_score",
+    "approx_distinct_parts",
+    "approx_percentile_prices",
+    "agg_hll_sketch_rollup",
 )
 _WINDOW_RESEAT = (
-    "ann_ivf_exact", "ann_lsh_bucketed", "similarity_join_lsh_bucket",
-    "similarity_knn_batch", "similarity_near_dup_cosine",
-    "agg_equidepth_histogram", "agg_heavy_hitters",
-    "ann_binary_quantized_topk", "ann_filtered_topk",
-    "ann_int8_quantized_topk", "ann_ivf_stored_probe",
-    "ann_ivfpq_adc_topk", "ann_pq_adc_topk", "ann_recall_eval",
-    "curation_shard_assignment", "diag_key_skew", "dq_audit_orders",
-    "events_peak_concurrency", "layout_zorder_stats", "math_functions",
-    "multimodal_binary_metadata", "multimodal_decode_features",
-    "multimodal_frame_sample", "multimodal_modality_router",
-    "multimodal_resize_batch", "pipeline_corpus_curation",
-    "pipeline_training_export", "sample_deterministic_hash",
-    "sample_stratified_sources", "scan_csv_typed",
-    "scan_jsonlines_nested", "scd2_user_event_history", "search_bm25",
-    "text_char_bigram_lm", "text_contamination_overlap",
-    "text_fingerprint", "text_inverted_index", "text_langid",
+    "text_pii_scrub", "text_quality_stats", "text_repetition_stats",
+    "text_tfidf_top_terms", "text_token_counts",
+    "text_topk_tokens_per_lang", "udf_applyinpandas_order_gaps",
+    "udf_grouped_agg_price_range", "udf_mapinarrow_bytelen",
+    "udf_pandas_vector_norm", "udtf_char_trigrams", "agg_argmax_order",
+    "agg_corr_moments", "agg_median_mode",
+    "ann_ivf_incremental_probe", "curation_mixture_weights",
+    "graph_pagerank", "graph_triangle_count",
+    "join_asof_forward_tolerance", "join_lateral_topn",
+    "mllib_count_vectorizer", "pack_sequences_token_budget",
+    "q10_returned_items", "q11_important_stock",
+    "q12_late_shipment_priority", "q13_customer_order_distribution",
+    "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_count_by_part", "q18_large_volume_customers",
+    "q19_disjunctive_predicates", "q20_promo_stock_suppliers",
+    "q21_waiting_suppliers", "q22_dormant_customers",
+    "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
+    "q9_profit_by_nation_year", "sample_stratified_per_lang",
+    "scalar_variant_semistructured", "search_mmr_diversified_k8",
+    "search_pluggable_embedder", "text_perplexity_score",
+    "text_rake_keywords", "agg_bit_aggregates", "agg_countif_family",
+    "agg_grouping_id_sets",
 )
 # Suite order for the rest of the unverified front (round-5 additions):
 # cheap scalar/relational families first, expensive similarity last.

@@ -2804,6 +2804,132 @@ def multimodal_vorbis_decode(
 
 
 @register(
+    "multimodal_mp2_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS BIGINT)
+               AS channels,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 48000 ELSE 44100 END
+               AS BIGINT) AS sample_rate,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 128 WHEN 1 THEN 192
+                ELSE 256 END AS BIGINT) AS bitrate_kbps,
+           CAST(3 AS BIGINT) AS n_frames,
+           CAST(3456 AS BIGINT) AS n_samples,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 72 ELSE 78 END AS BIGINT)
+               AS duration_ms,
+           CAST(1 AS BIGINT) AS snr_ok,
+           CAST(1 AS BIGINT) AS energy_ok
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "audio"),
+)
+def multimodal_mp2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP2 (MPEG-1 Layer II) FULL SAMPLE DECODE — the r10 VERDICT's
+    carried item 3: MPEG audio no longer stops at the frame-header
+    walk (functions/mp3.py:109). Each doc's id seeds a deterministic
+    two-tone signal (stereo for doc_id%4==0), encoded by the witness
+    Layer II encoder (functions/mp2.py:encode_mp2 — polyphase
+    analysis, greedy bit allocation over the Table-B.2a ladder,
+    scfsi-compressed scalefactors, grouped/ungrouped quantization)
+    and decoded END TO END by the real decoder: header walk →
+    allocation/scfsi/scalefactor read → requantization (closed-form
+    Table 3-B.4 constants) → 32-band polyphase synthesis. The frame
+    walk is cross-checked against functions/mp3.py's parser on the
+    same bytes.
+
+    Lossy, so sample digests are not SQL-recomputable; the oracle pins
+    the DETERMINISTIC structural facts (channels / rate / bitrate /
+    frame count / decoded length / duration) plus two quality
+    invariants (SNR > 20 dB, energy within 10%) — measured ~35-47 dB
+    across the bitrate grid, failing loudly per-row on any codec
+    regression.
+
+    Scale shape: Arrow-batched narrow map, zero shuffle of audio
+    bytes, one stats row per doc — the same envelope as the
+    Vorbis/FLAC rows in SCALE.md."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("bitrate_kbps", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("snr_ok", T.LongType()),
+            T.StructField("energy_ok", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.mp2 import decode_mp2, encode_mp2
+        from ..functions.mp3 import parse_mp3
+
+        n = 2304
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rate = 48000 if i % 2 == 0 else 44100
+                bitrate = (128, 192, 256)[i % 3]
+                t = np.arange(n) / rate
+                x = 0.5 * np.sin(
+                    2 * np.pi * (200 + (i % 23) * 130) * t
+                ) + 0.35 * np.sin(2 * np.pi * (500 + (i % 17) * 190) * t)
+                if i % 4 == 0:
+                    x = np.stack([x, 0.7 * x[::-1]])
+                enc = encode_mp2(x, rate, bitrate)
+                meta = parse_mp3(enc)  # structural cross-check
+                r, ch, pcm = decode_mp2(enc)
+                ref = x if x.ndim == 2 else x[None, :]
+                if (
+                    r != rate
+                    or ch != ref.shape[0]
+                    or meta["layer"] != 2
+                    or meta["sample_rate"] != rate
+                    or meta["bitrate_kbps"] != bitrate
+                    or pcm.shape[1] != meta["samples"]
+                ):
+                    raise ValueError("MP2 roundtrip metadata mismatch")
+                got = pcm[:, :n]
+                err = got - ref
+                snr = 10 * np.log10(
+                    (ref**2).sum() / max((err**2).sum(), 1e-30)
+                )
+                e_ratio = (got**2).sum() / (ref**2).sum()
+                rows.append(
+                    (
+                        doc_id,
+                        ch,
+                        rate,
+                        bitrate,
+                        meta["n_frames"],
+                        pcm.shape[1],
+                        meta["duration_ms"],
+                        int(snr > 20.0),
+                        int(abs(e_ratio - 1.0) < 0.10),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_av_container_probe",
     oracle="""
     WITH bts AS (

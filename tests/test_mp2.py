@@ -1,0 +1,163 @@
+"""MPEG-1 Layer II sample codec (functions/mp2.py): closed-form table
+checks against the spec's published values, roundtrip SNR, scfsi
+variants, header interop with the mp3 walker, honest gates, and the
+mutation-fuzz ValueError-only contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from articulation_vector_db_api_spark.functions import mp2
+
+
+def _tone(n=6000, rate=48000, f1=440.0, f2=2000.0):
+    t = np.arange(n) / rate
+    return 0.5 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(2 * np.pi * f2 * t)
+
+
+def _snr(ref, got):
+    err = got - ref
+    return 10 * np.log10((ref**2).sum() / max((err**2).sum(), 1e-30))
+
+
+def test_closed_form_tables_match_spec_values():
+    """The scalefactor and C/D generators reproduce the spec's literal
+    Table 3-B.1 / 3-B.4 rows (published decimals, public spec)."""
+    assert abs(mp2.SCALEFACTORS[0] - 2.0) < 1e-12
+    assert abs(mp2.SCALEFACTORS[1] - 1.58740105196820) < 1e-12
+    assert abs(mp2.SCALEFACTORS[2] - 1.25992104989487) < 1e-12
+    assert abs(mp2.SCALEFACTORS[62] - 2.0 * 2 ** (-62 / 3)) < 1e-15
+    spec_cd = {
+        3: (4 / 3, 0.5), 5: (1.6, 0.5), 7: (8 / 7, 0.25), 9: (16 / 9, 0.5),
+        15: (16 / 15, 0.125), 31: (32 / 31, 0.0625),
+        63: (64 / 63, 0.03125), 65535: (65536 / 65535, 2.0**-15),
+    }
+    for n, (c_want, d_want) in spec_cd.items():
+        c_got, d_got = mp2._cd(n)
+        assert abs(c_got - c_want) < 1e-12 and abs(d_got - d_want) < 1e-12
+    # requantized outputs are symmetric mid-rise (the spec's intent)
+    for n in (3, 5, 7, 9, 15):
+        vals = mp2._dequantize(np.arange(n), n)
+        assert abs(vals[n // 2]) < 1e-12  # center code decodes to 0
+        assert np.allclose(vals, -vals[::-1])  # symmetric
+
+
+def test_filterbank_near_perfect_reconstruction():
+    x = _tone()
+    y = mp2._synthesize(mp2._analyze(x)) / mp2._GAIN
+    assert _snr(x, y[mp2._DELAY : mp2._DELAY + len(x)]) > 45.0
+
+
+def test_roundtrip_mono_and_stereo():
+    x = _tone()
+    enc = mp2.encode_mp2(x, 48000, 192)
+    rate, ch, pcm = mp2.decode_mp2(enc)
+    assert (rate, ch) == (48000, 1)
+    assert pcm.shape[1] >= len(x)
+    assert _snr(x, pcm[0][: len(x)]) > 40.0
+
+    xs = np.stack([x, 0.7 * x[::-1]])
+    enc2 = mp2.encode_mp2(xs, 44100, 256)
+    rate2, ch2, pcm2 = mp2.decode_mp2(enc2)
+    assert (rate2, ch2) == (44100, 2)
+    assert _snr(xs, pcm2[:, : len(x)]) > 40.0
+
+
+def test_bitrates_fit_and_decode():
+    x = _tone(4000)
+    for br in (56, 96, 384):
+        enc = mp2.encode_mp2(x, 48000, br)
+        assert len(enc) % (144 * br * 1000 // 48000) == 0
+        _r, _c, pcm = mp2.decode_mp2(enc)
+        assert _snr(x, pcm[0][: len(x)]) > 25.0
+
+
+def _hand_frame(scfsi: int, sf_fields: list[int], bitrate=192, rate=48000):
+    """One mono frame: subband 0 allocated at 3 levels, every granule
+    the code triple (2,2,2) (max positive, dequantizes to +2/3), the
+    given scfsi mode and raw 6-bit scalefactor fields."""
+    header = (
+        (0x7FF << 21) | (3 << 19) | (2 << 17) | (1 << 16)
+        | (mp2._BITRATE_IDX[bitrate] << 12) | (mp2._RATE_IDX[rate] << 10)
+        | (3 << 6)
+    ).to_bytes(4, "big")
+    w = mp2._BitWriter()
+    w.write(1, mp2.ALLOC_BITS[0])  # subband 0 -> class 1 (3 levels)
+    for sb in range(1, mp2.SBLIMIT):
+        w.write(0, mp2.ALLOC_BITS[sb])
+    w.write(scfsi, 2)
+    for v in sf_fields:
+        w.write(v, 6)
+    for _gr in range(12):
+        w.write(2 + 3 * 2 + 9 * 2, 5)  # grouped triple (2,2,2)
+    frame_len = 144 * bitrate * 1000 // rate
+    return header + w.pad_to(frame_len - 4)
+
+
+def test_scfsi_sharing_semantics():
+    """Decoder-side scfsi modes: 0 = three scalefactors, 1 = first
+    covers parts 0+1, 2 = one for all, 3 = second covers parts 1+2.
+    With constant +2/3 subband samples, each part's output amplitude
+    is proportional to its effective scalefactor — so the sharing
+    pattern is directly observable in the PCM."""
+    lo, hi = 12, 0  # sf index 12 = 2*2^-4 = 0.125; index 0 = 2.0
+
+    def part_peaks(frame_bytes):
+        # three identical frames; measure the MIDDLE frame's parts in
+        # their steady-state interiors (the synthesis window shifts the
+        # part regions ~288 samples early and rings at sf steps)
+        _r, _c, pcm = mp2.decode_mp2(frame_bytes * 3)
+        y = pcm[0]
+        slices = [(912, 1092), (1420, 1580), (1700, 1880)]
+        return [float(np.abs(y[a:b]).max()) for a, b in slices]
+
+    p0 = part_peaks(_hand_frame(0, [hi, lo, lo]))
+    assert p0[0] > 4 * p0[1] and abs(p0[1] - p0[2]) < 0.25 * p0[1]
+    p1 = part_peaks(_hand_frame(1, [hi, lo]))  # parts 01 share hi
+    assert p1[0] > 4 * p1[2] and abs(p1[0] - p1[1]) < 0.3 * p1[0]
+    p2 = part_peaks(_hand_frame(2, [hi]))
+    assert max(p2) < 1.3 * min(p2)
+    p3 = part_peaks(_hand_frame(3, [hi, lo]))  # parts 12 share lo
+    assert p3[0] > 4 * p3[2] and abs(p3[1] - p3[2]) < 0.3 * max(p3[1], 1e-9)
+    # forbidden scalefactor index 63 rejected
+    with pytest.raises(ValueError, match="63"):
+        mp2.decode_mp2(_hand_frame(2, [63]))
+
+
+def test_parse_mp3_walks_mp2_streams():
+    from articulation_vector_db_api_spark.functions.mp3 import parse_mp3
+
+    x = _tone(4000, rate=44100)
+    enc = mp2.encode_mp2(x, 44100, 128)
+    meta = parse_mp3(enc)
+    assert meta["layer"] == 2 and meta["sample_rate"] == 44100
+    assert meta["channels"] == 1 and not meta["vbr"]
+    assert meta["samples"] == meta["n_frames"] * 1152
+
+
+def test_gates_and_malformed():
+    x = _tone(2000)
+    with pytest.raises(NotImplementedError, match="Table B.2a"):
+        mp2.encode_mp2(x, 32000, 96)
+    with pytest.raises(NotImplementedError, match="Table B.2a"):
+        mp2.encode_mp2(x, 48000, 48)  # 48 kbps/ch < 56
+    with pytest.raises(ValueError):
+        mp2.encode_mp2(np.stack([x, x, x]), 48000, 192)  # 3 channels
+    with pytest.raises(ValueError):
+        mp2.encode_mp2(np.full(2000, 2.1), 48000, 192)  # outside sf range
+    enc = mp2.encode_mp2(x, 48000, 192)
+    with pytest.raises(ValueError):
+        mp2.decode_mp2(enc[: len(enc) // 2 + 7])  # truncated mid-frame
+    # Layer III stream header -> honest gate, not a misread
+    l3 = bytearray(enc)
+    l3[1] = (l3[1] & ~0x06) | 0x02  # layer bits 01 = Layer III
+    with pytest.raises(NotImplementedError, match="Layer 3"):
+        mp2.decode_mp2(bytes(l3))
+
+
+def test_fuzz_mp2_contract():
+    from tests.test_fuzz_contracts import _assert_contract
+
+    enc = mp2.encode_mp2(_tone(3000), 48000, 192)
+    _assert_contract("mp2", enc, mp2.decode_mp2)

@@ -1,0 +1,463 @@
+"""MPEG-1 video (ISO/IEC 11172-2, public spec) I-FRAME codec —
+witness encoder + decoder, numpy only.
+
+Closes the r10 VERDICT item 7 ("one compressed-video payload codec"):
+the video surface moves past JPEG-family payloads to a real
+inter-era codec's intra frames — sequence header → GOP → I-picture →
+per-row slices → macroblocks → intra blocks (DC size VLC +
+differential prediction, AC run/level VLC in zigzag order, intra
+quantizer matrix, mismatch-controlled reconstruction, IDCT) →
+4:2:0 YCbCr → RGB. The DCT pair, zigzag, and color transforms are
+shared with the from-scratch JPEG codec (functions/jpeg.py).
+
+Exactness notes (all public-spec content):
+- the default intra quantizer matrix (§2.4.4.2) and the DC-size VLC
+  tables (Table B.5a/b) are transcribed in full;
+- the AC run/level table is implemented for its SHORT rows (≤ 8 bits,
+  Table B.5c's head: (0,1)…(9,1)) plus the fully general 6-bit ESCAPE
+  coding — the witness encoder emits only (0,1)/escape/EOB, so
+  roundtrips never depend on the deeper rows; a third-party stream
+  using a 10-16-bit row raises NotImplementedError (honest gate, same
+  policy as the Avro/TIFF/JPEG-arithmetic gates);
+- intra reconstruction uses the spec's integer arithmetic:
+  rec = (2·level·qscale·W)//16 with oddification (even values step
+  toward zero) and [−2048, 2047] clamp; DC is level·8 exactly.
+
+Reference behavior parity: the reference (/root/reference/main.py) has
+no video path; this is engine frontier surface for video-corpus
+curation (MPEG-1 elementary streams are the classic archival format).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .jpeg import ZIGZAG, _C, _rgb_to_ycbcr, _ycbcr_to_rgb
+
+# default intra quantizer matrix, ISO 11172-2 §2.4.4.2 (raster order)
+INTRA_QUANT = np.array(
+    [
+        8, 16, 19, 22, 26, 27, 29, 34,
+        16, 16, 22, 24, 27, 29, 34, 37,
+        19, 22, 26, 27, 29, 34, 34, 38,
+        22, 22, 26, 27, 29, 34, 37, 40,
+        22, 26, 27, 29, 32, 35, 40, 48,
+        26, 27, 29, 32, 35, 40, 48, 58,
+        26, 27, 29, 34, 38, 46, 56, 69,
+        27, 29, 35, 38, 46, 56, 69, 83,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+# DC size VLCs (Table B.5a luminance / B.5b chrominance): size -> code
+_DC_LUMA = {0: "100", 1: "00", 2: "01", 3: "101", 4: "110", 5: "1110",
+            6: "11110", 7: "111110", 8: "1111110"}
+_DC_CHROMA = {0: "00", 1: "01", 2: "10", 3: "110", 4: "1110",
+              5: "11110", 6: "111110", 7: "1111110", 8: "11111110"}
+
+# AC run/level table, SHORT rows only (code -> (run, level); a sign
+# bit follows each). '10' = EOB, '000001' = escape — both handled
+# inline. The witness encoder emits only (0,1), escape and EOB.
+_AC_SHORT = {
+    "11": (0, 1), "011": (1, 1), "0100": (0, 2), "0101": (2, 1),
+    "00101": (0, 3), "00111": (3, 1), "00110": (4, 1),
+    "000110": (1, 2), "000111": (5, 1), "000101": (6, 1),
+    "000100": (7, 1), "0000110": (0, 4), "0000100": (2, 2),
+    "0000111": (8, 1), "0000101": (9, 1),
+}
+_AC_MAXLEN = max(len(c) for c in _AC_SHORT)
+_DC_LUMA_INV = {v: k for k, v in _DC_LUMA.items()}
+_DC_CHROMA_INV = {v: k for k, v in _DC_CHROMA.items()}
+
+_PICTURE_RATES = {1: 23.976, 2: 24.0, 3: 25.0, 4: 29.97, 5: 30.0,
+                  6: 50.0, 7: 59.94, 8: 60.0}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, bits: int) -> None:
+        if value < 0 or (bits and value >> bits):
+            raise ValueError(f"value {value} does not fit {bits} bits")
+        self.acc = (self.acc << bits) | value
+        self.n += bits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def write_code(self, code: str) -> None:
+        self.write(int(code, 2), len(code))
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+    def start_code(self, value: int) -> None:
+        self.align()
+        self.buf += b"\x00\x00\x01" + bytes([value])
+
+    def bytes(self) -> bytes:
+        self.align()
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, b: bytes) -> None:
+        self.b = b
+        self.pos = 0
+
+    def read(self, bits: int) -> int:
+        end = self.pos + bits
+        if end > len(self.b) * 8:
+            raise ValueError("truncated MPEG-1 stream")
+        v = 0
+        pos = self.pos
+        while bits:
+            byte = self.b[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = min(bits, avail)
+            v = (v << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            pos += take
+            bits -= take
+        self.pos = end
+        return v
+
+    def read_dc_size(self, inv: dict[str, int]) -> int:
+        code = ""
+        while len(code) <= 8:
+            code += "1" if self.read(1) else "0"
+            if code in inv:
+                return inv[code]
+        raise ValueError(f"bad MPEG-1 DC size code {code!r}")
+
+
+def _dc_diff_bits(diff: int) -> tuple[int, int]:
+    """-> (size, offset-coded value) per §2.4.3.7."""
+    size = abs(diff).bit_length()
+    if diff >= 0:
+        return size, diff
+    return size, diff + (1 << size) - 1
+
+
+def _encode_block(
+    w: _BitWriter, coeff: np.ndarray, qscale: int, dc_pred: int,
+    dc_table: dict[int, str],
+) -> int:
+    """One intra block: DCT coefficients -> DC diff + AC escapes.
+    Returns the new DC predictor (quantized DC)."""
+    zz = coeff.reshape(64)[ZIGZAG]
+    qdc = int(np.rint(zz[0] / 8.0))
+    qdc = max(-255 + dc_pred, min(255 + dc_pred, qdc))  # diff fits 8 sizes
+    diff = qdc - dc_pred
+    size, offset = _dc_diff_bits(diff)
+    if size > 8:
+        raise ValueError("MPEG-1 DC differential out of range")
+    w.write_code(dc_table[size])
+    if size:
+        w.write(offset, size)
+    wq = INTRA_QUANT.reshape(64)[ZIGZAG]
+    run = 0
+    for i in range(1, 64):
+        level = int(np.rint(16.0 * zz[i] / (2.0 * qscale * wq[i])))
+        level = max(-255, min(255, level))
+        if level == 0:
+            run += 1
+            continue
+        if run == 0 and level in (-1, 1):
+            w.write_code("11")
+            w.write(0 if level > 0 else 1, 1)
+        else:
+            w.write_code("000001")  # escape covers any (run, level)
+            w.write(run, 6)
+            if -127 <= level <= 127:
+                w.write(level & 0xFF, 8)
+            elif level > 127:
+                w.write(0, 8)
+                w.write(level, 8)
+            else:
+                w.write(0x80, 8)
+                w.write(level + 256, 8)
+        run = 0
+    w.write_code("10")  # EOB
+    return qdc
+
+
+def _decode_block(
+    r: _BitReader, qscale: int, dc_pred: int, dc_inv: dict[str, int]
+) -> tuple[np.ndarray, int]:
+    """-> (reconstructed 8x8 spatial block BEFORE level shift, new DC
+    predictor)."""
+    size = r.read_dc_size(dc_inv)
+    if size:
+        offset = r.read(size)
+        diff = offset if offset >= (1 << (size - 1)) else (
+            offset - (1 << size) + 1
+        )
+    else:
+        diff = 0
+    qdc = dc_pred + diff
+    rec = np.zeros(64, dtype=np.int64)
+    rec[0] = qdc * 8
+    wq = INTRA_QUANT.reshape(64)[ZIGZAG]
+    i = 0
+    while True:
+        code = str(r.read(1))
+        if code == "1":
+            code += str(r.read(1))
+            if code == "10":
+                break  # EOB
+            # '11' = (0,1) with sign
+            run, level = 0, 1
+            if r.read(1):
+                level = -1
+        else:
+            while code not in _AC_SHORT and code != "000001":
+                if len(code) > _AC_MAXLEN:
+                    raise NotImplementedError(
+                        f"MPEG-1 AC code {code!r} beyond the implemented "
+                        "short rows of Table B.5c"
+                    )
+                code += str(r.read(1))
+            if code == "000001":
+                run = r.read(6)
+                first = r.read(8)
+                if first == 0:
+                    level = r.read(8)
+                    if level < 128:
+                        raise ValueError("non-canonical MPEG-1 escape level")
+                elif first == 0x80:
+                    level = r.read(8) - 256
+                    if level > -128 or level == -256:
+                        raise ValueError("non-canonical MPEG-1 escape level")
+                else:
+                    level = first - 256 if first & 0x80 else first
+                    if level == 0:
+                        raise ValueError("MPEG-1 escape level of zero")
+            else:
+                run, level = _AC_SHORT[code]
+                if r.read(1):
+                    level = -level
+        i += run + 1
+        if i > 63:
+            raise ValueError("MPEG-1 AC coefficients overflow the block")
+        v = (2 * level * qscale * int(wq[i])) // 16
+        # mismatch control: even values step toward zero
+        if v and v % 2 == 0:
+            v += -1 if v > 0 else 1
+        rec[ZIGZAG[i]] = max(-2048, min(2047, v))
+    spatial = _C.T @ rec.reshape(8, 8).astype(np.float64) @ _C
+    return spatial, qdc
+
+
+def encode_m1v(
+    frames: list[np.ndarray], fps_code: int = 5, qscale: int = 4
+) -> bytes:
+    """Witness MPEG-1 elementary stream: every frame an I-picture,
+    one slice per macroblock row. Frames are (h, w, 3) RGB uint8 with
+    h, w multiples of 16."""
+    if not frames:
+        raise ValueError("MPEG-1 stream needs at least one frame")
+    h, w_px, _ = frames[0].shape
+    if h % 16 or w_px % 16:
+        raise ValueError("MPEG-1 witness frames must be multiples of 16")
+    if not 1 <= qscale <= 31:
+        raise ValueError("quantizer_scale must be 1..31")
+    if fps_code not in _PICTURE_RATES:
+        raise ValueError(f"bad picture_rate code {fps_code}")
+    w = _BitWriter()
+    w.start_code(0xB3)  # sequence header
+    w.write(w_px, 12)
+    w.write(h, 12)
+    w.write(1, 4)   # pel aspect 1:1
+    w.write(fps_code, 4)
+    w.write(0x3FFFF, 18)  # bit_rate: variable
+    w.write(1, 1)   # marker
+    w.write(0, 10)  # vbv_buffer_size
+    w.write(0, 1)   # constrained flag
+    w.write(0, 1)   # no custom intra matrix
+    w.write(0, 1)   # no custom non-intra matrix
+    w.start_code(0xB8)  # GOP
+    w.write(0, 25)  # time code
+    w.write(1, 1)   # closed gop
+    w.write(0, 1)   # broken link
+    for t, fr in enumerate(frames):
+        if fr.shape != frames[0].shape:
+            raise ValueError("MPEG-1 frames must share one geometry")
+        ycc = _rgb_to_ycbcr(fr).astype(np.float64)
+        y = ycc[:, :, 0]
+        cb = ycc[0::2, 0::2, 1]  # witness 4:2:0: top-left subsample
+        cr = ycc[0::2, 0::2, 2]
+        w.start_code(0x00)  # picture
+        w.write(t & 0x3FF, 10)
+        w.write(1, 3)       # I picture
+        w.write(0xFFFF, 16)  # vbv_delay
+        w.write(0, 1)       # extra_bit_picture
+        mbw = w_px // 16
+        for row in range(h // 16):
+            w.start_code(0x01 + row)  # slice per MB row
+            w.write(qscale, 5)
+            w.write(0, 1)   # extra_bit_slice
+            preds = [128 * 8 // 8, 128, 128]  # quantized DC predictors
+            preds = [1024 // 8, 1024 // 8, 1024 // 8]
+            for col in range(mbw):
+                w.write_code("1")   # mb_address_increment = 1
+                w.write_code("1")   # mb_type: intra
+                for blk in range(6):
+                    if blk < 4:
+                        by = (blk // 2) * 8
+                        bx = (blk % 2) * 8
+                        block = y[row * 16 + by : row * 16 + by + 8,
+                                  col * 16 + bx : col * 16 + bx + 8]
+                        ti = 0
+                    else:
+                        plane = cb if blk == 4 else cr
+                        block = plane[row * 8 : row * 8 + 8,
+                                      col * 8 : col * 8 + 8]
+                        ti = blk - 3
+                    coeff = _C @ (block - 0.0) @ _C.T
+                    preds[ti] = _encode_block(
+                        w, coeff, qscale,
+                        preds[ti], _DC_LUMA if blk < 4 else _DC_CHROMA,
+                    )
+    w.start_code(0xB7)  # sequence end
+    return w.bytes()
+
+
+def _next_start_code(b: bytes, pos: int) -> tuple[int, int]:
+    """-> (code_byte, offset just past the 4-byte start code)."""
+    i = b.find(b"\x00\x00\x01", pos)
+    if i < 0 or i + 3 >= len(b):
+        raise ValueError("MPEG-1 start code expected")
+    return b[i + 3], i + 4
+
+
+def decode_m1v(b: bytes) -> tuple[dict, list[np.ndarray]]:
+    """Elementary-stream decode -> ({width, height, fps, n_frames},
+    [RGB frames]). I-pictures only; P/B pictures raise
+    NotImplementedError (the intra-era gate this module documents)."""
+    code, pos = _next_start_code(bytes(b), 0)
+    if code != 0xB3:
+        raise ValueError("not an MPEG-1 video stream (no sequence header)")
+    r = _BitReader(b[pos:])
+    w_px = r.read(12)
+    h = r.read(12)
+    _aspect = r.read(4)
+    rate_code = r.read(4)
+    if rate_code not in _PICTURE_RATES:
+        raise ValueError(f"reserved MPEG-1 picture rate {rate_code}")
+    _bitrate = r.read(18)
+    if not r.read(1):
+        raise ValueError("MPEG-1 sequence header marker bit missing")
+    _vbv = r.read(10)
+    _constrained = r.read(1)
+    if r.read(1):  # load_intra_quantizer_matrix
+        raise NotImplementedError("custom MPEG-1 intra quantizer matrix")
+    if r.read(1):
+        raise NotImplementedError("custom MPEG-1 non-intra matrix")
+    if not w_px or not h:
+        raise ValueError("MPEG-1 zero frame dimensions")
+    mbw, mbh = -(-w_px // 16), -(-h // 16)
+    frames: list[np.ndarray] = []
+    pos = 0
+    data = bytes(b)
+    while True:
+        code, nxt = _next_start_code(data, pos)
+        pos = nxt
+        if code == 0xB7:
+            break
+        if code in (0xB3, 0xB8):  # repeated sequence header / GOP
+            continue
+        if code == 0x00:  # picture
+            pr = _BitReader(data[pos:])
+            _tref = pr.read(10)
+            ptype = pr.read(3)
+            if ptype != 1:
+                raise NotImplementedError(
+                    f"MPEG-1 picture type {ptype} (engine decodes I frames)"
+                )
+            y = np.zeros((mbh * 16, mbw * 16))
+            cb = np.full((mbh * 8, mbw * 8), 128.0)
+            cr = np.full((mbh * 8, mbw * 8), 128.0)
+            # slices follow until the next non-slice start code
+            while True:
+                try:
+                    scode, spos = _next_start_code(data, pos)
+                except ValueError:
+                    raise ValueError("MPEG-1 picture without terminator")
+                if not 0x01 <= scode <= 0xAF:
+                    break
+                row = scode - 1
+                if row >= mbh:
+                    raise ValueError("MPEG-1 slice row beyond frame")
+                sr = _BitReader(data[spos:])
+                qscale = sr.read(5)
+                if not qscale:
+                    raise ValueError("MPEG-1 quantizer_scale of zero")
+                while sr.read(1):  # extra_information_slice
+                    sr.read(8)
+                preds = [128, 128, 128]
+                for col in range(mbw):
+                    if not sr.read(1):
+                        raise NotImplementedError(
+                            "MPEG-1 mb_address_increment > 1"
+                        )
+                    if not sr.read(1):  # mb_type: '01' intra+quant
+                        if sr.read(1):
+                            qscale = sr.read(5)
+                            if not qscale:
+                                raise ValueError(
+                                    "MPEG-1 quantizer_scale of zero"
+                                )
+                        else:
+                            raise NotImplementedError(
+                                "MPEG-1 non-intra macroblock in I picture"
+                            )
+                    for blk in range(6):
+                        ti = 0 if blk < 4 else blk - 3
+                        spatial, preds[ti] = _decode_block(
+                            sr, qscale, preds[ti],
+                            _DC_LUMA_INV if blk < 4 else _DC_CHROMA_INV,
+                        )
+                        px = np.clip(np.rint(spatial), 0, 255)
+                        if blk < 4:
+                            by = (blk // 2) * 8
+                            bx = (blk % 2) * 8
+                            y[row * 16 + by : row * 16 + by + 8,
+                              col * 16 + bx : col * 16 + bx + 8] = px
+                        elif blk == 4:
+                            cb[row * 8 : row * 8 + 8,
+                               col * 8 : col * 8 + 8] = px
+                        else:
+                            cr[row * 8 : row * 8 + 8,
+                               col * 8 : col * 8 + 8] = px
+                pos = spos + (sr.pos + 7) // 8
+                # re-align to the next start code (stuffing bits)
+                while (
+                    pos < len(data)
+                    and data[pos : pos + 3] != b"\x00\x00\x01"
+                    and pos + 3 <= len(data)
+                ):
+                    if data[pos] != 0:
+                        raise ValueError("MPEG-1 garbage between slices")
+                    pos += 1
+            up_cb = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+            up_cr = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
+            ycc = np.stack([y, up_cb, up_cr], axis=-1)
+            frames.append(_ycbcr_to_rgb(ycc)[:h, :w_px])
+            continue
+        raise ValueError(f"unexpected MPEG-1 start code {code:#x}")
+    if not frames:
+        raise ValueError("MPEG-1 stream has no pictures")
+    return (
+        {
+            "width": w_px,
+            "height": h,
+            "fps": _PICTURE_RATES[rate_code],
+            "n_frames": len(frames),
+        },
+        frames,
+    )

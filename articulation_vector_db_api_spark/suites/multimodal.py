@@ -2930,6 +2930,128 @@ def multimodal_mp2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mpeg1_iframe_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(32 AS BIGINT) AS width,
+           CAST(32 AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 2 END AS BIGINT)
+               AS n_frames,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 3000 ELSE 2500 END
+               AS BIGINT) AS fps_x100,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 8 END
+               AS BIGINT) AS qscale,
+           CAST(1 AS BIGINT) AS snr_ok,
+           CAST(1 AS BIGINT) AS energy_ok
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "video"),
+)
+def multimodal_mpeg1_iframe_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MPEG-1 I-FRAME DECODE (r10 VERDICT item 7): the video surface's
+    first inter-era compressed codec — each doc's id seeds
+    deterministic gradient frames, encoded as an MPEG-1 elementary
+    stream by the witness encoder (functions/mpeg1.py:encode_m1v) and
+    decoded END TO END: sequence header → GOP → I-pictures → per-row
+    slices → intra macroblocks (DC size VLC + differential prediction,
+    AC (0,1)/escape codes, the spec's default intra quantizer matrix,
+    integer reconstruction with mismatch control) → IDCT → 4:2:0 →
+    RGB. The DCT/zigzag/color machinery is shared with
+    functions/jpeg.py.
+
+    Lossy, so pixel digests are not SQL-recomputable; the oracle pins
+    the structural facts (dimensions / frame count / picture rate /
+    quantizer scale grid) plus SNR > 18 dB and energy-within-10%
+    invariants (measured 22-28 dB across the qscale grid; the ceiling
+    is the 4:2:0 chroma subsample).
+
+    Scale shape: Arrow-batched narrow map, zero shuffle of video
+    bytes, one stats row per doc — the AVI/MKV/MP4 decode envelope."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("fps_x100", T.LongType()),
+            T.StructField("qscale", T.LongType()),
+            T.StructField("snr_ok", T.LongType()),
+            T.StructField("energy_ok", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.mpeg1 import decode_m1v, encode_m1v
+
+        h = w = 32
+        yy, xx = np.mgrid[0:h, 0:w]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n_frames = 3 if i % 5 == 0 else 2
+                fps_code = 5 if i % 2 == 0 else 3
+                qscale = (2, 4, 8)[i % 3]
+                frames = []
+                for t in range(n_frames):
+                    base = (
+                        128
+                        + 60 * np.sin(2 * np.pi * (xx / w + t * 0.13
+                                                   + (i % 11) / 11.0))
+                        + 40 * np.cos(2 * np.pi * yy / h + (i % 7) / 7.0)
+                    )
+                    frames.append(
+                        np.stack(
+                            [np.clip(base, 0, 255),
+                             np.clip(base[::-1], 0, 255),
+                             np.clip(255 - base, 0, 255)],
+                            axis=-1,
+                        ).astype(np.uint8)
+                    )
+                es = encode_m1v(frames, fps_code=fps_code, qscale=qscale)
+                meta, dec = decode_m1v(es)
+                if (meta["width"], meta["height"], meta["n_frames"]) != (
+                    w, h, n_frames
+                ):
+                    raise ValueError("MPEG-1 roundtrip metadata mismatch")
+                ref = np.stack(frames).astype(np.float64)
+                got = np.stack(dec).astype(np.float64)
+                err = got - ref
+                snr = 10 * np.log10(
+                    (ref**2).sum() / max((err**2).sum(), 1e-30)
+                )
+                e_ratio = (got**2).sum() / (ref**2).sum()
+                rows.append(
+                    (
+                        doc_id, w, h, n_frames,
+                        int(round(meta["fps"] * 100)),
+                        qscale,
+                        int(snr > 18.0),
+                        int(abs(e_ratio - 1.0) < 0.10),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_av_container_probe",
     oracle="""
     WITH bts AS (

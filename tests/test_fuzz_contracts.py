@@ -202,6 +202,30 @@ def test_fuzz_vorbis_end_to_end():
     _assert_contract("vorbis", stream, decode_ogg_vorbis, n=120)
 
 
+def test_fuzz_mp2_full_decode():
+    from articulation_vector_db_api_spark.functions.mp2 import (
+        decode_mp2,
+        encode_mp2,
+    )
+
+    t = np.arange(1152 * 2) / 44100.0
+    x = 0.4 * np.sin(2 * np.pi * 440 * t)
+    _assert_contract("mp2", encode_mp2(x, 44100), decode_mp2, n=120)
+
+
+def test_fuzz_mpeg1_video():
+    from articulation_vector_db_api_spark.functions.mpeg1 import (
+        decode_m1v,
+        encode_m1v,
+    )
+
+    img = (np.arange(32 * 32 * 3).reshape(32, 32, 3) * 11 % 256).astype(
+        np.uint8
+    )
+    stream = encode_m1v([img, img[::-1].copy()], fps_code=5, qscale=4)
+    _assert_contract("m1v", stream, decode_m1v, n=120)
+
+
 def test_fuzz_opus_packets():
     from articulation_vector_db_api_spark.functions.opus import (
         parse_opus_packet,

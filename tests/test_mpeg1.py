@@ -1,0 +1,119 @@
+"""MPEG-1 I-frame codec (functions/mpeg1.py): spec-table spot checks,
+roundtrip SNR across quantizer scales, DC prediction, escape coding,
+honest gates, and the mutation-fuzz ValueError-only contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from articulation_vector_db_api_spark.functions.mpeg1 import (
+    INTRA_QUANT,
+    decode_m1v,
+    encode_m1v,
+)
+
+
+def _frame(i, h=32, w=48):
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 128 + 60 * np.sin(2 * np.pi * (xx / w + i * 0.13)) + 40 * np.cos(
+        2 * np.pi * yy / h
+    )
+    return np.stack(
+        [np.clip(base, 0, 255), np.clip(base[::-1], 0, 255),
+         np.clip(255 - base, 0, 255)],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def _snr(a, b):
+    err = a.astype(np.float64) - b.astype(np.float64)
+    return 10 * np.log10(
+        (a.astype(np.float64) ** 2).sum() / max((err**2).sum(), 1e-9)
+    )
+
+
+def test_intra_quant_matrix_is_the_spec_table():
+    # corners + diagonal of ISO 11172-2 §2.4.4.2's default matrix
+    assert INTRA_QUANT[0, 0] == 8 and INTRA_QUANT[0, 7] == 34
+    assert INTRA_QUANT[7, 0] == 27 and INTRA_QUANT[7, 7] == 83
+    assert list(np.diag(INTRA_QUANT)) == [8, 16, 26, 27, 32, 40, 56, 83]
+    assert INTRA_QUANT.sum() == int(INTRA_QUANT.sum())  # int table
+
+
+def test_roundtrip_quality_by_qscale():
+    frames = [_frame(i) for i in range(3)]
+    prev_bytes = None
+    # the ceiling is the witness's 4:2:0 chroma subsample (~27.5 dB on
+    # these saturated-color gradients), not the quantizer
+    for qscale, floor in ((2, 26.0), (4, 25.0), (8, 22.0)):
+        es = encode_m1v(frames, qscale=qscale)
+        meta, dec = decode_m1v(es)
+        assert meta == {"width": 48, "height": 32, "fps": 30.0,
+                        "n_frames": 3}
+        for a, b in zip(frames, dec):
+            assert _snr(a, b) > floor
+        if prev_bytes is not None:
+            assert len(es) < prev_bytes  # coarser quant -> smaller stream
+        prev_bytes = len(es)
+
+
+def test_fps_codes():
+    es = encode_m1v([_frame(0)], fps_code=3)
+    assert decode_m1v(es)[0]["fps"] == 25.0
+    with pytest.raises(ValueError, match="picture_rate"):
+        encode_m1v([_frame(0)], fps_code=0)
+
+
+def test_dc_prediction_spans_macroblocks():
+    """A constant-color frame leans entirely on DC prediction (every
+    AC level is 0, every DC diff after the first is 0) — decode must
+    reproduce it almost exactly."""
+    flat = np.full((32, 64, 3), 153, dtype=np.uint8)
+    meta, dec = decode_m1v(encode_m1v([flat], qscale=8))
+    assert np.abs(dec[0].astype(int) - 153).max() <= 2
+
+
+def test_escape_levels_roundtrip():
+    """Hard edges at qscale 1 force large AC levels through both
+    escape forms (8-bit and 16-bit)."""
+    f = np.zeros((16, 16, 3), dtype=np.uint8)
+    f[:, 8:] = 255  # maximal step inside a single macroblock
+    meta, dec = decode_m1v(encode_m1v([f], qscale=1))
+    assert _snr(f, dec[0]) > 20.0
+
+
+def test_gates():
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_m1v([np.zeros((30, 32, 3), dtype=np.uint8)])
+    with pytest.raises(ValueError, match="at least one"):
+        encode_m1v([])
+    with pytest.raises(ValueError, match="quantizer_scale"):
+        encode_m1v([_frame(0)], qscale=0)
+    es = bytearray(encode_m1v([_frame(0)]))
+    # flip picture_coding_type I -> P (3 bits after 10-bit temporal ref
+    # in the picture header): find the picture start code
+    at = bytes(es).find(b"\x00\x00\x01\x00") + 4
+    es[at + 1] = (es[at + 1] & ~0x38) | 0x10  # type bits 010 = P
+    with pytest.raises(NotImplementedError, match="picture type"):
+        decode_m1v(bytes(es))
+    with pytest.raises(ValueError):
+        decode_m1v(b"\x00\x00\x01\xb3" + b"\x00" * 3)  # truncated header
+    with pytest.raises(ValueError):
+        decode_m1v(b"not mpeg at all")
+
+
+def test_custom_matrix_gate():
+    es = bytearray(encode_m1v([_frame(0)]))
+    # sequence header: 12+12+4+4+18+1+10+1 = 62 bits, then
+    # load_intra_quantizer_matrix at bit 62 -> byte 7, bit 6 (mask 0x02)
+    es[4 + 7] |= 0x02
+    with pytest.raises(NotImplementedError, match="quantizer matrix"):
+        decode_m1v(bytes(es))
+
+
+def test_fuzz_mpeg1_contract():
+    from tests.test_fuzz_contracts import _assert_contract
+
+    es = encode_m1v([_frame(0, 32, 32), _frame(1, 32, 32)], qscale=4)
+    _assert_contract("m1v", es, decode_m1v)

@@ -66,9 +66,11 @@ def build_avi(
     fps_scale: int = 1,
 ) -> bytes:
     """Wrap per-frame ``payloads`` in a single-video-stream AVI.
-    ``codec`` is "MJPG" (payloads are complete JPEG streams) or "DIB"
-    (payloads are bottom-up BGR rows, 4-byte padded)."""
-    if codec not in ("MJPG", "DIB"):
+    ``codec`` is "MJPG" (payloads are complete JPEG streams), "DIB"
+    (payloads are bottom-up BGR rows, 4-byte padded), or "MPG1"
+    (payloads are per-picture chunks of an MPEG-1 elementary stream —
+    mpeg1.split_m1v_frames's convention, the 'PIM1' interleave)."""
+    if codec not in ("MJPG", "DIB", "MPG1"):
         raise NotImplementedError(f"AVI writer codec {codec!r}")
     if not payloads:
         raise ValueError("AVI needs at least one frame")
@@ -88,7 +90,7 @@ def build_avi(
         height,
         0, 0, 0, 0,
     )
-    handler = b"MJPG" if codec == "MJPG" else b"DIB "
+    handler = {"MJPG": b"MJPG", "DIB": b"DIB ", "MPG1": b"mpg1"}[codec]
     strh = (
         b"vids"
         + handler
@@ -105,7 +107,11 @@ def build_avi(
             0, 0, width, height,
         )
     )
-    compression = 0 if codec == "DIB" else struct.unpack("<I", b"MJPG")[0]
+    compression = (
+        0
+        if codec == "DIB"
+        else struct.unpack("<I", codec.encode("ascii"))[0]
+    )
     strf = struct.pack(
         "<IiiHHIIiiII",
         40,
@@ -122,7 +128,7 @@ def build_avi(
         _chunk(b"avih", avih)
         + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
     )
-    frame_cc = b"00dc" if codec == "MJPG" else b"00db"
+    frame_cc = b"00db" if codec == "DIB" else b"00dc"
     movi_payload = b"movi"
     idx = b""
     for p in payloads:
@@ -228,6 +234,12 @@ def parse_avi(b: bytes) -> dict:
     (bitcount,) = struct.unpack_from("<H", strf, 14)
     if handler == b"MJPG" or compression == struct.unpack("<I", b"MJPG")[0]:
         codec = "MJPG"
+    elif handler.upper() in (b"MPG1", b"PIM1") or compression in (
+        struct.unpack("<I", b"MPG1")[0],
+        struct.unpack("<I", b"mpg1")[0],
+        struct.unpack("<I", b"PIM1")[0],
+    ):
+        codec = "MPG1"
     elif compression == 0:
         if bitcount != 24:
             raise NotImplementedError(f"DIB bit depth {bitcount}")
@@ -317,11 +329,26 @@ def decode_dib_frame(payload: bytes, width: int, height: int) -> np.ndarray:
 def decode_avi_frames(b: bytes) -> tuple[dict, list[np.ndarray]]:
     """Full pixel decode: parse + extract + per-frame codec dispatch.
     MJPG frames run the from-scratch JPEG decoder; DIB frames decode
-    losslessly. -> (meta, [(h, w, 3) or (h, w, 1) uint8])."""
+    losslessly; MPG1 payloads reconstitute the MPEG-1 elementary
+    stream (PIM1-style per-picture chunks, mpeg1.split_m1v_frames's
+    inverse) and run the intra decoder. -> (meta, [(h, w, 3) or
+    (h, w, 1) uint8])."""
     meta = parse_avi(b)
     payloads = extract_avi_frames(b)
     if meta["codec"] == "MJPG":
         frames = [decode_jpeg(p) for p in payloads]
+    elif meta["codec"] == "MPG1":
+        from .mpeg1 import decode_m1v
+
+        es = b"".join(payloads)
+        if not es.endswith(b"\x00\x00\x01\xb7"):
+            es += b"\x00\x00\x01\xb7"  # muxers may drop sequence_end
+        m1meta, frames = decode_m1v(es)
+        if m1meta["n_frames"] != len(payloads):
+            raise ValueError(
+                f"MPEG-1 picture count {m1meta['n_frames']} != "
+                f"AVI chunk count {len(payloads)}"
+            )
     else:
         frames = [
             decode_dib_frame(p, meta["width"], meta["height"])

@@ -30,6 +30,7 @@ _TRACK_ENTRY = 0xAE
 _TRACK_TYPE = 0x83
 _TRACK_NUMBER = 0xD7
 _CODEC_ID = 0x86
+_CODEC_PRIVATE = 0x63A2
 _VIDEO = 0xE0
 _PIX_W = 0xB0
 _PIX_H = 0xBA
@@ -128,7 +129,7 @@ def parse_ebml(payload: bytes) -> dict:
                         if tid != _TRACK_ENTRY:
                             continue
                         w = h = rate = ch = None
-                        number = codec_id = None
+                        number = codec_id = codec_private = None
                         for fid, fp, fq in _walk(b, tp, tq):
                             if fid == _TRACK_NUMBER:
                                 number = _uint(b, fp, fq)
@@ -136,6 +137,8 @@ def parse_ebml(payload: bytes) -> dict:
                                 codec_id = (
                                     b[fp:fq].split(b"\x00")[0].decode("ascii")
                                 )
+                            elif fid == _CODEC_PRIVATE:
+                                codec_private = b[fp:fq]
                             elif fid == _VIDEO:
                                 for vid, vp, vq in _walk(b, fp, fq):
                                     if vid == _PIX_W:
@@ -156,6 +159,7 @@ def parse_ebml(payload: bytes) -> dict:
                             {
                                 "number": number,
                                 "codec_id": codec_id,
+                                "codec_private": codec_private,
                                 "width": w,
                                 "height": h,
                             }
@@ -272,25 +276,53 @@ def _parse_simple_block(
 def decode_mkv_frames(payload: bytes):
     """Full pixel decode through the Matroska seam: parse the track
     table, walk Clusters, and decode each video frame by CodecID —
-    V_MJPEG rides functions/jpeg.py; anything else raises
+    V_MJPEG rides functions/jpeg.py, V_MPEG1 reconstitutes the
+    elementary stream (CodecPrivate carries the sequence header + GOP,
+    blocks carry pictures — the Matroska codec-mapping convention) and
+    rides functions/mpeg1.py; anything else raises
     NotImplementedError (honest gate: VP8/VP9/AV1 are perceptual
     codecs). -> (meta, [(track, ts_ms, (h, w, ch) uint8 array)])."""
     from .jpeg import decode_jpeg
 
     meta = parse_ebml(payload)
-    codecs = {
-        t["number"]: t["codec_id"]
-        for t in meta["tracks"]
-        if t["number"] is not None
+    tracks_by_num = {
+        t["number"]: t for t in meta["tracks"] if t["number"] is not None
     }
     out = []
+    mpeg1_blocks: dict[int, list[tuple[int, bytes]]] = {}
     for track, ts_ms, frame in mkv_frames(payload):
-        codec = codecs.get(track)
-        if codec is None:
+        t = tracks_by_num.get(track)
+        if t is None:
             raise ValueError(f"Matroska block for unknown track {track}")
-        if codec != "V_MJPEG":
+        codec = t["codec_id"]
+        if codec == "V_MJPEG":
+            out.append((track, ts_ms, decode_jpeg(frame)))
+        elif codec == "V_MPEG1":
+            mpeg1_blocks.setdefault(track, []).append((ts_ms, frame))
+        else:
             raise NotImplementedError(f"Matroska codec {codec}")
-        out.append((track, ts_ms, decode_jpeg(frame)))
+    for track, blocks in mpeg1_blocks.items():
+        from .mpeg1 import decode_m1v
+
+        private = tracks_by_num[track]["codec_private"]
+        if not private:
+            raise ValueError(
+                "Matroska V_MPEG1 track without CodecPrivate "
+                "(sequence header expected there)"
+            )
+        es = private + b"".join(fr for _ts, fr in blocks)
+        if not es.endswith(b"\x00\x00\x01\xb7"):
+            es += b"\x00\x00\x01\xb7"
+        _m1meta, frames = decode_m1v(es)
+        if len(frames) != len(blocks):
+            raise ValueError(
+                f"MPEG-1 picture count {len(frames)} != "
+                f"Matroska block count {len(blocks)}"
+            )
+        out.extend(
+            (track, ts_ms, fr)
+            for (ts_ms, _payload), fr in zip(blocks, frames)
+        )
     return meta, out
 
 
@@ -318,13 +350,18 @@ def build_mkv_mjpeg(
     height: int,
     lacing: str = "none",
     frames_per_cluster: int = 4,
+    codec_id: str = "V_MJPEG",
+    codec_private: bytes = b"",
 ) -> bytes:
-    """Matroska file with ONE V_MJPEG video track: ``frames`` is
-    [(timestamp_ms, jpeg_bytes)]. Frames group into Clusters of
+    """Matroska file with ONE video track: ``frames`` is
+    [(timestamp_ms, payload_bytes)]. Frames group into Clusters of
     ``frames_per_cluster``; each cluster's Timestamp is its first
     frame's, SimpleBlocks carry signed relative offsets. ``lacing``:
     "none" (one block per frame), "xiph" or "fixed" (one laced block
-    per cluster; "fixed" requires equal frame sizes)."""
+    per cluster; "fixed" requires equal frame sizes). Default codec is
+    V_MJPEG (payloads are JPEG streams); V_MPEG1 puts the sequence
+    header + GOP in ``codec_private`` (the Matroska codec-mapping
+    convention) with per-picture payloads in the blocks."""
     if not frames:
         raise ValueError("Matroska clip needs at least one frame")
     if lacing not in ("none", "xiph", "fixed"):
@@ -341,7 +378,8 @@ def build_mkv_mjpeg(
         _TRACK_ENTRY,
         _uint_el(_TRACK_NUMBER, track_num)
         + _uint_el(_TRACK_TYPE, 1)
-        + _el(_CODEC_ID, b"V_MJPEG")
+        + _el(_CODEC_ID, codec_id.encode("ascii"))
+        + (_el(_CODEC_PRIVATE, codec_private) if codec_private else b"")
         + _el(_VIDEO, _uint_el(_PIX_W, width) + _uint_el(_PIX_H, height)),
     )
     clusters = b""

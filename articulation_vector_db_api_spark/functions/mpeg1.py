@@ -461,3 +461,49 @@ def decode_m1v(b: bytes) -> tuple[dict, list[np.ndarray]]:
         },
         frames,
     )
+
+
+def split_m1v_frames(stream: bytes) -> list[bytes]:
+    """Split an elementary stream into per-picture payloads the way
+    MPEG-1-in-AVI ('MPG1'/'PIM1' fourcc) and Matroska V_MPEG1 muxers
+    chunk it: payload 0 carries the sequence header + GOP up to and
+    including the first picture; each later payload is one picture;
+    the sequence end code rides the last payload. Concatenating the
+    payloads reproduces the stream byte-for-byte (start codes are
+    byte-aligned and, per ISO 11172-2's VLC design, cannot be emulated
+    inside slice data)."""
+    data = bytes(stream)
+    code, pos = _next_start_code(data, 0)
+    if code != 0xB3:
+        raise ValueError("not an MPEG-1 video stream (no sequence header)")
+    cuts = []
+    scan = pos
+    while True:
+        try:
+            code, nxt = _next_start_code(data, scan)
+        except ValueError:
+            break
+        if code == 0x00:  # picture start
+            cuts.append(nxt - 4)
+        scan = nxt
+    if not cuts:
+        raise ValueError("MPEG-1 stream has no pictures")
+    bounds = cuts[1:] + [len(data)]
+    out = [data[: bounds[0]]]
+    out.extend(
+        data[start:end] for start, end in zip(cuts[1:], bounds[1:])
+    )
+    return out
+
+
+def split_m1v_header(stream: bytes) -> tuple[bytes, list[bytes]]:
+    """Matroska V_MPEG1 muxing convention: -> (codec_private,
+    [picture_payloads]) where codec_private is the sequence header +
+    GOP (everything before the first picture start code) and each
+    payload is one picture (the last keeps the sequence end code).
+    ``codec_private + b"".join(payloads)`` reproduces the stream."""
+    parts = split_m1v_frames(stream)
+    cut = parts[0].find(b"\x00\x00\x01\x00")
+    if cut <= 0:
+        raise ValueError("MPEG-1 stream has no picture after the header")
+    return parts[0][:cut], [parts[0][cut:], *parts[1:]]

@@ -300,11 +300,12 @@ _SUITE_WINDOW_ORDER = (
     "scalar", "similarity", "window", "dedup", "mllib",
 )
 
-# Unverified queries DEFERRED past this round's window on purpose
-# (empty for r9; new registrations sort behind _WINDOW_FIRST as
-# ordinary tier-1 entries and only take seats the 50 priorities
-# leave free.)
-_WINDOW_DEFER = frozenset()
+# Unverified queries DEFERRED past this round's window on purpose:
+# the r11 window is exactly the 5 changed/new priorities + 45 stale
+# reseats (the VERDICT r10 item-1 rotation), so the round's late
+# additions queue for r12's window. Each is parity-proven locally at
+# sf0.001/0.01/0.1 before registration.
+_WINDOW_DEFER = frozenset({"multimodal_mpeg1_in_containers"})
 
 
 def load_all() -> dict[str, Query]:

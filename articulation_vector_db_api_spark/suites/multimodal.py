@@ -3052,6 +3052,135 @@ def multimodal_mpeg1_iframe_decode(
 
 
 @register(
+    "multimodal_mpeg1_in_containers",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 2 END AS BIGINT)
+               AS n_frames,
+           CAST(CASE doc_id % 2 WHEN 0 THEN 4 ELSE 8 END AS BIGINT)
+               AS qscale,
+           CAST(1 AS BIGINT) AS avi_bit_exact,
+           CAST(1 AS BIGINT) AS mkv_bit_exact,
+           CAST((CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 2 END - 1) * 40
+               AS BIGINT) AS mkv_last_ts_ms
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "video"),
+)
+def multimodal_mpeg1_in_containers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MPEG-1 BEHIND THE CONTAINER WALKS (r10 VERDICT item 7's second
+    half): the same elementary streams the iframe query decodes, now
+    muxed the way real corpora carry them — AVI 'MPG1' (PIM1-style
+    per-picture 00dc chunks, functions/avi.py) and Matroska V_MPEG1
+    (sequence header + GOP in CodecPrivate, pictures in SimpleBlocks —
+    the Matroska codec-mapping convention, functions/ebml.py). Each
+    doc's witness clip is wrapped in BOTH containers, decoded through
+    the container seams, and checked BIT-EXACT against the direct
+    elementary-stream decode; Matroska block timestamps must land on
+    the 40 ms grid the muxer wrote.
+
+    The containment is the point: a curation pipeline never sees bare
+    .m1v files — it sees AVI/MKV, and the frame bytes must survive the
+    demux unaltered. Scale shape: Arrow-batched narrow map, zero
+    shuffle of video bytes, one stats row per doc."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("qscale", T.LongType()),
+            T.StructField("avi_bit_exact", T.LongType()),
+            T.StructField("mkv_bit_exact", T.LongType()),
+            T.StructField("mkv_last_ts_ms", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.avi import build_avi, decode_avi_frames
+        from ..functions.ebml import build_mkv_mjpeg, decode_mkv_frames
+        from ..functions.mpeg1 import (
+            decode_m1v,
+            encode_m1v,
+            split_m1v_frames,
+            split_m1v_header,
+        )
+
+        h = w = 32
+        yy, xx = np.mgrid[0:h, 0:w]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n_frames = 3 if i % 4 == 0 else 2
+                qscale = 4 if i % 2 == 0 else 8
+                frames = []
+                for t in range(n_frames):
+                    base = (
+                        128
+                        + 55 * np.sin(2 * np.pi * (xx / w + t * 0.21
+                                                   + (i % 13) / 13.0))
+                        + 45 * np.cos(2 * np.pi * yy / h + (i % 5) / 5.0)
+                    )
+                    frames.append(
+                        np.stack(
+                            [np.clip(base, 0, 255),
+                             np.clip(255 - base, 0, 255),
+                             np.clip(base[::-1], 0, 255)],
+                            axis=-1,
+                        ).astype(np.uint8)
+                    )
+                es = encode_m1v(frames, fps_code=3, qscale=qscale)
+                direct = decode_m1v(es)[1]
+
+                avi = build_avi(
+                    split_m1v_frames(es), w, h, "MPG1", fps_rate=25
+                )
+                _am, avi_frames = decode_avi_frames(avi)
+                avi_ok = len(avi_frames) == n_frames and all(
+                    (a == d).all() for a, d in zip(avi_frames, direct)
+                )
+
+                private, pics = split_m1v_header(es)
+                mkv = build_mkv_mjpeg(
+                    [(t * 40, p) for t, p in enumerate(pics)],
+                    w, h,
+                    codec_id="V_MPEG1",
+                    codec_private=private,
+                    frames_per_cluster=2,
+                )
+                _mm, mkv_frames = decode_mkv_frames(mkv)
+                mkv_ok = len(mkv_frames) == n_frames and all(
+                    (fr == d).all()
+                    for (_t, _ts, fr), d in zip(mkv_frames, direct)
+                )
+                last_ts = mkv_frames[-1][1] if mkv_frames else -1
+                rows.append(
+                    (
+                        doc_id, n_frames, qscale,
+                        int(avi_ok), int(mkv_ok), int(last_ts),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_av_container_probe",
     oracle="""
     WITH bts AS (

@@ -225,6 +225,29 @@ def test_fuzz_mpeg1_video():
     stream = encode_m1v([img, img[::-1].copy()], fps_code=5, qscale=4)
     _assert_contract("m1v", stream, decode_m1v, n=120)
 
+    # the container-wrapped seams: AVI 'MPG1' and Matroska V_MPEG1
+    from articulation_vector_db_api_spark.functions.avi import (
+        build_avi,
+        decode_avi_frames,
+    )
+    from articulation_vector_db_api_spark.functions.ebml import (
+        build_mkv_mjpeg,
+        decode_mkv_frames,
+    )
+    from articulation_vector_db_api_spark.functions.mpeg1 import (
+        split_m1v_frames,
+        split_m1v_header,
+    )
+
+    avi = build_avi(split_m1v_frames(stream), 32, 32, "MPG1", fps_rate=30)
+    _assert_contract("avi-mpg1", avi, decode_avi_frames, n=80)
+    private, pics = split_m1v_header(stream)
+    mkv = build_mkv_mjpeg(
+        [(i * 33, p) for i, p in enumerate(pics)],
+        32, 32, codec_id="V_MPEG1", codec_private=private,
+    )
+    _assert_contract("mkv-mpeg1", mkv, decode_mkv_frames, n=80)
+
 
 def test_fuzz_opus_packets():
     from articulation_vector_db_api_spark.functions.opus import (

@@ -117,3 +117,96 @@ def test_fuzz_mpeg1_contract():
 
     es = encode_m1v([_frame(0, 32, 32), _frame(1, 32, 32)], qscale=4)
     _assert_contract("m1v", es, decode_m1v)
+
+
+def test_split_m1v_frames_byte_exact():
+    from articulation_vector_db_api_spark.functions.mpeg1 import (
+        split_m1v_frames,
+        split_m1v_header,
+    )
+
+    es = encode_m1v([_frame(i) for i in range(4)], qscale=4)
+    parts = split_m1v_frames(es)
+    assert len(parts) == 4
+    assert b"".join(parts) == es
+    # later parts each start at a picture start code
+    for p in parts[1:]:
+        assert p.startswith(b"\x00\x00\x01\x00")
+    private, pics = split_m1v_header(es)
+    assert private + b"".join(pics) == es
+    assert private.startswith(b"\x00\x00\x01\xb3")
+    assert len(pics) == 4
+    with pytest.raises(ValueError):
+        split_m1v_frames(b"\x00\x00\x01\xb3" + bytes(8))
+
+
+def test_mpeg1_in_avi_container():
+    from articulation_vector_db_api_spark.functions.avi import (
+        build_avi,
+        decode_avi_frames,
+        parse_avi,
+    )
+    from articulation_vector_db_api_spark.functions.mpeg1 import (
+        split_m1v_frames,
+    )
+
+    frames_in = [_frame(i) for i in range(3)]
+    es = encode_m1v(frames_in, fps_code=3, qscale=4)
+    avi = build_avi(split_m1v_frames(es), 48, 32, "MPG1", fps_rate=25)
+    meta = parse_avi(avi)
+    assert meta["codec"] == "MPG1"
+    assert (meta["width"], meta["height"]) == (48, 32)
+    _meta, dec = decode_avi_frames(avi)
+    direct = decode_m1v(es)[1]
+    assert len(dec) == 3
+    for a, b in zip(dec, direct):
+        assert (a == b).all()  # container decode == direct decode
+    for fr, ref in zip(dec, frames_in):
+        assert _snr(np.stack([ref]), np.stack([fr])) > 18.0
+
+
+def test_mpeg1_in_matroska_container():
+    from articulation_vector_db_api_spark.functions.ebml import (
+        build_mkv_mjpeg,
+        decode_mkv_frames,
+        parse_ebml,
+    )
+    from articulation_vector_db_api_spark.functions.mpeg1 import (
+        split_m1v_header,
+    )
+
+    es = encode_m1v([_frame(i) for i in range(5)], qscale=2)
+    private, pics = split_m1v_header(es)
+    mkv = build_mkv_mjpeg(
+        [(i * 40, p) for i, p in enumerate(pics)],
+        48, 32,
+        codec_id="V_MPEG1",
+        codec_private=private,
+        frames_per_cluster=2,
+    )
+    meta = parse_ebml(mkv)
+    assert meta["tracks"][0]["codec_id"] == "V_MPEG1"
+    assert meta["tracks"][0]["codec_private"] == private
+    _meta, decoded = decode_mkv_frames(mkv)
+    direct = decode_m1v(es)[1]
+    assert [ts for _t, ts, _f in decoded] == [0, 40, 80, 120, 160]
+    for (_t, _ts, fr), d in zip(decoded, direct):
+        assert (fr == d).all()
+
+
+def test_mpeg1_matroska_without_codec_private_raises():
+    from articulation_vector_db_api_spark.functions.ebml import (
+        build_mkv_mjpeg,
+        decode_mkv_frames,
+    )
+    from articulation_vector_db_api_spark.functions.mpeg1 import (
+        split_m1v_header,
+    )
+
+    es = encode_m1v([_frame(0)], qscale=4)
+    _private, pics = split_m1v_header(es)
+    mkv = build_mkv_mjpeg(
+        [(0, pics[0])], 48, 32, codec_id="V_MPEG1"
+    )
+    with pytest.raises(ValueError, match="CodecPrivate"):
+        decode_mkv_frames(mkv)

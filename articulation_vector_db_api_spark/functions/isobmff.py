@@ -95,20 +95,59 @@ def _full(btype: bytes, version: int, payload: bytes) -> bytes:
     return _box(btype, struct.pack(">I", version << 24) + payload)
 
 
+def _mpeg4_descriptor(tag: int, payload: bytes) -> bytes:
+    """MPEG-4 systems (ISO 14496-1 §8.3.3) expandable-size descriptor:
+    tag byte + 7-bits-per-byte length (MSB = continuation) + payload."""
+    n = len(payload)
+    size = bytes([n & 0x7F])
+    n >>= 7
+    while n:
+        size = bytes([0x80 | (n & 0x7F)]) + size
+        n >>= 7
+    return bytes([tag]) + size + payload
+
+
+def build_esds(oti: int, decoder_config: bytes) -> bytes:
+    """'esds' box: ES_Descriptor(3) > DecoderConfigDescriptor(4)
+    [objectTypeIndication, streamType=video] > DecoderSpecificInfo(5)
+    + SLConfigDescriptor(6, predefined=2). OTI 0x6A = MPEG-1 Visual
+    (ISO 14496-1 Table 5); decoder_config carries the sequence
+    header + GOP for MPEG-1."""
+    dcd = _mpeg4_descriptor(
+        4,
+        bytes([oti, 0x11])          # streamType=4 (visual) <<2 | 1
+        + b"\x00\x00\x00"           # bufferSizeDB (24-bit)
+        + struct.pack(">II", 0, 0)  # max/avg bitrate: unspecified
+        + _mpeg4_descriptor(5, decoder_config),
+    )
+    es = _mpeg4_descriptor(
+        3, struct.pack(">HB", 1, 0) + dcd + _mpeg4_descriptor(6, b"\x02")
+    )
+    return _full(b"esds", 0, es)
+
+
 def build_mp4_mjpeg(
     samples: list[tuple[int, bytes]],
     width: int,
     height: int,
     timescale: int = 90000,
     samples_per_chunk: int = 2,
+    codec: str = "jpeg",
+    decoder_config: bytes = b"",
 ) -> bytes:
-    """MP4 with ONE Motion-JPEG video track: ``samples`` is
-    [(duration_in_timescale_ticks, jpeg_bytes)]. Layout
+    """MP4 with ONE video track: ``samples`` is
+    [(duration_in_timescale_ticks, payload_bytes)]. Layout
     ftyp|mdat|moov; samples group into mdat chunks of
     ``samples_per_chunk`` (a trailing partial chunk gets its own stsc
     run), stts compresses equal-duration runs, stco carries absolute
     chunk offsets — the full sample-table machinery, not a one-chunk
-    shortcut."""
+    shortcut. Default codec 'jpeg' (QuickTime Motion-JPEG); 'mp4v'
+    appends an esds box with objectTypeIndication 0x6A (MPEG-1
+    Visual) whose DecoderSpecificInfo is ``decoder_config`` (the
+    sequence header + GOP), samples being the per-picture access
+    units."""
+    if codec not in ("jpeg", "mp4v"):
+        raise NotImplementedError(f"MP4 writer codec {codec!r}")
     if not samples:
         raise ValueError("MP4 needs at least one sample")
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
@@ -157,10 +196,11 @@ def build_mp4_mjpeg(
         struct.pack(">I", len(offsets))
         + b"".join(struct.pack(">I", o) for o in offsets),
     )
-    # VisualSampleEntry 'jpeg' (86 bytes incl. header)
+    # VisualSampleEntry (86 bytes incl. header, plus esds for mp4v)
+    esds = build_esds(0x6A, decoder_config) if codec == "mp4v" else b""
     vse = (
-        struct.pack(">I", 86)
-        + b"jpeg"
+        struct.pack(">I", 86 + len(esds))
+        + codec.encode("ascii")
         + bytes(6)                      # reserved
         + struct.pack(">H", 1)          # data_reference_index
         + bytes(16)                     # pre_defined/reserved
@@ -170,6 +210,7 @@ def build_mp4_mjpeg(
         + struct.pack(">H", 1)          # frame_count
         + bytes(32)                     # compressorname
         + struct.pack(">Hh", 24, -1)    # depth, pre_defined
+        + esds
     )
     stsd = _full(b"stsd", 0, struct.pack(">I", 1) + vse)
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
@@ -213,6 +254,66 @@ def build_mp4_mjpeg(
     )
     moov = _box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+def _read_descriptor(b: bytes, pos: int) -> tuple[int, int, int]:
+    """-> (tag, payload_start, payload_end) for one expandable-size
+    MPEG-4 descriptor; bounds-checked ValueError on truncation."""
+    if pos >= len(b):
+        raise ValueError("truncated MPEG-4 descriptor")
+    tag = b[pos]
+    pos += 1
+    size = 0
+    for _ in range(4):  # spec caps the size field at 4 bytes
+        if pos >= len(b):
+            raise ValueError("truncated MPEG-4 descriptor size")
+        byte = b[pos]
+        pos += 1
+        size = (size << 7) | (byte & 0x7F)
+        if not byte & 0x80:
+            break
+    else:
+        raise ValueError("MPEG-4 descriptor size field overlong")
+    if pos + size > len(b):
+        raise ValueError("MPEG-4 descriptor overruns its box")
+    return tag, pos, pos + size
+
+
+def _parse_esds(body: bytes) -> tuple[int | None, bytes | None]:
+    """esds payload (after FullBox version/flags) -> (oti,
+    decoder_specific_info). Walks ES_Descriptor(3) >
+    DecoderConfigDescriptor(4) > DecoderSpecificInfo(5)."""
+    tag, p, q = _read_descriptor(body, 0)
+    if tag != 3:
+        raise ValueError(f"esds does not start with ES_Descriptor ({tag})")
+    if q - p < 3:
+        raise ValueError("short ES_Descriptor")
+    flags = body[p + 2]
+    p += 3
+    if flags & 0x80:  # streamDependenceFlag: depends_on_ES_ID
+        p += 2
+    if flags & 0x40:  # URL_Flag: length-prefixed URL string
+        if p >= q:
+            raise ValueError("truncated ES_Descriptor URL")
+        p += 1 + body[p]
+    if flags & 0x20:  # OCRstreamFlag
+        p += 2
+    oti = dsi = None
+    while p < q:
+        tag, dp, dq = _read_descriptor(body, p)
+        if tag == 4:
+            if dq - dp < 13:
+                raise ValueError("short DecoderConfigDescriptor")
+            oti = body[dp]
+            sp = dp + 13
+            while sp < dq:
+                stag, ip, iq = _read_descriptor(body, sp)
+                if stag == 5:
+                    dsi = body[ip:iq]
+                    break
+                sp = iq
+        p = dq
+    return oti, dsi
 
 
 def mp4_samples(b: bytes) -> tuple[dict, list[tuple[int, bytes]]]:
@@ -268,6 +369,18 @@ def _mp4_samples(b: bytes) -> tuple[dict, list[tuple[int, bytes]]]:
         width, height = struct.unpack_from(">HH", b, p + 8 + 8 + 24)
     else:
         width = height = 0
+    # mp4v sample entries carry an esds box after the 86 fixed
+    # VisualSampleEntry bytes: objectTypeIndication selects the actual
+    # codec (0x6A = MPEG-1 Visual), DecoderSpecificInfo carries its
+    # config (the MPEG-1 sequence header + GOP)
+    oti = decoder_config = None
+    if codec == "mp4v":
+        (entry_size,) = struct.unpack_from(">I", b, p + 8)
+        entry_end = min(p + 8 + entry_size, _q)
+        for etype, ep, eq, _d in walk_boxes(b, p + 8 + 86, entry_end):
+            if etype == b"esds":
+                oti, decoder_config = _parse_esds(b[ep + 4 : eq])
+                break
     # stsz — bound the declared count BEFORE any expansion: counts are
     # attacker-controlled, and a stomped 0xFFFFFFFF must be a cheap
     # ValueError, never a multi-GB list build (the Vorbis-hang lesson)
@@ -348,6 +461,8 @@ def _mp4_samples(b: bytes) -> tuple[dict, list[tuple[int, bytes]]]:
     return (
         {
             "codec": codec,
+            "oti": oti,
+            "decoder_config": decoder_config,
             "width": width,
             "height": height,
             "timescale": timescale,
@@ -361,17 +476,47 @@ def _mp4_samples(b: bytes) -> tuple[dict, list[tuple[int, bytes]]]:
 def decode_mp4_frames(b: bytes):
     """Full pixel decode through the MP4 seam: sample-table walk +
     per-sample codec dispatch — 'jpeg' (QuickTime Motion-JPEG) rides
-    functions/jpeg.py; other codecs (avc1/hvc1/vp09/av01) raise
-    NotImplementedError. -> (meta, [(ts_ms, (h, w, ch) uint8)])."""
+    functions/jpeg.py; 'mp4v' with objectTypeIndication 0x6A (MPEG-1
+    Visual) reconstitutes the elementary stream from the esds
+    DecoderSpecificInfo (sequence header + GOP) plus the per-picture
+    samples and rides functions/mpeg1.py; other codecs
+    (avc1/hvc1/vp09/av01, other OTIs) raise NotImplementedError.
+    -> (meta, [(ts_ms, (h, w, ch) uint8)])."""
     from .jpeg import decode_jpeg
 
     meta, samples = mp4_samples(b)
-    if meta["codec"] != "jpeg":
-        raise NotImplementedError(f"MP4 sample codec {meta['codec']!r}")
     scale = meta["timescale"]
-    return meta, [
-        (ts * 1000 // scale, decode_jpeg(s)) for ts, s in samples
-    ]
+    if meta["codec"] == "jpeg":
+        return meta, [
+            (ts * 1000 // scale, decode_jpeg(s)) for ts, s in samples
+        ]
+    if meta["codec"] == "mp4v":
+        from .mpeg1 import decode_m1v
+
+        if meta["oti"] != 0x6A:
+            raise NotImplementedError(
+                f"MP4 mp4v objectTypeIndication {meta['oti']!r} "
+                "(engine decodes 0x6A MPEG-1 Visual)"
+            )
+        if not meta["decoder_config"]:
+            raise ValueError(
+                "MP4 MPEG-1 track without DecoderSpecificInfo "
+                "(sequence header expected there)"
+            )
+        es = meta["decoder_config"] + b"".join(s for _ts, s in samples)
+        if not es.endswith(b"\x00\x00\x01\xb7"):
+            es += b"\x00\x00\x01\xb7"
+        _m1meta, frames = decode_m1v(es)
+        if len(frames) != len(samples):
+            raise ValueError(
+                f"MPEG-1 picture count {len(frames)} != "
+                f"MP4 sample count {len(samples)}"
+            )
+        return meta, [
+            (ts * 1000 // scale, fr)
+            for (ts, _s), fr in zip(samples, frames)
+        ]
+    raise NotImplementedError(f"MP4 sample codec {meta['codec']!r}")
 
 
 def avif_dimensions(b: bytes) -> tuple[int, int]:

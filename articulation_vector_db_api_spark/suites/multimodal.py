@@ -3061,6 +3061,7 @@ def multimodal_mpeg1_iframe_decode(
                AS qscale,
            CAST(1 AS BIGINT) AS avi_bit_exact,
            CAST(1 AS BIGINT) AS mkv_bit_exact,
+           CAST(1 AS BIGINT) AS mp4_bit_exact,
            CAST((CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 2 END - 1) * 40
                AS BIGINT) AS mkv_last_ts_ms
     FROM documents
@@ -3074,13 +3075,16 @@ def multimodal_mpeg1_in_containers(
     """MPEG-1 BEHIND THE CONTAINER WALKS (r10 VERDICT item 7's second
     half): the same elementary streams the iframe query decodes, now
     muxed the way real corpora carry them — AVI 'MPG1' (PIM1-style
-    per-picture 00dc chunks, functions/avi.py) and Matroska V_MPEG1
+    per-picture 00dc chunks, functions/avi.py), Matroska V_MPEG1
     (sequence header + GOP in CodecPrivate, pictures in SimpleBlocks —
-    the Matroska codec-mapping convention, functions/ebml.py). Each
-    doc's witness clip is wrapped in BOTH containers, decoded through
-    the container seams, and checked BIT-EXACT against the direct
-    elementary-stream decode; Matroska block timestamps must land on
-    the 40 ms grid the muxer wrote.
+    the Matroska codec-mapping convention, functions/ebml.py), and
+    MP4 'mp4v' with esds objectTypeIndication 0x6A (sequence header
+    in DecoderSpecificInfo, pictures as samples — ISO 14496-1/-14,
+    functions/isobmff.py). Each doc's witness clip is wrapped in ALL
+    THREE containers, decoded through the container seams, and
+    checked BIT-EXACT against the direct elementary-stream decode;
+    Matroska block timestamps must land on the 40 ms grid the muxer
+    wrote.
 
     The containment is the point: a curation pipeline never sees bare
     .m1v files — it sees AVI/MKV, and the frame bytes must survive the
@@ -3098,6 +3102,7 @@ def multimodal_mpeg1_in_containers(
             T.StructField("qscale", T.LongType()),
             T.StructField("avi_bit_exact", T.LongType()),
             T.StructField("mkv_bit_exact", T.LongType()),
+            T.StructField("mp4_bit_exact", T.LongType()),
             T.StructField("mkv_last_ts_ms", T.LongType()),
         ]
     )
@@ -3107,6 +3112,7 @@ def multimodal_mpeg1_in_containers(
 
         from ..functions.avi import build_avi, decode_avi_frames
         from ..functions.ebml import build_mkv_mjpeg, decode_mkv_frames
+        from ..functions.isobmff import build_mp4_mjpeg, decode_mp4_frames
         from ..functions.mpeg1 import (
             decode_m1v,
             encode_m1v,
@@ -3163,10 +3169,21 @@ def multimodal_mpeg1_in_containers(
                     for (_t, _ts, fr), d in zip(mkv_frames, direct)
                 )
                 last_ts = mkv_frames[-1][1] if mkv_frames else -1
+
+                mp4 = build_mp4_mjpeg(
+                    [(3600, p) for p in pics], w, h,
+                    codec="mp4v", decoder_config=private,
+                )
+                _pm, mp4_frames = decode_mp4_frames(mp4)
+                mp4_ok = len(mp4_frames) == n_frames and all(
+                    (fr == d).all()
+                    for (_ts, fr), d in zip(mp4_frames, direct)
+                )
                 rows.append(
                     (
                         doc_id, n_frames, qscale,
-                        int(avi_ok), int(mkv_ok), int(last_ts),
+                        int(avi_ok), int(mkv_ok), int(mp4_ok),
+                        int(last_ts),
                     )
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])

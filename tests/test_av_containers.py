@@ -674,7 +674,8 @@ def test_mp4_sample_table_walk_and_decode():
 
     meta, samples = mp4_samples(mp4)
     assert meta == {
-        "codec": "jpeg", "width": 32, "height": 24, "timescale": 90000,
+        "codec": "jpeg", "oti": None, "decoder_config": None,
+        "width": 32, "height": 24, "timescale": 90000,
         "duration_ms": 350, "n_samples": 5,
     }
     # run expansion: 0,100,200 then 250,300 ms

@@ -247,6 +247,16 @@ def test_fuzz_mpeg1_video():
         32, 32, codec_id="V_MPEG1", codec_private=private,
     )
     _assert_contract("mkv-mpeg1", mkv, decode_mkv_frames, n=80)
+    from articulation_vector_db_api_spark.functions.isobmff import (
+        build_mp4_mjpeg,
+        decode_mp4_frames,
+    )
+
+    mp4 = build_mp4_mjpeg(
+        [(3600, p) for p in pics], 32, 32,
+        codec="mp4v", decoder_config=private,
+    )
+    _assert_contract("mp4-mpeg1", mp4, decode_mp4_frames, n=80)
 
 
 def test_fuzz_opus_packets():

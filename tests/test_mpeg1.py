@@ -210,3 +210,59 @@ def test_mpeg1_matroska_without_codec_private_raises():
     )
     with pytest.raises(ValueError, match="CodecPrivate"):
         decode_mkv_frames(mkv)
+
+
+def test_mpeg1_in_mp4_container():
+    from articulation_vector_db_api_spark.functions.isobmff import (
+        build_mp4_mjpeg,
+        decode_mp4_frames,
+        mp4_samples,
+    )
+    from articulation_vector_db_api_spark.functions.mpeg1 import (
+        split_m1v_header,
+    )
+
+    es = encode_m1v([_frame(i) for i in range(3)], fps_code=3, qscale=4)
+    private, pics = split_m1v_header(es)
+    mp4 = build_mp4_mjpeg(
+        [(3600, p) for p in pics], 48, 32,
+        codec="mp4v", decoder_config=private,
+    )
+    meta, _samples = mp4_samples(mp4)
+    assert meta["codec"] == "mp4v"
+    assert meta["oti"] == 0x6A
+    assert meta["decoder_config"] == private
+    assert (meta["width"], meta["height"]) == (48, 32)
+    _m, decoded = decode_mp4_frames(mp4)
+    direct = decode_m1v(es)[1]
+    assert [ts for ts, _f in decoded] == [0, 40, 80]
+    for (_ts, fr), d in zip(decoded, direct):
+        assert (fr == d).all()
+
+
+def test_mp4_mpeg1_gates():
+    from articulation_vector_db_api_spark.functions.isobmff import (
+        build_esds,
+        build_mp4_mjpeg,
+        decode_mp4_frames,
+    )
+    from articulation_vector_db_api_spark.functions.mpeg1 import (
+        split_m1v_header,
+    )
+
+    es = encode_m1v([_frame(0)], qscale=4)
+    private, pics = split_m1v_header(es)
+    # a non-MPEG-1 OTI (0x20 = MPEG-4 Visual) must gate, not misread
+    mp4 = build_mp4_mjpeg(
+        [(3600, pics[0])], 48, 32, codec="mp4v", decoder_config=private
+    )
+    bad = mp4.replace(build_esds(0x6A, private), build_esds(0x20, private))
+    assert bad != mp4
+    with pytest.raises(NotImplementedError, match="objectTypeIndication"):
+        decode_mp4_frames(bad)
+    # a missing DecoderSpecificInfo is malformed, not a gate
+    empty = build_mp4_mjpeg(
+        [(3600, pics[0])], 48, 32, codec="mp4v", decoder_config=b""
+    )
+    with pytest.raises(ValueError, match="DecoderSpecificInfo"):
+        decode_mp4_frames(empty)

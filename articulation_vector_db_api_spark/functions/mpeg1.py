@@ -1,27 +1,60 @@
-"""MPEG-1 video (ISO/IEC 11172-2, public spec) I-FRAME codec —
+"""MPEG-1 video (ISO/IEC 11172-2, public spec) I+P-FRAME codec —
 witness encoder + decoder, numpy only.
 
-Closes the r10 VERDICT item 7 ("one compressed-video payload codec"):
-the video surface moves past JPEG-family payloads to a real
-inter-era codec's intra frames — sequence header → GOP → I-picture →
-per-row slices → macroblocks → intra blocks (DC size VLC +
-differential prediction, AC run/level VLC in zigzag order, intra
-quantizer matrix, mismatch-controlled reconstruction, IDCT) →
-4:2:0 YCbCr → RGB. The DCT pair, zigzag, and color transforms are
-shared with the from-scratch JPEG codec (functions/jpeg.py).
+Closes the r10 VERDICT item 7 ("one compressed-video payload codec")
+and extends it past intra coding (r10 "What's missing" #4): the video
+surface now decodes a real inter-era codec's intra AND
+forward-predicted frames — sequence header → GOP → I/P pictures →
+slices → macroblocks (address-increment VLC with skip/stuffing/escape,
+P macroblock types, forward motion vectors with f_code residuals and
+the spec's complement/wrap reconstruction, half-pel motion
+compensation, coded-block-pattern VLC, intra DC prediction + AC
+run/level coding, non-intra dct_coeff_first, integer reconstruction
+with mismatch control) → IDCT → motion-compensated add → 4:2:0 YCbCr
+→ RGB. The DCT pair, zigzag, and color transforms are shared with the
+from-scratch JPEG codec (functions/jpeg.py).
 
 Exactness notes (all public-spec content):
-- the default intra quantizer matrix (§2.4.4.2) and the DC-size VLC
-  tables (Table B.5a/b) are transcribed in full;
+- the default intra quantizer matrix (§2.4.4.2; the default non-intra
+  matrix is flat 16s), the DC-size VLCs (Table B.5a/b), the motion
+  magnitude VLC (Table B.4), the P-picture macroblock_type VLC
+  (Table B.2b) and the full 63-entry coded_block_pattern VLC
+  (Table B.3) are transcribed in full. Table B.1
+  (macroblock_address_increment) is DERIVED from Table B.4 — the two
+  tables are the same prefix tree re-indexed (increment 1 = '1',
+  increment 2n = mag(n)+'1', 2n+1 = mag(n)+'0'), so the code builds
+  B.1 from B.4 programmatically; a transcription slip would break
+  both tables' roundtrips at once (tests pin prefix-freeness, Kraft
+  completeness and the spec's published anchor rows);
 - the AC run/level table is implemented for its SHORT rows (≤ 8 bits,
   Table B.5c's head: (0,1)…(9,1)) plus the fully general 6-bit ESCAPE
   coding — the witness encoder emits only (0,1)/escape/EOB, so
   roundtrips never depend on the deeper rows; a third-party stream
   using a 10-16-bit row raises NotImplementedError (honest gate, same
   policy as the Avro/TIFF/JPEG-arithmetic gates);
-- intra reconstruction uses the spec's integer arithmetic:
-  rec = (2·level·qscale·W)//16 with oddification (even values step
-  toward zero) and [−2048, 2047] clamp; DC is level·8 exactly.
+- reconstruction uses the spec's integer arithmetic with "/" =
+  integer division TRUNCATING TOWARD ZERO (§2.1.2): intra
+  rec = (2·level·qscale·W)/16, non-intra
+  rec = ((2·level+Sign(level))·qscale·16)/16, both with oddification
+  (even values step toward zero) and [−2048, 2047] clamp; intra DC is
+  level·8 exactly;
+- half-pel prediction averages with the spec's "//" rounding (round
+  half away from zero; operands are non-negative pels, so
+  (a+b+1)>>1 / (a+b+c+d+2)>>2); chroma vectors are the luma
+  reconstruction divided by two truncating toward zero (§2.4.4.3);
+- skipped P macroblocks copy the co-located reference macroblock and
+  reset both motion-vector predictors to zero; macroblocks coded
+  without forward MC use a zero vector and also reset the predictors;
+  DC predictors reset to 128 at slice start and after any non-intra
+  macroblock.
+
+Honest gates (raise, not fake): B pictures and D pictures by
+picture_coding_type, custom quantizer matrices, deep Table-B.5c AC
+rows. The witness encoder emits I-only or IPPP streams with f_code
+1..7, optional full-pel vectors, a real (exhaustive, half-pel)
+motion search against the encoder-side RECONSTRUCTED reference —
+identical arithmetic to the decoder, so prediction drift is zero by
+construction — and skip election for static macroblocks.
 
 Reference behavior parity: the reference (/root/reference/main.py) has
 no video path; this is engine frontier surface for video-corpus
@@ -68,6 +101,62 @@ _AC_SHORT = {
 _AC_MAXLEN = max(len(c) for c in _AC_SHORT)
 _DC_LUMA_INV = {v: k for k, v in _DC_LUMA.items()}
 _DC_CHROMA_INV = {v: k for k, v in _DC_CHROMA.items()}
+
+# motion_code magnitude VLC (Table B.4): |code| -> bits; every nonzero
+# magnitude is followed by one sign bit (1 = negative) and, when
+# forward_f_code > 1, by f_code-1 residual bits.
+_MOTION_MAG = {
+    0: "1", 1: "01", 2: "001", 3: "0001", 4: "000011", 5: "0000101",
+    6: "0000100", 7: "0000011", 8: "000001011", 9: "000001010",
+    10: "000001001", 11: "0000010001", 12: "0000010000",
+    13: "0000001111", 14: "0000001110", 15: "0000001101",
+    16: "0000001100",
+}
+_MOTION_MAG_INV = {v: k for k, v in _MOTION_MAG.items()}
+
+# macroblock_address_increment VLC (Table B.1) is Table B.4's prefix
+# tree re-indexed: 1 = '1'; increment 2n = mag(n)+'1', 2n+1 =
+# mag(n)+'0' for n = 1..16 (so 2='011', 3='010', …, 33='00000011000'),
+# plus the escape (+33) and stuffing (discard) codes.
+_ADDR_INC: dict[int, str] = {1: "1"}
+for _n in range(1, 17):
+    _ADDR_INC[2 * _n] = _MOTION_MAG[_n] + "1"
+    _ADDR_INC[2 * _n + 1] = _MOTION_MAG[_n] + "0"
+_ADDR_INC_INV = {v: k for k, v in _ADDR_INC.items()}
+_ADDR_ESCAPE = "00000001000"
+_ADDR_STUFFING = "00000001111"
+
+# macroblock_type VLCs: code -> (quant, motion_forward, coded, intra).
+# Table B.2a (I pictures) and Table B.2b (P pictures).
+_I_MB_TYPE = {"1": (0, 0, 0, 1), "01": (1, 0, 0, 1)}
+_P_MB_TYPE = {
+    "1": (0, 1, 1, 0), "01": (0, 0, 1, 0), "001": (0, 1, 0, 0),
+    "00011": (0, 0, 0, 1), "00010": (1, 1, 1, 0), "00001": (1, 0, 1, 0),
+    "000001": (1, 0, 0, 1),
+}
+
+# coded_block_pattern VLC (Table B.3), all 63 nonzero patterns
+# (bit 5 = Y0 … bit 0 = Cr; cbp 0 means "macroblock not coded").
+_CBP_CODES = {
+    60: "111",
+    4: "1101", 8: "1100", 16: "1011", 32: "1010",
+    12: "10011", 48: "10010", 20: "10001", 40: "10000",
+    28: "01111", 44: "01110", 52: "01101", 56: "01100",
+    1: "01011", 61: "01010", 2: "01001", 62: "01000",
+    24: "001111", 36: "001110", 3: "001101", 63: "001100",
+    5: "0010111", 9: "0010110", 17: "0010101", 33: "0010100",
+    6: "0010011", 10: "0010010", 18: "0010001", 34: "0010000",
+    7: "00011111", 11: "00011110", 19: "00011101", 35: "00011100",
+    13: "00011011", 49: "00011010", 21: "00011001", 41: "00011000",
+    14: "00010111", 50: "00010110", 22: "00010101", 42: "00010100",
+    15: "00010011", 51: "00010010", 23: "00010001", 43: "00010000",
+    25: "00001111", 37: "00001110", 26: "00001101", 38: "00001100",
+    29: "00001011", 45: "00001010", 53: "00001001", 57: "00001000",
+    30: "00000111", 46: "00000110", 54: "00000101", 58: "00000100",
+    31: "000000111", 47: "000000110", 55: "000000101", 59: "000000100",
+    27: "000000011", 39: "000000010",
+}
+_CBP_INV = {v: k for k, v in _CBP_CODES.items()}
 
 _PICTURE_RATES = {1: 23.976, 2: 24.0, 3: 25.0, 4: 29.97, 5: 30.0,
                   6: 50.0, 7: 59.94, 8: 60.0}
@@ -126,6 +215,15 @@ class _BitReader:
         self.pos = end
         return v
 
+    def read_vlc(self, inv: dict[str, object], what: str,
+                 maxlen: int) -> object:
+        code = ""
+        while len(code) <= maxlen:
+            code += "1" if self.read(1) else "0"
+            if code in inv:
+                return inv[code]
+        raise ValueError(f"bad MPEG-1 {what} code {code!r}")
+
     def read_dc_size(self, inv: dict[str, int]) -> int:
         code = ""
         while len(code) <= 8:
@@ -133,6 +231,66 @@ class _BitReader:
             if code in inv:
                 return inv[code]
         raise ValueError(f"bad MPEG-1 DC size code {code!r}")
+
+    def rest_is_zero(self) -> bool:
+        """True when every remaining bit is zero (slice padding)."""
+        pos, total = self.pos, len(self.b) * 8
+        if pos >= total:
+            return True
+        first = self.b[pos >> 3] & ((1 << (8 - (pos & 7))) - 1)
+        if first:
+            return False
+        return not any(self.b[(pos >> 3) + 1 :])
+
+
+# ---------------------------------------------------------------------------
+# integer reconstruction (§2.4.4.1/.2: "/" truncates toward zero,
+# mismatch control oddifies even values toward zero, clamp ±2048/2047)
+# ---------------------------------------------------------------------------
+
+
+def _trunc_div(v: int, d: int) -> int:
+    return v // d if v >= 0 else -((-v) // d)
+
+
+def _oddify_clamp(v: int) -> int:
+    if v and v % 2 == 0:
+        v += -1 if v > 0 else 1
+    return max(-2048, min(2047, v))
+
+
+_WQ_ZZ = INTRA_QUANT.reshape(64)[ZIGZAG]
+
+
+def _dequant_intra(levels: np.ndarray, qscale: int) -> np.ndarray:
+    """Zigzag-order quantized levels (levels[0] = quantized DC) ->
+    spatial 8x8 float block via the spec's integer reconstruction."""
+    rec = np.zeros(64, dtype=np.int64)
+    rec[0] = max(-2048, min(2047, int(levels[0]) * 8))
+    for i in range(1, 64):
+        lv = int(levels[i])
+        if lv:
+            rec[ZIGZAG[i]] = _oddify_clamp(
+                _trunc_div(2 * lv * qscale * int(_WQ_ZZ[i]), 16)
+            )
+    return _C.T @ rec.reshape(8, 8).astype(np.float64) @ _C
+
+
+def _dequant_nonintra(levels: np.ndarray, qscale: int) -> np.ndarray:
+    """Zigzag-order non-intra levels -> spatial residual (default
+    non-intra matrix is flat 16s, so rec = (2·lv+sign)·qscale)."""
+    rec = np.zeros(64, dtype=np.int64)
+    for i in range(64):
+        lv = int(levels[i])
+        if lv:
+            sign = 1 if lv > 0 else -1
+            rec[ZIGZAG[i]] = _oddify_clamp((2 * lv + sign) * qscale)
+    return _C.T @ rec.reshape(8, 8).astype(np.float64) @ _C
+
+
+# ---------------------------------------------------------------------------
+# coefficient (run, level) coding
+# ---------------------------------------------------------------------------
 
 
 def _dc_diff_bits(diff: int) -> tuple[int, int]:
@@ -143,54 +301,64 @@ def _dc_diff_bits(diff: int) -> tuple[int, int]:
     return size, diff + (1 << size) - 1
 
 
-def _encode_block(
-    w: _BitWriter, coeff: np.ndarray, qscale: int, dc_pred: int,
-    dc_table: dict[int, str],
-) -> int:
-    """One intra block: DCT coefficients -> DC diff + AC escapes.
-    Returns the new DC predictor (quantized DC)."""
-    zz = coeff.reshape(64)[ZIGZAG]
-    qdc = int(np.rint(zz[0] / 8.0))
-    qdc = max(-255 + dc_pred, min(255 + dc_pred, qdc))  # diff fits 8 sizes
-    diff = qdc - dc_pred
-    size, offset = _dc_diff_bits(diff)
-    if size > 8:
-        raise ValueError("MPEG-1 DC differential out of range")
-    w.write_code(dc_table[size])
-    if size:
-        w.write(offset, size)
-    wq = INTRA_QUANT.reshape(64)[ZIGZAG]
-    run = 0
-    for i in range(1, 64):
-        level = int(np.rint(16.0 * zz[i] / (2.0 * qscale * wq[i])))
-        level = max(-255, min(255, level))
-        if level == 0:
-            run += 1
-            continue
-        if run == 0 and level in (-1, 1):
-            w.write_code("11")
-            w.write(0 if level > 0 else 1, 1)
+def _write_escape(w: _BitWriter, run: int, level: int) -> None:
+    w.write_code("000001")
+    w.write(run, 6)
+    if -127 <= level <= 127:
+        w.write(level & 0xFF, 8)
+    elif level > 127:
+        w.write(0, 8)
+        w.write(level, 8)
+    else:
+        w.write(0x80, 8)
+        w.write(level + 256, 8)
+
+
+def _read_run_level_tail(r: _BitReader, code: str) -> tuple[int, int]:
+    """Finish a run/level code whose first bits are in ``code`` (never
+    the '1x' prefix — EOB and (0,±1) are handled by callers)."""
+    while code not in _AC_SHORT and code != "000001":
+        if len(code) > _AC_MAXLEN:
+            raise NotImplementedError(
+                f"MPEG-1 AC code {code!r} beyond the implemented "
+                "short rows of Table B.5c"
+            )
+        code += str(r.read(1))
+    if code == "000001":
+        run = r.read(6)
+        first = r.read(8)
+        if first == 0:
+            level = r.read(8)
+            if level < 128:
+                raise ValueError("non-canonical MPEG-1 escape level")
+        elif first == 0x80:
+            level = r.read(8) - 256
+            if level > -128 or level == -256:
+                raise ValueError("non-canonical MPEG-1 escape level")
         else:
-            w.write_code("000001")  # escape covers any (run, level)
-            w.write(run, 6)
-            if -127 <= level <= 127:
-                w.write(level & 0xFF, 8)
-            elif level > 127:
-                w.write(0, 8)
-                w.write(level, 8)
-            else:
-                w.write(0x80, 8)
-                w.write(level + 256, 8)
-        run = 0
-    w.write_code("10")  # EOB
-    return qdc
+            level = first - 256 if first & 0x80 else first
+            if level == 0:
+                raise ValueError("MPEG-1 escape level of zero")
+        return run, level
+    run, level = _AC_SHORT[code]
+    if r.read(1):
+        level = -level
+    return run, level
+
+
+def _read_run_level(r: _BitReader) -> tuple[int, int] | None:
+    """One dct_coeff_next -> (run, level), or None at EOB."""
+    if r.read(1):
+        if r.read(1):  # '11' = (0, ±1)
+            return (0, -1) if r.read(1) else (0, 1)
+        return None  # '10' = EOB
+    return _read_run_level_tail(r, "0")
 
 
 def _decode_block(
     r: _BitReader, qscale: int, dc_pred: int, dc_inv: dict[str, int]
 ) -> tuple[np.ndarray, int]:
-    """-> (reconstructed 8x8 spatial block BEFORE level shift, new DC
-    predictor)."""
+    """One intra block -> (spatial 8x8 float, new DC predictor)."""
     size = r.read_dc_size(dc_inv)
     if size:
         offset = r.read(size)
@@ -200,65 +368,389 @@ def _decode_block(
     else:
         diff = 0
     qdc = dc_pred + diff
-    rec = np.zeros(64, dtype=np.int64)
-    rec[0] = qdc * 8
-    wq = INTRA_QUANT.reshape(64)[ZIGZAG]
+    levels = np.zeros(64, dtype=np.int64)
+    levels[0] = qdc
     i = 0
-    while True:
-        code = str(r.read(1))
-        if code == "1":
-            code += str(r.read(1))
-            if code == "10":
-                break  # EOB
-            # '11' = (0,1) with sign
-            run, level = 0, 1
-            if r.read(1):
-                level = -1
-        else:
-            while code not in _AC_SHORT and code != "000001":
-                if len(code) > _AC_MAXLEN:
-                    raise NotImplementedError(
-                        f"MPEG-1 AC code {code!r} beyond the implemented "
-                        "short rows of Table B.5c"
-                    )
-                code += str(r.read(1))
-            if code == "000001":
-                run = r.read(6)
-                first = r.read(8)
-                if first == 0:
-                    level = r.read(8)
-                    if level < 128:
-                        raise ValueError("non-canonical MPEG-1 escape level")
-                elif first == 0x80:
-                    level = r.read(8) - 256
-                    if level > -128 or level == -256:
-                        raise ValueError("non-canonical MPEG-1 escape level")
-                else:
-                    level = first - 256 if first & 0x80 else first
-                    if level == 0:
-                        raise ValueError("MPEG-1 escape level of zero")
-            else:
-                run, level = _AC_SHORT[code]
-                if r.read(1):
-                    level = -level
+    while (rl := _read_run_level(r)) is not None:
+        run, level = rl
         i += run + 1
         if i > 63:
             raise ValueError("MPEG-1 AC coefficients overflow the block")
-        v = (2 * level * qscale * int(wq[i])) // 16
-        # mismatch control: even values step toward zero
-        if v and v % 2 == 0:
-            v += -1 if v > 0 else 1
-        rec[ZIGZAG[i]] = max(-2048, min(2047, v))
-    spatial = _C.T @ rec.reshape(8, 8).astype(np.float64) @ _C
-    return spatial, qdc
+        levels[i] = level
+    return _dequant_intra(levels, qscale), qdc
+
+
+def _decode_block_nonintra(r: _BitReader, qscale: int) -> np.ndarray:
+    """One coded non-intra block -> spatial residual. dct_coeff_first:
+    EOB cannot appear, so '1'+sign means (0, ±1) (§2.4.3.7)."""
+    if r.read(1):
+        i = 0
+        run, level = 0, (-1 if r.read(1) else 1)
+    else:
+        run, level = _read_run_level_tail(r, "0")
+        i = run
+    if i > 63:
+        raise ValueError("MPEG-1 AC coefficients overflow the block")
+    levels = np.zeros(64, dtype=np.int64)
+    levels[i] = level
+    while (rl := _read_run_level(r)) is not None:
+        run, level = rl
+        i += run + 1
+        if i > 63:
+            raise ValueError("MPEG-1 AC coefficients overflow the block")
+        levels[i] = level
+    return _dequant_nonintra(levels, qscale)
+
+
+def _quant_intra(
+    coeff: np.ndarray, qscale: int, dc_pred: int
+) -> np.ndarray:
+    """DCT coefficients -> zigzag quantized levels (levels[0] = DC)."""
+    zz = coeff.reshape(64)[ZIGZAG]
+    qdc = int(np.rint(zz[0] / 8.0))
+    qdc = max(-255 + dc_pred, min(255 + dc_pred, qdc))  # diff fits 8 sizes
+    levels = np.zeros(64, dtype=np.int64)
+    levels[0] = qdc
+    for i in range(1, 64):
+        lv = int(np.rint(16.0 * zz[i] / (2.0 * qscale * int(_WQ_ZZ[i]))))
+        levels[i] = max(-255, min(255, lv))
+    return levels
+
+
+def _quant_nonintra(coeff: np.ndarray, qscale: int) -> np.ndarray:
+    """Residual DCT coefficients -> zigzag levels with the classic
+    dead-zone (truncating) non-intra quantizer."""
+    zz = coeff.reshape(64)[ZIGZAG]
+    levels = np.zeros(64, dtype=np.int64)
+    for i in range(64):
+        lv = int(zz[i] / (2.0 * qscale))  # trunc toward zero: dead zone
+        levels[i] = max(-255, min(255, lv))
+    return levels
+
+
+def _write_intra_levels(
+    w: _BitWriter, levels: np.ndarray, dc_pred: int, dc_table: dict[int, str]
+) -> None:
+    diff = int(levels[0]) - dc_pred
+    size, offset = _dc_diff_bits(diff)
+    if size > 8:
+        raise ValueError("MPEG-1 DC differential out of range")
+    w.write_code(dc_table[size])
+    if size:
+        w.write(offset, size)
+    run = 0
+    for i in range(1, 64):
+        level = int(levels[i])
+        if level == 0:
+            run += 1
+            continue
+        if run == 0 and level in (-1, 1):
+            w.write_code("11")
+            w.write(0 if level > 0 else 1, 1)
+        else:
+            _write_escape(w, run, level)
+        run = 0
+    w.write_code("10")  # EOB
+
+
+def _write_nonintra_levels(w: _BitWriter, levels: np.ndarray) -> None:
+    first = True
+    run = 0
+    for i in range(64):
+        level = int(levels[i])
+        if level == 0:
+            run += 1
+            continue
+        if run == 0 and level in (-1, 1):
+            if first:
+                w.write(1, 1)  # dct_coeff_first (0, ±1) = '1' + sign
+            else:
+                w.write_code("11")
+            w.write(0 if level > 0 else 1, 1)
+        else:
+            _write_escape(w, run, level)
+        first = False
+        run = 0
+    if first:
+        raise ValueError("MPEG-1 coded block without coefficients")
+    w.write_code("10")  # EOB
+
+
+# ---------------------------------------------------------------------------
+# motion vectors (§2.4.4.3) and motion compensation (§2.4.4.2)
+# ---------------------------------------------------------------------------
+
+
+def _write_motion(w: _BitWriter, delta: int, f_code: int) -> None:
+    """delta in coded units, already wrapped into [-16f, 16f-1]."""
+    if delta == 0:
+        w.write_code(_MOTION_MAG[0])
+        return
+    f = 1 << (f_code - 1)
+    mag = abs(delta)
+    code_m = (mag + f - 1) // f
+    if code_m > 16:
+        raise ValueError("MPEG-1 motion delta beyond Table B.4")
+    w.write_code(_MOTION_MAG[code_m])
+    w.write(1 if delta < 0 else 0, 1)
+    if f_code > 1:
+        w.write(mag - (code_m - 1) * f - 1, f_code - 1)
+
+
+def _read_motion(r: _BitReader, f_code: int) -> int:
+    """-> signed delta ("little" value) in coded units."""
+    mag_code = r.read_vlc(_MOTION_MAG_INV, "motion code", 10)
+    if mag_code == 0:
+        return 0
+    sign = r.read(1)
+    mag = mag_code
+    if f_code > 1:
+        residual = r.read(f_code - 1)
+        mag = ((mag - 1) << (f_code - 1)) + residual + 1
+    return -mag if sign else mag
+
+
+def _wrap_vector(v: int, f: int) -> int:
+    """Fold into the representable range [-16f, 16f-1] (the spec's
+    right_little/right_big selection)."""
+    if v < -16 * f:
+        v += 32 * f
+    elif v > 16 * f - 1:
+        v -= 32 * f
+    return v
+
+
+def _trunc_half(v: int) -> int:
+    return v // 2 if v >= 0 else -((-v) // 2)
+
+
+def _mc_block(
+    ref: np.ndarray, oy: int, ox: int, size: int, hvy: int, hvx: int
+) -> np.ndarray:
+    """size×size forward prediction from ``ref`` (int64 plane) at
+    origin (oy, ox) displaced by (hvy, hvx) HALF-pel units; half-pel
+    positions average with round-half-away (operands non-negative)."""
+    iy, hy = hvy >> 1, hvy & 1
+    ix, hx = hvx >> 1, hvx & 1
+    y0, x0 = oy + iy, ox + ix
+    hgt, wid = ref.shape
+    if y0 < 0 or x0 < 0 or y0 + size + hy > hgt or x0 + size + hx > wid:
+        raise ValueError("MPEG-1 motion vector outside the reference frame")
+    a = ref[y0 : y0 + size, x0 : x0 + size]
+    if not hy and not hx:
+        return a.copy()
+    if hy and not hx:
+        return (a + ref[y0 + 1 : y0 + 1 + size, x0 : x0 + size] + 1) >> 1
+    if hx and not hy:
+        return (a + ref[y0 : y0 + size, x0 + 1 : x0 + 1 + size] + 1) >> 1
+    return (
+        a
+        + ref[y0 + 1 : y0 + 1 + size, x0 : x0 + size]
+        + ref[y0 : y0 + size, x0 + 1 : x0 + 1 + size]
+        + ref[y0 + 1 : y0 + 1 + size, x0 + 1 : x0 + 1 + size]
+        + 2
+    ) >> 2
+
+
+def _mc_displacements(
+    vx: int, vy: int, full_pel: int
+) -> tuple[int, int, int, int]:
+    """Coded vector -> (luma_hvy, luma_hvx, chroma_hvy, chroma_hvx) in
+    half-pel units. Chroma halves the coded value truncating toward
+    zero BEFORE the full-pel scaling (§2.4.4.3)."""
+    unit = 2 if full_pel else 1
+    return (
+        vy * unit, vx * unit,
+        _trunc_half(vy) * unit, _trunc_half(vx) * unit,
+    )
+
+
+def _write_increment(w: _BitWriter, inc: int) -> None:
+    if inc < 1:
+        raise ValueError("macroblock_address_increment must be >= 1")
+    while inc > 33:
+        w.write_code(_ADDR_ESCAPE)
+        inc -= 33
+    w.write_code(_ADDR_INC[inc])
+
+
+def _read_increment(r: _BitReader) -> int:
+    inc = 0
+    code = ""
+    while len(code) <= 11:
+        code += "1" if r.read(1) else "0"
+        if code == _ADDR_STUFFING:
+            code = ""
+            continue
+        if code == _ADDR_ESCAPE:
+            inc += 33
+            code = ""
+            continue
+        if code in _ADDR_INC_INV:
+            return inc + _ADDR_INC_INV[code]
+    raise ValueError(f"bad MPEG-1 macroblock_address_increment {code!r}")
+
+
+# ---------------------------------------------------------------------------
+# witness encoder
+# ---------------------------------------------------------------------------
+
+
+def _encode_intra_mb(
+    w: _BitWriter,
+    planes: tuple[np.ndarray, np.ndarray, np.ndarray],
+    rec: tuple[np.ndarray, np.ndarray, np.ndarray],
+    mbr: int, mbc: int, qscale: int, preds: list[int],
+) -> None:
+    """Encode one intra macroblock from float planes and mirror the
+    decoder's reconstruction into the int64 ``rec`` planes."""
+    y, cb, cr = planes
+    for blk in range(6):
+        if blk < 4:
+            by, bx = mbr * 16 + (blk // 2) * 8, mbc * 16 + (blk % 2) * 8
+            block, out, ti = y[by : by + 8, bx : bx + 8], rec[0], 0
+        else:
+            plane = cb if blk == 4 else cr
+            by, bx = mbr * 8, mbc * 8
+            block = plane[by : by + 8, bx : bx + 8]
+            out, ti = rec[blk - 3], blk - 3
+        coeff = _C @ block @ _C.T
+        levels = _quant_intra(coeff, qscale, preds[ti])
+        _write_intra_levels(
+            w, levels, preds[ti], _DC_LUMA if blk < 4 else _DC_CHROMA
+        )
+        preds[ti] = int(levels[0])
+        out[by : by + 8, bx : bx + 8] = np.clip(
+            np.rint(_dequant_intra(levels, qscale)), 0, 255
+        ).astype(np.int64)
+
+
+def _search_motion(
+    cur: np.ndarray, ref: np.ndarray, oy: int, ox: int,
+    search: int, full_pel: int,
+) -> tuple[int, int]:
+    """Exhaustive half-pel (or full-pel) SAD search -> coded (vy, vx).
+    Candidates whose prediction window leaves the frame are skipped;
+    (0, 0) is always valid."""
+    step = 2 if full_pel else 1
+    best, best_sad = (0, 0), None
+    for hvy in range(-search, search + 1, step):
+        for hvx in range(-search, search + 1, step):
+            try:
+                pred = _mc_block(ref, oy, ox, 16, hvy, hvx)
+            except ValueError:
+                continue
+            sad = int(np.abs(cur - pred).sum())
+            if best_sad is None or sad < best_sad or (
+                sad == best_sad and (abs(hvy) + abs(hvx))
+                < (abs(best[0]) + abs(best[1]))
+            ):
+                best, best_sad = (hvy, hvx), sad
+    return best[0] // step, best[1] // step  # -> coded units
+
+
+def _encode_p_slice(
+    w: _BitWriter,
+    planes: tuple[np.ndarray, np.ndarray, np.ndarray],
+    rec: tuple[np.ndarray, np.ndarray, np.ndarray],
+    ref: tuple[np.ndarray, np.ndarray, np.ndarray],
+    row: int, mbw: int, qscale: int,
+    f_code: int, full_pel: int, search: int,
+) -> None:
+    y, cb, cr = planes
+    f = 1 << (f_code - 1)
+    mv_pred = [0, 0]  # (vx, vy) coded units
+    pending = 0
+    for col in range(mbw):
+        cur = y[row * 16 : row * 16 + 16, col * 16 : col * 16 + 16]
+        vy, vx = _search_motion(cur, ref[0], row * 16, col * 16,
+                                search, full_pel)
+        lhy, lhx, chy, chx = _mc_displacements(vx, vy, full_pel)
+        pred_y = _mc_block(ref[0], row * 16, col * 16, 16, lhy, lhx)
+        pred_cb = _mc_block(ref[1], row * 8, col * 8, 8, chy, chx)
+        pred_cr = _mc_block(ref[2], row * 8, col * 8, 8, chy, chx)
+        levels, cbp = [], 0
+        for blk in range(6):
+            if blk < 4:
+                by, bx = (blk // 2) * 8, (blk % 2) * 8
+                block = cur[by : by + 8, bx : bx + 8]
+                pred = pred_y[by : by + 8, bx : bx + 8]
+            else:
+                plane = cb if blk == 4 else cr
+                block = plane[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8]
+                pred = pred_cb if blk == 4 else pred_cr
+            lv = _quant_nonintra(_C @ (block - pred) @ _C.T, qscale)
+            if lv.any():
+                # code the residual only when reconstruction strictly
+                # improves the block — ties prefer skip, which both
+                # saves bits and makes static scenes converge to
+                # all-skip instead of ±1 rounding limit cycles
+                cand = np.clip(
+                    pred + np.rint(
+                        _dequant_nonintra(lv, qscale)
+                    ).astype(np.int64),
+                    0, 255,
+                )
+                if ((cand - block) ** 2).sum() < ((pred - block) ** 2).sum():
+                    cbp |= 1 << (5 - blk)
+                else:
+                    lv = np.zeros(64, dtype=np.int64)
+            levels.append(lv)
+        if (
+            cbp == 0 and vx == 0 and vy == 0
+            and 0 < col < mbw - 1
+        ):
+            # skipped macroblock: decoder keeps the co-located pels
+            rec[0][row * 16 : row * 16 + 16,
+                   col * 16 : col * 16 + 16] = pred_y
+            rec[1][row * 8 : row * 8 + 8, col * 8 : col * 8 + 8] = pred_cb
+            rec[2][row * 8 : row * 8 + 8, col * 8 : col * 8 + 8] = pred_cr
+            mv_pred = [0, 0]
+            pending += 1
+            continue
+        _write_increment(w, pending + 1)
+        pending = 0
+        w.write_code("1" if cbp else "001")  # pred-mc(+cbp), Table B.2b
+        _write_motion(w, _wrap_vector(vx - mv_pred[0], f), f_code)
+        _write_motion(w, _wrap_vector(vy - mv_pred[1], f), f_code)
+        mv_pred = [vx, vy]
+        if cbp:
+            w.write_code(_CBP_CODES[cbp])
+        for blk in range(6):
+            if blk < 4:
+                by = row * 16 + (blk // 2) * 8
+                bx = col * 16 + (blk % 2) * 8
+                pred = pred_y[(blk // 2) * 8 : (blk // 2) * 8 + 8,
+                              (blk % 2) * 8 : (blk % 2) * 8 + 8]
+                out = rec[0]
+            else:
+                by, bx = row * 8, col * 8
+                pred = pred_cb if blk == 4 else pred_cr
+                out = rec[blk - 3]
+            if cbp & (1 << (5 - blk)):
+                _write_nonintra_levels(w, levels[blk])
+                px = np.clip(
+                    pred + np.rint(
+                        _dequant_nonintra(levels[blk], qscale)
+                    ).astype(np.int64),
+                    0, 255,
+                )
+            else:
+                px = pred
+            out[by : by + 8, bx : bx + 8] = px
 
 
 def encode_m1v(
-    frames: list[np.ndarray], fps_code: int = 5, qscale: int = 4
+    frames: list[np.ndarray], fps_code: int = 5, qscale: int = 4,
+    p_frames: bool = False, f_code: int = 1, full_pel: bool = False,
+    search: int = 4,
 ) -> bytes:
-    """Witness MPEG-1 elementary stream: every frame an I-picture,
-    one slice per macroblock row. Frames are (h, w, 3) RGB uint8 with
-    h, w multiples of 16."""
+    """Witness MPEG-1 elementary stream. Frames are (h, w, 3) RGB
+    uint8 with h, w multiples of 16. With ``p_frames`` the first
+    picture is intra and the rest are forward-predicted (exhaustive
+    ±``search`` half-pel motion search against the encoder-side
+    reconstruction, skip election for static macroblocks); otherwise
+    every frame is an I-picture, one slice per macroblock row."""
     if not frames:
         raise ValueError("MPEG-1 stream needs at least one frame")
     h, w_px, _ = frames[0].shape
@@ -268,6 +760,8 @@ def encode_m1v(
         raise ValueError("quantizer_scale must be 1..31")
     if fps_code not in _PICTURE_RATES:
         raise ValueError(f"bad picture_rate code {fps_code}")
+    if not 1 <= f_code <= 7:
+        raise ValueError("forward_f_code must be 1..7")
     w = _BitWriter()
     w.start_code(0xB3)  # sequence header
     w.write(w_px, 12)
@@ -284,47 +778,52 @@ def encode_m1v(
     w.write(0, 25)  # time code
     w.write(1, 1)   # closed gop
     w.write(0, 1)   # broken link
+    mbw, mbh = w_px // 16, h // 16
+    ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
     for t, fr in enumerate(frames):
         if fr.shape != frames[0].shape:
             raise ValueError("MPEG-1 frames must share one geometry")
         ycc = _rgb_to_ycbcr(fr).astype(np.float64)
-        y = ycc[:, :, 0]
-        cb = ycc[0::2, 0::2, 1]  # witness 4:2:0: top-left subsample
-        cr = ycc[0::2, 0::2, 2]
+        planes = (ycc[:, :, 0], ycc[0::2, 0::2, 1], ycc[0::2, 0::2, 2])
+        is_p = p_frames and t > 0
+        rec = (
+            np.zeros((h, w_px), dtype=np.int64),
+            np.zeros((h // 2, w_px // 2), dtype=np.int64),
+            np.zeros((h // 2, w_px // 2), dtype=np.int64),
+        )
         w.start_code(0x00)  # picture
         w.write(t & 0x3FF, 10)
-        w.write(1, 3)       # I picture
+        w.write(2 if is_p else 1, 3)
         w.write(0xFFFF, 16)  # vbv_delay
+        if is_p:
+            w.write(1 if full_pel else 0, 1)
+            w.write(f_code, 3)
         w.write(0, 1)       # extra_bit_picture
-        mbw = w_px // 16
-        for row in range(h // 16):
+        for row in range(mbh):
             w.start_code(0x01 + row)  # slice per MB row
             w.write(qscale, 5)
             w.write(0, 1)   # extra_bit_slice
-            preds = [128 * 8 // 8, 128, 128]  # quantized DC predictors
-            preds = [1024 // 8, 1024 // 8, 1024 // 8]
-            for col in range(mbw):
-                w.write_code("1")   # mb_address_increment = 1
-                w.write_code("1")   # mb_type: intra
-                for blk in range(6):
-                    if blk < 4:
-                        by = (blk // 2) * 8
-                        bx = (blk % 2) * 8
-                        block = y[row * 16 + by : row * 16 + by + 8,
-                                  col * 16 + bx : col * 16 + bx + 8]
-                        ti = 0
-                    else:
-                        plane = cb if blk == 4 else cr
-                        block = plane[row * 8 : row * 8 + 8,
-                                      col * 8 : col * 8 + 8]
-                        ti = blk - 3
-                    coeff = _C @ (block - 0.0) @ _C.T
-                    preds[ti] = _encode_block(
-                        w, coeff, qscale,
-                        preds[ti], _DC_LUMA if blk < 4 else _DC_CHROMA,
+            if is_p:
+                _encode_p_slice(
+                    w, planes, rec, ref, row, mbw, qscale,
+                    f_code, 1 if full_pel else 0, search,
+                )
+            else:
+                preds = [128, 128, 128]
+                for col in range(mbw):
+                    w.write_code("1")   # mb_address_increment = 1
+                    w.write_code("1")   # mb_type: intra (Table B.2a)
+                    _encode_intra_mb(
+                        w, planes, rec, row, col, qscale, preds
                     )
+        ref = rec
     w.start_code(0xB7)  # sequence end
     return w.bytes()
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
 
 
 def _next_start_code(b: bytes, pos: int) -> tuple[int, int]:
@@ -335,10 +834,108 @@ def _next_start_code(b: bytes, pos: int) -> tuple[int, int]:
     return b[i + 3], i + 4
 
 
+def _decode_slice(
+    sdata: bytes, row0: int,
+    planes: tuple[np.ndarray, np.ndarray, np.ndarray],
+    prev: tuple[np.ndarray, np.ndarray, np.ndarray] | None,
+    mbw: int, mbh: int, ptype: int, f_code: int, full_pel: int,
+) -> None:
+    """Decode one slice's macroblocks into the int64 ``planes``.
+    ``sdata`` is the slice payload up to (excluding) the next start
+    code; macroblocks may span rows (addresses are absolute)."""
+    y, cb, cr = planes
+    sr = _BitReader(sdata)
+    qscale = sr.read(5)
+    if not qscale:
+        raise ValueError("MPEG-1 quantizer_scale of zero")
+    while sr.read(1):  # extra_information_slice
+        sr.read(8)
+    f = 1 << (f_code - 1)
+    addr = row0 * mbw - 1
+    mv_pred = [0, 0]  # (vx, vy) in coded units
+    dc_preds = [128, 128, 128]
+    mb_type_inv = _P_MB_TYPE if ptype == 2 else _I_MB_TYPE
+    while not sr.rest_is_zero():
+        inc = _read_increment(sr)
+        if ptype == 1 and inc != 1:
+            raise ValueError("MPEG-1 skipped macroblock in an I picture")
+        if inc > 1:
+            # skipped macroblocks keep the co-located reference pels
+            # (the P planes start as a copy of the reference) and
+            # reset both predictors
+            mv_pred = [0, 0]
+            dc_preds = [128, 128, 128]
+        addr += inc
+        mbr, mbc = divmod(addr, mbw)
+        if mbr >= mbh:
+            raise ValueError("MPEG-1 macroblock address beyond frame")
+        quant, mf, coded, intra = sr.read_vlc(
+            mb_type_inv, "macroblock_type", 6
+        )
+        if quant:
+            qscale = sr.read(5)
+            if not qscale:
+                raise ValueError("MPEG-1 quantizer_scale of zero")
+        if mf:
+            dx = _read_motion(sr, f_code)
+            dy = _read_motion(sr, f_code)
+            vx = _wrap_vector(mv_pred[0] + dx, f)
+            vy = _wrap_vector(mv_pred[1] + dy, f)
+            mv_pred = [vx, vy]
+        else:
+            vx = vy = 0
+            mv_pred = [0, 0]
+        if intra:
+            mv_pred = [0, 0]
+            for blk in range(6):
+                ti = 0 if blk < 4 else blk - 3
+                spatial, dc_preds[ti] = _decode_block(
+                    sr, qscale, dc_preds[ti],
+                    _DC_LUMA_INV if blk < 4 else _DC_CHROMA_INV,
+                )
+                px = np.clip(np.rint(spatial), 0, 255).astype(np.int64)
+                if blk < 4:
+                    by = mbr * 16 + (blk // 2) * 8
+                    bx = mbc * 16 + (blk % 2) * 8
+                    y[by : by + 8, bx : bx + 8] = px
+                else:
+                    out = cb if blk == 4 else cr
+                    out[mbr * 8 : mbr * 8 + 8,
+                        mbc * 8 : mbc * 8 + 8] = px
+            continue
+        # non-intra macroblock (P pictures only): prediction + residual
+        dc_preds = [128, 128, 128]
+        lhy, lhx, chy, chx = _mc_displacements(vx, vy, full_pel)
+        pred_y = _mc_block(prev[0], mbr * 16, mbc * 16, 16, lhy, lhx)
+        pred_cb = _mc_block(prev[1], mbr * 8, mbc * 8, 8, chy, chx)
+        pred_cr = _mc_block(prev[2], mbr * 8, mbc * 8, 8, chy, chx)
+        cbp = 0
+        if coded:
+            cbp = sr.read_vlc(_CBP_INV, "coded_block_pattern", 9)
+        for blk in range(6):
+            if blk < 4:
+                by, bx = (blk // 2) * 8, (blk % 2) * 8
+                pred = pred_y[by : by + 8, bx : bx + 8]
+                out = y
+                oy, ox = mbr * 16 + by, mbc * 16 + bx
+            else:
+                pred = pred_cb if blk == 4 else pred_cr
+                out = cb if blk == 4 else cr
+                oy, ox = mbr * 8, mbc * 8
+            if cbp & (1 << (5 - blk)):
+                resid = _decode_block_nonintra(sr, qscale)
+                px = np.clip(
+                    pred + np.rint(resid).astype(np.int64), 0, 255
+                )
+            else:
+                px = pred
+            out[oy : oy + 8, ox : ox + 8] = px
+
+
 def decode_m1v(b: bytes) -> tuple[dict, list[np.ndarray]]:
-    """Elementary-stream decode -> ({width, height, fps, n_frames},
-    [RGB frames]). I-pictures only; P/B pictures raise
-    NotImplementedError (the intra-era gate this module documents)."""
+    """Elementary-stream decode -> ({width, height, fps, n_frames,
+    n_i, n_p}, [RGB frames]). I and P pictures decode; B and D
+    pictures raise NotImplementedError (honest gate)."""
     code, pos = _next_start_code(bytes(b), 0)
     if code != 0xB3:
         raise ValueError("not an MPEG-1 video stream (no sequence header)")
@@ -362,6 +959,8 @@ def decode_m1v(b: bytes) -> tuple[dict, list[np.ndarray]]:
         raise ValueError("MPEG-1 zero frame dimensions")
     mbw, mbh = -(-w_px // 16), -(-h // 16)
     frames: list[np.ndarray] = []
+    n_i = n_p = 0
+    prev: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
     pos = 0
     data = bytes(b)
     while True:
@@ -375,14 +974,31 @@ def decode_m1v(b: bytes) -> tuple[dict, list[np.ndarray]]:
             pr = _BitReader(data[pos:])
             _tref = pr.read(10)
             ptype = pr.read(3)
-            if ptype != 1:
+            if ptype not in (1, 2):
                 raise NotImplementedError(
-                    f"MPEG-1 picture type {ptype} (engine decodes I frames)"
+                    f"MPEG-1 picture type {ptype} (engine decodes I and "
+                    "P frames)"
                 )
-            y = np.zeros((mbh * 16, mbw * 16))
-            cb = np.full((mbh * 8, mbw * 8), 128.0)
-            cr = np.full((mbh * 8, mbw * 8), 128.0)
+            full_pel, f_code = 0, 1
+            if ptype == 2:
+                if prev is None:
+                    raise ValueError(
+                        "MPEG-1 P picture before any I picture"
+                    )
+                pr.read(16)  # vbv_delay
+                full_pel = pr.read(1)
+                f_code = pr.read(3)
+                if not 1 <= f_code <= 7:
+                    raise ValueError("MPEG-1 forward_f_code of zero")
+                planes = (prev[0].copy(), prev[1].copy(), prev[2].copy())
+            else:
+                planes = (
+                    np.zeros((mbh * 16, mbw * 16), dtype=np.int64),
+                    np.full((mbh * 8, mbw * 8), 128, dtype=np.int64),
+                    np.full((mbh * 8, mbw * 8), 128, dtype=np.int64),
+                )
             # slices follow until the next non-slice start code
+            saw_slice = False
             while True:
                 try:
                     scode, spos = _next_start_code(data, pos)
@@ -390,64 +1006,34 @@ def decode_m1v(b: bytes) -> tuple[dict, list[np.ndarray]]:
                     raise ValueError("MPEG-1 picture without terminator")
                 if not 0x01 <= scode <= 0xAF:
                     break
+                saw_slice = True
                 row = scode - 1
                 if row >= mbh:
                     raise ValueError("MPEG-1 slice row beyond frame")
-                sr = _BitReader(data[spos:])
-                qscale = sr.read(5)
-                if not qscale:
-                    raise ValueError("MPEG-1 quantizer_scale of zero")
-                while sr.read(1):  # extra_information_slice
-                    sr.read(8)
-                preds = [128, 128, 128]
-                for col in range(mbw):
-                    if not sr.read(1):
-                        raise NotImplementedError(
-                            "MPEG-1 mb_address_increment > 1"
-                        )
-                    if not sr.read(1):  # mb_type: '01' intra+quant
-                        if sr.read(1):
-                            qscale = sr.read(5)
-                            if not qscale:
-                                raise ValueError(
-                                    "MPEG-1 quantizer_scale of zero"
-                                )
-                        else:
-                            raise NotImplementedError(
-                                "MPEG-1 non-intra macroblock in I picture"
-                            )
-                    for blk in range(6):
-                        ti = 0 if blk < 4 else blk - 3
-                        spatial, preds[ti] = _decode_block(
-                            sr, qscale, preds[ti],
-                            _DC_LUMA_INV if blk < 4 else _DC_CHROMA_INV,
-                        )
-                        px = np.clip(np.rint(spatial), 0, 255)
-                        if blk < 4:
-                            by = (blk // 2) * 8
-                            bx = (blk % 2) * 8
-                            y[row * 16 + by : row * 16 + by + 8,
-                              col * 16 + bx : col * 16 + bx + 8] = px
-                        elif blk == 4:
-                            cb[row * 8 : row * 8 + 8,
-                               col * 8 : col * 8 + 8] = px
-                        else:
-                            cr[row * 8 : row * 8 + 8,
-                               col * 8 : col * 8 + 8] = px
-                pos = spos + (sr.pos + 7) // 8
-                # re-align to the next start code (stuffing bits)
-                while (
-                    pos < len(data)
-                    and data[pos : pos + 3] != b"\x00\x00\x01"
-                    and pos + 3 <= len(data)
-                ):
-                    if data[pos] != 0:
-                        raise ValueError("MPEG-1 garbage between slices")
-                    pos += 1
-            up_cb = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
-            up_cr = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
-            ycc = np.stack([y, up_cb, up_cr], axis=-1)
+                send = data.find(b"\x00\x00\x01", spos)
+                if send < 0:
+                    raise ValueError("MPEG-1 picture without terminator")
+                _decode_slice(
+                    data[spos:send], row, planes, prev,
+                    mbw, mbh, ptype, f_code, full_pel,
+                )
+                pos = send
+            if not saw_slice:
+                raise ValueError("MPEG-1 picture without slices")
+            if ptype == 2:
+                n_p += 1
+            else:
+                n_i += 1
+            y, cbp_, crp = planes
+            up_cb = np.repeat(np.repeat(cbp_, 2, axis=0), 2, axis=1)
+            up_cr = np.repeat(np.repeat(crp, 2, axis=0), 2, axis=1)
+            ycc = np.stack(
+                [y.astype(np.float64), up_cb.astype(np.float64),
+                 up_cr.astype(np.float64)],
+                axis=-1,
+            )
             frames.append(_ycbcr_to_rgb(ycc)[:h, :w_px])
+            prev = planes
             continue
         raise ValueError(f"unexpected MPEG-1 start code {code:#x}")
     if not frames:
@@ -458,6 +1044,8 @@ def decode_m1v(b: bytes) -> tuple[dict, list[np.ndarray]]:
             "height": h,
             "fps": _PICTURE_RATES[rate_code],
             "n_frames": len(frames),
+            "n_i": n_i,
+            "n_p": n_p,
         },
         frames,
     )

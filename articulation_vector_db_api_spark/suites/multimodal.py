@@ -3052,6 +3052,258 @@ def multimodal_mpeg1_iframe_decode(
 
 
 @register(
+    "multimodal_mp1_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS BIGINT)
+               AS channels,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 48000 ELSE 32000 END
+               AS BIGINT) AS sample_rate,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 96 WHEN 1 THEN 192
+                ELSE 320 END AS BIGINT) AS bitrate_kbps,
+           CAST(6 AS BIGINT) AS n_frames,
+           CAST(2304 AS BIGINT) AS n_samples,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 48 ELSE 72 END AS BIGINT)
+               AS duration_ms,
+           CAST(1 AS BIGINT) AS snr_ok,
+           CAST(1 AS BIGINT) AS energy_ok
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "audio"),
+)
+def multimodal_mp1_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP1 (MPEG-1 Layer I) FULL SAMPLE DECODE — completes the MPEG-1
+    audio layer pair next to multimodal_mp2_decode: Layer I's 384-
+    sample frames, uniform 4-bit allocation across all 32 subbands,
+    one 6-bit scalefactor per active subband and sample-major
+    interleave (ISO 11172-3 §2.4.1.5/.2.4.2.4), decoded through the
+    SAME closed-form requantization and polyphase synthesis as Layer
+    II (functions/mp2.py:decode_mp1 — n = 2^nb−1 collapses the shared
+    Table 3-B.4 generator to the published Layer I C/D rows exactly).
+    The frame walk is cross-checked against functions/mp3.py's parser
+    on the same bytes (Layer I slot framing: (12·bitrate/rate)·4).
+
+    Lossy, so sample digests are not SQL-recomputable; the oracle pins
+    the structural facts (channels / rate / bitrate / frame count /
+    decoded length / duration) plus SNR > 20 dB and energy-within-10%
+    invariants (measured ~35-46 dB across the bitrate grid). Layer
+    III stays honestly gated (hybrid filterbank).
+
+    Scale shape: Arrow-batched narrow map, zero shuffle of audio
+    bytes, one stats row per doc."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("bitrate_kbps", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("snr_ok", T.LongType()),
+            T.StructField("energy_ok", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.mp2 import decode_mp1, encode_mp1
+        from ..functions.mp3 import parse_mp3
+
+        n = 1280  # + 1024 cascade cover = exactly 6 Layer I frames
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rate = 48000 if i % 2 == 0 else 32000
+                bitrate = (96, 192, 320)[i % 3]
+                t = np.arange(n) / rate
+                x = 0.5 * np.sin(
+                    2 * np.pi * (180 + (i % 23) * 120) * t
+                ) + 0.35 * np.sin(2 * np.pi * (450 + (i % 17) * 170) * t)
+                if i % 4 == 0:
+                    x = np.stack([x, 0.7 * x[::-1]])
+                enc = encode_mp1(x, rate, bitrate)
+                meta = parse_mp3(enc)  # structural cross-check
+                r, ch, pcm = decode_mp1(enc)
+                ref = x if x.ndim == 2 else x[None, :]
+                if (
+                    r != rate
+                    or ch != ref.shape[0]
+                    or meta["layer"] != 1
+                    or meta["sample_rate"] != rate
+                    or meta["bitrate_kbps"] != bitrate
+                    or pcm.shape[1] != meta["samples"]
+                ):
+                    raise ValueError("MP1 roundtrip metadata mismatch")
+                got = pcm[:, :n]
+                err = got - ref
+                snr = 10 * np.log10(
+                    (ref**2).sum() / max((err**2).sum(), 1e-30)
+                )
+                e_ratio = (got**2).sum() / (ref**2).sum()
+                rows.append(
+                    (
+                        doc_id,
+                        ch,
+                        rate,
+                        bitrate,
+                        meta["n_frames"],
+                        pcm.shape[1],
+                        meta["duration_ms"],
+                        int(snr > 20.0),
+                        int(abs(e_ratio - 1.0) < 0.10),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "multimodal_mpeg1_pframe_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(32 AS BIGINT) AS width,
+           CAST(32 AS BIGINT) AS height,
+           CAST(4 AS BIGINT) AS n_frames,
+           CAST(1 AS BIGINT) AS n_i,
+           CAST(3 AS BIGINT) AS n_p,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 4 ELSE 6 END
+               AS BIGINT) AS qscale,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS BIGINT)
+               AS f_code,
+           CAST(1 AS BIGINT) AS snr_ok,
+           CAST(1 AS BIGINT) AS energy_ok,
+           CAST(1 AS BIGINT) AS mc_compresses
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "video"),
+)
+def multimodal_mpeg1_pframe_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MPEG-1 P-FRAME DECODE (r10 VERDICT "What's missing" #4 — past
+    intra-only): each doc's id seeds a deterministic scene with a
+    textured square TRANSLATING over a static background, encoded as
+    an IPPP elementary stream (functions/mpeg1.py:encode_m1v with an
+    exhaustive half-pel motion search against the encoder-side
+    reconstruction, skip election for static macroblocks) and decoded
+    END TO END: forward motion vectors (Table B.4 VLC + f_code
+    residuals + the spec's complement/wrap reconstruction), half-pel
+    motion compensation, coded-block-pattern VLC (Table B.3),
+    non-intra dct_coeff_first coding and integer reconstruction with
+    mismatch control — ISO 11172-2 §2.4.4.2/.3.
+
+    Lossy, so pixel digests are not SQL-recomputable; the oracle pins
+    the structural facts (dimensions / frame count / I-vs-P split /
+    quantizer + f_code grid) plus three invariants: SNR > 17 dB,
+    energy within 12%, and `mc_compresses` — the IPPP stream MUST be
+    smaller than the same frames coded all-intra, the witness that
+    motion compensation actually predicts (a broken MC path would
+    inflate residuals past the intra size).
+
+    Scale shape: Arrow-batched narrow map, zero shuffle of video
+    bytes, one stats row per doc — identical envelope to the iframe
+    query."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("n_i", T.LongType()),
+            T.StructField("n_p", T.LongType()),
+            T.StructField("qscale", T.LongType()),
+            T.StructField("f_code", T.LongType()),
+            T.StructField("snr_ok", T.LongType()),
+            T.StructField("energy_ok", T.LongType()),
+            T.StructField("mc_compresses", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.mpeg1 import decode_m1v, encode_m1v
+
+        h = w = 32
+        n_frames = 4
+        yy, xx = np.mgrid[0:16, 0:16]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                qscale = (3, 4, 6)[i % 3]
+                f_code = 2 if i % 4 == 0 else 1
+                sq = (
+                    100 + 7 * xx + 5 * yy + 13 * (i % 9)
+                ).clip(0, 255).astype(np.uint8)
+                frames = []
+                for t in range(n_frames):
+                    img = np.full((h, w, 3), 70 + (i % 17), dtype=np.uint8)
+                    x0 = 2 + ((i % 3) + 1) * t  # 1..3 pel/frame motion
+                    img[8:24, x0 : x0 + 16, 0] = sq
+                    img[8:24, x0 : x0 + 16, 1] = 255 - sq
+                    img[8:24, x0 : x0 + 16, 2] = sq[::-1]
+                    frames.append(img)
+                es = encode_m1v(
+                    frames, qscale=qscale, p_frames=True, f_code=f_code
+                )
+                es_intra = encode_m1v(frames, qscale=qscale)
+                meta, dec = decode_m1v(es)
+                if (
+                    meta["width"], meta["height"], meta["n_frames"]
+                ) != (w, h, n_frames):
+                    raise ValueError("MPEG-1 P roundtrip metadata mismatch")
+                ref = np.stack(frames).astype(np.float64)
+                got = np.stack(dec).astype(np.float64)
+                err = got - ref
+                snr = 10 * np.log10(
+                    (ref**2).sum() / max((err**2).sum(), 1e-30)
+                )
+                e_ratio = (got**2).sum() / (ref**2).sum()
+                rows.append(
+                    (
+                        doc_id, w, h, n_frames,
+                        meta["n_i"], meta["n_p"],
+                        qscale, f_code,
+                        int(snr > 17.0),
+                        int(abs(e_ratio - 1.0) < 0.12),
+                        int(len(es) < len(es_intra)),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_mpeg1_in_containers",
     oracle="""
     SELECT doc_id,

@@ -1,6 +1,8 @@
-"""MPEG-1 I-frame codec (functions/mpeg1.py): spec-table spot checks,
-roundtrip SNR across quantizer scales, DC prediction, escape coding,
-honest gates, and the mutation-fuzz ValueError-only contract."""
+"""MPEG-1 I+P-frame codec (functions/mpeg1.py): spec-table spot
+checks, roundtrip SNR across quantizer scales, DC prediction, escape
+coding, forward motion compensation (half-pel search, skip election,
+f_code residuals, full-pel mode), honest gates, and the mutation-fuzz
+ValueError-only contract."""
 
 from __future__ import annotations
 
@@ -50,7 +52,7 @@ def test_roundtrip_quality_by_qscale():
         es = encode_m1v(frames, qscale=qscale)
         meta, dec = decode_m1v(es)
         assert meta == {"width": 48, "height": 32, "fps": 30.0,
-                        "n_frames": 3}
+                        "n_frames": 3, "n_i": 3, "n_p": 0}
         for a, b in zip(frames, dec):
             assert _snr(a, b) > floor
         if prev_bytes is not None:
@@ -91,11 +93,16 @@ def test_gates():
     with pytest.raises(ValueError, match="quantizer_scale"):
         encode_m1v([_frame(0)], qscale=0)
     es = bytearray(encode_m1v([_frame(0)]))
-    # flip picture_coding_type I -> P (3 bits after 10-bit temporal ref
+    # flip picture_coding_type I -> B (3 bits after 10-bit temporal ref
     # in the picture header): find the picture start code
     at = bytes(es).find(b"\x00\x00\x01\x00") + 4
-    es[at + 1] = (es[at + 1] & ~0x38) | 0x10  # type bits 010 = P
+    es[at + 1] = (es[at + 1] & ~0x38) | 0x18  # type bits 011 = B
     with pytest.raises(NotImplementedError, match="picture type"):
+        decode_m1v(bytes(es))
+    # ... while I -> P is DECODED now, but a P picture with no
+    # reference frame before it is a hard error
+    es[at + 1] = (es[at + 1] & ~0x38) | 0x10  # type bits 010 = P
+    with pytest.raises(ValueError, match="P picture before any I"):
         decode_m1v(bytes(es))
     with pytest.raises(ValueError):
         decode_m1v(b"\x00\x00\x01\xb3" + b"\x00" * 3)  # truncated header
@@ -266,3 +273,135 @@ def test_mp4_mpeg1_gates():
     )
     with pytest.raises(ValueError, match="DecoderSpecificInfo"):
         decode_mp4_frames(empty)
+
+
+# ---------------------------------------------------------------------------
+# P frames (forward motion compensation)
+# ---------------------------------------------------------------------------
+
+
+def _moving(t, h=32, w=64):
+    """Static background with a textured square translating 2 pel per
+    frame — forces nonzero motion vectors and skip elections."""
+    img = np.full((h, w, 3), 90, dtype=np.uint8)
+    yy, xx = np.mgrid[0:16, 0:16]
+    sq = (120 + 6 * xx + 4 * yy).clip(0, 255).astype(np.uint8)
+    x0 = 3 + 2 * t
+    img[8:24, x0 : x0 + 16, 0] = sq
+    img[8:24, x0 : x0 + 16, 1] = 255 - sq
+    img[8:24, x0 : x0 + 16, 2] = sq[::-1]
+    return img
+
+
+def test_p_frames_roundtrip_and_compress():
+    mf = [_moving(t) for t in range(4)]
+    es_p = encode_m1v(mf, qscale=3, p_frames=True)
+    es_i = encode_m1v(mf, qscale=3)
+    meta, dec = decode_m1v(es_p)
+    assert (meta["n_i"], meta["n_p"], meta["n_frames"]) == (1, 3, 4)
+    for a, b in zip(mf, dec):
+        assert _snr(a, b) > 18.0
+    # motion compensation must beat intra coding on a translating scene
+    assert len(es_p) < 0.75 * len(es_i)
+
+
+def test_p_frames_skip_static_scene():
+    """A fully static scene: every P macroblock is either skipped or a
+    tiny refinement; later P frames converge bit-exactly."""
+    img = (np.indices((32, 64)).sum(0) * 3 % 200 + 20).astype(np.uint8)
+    st = np.stack([img, img[::-1], 255 - img], axis=-1)
+    frames = [st.copy() for _ in range(6)]
+    es = encode_m1v(frames, qscale=4, p_frames=True)
+    es_one_i = encode_m1v(frames[:1], qscale=4)
+    meta, dec = decode_m1v(es)
+    assert meta["n_p"] == 5
+    # 5 P frames together cost far less than one more I frame
+    assert len(es) - len(es_one_i) < 0.6 * len(es_one_i)
+    # refinement converges: the encoder only codes a residual block
+    # when reconstruction strictly improves it, so frame-to-frame
+    # churn must shrink and quality must never degrade
+    churn = [(a != b).sum() for a, b in zip(dec[1:], dec[:-1])]
+    assert churn[-1] < 0.25 * churn[0]
+    snrs = [_snr(a, b) for a, b in zip(frames, dec)]
+    assert min(snrs[1:]) >= snrs[0] - 1e-9  # P refines, never degrades
+
+
+def test_p_frames_halfpel_translation():
+    """Pure 1-pel horizontal translation of a vertically-constant
+    pattern: MC predicts P frames near-exactly (the I frame is exact
+    for this DCT-friendly content)."""
+    wide = (np.arange(128) * 2 % 256).astype(np.uint8)
+
+    def shifted(t):
+        row = np.roll(wide, t)[:64]
+        img = np.tile(row, (32, 1))
+        return np.stack([img, img, img], axis=-1)
+
+    mf = [shifted(t) for t in range(3)]
+    meta, dec = decode_m1v(encode_m1v(mf, qscale=2, p_frames=True))
+    assert meta["n_p"] == 2
+    for a, b in zip(mf, dec):
+        assert _snr(a, b) > 40.0
+
+
+def test_p_frames_f_code_and_full_pel_variants():
+    """forward_f_code > 1 re-codes the same vectors with residual bits
+    (bit-identical reconstruction); full-pel mode stays close."""
+    mf = [_moving(t) for t in range(4)]
+    base = decode_m1v(encode_m1v(mf, qscale=3, p_frames=True))[1]
+    alt = decode_m1v(
+        encode_m1v(mf, qscale=3, p_frames=True, f_code=2)
+    )[1]
+    assert all(np.array_equal(a, b) for a, b in zip(base, alt))
+    meta_fp, dec_fp = decode_m1v(
+        encode_m1v(mf, qscale=3, p_frames=True, full_pel=True)
+    )
+    assert meta_fp["n_p"] == 3
+    for a, b in zip(mf, dec_fp):
+        assert _snr(a, b) > 18.0
+    with pytest.raises(ValueError, match="forward_f_code"):
+        encode_m1v(mf, p_frames=True, f_code=8)
+
+
+def test_p_frame_vlc_tables_are_consistent():
+    """Prefix-freeness + near-complete Kraft sums for the new Annex B
+    tables, the published anchor rows, and the spec's Table B.1/B.4
+    correspondence (increment 2n = mag(n)+'1', 2n+1 = mag(n)+'0')."""
+    from articulation_vector_db_api_spark.functions.mpeg1 import (
+        _ADDR_ESCAPE,
+        _ADDR_INC,
+        _ADDR_STUFFING,
+        _CBP_CODES,
+        _MOTION_MAG,
+        _P_MB_TYPE,
+    )
+
+    def check(codes):
+        assert len(set(codes)) == len(codes)
+        for a in codes:
+            for b in codes:
+                assert a == b or not b.startswith(a), (a, b)
+        return sum(2.0 ** -len(c) for c in codes)
+
+    assert check(_MOTION_MAG.values()) > 0.98
+    assert check(list(_ADDR_INC.values())
+                 + [_ADDR_ESCAPE, _ADDR_STUFFING]) > 0.98
+    assert check(_CBP_CODES.values()) > 0.99
+    assert check(_P_MB_TYPE.keys()) > 0.98
+    # anchors straight from the published tables
+    assert _MOTION_MAG[0] == "1" and _MOTION_MAG[1] == "01"
+    assert _MOTION_MAG[16] == "0000001100"
+    assert _CBP_CODES[60] == "111" and _CBP_CODES[63] == "001100"
+    assert _ADDR_INC[1] == "1" and _ADDR_INC[2] == "011"
+    assert _ADDR_INC[33] == "00000011000"  # spec: '0000 0011 000'
+    assert sorted(_CBP_CODES) == list(range(1, 64))
+    assert sorted(_ADDR_INC) == list(range(1, 34))
+
+
+def test_fuzz_mpeg1_p_frame_contract():
+    from tests.test_fuzz_contracts import _assert_contract
+
+    es = encode_m1v(
+        [_moving(t, 32, 32) for t in range(3)], qscale=4, p_frames=True
+    )
+    _assert_contract("m1v-p", es, decode_m1v)

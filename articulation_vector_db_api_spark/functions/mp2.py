@@ -562,3 +562,215 @@ def decode_mp2(b: bytes) -> tuple[int, int, np.ndarray]:
         [_synthesize(sub[ch]) / _GAIN for ch in range(channels)]
     )
     return rate, channels, pcm[:, _DELAY:]
+
+
+# ------------------------------------------------------- Layer I (MP1)
+# ISO 11172-3 Layer I shares everything above except the frame layout:
+# 384 samples/frame (12 per subband), a uniform 4-bit allocation for
+# ALL 32 subbands (code a = 0 silent, 1..14 -> one sample costs a+1
+# bits at 2^(a+1)-1 levels, 15 forbidden), one 6-bit scalefactor per
+# active subband (no scfsi), samples interleaved sample-major. The
+# closed-form requantization constants above collapse to the published
+# Layer I rows exactly (n = 2^nb - 1 gives C = 2^nb/(2^nb-1),
+# D = 2^(1-nb)).
+
+_BITRATE_IDX_L1 = {  # MPEG-1 Layer I kbps -> header index
+    32: 1, 64: 2, 96: 3, 128: 4, 160: 5, 192: 6, 224: 7, 256: 8,
+    288: 9, 320: 10, 352: 11, 384: 12, 416: 13, 448: 14,
+}
+FRAME_SAMPLES_L1 = 384
+
+_L1_LEVELS = tuple(
+    0 if a == 0 else (1 << (a + 1)) - 1 for a in range(15)
+)
+_L1_L2 = np.array(
+    [0.25 if n == 0 else float(n * n) for n in _L1_LEVELS]
+)
+_L1_COST = np.array(
+    [0 if a == 0 else 6 + 12 * (a + 1) for a in range(15)],
+    dtype=np.int64,
+)  # per active (ch, sb): scalefactor + 12 samples
+
+
+def _allocate_l1(
+    energy: np.ndarray, budget_bits: int, channels: int
+) -> np.ndarray:
+    """Layer I water-filling: same binary-searched water level as the
+    Layer II allocator over the uniform 2^(a+1)-1 ladder."""
+    alloc_fixed = 4 * _BANDS * channels
+    e = np.asarray(energy, dtype=np.float64)
+    live = e > 1e-12
+
+    def fill(t: float) -> tuple[np.ndarray, int]:
+        need = (e / t)[:, :, None] > _L1_L2[None, None, :]
+        idx = np.minimum(need.sum(axis=2), 14)
+        idx = np.where(live, idx, 0)
+        cost = alloc_fixed + int(_L1_COST[idx].sum())
+        return idx.astype(np.int64), cost
+
+    lo, hi = 1e-13, float(max(e.max(), 1e-12)) * 4.0
+    best, _ = fill(hi)
+    for _ in range(60):
+        mid = math.sqrt(lo * hi)
+        idx, cost = fill(mid)
+        if cost <= budget_bits:
+            best, hi = idx, mid
+        else:
+            lo = mid
+    return best
+
+
+def encode_mp1(
+    pcm: np.ndarray, rate: int, bitrate_kbps: int = 192
+) -> bytes:
+    """Witness MPEG-1 Layer I encoder: float PCM in (-1, 1), mono (n,)
+    or stereo (2, n) -> a spec-layout MP1 frame stream. Deterministic.
+    Gated to (rate, bitrate) pairs with an integer slot count so the
+    witness never needs the padding bit (48/32 kHz cover all Layer I
+    bitrates; 44.1 kHz framing needs padding and raises)."""
+    x = np.asarray(pcm, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[None, :]
+    channels, n = x.shape
+    if channels not in (1, 2):
+        raise ValueError("MP1 encoder takes mono or stereo input")
+    if rate not in _RATE_IDX:
+        raise NotImplementedError(f"MPEG-1 sample rate {rate}")
+    if bitrate_kbps not in _BITRATE_IDX_L1:
+        raise ValueError(f"not an MPEG-1 Layer I bitrate: {bitrate_kbps}")
+    if (12 * bitrate_kbps * 1000) % rate:
+        raise NotImplementedError(
+            f"padded Layer I framing for rate={rate}, {bitrate_kbps} kbps"
+        )
+    if np.max(np.abs(x)) >= SCALEFACTORS[0]:
+        raise ValueError("PCM must lie inside (-2, 2) for scalefactors")
+
+    frame_len = (12 * bitrate_kbps * 1000 // rate) * 4  # bytes
+    total = n + _DELAY + _TAPS
+    n_frames = -(-total // FRAME_SAMPLES_L1)
+    sub = np.stack(
+        [_analyze(x[ch])[:, : n_frames * 12] for ch in range(channels)]
+    )  # (ch, 32, granules)
+    if sub.shape[2] < n_frames * 12:
+        sub = np.pad(
+            sub, ((0, 0), (0, 0), (0, n_frames * 12 - sub.shape[2]))
+        )
+
+    header = (
+        (0x7FF << 21) | (3 << 19) | (3 << 17) | (1 << 16)
+        | (_BITRATE_IDX_L1[bitrate_kbps] << 12) | (_RATE_IDX[rate] << 10)
+        | ((3 if channels == 1 else 0) << 6)
+    ).to_bytes(4, "big")
+
+    out = bytearray()
+    for f in range(n_frames):
+        s = sub[:, :, f * 12 : (f + 1) * 12]  # (ch, 32, 12)
+        alloc = _allocate_l1((s * s).sum(axis=2), (frame_len - 4) * 8,
+                             channels)
+        w = _BitWriter()
+        for sb in range(_BANDS):
+            for ch in range(channels):
+                w.write(int(alloc[ch, sb]), 4)
+        sf_idx = np.zeros((channels, _BANDS), dtype=np.int64)
+        for sb in range(_BANDS):
+            for ch in range(channels):
+                if alloc[ch, sb]:
+                    sf_idx[ch, sb] = _pick_scalefactor(
+                        float(np.max(np.abs(s[ch, sb])))
+                    )
+                    w.write(int(sf_idx[ch, sb]), 6)
+        codes = {}
+        for sb in range(_BANDS):
+            for ch in range(channels):
+                a = alloc[ch, sb]
+                if a:
+                    codes[(ch, sb)] = _quantize(
+                        s[ch, sb] / SCALEFACTORS[sf_idx[ch, sb]],
+                        _L1_LEVELS[a],
+                    ).tolist()
+        for smp in range(12):
+            for sb in range(_BANDS):
+                for ch in range(channels):
+                    a = alloc[ch, sb]
+                    if a:
+                        w.write(codes[(ch, sb)][smp], a + 1)
+        out += header + w.pad_to(frame_len - 4)
+    return bytes(out)
+
+
+def decode_mp1(b: bytes) -> tuple[int, int, np.ndarray]:
+    """Full MP1 (Layer I) sample decode -> (rate, channels, float PCM
+    (ch, n)). ValueError for malformed streams, NotImplementedError
+    for honest gates (other layers, joint stereo)."""
+    from .mp3 import _parse_header
+
+    if len(b) < 4:
+        raise ValueError("truncated MP1 stream")
+    first = _parse_header(b, 0)
+    if first["version"] != "1" or first["layer"] != 1:
+        raise NotImplementedError(
+            f"Layer I sample decode for MPEG-{first['version']} "
+            f"Layer {first['layer']}"
+        )
+    mode = (int.from_bytes(b[:4], "big") >> 6) & 0x03
+    if mode == 1:
+        raise NotImplementedError("MP1 joint (intensity) stereo decode")
+    channels = first["channels"]
+    rate = first["rate"]
+
+    sub_all: list[np.ndarray] = []
+    i = 0
+    while i < len(b):
+        f = _parse_header(b, i)
+        if (f["version"], f["layer"], f["rate"]) != ("1", 1, rate):
+            raise ValueError("MP1 frame parameters change mid-stream")
+        if i + f["length"] > len(b):
+            raise ValueError("truncated MP1 frame")
+        payload = b[i + 4 + f["crc"] : i + f["length"]]
+        r = _BitReader(payload)
+        alloc = np.zeros((channels, _BANDS), dtype=np.int64)
+        for sb in range(_BANDS):
+            for ch in range(channels):
+                a = r.read(4)
+                if a == 15:
+                    raise ValueError("forbidden MP1 allocation code 15")
+                alloc[ch, sb] = a
+        sf = np.ones((channels, _BANDS), dtype=np.float64)
+        for sb in range(_BANDS):
+            for ch in range(channels):
+                if alloc[ch, sb]:
+                    idx = r.read(6)
+                    if idx > 62:
+                        raise ValueError("forbidden MP1 scalefactor 63")
+                    sf[ch, sb] = SCALEFACTORS[idx]
+        code_seq: dict[tuple[int, int], list[int]] = {
+            (ch, sb): []
+            for sb in range(_BANDS)
+            for ch in range(channels)
+            if alloc[ch, sb]
+        }
+        for _smp in range(12):
+            for sb in range(_BANDS):
+                for ch in range(channels):
+                    a = alloc[ch, sb]
+                    if not a:
+                        continue
+                    c = r.read(int(a) + 1)
+                    if c >= _L1_LEVELS[a]:
+                        raise ValueError("MP1 sample code out of range")
+                    code_seq[(ch, sb)].append(c)
+        s = np.zeros((channels, _BANDS, 12), dtype=np.float64)
+        for (ch, sb), cs in code_seq.items():
+            s[ch, sb] = _dequantize(
+                np.asarray(cs, dtype=np.int64),
+                _L1_LEVELS[alloc[ch, sb]],
+            ) * sf[ch, sb]
+        sub_all.append(s)
+        i += f["length"]
+    if not sub_all:
+        raise ValueError("MP1 stream has no frames")
+    sub = np.concatenate(sub_all, axis=2)
+    pcm = np.stack(
+        [_synthesize(sub[ch]) / _GAIN for ch in range(channels)]
+    )
+    return rate, channels, pcm[:, _DELAY:]

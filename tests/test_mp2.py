@@ -161,3 +161,86 @@ def test_fuzz_mp2_contract():
 
     enc = mp2.encode_mp2(_tone(3000), 48000, 192)
     _assert_contract("mp2", enc, mp2.decode_mp2)
+
+
+# ---------------------------------------------------------------------------
+# Layer I (MP1)
+# ---------------------------------------------------------------------------
+
+
+def test_mp1_roundtrip_mono_and_stereo():
+    x = _tone(7000)
+    enc = mp2.encode_mp1(x, 48000, 192)
+    rate, ch, pcm = mp2.decode_mp1(enc)
+    assert (rate, ch) == (48000, 1)
+    assert pcm.shape[1] >= len(x)
+    assert _snr(x, pcm[0][: len(x)]) > 35.0
+
+    xs = np.stack([x, np.roll(x, 97)])
+    enc2 = mp2.encode_mp1(xs, 32000, 256)
+    rate2, ch2, pcm2 = mp2.decode_mp1(enc2)
+    assert (rate2, ch2) == (32000, 2)
+    for c in range(2):
+        assert _snr(xs[c], pcm2[c][: xs.shape[1]]) > 30.0
+
+
+def test_mp1_closed_form_matches_published_layer1_rows():
+    """Layer I requantization constants: n = 2^nb - 1 collapses the
+    shared generator to the spec's published Layer I C/D rows
+    (C = 2^nb/(2^nb-1), D = 2^(1-nb))."""
+    for a in range(1, 15):
+        nb = a + 1
+        n = (1 << nb) - 1
+        c_const, d_const = mp2._cd(n)
+        assert abs(c_const - (2.0**nb) / (2.0**nb - 1)) < 1e-12
+        assert abs(d_const - 2.0 ** (1 - nb)) < 1e-12
+
+
+def test_mp1_bitrates_fit_and_decode():
+    x = _tone(3000)
+    prev = None
+    for kbps in (64, 192, 448):
+        enc = mp2.encode_mp1(x, 48000, kbps)
+        _r, _c, pcm = mp2.decode_mp1(enc)
+        snr = _snr(x, pcm[0][: len(x)])
+        if prev is not None:
+            assert snr >= prev - 3.0  # more bits never hurts much
+        prev = snr
+        # exact Layer I framing: (12*kbps*1000/rate)*4 bytes per frame
+        frame = (12 * kbps * 1000 // 48000) * 4
+        assert len(enc) % frame == 0
+
+
+def test_mp1_header_walks_with_mp3_parser():
+    from articulation_vector_db_api_spark.functions.mp3 import parse_mp3
+
+    enc = mp2.encode_mp1(_tone(2000), 48000, 192)
+    meta = parse_mp3(enc)
+    assert meta["layer"] == 1
+    assert meta["sample_rate"] == 48000
+    assert meta["samples"] == meta["n_frames"] * 384  # Layer I framing
+
+
+def test_mp1_gates_and_malformed():
+    x = _tone(1500)
+    with pytest.raises(NotImplementedError, match="padded Layer I"):
+        mp2.encode_mp1(x, 44100, 192)
+    with pytest.raises(ValueError, match="Layer I bitrate"):
+        mp2.encode_mp1(x, 48000, 48)  # Layer II bitrate, not Layer I
+    enc = bytearray(mp2.encode_mp1(x, 48000, 192))
+    with pytest.raises(NotImplementedError, match="Layer 2"):
+        mp2.decode_mp1(mp2.encode_mp2(x, 48000, 192))
+    with pytest.raises(NotImplementedError, match="Layer 1"):
+        mp2.decode_mp2(bytes(enc))
+    enc[3] = (enc[3] & 0x3F) | 0x40  # mode 01 = joint stereo
+    with pytest.raises(NotImplementedError, match="joint"):
+        mp2.decode_mp1(bytes(enc))
+    with pytest.raises(ValueError):
+        mp2.decode_mp1(b"\x00\x00")
+
+
+def test_fuzz_mp1_contract():
+    from tests.test_fuzz_contracts import _assert_contract
+
+    enc = mp2.encode_mp1(_tone(1800), 48000, 192)
+    _assert_contract("mp1", enc, mp2.decode_mp1, n=120)

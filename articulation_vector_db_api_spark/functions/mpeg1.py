@@ -1,18 +1,21 @@
-"""MPEG-1 video (ISO/IEC 11172-2, public spec) I+P-FRAME codec —
+"""MPEG-1 video (ISO/IEC 11172-2, public spec) I/P/B-FRAME codec —
 witness encoder + decoder, numpy only.
 
 Closes the r10 VERDICT item 7 ("one compressed-video payload codec")
 and extends it past intra coding (r10 "What's missing" #4): the video
-surface now decodes a real inter-era codec's intra AND
-forward-predicted frames — sequence header → GOP → I/P pictures →
-slices → macroblocks (address-increment VLC with skip/stuffing/escape,
-P macroblock types, forward motion vectors with f_code residuals and
-the spec's complement/wrap reconstruction, half-pel motion
-compensation, coded-block-pattern VLC, intra DC prediction + AC
-run/level coding, non-intra dct_coeff_first, integer reconstruction
-with mismatch control) → IDCT → motion-compensated add → 4:2:0 YCbCr
-→ RGB. The DCT pair, zigzag, and color transforms are shared with the
-from-scratch JPEG codec (functions/jpeg.py).
+surface now decodes a real inter-era codec's intra, forward-predicted
+AND bidirectionally-predicted frames — sequence header → GOP → I/P/B
+pictures → slices → macroblocks (address-increment VLC with
+skip/stuffing/escape, P and B macroblock types, forward/backward
+motion vectors with f_code residuals and the spec's complement/wrap
+reconstruction, half-pel motion compensation, interpolated (averaged)
+bidirectional prediction, coded-block-pattern VLC, intra DC
+prediction + AC run/level coding, non-intra dct_coeff_first, integer
+reconstruction with mismatch control) → IDCT → motion-compensated add
+→ 4:2:0 YCbCr → RGB, with the classic one-anchor reorder buffer
+mapping decode order back to display order. The DCT pair, zigzag, and
+color transforms are shared with the from-scratch JPEG codec
+(functions/jpeg.py).
 
 Exactness notes (all public-spec content):
 - the default intra quantizer matrix (§2.4.4.2; the default non-intra
@@ -48,13 +51,20 @@ Exactness notes (all public-spec content):
   DC predictors reset to 128 at slice start and after any non-intra
   macroblock.
 
-Honest gates (raise, not fake): B pictures and D pictures by
-picture_coding_type, custom quantizer matrices, deep Table-B.5c AC
-rows. The witness encoder emits I-only or IPPP streams with f_code
-1..7, optional full-pel vectors, a real (exhaustive, half-pel)
-motion search against the encoder-side RECONSTRUCTED reference —
-identical arithmetic to the decoder, so prediction drift is zero by
-construction — and skip election for static macroblocks.
+B-picture semantics (§2.4.4.4): skipped macroblocks repeat the
+PREVIOUS macroblock's prediction mode and vectors (predictors are not
+reset, unlike P skips); a B picture displays before the most recent
+anchor, so the decoder holds each anchor back one step and emits it
+when the next anchor (or the sequence end) arrives.
+
+Honest gates (raise, not fake): D pictures by picture_coding_type,
+custom quantizer matrices, deep Table-B.5c AC rows. The witness
+encoder emits I-only, IPPP, or IBB…P streams with f_code 1..7,
+optional full-pel vectors (I/P), a real (exhaustive, half-pel) motion
+search against the encoder-side RECONSTRUCTED reference — identical
+arithmetic to the decoder, so prediction drift is zero by
+construction — per-macroblock forward/backward/interpolated mode
+election in B pictures, and skip election for static macroblocks.
 
 Reference behavior parity: the reference (/root/reference/main.py) has
 no video path; this is engine frontier surface for video-corpus
@@ -126,13 +136,22 @@ _ADDR_INC_INV = {v: k for k, v in _ADDR_INC.items()}
 _ADDR_ESCAPE = "00000001000"
 _ADDR_STUFFING = "00000001111"
 
-# macroblock_type VLCs: code -> (quant, motion_forward, coded, intra).
-# Table B.2a (I pictures) and Table B.2b (P pictures).
-_I_MB_TYPE = {"1": (0, 0, 0, 1), "01": (1, 0, 0, 1)}
+# macroblock_type VLCs: code -> (quant, motion_forward,
+# motion_backward, coded, intra). Table B.2a (I pictures), B.2b (P)
+# and B.2c (B pictures).
+_I_MB_TYPE = {"1": (0, 0, 0, 0, 1), "01": (1, 0, 0, 0, 1)}
 _P_MB_TYPE = {
-    "1": (0, 1, 1, 0), "01": (0, 0, 1, 0), "001": (0, 1, 0, 0),
-    "00011": (0, 0, 0, 1), "00010": (1, 1, 1, 0), "00001": (1, 0, 1, 0),
-    "000001": (1, 0, 0, 1),
+    "1": (0, 1, 0, 1, 0), "01": (0, 0, 0, 1, 0), "001": (0, 1, 0, 0, 0),
+    "00011": (0, 0, 0, 0, 1), "00010": (1, 1, 0, 1, 0),
+    "00001": (1, 0, 0, 1, 0), "000001": (1, 0, 0, 0, 1),
+}
+_B_MB_TYPE = {
+    "10": (0, 1, 1, 0, 0), "11": (0, 1, 1, 1, 0),
+    "010": (0, 0, 1, 0, 0), "011": (0, 0, 1, 1, 0),
+    "0010": (0, 1, 0, 0, 0), "0011": (0, 1, 0, 1, 0),
+    "00011": (0, 0, 0, 0, 1), "00010": (1, 1, 1, 1, 0),
+    "000011": (1, 1, 0, 1, 0), "000010": (1, 0, 1, 1, 0),
+    "000001": (1, 0, 0, 0, 1),
 }
 
 # coded_block_pattern VLC (Table B.3), all 63 nonzero patterns
@@ -740,17 +759,117 @@ def _encode_p_slice(
             out[by : by + 8, bx : bx + 8] = px
 
 
+def _encode_b_slice(
+    w: _BitWriter,
+    planes: tuple[np.ndarray, np.ndarray, np.ndarray],
+    fwd: tuple[np.ndarray, np.ndarray, np.ndarray],
+    bwd: tuple[np.ndarray, np.ndarray, np.ndarray],
+    row: int, mbw: int, qscale: int,
+    f_code: int, search: int,
+) -> None:
+    """One B-picture slice: per macroblock, pick the best of forward /
+    backward / interpolated prediction by luma SAD, code only
+    residual blocks that strictly improve, and elect skip when the
+    previous macroblock's prediction repeats exactly (B skip repeats
+    mode AND vectors, §2.4.4.4). B pictures are not references, so no
+    reconstruction is kept."""
+    y, cb, cr = planes
+    f = 1 << (f_code - 1)
+    pred_f = [0, 0]
+    pred_b = [0, 0]
+    last_spec: tuple | None = None
+    pending = 0
+    for col in range(mbw):
+        cur = y[row * 16 : row * 16 + 16, col * 16 : col * 16 + 16]
+        vfy, vfx = _search_motion(cur, fwd[0], row * 16, col * 16,
+                                  search, 0)
+        vby, vbx = _search_motion(cur, bwd[0], row * 16, col * 16,
+                                  search, 0)
+        cands = {
+            (True, False): _inter_pred(fwd, bwd, row, col, True,
+                                       (vfx, vfy), False, (0, 0), 0, 0),
+            (False, True): _inter_pred(fwd, bwd, row, col, False,
+                                       (0, 0), True, (vbx, vby), 0, 0),
+            (True, True): _inter_pred(fwd, bwd, row, col, True,
+                                      (vfx, vfy), True, (vbx, vby), 0, 0),
+        }
+        use_f, use_b = min(
+            cands,
+            key=lambda k: (int(np.abs(cur - cands[k][0]).sum()),
+                           k != (True, True)),
+        )
+        pred_y, pred_cb, pred_cr = cands[(use_f, use_b)]
+        levels, cbp = [], 0
+        for blk in range(6):
+            if blk < 4:
+                by, bx = (blk // 2) * 8, (blk % 2) * 8
+                block = cur[by : by + 8, bx : bx + 8]
+                pred = pred_y[by : by + 8, bx : bx + 8]
+            else:
+                plane = cb if blk == 4 else cr
+                block = plane[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8]
+                pred = pred_cb if blk == 4 else pred_cr
+            lv = _quant_nonintra(_C @ (block - pred) @ _C.T, qscale)
+            if lv.any():
+                cand = np.clip(
+                    pred + np.rint(
+                        _dequant_nonintra(lv, qscale)
+                    ).astype(np.int64),
+                    0, 255,
+                )
+                if ((cand - block) ** 2).sum() < ((pred - block) ** 2).sum():
+                    cbp |= 1 << (5 - blk)
+                else:
+                    lv = np.zeros(64, dtype=np.int64)
+            levels.append(lv)
+        spec = (use_f, (vfx, vfy) if use_f else None,
+                use_b, (vbx, vby) if use_b else None)
+        if (
+            cbp == 0 and spec == last_spec and 0 < col < mbw - 1
+            and (not use_f or [vfx, vfy] == pred_f)
+            and (not use_b or [vbx, vby] == pred_b)
+        ):
+            pending += 1
+            continue
+        _write_increment(w, pending + 1)
+        pending = 0
+        w.write_code({
+            (True, True, False): "10", (True, True, True): "11",
+            (False, True, False): "010", (False, True, True): "011",
+            (True, False, False): "0010", (True, False, True): "0011",
+        }[(use_f, use_b, bool(cbp))])
+        if use_f:
+            _write_motion(w, _wrap_vector(vfx - pred_f[0], f), f_code)
+            _write_motion(w, _wrap_vector(vfy - pred_f[1], f), f_code)
+            pred_f = [vfx, vfy]
+        if use_b:
+            _write_motion(w, _wrap_vector(vbx - pred_b[0], f), f_code)
+            _write_motion(w, _wrap_vector(vby - pred_b[1], f), f_code)
+            pred_b = [vbx, vby]
+        if cbp:
+            w.write_code(_CBP_CODES[cbp])
+            for blk in range(6):
+                if cbp & (1 << (5 - blk)):
+                    _write_nonintra_levels(w, levels[blk])
+        last_spec = spec
+
+
 def encode_m1v(
     frames: list[np.ndarray], fps_code: int = 5, qscale: int = 4,
     p_frames: bool = False, f_code: int = 1, full_pel: bool = False,
-    search: int = 4,
+    search: int = 4, b_frames: int = 0,
 ) -> bytes:
     """Witness MPEG-1 elementary stream. Frames are (h, w, 3) RGB
     uint8 with h, w multiples of 16. With ``p_frames`` the first
     picture is intra and the rest are forward-predicted (exhaustive
     ±``search`` half-pel motion search against the encoder-side
     reconstruction, skip election for static macroblocks); otherwise
-    every frame is an I-picture, one slice per macroblock row."""
+    every frame is an I-picture, one slice per macroblock row. With
+    ``b_frames`` = k > 0 (requires ``p_frames``), anchors land every
+    k+1 display frames (plus the final frame) and the frames between
+    them are coded as B pictures — transmitted AFTER their future
+    anchor in the spec's decode order, each macroblock choosing
+    forward / backward / interpolated prediction by SAD."""
     if not frames:
         raise ValueError("MPEG-1 stream needs at least one frame")
     h, w_px, _ = frames[0].shape
@@ -779,13 +898,39 @@ def encode_m1v(
     w.write(1, 1)   # closed gop
     w.write(0, 1)   # broken link
     mbw, mbh = w_px // 16, h // 16
-    ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
-    for t, fr in enumerate(frames):
+    for fr in frames:
         if fr.shape != frames[0].shape:
             raise ValueError("MPEG-1 frames must share one geometry")
-        ycc = _rgb_to_ycbcr(fr).astype(np.float64)
-        planes = (ycc[:, :, 0], ycc[0::2, 0::2, 1], ycc[0::2, 0::2, 2])
-        is_p = p_frames and t > 0
+    if b_frames and not p_frames:
+        raise ValueError("b_frames requires p_frames")
+    if b_frames and full_pel:
+        raise ValueError("the witness codes B pictures half-pel only")
+    n = len(frames)
+
+    def planes_of(t: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        ycc = _rgb_to_ycbcr(frames[t]).astype(np.float64)
+        return (ycc[:, :, 0], ycc[0::2, 0::2, 1], ycc[0::2, 0::2, 2])
+
+    # decode-order schedule: anchors every b_frames+1 display frames
+    # (plus the final frame), each followed by the B pictures that
+    # display between it and the previous anchor
+    if p_frames:
+        anchors = list(range(0, n, b_frames + 1))
+        if anchors[-1] != n - 1:
+            anchors.append(n - 1)
+        schedule: list[tuple[int, int]] = [(anchors[0], 1)]
+        for k in range(1, len(anchors)):
+            schedule.append((anchors[k], 2))
+            schedule.extend(
+                (d, 3) for d in range(anchors[k - 1] + 1, anchors[k])
+            )
+    else:
+        schedule = [(t, 1) for t in range(n)]
+
+    ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+    prev_anchor: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+    for t, ptype in schedule:
+        planes = planes_of(t)
         rec = (
             np.zeros((h, w_px), dtype=np.int64),
             np.zeros((h // 2, w_px // 2), dtype=np.int64),
@@ -793,17 +938,25 @@ def encode_m1v(
         )
         w.start_code(0x00)  # picture
         w.write(t & 0x3FF, 10)
-        w.write(2 if is_p else 1, 3)
+        w.write(ptype, 3)
         w.write(0xFFFF, 16)  # vbv_delay
-        if is_p:
+        if ptype >= 2:
             w.write(1 if full_pel else 0, 1)
+            w.write(f_code, 3)
+        if ptype == 3:
+            w.write(0, 1)  # full_pel_backward_vector
             w.write(f_code, 3)
         w.write(0, 1)       # extra_bit_picture
         for row in range(mbh):
             w.start_code(0x01 + row)  # slice per MB row
             w.write(qscale, 5)
             w.write(0, 1)   # extra_bit_slice
-            if is_p:
+            if ptype == 3:
+                _encode_b_slice(
+                    w, planes, prev_anchor, ref, row, mbw, qscale,
+                    f_code, search,
+                )
+            elif ptype == 2:
                 _encode_p_slice(
                     w, planes, rec, ref, row, mbw, qscale,
                     f_code, 1 if full_pel else 0, search,
@@ -816,7 +969,8 @@ def encode_m1v(
                     _encode_intra_mb(
                         w, planes, rec, row, col, qscale, preds
                     )
-        ref = rec
+        if ptype != 3:  # B pictures are not references
+            prev_anchor, ref = ref, rec
     w.start_code(0xB7)  # sequence end
     return w.bytes()
 
@@ -834,15 +988,80 @@ def _next_start_code(b: bytes, pos: int) -> tuple[int, int]:
     return b[i + 3], i + 4
 
 
+def _inter_pred(
+    fwd: tuple[np.ndarray, np.ndarray, np.ndarray] | None,
+    bwd: tuple[np.ndarray, np.ndarray, np.ndarray] | None,
+    mbr: int, mbc: int,
+    use_f: bool, vf: tuple[int, int],
+    use_b: bool, vb: tuple[int, int],
+    fp_f: int, fp_b: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Forward / backward / interpolated macroblock prediction ->
+    (pred_y 16×16, pred_cb 8×8, pred_cr 8×8). Interpolation averages
+    the two predictions with the spec's round-half-away '//' (§2.4.4.4;
+    operands are non-negative pels)."""
+    parts = []
+    for use, ref, (vx, vy), fp in (
+        (use_f, fwd, vf, fp_f), (use_b, bwd, vb, fp_b),
+    ):
+        if not use:
+            continue
+        lhy, lhx, chy, chx = _mc_displacements(vx, vy, fp)
+        parts.append((
+            _mc_block(ref[0], mbr * 16, mbc * 16, 16, lhy, lhx),
+            _mc_block(ref[1], mbr * 8, mbc * 8, 8, chy, chx),
+            _mc_block(ref[2], mbr * 8, mbc * 8, 8, chy, chx),
+        ))
+    if len(parts) == 1:
+        return parts[0]
+    return tuple(
+        (a + b + 1) >> 1 for a, b in zip(parts[0], parts[1])
+    )
+
+
+def _write_inter_mb(
+    planes: tuple[np.ndarray, np.ndarray, np.ndarray],
+    pred: tuple[np.ndarray, np.ndarray, np.ndarray],
+    mbr: int, mbc: int, cbp: int, qscale: int,
+    sr: _BitReader | None,
+) -> None:
+    """Write prediction + decoded residuals (for set cbp bits) into
+    the picture planes."""
+    y, cb, cr = planes
+    pred_y, pred_cb, pred_cr = pred
+    for blk in range(6):
+        if blk < 4:
+            by, bx = (blk // 2) * 8, (blk % 2) * 8
+            p = pred_y[by : by + 8, bx : bx + 8]
+            out = y
+            oy, ox = mbr * 16 + by, mbc * 16 + bx
+        else:
+            p = pred_cb if blk == 4 else pred_cr
+            out = cb if blk == 4 else cr
+            oy, ox = mbr * 8, mbc * 8
+        if cbp & (1 << (5 - blk)):
+            resid = _decode_block_nonintra(sr, qscale)
+            px = np.clip(p + np.rint(resid).astype(np.int64), 0, 255)
+        else:
+            px = p
+        out[oy : oy + 8, ox : ox + 8] = px
+
+
 def _decode_slice(
     sdata: bytes, row0: int,
     planes: tuple[np.ndarray, np.ndarray, np.ndarray],
-    prev: tuple[np.ndarray, np.ndarray, np.ndarray] | None,
-    mbw: int, mbh: int, ptype: int, f_code: int, full_pel: int,
+    fwd_ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None,
+    bwd_ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None,
+    mbw: int, mbh: int, ptype: int,
+    f_f: int, fp_f: int, f_b: int, fp_b: int,
 ) -> None:
     """Decode one slice's macroblocks into the int64 ``planes``.
     ``sdata`` is the slice payload up to (excluding) the next start
-    code; macroblocks may span rows (addresses are absolute)."""
+    code; macroblocks may span rows (addresses are absolute). For P
+    pictures ``fwd_ref`` is the reference (the planes start as its
+    copy, so skipped macroblocks are already co-located pels); for B
+    pictures both anchors are live and skipped macroblocks repeat the
+    previous macroblock's prediction (§2.4.4.4)."""
     y, cb, cr = planes
     sr = _BitReader(sdata)
     qscale = sr.read(5)
@@ -850,26 +1069,50 @@ def _decode_slice(
         raise ValueError("MPEG-1 quantizer_scale of zero")
     while sr.read(1):  # extra_information_slice
         sr.read(8)
-    f = 1 << (f_code - 1)
+    ff, fb = 1 << (f_f - 1), 1 << (f_b - 1)
     addr = row0 * mbw - 1
-    mv_pred = [0, 0]  # (vx, vy) in coded units
+    pred_f = [0, 0]  # (vx, vy) in coded units
+    pred_b = [0, 0]
     dc_preds = [128, 128, 128]
-    mb_type_inv = _P_MB_TYPE if ptype == 2 else _I_MB_TYPE
+    # B-picture skip state: the previous macroblock's prediction spec
+    last_inter: tuple | None = None
+    mb_type_inv = {1: _I_MB_TYPE, 2: _P_MB_TYPE, 3: _B_MB_TYPE}[ptype]
     while not sr.rest_is_zero():
         inc = _read_increment(sr)
         if ptype == 1 and inc != 1:
             raise ValueError("MPEG-1 skipped macroblock in an I picture")
         if inc > 1:
-            # skipped macroblocks keep the co-located reference pels
-            # (the P planes start as a copy of the reference) and
-            # reset both predictors
-            mv_pred = [0, 0]
             dc_preds = [128, 128, 128]
+            if ptype == 2:
+                # P skip: co-located pels (already in the planes copy);
+                # both predictors reset
+                pred_f = [0, 0]
+            else:
+                # B skip: repeat the previous macroblock's prediction
+                # mode and vectors; predictors unchanged
+                if last_inter is None:
+                    raise ValueError(
+                        "MPEG-1 B slice skips before any inter macroblock"
+                    )
+                use_f, vf, use_b, vb = last_inter
+                for k in range(1, inc):
+                    a2 = addr + k
+                    mbr2, mbc2 = divmod(a2, mbw)
+                    if mbr2 >= mbh:
+                        raise ValueError(
+                            "MPEG-1 macroblock address beyond frame"
+                        )
+                    _write_inter_mb(
+                        planes,
+                        _inter_pred(fwd_ref, bwd_ref, mbr2, mbc2,
+                                    use_f, vf, use_b, vb, fp_f, fp_b),
+                        mbr2, mbc2, 0, qscale, None,
+                    )
         addr += inc
         mbr, mbc = divmod(addr, mbw)
         if mbr >= mbh:
             raise ValueError("MPEG-1 macroblock address beyond frame")
-        quant, mf, coded, intra = sr.read_vlc(
+        quant, mf, mb, coded, intra = sr.read_vlc(
             mb_type_inv, "macroblock_type", 6
         )
         if quant:
@@ -877,16 +1120,33 @@ def _decode_slice(
             if not qscale:
                 raise ValueError("MPEG-1 quantizer_scale of zero")
         if mf:
-            dx = _read_motion(sr, f_code)
-            dy = _read_motion(sr, f_code)
-            vx = _wrap_vector(mv_pred[0] + dx, f)
-            vy = _wrap_vector(mv_pred[1] + dy, f)
-            mv_pred = [vx, vy]
+            dx = _read_motion(sr, f_f)
+            dy = _read_motion(sr, f_f)
+            vf = (
+                _wrap_vector(pred_f[0] + dx, ff),
+                _wrap_vector(pred_f[1] + dy, ff),
+            )
+            pred_f = list(vf)
+        elif ptype == 2 and not intra:
+            # P macroblock without forward MC: zero vector AND reset
+            vf = (0, 0)
+            pred_f = [0, 0]
         else:
-            vx = vy = 0
-            mv_pred = [0, 0]
+            vf = (0, 0)  # unused in B without mf (predictors persist)
+        if mb:
+            dx = _read_motion(sr, f_b)
+            dy = _read_motion(sr, f_b)
+            vb = (
+                _wrap_vector(pred_b[0] + dx, fb),
+                _wrap_vector(pred_b[1] + dy, fb),
+            )
+            pred_b = list(vb)
+        else:
+            vb = (0, 0)
         if intra:
-            mv_pred = [0, 0]
+            pred_f = [0, 0]
+            pred_b = [0, 0]
+            last_inter = None  # a B skip may not follow an intra MB
             for blk in range(6):
                 ti = 0 if blk < 4 else blk - 3
                 spatial, dc_preds[ti] = _decode_block(
@@ -903,33 +1163,17 @@ def _decode_slice(
                     out[mbr * 8 : mbr * 8 + 8,
                         mbc * 8 : mbc * 8 + 8] = px
             continue
-        # non-intra macroblock (P pictures only): prediction + residual
+        # non-intra macroblock: prediction + residual
         dc_preds = [128, 128, 128]
-        lhy, lhx, chy, chx = _mc_displacements(vx, vy, full_pel)
-        pred_y = _mc_block(prev[0], mbr * 16, mbc * 16, 16, lhy, lhx)
-        pred_cb = _mc_block(prev[1], mbr * 8, mbc * 8, 8, chy, chx)
-        pred_cr = _mc_block(prev[2], mbr * 8, mbc * 8, 8, chy, chx)
+        use_f = bool(mf) or ptype == 2  # P always predicts forward
+        use_b = bool(mb)
+        pred = _inter_pred(fwd_ref, bwd_ref, mbr, mbc,
+                           use_f, vf, use_b, vb, fp_f, fp_b)
         cbp = 0
         if coded:
             cbp = sr.read_vlc(_CBP_INV, "coded_block_pattern", 9)
-        for blk in range(6):
-            if blk < 4:
-                by, bx = (blk // 2) * 8, (blk % 2) * 8
-                pred = pred_y[by : by + 8, bx : bx + 8]
-                out = y
-                oy, ox = mbr * 16 + by, mbc * 16 + bx
-            else:
-                pred = pred_cb if blk == 4 else pred_cr
-                out = cb if blk == 4 else cr
-                oy, ox = mbr * 8, mbc * 8
-            if cbp & (1 << (5 - blk)):
-                resid = _decode_block_nonintra(sr, qscale)
-                px = np.clip(
-                    pred + np.rint(resid).astype(np.int64), 0, 255
-                )
-            else:
-                px = pred
-            out[oy : oy + 8, ox : ox + 8] = px
+        _write_inter_mb(planes, pred, mbr, mbc, cbp, qscale, sr)
+        last_inter = (use_f, vf, use_b, vb)
 
 
 def decode_m1v(b: bytes) -> tuple[dict, list[np.ndarray]]:
@@ -958,9 +1202,26 @@ def decode_m1v(b: bytes) -> tuple[dict, list[np.ndarray]]:
     if not w_px or not h:
         raise ValueError("MPEG-1 zero frame dimensions")
     mbw, mbh = -(-w_px // 16), -(-h // 16)
+
+    def to_rgb(planes: tuple[np.ndarray, ...]) -> np.ndarray:
+        yp, cbp_, crp = planes
+        up_cb = np.repeat(np.repeat(cbp_, 2, axis=0), 2, axis=1)
+        up_cr = np.repeat(np.repeat(crp, 2, axis=0), 2, axis=1)
+        ycc = np.stack(
+            [yp.astype(np.float64), up_cb.astype(np.float64),
+             up_cr.astype(np.float64)],
+            axis=-1,
+        )
+        return _ycbcr_to_rgb(ycc)[:h, :w_px]
+
     frames: list[np.ndarray] = []
-    n_i = n_p = 0
-    prev: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+    n_i = n_p = n_b = 0
+    # stream order is decode order: B pictures display BEFORE the most
+    # recent anchor, so anchors are held back one step (the classic
+    # reorder buffer) — fwd_anchor is the older reference, held the
+    # newer one, emitted when the next anchor (or sequence end) lands
+    fwd_anchor: tuple[np.ndarray, ...] | None = None
+    held: tuple[np.ndarray, ...] | None = None
     pos = 0
     data = bytes(b)
     while True:
@@ -974,29 +1235,50 @@ def decode_m1v(b: bytes) -> tuple[dict, list[np.ndarray]]:
             pr = _BitReader(data[pos:])
             _tref = pr.read(10)
             ptype = pr.read(3)
-            if ptype not in (1, 2):
+            if ptype not in (1, 2, 3):
                 raise NotImplementedError(
-                    f"MPEG-1 picture type {ptype} (engine decodes I and "
-                    "P frames)"
+                    f"MPEG-1 picture type {ptype} (engine decodes I, P "
+                    "and B frames)"
                 )
-            full_pel, f_code = 0, 1
-            if ptype == 2:
-                if prev is None:
-                    raise ValueError(
-                        "MPEG-1 P picture before any I picture"
-                    )
-                pr.read(16)  # vbv_delay
-                full_pel = pr.read(1)
-                f_code = pr.read(3)
-                if not 1 <= f_code <= 7:
-                    raise ValueError("MPEG-1 forward_f_code of zero")
-                planes = (prev[0].copy(), prev[1].copy(), prev[2].copy())
-            else:
+            fp_f = fp_b = 0
+            f_f = f_b = 1
+            if ptype == 1:
                 planes = (
                     np.zeros((mbh * 16, mbw * 16), dtype=np.int64),
                     np.full((mbh * 8, mbw * 8), 128, dtype=np.int64),
                     np.full((mbh * 8, mbw * 8), 128, dtype=np.int64),
                 )
+                fwd_ref = bwd_ref = None
+            else:
+                if held is None:
+                    raise ValueError(
+                        "MPEG-1 P picture before any I picture"
+                        if ptype == 2
+                        else "MPEG-1 B picture without two anchors"
+                    )
+                pr.read(16)  # vbv_delay
+                fp_f = pr.read(1)
+                f_f = pr.read(3)
+                if not 1 <= f_f <= 7:
+                    raise ValueError("MPEG-1 forward_f_code of zero")
+                if ptype == 2:
+                    planes = tuple(p.copy() for p in held)
+                    fwd_ref, bwd_ref = held, None
+                else:
+                    if fwd_anchor is None:
+                        raise ValueError(
+                            "MPEG-1 B picture without two anchors"
+                        )
+                    fp_b = pr.read(1)
+                    f_b = pr.read(3)
+                    if not 1 <= f_b <= 7:
+                        raise ValueError("MPEG-1 backward_f_code of zero")
+                    planes = (
+                        np.zeros((mbh * 16, mbw * 16), dtype=np.int64),
+                        np.full((mbh * 8, mbw * 8), 128, dtype=np.int64),
+                        np.full((mbh * 8, mbw * 8), 128, dtype=np.int64),
+                    )
+                    fwd_ref, bwd_ref = fwd_anchor, held
             # slices follow until the next non-slice start code
             saw_slice = False
             while True:
@@ -1014,28 +1296,27 @@ def decode_m1v(b: bytes) -> tuple[dict, list[np.ndarray]]:
                 if send < 0:
                     raise ValueError("MPEG-1 picture without terminator")
                 _decode_slice(
-                    data[spos:send], row, planes, prev,
-                    mbw, mbh, ptype, f_code, full_pel,
+                    data[spos:send], row, planes, fwd_ref, bwd_ref,
+                    mbw, mbh, ptype, f_f, fp_f, f_b, fp_b,
                 )
                 pos = send
             if not saw_slice:
                 raise ValueError("MPEG-1 picture without slices")
-            if ptype == 2:
-                n_p += 1
+            if ptype == 3:
+                n_b += 1
+                frames.append(to_rgb(planes))  # B displays immediately
             else:
-                n_i += 1
-            y, cbp_, crp = planes
-            up_cb = np.repeat(np.repeat(cbp_, 2, axis=0), 2, axis=1)
-            up_cr = np.repeat(np.repeat(crp, 2, axis=0), 2, axis=1)
-            ycc = np.stack(
-                [y.astype(np.float64), up_cb.astype(np.float64),
-                 up_cr.astype(np.float64)],
-                axis=-1,
-            )
-            frames.append(_ycbcr_to_rgb(ycc)[:h, :w_px])
-            prev = planes
+                if ptype == 2:
+                    n_p += 1
+                else:
+                    n_i += 1
+                if held is not None:
+                    frames.append(to_rgb(held))
+                fwd_anchor, held = held, planes
             continue
         raise ValueError(f"unexpected MPEG-1 start code {code:#x}")
+    if held is not None:
+        frames.append(to_rgb(held))
     if not frames:
         raise ValueError("MPEG-1 stream has no pictures")
     return (
@@ -1046,6 +1327,7 @@ def decode_m1v(b: bytes) -> tuple[dict, list[np.ndarray]]:
             "n_frames": len(frames),
             "n_i": n_i,
             "n_p": n_p,
+            "n_b": n_b,
         },
         frames,
     )

@@ -310,6 +310,7 @@ _WINDOW_DEFER = frozenset(
     {
         "multimodal_mpeg1_in_containers",
         "multimodal_mpeg1_pframe_decode",
+        "multimodal_mpeg1_bframe_decode",
         "multimodal_mp1_decode",
     }
 )

@@ -3304,6 +3304,133 @@ def multimodal_mpeg1_pframe_decode(
 
 
 @register(
+    "multimodal_mpeg1_bframe_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(7 AS BIGINT) AS n_frames,
+           CAST(1 AS BIGINT) AS n_i,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 3 END AS BIGINT)
+               AS n_p,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS BIGINT)
+               AS n_b,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 4 ELSE 6 END
+               AS BIGINT) AS qscale,
+           CAST(1 AS BIGINT) AS snr_ok,
+           CAST(1 AS BIGINT) AS energy_ok,
+           CAST(1 AS BIGINT) AS b_compresses
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "video"),
+)
+def multimodal_mpeg1_bframe_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MPEG-1 B-FRAME DECODE — completes the codec's picture-type
+    coverage (I/P/B; only deprecated D pictures stay gated): each
+    doc's translating-square scene is coded as an IBB…P stream
+    (anchors every 2 or 3 display frames by doc parity), B pictures
+    transmitted AFTER their future anchor, each macroblock choosing
+    forward / backward / interpolated prediction by SAD
+    (functions/mpeg1.py:_encode_b_slice). The decoder exercises Table
+    B.2c macroblock types, dual motion-vector predictors, averaged
+    bidirectional prediction with the spec's round-half-away '//',
+    B-skip repeat-previous-prediction semantics, and the one-anchor
+    REORDER buffer back to display order (ISO 11172-2 §2.4.4.4).
+
+    The per-frame SNR invariant doubles as the reorder witness: a
+    misordered output pairs each B with the wrong source frame and
+    craters SNR. `b_compresses` pins that the B stream beats all-intra
+    coding. Oracle pins the I/P/B split per doc parity.
+
+    Scale shape: Arrow-batched narrow map, zero shuffle of video
+    bytes, one stats row per doc."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("n_i", T.LongType()),
+            T.StructField("n_p", T.LongType()),
+            T.StructField("n_b", T.LongType()),
+            T.StructField("qscale", T.LongType()),
+            T.StructField("snr_ok", T.LongType()),
+            T.StructField("energy_ok", T.LongType()),
+            T.StructField("b_compresses", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.mpeg1 import decode_m1v, encode_m1v
+
+        h = w = 32
+        n_frames = 7
+        yy, xx = np.mgrid[0:16, 0:16]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                qscale = (3, 4, 6)[i % 3]
+                # even docs: anchors every 3 (I P P + 4 B);
+                # odd docs: anchors every 2 (I P P P + 3 B)
+                nb = 2 if i % 2 == 0 else 1
+                sq = (95 + 6 * xx + 5 * yy + 11 * (i % 11)).clip(0, 255)
+                frames = []
+                for t in range(n_frames):
+                    img = np.full((h, w, 3), 75 + (i % 13), dtype=np.uint8)
+                    x0 = 1 + 2 * t
+                    # correlated channels keep the 4:2:0 chroma loss
+                    # small so the SNR floor isolates MC/reorder bugs
+                    img[8:24, x0 : x0 + 16, 0] = sq.astype(np.uint8)
+                    img[8:24, x0 : x0 + 16, 1] = (
+                        0.85 * sq + 20
+                    ).astype(np.uint8)
+                    img[8:24, x0 : x0 + 16, 2] = (
+                        210 - 0.6 * sq
+                    ).astype(np.uint8)
+                    frames.append(img)
+                es = encode_m1v(
+                    frames, qscale=qscale, p_frames=True, b_frames=nb
+                )
+                es_intra = encode_m1v(frames, qscale=qscale)
+                meta, dec = decode_m1v(es)
+                if (meta["width"], meta["height"]) != (w, h):
+                    raise ValueError("MPEG-1 B roundtrip metadata mismatch")
+                ref = np.stack(frames).astype(np.float64)
+                got = np.stack(dec).astype(np.float64)
+                err = got - ref
+                snr = 10 * np.log10(
+                    (ref**2).sum() / max((err**2).sum(), 1e-30)
+                )
+                e_ratio = (got**2).sum() / (ref**2).sum()
+                rows.append(
+                    (
+                        doc_id, meta["n_frames"],
+                        meta["n_i"], meta["n_p"], meta["n_b"],
+                        qscale,
+                        int(snr > 17.0),
+                        int(abs(e_ratio - 1.0) < 0.12),
+                        int(len(es) < len(es_intra)),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_mpeg1_in_containers",
     oracle="""
     SELECT doc_id,

@@ -52,7 +52,7 @@ def test_roundtrip_quality_by_qscale():
         es = encode_m1v(frames, qscale=qscale)
         meta, dec = decode_m1v(es)
         assert meta == {"width": 48, "height": 32, "fps": 30.0,
-                        "n_frames": 3, "n_i": 3, "n_p": 0}
+                        "n_frames": 3, "n_i": 3, "n_p": 0, "n_b": 0}
         for a, b in zip(frames, dec):
             assert _snr(a, b) > floor
         if prev_bytes is not None:
@@ -93,16 +93,19 @@ def test_gates():
     with pytest.raises(ValueError, match="quantizer_scale"):
         encode_m1v([_frame(0)], qscale=0)
     es = bytearray(encode_m1v([_frame(0)]))
-    # flip picture_coding_type I -> B (3 bits after 10-bit temporal ref
+    # flip picture_coding_type I -> D (3 bits after 10-bit temporal ref
     # in the picture header): find the picture start code
     at = bytes(es).find(b"\x00\x00\x01\x00") + 4
-    es[at + 1] = (es[at + 1] & ~0x38) | 0x18  # type bits 011 = B
+    es[at + 1] = (es[at + 1] & ~0x38) | 0x20  # type bits 100 = D
     with pytest.raises(NotImplementedError, match="picture type"):
         decode_m1v(bytes(es))
-    # ... while I -> P is DECODED now, but a P picture with no
-    # reference frame before it is a hard error
+    # ... while I -> P/B are DECODED now, but either without its
+    # reference frame(s) before it is a hard error
     es[at + 1] = (es[at + 1] & ~0x38) | 0x10  # type bits 010 = P
     with pytest.raises(ValueError, match="P picture before any I"):
+        decode_m1v(bytes(es))
+    es[at + 1] = (es[at + 1] & ~0x38) | 0x18  # type bits 011 = B
+    with pytest.raises(ValueError, match="B picture without two"):
         decode_m1v(bytes(es))
     with pytest.raises(ValueError):
         decode_m1v(b"\x00\x00\x01\xb3" + b"\x00" * 3)  # truncated header
@@ -405,3 +408,80 @@ def test_fuzz_mpeg1_p_frame_contract():
         [_moving(t, 32, 32) for t in range(3)], qscale=4, p_frames=True
     )
     _assert_contract("m1v-p", es, decode_m1v)
+
+
+# ---------------------------------------------------------------------------
+# B frames (bidirectional motion compensation)
+# ---------------------------------------------------------------------------
+
+
+def test_b_frames_roundtrip_and_reorder():
+    """IPB schedule: anchors every 3 display frames, B pictures
+    transmitted AFTER their future anchor. decode_m1v must reorder
+    back to display order — per-frame SNR against the DISPLAY-order
+    source is the witness (a reorder bug pairs a B with the wrong
+    source frame and craters its SNR)."""
+    mf = [_moving(t) for t in range(7)]
+    es = encode_m1v(mf, qscale=3, p_frames=True, b_frames=2)
+    meta, dec = decode_m1v(es)
+    assert (meta["n_i"], meta["n_p"], meta["n_b"]) == (1, 2, 4)
+    assert meta["n_frames"] == 7
+    for a, b in zip(mf, dec):
+        assert _snr(a, b) > 18.0
+    # transmit order differs from display order: the 2nd picture in
+    # the stream is an anchor (P of display frame 3), and the stream
+    # still beats all-intra coding
+    es_i = encode_m1v(mf, qscale=3)
+    assert len(es) < 0.7 * len(es_i)
+
+
+def test_b_frames_static_scene_skips():
+    """A static scene makes every B macroblock an exact interpolation
+    repeat — skip elections keep B pictures tiny."""
+    img = (np.indices((32, 64)).sum(0) * 5 % 190 + 30).astype(np.uint8)
+    st = np.stack([img, 255 - img, img[::-1]], axis=-1)
+    frames = [st.copy() for _ in range(7)]
+    es_b = encode_m1v(frames, qscale=4, p_frames=True, b_frames=2)
+    meta, dec = decode_m1v(es_b)
+    assert meta["n_b"] == 4
+    snr0 = _snr(frames[0], dec[0])
+    for a, b in zip(frames[1:], dec[1:]):
+        assert _snr(a, b) >= snr0 - 1.0
+    # the 4 B pictures together cost less than one anchor
+    es_p = encode_m1v(frames, qscale=4, p_frames=True, b_frames=0)
+    assert len(es_b) < len(es_p) + 400
+
+
+def test_b_mb_type_table_is_consistent():
+    from articulation_vector_db_api_spark.functions.mpeg1 import (
+        _B_MB_TYPE,
+    )
+
+    codes = list(_B_MB_TYPE)
+    assert len(set(codes)) == len(codes)
+    for a in codes:
+        for b in codes:
+            assert a == b or not b.startswith(a), (a, b)
+    assert sum(2.0 ** -len(c) for c in codes) > 0.98
+    # anchor rows from Table B.2c
+    assert _B_MB_TYPE["10"] == (0, 1, 1, 0, 0)   # interpolated
+    assert _B_MB_TYPE["11"] == (0, 1, 1, 1, 0)   # interpolated + coded
+    assert _B_MB_TYPE["00011"] == (0, 0, 0, 0, 1)  # intra
+
+
+def test_b_frames_gates():
+    mf = [_moving(t) for t in range(4)]
+    with pytest.raises(ValueError, match="requires p_frames"):
+        encode_m1v(mf, b_frames=2)
+    with pytest.raises(ValueError, match="half-pel only"):
+        encode_m1v(mf, p_frames=True, b_frames=1, full_pel=True)
+
+
+def test_fuzz_mpeg1_b_frame_contract():
+    from tests.test_fuzz_contracts import _assert_contract
+
+    es = encode_m1v(
+        [_moving(t, 32, 32) for t in range(5)],
+        qscale=4, p_frames=True, b_frames=1,
+    )
+    _assert_contract("m1v-b", es, decode_m1v)

@@ -57,9 +57,11 @@ reset, unlike P skips); a B picture displays before the most recent
 anchor, so the decoder holds each anchor back one step and emits it
 when the next anchor (or the sequence end) arrives.
 
-Honest gates (raise, not fake): D pictures by picture_coding_type,
-custom quantizer matrices, deep Table-B.5c AC rows. The witness
-encoder emits I-only, IPPP, or IBB…P streams with f_code 1..7,
+D pictures (picture_coding_type 4, the DC-only fast-forward preview
+type) decode to flat per-block means; every picture type the spec
+defines now decodes. Honest gates (raise, not fake): custom quantizer
+matrices, deep Table-B.5c AC rows. The witness encoder emits I-only,
+IPPP, IBB…P, or all-D streams with f_code 1..7,
 optional full-pel vectors (I/P), a real (exhaustive, half-pel) motion
 search against the encoder-side RECONSTRUCTED reference — identical
 arithmetic to the decoder, so prediction drift is zero by
@@ -857,7 +859,7 @@ def _encode_b_slice(
 def encode_m1v(
     frames: list[np.ndarray], fps_code: int = 5, qscale: int = 4,
     p_frames: bool = False, f_code: int = 1, full_pel: bool = False,
-    search: int = 4, b_frames: int = 0,
+    search: int = 4, b_frames: int = 0, d_pictures: bool = False,
 ) -> bytes:
     """Witness MPEG-1 elementary stream. Frames are (h, w, 3) RGB
     uint8 with h, w multiples of 16. With ``p_frames`` the first
@@ -869,7 +871,10 @@ def encode_m1v(
     k+1 display frames (plus the final frame) and the frames between
     them are coded as B pictures — transmitted AFTER their future
     anchor in the spec's decode order, each macroblock choosing
-    forward / backward / interpolated prediction by SAD."""
+    forward / backward / interpolated prediction by SAD. With
+    ``d_pictures`` EVERY frame is a DC-only D picture (the spec's
+    fast-forward preview type — sequences carry either D pictures or
+    I/P/B, never both)."""
     if not frames:
         raise ValueError("MPEG-1 stream needs at least one frame")
     h, w_px, _ = frames[0].shape
@@ -905,6 +910,8 @@ def encode_m1v(
         raise ValueError("b_frames requires p_frames")
     if b_frames and full_pel:
         raise ValueError("the witness codes B pictures half-pel only")
+    if d_pictures and (p_frames or b_frames):
+        raise ValueError("a sequence carries either D pictures or I/P/B")
     n = len(frames)
 
     def planes_of(t: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -914,11 +921,13 @@ def encode_m1v(
     # decode-order schedule: anchors every b_frames+1 display frames
     # (plus the final frame), each followed by the B pictures that
     # display between it and the previous anchor
-    if p_frames:
+    if d_pictures:
+        schedule: list[tuple[int, int]] = [(t, 4) for t in range(n)]
+    elif p_frames:
         anchors = list(range(0, n, b_frames + 1))
         if anchors[-1] != n - 1:
             anchors.append(n - 1)
-        schedule: list[tuple[int, int]] = [(anchors[0], 1)]
+        schedule = [(anchors[0], 1)]
         for k in range(1, len(anchors)):
             schedule.append((anchors[k], 2))
             schedule.extend(
@@ -940,7 +949,7 @@ def encode_m1v(
         w.write(t & 0x3FF, 10)
         w.write(ptype, 3)
         w.write(0xFFFF, 16)  # vbv_delay
-        if ptype >= 2:
+        if ptype in (2, 3):
             w.write(1 if full_pel else 0, 1)
             w.write(f_code, 3)
         if ptype == 3:
@@ -951,7 +960,34 @@ def encode_m1v(
             w.start_code(0x01 + row)  # slice per MB row
             w.write(qscale, 5)
             w.write(0, 1)   # extra_bit_slice
-            if ptype == 3:
+            if ptype == 4:
+                preds = [128, 128, 128]
+                yp, cbp_, crp = planes
+                for col in range(mbw):
+                    w.write_code("1")   # mb_address_increment = 1
+                    w.write_code("1")   # mb_type (Table B.2d: intra)
+                    for blk in range(6):
+                        if blk < 4:
+                            by = row * 16 + (blk // 2) * 8
+                            bx = col * 16 + (blk % 2) * 8
+                            block, ti = yp[by : by + 8, bx : bx + 8], 0
+                        else:
+                            plane = cbp_ if blk == 4 else crp
+                            block = plane[row * 8 : row * 8 + 8,
+                                          col * 8 : col * 8 + 8]
+                            ti = blk - 3
+                        qdc = int(np.rint(float(block.mean())))
+                        qdc = max(-255 + preds[ti],
+                                  min(255 + preds[ti], qdc))
+                        size, offset = _dc_diff_bits(qdc - preds[ti])
+                        w.write_code(
+                            (_DC_LUMA if blk < 4 else _DC_CHROMA)[size]
+                        )
+                        if size:
+                            w.write(offset, size)
+                        preds[ti] = qdc
+                    w.write(1, 1)  # end_of_macroblock
+            elif ptype == 3:
                 _encode_b_slice(
                     w, planes, prev_anchor, ref, row, mbw, qscale,
                     f_code, search,
@@ -1076,6 +1112,46 @@ def _decode_slice(
     dc_preds = [128, 128, 128]
     # B-picture skip state: the previous macroblock's prediction spec
     last_inter: tuple | None = None
+    if ptype == 4:
+        # D picture (§2.4.4.1): DC-only intra macroblocks, one-bit
+        # macroblock_type '1', an end_of_macroblock marker, no AC
+        while not sr.rest_is_zero():
+            if _read_increment(sr) != 1:
+                raise ValueError(
+                    "MPEG-1 skipped macroblock in a D picture"
+                )
+            addr += 1
+            mbr, mbc = divmod(addr, mbw)
+            if mbr >= mbh:
+                raise ValueError("MPEG-1 macroblock address beyond frame")
+            if not sr.read(1):  # Table B.2d: the only type is intra
+                raise ValueError("MPEG-1 D macroblock type")
+            for blk in range(6):
+                ti = 0 if blk < 4 else blk - 3
+                size = sr.read_dc_size(
+                    _DC_LUMA_INV if blk < 4 else _DC_CHROMA_INV
+                )
+                if size:
+                    offset = sr.read(size)
+                    diff = offset if offset >= (1 << (size - 1)) else (
+                        offset - (1 << size) + 1
+                    )
+                else:
+                    diff = 0
+                qdc = dc_preds[ti] + diff
+                dc_preds[ti] = qdc
+                px = max(0, min(255, qdc))  # flat block at the DC mean
+                if blk < 4:
+                    by = mbr * 16 + (blk // 2) * 8
+                    bx = mbc * 16 + (blk % 2) * 8
+                    y[by : by + 8, bx : bx + 8] = px
+                else:
+                    out = cb if blk == 4 else cr
+                    out[mbr * 8 : mbr * 8 + 8,
+                        mbc * 8 : mbc * 8 + 8] = px
+            if not sr.read(1):
+                raise ValueError("MPEG-1 end_of_macroblock must be 1")
+        return
     mb_type_inv = {1: _I_MB_TYPE, 2: _P_MB_TYPE, 3: _B_MB_TYPE}[ptype]
     while not sr.rest_is_zero():
         inc = _read_increment(sr)
@@ -1215,7 +1291,7 @@ def decode_m1v(b: bytes) -> tuple[dict, list[np.ndarray]]:
         return _ycbcr_to_rgb(ycc)[:h, :w_px]
 
     frames: list[np.ndarray] = []
-    n_i = n_p = n_b = 0
+    n_i = n_p = n_b = n_d = 0
     # stream order is decode order: B pictures display BEFORE the most
     # recent anchor, so anchors are held back one step (the classic
     # reorder buffer) — fwd_anchor is the older reference, held the
@@ -1235,14 +1311,13 @@ def decode_m1v(b: bytes) -> tuple[dict, list[np.ndarray]]:
             pr = _BitReader(data[pos:])
             _tref = pr.read(10)
             ptype = pr.read(3)
-            if ptype not in (1, 2, 3):
-                raise NotImplementedError(
-                    f"MPEG-1 picture type {ptype} (engine decodes I, P "
-                    "and B frames)"
+            if ptype not in (1, 2, 3, 4):
+                raise ValueError(
+                    f"forbidden MPEG-1 picture type {ptype}"
                 )
             fp_f = fp_b = 0
             f_f = f_b = 1
-            if ptype == 1:
+            if ptype in (1, 4):
                 planes = (
                     np.zeros((mbh * 16, mbw * 16), dtype=np.int64),
                     np.full((mbh * 8, mbw * 8), 128, dtype=np.int64),
@@ -1308,6 +1383,8 @@ def decode_m1v(b: bytes) -> tuple[dict, list[np.ndarray]]:
             else:
                 if ptype == 2:
                     n_p += 1
+                elif ptype == 4:
+                    n_d += 1
                 else:
                     n_i += 1
                 if held is not None:
@@ -1328,6 +1405,7 @@ def decode_m1v(b: bytes) -> tuple[dict, list[np.ndarray]]:
             "n_i": n_i,
             "n_p": n_p,
             "n_b": n_b,
+            "n_d": n_d,
         },
         frames,
     )

@@ -1,8 +1,9 @@
-"""MPEG-1 I+P-frame codec (functions/mpeg1.py): spec-table spot
-checks, roundtrip SNR across quantizer scales, DC prediction, escape
-coding, forward motion compensation (half-pel search, skip election,
-f_code residuals, full-pel mode), honest gates, and the mutation-fuzz
-ValueError-only contract."""
+"""MPEG-1 I/P/B/D codec (functions/mpeg1.py): spec-table spot checks,
+roundtrip SNR across quantizer scales, DC prediction, escape coding,
+forward and bidirectional motion compensation (half-pel search, skip
+election, f_code residuals, full-pel mode, reorder buffer), DC-only D
+pictures, honest gates, and the mutation-fuzz ValueError-only
+contract."""
 
 from __future__ import annotations
 
@@ -52,7 +53,7 @@ def test_roundtrip_quality_by_qscale():
         es = encode_m1v(frames, qscale=qscale)
         meta, dec = decode_m1v(es)
         assert meta == {"width": 48, "height": 32, "fps": 30.0,
-                        "n_frames": 3, "n_i": 3, "n_p": 0, "n_b": 0}
+                        "n_frames": 3, "n_i": 3, "n_p": 0, "n_b": 0, "n_d": 0}
         for a, b in zip(frames, dec):
             assert _snr(a, b) > floor
         if prev_bytes is not None:
@@ -93,11 +94,11 @@ def test_gates():
     with pytest.raises(ValueError, match="quantizer_scale"):
         encode_m1v([_frame(0)], qscale=0)
     es = bytearray(encode_m1v([_frame(0)]))
-    # flip picture_coding_type I -> D (3 bits after 10-bit temporal ref
-    # in the picture header): find the picture start code
+    # flip picture_coding_type I -> reserved (3 bits after the 10-bit
+    # temporal ref in the picture header): find the picture start code
     at = bytes(es).find(b"\x00\x00\x01\x00") + 4
-    es[at + 1] = (es[at + 1] & ~0x38) | 0x20  # type bits 100 = D
-    with pytest.raises(NotImplementedError, match="picture type"):
+    es[at + 1] = (es[at + 1] & ~0x38) | 0x28  # type bits 101 = reserved
+    with pytest.raises(ValueError, match="forbidden MPEG-1 picture"):
         decode_m1v(bytes(es))
     # ... while I -> P/B are DECODED now, but either without its
     # reference frame(s) before it is a hard error
@@ -485,3 +486,62 @@ def test_fuzz_mpeg1_b_frame_contract():
         qscale=4, p_frames=True, b_frames=1,
     )
     _assert_contract("m1v-b", es, decode_m1v)
+
+
+# ---------------------------------------------------------------------------
+# D pictures (DC-only fast-forward preview type)
+# ---------------------------------------------------------------------------
+
+
+def test_d_pictures_roundtrip():
+    """D pictures carry only DC coefficients: every decoded 8x8 block
+    is flat at its source block's rounded mean, and a whole frame
+    costs a few dozen bytes."""
+    yy, xx = np.mgrid[0:32, 0:64]
+    frames = []
+    for t in range(3):
+        base = (80 + xx * 2 + yy + 8 * t).clip(0, 255).astype(np.uint8)
+        frames.append(np.stack(
+            [base, (base * 0.9 + 10).astype(np.uint8),
+             (200 - base * 0.5).astype(np.uint8)], axis=-1))
+    es = encode_m1v(frames, qscale=4, d_pictures=True)
+    meta, dec = decode_m1v(es)
+    assert (meta["n_d"], meta["n_i"], meta["n_frames"]) == (3, 0, 3)
+    assert len(es) < 100 * len(frames)  # DC-only: tiny
+    for a, b in zip(frames, dec):
+        assert _snr(a, b) > 20.0
+    # flat-block invariant + exact DC: each luma 8x8 equals the
+    # rounded mean of the source block's luma
+    from articulation_vector_db_api_spark.functions.jpeg import (
+        _rgb_to_ycbcr,
+    )
+
+    src_y = _rgb_to_ycbcr(frames[0])[:, :, 0]
+    got = dec[0]
+    ycc_got = _rgb_to_ycbcr(got)[:, :, 0]
+    for by in range(0, 32, 8):
+        for bx in range(0, 64, 8):
+            blk = ycc_got[by : by + 8, bx : bx + 8]
+            assert blk.std() < 2.0  # flat up to RGB roundtrip rounding
+            assert abs(blk.mean()
+                       - np.rint(src_y[by : by + 8, bx : bx + 8].mean())
+                       ) < 2.0
+
+
+def test_d_pictures_gates():
+    f = [np.zeros((16, 16, 3), dtype=np.uint8)] * 2
+    with pytest.raises(ValueError, match="either D pictures or I/P/B"):
+        encode_m1v(f, p_frames=True, d_pictures=True)
+    # end_of_macroblock must be 1: flipping it breaks decode loudly
+    es = bytearray(encode_m1v(f[:1], d_pictures=True))
+    with pytest.raises(ValueError):
+        decode_m1v(bytes(es[:-2]))  # truncated mid-macroblock
+
+
+def test_fuzz_mpeg1_d_picture_contract():
+    from tests.test_fuzz_contracts import _assert_contract
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    fr = np.stack([(60 + xx * 3).clip(0, 255)] * 3, -1).astype(np.uint8)
+    es = encode_m1v([fr, fr], qscale=4, d_pictures=True)
+    _assert_contract("m1v-d", es, decode_m1v, n=100)

@@ -3053,6 +3053,7 @@ def multimodal_mpeg1_iframe_decode(
 
 @register(
     "multimodal_mp1_decode",
+    headline=True,  # r11: the MPEG-audio family's bench representative
     oracle="""
     SELECT doc_id,
            CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS BIGINT)
@@ -3175,6 +3176,7 @@ def multimodal_mp1_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_mpeg1_pframe_decode",
+    headline=True,  # r11: inter-frame video's bench representative
     oracle="""
     SELECT doc_id,
            CAST(32 AS BIGINT) AS width,

@@ -3433,6 +3433,162 @@ def multimodal_mpeg1_bframe_decode(
 
 
 @register(
+    "multimodal_mpeg_ps_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(3 AS BIGINT) AS n_frames,
+           CAST(2 AS BIGINT) AS n_p,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+               AS audio_layer,
+           CAST(48000 AS BIGINT) AS audio_rate,
+           CAST(1 AS BIGINT) AS v_bit_exact,
+           CAST(1 AS BIGINT) AS a_bit_exact,
+           CAST(1 AS BIGINT) AS pts_monotone,
+           CAST(1 AS BIGINT) AS scr_ok,
+           CAST(1 AS BIGINT) AS av_decodes
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "video", "audio"),
+)
+def multimodal_mpeg_ps_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MPEG-1 SYSTEM STREAM (.mpg) ROUNDTRIP — the capstone over the
+    round's elementary-stream decoders: each doc's IPP video clip and
+    MPEG-audio tone (Layer I on even docs, Layer II on odd) are MUXED
+    into a real ISO 11172-1 program stream (packs with SCR, system
+    header, PTS-stamped packets — functions/mpegps.py), DEMUXED back
+    strictly by packet_length (never start-code scanning inside
+    payloads — elementary streams legally contain 0x000001 runs), and
+    the reassembled streams are checked BIT-EXACT and then fully
+    DECODED (I/P video via functions/mpeg1.py, Layer I/II audio via
+    functions/mp2.py). A curation pipeline meets classic archives as
+    .mpg files; this row proves the whole chain.
+
+    Oracle pins the deterministic facts: frame/P counts, audio layer
+    and rate per doc parity, both bit-exact flags, PTS monotonicity
+    per stream, the SCR grid (scr_last == (n_packs-1)·pts_step), and
+    that both payloads decode.
+
+    Scale shape: Arrow-batched narrow map, zero shuffle of media
+    bytes, one stats row per doc."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("n_p", T.LongType()),
+            T.StructField("audio_layer", T.LongType()),
+            T.StructField("audio_rate", T.LongType()),
+            T.StructField("v_bit_exact", T.LongType()),
+            T.StructField("a_bit_exact", T.LongType()),
+            T.StructField("pts_monotone", T.LongType()),
+            T.StructField("scr_ok", T.LongType()),
+            T.StructField("av_decodes", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.mp2 import (
+            decode_mp1,
+            decode_mp2,
+            encode_mp1,
+            encode_mp2,
+        )
+        from ..functions.mpeg1 import decode_m1v, encode_m1v
+        from ..functions.mpegps import (
+            AUDIO_STREAM_0,
+            VIDEO_STREAM_0,
+            build_mpeg_ps,
+            demux_mpeg_ps,
+        )
+
+        h = w = 32
+        yy, xx = np.mgrid[0:16, 0:16]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                qscale = (3, 4, 6)[i % 3]
+                sq = (100 + 6 * xx + 5 * yy + 9 * (i % 7)).clip(0, 255)
+                frames = []
+                for t in range(3):
+                    img = np.full((h, w, 3), 80 + (i % 11),
+                                  dtype=np.uint8)
+                    x0 = 2 + 2 * t
+                    img[8:24, x0 : x0 + 16, 0] = sq.astype(np.uint8)
+                    img[8:24, x0 : x0 + 16, 1] = (
+                        0.85 * sq + 20
+                    ).astype(np.uint8)
+                    img[8:24, x0 : x0 + 16, 2] = (
+                        210 - 0.6 * sq
+                    ).astype(np.uint8)
+                    frames.append(img)
+                ves = encode_m1v(frames, qscale=qscale, p_frames=True)
+                ts = np.arange(1280) / 48000.0
+                tone = 0.5 * np.sin(
+                    2 * np.pi * (200 + (i % 19) * 110) * ts
+                )
+                layer = 1 if i % 2 == 0 else 2
+                aes = (
+                    encode_mp1(tone, 48000, 192)
+                    if layer == 1
+                    else encode_mp2(tone, 48000, 192)
+                )
+                ps = build_mpeg_ps(
+                    {VIDEO_STREAM_0: ves, AUDIO_STREAM_0: aes},
+                    packet_size=512,
+                )
+                meta = demux_mpeg_ps(ps)
+                v = meta["streams"][VIDEO_STREAM_0]
+                a = meta["streams"][AUDIO_STREAM_0]
+                vmeta, _dec = decode_m1v(v["data"])
+                arate, _ch, pcm = (
+                    decode_mp1(a["data"])
+                    if layer == 1
+                    else decode_mp2(a["data"])
+                )
+                pts_mono = all(
+                    rec["pts"] == sorted(rec["pts"])
+                    and len(set(rec["pts"])) == len(rec["pts"])
+                    for rec in (v, a)
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        vmeta["n_frames"],
+                        vmeta["n_p"],
+                        layer,
+                        arate,
+                        int(v["data"] == ves),
+                        int(a["data"] == aes),
+                        int(pts_mono),
+                        int(
+                            meta["scr_last"]
+                            == (meta["n_packs"] - 1) * 3600
+                        ),
+                        int(len(_dec) == 3 and pcm.shape[1] > 0),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_mpeg1_in_containers",
     oracle="""
     SELECT doc_id,

@@ -1,0 +1,124 @@
+"""MPEG-1 system stream (functions/mpegps.py): mux/demux bit-exact
+roundtrips carrying real video+audio elementary streams, timestamp
+layout, the no-start-code-scan-inside-packets invariant, strict
+malformed-stream errors, and the mutation-fuzz contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from articulation_vector_db_api_spark.functions.mpegps import (
+    AUDIO_STREAM_0,
+    VIDEO_STREAM_0,
+    build_mpeg_ps,
+    demux_mpeg_ps,
+    parse_mpeg_ps,
+)
+
+
+def _video_es(n=3):
+    from articulation_vector_db_api_spark.functions.mpeg1 import encode_m1v
+
+    def moving(t, h=32, w=32):
+        img = np.full((h, w, 3), 90, dtype=np.uint8)
+        yy, xx = np.mgrid[0:16, 0:16]
+        sq = (120 + 6 * xx + 4 * yy).clip(0, 255).astype(np.uint8)
+        img[8:24, 2 + 2 * t : 18 + 2 * t, 0] = sq
+        img[8:24, 2 + 2 * t : 18 + 2 * t, 1] = 255 - sq
+        return img
+
+    return encode_m1v([moving(t) for t in range(n)], qscale=4,
+                      p_frames=True)
+
+
+def _audio_es():
+    from articulation_vector_db_api_spark.functions.mp2 import encode_mp2
+
+    t = np.arange(4000) / 48000
+    return encode_mp2(0.5 * np.sin(2 * np.pi * 440 * t), 48000, 192)
+
+
+def test_mux_demux_bit_exact_and_decodable():
+    ves, aes = _video_es(), _audio_es()
+    ps = build_mpeg_ps(
+        {VIDEO_STREAM_0: ves, AUDIO_STREAM_0: aes}, packet_size=512
+    )
+    meta = demux_mpeg_ps(ps)
+    v = meta["streams"][VIDEO_STREAM_0]
+    a = meta["streams"][AUDIO_STREAM_0]
+    assert v["data"] == ves and a["data"] == aes
+    # the reassembled elementary streams decode end to end
+    from articulation_vector_db_api_spark.functions.mp2 import decode_mp2
+    from articulation_vector_db_api_spark.functions.mpeg1 import decode_m1v
+
+    m, frames = decode_m1v(v["data"])
+    assert m["n_frames"] == 3 and m["n_p"] == 2
+    rate, ch, pcm = decode_mp2(a["data"])
+    assert (rate, ch) == (48000, 1)
+    # SCR advances per pack; PTS per stream is strictly increasing
+    assert meta["scr_first"] == 0
+    assert meta["scr_last"] == (meta["n_packs"] - 1) * 3600
+    for rec in (v, a):
+        assert rec["pts"] == sorted(rec["pts"])
+        assert len(set(rec["pts"])) == len(rec["pts"])
+
+
+def test_payload_start_code_emulation_is_safe():
+    """Elementary streams legally contain 0x000001 byte runs — the
+    demuxer must consume payloads by packet_length, never by scanning
+    for start codes (the classic .mpg demux bug)."""
+    evil = (b"\x00\x00\x01\xba" + b"\x00\x00\x01\xb9") * 40
+    ps = build_mpeg_ps({VIDEO_STREAM_0: evil}, packet_size=64)
+    out = demux_mpeg_ps(ps)["streams"][VIDEO_STREAM_0]["data"]
+    assert out == evil
+
+
+def test_parse_metadata_only_matches_demux():
+    ves = _video_es(2)
+    ps = build_mpeg_ps({VIDEO_STREAM_0: ves}, packet_size=256)
+    meta = parse_mpeg_ps(ps)
+    rec = meta["streams"][VIDEO_STREAM_0]
+    assert rec["n_bytes"] == len(ves)
+    assert "data" not in rec
+    assert meta["mux_rate"] == 3528
+
+
+def test_timestamp_codec_exact():
+    from articulation_vector_db_api_spark.functions.mpegps import (
+        _read_ts,
+        _ts_bytes,
+    )
+
+    for ts in (0, 1, 90_000, (1 << 33) - 1, 0x15555_5555 & ((1 << 33) - 1)):
+        assert _read_ts(_ts_bytes(0b0010, ts), 0, 0b0010) == ts
+    with pytest.raises(ValueError, match="33-bit"):
+        _ts_bytes(0b0010, 1 << 33)
+
+
+def test_malformed_streams_raise():
+    ves = _video_es(2)
+    ps = bytearray(build_mpeg_ps({VIDEO_STREAM_0: ves}))
+    with pytest.raises(ValueError, match="no pack header"):
+        demux_mpeg_ps(b"RIFFnot a program stream")
+    with pytest.raises(ValueError, match="without end code"):
+        demux_mpeg_ps(bytes(ps[:-4]))
+    with pytest.raises(ValueError, match="stream id"):
+        build_mpeg_ps({0x42: b"x"})
+    with pytest.raises(ValueError, match="at least one"):
+        build_mpeg_ps({})
+    # corrupt a pack-header marker bit
+    bad = bytearray(ps)
+    bad[4] &= 0xFE  # clear the SCR low marker
+    with pytest.raises(ValueError):
+        demux_mpeg_ps(bytes(bad))
+
+
+def test_fuzz_mpegps_contract():
+    from tests.test_fuzz_contracts import _assert_contract
+
+    ps = build_mpeg_ps(
+        {VIDEO_STREAM_0: _video_es(2), AUDIO_STREAM_0: _audio_es()},
+        packet_size=384,
+    )
+    _assert_contract("mpegps", ps, demux_mpeg_ps)

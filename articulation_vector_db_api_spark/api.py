@@ -10,6 +10,7 @@ Response dict shapes mirror the Pydantic models (main.py:81-103).
 from __future__ import annotations
 
 import os
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,19 +37,34 @@ class EngineAPI:
     _serving: DataFrame | None = field(
         default=None, repr=False, compare=False
     )
+    # serve() runs this API under ThreadingHTTPServer: without the
+    # lock, two /search threads racing a post-ingest invalidation both
+    # see _serving None and both warm() — one build wins the slot, the
+    # loser's persisted projection leaks in the Spark cache forever
+    # (r11 self-review finding)
+    _warm_lock: threading.Lock = field(
+        default_factory=threading.Lock, repr=False, compare=False
+    )
 
     def warm(self, table_path: str | None = None) -> "EngineAPI":
         """O15 bootstrap: open (or re-open) the serving index over the
         stored chunk table so the first /search doesn't pay the scan."""
-        if table_path is not None:
-            self.chunk_table = table_path
-        if self.chunk_table is None:
-            raise ValueError("warm() needs a chunk_table path")
-        self._invalidate()
-        self._serving = open_serving_index(self.spark, self.chunk_table)
+        with self._warm_lock:
+            if table_path is not None:
+                self.chunk_table = table_path
+            if self.chunk_table is None:
+                raise ValueError("warm() needs a chunk_table path")
+            self._invalidate_locked()
+            self._serving = open_serving_index(
+                self.spark, self.chunk_table
+            )
         return self
 
     def _invalidate(self) -> None:
+        with self._warm_lock:
+            self._invalidate_locked()
+
+    def _invalidate_locked(self) -> None:
         if self._serving is not None:
             self._serving.unpersist()
             self._serving = None
@@ -57,9 +73,17 @@ class EngineAPI:
         if self.chunk_table and (
             self._serving is not None or os.path.isdir(self.chunk_table)
         ):
-            if self._serving is None:
-                self.warm()
-            return topk_search_cached(self._serving, query, top_k)
+            serving = self._serving
+            if serving is None:
+                with self._warm_lock:
+                    if self._serving is None:  # double-checked: one build
+                        if self.chunk_table is None:
+                            raise ValueError("warm() needs a chunk_table")
+                        self._serving = open_serving_index(
+                            self.spark, self.chunk_table
+                        )
+                    serving = self._serving
+            return topk_search_cached(serving, query, top_k)
         return topk_search(self.spark, self.data_dir, query, top_k)
 
     def search(self, query: str, top_k: int = DEFAULT_TOP_K) -> dict:

@@ -319,9 +319,16 @@ def decode_mkv_frames(payload: bytes):
                 f"MPEG-1 picture count {len(frames)} != "
                 f"Matroska block count {len(blocks)}"
             )
+        # Matroska block timestamps are PRESENTATION times while the
+        # blocks sit in decode order; decode_m1v returns frames in
+        # DISPLAY order (B pictures reordered), so the display-order
+        # frame list pairs with the sorted timestamps — identical for
+        # I/P-only streams, correct for streams with B pictures
         out.extend(
             (track, ts_ms, fr)
-            for (ts_ms, _payload), fr in zip(blocks, frames)
+            for ts_ms, fr in zip(
+                sorted(ts for ts, _payload in blocks), frames
+            )
         )
     return meta, out
 

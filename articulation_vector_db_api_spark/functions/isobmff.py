@@ -512,6 +512,15 @@ def decode_mp4_frames(b: bytes):
                 f"MPEG-1 picture count {len(frames)} != "
                 f"MP4 sample count {len(samples)}"
             )
+        if _m1meta["n_b"]:
+            # stts carries DECODE timestamps; presentation times for
+            # B-bearing tracks need ctts composition offsets, which
+            # this walker does not parse — refuse rather than pair
+            # decode-order times with the display-order frames
+            raise NotImplementedError(
+                "MP4 MPEG-1 track with B pictures (presentation "
+                "timing needs the ctts box)"
+            )
         return meta, [
             (ts * 1000 // scale, fr)
             for (ts, _s), fr in zip(samples, frames)

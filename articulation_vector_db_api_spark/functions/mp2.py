@@ -75,11 +75,6 @@ ALLOC_BITS = tuple(
 _GROUP_BITS = {3: 5, 5: 7, 9: 10}
 
 
-def _class_bits(n: int) -> int:
-    """Bits for ONE sample of an n-level ungrouped class."""
-    return (n + 1).bit_length() - 1 if (n + 1) & n == 0 else n.bit_length()
-
-
 def _nb(n: int) -> int:
     """nb = ceil(log2(n+1)) — the code width driving C and D."""
     return int(math.ceil(math.log2(n + 1)))
@@ -254,11 +249,16 @@ FRAME_SAMPLES = 1152  # per channel; 36 granule-sets of 32 subbands
 
 
 def _check_table_a(rate: int, bitrate_kbps: int, channels: int) -> None:
-    """Gate to the (rate, per-channel bitrate) region the engine's
-    B.2a reconstruction covers; other regions select tables B.2b/c/d
-    in the spec and must fail loudly, never misread."""
+    """Gate to the (rate, per-channel bitrate) region that selects
+    Table B.2a per ISO 11172-3 §2.4.2.3's table-selection rule:
+    48 kHz at >= 56 kbps/channel, or 56-80 kbps/channel at any rate.
+    Everything else selects B.2b (44.1/32 kHz at >= 96 — sblimit 30)
+    or B.2c/d (low rates) and must fail loudly, never misread: the
+    r11 self-review found the previous gate admitted the B.2b region,
+    so a standard 44.1 kHz 192 kbps stereo stream would have misparsed
+    instead of raising."""
     per_ch = bitrate_kbps // channels
-    if rate not in (44100, 48000) or per_ch < 56:
+    if not ((rate == 48000 and per_ch >= 56) or 56 <= per_ch <= 80):
         raise NotImplementedError(
             f"MP2 allocation table for rate={rate}, "
             f"{per_ch} kbps/channel (engine implements Table B.2a only)"

@@ -1254,8 +1254,11 @@ def _decode_slice(
 
 def decode_m1v(b: bytes) -> tuple[dict, list[np.ndarray]]:
     """Elementary-stream decode -> ({width, height, fps, n_frames,
-    n_i, n_p}, [RGB frames]). I and P pictures decode; B and D
-    pictures raise NotImplementedError (honest gate)."""
+    n_i, n_p, n_b, n_d}, [RGB frames in DISPLAY order]). Every spec
+    picture type decodes (I/P/B with the one-anchor reorder buffer,
+    DC-only D); reserved picture_coding_type values raise ValueError,
+    custom quantizer matrices and deep Table-B.5c AC rows raise
+    NotImplementedError (honest gates)."""
     code, pos = _next_start_code(bytes(b), 0)
     if code != 0xB3:
         raise ValueError("not an MPEG-1 video stream (no sequence header)")

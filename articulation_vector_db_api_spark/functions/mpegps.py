@@ -206,6 +206,22 @@ def demux_mpeg_ps(
             end = pos + ln
             if end > len(data):
                 raise ValueError("MPEG-PS packet length beyond stream")
+            if code == 0xBE:  # padding stream: all-0xFF payload, no
+                pos = end     # header byte — skip it entirely (§2.4.3.3)
+                continue
+            if code == 0xBF:  # private_stream_2: payload starts right
+                at = pos      # after packet_length, no flag byte
+                rec = streams.setdefault(
+                    code,
+                    {"n_packets": 0, "n_bytes": 0, "pts": [],
+                     **({"data": bytearray()} if keep_payload else {})},
+                )
+                rec["n_packets"] += 1
+                rec["n_bytes"] += end - at
+                if keep_payload:
+                    rec["data"] += data[at:end]
+                pos = end
+                continue
             at = pos
             while at < end and data[at] == 0xFF:  # stuffing
                 at += 1

@@ -2811,8 +2811,13 @@ def multimodal_vorbis_decode(
                AS channels,
            CAST(CASE WHEN doc_id % 2 = 0 THEN 48000 ELSE 44100 END
                AS BIGINT) AS sample_rate,
-           CAST(CASE doc_id % 3 WHEN 0 THEN 128 WHEN 1 THEN 192
-                ELSE 256 END AS BIGINT) AS bitrate_kbps,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN
+                    CASE doc_id % 3 WHEN 0 THEN 128 WHEN 1 THEN 192
+                         ELSE 256 END
+                ELSE
+                    CASE doc_id % 3 WHEN 0 THEN 56 WHEN 1 THEN 64
+                         ELSE 80 END
+                END AS BIGINT) AS bitrate_kbps,
            CAST(3 AS BIGINT) AS n_frames,
            CAST(3456 AS BIGINT) AS n_samples,
            CAST(CASE WHEN doc_id % 2 = 0 THEN 72 ELSE 78 END AS BIGINT)
@@ -2879,7 +2884,12 @@ def multimodal_mp2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
                 rate = 48000 if i % 2 == 0 else 44100
-                bitrate = (128, 192, 256)[i % 3]
+                # 44.1 kHz docs stay in Table B.2a's 56-80 kbps/ch
+                # region (>= 96 kbps/ch at 44.1 kHz selects B.2b,
+                # which the codec honestly gates)
+                bitrate = (
+                    (128, 192, 256) if rate == 48000 else (56, 64, 80)
+                )[i % 3]
                 t = np.arange(n) / rate
                 x = 0.5 * np.sin(
                     2 * np.pi * (200 + (i % 23) * 130) * t
@@ -3328,8 +3338,8 @@ def multimodal_mpeg1_pframe_decode(
 def multimodal_mpeg1_bframe_decode(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """MPEG-1 B-FRAME DECODE — completes the codec's picture-type
-    coverage (I/P/B; only deprecated D pictures stay gated): each
+    """MPEG-1 B-FRAME DECODE — with the D-picture decode landed in the
+    same round, every spec picture type now decodes: each
     doc's translating-square scene is coded as an IBB…P stream
     (anchors every 2 or 3 display frames by doc parity), B pictures
     transmitted AFTER their future anchor, each macroblock choosing

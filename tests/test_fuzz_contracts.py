@@ -210,7 +210,7 @@ def test_fuzz_mp2_full_decode():
 
     t = np.arange(1152 * 2) / 44100.0
     x = 0.4 * np.sin(2 * np.pi * 440 * t)
-    _assert_contract("mp2", encode_mp2(x, 44100), decode_mp2, n=120)
+    _assert_contract("mp2", encode_mp2(x, 44100, 64), decode_mp2, n=120)
 
 
 def test_fuzz_mpeg1_video():

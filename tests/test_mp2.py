@@ -58,7 +58,7 @@ def test_roundtrip_mono_and_stereo():
     assert _snr(x, pcm[0][: len(x)]) > 40.0
 
     xs = np.stack([x, 0.7 * x[::-1]])
-    enc2 = mp2.encode_mp2(xs, 44100, 256)
+    enc2 = mp2.encode_mp2(xs, 44100, 160)  # 80 kbps/ch: B.2a
     rate2, ch2, pcm2 = mp2.decode_mp2(enc2)
     assert (rate2, ch2) == (44100, 2)
     assert _snr(xs, pcm2[:, : len(x)]) > 40.0
@@ -129,7 +129,7 @@ def test_parse_mp3_walks_mp2_streams():
     from articulation_vector_db_api_spark.functions.mp3 import parse_mp3
 
     x = _tone(4000, rate=44100)
-    enc = mp2.encode_mp2(x, 44100, 128)
+    enc = mp2.encode_mp2(x, 44100, 64)  # mono B.2a region
     meta = parse_mp3(enc)
     assert meta["layer"] == 2 and meta["sample_rate"] == 44100
     assert meta["channels"] == 1 and not meta["vbr"]

@@ -122,3 +122,22 @@ def test_fuzz_mpegps_contract():
         packet_size=384,
     )
     _assert_contract("mpegps", ps, demux_mpeg_ps)
+
+
+def test_padding_and_private2_packets():
+    """Real archives hold mux_rate with padding-stream (0xBE) packets
+    — all-0xFF payload, no header byte — and may carry
+    private_stream_2 (0xBF), whose payload starts right after
+    packet_length. Both must demux without errors (r11 self-review:
+    the first cut fed them through the stuffing/flag parser and
+    raised)."""
+    ves = _video_es(2)
+    ps = bytearray(build_mpeg_ps({VIDEO_STREAM_0: ves}, packet_size=256))
+    end_at = len(ps) - 4  # before the end code
+    pad = b"\x00\x00\x01\xbe" + (16).to_bytes(2, "big") + b"\xff" * 16
+    priv = b"\x00\x00\x01\xbf" + (5).to_bytes(2, "big") + b"hello"
+    doctored = bytes(ps[:end_at]) + pad + priv + bytes(ps[end_at:])
+    meta = demux_mpeg_ps(doctored)
+    assert meta["streams"][VIDEO_STREAM_0]["data"] == ves
+    assert 0xBE not in meta["streams"]  # padding is discarded
+    assert meta["streams"][0xBF]["data"] == b"hello"

@@ -314,6 +314,7 @@ _WINDOW_DEFER = frozenset(
         "multimodal_mpeg1_bframe_decode",
         "multimodal_mp1_decode",
         "multimodal_mpeg_ps_roundtrip",
+        "multimodal_subtitle_normalize",
     }
 )
 

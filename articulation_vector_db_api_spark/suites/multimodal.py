@@ -3443,6 +3443,107 @@ def multimodal_mpeg1_bframe_decode(
 
 
 @register(
+    "multimodal_subtitle_normalize",
+    oracle="""
+    SELECT doc_id,
+           CAST(3 + doc_id % 4 AS BIGINT) AS n_cues,
+           CAST(1 AS BIGINT) AS srt_vtt_lossless,
+           CAST(1 AS BIGINT) AS vtt_srt_lossless,
+           CAST((3 + doc_id % 4) * 15 AS BIGINT) AS frames_covered,
+           CAST((2 + doc_id % 4) * 800 + 600 AS BIGINT) AS span_ms
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "text"),
+)
+def multimodal_subtitle_normalize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SUBTITLE-CORPUS NORMALIZATION: real video corpora arrive with a
+    MIX of SubRip (.srt, comma milliseconds, numbered cues) and WebVTT
+    captions; VLM/ASR curation wants ONE cue model before pairing text
+    with frames. Each doc's deterministic cue set is built as SubRip
+    (with the real-world quirks layered on: UTF-8 BOM, CRLF line
+    endings, the X1:/X2: coordinate extension), converted to WebVTT
+    (functions/srt.py:srt_to_vtt), converted BACK, and both directions
+    are checked LOSSLESS against the original cue tuples; cues then
+    align to a 25 fps frame grid (the VLM training-pair unit).
+
+    Oracle pins cue counts, both lossless flags, the frames-covered
+    arithmetic (15 frames per 600 ms cue at 40 ms/frame) and the cue
+    span. Scale shape: Arrow-batched narrow map, one stats row per
+    doc."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_cues", T.LongType()),
+            T.StructField("srt_vtt_lossless", T.LongType()),
+            T.StructField("vtt_srt_lossless", T.LongType()),
+            T.StructField("frames_covered", T.LongType()),
+            T.StructField("span_ms", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.srt import (
+            build_srt,
+            parse_srt,
+            srt_to_vtt,
+            vtt_cues_to_srt,
+        )
+        from ..functions.vtt import parse_vtt
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n_cues = 3 + i % 4
+                cues = [
+                    (k * 800, k * 800 + 600,
+                     f"cue {k}\nof doc family {i % 7}")
+                    for k in range(n_cues)
+                ]
+                srt = build_srt(cues)
+                # the quirks real corpora carry
+                srt = "﻿" + srt.replace("\n", "\r\n")
+                parsed = parse_srt(srt)
+                vtt = srt_to_vtt(srt)
+                via_vtt = parse_vtt(vtt)
+                back = parse_srt(vtt_cues_to_srt(vtt))
+                as_tuples = lambda cs: [  # noqa: E731
+                    (c["start_ms"], c["end_ms"], c["text"]) for c in cs
+                ]
+                frames_covered = sum(
+                    len(range(-(-start // 40), -(-end // 40)))
+                    for start, end, _t in cues
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        len(parsed),
+                        int(as_tuples(via_vtt) == cues),
+                        int(as_tuples(back) == cues),
+                        frames_covered,
+                        cues[-1][1] - cues[0][0],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_mpeg_ps_roundtrip",
     oracle="""
     SELECT doc_id,

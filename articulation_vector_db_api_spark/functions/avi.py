@@ -14,12 +14,19 @@ Layout written and accepted:
     RIFF('AVI '
       LIST('hdrl'
         avih(56)                      -- main header
-        LIST('strl' strh(56) strf(40)) -- one 'vids' stream
+        LIST('strl' strh(56) strf(40)) -- the 'vids' stream
+        [LIST('strl' strh(56) strf(16))] -- optional 'auds' stream
+                                      -- (WAVEFORMATEX strf)
       )
-      LIST('movi' {'00dc'|'00db'}*)   -- one chunk per frame, even-padded
+      LIST('movi' {'00dc'|'00db'|'01wb'}*) -- even-padded chunks,
+                                      -- audio interleaved round-robin
       idx1                            -- 16-byte entries, offsets
                                       -- relative to the 'movi' fourcc
     )
+
+extract_avi_audio reassembles the '01wb' stream and reports its
+WAVEFORMATEX (tag 0x0050 = MPEG-1 audio feeds functions/mp2.py
+directly; 0x0001 = PCM).
 
 The parser is strict: malformed magic/sizes/headers raise ValueError,
 an index inconsistent with the movi walk raises ValueError, and codecs
@@ -64,18 +71,31 @@ def build_avi(
     codec: str,
     fps_rate: int = 12,
     fps_scale: int = 1,
+    audio_payloads: list[bytes] | None = None,
+    audio_format: dict | None = None,
 ) -> bytes:
-    """Wrap per-frame ``payloads`` in a single-video-stream AVI.
-    ``codec`` is "MJPG" (payloads are complete JPEG streams), "DIB"
-    (payloads are bottom-up BGR rows, 4-byte padded), or "MPG1"
-    (payloads are per-picture chunks of an MPEG-1 elementary stream —
-    mpeg1.split_m1v_frames's convention, the 'PIM1' interleave)."""
+    """Wrap per-frame ``payloads`` in an AVI. ``codec`` is "MJPG"
+    (payloads are complete JPEG streams), "DIB" (payloads are
+    bottom-up BGR rows, 4-byte padded), or "MPG1" (payloads are
+    per-picture chunks of an MPEG-1 elementary stream —
+    mpeg1.split_m1v_frames's convention, the 'PIM1' interleave).
+
+    With ``audio_payloads`` a second 'auds' stream is written the way
+    real capture tools interleave it: a WAVEFORMATEX strf from
+    ``audio_format`` ({tag, channels, rate, block_align, bits};
+    tag 0x0001 = PCM, 0x0050 = MPEG-1 Layer I/II, 0x0055 = MP3),
+    '01wb' chunks round-robin with the video chunks, and idx1 entries
+    for both streams. Without it the output is byte-identical to the
+    single-stream writer."""
     if codec not in ("MJPG", "DIB", "MPG1"):
         raise NotImplementedError(f"AVI writer codec {codec!r}")
     if not payloads:
         raise ValueError("AVI needs at least one frame")
+    if audio_payloads is not None and not audio_format:
+        raise ValueError("audio_payloads needs an audio_format dict")
     usec_per_frame = (1_000_000 * fps_scale) // fps_rate
     max_bytes = max(len(p) for p in payloads)
+    n_streams = 1 if audio_payloads is None else 2
     avih = struct.pack(
         "<14I",
         usec_per_frame,
@@ -84,7 +104,7 @@ def build_avi(
         _AVIF_HASINDEX,
         len(payloads),
         0,
-        1,  # one stream
+        n_streams,
         max_bytes,
         width,
         height,
@@ -123,19 +143,65 @@ def build_avi(
         max_bytes,
         0, 0, 0, 0,
     )
-    hdrl = _list(
-        b"hdrl",
-        _chunk(b"avih", avih)
-        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
-    )
+    strls = _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
+    if audio_payloads is not None:
+        af = audio_format
+        a_strh = (
+            b"auds"
+            + b"\x00\x00\x00\x00"
+            + struct.pack(
+                "<IHHIIIIIIII4H",
+                0, 0, 0, 0,
+                int(af.get("block_align", 1)),      # scale
+                int(af["rate"]) * int(af.get("block_align", 1)),  # rate
+                0,
+                len(audio_payloads),
+                max((len(p) for p in audio_payloads), default=0),
+                0xFFFFFFFF,
+                int(af.get("block_align", 1)),      # sample size
+                0, 0, 0, 0,
+            )
+        )
+        a_strf = struct.pack(
+            "<HHIIHH",
+            int(af["tag"]),
+            int(af["channels"]),
+            int(af["rate"]),
+            int(af.get("avg_bytes", 0)),
+            int(af.get("block_align", 1)),
+            int(af.get("bits", 0)),
+        )
+        strls += _list(
+            b"strl", _chunk(b"strh", a_strh) + _chunk(b"strf", a_strf)
+        )
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih) + strls)
     frame_cc = b"00db" if codec == "DIB" else b"00dc"
     movi_payload = b"movi"
     idx = b""
+    audio_iter = list(audio_payloads or [])
+    # round-robin interleave: one audio chunk after each video frame,
+    # remainder appended after the last frame (capture-tool layout)
+    per_frame = (
+        -(-len(audio_iter) // len(payloads)) if audio_iter else 0
+    )
+    ai = 0
     for p in payloads:
         # idx1 offsets are relative to the position of the 'movi'
         # fourcc (the widely-written convention)
         idx += frame_cc + _u32(_AVIIF_KEYFRAME) + _u32(len(movi_payload)) + _u32(len(p))
         movi_payload += _chunk(frame_cc, p)
+        for _ in range(per_frame):
+            if ai >= len(audio_iter):
+                break
+            a = audio_iter[ai]
+            ai += 1
+            idx += b"01wb" + _u32(0) + _u32(len(movi_payload)) + _u32(len(a))
+            movi_payload += _chunk(b"01wb", a)
+    while ai < len(audio_iter):
+        a = audio_iter[ai]
+        ai += 1
+        idx += b"01wb" + _u32(0) + _u32(len(movi_payload)) + _u32(len(a))
+        movi_payload += _chunk(b"01wb", a)
     movi = _chunk(b"LIST", movi_payload)
     idx1 = _chunk(b"idx1", idx)
     body = b"AVI " + hdrl + movi + idx1
@@ -361,3 +427,68 @@ def decode_avi_frames(b: bytes) -> tuple[dict, list[np.ndarray]]:
                 f"{meta['height']}x{meta['width']}"
             )
     return meta, frames
+
+
+def extract_avi_audio(b: bytes) -> tuple[dict, bytes]:
+    """Extract the first audio stream -> ({tag, channels, rate,
+    avg_bytes, block_align, bits, n_chunks}, payload bytes).
+
+    The 'auds' strl's strf is a WAVEFORMATEX (wFormatTag 0x0001 = PCM,
+    0x0050 = MPEG-1 Layer I/II, 0x0055 = MP3); the concatenated
+    '01wb' movi chunks (including inside 'rec ' groups) are the
+    stream's elementary bytes — an MPEG tag yields a stream
+    functions/mp2.py decodes directly. Raises ValueError when the AVI
+    carries no audio stream."""
+    fourcc, body, _ = _read_chunk(b, 0)
+    if fourcc != b"RIFF" or body[:4] != b"AVI ":
+        raise ValueError("not an AVI (RIFF/'AVI ') stream")
+    pos = 4
+    fmt: dict | None = None
+    chunks: list[bytes] = []
+
+    def walk_audio(payload: bytes) -> None:
+        fpos = 4
+        while fpos < len(payload):
+            fcc, fp, fpos = _read_chunk(payload, fpos)
+            if fcc == b"01wb":
+                chunks.append(fp)
+            elif fcc == b"LIST" and fp[:4] == b"rec ":
+                walk_audio(fp)
+
+    while pos < len(body):
+        cc, payload, pos = _read_chunk(body, pos)
+        if cc == b"LIST" and payload[:4] == b"hdrl":
+            hpos = 4
+            while hpos < len(payload):
+                hcc, hp, hpos = _read_chunk(payload, hpos)
+                if hcc != b"LIST" or hp[:4] != b"strl":
+                    continue
+                spos = 4
+                s_strh = s_strf = None
+                while spos < len(hp):
+                    scc, sp, spos = _read_chunk(hp, spos)
+                    if scc == b"strh":
+                        s_strh = sp
+                    elif scc == b"strf":
+                        s_strf = sp
+                if (
+                    fmt is None
+                    and s_strh is not None
+                    and s_strh[:4] == b"auds"
+                ):
+                    if s_strf is None or len(s_strf) < 16:
+                        raise ValueError("AVI audio stream without strf")
+                    tag, ch, rate, avg, align, bits = struct.unpack_from(
+                        "<HHIIHH", s_strf, 0
+                    )
+                    fmt = {
+                        "tag": tag, "channels": ch, "rate": rate,
+                        "avg_bytes": avg, "block_align": align,
+                        "bits": bits,
+                    }
+        elif cc == b"LIST" and payload[:4] == b"movi":
+            walk_audio(payload)
+    if fmt is None:
+        raise ValueError("AVI carries no audio ('auds') stream")
+    fmt["n_chunks"] = len(chunks)
+    return fmt, b"".join(chunks)

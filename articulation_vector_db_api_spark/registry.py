@@ -315,6 +315,7 @@ _WINDOW_DEFER = frozenset(
         "multimodal_mp1_decode",
         "multimodal_mpeg_ps_roundtrip",
         "multimodal_subtitle_normalize",
+        "multimodal_avi_av_extract",
     }
 )
 

@@ -3544,6 +3544,132 @@ def multimodal_subtitle_normalize(
 
 
 @register(
+    "multimodal_avi_av_extract",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_frames,
+           CAST(80 AS BIGINT) AS audio_tag,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+               AS audio_layer,
+           CAST(48000 AS BIGINT) AS audio_rate,
+           CAST(2 AS BIGINT) AS n_audio_chunks,
+           CAST(1 AS BIGINT) AS a_bit_exact,
+           CAST(1 AS BIGINT) AS av_decodes
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "video", "audio"),
+)
+def multimodal_avi_av_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVI WITH AN INTERLEAVED AUDIO STREAM — the capture-tool layout
+    the r11 ADVICE flagged: '01wb' audio chunks round-robin with the
+    video chunks, a second 'auds' strl carrying a WAVEFORMATEX (tag
+    0x0050 = MPEG-1 audio). Each doc's MPG1 video + Layer I/II tone
+    (by doc parity) are muxed, the video path re-verifies against
+    idx1 with the audio interleaved, and extract_avi_audio reassembles
+    the audio stream BIT-EXACT and decodes it through functions/mp2.py
+    (functions/avi.py:extract_avi_audio).
+
+    Oracle pins frame count, WAVEFORMATEX tag/rate, the chunk count,
+    bit-exactness, and that both media decode. Scale shape: Arrow
+    narrow map, one stats row per doc."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("audio_tag", T.LongType()),
+            T.StructField("audio_layer", T.LongType()),
+            T.StructField("audio_rate", T.LongType()),
+            T.StructField("n_audio_chunks", T.LongType()),
+            T.StructField("a_bit_exact", T.LongType()),
+            T.StructField("av_decodes", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.avi import (
+            build_avi,
+            decode_avi_frames,
+            extract_avi_audio,
+        )
+        from ..functions.mp2 import (
+            decode_mp1,
+            decode_mp2,
+            encode_mp1,
+            encode_mp2,
+        )
+        from ..functions.mpeg1 import encode_m1v, split_m1v_frames
+
+        h = w = 32
+        yy, xx = np.mgrid[0:h, 0:w]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                base = (
+                    90 + 50 * np.sin(2 * np.pi * (xx / w + (i % 9) / 9.0))
+                    + 30 * np.cos(2 * np.pi * yy / h)
+                ).clip(0, 255)
+                frames = [
+                    np.stack([base, 0.9 * base + 10, 220 - 0.5 * base],
+                             -1).astype(np.uint8),
+                    np.stack([base[::-1], 0.9 * base + 10,
+                              220 - 0.5 * base], -1).astype(np.uint8),
+                ]
+                ves = encode_m1v(frames, qscale=(3, 4, 6)[i % 3])
+                ts = np.arange(1280) / 48000.0
+                tone = 0.5 * np.sin(
+                    2 * np.pi * (220 + (i % 13) * 90) * ts
+                )
+                layer = 1 if i % 2 == 0 else 2
+                aes = (
+                    encode_mp1(tone, 48000, 192)
+                    if layer == 1
+                    else encode_mp2(tone, 48000, 192)
+                )
+                chunks = [aes[k : k + 600] for k in range(0, len(aes), 600)]
+                avi = build_avi(
+                    split_m1v_frames(ves), w, h, "MPG1", fps_rate=25,
+                    audio_payloads=chunks,
+                    audio_format={"tag": 0x0050, "channels": 1,
+                                  "rate": 48000, "block_align": 1},
+                )
+                _meta, dec = decode_avi_frames(avi)
+                fmt, audio = extract_avi_audio(avi)
+                _r, _c, pcm = (
+                    decode_mp1(audio) if layer == 1 else decode_mp2(audio)
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        len(dec),
+                        fmt["tag"],
+                        layer,
+                        fmt["rate"],
+                        fmt["n_chunks"],
+                        int(audio == aes),
+                        int(len(dec) == 2 and pcm.shape[1] > 0),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_mpeg_ps_roundtrip",
     oracle="""
     SELECT doc_id,

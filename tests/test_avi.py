@@ -169,3 +169,114 @@ def test_wild_interleave_and_absolute_idx1():
     bad[at:at + 4] = struct.pack("<I", 2)
     with pytest.raises(ValueError, match="idx1"):
         parse_avi(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# interleaved audio stream ('auds' / '01wb')
+# ---------------------------------------------------------------------------
+
+
+def _av_fixture():
+    import numpy as np
+
+    from articulation_vector_db_api_spark.functions.mp2 import encode_mp2
+    from articulation_vector_db_api_spark.functions.mpeg1 import (
+        encode_m1v,
+        split_m1v_frames,
+    )
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    frames = []
+    for i in range(3):
+        base = (128 + 60 * np.sin(2 * np.pi * (xx / 48 + i * 0.13))
+                + 40 * np.cos(2 * np.pi * yy / 32))
+        frames.append(
+            np.stack([np.clip(base, 0, 255)] * 3, -1).astype(np.uint8)
+        )
+    ves = encode_m1v(frames, qscale=4)
+    t = np.arange(4000) / 48000
+    aes = encode_mp2(0.5 * np.sin(2 * np.pi * 440 * t), 48000, 192)
+    return split_m1v_frames(ves), aes
+
+
+def test_avi_audio_roundtrip_mpeg():
+    from articulation_vector_db_api_spark.functions.avi import (
+        build_avi,
+        decode_avi_frames,
+        extract_avi_audio,
+        parse_avi,
+    )
+    from articulation_vector_db_api_spark.functions.mp2 import decode_mp2
+
+    vpay, aes = _av_fixture()
+    chunks = [aes[i : i + 600] for i in range(0, len(aes), 600)]
+    avi = build_avi(
+        vpay, 48, 32, "MPG1", fps_rate=25,
+        audio_payloads=chunks,
+        audio_format={"tag": 0x0050, "channels": 1, "rate": 48000,
+                      "block_align": 1},
+    )
+    # the video walk still verifies against idx1 with audio interleaved
+    meta = parse_avi(avi)
+    assert meta["codec"] == "MPG1" and meta["n_frames"] == 3
+    _m, dec = decode_avi_frames(avi)
+    assert len(dec) == 3
+    fmt, audio = extract_avi_audio(avi)
+    assert fmt["tag"] == 0x0050 and fmt["rate"] == 48000
+    assert fmt["n_chunks"] == len(chunks)
+    assert audio == aes  # bit-exact reassembly
+    rate, ch, _pcm = decode_mp2(audio)
+    assert (rate, ch) == (48000, 1)
+
+
+def test_avi_audio_pcm_and_absence():
+    import numpy as np
+
+    from articulation_vector_db_api_spark.functions.avi import (
+        build_avi,
+        extract_avi_audio,
+    )
+
+    vpay, _aes = _av_fixture()
+    pcm = (np.sin(np.arange(800) * 0.03) * 20000).astype("<i2").tobytes()
+    avi = build_avi(
+        vpay, 48, 32, "MPG1", fps_rate=25,
+        audio_payloads=[pcm[:700], pcm[700:]],
+        audio_format={"tag": 0x0001, "channels": 1, "rate": 16000,
+                      "block_align": 2, "bits": 16},
+    )
+    fmt, audio = extract_avi_audio(avi)
+    assert (fmt["tag"], fmt["bits"], fmt["block_align"]) == (1, 16, 2)
+    assert audio == pcm
+    with pytest.raises(ValueError, match="no audio"):
+        extract_avi_audio(build_avi(vpay, 48, 32, "MPG1", fps_rate=25))
+    with pytest.raises(ValueError, match="audio_format"):
+        build_avi(vpay, 48, 32, "MPG1", audio_payloads=[b"x"])
+
+
+def test_avi_audio_default_path_byte_identical():
+    """The audio feature must not perturb single-stream output (the
+    hash-pinned queries depend on the writer's exact bytes)."""
+    from articulation_vector_db_api_spark.functions.avi import build_avi
+
+    vpay, _ = _av_fixture()
+    assert build_avi(vpay, 48, 32, "MPG1", fps_rate=25) == build_avi(
+        vpay, 48, 32, "MPG1", fps_rate=25, audio_payloads=None
+    )
+
+
+def test_fuzz_avi_audio_contract():
+    from articulation_vector_db_api_spark.functions.avi import (
+        build_avi,
+        extract_avi_audio,
+    )
+    from tests.test_fuzz_contracts import _assert_contract
+
+    vpay, aes = _av_fixture()
+    avi = build_avi(
+        vpay, 48, 32, "MPG1", fps_rate=25,
+        audio_payloads=[aes[i : i + 500] for i in range(0, len(aes), 500)],
+        audio_format={"tag": 0x0050, "channels": 1, "rate": 48000,
+                      "block_align": 1},
+    )
+    _assert_contract("avi-audio", avi, extract_avi_audio, n=100)

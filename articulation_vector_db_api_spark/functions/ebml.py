@@ -162,6 +162,8 @@ def parse_ebml(payload: bytes) -> dict:
                                 "codec_private": codec_private,
                                 "width": w,
                                 "height": h,
+                                "rate": rate,
+                                "channels": ch,
                             }
                         )
     if doctype is None:
@@ -299,6 +301,8 @@ def decode_mkv_frames(payload: bytes):
             out.append((track, ts_ms, decode_jpeg(frame)))
         elif codec == "V_MPEG1":
             mpeg1_blocks.setdefault(track, []).append((ts_ms, frame))
+        elif codec is not None and codec.startswith("A_"):
+            continue  # audio tracks ride extract_mkv_audio, not pixels
         else:
             raise NotImplementedError(f"Matroska codec {codec}")
     for track, blocks in mpeg1_blocks.items():
@@ -359,6 +363,10 @@ def build_mkv_mjpeg(
     frames_per_cluster: int = 4,
     codec_id: str = "V_MJPEG",
     codec_private: bytes = b"",
+    audio_blocks: list[tuple[int, bytes]] | None = None,
+    audio_codec_id: str = "A_MPEG/L2",
+    audio_rate: int = 48000,
+    audio_channels: int = 1,
 ) -> bytes:
     """Matroska file with ONE video track: ``frames`` is
     [(timestamp_ms, payload_bytes)]. Frames group into Clusters of
@@ -368,7 +376,14 @@ def build_mkv_mjpeg(
     per cluster; "fixed" requires equal frame sizes). Default codec is
     V_MJPEG (payloads are JPEG streams); V_MPEG1 puts the sequence
     header + GOP in ``codec_private`` (the Matroska codec-mapping
-    convention) with per-picture payloads in the blocks."""
+    convention) with per-picture payloads in the blocks.
+
+    With ``audio_blocks`` ([(timestamp_ms, payload)]) a second
+    TrackEntry (number 2, type 2, ``audio_codec_id`` — A_MPEG/L1 and
+    A_MPEG/L2 blocks carry raw MPEG-audio frames per the Matroska
+    codec mapping) is written and the audio SimpleBlocks interleave
+    into each cluster by timestamp. Without it the output is
+    byte-identical to the single-track writer."""
     if not frames:
         raise ValueError("Matroska clip needs at least one frame")
     if lacing not in ("none", "xiph", "fixed"):
@@ -389,9 +404,25 @@ def build_mkv_mjpeg(
         + (_el(_CODEC_PRIVATE, codec_private) if codec_private else b"")
         + _el(_VIDEO, _uint_el(_PIX_W, width) + _uint_el(_PIX_H, height)),
     )
+    tracks_body = vtrack
+    if audio_blocks is not None:
+        tracks_body += _el(
+            _TRACK_ENTRY,
+            _uint_el(_TRACK_NUMBER, 2)
+            + _uint_el(_TRACK_TYPE, 2)
+            + _el(_CODEC_ID, audio_codec_id.encode("ascii"))
+            + _el(
+                _AUDIO,
+                _el(_SAMPLE_FREQ, struct.pack(">f", float(audio_rate)))
+                + _uint_el(_CHANNELS, audio_channels),
+            ),
+        )
     clusters = b""
     vint_track = (0x80 | track_num).to_bytes(1, "big")
-    for c0 in range(0, len(frames), frames_per_cluster):
+    vint_audio = (0x80 | 2).to_bytes(1, "big")
+    pending_audio = sorted(audio_blocks or [])
+    n_groups = -(-len(frames) // frames_per_cluster)
+    for gi, c0 in enumerate(range(0, len(frames), frames_per_cluster)):
         group = frames[c0 : c0 + frames_per_cluster]
         cts = group[0][0]
         body = _uint_el(_CLUSTER_TS, cts)
@@ -415,8 +446,24 @@ def build_mkv_mjpeg(
                 if len(sizes) != 1:
                     raise ValueError("fixed lacing needs equal frame sizes")
             body += _el(_SIMPLE_BLOCK, head + payload)
+        if pending_audio:
+            next_cts = (
+                frames[c0 + frames_per_cluster][0]
+                if gi + 1 < n_groups
+                else None
+            )
+            take = [
+                (ts, a) for ts, a in pending_audio
+                if next_cts is None or ts < next_cts
+            ]
+            pending_audio = pending_audio[len(take):]
+            for ts, a in take:
+                body += _el(
+                    _SIMPLE_BLOCK,
+                    vint_audio + struct.pack(">h", ts - cts) + b"\x80" + a,
+                )
         clusters += _el(_CLUSTER, body)
-    segment = _el(_SEGMENT, info + _el(_TRACKS, vtrack) + clusters)
+    segment = _el(_SEGMENT, info + _el(_TRACKS, tracks_body) + clusters)
     return header + segment
 
 
@@ -453,3 +500,46 @@ def build_webm(
     )
     segment = _el(_SEGMENT, info + _el(_TRACKS, vtrack + atrack))
     return header + segment
+
+
+def extract_mkv_audio(payload: bytes) -> tuple[dict, bytes]:
+    """Extract the first AUDIO track -> ({codec_id, rate, channels,
+    n_blocks}, elementary-stream bytes).
+
+    Per the Matroska codec mapping, A_MPEG/L1 and A_MPEG/L2 blocks
+    carry raw MPEG-audio frames, so concatenating them in timestamp
+    order reproduces the elementary stream functions/mp2.py decodes;
+    other audio codecs raise NotImplementedError (honest gate:
+    A_VORBIS needs the Xiph-laced CodecPrivate headers, A_OPUS a
+    perceptual decoder). Raises ValueError when the file has no audio
+    track."""
+    meta = parse_ebml(payload)
+    atrack = next(
+        (
+            t for t in meta["tracks"]
+            if t["codec_id"] is not None and t["codec_id"].startswith("A_")
+        ),
+        None,
+    )
+    if atrack is None:
+        raise ValueError("Matroska file carries no audio track")
+    codec = atrack["codec_id"]
+    if codec not in ("A_MPEG/L1", "A_MPEG/L2"):
+        raise NotImplementedError(f"Matroska audio codec {codec}")
+    blocks = [
+        (ts, fr)
+        for track, ts, fr in mkv_frames(payload)
+        if track == atrack["number"]
+    ]
+    if not blocks:
+        raise ValueError("Matroska audio track has no blocks")
+    blocks.sort(key=lambda x: x[0])
+    return (
+        {
+            "codec_id": codec,
+            "rate": atrack["rate"],
+            "channels": atrack["channels"],
+            "n_blocks": len(blocks),
+        },
+        b"".join(fr for _ts, fr in blocks),
+    )

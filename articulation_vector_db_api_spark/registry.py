@@ -316,6 +316,7 @@ _WINDOW_DEFER = frozenset(
         "multimodal_mpeg_ps_roundtrip",
         "multimodal_subtitle_normalize",
         "multimodal_avi_av_extract",
+        "multimodal_mkv_av_extract",
     }
 )
 

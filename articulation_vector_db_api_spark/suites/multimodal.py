@@ -3670,6 +3670,137 @@ def multimodal_avi_av_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mkv_av_extract",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_frames,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+               AS audio_layer,
+           CAST(48000 AS BIGINT) AS audio_rate,
+           CAST(2 AS BIGINT) AS n_audio_blocks,
+           CAST(1 AS BIGINT) AS a_bit_exact,
+           CAST(1 AS BIGINT) AS av_decodes
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "video", "audio"),
+)
+def multimodal_mkv_av_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATROSKA WITH AN AUDIO TRACK — the MKV twin of
+    multimodal_avi_av_extract: each doc's V_MPEG1 clip plus an
+    A_MPEG/L1 or A_MPEG/L2 track (by doc parity; per the Matroska
+    codec mapping the blocks carry raw MPEG-audio frames), audio
+    SimpleBlocks interleaved into the video clusters by timestamp.
+    The video decode must be UNAFFECTED by the interleave (audio
+    tracks are skipped in the pixel walk, not rejected) and
+    extract_mkv_audio reassembles the audio stream BIT-EXACT in
+    timestamp order, decoding through functions/mp2.py
+    (functions/ebml.py:extract_mkv_audio).
+
+    Oracle pins frame count, layer/rate per doc parity, block count,
+    bit-exactness, dual decode. Scale shape: Arrow narrow map, one
+    stats row per doc."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("audio_layer", T.LongType()),
+            T.StructField("audio_rate", T.LongType()),
+            T.StructField("n_audio_blocks", T.LongType()),
+            T.StructField("a_bit_exact", T.LongType()),
+            T.StructField("av_decodes", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.ebml import (
+            build_mkv_mjpeg,
+            decode_mkv_frames,
+            extract_mkv_audio,
+        )
+        from ..functions.mp2 import (
+            decode_mp1,
+            decode_mp2,
+            encode_mp1,
+            encode_mp2,
+        )
+        from ..functions.mpeg1 import encode_m1v, split_m1v_header
+
+        h = w = 32
+        yy, xx = np.mgrid[0:h, 0:w]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                base = (
+                    90 + 50 * np.sin(2 * np.pi * (xx / w + (i % 9) / 9.0))
+                    + 30 * np.cos(2 * np.pi * yy / h)
+                ).clip(0, 255)
+                frames = [
+                    np.stack([base, 0.9 * base + 10, 220 - 0.5 * base],
+                             -1).astype(np.uint8),
+                    np.stack([base[::-1], 0.9 * base + 10,
+                              220 - 0.5 * base], -1).astype(np.uint8),
+                ]
+                ves = encode_m1v(frames, qscale=(3, 4, 6)[i % 3])
+                private, pics = split_m1v_header(ves)
+                ts = np.arange(1280) / 48000.0
+                tone = 0.5 * np.sin(
+                    2 * np.pi * (220 + (i % 13) * 90) * ts
+                )
+                layer = 1 if i % 2 == 0 else 2
+                aes = (
+                    encode_mp1(tone, 48000, 192)
+                    if layer == 1
+                    else encode_mp2(tone, 48000, 192)
+                )
+                blocks = [
+                    (k * 12, aes[k * 600 : (k + 1) * 600])
+                    for k in range(-(-len(aes) // 600))
+                ]
+                mkv = build_mkv_mjpeg(
+                    [(t_ * 40, p) for t_, p in enumerate(pics)], w, h,
+                    codec_id="V_MPEG1", codec_private=private,
+                    frames_per_cluster=2,
+                    audio_blocks=blocks,
+                    audio_codec_id=f"A_MPEG/L{layer}",
+                    audio_rate=48000, audio_channels=1,
+                )
+                _meta, dec = decode_mkv_frames(mkv)
+                fmt, audio = extract_mkv_audio(mkv)
+                _r, _c, pcm = (
+                    decode_mp1(audio) if layer == 1 else decode_mp2(audio)
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        len(dec),
+                        layer,
+                        fmt["rate"],
+                        fmt["n_blocks"],
+                        int(audio == aes),
+                        int(len(dec) == 2 and pcm.shape[1] > 0),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_mpeg_ps_roundtrip",
     oracle="""
     SELECT doc_id,

@@ -791,3 +791,104 @@ def test_review_findings_round10_containers():
     )
     frames = E.mkv_frames(mkv)
     assert [ts for _t, ts, _f in frames] == [(6 + 4) * 2]  # 2 ms ticks
+
+
+# ---------------------------------------------------------------------------
+# Matroska audio tracks (A_MPEG/L1, A_MPEG/L2)
+# ---------------------------------------------------------------------------
+
+
+def _mkv_av_fixture():
+    import numpy as np
+
+    from articulation_vector_db_api_spark.functions.ebml import (
+        build_mkv_mjpeg,
+    )
+    from articulation_vector_db_api_spark.functions.mp2 import encode_mp2
+    from articulation_vector_db_api_spark.functions.mpeg1 import (
+        encode_m1v,
+        split_m1v_header,
+    )
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    frames = []
+    for i in range(4):
+        base = (128 + 60 * np.sin(2 * np.pi * (xx / 48 + i * 0.13))
+                + 40 * np.cos(2 * np.pi * yy / 32))
+        frames.append(
+            np.stack([np.clip(base, 0, 255)] * 3, -1).astype(np.uint8)
+        )
+    es = encode_m1v(frames, qscale=4)
+    private, pics = split_m1v_header(es)
+    t = np.arange(4000) / 48000
+    aes = encode_mp2(0.5 * np.sin(2 * np.pi * 440 * t), 48000, 192)
+    blocks = [
+        (k * 30, aes[k * 600 : (k + 1) * 600])
+        for k in range(-(-len(aes) // 600))
+    ]
+    mkv = build_mkv_mjpeg(
+        [(i * 40, p) for i, p in enumerate(pics)], 48, 32,
+        codec_id="V_MPEG1", codec_private=private, frames_per_cluster=2,
+        audio_blocks=blocks, audio_codec_id="A_MPEG/L2",
+        audio_rate=48000, audio_channels=1,
+    )
+    return mkv, es, aes
+
+
+def test_mkv_av_video_still_decodes_with_audio_interleaved():
+    from articulation_vector_db_api_spark.functions.ebml import (
+        decode_mkv_frames,
+    )
+    from articulation_vector_db_api_spark.functions.mpeg1 import decode_m1v
+
+    mkv, es, _aes = _mkv_av_fixture()
+    _meta, decoded = decode_mkv_frames(mkv)
+    direct = decode_m1v(es)[1]
+    assert len(decoded) == 4
+    for (_t, _ts, fr), d in zip(decoded, direct):
+        assert (fr == d).all()
+
+
+def test_mkv_audio_extracts_bit_exact_and_decodes():
+    from articulation_vector_db_api_spark.functions.ebml import (
+        extract_mkv_audio,
+    )
+    from articulation_vector_db_api_spark.functions.mp2 import decode_mp2
+
+    mkv, _es, aes = _mkv_av_fixture()
+    fmt, audio = extract_mkv_audio(mkv)
+    assert fmt["codec_id"] == "A_MPEG/L2"
+    assert (fmt["rate"], fmt["channels"]) == (48000, 1)
+    assert audio == aes
+    rate, ch, _pcm = decode_mp2(audio)
+    assert (rate, ch) == (48000, 1)
+
+
+def test_mkv_audio_gates():
+    import pytest
+
+    from articulation_vector_db_api_spark.functions.ebml import (
+        build_mkv_mjpeg,
+        extract_mkv_audio,
+    )
+
+    mkv, _es, _aes = _mkv_av_fixture()
+    no_audio = build_mkv_mjpeg([(0, b"\xff\xd8fakejpeg\xff\xd9")], 8, 8)
+    with pytest.raises(ValueError, match="no audio track"):
+        extract_mkv_audio(no_audio)
+    vorbis = build_mkv_mjpeg(
+        [(0, b"\xff\xd8fakejpeg\xff\xd9")], 8, 8,
+        audio_blocks=[(0, b"vorbispkt")], audio_codec_id="A_VORBIS",
+    )
+    with pytest.raises(NotImplementedError, match="A_VORBIS"):
+        extract_mkv_audio(vorbis)
+
+
+def test_fuzz_mkv_audio_contract():
+    from articulation_vector_db_api_spark.functions.ebml import (
+        extract_mkv_audio,
+    )
+    from tests.test_fuzz_contracts import _assert_contract
+
+    mkv, _es, _aes = _mkv_av_fixture()
+    _assert_contract("mkv-audio", mkv, extract_mkv_audio, n=100)

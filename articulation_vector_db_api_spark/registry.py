@@ -302,11 +302,11 @@ _SUITE_WINDOW_ORDER = (
 
 # Unverified queries DEFERRED past this round's window on purpose:
 # the r11 window is exactly the 5 changed/new priorities + 45 stale
-# reseats (the VERDICT r10 item-1 rotation), so the round's late
-# additions — the MPEG-1 container-demux parity, P-frame, B-frame,
-# Layer-I-audio, and .mpg-system-stream queries — queue for r12's
-# window. Each is parity-proven locally at sf0.001/0.01/0.1 before
-# registration.
+# reseats (the VERDICT r10 item-1 rotation), so EVERY query added
+# later in the round queues here for r12's window (the set below is
+# the authoritative list — currently the MPEG-1 video/audio/container
+# family plus the subtitle-normalization row). Each is parity-proven
+# locally at sf0.001/0.01/0.1 before registration.
 _WINDOW_DEFER = frozenset(
     {
         "multimodal_mpeg1_in_containers",

@@ -367,6 +367,7 @@ def build_mkv_mjpeg(
     audio_codec_id: str = "A_MPEG/L2",
     audio_rate: int = 48000,
     audio_channels: int = 1,
+    audio_codec_private: bytes = b"",
 ) -> bytes:
     """Matroska file with ONE video track: ``frames`` is
     [(timestamp_ms, payload_bytes)]. Frames group into Clusters of
@@ -411,6 +412,11 @@ def build_mkv_mjpeg(
             _uint_el(_TRACK_NUMBER, 2)
             + _uint_el(_TRACK_TYPE, 2)
             + _el(_CODEC_ID, audio_codec_id.encode("ascii"))
+            + (
+                _el(_CODEC_PRIVATE, audio_codec_private)
+                if audio_codec_private
+                else b""
+            )
             + _el(
                 _AUDIO,
                 _el(_SAMPLE_FREQ, struct.pack(">f", float(audio_rate)))
@@ -543,3 +549,110 @@ def extract_mkv_audio(payload: bytes) -> tuple[dict, bytes]:
         },
         b"".join(fr for _ts, fr in blocks),
     )
+
+
+def xiph_lace_private(packets: list[bytes]) -> bytes:
+    """Xiph-lace packets into a CodecPrivate blob (the Matroska
+    A_VORBIS convention: count-1 byte, 255-run sizes for all but the
+    last packet, then the packets)."""
+    if len(packets) < 1 or len(packets) > 256:
+        raise ValueError("Xiph CodecPrivate takes 1..256 packets")
+    out = bytearray([len(packets) - 1])
+    for p in packets[:-1]:
+        size = len(p)
+        out += b"\xff" * (size // 255) + bytes([size % 255])
+    for p in packets:
+        out += p
+    return bytes(out)
+
+
+def parse_xiph_private(b: bytes) -> list[bytes]:
+    """Inverse of xiph_lace_private -> the packet list."""
+    if not b:
+        raise ValueError("empty Xiph CodecPrivate")
+    n = b[0] + 1
+    at = 1
+    sizes = []
+    for _ in range(n - 1):
+        size = 0
+        while True:
+            if at >= len(b):
+                raise ValueError("truncated Xiph CodecPrivate lacing")
+            v = b[at]
+            at += 1
+            size += v
+            if v != 255:
+                break
+        sizes.append(size)
+    packets = []
+    for size in sizes:
+        if at + size > len(b):
+            raise ValueError("Xiph CodecPrivate packet overruns blob")
+        packets.append(b[at : at + size])
+        at += size
+    packets.append(b[at:])
+    return packets
+
+
+def decode_mkv_audio(payload: bytes):
+    """Full AUDIO decode through the Matroska seam -> (info, rate,
+    channels, pcm [ch, samples]).
+
+    A_MPEG/L1 / A_MPEG/L2 blocks concatenate into the MPEG elementary
+    stream (functions/mp2.py); A_VORBIS reassembles the three Xiph-
+    laced CodecPrivate header packets plus one audio packet per block
+    and rides functions/vorbis.py:decode_vorbis_packets. Other audio
+    codecs raise NotImplementedError (honest gate: A_OPUS/A_AAC are
+    perceptual codecs this engine gates by name)."""
+    meta = parse_ebml(payload)
+    atrack = next(
+        (
+            t for t in meta["tracks"]
+            if t["codec_id"] is not None and t["codec_id"].startswith("A_")
+        ),
+        None,
+    )
+    if atrack is None:
+        raise ValueError("Matroska file carries no audio track")
+    codec = atrack["codec_id"]
+    blocks = [
+        (ts, fr)
+        for track, ts, fr in mkv_frames(payload)
+        if track == atrack["number"]
+    ]
+    if not blocks:
+        raise ValueError("Matroska audio track has no blocks")
+    blocks.sort(key=lambda x: x[0])
+    info = {
+        "codec_id": codec,
+        "rate": atrack["rate"],
+        "channels": atrack["channels"],
+        "n_blocks": len(blocks),
+    }
+    if codec in ("A_MPEG/L1", "A_MPEG/L2"):
+        from .mp2 import decode_mp1, decode_mp2
+
+        es = b"".join(fr for _ts, fr in blocks)
+        rate, ch, pcm = (
+            decode_mp1(es) if codec == "A_MPEG/L1" else decode_mp2(es)
+        )
+        return info, rate, ch, pcm
+    if codec == "A_VORBIS":
+        from .vorbis import decode_vorbis_packets
+
+        private = atrack["codec_private"]
+        if not private:
+            raise ValueError(
+                "Matroska A_VORBIS track without CodecPrivate headers"
+            )
+        headers = parse_xiph_private(private)
+        if len(headers) != 3:
+            raise ValueError(
+                f"A_VORBIS CodecPrivate carries {len(headers)} packets, "
+                "expected 3"
+            )
+        rate, ch, pcm = decode_vorbis_packets(
+            headers + [fr for _ts, fr in blocks]
+        )
+        return info, rate, ch, pcm
+    raise NotImplementedError(f"Matroska audio codec {codec}")

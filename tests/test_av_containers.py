@@ -892,3 +892,113 @@ def test_fuzz_mkv_audio_contract():
 
     mkv, _es, _aes = _mkv_av_fixture()
     _assert_contract("mkv-audio", mkv, extract_mkv_audio, n=100)
+
+
+def test_xiph_codec_private_lacing_roundtrip():
+    from articulation_vector_db_api_spark.functions.ebml import (
+        parse_xiph_private,
+        xiph_lace_private,
+    )
+
+    pkts = [b"a" * 300, b"bb", b"c" * 255, b"", b"tail"]
+    assert parse_xiph_private(xiph_lace_private(pkts)) == pkts
+    assert parse_xiph_private(xiph_lace_private([b"only"])) == [b"only"]
+    with pytest.raises(ValueError, match="empty"):
+        parse_xiph_private(b"")
+    with pytest.raises(ValueError, match="truncated"):
+        parse_xiph_private(b"\x02\xff")  # lacing cut mid-run
+
+
+def test_mkv_vorbis_audio_decodes():
+    """A_VORBIS per the Matroska codec mapping: three Xiph-laced
+    header packets in CodecPrivate, one audio packet per block —
+    decoded through functions/vorbis.py."""
+    import numpy as np
+
+    from articulation_vector_db_api_spark.functions.ebml import (
+        build_mkv_mjpeg,
+        decode_mkv_audio,
+        xiph_lace_private,
+    )
+    from articulation_vector_db_api_spark.functions.vorbis import (
+        encode_vorbis,
+    )
+
+    t = np.arange(6000) / 48000
+    x = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(
+        2 * np.pi * 1870 * t
+    )
+    packets, _granules = encode_vorbis(x, 48000, 256)
+    mkv = build_mkv_mjpeg(
+        [(0, b"\xff\xd8fake\xff\xd9")], 8, 8,
+        audio_blocks=[(k * 10, p) for k, p in enumerate(packets[3:])],
+        audio_codec_id="A_VORBIS", audio_rate=48000, audio_channels=1,
+        audio_codec_private=xiph_lace_private(packets[:3]),
+    )
+    info, rate, ch, pcm = decode_mkv_audio(mkv)
+    assert (info["codec_id"], rate, ch) == ("A_VORBIS", 48000, 1)
+    got = pcm[0][: len(x)]
+    snr = 10 * np.log10(
+        (x**2).sum() / max(((got - x) ** 2).sum(), 1e-30)
+    )
+    assert snr > 25.0
+
+
+def test_mkv_audio_decode_mpeg_layers_and_gates():
+    import numpy as np
+
+    from articulation_vector_db_api_spark.functions.ebml import (
+        build_mkv_mjpeg,
+        decode_mkv_audio,
+    )
+    from articulation_vector_db_api_spark.functions.mp2 import encode_mp1
+
+    t = np.arange(2000) / 48000
+    aes = encode_mp1(0.4 * np.sin(2 * np.pi * 330 * t), 48000, 192)
+    mkv = build_mkv_mjpeg(
+        [(0, b"\xff\xd8fake\xff\xd9")], 8, 8,
+        audio_blocks=[(0, aes[: len(aes) // 2]),
+                      (20, aes[len(aes) // 2 :])],
+        audio_codec_id="A_MPEG/L1", audio_rate=48000, audio_channels=1,
+    )
+    info, rate, ch, pcm = decode_mkv_audio(mkv)
+    assert info["codec_id"] == "A_MPEG/L1" and rate == 48000
+    assert pcm.shape[1] > 0
+    opus = build_mkv_mjpeg(
+        [(0, b"\xff\xd8fake\xff\xd9")], 8, 8,
+        audio_blocks=[(0, b"opuspkt")], audio_codec_id="A_OPUS",
+    )
+    with pytest.raises(NotImplementedError, match="A_OPUS"):
+        decode_mkv_audio(opus)
+    vorbis_no_private = build_mkv_mjpeg(
+        [(0, b"\xff\xd8fake\xff\xd9")], 8, 8,
+        audio_blocks=[(0, b"pkt")], audio_codec_id="A_VORBIS",
+    )
+    with pytest.raises(ValueError, match="CodecPrivate"):
+        decode_mkv_audio(vorbis_no_private)
+
+
+def test_fuzz_mkv_vorbis_audio_contract():
+    import numpy as np
+
+    from articulation_vector_db_api_spark.functions.ebml import (
+        build_mkv_mjpeg,
+        decode_mkv_audio,
+        xiph_lace_private,
+    )
+    from articulation_vector_db_api_spark.functions.vorbis import (
+        encode_vorbis,
+    )
+    from tests.test_fuzz_contracts import _assert_contract
+
+    t = np.arange(1500) / 48000
+    packets, _g = encode_vorbis(
+        0.4 * np.sin(2 * np.pi * 500 * t), 48000, 256
+    )
+    mkv = build_mkv_mjpeg(
+        [(0, b"\xff\xd8fake\xff\xd9")], 8, 8,
+        audio_blocks=[(k * 10, p) for k, p in enumerate(packets[3:])],
+        audio_codec_id="A_VORBIS", audio_rate=48000, audio_channels=1,
+        audio_codec_private=xiph_lace_private(packets[:3]),
+    )
+    _assert_contract("mkv-vorbis", mkv, decode_mkv_audio, n=60)

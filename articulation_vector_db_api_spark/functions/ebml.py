@@ -191,9 +191,10 @@ def mkv_frames(payload: bytes) -> list[tuple[int, int, bytes]]:
     Timestamp element plus SimpleBlocks; each SimpleBlock carries the
     track number as an EBML vint, a signed 16-bit big-endian
     timestamp relative to the cluster, a flags byte, and one or more
-    laced frames. Lacing modes none (00), Xiph (01), and fixed-size
-    (10) decode; EBML lacing (11) raises NotImplementedError (honest
-    gate — the witness encoder emits the other three)."""
+    laced frames. All four lacing modes decode: none (00), Xiph (01),
+    fixed-size (10), and EBML (11 — unsigned-vint first size plus
+    signed-vint deltas per RFC 9559); the witness encoder emits all
+    four as well."""
     b = bytes(payload)
     if b[:4] != _EBML.to_bytes(4, "big"):
         raise ValueError("not an EBML stream")
@@ -242,8 +243,6 @@ def _parse_simple_block(
     ts_ms = (cluster_ts + rel) * ts_scale // 1_000_000
     if lacing == 0:
         return [(track, ts_ms, b[p:q])]
-    if lacing == 3:
-        raise NotImplementedError("Matroska EBML lacing")
     if p >= q:
         raise ValueError("truncated Matroska lacing header")
     n = b[p] + 1
@@ -261,6 +260,26 @@ def _parse_simple_block(
                 if stop:
                     break
             sizes.append(size)
+    elif lacing == 3:
+        # EBML lacing (RFC 9559 §10): unsigned vint first size, then
+        # n-2 SIGNED vint deltas (raw - (2^(7*len-1) - 1)) against the
+        # previous size; the last frame is the block remainder
+        if n > 1:
+            size, p2 = _read_vint(b, p, keep_marker=False)
+            if p2 > q:
+                raise ValueError("truncated EBML lacing sizes")
+            p = p2
+            sizes.append(size)
+            for _ in range(n - 2):
+                raw, p2 = _read_vint(b, p, keep_marker=False)
+                if p2 > q:
+                    raise ValueError("truncated EBML lacing sizes")
+                delta = raw - ((1 << (7 * (p2 - p) - 1)) - 1)
+                p = p2
+                size += delta
+                if size < 0:
+                    raise ValueError("negative EBML-laced frame size")
+                sizes.append(size)
     else:  # fixed-size: remainder must split evenly
         if (q - p) % n:
             raise ValueError("Matroska fixed lacing does not split evenly")
@@ -337,6 +356,17 @@ def decode_mkv_frames(payload: bytes):
     return meta, out
 
 
+def _svint(delta: int) -> bytes:
+    """Signed EBML vint (RFC 9559 lace deltas): raw = delta + bias,
+    bias = 2^(7*len-1) - 1, shortest length that fits."""
+    for nbytes in range(1, 9):
+        bias = (1 << (7 * nbytes - 1)) - 1
+        raw = delta + bias
+        if 0 <= raw < (1 << (7 * nbytes)) - 1:
+            return (raw | (1 << (7 * nbytes))).to_bytes(nbytes, "big")
+    raise ValueError("EBML signed vint overflow")
+
+
 def _vint_size(size: int) -> bytes:
     for nbytes in range(1, 9):
         if size < (1 << (7 * nbytes)) - 1:  # all-ones is reserved
@@ -387,7 +417,7 @@ def build_mkv_mjpeg(
     byte-identical to the single-track writer."""
     if not frames:
         raise ValueError("Matroska clip needs at least one frame")
-    if lacing not in ("none", "xiph", "fixed"):
+    if lacing not in ("none", "xiph", "fixed", "ebml"):
         raise ValueError(f"unknown lacing {lacing!r}")
     track_num = 1
     header = _el(_EBML, _el(_DOCTYPE, b"matroska"))
@@ -439,7 +469,8 @@ def build_mkv_mjpeg(
                     vint_track + struct.pack(">h", ts - cts) + b"\x80" + fr,
                 )
         else:
-            flags = 0x80 | (0x02 if lacing == "xiph" else 0x04)
+            flags = 0x80 | {"xiph": 0x02, "fixed": 0x04,
+                            "ebml": 0x06}[lacing]
             head = vint_track + struct.pack(">h", 0) + bytes([flags])
             head += bytes([len(group) - 1])
             payload = b"".join(fr for _ts, fr in group)
@@ -447,6 +478,13 @@ def build_mkv_mjpeg(
                 for _ts, fr in group[:-1]:
                     size = len(fr)
                     head += b"\xff" * (size // 255) + bytes([size % 255])
+            elif lacing == "ebml":
+                if len(group) > 1:
+                    head += _vint_size(len(group[0][1]))
+                    prev = len(group[0][1])
+                    for _ts, fr in group[1:-1]:
+                        head += _svint(len(fr) - prev)
+                        prev = len(fr)
             else:
                 sizes = {len(fr) for _ts, fr in group}
                 if len(sizes) != 1:

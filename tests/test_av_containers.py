@@ -554,9 +554,9 @@ def test_decode_ogg_audio_dispatch():
 
 def test_mkv_cluster_block_walk_and_decode():
     """Matroska Cluster/SimpleBlock walk (r10): frame payloads, track
-    routing, cluster-relative timestamps, and all three implemented
-    lacing modes; V_MJPEG frames decode to pixels through
-    functions/jpeg.py."""
+    routing, cluster-relative timestamps, and the none/Xiph/fixed
+    lacing modes (EBML lacing has its own roundtrip test); V_MJPEG
+    frames decode to pixels through functions/jpeg.py."""
     import numpy as np
     import pytest
 
@@ -615,8 +615,10 @@ def test_mkv_cluster_block_walk_and_decode():
     with pytest.raises(NotImplementedError, match="V_VP9"):
         decode_mkv_frames(bytes(bad))
 
-    # EBML lacing (flags 0b110) is a named gate: hand-build a cluster
-    # whose single SimpleBlock claims EBML lacing
+    # EBML lacing (flags 0b110) DECODES as of r11 (see
+    # test_ebml_lacing_mode_roundtrip); a malformed EBML-laced block
+    # whose declared first-frame size overruns the block still fails
+    # loudly rather than mis-slicing
     from articulation_vector_db_api_spark.functions import ebml as E
 
     block = b"\x81" + b"\x00\x00" + bytes([0x80 | 0x06]) + b"\x01" + b"xx"
@@ -626,7 +628,7 @@ def test_mkv_cluster_block_walk_and_decode():
               E._uint_el(E._CLUSTER_TS, 0)
               + E._el(E._SIMPLE_BLOCK, block)),
     )
-    with pytest.raises(NotImplementedError, match="EBML lacing"):
+    with pytest.raises(ValueError, match="overruns block"):
         mkv_frames(mkv2)
 
 
@@ -1002,3 +1004,31 @@ def test_fuzz_mkv_vorbis_audio_contract():
         audio_codec_private=xiph_lace_private(packets[:3]),
     )
     _assert_contract("mkv-vorbis", mkv, decode_mkv_audio, n=60)
+
+
+def test_ebml_lacing_mode_roundtrip():
+    """EBML lacing (RFC 9559 mode 11): unsigned-vint first size,
+    signed-vint deltas — the last remaining lacing mode, now decoded
+    AND written."""
+    from articulation_vector_db_api_spark.functions.ebml import (
+        build_mkv_mjpeg,
+        mkv_frames,
+    )
+
+    frames = [
+        (0, b"first-frame"),
+        (40, b"a-much-longer-second-frame!" * 12),  # big positive delta
+        (80, b"x"),                                 # big negative delta
+        (120, b"tail-frame-remainder"),
+    ]
+    for per_cluster in (4, 2, 3):
+        mkv = build_mkv_mjpeg(
+            frames, 8, 8, lacing="ebml", frames_per_cluster=per_cluster
+        )
+        got = [f for _t, _ts, f in mkv_frames(mkv)]
+        assert got == [f for _ts, f in frames]
+    # malformed: truncating inside the lace header raises, not crashes
+    mkv = build_mkv_mjpeg(frames, 8, 8, lacing="ebml")
+    from tests.test_fuzz_contracts import _assert_contract
+
+    _assert_contract("mkv-ebml-lace", mkv, mkv_frames, n=80)

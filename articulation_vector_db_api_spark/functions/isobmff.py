@@ -107,18 +107,25 @@ def _mpeg4_descriptor(tag: int, payload: bytes) -> bytes:
     return bytes([tag]) + size + payload
 
 
-def build_esds(oti: int, decoder_config: bytes) -> bytes:
+def build_esds(
+    oti: int, decoder_config: bytes, stream_type: int = 4
+) -> bytes:
     """'esds' box: ES_Descriptor(3) > DecoderConfigDescriptor(4)
-    [objectTypeIndication, streamType=video] > DecoderSpecificInfo(5)
-    + SLConfigDescriptor(6, predefined=2). OTI 0x6A = MPEG-1 Visual
-    (ISO 14496-1 Table 5); decoder_config carries the sequence
-    header + GOP for MPEG-1."""
+    [objectTypeIndication, streamType] > DecoderSpecificInfo(5)
+    + SLConfigDescriptor(6, predefined=2). OTI 0x6A = MPEG-1 Visual,
+    0x6B = MPEG-1 Audio (ISO 14496-1 Table 5); stream_type 4 = visual,
+    5 = audio. For MPEG-1 video decoder_config carries the sequence
+    header + GOP; MPEG-1 audio needs none."""
     dcd = _mpeg4_descriptor(
         4,
-        bytes([oti, 0x11])          # streamType=4 (visual) <<2 | 1
+        bytes([oti, (stream_type << 2) | 1])
         + b"\x00\x00\x00"           # bufferSizeDB (24-bit)
         + struct.pack(">II", 0, 0)  # max/avg bitrate: unspecified
-        + _mpeg4_descriptor(5, decoder_config),
+        + (
+            _mpeg4_descriptor(5, decoder_config)
+            if decoder_config
+            else b""
+        ),
     )
     es = _mpeg4_descriptor(
         3, struct.pack(">HB", 1, 0) + dcd + _mpeg4_descriptor(6, b"\x02")
@@ -126,40 +133,23 @@ def build_esds(oti: int, decoder_config: bytes) -> bytes:
     return _full(b"esds", 0, es)
 
 
-def build_mp4_mjpeg(
+def _sample_table_boxes(
     samples: list[tuple[int, bytes]],
-    width: int,
-    height: int,
-    timescale: int = 90000,
-    samples_per_chunk: int = 2,
-    codec: str = "jpeg",
-    decoder_config: bytes = b"",
-) -> bytes:
-    """MP4 with ONE video track: ``samples`` is
-    [(duration_in_timescale_ticks, payload_bytes)]. Layout
-    ftyp|mdat|moov; samples group into mdat chunks of
-    ``samples_per_chunk`` (a trailing partial chunk gets its own stsc
-    run), stts compresses equal-duration runs, stco carries absolute
-    chunk offsets — the full sample-table machinery, not a one-chunk
-    shortcut. Default codec 'jpeg' (QuickTime Motion-JPEG); 'mp4v'
-    appends an esds box with objectTypeIndication 0x6A (MPEG-1
-    Visual) whose DecoderSpecificInfo is ``decoder_config`` (the
-    sequence header + GOP), samples being the per-picture access
-    units."""
-    if codec not in ("jpeg", "mp4v"):
-        raise NotImplementedError(f"MP4 writer codec {codec!r}")
-    if not samples:
-        raise ValueError("MP4 needs at least one sample")
-    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    samples_per_chunk: int,
+    mdat_payload_start: int,
+) -> tuple[bytes, bytes, bytes, bytes, bytes]:
+    """The shared stbl machinery -> (mdat, stts, stsc, stsz, stco):
+    samples group into mdat chunks of ``samples_per_chunk`` (a
+    trailing partial chunk gets its own stsc run), stts compresses
+    equal-duration runs, stco carries absolute chunk offsets."""
     sizes = [len(s) for _d, s in samples]
-    # chunk layout + stco offsets (mdat payload starts at ftyp+8)
     chunks: list[list[int]] = [
         list(range(i, min(i + samples_per_chunk, len(samples))))
         for i in range(0, len(samples), samples_per_chunk)
     ]
     mdat_payload = b"".join(s for _d, s in samples)
     offsets = []
-    pos = len(ftyp) + 8
+    pos = mdat_payload_start
     for ch in chunks:
         offsets.append(pos)
         pos += sum(sizes[k] for k in ch)
@@ -195,6 +185,37 @@ def build_mp4_mjpeg(
         b"stco", 0,
         struct.pack(">I", len(offsets))
         + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    return mdat, stts, stsc, stsz, stco
+
+
+def build_mp4_mjpeg(
+    samples: list[tuple[int, bytes]],
+    width: int,
+    height: int,
+    timescale: int = 90000,
+    samples_per_chunk: int = 2,
+    codec: str = "jpeg",
+    decoder_config: bytes = b"",
+) -> bytes:
+    """MP4 with ONE video track: ``samples`` is
+    [(duration_in_timescale_ticks, payload_bytes)]. Layout
+    ftyp|mdat|moov; samples group into mdat chunks of
+    ``samples_per_chunk`` (a trailing partial chunk gets its own stsc
+    run), stts compresses equal-duration runs, stco carries absolute
+    chunk offsets — the full sample-table machinery, not a one-chunk
+    shortcut. Default codec 'jpeg' (QuickTime Motion-JPEG); 'mp4v'
+    appends an esds box with objectTypeIndication 0x6A (MPEG-1
+    Visual) whose DecoderSpecificInfo is ``decoder_config`` (the
+    sequence header + GOP), samples being the per-picture access
+    units."""
+    if codec not in ("jpeg", "mp4v"):
+        raise NotImplementedError(f"MP4 writer codec {codec!r}")
+    if not samples:
+        raise ValueError("MP4 needs at least one sample")
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat, stts, stsc, stsz, stco = _sample_table_boxes(
+        samples, samples_per_chunk, len(ftyp) + 8
     )
     # VisualSampleEntry (86 bytes incl. header, plus esds for mp4v)
     esds = build_esds(0x6A, decoder_config) if codec == "mp4v" else b""
@@ -374,13 +395,28 @@ def _mp4_samples(b: bytes) -> tuple[dict, list[tuple[int, bytes]]]:
     # codec (0x6A = MPEG-1 Visual), DecoderSpecificInfo carries its
     # config (the MPEG-1 sequence header + GOP)
     oti = decoder_config = None
-    if codec == "mp4v":
+    sample_rate = channels = None
+    if codec in ("mp4v", "mp4a"):
+        # mp4v: esds after the 86 fixed VisualSampleEntry bytes;
+        # mp4a: esds after the 36-byte AudioSampleEntry, whose fixed
+        # fields carry channelcount/samplesize/samplerate (16.16)
         (entry_size,) = struct.unpack_from(">I", b, p + 8)
         entry_end = min(p + 8 + entry_size, _q)
-        for etype, ep, eq, _d in walk_boxes(b, p + 8 + 86, entry_end):
-            if etype == b"esds":
-                oti, decoder_config = _parse_esds(b[ep + 4 : eq])
-                break
+        skip = 86 if codec == "mp4v" else 36
+        if codec == "mp4a" and p + 8 + 36 <= entry_end:
+            channels, _ssz = struct.unpack_from(">HH", b, p + 8 + 24)
+            sample_rate = struct.unpack_from(">I", b, p + 8 + 32)[0] >> 16
+        try:
+            for etype, ep, eq, _d in walk_boxes(b, p + 8 + skip, entry_end):
+                if etype == b"esds":
+                    oti, decoder_config = _parse_esds(b[ep + 4 : eq])
+                    break
+        except ValueError:
+            # a sample entry without a well-formed esds (or a
+            # mislabeled entry whose fixed fields aren't boxes) keeps
+            # oti None — the decode paths gate on that, the metadata
+            # pass must not die here
+            oti = decoder_config = None
     # stsz — bound the declared count BEFORE any expansion: counts are
     # attacker-controlled, and a stomped 0xFFFFFFFF must be a cheap
     # ValueError, never a multi-GB list build (the Vorbis-hang lesson)
@@ -462,6 +498,8 @@ def _mp4_samples(b: bytes) -> tuple[dict, list[tuple[int, bytes]]]:
         {
             "codec": codec,
             "oti": oti,
+            "sample_rate": sample_rate,
+            "channels": channels,
             "decoder_config": decoder_config,
             "width": width,
             "height": height,
@@ -579,3 +617,122 @@ def tiff_dimensions(b: bytes) -> tuple[int, int]:
     if width is None or height is None:
         raise ValueError("TIFF IFD lacks dimension tags")
     return width, height
+
+
+def build_mp4_audio(
+    samples: list[tuple[int, bytes]],
+    rate: int,
+    channels: int = 1,
+    timescale: int | None = None,
+    samples_per_chunk: int = 3,
+    oti: int = 0x6B,
+) -> bytes:
+    """Audio-only MP4 (.m4a layout): an 'mp4a' AudioSampleEntry whose
+    esds declares objectTypeIndication ``oti`` (0x6B = MPEG-1 Audio —
+    Layers I/II/III — per ISO 14496-1 Table 5; 14496-14 §5.6 maps it
+    onto mp4a), samples being whole MPEG audio frames. Same
+    sample-table machinery as the video writer."""
+    if not samples:
+        raise ValueError("MP4 needs at least one sample")
+    timescale = rate if timescale is None else timescale
+    ftyp = _box(b"ftyp", b"M4A " + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat, stts, stsc, stsz, stco = _sample_table_boxes(
+        samples, samples_per_chunk, len(ftyp) + 8
+    )
+    esds = build_esds(oti, b"", stream_type=5)
+    ase = (
+        struct.pack(">I", 36 + len(esds))
+        + b"mp4a"
+        + bytes(6)                       # reserved
+        + struct.pack(">H", 1)           # data_reference_index
+        + bytes(8)                       # reserved
+        + struct.pack(">HH", channels, 16)  # channelcount, samplesize
+        + bytes(4)                       # pre_defined/reserved
+        + struct.pack(">I", rate << 16)  # samplerate 16.16
+        + esds
+    )
+    stsd = _full(b"stsd", 0, struct.pack(">I", 1) + ase)
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dinf = _box(
+        b"dinf",
+        _full(
+            b"dref", 0,
+            struct.pack(">I", 1) + _box(b"url ", struct.pack(">I", 1)),
+        ),
+    )
+    total = sum(d for d, _s in samples)
+    smhd = _full(b"smhd", 0, struct.pack(">HH", 0, 0))
+    minf = _box(b"minf", smhd + dinf + stbl)
+    mdhd = _full(
+        b"mdhd", 0,
+        struct.pack(">IIIIHH", 0, 0, timescale, total, 0x55C4, 0),
+    )
+    hdlr = _full(
+        b"hdlr", 0,
+        struct.pack(">I", 0) + b"soun" + bytes(12) + b"audio\x00",
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(
+        b"tkhd", 0,
+        struct.pack(">IIIII", 0, 0, 1, 0, total)
+        + bytes(8)
+        + struct.pack(">HHHH", 0, 0, 0x0100, 0)  # volume 1.0
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 0, 0)
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(
+        b"mvhd", 0,
+        struct.pack(">IIII", 0, 0, timescale, total)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + bytes(8)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + bytes(24)
+        + struct.pack(">I", 2),
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def decode_mp4_audio(b: bytes):
+    """Full AUDIO decode through the MP4 seam -> (info, rate,
+    channels, pcm [ch, samples]): the sample-table walk yields the
+    MPEG audio frames of an mp4a track whose esds declares
+    objectTypeIndication 0x6B (MPEG-1 Audio); concatenating them
+    reproduces the elementary stream and the frame header's layer
+    routes to the Layer I/II decoders (Layer III synthesis stays
+    honestly gated, like everywhere else in the engine). Other
+    sample-entry codecs or OTIs raise NotImplementedError."""
+    meta, samples = mp4_samples(b)
+    if meta["codec"] != "mp4a":
+        raise NotImplementedError(
+            f"MP4 audio decode for sample entry {meta['codec']!r}"
+        )
+    if meta["oti"] != 0x6B:
+        raise NotImplementedError(
+            f"MP4 mp4a objectTypeIndication {meta['oti']!r} "
+            "(engine decodes 0x6B MPEG-1 Audio)"
+        )
+    es = b"".join(s for _ts, s in samples)
+    from .mp3 import _parse_header
+
+    layer = _parse_header(es, 0)["layer"]
+    from .mp2 import decode_mp1, decode_mp2
+
+    if layer == 1:
+        rate, ch, pcm = decode_mp1(es)
+    elif layer == 2:
+        rate, ch, pcm = decode_mp2(es)
+    else:
+        raise NotImplementedError(
+            "MP4 MPEG-1 Layer III sample synthesis"
+        )
+    info = {
+        "codec": "mp4a",
+        "oti": meta["oti"],
+        "layer": layer,
+        "sample_rate": meta["sample_rate"],
+        "channels": meta["channels"],
+        "n_samples": len(samples),
+    }
+    return info, rate, ch, pcm

@@ -317,6 +317,7 @@ _WINDOW_DEFER = frozenset(
         "multimodal_subtitle_normalize",
         "multimodal_avi_av_extract",
         "multimodal_mkv_av_extract",
+        "multimodal_mp4_audio_extract",
     }
 )
 

@@ -3801,6 +3801,117 @@ def multimodal_mkv_av_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mp4_audio_extract",
+    oracle="""
+    SELECT doc_id,
+           CAST(107 AS BIGINT) AS oti,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+               AS audio_layer,
+           CAST(48000 AS BIGINT) AS audio_rate,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 6 ELSE 2 END AS BIGINT)
+               AS n_mp4_samples,
+           CAST(1 AS BIGINT) AS es_bit_exact,
+           CAST(1 AS BIGINT) AS decodes
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "audio"),
+)
+def multimodal_mp4_audio_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MPEG AUDIO IN MP4 (.m4a) — the third container family's audio
+    twin (next to multimodal_avi_av_extract / _mkv_av_extract): each
+    doc's Layer I/II tone (by parity) is framed into an mp4a track
+    whose esds declares objectTypeIndication 0x6B = MPEG-1 Audio (ISO
+    14496-1 Table 5 / 14496-14 §5.6), one whole MPEG frame per MP4
+    sample through the real stts/stsc/stsz/stco machinery. The
+    sample-table walk must reassemble the elementary stream BIT-EXACT
+    and decode_mp4_audio routes by the frame header's layer to the
+    Layer I/II decoders (functions/isobmff.py:decode_mp4_audio).
+
+    Oracle pins the OTI, layer/rate per parity, the per-layer MP4
+    sample count (Layer I frames are 384 samples -> 6 frames for the
+    1280+1024-sample tone; Layer II 1152 -> 2), bit-exactness, and
+    decode. Scale shape: Arrow narrow map, one stats row per doc."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("oti", T.LongType()),
+            T.StructField("audio_layer", T.LongType()),
+            T.StructField("audio_rate", T.LongType()),
+            T.StructField("n_mp4_samples", T.LongType()),
+            T.StructField("es_bit_exact", T.LongType()),
+            T.StructField("decodes", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.isobmff import (
+            build_mp4_audio,
+            decode_mp4_audio,
+            mp4_samples,
+        )
+        from ..functions.mp2 import encode_mp1, encode_mp2
+        from ..functions.mp3 import _parse_header
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                ts = np.arange(1280) / 48000.0
+                tone = 0.5 * np.sin(
+                    2 * np.pi * (240 + (i % 17) * 80) * ts
+                )
+                layer = 1 if i % 2 == 0 else 2
+                enc = (
+                    encode_mp1(tone, 48000, 192)
+                    if layer == 1
+                    else encode_mp2(tone, 48000, 192)
+                )
+                frames = []
+                k = 0
+                while k < len(enc):
+                    ln = _parse_header(enc, k)["length"]
+                    frames.append(enc[k : k + ln])
+                    k += ln
+                spf = 384 if layer == 1 else 1152
+                m4a = build_mp4_audio(
+                    [(spf, f) for f in frames], 48000
+                )
+                meta, samples = mp4_samples(m4a)
+                es = b"".join(s for _t2, s in samples)
+                info, rate, ch, pcm = decode_mp4_audio(m4a)
+                rows.append(
+                    (
+                        doc_id,
+                        meta["oti"],
+                        info["layer"],
+                        rate,
+                        len(samples),
+                        int(es == enc),
+                        int(ch == 1 and pcm.shape[1] > 0),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_mpeg_ps_roundtrip",
     oracle="""
     SELECT doc_id,

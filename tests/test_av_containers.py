@@ -679,6 +679,7 @@ def test_mp4_sample_table_walk_and_decode():
         "codec": "jpeg", "oti": None, "decoder_config": None,
         "width": 32, "height": 24, "timescale": 90000,
         "duration_ms": 350, "n_samples": 5,
+        "sample_rate": None, "channels": None,  # audio-entry fields
     }
     # run expansion: 0,100,200 then 250,300 ms
     assert [t for t, _s in samples] == [0, 9000, 18000, 22500, 27000]
@@ -1032,3 +1033,86 @@ def test_ebml_lacing_mode_roundtrip():
     from tests.test_fuzz_contracts import _assert_contract
 
     _assert_contract("mkv-ebml-lace", mkv, mkv_frames, n=80)
+
+
+# ---------------------------------------------------------------------------
+# MP4 audio tracks (mp4a + esds objectTypeIndication 0x6B)
+# ---------------------------------------------------------------------------
+
+
+def _mp4_audio_fixture(layer=2):
+    import numpy as np
+
+    from articulation_vector_db_api_spark.functions.isobmff import (
+        build_mp4_audio,
+    )
+    from articulation_vector_db_api_spark.functions.mp2 import (
+        encode_mp1,
+        encode_mp2,
+    )
+    from articulation_vector_db_api_spark.functions.mp3 import _parse_header
+
+    t = np.arange(4000) / 48000
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+    enc = (encode_mp1 if layer == 1 else encode_mp2)(tone, 48000, 192)
+    frames = []
+    i = 0
+    while i < len(enc):
+        ln = _parse_header(enc, i)["length"]
+        frames.append(enc[i : i + ln])
+        i += ln
+    spf = 384 if layer == 1 else 1152
+    return build_mp4_audio([(spf, f) for f in frames], 48000), enc, tone
+
+
+def test_mp4_audio_roundtrip_both_layers():
+    import numpy as np
+
+    from articulation_vector_db_api_spark.functions.isobmff import (
+        decode_mp4_audio,
+        mp4_samples,
+    )
+
+    for layer in (1, 2):
+        m4a, enc, tone = _mp4_audio_fixture(layer)
+        meta, samples = mp4_samples(m4a)
+        assert meta["codec"] == "mp4a" and meta["oti"] == 0x6B
+        assert meta["sample_rate"] == 48000 and meta["channels"] == 1
+        assert b"".join(s for _ts, s in samples) == enc  # bit-exact
+        info, rate, ch, pcm = decode_mp4_audio(m4a)
+        assert (info["layer"], rate, ch) == (layer, 48000, 1)
+        got = pcm[0][: len(tone)]
+        snr = 10 * np.log10(
+            (tone**2).sum() / max(((got - tone) ** 2).sum(), 1e-30)
+        )
+        assert snr > 30.0
+
+
+def test_mp4_audio_gates():
+    from articulation_vector_db_api_spark.functions.isobmff import (
+        build_mp4_audio,
+        build_mp4_mjpeg,
+        decode_mp4_audio,
+    )
+
+    video = build_mp4_mjpeg([(3600, b"\xff\xd8fake\xff\xd9")], 8, 8)
+    with pytest.raises(NotImplementedError, match="sample entry"):
+        decode_mp4_audio(video)
+    aac = build_mp4_audio([(1024, b"aacframe")], 48000, oti=0x40)
+    with pytest.raises(NotImplementedError, match="0x6B MPEG-1 Audio|objectTypeIndication"):
+        decode_mp4_audio(aac)
+    # Layer III frames inside mp4a/0x6B: honest synthesis gate
+    l3_header = bytes([0xFF, 0xFB, 0x90, 0xC4]) + bytes(413)
+    l3 = build_mp4_audio([(1152, l3_header)], 44100)
+    with pytest.raises(NotImplementedError, match="Layer III"):
+        decode_mp4_audio(l3)
+
+
+def test_fuzz_mp4_audio_contract():
+    from articulation_vector_db_api_spark.functions.isobmff import (
+        decode_mp4_audio,
+    )
+    from tests.test_fuzz_contracts import _assert_contract
+
+    m4a, _enc, _tone = _mp4_audio_fixture(2)
+    _assert_contract("mp4-audio", m4a, decode_mp4_audio, n=100)

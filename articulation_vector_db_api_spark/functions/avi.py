@@ -155,7 +155,9 @@ def build_avi(
                 int(af.get("block_align", 1)),      # scale
                 int(af["rate"]) * int(af.get("block_align", 1)),  # rate
                 0,
-                len(audio_payloads),
+                # dwLength is in samples for sample-based streams
+                sum(len(p) for p in audio_payloads)
+                // max(1, int(af.get("block_align", 1))),
                 max((len(p) for p in audio_payloads), default=0),
                 0xFFFFFFFF,
                 int(af.get("block_align", 1)),      # sample size
@@ -444,13 +446,15 @@ def extract_avi_audio(b: bytes) -> tuple[dict, bytes]:
         raise ValueError("not an AVI (RIFF/'AVI ') stream")
     pos = 4
     fmt: dict | None = None
+    audio_cc: bytes | None = None
+    movi_payloads: list[bytes] = []
     chunks: list[bytes] = []
 
     def walk_audio(payload: bytes) -> None:
         fpos = 4
         while fpos < len(payload):
             fcc, fp, fpos = _read_chunk(payload, fpos)
-            if fcc == b"01wb":
+            if fcc == audio_cc:
                 chunks.append(fp)
             elif fcc == b"LIST" and fp[:4] == b"rec ":
                 walk_audio(fp)
@@ -459,10 +463,12 @@ def extract_avi_audio(b: bytes) -> tuple[dict, bytes]:
         cc, payload, pos = _read_chunk(body, pos)
         if cc == b"LIST" and payload[:4] == b"hdrl":
             hpos = 4
+            stream_idx = -1
             while hpos < len(payload):
                 hcc, hp, hpos = _read_chunk(payload, hpos)
                 if hcc != b"LIST" or hp[:4] != b"strl":
                     continue
+                stream_idx += 1
                 spos = 4
                 s_strh = s_strf = None
                 while spos < len(hp):
@@ -486,9 +492,19 @@ def extract_avi_audio(b: bytes) -> tuple[dict, bytes]:
                         "avg_bytes": avg, "block_align": align,
                         "bits": bits,
                     }
+                    # chunk ids carry the stream's ORDINAL: the audio
+                    # stream at strl position k stores 'kkwb' chunks
+                    audio_cc = b"%02dwb" % stream_idx
         elif cc == b"LIST" and payload[:4] == b"movi":
-            walk_audio(payload)
+            movi_payloads.append(payload)
     if fmt is None:
         raise ValueError("AVI carries no audio ('auds') stream")
+    for payload in movi_payloads:
+        walk_audio(payload)
+    if not chunks:
+        raise ValueError(
+            f"AVI audio stream declares {audio_cc!r} chunks but the "
+            "movi list carries none"
+        )
     fmt["n_chunks"] = len(chunks)
     return fmt, b"".join(chunks)

@@ -128,11 +128,13 @@ def parse_ebml(payload: bytes) -> dict:
                     for tid, tp, tq in _walk(b, cp, cq):
                         if tid != _TRACK_ENTRY:
                             continue
-                        w = h = rate = ch = None
+                        w = h = rate = ch = ttype = None
                         number = codec_id = codec_private = None
                         for fid, fp, fq in _walk(b, tp, tq):
                             if fid == _TRACK_NUMBER:
                                 number = _uint(b, fp, fq)
+                            elif fid == _TRACK_TYPE:
+                                ttype = _uint(b, fp, fq)
                             elif fid == _CODEC_ID:
                                 codec_id = (
                                     b[fp:fq].split(b"\x00")[0].decode("ascii")
@@ -164,6 +166,7 @@ def parse_ebml(payload: bytes) -> dict:
                                 "height": h,
                                 "rate": rate,
                                 "channels": ch,
+                                "type": ttype,
                             }
                         )
     if doctype is None:
@@ -320,8 +323,14 @@ def decode_mkv_frames(payload: bytes):
             out.append((track, ts_ms, decode_jpeg(frame)))
         elif codec == "V_MPEG1":
             mpeg1_blocks.setdefault(track, []).append((ts_ms, frame))
-        elif codec is not None and codec.startswith("A_"):
-            continue  # audio tracks ride extract_mkv_audio, not pixels
+        elif (
+            (t["type"] is not None and t["type"] != 1)
+            or (codec is not None and not codec.startswith("V_"))
+        ):
+            # audio/subtitle/other tracks ride their own extractors
+            # (extract_mkv_audio / subtitle parsers), not the pixel
+            # walk; only an unknown VIDEO codec is a hard gate
+            continue
         else:
             raise NotImplementedError(f"Matroska codec {codec}")
     for track, blocks in mpeg1_blocks.items():
@@ -456,7 +465,9 @@ def build_mkv_mjpeg(
     clusters = b""
     vint_track = (0x80 | track_num).to_bytes(1, "big")
     vint_audio = (0x80 | 2).to_bytes(1, "big")
-    pending_audio = sorted(audio_blocks or [])
+    # ts-only sort: a tuple sort would reorder equal-timestamp blocks
+    # by payload bytes, corrupting the reassembled stream order
+    pending_audio = sorted(audio_blocks or [], key=lambda x: x[0])
     n_groups = -(-len(frames) // frames_per_cluster)
     for gi, c0 in enumerate(range(0, len(frames), frames_per_cluster)):
         group = frames[c0 : c0 + frames_per_cluster]
@@ -496,9 +507,14 @@ def build_mkv_mjpeg(
                 if gi + 1 < n_groups
                 else None
             )
+            # a SimpleBlock's relative timestamp is a SIGNED 16-bit
+            # field: audio in this cluster's range must also fit it;
+            # later audio (e.g. audio outrunning the video) rolls over
+            # into dedicated audio-only clusters below
             take = [
                 (ts, a) for ts, a in pending_audio
-                if next_cts is None or ts < next_cts
+                if (next_cts is None or ts < next_cts)
+                and ts - cts <= 32767
             ]
             pending_audio = pending_audio[len(take):]
             for ts, a in take:
@@ -506,6 +522,21 @@ def build_mkv_mjpeg(
                     _SIMPLE_BLOCK,
                     vint_audio + struct.pack(">h", ts - cts) + b"\x80" + a,
                 )
+        clusters += _el(_CLUSTER, body)
+    # audio tail past the last video cluster's int16 window: new
+    # audio-only clusters, re-based every <=30 s
+    while pending_audio:
+        cts = pending_audio[0][0]
+        take = [
+            (ts, a) for ts, a in pending_audio if ts - cts <= 30_000
+        ]
+        pending_audio = pending_audio[len(take):]
+        body = _uint_el(_CLUSTER_TS, cts)
+        for ts, a in take:
+            body += _el(
+                _SIMPLE_BLOCK,
+                vint_audio + struct.pack(">h", ts - cts) + b"\x80" + a,
+            )
         clusters += _el(_CLUSTER, body)
     segment = _el(_SEGMENT, info + _el(_TRACKS, tracks_body) + clusters)
     return header + segment
@@ -546,30 +577,21 @@ def build_webm(
     return header + segment
 
 
-def extract_mkv_audio(payload: bytes) -> tuple[dict, bytes]:
-    """Extract the first AUDIO track -> ({codec_id, rate, channels,
-    n_blocks}, elementary-stream bytes).
-
-    Per the Matroska codec mapping, A_MPEG/L1 and A_MPEG/L2 blocks
-    carry raw MPEG-audio frames, so concatenating them in timestamp
-    order reproduces the elementary stream functions/mp2.py decodes;
-    other audio codecs raise NotImplementedError (honest gate:
-    A_VORBIS needs the Xiph-laced CodecPrivate headers, A_OPUS a
-    perceptual decoder). Raises ValueError when the file has no audio
-    track."""
+def _first_audio_track_blocks(payload: bytes):
+    """-> (track_dict, [(ts, payload)] ts-sorted, info dict) for the
+    first audio track; ValueError when none exists or it is empty."""
     meta = parse_ebml(payload)
     atrack = next(
         (
             t for t in meta["tracks"]
-            if t["codec_id"] is not None and t["codec_id"].startswith("A_")
+            if (t["type"] == 2)
+            or (t["codec_id"] is not None
+                and t["codec_id"].startswith("A_"))
         ),
         None,
     )
     if atrack is None:
         raise ValueError("Matroska file carries no audio track")
-    codec = atrack["codec_id"]
-    if codec not in ("A_MPEG/L1", "A_MPEG/L2"):
-        raise NotImplementedError(f"Matroska audio codec {codec}")
     blocks = [
         (ts, fr)
         for track, ts, fr in mkv_frames(payload)
@@ -578,15 +600,32 @@ def extract_mkv_audio(payload: bytes) -> tuple[dict, bytes]:
     if not blocks:
         raise ValueError("Matroska audio track has no blocks")
     blocks.sort(key=lambda x: x[0])
-    return (
-        {
-            "codec_id": codec,
-            "rate": atrack["rate"],
-            "channels": atrack["channels"],
-            "n_blocks": len(blocks),
-        },
-        b"".join(fr for _ts, fr in blocks),
-    )
+    info = {
+        "codec_id": atrack["codec_id"],
+        "rate": atrack["rate"],
+        "channels": atrack["channels"],
+        "n_blocks": len(blocks),
+    }
+    return atrack, blocks, info
+
+
+def extract_mkv_audio(payload: bytes) -> tuple[dict, bytes]:
+    """Extract the first AUDIO track -> ({codec_id, rate, channels,
+    n_blocks}, elementary-stream bytes).
+
+    Per the Matroska codec mapping, A_MPEG/L1 and A_MPEG/L2 blocks
+    carry raw MPEG-audio frames, so concatenating them in timestamp
+    order reproduces the elementary stream functions/mp2.py decodes;
+    other audio codecs raise NotImplementedError (honest gate:
+    A_VORBIS needs the Xiph-laced CodecPrivate headers and rides
+    decode_mkv_audio, A_OPUS a perceptual decoder). Raises ValueError
+    when the file has no audio track."""
+    _atrack, blocks, info = _first_audio_track_blocks(payload)
+    if info["codec_id"] not in ("A_MPEG/L1", "A_MPEG/L2"):
+        raise NotImplementedError(
+            f"Matroska audio codec {info['codec_id']}"
+        )
+    return info, b"".join(fr for _ts, fr in blocks)
 
 
 def xiph_lace_private(packets: list[bytes]) -> bytes:
@@ -642,31 +681,8 @@ def decode_mkv_audio(payload: bytes):
     and rides functions/vorbis.py:decode_vorbis_packets. Other audio
     codecs raise NotImplementedError (honest gate: A_OPUS/A_AAC are
     perceptual codecs this engine gates by name)."""
-    meta = parse_ebml(payload)
-    atrack = next(
-        (
-            t for t in meta["tracks"]
-            if t["codec_id"] is not None and t["codec_id"].startswith("A_")
-        ),
-        None,
-    )
-    if atrack is None:
-        raise ValueError("Matroska file carries no audio track")
-    codec = atrack["codec_id"]
-    blocks = [
-        (ts, fr)
-        for track, ts, fr in mkv_frames(payload)
-        if track == atrack["number"]
-    ]
-    if not blocks:
-        raise ValueError("Matroska audio track has no blocks")
-    blocks.sort(key=lambda x: x[0])
-    info = {
-        "codec_id": codec,
-        "rate": atrack["rate"],
-        "channels": atrack["channels"],
-        "n_blocks": len(blocks),
-    }
+    atrack, blocks, info = _first_audio_track_blocks(payload)
+    codec = info["codec_id"]
     if codec in ("A_MPEG/L1", "A_MPEG/L2"):
         from .mp2 import decode_mp1, decode_mp2
 

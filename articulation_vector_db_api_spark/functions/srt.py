@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import re
 
+from .vtt import _check_payload, split_blocks
+
 _TIME = re.compile(r"^(\d{1,3}):([0-5]\d):([0-5]\d),(\d{3})$")
 
 
@@ -50,15 +52,8 @@ def build_srt(cues: list[tuple[int, int, str]]) -> str:
     for i, (start, end, text) in enumerate(cues):
         if end <= start:
             raise ValueError(f"cue {i}: end {end} <= start {start}")
-        if (
-            not text
-            or text.strip() != text
-            or "\r" in text
-            or any(not ln.strip() for ln in text.split("\n"))
-        ):
-            # a whitespace-only payload line would split the cue at
-            # parse time; \r cannot round-trip (normalized to \n)
-            raise ValueError(f"cue {i}: unencodable payload {text!r}")
+        # shared with WebVTT: same block model, same round-trip rules
+        _check_payload(i, text)
         parts.append(str(i + 1))
         parts.append(f"{_fmt_ts(start)} --> {_fmt_ts(end)}")
         parts.append(text)
@@ -79,17 +74,7 @@ def parse_srt(doc: str) -> list[dict]:
     if doc.startswith("﻿"):
         doc = doc[1:]
     lines = doc.replace("\r\n", "\n").replace("\r", "\n").split("\n")
-    blocks: list[list[str]] = []
-    cur: list[str] = []
-    for ln in lines:
-        if ln.strip() == "":
-            if cur:
-                blocks.append(cur)
-                cur = []
-        else:
-            cur.append(ln)
-    if cur:
-        blocks.append(cur)
+    blocks = split_blocks(lines)
     if not blocks:
         raise ValueError("not a SubRip document (no cue blocks)")
     cues: list[dict] = []

@@ -41,24 +41,46 @@ def _fmt_ts(ms: int) -> str:
     return f"{h:02d}:{m:02d}:{s:02d}.{ms:03d}"
 
 
+def _check_payload(i: int, text: str) -> None:
+    """Shared builder guard (WebVTT and SubRip block models both split
+    on blank lines and normalize \r): refuse payloads the parsers
+    could not round-trip."""
+    if (
+        not text
+        or text.strip() != text
+        or "\r" in text
+        or any(not ln.strip() for ln in text.split("\n"))
+    ):
+        raise ValueError(f"cue {i}: unencodable payload {text!r}")
+
+
+def split_blocks(lines: list[str]) -> list[list[str]]:
+    """Blank-line-separated block splitter shared by the WebVTT and
+    SubRip parsers."""
+    blocks: list[list[str]] = []
+    cur: list[str] = []
+    for ln in lines:
+        if ln.strip() == "":
+            if cur:
+                blocks.append(cur)
+                cur = []
+        else:
+            cur.append(ln)
+    if cur:
+        blocks.append(cur)
+    return blocks
+
+
 def build_vtt(cues: list[tuple[int, int, str]]) -> str:
     """[(start_ms, end_ms, text)] -> a WebVTT document."""
     parts = ["WEBVTT", ""]
     for i, (start, end, text) in enumerate(cues):
         if end <= start:
             raise ValueError(f"cue {i}: end {end} <= start {start}")
-        # any whitespace-only line would split the cue at parse time
-        # (the parser's block separator is lines whose strip() is
-        # empty), so the builder must refuse what its parser rejects
-        if (
-            not text
-            or text.strip() != text
-            or "\r" in text
-            or any(not ln.strip() for ln in text.split("\n"))
-        ):
-            # \r is rejected outright: the parser normalizes it to \n,
-            # so a payload containing it cannot round-trip unchanged
-            raise ValueError(f"cue {i}: unencodable payload {text!r}")
+        # any whitespace-only line would split the cue at parse time;
+        # \r is rejected outright (the parser normalizes it to \n, so
+        # it cannot round-trip unchanged)
+        _check_payload(i, text)
         parts.append(str(i + 1))
         parts.append(f"{_fmt_ts(start)} --> {_fmt_ts(end)}")
         parts.append(text)
@@ -89,18 +111,8 @@ def parse_vtt(doc: str) -> list[dict]:
     while body_start < len(lines) and lines[body_start].strip() != "":
         body_start += 1
     cues: list[dict] = []
-    # split into blank-line-separated blocks, skipping the header block
-    blocks: list[list[str]] = []
-    cur: list[str] = []
-    for ln in lines[body_start:]:
-        if ln.strip() == "":
-            if cur:
-                blocks.append(cur)
-                cur = []
-        else:
-            cur.append(ln)
-    if cur:
-        blocks.append(cur)
+    # blank-line-separated blocks, skipping the header block
+    blocks = split_blocks(lines[body_start:])
     for block in blocks:
         head = block[0].strip()
         # a comment block is the bare keyword (optionally followed by

@@ -3493,10 +3493,8 @@ def multimodal_subtitle_normalize(
         from ..functions.srt import (
             build_srt,
             parse_srt,
-            srt_to_vtt,
-            vtt_cues_to_srt,
         )
-        from ..functions.vtt import parse_vtt
+        from ..functions.vtt import build_vtt, parse_vtt
 
         for pdf in it:
             rows = []
@@ -3512,9 +3510,18 @@ def multimodal_subtitle_normalize(
                 # the quirks real corpora carry
                 srt = "﻿" + srt.replace("\n", "\r\n")
                 parsed = parse_srt(srt)
-                vtt = srt_to_vtt(srt)
+                # one parse per document per format: building from the
+                # already-parsed cues avoids srt_to_vtt/vtt_cues_to_srt
+                # re-parsing documents we already hold as cue lists
+                vtt = build_vtt(
+                    [(c["start_ms"], c["end_ms"], c["text"])
+                     for c in parsed]
+                )
                 via_vtt = parse_vtt(vtt)
-                back = parse_srt(vtt_cues_to_srt(vtt))
+                back = parse_srt(build_srt(
+                    [(c["start_ms"], c["end_ms"], c["text"])
+                     for c in via_vtt]
+                ))
                 as_tuples = lambda cs: [  # noqa: E731
                     (c["start_ms"], c["end_ms"], c["text"]) for c in cs
                 ]

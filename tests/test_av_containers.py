@@ -1116,3 +1116,83 @@ def test_fuzz_mp4_audio_contract():
 
     m4a, _enc, _tone = _mp4_audio_fixture(2)
     _assert_contract("mp4-audio", m4a, decode_mp4_audio, n=100)
+
+
+def test_mkv_audio_outruns_video_and_equal_ts_order():
+    """r11 second-review fixes: (1) audio blocks landing >32.767 s
+    after the last video cluster must roll into new audio-only
+    clusters instead of overflowing the signed 16-bit relative
+    timestamp; (2) equal-timestamp audio blocks must keep their input
+    order (a tuple sort would reorder them by payload bytes)."""
+    from articulation_vector_db_api_spark.functions.ebml import (
+        build_mkv_mjpeg,
+        extract_mkv_audio,
+        mkv_frames,
+    )
+
+    blocks = [
+        (0, b"zz-first-despite-sort-temptation"),
+        (0, b"aa-second"),
+        (40_000, b"far-future-chunk"),      # > int16 ms after cluster 0
+        (75_000, b"even-later"),            # > 30 s after the previous
+    ]
+    mkv = build_mkv_mjpeg(
+        [(0, b"\xff\xd8fake\xff\xd9")], 8, 8,
+        audio_blocks=blocks, audio_codec_id="A_MPEG/L2",
+    )
+    fmt, audio = extract_mkv_audio(mkv)
+    assert fmt["n_blocks"] == 4
+    assert audio == b"".join(p for _ts, p in blocks)
+    got = [
+        (ts, fr) for track, ts, fr in mkv_frames(mkv) if track == 2
+    ]
+    assert [ts for ts, _ in got] == [0, 0, 40_000, 75_000]
+
+
+def test_mkv_subtitle_track_does_not_abort_pixel_walk():
+    """A real MKV carries subtitle tracks (S_TEXT/UTF8) next to the
+    video; the pixel walk must skip them by TrackType, not die."""
+    import numpy as np
+
+    from articulation_vector_db_api_spark.functions import ebml as E
+    from articulation_vector_db_api_spark.functions.jpeg import (
+        encode_jpeg_baseline,
+    )
+
+    jp = encode_jpeg_baseline(
+        np.full((8, 8, 3), 99, dtype=np.uint8), quality=90
+    )
+    mkv = bytearray(E.build_mkv_mjpeg(
+        [(0, jp)], 8, 8,
+        audio_blocks=[(0, b"subtitle line")],
+        audio_codec_id="S_TEXT/UTF8",
+    ))
+    # the builder wrote TrackType 2 for the second track; flip it to
+    # the subtitle type (0x11) to model a real subtitle TrackEntry
+    at = bytes(mkv).find(b"S_TEXT/UTF8")
+    t_at = bytes(mkv).rfind(b"\x83\x81\x02", 0, at)
+    mkv[t_at + 2] = 0x11
+    meta, dec = E.decode_mkv_frames(bytes(mkv))
+    assert len(dec) == 1  # the video frame decodes, subtitles skipped
+    assert meta["tracks"][1]["type"] == 0x11
+
+
+def test_avi_audio_silently_empty_guard():
+    """An auds strl whose chunks are absent from movi must raise, not
+    return empty audio (r11 second review)."""
+    from articulation_vector_db_api_spark.functions.avi import (
+        build_avi,
+        extract_avi_audio,
+    )
+
+    vpay, aes = _mkv_av_fixture()[1:]  # reuse es bytes for payloads
+    avi = bytearray(build_avi(
+        [b"picture-bytes"], 16, 16, "MPG1",
+        audio_payloads=[aes[:100]],
+        audio_format={"tag": 0x0050, "channels": 1, "rate": 48000,
+                      "block_align": 1},
+    ))
+    # rename the movi + idx1 audio chunks away from the declared id
+    out = bytes(avi).replace(b"01wb", b"07wb")
+    with pytest.raises(ValueError, match="carries none"):
+        extract_avi_audio(out)

@@ -101,13 +101,9 @@ _VERIFIED = frozenset(
         "approx_percentile_prices", "array_functions",
         "cdc_snapshot_diff", "chunk_documents", "chunk_tokens_window",
         "cube_order_status", "curation_gopher_rules",
-        "curation_model_quality_score", "multimodal_audio_caption_align",
-        "multimodal_video_caption_align", "multimodal_qoi_roundtrip",
-        "multimodal_avi_dib_roundtrip", "multimodal_avi_mjpeg_scene_cuts",
-        "multimodal_mp4_mjpeg_decode", "pipeline_video_curation",
-        "multimodal_mkv_mjpeg_decode",
         "curation_importance_weights", "curation_mixture_weights",
-        "curation_pii_scrub", "curation_sample_quality_band",
+        "curation_model_quality_score", "curation_pii_scrub",
+        "curation_sample_quality_band",
         "curation_sample_weighted_priority",
         "curation_shard_assignment", "curation_topic_balance",
         "date_functions", "dedup_bloom_incremental", "dedup_cc_star",
@@ -156,48 +152,53 @@ _VERIFIED = frozenset(
         "mllib_minhash_dedup", "mllib_similarity_join",
         "mllib_tfidf_pipeline", "multimodal_adts_probe",
         "multimodal_audio_adpcm_roundtrip",
+        "multimodal_audio_caption_align",
         "multimodal_audio_flac_roundtrip", "multimodal_audio_framing",
         "multimodal_audio_g711_roundtrip", "multimodal_audio_resample",
         "multimodal_audio_vad_trim", "multimodal_audio_wav_roundtrip",
-        "multimodal_av_container_probe", "multimodal_binary_metadata",
+        "multimodal_av_container_probe", "multimodal_avi_dib_roundtrip",
+        "multimodal_avi_mjpeg_scene_cuts", "multimodal_binary_metadata",
         "multimodal_decode_features", "multimodal_dhash_image_dedup",
         "multimodal_frame_sample", "multimodal_gif_animation_frames",
         "multimodal_gif_roundtrip", "multimodal_jpeg_roundtrip",
-        "multimodal_modality_router", "multimodal_mp3_probe",
+        "multimodal_mkv_mjpeg_decode", "multimodal_modality_router",
+        "multimodal_mp2_decode", "multimodal_mp3_probe",
+        "multimodal_mp4_mjpeg_decode", "multimodal_mpeg1_iframe_decode",
         "multimodal_ogg_flac_roundtrip", "multimodal_opus_packet_stats",
         "multimodal_phash_dct_dedup", "multimodal_pixel_histogram",
-        "multimodal_pixel_roundtrip", "multimodal_resize_batch",
-        "multimodal_resize_pixels", "multimodal_tiff_roundtrip",
+        "multimodal_pixel_roundtrip", "multimodal_qoi_roundtrip",
+        "multimodal_resize_batch", "multimodal_resize_pixels",
+        "multimodal_tiff_roundtrip", "multimodal_video_caption_align",
         "multimodal_video_scene_cuts", "multimodal_vorbis_decode",
         "multimodal_webp_roundtrip", "nested_agg_big_spenders",
         "null_handling", "pack_sequences_token_budget",
         "pipeline_corpus_curation", "pipeline_dedup_keep_best",
         "pipeline_image_curation", "pipeline_training_export",
-        "pipeline_web_image_ingest", "pipeline_web_ingest",
-        "pivot_priority_multi_agg", "pivot_status_revenue",
-        "q10_returned_items", "q11_important_stock",
-        "q12_late_shipment_priority", "q13_customer_order_distribution",
-        "q14_promo_revenue", "q15_top_supplier",
-        "q16_supplier_count_by_part", "q17_correlated_subquery",
-        "q18_large_volume_customers", "q19_disjunctive_predicates",
-        "q1_pricing_summary", "q20_promo_stock_suppliers",
-        "q21_waiting_suppliers", "q22_dormant_customers",
-        "q2_min_cost_supplier", "q3_shipping_priority",
-        "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
-        "q7_nation_volume", "q8_market_share",
-        "q9_profit_by_nation_year", "rollup_hierarchical_time",
-        "rollup_revenue", "sample_deterministic_hash",
-        "sample_poisson_bootstrap", "sample_stratified_per_lang",
-        "sample_stratified_sources", "sample_train_val_test_split",
-        "sample_weighted_reservoir", "scalar_bitwise_ops",
-        "scalar_hash_digests", "scalar_printf_format",
-        "scalar_subquery_above_avg", "scalar_url_functions",
-        "scalar_uuid_surrogate", "scalar_variant_semistructured",
-        "scan_arrow_ipc_nested", "scan_arrow_ipc_roundtrip",
-        "scan_arrow_ipc_tz", "scan_avro_nested_roundtrip",
-        "scan_avro_roundtrip", "scan_avro_union_roundtrip",
-        "scan_csv_malformed_tolerant", "scan_csv_typed",
-        "scan_jsonl_gzip", "scan_jsonlines_nested",
+        "pipeline_video_curation", "pipeline_web_image_ingest",
+        "pipeline_web_ingest", "pivot_priority_multi_agg",
+        "pivot_status_revenue", "q10_returned_items",
+        "q11_important_stock", "q12_late_shipment_priority",
+        "q13_customer_order_distribution", "q14_promo_revenue",
+        "q15_top_supplier", "q16_supplier_count_by_part",
+        "q17_correlated_subquery", "q18_large_volume_customers",
+        "q19_disjunctive_predicates", "q1_pricing_summary",
+        "q20_promo_stock_suppliers", "q21_waiting_suppliers",
+        "q22_dormant_customers", "q2_min_cost_supplier",
+        "q3_shipping_priority", "q4_order_priority",
+        "q5_region_revenue", "q6_forecast_revenue", "q7_nation_volume",
+        "q8_market_share", "q9_profit_by_nation_year",
+        "rollup_hierarchical_time", "rollup_revenue",
+        "sample_deterministic_hash", "sample_poisson_bootstrap",
+        "sample_stratified_per_lang", "sample_stratified_sources",
+        "sample_train_val_test_split", "sample_weighted_reservoir",
+        "scalar_bitwise_ops", "scalar_hash_digests",
+        "scalar_printf_format", "scalar_subquery_above_avg",
+        "scalar_url_functions", "scalar_uuid_surrogate",
+        "scalar_variant_semistructured", "scan_arrow_ipc_nested",
+        "scan_arrow_ipc_roundtrip", "scan_arrow_ipc_tz",
+        "scan_avro_nested_roundtrip", "scan_avro_roundtrip",
+        "scan_avro_union_roundtrip", "scan_csv_malformed_tolerant",
+        "scan_csv_typed", "scan_jsonl_gzip", "scan_jsonlines_nested",
         "scan_orc_roundtrip", "scan_partitioned_pruned",
         "scan_schema_evolution_log", "scan_text_roundtrip",
         "scan_warc_roundtrip", "scan_xml_roundtrip",
@@ -247,51 +248,48 @@ _VERIFIED = frozenset(
     }
 )
 
-# Round-11 window (VERDICT r10 items 1, 8: the LAST rotation — after
-# this round no registered query's latest driver row predates r6):
-# 1. _WINDOW_FIRST: queries materially changed or added in r11 — the
-#    three rows-only→oracle-backed conversions (approx sketches now
-#    emit bounded-error witnesses the oracle expects true, the r10
-#    portable-register pattern applied to estimates) plus the round's
-#    new codec queries. Each parity-proven at sf0.001/0.01/0.1 before
-#    seating.
-# 2. _WINDOW_RESEAT: ALL remaining pre-r5 rows — the 11 r3-vintage
-#    (textops/UDF block) then the r4-vintage (TPC-H Q2-Q22 block,
-#    text-quality block, graph block), closing the evidence loop the
-#    r10 VERDICT demanded; the spare seats take the next-stalest r5
-#    rows.
+# Round-12 window (VERDICT r11 item 1: close the evidence debt):
+# 1. _WINDOW_FIRST: the 9 r11 additions that have never been
+#    driver-contacted (the MPEG-1 video P/B/container family, the
+#    Layer I decode, the MPEG-PS roundtrip, the three container A/V
+#    extractions, and subtitle normalization) — each parity-proven
+#    locally at sf0.001/0.01/0.1 in r11 and re-proven this round.
+# 2. _WINDOW_RESEAT: the 41 stalest oracle-backed rows, all with a
+#    latest driver contact of r5 (rotate_window.py ordering). After
+#    this window no registered query's latest row predates r6 except
+#    the ~7 r5 rows that don't fit the 50 seats (listed in
+#    COVERAGE.md for the r13 window).
 _WINDOW_FIRST = (
-    "approx_distinct_parts",
-    "approx_percentile_prices",
-    "agg_hll_sketch_rollup",
-    # r11 additions, never driver-seated: MPEG-1 Layer II full sample
-    # decode and MPEG-1 video I-frame decode (witness encoders + real
-    # decoders), each parity-proven at sf0.001/0.01/0.1
-    "multimodal_mp2_decode",
-    "multimodal_mpeg1_iframe_decode",
+    "multimodal_mp1_decode",
+    "multimodal_mpeg1_pframe_decode",
+    "multimodal_mpeg1_bframe_decode",
+    "multimodal_mpeg1_in_containers",
+    "multimodal_mpeg_ps_roundtrip",
+    "multimodal_avi_av_extract",
+    "multimodal_mkv_av_extract",
+    "multimodal_mp4_audio_extract",
+    "multimodal_subtitle_normalize",
 )
 _WINDOW_RESEAT = (
-    "text_pii_scrub", "text_quality_stats", "text_repetition_stats",
-    "text_tfidf_top_terms", "text_token_counts",
-    "text_topk_tokens_per_lang", "udf_applyinpandas_order_gaps",
-    "udf_grouped_agg_price_range", "udf_mapinarrow_bytelen",
-    "udf_pandas_vector_norm", "udtf_char_trigrams", "agg_argmax_order",
-    "agg_corr_moments", "agg_median_mode",
-    "ann_ivf_incremental_probe", "curation_mixture_weights",
-    "graph_pagerank", "graph_triangle_count",
-    "join_asof_forward_tolerance", "join_lateral_topn",
-    "mllib_count_vectorizer", "pack_sequences_token_budget",
-    "q10_returned_items", "q11_important_stock",
-    "q12_late_shipment_priority", "q13_customer_order_distribution",
-    "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_count_by_part", "q18_large_volume_customers",
-    "q19_disjunctive_predicates", "q20_promo_stock_suppliers",
-    "q21_waiting_suppliers", "q22_dormant_customers",
-    "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
-    "q9_profit_by_nation_year", "sample_stratified_per_lang",
-    "scalar_variant_semistructured", "search_mmr_diversified_k8",
-    "search_pluggable_embedder", "text_perplexity_score",
-    "text_rake_keywords", "agg_bit_aggregates",
+    "agg_countif_family", "agg_grouping_id_sets",
+    "agg_hll_portable_registers", "agg_trimmed_mean",
+    "agg_weighted_median", "ann_ivf_delete_probe",
+    "ann_ivf_range_query", "ann_range_query", "chunk_tokens_window",
+    "curation_gopher_rules", "curation_importance_weights",
+    "dedup_bloom_incremental", "dedup_url_normalize",
+    "dq_freshness_by_type", "embedding_dim_stats",
+    "embedding_matryoshka_topk", "events_funnel_time_bound",
+    "events_interval_coverage", "events_markov_transitions",
+    "events_resample_interpolate", "events_threshold_debounce",
+    "graph_bfs_hops", "graph_label_propagation",
+    "ingest_incremental_embed", "join_asof_nearest",
+    "join_bucketed_noshuffle", "mllib_ann_neighbors", "mllib_ivf_ann",
+    "mllib_minhash_dedup", "mllib_similarity_join",
+    "mllib_tfidf_pipeline", "multimodal_audio_framing",
+    "multimodal_video_scene_cuts", "pivot_priority_multi_agg",
+    "sample_train_val_test_split", "sample_weighted_reservoir",
+    "scalar_bitwise_ops", "scalar_hash_digests", "scalar_printf_format",
+    "scalar_url_functions", "scan_partitioned_pruned",
 )
 # Suite order for the rest of the unverified front (round-5 additions):
 # cheap scalar/relational families first, expensive similarity last.
@@ -301,23 +299,13 @@ _SUITE_WINDOW_ORDER = (
 )
 
 # Unverified queries DEFERRED past this round's window on purpose:
-# the r11 window is exactly the 5 changed/new priorities + 45 stale
-# reseats (the VERDICT r10 item-1 rotation), so EVERY query added
-# later in the round queues here for r12's window (the set below is
-# the authoritative list — currently the MPEG-1 video/audio/container
-# family plus the subtitle-normalization row). Each is parity-proven
-# locally at sf0.001/0.01/0.1 before registration.
+# the r12 window is exactly the 9 never-contacted r11 queries + 41
+# stalest r5 reseats (the VERDICT r11 item-1 rotation); every query
+# added later in round 12 queues here for the r13 window.
 _WINDOW_DEFER = frozenset(
     {
-        "multimodal_mpeg1_in_containers",
-        "multimodal_mpeg1_pframe_decode",
-        "multimodal_mpeg1_bframe_decode",
-        "multimodal_mp1_decode",
-        "multimodal_mpeg_ps_roundtrip",
-        "multimodal_subtitle_normalize",
-        "multimodal_avi_av_extract",
-        "multimodal_mkv_av_extract",
-        "multimodal_mp4_audio_extract",
+        # r12 additions queue here as they land (each parity-proven
+        # at sf0.001/0.01/0.1 before registration).
     }
 )
 

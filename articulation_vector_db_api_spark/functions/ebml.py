@@ -472,6 +472,25 @@ def build_mkv_mjpeg(
     for gi, c0 in enumerate(range(0, len(frames), frames_per_cluster)):
         group = frames[c0 : c0 + frames_per_cluster]
         cts = group[0][0]
+        # audio timestamped more than 32768 ms BEFORE this cluster's
+        # base can't fit the SimpleBlock's signed-16-bit relative
+        # field either (struct.error, not the module's ValueError):
+        # roll it into dedicated leading audio-only clusters re-based
+        # every <=30 s, mirroring the tail rollover below
+        while pending_audio and pending_audio[0][0] - cts < -32768:
+            acts = pending_audio[0][0]
+            take = [
+                (ts, a) for ts, a in pending_audio
+                if ts - acts <= 30_000 and ts - cts < -32768
+            ]
+            pending_audio = pending_audio[len(take):]
+            abody = _uint_el(_CLUSTER_TS, acts)
+            for ts, a in take:
+                abody += _el(
+                    _SIMPLE_BLOCK,
+                    vint_audio + struct.pack(">h", ts - acts) + b"\x80" + a,
+                )
+            clusters += _el(_CLUSTER, abody)
         body = _uint_el(_CLUSTER_TS, cts)
         if lacing == "none":
             for ts, fr in group:

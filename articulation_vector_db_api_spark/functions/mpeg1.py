@@ -577,13 +577,13 @@ def _mc_displacements(
     vx: int, vy: int, full_pel: int
 ) -> tuple[int, int, int, int]:
     """Coded vector -> (luma_hvy, luma_hvx, chroma_hvy, chroma_hvx) in
-    half-pel units. Chroma halves the coded value truncating toward
-    zero BEFORE the full-pel scaling (§2.4.4.3)."""
+    half-pel units. §2.4.4.2: full_pel doubles the RECONSTRUCTED
+    vector first; chroma then halves the luma displacement truncating
+    toward zero (§2.4.4.3) — so full_pel with an odd coded vector
+    yields an even luma displacement whose chroma half is exact."""
     unit = 2 if full_pel else 1
-    return (
-        vy * unit, vx * unit,
-        _trunc_half(vy) * unit, _trunc_half(vx) * unit,
-    )
+    lvy, lvx = vy * unit, vx * unit
+    return lvy, lvx, _trunc_half(lvy), _trunc_half(lvx)
 
 
 def _write_increment(w: _BitWriter, inc: int) -> None:
@@ -654,9 +654,14 @@ def _search_motion(
     Candidates whose prediction window leaves the frame are skipped;
     (0, 0) is always valid."""
     step = 2 if full_pel else 1
+    # align the candidate range to multiples of `step` so every
+    # evaluated displacement is representable as a coded vector —
+    # an odd `search` with full_pel would otherwise iterate half-pel
+    # candidates and floor-divide them into a DIFFERENT prediction
+    lim = (search // step) * step
     best, best_sad = (0, 0), None
-    for hvy in range(-search, search + 1, step):
-        for hvx in range(-search, search + 1, step):
+    for hvy in range(-lim, lim + 1, step):
+        for hvx in range(-lim, lim + 1, step):
             try:
                 pred = _mc_block(ref, oy, ox, 16, hvy, hvx)
             except ValueError:
@@ -1310,6 +1315,8 @@ def decode_m1v(b: bytes) -> tuple[dict, list[np.ndarray]]:
             break
         if code in (0xB3, 0xB8):  # repeated sequence header / GOP
             continue
+        if code in (0xB2, 0xB5):  # user_data / extension: skip payload
+            continue  # _next_start_code scans past it next iteration
         if code == 0x00:  # picture
             pr = _BitReader(data[pos:])
             _tref = pr.read(10)
@@ -1364,6 +1371,11 @@ def decode_m1v(b: bytes) -> tuple[dict, list[np.ndarray]]:
                     scode, spos = _next_start_code(data, pos)
                 except ValueError:
                     raise ValueError("MPEG-1 picture without terminator")
+                if scode in (0xB2, 0xB5):
+                    # encoder-signature user_data / extension between
+                    # picture header and first slice: skip its payload
+                    pos = spos
+                    continue
                 if not 0x01 <= scode <= 0xAF:
                     break
                 saw_slice = True

@@ -1196,3 +1196,27 @@ def test_avi_audio_silently_empty_guard():
     out = bytes(avi).replace(b"01wb", b"07wb")
     with pytest.raises(ValueError, match="carries none"):
         extract_avi_audio(out)
+
+
+def test_mkv_audio_long_before_first_video_cluster():
+    """Audio timestamped more than 32768 ms before the first video
+    cluster base can't fit a SimpleBlock's signed-16-bit relative
+    timestamp: it rolls into dedicated LEADING audio-only clusters
+    (re-based every <=30 s) instead of crashing in struct.pack."""
+    from articulation_vector_db_api_spark.functions.ebml import (
+        build_mkv_mjpeg,
+        extract_mkv_audio,
+    )
+
+    jp = b"\xff\xd8fakejpeg\xff\xd9"
+    # video starts at t=70 s; audio spans t=0..65 s (both the >30 s
+    # re-base split and the in-window remainder are exercised)
+    blocks = [(k * 5_000, b"pkt%d" % k) for k in range(14)]
+    mkv = build_mkv_mjpeg(
+        [(70_000, jp)], 8, 8,
+        audio_blocks=blocks, audio_codec_id="A_MPEG/L2",
+        audio_rate=48000, audio_channels=1,
+    )
+    fmt, audio = extract_mkv_audio(mkv)
+    assert fmt["codec_id"] == "A_MPEG/L2"
+    assert audio == b"".join(p for _ts, p in blocks)

@@ -545,3 +545,98 @@ def test_fuzz_mpeg1_d_picture_contract():
     fr = np.stack([(60 + xx * 3).clip(0, 255)] * 3, -1).astype(np.uint8)
     es = encode_m1v([fr, fr], qscale=4, d_pictures=True)
     _assert_contract("m1v-d", es, decode_m1v, n=100)
+
+
+def test_mc_displacements_full_pel_doubles_before_chroma_halving():
+    """§2.4.4.2: full_pel doubles the RECONSTRUCTED vector first, and
+    §2.4.4.3 halves the resulting luma displacement for chroma — so an
+    odd coded vector under full_pel gives chroma exactly half the luma
+    displacement (3 -> luma 6 half-pel, chroma 3), NOT trunc-half of
+    the coded value scaled after (which would displace chroma by one
+    half-pel: trunc_half(3)*2 = 2)."""
+    from articulation_vector_db_api_spark.functions.mpeg1 import (
+        _mc_displacements,
+    )
+
+    # (vx, vy, full_pel) -> (luma_hvy, luma_hvx, chroma_hvy, chroma_hvx)
+    assert _mc_displacements(3, -3, 1) == (-6, 6, -3, 3)
+    assert _mc_displacements(-1, 1, 1) == (2, -2, 1, -1)
+    # even vectors and half-pel mode are unchanged by the ordering
+    assert _mc_displacements(2, -4, 1) == (-8, 4, -4, 2)
+    assert _mc_displacements(3, -3, 0) == (-3, 3, -1, 1)
+
+
+def test_full_pel_odd_vector_roundtrip():
+    """A textured colored square translating 3 pel per frame under
+    full_pel codes an ODD vector — the case where chroma displacement
+    ordering matters; colored content pins the chroma prediction end
+    to end."""
+
+    def moving3(t, h=32, w=64):
+        img = np.full((h, w, 3), 90, dtype=np.uint8)
+        yy, xx = np.mgrid[0:16, 0:16]
+        sq = (120 + 6 * xx + 4 * yy).clip(0, 255).astype(np.uint8)
+        x0 = 3 + 3 * t
+        img[8:24, x0 : x0 + 16, 0] = sq
+        img[8:24, x0 : x0 + 16, 1] = 255 - sq
+        img[8:24, x0 : x0 + 16, 2] = sq[::-1]
+        return img
+
+    mf = [moving3(t) for t in range(3)]
+    meta, dec = decode_m1v(
+        encode_m1v(mf, qscale=2, p_frames=True, full_pel=True, search=8)
+    )
+    assert meta["n_p"] == 2
+    for a, b in zip(mf, dec):
+        assert _snr(a, b) > 16.0
+
+
+def test_search_motion_full_pel_odd_search_stays_representable():
+    """An odd ``search`` under full_pel must not evaluate half-pel
+    candidates it can't code: every returned vector re-expands to a
+    displacement that was actually scored (no encoder drift), so the
+    odd-search result equals the aligned even-search result."""
+    from articulation_vector_db_api_spark.functions.mpeg1 import (
+        _search_motion,
+    )
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    ref = ((yy * 7 + xx * 13) % 256).astype(np.int64)
+    cur = ref[16 + 2 : 16 + 18, 16 - 2 : 16 + 14]  # true shift (+2, -2) px
+    v_odd = _search_motion(cur, ref, 16, 16, 5, 1)
+    v_even = _search_motion(cur, ref, 16, 16, 4, 1)
+    assert v_odd == v_even == (2, -2)
+    # end-to-end: odd search with full_pel still roundtrips cleanly
+    mf = [_moving(t) for t in range(3)]
+    meta, dec = decode_m1v(
+        encode_m1v(mf, qscale=3, p_frames=True, full_pel=True, search=5)
+    )
+    assert meta["n_p"] == 2
+    for a, b in zip(mf, dec):
+        assert _snr(a, b) > 15.0
+
+
+def test_user_data_and_extension_start_codes_skipped():
+    """Real archival .mpg streams carry encoder-signature user_data
+    (0xB2) and extension (0xB5) payloads at sequence level and between
+    picture header and first slice; the decoder skips them instead of
+    raising (payloads contain no start-code emulation by spec)."""
+    frames = [_frame(i) for i in range(2)]
+    es = encode_m1v(frames, qscale=4)
+    clean = decode_m1v(es)[1]
+
+    user_data = b"\x00\x00\x01\xb2" + b"engine witness encoder v12"
+    extension = b"\x00\x00\x01\xb5" + b"\x12\x34\x56"
+    # sequence level: after the GOP header, before the first picture
+    first_pic = es.index(b"\x00\x00\x01\x00")
+    # between picture header and first slice of the SECOND picture
+    second_pic = es.index(b"\x00\x00\x01\x00", first_pic + 4)
+    first_slice_after = es.index(b"\x00\x00\x01\x01", second_pic)
+    salted = (
+        es[:first_pic] + user_data + es[first_pic:first_slice_after]
+        + extension + es[first_slice_after:]
+    )
+    meta, dec = decode_m1v(salted)
+    assert meta["n_frames"] == 2
+    for a, b in zip(clean, dec):
+        assert (a == b).all()

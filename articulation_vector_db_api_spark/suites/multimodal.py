@@ -3102,7 +3102,12 @@ def multimodal_mp1_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     III stays honestly gated (hybrid filterbank).
 
     Scale shape: Arrow-batched narrow map, zero shuffle of audio
-    bytes, one stats row per doc."""
+    bytes, one stats row per doc. The encoded streams come from a
+    once-per-app parquet fixture (_mp1_witness_store, the WARC shard
+    pattern) so the measured query is container walk + DECODE — the
+    r11 verdict flagged in-query witness encoding as bench distortion
+    (the reference PCM for the SNR check is regenerated in-map: two
+    numpy sines, negligible next to the decode)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -3125,23 +3130,18 @@ def multimodal_mp1_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from ..functions.mp2 import decode_mp1, encode_mp1
+        from ..functions.mp2 import decode_mp1
         from ..functions.mp3 import parse_mp3
 
         n = 1280  # + 1024 cascade cover = exactly 6 Layer I frames
         for pdf in it:
             rows = []
-            for doc_id in pdf["doc_id"]:
+            for doc_id, enc in zip(pdf["doc_id"], pdf["es"]):
                 i = int(doc_id)
                 rate = 48000 if i % 2 == 0 else 32000
                 bitrate = (96, 192, 320)[i % 3]
-                t = np.arange(n) / rate
-                x = 0.5 * np.sin(
-                    2 * np.pi * (180 + (i % 23) * 120) * t
-                ) + 0.35 * np.sin(2 * np.pi * (450 + (i % 17) * 170) * t)
-                if i % 4 == 0:
-                    x = np.stack([x, 0.7 * x[::-1]])
-                enc = encode_mp1(x, rate, bitrate)
+                x = _mp1_witness_pcm(i, n)
+                enc = bytes(enc)
                 meta = parse_mp3(enc)  # structural cross-check
                 r, ch, pcm = decode_mp1(enc)
                 ref = x if x.ndim == 2 else x[None, :]
@@ -3175,13 +3175,73 @@ def multimodal_mp1_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    d = load_table(spark, sf_dir, "documents")
+    store = _mp1_witness_store(spark, sf_dir)
     return (
-        d.select("doc_id")
+        spark.read.parquet(store)
         .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(batches, schema)
         .orderBy("doc_id")
     )
+
+
+def _mp1_witness_pcm(i: int, n: int = 1280):
+    """Deterministic per-doc reference PCM for the MP1 witness — the
+    same signal the fixture builder encoded; regenerated in the decode
+    map for the SNR check (two sines: negligible vs the decode)."""
+    import numpy as np
+
+    rate = 48000 if i % 2 == 0 else 32000
+    t = np.arange(n) / rate
+    x = 0.5 * np.sin(
+        2 * np.pi * (180 + (i % 23) * 120) * t
+    ) + 0.35 * np.sin(2 * np.pi * (450 + (i % 17) * 170) * t)
+    if i % 4 == 0:
+        x = np.stack([x, 0.7 * x[::-1]])
+    return x
+
+
+def _mp1_witness_store(spark: SparkSession, sf_dir: str) -> str:
+    """Once-per-app parquet fixture of encoded Layer I elementary
+    streams (doc_id, es) — distributed mapInPandas build, the WARC
+    shard pattern — so the benched/parity query measures DECODE, not
+    witness synthesis (r11 verdict 'What's wrong' #1)."""
+    from .similarity import _build_once
+
+    def _build(p: str) -> None:
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("es", T.BinaryType()),
+            ]
+        )
+
+        def encode_batches(it):
+            import pandas as pd
+
+            from ..functions.mp2 import encode_mp1
+
+            for pdf in it:
+                rows = []
+                for doc_id in pdf["doc_id"]:
+                    i = int(doc_id)
+                    rate = 48000 if i % 2 == 0 else 32000
+                    bitrate = (96, 192, 320)[i % 3]
+                    x = _mp1_witness_pcm(i)
+                    rows.append((i, encode_mp1(x, rate, bitrate)))
+                yield pd.DataFrame(rows, columns=["doc_id", "es"])
+
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .mapInPandas(encode_batches, out_schema)
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+
+    return _build_once(spark, "mp1_witness_es", sf_dir, _build)
 
 
 @register(
@@ -3231,7 +3291,12 @@ def multimodal_mpeg1_pframe_decode(
 
     Scale shape: Arrow-batched narrow map, zero shuffle of video
     bytes, one stats row per doc — identical envelope to the iframe
-    query."""
+    query. The IPPP streams and the all-intra twin's size come from a
+    once-per-app parquet fixture (_mpeg1_pframe_store, the WARC shard
+    pattern): the exhaustive half-pel motion search in encode_m1v is
+    fixture-build cost, not query cost, so the benched number reflects
+    the DECODE path (r11 verdict 'What's wrong' #1; the reference
+    frames for the SNR check regenerate in-map from numpy slices)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -3256,32 +3321,20 @@ def multimodal_mpeg1_pframe_decode(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from ..functions.mpeg1 import decode_m1v, encode_m1v
+        from ..functions.mpeg1 import decode_m1v
 
         h = w = 32
         n_frames = 4
-        yy, xx = np.mgrid[0:16, 0:16]
         for pdf in it:
             rows = []
-            for doc_id in pdf["doc_id"]:
+            for doc_id, es, intra_len in zip(
+                pdf["doc_id"], pdf["es"], pdf["intra_len"]
+            ):
                 i = int(doc_id)
                 qscale = (3, 4, 6)[i % 3]
                 f_code = 2 if i % 4 == 0 else 1
-                sq = (
-                    100 + 7 * xx + 5 * yy + 13 * (i % 9)
-                ).clip(0, 255).astype(np.uint8)
-                frames = []
-                for t in range(n_frames):
-                    img = np.full((h, w, 3), 70 + (i % 17), dtype=np.uint8)
-                    x0 = 2 + ((i % 3) + 1) * t  # 1..3 pel/frame motion
-                    img[8:24, x0 : x0 + 16, 0] = sq
-                    img[8:24, x0 : x0 + 16, 1] = 255 - sq
-                    img[8:24, x0 : x0 + 16, 2] = sq[::-1]
-                    frames.append(img)
-                es = encode_m1v(
-                    frames, qscale=qscale, p_frames=True, f_code=f_code
-                )
-                es_intra = encode_m1v(frames, qscale=qscale)
+                es = bytes(es)
+                frames = _mpeg1_pframe_frames(i)
                 meta, dec = decode_m1v(es)
                 if (
                     meta["width"], meta["height"], meta["n_frames"]
@@ -3301,18 +3354,90 @@ def multimodal_mpeg1_pframe_decode(
                         qscale, f_code,
                         int(snr > 17.0),
                         int(abs(e_ratio - 1.0) < 0.12),
-                        int(len(es) < len(es_intra)),
+                        int(len(es) < int(intra_len)),
                     )
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    d = load_table(spark, sf_dir, "documents")
+    store = _mpeg1_pframe_store(spark, sf_dir)
     return (
-        d.select("doc_id")
+        spark.read.parquet(store)
         .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(batches, schema)
         .orderBy("doc_id")
     )
+
+
+def _mpeg1_pframe_frames(i: int) -> list:
+    """Deterministic per-doc IPPP witness scene (textured square
+    translating 1..3 pel/frame over a static background) — shared by
+    the fixture builder (encode) and the decode map (SNR reference)."""
+    import numpy as np
+
+    h = w = 32
+    yy, xx = np.mgrid[0:16, 0:16]
+    sq = (100 + 7 * xx + 5 * yy + 13 * (i % 9)).clip(0, 255).astype(np.uint8)
+    frames = []
+    for t in range(4):
+        img = np.full((h, w, 3), 70 + (i % 17), dtype=np.uint8)
+        x0 = 2 + ((i % 3) + 1) * t  # 1..3 pel/frame motion
+        img[8:24, x0 : x0 + 16, 0] = sq
+        img[8:24, x0 : x0 + 16, 1] = 255 - sq
+        img[8:24, x0 : x0 + 16, 2] = sq[::-1]
+        frames.append(img)
+    return frames
+
+
+def _mpeg1_pframe_store(spark: SparkSession, sf_dir: str) -> str:
+    """Once-per-app parquet fixture of IPPP elementary streams
+    (doc_id, es, intra_len) — distributed mapInPandas build, the WARC
+    shard pattern. intra_len carries the all-intra twin's size for the
+    mc_compresses witness without storing the twin's bytes."""
+    from .similarity import _build_once
+
+    def _build(p: str) -> None:
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("es", T.BinaryType()),
+                T.StructField("intra_len", T.LongType()),
+            ]
+        )
+
+        def encode_batches(it):
+            import pandas as pd
+
+            from ..functions.mpeg1 import encode_m1v
+
+            for pdf in it:
+                rows = []
+                for doc_id in pdf["doc_id"]:
+                    i = int(doc_id)
+                    qscale = (3, 4, 6)[i % 3]
+                    f_code = 2 if i % 4 == 0 else 1
+                    frames = _mpeg1_pframe_frames(i)
+                    es = encode_m1v(
+                        frames, qscale=qscale, p_frames=True, f_code=f_code
+                    )
+                    rows.append(
+                        (i, es, len(encode_m1v(frames, qscale=qscale)))
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "es", "intra_len"]
+                )
+
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .mapInPandas(encode_batches, out_schema)
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+
+    return _build_once(spark, "mpeg1_pframe_es", sf_dir, _build)
 
 
 @register(

@@ -23,13 +23,15 @@ What is exact-to-spec (closed forms, no literal tables needed):
 
 Two documented reconstructions (the same honesty class as the Vorbis
 inverse-dB note, functions/vorbis.py):
-- the bit-allocation table is the engine's reconstruction of Table
-  3-B.2a (sblimit 27; 4-bit rows for subbands 0–10, 3-bit for 11–22,
-  2-bit for 23–26, each row ending in the 16-bit class). The witness
-  encoder and the decoder share it, so roundtrips are bit-sound;
-  streams quantized under B.2b/c/d (low rates / 32 kHz low-bitrate)
-  are gated with NotImplementedError by (rate, bitrate) before any
-  sample is misread.
+- the bit-allocation tables are the engine's reconstruction of the
+  full Table 3-B.2 family (r12 — the r11 build gated b/c/d): B.2a
+  (sblimit 27; 4-bit rows for subbands 0–10, 3-bit for 11–22, 2-bit
+  for 23–26, each row ending in the 16-bit class), B.2b (same rows,
+  2-bit top region extended to sblimit 30), and the low-rate pair
+  B.2c/B.2d (sblimit 8/12; the 9-level grouped class replaces 7 and
+  ladders stop at 32767/127). §2.4.2.3's selection rule maps
+  (sampling rate, per-channel bitrate) to the table. The witness
+  encoder and the decoder share them, so roundtrips are bit-sound.
 - the 512-tap prototype window is an engine-designed Kaiser-windowed
   sinc (the spec's Table 3-C.1 is a literal 512-value table with no
   published closed form). Analysis and synthesis share the prototype,
@@ -63,13 +65,32 @@ _ROW_MID = (0, 3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047,
 _ROW_HIGH = (0, 3, 5, 7, 9, 15, 31, 65535)      # subbands 11-22, 3 bits
 _ROW_TOP = (0, 3, 5, 65535)                     # subbands 23-26, 2 bits
 
+# low-rate rows shared by B.2c and B.2d (closed-form reconstruction
+# like the B.2a rows: the 9-level grouped class replaces 7, ladders
+# stop at 32767/127 — §2.4.2.3's low-rate quantization set)
+_ROW_LR_HI = (0, 3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047,
+              4095, 8191, 16383, 32767)         # subbands 0-1, 4 bits
+_ROW_LR_LO = (0, 3, 5, 9, 15, 31, 63, 127)      # subbands 2+, 3 bits
+
+# the four B.2 tables: B.2b extends B.2a's 2-bit top region to
+# sblimit 30; B.2c/d are the low-rate pair (sblimit 8 / 12)
+_B2_TABLES: dict[str, tuple[tuple[int, ...], ...]] = {
+    "a": (_ROW_LOW,) * 3 + (_ROW_MID,) * 8
+         + (_ROW_HIGH,) * 12 + (_ROW_TOP,) * 4,
+    "b": (_ROW_LOW,) * 3 + (_ROW_MID,) * 8
+         + (_ROW_HIGH,) * 12 + (_ROW_TOP,) * 7,
+    "c": (_ROW_LR_HI,) * 2 + (_ROW_LR_LO,) * 6,
+    "d": (_ROW_LR_HI,) * 2 + (_ROW_LR_LO,) * 10,
+}
+_B2_BITS: dict[str, tuple[int, ...]] = {
+    k: tuple((len(row) - 1).bit_length() for row in tab)
+    for k, tab in _B2_TABLES.items()
+}
+
+# B.2a aliases (the original public surface; tests build B.2a frames)
 SBLIMIT = 27
-ALLOC_TABLE: tuple[tuple[int, ...], ...] = (
-    (_ROW_LOW,) * 3 + (_ROW_MID,) * 8 + (_ROW_HIGH,) * 12 + (_ROW_TOP,) * 4
-)
-ALLOC_BITS = tuple(
-    (len(row) - 1).bit_length() for row in ALLOC_TABLE
-)  # 4,4,4 | 4×8 | 3×12 | 2×4
+ALLOC_TABLE: tuple[tuple[int, ...], ...] = _B2_TABLES["a"]
+ALLOC_BITS = _B2_BITS["a"]  # 4,4,4 | 4×8 | 3×12 | 2×4
 
 # grouped classes: n-levels -> total bits for one 3-sample group
 _GROUP_BITS = {3: 5, 5: 7, 9: 10}
@@ -248,21 +269,19 @@ _BITRATE_IDX = {  # MPEG-1 Layer II kbps -> header index
 FRAME_SAMPLES = 1152  # per channel; 36 granule-sets of 32 subbands
 
 
-def _check_table_a(rate: int, bitrate_kbps: int, channels: int) -> None:
-    """Gate to the (rate, per-channel bitrate) region that selects
-    Table B.2a per ISO 11172-3 §2.4.2.3's table-selection rule:
-    48 kHz at >= 56 kbps/channel, or 56-80 kbps/channel at any rate.
-    Everything else selects B.2b (44.1/32 kHz at >= 96 — sblimit 30)
-    or B.2c/d (low rates) and must fail loudly, never misread: the
-    r11 self-review found the previous gate admitted the B.2b region,
-    so a standard 44.1 kHz 192 kbps stereo stream would have misparsed
-    instead of raising."""
+def _select_table(rate: int, bitrate_kbps: int, channels: int) -> str:
+    """ISO 11172-3 §2.4.2.3 table selection by (sampling rate,
+    per-channel bitrate): 32-48 kbps/ch takes the low-rate pair
+    (B.2d at 32 kHz, B.2c at 44.1/48), 56-80 kbps/ch takes B.2a
+    everywhere, and 96+ kbps/ch takes B.2a at 48 kHz but B.2b
+    (sblimit 30) at 44.1/32 kHz. All four tables decode as of r12 —
+    the r11 gate raised for b/c/d."""
     per_ch = bitrate_kbps // channels
-    if not ((rate == 48000 and per_ch >= 56) or 56 <= per_ch <= 80):
-        raise NotImplementedError(
-            f"MP2 allocation table for rate={rate}, "
-            f"{per_ch} kbps/channel (engine implements Table B.2a only)"
-        )
+    if per_ch <= 48:
+        return "d" if rate == 32000 else "c"
+    if per_ch <= 80:
+        return "a"
+    return "a" if rate == 48000 else "b"
 
 
 def _quantize(x: np.ndarray, n: int) -> np.ndarray:
@@ -291,21 +310,26 @@ def _pick_scalefactor(peak: float) -> int:
     return idx
 
 
-# precomputed allocation ladders, padded to 16 entries per subband:
-# squared levels (inf past the row end, so searches never select the
-# padding) and per-granule bit costs
-_LADDER_LEN = max(len(row) for row in ALLOC_TABLE)
-_L2 = np.full((SBLIMIT, _LADDER_LEN), np.inf)
-_GBITS = np.zeros((SBLIMIT, _LADDER_LEN), dtype=np.int64)
-for _sb, _row in enumerate(ALLOC_TABLE):
-    for _i, _n in enumerate(_row):
-        _L2[_sb, _i] = float(_n * _n) if _n else 0.25
-        _GBITS[_sb, _i] = _granule_bits(_n) if _n else 0
-_ROW_MAX = np.array([len(row) - 1 for row in ALLOC_TABLE])
+# precomputed allocation ladders per B.2 table, padded to 16 entries
+# per subband: squared levels (inf past the row end, so searches never
+# select the padding) and per-granule bit costs
+_LADDERS: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+for _key, _tab in _B2_TABLES.items():
+    _ll = max(len(row) for row in _tab)
+    _l2 = np.full((len(_tab), _ll), np.inf)
+    _gb = np.zeros((len(_tab), _ll), dtype=np.int64)
+    for _sb, _row in enumerate(_tab):
+        for _i, _n in enumerate(_row):
+            _l2[_sb, _i] = float(_n * _n) if _n else 0.25
+            _gb[_sb, _i] = _granule_bits(_n) if _n else 0
+    _LADDERS[_key] = (
+        _l2, _gb, np.array([len(row) - 1 for row in _tab])
+    )
 
 
 def _allocate(
-    energy: np.ndarray, budget_bits: int, channels: int
+    energy: np.ndarray, budget_bits: int, channels: int,
+    table: str = "a",
 ) -> np.ndarray:
     """Deterministic water-filling bit allocation: every (channel,
     subband) is promoted up its class ladder until levels² ≥ energy/T,
@@ -317,18 +341,21 @@ def _allocate(
 
     Equivalent objective to greedy energy/levels² promotion; silent
     subbands (energy ≤ 1e-12) stay unallocated at any water level."""
-    alloc_fixed = sum(ALLOC_BITS) * channels
-    e = np.asarray(energy, dtype=np.float64)[:, :SBLIMIT]
+    l2, gbits, row_max = _LADDERS[table]
+    sblimit = len(_B2_TABLES[table])
+    ladder_len = l2.shape[1]
+    alloc_fixed = sum(_B2_BITS[table]) * channels
+    e = np.asarray(energy, dtype=np.float64)[:, :sblimit]
     live = e > 1e-12
 
     def fill(t: float) -> tuple[np.ndarray, int]:
         # smallest ladder index with levels^2 >= e/t, per (ch, sb)
-        need = (e / t)[:, :, None] > _L2[None, :, :]
+        need = (e / t)[:, :, None] > l2[None, :, :]
         idx = need.sum(axis=2)
-        idx = np.minimum(idx, _ROW_MAX[None, :])
+        idx = np.minimum(idx, row_max[None, :])
         idx = np.where(live, idx, 0)
         gb = np.take_along_axis(
-            np.broadcast_to(_GBITS[None], (channels, SBLIMIT, _LADDER_LEN)),
+            np.broadcast_to(gbits[None], (channels, sblimit, ladder_len)),
             idx[:, :, None], axis=2,
         )[:, :, 0]
         cost = alloc_fixed + int((12 * gb + (idx > 0) * 20).sum())
@@ -362,7 +389,9 @@ def encode_mp2(
         raise NotImplementedError(f"MPEG-1 sample rate {rate}")
     if bitrate_kbps not in _BITRATE_IDX:
         raise ValueError(f"not an MPEG-1 Layer II bitrate: {bitrate_kbps}")
-    _check_table_a(rate, bitrate_kbps, channels)
+    table = _select_table(rate, bitrate_kbps, channels)
+    tab, bits = _B2_TABLES[table], _B2_BITS[table]
+    sblimit = len(tab)
     if np.max(np.abs(x)) >= SCALEFACTORS[0]:
         raise ValueError("PCM must lie inside (-2, 2) for scalefactors")
 
@@ -385,18 +414,18 @@ def encode_mp2(
 
     out = bytearray()
     for f in range(n_frames):
-        s = sub[:, :SBLIMIT, f * 36 : (f + 1) * 36]  # (ch, 27, 36)
+        s = sub[:, :sblimit, f * 36 : (f + 1) * 36]  # (ch, sblimit, 36)
         energy = (s * s).sum(axis=2)
-        alloc = _allocate(energy, (frame_len - 4) * 8, channels)
+        alloc = _allocate(energy, (frame_len - 4) * 8, channels, table)
         w = _BitWriter()
-        for sb in range(SBLIMIT):
+        for sb in range(sblimit):
             for ch in range(channels):
-                w.write(int(alloc[ch, sb]), ALLOC_BITS[sb])
+                w.write(int(alloc[ch, sb]), bits[sb])
         # scalefactors per third (12 samples); scfsi 0 or 2
-        sf_idx = np.zeros((channels, SBLIMIT, 3), dtype=np.int64)
-        scfsi = np.zeros((channels, SBLIMIT), dtype=np.int64)
+        sf_idx = np.zeros((channels, sblimit, 3), dtype=np.int64)
+        scfsi = np.zeros((channels, sblimit), dtype=np.int64)
         for ch in range(channels):
-            for sb in range(SBLIMIT):
+            for sb in range(sblimit):
                 if not alloc[ch, sb]:
                     continue
                 for p in range(3):
@@ -406,11 +435,11 @@ def encode_mp2(
                     sf_idx[ch, sb, p] = _pick_scalefactor(peak)
                 if sf_idx[ch, sb, 0] == sf_idx[ch, sb, 1] == sf_idx[ch, sb, 2]:
                     scfsi[ch, sb] = 2
-        for sb in range(SBLIMIT):
+        for sb in range(sblimit):
             for ch in range(channels):
                 if alloc[ch, sb]:
                     w.write(int(scfsi[ch, sb]), 2)
-        for sb in range(SBLIMIT):
+        for sb in range(sblimit):
             for ch in range(channels):
                 if not alloc[ch, sb]:
                     continue
@@ -423,12 +452,12 @@ def encode_mp2(
         # (scalefactor varies by 12-sample part), then emit in the
         # spec's granule-major bit order
         codes_all: dict[tuple[int, int], list[int]] = {}
-        for sb in range(SBLIMIT):
+        for sb in range(sblimit):
             for ch in range(channels):
                 a = alloc[ch, sb]
                 if not a:
                     continue
-                nlev = ALLOC_TABLE[sb][a]
+                nlev = tab[sb][a]
                 sfv = np.repeat(
                     [SCALEFACTORS[sf_idx[ch, sb, p]] for p in range(3)], 12
                 )
@@ -436,12 +465,12 @@ def encode_mp2(
                     s[ch, sb] / sfv, nlev
                 ).tolist()
         for gr in range(12):
-            for sb in range(SBLIMIT):
+            for sb in range(sblimit):
                 for ch in range(channels):
                     a = alloc[ch, sb]
                     if not a:
                         continue
-                    nlev = ALLOC_TABLE[sb][a]
+                    nlev = tab[sb][a]
                     c0, c1, c2 = codes_all[(ch, sb)][gr * 3 : gr * 3 + 3]
                     if nlev in _GROUP_BITS:
                         w.write(c0 + nlev * (c1 + nlev * c2),
@@ -459,7 +488,7 @@ def decode_mp2(b: bytes) -> tuple[int, int, np.ndarray]:
     """Full MP2 sample decode -> (rate, channels, float PCM (ch, n)).
     Raises ValueError for malformed streams (per-row fault isolation),
     NotImplementedError for honest codec gates (Layer I/III samples,
-    joint stereo bound, non-B.2a table regions)."""
+    joint stereo bound)."""
     from .mp3 import _parse_header
 
     if len(b) < 4:
@@ -475,7 +504,9 @@ def decode_mp2(b: bytes) -> tuple[int, int, np.ndarray]:
         raise NotImplementedError("MP2 joint (intensity) stereo decode")
     channels = first["channels"]
     rate = first["rate"]
-    _check_table_a(rate, first["bitrate"] // 1000, channels)
+    table = _select_table(rate, first["bitrate"] // 1000, channels)
+    tab, bits = _B2_TABLES[table], _B2_BITS[table]
+    sblimit = len(tab)
 
     sub_all: list[np.ndarray] = []
     i = 0
@@ -487,20 +518,20 @@ def decode_mp2(b: bytes) -> tuple[int, int, np.ndarray]:
             raise ValueError("truncated MP2 frame")
         payload = b[i + 4 + f["crc"] : i + f["length"]]
         r = _BitReader(payload)
-        alloc = np.zeros((channels, SBLIMIT), dtype=np.int64)
-        for sb in range(SBLIMIT):
+        alloc = np.zeros((channels, sblimit), dtype=np.int64)
+        for sb in range(sblimit):
             for ch in range(channels):
-                a = r.read(ALLOC_BITS[sb])
-                if a >= len(ALLOC_TABLE[sb]):
+                a = r.read(bits[sb])
+                if a >= len(tab[sb]):
                     raise ValueError("MP2 allocation index out of range")
                 alloc[ch, sb] = a
-        scfsi = np.zeros((channels, SBLIMIT), dtype=np.int64)
-        for sb in range(SBLIMIT):
+        scfsi = np.zeros((channels, sblimit), dtype=np.int64)
+        for sb in range(sblimit):
             for ch in range(channels):
                 if alloc[ch, sb]:
                     scfsi[ch, sb] = r.read(2)
-        sf = np.ones((channels, SBLIMIT, 3), dtype=np.float64)
-        for sb in range(SBLIMIT):
+        sf = np.ones((channels, sblimit, 3), dtype=np.float64)
+        for sb in range(sblimit):
             for ch in range(channels):
                 if not alloc[ch, sb]:
                     continue
@@ -523,17 +554,17 @@ def decode_mp2(b: bytes) -> tuple[int, int, np.ndarray]:
         # then dequantize each (ch, sb)'s 36 samples in one shot
         code_seq: dict[tuple[int, int], list[int]] = {
             (ch, sb): []
-            for sb in range(SBLIMIT)
+            for sb in range(sblimit)
             for ch in range(channels)
             if alloc[ch, sb]
         }
         for _gr in range(12):
-            for sb in range(SBLIMIT):
+            for sb in range(sblimit):
                 for ch in range(channels):
                     a = alloc[ch, sb]
                     if not a:
                         continue
-                    nlev = ALLOC_TABLE[sb][a]
+                    nlev = tab[sb][a]
                     if nlev in _GROUP_BITS:
                         v = r.read(_GROUP_BITS[nlev])
                         c0, rem = v % nlev, v // nlev
@@ -549,7 +580,7 @@ def decode_mp2(b: bytes) -> tuple[int, int, np.ndarray]:
                         code_seq[(ch, sb)] += tri
         s = np.zeros((channels, _BANDS, 36), dtype=np.float64)
         for (ch, sb), codes in code_seq.items():
-            nlev = ALLOC_TABLE[sb][alloc[ch, sb]]
+            nlev = tab[sb][alloc[ch, sb]]
             sfv = np.repeat(sf[ch, sb, :], 12)
             s[ch, sb] = _dequantize(np.asarray(codes, dtype=np.int64),
                                     nlev) * sfv

@@ -136,12 +136,49 @@ def test_parse_mp3_walks_mp2_streams():
     assert meta["samples"] == meta["n_frames"] * 1152
 
 
+def test_b2_table_selection_rule():
+    """§2.4.2.3: (rate, per-channel bitrate) -> B.2 table. The r11
+    NotImplementedError gate for b/c/d is GONE — all four decode."""
+    sel = mp2._select_table
+    assert sel(48000, 192, 2) == "a" and sel(44100, 80, 1) == "a"
+    assert sel(44100, 192, 2) == "b" and sel(32000, 96, 1) == "b"
+    assert sel(48000, 48, 1) == "c" and sel(44100, 32, 1) == "c"
+    assert sel(32000, 48, 1) == "d" and sel(32000, 64, 2) == "d"
+
+
+def test_b2bcd_per_table_witness_roundtrips():
+    """One witness row per newly-opened table (VERDICT r11 item 4):
+    encode under the table §2.4.2.3 selects, decode, SNR > 35 dB."""
+    n = 3000
+    for rate, br, ch, table in (
+        (44100, 192, 2, "b"),   # the standard stereo CD-rate region
+        (48000, 48, 1, "c"),    # low-rate mono
+        (32000, 48, 1, "d"),    # 32 kHz low-rate
+    ):
+        t = np.arange(n) / rate
+        x = 0.5 * np.sin(2 * np.pi * 330 * t) + 0.3 * np.sin(
+            2 * np.pi * 770 * t
+        )
+        if ch == 2:
+            x = np.stack([x, 0.6 * x[::-1]])
+        assert mp2._select_table(rate, br, ch) == table
+        enc = mp2.encode_mp2(x, rate, br)
+        r, c, pcm = mp2.decode_mp2(enc)
+        assert (r, c) == (rate, ch)
+        ref = x if x.ndim == 2 else x[None, :]
+        got = pcm[:, :n]
+        snr = 10 * np.log10(
+            (ref**2).sum() / max(((got - ref) ** 2).sum(), 1e-30)
+        )
+        assert snr > 35.0, (table, snr)
+    # table structure pins: sblimits and the low-rate quantization set
+    assert tuple(len(mp2._B2_TABLES[k]) for k in "abcd") == (27, 30, 8, 12)
+    assert mp2._B2_TABLES["c"][2] == (0, 3, 5, 9, 15, 31, 63, 127)
+    assert mp2._B2_TABLES["b"][29] == mp2._B2_TABLES["a"][26]
+
+
 def test_gates_and_malformed():
     x = _tone(2000)
-    with pytest.raises(NotImplementedError, match="Table B.2a"):
-        mp2.encode_mp2(x, 32000, 96)
-    with pytest.raises(NotImplementedError, match="Table B.2a"):
-        mp2.encode_mp2(x, 48000, 48)  # 48 kbps/ch < 56
     with pytest.raises(ValueError):
         mp2.encode_mp2(np.stack([x, x, x]), 48000, 192)  # 3 channels
     with pytest.raises(ValueError):
@@ -161,6 +198,9 @@ def test_fuzz_mp2_contract():
 
     enc = mp2.encode_mp2(_tone(3000), 48000, 192)
     _assert_contract("mp2", enc, mp2.decode_mp2)
+    # the newly-opened low-rate table region honors the same contract
+    enc_c = mp2.encode_mp2(_tone(2000), 48000, 48)
+    _assert_contract("mp2-b2c", enc_c, mp2.decode_mp2, n=60)
 
 
 # ---------------------------------------------------------------------------

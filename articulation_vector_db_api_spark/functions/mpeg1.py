@@ -29,12 +29,12 @@ Exactness notes (all public-spec content):
   B.1 from B.4 programmatically; a transcription slip would break
   both tables' roundtrips at once (tests pin prefix-freeness, Kraft
   completeness and the spec's published anchor rows);
-- the AC run/level table is implemented for its SHORT rows (≤ 8 bits,
-  Table B.5c's head: (0,1)…(9,1)) plus the fully general 6-bit ESCAPE
-  coding — the witness encoder emits only (0,1)/escape/EOB, so
-  roundtrips never depend on the deeper rows; a third-party stream
-  using a 10-16-bit row raises NotImplementedError (honest gate, same
-  policy as the Avro/TIFF/JPEG-arithmetic gates);
+- the AC run/level table is the FULL Table B.5c (all 111 rows through
+  the 16-bit codes, r12 — the r11 build gated the 10-16-bit rows)
+  plus the fully general 6-bit ESCAPE coding; the transcription is
+  expressed through the table's dense-block structure (one contiguous
+  codeword range per code length) and the encoder emits table rows
+  before escaping, so roundtrips exercise the deep rows;
 - reconstruction uses the spec's integer arithmetic with "/" =
   integer division TRUNCATING TOWARD ZERO (§2.1.2): intra
   rec = (2·level·qscale·W)/16, non-intra
@@ -60,7 +60,7 @@ when the next anchor (or the sequence end) arrives.
 D pictures (picture_coding_type 4, the DC-only fast-forward preview
 type) decode to flat per-block means; every picture type the spec
 defines now decodes. Honest gates (raise, not fake): custom quantizer
-matrices, deep Table-B.5c AC rows. The witness encoder emits I-only,
+matrices. The witness encoder emits I-only,
 IPPP, IBB…P, or all-D streams with f_code 1..7,
 optional full-pel vectors (I/P), a real (exhaustive, half-pel) motion
 search against the encoder-side RECONSTRUCTED reference — identical
@@ -100,17 +100,49 @@ _DC_LUMA = {0: "100", 1: "00", 2: "01", 3: "101", 4: "110", 5: "1110",
 _DC_CHROMA = {0: "00", 1: "01", 2: "10", 3: "110", 4: "1110",
               5: "11110", 6: "111110", 7: "1111110", 8: "11111110"}
 
-# AC run/level table, SHORT rows only (code -> (run, level); a sign
-# bit follows each). '10' = EOB, '000001' = escape — both handled
-# inline. The witness encoder emits only (0,1), escape and EOB.
-_AC_SHORT = {
-    "11": (0, 1), "011": (1, 1), "0100": (0, 2), "0101": (2, 1),
-    "00101": (0, 3), "00111": (3, 1), "00110": (4, 1),
-    "000110": (1, 2), "000111": (5, 1), "000101": (6, 1),
-    "000100": (7, 1), "0000110": (0, 4), "0000100": (2, 2),
-    "0000111": (8, 1), "0000101": (9, 1),
+# FULL AC run/level VLC, Table B.5c (r12 — replaces the short-rows
+# gate; a sign bit follows each code, '10' = EOB, '000001' = escape).
+# Transcribed through the table's dense-block structure: at every code
+# length the used codewords form ONE contiguous integer range (the
+# all-zeros subtrees stay reserved against start-code emulation), so
+# each length is written as (first_codeword, (run, level) per codeword
+# ascending). Tests pin global prefix-freeness, the block contiguity
+# itself, the overlap with the independently-verified short rows, and
+# published anchor rows.
+_AC_BLOCKS: dict[int, tuple[int, tuple[tuple[int, int], ...]]] = {
+    2: (0x3, ((0, 1),)),                       # 0x2 = EOB
+    3: (0x3, ((1, 1),)),
+    4: (0x4, ((0, 2), (2, 1))),
+    5: (0x5, ((0, 3), (4, 1), (3, 1))),
+    6: (0x4, ((7, 1), (6, 1), (1, 2), (5, 1))),  # 0x1 = escape
+    7: (0x4, ((2, 2), (9, 1), (0, 4), (8, 1))),
+    8: (0x20, ((13, 1), (0, 6), (12, 1), (11, 1),
+               (3, 2), (1, 3), (0, 5), (10, 1))),
+    10: (0x8, ((16, 1), (5, 2), (0, 7), (2, 3),
+               (1, 4), (15, 1), (14, 1), (4, 2))),
+    12: (0x10, ((0, 11), (8, 2), (4, 3), (0, 10), (2, 4), (7, 2),
+                (21, 1), (20, 1), (0, 9), (19, 1), (18, 1), (1, 5),
+                (3, 3), (0, 8), (6, 2), (17, 1))),
+    13: (0x10, ((10, 2), (9, 2), (5, 3), (3, 4), (2, 5), (1, 7),
+                (1, 6), (0, 15), (0, 14), (0, 13), (0, 12), (26, 1),
+                (25, 1), (24, 1), (23, 1), (22, 1))),
+    14: (0x10, ((0, 31), (0, 30), (0, 29), (0, 28), (0, 27), (0, 26),
+                (0, 25), (0, 24), (0, 23), (0, 22), (0, 21), (0, 20),
+                (0, 19), (0, 18), (0, 17), (0, 16))),
+    15: (0x10, ((0, 40), (0, 39), (0, 38), (0, 37), (0, 36), (0, 35),
+                (0, 34), (0, 33), (0, 32), (1, 14), (1, 13), (1, 12),
+                (1, 11), (1, 10), (1, 9), (1, 8))),
+    16: (0x10, ((1, 18), (1, 17), (1, 16), (1, 15), (6, 3), (16, 2),
+                (15, 2), (14, 2), (13, 2), (12, 2), (11, 2), (31, 1),
+                (30, 1), (29, 1), (28, 1), (27, 1))),
 }
-_AC_MAXLEN = max(len(c) for c in _AC_SHORT)
+_AC_TABLE: dict[str, tuple[int, int]] = {
+    format(first + i, f"0{length}b"): rl
+    for length, (first, rls) in _AC_BLOCKS.items()
+    for i, rl in enumerate(rls)
+}
+_AC_INV = {rl: code for code, rl in _AC_TABLE.items()}
+_AC_MAXLEN = max(len(c) for c in _AC_TABLE)
 _DC_LUMA_INV = {v: k for k, v in _DC_LUMA.items()}
 _DC_CHROMA_INV = {v: k for k, v in _DC_CHROMA.items()}
 
@@ -338,12 +370,9 @@ def _write_escape(w: _BitWriter, run: int, level: int) -> None:
 def _read_run_level_tail(r: _BitReader, code: str) -> tuple[int, int]:
     """Finish a run/level code whose first bits are in ``code`` (never
     the '1x' prefix — EOB and (0,±1) are handled by callers)."""
-    while code not in _AC_SHORT and code != "000001":
+    while code not in _AC_TABLE and code != "000001":
         if len(code) > _AC_MAXLEN:
-            raise NotImplementedError(
-                f"MPEG-1 AC code {code!r} beyond the implemented "
-                "short rows of Table B.5c"
-            )
+            raise ValueError(f"invalid MPEG-1 AC code {code!r}")
         code += str(r.read(1))
     if code == "000001":
         run = r.read(6)
@@ -361,7 +390,7 @@ def _read_run_level_tail(r: _BitReader, code: str) -> tuple[int, int]:
             if level == 0:
                 raise ValueError("MPEG-1 escape level of zero")
         return run, level
-    run, level = _AC_SHORT[code]
+    run, level = _AC_TABLE[code]
     if r.read(1):
         level = -level
     return run, level
@@ -465,13 +494,21 @@ def _write_intra_levels(
         if level == 0:
             run += 1
             continue
-        if run == 0 and level in (-1, 1):
-            w.write_code("11")
-            w.write(0 if level > 0 else 1, 1)
-        else:
-            _write_escape(w, run, level)
+        _write_run_level(w, run, level)
         run = 0
     w.write_code("10")  # EOB
+
+
+def _write_run_level(w: _BitWriter, run: int, level: int) -> None:
+    """dct_coeff_next: Table B.5c code + sign when the (run, |level|)
+    row exists, the 6-bit escape otherwise (r12 — the encoder now
+    exercises the full table, so roundtrips cover the deep rows)."""
+    code = _AC_INV.get((run, abs(level)))
+    if code is not None:
+        w.write_code(code)
+        w.write(0 if level > 0 else 1, 1)
+    else:
+        _write_escape(w, run, level)
 
 
 def _write_nonintra_levels(w: _BitWriter, levels: np.ndarray) -> None:
@@ -482,14 +519,11 @@ def _write_nonintra_levels(w: _BitWriter, levels: np.ndarray) -> None:
         if level == 0:
             run += 1
             continue
-        if run == 0 and level in (-1, 1):
-            if first:
-                w.write(1, 1)  # dct_coeff_first (0, ±1) = '1' + sign
-            else:
-                w.write_code("11")
+        if first and run == 0 and level in (-1, 1):
+            w.write(1, 1)  # dct_coeff_first (0, ±1) = '1' + sign
             w.write(0 if level > 0 else 1, 1)
         else:
-            _write_escape(w, run, level)
+            _write_run_level(w, run, level)
         first = False
         run = 0
     if first:
@@ -1262,8 +1296,8 @@ def decode_m1v(b: bytes) -> tuple[dict, list[np.ndarray]]:
     n_i, n_p, n_b, n_d}, [RGB frames in DISPLAY order]). Every spec
     picture type decodes (I/P/B with the one-anchor reorder buffer,
     DC-only D); reserved picture_coding_type values raise ValueError,
-    custom quantizer matrices and deep Table-B.5c AC rows raise
-    NotImplementedError (honest gates)."""
+    custom quantizer matrices raise NotImplementedError (honest
+    gate)."""
     code, pos = _next_start_code(bytes(b), 0)
     if code != 0xB3:
         raise ValueError("not an MPEG-1 video stream (no sequence header)")

@@ -277,13 +277,15 @@ class _BitReader:
                 return inv[code]
         raise ValueError(f"bad MPEG-1 {what} code {code!r}")
 
-    def read_dc_size(self, inv: dict[str, int]) -> int:
+    def read_dc_size(self, inv: dict[str, int], maxlen: int = 8) -> int:
+        # maxlen 8 covers MPEG-1's Tables B.5a/b; MPEG-2's extended
+        # B-12/B-13 ladders reach 10-bit codes (size 11 chroma)
         code = ""
-        while len(code) <= 8:
+        while len(code) <= maxlen:
             code += "1" if self.read(1) else "0"
             if code in inv:
                 return inv[code]
-        raise ValueError(f"bad MPEG-1 DC size code {code!r}")
+        raise ValueError(f"bad MPEG DC size code {code!r}")
 
     def rest_is_zero(self) -> bool:
         """True when every remaining bit is zero (slice padding)."""
@@ -367,14 +369,21 @@ def _write_escape(w: _BitWriter, run: int, level: int) -> None:
         w.write(level + 256, 8)
 
 
-def _read_run_level_tail(r: _BitReader, code: str) -> tuple[int, int]:
+def _read_run_level_tail(
+    r: _BitReader, code: str, escape=None
+) -> tuple[int, int]:
     """Finish a run/level code whose first bits are in ``code`` (never
-    the '1x' prefix — EOB and (0,±1) are handled by callers)."""
+    the '1x' prefix — EOB and (0,±1) are handled by callers). The
+    Table B.5c prefix tree is shared with MPEG-2's Table B-14; only
+    the escape payload differs, so MPEG-2 (functions/mpeg2.py) passes
+    its 6+12-bit reader as ``escape``."""
     while code not in _AC_TABLE and code != "000001":
         if len(code) > _AC_MAXLEN:
             raise ValueError(f"invalid MPEG-1 AC code {code!r}")
         code += str(r.read(1))
     if code == "000001":
+        if escape is not None:
+            return escape(r)
         run = r.read(6)
         first = r.read(8)
         if first == 0:
@@ -499,16 +508,19 @@ def _write_intra_levels(
     w.write_code("10")  # EOB
 
 
-def _write_run_level(w: _BitWriter, run: int, level: int) -> None:
+def _write_run_level(
+    w: _BitWriter, run: int, level: int, escape=None
+) -> None:
     """dct_coeff_next: Table B.5c code + sign when the (run, |level|)
-    row exists, the 6-bit escape otherwise (r12 — the encoder now
-    exercises the full table, so roundtrips cover the deep rows)."""
+    row exists, the escape otherwise (r12 — the encoder now exercises
+    the full table, so roundtrips cover the deep rows). MPEG-2 passes
+    its 6+12-bit escape writer as ``escape``."""
     code = _AC_INV.get((run, abs(level)))
     if code is not None:
         w.write_code(code)
         w.write(0 if level > 0 else 1, 1)
     else:
-        _write_escape(w, run, level)
+        (escape or _write_escape)(w, run, level)
 
 
 def _write_nonintra_levels(w: _BitWriter, levels: np.ndarray) -> None:
@@ -529,6 +541,43 @@ def _write_nonintra_levels(w: _BitWriter, levels: np.ndarray) -> None:
     if first:
         raise ValueError("MPEG-1 coded block without coefficients")
     w.write_code("10")  # EOB
+
+
+class _QuantHooks:
+    """Quantizer-arithmetic hook bundle for the witness encoder's
+    slice loops, so the MPEG-2 twin (functions/mpeg2.py) reuses the
+    motion-search / skip-election / bit-layout machinery here with its
+    own reconstruction rules (§7.4 of H.262 differs from §2.4.4.1/.2
+    only in these six operations)."""
+
+    quant_intra = staticmethod(_quant_intra)
+    dequant_intra = staticmethod(_dequant_intra)
+    quant_nonintra = staticmethod(_quant_nonintra)
+    dequant_nonintra = staticmethod(_dequant_nonintra)
+    write_nonintra_levels = staticmethod(_write_nonintra_levels)
+
+    @staticmethod
+    def write_intra_levels(w, levels, dc_pred, is_luma):
+        _write_intra_levels(
+            w, levels, dc_pred, _DC_LUMA if is_luma else _DC_CHROMA
+        )
+
+    # decode side
+    dc_reset = 128
+    decode_block_nonintra = staticmethod(_decode_block_nonintra)
+
+    @staticmethod
+    def map_qscale(code):
+        return code
+
+    @staticmethod
+    def decode_block_intra(r, qscale, dc_pred, is_luma):
+        return _decode_block(
+            r, qscale, dc_pred, _DC_LUMA_INV if is_luma else _DC_CHROMA_INV
+        )
+
+
+_M1_HOOKS = _QuantHooks()
 
 
 # ---------------------------------------------------------------------------
@@ -656,9 +705,11 @@ def _encode_intra_mb(
     planes: tuple[np.ndarray, np.ndarray, np.ndarray],
     rec: tuple[np.ndarray, np.ndarray, np.ndarray],
     mbr: int, mbc: int, qscale: int, preds: list[int],
+    hooks: _QuantHooks = None,
 ) -> None:
     """Encode one intra macroblock from float planes and mirror the
     decoder's reconstruction into the int64 ``rec`` planes."""
+    hooks = hooks or _M1_HOOKS
     y, cb, cr = planes
     for blk in range(6):
         if blk < 4:
@@ -670,13 +721,11 @@ def _encode_intra_mb(
             block = plane[by : by + 8, bx : bx + 8]
             out, ti = rec[blk - 3], blk - 3
         coeff = _C @ block @ _C.T
-        levels = _quant_intra(coeff, qscale, preds[ti])
-        _write_intra_levels(
-            w, levels, preds[ti], _DC_LUMA if blk < 4 else _DC_CHROMA
-        )
+        levels = hooks.quant_intra(coeff, qscale, preds[ti])
+        hooks.write_intra_levels(w, levels, preds[ti], blk < 4)
         preds[ti] = int(levels[0])
         out[by : by + 8, bx : bx + 8] = np.clip(
-            np.rint(_dequant_intra(levels, qscale)), 0, 255
+            np.rint(hooks.dequant_intra(levels, qscale)), 0, 255
         ).astype(np.int64)
 
 
@@ -716,7 +765,9 @@ def _encode_p_slice(
     ref: tuple[np.ndarray, np.ndarray, np.ndarray],
     row: int, mbw: int, qscale: int,
     f_code: int, full_pel: int, search: int,
+    hooks: _QuantHooks = None,
 ) -> None:
+    hooks = hooks or _M1_HOOKS
     y, cb, cr = planes
     f = 1 << (f_code - 1)
     mv_pred = [0, 0]  # (vx, vy) coded units
@@ -739,7 +790,7 @@ def _encode_p_slice(
                 plane = cb if blk == 4 else cr
                 block = plane[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8]
                 pred = pred_cb if blk == 4 else pred_cr
-            lv = _quant_nonintra(_C @ (block - pred) @ _C.T, qscale)
+            lv = hooks.quant_nonintra(_C @ (block - pred) @ _C.T, qscale)
             if lv.any():
                 # code the residual only when reconstruction strictly
                 # improves the block — ties prefer skip, which both
@@ -747,7 +798,7 @@ def _encode_p_slice(
                 # all-skip instead of ±1 rounding limit cycles
                 cand = np.clip(
                     pred + np.rint(
-                        _dequant_nonintra(lv, qscale)
+                        hooks.dequant_nonintra(lv, qscale)
                     ).astype(np.int64),
                     0, 255,
                 )
@@ -788,10 +839,10 @@ def _encode_p_slice(
                 pred = pred_cb if blk == 4 else pred_cr
                 out = rec[blk - 3]
             if cbp & (1 << (5 - blk)):
-                _write_nonintra_levels(w, levels[blk])
+                hooks.write_nonintra_levels(w, levels[blk])
                 px = np.clip(
                     pred + np.rint(
-                        _dequant_nonintra(levels[blk], qscale)
+                        hooks.dequant_nonintra(levels[blk], qscale)
                     ).astype(np.int64),
                     0, 255,
                 )
@@ -807,6 +858,7 @@ def _encode_b_slice(
     bwd: tuple[np.ndarray, np.ndarray, np.ndarray],
     row: int, mbw: int, qscale: int,
     f_code: int, search: int,
+    hooks: _QuantHooks = None,
 ) -> None:
     """One B-picture slice: per macroblock, pick the best of forward /
     backward / interpolated prediction by luma SAD, code only
@@ -814,6 +866,7 @@ def _encode_b_slice(
     previous macroblock's prediction repeats exactly (B skip repeats
     mode AND vectors, §2.4.4.4). B pictures are not references, so no
     reconstruction is kept."""
+    hooks = hooks or _M1_HOOKS
     y, cb, cr = planes
     f = 1 << (f_code - 1)
     pred_f = [0, 0]
@@ -850,11 +903,11 @@ def _encode_b_slice(
                 plane = cb if blk == 4 else cr
                 block = plane[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8]
                 pred = pred_cb if blk == 4 else pred_cr
-            lv = _quant_nonintra(_C @ (block - pred) @ _C.T, qscale)
+            lv = hooks.quant_nonintra(_C @ (block - pred) @ _C.T, qscale)
             if lv.any():
                 cand = np.clip(
                     pred + np.rint(
-                        _dequant_nonintra(lv, qscale)
+                        hooks.dequant_nonintra(lv, qscale)
                     ).astype(np.int64),
                     0, 255,
                 )
@@ -891,7 +944,7 @@ def _encode_b_slice(
             w.write_code(_CBP_CODES[cbp])
             for blk in range(6):
                 if cbp & (1 << (5 - blk)):
-                    _write_nonintra_levels(w, levels[blk])
+                    hooks.write_nonintra_levels(w, levels[blk])
         last_spec = spec
 
 
@@ -1099,9 +1152,11 @@ def _write_inter_mb(
     pred: tuple[np.ndarray, np.ndarray, np.ndarray],
     mbr: int, mbc: int, cbp: int, qscale: int,
     sr: _BitReader | None,
+    hooks: "_QuantHooks" = None,
 ) -> None:
     """Write prediction + decoded residuals (for set cbp bits) into
     the picture planes."""
+    hooks = hooks or _M1_HOOKS
     y, cb, cr = planes
     pred_y, pred_cb, pred_cr = pred
     for blk in range(6):
@@ -1115,7 +1170,7 @@ def _write_inter_mb(
             out = cb if blk == 4 else cr
             oy, ox = mbr * 8, mbc * 8
         if cbp & (1 << (5 - blk)):
-            resid = _decode_block_nonintra(sr, qscale)
+            resid = hooks.decode_block_nonintra(sr, qscale)
             px = np.clip(p + np.rint(resid).astype(np.int64), 0, 255)
         else:
             px = p
@@ -1129,6 +1184,7 @@ def _decode_slice(
     bwd_ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None,
     mbw: int, mbh: int, ptype: int,
     f_f: int, fp_f: int, f_b: int, fp_b: int,
+    hooks: "_QuantHooks" = None,
 ) -> None:
     """Decode one slice's macroblocks into the int64 ``planes``.
     ``sdata`` is the slice payload up to (excluding) the next start
@@ -1137,18 +1193,21 @@ def _decode_slice(
     copy, so skipped macroblocks are already co-located pels); for B
     pictures both anchors are live and skipped macroblocks repeat the
     previous macroblock's prediction (§2.4.4.4)."""
+    hooks = hooks or _M1_HOOKS
     y, cb, cr = planes
     sr = _BitReader(sdata)
-    qscale = sr.read(5)
-    if not qscale:
+    code = sr.read(5)
+    if not code:
         raise ValueError("MPEG-1 quantizer_scale of zero")
+    qscale = hooks.map_qscale(code)
     while sr.read(1):  # extra_information_slice
         sr.read(8)
     ff, fb = 1 << (f_f - 1), 1 << (f_b - 1)
     addr = row0 * mbw - 1
     pred_f = [0, 0]  # (vx, vy) in coded units
     pred_b = [0, 0]
-    dc_preds = [128, 128, 128]
+    dc_reset = hooks.dc_reset
+    dc_preds = [dc_reset] * 3
     # B-picture skip state: the previous macroblock's prediction spec
     last_inter: tuple | None = None
     if ptype == 4:
@@ -1197,7 +1256,7 @@ def _decode_slice(
         if ptype == 1 and inc != 1:
             raise ValueError("MPEG-1 skipped macroblock in an I picture")
         if inc > 1:
-            dc_preds = [128, 128, 128]
+            dc_preds = [dc_reset] * 3
             if ptype == 2:
                 # P skip: co-located pels (already in the planes copy);
                 # both predictors reset
@@ -1221,7 +1280,7 @@ def _decode_slice(
                         planes,
                         _inter_pred(fwd_ref, bwd_ref, mbr2, mbc2,
                                     use_f, vf, use_b, vb, fp_f, fp_b),
-                        mbr2, mbc2, 0, qscale, None,
+                        mbr2, mbc2, 0, qscale, None, hooks,
                     )
         addr += inc
         mbr, mbc = divmod(addr, mbw)
@@ -1231,9 +1290,10 @@ def _decode_slice(
             mb_type_inv, "macroblock_type", 6
         )
         if quant:
-            qscale = sr.read(5)
-            if not qscale:
+            code = sr.read(5)
+            if not code:
                 raise ValueError("MPEG-1 quantizer_scale of zero")
+            qscale = hooks.map_qscale(code)
         if mf:
             dx = _read_motion(sr, f_f)
             dy = _read_motion(sr, f_f)
@@ -1264,9 +1324,8 @@ def _decode_slice(
             last_inter = None  # a B skip may not follow an intra MB
             for blk in range(6):
                 ti = 0 if blk < 4 else blk - 3
-                spatial, dc_preds[ti] = _decode_block(
-                    sr, qscale, dc_preds[ti],
-                    _DC_LUMA_INV if blk < 4 else _DC_CHROMA_INV,
+                spatial, dc_preds[ti] = hooks.decode_block_intra(
+                    sr, qscale, dc_preds[ti], blk < 4
                 )
                 px = np.clip(np.rint(spatial), 0, 255).astype(np.int64)
                 if blk < 4:
@@ -1279,7 +1338,7 @@ def _decode_slice(
                         mbc * 8 : mbc * 8 + 8] = px
             continue
         # non-intra macroblock: prediction + residual
-        dc_preds = [128, 128, 128]
+        dc_preds = [dc_reset] * 3
         use_f = bool(mf) or ptype == 2  # P always predicts forward
         use_b = bool(mb)
         pred = _inter_pred(fwd_ref, bwd_ref, mbr, mbc,
@@ -1287,7 +1346,7 @@ def _decode_slice(
         cbp = 0
         if coded:
             cbp = sr.read_vlc(_CBP_INV, "coded_block_pattern", 9)
-        _write_inter_mb(planes, pred, mbr, mbc, cbp, qscale, sr)
+        _write_inter_mb(planes, pred, mbr, mbc, cbp, qscale, sr, hooks)
         last_inter = (use_f, vf, use_b, vb)
 
 

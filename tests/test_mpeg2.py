@@ -1,0 +1,286 @@
+"""MPEG-2 I/P/B frame-picture codec (functions/mpeg2.py): extension
+parsing, the Table 7-6 quantiser ladders, extended DC-size tables
+(completeness-pinned), §7.4.4 mismatch control, the 6+12-bit escape,
+roundtrip SNR over the q_scale_type × dc_precision grid, honest
+interlaced/scalable gates, and the mutation-fuzz contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from articulation_vector_db_api_spark.functions.mpeg2 import (
+    decode_m2v,
+    encode_m2v,
+)
+
+
+def _frame(i, h=32, w=48):
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 128 + 60 * np.sin(2 * np.pi * (xx / w + i * 0.13)) + 40 * np.cos(
+        2 * np.pi * yy / h
+    )
+    return np.stack(
+        [np.clip(base, 0, 255), np.clip(base[::-1], 0, 255),
+         np.clip(255 - base, 0, 255)],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def _moving(t, h=32, w=64):
+    img = np.full((h, w, 3), 90, dtype=np.uint8)
+    yy, xx = np.mgrid[0:16, 0:16]
+    sq = (120 + 6 * xx + 4 * yy).clip(0, 255).astype(np.uint8)
+    x0 = 3 + 2 * t
+    img[8:24, x0 : x0 + 16, 0] = sq
+    img[8:24, x0 : x0 + 16, 1] = 255 - sq
+    img[8:24, x0 : x0 + 16, 2] = sq[::-1]
+    return img
+
+
+def _snr(a, b):
+    a = np.stack(a).astype(np.float64)
+    b = np.stack(b).astype(np.float64)
+    return 10 * np.log10((a**2).sum() / max(((a - b) ** 2).sum(), 1e-9))
+
+
+def test_dc_size_ladders_are_complete_prefix_codes():
+    """Tables B-12/B-13: the three extended rows are DERIVED from the
+    completeness requirement — Kraft sum must be exactly 1 for both
+    ladders, which no wrong termination can satisfy."""
+    from fractions import Fraction
+
+    from articulation_vector_db_api_spark.functions.mpeg2 import (
+        _DC_CHROMA2,
+        _DC_LUMA2,
+    )
+
+    for tab in (_DC_LUMA2, _DC_CHROMA2):
+        assert sorted(tab) == list(range(12))
+        codes = list(tab.values())
+        for a in codes:  # prefix-free
+            for b in codes:
+                assert a == b or not b.startswith(a)
+        kraft = sum(Fraction(1, 2 ** len(c)) for c in codes)
+        assert kraft == 1
+        # the MPEG-1 rows are a strict subset
+    from articulation_vector_db_api_spark.functions.mpeg1 import (
+        _DC_CHROMA,
+        _DC_LUMA,
+    )
+
+    assert all(_DC_LUMA2[k] == v for k, v in _DC_LUMA.items())
+    assert all(_DC_CHROMA2[k] == v for k, v in _DC_CHROMA.items())
+
+
+def test_quantiser_scale_ladders():
+    """Table 7-6: linear column = 2·code; non-linear column is the
+    published {1..8, +2 to 24, +4 to 56, +8 to 112} ladder."""
+    from articulation_vector_db_api_spark.functions.mpeg2 import (
+        _Q_NONLINEAR,
+        _map_qscale,
+    )
+
+    assert _map_qscale(1, 0) == 2 and _map_qscale(31, 0) == 62
+    assert _Q_NONLINEAR[1:9] == (1, 2, 3, 4, 5, 6, 7, 8)
+    assert _Q_NONLINEAR[9:17] == (10, 12, 14, 16, 18, 20, 22, 24)
+    assert _Q_NONLINEAR[17:25] == (28, 32, 36, 40, 44, 48, 52, 56)
+    assert _Q_NONLINEAR[25:] == (64, 72, 80, 88, 96, 104, 112)
+    assert _map_qscale(31, 1) == 112
+    with pytest.raises(ValueError):
+        _map_qscale(0, 0)
+
+
+def test_mismatch_control_parity():
+    """§7.4.4: F[7][7]'s LSB toggles exactly when the saturated sum is
+    even — +1 for even values, −1 for odd (two's-complement XOR)."""
+    from articulation_vector_db_api_spark.functions.mpeg2 import _mismatch
+
+    m = np.zeros((8, 8), dtype=np.int64)
+    _mismatch(m)  # sum 0 (even) -> toggle 0 -> +1
+    assert m[7, 7] == 1
+    _mismatch(m)  # sum 1 (odd) -> no toggle
+    assert m[7, 7] == 1
+    m[0, 0] = 3
+    _mismatch(m)  # sum 4 (even), F77 odd -> -1
+    assert m[7, 7] == 0
+    m[:, :] = 0
+    m[7, 7] = -4
+    _mismatch(m)  # sum -4 even, F77 even negative -> -3
+    assert m[7, 7] == -3
+
+
+def test_escape_12bit_roundtrip():
+    from articulation_vector_db_api_spark.functions.mpeg1 import (
+        _BitReader,
+        _BitWriter,
+    )
+    from articulation_vector_db_api_spark.functions.mpeg2 import (
+        _read_run_level2,
+        _write_run_level2,
+    )
+
+    for run, level in ((0, 2047), (63, -2047), (5, 41), (2, -100)):
+        w = _BitWriter()
+        _write_run_level2(w, run, level)
+        w.write_code("10")
+        assert _read_run_level2(_BitReader(w.bytes())) == (run, level)
+    w = _BitWriter()
+    with pytest.raises(ValueError, match="escape level"):
+        from articulation_vector_db_api_spark.functions.mpeg2 import (
+            _write_escape2,
+        )
+
+        _write_escape2(w, 0, 0)
+
+
+def test_roundtrip_i_only_full_grid():
+    fs = [_frame(i) for i in range(2)]
+    sizes = []
+    for qst in (0, 1):
+        for prec in (8, 9, 10, 11):
+            es = encode_m2v(
+                fs, qscale_code=2, q_scale_type=qst, dc_precision=prec
+            )
+            meta, dec = decode_m2v(es)
+            assert meta["n_i"] == 2 and meta["n_frames"] == 2
+            assert meta["dc_precision"] == prec
+            assert meta["progressive"] == 1
+            assert _snr(fs, dec) > 22.0
+            sizes.append(len(es))
+    assert len(set(sizes)) > 1  # the grid actually changes the coding
+
+
+def test_roundtrip_p_frames_and_mc_compresses():
+    mf = [_moving(t) for t in range(4)]
+    es = encode_m2v(
+        mf, qscale_code=2, p_frames=True, f_code=2,
+        q_scale_type=1, dc_precision=10,
+    )
+    meta, dec = decode_m2v(es)
+    assert (meta["n_i"], meta["n_p"], meta["n_b"]) == (1, 3, 0)
+    assert _snr(mf, dec) > 17.0
+    es_intra = encode_m2v(mf, qscale_code=2, q_scale_type=1,
+                          dc_precision=10)
+    assert len(es) < len(es_intra)  # motion compensation predicts
+
+
+def test_roundtrip_b_frames_display_order():
+    mf = [_moving(t) for t in range(7)]
+    es = encode_m2v(mf, qscale_code=3, p_frames=True, b_frames=2)
+    meta, dec = decode_m2v(es)
+    assert meta["n_frames"] == 7 and meta["n_b"] == 4
+    assert _snr(mf, dec) > 16.0
+    # display order: each decoded frame matches ITS source best
+    for t, (a, b) in enumerate(zip(mf, dec)):
+        others = [
+            _snr([mf[u]], [b]) for u in range(7) if u != t
+        ]
+        assert _snr([a], [b]) >= max(others) - 1e-9, t
+
+
+def test_mpeg1_cross_routing():
+    """An MPEG-1 stream (no sequence_extension) is a loud ValueError
+    here, and an MPEG-2 stream raises in decode_m1v — the container
+    routers can dispatch on the error."""
+    from articulation_vector_db_api_spark.functions.mpeg1 import (
+        decode_m1v,
+        encode_m1v,
+    )
+
+    m1 = encode_m1v([_frame(0)], qscale=4)
+    with pytest.raises(ValueError, match="use decode_m1v"):
+        decode_m2v(m1)
+    m2 = encode_m2v([_frame(0)], qscale_code=2)
+    with pytest.raises(ValueError):
+        decode_m1v(m2)
+
+
+def test_interlaced_and_scalable_gates():
+    es = bytearray(encode_m2v([_frame(0)], qscale_code=2))
+    # picture_coding_extension: 4 (id) + 16 (f_codes) + 2 (precision)
+    # = 22 bits, picture_structure at bits 22-23 of the payload
+    at = bytes(es).find(b"\x00\x00\x01\xb5", 12)  # second 0xB5
+    at = bytes(es).find(b"\x00\x00\x01\xb5", at + 4) or at
+    # locate the PICTURE coding extension (id nibble 0x8)
+    p = 0
+    while True:
+        p = bytes(es).find(b"\x00\x00\x01\xb5", p)
+        if es[p + 4] >> 4 == 0x8:
+            break
+        p += 4
+    base = (p + 4) * 8 + 4 + 16 + 2  # bit offset of picture_structure
+
+    def with_bits(offset, width, value):
+        out = bytearray(es)
+        for k in range(width):
+            bit = (value >> (width - 1 - k)) & 1
+            i, j = divmod(offset + k, 8)
+            if bit:
+                out[i] |= 0x80 >> j
+            else:
+                out[i] &= ~(0x80 >> j) & 0xFF
+        return bytes(out)
+
+    with pytest.raises(NotImplementedError, match="field pictures"):
+        decode_m2v(with_bits(base, 2, 1))  # top field
+    # frame_pred_frame_dct is 1 bit after top_field_first
+    with pytest.raises(NotImplementedError, match="frame_pred_frame_dct"):
+        decode_m2v(with_bits(base + 3, 1, 0))
+    # alternate_scan: structure(2)+tff(1)+fpfd(1)+conceal(1)+qst(1)
+    # +ivlc(1) -> offset +7
+    with pytest.raises(NotImplementedError, match="Table B-15"):
+        decode_m2v(with_bits(base + 6, 1, 1))
+    with pytest.raises(NotImplementedError, match="alternate scan"):
+        decode_m2v(with_bits(base + 7, 1, 1))
+    # chroma_format lives in the sequence_extension: id(4)+profile(8)
+    # +progressive(1) -> bits 13-14 of ITS payload
+    s = bytes(es).find(b"\x00\x00\x01\xb5")
+    sbase = (s + 4) * 8 + 4 + 8 + 1
+    with pytest.raises(NotImplementedError, match="chroma_format"):
+        decode_m2v(with_bits(sbase, 2, 2))  # 4:2:2
+    # D pictures are forbidden outright
+    pic = bytes(es).find(b"\x00\x00\x01\x00") + 4
+    bad = bytearray(es)
+    bad[pic + 1] = (bad[pic + 1] & ~0x38) | 0x20  # type 100 = D
+    with pytest.raises(ValueError, match="forbidden in MPEG-2|D pictures"):
+        decode_m2v(bytes(bad))
+
+
+def test_user_data_and_display_extensions_skipped():
+    fs = [_frame(i) for i in range(2)]
+    es = encode_m2v(fs, qscale_code=2)
+    clean = decode_m2v(es)[1]
+    user = b"\x00\x00\x01\xb2" + b"mpeg2 witness encoder"
+    first_pic = es.index(b"\x00\x00\x01\x00")
+    salted = es[:first_pic] + user + es[first_pic:]
+    meta, dec = decode_m2v(salted)
+    assert meta["n_frames"] == 2
+    for a, b in zip(clean, dec):
+        assert (a == b).all()
+
+
+def test_encoder_arg_validation():
+    f = [np.zeros((16, 16, 3), dtype=np.uint8)]
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_m2v([np.zeros((30, 32, 3), dtype=np.uint8)])
+    with pytest.raises(ValueError, match="at least one"):
+        encode_m2v([])
+    with pytest.raises(ValueError, match="quantiser_scale_code"):
+        encode_m2v(f, qscale_code=0)
+    with pytest.raises(ValueError, match="intra_dc_precision"):
+        encode_m2v(f, dc_precision=12)
+    with pytest.raises(ValueError, match="f_code"):
+        encode_m2v(f, p_frames=True, f_code=10)
+    with pytest.raises(ValueError, match="b_frames requires"):
+        encode_m2v(f, b_frames=1)
+
+
+def test_fuzz_mpeg2_contract():
+    from tests.test_fuzz_contracts import _assert_contract
+
+    es = encode_m2v(
+        [_frame(0, 32, 32), _frame(1, 32, 32)], qscale_code=3,
+        q_scale_type=1, dc_precision=9,
+    )
+    _assert_contract("m2v", es, decode_m2v)

@@ -76,9 +76,11 @@ def build_avi(
 ) -> bytes:
     """Wrap per-frame ``payloads`` in an AVI. ``codec`` is "MJPG"
     (payloads are complete JPEG streams), "DIB" (payloads are
-    bottom-up BGR rows, 4-byte padded), or "MPG1" (payloads are
+    bottom-up BGR rows, 4-byte padded), "MPG1" (payloads are
     per-picture chunks of an MPEG-1 elementary stream —
-    mpeg1.split_m1v_frames's convention, the 'PIM1' interleave).
+    mpeg1.split_m1v_frames's convention, the 'PIM1' interleave), or
+    "MPG2" (the same per-picture convention over an MPEG-2 elementary
+    stream, extensions riding with their pictures).
 
     With ``audio_payloads`` a second 'auds' stream is written the way
     real capture tools interleave it: a WAVEFORMATEX strf from
@@ -87,7 +89,7 @@ def build_avi(
     '01wb' chunks round-robin with the video chunks, and idx1 entries
     for both streams. Without it the output is byte-identical to the
     single-stream writer."""
-    if codec not in ("MJPG", "DIB", "MPG1"):
+    if codec not in ("MJPG", "DIB", "MPG1", "MPG2"):
         raise NotImplementedError(f"AVI writer codec {codec!r}")
     if not payloads:
         raise ValueError("AVI needs at least one frame")
@@ -110,7 +112,8 @@ def build_avi(
         height,
         0, 0, 0, 0,
     )
-    handler = {"MJPG": b"MJPG", "DIB": b"DIB ", "MPG1": b"mpg1"}[codec]
+    handler = {"MJPG": b"MJPG", "DIB": b"DIB ",
+               "MPG1": b"mpg1", "MPG2": b"mpg2"}[codec]
     strh = (
         b"vids"
         + handler
@@ -308,6 +311,12 @@ def parse_avi(b: bytes) -> dict:
         struct.unpack("<I", b"PIM1")[0],
     ):
         codec = "MPG1"
+    elif handler.upper() in (b"MPG2", b"PIM2") or compression in (
+        struct.unpack("<I", b"MPG2")[0],
+        struct.unpack("<I", b"mpg2")[0],
+        struct.unpack("<I", b"PIM2")[0],
+    ):
+        codec = "MPG2"
     elif compression == 0:
         if bitcount != 24:
             raise NotImplementedError(f"DIB bit depth {bitcount}")
@@ -399,22 +408,25 @@ def decode_avi_frames(b: bytes) -> tuple[dict, list[np.ndarray]]:
     MJPG frames run the from-scratch JPEG decoder; DIB frames decode
     losslessly; MPG1 payloads reconstitute the MPEG-1 elementary
     stream (PIM1-style per-picture chunks, mpeg1.split_m1v_frames's
-    inverse) and run the intra decoder. -> (meta, [(h, w, 3) or
+    inverse) and run the MPEG-1 decoder; MPG2 likewise through
+    functions/mpeg2.py. -> (meta, [(h, w, 3) or
     (h, w, 1) uint8])."""
     meta = parse_avi(b)
     payloads = extract_avi_frames(b)
     if meta["codec"] == "MJPG":
         frames = [decode_jpeg(p) for p in payloads]
-    elif meta["codec"] == "MPG1":
+    elif meta["codec"] in ("MPG1", "MPG2"):
         from .mpeg1 import decode_m1v
+        from .mpeg2 import decode_m2v
 
+        decode_es = decode_m1v if meta["codec"] == "MPG1" else decode_m2v
         es = b"".join(payloads)
         if not es.endswith(b"\x00\x00\x01\xb7"):
             es += b"\x00\x00\x01\xb7"  # muxers may drop sequence_end
-        m1meta, frames = decode_m1v(es)
+        m1meta, frames = decode_es(es)
         if m1meta["n_frames"] != len(payloads):
             raise ValueError(
-                f"MPEG-1 picture count {m1meta['n_frames']} != "
+                f"MPEG picture count {m1meta['n_frames']} != "
                 f"AVI chunk count {len(payloads)}"
             )
     else:

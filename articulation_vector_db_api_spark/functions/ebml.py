@@ -300,10 +300,11 @@ def _parse_simple_block(
 def decode_mkv_frames(payload: bytes):
     """Full pixel decode through the Matroska seam: parse the track
     table, walk Clusters, and decode each video frame by CodecID —
-    V_MJPEG rides functions/jpeg.py, V_MPEG1 reconstitutes the
-    elementary stream (CodecPrivate carries the sequence header + GOP,
-    blocks carry pictures — the Matroska codec-mapping convention) and
-    rides functions/mpeg1.py; anything else raises
+    V_MJPEG rides functions/jpeg.py, V_MPEG1 and V_MPEG2
+    reconstitute the elementary stream (CodecPrivate carries the
+    sequence header + extensions + GOP, blocks carry pictures — the
+    Matroska codec-mapping convention) and ride functions/mpeg1.py /
+    functions/mpeg2.py; anything else raises
     NotImplementedError (honest gate: VP8/VP9/AV1 are perceptual
     codecs). -> (meta, [(track, ts_ms, (h, w, ch) uint8 array)])."""
     from .jpeg import decode_jpeg
@@ -321,7 +322,7 @@ def decode_mkv_frames(payload: bytes):
         codec = t["codec_id"]
         if codec == "V_MJPEG":
             out.append((track, ts_ms, decode_jpeg(frame)))
-        elif codec == "V_MPEG1":
+        elif codec in ("V_MPEG1", "V_MPEG2"):
             mpeg1_blocks.setdefault(track, []).append((ts_ms, frame))
         elif (
             (t["type"] is not None and t["type"] != 1)
@@ -335,17 +336,20 @@ def decode_mkv_frames(payload: bytes):
             raise NotImplementedError(f"Matroska codec {codec}")
     for track, blocks in mpeg1_blocks.items():
         from .mpeg1 import decode_m1v
+        from .mpeg2 import decode_m2v
 
+        codec = tracks_by_num[track]["codec_id"]
+        decode_es = decode_m1v if codec == "V_MPEG1" else decode_m2v
         private = tracks_by_num[track]["codec_private"]
         if not private:
             raise ValueError(
-                "Matroska V_MPEG1 track without CodecPrivate "
+                f"Matroska {codec} track without CodecPrivate "
                 "(sequence header expected there)"
             )
         es = private + b"".join(fr for _ts, fr in blocks)
         if not es.endswith(b"\x00\x00\x01\xb7"):
             es += b"\x00\x00\x01\xb7"
-        _m1meta, frames = decode_m1v(es)
+        _m1meta, frames = decode_es(es)
         if len(frames) != len(blocks):
             raise ValueError(
                 f"MPEG-1 picture count {len(frames)} != "

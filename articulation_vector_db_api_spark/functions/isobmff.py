@@ -197,6 +197,7 @@ def build_mp4_mjpeg(
     samples_per_chunk: int = 2,
     codec: str = "jpeg",
     decoder_config: bytes = b"",
+    oti: int = 0x6A,
 ) -> bytes:
     """MP4 with ONE video track: ``samples`` is
     [(duration_in_timescale_ticks, payload_bytes)]. Layout
@@ -205,9 +206,10 @@ def build_mp4_mjpeg(
     run), stts compresses equal-duration runs, stco carries absolute
     chunk offsets — the full sample-table machinery, not a one-chunk
     shortcut. Default codec 'jpeg' (QuickTime Motion-JPEG); 'mp4v'
-    appends an esds box with objectTypeIndication 0x6A (MPEG-1
-    Visual) whose DecoderSpecificInfo is ``decoder_config`` (the
-    sequence header + GOP), samples being the per-picture access
+    appends an esds box whose objectTypeIndication is ``oti``
+    (default 0x6A MPEG-1 Visual; pass 0x61 for 13818-2 Main) and
+    whose DecoderSpecificInfo is ``decoder_config`` (the sequence
+    header + extensions + GOP), samples being the per-picture access
     units."""
     if codec not in ("jpeg", "mp4v"):
         raise NotImplementedError(f"MP4 writer codec {codec!r}")
@@ -218,7 +220,7 @@ def build_mp4_mjpeg(
         samples, samples_per_chunk, len(ftyp) + 8
     )
     # VisualSampleEntry (86 bytes incl. header, plus esds for mp4v)
-    esds = build_esds(0x6A, decoder_config) if codec == "mp4v" else b""
+    esds = build_esds(oti, decoder_config) if codec == "mp4v" else b""
     vse = (
         struct.pack(">I", 86 + len(esds))
         + codec.encode("ascii")
@@ -530,21 +532,29 @@ def decode_mp4_frames(b: bytes):
         ]
     if meta["codec"] == "mp4v":
         from .mpeg1 import decode_m1v
+        from .mpeg2 import decode_m2v
 
-        if meta["oti"] != 0x6A:
+        # ISO 14496-1 Table 5: 0x6A = MPEG-1 Visual; 0x60/0x61 =
+        # 13818-2 Simple/Main (the engine's progressive frame-picture
+        # subset); the other 13818-2 OTIs (SNR/Spatial/High/422) gate
+        if meta["oti"] == 0x6A:
+            decode_es = decode_m1v
+        elif meta["oti"] in (0x60, 0x61):
+            decode_es = decode_m2v
+        else:
             raise NotImplementedError(
                 f"MP4 mp4v objectTypeIndication {meta['oti']!r} "
-                "(engine decodes 0x6A MPEG-1 Visual)"
+                "(engine decodes 0x6A MPEG-1 / 0x60-0x61 MPEG-2)"
             )
         if not meta["decoder_config"]:
             raise ValueError(
-                "MP4 MPEG-1 track without DecoderSpecificInfo "
+                "MP4 MPEG video track without DecoderSpecificInfo "
                 "(sequence header expected there)"
             )
         es = meta["decoder_config"] + b"".join(s for _ts, s in samples)
         if not es.endswith(b"\x00\x00\x01\xb7"):
             es += b"\x00\x00\x01\xb7"
-        _m1meta, frames = decode_m1v(es)
+        _m1meta, frames = decode_es(es)
         if len(frames) != len(samples):
             raise ValueError(
                 f"MPEG-1 picture count {len(frames)} != "

@@ -284,3 +284,78 @@ def test_fuzz_mpeg2_contract():
         q_scale_type=1, dc_precision=9,
     )
     _assert_contract("m2v", es, decode_m2v)
+
+
+def test_mpeg2_in_all_three_containers():
+    """Container routing (the r11 item-7 'container-routed' criterion):
+    the same MPEG-2 elementary stream rides AVI (MPG2 fourcc),
+    Matroska (V_MPEG2 + CodecPrivate) and MP4 (mp4v esds OTI 0x61),
+    and each container decode equals the direct decode bit-for-bit."""
+    from articulation_vector_db_api_spark.functions.avi import (
+        build_avi,
+        decode_avi_frames,
+        parse_avi,
+    )
+    from articulation_vector_db_api_spark.functions.ebml import (
+        build_mkv_mjpeg,
+        decode_mkv_frames,
+    )
+    from articulation_vector_db_api_spark.functions.isobmff import (
+        build_mp4_mjpeg,
+        decode_mp4_frames,
+    )
+    from articulation_vector_db_api_spark.functions.mpeg1 import (
+        split_m1v_frames,
+        split_m1v_header,
+    )
+
+    mf = [_moving(t) for t in range(4)]
+    es = encode_m2v(mf, qscale_code=2, p_frames=True, fps_code=3)
+    direct = decode_m2v(es)[1]
+
+    avi = build_avi(split_m1v_frames(es), 64, 32, "MPG2", fps_rate=25)
+    assert parse_avi(avi)["codec"] == "MPG2"
+    _m, dec = decode_avi_frames(avi)
+    assert len(dec) == 4
+    for a, b in zip(dec, direct):
+        assert (a == b).all()
+
+    private, pics = split_m1v_header(es)
+    mkv = build_mkv_mjpeg(
+        [(i * 40, p) for i, p in enumerate(pics)], 64, 32,
+        codec_id="V_MPEG2", codec_private=private,
+        frames_per_cluster=2,
+    )
+    _m, decoded = decode_mkv_frames(mkv)
+    assert len(decoded) == 4
+    for (_t, _ts, fr), d in zip(decoded, direct):
+        assert (fr == d).all()
+
+    mp4 = build_mp4_mjpeg(
+        [(3600, p) for p in pics], 64, 32,
+        codec="mp4v", decoder_config=private, oti=0x61,
+    )
+    meta, frames = decode_mp4_frames(mp4)
+    assert meta["oti"] == 0x61
+    assert len(frames) == 4
+    for (_ts, fr), d in zip(frames, direct):
+        assert (fr == d).all()
+
+
+def test_mp4_mpeg2_oti_gates():
+    from articulation_vector_db_api_spark.functions.isobmff import (
+        build_mp4_mjpeg,
+        decode_mp4_frames,
+    )
+    from articulation_vector_db_api_spark.functions.mpeg1 import (
+        split_m1v_header,
+    )
+
+    es = encode_m2v([_frame(0)], qscale_code=2)
+    private, pics = split_m1v_header(es)
+    mp4 = build_mp4_mjpeg(
+        [(3600, p) for p in pics], 48, 32,
+        codec="mp4v", decoder_config=private, oti=0x65,  # 4:2:2 profile
+    )
+    with pytest.raises(NotImplementedError, match="objectTypeIndication"):
+        decode_mp4_frames(mp4)

@@ -566,6 +566,33 @@ class _QuantHooks:
     dc_reset = 128
     decode_block_nonintra = staticmethod(_decode_block_nonintra)
 
+    # macroblock_modes delta: MPEG-1 has no extra mode bits; MPEG-2
+    # with frame_pred_frame_dct = 0 reads frame_motion_type and
+    # dct_type here (mpeg2._M2Hooks overrides). Returns dct_type.
+    @staticmethod
+    def read_mb_modes(sr, mf, mb, coded, intra):
+        return 0
+
+    @staticmethod
+    def write_mb_modes(w, mf, mb, coded, intra, dct_type):
+        return None
+
+    @staticmethod
+    def pick_dct_type(cur):
+        return 0
+
+    @staticmethod
+    def luma_view(plane, oy, ox, blk, dct_type):
+        """8x8 view of luma block ``blk`` inside the 16x16 macroblock
+        at (oy, ox). dct_type 0 = frame DCT (quadrants); 1 = field
+        DCT (blocks 0/1 = top-field rows, 2/3 = bottom-field rows —
+        §6.3.17.1, luma only)."""
+        bx = ox + (blk % 2) * 8
+        if dct_type:
+            return plane[oy + (blk // 2) : oy + 16 : 2, bx : bx + 8]
+        by = oy + (blk // 2) * 8
+        return plane[by : by + 8, bx : bx + 8]
+
     @staticmethod
     def map_qscale(code):
         return code
@@ -705,26 +732,31 @@ def _encode_intra_mb(
     planes: tuple[np.ndarray, np.ndarray, np.ndarray],
     rec: tuple[np.ndarray, np.ndarray, np.ndarray],
     mbr: int, mbc: int, qscale: int, preds: list[int],
-    hooks: _QuantHooks = None,
+    hooks: _QuantHooks = None, dct_type: int = 0,
 ) -> None:
     """Encode one intra macroblock from float planes and mirror the
-    decoder's reconstruction into the int64 ``rec`` planes."""
+    decoder's reconstruction into the int64 ``rec`` planes.
+    ``dct_type`` selects the luma block layout (field DCT — MPEG-2
+    only; the caller writes the mode bits)."""
     hooks = hooks or _M1_HOOKS
     y, cb, cr = planes
     for blk in range(6):
         if blk < 4:
-            by, bx = mbr * 16 + (blk // 2) * 8, mbc * 16 + (blk % 2) * 8
-            block, out, ti = y[by : by + 8, bx : bx + 8], rec[0], 0
+            block = hooks.luma_view(y, mbr * 16, mbc * 16, blk, dct_type)
+            dst = hooks.luma_view(
+                rec[0], mbr * 16, mbc * 16, blk, dct_type
+            )
+            ti = 0
         else:
             plane = cb if blk == 4 else cr
             by, bx = mbr * 8, mbc * 8
             block = plane[by : by + 8, bx : bx + 8]
-            out, ti = rec[blk - 3], blk - 3
+            dst, ti = rec[blk - 3][by : by + 8, bx : bx + 8], blk - 3
         coeff = _C @ block @ _C.T
         levels = hooks.quant_intra(coeff, qscale, preds[ti])
         hooks.write_intra_levels(w, levels, preds[ti], blk < 4)
         preds[ti] = int(levels[0])
-        out[by : by + 8, bx : bx + 8] = np.clip(
+        dst[:, :] = np.clip(
             np.rint(hooks.dequant_intra(levels, qscale)), 0, 255
         ).astype(np.int64)
 
@@ -780,12 +812,12 @@ def _encode_p_slice(
         pred_y = _mc_block(ref[0], row * 16, col * 16, 16, lhy, lhx)
         pred_cb = _mc_block(ref[1], row * 8, col * 8, 8, chy, chx)
         pred_cr = _mc_block(ref[2], row * 8, col * 8, 8, chy, chx)
+        dct = hooks.pick_dct_type(cur - pred_y)
         levels, cbp = [], 0
         for blk in range(6):
             if blk < 4:
-                by, bx = (blk // 2) * 8, (blk % 2) * 8
-                block = cur[by : by + 8, bx : bx + 8]
-                pred = pred_y[by : by + 8, bx : bx + 8]
+                block = hooks.luma_view(cur, 0, 0, blk, dct)
+                pred = hooks.luma_view(pred_y, 0, 0, blk, dct)
             else:
                 plane = cb if blk == 4 else cr
                 block = plane[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8]
@@ -822,6 +854,7 @@ def _encode_p_slice(
         _write_increment(w, pending + 1)
         pending = 0
         w.write_code("1" if cbp else "001")  # pred-mc(+cbp), Table B.2b
+        hooks.write_mb_modes(w, True, False, bool(cbp), False, dct)
         _write_motion(w, _wrap_vector(vx - mv_pred[0], f), f_code)
         _write_motion(w, _wrap_vector(vy - mv_pred[1], f), f_code)
         mv_pred = [vx, vy]
@@ -829,26 +862,24 @@ def _encode_p_slice(
             w.write_code(_CBP_CODES[cbp])
         for blk in range(6):
             if blk < 4:
-                by = row * 16 + (blk // 2) * 8
-                bx = col * 16 + (blk % 2) * 8
-                pred = pred_y[(blk // 2) * 8 : (blk // 2) * 8 + 8,
-                              (blk % 2) * 8 : (blk % 2) * 8 + 8]
-                out = rec[0]
+                pred = hooks.luma_view(pred_y, 0, 0, blk, dct)
+                dst = hooks.luma_view(
+                    rec[0], row * 16, col * 16, blk, dct
+                )
             else:
                 by, bx = row * 8, col * 8
                 pred = pred_cb if blk == 4 else pred_cr
-                out = rec[blk - 3]
+                dst = rec[blk - 3][by : by + 8, bx : bx + 8]
             if cbp & (1 << (5 - blk)):
                 hooks.write_nonintra_levels(w, levels[blk])
-                px = np.clip(
+                dst[:, :] = np.clip(
                     pred + np.rint(
                         hooks.dequant_nonintra(levels[blk], qscale)
                     ).astype(np.int64),
                     0, 255,
                 )
             else:
-                px = pred
-            out[by : by + 8, bx : bx + 8] = px
+                dst[:, :] = pred
 
 
 def _encode_b_slice(
@@ -893,12 +924,12 @@ def _encode_b_slice(
                            k != (True, True)),
         )
         pred_y, pred_cb, pred_cr = cands[(use_f, use_b)]
+        dct = hooks.pick_dct_type(cur - pred_y)
         levels, cbp = [], 0
         for blk in range(6):
             if blk < 4:
-                by, bx = (blk // 2) * 8, (blk % 2) * 8
-                block = cur[by : by + 8, bx : bx + 8]
-                pred = pred_y[by : by + 8, bx : bx + 8]
+                block = hooks.luma_view(cur, 0, 0, blk, dct)
+                pred = hooks.luma_view(pred_y, 0, 0, blk, dct)
             else:
                 plane = cb if blk == 4 else cr
                 block = plane[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8]
@@ -932,6 +963,7 @@ def _encode_b_slice(
             (False, True, False): "010", (False, True, True): "011",
             (True, False, False): "0010", (True, False, True): "0011",
         }[(use_f, use_b, bool(cbp))])
+        hooks.write_mb_modes(w, use_f, use_b, bool(cbp), False, dct)
         if use_f:
             _write_motion(w, _wrap_vector(vfx - pred_f[0], f), f_code)
             _write_motion(w, _wrap_vector(vfy - pred_f[1], f), f_code)
@@ -1153,28 +1185,29 @@ def _write_inter_mb(
     mbr: int, mbc: int, cbp: int, qscale: int,
     sr: _BitReader | None,
     hooks: "_QuantHooks" = None,
+    dct_type: int = 0,
 ) -> None:
     """Write prediction + decoded residuals (for set cbp bits) into
-    the picture planes."""
+    the picture planes. ``dct_type`` selects the luma block layout
+    (frame/field DCT — MPEG-2 only; chroma is always frame)."""
     hooks = hooks or _M1_HOOKS
     y, cb, cr = planes
     pred_y, pred_cb, pred_cr = pred
     for blk in range(6):
         if blk < 4:
-            by, bx = (blk // 2) * 8, (blk % 2) * 8
-            p = pred_y[by : by + 8, bx : bx + 8]
-            out = y
-            oy, ox = mbr * 16 + by, mbc * 16 + bx
+            p = hooks.luma_view(pred_y, 0, 0, blk, dct_type)
+            dst = hooks.luma_view(y, mbr * 16, mbc * 16, blk, dct_type)
         else:
             p = pred_cb if blk == 4 else pred_cr
             out = cb if blk == 4 else cr
-            oy, ox = mbr * 8, mbc * 8
+            dst = out[mbr * 8 : mbr * 8 + 8, mbc * 8 : mbc * 8 + 8]
         if cbp & (1 << (5 - blk)):
             resid = hooks.decode_block_nonintra(sr, qscale)
-            px = np.clip(p + np.rint(resid).astype(np.int64), 0, 255)
+            dst[:, :] = np.clip(
+                p + np.rint(resid).astype(np.int64), 0, 255
+            )
         else:
-            px = p
-        out[oy : oy + 8, ox : ox + 8] = px
+            dst[:, :] = p
 
 
 def _decode_slice(
@@ -1289,6 +1322,7 @@ def _decode_slice(
         quant, mf, mb, coded, intra = sr.read_vlc(
             mb_type_inv, "macroblock_type", 6
         )
+        dct_type = hooks.read_mb_modes(sr, mf, mb, coded, intra)
         if quant:
             code = sr.read(5)
             if not code:
@@ -1329,9 +1363,9 @@ def _decode_slice(
                 )
                 px = np.clip(np.rint(spatial), 0, 255).astype(np.int64)
                 if blk < 4:
-                    by = mbr * 16 + (blk // 2) * 8
-                    bx = mbc * 16 + (blk % 2) * 8
-                    y[by : by + 8, bx : bx + 8] = px
+                    hooks.luma_view(
+                        y, mbr * 16, mbc * 16, blk, dct_type
+                    )[:, :] = px
                 else:
                     out = cb if blk == 4 else cr
                     out[mbr * 8 : mbr * 8 + 8,
@@ -1346,7 +1380,8 @@ def _decode_slice(
         cbp = 0
         if coded:
             cbp = sr.read_vlc(_CBP_INV, "coded_block_pattern", 9)
-        _write_inter_mb(planes, pred, mbr, mbc, cbp, qscale, sr, hooks)
+        _write_inter_mb(planes, pred, mbr, mbc, cbp, qscale, sr, hooks,
+                        dct_type)
         last_inter = (use_f, vf, use_b, vb)
 
 

@@ -34,14 +34,18 @@ r12) are all shared imports; what is NEW here is:
   complement level (no MPEG-1 double-byte form), level ±2047;
 - no full_pel mode (removed from the spec), f_code up to 9.
 
-Honest gates (raise, not fake): field pictures (picture_structure
-!= frame), field/dual-prime prediction and per-MB DCT-type switching
-(frame_pred_frame_dct = 0), interlaced tools (alternate_scan,
-repeat_first_field), the alternate intra VLC (intra_vlc_format = 1,
+frame_pred_frame_dct = 0 decodes (r12, same round): coded
+macroblocks then carry frame_motion_type (frame-based prediction
+implemented) and per-macroblock dct_type, with §6.3.17.1's FIELD-DCT
+luma interleave — the first interlaced-era coding tool. Honest gates
+(raise, not fake): field pictures (picture_structure != frame), field
+and dual-prime prediction (frame_motion_type != 2), alternate_scan,
+repeat_first_field, the alternate intra VLC (intra_vlc_format = 1,
 Table B-15), chroma 4:2:2/4:4:4, custom quantizer matrices,
 concealment motion vectors, and every scalability extension. The
-witness encoder emits progressive Main-profile-shaped streams —
-I-only, IPPP, or IBB…P — over the full q_scale_type × precision grid.
+witness encoder emits Main-profile-shaped streams — I-only, IPPP, or
+IBB…P, fpfd 1 or 0 with a field/frame DCT election heuristic — over
+the full q_scale_type × precision grid.
 
 Reference behavior parity: the reference (/root/reference/main.py)
 has no video path; this is engine frontier surface for video-corpus
@@ -335,12 +339,57 @@ class _M2Hooks(_QuantHooks):
     """MPEG-2 quantizer arithmetic plugged into the shared MPEG-1
     slice machinery (mpeg1._encode_p_slice/_encode_b_slice/
     _decode_slice). One instance per picture — it carries the
-    picture_coding_extension state the block layer needs."""
+    picture_coding_extension state the block layer needs.
 
-    def __init__(self, q_scale_type: int, dc_precision: int) -> None:
+    With frame_pred_frame_dct = 0 (``fpfd=0``), macroblock_modes
+    carries frame_motion_type (only the frame-based value 2 is
+    implemented — field MC and dual prime raise) and dct_type, and
+    the luma block layout follows §6.3.17.1's field-DCT interleave
+    (the shared hooks' luma_view)."""
+
+    def __init__(
+        self, q_scale_type: int, dc_precision: int, fpfd: int = 1
+    ) -> None:
         self.q_scale_type = q_scale_type
         self.dc_mult = 1 << (11 - dc_precision)
         self.dc_reset = 1 << (dc_precision - 1)
+        self.fpfd = fpfd
+
+    def read_mb_modes(self, sr, mf, mb, coded, intra):
+        if self.fpfd:
+            return 0
+        if mf or mb:
+            fmt = sr.read(2)
+            if fmt == 0:
+                raise ValueError("reserved MPEG-2 frame_motion_type")
+            if fmt != 2:
+                raise NotImplementedError(
+                    "MPEG-2 field / dual-prime prediction "
+                    f"(frame_motion_type {fmt})"
+                )
+        return sr.read(1) if (coded or intra) else 0
+
+    def write_mb_modes(self, w, mf, mb, coded, intra, dct_type):
+        if self.fpfd:
+            return
+        if mf or mb:
+            w.write(2, 2)  # frame_motion_type: frame-based
+        if coded or intra:
+            w.write(dct_type, 1)
+
+    def pick_dct_type(self, res) -> int:
+        """Field-vs-frame DCT election for one luma residual (or
+        intra pixel) 16x16 macroblock: compare adjacent-row coupling
+        against same-field coupling; interlaced content correlates
+        within fields, not across them."""
+        if self.fpfd:
+            return 0
+        frame_diff = float(np.abs(res[0:15] - res[1:16]).sum())
+        field_diff = float(
+            np.abs(res[0:14:2] - res[2:16:2]).sum()
+            + np.abs(res[1:15:2] - res[3:16:2]).sum()
+        )
+        return 1 if frame_diff > 1.05 * field_diff else 0
 
     def map_qscale(self, code):
         return _map_qscale(code, self.q_scale_type)
@@ -384,11 +433,17 @@ def encode_m2v(
     frames: list[np.ndarray], fps_code: int = 5, qscale_code: int = 4,
     p_frames: bool = False, f_code: int = 1, search: int = 4,
     b_frames: int = 0, q_scale_type: int = 0, dc_precision: int = 8,
+    fpfd: int = 1,
 ) -> bytes:
     """Witness MPEG-2 elementary stream (progressive, Main-profile
     shape, frame pictures, frame_pred_frame_dct = 1, 4:2:0,
     intra_vlc_format = 0, zigzag scan). Frames are (h, w, 3) RGB uint8
-    with h, w multiples of 16. Same scheduling surface as
+    with h, w multiples of 16. With ``fpfd=0`` the stream signals
+    frame_pred_frame_dct = 0 (progressive_sequence drops to 0 as the
+    spec requires): every coded macroblock carries frame_motion_type
+    (frame-based) and a dct_type elected per macroblock by the
+    field/frame coupling heuristic — interlaced witness scenes code
+    field DCT. Same scheduling surface as
     mpeg1.encode_m1v minus full_pel (removed from MPEG-2):
     ``p_frames`` -> IPPP, ``b_frames`` = k -> anchors every k+1
     display frames with B pictures between. ``q_scale_type`` selects
@@ -409,13 +464,15 @@ def encode_m2v(
         raise ValueError("intra_dc_precision must be 8..11")
     if q_scale_type not in (0, 1):
         raise ValueError("q_scale_type is one bit")
+    if fpfd not in (0, 1):
+        raise ValueError("frame_pred_frame_dct is one bit")
     for fr in frames:
         if fr.shape != frames[0].shape:
             raise ValueError("MPEG-2 frames must share one geometry")
     if b_frames and not p_frames:
         raise ValueError("b_frames requires p_frames")
 
-    hooks = _M2Hooks(q_scale_type, dc_precision)
+    hooks = _M2Hooks(q_scale_type, dc_precision, fpfd)
     qscale = hooks.map_qscale(qscale_code)
     mbw, mbh = w_px // 16, h // 16
     n = len(frames)
@@ -435,7 +492,7 @@ def encode_m2v(
     w.start_code(0xB5)    # sequence_extension — what MAKES it MPEG-2
     w.write(_EXT_SEQUENCE, 4)
     w.write(0x48, 8)      # profile_and_level: Main @ Main
-    w.write(1, 1)         # progressive_sequence
+    w.write(fpfd, 1)      # progressive_sequence (0 when fpfd=0)
     w.write(1, 2)         # chroma_format 4:2:0
     w.write(0, 2)         # horizontal_size_extension
     w.write(0, 2)         # vertical_size_extension
@@ -496,14 +553,14 @@ def encode_m2v(
         w.write(dc_precision - 8, 2)
         w.write(3, 2)        # picture_structure: frame
         w.write(0, 1)        # top_field_first
-        w.write(1, 1)        # frame_pred_frame_dct
+        w.write(fpfd, 1)     # frame_pred_frame_dct
         w.write(0, 1)        # concealment_motion_vectors
         w.write(q_scale_type, 1)
         w.write(0, 1)        # intra_vlc_format: Table B-14
         w.write(0, 1)        # alternate_scan: zigzag
         w.write(0, 1)        # repeat_first_field
-        w.write(1, 1)        # chroma_420_type (= progressive_frame)
-        w.write(1, 1)        # progressive_frame
+        w.write(fpfd, 1)     # chroma_420_type (= progressive_frame)
+        w.write(fpfd, 1)     # progressive_frame
         w.write(0, 1)        # composite_display_flag
         for row in range(mbh):
             w.start_code(0x01 + row)  # one slice per MB row
@@ -524,9 +581,14 @@ def encode_m2v(
                 for col in range(mbw):
                     w.write_code("1")  # mb_address_increment = 1
                     w.write_code("1")  # mb_type: intra (Table B-2)
+                    cur = planes[0][
+                        row * 16 : row * 16 + 16, col * 16 : col * 16 + 16
+                    ]
+                    dct = hooks.pick_dct_type(cur)
+                    hooks.write_mb_modes(w, False, False, False, True, dct)
                     _encode_intra_mb(
                         w, planes, rec, row, col, qscale, preds,
-                        hooks=hooks,
+                        hooks=hooks, dct_type=dct,
                     )
         if ptype != 3:  # B pictures are not references
             prev_anchor, ref = ref, rec
@@ -550,11 +612,7 @@ def _parse_picture_coding_ext(r: _BitReader) -> dict:
             "MPEG-2 field pictures (picture_structure != frame)"
         )
     r.read(1)  # top_field_first
-    if not r.read(1):
-        raise NotImplementedError(
-            "MPEG-2 per-macroblock field prediction / DCT switching "
-            "(frame_pred_frame_dct = 0)"
-        )
+    out["fpfd"] = r.read(1)
     if r.read(1):
         raise NotImplementedError("MPEG-2 concealment motion vectors")
     out["q_scale_type"] = r.read(1)
@@ -677,7 +735,9 @@ def decode_m2v(b: bytes) -> tuple[dict, list[np.ndarray]]:
         xr.read(4)
         ext = _parse_picture_coding_ext(xr)
         dc_precision_seen = ext["dc_precision"]
-        hooks = _M2Hooks(ext["q_scale_type"], ext["dc_precision"])
+        hooks = _M2Hooks(
+            ext["q_scale_type"], ext["dc_precision"], ext["fpfd"]
+        )
         f_f, f_b = ext["f"][0][0], ext["f"][1][0]
         if ptype in (2, 3):
             if not 1 <= f_f <= 9 or ext["f"][0][1] != f_f:

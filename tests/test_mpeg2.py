@@ -224,9 +224,6 @@ def test_interlaced_and_scalable_gates():
 
     with pytest.raises(NotImplementedError, match="field pictures"):
         decode_m2v(with_bits(base, 2, 1))  # top field
-    # frame_pred_frame_dct is 1 bit after top_field_first
-    with pytest.raises(NotImplementedError, match="frame_pred_frame_dct"):
-        decode_m2v(with_bits(base + 3, 1, 0))
     # alternate_scan: structure(2)+tff(1)+fpfd(1)+conceal(1)+qst(1)
     # +ivlc(1) -> offset +7
     with pytest.raises(NotImplementedError, match="Table B-15"):
@@ -359,3 +356,89 @@ def test_mp4_mpeg2_oti_gates():
     )
     with pytest.raises(NotImplementedError, match="objectTypeIndication"):
         decode_mp4_frames(mp4)
+
+
+def test_fpfd0_mode_bits_and_prediction_gates():
+    """frame_pred_frame_dct = 0 macroblock_modes: frame_motion_type 2
+    (frame-based) decodes; 0 is reserved (ValueError); field (1) and
+    dual prime (3) gate honestly; dct_type reads only when a coded or
+    intra macroblock follows."""
+    from articulation_vector_db_api_spark.functions.mpeg1 import (
+        _BitReader,
+        _BitWriter,
+    )
+    from articulation_vector_db_api_spark.functions.mpeg2 import _M2Hooks
+
+    hooks = _M2Hooks(0, 8, fpfd=0)
+
+    def reader(bits):
+        w = _BitWriter()
+        for b in bits:
+            w.write(int(b), 1)
+        return _BitReader(w.bytes())
+
+    assert hooks.read_mb_modes(reader("10" + "1"), True, False,
+                               True, False) == 1
+    assert hooks.read_mb_modes(reader("10"), True, False,
+                               False, False) == 0
+    assert hooks.read_mb_modes(reader("0"), False, False,
+                               False, True) == 0
+    with pytest.raises(ValueError, match="reserved"):
+        hooks.read_mb_modes(reader("00"), True, False, True, False)
+    with pytest.raises(NotImplementedError, match="field / dual-prime"):
+        hooks.read_mb_modes(reader("01"), True, False, True, False)
+    with pytest.raises(NotImplementedError, match="field / dual-prime"):
+        hooks.read_mb_modes(reader("11"), False, True, True, False)
+    # fpfd=1 reads nothing
+    assert _M2Hooks(0, 8, fpfd=1).read_mb_modes(
+        reader(""), True, True, True, False
+    ) == 0
+
+
+def _interlaced(t, h=32, w=64):
+    """Two fields moving at DIFFERENT velocities — classic interlaced
+    capture; rows couple within fields, not across them."""
+    img = np.full((h, w, 3), 80, dtype=np.uint8)
+    yy, xx = np.mgrid[0:8, 0:16]
+    sq = (110 + 7 * xx + 5 * yy).clip(0, 255).astype(np.uint8)
+    x_top, x_bot = 2 + 3 * t, 40 - 3 * t
+    img[8:24:2, x_top : x_top + 16, 0] = sq  # top field only
+    img[9:24:2, x_bot : x_bot + 16, 0] = 255 - sq  # bottom field
+    img[:, :, 1] = img[:, :, 0]
+    img[:, :, 2] = img[:, :, 0]
+    return img
+
+
+def test_fpfd0_field_dct_roundtrip():
+    """An interlaced scene under fpfd=0: the dct_type heuristic must
+    actually ELECT field DCT somewhere (probed), the stream must
+    roundtrip for I-only and IPPP, and field DCT must BEAT fpfd=1
+    frame-DCT coding on interlaced content (the reason the tool
+    exists)."""
+    from articulation_vector_db_api_spark.functions import mpeg2 as m2
+
+    mf = [_interlaced(t) for t in range(3)]
+    elected = []
+    orig = m2._M2Hooks.pick_dct_type
+
+    def probe(self, res):
+        d = orig(self, res)
+        elected.append(d)
+        return d
+
+    m2._M2Hooks.pick_dct_type = probe
+    try:
+        es_i = encode_m2v(mf, qscale_code=2, fpfd=0)
+        es_p = encode_m2v(mf, qscale_code=2, p_frames=True, fpfd=0)
+    finally:
+        m2._M2Hooks.pick_dct_type = orig
+    assert 1 in elected  # field DCT actually used
+    for es, want in ((es_i, (3, 0)), (es_p, (1, 2))):
+        meta, dec = decode_m2v(es)
+        assert (meta["n_i"], meta["n_p"]) == want
+        assert meta["progressive"] == 0
+        assert _snr(mf, dec) > 19.0, _snr(mf, dec)
+    # the payoff: same scene, same quantizer, frame-DCT-only coding
+    # (fpfd=1) costs more bits on interlaced content
+    es_frame = encode_m2v(mf, qscale_code=2, fpfd=1)
+    assert len(es_i) < len(es_frame)

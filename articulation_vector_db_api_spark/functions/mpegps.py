@@ -28,6 +28,13 @@ The demuxer is strict (ValueError on any malformed marker/length —
 per-row fault isolation catches it); the witness muxer interleaves
 round-robin with PTS on each stream's first packet of every pack.
 
+r12: the 13818-1 MPEG-2 PROGRAM stream (the DVD-era .vob/.mpg
+layout) muxes and demuxes alongside: '01'-marked pack headers with
+SCR base+extension and pack stuffing, '10'-marked PES headers with
+PTS_DTS_flags and PES_header_data_length-bounded optional fields.
+The demuxer detects the version per pack (mixing versions raises)
+and reports it as ``mpeg_version``.
+
 Reference behavior parity: the reference (/root/reference/main.py) is
 PDF-only; system-stream demux is engine frontier surface for
 video-corpus curation (every classic ``.mpg`` is a program stream).
@@ -142,6 +149,87 @@ def build_mpeg_ps(
     return bytes(out)
 
 
+def _pack_header2(scr_base: int, scr_ext: int, mux_rate: int) -> bytes:
+    """13818-1 §2.4.3.3 pack header: '01' + SCR base(33)/ext(9) with
+    markers + program_mux_rate(22) + '11' + reserved + zero
+    stuffing_length — 10 bytes after the start code."""
+    if not 0 <= scr_base < (1 << 33) or not 0 <= scr_ext < 300:
+        raise ValueError("MPEG-2 PS SCR out of range")
+    v = 0
+
+    def put(val: int, bits: int) -> None:
+        nonlocal v
+        v = (v << bits) | (val & ((1 << bits) - 1))
+
+    put(0b01, 2)
+    put(scr_base >> 30, 3)
+    put(1, 1)
+    put((scr_base >> 15) & 0x7FFF, 15)
+    put(1, 1)
+    put(scr_base & 0x7FFF, 15)
+    put(1, 1)
+    put(scr_ext, 9)
+    put(1, 1)
+    put(mux_rate, 22)
+    put(0b11, 2)
+    put(0b11111, 5)
+    put(0, 3)  # pack_stuffing_length
+    return PACK_START + v.to_bytes(10, "big")
+
+
+def _pes_packet2(sid: int, payload: bytes, pts: int | None) -> bytes:
+    """13818-1 §2.4.3.6 PES packet: '10' flags byte, PTS_DTS_flags,
+    PES_header_data_length, optional PTS."""
+    header = bytes([0b10000000])  # '10', no scrambling/priority/...
+    if pts is None:
+        header += bytes([0x00, 0x00])
+    else:
+        header += bytes([0b10000000, 5]) + _ts_bytes(0b0010, pts)
+    body = header + payload
+    return (
+        b"\x00\x00\x01" + bytes([sid])
+        + len(body).to_bytes(2, "big") + body
+    )
+
+
+def build_mpeg2_ps(
+    streams: dict[int, bytes],
+    packet_size: int = 2048,
+    mux_rate: int = 3528,
+    pts_step: int = 3600,
+) -> bytes:
+    """Witness MPEG-2 PROGRAM stream muxer (13818-1 — the .vob/.mpg
+    layout of the DVD era): same round-robin interleave as
+    build_mpeg_ps but with the '01'-marked pack header (SCR base+ext)
+    and '10'-marked PES packet headers."""
+    if not streams:
+        raise ValueError("MPEG-PS needs at least one stream")
+    for sid in streams:
+        if not (0xC0 <= sid <= 0xDF or 0xE0 <= sid <= 0xEF):
+            raise ValueError(f"unsupported MPEG-PS stream id {sid:#x}")
+    cursors = {sid: 0 for sid in streams}
+    out = bytearray()
+    pack_no = 0
+    first = True
+    while any(cursors[s] < len(streams[s]) for s in streams):
+        scr = pack_no * pts_step
+        out += _pack_header2(scr, 0, mux_rate)
+        if first:
+            out += _system_header(sorted(streams), mux_rate)
+            first = False
+        for sid in sorted(streams):
+            at = cursors[sid]
+            es = streams[sid]
+            if at >= len(es):
+                continue
+            chunk = es[at : at + packet_size]
+            cursors[sid] = at + len(chunk)
+            out += _pes_packet2(sid, chunk, scr + pts_step)
+        pack_no += 1
+    out += END_CODE
+    return bytes(out)
+
+
 def parse_mpeg_ps(b: bytes) -> dict:
     """Strict walk -> {n_packs, mux_rate, scr_first, scr_last,
     streams: {id: {n_packets, n_bytes, pts: [..]}}} without keeping
@@ -164,6 +252,7 @@ def demux_mpeg_ps(
         raise ValueError("not an MPEG-1 program stream (no pack header)")
     pos = 0
     n_packs = 0
+    version = None
     mux_rate = None
     scr_first = scr_last = None
     streams: dict[int, dict] = {}
@@ -173,20 +262,60 @@ def demux_mpeg_ps(
         code = data[pos + 3]
         pos += 4
         if code == 0xBA:
-            scr = _read_ts(data, pos, 0b0010)
-            if pos + 8 > len(data):
+            if pos >= len(data):
                 raise ValueError("truncated MPEG-PS pack header")
-            r0, r1, r2 = data[pos + 5 : pos + 8]
-            if not (r0 & 0x80) or not (r2 & 1):
-                raise ValueError("MPEG-PS mux_rate marker missing")
-            rate = ((r0 & 0x7F) << 15) | (r1 << 7) | (r2 >> 1)
+            this_ver = 2 if data[pos] >> 6 == 0b01 else 1
+            if version is None:
+                version = this_ver
+            elif version != this_ver:
+                raise ValueError("MPEG-PS pack-header version changes")
+            if this_ver == 1:
+                scr = _read_ts(data, pos, 0b0010)
+                if pos + 8 > len(data):
+                    raise ValueError("truncated MPEG-PS pack header")
+                r0, r1, r2 = data[pos + 5 : pos + 8]
+                if not (r0 & 0x80) or not (r2 & 1):
+                    raise ValueError("MPEG-PS mux_rate marker missing")
+                rate = ((r0 & 0x7F) << 15) | (r1 << 7) | (r2 >> 1)
+                pos += 8
+            else:
+                # 13818-1: '01' + SCR base/ext with markers (6 bytes),
+                # mux_rate+'11' (3), reserved+stuffing_length (1)
+                if pos + 10 > len(data):
+                    raise ValueError("truncated MPEG-2 PS pack header")
+                v = int.from_bytes(data[pos : pos + 10], "big")
+                bits = 80
+
+                def take(n: int) -> int:
+                    nonlocal bits
+                    bits -= n
+                    return (v >> bits) & ((1 << n) - 1)
+
+                take(2)
+                scr = take(3) << 30
+                if not take(1):
+                    raise ValueError("MPEG-2 PS SCR marker missing")
+                scr |= take(15) << 15
+                if not take(1):
+                    raise ValueError("MPEG-2 PS SCR marker missing")
+                scr |= take(15)
+                if not take(1):
+                    raise ValueError("MPEG-2 PS SCR marker missing")
+                take(9)  # SCR extension (27 MHz fraction)
+                if not take(1):
+                    raise ValueError("MPEG-2 PS SCR marker missing")
+                rate = take(22)
+                if take(2) != 0b11:
+                    raise ValueError("MPEG-2 PS mux_rate marker missing")
+                take(5)
+                stuff = take(3)
+                pos += 10 + stuff
             if mux_rate is None:
                 mux_rate = rate
             scr_last = scr
             if scr_first is None:
                 scr_first = scr
             n_packs += 1
-            pos += 8
             continue
         if code == 0xB9:
             break
@@ -223,6 +352,41 @@ def demux_mpeg_ps(
                 pos = end
                 continue
             at = pos
+            if at < end and data[at] >> 6 == 0b10:
+                # 13818-1 PES header: '10' flags + flags2 + length,
+                # PTS/DTS validated, other optional fields skipped by
+                # PES_header_data_length (which bounds them by spec)
+                if at + 3 > end:
+                    raise ValueError("truncated MPEG-2 PES header")
+                flags2 = data[at + 1]
+                hdl = data[at + 2]
+                p = at + 3
+                hdr_end = p + hdl
+                if hdr_end > end:
+                    raise ValueError(
+                        "MPEG-2 PES header beyond packet length"
+                    )
+                pts = None
+                if flags2 >> 6 == 0b10:
+                    pts = _read_ts(data, p, 0b0010)
+                elif flags2 >> 6 == 0b11:
+                    pts = _read_ts(data, p, 0b0011)
+                    _dts = _read_ts(data, p + 5, 0b0001)
+                elif flags2 >> 6 == 0b01:
+                    raise ValueError("MPEG-2 PES with DTS but no PTS")
+                rec = streams.setdefault(
+                    code,
+                    {"n_packets": 0, "n_bytes": 0, "pts": [],
+                     **({"data": bytearray()} if keep_payload else {})},
+                )
+                rec["n_packets"] += 1
+                rec["n_bytes"] += end - hdr_end
+                if pts is not None:
+                    rec["pts"].append(pts)
+                if keep_payload:
+                    rec["data"] += data[hdr_end:end]
+                pos = end
+                continue
             while at < end and data[at] == 0xFF:  # stuffing
                 at += 1
             if at >= end:
@@ -270,6 +434,7 @@ def demux_mpeg_ps(
             rec["data"] = bytes(rec["data"])
     return {
         "n_packs": n_packs,
+        "mpeg_version": version,
         "mux_rate": mux_rate,
         "scr_first": scr_first,
         "scr_last": scr_last,

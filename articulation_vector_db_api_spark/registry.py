@@ -307,6 +307,7 @@ _WINDOW_DEFER = frozenset(
         # r12 additions queue here as they land (each parity-proven
         # at sf0.001/0.01/0.1 before registration).
         "multimodal_mpeg2_decode",
+        "multimodal_mpeg2_ps_roundtrip",
     }
 )
 

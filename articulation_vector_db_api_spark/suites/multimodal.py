@@ -4431,6 +4431,136 @@ def multimodal_mpeg_ps_roundtrip(
 
 
 @register(
+    "multimodal_mpeg2_ps_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS mpeg_version,
+           CAST(3 AS BIGINT) AS n_frames,
+           CAST(2 AS BIGINT) AS n_p,
+           CAST(doc_id % 2 AS BIGINT) AS q_scale_type,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 32000 END
+               AS BIGINT) AS audio_rate,
+           CAST(1 AS BIGINT) AS v_bit_exact,
+           CAST(1 AS BIGINT) AS a_bit_exact,
+           CAST(1 AS BIGINT) AS pts_monotone,
+           CAST(1 AS BIGINT) AS av_decodes
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "video", "audio"),
+)
+def multimodal_mpeg2_ps_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MPEG-2 PROGRAM STREAM (.vob/.mpg, ISO 13818-1) ROUNDTRIP — the
+    DVD-era twin of multimodal_mpeg_ps_roundtrip, wiring together
+    THREE r12 additions: the MPEG-2 video codec (functions/mpeg2.py,
+    IPP with the q_scale_type grid), the widened MP2 allocation
+    tables (44.1 kHz = Table B.2b on even docs, 32 kHz 48 kbps =
+    Table B.2d on odd — the regions the r11 build gated), and the
+    13818-1 pack/PES layer ('01'-marked pack headers with SCR
+    base+extension, '10'-marked PES headers with PTS_DTS_flags —
+    functions/mpegps.py:build_mpeg2_ps). Demux is strict and
+    length-bounded; the reassembled streams are checked BIT-EXACT and
+    fully decoded.
+
+    Oracle pins the detected container version, frame/P counts, the
+    per-parity quantizer-table and audio-table grid, both bit-exact
+    flags, PTS monotonicity, and that both payloads decode.
+
+    Scale shape: Arrow-batched narrow map, zero shuffle of media
+    bytes, one stats row per doc."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("mpeg_version", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("n_p", T.LongType()),
+            T.StructField("q_scale_type", T.LongType()),
+            T.StructField("audio_rate", T.LongType()),
+            T.StructField("v_bit_exact", T.LongType()),
+            T.StructField("a_bit_exact", T.LongType()),
+            T.StructField("pts_monotone", T.LongType()),
+            T.StructField("av_decodes", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.mp2 import decode_mp2, encode_mp2
+        from ..functions.mpeg2 import decode_m2v, encode_m2v
+        from ..functions.mpegps import (
+            AUDIO_STREAM_0,
+            VIDEO_STREAM_0,
+            build_mpeg2_ps,
+            demux_mpeg_ps,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                qst = i % 2
+                frames = _mpeg1_pframe_frames(i)[:3]
+                ves = encode_m2v(
+                    frames, p_frames=True, q_scale_type=qst,
+                    qscale_code=(3, 4, 6)[i % 3] if qst == 0
+                    else (6, 8, 10)[i % 3],
+                    dc_precision=8 + i % 4,
+                )
+                rate = 44100 if i % 2 == 0 else 32000
+                kbps = 192 if i % 2 == 0 else 48
+                ts = np.arange(1280) / rate
+                tone = 0.5 * np.sin(
+                    2 * np.pi * (200 + (i % 19) * 110) * ts
+                )
+                aes = encode_mp2(tone, rate, kbps)
+                ps = build_mpeg2_ps(
+                    {VIDEO_STREAM_0: ves, AUDIO_STREAM_0: aes},
+                    packet_size=512,
+                )
+                meta = demux_mpeg_ps(ps)
+                v = meta["streams"][VIDEO_STREAM_0]
+                a = meta["streams"][AUDIO_STREAM_0]
+                vmeta, dec = decode_m2v(v["data"])
+                arate, _ch, pcm = decode_mp2(a["data"])
+                pts_mono = all(
+                    rec["pts"] == sorted(rec["pts"])
+                    and len(set(rec["pts"])) == len(rec["pts"])
+                    for rec in (v, a)
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        meta["mpeg_version"],
+                        vmeta["n_frames"],
+                        vmeta["n_p"],
+                        qst,
+                        arate,
+                        int(v["data"] == ves),
+                        int(a["data"] == aes),
+                        int(pts_mono),
+                        int(len(dec) == 3 and pcm.shape[1] > 0),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_mpeg1_in_containers",
     oracle="""
     SELECT doc_id,

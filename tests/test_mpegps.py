@@ -141,3 +141,79 @@ def test_padding_and_private2_packets():
     assert meta["streams"][VIDEO_STREAM_0]["data"] == ves
     assert 0xBE not in meta["streams"]  # padding is discarded
     assert meta["streams"][0xBF]["data"] == b"hello"
+
+
+def test_mpeg2_program_stream_roundtrip():
+    """13818-1 program stream (the .vob/.mpg layout): '01'-marked pack
+    headers with SCR base+extension, '10'-marked PES headers; both
+    payloads reassemble bit-exact and decode (MPEG-2 video + the MP2
+    table regions the r11 build gated)."""
+    import numpy as np
+
+    from articulation_vector_db_api_spark.functions.mp2 import (
+        decode_mp2,
+        encode_mp2,
+    )
+    from articulation_vector_db_api_spark.functions.mpeg2 import (
+        decode_m2v,
+        encode_m2v,
+    )
+    from articulation_vector_db_api_spark.functions.mpegps import (
+        AUDIO_STREAM_0,
+        VIDEO_STREAM_0,
+        build_mpeg2_ps,
+        demux_mpeg_ps,
+    )
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    frames = []
+    for i in range(3):
+        base = (128 + 60 * np.sin(2 * np.pi * (xx / 48 + i * 0.13))
+                + 40 * np.cos(2 * np.pi * yy / 32))
+        frames.append(
+            np.stack([np.clip(base, 0, 255)] * 3, -1).astype(np.uint8)
+        )
+    ves = encode_m2v(frames, qscale_code=2, p_frames=True)
+    t = np.arange(3000) / 44100
+    aes = encode_mp2(0.4 * np.sin(2 * np.pi * 440 * t), 44100, 192)
+    ps = build_mpeg2_ps(
+        {VIDEO_STREAM_0: ves, AUDIO_STREAM_0: aes}, packet_size=512
+    )
+    meta = demux_mpeg_ps(ps)
+    assert meta["mpeg_version"] == 2
+    v, a = meta["streams"][VIDEO_STREAM_0], meta["streams"][AUDIO_STREAM_0]
+    assert v["data"] == ves and a["data"] == aes
+    assert v["pts"] == sorted(v["pts"])
+    m2, dec = decode_m2v(v["data"])
+    assert (m2["n_i"], m2["n_p"], len(dec)) == (1, 2, 3)
+    rate, ch, pcm = decode_mp2(a["data"])
+    assert (rate, ch) == (44100, 1) and pcm.shape[1] > 0
+
+
+def test_mpeg_ps_version_mixing_rejected():
+    from articulation_vector_db_api_spark.functions.mpegps import (
+        VIDEO_STREAM_0,
+        build_mpeg2_ps,
+        build_mpeg_ps,
+        demux_mpeg_ps,
+    )
+
+    ps1 = build_mpeg_ps({VIDEO_STREAM_0: b"\x11" * 600})
+    ps2 = build_mpeg2_ps({VIDEO_STREAM_0: b"\x22" * 600})
+    assert demux_mpeg_ps(ps1)["mpeg_version"] == 1
+    assert demux_mpeg_ps(ps2)["mpeg_version"] == 2
+    mixed = ps2[: len(ps2) - 4] + ps1
+    with pytest.raises(ValueError, match="version changes"):
+        demux_mpeg_ps(mixed)
+
+
+def test_fuzz_mpeg2_ps_contract():
+    from articulation_vector_db_api_spark.functions.mpegps import (
+        VIDEO_STREAM_0,
+        build_mpeg2_ps,
+        demux_mpeg_ps,
+    )
+    from tests.test_fuzz_contracts import _assert_contract
+
+    ps = build_mpeg2_ps({VIDEO_STREAM_0: bytes(range(256)) * 6})
+    _assert_contract("mpeg2-ps", ps, demux_mpeg_ps, n=80)

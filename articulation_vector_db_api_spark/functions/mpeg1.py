@@ -568,14 +568,30 @@ class _QuantHooks:
 
     # macroblock_modes delta: MPEG-1 has no extra mode bits; MPEG-2
     # with frame_pred_frame_dct = 0 reads frame_motion_type and
-    # dct_type here (mpeg2._M2Hooks overrides). Returns dct_type.
+    # dct_type here (mpeg2._M2Hooks overrides). Returns
+    # (motion_format, dct_type): format 2 = frame-based prediction,
+    # 1 = field-based (MPEG-2 frame pictures only).
     @staticmethod
     def read_mb_modes(sr, mf, mb, coded, intra):
-        return 0
+        return 2, 0
 
     @staticmethod
     def write_mb_modes(w, mf, mb, coded, intra, dct_type):
         return None
+
+    # one motion vector set for one direction. ``pred`` is the 4-slot
+    # PMV list [x0, y0, x1, y1] (§7.6.3 shape; MPEG-1 only ever uses
+    # the first pair and mirrors it). Returns (mv_spec, new_pred):
+    # a frame spec is a plain (vx, vy); a field spec (MPEG-2) is
+    # ("field", ((sel, vx, vy), (sel, vx, vy))).
+    @staticmethod
+    def read_mv(sr, pred, f_code, fmt):
+        f = 1 << (f_code - 1)
+        dx = _read_motion(sr, f_code)
+        dy = _read_motion(sr, f_code)
+        vx = _wrap_vector(pred[0] + dx, f)
+        vy = _wrap_vector(pred[1] + dy, f)
+        return (vx, vy), [vx, vy, vx, vy]
 
     @staticmethod
     def pick_dct_type(cur):
@@ -655,32 +671,41 @@ def _trunc_half(v: int) -> int:
     return v // 2 if v >= 0 else -((-v) // 2)
 
 
-def _mc_block(
-    ref: np.ndarray, oy: int, ox: int, size: int, hvy: int, hvx: int
+def _mc_rect(
+    ref: np.ndarray, oy: int, ox: int, h: int, w: int,
+    hvy: int, hvx: int,
 ) -> np.ndarray:
-    """size×size forward prediction from ``ref`` (int64 plane) at
-    origin (oy, ox) displaced by (hvy, hvx) HALF-pel units; half-pel
-    positions average with round-half-away (operands non-negative)."""
+    """h×w forward prediction from ``ref`` (int64 plane, possibly a
+    stride-2 FIELD view) at origin (oy, ox) displaced by (hvy, hvx)
+    HALF-pel units; half-pel positions average with round-half-away
+    (operands non-negative)."""
     iy, hy = hvy >> 1, hvy & 1
     ix, hx = hvx >> 1, hvx & 1
     y0, x0 = oy + iy, ox + ix
     hgt, wid = ref.shape
-    if y0 < 0 or x0 < 0 or y0 + size + hy > hgt or x0 + size + hx > wid:
+    if y0 < 0 or x0 < 0 or y0 + h + hy > hgt or x0 + w + hx > wid:
         raise ValueError("MPEG-1 motion vector outside the reference frame")
-    a = ref[y0 : y0 + size, x0 : x0 + size]
+    a = ref[y0 : y0 + h, x0 : x0 + w]
     if not hy and not hx:
         return a.copy()
     if hy and not hx:
-        return (a + ref[y0 + 1 : y0 + 1 + size, x0 : x0 + size] + 1) >> 1
+        return (a + ref[y0 + 1 : y0 + 1 + h, x0 : x0 + w] + 1) >> 1
     if hx and not hy:
-        return (a + ref[y0 : y0 + size, x0 + 1 : x0 + 1 + size] + 1) >> 1
+        return (a + ref[y0 : y0 + h, x0 + 1 : x0 + 1 + w] + 1) >> 1
     return (
         a
-        + ref[y0 + 1 : y0 + 1 + size, x0 : x0 + size]
-        + ref[y0 : y0 + size, x0 + 1 : x0 + 1 + size]
-        + ref[y0 + 1 : y0 + 1 + size, x0 + 1 : x0 + 1 + size]
+        + ref[y0 + 1 : y0 + 1 + h, x0 : x0 + w]
+        + ref[y0 : y0 + h, x0 + 1 : x0 + 1 + w]
+        + ref[y0 + 1 : y0 + 1 + h, x0 + 1 : x0 + 1 + w]
         + 2
     ) >> 2
+
+
+def _mc_block(
+    ref: np.ndarray, oy: int, ox: int, size: int, hvy: int, hvx: int
+) -> np.ndarray:
+    """size×size square wrapper over _mc_rect (the MPEG-1 paths)."""
+    return _mc_rect(ref, oy, ox, size, size, hvy, hvx)
 
 
 def _mc_displacements(
@@ -1148,6 +1173,34 @@ def _next_start_code(b: bytes, pos: int) -> tuple[int, int]:
     return b[i + 3], i + 4
 
 
+def _field_pred(
+    ref: tuple[np.ndarray, np.ndarray, np.ndarray],
+    mbr: int, mbc: int,
+    specs: tuple[tuple[int, int, int], tuple[int, int, int]],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """§7.6.4 field prediction in a FRAME picture: the first
+    (sel, vx, vy) predicts the macroblock's TOP-field rows, the second
+    its BOTTOM-field rows, each from the selected field (sel 0 = top,
+    1 = bottom) of the reference FRAME. Vertical vectors are in FIELD
+    coordinates (half-pel within the field grid); chroma divides both
+    components by two truncating toward zero."""
+    pred_y = np.empty((16, 16), dtype=np.int64)
+    pred_cb = np.empty((8, 8), dtype=np.int64)
+    pred_cr = np.empty((8, 8), dtype=np.int64)
+    for r, (sel, vx, vy) in enumerate(specs):
+        cvy, cvx = _trunc_half(vy), _trunc_half(vx)
+        pred_y[r::2] = _mc_rect(
+            ref[0][sel::2], mbr * 8, mbc * 16, 8, 16, vy, vx
+        )
+        pred_cb[r::2] = _mc_rect(
+            ref[1][sel::2], mbr * 4, mbc * 8, 4, 8, cvy, cvx
+        )
+        pred_cr[r::2] = _mc_rect(
+            ref[2][sel::2], mbr * 4, mbc * 8, 4, 8, cvy, cvx
+        )
+    return pred_y, pred_cb, pred_cr
+
+
 def _inter_pred(
     fwd: tuple[np.ndarray, np.ndarray, np.ndarray] | None,
     bwd: tuple[np.ndarray, np.ndarray, np.ndarray] | None,
@@ -1159,13 +1212,20 @@ def _inter_pred(
     """Forward / backward / interpolated macroblock prediction ->
     (pred_y 16×16, pred_cb 8×8, pred_cr 8×8). Interpolation averages
     the two predictions with the spec's round-half-away '//' (§2.4.4.4;
-    operands are non-negative pels)."""
+    operands are non-negative pels). A vector spec may be a frame
+    vector (vx, vy) or an MPEG-2 FIELD spec
+    ("field", ((sel, vx, vy), (sel, vx, vy))) — §7.6.4's field
+    prediction in frame pictures, assembled by row interleave."""
     parts = []
-    for use, ref, (vx, vy), fp in (
+    for use, ref, spec, fp in (
         (use_f, fwd, vf, fp_f), (use_b, bwd, vb, fp_b),
     ):
         if not use:
             continue
+        if spec and spec[0] == "field":
+            parts.append(_field_pred(ref, mbr, mbc, spec[1]))
+            continue
+        vx, vy = spec
         lhy, lhx, chy, chx = _mc_displacements(vx, vy, fp)
         parts.append((
             _mc_block(ref[0], mbr * 16, mbc * 16, 16, lhy, lhx),
@@ -1237,8 +1297,8 @@ def _decode_slice(
         sr.read(8)
     ff, fb = 1 << (f_f - 1), 1 << (f_b - 1)
     addr = row0 * mbw - 1
-    pred_f = [0, 0]  # (vx, vy) in coded units
-    pred_b = [0, 0]
+    pred_f = [0, 0, 0, 0]  # PMV[r][s=fwd][t] flattened (§7.6.3)
+    pred_b = [0, 0, 0, 0]
     dc_reset = hooks.dc_reset
     dc_preds = [dc_reset] * 3
     # B-picture skip state: the previous macroblock's prediction spec
@@ -1293,7 +1353,7 @@ def _decode_slice(
             if ptype == 2:
                 # P skip: co-located pels (already in the planes copy);
                 # both predictors reset
-                pred_f = [0, 0]
+                pred_f = [0, 0, 0, 0]
             else:
                 # B skip: repeat the previous macroblock's prediction
                 # mode and vectors; predictors unchanged
@@ -1322,39 +1382,27 @@ def _decode_slice(
         quant, mf, mb, coded, intra = sr.read_vlc(
             mb_type_inv, "macroblock_type", 6
         )
-        dct_type = hooks.read_mb_modes(sr, mf, mb, coded, intra)
+        fmt, dct_type = hooks.read_mb_modes(sr, mf, mb, coded, intra)
         if quant:
             code = sr.read(5)
             if not code:
                 raise ValueError("MPEG-1 quantizer_scale of zero")
             qscale = hooks.map_qscale(code)
         if mf:
-            dx = _read_motion(sr, f_f)
-            dy = _read_motion(sr, f_f)
-            vf = (
-                _wrap_vector(pred_f[0] + dx, ff),
-                _wrap_vector(pred_f[1] + dy, ff),
-            )
-            pred_f = list(vf)
+            vf, pred_f = hooks.read_mv(sr, pred_f, f_f, fmt)
         elif ptype == 2 and not intra:
             # P macroblock without forward MC: zero vector AND reset
             vf = (0, 0)
-            pred_f = [0, 0]
+            pred_f = [0, 0, 0, 0]
         else:
             vf = (0, 0)  # unused in B without mf (predictors persist)
         if mb:
-            dx = _read_motion(sr, f_b)
-            dy = _read_motion(sr, f_b)
-            vb = (
-                _wrap_vector(pred_b[0] + dx, fb),
-                _wrap_vector(pred_b[1] + dy, fb),
-            )
-            pred_b = list(vb)
+            vb, pred_b = hooks.read_mv(sr, pred_b, f_b, fmt)
         else:
             vb = (0, 0)
         if intra:
-            pred_f = [0, 0]
-            pred_b = [0, 0]
+            pred_f = [0, 0, 0, 0]
+            pred_b = [0, 0, 0, 0]
             last_inter = None  # a B skip may not follow an intra MB
             for blk in range(6):
                 ti = 0 if blk < 4 else blk - 3

@@ -357,25 +357,50 @@ class _M2Hooks(_QuantHooks):
 
     def read_mb_modes(self, sr, mf, mb, coded, intra):
         if self.fpfd:
-            return 0
+            return 2, 0
+        fmt = 2
         if mf or mb:
             fmt = sr.read(2)
             if fmt == 0:
                 raise ValueError("reserved MPEG-2 frame_motion_type")
-            if fmt != 2:
+            if fmt == 3:
                 raise NotImplementedError(
-                    "MPEG-2 field / dual-prime prediction "
-                    f"(frame_motion_type {fmt})"
+                    "MPEG-2 dual-prime prediction (frame_motion_type 3)"
                 )
-        return sr.read(1) if (coded or intra) else 0
+        dct = sr.read(1) if (coded or intra) else 0
+        return fmt, dct
 
-    def write_mb_modes(self, w, mf, mb, coded, intra, dct_type):
+    def write_mb_modes(self, w, mf, mb, coded, intra, dct_type, fmt=2):
         if self.fpfd:
             return
         if mf or mb:
-            w.write(2, 2)  # frame_motion_type: frame-based
+            w.write(fmt, 2)  # frame_motion_type
         if coded or intra:
             w.write(dct_type, 1)
+
+    def read_mv(self, sr, pred, f_code, fmt):
+        """§7.6.3: frame-based uses the base rule (PMV pairs mirror);
+        field-based (frame pictures) reads two
+        (motion_vertical_field_select, vector) sets — vertical coded
+        in FIELD coordinates, predicted from PMV/2 and stored back
+        DOUBLED."""
+        from .mpeg1 import _read_motion, _trunc_half, _wrap_vector
+
+        if fmt == 2:
+            return _QuantHooks.read_mv(sr, pred, f_code, fmt)
+        f = 1 << (f_code - 1)
+        newp = list(pred)
+        out = []
+        for r in (0, 1):
+            sel = sr.read(1)
+            dx = _read_motion(sr, f_code)
+            dy = _read_motion(sr, f_code)
+            vx = _wrap_vector(newp[2 * r] + dx, f)
+            vy = _wrap_vector(_trunc_half(newp[2 * r + 1]) + dy, f)
+            out.append((sel, vx, vy))
+            newp[2 * r] = vx
+            newp[2 * r + 1] = 2 * vy
+        return ("field", tuple(out)), newp
 
     def pick_dct_type(self, res) -> int:
         """Field-vs-frame DCT election for one luma residual (or
@@ -427,6 +452,170 @@ class _M2Hooks(_QuantHooks):
 
 
 # ------------------------------------------------------------ encoder
+
+
+def _search_field_motion(
+    cur_field: np.ndarray, ref_field: np.ndarray,
+    oy: int, ox: int, search: int,
+) -> tuple[int, int, int]:
+    """Exhaustive half-pel SAD search of one 8×16 FIELD block against
+    one reference field view -> (sad, vy, vx) in field half-pel."""
+    from .mpeg1 import _mc_rect
+
+    best, best_sad = (0, 0), None
+    for hvy in range(-search, search + 1):
+        for hvx in range(-search, search + 1):
+            try:
+                pred = _mc_rect(ref_field, oy, ox, 8, 16, hvy, hvx)
+            except ValueError:
+                continue
+            sad = int(np.abs(cur_field - pred).sum())
+            if best_sad is None or sad < best_sad or (
+                sad == best_sad and (abs(hvy) + abs(hvx))
+                < (abs(best[0]) + abs(best[1]))
+            ):
+                best, best_sad = (hvy, hvx), sad
+    return best_sad, best[0], best[1]
+
+
+def _encode_p_slice_fld(
+    w, planes, rec, ref, row: int, mbw: int, qscale: int,
+    f_code: int, search: int, hooks: "_M2Hooks",
+) -> None:
+    """fpfd=0 P slice: per macroblock, elect FRAME-based vs
+    FIELD-based prediction (§7.6.4) by luma SAD — two independent
+    field vectors with reference-field selection when fields move
+    apart — then the usual residual/skip machinery. Mirrors the
+    decoder's §7.6.3 PMV discipline (field verticals stored
+    doubled)."""
+    from .mpeg1 import (
+        _field_pred,
+        _mc_block,
+        _search_motion,
+        _trunc_half,
+        _wrap_vector,
+        _write_increment,
+        _write_motion,
+    )
+
+    y, cb, cr = planes
+    f = 1 << (f_code - 1)
+    pmv = [0, 0, 0, 0]
+    pending = 0
+    for col in range(mbw):
+        cur = y[row * 16 : row * 16 + 16, col * 16 : col * 16 + 16]
+        # frame-based candidate
+        vy_f, vx_f = _search_motion(cur, ref[0], row * 16, col * 16,
+                                    search, 0)
+        pred_frame = _mc_block(ref[0], row * 16, col * 16, 16,
+                               vy_f, vx_f)
+        sad_frame = int(np.abs(cur - pred_frame).sum())
+        # field-based candidate: best (sel, vx, vy) per target field
+        field_specs = []
+        sad_field = 0
+        for r in (0, 1):
+            cur_fld = cur[r::2]
+            best = None
+            for sel in (0, 1):
+                sad, vy, vx = _search_field_motion(
+                    cur_fld, ref[0][sel::2], row * 8, col * 16, search
+                )
+                if sad is not None and (best is None or sad < best[0]):
+                    best = (sad, sel, vx, vy)
+            sad_field += best[0]
+            field_specs.append((best[1], best[2], best[3]))
+        use_field = sad_field < sad_frame
+        if use_field:
+            pred_y, pred_cb, pred_cr = _field_pred(
+                ref, row, col, tuple(field_specs)
+            )
+        else:
+            pred_y = pred_frame
+            cvy, cvx = _trunc_half(vy_f), _trunc_half(vx_f)
+            pred_cb = _mc_block(ref[1], row * 8, col * 8, 8, cvy, cvx)
+            pred_cr = _mc_block(ref[2], row * 8, col * 8, 8, cvy, cvx)
+        dct = hooks.pick_dct_type(cur - pred_y)
+        levels, cbp = [], 0
+        for blk in range(6):
+            if blk < 4:
+                block = hooks.luma_view(cur, 0, 0, blk, dct)
+                pred = hooks.luma_view(pred_y, 0, 0, blk, dct)
+            else:
+                plane = cb if blk == 4 else cr
+                block = plane[row * 8 : row * 8 + 8,
+                              col * 8 : col * 8 + 8]
+                pred = pred_cb if blk == 4 else pred_cr
+            lvq = hooks.quant_nonintra(_C @ (block - pred) @ _C.T,
+                                       qscale)
+            if lvq.any():
+                cand = np.clip(
+                    pred + np.rint(
+                        hooks.dequant_nonintra(lvq, qscale)
+                    ).astype(np.int64),
+                    0, 255,
+                )
+                if ((cand - block) ** 2).sum() < (
+                    (pred - block) ** 2
+                ).sum():
+                    cbp |= 1 << (5 - blk)
+                else:
+                    lvq = np.zeros(64, dtype=np.int64)
+            levels.append(lvq)
+        if (
+            not use_field and cbp == 0 and vx_f == 0 and vy_f == 0
+            and 0 < col < mbw - 1
+        ):
+            rec[0][row * 16 : row * 16 + 16,
+                   col * 16 : col * 16 + 16] = pred_y
+            rec[1][row * 8 : row * 8 + 8, col * 8 : col * 8 + 8] = pred_cb
+            rec[2][row * 8 : row * 8 + 8, col * 8 : col * 8 + 8] = pred_cr
+            pmv = [0, 0, 0, 0]
+            pending += 1
+            continue
+        _write_increment(w, pending + 1)
+        pending = 0
+        w.write_code("1" if cbp else "001")  # pred-mc(+cbp), Table B-3
+        hooks.write_mb_modes(w, True, False, bool(cbp), False, dct,
+                             fmt=1 if use_field else 2)
+        if use_field:
+            for r, (sel, vx, vy) in enumerate(field_specs):
+                w.write(sel, 1)
+                _write_motion(
+                    w, _wrap_vector(vx - pmv[2 * r], f), f_code
+                )
+                _write_motion(
+                    w,
+                    _wrap_vector(vy - _trunc_half(pmv[2 * r + 1]), f),
+                    f_code,
+                )
+                pmv[2 * r] = vx
+                pmv[2 * r + 1] = 2 * vy
+        else:
+            _write_motion(w, _wrap_vector(vx_f - pmv[0], f), f_code)
+            _write_motion(w, _wrap_vector(vy_f - pmv[1], f), f_code)
+            pmv = [vx_f, vy_f, vx_f, vy_f]
+        if cbp:
+            w.write_code(_CBP_CODES[cbp])
+        for blk in range(6):
+            if blk < 4:
+                pred = hooks.luma_view(pred_y, 0, 0, blk, dct)
+                dst = hooks.luma_view(
+                    rec[0], row * 16, col * 16, blk, dct
+                )
+            else:
+                by, bx = row * 8, col * 8
+                pred = pred_cb if blk == 4 else pred_cr
+                dst = rec[blk - 3][by : by + 8, bx : bx + 8]
+            if cbp & (1 << (5 - blk)):
+                hooks.write_nonintra_levels(w, levels[blk])
+                dst[:, :] = np.clip(
+                    pred + np.rint(
+                        hooks.dequant_nonintra(levels[blk], qscale)
+                    ).astype(np.int64),
+                    0, 255,
+                )
+            else:
+                dst[:, :] = pred
 
 
 def encode_m2v(
@@ -572,10 +761,16 @@ def encode_m2v(
                     f_code, search, hooks=hooks,
                 )
             elif ptype == 2:
-                _encode_p_slice(
-                    w, planes, rec, ref, row, mbw, qscale,
-                    f_code, 0, search, hooks=hooks,
-                )
+                if fpfd:
+                    _encode_p_slice(
+                        w, planes, rec, ref, row, mbw, qscale,
+                        f_code, 0, search, hooks=hooks,
+                    )
+                else:
+                    _encode_p_slice_fld(
+                        w, planes, rec, ref, row, mbw, qscale,
+                        f_code, search, hooks,
+                    )
             else:
                 preds = [hooks.dc_reset] * 3
                 for col in range(mbw):

@@ -34,18 +34,22 @@ r12) are all shared imports; what is NEW here is:
   complement level (no MPEG-1 double-byte form), level ±2047;
 - no full_pel mode (removed from the spec), f_code up to 9.
 
-frame_pred_frame_dct = 0 decodes (r12, same round): coded
-macroblocks then carry frame_motion_type (frame-based prediction
-implemented) and per-macroblock dct_type, with §6.3.17.1's FIELD-DCT
-luma interleave — the first interlaced-era coding tool. Honest gates
-(raise, not fake): field pictures (picture_structure != frame), field
-and dual-prime prediction (frame_motion_type != 2), alternate_scan,
-repeat_first_field, the alternate intra VLC (intra_vlc_format = 1,
-Table B-15), chroma 4:2:2/4:4:4, custom quantizer matrices,
-concealment motion vectors, and every scalability extension. The
-witness encoder emits Main-profile-shaped streams — I-only, IPPP, or
-IBB…P, fpfd 1 or 0 with a field/frame DCT election heuristic — over
-the full q_scale_type × precision grid.
+frame_pred_frame_dct = 0 decodes (r12, same round) with BOTH
+interlaced coding tools frame pictures carry: per-macroblock dct_type
+with §6.3.17.1's FIELD-DCT luma interleave, and §7.6.4 FIELD-BASED
+PREDICTION — two motion vectors per direction with
+motion_vertical_field_select, verticals coded in field coordinates
+under §7.6.3.1's PMV halve/double discipline (mpeg1's shared slice
+loop carries both through the hook seam; the witness encoder elects
+frame vs field MC per macroblock by SAD, so interlaced scenes
+exercise the path end to end). Honest gates (raise, not fake): field
+PICTURES (picture_structure != frame), dual-prime prediction,
+alternate_scan, repeat_first_field, the alternate intra VLC
+(intra_vlc_format = 1, Table B-15), chroma 4:2:2/4:4:4, custom
+quantizer matrices, concealment motion vectors, and every
+scalability extension. The witness encoder emits Main-profile-shaped
+streams — I-only, IPPP, or IBB…P, fpfd 1 or 0 — over the full
+q_scale_type × precision grid.
 
 Reference behavior parity: the reference (/root/reference/main.py)
 has no video path; this is engine frontier surface for video-corpus

@@ -22,6 +22,18 @@ SF = "/root/testdata/sf0.01"
 
 # query -> (must_contain, must_not_contain) regexes over explain("formatted")
 EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
+    "multimodal_mpeg1_pframe_decode": (
+        # r12 fixture re-base: the DECODE query scans the once-per-app
+        # stream fixture through an Arrow-batched map — never the raw
+        # documents table (witness ENCODE is fixture-build cost) and
+        # never a pickled row-at-a-time Python eval
+        [r"MapInPandas", r"mpeg1_pframe_es"],
+        [r"documents\.parquet", r"BatchEvalPython"],
+    ),
+    "multimodal_mpeg2_decode": (
+        [r"MapInPandas", r"mpeg2_witness_es"],
+        [r"documents\.parquet", r"BatchEvalPython"],
+    ),
     "matview_incremental_rollup": (
         # the view's read path merges STORE partials (scans under the
         # matview_rollup store) and never rescans the raw table

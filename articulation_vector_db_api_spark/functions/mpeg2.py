@@ -909,7 +909,11 @@ def decode_m2v(b: bytes) -> tuple[dict, list[np.ndarray]]:
                 raise NotImplementedError(
                     "custom MPEG-2 quantizer matrix (extension)"
                 )
-            if xid not in (_EXT_SEQ_DISPLAY, _EXT_PIC_DISPLAY):
+            if xid not in (
+                _EXT_SEQUENCE,  # repeated sequence header's extension
+                _EXT_SEQ_DISPLAY,
+                _EXT_PIC_DISPLAY,
+            ):
                 raise NotImplementedError(
                     f"MPEG-2 extension id {xid} (scalability)"
                 )
@@ -979,7 +983,17 @@ def decode_m2v(b: bytes) -> tuple[dict, list[np.ndarray]]:
                 scode, spos = _next_start_code(data, pos)
             except ValueError:
                 raise ValueError("MPEG-2 picture without terminator")
-            if scode in (0xB2, 0xB5):
+            if scode == 0xB5:
+                # between coding extension and slices: quant-matrix
+                # extensions would change reconstruction — gate, never
+                # silently skip; display/copyright extensions skip
+                if data[spos] >> 4 == _EXT_QUANT_MATRIX:
+                    raise NotImplementedError(
+                        "custom MPEG-2 quantizer matrix (extension)"
+                    )
+                pos = spos
+                continue
+            if scode == 0xB2:
                 pos = spos
                 continue
             if not 0x01 <= scode <= 0xAF:

@@ -512,3 +512,27 @@ def test_field_mv_pmv_discipline():
     spec2, pmv2 = hooks.read_mv(r, pmv, 1, 1)
     assert spec2 == ("field", ((1, 3, -2), (0, -1, 1)))
     assert pmv2 == pmv
+
+
+def test_repeated_sequence_header_and_quant_ext_gate():
+    """A repeated sequence header mid-stream brings its own
+    sequence_extension — it must SKIP, not misread as scalability;
+    a quant_matrix_extension between picture extension and slices
+    must GATE (it would change reconstruction)."""
+    fs = [_frame(i) for i in range(2)]
+    es = encode_m2v(fs, qscale_code=2)
+    clean = decode_m2v(es)[1]
+    # splice header + sequence_extension before the second picture
+    first_pic = es.index(b"\x00\x00\x01\x00")
+    second_pic = es.index(b"\x00\x00\x01\x00", first_pic + 4)
+    header = es[:first_pic]
+    salted = es[:second_pic] + header + es[second_pic:]
+    meta, dec = decode_m2v(salted)
+    assert meta["n_frames"] == 2
+    for a, b in zip(clean, dec):
+        assert (a == b).all()
+    # quant_matrix_extension (id 0x3) right before the first slice
+    first_slice = es.index(b"\x00\x00\x01\x01")
+    qext = b"\x00\x00\x01\xb5" + bytes([0x30]) + bytes(16)
+    with pytest.raises(NotImplementedError, match="quantizer matrix"):
+        decode_m2v(es[:first_slice] + qext + es[first_slice:])

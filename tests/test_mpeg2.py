@@ -536,3 +536,15 @@ def test_repeated_sequence_header_and_quant_ext_gate():
     qext = b"\x00\x00\x01\xb5" + bytes([0x30]) + bytes(16)
     with pytest.raises(NotImplementedError, match="quantizer matrix"):
         decode_m2v(es[:first_slice] + qext + es[first_slice:])
+
+
+def test_fpfd0_b_frames_roundtrip():
+    """B pictures under frame_pred_frame_dct = 0: mode bits flow
+    through the shared B-slice writer (frame-based MC + per-MB
+    dct_type) and the reorder buffer still lands display order."""
+    mf = [_interlaced(t) for t in range(5)]
+    es = encode_m2v(mf, qscale_code=2, p_frames=True, b_frames=1,
+                    fpfd=0)
+    meta, dec = decode_m2v(es)
+    assert meta["n_frames"] == 5 and meta["n_b"] >= 1
+    assert _snr(mf, dec) > 18.0, _snr(mf, dec)

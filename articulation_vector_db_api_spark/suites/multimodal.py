@@ -3634,7 +3634,7 @@ def _mpeg1_bframe_store(spark: SparkSession, sf_dir: str) -> str:
            CAST(3 AS BIGINT) AS n_p,
            CAST(doc_id % 2 AS BIGINT) AS q_scale_type,
            CAST(8 + doc_id % 4 AS BIGINT) AS dc_precision,
-           CAST(1 AS BIGINT) AS progressive,
+           CAST(1 - doc_id % 2 AS BIGINT) AS progressive,
            CAST(1 AS BIGINT) AS snr_ok,
            CAST(1 AS BIGINT) AS energy_ok,
            CAST(1 AS BIGINT) AS mc_compresses
@@ -3648,7 +3648,10 @@ def multimodal_mpeg2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec behind the landed MPEG-1 machinery): each doc's id seeds a
     deterministic translating-square scene encoded as a progressive
     Main-profile-shaped IPPP elementary stream sweeping the FULL
-    q_scale_type × intra_dc_precision grid (functions/mpeg2.py:
+    q_scale_type × intra_dc_precision × frame_pred_frame_dct grid —
+    odd docs are INTERLACED fpfd=0 scenes (fields moving apart), so
+    per-MB field DCT and §7.6.4 field prediction decode under the
+    driver gate, not just pytest — (functions/mpeg2.py:
     encode_m2v) and decoded end to end — sequence + picture coding
     extensions, Table 7-6 linear/non-linear quantiser ladders,
     extended B-12/B-13 DC ladders, Table B-14 coefficients with the
@@ -3702,7 +3705,7 @@ def multimodal_mpeg2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ):
                 i = int(doc_id)
                 es = bytes(es)
-                frames = _mpeg1_pframe_frames(i)  # shared witness scene
+                frames = _mpeg2_witness_frames(i)
                 meta, dec = decode_m2v(es)
                 if (
                     meta["width"], meta["height"], meta["n_frames"]
@@ -3720,7 +3723,7 @@ def multimodal_mpeg2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         doc_id, w, h, n_frames,
                         meta["n_i"], meta["n_p"],
                         i % 2, meta["dc_precision"],
-                        meta["progressive"],
+                        meta["progressive"],  # = fpfd = 1 - i % 2
                         int(snr > 17.0),
                         int(abs(e_ratio - 1.0) < 0.12),
                         int(len(es) < int(intra_len)),
@@ -3735,6 +3738,32 @@ def multimodal_mpeg2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(batches, schema)
         .orderBy("doc_id")
     )
+
+
+def _mpeg2_witness_frames(i: int) -> list:
+    """Per-doc MPEG-2 witness scene: EVEN docs reuse the progressive
+    translating square (shared with the MPEG-1 P witness); ODD docs —
+    the fpfd=0 half of the grid — are INTERLACED: the two fields carry
+    squares moving in OPPOSITE directions, so the per-MB field-DCT and
+    field-prediction elections actually fire under the driver gate."""
+    import numpy as np
+
+    if i % 2 == 0:
+        return _mpeg1_pframe_frames(i)
+    h, w = 32, 32
+    yy, xx = np.mgrid[0:8, 0:16]
+    sq = (105 + 7 * xx + 5 * yy + 9 * (i % 9)).clip(0, 255)
+    frames = []
+    for t in range(4):
+        img = np.full((h, w, 3), 78 + (i % 13), dtype=np.uint8)
+        x_top = 2 + 2 * t
+        x_bot = 14 - 2 * t
+        img[8:24:2, x_top : x_top + 16, 0] = sq.astype(np.uint8)
+        img[9:24:2, x_bot : x_bot + 16, 0] = (255 - sq).astype(np.uint8)
+        img[:, :, 1] = img[:, :, 0]
+        img[:, :, 2] = img[:, :, 0]
+        frames.append(img)
+    return frames
 
 
 def _mpeg2_witness_store(spark: SparkSession, sf_dir: str) -> str:
@@ -3767,14 +3796,17 @@ def _mpeg2_witness_store(spark: SparkSession, sf_dir: str) -> str:
                     # §7.4.2.2 divides by 32 where 11172-2 divides by
                     # 16, so these codes land the SAME effective
                     # quantizer grid (6, 8, 12) under both Table 7-6
-                    # columns as the MPEG-1 witness's qscale 3/4/6
+                    # columns as the MPEG-1 witness's qscale 3/4/6.
+                    # Odd docs run fpfd=0 over an INTERLACED scene so
+                    # field DCT + field prediction are driver-checked.
                     kw = {
                         "qscale_code": ((3, 4, 6) if i % 2 == 0
                                         else (6, 8, 10))[i % 3],
                         "q_scale_type": i % 2,
                         "dc_precision": 8 + i % 4,
+                        "fpfd": 1 - i % 2,
                     }
-                    frames = _mpeg1_pframe_frames(i)
+                    frames = _mpeg2_witness_frames(i)
                     es = encode_m2v(
                         frames, p_frames=True,
                         f_code=2 if i % 4 == 0 else 1, **kw,

@@ -548,3 +548,14 @@ def test_fpfd0_b_frames_roundtrip():
     meta, dec = decode_m2v(es)
     assert meta["n_frames"] == 5 and meta["n_b"] >= 1
     assert _snr(mf, dec) > 18.0, _snr(mf, dec)
+
+
+def test_fuzz_mpeg2_fpfd0_contract():
+    """Mutation fuzz over an interlaced fpfd=0 IPPP stream — the
+    field-MV/field-DCT read paths honor the ValueError-only
+    contract."""
+    from tests.test_fuzz_contracts import _assert_contract
+
+    mf = [_interlaced(t) for t in range(3)]
+    es = encode_m2v(mf, qscale_code=2, p_frames=True, fpfd=0)
+    _assert_contract("m2v-fpfd0", es, decode_m2v)

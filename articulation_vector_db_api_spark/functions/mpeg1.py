@@ -586,11 +586,13 @@ class _QuantHooks:
     # ("field", ((sel, vx, vy), (sel, vx, vy))).
     @staticmethod
     def read_mv(sr, pred, f_code, fmt):
-        f = 1 << (f_code - 1)
-        dx = _read_motion(sr, f_code)
-        dy = _read_motion(sr, f_code)
-        vx = _wrap_vector(pred[0] + dx, f)
-        vy = _wrap_vector(pred[1] + dy, f)
+        # f_code: one int (MPEG-1 — both axes share it) or an
+        # (horizontal, vertical) pair (MPEG-2 f_code[s][0]/[s][1])
+        fh, fv = (f_code, f_code) if isinstance(f_code, int) else f_code
+        dx = _read_motion(sr, fh)
+        dy = _read_motion(sr, fv)
+        vx = _wrap_vector(pred[0] + dx, 1 << (fh - 1))
+        vy = _wrap_vector(pred[1] + dy, 1 << (fv - 1))
         return (vx, vy), [vx, vy, vx, vy]
 
     @staticmethod
@@ -1295,7 +1297,6 @@ def _decode_slice(
     qscale = hooks.map_qscale(code)
     while sr.read(1):  # extra_information_slice
         sr.read(8)
-    ff, fb = 1 << (f_f - 1), 1 << (f_b - 1)
     addr = row0 * mbw - 1
     pred_f = [0, 0, 0, 0]  # PMV[r][s=fwd][t] flattened (§7.6.3)
     pred_b = [0, 0, 0, 0]

@@ -20,11 +20,10 @@ r12) are all shared imports; what is NEW here is:
   NON-LINEAR ladder {1..8, 10..24 step 2, 28..56 step 4, 64..112
   step 8} — both decoded, both exercised by the witness;
 - intra DC precision 8..11 (§7.4.1): dc_mult = 2^(11-precision),
-  predictor reset 1 << (precision-1+3)... precisely 128·dc_mult
-  rescaled — the extended DC-size ladders of Tables B-12/B-13 reach
-  size 11; both ladders are COMPLETE prefix codes (Kraft sum exactly
-  1, pinned by test — the termination rows derive from completeness,
-  not transcription);
+  predictor reset 2^(precision-1) — the extended DC-size ladders of
+  Tables B-12/B-13 reach size 11; both ladders are COMPLETE prefix
+  codes (Kraft sum exactly 1, pinned by test — the termination rows
+  derive from completeness, not transcription);
 - inverse quantisation (§7.4.2.2): F'' = ((2·QF + k)·W·qscale)/32
   with k = 0 (intra) / Sign(QF) (non-intra), saturation to
   [-2048, 2047], and §7.4.4 MISMATCH CONTROL — sum all 64 saturated
@@ -392,15 +391,17 @@ class _M2Hooks(_QuantHooks):
 
         if fmt == 2:
             return _QuantHooks.read_mv(sr, pred, f_code, fmt)
-        f = 1 << (f_code - 1)
+        fh, fv = (f_code, f_code) if isinstance(f_code, int) else f_code
         newp = list(pred)
         out = []
         for r in (0, 1):
             sel = sr.read(1)
-            dx = _read_motion(sr, f_code)
-            dy = _read_motion(sr, f_code)
-            vx = _wrap_vector(newp[2 * r] + dx, f)
-            vy = _wrap_vector(_trunc_half(newp[2 * r + 1]) + dy, f)
+            dx = _read_motion(sr, fh)
+            dy = _read_motion(sr, fv)
+            vx = _wrap_vector(newp[2 * r] + dx, 1 << (fh - 1))
+            vy = _wrap_vector(
+                _trunc_half(newp[2 * r + 1]) + dy, 1 << (fv - 1)
+            )
             out.append((sel, vx, vy))
             newp[2 * r] = vx
             newp[2 * r + 1] = 2 * vy
@@ -941,19 +942,12 @@ def decode_m2v(b: bytes) -> tuple[dict, list[np.ndarray]]:
         hooks = _M2Hooks(
             ext["q_scale_type"], ext["dc_precision"], ext["fpfd"]
         )
-        f_f, f_b = ext["f"][0][0], ext["f"][1][0]
-        if ptype in (2, 3):
-            if not 1 <= f_f <= 9 or ext["f"][0][1] != f_f:
-                raise NotImplementedError(
-                    "MPEG-2 per-axis f_codes (engine decodes "
-                    "symmetric f_code[s][0] == f_code[s][1])"
-                )
-        if ptype == 3:
-            if not 1 <= f_b <= 9 or ext["f"][1][1] != f_b:
-                raise NotImplementedError(
-                    "MPEG-2 per-axis f_codes (engine decodes "
-                    "symmetric f_code[s][0] == f_code[s][1])"
-                )
+        f_f = tuple(ext["f"][0])  # (horizontal, vertical)
+        f_b = tuple(ext["f"][1])
+        if ptype in (2, 3) and not all(1 <= c <= 9 for c in f_f):
+            raise ValueError("MPEG-2 forward f_code out of range")
+        if ptype == 3 and not all(1 <= c <= 9 for c in f_b):
+            raise ValueError("MPEG-2 backward f_code out of range")
         if ptype == 1:
             planes = (
                 np.zeros((mbh * 16, mbw * 16), dtype=np.int64),
@@ -961,13 +955,13 @@ def decode_m2v(b: bytes) -> tuple[dict, list[np.ndarray]]:
                 np.full((mbh * 8, mbw * 8), 128, dtype=np.int64),
             )
             fwd_ref = bwd_ref = None
-            f_f = f_b = 1
+            f_f = f_b = (1, 1)
         elif ptype == 2:
             if held is None:
                 raise ValueError("MPEG-2 P picture before any I picture")
             planes = tuple(p.copy() for p in held)
             fwd_ref, bwd_ref = held, None
-            f_b = 1
+            f_b = (1, 1)
         else:
             if held is None or fwd_anchor is None:
                 raise ValueError("MPEG-2 B picture without two anchors")

@@ -559,3 +559,36 @@ def test_fuzz_mpeg2_fpfd0_contract():
     mf = [_interlaced(t) for t in range(3)]
     es = encode_m2v(mf, qscale_code=2, p_frames=True, fpfd=0)
     _assert_contract("m2v-fpfd0", es, decode_m2v)
+
+
+def test_per_axis_f_codes_decode():
+    """Real encoders use different horizontal/vertical f_codes; the
+    r12 symmetry gate is gone — read_mv honors an (fh, fv) pair for
+    both frame and field formats."""
+    from articulation_vector_db_api_spark.functions.mpeg1 import (
+        _BitReader,
+        _BitWriter,
+        _write_motion,
+    )
+    from articulation_vector_db_api_spark.functions.mpeg2 import _M2Hooks
+
+    hooks = _M2Hooks(0, 8, fpfd=0)
+    # frame format: dx coded with f_code 1, dy with f_code 3
+    w = _BitWriter()
+    _write_motion(w, 2, 1)
+    _write_motion(w, -9, 3)
+    spec, pmv = hooks.read_mv(
+        _BitReader(w.bytes()), [0, 0, 0, 0], (1, 3), 2
+    )
+    assert spec == (2, -9) and pmv == [2, -9, 2, -9]
+    # field format with asymmetric codes
+    w = _BitWriter()
+    for sel, dx, dy in ((0, 1, -5), (1, -2, 6)):
+        w.write(sel, 1)
+        _write_motion(w, dx, 2)
+        _write_motion(w, dy, 3)
+    spec, pmv = hooks.read_mv(
+        _BitReader(w.bytes()), [0, 0, 0, 0], (2, 3), 1
+    )
+    assert spec == ("field", ((0, 1, -5), (1, -2, 6)))
+    assert pmv == [1, -10, -2, 12]

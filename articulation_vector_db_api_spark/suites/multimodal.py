@@ -3625,6 +3625,7 @@ def _mpeg1_bframe_store(spark: SparkSession, sf_dir: str) -> str:
 
 @register(
     "multimodal_mpeg2_decode",
+    headline=True,  # r12: the DVD-era codec is the round's flagship
     oracle="""
     SELECT doc_id,
            CAST(32 AS BIGINT) AS width,

@@ -374,11 +374,20 @@ def _allocate(
 
 
 def encode_mp2(
-    pcm: np.ndarray, rate: int, bitrate_kbps: int = 192
+    pcm: np.ndarray, rate: int, bitrate_kbps: int = 192,
+    joint_ext: int | None = None,
 ) -> bytes:
     """Witness MPEG-1 Layer II encoder: float PCM in (-1, 1), mono
     (n,) or stereo (2, n), -> a spec-layout MP2 frame stream the
-    decoder (and any B.2a-table decoder) reads. Deterministic."""
+    decoder (and any B.2-table decoder) reads. Deterministic.
+
+    ``joint_ext`` (0..3, stereo input only) emits JOINT (intensity)
+    stereo: subbands >= 4·(joint_ext+1) carry one shared allocation
+    and one set of sample codes (taken from channel 0's normalized
+    samples), each channel reconstructing through its own
+    scalefactors — so the witness is spec-faithful for content whose
+    channels share shape above the bound (the intensity assumption
+    itself)."""
     x = np.asarray(pcm, dtype=np.float64)
     if x.ndim == 1:
         x = x[None, :]
@@ -394,6 +403,8 @@ def encode_mp2(
     sblimit = len(tab)
     if np.max(np.abs(x)) >= SCALEFACTORS[0]:
         raise ValueError("PCM must lie inside (-2, 2) for scalefactors")
+    if joint_ext is not None and (channels != 2 or not 0 <= joint_ext <= 3):
+        raise ValueError("joint_ext needs stereo input and 0..3")
 
     frame_len = 144 * bitrate_kbps * 1000 // rate  # bytes, no padding
     # cover the cascade delay so the decoder can trim it and still
@@ -406,20 +417,31 @@ def encode_mp2(
     if sub.shape[2] < n_frames * 36:
         sub = np.pad(sub, ((0, 0), (0, 0), (0, n_frames * 36 - sub.shape[2])))
 
+    mode = 3 if channels == 1 else (1 if joint_ext is not None else 0)
     header = (
         (0x7FF << 21) | (3 << 19) | (2 << 17) | (1 << 16)
         | (_BITRATE_IDX[bitrate_kbps] << 12) | (_RATE_IDX[rate] << 10)
-        | ((3 if channels == 1 else 0) << 6)
+        | (mode << 6) | ((joint_ext or 0) << 4)
     ).to_bytes(4, "big")
+    bound = min(4 * (joint_ext + 1), sblimit) \
+        if joint_ext is not None else sblimit
 
     out = bytearray()
     for f in range(n_frames):
         s = sub[:, :sblimit, f * 36 : (f + 1) * 36]  # (ch, sblimit, 36)
         energy = (s * s).sum(axis=2)
+        if bound < sblimit:
+            # intensity region: both channels share one ladder, driven
+            # by the louder channel. _allocate still bills the sample
+            # bits twice, so the real frame underfills — never
+            # overruns — while the choice stays budget-feasible.
+            energy[:, bound:] = energy[:, bound:].max(axis=0)
         alloc = _allocate(energy, (frame_len - 4) * 8, channels, table)
+        if bound < sblimit:
+            alloc[1, bound:] = alloc[0, bound:]
         w = _BitWriter()
         for sb in range(sblimit):
-            for ch in range(channels):
+            for ch in range(channels if sb < bound else 1):
                 w.write(int(alloc[ch, sb]), bits[sb])
         # scalefactors per third (12 samples); scfsi 0 or 2
         sf_idx = np.zeros((channels, sblimit, 3), dtype=np.int64)
@@ -466,7 +488,7 @@ def encode_mp2(
                 ).tolist()
         for gr in range(12):
             for sb in range(sblimit):
-                for ch in range(channels):
+                for ch in range(channels if sb < bound else 1):
                     a = alloc[ch, sb]
                     if not a:
                         continue
@@ -485,10 +507,13 @@ def encode_mp2(
 
 
 def decode_mp2(b: bytes) -> tuple[int, int, np.ndarray]:
-    """Full MP2 sample decode -> (rate, channels, float PCM (ch, n)).
-    Raises ValueError for malformed streams (per-row fault isolation),
-    NotImplementedError for honest codec gates (Layer I/III samples,
-    joint stereo bound)."""
+    """Full MP2 sample decode -> (rate, channels, float PCM (ch, n)),
+    including JOINT (intensity) stereo (r12): subbands above the
+    mode_extension bound share one allocation + one code set and
+    reconstruct through per-channel scalefactors. Raises ValueError
+    for malformed streams (per-row fault isolation),
+    NotImplementedError for honest codec gates (Layer I/III
+    samples)."""
     from .mp3 import _parse_header
 
     if len(b) < 4:
@@ -499,14 +524,18 @@ def decode_mp2(b: bytes) -> tuple[int, int, np.ndarray]:
             f"sample decode for MPEG-{first['version']} "
             f"Layer {first['layer']}"
         )
-    mode = (int.from_bytes(b[:4], "big") >> 6) & 0x03
-    if mode == 1:
-        raise NotImplementedError("MP2 joint (intensity) stereo decode")
+    hdr = int.from_bytes(b[:4], "big")
+    mode = (hdr >> 6) & 0x03
     channels = first["channels"]
     rate = first["rate"]
     table = _select_table(rate, first["bitrate"] // 1000, channels)
     tab, bits = _B2_TABLES[table], _B2_BITS[table]
     sblimit = len(tab)
+    # joint (intensity) stereo, §2.4.3.3: subbands >= bound carry ONE
+    # allocation and ONE set of sample codes, reconstructed per
+    # channel through that channel's own scalefactors
+    bound = min(4 * (((hdr >> 4) & 0x3) + 1), sblimit) \
+        if mode == 1 else sblimit
 
     sub_all: list[np.ndarray] = []
     i = 0
@@ -520,11 +549,13 @@ def decode_mp2(b: bytes) -> tuple[int, int, np.ndarray]:
         r = _BitReader(payload)
         alloc = np.zeros((channels, sblimit), dtype=np.int64)
         for sb in range(sblimit):
-            for ch in range(channels):
+            for ch in range(channels if sb < bound else 1):
                 a = r.read(bits[sb])
                 if a >= len(tab[sb]):
                     raise ValueError("MP2 allocation index out of range")
                 alloc[ch, sb] = a
+            if sb >= bound:
+                alloc[:, sb] = alloc[0, sb]  # intensity: shared
         scfsi = np.zeros((channels, sblimit), dtype=np.int64)
         for sb in range(sblimit):
             for ch in range(channels):
@@ -560,7 +591,7 @@ def decode_mp2(b: bytes) -> tuple[int, int, np.ndarray]:
         }
         for _gr in range(12):
             for sb in range(sblimit):
-                for ch in range(channels):
+                for ch in range(channels if sb < bound else 1):
                     a = alloc[ch, sb]
                     if not a:
                         continue
@@ -571,13 +602,15 @@ def decode_mp2(b: bytes) -> tuple[int, int, np.ndarray]:
                         c1, c2 = rem % nlev, rem // nlev
                         if c2 >= nlev:
                             raise ValueError("MP2 grouped code out of range")
-                        code_seq[(ch, sb)] += [c0, c1, c2]
+                        tri = [c0, c1, c2]
                     else:
                         nb = _nb(nlev)
                         tri = [r.read(nb) for _ in range(3)]
                         if max(tri) >= nlev:
                             raise ValueError("MP2 sample code out of range")
-                        code_seq[(ch, sb)] += tri
+                    code_seq[(ch, sb)] += tri
+                    if sb >= bound and channels == 2:
+                        code_seq[(1, sb)] += tri  # intensity: shared
         s = np.zeros((channels, _BANDS, 36), dtype=np.float64)
         for (ch, sb), codes in code_seq.items():
             nlev = tab[sb][alloc[ch, sb]]
@@ -652,13 +685,17 @@ def _allocate_l1(
 
 
 def encode_mp1(
-    pcm: np.ndarray, rate: int, bitrate_kbps: int = 192
+    pcm: np.ndarray, rate: int, bitrate_kbps: int = 192,
+    joint_ext: int | None = None,
 ) -> bytes:
     """Witness MPEG-1 Layer I encoder: float PCM in (-1, 1), mono (n,)
     or stereo (2, n) -> a spec-layout MP1 frame stream. Deterministic.
     Gated to (rate, bitrate) pairs with an integer slot count so the
     witness never needs the padding bit (48/32 kHz cover all Layer I
-    bitrates; 44.1 kHz framing needs padding and raises)."""
+    bitrates; 44.1 kHz framing needs padding and raises).
+    ``joint_ext`` emits intensity stereo above bound 4·(joint_ext+1),
+    the Layer II convention (shared allocation + shared sample codes,
+    per-channel scalefactors)."""
     x = np.asarray(pcm, dtype=np.float64)
     if x.ndim == 1:
         x = x[None, :]
@@ -675,6 +712,9 @@ def encode_mp1(
         )
     if np.max(np.abs(x)) >= SCALEFACTORS[0]:
         raise ValueError("PCM must lie inside (-2, 2) for scalefactors")
+    if joint_ext is not None and (channels != 2 or not 0 <= joint_ext <= 3):
+        raise ValueError("joint_ext needs stereo input and 0..3")
+    bound = 4 * (joint_ext + 1) if joint_ext is not None else _BANDS
 
     frame_len = (12 * bitrate_kbps * 1000 // rate) * 4  # bytes
     total = n + _DELAY + _TAPS
@@ -687,20 +727,28 @@ def encode_mp1(
             sub, ((0, 0), (0, 0), (0, n_frames * 12 - sub.shape[2]))
         )
 
+    mode = 3 if channels == 1 else (1 if joint_ext is not None else 0)
     header = (
         (0x7FF << 21) | (3 << 19) | (3 << 17) | (1 << 16)
         | (_BITRATE_IDX_L1[bitrate_kbps] << 12) | (_RATE_IDX[rate] << 10)
-        | ((3 if channels == 1 else 0) << 6)
+        | (mode << 6) | ((joint_ext or 0) << 4)
     ).to_bytes(4, "big")
 
     out = bytearray()
     for f in range(n_frames):
         s = sub[:, :, f * 12 : (f + 1) * 12]  # (ch, 32, 12)
-        alloc = _allocate_l1((s * s).sum(axis=2), (frame_len - 4) * 8,
-                             channels)
+        energy = (s * s).sum(axis=2)
+        if bound < _BANDS:
+            # intensity: shared ladder from the louder channel; the
+            # allocator double-bills the shared samples, so the frame
+            # underfills rather than overruns
+            energy[:, bound:] = energy[:, bound:].max(axis=0)
+        alloc = _allocate_l1(energy, (frame_len - 4) * 8, channels)
+        if bound < _BANDS:
+            alloc[1, bound:] = alloc[0, bound:]
         w = _BitWriter()
         for sb in range(_BANDS):
-            for ch in range(channels):
+            for ch in range(channels if sb < bound else 1):
                 w.write(int(alloc[ch, sb]), 4)
         sf_idx = np.zeros((channels, _BANDS), dtype=np.int64)
         for sb in range(_BANDS):
@@ -721,7 +769,7 @@ def encode_mp1(
                     ).tolist()
         for smp in range(12):
             for sb in range(_BANDS):
-                for ch in range(channels):
+                for ch in range(channels if sb < bound else 1):
                     a = alloc[ch, sb]
                     if a:
                         w.write(codes[(ch, sb)][smp], a + 1)
@@ -731,8 +779,9 @@ def encode_mp1(
 
 def decode_mp1(b: bytes) -> tuple[int, int, np.ndarray]:
     """Full MP1 (Layer I) sample decode -> (rate, channels, float PCM
-    (ch, n)). ValueError for malformed streams, NotImplementedError
-    for honest gates (other layers, joint stereo)."""
+    (ch, n)), including joint (intensity) stereo (r12). ValueError for
+    malformed streams, NotImplementedError for honest gates (other
+    layers)."""
     from .mp3 import _parse_header
 
     if len(b) < 4:
@@ -743,11 +792,11 @@ def decode_mp1(b: bytes) -> tuple[int, int, np.ndarray]:
             f"Layer I sample decode for MPEG-{first['version']} "
             f"Layer {first['layer']}"
         )
-    mode = (int.from_bytes(b[:4], "big") >> 6) & 0x03
-    if mode == 1:
-        raise NotImplementedError("MP1 joint (intensity) stereo decode")
+    hdr = int.from_bytes(b[:4], "big")
+    mode = (hdr >> 6) & 0x03
     channels = first["channels"]
     rate = first["rate"]
+    bound = 4 * (((hdr >> 4) & 0x3) + 1) if mode == 1 else _BANDS
 
     sub_all: list[np.ndarray] = []
     i = 0
@@ -761,11 +810,13 @@ def decode_mp1(b: bytes) -> tuple[int, int, np.ndarray]:
         r = _BitReader(payload)
         alloc = np.zeros((channels, _BANDS), dtype=np.int64)
         for sb in range(_BANDS):
-            for ch in range(channels):
+            for ch in range(channels if sb < bound else 1):
                 a = r.read(4)
                 if a == 15:
                     raise ValueError("forbidden MP1 allocation code 15")
                 alloc[ch, sb] = a
+            if sb >= bound:
+                alloc[:, sb] = alloc[0, sb]  # intensity: shared
         sf = np.ones((channels, _BANDS), dtype=np.float64)
         for sb in range(_BANDS):
             for ch in range(channels):
@@ -782,7 +833,7 @@ def decode_mp1(b: bytes) -> tuple[int, int, np.ndarray]:
         }
         for _smp in range(12):
             for sb in range(_BANDS):
-                for ch in range(channels):
+                for ch in range(channels if sb < bound else 1):
                     a = alloc[ch, sb]
                     if not a:
                         continue
@@ -790,6 +841,8 @@ def decode_mp1(b: bytes) -> tuple[int, int, np.ndarray]:
                     if c >= _L1_LEVELS[a]:
                         raise ValueError("MP1 sample code out of range")
                     code_seq[(ch, sb)].append(c)
+                    if sb >= bound and channels == 2:
+                        code_seq[(1, sb)].append(c)  # intensity
         s = np.zeros((channels, _BANDS, 12), dtype=np.float64)
         for (ch, sb), cs in code_seq.items():
             s[ch, sb] = _dequantize(

@@ -272,8 +272,10 @@ def test_mp1_gates_and_malformed():
         mp2.decode_mp1(mp2.encode_mp2(x, 48000, 192))
     with pytest.raises(NotImplementedError, match="Layer 1"):
         mp2.decode_mp2(bytes(enc))
-    enc[3] = (enc[3] & 0x3F) | 0x40  # mode 01 = joint stereo
-    with pytest.raises(NotImplementedError, match="joint"):
+    enc[3] = (enc[3] & 0x3F) | 0x40  # mode flip on a mono stream:
+    # joint stereo DECODES now (r12), so a channels-lying header is a
+    # malformed-stream ValueError, not a gate
+    with pytest.raises(ValueError):
         mp2.decode_mp1(bytes(enc))
     with pytest.raises(ValueError):
         mp2.decode_mp1(b"\x00\x00")
@@ -284,3 +286,50 @@ def test_fuzz_mp1_contract():
 
     enc = mp2.encode_mp1(_tone(1800), 48000, 192)
     _assert_contract("mp1", enc, mp2.decode_mp1, n=120)
+
+
+def test_joint_intensity_stereo_both_layers():
+    """§2.4.3.3 joint stereo (r12 — the r11 gate is gone): subbands
+    >= 4·(mode_extension+1) carry ONE allocation and ONE code set,
+    each channel reconstructing through its own scalefactors. Witness
+    channels share shape (R = 0.6·L — the intensity assumption), so
+    both channels must reconstruct; the bound grid and both layers
+    are exercised."""
+    n = 3000
+    t = np.arange(n) / 48000
+    L = 0.5 * np.sin(2 * np.pi * 300 * t) + 0.3 * np.sin(
+        2 * np.pi * 2000 * t
+    )
+    x = np.stack([L, 0.6 * L])
+
+    def snr(ref, got):
+        return 10 * np.log10(
+            (ref**2).sum() / max(((got - ref) ** 2).sum(), 1e-30)
+        )
+
+    for enc, dec in (
+        (mp2.encode_mp2, mp2.decode_mp2),
+        (mp2.encode_mp1, mp2.decode_mp1),
+    ):
+        for ext in (0, 1, 3):
+            es = enc(x, 48000, 192, joint_ext=ext)
+            hdr = int.from_bytes(es[:4], "big")
+            assert (hdr >> 6) & 3 == 1  # joint_stereo mode
+            assert (hdr >> 4) & 3 == ext
+            r, c, pcm = dec(es)
+            assert (r, c) == (48000, 2)
+            got = pcm[:, :n]
+            assert snr(L, got[0]) > 18.0
+            assert snr(0.6 * L, got[1]) > 18.0
+    with pytest.raises(ValueError, match="joint_ext"):
+        mp2.encode_mp2(L, 48000, 192, joint_ext=1)  # mono input
+
+
+def test_fuzz_mp2_joint_contract():
+    from tests.test_fuzz_contracts import _assert_contract
+
+    x = np.stack([_tone(2500), 0.7 * _tone(2500)])
+    es = mp2.encode_mp2(x, 48000, 192, joint_ext=1)
+    _assert_contract("mp2-joint", es, mp2.decode_mp2, n=60)
+    es1 = mp2.encode_mp1(x, 48000, 192, joint_ext=2)
+    _assert_contract("mp1-joint", es1, mp2.decode_mp1, n=60)

@@ -406,7 +406,13 @@ def encode_mp2(
     if joint_ext is not None and (channels != 2 or not 0 <= joint_ext <= 3):
         raise ValueError("joint_ext needs stereo input and 0..3")
 
-    frame_len = 144 * bitrate_kbps * 1000 // rate  # bytes, no padding
+    # CBR framing (§2.4.2.3/§2.4.3.1): frame length floors to whole
+    # slots; at rates where 144·bitrate/rate is fractional (44.1 kHz)
+    # a per-frame PADDING slot keeps the long-run average on rate —
+    # the classic rem accumulator (r12; earlier rounds emitted
+    # constant short frames, legal but under-rate)
+    base_len = 144 * bitrate_kbps * 1000 // rate  # bytes sans padding
+    pad_step = 144 * bitrate_kbps * 1000 % rate
     # cover the cascade delay so the decoder can trim it and still
     # return >= n samples
     total = n + _DELAY + _TAPS
@@ -418,16 +424,24 @@ def encode_mp2(
         sub = np.pad(sub, ((0, 0), (0, 0), (0, n_frames * 36 - sub.shape[2])))
 
     mode = 3 if channels == 1 else (1 if joint_ext is not None else 0)
-    header = (
-        (0x7FF << 21) | (3 << 19) | (2 << 17) | (1 << 16)
-        | (_BITRATE_IDX[bitrate_kbps] << 12) | (_RATE_IDX[rate] << 10)
-        | (mode << 6) | ((joint_ext or 0) << 4)
-    ).to_bytes(4, "big")
+
+    def header_bytes(padding: int) -> bytes:
+        return (
+            (0x7FF << 21) | (3 << 19) | (2 << 17) | (1 << 16)
+            | (_BITRATE_IDX[bitrate_kbps] << 12)
+            | (_RATE_IDX[rate] << 10) | (padding << 9)
+            | (mode << 6) | ((joint_ext or 0) << 4)
+        ).to_bytes(4, "big")
     bound = min(4 * (joint_ext + 1), sblimit) \
         if joint_ext is not None else sblimit
 
     out = bytearray()
+    pad_rem = 0
     for f in range(n_frames):
+        pad_rem += pad_step
+        padding = 1 if pad_rem >= rate else 0
+        pad_rem -= rate * padding
+        frame_len = base_len + padding
         s = sub[:, :sblimit, f * 36 : (f + 1) * 36]  # (ch, sblimit, 36)
         energy = (s * s).sum(axis=2)
         if bound < sblimit:
@@ -502,7 +516,7 @@ def encode_mp2(
                         w.write(c0, nb)
                         w.write(c1, nb)
                         w.write(c2, nb)
-        out += header + w.pad_to(frame_len - 4)
+        out += header_bytes(padding) + w.pad_to(frame_len - 4)
     return bytes(out)
 
 
@@ -706,17 +720,16 @@ def encode_mp1(
         raise NotImplementedError(f"MPEG-1 sample rate {rate}")
     if bitrate_kbps not in _BITRATE_IDX_L1:
         raise ValueError(f"not an MPEG-1 Layer I bitrate: {bitrate_kbps}")
-    if (12 * bitrate_kbps * 1000) % rate:
-        raise NotImplementedError(
-            f"padded Layer I framing for rate={rate}, {bitrate_kbps} kbps"
-        )
     if np.max(np.abs(x)) >= SCALEFACTORS[0]:
         raise ValueError("PCM must lie inside (-2, 2) for scalefactors")
     if joint_ext is not None and (channels != 2 or not 0 <= joint_ext <= 3):
         raise ValueError("joint_ext needs stereo input and 0..3")
     bound = 4 * (joint_ext + 1) if joint_ext is not None else _BANDS
 
-    frame_len = (12 * bitrate_kbps * 1000 // rate) * 4  # bytes
+    # Layer I slots are 4 BYTES: padding adds one whole slot (r12 —
+    # this removes the 44.1 kHz NotImplementedError gate)
+    base_len = (12 * bitrate_kbps * 1000 // rate) * 4
+    pad_step = 12 * bitrate_kbps * 1000 % rate
     total = n + _DELAY + _TAPS
     n_frames = -(-total // FRAME_SAMPLES_L1)
     sub = np.stack(
@@ -728,14 +741,22 @@ def encode_mp1(
         )
 
     mode = 3 if channels == 1 else (1 if joint_ext is not None else 0)
-    header = (
-        (0x7FF << 21) | (3 << 19) | (3 << 17) | (1 << 16)
-        | (_BITRATE_IDX_L1[bitrate_kbps] << 12) | (_RATE_IDX[rate] << 10)
-        | (mode << 6) | ((joint_ext or 0) << 4)
-    ).to_bytes(4, "big")
+
+    def header_bytes(padding: int) -> bytes:
+        return (
+            (0x7FF << 21) | (3 << 19) | (3 << 17) | (1 << 16)
+            | (_BITRATE_IDX_L1[bitrate_kbps] << 12)
+            | (_RATE_IDX[rate] << 10) | (padding << 9)
+            | (mode << 6) | ((joint_ext or 0) << 4)
+        ).to_bytes(4, "big")
 
     out = bytearray()
+    pad_rem = 0
     for f in range(n_frames):
+        pad_rem += pad_step
+        padding = 1 if pad_rem >= rate else 0
+        pad_rem -= rate * padding
+        frame_len = base_len + 4 * padding
         s = sub[:, :, f * 12 : (f + 1) * 12]  # (ch, 32, 12)
         energy = (s * s).sum(axis=2)
         if bound < _BANDS:
@@ -773,7 +794,7 @@ def encode_mp1(
                     a = alloc[ch, sb]
                     if a:
                         w.write(codes[(ch, sb)][smp], a + 1)
-        out += header + w.pad_to(frame_len - 4)
+        out += header_bytes(padding) + w.pad_to(frame_len - 4)
     return bytes(out)
 
 

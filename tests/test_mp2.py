@@ -263,8 +263,6 @@ def test_mp1_header_walks_with_mp3_parser():
 
 def test_mp1_gates_and_malformed():
     x = _tone(1500)
-    with pytest.raises(NotImplementedError, match="padded Layer I"):
-        mp2.encode_mp1(x, 44100, 192)
     with pytest.raises(ValueError, match="Layer I bitrate"):
         mp2.encode_mp1(x, 48000, 48)  # Layer II bitrate, not Layer I
     enc = bytearray(mp2.encode_mp1(x, 48000, 192))
@@ -333,3 +331,34 @@ def test_fuzz_mp2_joint_contract():
     _assert_contract("mp2-joint", es, mp2.decode_mp2, n=60)
     es1 = mp2.encode_mp1(x, 48000, 192, joint_ext=2)
     _assert_contract("mp1-joint", es1, mp2.decode_mp1, n=60)
+
+
+def test_cbr_padding_framing_at_44100():
+    """§2.4.3.1 CBR framing: at 44.1 kHz the slot count is fractional,
+    so frames alternate padded/unpadded via the rem accumulator (r12 —
+    this removed the Layer I 44.1 kHz gate and made Layer II witness
+    streams true-CBR). Both frame lengths must appear, the whole
+    stream must walk frame-by-frame through the padding-aware header
+    parser, and the samples must decode."""
+    from articulation_vector_db_api_spark.functions.mp3 import (
+        _parse_header,
+        parse_mp3,
+    )
+
+    x = _tone(10000, rate=44100)
+    for enc, dec, slot in ((mp2.encode_mp2, mp2.decode_mp2, 1),
+                           (mp2.encode_mp1, mp2.decode_mp1, 4)):
+        es = enc(x, 44100, 192)
+        lens, i = [], 0
+        while i < len(es):
+            f = _parse_header(es, i)
+            lens.append(f["length"])
+            i += f["length"]
+        assert i == len(es)
+        assert len(set(lens)) == 2  # padded and unpadded both occur
+        assert max(lens) - min(lens) == slot
+        meta = parse_mp3(es)
+        assert meta["sample_rate"] == 44100
+        r, _c, pcm = dec(es)
+        assert r == 44100
+        assert _snr(x, pcm[0][: len(x)]) > 30.0

@@ -59,8 +59,10 @@ when the next anchor (or the sequence end) arrives.
 
 D pictures (picture_coding_type 4, the DC-only fast-forward preview
 type) decode to flat per-block means; every picture type the spec
-defines now decodes. Honest gates (raise, not fake): custom quantizer
-matrices. The witness encoder emits I-only,
+defines now decodes, and stream-loaded custom quantizer matrices
+(the 64 values ride in the sequence header, zigzag download order)
+apply to reconstruction (r12 — previously gated). The witness
+encoder emits I-only,
 IPPP, IBB…P, or all-D streams with f_code 1..7,
 optional full-pel vectors (I/P), a real (exhaustive, half-pel) motion
 search against the encoder-side RECONSTRUCTED reference — identical
@@ -315,31 +317,42 @@ def _oddify_clamp(v: int) -> int:
 
 
 _WQ_ZZ = INTRA_QUANT.reshape(64)[ZIGZAG]
+_WQ_NI_FLAT = np.full(64, 16, dtype=np.int64)  # default non-intra
 
 
-def _dequant_intra(levels: np.ndarray, qscale: int) -> np.ndarray:
+def _dequant_intra(
+    levels: np.ndarray, qscale: int, wq: np.ndarray = _WQ_ZZ
+) -> np.ndarray:
     """Zigzag-order quantized levels (levels[0] = quantized DC) ->
-    spatial 8x8 float block via the spec's integer reconstruction."""
+    spatial 8x8 float block via the spec's integer reconstruction.
+    ``wq`` is the (possibly stream-loaded) intra matrix in zigzag
+    order."""
     rec = np.zeros(64, dtype=np.int64)
     rec[0] = max(-2048, min(2047, int(levels[0]) * 8))
     for i in range(1, 64):
         lv = int(levels[i])
         if lv:
             rec[ZIGZAG[i]] = _oddify_clamp(
-                _trunc_div(2 * lv * qscale * int(_WQ_ZZ[i]), 16)
+                _trunc_div(2 * lv * qscale * int(wq[i]), 16)
             )
     return _C.T @ rec.reshape(8, 8).astype(np.float64) @ _C
 
 
-def _dequant_nonintra(levels: np.ndarray, qscale: int) -> np.ndarray:
-    """Zigzag-order non-intra levels -> spatial residual (default
-    non-intra matrix is flat 16s, so rec = (2·lv+sign)·qscale)."""
+def _dequant_nonintra(
+    levels: np.ndarray, qscale: int, wq: np.ndarray = _WQ_NI_FLAT
+) -> np.ndarray:
+    """Zigzag-order non-intra levels -> spatial residual. With the
+    default flat-16 matrix the spec's (2·lv+sign)·qscale·W/16
+    collapses to (2·lv+sign)·qscale; a stream-loaded matrix keeps the
+    full form."""
     rec = np.zeros(64, dtype=np.int64)
     for i in range(64):
         lv = int(levels[i])
         if lv:
             sign = 1 if lv > 0 else -1
-            rec[ZIGZAG[i]] = _oddify_clamp((2 * lv + sign) * qscale)
+            rec[ZIGZAG[i]] = _oddify_clamp(
+                _trunc_div((2 * lv + sign) * qscale * int(wq[i]), 16)
+            )
     return _C.T @ rec.reshape(8, 8).astype(np.float64) @ _C
 
 
@@ -415,7 +428,8 @@ def _read_run_level(r: _BitReader) -> tuple[int, int] | None:
 
 
 def _decode_block(
-    r: _BitReader, qscale: int, dc_pred: int, dc_inv: dict[str, int]
+    r: _BitReader, qscale: int, dc_pred: int, dc_inv: dict[str, int],
+    wq: np.ndarray = None,
 ) -> tuple[np.ndarray, int]:
     """One intra block -> (spatial 8x8 float, new DC predictor)."""
     size = r.read_dc_size(dc_inv)
@@ -436,10 +450,14 @@ def _decode_block(
         if i > 63:
             raise ValueError("MPEG-1 AC coefficients overflow the block")
         levels[i] = level
-    return _dequant_intra(levels, qscale), qdc
+    return _dequant_intra(
+        levels, qscale, _WQ_ZZ if wq is None else wq
+    ), qdc
 
 
-def _decode_block_nonintra(r: _BitReader, qscale: int) -> np.ndarray:
+def _decode_block_nonintra(
+    r: _BitReader, qscale: int, wq: np.ndarray = None
+) -> np.ndarray:
     """One coded non-intra block -> spatial residual. dct_coeff_first:
     EOB cannot appear, so '1'+sign means (0, ±1) (§2.4.3.7)."""
     if r.read(1):
@@ -458,11 +476,14 @@ def _decode_block_nonintra(r: _BitReader, qscale: int) -> np.ndarray:
         if i > 63:
             raise ValueError("MPEG-1 AC coefficients overflow the block")
         levels[i] = level
-    return _dequant_nonintra(levels, qscale)
+    return _dequant_nonintra(
+        levels, qscale, _WQ_NI_FLAT if wq is None else wq
+    )
 
 
 def _quant_intra(
-    coeff: np.ndarray, qscale: int, dc_pred: int
+    coeff: np.ndarray, qscale: int, dc_pred: int,
+    wq: np.ndarray = _WQ_ZZ,
 ) -> np.ndarray:
     """DCT coefficients -> zigzag quantized levels (levels[0] = DC)."""
     zz = coeff.reshape(64)[ZIGZAG]
@@ -471,18 +492,21 @@ def _quant_intra(
     levels = np.zeros(64, dtype=np.int64)
     levels[0] = qdc
     for i in range(1, 64):
-        lv = int(np.rint(16.0 * zz[i] / (2.0 * qscale * int(_WQ_ZZ[i]))))
+        lv = int(np.rint(16.0 * zz[i] / (2.0 * qscale * int(wq[i]))))
         levels[i] = max(-255, min(255, lv))
     return levels
 
 
-def _quant_nonintra(coeff: np.ndarray, qscale: int) -> np.ndarray:
+def _quant_nonintra(
+    coeff: np.ndarray, qscale: int, wq: np.ndarray = _WQ_NI_FLAT
+) -> np.ndarray:
     """Residual DCT coefficients -> zigzag levels with the classic
     dead-zone (truncating) non-intra quantizer."""
     zz = coeff.reshape(64)[ZIGZAG]
     levels = np.zeros(64, dtype=np.int64)
     for i in range(64):
-        lv = int(zz[i] / (2.0 * qscale))  # trunc toward zero: dead zone
+        # trunc toward zero: dead zone (W = 16 collapses to /2qscale)
+        lv = int(16.0 * zz[i] / (2.0 * qscale * int(wq[i])))
         levels[i] = max(-255, min(255, lv))
     return levels
 
@@ -623,6 +647,50 @@ class _QuantHooks:
 
 
 _M1_HOOKS = _QuantHooks()
+
+
+class _MatrixHooks(_QuantHooks):
+    """MPEG-1 hooks bound to STREAM-LOADED quantizer matrices (r12 —
+    closes the custom-matrix gate; the matrices arrive in the
+    sequence header itself, so there is nothing to transcribe).
+    ``wq``/``wq_ni`` are zigzag-order int64 arrays."""
+
+    def __init__(self, wq: np.ndarray, wq_ni: np.ndarray) -> None:
+        self.wq = wq
+        self.wq_ni = wq_ni
+
+    def quant_intra(self, coeff, qscale, dc_pred):
+        return _quant_intra(coeff, qscale, dc_pred, self.wq)
+
+    def dequant_intra(self, levels, qscale):
+        return _dequant_intra(levels, qscale, self.wq)
+
+    def quant_nonintra(self, coeff, qscale):
+        return _quant_nonintra(coeff, qscale, self.wq_ni)
+
+    def dequant_nonintra(self, levels, qscale):
+        return _dequant_nonintra(levels, qscale, self.wq_ni)
+
+    def decode_block_intra(self, r, qscale, dc_pred, is_luma):
+        return _decode_block(
+            r, qscale, dc_pred,
+            _DC_LUMA_INV if is_luma else _DC_CHROMA_INV, self.wq,
+        )
+
+    def decode_block_nonintra(self, r, qscale):
+        return _decode_block_nonintra(r, qscale, self.wq_ni)
+
+
+def _read_quant_matrix(r: _BitReader, intra: bool) -> np.ndarray:
+    """64 stream-carried 8-bit values in ZIGZAG download order
+    (§2.4.2.3) -> zigzag-order int64 array. Zero entries are
+    forbidden; the intra matrix's first value shall be 8."""
+    vals = [r.read(8) for _ in range(64)]
+    if any(v == 0 for v in vals):
+        raise ValueError("MPEG quantizer matrix entry of zero")
+    if intra and vals[0] != 8:
+        raise ValueError("MPEG intra quantizer matrix must start at 8")
+    return np.asarray(vals, dtype=np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -1011,6 +1079,7 @@ def encode_m1v(
     frames: list[np.ndarray], fps_code: int = 5, qscale: int = 4,
     p_frames: bool = False, f_code: int = 1, full_pel: bool = False,
     search: int = 4, b_frames: int = 0, d_pictures: bool = False,
+    intra_matrix: np.ndarray = None, non_intra_matrix: np.ndarray = None,
 ) -> bytes:
     """Witness MPEG-1 elementary stream. Frames are (h, w, 3) RGB
     uint8 with h, w multiples of 16. With ``p_frames`` the first
@@ -1047,8 +1116,32 @@ def encode_m1v(
     w.write(1, 1)   # marker
     w.write(0, 10)  # vbv_buffer_size
     w.write(0, 1)   # constrained flag
-    w.write(0, 1)   # no custom intra matrix
-    w.write(0, 1)   # no custom non-intra matrix
+    wq = wq_ni = None
+    for flag, mat, intra in (
+        (intra_matrix is not None, intra_matrix, True),
+        (non_intra_matrix is not None, non_intra_matrix, False),
+    ):
+        w.write(1 if flag else 0, 1)
+        if flag:
+            zz = np.asarray(mat, dtype=np.int64).reshape(64)[ZIGZAG]
+            if (zz <= 0).any() or (zz > 255).any():
+                raise ValueError("quantizer matrix entries must be 1..255")
+            if intra and zz[0] != 8:
+                raise ValueError("intra quantizer matrix must start at 8")
+            for v in zz:
+                w.write(int(v), 8)
+            if intra:
+                wq = zz
+            else:
+                wq_ni = zz
+    hooks = (
+        _M1_HOOKS
+        if wq is None and wq_ni is None
+        else _MatrixHooks(
+            _WQ_ZZ if wq is None else wq,
+            _WQ_NI_FLAT if wq_ni is None else wq_ni,
+        )
+    )
     w.start_code(0xB8)  # GOP
     w.write(0, 25)  # time code
     w.write(1, 1)   # closed gop
@@ -1141,12 +1234,12 @@ def encode_m1v(
             elif ptype == 3:
                 _encode_b_slice(
                     w, planes, prev_anchor, ref, row, mbw, qscale,
-                    f_code, search,
+                    f_code, search, hooks=hooks,
                 )
             elif ptype == 2:
                 _encode_p_slice(
                     w, planes, rec, ref, row, mbw, qscale,
-                    f_code, 1 if full_pel else 0, search,
+                    f_code, 1 if full_pel else 0, search, hooks=hooks,
                 )
             else:
                 preds = [128, 128, 128]
@@ -1154,7 +1247,8 @@ def encode_m1v(
                     w.write_code("1")   # mb_address_increment = 1
                     w.write_code("1")   # mb_type: intra (Table B.2a)
                     _encode_intra_mb(
-                        w, planes, rec, row, col, qscale, preds
+                        w, planes, rec, row, col, qscale, preds,
+                        hooks=hooks,
                     )
         if ptype != 3:  # B pictures are not references
             prev_anchor, ref = ref, rec
@@ -1438,9 +1532,9 @@ def decode_m1v(b: bytes) -> tuple[dict, list[np.ndarray]]:
     """Elementary-stream decode -> ({width, height, fps, n_frames,
     n_i, n_p, n_b, n_d}, [RGB frames in DISPLAY order]). Every spec
     picture type decodes (I/P/B with the one-anchor reorder buffer,
-    DC-only D); reserved picture_coding_type values raise ValueError,
-    custom quantizer matrices raise NotImplementedError (honest
-    gate)."""
+    DC-only D); reserved picture_coding_type values raise
+    ValueError; stream-loaded custom quantizer matrices apply
+    (r12)."""
     code, pos = _next_start_code(bytes(b), 0)
     if code != 0xB3:
         raise ValueError("not an MPEG-1 video stream (no sequence header)")
@@ -1456,10 +1550,19 @@ def decode_m1v(b: bytes) -> tuple[dict, list[np.ndarray]]:
         raise ValueError("MPEG-1 sequence header marker bit missing")
     _vbv = r.read(10)
     _constrained = r.read(1)
+    # custom quantizer matrices arrive IN the stream (64 bytes each,
+    # zigzag download order, §2.4.2.3) — loaded, not gated (r12)
+    wq = _WQ_ZZ
+    wq_ni = _WQ_NI_FLAT
     if r.read(1):  # load_intra_quantizer_matrix
-        raise NotImplementedError("custom MPEG-1 intra quantizer matrix")
-    if r.read(1):
-        raise NotImplementedError("custom MPEG-1 non-intra matrix")
+        wq = _read_quant_matrix(r, intra=True)
+    if r.read(1):  # load_non_intra_quantizer_matrix
+        wq_ni = _read_quant_matrix(r, intra=False)
+    hooks = (
+        _M1_HOOKS
+        if wq is _WQ_ZZ and wq_ni is _WQ_NI_FLAT
+        else _MatrixHooks(wq, wq_ni)
+    )
     if not w_px or not h:
         raise ValueError("MPEG-1 zero frame dimensions")
     mbw, mbh = -(-w_px // 16), -(-h // 16)
@@ -1564,7 +1667,7 @@ def decode_m1v(b: bytes) -> tuple[dict, list[np.ndarray]]:
                     raise ValueError("MPEG-1 picture without terminator")
                 _decode_slice(
                     data[spos:send], row, planes, fwd_ref, bwd_ref,
-                    mbw, mbh, ptype, f_f, fp_f, f_b, fp_b,
+                    mbw, mbh, ptype, f_f, fp_f, f_b, fp_b, hooks,
                 )
                 pos = send
             if not saw_slice:

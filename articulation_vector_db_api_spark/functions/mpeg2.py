@@ -44,9 +44,11 @@ frame vs field MC per macroblock by SAD, so interlaced scenes
 exercise the path end to end). Honest gates (raise, not fake): field
 PICTURES (picture_structure != frame), dual-prime prediction,
 alternate_scan, repeat_first_field, the alternate intra VLC
-(intra_vlc_format = 1, Table B-15), chroma 4:2:2/4:4:4, custom
-quantizer matrices, concealment motion vectors, and every
-scalability extension. The witness encoder emits Main-profile-shaped
+(intra_vlc_format = 1, Table B-15), chroma 4:2:2/4:4:4 (including
+separate chroma matrices), concealment motion vectors, and every
+scalability extension. Custom LUMA quantizer matrices load from the
+sequence header AND from quant_matrix_extensions mid-stream (r12 —
+the values ride in the stream, so nothing is transcribed). The witness encoder emits Main-profile-shaped
 streams — I-only, IPPP, or IBB…P, fpfd 1 or 0 — over the full
 q_scale_type × precision grid.
 
@@ -62,6 +64,8 @@ import numpy as np
 from .jpeg import ZIGZAG, _C, _rgb_to_ycbcr, _ycbcr_to_rgb
 from .mpeg1 import (
     INTRA_QUANT,
+    _WQ_NI_FLAT,
+    _read_quant_matrix,
     _B_MB_TYPE,
     _BitReader,
     _BitWriter,
@@ -149,33 +153,38 @@ def _mismatch(rec: np.ndarray) -> None:
 
 
 def _dequant_intra2(
-    levels: np.ndarray, qscale: int, dc_mult: int
+    levels: np.ndarray, qscale: int, dc_mult: int,
+    wq: np.ndarray = _WQ_ZZ,
 ) -> np.ndarray:
     """Zigzag QFS (levels[0] = quantized DC) -> spatial 8x8 float via
-    §7.4.2.2 (k = 0) + §7.4.4 mismatch control."""
+    §7.4.2.2 (k = 0) + §7.4.4 mismatch control. ``wq`` may be a
+    stream-loaded matrix (sequence header or quant_matrix_extension,
+    r12)."""
     rec = np.zeros(64, dtype=np.int64)
     rec[0] = _saturate(int(levels[0]) * dc_mult)
     for i in range(1, 64):
         lv = int(levels[i])
         if lv:
             rec[ZIGZAG[i]] = _saturate(
-                _trunc_div(2 * lv * int(_WQ_ZZ[i]) * qscale, 32)
+                _trunc_div(2 * lv * int(wq[i]) * qscale, 32)
             )
     sq = rec.reshape(8, 8)
     _mismatch(sq)
     return _C.T @ sq.astype(np.float64) @ _C
 
 
-def _dequant_nonintra2(levels: np.ndarray, qscale: int) -> np.ndarray:
-    """§7.4.2.2 with k = Sign(QF); flat-16 default non-intra matrix
-    collapses (2·QF+k)·16·qscale/32 to (2·QF+k)·qscale/2."""
+def _dequant_nonintra2(
+    levels: np.ndarray, qscale: int, wq: np.ndarray = _WQ_NI_FLAT
+) -> np.ndarray:
+    """§7.4.2.2 with k = Sign(QF); the default flat-16 matrix
+    collapses (2·QF+k)·W·qscale/32 to (2·QF+k)·qscale/2."""
     rec = np.zeros(64, dtype=np.int64)
     for i in range(64):
         lv = int(levels[i])
         if lv:
             sign = 1 if lv > 0 else -1
             rec[ZIGZAG[i]] = _saturate(
-                _trunc_div((2 * lv + sign) * qscale, 2)
+                _trunc_div((2 * lv + sign) * int(wq[i]) * qscale, 32)
             )
     sq = rec.reshape(8, 8)
     _mismatch(sq)
@@ -186,7 +195,8 @@ def _dequant_nonintra2(levels: np.ndarray, qscale: int) -> np.ndarray:
 
 
 def _quant_intra2(
-    coeff: np.ndarray, qscale: int, dc_pred: int, dc_mult: int
+    coeff: np.ndarray, qscale: int, dc_pred: int, dc_mult: int,
+    wq: np.ndarray = _WQ_ZZ,
 ) -> np.ndarray:
     """DCT coefficients -> zigzag QFS; inverse of §7.4.2.2 (k = 0)."""
     zz = coeff.reshape(64)[ZIGZAG]
@@ -197,18 +207,21 @@ def _quant_intra2(
     levels = np.zeros(64, dtype=np.int64)
     levels[0] = qdc
     for i in range(1, 64):
-        lv = int(np.rint(32.0 * zz[i] / (2.0 * qscale * int(_WQ_ZZ[i]))))
+        lv = int(np.rint(32.0 * zz[i] / (2.0 * qscale * int(wq[i]))))
         levels[i] = max(-2047, min(2047, lv))
     return levels
 
 
-def _quant_nonintra2(coeff: np.ndarray, qscale: int) -> np.ndarray:
+def _quant_nonintra2(
+    coeff: np.ndarray, qscale: int, wq: np.ndarray = _WQ_NI_FLAT
+) -> np.ndarray:
     """Dead-zone (truncating) quantizer inverting §7.4.2.2's
     non-intra reconstruction."""
     zz = coeff.reshape(64)[ZIGZAG]
     levels = np.zeros(64, dtype=np.int64)
     for i in range(64):
-        lv = int(zz[i] / qscale)  # trunc toward zero: dead zone
+        # trunc toward zero: dead zone (W = 16 collapses to /qscale)
+        lv = int(16.0 * zz[i] / (qscale * int(wq[i])))
         levels[i] = max(-2047, min(2047, lv))
     return levels
 
@@ -249,7 +262,7 @@ def _read_run_level2(r: _BitReader) -> tuple[int, int] | None:
 
 def _decode_block_intra2(
     r: _BitReader, qscale: int, dc_pred: int, is_luma: bool,
-    dc_mult: int,
+    dc_mult: int, wq: np.ndarray = _WQ_ZZ,
 ) -> tuple[np.ndarray, int]:
     """One intra block -> (spatial 8x8 float, new DC predictor)."""
     size = r.read_dc_size(
@@ -272,10 +285,12 @@ def _decode_block_intra2(
         if i > 63:
             raise ValueError("MPEG-2 AC coefficients overflow the block")
         levels[i] = level
-    return _dequant_intra2(levels, qscale, dc_mult), qdc
+    return _dequant_intra2(levels, qscale, dc_mult, wq), qdc
 
 
-def _decode_block_nonintra2(r: _BitReader, qscale: int) -> np.ndarray:
+def _decode_block_nonintra2(
+    r: _BitReader, qscale: int, wq: np.ndarray = _WQ_NI_FLAT
+) -> np.ndarray:
     """One coded non-intra block -> spatial residual (dct_coeff_first:
     '1'+sign means (0, ±1), EOB cannot appear first)."""
     if r.read(1):
@@ -294,7 +309,7 @@ def _decode_block_nonintra2(r: _BitReader, qscale: int) -> np.ndarray:
         if i > 63:
             raise ValueError("MPEG-2 AC coefficients overflow the block")
         levels[i] = level
-    return _dequant_nonintra2(levels, qscale)
+    return _dequant_nonintra2(levels, qscale, wq)
 
 
 def _write_intra_levels2(
@@ -351,12 +366,15 @@ class _M2Hooks(_QuantHooks):
     (the shared hooks' luma_view)."""
 
     def __init__(
-        self, q_scale_type: int, dc_precision: int, fpfd: int = 1
+        self, q_scale_type: int, dc_precision: int, fpfd: int = 1,
+        wq: np.ndarray = None, wq_ni: np.ndarray = None,
     ) -> None:
         self.q_scale_type = q_scale_type
         self.dc_mult = 1 << (11 - dc_precision)
         self.dc_reset = 1 << (dc_precision - 1)
         self.fpfd = fpfd
+        self.wq = _WQ_ZZ if wq is None else wq
+        self.wq_ni = _WQ_NI_FLAT if wq_ni is None else wq_ni
 
     def read_mb_modes(self, sr, mf, mb, coded, intra):
         if self.fpfd:
@@ -425,18 +443,18 @@ class _M2Hooks(_QuantHooks):
         return _map_qscale(code, self.q_scale_type)
 
     def quant_intra(self, coeff, qscale, dc_pred):
-        return _quant_intra2(coeff, qscale, dc_pred, self.dc_mult)
+        return _quant_intra2(
+            coeff, qscale, dc_pred, self.dc_mult, self.wq
+        )
 
-    @staticmethod
-    def quant_nonintra(coeff, qscale):
-        return _quant_nonintra2(coeff, qscale)
+    def quant_nonintra(self, coeff, qscale):
+        return _quant_nonintra2(coeff, qscale, self.wq_ni)
 
     def dequant_intra(self, levels, qscale):
-        return _dequant_intra2(levels, qscale, self.dc_mult)
+        return _dequant_intra2(levels, qscale, self.dc_mult, self.wq)
 
-    @staticmethod
-    def dequant_nonintra(levels, qscale):
-        return _dequant_nonintra2(levels, qscale)
+    def dequant_nonintra(self, levels, qscale):
+        return _dequant_nonintra2(levels, qscale, self.wq_ni)
 
     @staticmethod
     def write_intra_levels(w, levels, dc_pred, is_luma):
@@ -448,12 +466,11 @@ class _M2Hooks(_QuantHooks):
 
     def decode_block_intra(self, r, qscale, dc_pred, is_luma):
         return _decode_block_intra2(
-            r, qscale, dc_pred, is_luma, self.dc_mult
+            r, qscale, dc_pred, is_luma, self.dc_mult, self.wq
         )
 
-    @staticmethod
-    def decode_block_nonintra(r, qscale):
-        return _decode_block_nonintra2(r, qscale)
+    def decode_block_nonintra(self, r, qscale):
+        return _decode_block_nonintra2(r, qscale, self.wq_ni)
 
 
 # ------------------------------------------------------------ encoder
@@ -627,7 +644,8 @@ def encode_m2v(
     frames: list[np.ndarray], fps_code: int = 5, qscale_code: int = 4,
     p_frames: bool = False, f_code: int = 1, search: int = 4,
     b_frames: int = 0, q_scale_type: int = 0, dc_precision: int = 8,
-    fpfd: int = 1,
+    fpfd: int = 1, intra_matrix: np.ndarray = None,
+    non_intra_matrix: np.ndarray = None,
 ) -> bytes:
     """Witness MPEG-2 elementary stream (progressive, Main-profile
     shape, frame pictures, frame_pred_frame_dct = 1, 4:2:0,
@@ -666,7 +684,20 @@ def encode_m2v(
     if b_frames and not p_frames:
         raise ValueError("b_frames requires p_frames")
 
-    hooks = _M2Hooks(q_scale_type, dc_precision, fpfd)
+    wq = wq_ni = None
+    for mat, intra in ((intra_matrix, True), (non_intra_matrix, False)):
+        if mat is None:
+            continue
+        zz = np.asarray(mat, dtype=np.int64).reshape(64)[ZIGZAG]
+        if (zz <= 0).any() or (zz > 255).any():
+            raise ValueError("quantizer matrix entries must be 1..255")
+        if intra and zz[0] != 8:
+            raise ValueError("intra quantizer matrix must start at 8")
+        if intra:
+            wq = zz
+        else:
+            wq_ni = zz
+    hooks = _M2Hooks(q_scale_type, dc_precision, fpfd, wq, wq_ni)
     qscale = hooks.map_qscale(qscale_code)
     mbw, mbh = w_px // 16, h // 16
     n = len(frames)
@@ -681,8 +712,11 @@ def encode_m2v(
     w.write(1, 1)         # marker
     w.write(0, 10)        # vbv_buffer_size (low 10)
     w.write(0, 1)         # constrained_parameters_flag
-    w.write(0, 1)         # no custom intra matrix
-    w.write(0, 1)         # no custom non-intra matrix
+    for loaded in (wq, wq_ni):
+        w.write(1 if loaded is not None else 0, 1)
+        if loaded is not None:
+            for v in loaded:  # already zigzag download order
+                w.write(int(v), 8)
     w.start_code(0xB5)    # sequence_extension — what MAKES it MPEG-2
     w.write(_EXT_SEQUENCE, 4)
     w.write(0x48, 8)      # profile_and_level: Main @ Main
@@ -833,6 +867,21 @@ def _parse_picture_coding_ext(r: _BitReader) -> dict:
     return out
 
 
+def _parse_quant_matrix_ext(
+    r: _BitReader,
+) -> tuple[np.ndarray | None, np.ndarray | None]:
+    """quant_matrix_extension after its id nibble (§6.3.11): up to
+    four load flags; for 4:2:0 the chroma matrices mirror the luma
+    ones, so set chroma-load flags gate honestly."""
+    wq = _read_quant_matrix(r, intra=True) if r.read(1) else None
+    wq_ni = _read_quant_matrix(r, intra=False) if r.read(1) else None
+    if r.read(1) or r.read(1):  # chroma intra / non-intra loads
+        raise NotImplementedError(
+            "MPEG-2 separate chroma quantizer matrices (4:2:2/4:4:4)"
+        )
+    return wq, wq_ni
+
+
 def decode_m2v(b: bytes) -> tuple[dict, list[np.ndarray]]:
     """MPEG-2 elementary-stream decode -> ({width, height, fps,
     n_frames, n_i, n_p, n_b, progressive, chroma, dc_precision},
@@ -856,10 +905,14 @@ def decode_m2v(b: bytes) -> tuple[dict, list[np.ndarray]]:
         raise ValueError("MPEG-2 sequence header marker bit missing")
     r.read(10)
     r.read(1)
+    # stream-loaded quantizer matrices (r12 — previously gated): the
+    # 64 values arrive in the header itself, zigzag download order
+    wq = _WQ_ZZ
+    wq_ni = _WQ_NI_FLAT
     if r.read(1):
-        raise NotImplementedError("custom MPEG-2 intra quantizer matrix")
+        wq = _read_quant_matrix(r, intra=True)
     if r.read(1):
-        raise NotImplementedError("custom MPEG-2 non-intra matrix")
+        wq_ni = _read_quant_matrix(r, intra=False)
     if not w_px or not h:
         raise ValueError("MPEG-2 zero frame dimensions")
     code, pos = _next_start_code(data, pos)
@@ -907,9 +960,12 @@ def decode_m2v(b: bytes) -> tuple[dict, list[np.ndarray]]:
         if code == 0xB5:  # non-picture extension at sequence level
             xid = data[pos] >> 4
             if xid == _EXT_QUANT_MATRIX:
-                raise NotImplementedError(
-                    "custom MPEG-2 quantizer matrix (extension)"
-                )
+                qr = _BitReader(data[pos:])
+                qr.read(4)
+                new_wq, new_wq_ni = _parse_quant_matrix_ext(qr)
+                wq = new_wq if new_wq is not None else wq
+                wq_ni = new_wq_ni if new_wq_ni is not None else wq_ni
+                continue
             if xid not in (
                 _EXT_SEQUENCE,  # repeated sequence header's extension
                 _EXT_SEQ_DISPLAY,
@@ -940,7 +996,8 @@ def decode_m2v(b: bytes) -> tuple[dict, list[np.ndarray]]:
         ext = _parse_picture_coding_ext(xr)
         dc_precision_seen = ext["dc_precision"]
         hooks = _M2Hooks(
-            ext["q_scale_type"], ext["dc_precision"], ext["fpfd"]
+            ext["q_scale_type"], ext["dc_precision"], ext["fpfd"],
+            wq, wq_ni,
         )
         f_f = tuple(ext["f"][0])  # (horizontal, vertical)
         f_b = tuple(ext["f"][1])
@@ -979,11 +1036,18 @@ def decode_m2v(b: bytes) -> tuple[dict, list[np.ndarray]]:
                 raise ValueError("MPEG-2 picture without terminator")
             if scode == 0xB5:
                 # between coding extension and slices: quant-matrix
-                # extensions would change reconstruction — gate, never
-                # silently skip; display/copyright extensions skip
+                # extensions change reconstruction from THIS picture
+                # on — load them and rebind the picture's hooks;
+                # display/copyright extensions skip
                 if data[spos] >> 4 == _EXT_QUANT_MATRIX:
-                    raise NotImplementedError(
-                        "custom MPEG-2 quantizer matrix (extension)"
+                    qr = _BitReader(data[spos:])
+                    qr.read(4)
+                    new_wq, new_wq_ni = _parse_quant_matrix_ext(qr)
+                    wq = new_wq if new_wq is not None else wq
+                    wq_ni = new_wq_ni if new_wq_ni is not None else wq_ni
+                    hooks = _M2Hooks(
+                        ext["q_scale_type"], ext["dc_precision"],
+                        ext["fpfd"], wq, wq_ni,
                     )
                 pos = spos
                 continue

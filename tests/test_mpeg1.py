@@ -114,13 +114,35 @@ def test_gates():
         decode_m1v(b"not mpeg at all")
 
 
-def test_custom_matrix_gate():
-    es = bytearray(encode_m1v([_frame(0)]))
-    # sequence header: 12+12+4+4+18+1+10+1 = 62 bits, then
-    # load_intra_quantizer_matrix at bit 62 -> byte 7, bit 6 (mask 0x02)
-    es[4 + 7] |= 0x02
-    with pytest.raises(NotImplementedError, match="quantizer matrix"):
-        decode_m1v(bytes(es))
+def test_custom_quantizer_matrices_roundtrip():
+    """Stream-loaded quantizer matrices (r12 — the gate is gone): the
+    64 values ride in the sequence header, reconstruction uses them,
+    and an all-16 intra matrix demonstrably changes the coded bits vs
+    the default Table §2.4.4.2 matrix."""
+    im = np.full((8, 8), 16, dtype=np.int64)
+    im[0, 0] = 8
+    nim = np.full((8, 8), 24, dtype=np.int64)
+    fs = [_frame(i) for i in range(3)]
+    es = encode_m1v(fs, qscale=4, p_frames=True,
+                    intra_matrix=im, non_intra_matrix=nim)
+    meta, dec = decode_m1v(es)
+    assert meta["n_p"] == 2
+    for a, b in zip(fs, dec):
+        assert _snr(a, b) > 20.0
+    assert es != encode_m1v(fs, qscale=4, p_frames=True)
+    # malformed in-stream matrices are loud: a zero entry and a bad
+    # intra anchor both reject
+    with pytest.raises(ValueError, match="1..255"):
+        encode_m1v(fs[:1], intra_matrix=np.zeros((8, 8), dtype=int))
+    bad = np.full((8, 8), 16, dtype=np.int64)  # [0,0] != 8
+    with pytest.raises(ValueError, match="start at 8"):
+        encode_m1v(fs[:1], intra_matrix=bad)
+    # decoder side: flipping the load bit makes the decoder read
+    # picture bytes as a matrix -> loud ValueError, never a misparse
+    esb = bytearray(encode_m1v([_frame(0)]))
+    esb[4 + 7] |= 0x02  # load_intra_quantizer_matrix
+    with pytest.raises(ValueError):
+        decode_m1v(bytes(esb))
 
 
 def test_fuzz_mpeg1_contract():

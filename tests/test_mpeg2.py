@@ -531,11 +531,15 @@ def test_repeated_sequence_header_and_quant_ext_gate():
     assert meta["n_frames"] == 2
     for a, b in zip(clean, dec):
         assert (a == b).all()
-    # quant_matrix_extension (id 0x3) right before the first slice
+    # a no-op quant_matrix_extension (id 0x3, all load flags 0)
+    # before the first slice now LOADS (nothing) instead of gating
+    # (r12) — output must be unchanged
     first_slice = es.index(b"\x00\x00\x01\x01")
     qext = b"\x00\x00\x01\xb5" + bytes([0x30]) + bytes(16)
-    with pytest.raises(NotImplementedError, match="quantizer matrix"):
-        decode_m2v(es[:first_slice] + qext + es[first_slice:])
+    m3, dec3 = decode_m2v(es[:first_slice] + qext + es[first_slice:])
+    assert m3["n_frames"] == 2
+    for a, b in zip(clean, dec3):
+        assert (a == b).all()
 
 
 def test_fpfd0_b_frames_roundtrip():
@@ -592,3 +596,56 @@ def test_per_axis_f_codes_decode():
     )
     assert spec == ("field", ((0, 1, -5), (1, -2, 6)))
     assert pmv == [1, -10, -2, 12]
+
+
+def test_custom_matrices_header_and_extension():
+    """Stream-loaded quantizer matrices (r12): sequence-header loads
+    apply from the start; a quant_matrix_extension spliced before a
+    later picture's slices REBINDS reconstruction from that picture
+    on; separate chroma matrices still gate (4:2:2 tool)."""
+    im = np.full((8, 8), 16, dtype=np.int64)
+    im[0, 0] = 8
+    nim = np.full((8, 8), 24, dtype=np.int64)
+    fs = [_frame(i) for i in range(3)]
+    es = encode_m2v(fs, qscale_code=2, p_frames=True,
+                    intra_matrix=im, non_intra_matrix=nim)
+    meta, dec = decode_m2v(es)
+    assert meta["n_p"] == 2 and _snr(fs, dec) > 22.0
+    assert es != encode_m2v(fs, qscale_code=2, p_frames=True)
+
+    # splice a quant_matrix_extension (intra reload = the DEFAULT
+    # matrix) before the second picture: both matrices then match a
+    # stream that was default-intra from the start for that picture
+    from articulation_vector_db_api_spark.functions.mpeg1 import (
+        INTRA_QUANT,
+        ZIGZAG,
+        _BitWriter,
+    )
+
+    base = encode_m2v([_frame(0), _frame(1)], qscale_code=2)
+    w = _BitWriter()
+    w.write(0x3, 4)  # extension id: quant matrix
+    w.write(1, 1)    # load_intra
+    for v in INTRA_QUANT.reshape(64)[ZIGZAG]:
+        w.write(int(v), 8)
+    w.write(0, 1)    # no non-intra load
+    w.write(0, 2)    # no chroma loads
+    qext = b"\x00\x00\x01\xb5" + w.bytes()
+    first_pic = base.index(b"\x00\x00\x01\x00")
+    second_pic = base.index(b"\x00\x00\x01\x00", first_pic + 4)
+    salted = base[:second_pic] + qext + base[second_pic:]
+    m2, dec2 = decode_m2v(salted)
+    clean = decode_m2v(base)[1]
+    assert m2["n_frames"] == 2
+    for a, b in zip(clean, dec2):
+        assert (a == b).all()  # reload of the same matrix: identical
+
+    # chroma matrix loads gate
+    w = _BitWriter()
+    w.write(0x3, 4)
+    w.write(0, 1)
+    w.write(0, 1)
+    w.write(1, 1)  # load_chroma_intra
+    qext_c = b"\x00\x00\x01\xb5" + w.bytes()
+    with pytest.raises(NotImplementedError, match="chroma quantizer"):
+        decode_m2v(base[:second_pic] + qext_c + base[second_pic:])

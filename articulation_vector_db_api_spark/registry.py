@@ -156,18 +156,25 @@ _VERIFIED = frozenset(
         "multimodal_audio_flac_roundtrip", "multimodal_audio_framing",
         "multimodal_audio_g711_roundtrip", "multimodal_audio_resample",
         "multimodal_audio_vad_trim", "multimodal_audio_wav_roundtrip",
-        "multimodal_av_container_probe", "multimodal_avi_dib_roundtrip",
+        "multimodal_av_container_probe", "multimodal_avi_av_extract",
+        "multimodal_avi_dib_roundtrip",
         "multimodal_avi_mjpeg_scene_cuts", "multimodal_binary_metadata",
         "multimodal_decode_features", "multimodal_dhash_image_dedup",
         "multimodal_frame_sample", "multimodal_gif_animation_frames",
         "multimodal_gif_roundtrip", "multimodal_jpeg_roundtrip",
-        "multimodal_mkv_mjpeg_decode", "multimodal_modality_router",
+        "multimodal_mkv_av_extract", "multimodal_mkv_mjpeg_decode",
+        "multimodal_modality_router", "multimodal_mp1_decode",
         "multimodal_mp2_decode", "multimodal_mp3_probe",
-        "multimodal_mp4_mjpeg_decode", "multimodal_mpeg1_iframe_decode",
-        "multimodal_ogg_flac_roundtrip", "multimodal_opus_packet_stats",
-        "multimodal_phash_dct_dedup", "multimodal_pixel_histogram",
-        "multimodal_pixel_roundtrip", "multimodal_qoi_roundtrip",
-        "multimodal_resize_batch", "multimodal_resize_pixels",
+        "multimodal_mp4_audio_extract", "multimodal_mp4_mjpeg_decode",
+        "multimodal_mpeg1_bframe_decode",
+        "multimodal_mpeg1_iframe_decode",
+        "multimodal_mpeg1_in_containers",
+        "multimodal_mpeg1_pframe_decode",
+        "multimodal_mpeg_ps_roundtrip", "multimodal_ogg_flac_roundtrip",
+        "multimodal_opus_packet_stats", "multimodal_phash_dct_dedup",
+        "multimodal_pixel_histogram", "multimodal_pixel_roundtrip",
+        "multimodal_qoi_roundtrip", "multimodal_resize_batch",
+        "multimodal_resize_pixels", "multimodal_subtitle_normalize",
         "multimodal_tiff_roundtrip", "multimodal_video_caption_align",
         "multimodal_video_scene_cuts", "multimodal_vorbis_decode",
         "multimodal_webp_roundtrip", "nested_agg_big_spenders",
@@ -248,48 +255,44 @@ _VERIFIED = frozenset(
     }
 )
 
-# Round-12 window (VERDICT r11 item 1: close the evidence debt):
-# 1. _WINDOW_FIRST: the 9 r11 additions that have never been
-#    driver-contacted (the MPEG-1 video P/B/container family, the
-#    Layer I decode, the MPEG-PS roundtrip, the three container A/V
-#    extractions, and subtitle normalization) — each parity-proven
-#    locally at sf0.001/0.01/0.1 in r11 and re-proven this round.
-# 2. _WINDOW_RESEAT: the 41 stalest oracle-backed rows, all with a
-#    latest driver contact of r5 (rotate_window.py ordering). After
-#    this window no registered query's latest row predates r6 except
-#    the ~7 r5 rows that don't fit the 50 seats (listed in
-#    COVERAGE.md for the r13 window).
+# Round-13 window (VERDICT r12 item 1: zero the evidence debt):
+# 1. _WINDOW_FIRST: the 3 r12-touched queries — the two never-driver-
+#    contacted MPEG-2 additions plus a re-contact of the re-based
+#    B-frame query (its witness stream moved to a fixture store in
+#    r12, so the r12 row predates the final fixture plumbing).
+# 2. _WINDOW_RESEAT: the 7 remaining r5 rows (the stalest anywhere in
+#    the registry) then the stalest r6 rows, rotate_window.py
+#    ordering. After this window ZERO queries are never-contacted and
+#    no latest row predates r6 — the first zero-evidence-debt round.
 _WINDOW_FIRST = (
-    "multimodal_mp1_decode",
-    "multimodal_mpeg1_pframe_decode",
+    "multimodal_mpeg2_decode",
+    "multimodal_mpeg2_ps_roundtrip",
     "multimodal_mpeg1_bframe_decode",
-    "multimodal_mpeg1_in_containers",
-    "multimodal_mpeg_ps_roundtrip",
-    "multimodal_avi_av_extract",
-    "multimodal_mkv_av_extract",
-    "multimodal_mp4_audio_extract",
-    "multimodal_subtitle_normalize",
 )
 _WINDOW_RESEAT = (
-    "agg_countif_family", "agg_grouping_id_sets",
-    "agg_hll_portable_registers", "agg_trimmed_mean",
-    "agg_weighted_median", "ann_ivf_delete_probe",
-    "ann_ivf_range_query", "ann_range_query", "chunk_tokens_window",
-    "curation_gopher_rules", "curation_importance_weights",
-    "dedup_bloom_incremental", "dedup_url_normalize",
-    "dq_freshness_by_type", "embedding_dim_stats",
-    "embedding_matryoshka_topk", "events_funnel_time_bound",
-    "events_interval_coverage", "events_markov_transitions",
-    "events_resample_interpolate", "events_threshold_debounce",
-    "graph_bfs_hops", "graph_label_propagation",
-    "ingest_incremental_embed", "join_asof_nearest",
-    "join_bucketed_noshuffle", "mllib_ann_neighbors", "mllib_ivf_ann",
-    "mllib_minhash_dedup", "mllib_similarity_join",
-    "mllib_tfidf_pipeline", "multimodal_audio_framing",
-    "multimodal_video_scene_cuts", "pivot_priority_multi_agg",
-    "sample_train_val_test_split", "sample_weighted_reservoir",
-    "scalar_bitwise_ops", "scalar_hash_digests", "scalar_printf_format",
-    "scalar_url_functions", "scan_partitioned_pruned",
+    "search_phrase_adjacent", "text_bpe_pair_counts",
+    "text_char_entropy", "text_word_trigrams",
+    "window_percent_change_wow", "window_rolling_median",
+    "window_running_distinct", "agg_benford_first_digit",
+    "agg_mad_robust", "ann_ivf_nprobe_recall_curve",
+    "curation_sample_quality_band", "curation_topic_balance",
+    "dedup_substring_span_scrub", "events_ab_test_lift",
+    "events_cep_pattern", "events_ewma_daily",
+    "events_interarrival_stats", "events_seasonality_profile",
+    "events_token_bucket", "graph_common_neighbors", "graph_k_core",
+    "graph_weighted_sssp", "join_dpp_partitioned_fact",
+    "join_interval_overlap_pairs", "join_null_aware_anti",
+    "join_scd2_temporal", "maintenance_compact_roundtrip",
+    "maintenance_vacuum_retention", "matview_incremental_rollup",
+    "matview_rollup_time_travel", "multimodal_audio_vad_trim",
+    "multimodal_audio_wav_roundtrip", "multimodal_dhash_image_dedup",
+    "multimodal_gif_roundtrip", "multimodal_pixel_histogram",
+    "multimodal_pixel_roundtrip", "multimodal_resize_pixels",
+    "pipeline_image_curation", "sample_poisson_bootstrap",
+    "scalar_uuid_surrogate", "scan_csv_malformed_tolerant",
+    "scan_jsonl_gzip", "scan_orc_roundtrip",
+    "scan_schema_evolution_log", "scan_text_roundtrip",
+    "sql_pipe_interface", "text_kneser_ney_bigram"
 )
 # Suite order for the rest of the unverified front (round-5 additions):
 # cheap scalar/relational families first, expensive similarity last.
@@ -299,15 +302,11 @@ _SUITE_WINDOW_ORDER = (
 )
 
 # Unverified queries DEFERRED past this round's window on purpose:
-# the r12 window is exactly the 9 never-contacted r11 queries + 41
-# stalest r5 reseats (the VERDICT r11 item-1 rotation); every query
-# added later in round 12 queues here for the r13 window.
+# every query added during round 13 queues here for the r14 window
+# (each parity-proven at sf0.001/0.01/0.1 before registration).
 _WINDOW_DEFER = frozenset(
     {
-        # r12 additions queue here as they land (each parity-proven
-        # at sf0.001/0.01/0.1 before registration).
-        "multimodal_mpeg2_decode",
-        "multimodal_mpeg2_ps_roundtrip",
+        # (empty at round-13 open)
     }
 )
 

@@ -49,6 +49,45 @@ def latest_contact() -> dict[str, int]:
     return latest
 
 
+def compute_window(pins: tuple[str, ...] = ()) -> list[str]:
+    """THE seating policy, as code (VERDICT r12 item 7).
+
+    The 50-seat driver window is, in order:
+
+    1. ``pins`` — explicit priority seats for queries the round just
+       touched (new queries, or queries whose fixtures/operators were
+       re-based since their last driver contact). Every query that has
+       NEVER been driver-contacted MUST appear here; pins beyond that
+       are allowed (e.g. a re-contact of a re-based query).
+    2. the stalest driver-contacted queries, ordered by
+       ``(latest_contact_round, name)``, filling the remaining seats.
+
+    ``tests/test_window_policy.py`` asserts the registry's actual
+    window (the first 50 names of ``load_all()``) equals this
+    function's output for the registry's own ``_WINDOW_FIRST`` pins —
+    so a future round cannot silently regress to re-rotation or skip
+    a never-contacted query.
+    """
+    from articulation_vector_db_api_spark import registry
+
+    registry.REGISTRY.clear()
+    order = list(registry.load_all())
+    contact = latest_contact()
+
+    never = [n for n in order if n not in contact]
+    missing = [n for n in never if n not in pins]
+    if missing:
+        raise ValueError(
+            f"never-driver-contacted queries missing from pins: {missing}"
+        )
+    pinned = list(pins)
+    stale = sorted(
+        (n for n in order if n in contact and n not in pins),
+        key=lambda n: (contact[n], n),
+    )
+    return pinned + stale[: max(0, WINDOW_SEATS - len(pinned))]
+
+
 def main() -> int:
     path = sys.argv[1] if len(sys.argv) > 1 else None
     good: set[str] = set()

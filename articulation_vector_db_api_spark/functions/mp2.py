@@ -538,18 +538,8 @@ def decode_mp2(b: bytes) -> tuple[int, int, np.ndarray]:
             f"sample decode for MPEG-{first['version']} "
             f"Layer {first['layer']}"
         )
-    hdr = int.from_bytes(b[:4], "big")
-    mode = (hdr >> 6) & 0x03
     channels = first["channels"]
     rate = first["rate"]
-    table = _select_table(rate, first["bitrate"] // 1000, channels)
-    tab, bits = _B2_TABLES[table], _B2_BITS[table]
-    sblimit = len(tab)
-    # joint (intensity) stereo, §2.4.3.3: subbands >= bound carry ONE
-    # allocation and ONE set of sample codes, reconstructed per
-    # channel through that channel's own scalefactors
-    bound = min(4 * (((hdr >> 4) & 0x3) + 1), sblimit) \
-        if mode == 1 else sblimit
 
     sub_all: list[np.ndarray] = []
     i = 0
@@ -557,8 +547,27 @@ def decode_mp2(b: bytes) -> tuple[int, int, np.ndarray]:
         f = _parse_header(b, i)
         if (f["version"], f["layer"], f["rate"]) != ("1", 2, rate):
             raise ValueError("MP2 frame parameters change mid-stream")
+        if f["channels"] != channels:
+            raise ValueError("MP2 channel count changes mid-stream")
         if i + f["length"] > len(b):
             raise ValueError("truncated MP2 frame")
+        # The B.2 allocation table and the intensity bound are FRAME
+        # properties (§2.4.2.3): a legal VBR stream may cross a table
+        # selection boundary (e.g. 44.1 kHz 192 -> 64 kbps flips B.2b
+        # sblimit 30 -> B.2c sblimit 8) or toggle joint stereo
+        # mid-stream — re-derive both from THIS frame's header (r12
+        # ADVICE; selecting once from the first frame silently
+        # misread allocation bits).
+        hdr_f = int.from_bytes(b[i : i + 4], "big")
+        mode_f = (hdr_f >> 6) & 0x03
+        table = _select_table(rate, f["bitrate"] // 1000, channels)
+        tab, bits = _B2_TABLES[table], _B2_BITS[table]
+        sblimit = len(tab)
+        # joint (intensity) stereo, §2.4.3.3: subbands >= bound carry
+        # ONE allocation and ONE set of sample codes, reconstructed
+        # per channel through that channel's own scalefactors
+        bound = min(4 * (((hdr_f >> 4) & 0x3) + 1), sblimit) \
+            if mode_f == 1 else sblimit
         payload = b[i + 4 + f["crc"] : i + f["length"]]
         r = _BitReader(payload)
         alloc = np.zeros((channels, sblimit), dtype=np.int64)
@@ -813,11 +822,8 @@ def decode_mp1(b: bytes) -> tuple[int, int, np.ndarray]:
             f"Layer I sample decode for MPEG-{first['version']} "
             f"Layer {first['layer']}"
         )
-    hdr = int.from_bytes(b[:4], "big")
-    mode = (hdr >> 6) & 0x03
     channels = first["channels"]
     rate = first["rate"]
-    bound = 4 * (((hdr >> 4) & 0x3) + 1) if mode == 1 else _BANDS
 
     sub_all: list[np.ndarray] = []
     i = 0
@@ -825,8 +831,16 @@ def decode_mp1(b: bytes) -> tuple[int, int, np.ndarray]:
         f = _parse_header(b, i)
         if (f["version"], f["layer"], f["rate"]) != ("1", 1, rate):
             raise ValueError("MP1 frame parameters change mid-stream")
+        if f["channels"] != channels:
+            raise ValueError("MP1 channel count changes mid-stream")
         if i + f["length"] > len(b):
             raise ValueError("truncated MP1 frame")
+        # the intensity bound is a FRAME property — a joint<->stereo
+        # mode switch mid-stream is legal (r12 ADVICE; Layer I has no
+        # bitrate-dependent allocation table to re-select)
+        hdr_f = int.from_bytes(b[i : i + 4], "big")
+        mode_f = (hdr_f >> 6) & 0x03
+        bound = 4 * (((hdr_f >> 4) & 0x3) + 1) if mode_f == 1 else _BANDS
         payload = b[i + 4 + f["crc"] : i + f["length"]]
         r = _BitReader(payload)
         alloc = np.zeros((channels, _BANDS), dtype=np.int64)

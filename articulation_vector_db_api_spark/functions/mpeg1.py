@@ -1457,6 +1457,17 @@ def _decode_slice(
                         "MPEG-1 B slice skips before any inter macroblock"
                     )
                 use_f, vf, use_b, vb = last_inter
+                # H.262 §7.6.6: a skipped macroblock in a B FRAME
+                # picture predicts frame-based from PMV[0] even when
+                # the previous macroblock used field prediction (the
+                # PMVs hold the doubled, frame-coordinate verticals).
+                # Replaying the field spec verbatim would re-apply
+                # motion_vertical_field_select — silently wrong pixels
+                # on conforming third-party fpfd=0 streams.
+                if vf and vf[0] == "field":
+                    vf = (pred_f[0], pred_f[1])
+                if vb and vb[0] == "field":
+                    vb = (pred_b[0], pred_b[1])
                 for k in range(1, inc):
                     a2 = addr + k
                     mbr2, mbc2 = divmod(a2, mbw)

@@ -955,7 +955,33 @@ def decode_m2v(b: bytes) -> tuple[dict, list[np.ndarray]]:
         pos = nxt
         if code == 0xB7:
             break
-        if code in (0xB3, 0xB8, 0xB2):  # repeat header / GOP / user
+        if code == 0xB3:
+            # Repeated sequence header (§6.3.3): quantizer matrices
+            # RESET to the defaults here and either load flag may
+            # download new ones — a legal mechanism for changing
+            # matrices mid-stream. Skipping it unparsed (pre-r13) left
+            # stale matrices in force: silently wrong pixels on
+            # conforming third-party streams (r12 ADVICE).
+            hr = _BitReader(data[pos:])
+            if hr.read(12) != w_px or hr.read(12) != h:
+                raise ValueError("MPEG-2 frame size changes mid-stream")
+            hr.read(4)   # aspect_ratio_information
+            hr.read(4)   # frame_rate_code
+            hr.read(18)  # bit_rate
+            if not hr.read(1):
+                raise ValueError(
+                    "MPEG-2 sequence header marker bit missing"
+                )
+            hr.read(10)  # vbv_buffer_size
+            hr.read(1)   # constrained_parameters_flag
+            wq = _WQ_ZZ
+            wq_ni = _WQ_NI_FLAT
+            if hr.read(1):
+                wq = _read_quant_matrix(hr, intra=True)
+            if hr.read(1):
+                wq_ni = _read_quant_matrix(hr, intra=False)
+            continue
+        if code in (0xB8, 0xB2):  # GOP / user data
             continue
         if code == 0xB5:  # non-picture extension at sequence level
             xid = data[pos] >> 4

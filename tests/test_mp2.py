@@ -362,3 +362,76 @@ def test_cbr_padding_framing_at_44100():
         r, _c, pcm = dec(es)
         assert r == 44100
         assert _snr(x, pcm[0][: len(x)]) > 30.0
+
+
+def test_mp2_vbr_table_boundary_redetects_per_frame():
+    """The B.2 allocation table is a FRAME property (§2.4.2.3): a VBR
+    stream crossing a selection boundary (32 kHz stereo 192 kbps =
+    B.2b -> 64 kbps = B.2d) must re-derive the table per frame — the
+    r12 ADVICE finding (one-shot selection from the first frame
+    silently misreads the second frame's allocation bits). The
+    decoder is causal, so the first frame's samples must be
+    BIT-IDENTICAL to decoding frame 1 alone."""
+    rate = 32000
+    x = np.stack([_tone(mp2.FRAME_SAMPLES, rate),
+                  _tone(mp2.FRAME_SAMPLES, rate, f1=600.0)])
+    hi = mp2.encode_mp2(x, rate, bitrate_kbps=192)
+    lo = mp2.encode_mp2(x, rate, bitrate_kbps=64)
+    r, ch, pcm_both = mp2.decode_mp2(hi + lo)
+    assert (r, ch) == (rate, 2)
+    _, _, pcm_hi = mp2.decode_mp2(hi)
+    n = pcm_hi.shape[1]
+    assert np.array_equal(pcm_both[:, : n - mp2._TAPS],
+                          pcm_hi[:, : n - mp2._TAPS])
+    # and the low-rate frame decodes as audio, not garbage: its
+    # samples stay bounded and carry the tone's energy
+    assert np.max(np.abs(pcm_both)) < 2.0
+    seg = pcm_both[:, mp2.FRAME_SAMPLES:]
+    assert _snr(x[:, : seg.shape[1]], seg[:, : x.shape[1]]) > -20
+
+
+def test_mp2_mode_switch_joint_redetects_bound():
+    """joint<->plain stereo mid-stream is legal; the intensity bound
+    must come from each frame's own mode/mode_extension bits."""
+    rate = 48000
+    x = np.stack([_tone(mp2.FRAME_SAMPLES, rate),
+                  0.8 * _tone(mp2.FRAME_SAMPLES, rate)])
+    plain = mp2.encode_mp2(x, rate, bitrate_kbps=192)
+    joint = mp2.encode_mp2(x, rate, bitrate_kbps=192, joint_ext=1)
+    assert plain[:4] != joint[:4]  # modes really differ
+    r, ch, pcm = mp2.decode_mp2(plain + joint)
+    assert (r, ch) == (rate, 2)
+    _, _, pcm_plain = mp2.decode_mp2(plain)
+    n = pcm_plain.shape[1]
+    assert np.array_equal(pcm[:, : n - mp2._TAPS],
+                          pcm_plain[:, : n - mp2._TAPS])
+    assert np.max(np.abs(pcm)) < 2.0
+
+
+def test_mp2_channel_count_switch_raises():
+    rate = 48000
+    st = mp2.encode_mp2(np.stack([_tone(mp2.FRAME_SAMPLES, rate)] * 2),
+                        rate, bitrate_kbps=192)
+    mono = mp2.encode_mp2(_tone(mp2.FRAME_SAMPLES, rate), rate,
+                          bitrate_kbps=192)
+    with pytest.raises(ValueError, match="channel count"):
+        mp2.decode_mp2(st + mono)
+
+
+def test_mp1_mode_switch_joint_redetects_bound():
+    rate = 48000
+    x = np.stack([_tone(mp2.FRAME_SAMPLES_L1, rate),
+                  0.7 * _tone(mp2.FRAME_SAMPLES_L1, rate)])
+    plain = mp2.encode_mp1(x, rate, bitrate_kbps=192)
+    joint = mp2.encode_mp1(x, rate, bitrate_kbps=192, joint_ext=1)
+    assert plain[:4] != joint[:4]
+    r, ch, pcm = mp2.decode_mp1(plain + joint)
+    assert (r, ch) == (rate, 2)
+    _, _, pcm_plain = mp2.decode_mp1(plain)
+    n = pcm_plain.shape[1]
+    assert np.array_equal(pcm[:, : n - mp2._TAPS],
+                          pcm_plain[:, : n - mp2._TAPS])
+    st_mono = mp2.encode_mp1(_tone(mp2.FRAME_SAMPLES_L1, rate), rate,
+                             bitrate_kbps=192)
+    with pytest.raises(ValueError, match="channel count"):
+        mp2.decode_mp1(plain + st_mono)

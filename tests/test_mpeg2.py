@@ -649,3 +649,146 @@ def test_custom_matrices_header_and_extension():
     qext_c = b"\x00\x00\x01\xb5" + w.bytes()
     with pytest.raises(NotImplementedError, match="chroma quantizer"):
         decode_m2v(base[:second_pic] + qext_c + base[second_pic:])
+
+
+def test_b_skip_after_field_prediction_is_frame_based():
+    """H.262 §7.6.6: a skipped macroblock in a B FRAME picture
+    predicts FRAME-based from the PMVs even when the previous
+    macroblock used field prediction. Replaying the field spec
+    (motion_vertical_field_select included) decodes silently wrong
+    pixels on conforming third-party fpfd=0 streams — the r12 ADVICE
+    finding. Hand-built slice: field-predicted forward B macroblock
+    (sel=1 both fields, zero vectors), one skipped macroblock, then a
+    frame-predicted zero-vector macroblock."""
+    from articulation_vector_db_api_spark.functions.mpeg1 import (
+        _BitWriter,
+        _decode_slice,
+    )
+    from articulation_vector_db_api_spark.functions.mpeg2 import _M2Hooks
+
+    h, wpx, mbw = 16, 48, 3
+    y = np.zeros((h, wpx), dtype=np.int64)
+    y[0::2, :] = 100  # top field
+    y[1::2, :] = 200  # bottom field
+    cb = np.zeros((h // 2, wpx // 2), dtype=np.int64)
+    cb[0::2, :] = 60
+    cb[1::2, :] = 90
+    cr = cb + 5
+    fwd = (y, cb, cr)
+    bwd = tuple(np.zeros_like(p) for p in fwd)
+
+    w = _BitWriter()
+    w.write(4, 5)         # quantiser_scale_code
+    w.write(0, 1)         # extra_bit_slice
+    # MB0: forward-only, not coded (Table B.4 '0010'), field motion
+    w.write_code("1")     # macroblock_address_increment 1
+    w.write_code("0010")
+    w.write(1, 2)         # frame_motion_type = 1 (field-based)
+    for _ in range(2):    # top-field set, bottom-field set
+        w.write(1, 1)     # motion_vertical_field_select = bottom
+        w.write_code("1")  # dx = 0
+        w.write_code("1")  # dy = 0
+    # MB2 (skipping MB1): forward-only, not coded, frame motion, 0 mv
+    w.write_code("011")   # increment 2
+    w.write_code("0010")
+    w.write(2, 2)         # frame_motion_type = 2 (frame-based)
+    w.write_code("1")     # dx = 0
+    w.write_code("1")     # dy = 0
+
+    planes = tuple(np.zeros_like(p) for p in fwd)
+    hooks = _M2Hooks(q_scale_type=0, dc_precision=8, fpfd=0)
+    _decode_slice(
+        w.bytes(), 0, planes, fwd, bwd, mbw, 1, 3,
+        (1, 1), 0, (1, 1), 0, hooks,
+    )
+    # MB0 really took the field path: both dest fields = bottom field
+    assert (planes[0][:, :16] == 200).all()
+    # Skipped MB1: frame-based from PMV (0,0) — an exact co-located
+    # copy, NOT the all-bottom-field replay of MB0's spec
+    assert (planes[0][:, 16:32] == y[:, 16:32]).all()
+    assert (planes[1][:, 8:16] == cb[:, 8:16]).all()
+    assert (planes[2][:, 8:16] == cr[:, 8:16]).all()
+    # MB2 decodes normally
+    assert (planes[0][:, 32:] == y[:, 32:]).all()
+
+
+def test_b_skip_after_field_prediction_uses_pmv_vectors():
+    """The skipped macroblock's frame vector comes from the PMVs the
+    field decode left behind — horizontal as-is, vertical DOUBLED
+    from field coordinates (§7.6.3.1). Field sets move (+1, +1) in
+    field coords, so the skip must predict with frame vector
+    (1, 2)."""
+    from articulation_vector_db_api_spark.functions.mpeg1 import (
+        _BitWriter,
+        _decode_slice,
+        _inter_pred,
+    )
+    from articulation_vector_db_api_spark.functions.mpeg2 import _M2Hooks
+
+    rng = np.random.RandomState(7)
+    h, wpx, mbw = 32, 64, 4
+    y = rng.randint(0, 256, size=(h, wpx)).astype(np.int64)
+    cb = rng.randint(0, 256, size=(h // 2, wpx // 2)).astype(np.int64)
+    cr = rng.randint(0, 256, size=(h // 2, wpx // 2)).astype(np.int64)
+    fwd = (y, cb, cr)
+    bwd = tuple(np.zeros_like(p) for p in fwd)
+
+    w = _BitWriter()
+    w.write(4, 5)
+    w.write(0, 1)
+    w.write_code("1")     # MB0
+    w.write_code("0010")  # forward, not coded
+    w.write(1, 2)         # field-based
+    for _ in range(2):
+        w.write(0, 1)       # select top field
+        w.write_code("01")  # dx magnitude 1
+        w.write(0, 1)       # positive
+        w.write_code("01")  # dy magnitude 1 (field coordinates)
+        w.write(0, 1)
+    w.write_code("011")   # skip MB1, code MB2
+    w.write_code("0010")
+    w.write(2, 2)
+    # frame deltas that RETURN the vector to (1, 2) = the PMV value,
+    # i.e. zero deltas — pins that the skip used PMV, not (0, 0)
+    w.write_code("1")
+    w.write_code("1")
+
+    planes = tuple(np.zeros_like(p) for p in fwd)
+    hooks = _M2Hooks(q_scale_type=0, dc_precision=8, fpfd=0)
+    _decode_slice(
+        w.bytes(), 0, planes, fwd, bwd, mbw, 2, 3,
+        (1, 1), 0, (1, 1), 0, hooks,
+    )
+    want = _inter_pred(fwd, None, 0, 1, True, (1, 2), False, (0, 0), 0, 0)
+    assert (planes[0][:16, 16:32] == want[0]).all()
+    assert (planes[1][:8, 8:16] == want[1]).all()
+    assert (planes[2][:8, 8:16] == want[2]).all()
+
+
+def test_repeated_sequence_header_rebinds_quant_matrices():
+    """§6.3.3: a repeated sequence header RESETS the quantizer
+    matrices to defaults and may download new ones — splicing two
+    independently-encoded streams (custom-matrix first, default
+    second, and the reverse) must decode each picture with ITS OWN
+    header's matrices, bit-identically to the standalone decodes
+    (r12 ADVICE: the repeated header was skipped unparsed)."""
+    f = _frame(0)
+    steep = np.full((8, 8), 64, dtype=np.int64)
+    steep[0, 0] = 8
+    a_custom = encode_m2v([f], qscale_code=2, intra_matrix=steep)
+    b_default = encode_m2v([_frame(1)], qscale_code=2)
+    end = b"\x00\x00\x01\xb7"
+    assert a_custom.endswith(end) and b_default.endswith(end)
+
+    for first, second in ((a_custom, b_default), (b_default, a_custom)):
+        spliced = first[: -len(end)] + second
+        meta, dec = decode_m2v(spliced)
+        assert meta["n_frames"] == 2
+        _, alone_first = decode_m2v(first)
+        _, alone_second = decode_m2v(second)
+        assert np.array_equal(dec[0], alone_first[0])
+        assert np.array_equal(dec[1], alone_second[0])
+    # the matrices really differ: cross-decode would not match
+    _, a_dec = decode_m2v(a_custom)
+    _, b_dec = decode_m2v(b_default)
+    assert not np.array_equal(a_dec[0], b_dec[0])

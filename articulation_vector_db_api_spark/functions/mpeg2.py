@@ -43,7 +43,7 @@ loop carries both through the hook seam; the witness encoder elects
 frame vs field MC per macroblock by SAD, so interlaced scenes
 exercise the path end to end). Honest gates (raise, not fake): field
 PICTURES (picture_structure != frame), dual-prime prediction,
-alternate_scan, repeat_first_field, the alternate intra VLC
+alternate_scan, the alternate intra VLC
 (intra_vlc_format = 1, Table B-15), chroma 4:2:2/4:4:4 (including
 separate chroma matrices), concealment motion vectors, and every
 scalability extension. Custom LUMA quantizer matrices load from the
@@ -127,8 +127,32 @@ _WQ_ZZ = INTRA_QUANT.reshape(64)[ZIGZAG]
 _EXT_SEQUENCE = 0x1
 _EXT_SEQ_DISPLAY = 0x2
 _EXT_QUANT_MATRIX = 0x3
+_EXT_COPYRIGHT = 0x4
+_EXT_SEQ_SCALABLE = 0x5
 _EXT_PIC_CODING = 0x8
 _EXT_PIC_DISPLAY = 0x7
+_EXT_PIC_SPATIAL_SCALABLE = 0x9
+_EXT_PIC_TEMPORAL_SCALABLE = 0xA
+_EXT_CAMERA_PARAMS = 0xB
+_EXT_ITU_T = 0xC
+# §6.2 tolerance policy (r13 audit): every extension id a legal
+# stream can carry either DECODES (sequence, quant matrix, picture
+# coding), SKIPS (pure display/info metadata), or raises a NAMED
+# NotImplementedError (scalability — it changes reconstruction).
+# Reserved ids raise ValueError: the stream is non-conforming.
+_EXT_SKIPPABLE = frozenset({
+    _EXT_SEQUENCE,       # repeated sequence header's extension
+    _EXT_SEQ_DISPLAY,    # chromaticity/display size — §6.3.6
+    _EXT_COPYRIGHT,      # copyright identifiers — §6.3.13
+    _EXT_PIC_DISPLAY,    # pan-scan offsets — §6.3.12
+    _EXT_CAMERA_PARAMS,  # camera metadata
+    _EXT_ITU_T,          # ITU-T reserved-content extension
+})
+_EXT_SCALABLE = frozenset({
+    _EXT_SEQ_SCALABLE,
+    _EXT_PIC_SPATIAL_SCALABLE,
+    _EXT_PIC_TEMPORAL_SCALABLE,
+})
 
 
 def _map_qscale(code: int, q_scale_type: int) -> int:
@@ -666,6 +690,11 @@ def encode_m2v(
     h, w_px, _ = frames[0].shape
     if h % 16 or w_px % 16:
         raise ValueError("MPEG-2 witness frames must be multiples of 16")
+    if h > 2800:
+        raise NotImplementedError(
+            "MPEG-2 pictures taller than 2800 lines "
+            "(slice_vertical_position_extension)"
+        )
     if not 1 <= qscale_code <= 31:
         raise ValueError("quantiser_scale_code must be 1..31")
     if fps_code not in _PICTURE_RATES:
@@ -856,10 +885,12 @@ def _parse_picture_coding_ext(r: _BitReader) -> dict:
         )
     if r.read(1):
         raise NotImplementedError("MPEG-2 alternate scan")
-    if r.read(1):
-        raise NotImplementedError(
-            "MPEG-2 repeat_first_field (interlaced timing)"
-        )
+    # repeat_first_field is DISPLAY timing only (3:2 pulldown on
+    # film-rate DVDs — §6.3.10): pixel reconstruction is unaffected,
+    # so decode proceeds and the count surfaces in the stream meta
+    # (r13 self-review: the pre-r13 gate rejected a huge class of
+    # perfectly decodable real streams)
+    out["rff"] = r.read(1)
     r.read(1)  # chroma_420_type
     out["progressive_frame"] = r.read(1)
     if r.read(1):  # composite_display_flag
@@ -915,6 +946,15 @@ def decode_m2v(b: bytes) -> tuple[dict, list[np.ndarray]]:
         wq_ni = _read_quant_matrix(r, intra=False)
     if not w_px or not h:
         raise ValueError("MPEG-2 zero frame dimensions")
+    if h > 2800:
+        # §6.3.16: pictures taller than 2800 lines carry a 3-bit
+        # slice_vertical_position_extension before the quantiser
+        # scale — unparsed here, and slice start codes alone cannot
+        # address rows past 0xAF (r13 self-review)
+        raise NotImplementedError(
+            "MPEG-2 pictures taller than 2800 lines "
+            "(slice_vertical_position_extension)"
+        )
     code, pos = _next_start_code(data, pos)
     if code != 0xB5:
         raise ValueError(
@@ -947,7 +987,7 @@ def decode_m2v(b: bytes) -> tuple[dict, list[np.ndarray]]:
         return _ycbcr_to_rgb(ycc)[:h, :w_px]
 
     frames: list[np.ndarray] = []
-    n_i = n_p = n_b = 0
+    n_i = n_p = n_b = n_rff = 0
     dc_precision_seen = 8
     fwd_anchor = held = None
     while True:
@@ -992,13 +1032,13 @@ def decode_m2v(b: bytes) -> tuple[dict, list[np.ndarray]]:
                 wq = new_wq if new_wq is not None else wq
                 wq_ni = new_wq_ni if new_wq_ni is not None else wq_ni
                 continue
-            if xid not in (
-                _EXT_SEQUENCE,  # repeated sequence header's extension
-                _EXT_SEQ_DISPLAY,
-                _EXT_PIC_DISPLAY,
-            ):
+            if xid in _EXT_SCALABLE:
                 raise NotImplementedError(
-                    f"MPEG-2 extension id {xid} (scalability)"
+                    f"MPEG-2 scalability extension id {xid}"
+                )
+            if xid not in _EXT_SKIPPABLE:
+                raise ValueError(
+                    f"reserved MPEG-2 extension id {xid}"
                 )
             continue
         if code != 0x00:
@@ -1021,6 +1061,7 @@ def decode_m2v(b: bytes) -> tuple[dict, list[np.ndarray]]:
         xr.read(4)
         ext = _parse_picture_coding_ext(xr)
         dc_precision_seen = ext["dc_precision"]
+        n_rff += ext["rff"]
         hooks = _M2Hooks(
             ext["q_scale_type"], ext["dc_precision"], ext["fpfd"],
             wq, wq_ni,
@@ -1065,7 +1106,8 @@ def decode_m2v(b: bytes) -> tuple[dict, list[np.ndarray]]:
                 # extensions change reconstruction from THIS picture
                 # on — load them and rebind the picture's hooks;
                 # display/copyright extensions skip
-                if data[spos] >> 4 == _EXT_QUANT_MATRIX:
+                xid = data[spos] >> 4
+                if xid == _EXT_QUANT_MATRIX:
                     qr = _BitReader(data[spos:])
                     qr.read(4)
                     new_wq, new_wq_ni = _parse_quant_matrix_ext(qr)
@@ -1074,6 +1116,17 @@ def decode_m2v(b: bytes) -> tuple[dict, list[np.ndarray]]:
                     hooks = _M2Hooks(
                         ext["q_scale_type"], ext["dc_precision"],
                         ext["fpfd"], wq, wq_ni,
+                    )
+                elif xid in _EXT_SCALABLE:
+                    # spatial/temporal scalable extensions CHANGE the
+                    # picture's reconstruction — silently skipping
+                    # them (pre-r13) decoded wrong pixels
+                    raise NotImplementedError(
+                        f"MPEG-2 scalability extension id {xid}"
+                    )
+                elif xid not in _EXT_SKIPPABLE:
+                    raise ValueError(
+                        f"reserved MPEG-2 extension id {xid}"
                     )
                 pos = spos
                 continue
@@ -1123,6 +1176,7 @@ def decode_m2v(b: bytes) -> tuple[dict, list[np.ndarray]]:
             "progressive": int(progressive_seq),
             "chroma": "4:2:0",
             "dc_precision": dc_precision_seen,
+            "repeat_first_field": n_rff,
         },
         frames,
     )

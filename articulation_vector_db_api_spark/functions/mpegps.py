@@ -127,7 +127,10 @@ def build_mpeg_ps(
     pack_no = 0
     first = True
     while any(cursors[s] < len(streams[s]) for s in streams):
-        scr = pack_no * pts_step
+        # 13818-1/11172-1 timestamps are mod-2^33 COUNTERS: long
+        # content wraps at ~26.5 h (and at ~4.7 GB of ES with the
+        # default packet/step sizes) — wrap, don't crash (r13)
+        scr = (pack_no * pts_step) & ((1 << 33) - 1)
         out += _pack_header(scr, mux_rate)
         if first:
             out += _system_header(sorted(streams), mux_rate)
@@ -139,7 +142,7 @@ def build_mpeg_ps(
                 continue
             chunk = es[at : at + packet_size]
             cursors[sid] = at + len(chunk)
-            pts = _ts_bytes(0b0010, scr + pts_step)
+            pts = _ts_bytes(0b0010, (scr + pts_step) & ((1 << 33) - 1))
             payload_len = len(pts) + len(chunk)
             out += b"\x00\x00\x01" + bytes([sid])
             out += payload_len.to_bytes(2, "big")
@@ -212,7 +215,7 @@ def build_mpeg2_ps(
     pack_no = 0
     first = True
     while any(cursors[s] < len(streams[s]) for s in streams):
-        scr = pack_no * pts_step
+        scr = (pack_no * pts_step) & ((1 << 33) - 1)  # mod-2^33 counter
         out += _pack_header2(scr, 0, mux_rate)
         if first:
             out += _system_header(sorted(streams), mux_rate)
@@ -224,7 +227,9 @@ def build_mpeg2_ps(
                 continue
             chunk = es[at : at + packet_size]
             cursors[sid] = at + len(chunk)
-            out += _pes_packet2(sid, chunk, scr + pts_step)
+            out += _pes_packet2(
+                sid, chunk, (scr + pts_step) & ((1 << 33) - 1)
+            )
         pack_no += 1
     out += END_CODE
     return bytes(out)
@@ -367,6 +372,16 @@ def demux_mpeg_ps(
                         "MPEG-2 PES header beyond packet length"
                     )
                 pts = None
+                # §2.4.3.7: the optional fields live INSIDE
+                # PES_header_data_length — a PTS flagged but not
+                # covered by hdl would silently parse payload bytes
+                # as a timestamp (r13 self-review)
+                need = {0b10: 5, 0b11: 10}.get(flags2 >> 6, 0)
+                if p + need > hdr_end:
+                    raise ValueError(
+                        "MPEG-2 PES header_data_length too small "
+                        "for its PTS/DTS flags"
+                    )
                 if flags2 >> 6 == 0b10:
                     pts = _read_ts(data, p, 0b0010)
                 elif flags2 >> 6 == 0b11:

@@ -218,6 +218,29 @@ def _best_of(run, adaptive: bool = True) -> float:
     return round(best, 3)
 
 
+def _steady_best(run, max_runs: int = 8, tol: float = 0.03) -> float:
+    """Run to JIT steady state: keep sampling until the best stops
+    improving by >tol twice in a row (or max_runs). The r12 lesson:
+    a fresh JVM pays interpreter/C1 tiers on the first runs of a
+    sub-second query, so an isolated best-of-2 (0.967 s for
+    flagship_search) can measure SLOWER than the hot shared-session
+    number it was meant to sanity-check (0.581 s) and the flag
+    escalation can never clear a false positive. Steady-state
+    isolated numbers are comparable to hot shared-session priors —
+    the flag comparison becomes like-for-like."""
+    best = run()
+    stale = 0
+    for _ in range(max_runs - 1):
+        t = run()
+        if t < best * (1 - tol):
+            best, stale = t, 0
+        else:
+            stale += 1
+            if stale >= 2:
+                break
+    return round(best, 3)
+
+
 def _session(sf_dir: str):
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -232,7 +255,7 @@ def _isolated_main(name: str) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry = load_all()
     spark = _session(sf_dir)
-    sec = _best_of(_runner(spark, sf_dir, registry, name))
+    sec = _steady_best(_runner(spark, sf_dir, registry, name))
     print(json.dumps({"name": name, "sec": sec}))
 
 
@@ -461,6 +484,12 @@ def main() -> None:
             "ratio": round(cur_sec / prev_sec, 3) if prev_sec else None,
             "calibration_mult": round(cal_mult, 3),
             "regressed_30pct": flagged(),
+            "flag_basis": (
+                "flagged queries re-measured to JIT steady state in a "
+                "fresh JVM (_steady_best, convergent best-of-8) — "
+                "isolated numbers are comparable to hot shared-session "
+                "priors, so a surviving flag is a real regression"
+            ),
         }
 
     # concurrent-serving latency in a FAIR-scheduled subprocess (the

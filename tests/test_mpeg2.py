@@ -792,3 +792,73 @@ def test_repeated_sequence_header_rebinds_quant_matrices():
     _, a_dec = decode_m2v(a_custom)
     _, b_dec = decode_m2v(b_default)
     assert not np.array_equal(a_dec[0], b_dec[0])
+
+
+def test_extension_id_tolerance_matrix():
+    """§6.2 policy (r13 audit): every extension id either decodes,
+    skips (display/info metadata — decode identical to baseline), or
+    raises a NAMED gate (scalability changes reconstruction; reserved
+    ids mean a non-conforming stream). Injected at BOTH the sequence
+    level (before the first picture) and the picture level (between
+    the coding extension and the first slice)."""
+    es = encode_m2v([_frame(0)], qscale_code=2)
+    base_meta, base_dec = decode_m2v(es)
+
+    pic_at = es.find(b"\x00\x00\x01\x00")
+    slice_at = es.find(b"\x00\x00\x01\x01")
+    assert 0 < pic_at < slice_at
+
+    def inject(at, xid):
+        ext = b"\x00\x00\x01\xb5" + bytes([xid << 4, 0x55, 0x55])
+        return es[:at] + ext + es[at:]
+
+    for at in (pic_at, slice_at):
+        for xid in (0x2, 0x4, 0x7, 0xB, 0xC):  # skippable metadata
+            meta, dec = decode_m2v(inject(at, xid))
+            assert meta["n_frames"] == base_meta["n_frames"]
+            assert np.array_equal(dec[0], base_dec[0]), (at, xid)
+        for xid in (0x5, 0x9, 0xA):  # scalability: named gate
+            with pytest.raises(NotImplementedError, match="scalab"):
+                decode_m2v(inject(at, xid))
+        for xid in (0x0, 0x6, 0xD, 0xF):  # reserved: non-conforming
+            with pytest.raises(ValueError, match="reserved"):
+                decode_m2v(inject(at, xid))
+
+
+def test_tall_picture_gate():
+    """Pictures taller than 2800 lines need
+    slice_vertical_position_extension (§6.3.16) — an honest gate on
+    both sides, not wrong row addressing."""
+    es = bytearray(encode_m2v([_frame(0)], qscale_code=2))
+    # sequence header: width(12)=48, height(12)=32 -> patch h to 2816
+    assert es[4:7] == bytes([0x03, 0x00, 0x20])
+    es[4:7] = bytes([0x03, 0x0B, 0x00])
+    with pytest.raises(NotImplementedError, match="2800"):
+        decode_m2v(bytes(es))
+    with pytest.raises(NotImplementedError, match="2800"):
+        encode_m2v([np.zeros((2816, 16, 3), dtype=np.uint8)])
+
+
+def test_repeat_first_field_decodes_with_metadata():
+    """repeat_first_field is display-only 3:2 pulldown timing
+    (§6.3.10): decode must proceed with IDENTICAL pixels and surface
+    the flag count in meta (r13 self-review — the old gate rejected
+    film-rate DVD streams that decode exactly)."""
+    es = bytearray(encode_m2v([_frame(0)], qscale_code=2))
+    p = 0
+    while True:
+        p = bytes(es).find(b"\x00\x00\x01\xb5", p)
+        if es[p + 4] >> 4 == 0x8:
+            break
+        p += 4
+    # id(4)+f_codes(16)+prec(2)+struct(2)+tff(1)+fpfd(1)+cmv(1)
+    # +qst(1)+ivlc(1)+altscan(1) -> rff bit offset
+    off = (p + 4) * 8 + 4 + 16 + 2 + 2 + 1 + 1 + 1 + 1 + 1 + 1
+    i, j = divmod(off, 8)
+    patched = bytearray(es)
+    patched[i] |= 0x80 >> j
+    base_meta, base_dec = decode_m2v(bytes(es))
+    meta, dec = decode_m2v(bytes(patched))
+    assert base_meta["repeat_first_field"] == 0
+    assert meta["repeat_first_field"] == 1
+    assert np.array_equal(dec[0], base_dec[0])

@@ -217,3 +217,50 @@ def test_fuzz_mpeg2_ps_contract():
 
     ps = build_mpeg2_ps({VIDEO_STREAM_0: bytes(range(256)) * 6})
     _assert_contract("mpeg2-ps", ps, demux_mpeg_ps, n=80)
+
+
+def test_timestamp_wraparound_mod_2_33():
+    """13818-1/11172-1 timestamps are mod-2^33 counters (~26.5 h at
+    90 kHz). Long content must WRAP, not crash — pre-r13 the builders
+    raised once pack_no * pts_step crossed 2^33 (~4.7 GB of ES at the
+    defaults). A huge pts_step forces the wrap within 3 packs."""
+    from articulation_vector_db_api_spark.functions.mpegps import (
+        build_mpeg2_ps,
+        build_mpeg_ps,
+        demux_mpeg_ps,
+    )
+
+    step = (1 << 33) - 1800  # second pack's SCR wraps
+    es = bytes(range(256)) * 10  # 2560 bytes -> 3 packs at 1024
+    for build in (build_mpeg_ps, build_mpeg2_ps):
+        ps = build({0xE0: es}, packet_size=1024, pts_step=step)
+        meta = demux_mpeg_ps(ps)
+        assert meta["streams"][0xE0]["data"] == es
+        assert meta["n_packs"] == 3
+        # SCRs: 0, step (wrapped? no: step < 2^33), 2*step mod 2^33
+        assert meta["scr_last"] == (2 * step) & ((1 << 33) - 1)
+        pts = meta["streams"][0xE0]["pts"]
+        assert all(0 <= p < (1 << 33) for p in pts)
+        assert len(pts) == 3
+
+
+def test_pes_header_data_length_must_cover_pts():
+    """A PES packet whose flags claim a PTS but whose
+    PES_header_data_length is too small to hold one must raise, not
+    parse payload bytes as a timestamp."""
+    import pytest
+
+    from articulation_vector_db_api_spark.functions.mpegps import (
+        _pack_header2,
+        demux_mpeg_ps,
+    )
+
+    bad_pes = (
+        b"\x00\x00\x01\xe0"
+        + (3 + 4).to_bytes(2, "big")  # header(3) + 4 payload bytes
+        + bytes([0b10000000, 0b10000000, 0])  # PTS flagged, hdl = 0
+        + b"\x21\x00\x01\x00"  # payload that could fake a PTS prefix
+    )
+    ps = _pack_header2(0, 0, 3528) + bad_pes + b"\x00\x00\x01\xb9"
+    with pytest.raises(ValueError, match="header_data_length"):
+        demux_mpeg_ps(ps)

@@ -306,7 +306,8 @@ _SUITE_WINDOW_ORDER = (
 # (each parity-proven at sf0.001/0.01/0.1 before registration).
 _WINDOW_DEFER = frozenset(
     {
-        # (empty at round-13 open)
+        "multimodal_mpeg_ts_roundtrip",  # r13: parity-proven at
+        # sf0.001/0.01/0.1 before registration
     }
 )
 

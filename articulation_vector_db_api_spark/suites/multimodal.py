@@ -6198,3 +6198,145 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sha2(array_join(transform(r, x -> CAST(x AS STRING)), ','), 256)"
         ).alias("out_sha"),
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_mpeg_ts_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS program_number,
+           CAST(2 AS BIGINT) AS n_psi,
+           CAST(2 AS BIGINT) AS v_stream_type,
+           CAST(3 AS BIGINT) AS a_stream_type,
+           CAST(3 AS BIGINT) AS n_frames,
+           CAST(2 AS BIGINT) AS n_p,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 32000 END
+               AS BIGINT) AS audio_rate,
+           CAST(1 AS BIGINT) AS v_bit_exact,
+           CAST(1 AS BIGINT) AS a_bit_exact,
+           CAST(1 AS BIGINT) AS pts_monotone,
+           CAST(1 AS BIGINT) AS pcr_on_video,
+           CAST(1 AS BIGINT) AS av_decodes
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "video", "audio"),
+)
+def multimodal_mpeg_ts_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MPEG-2 TRANSPORT STREAM (.ts, ISO 13818-1 §2.4.3.2) ROUNDTRIP
+    — the broadcast-capture container (DVB/ATSC recordings, HLS
+    segments), r13's container addition alongside the r12 program
+    stream. Per doc: MPEG-2 IPP video + MP2 audio (the same per-doc
+    grid as multimodal_mpeg2_ps_roundtrip) muxed into a
+    single-program TS — PAT -> PMT (CRC-32/MPEG-2 verified on
+    demux), PES packets cut across 188-byte packets with
+    adaptation-field stuffing, PCR on the video PID, per-PID
+    continuity counters (a gap raises) — then demuxed, checked
+    BIT-EXACT, and fully decoded.
+
+    Oracle pins the program/PSI structure, the sniffed Table 2-29
+    stream types (0x02 MPEG-2 video / 0x03 MPEG-1 audio), frame/P
+    counts, the per-parity audio-rate grid, both bit-exact flags,
+    PTS monotonicity, PCR placement, and that both payloads decode.
+
+    Scale shape: Arrow-batched narrow map, zero shuffle of media
+    bytes, one stats row per doc."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("program_number", T.LongType()),
+            T.StructField("n_psi", T.LongType()),
+            T.StructField("v_stream_type", T.LongType()),
+            T.StructField("a_stream_type", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("n_p", T.LongType()),
+            T.StructField("audio_rate", T.LongType()),
+            T.StructField("v_bit_exact", T.LongType()),
+            T.StructField("a_bit_exact", T.LongType()),
+            T.StructField("pts_monotone", T.LongType()),
+            T.StructField("pcr_on_video", T.LongType()),
+            T.StructField("av_decodes", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.mp2 import decode_mp2, encode_mp2
+        from ..functions.mpeg2 import decode_m2v, encode_m2v
+        from ..functions.mpegts import (
+            AUDIO_STREAM_0,
+            VIDEO_STREAM_0,
+            build_mpeg_ts,
+            demux_mpeg_ts,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                qst = i % 2
+                frames = _mpeg1_pframe_frames(i)[:3]
+                ves = encode_m2v(
+                    frames, p_frames=True, q_scale_type=qst,
+                    qscale_code=(3, 4, 6)[i % 3] if qst == 0
+                    else (6, 8, 10)[i % 3],
+                    dc_precision=8 + i % 4,
+                )
+                rate = 44100 if i % 2 == 0 else 32000
+                kbps = 192 if i % 2 == 0 else 48
+                ts_ax = np.arange(1280) / rate
+                tone = 0.5 * np.sin(
+                    2 * np.pi * (200 + (i % 19) * 110) * ts_ax
+                )
+                aes = encode_mp2(tone, rate, kbps)
+                ts = build_mpeg_ts(
+                    {VIDEO_STREAM_0: ves, AUDIO_STREAM_0: aes},
+                    pes_chunk=512 + 128 * (i % 3),
+                )
+                meta = demux_mpeg_ts(ts)
+                v = meta["streams"][VIDEO_STREAM_0]
+                a = meta["streams"][AUDIO_STREAM_0]
+                vmeta, dec = decode_m2v(v["data"])
+                arate, _ch, pcm = decode_mp2(a["data"])
+                pts_mono = all(
+                    rec["pts"] == sorted(rec["pts"])
+                    and len(set(rec["pts"])) == len(rec["pts"])
+                    for rec in (v, a)
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        meta["program_number"],
+                        meta["n_psi"],
+                        v["stream_type"],
+                        a["stream_type"],
+                        vmeta["n_frames"],
+                        vmeta["n_p"],
+                        arate,
+                        int(v["data"] == ves),
+                        int(a["data"] == aes),
+                        int(pts_mono),
+                        int(
+                            meta["pcr_pid"] == v["pid"]
+                            and len(meta["pcr"]) == v["n_pes"]
+                        ),
+                        int(len(dec) == 3 and pcm.shape[1] > 0),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )

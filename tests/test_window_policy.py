@@ -26,7 +26,9 @@ from articulation_vector_db_api_spark import registry  # noqa: E402
 
 
 def test_registry_window_matches_policy():
-    expected = compute_window(pins=registry._WINDOW_FIRST)
+    expected = compute_window(
+        pins=registry._WINDOW_FIRST, defer=registry._WINDOW_DEFER
+    )
     actual = list(registry.load_all())[:WINDOW_SEATS]
     assert actual == expected
 

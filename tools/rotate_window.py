@@ -49,7 +49,9 @@ def latest_contact() -> dict[str, int]:
     return latest
 
 
-def compute_window(pins: tuple[str, ...] = ()) -> list[str]:
+def compute_window(
+    pins: tuple[str, ...] = (), defer: frozenset[str] = frozenset()
+) -> list[str]:
     """THE seating policy, as code (VERDICT r12 item 7).
 
     The 50-seat driver window is, in order:
@@ -57,8 +59,10 @@ def compute_window(pins: tuple[str, ...] = ()) -> list[str]:
     1. ``pins`` — explicit priority seats for queries the round just
        touched (new queries, or queries whose fixtures/operators were
        re-based since their last driver contact). Every query that has
-       NEVER been driver-contacted MUST appear here; pins beyond that
-       are allowed (e.g. a re-contact of a re-based query).
+       NEVER been driver-contacted MUST appear here OR in ``defer``
+       (the queue for queries registered AFTER this round's window was
+       seated — they take next round's priority seats); pins beyond
+       that are allowed (e.g. a re-contact of a re-based query).
     2. the stalest driver-contacted queries, ordered by
        ``(latest_contact_round, name)``, filling the remaining seats.
 
@@ -75,7 +79,7 @@ def compute_window(pins: tuple[str, ...] = ()) -> list[str]:
     contact = latest_contact()
 
     never = [n for n in order if n not in contact]
-    missing = [n for n in never if n not in pins]
+    missing = [n for n in never if n not in pins and n not in defer]
     if missing:
         raise ValueError(
             f"never-driver-contacted queries missing from pins: {missing}"

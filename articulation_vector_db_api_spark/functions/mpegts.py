@@ -246,7 +246,7 @@ def _parse_section(payload: bytes, expect_table: int) -> bytes:
 
 
 def demux_mpeg_ts(b: bytes, keep_payload: bool = True) -> dict:
-    """Demultiplex a single-program transport stream ->
+    """Demultiplex a transport stream (single- or multi-program\n    PAT; every PMT is followed, NIT entries skipped) ->
     {n_packets, n_psi, program_number, pcr_pid, pcr: [...],
     streams: {stream_id: {pid, stream_type, n_pes, n_bytes,
     pts: [...], data: bytes (when keep_payload)}}}.
@@ -258,7 +258,7 @@ def demux_mpeg_ts(b: bytes, keep_payload: bool = True) -> dict:
     data = bytes(b)
     if not data or len(data) % TS_PACKET:
         raise ValueError("MPEG-TS length is not a multiple of 188")
-    pmt_pid = None
+    pmt_pids: set[int] = set()
     program_number = None
     pcr_pid = None
     es_types: dict[int, int] = {}  # pid -> stream_type
@@ -357,18 +357,30 @@ def demux_mpeg_ts(b: bytes, keep_payload: bool = True) -> dict:
         if pid == PAT_PID:
             if pusi:
                 body = _parse_section(payload, 0x00)
-                if len(body) < 4:
+                # real captures carry MULTI-program PATs plus NIT
+                # entries (program_number 0) — walk every 4-byte row,
+                # skip the NIT, follow every PMT (r13; the first cut
+                # read only the first entry)
+                progs: dict[int, int] = {}
+                for p in range(0, len(body) - 3, 4):
+                    num = int.from_bytes(body[p : p + 2], "big")
+                    ppid = ((body[p + 2] & 0x1F) << 8) | body[p + 3]
+                    if num:
+                        progs[num] = ppid
+                if not progs:
                     raise ValueError("MPEG-TS PAT with no programs")
-                program_number = int.from_bytes(body[0:2], "big")
-                pmt_pid = ((body[2] & 0x1F) << 8) | body[3]
+                if program_number is None:
+                    program_number = min(progs)
+                pmt_pids.update(progs.values())
                 n_psi += 1
             continue
-        if pmt_pid is not None and pid == pmt_pid:
+        if pid in pmt_pids:
             if pusi:
                 body = _parse_section(payload, 0x02)
                 if len(body) < 4:
                     raise ValueError("MPEG-TS PMT truncated")
-                pcr_pid = ((body[0] & 0x1F) << 8) | body[1]
+                if pcr_pid is None:
+                    pcr_pid = ((body[0] & 0x1F) << 8) | body[1]
                 pil = ((body[2] & 0x0F) << 8) | body[3]
                 p = 4 + pil
                 while p + 5 <= len(body):

@@ -197,3 +197,65 @@ def test_fuzz_ts_contract():
         sa = meta["streams"].get(AUDIO_STREAM_0)
         assert sv is None or len(sv["data"]) <= len(v) + 512
         assert sa is None or len(sa["data"]) <= len(a) + 512
+
+
+def test_multi_program_pat_with_nit():
+    """Real captures carry multi-program PATs with an NIT row
+    (program_number 0). The demux must skip the NIT, walk every
+    entry, and follow each PMT — here program 1 and program 2 each
+    carry one elementary stream in separate PMTs."""
+    from articulation_vector_db_api_spark.functions.mpegps import (
+        _pes_packet2,
+    )
+    from articulation_vector_db_api_spark.functions.mpegts import (
+        _psi_packet,
+        _section,
+    )
+
+    def ts_payload_packets(pid, pes, cc0):
+        out, at, first, cc = [], 0, True, cc0
+        while at < len(pes):
+            take = min(len(pes) - at, 184)
+            need = 184 - take
+            if need == 1:
+                af = bytes([0])
+            elif need:
+                af = bytes([need - 1, 0x00]) + b"\xff" * (need - 2)
+            else:
+                af = b""
+            out.append(
+                bytes([
+                    0x47,
+                    (0x40 if first else 0) | (pid >> 8),
+                    pid & 0xFF,
+                    (0x30 if af else 0x10) | cc,
+                ]) + af + pes[at : at + take]
+            )
+            cc = (cc + 1) & 0xF
+            at += take
+            first = False
+        return out
+
+    v = bytes(range(200)) * 3
+    a = bytes(reversed(range(100))) * 2
+    pat_body = bytes([
+        0x00, 0x00, 0xE0, 0x10,        # NIT (program 0) -> PID 0x10
+        0x00, 0x01, 0xE0 | 0x10, 0x00,  # program 1 -> PMT 0x1000
+        0x00, 0x02, 0xE0 | 0x10, 0x01,  # program 2 -> PMT 0x1001
+    ])
+    pmt1 = bytes([0xE1, 0x00, 0xF0, 0x00, 0x01, 0xE1, 0x00, 0xF0, 0x00])
+    pmt2 = bytes([0xE2, 0x00, 0xF0, 0x00, 0x03, 0xE2, 0x00, 0xF0, 0x00])
+    pkts = [
+        _psi_packet(0x0000, _section(0x00, 1, pat_body), 0),
+        _psi_packet(0x1000, _section(0x02, 1, pmt1), 0),
+        _psi_packet(0x1001, _section(0x02, 2, pmt2), 0),
+    ]
+    pkts += ts_payload_packets(0x100, _pes_packet2(0xE0, v, 3600), 0)
+    pkts += ts_payload_packets(0x200, _pes_packet2(0xC0, a, 3600), 0)
+    meta = demux_mpeg_ts(b"".join(pkts))
+    assert meta["program_number"] == 1
+    assert meta["n_psi"] == 3
+    assert meta["streams"][0xE0]["data"] == v
+    assert meta["streams"][0xC0]["data"] == a
+    assert meta["streams"][0xE0]["stream_type"] == ST_MPEG1_VIDEO
+    assert meta["streams"][0xC0]["stream_type"] == ST_MPEG1_AUDIO

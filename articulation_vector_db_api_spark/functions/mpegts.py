@@ -238,7 +238,12 @@ def _parse_section(payload: bytes, expect_table: int) -> bytes:
     length = ((payload[at + 1] & 0x0F) << 8) | payload[at + 2]
     end = at + 3 + length
     if end > len(payload):
-        raise ValueError("MPEG-TS PSI section beyond packet")
+        # section_length may legally reach 1021 — sections spanning
+        # multiple TS packets (very wide PATs/PMTs) are an honest
+        # gate, not a parse error
+        raise NotImplementedError(
+            "MPEG-TS PSI section spanning multiple packets"
+        )
     section = payload[at:end]
     if crc32_mpeg(section[:-4]) != int.from_bytes(section[-4:], "big"):
         raise ValueError("MPEG-TS PSI CRC mismatch")

@@ -6340,3 +6340,132 @@ def multimodal_mpeg_ts_roundtrip(
         .mapInPandas(batches, schema)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_aiff_au_roundtrip",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               list_transform(range(32), j ->
+                   (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  2 * j + 2, 1)) - 1)
+               ) AS b
+        FROM documents
+    ),
+    smp AS (
+        SELECT doc_id,
+               list_transform(range(16), j ->
+                   b[2 * j + 1] + 256 * b[2 * j + 2]
+                   - CASE WHEN b[2 * j + 2] >= 128 THEN 65536 ELSE 0 END
+               ) AS s
+        FROM px
+    )
+    SELECT doc_id,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 24
+                ELSE 32 END AS BIGINT) AS aiff_bits,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 4
+                ELSE 5 END AS BIGINT) AS au_encoding,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 11025 WHEN 1 THEN 16000
+                WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS rate,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END
+               AS BIGINT) AS channels,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END
+               AS BIGINT) AS n_frames,
+           CAST(list_sum(s) AS BIGINT) AS s_sum,
+           CAST(list_sum(list_transform(s, v -> v * v))
+               AS BIGINT) AS s_sq_sum,
+           CAST(1 AS BIGINT) AS containers_agree
+    FROM smp
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "audio"),
+)
+def multimodal_aiff_au_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AIFF + Sun AU container roundtrip (r13, functions/aiff.py) —
+    the professional-audio and legacy-speech-corpus containers, over
+    the per-doc grid: bit depth 16/24/32 (AIFF) twinned with AU
+    linear encodings 3/4/5, rate grid 11025..44100 (the AIFF rate is
+    an 80-bit IEEE extended float — the codec the oracle implicitly
+    verifies through the rate column), stereo on even docs. Each
+    doc's sha256 digest becomes 16 int16 samples; both containers
+    encode, decode, must AGREE sample-for-sample, and the decoded
+    AIFF samples' sum/sum-of-squares must equal the oracle's direct
+    reconstruction from the same digest hex.
+
+    Scale shape: Arrow-batched narrow map, one stats row per doc."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("aiff_bits", T.LongType()),
+            T.StructField("au_encoding", T.LongType()),
+            T.StructField("rate", T.LongType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("s_sum", T.LongType()),
+            T.StructField("s_sq_sum", T.LongType()),
+            T.StructField("containers_agree", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from ..functions.aiff import (
+            decode_aiff,
+            decode_au,
+            encode_aiff,
+            encode_au,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                digest = hashlib.sha256(str(i).encode()).digest()
+                pcm = np.frombuffer(digest, dtype="<i2").astype(np.int64)
+                ch = 2 if i % 2 == 0 else 1
+                x = pcm.reshape(-1, ch)
+                bits = (16, 24, 32)[i % 3]
+                enc = (3, 4, 5)[i % 3]
+                rate = (11025, 16000, 22050, 44100)[i % 4]
+                r_a, y_a = decode_aiff(encode_aiff(x, rate, bits))
+                r_u, y_u = decode_au(encode_au(x, rate, enc))
+                rows.append(
+                    (
+                        doc_id,
+                        bits,
+                        enc,
+                        r_a,
+                        y_a.shape[1],
+                        y_a.shape[0],
+                        int(y_a.sum()),
+                        int((y_a.astype(np.int64) ** 2).sum()),
+                        int(
+                            r_a == r_u
+                            and np.array_equal(y_a, y_u)
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )

@@ -34,6 +34,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas", r"mpeg2_witness_es"],
         [r"documents\.parquet", r"BatchEvalPython"],
     ),
+    "multimodal_mpeg_ts_roundtrip": (
+        # r13: per-doc encode+mux+demux+decode rides one Arrow map
+        # over a doc_id projection — never a pickled Python eval
+        [r"MapInPandas"],
+        [r"BatchEvalPython"],
+    ),
     "matview_incremental_rollup": (
         # the view's read path merges STORE partials (scans under the
         # matview_rollup store) and never rescans the raw table

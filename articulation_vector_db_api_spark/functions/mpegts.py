@@ -115,6 +115,7 @@ def build_mpeg_ts(
     streams: dict[int, bytes],
     pes_chunk: int = 4096,
     pts_step: int = 3600,
+    pts_start: int = 0,
 ) -> bytes:
     """Witness transport-stream muxer: {PES stream_id (0xC0/0xE0
     family): elementary_stream} -> a .ts byte string.
@@ -202,7 +203,9 @@ def build_mpeg_ts(
     cursors = {sid: 0 for sid in sids}
     n = 0
     while any(cursors[s] < len(streams[s]) for s in sids):
-        pts = ((n + 1) * pts_step) & ((1 << 33) - 1)
+        # pts_start lets HLS-style segment muxes keep ONE continuous
+        # 90 kHz timeline across segments (r13)
+        pts = (pts_start + (n + 1) * pts_step) & ((1 << 33) - 1)
         for sid in sids:
             at = cursors[sid]
             es = streams[sid]

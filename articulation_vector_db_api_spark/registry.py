@@ -309,6 +309,7 @@ _WINDOW_DEFER = frozenset(
         "multimodal_mpeg_ts_roundtrip",  # r13: parity-proven at
         # sf0.001/0.01/0.1 before registration
         "multimodal_aiff_au_roundtrip",  # r13: same proof
+        "multimodal_hls_ts_stitch",      # r13: same proof
     }
 )
 

@@ -6469,3 +6469,167 @@ def multimodal_aiff_au_roundtrip(
         .mapInPandas(batches, schema)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_hls_ts_stitch",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_segments,
+           CAST(1 AS BIGINT) AS endlist,
+           CAST(2 AS BIGINT) AS v_stream_type,
+           CAST(3 AS BIGINT) AS a_stream_type,
+           CAST(6 AS BIGINT) AS n_frames,
+           CAST(4 AS BIGINT) AS n_p,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 32000 END
+               AS BIGINT) AS audio_rate,
+           CAST(1 AS BIGINT) AS v_bit_exact,
+           CAST(1 AS BIGINT) AS a_bit_exact,
+           CAST(1 AS BIGINT) AS pts_monotone,
+           CAST(1 AS BIGINT) AS av_decodes
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "video", "audio"),
+)
+def multimodal_hls_ts_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLS SEGMENT STITCHING (r13, functions/hls.py over mpegts.py) —
+    how web video actually arrives in a crawl: an m3u8 media playlist
+    over independently-decodable TS segments on one continuous 90 kHz
+    timeline. Per doc: TWO closed-GOP MPEG-2 segments (3 frames each,
+    sequence_end stripped from the non-final segment exactly as real
+    segmenters emit; odd docs load a CUSTOM intra quantizer matrix in
+    segment 2's sequence header, exercising the §6.3.3 mid-stream
+    matrix reset the r13 ADVICE fix landed) plus an MP2 stream split
+    on a frame boundary. The stitcher demuxes every segment,
+    concatenates elementary streams, and enforces the monotone
+    stitched-PTS contract; the multi-sequence video ES decodes all 6
+    frames through the repeated-sequence-header path.
+
+    Oracle pins segment/PSI structure, Table 2-29 stream types, the
+    6-frame/4-P decode, the audio-rate grid, bit-exactness of both
+    stitched streams, PTS monotonicity, and that both payloads
+    decode.
+
+    Scale shape: Arrow-batched narrow map, one stats row per doc."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_segments", T.LongType()),
+            T.StructField("endlist", T.LongType()),
+            T.StructField("v_stream_type", T.LongType()),
+            T.StructField("a_stream_type", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("n_p", T.LongType()),
+            T.StructField("audio_rate", T.LongType()),
+            T.StructField("v_bit_exact", T.LongType()),
+            T.StructField("a_bit_exact", T.LongType()),
+            T.StructField("pts_monotone", T.LongType()),
+            T.StructField("av_decodes", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.hls import build_hls, demux_hls
+        from ..functions.mp2 import decode_mp2, encode_mp2
+        from ..functions.mpeg2 import decode_m2v, encode_m2v
+        from ..functions.mpegts import AUDIO_STREAM_0, VIDEO_STREAM_0
+
+        end = b"\x00\x00\x01\xb7"
+        steep = np.full((8, 8), 48, dtype=np.int64)
+        steep[0, 0] = 8
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                # six frames: the 4-frame witness scene extended by
+                # two more motion steps (same square, same velocity)
+                f4 = _mpeg1_pframe_frames(i)
+                yy_, xx_ = np.mgrid[0:16, 0:16]
+                sq = (100 + 7 * xx_ + 5 * yy_ + 13 * (i % 9)).clip(
+                    0, 255
+                ).astype(np.uint8)
+                frames = list(f4)
+                for t in (4, 5):
+                    img = np.full((32, 32, 3), 70 + (i % 17),
+                                  dtype=np.uint8)
+                    x0 = 2 + ((i % 3) + 1) * t
+                    x0 = min(x0, 32 - 16)
+                    img[8:24, x0 : x0 + 16, 0] = sq
+                    img[8:24, x0 : x0 + 16, 1] = 255 - sq
+                    img[8:24, x0 : x0 + 16, 2] = sq[::-1]
+                    frames.append(img)
+                ves1 = encode_m2v(
+                    frames[:3], p_frames=True,
+                    qscale_code=(3, 4, 6)[i % 3],
+                )
+                ves2 = encode_m2v(
+                    frames[3:6],
+                    p_frames=True, qscale_code=(4, 6, 8)[i % 3],
+                    intra_matrix=steep if i % 2 else None,
+                )
+                rate = 44100 if i % 2 == 0 else 32000
+                kbps = 192 if i % 2 == 0 else 48
+                ts_ax = np.arange(2560) / rate
+                tone = 0.5 * np.sin(
+                    2 * np.pi * (180 + (i % 17) * 120) * ts_ax
+                )
+                aes = encode_mp2(tone, rate, kbps)
+                # split on a frame boundary (frame length is constant
+                # at these CBR points aside from 44.1 kHz padding —
+                # use the parsed first-frame length)
+                from ..functions.mp3 import _parse_header
+
+                flen = _parse_header(aes, 0)["length"]
+                half = (len(aes) // flen // 2) * flen
+                playlist, files = build_hls(
+                    [
+                        {
+                            VIDEO_STREAM_0: ves1[: -len(end)],
+                            AUDIO_STREAM_0: aes[:half],
+                        },
+                        {
+                            VIDEO_STREAM_0: ves2,
+                            AUDIO_STREAM_0: aes[half:],
+                        },
+                    ],
+                    pes_chunk=512 + 128 * (i % 3),
+                )
+                out = demux_hls(playlist, files)
+                v = out["streams"][VIDEO_STREAM_0]
+                a = out["streams"][AUDIO_STREAM_0]
+                vmeta, dec = decode_m2v(v["data"])
+                arate, _ch, pcm = decode_mp2(a["data"])
+                rows.append(
+                    (
+                        doc_id,
+                        out["n_segments"],
+                        int(out["endlist"]),
+                        v["stream_type"],
+                        a["stream_type"],
+                        vmeta["n_frames"],
+                        vmeta["n_p"],
+                        arate,
+                        int(v["data"] == ves1[: -len(end)] + ves2),
+                        int(a["data"] == aes),
+                        1,  # demux_hls enforces monotone PTS (raises)
+                        int(len(dec) == 6 and pcm.shape[1] > 0),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,148 @@
+"""HLS playlists over TS segments (functions/hls.py): playlist
+build/parse round-trip, unknown-tag tolerance, master-playlist gate,
+segment stitching with the continuous PTS timeline, the cross-segment
+MPEG-2 multi-sequence decode, and error paths."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from articulation_vector_db_api_spark.functions.hls import (
+    build_hls,
+    demux_hls,
+    parse_m3u8,
+)
+from articulation_vector_db_api_spark.functions.mpegts import (
+    AUDIO_STREAM_0,
+    VIDEO_STREAM_0,
+)
+
+
+def test_playlist_build_parse_roundtrip():
+    playlist, files = build_hls(
+        [{VIDEO_STREAM_0: bytes(5000)}, {VIDEO_STREAM_0: bytes(2000)}],
+        pes_chunk=1024,
+    )
+    meta = parse_m3u8(playlist)
+    assert meta["endlist"] and meta["media_sequence"] == 0
+    assert [u for _, u in meta["segments"]] == ["seg0.ts", "seg1.ts"]
+    assert set(files) == {"seg0.ts", "seg1.ts"}
+    assert meta["target_duration"] >= max(d for d, _ in meta["segments"])
+
+
+def test_playlist_tolerance_and_gates():
+    text = (
+        "#EXTM3U\n#EXT-X-VERSION:3\n#EXT-X-TARGETDURATION:4\n"
+        "#EXT-X-PROGRAM-DATE-TIME:2020-01-01T00:00:00Z\n"  # unknown: skip
+        "# a comment\n"
+        "#EXTINF:3.2, title with, commas\nseg0.ts\n#EXT-X-ENDLIST\n"
+    )
+    meta = parse_m3u8(text)
+    assert meta["segments"] == [(3.2, "seg0.ts")]
+    with pytest.raises(ValueError, match="EXTM3U"):
+        parse_m3u8("#EXTINF:1,\nx.ts\n")
+    with pytest.raises(NotImplementedError, match="master"):
+        parse_m3u8("#EXTM3U\n#EXT-X-STREAM-INF:BANDWIDTH=1\nv.m3u8\n")
+    with pytest.raises(ValueError, match="without #EXTINF"):
+        parse_m3u8("#EXTM3U\nseg0.ts\n")
+    with pytest.raises(ValueError, match="without a following URI"):
+        parse_m3u8("#EXTM3U\n#EXTINF:1,\n")
+
+
+def test_stitch_continuous_pts_and_bit_exact():
+    v1, v2 = bytes(range(200)) * 20, bytes(reversed(range(200))) * 10
+    a1, a2 = b"\x11" * 1500, b"\x22" * 900
+    playlist, files = build_hls(
+        [
+            {VIDEO_STREAM_0: v1, AUDIO_STREAM_0: a1},
+            {VIDEO_STREAM_0: v2, AUDIO_STREAM_0: a2},
+        ],
+        pes_chunk=1024,
+    )
+    out = demux_hls(playlist, files)
+    assert out["n_segments"] == 2 and out["endlist"]
+    assert out["streams"][VIDEO_STREAM_0]["data"] == v1 + v2
+    assert out["streams"][AUDIO_STREAM_0]["data"] == a1 + a2
+    pts = out["streams"][VIDEO_STREAM_0]["pts"]
+    assert pts == sorted(set(pts))  # ONE continuous timeline
+
+
+def test_stitch_error_paths():
+    playlist, files = build_hls([{VIDEO_STREAM_0: bytes(1000)}])
+    with pytest.raises(ValueError, match="not fetched"):
+        demux_hls(playlist, {})
+    # disjoint timelines (independently-built segments both starting
+    # at PTS 3600) must fail the monotonicity check
+    from articulation_vector_db_api_spark.functions.mpegts import (
+        build_mpeg_ts,
+    )
+
+    seg = build_mpeg_ts({VIDEO_STREAM_0: bytes(5000)}, pes_chunk=1024)
+    pl = (
+        "#EXTM3U\n#EXTINF:1,\na.ts\n#EXTINF:1,\nb.ts\n#EXT-X-ENDLIST\n"
+    )
+    with pytest.raises(ValueError, match="monotone"):
+        demux_hls(pl, {"a.ts": seg, "b.ts": seg})
+
+
+def test_cross_segment_mpeg2_decode():
+    """The capstone: two closed-GOP MPEG-2 segments (sequence_end
+    stripped from the non-final one — what real segmenters emit),
+    stitched ES decodes as SIX frames through the repeated-sequence-
+    header path, with each segment's own quantizer matrices."""
+    from articulation_vector_db_api_spark.functions.mp2 import (
+        decode_mp2,
+        encode_mp2,
+    )
+    from articulation_vector_db_api_spark.functions.mpeg2 import (
+        decode_m2v,
+        encode_m2v,
+    )
+
+    yy, xx = np.mgrid[0:32, 0:48]
+
+    def frames(t0):
+        return [
+            np.stack(
+                [((xx * 3 + yy * 5 + (t0 + t) * 37) % 256).astype(
+                    np.uint8
+                )] * 3,
+                axis=-1,
+            )
+            for t in range(3)
+        ]
+
+    end = b"\x00\x00\x01\xb7"
+    ves1 = encode_m2v(frames(0), qscale_code=3, p_frames=True)
+    ves2 = encode_m2v(frames(3), qscale_code=4, p_frames=True)
+    assert ves1.endswith(end)
+    tone = 0.5 * np.sin(2 * np.pi * 440 * np.arange(2304) / 48000)
+    aes = encode_mp2(tone, 48000, 192)
+    half = len(aes) // 2
+    # MP2 frames are 576 bytes at 48k/192k: split on a frame boundary
+    half -= half % 576
+    playlist, files = build_hls(
+        [
+            {VIDEO_STREAM_0: ves1[: -len(end)], AUDIO_STREAM_0: aes[:half]},
+            {VIDEO_STREAM_0: ves2, AUDIO_STREAM_0: aes[half:]},
+        ],
+        pes_chunk=512,
+    )
+    out = demux_hls(playlist, files)
+    sv = out["streams"][VIDEO_STREAM_0]
+    assert sv["stream_type"] == 0x02
+    meta, dec = decode_m2v(sv["data"])
+    assert meta["n_frames"] == 6 and meta["n_p"] == 4
+    assert len(dec) == 6
+    rate, _ch, pcm = decode_mp2(out["streams"][AUDIO_STREAM_0]["data"])
+    assert rate == 48000 and pcm.shape[1] > 0
+    # both segments really decode to THEIR frames (display order)
+    src = frames(0) + frames(3)
+    for t in (0, 3):
+        a = src[t].astype(np.float64)
+        b = dec[t].astype(np.float64)
+        snr = 10 * np.log10(
+            (a**2).sum() / max(((a - b) ** 2).sum(), 1e-9)
+        )
+        assert snr > 15, t

@@ -40,6 +40,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas"],
         [r"BatchEvalPython"],
     ),
+    "multimodal_hls_ts_stitch": (
+        [r"MapInPandas"],
+        [r"BatchEvalPython"],
+    ),
+    "multimodal_aiff_au_roundtrip": (
+        [r"MapInPandas"],
+        [r"BatchEvalPython"],
+    ),
     "matview_incremental_rollup": (
         # the view's read path merges STORE partials (scans under the
         # matview_rollup store) and never rescans the raw table

@@ -310,6 +310,7 @@ _WINDOW_DEFER = frozenset(
         # sf0.001/0.01/0.1 before registration
         "multimodal_aiff_au_roundtrip",  # r13: same proof
         "multimodal_hls_ts_stitch",      # r13: same proof
+        "multimodal_fmp4_dash_roundtrip",  # r13: same proof
     }
 )
 

@@ -6633,3 +6633,124 @@ def multimodal_hls_ts_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(batches, schema)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_fmp4_dash_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_fragments,
+           CAST(4 AS BIGINT) AS n_samples,
+           CAST(1 AS BIGINT) AS codec_is_jpeg,
+           CAST(16 + 16 * (doc_id % 3) AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           CAST(4 * (1500 + 300 * (doc_id % 4)) AS BIGINT) AS duration,
+           CAST(1 AS BIGINT) AS bit_exact,
+           CAST(1 AS BIGINT) AS frames_decode
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "video"),
+)
+def multimodal_fmp4_dash_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FRAGMENTED MP4 / DASH-CMAF roundtrip (r13, functions/fmp4.py)
+    — the segment layout of MPEG-DASH and modern HLS: init segment
+    (empty sample tables + mvex/trex defaults) plus moof/mdat media
+    segments with tfhd/tfdt/trun. Per doc: four baseline-JPEG frames
+    (size grid 16x16..48x16, per-doc sample duration) split across
+    TWO fragments, demuxed with the mfhd-sequence and
+    baseMediaDecodeTime continuity contracts enforced, samples
+    checked BIT-EXACT against the encoder inputs, and every frame
+    decoded through the from-scratch JPEG codec.
+
+    With progressive MP4 (r10) and HLS-over-TS (r13) this closes the
+    web-video delivery matrix.
+
+    Scale shape: Arrow-batched narrow map, one stats row per doc."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_fragments", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("codec_is_jpeg", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("duration", T.LongType()),
+            T.StructField("bit_exact", T.LongType()),
+            T.StructField("frames_decode", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.fmp4 import build_fmp4_mjpeg, demux_fmp4
+        from ..functions.jpeg import decode_jpeg, encode_jpeg_baseline
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 16 + 16 * (i % 3)
+                dur = 1500 + 300 * (i % 4)
+                yy, xx = np.mgrid[0:16, 0:w]
+                frames = [
+                    np.stack(
+                        [((xx * 7 + yy * 3 + (i + t) * 41) % 256).astype(
+                            np.uint8
+                        )] * 3,
+                        axis=-1,
+                    )
+                    for t in range(4)
+                ]
+                jp = [
+                    encode_jpeg_baseline(f, quality=85) for f in frames
+                ]
+                init, media = build_fmp4_mjpeg(
+                    [
+                        [(dur, jp[0]), (dur, jp[1])],
+                        [(dur, jp[2]), (dur, jp[3])],
+                    ],
+                    w, 16,
+                )
+                meta, samples = demux_fmp4(init, media)
+                ok_dec = 1
+                for (_d, s), f in zip(samples, frames):
+                    g = decode_jpeg(s)
+                    a = f.astype(np.float64)
+                    b = g.astype(np.float64)
+                    snr = 10 * np.log10(
+                        (a**2).sum()
+                        / max(((a - b) ** 2).sum(), 1e-9)
+                    )
+                    if snr <= 15:
+                        ok_dec = 0
+                rows.append(
+                    (
+                        doc_id,
+                        meta["n_fragments"],
+                        len(samples),
+                        int(meta["codec"] == "jpeg"),
+                        meta["width"],
+                        meta["height"],
+                        meta["duration"],
+                        int([s for _d, s in samples] == jp),
+                        ok_dec,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )

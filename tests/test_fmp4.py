@@ -1,0 +1,136 @@
+"""Fragmented MP4 (functions/fmp4.py): init/media segment roundtrip,
+tfhd/trex default fallbacks, continuity contracts (mfhd sequence,
+tfdt decode time), real-MJPEG decode through the fragment layer, and
+the byte-flip fuzz contract."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from articulation_vector_db_api_spark.functions.fmp4 import (
+    build_fmp4_mjpeg,
+    demux_fmp4,
+)
+
+
+def test_roundtrip_samples_and_meta():
+    segs = [
+        [(3000, b"A" * 50), (3000, b"B" * 70), (1500, b"C" * 10)],
+        [(3000, b"D" * 60)],
+        [(750, b"E" * 90), (750, b"F" * 30)],
+    ]
+    init, media = build_fmp4_mjpeg(segs, 48, 32, timescale=90000)
+    meta, samples = demux_fmp4(init, media)
+    assert (meta["codec"], meta["width"], meta["height"]) == ("jpeg", 48, 32)
+    assert meta["timescale"] == 90000
+    assert meta["n_fragments"] == 3
+    assert samples == [t for seg in segs for t in seg]
+    assert meta["duration"] == sum(d for seg in segs for d, _ in seg)
+
+
+def test_trex_and_tfhd_defaults():
+    """A trun with NO per-sample fields falls back to tfhd's
+    default-sample-duration/size; hand-built fragment."""
+    from articulation_vector_db_api_spark.functions.fmp4 import (
+        _box,
+        _full,
+    )
+
+    init, _ = build_fmp4_mjpeg([[(1, b"x")]], 16, 16)
+    payload = b"P" * 40 + b"Q" * 40
+    mfhd = _full(b"mfhd", 0, struct.pack(">I", 1))
+    tfhd = _box(
+        b"tfhd",
+        struct.pack(">I", 0x20000 | 0x08 | 0x10)  # moof-base + defaults
+        + struct.pack(">I", 1)      # track_ID
+        + struct.pack(">I", 3000)   # default_sample_duration
+        + struct.pack(">I", 40),    # default_sample_size
+    )
+    tfdt = _box(b"tfdt", struct.pack(">I", 0) + struct.pack(">I", 0))
+    trun = _box(
+        b"trun",
+        struct.pack(">I", 0x01)       # data-offset only
+        + struct.pack(">I", 2)        # two samples, all defaults
+        + struct.pack(">i", 0),       # patched below
+    )
+    traf = _box(b"traf", tfhd + tfdt + trun)
+    moof = _box(b"moof", mfhd + traf)
+    # patch trun data_offset = len(moof) + 8 (into mdat payload)
+    moof = bytearray(moof)
+    off = moof.find(b"trun") + 4 + 8
+    struct.pack_into(">i", moof, off, len(moof) + 8)
+    seg = bytes(moof) + _box(b"mdat", payload)
+    meta, samples = demux_fmp4(init, [seg])
+    assert samples == [(3000, b"P" * 40), (3000, b"Q" * 40)]
+    assert meta["duration"] == 6000
+
+
+def test_continuity_contracts():
+    segs = [[(3000, b"A" * 20)], [(3000, b"B" * 20)]]
+    init, media = build_fmp4_mjpeg(segs, 16, 16)
+    # segment order swapped -> sequence gap
+    with pytest.raises(ValueError, match="sequence"):
+        demux_fmp4(init, [media[1], media[0]])
+    # dropping segment 1 -> gap
+    with pytest.raises(ValueError, match="sequence"):
+        demux_fmp4(init, [media[1]])
+    # corrupt tfdt of segment 2 -> decode-time discontinuity
+    bad = bytearray(media[1])
+    at = bad.find(b"tfdt") + 4 + 4
+    struct.pack_into(">Q", bad, at, 999)
+    with pytest.raises(ValueError, match="discontinuity"):
+        demux_fmp4(init, [media[0], bytes(bad)])
+
+
+def test_real_mjpeg_decode_through_fragments():
+    from articulation_vector_db_api_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    frames = [
+        np.stack(
+            [((xx * 9 + yy * 5 + t * 60) % 256).astype(np.uint8)] * 3,
+            axis=-1,
+        )
+        for t in range(4)
+    ]
+    jp = [encode_jpeg_baseline(f, quality=90) for f in frames]
+    init, media = build_fmp4_mjpeg(
+        [[(3000, jp[0]), (3000, jp[1])], [(3000, jp[2]), (3000, jp[3])]],
+        16, 16,
+    )
+    meta, samples = demux_fmp4(init, media)
+    assert [s for _d, s in samples] == jp
+    for (_d, s), f in zip(samples, frames):
+        g = decode_jpeg(s)
+        a, b = f.astype(np.float64), g.astype(np.float64)
+        snr = 10 * np.log10((a**2).sum() / max(((a - b) ** 2).sum(), 1e-9))
+        assert snr > 20
+
+
+def test_gates_and_fuzz():
+    import random
+
+    with pytest.raises(NotImplementedError, match="codec"):
+        build_fmp4_mjpeg([[(1, b"x")]], 16, 16, codec="avc1")
+    with pytest.raises(ValueError, match="at least one"):
+        build_fmp4_mjpeg([[]], 16, 16)
+    init, media = build_fmp4_mjpeg(
+        [[(3000, bytes(range(200)))], [(3000, bytes(200))]], 16, 16
+    )
+    rng = random.Random(5)
+    blob = media[0]
+    for _ in range(250):
+        bad = bytearray(blob)
+        i = rng.randrange(len(bad))
+        bad[i] ^= 1 << rng.randrange(8)
+        try:
+            meta, samples = demux_fmp4(init, [bytes(bad), media[1]])
+        except (ValueError, NotImplementedError):
+            continue
+        assert all(len(s) <= len(bad) for _d, s in samples)

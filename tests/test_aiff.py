@@ -125,3 +125,16 @@ def test_fuzz_contract():
             except (ValueError, NotImplementedError):
                 continue
             assert 0 < rate <= 10**7 and y.ndim == 2
+
+
+def test_chunks_after_ssnd_are_walked():
+    """Trailing metadata chunks (e.g. a name/annotation chunk after
+    SSND) must not break the walk."""
+    x = _sig(60, 1, 16)
+    es = encode_aiff(x, 16000, 16)
+    trailing = b"NAME" + struct.pack(">L", 5) + b"hello" + b"\x00"
+    # append inside the FORM: grow the FORM size
+    grown = bytearray(es + trailing)
+    struct.pack_into(">L", grown, 4, len(grown) - 8)
+    rate, y = decode_aiff(bytes(grown))
+    assert rate == 16000 and np.array_equal(y, x)

@@ -134,3 +134,39 @@ def test_gates_and_fuzz():
         except (ValueError, NotImplementedError):
             continue
         assert all(len(s) <= len(bad) for _d, s in samples)
+
+
+def test_trun_version1_with_cts_offsets():
+    """trun version 1 rows carrying signed composition-time offsets
+    parse correctly (cts is skipped for sample extraction but must
+    not desync the row walk)."""
+    from articulation_vector_db_api_spark.functions.fmp4 import (
+        _box,
+        _full,
+    )
+
+    init, _ = build_fmp4_mjpeg([[(1, b"x")]], 16, 16)
+    payload = b"R" * 30 + b"S" * 50
+    mfhd = _full(b"mfhd", 0, struct.pack(">I", 1))
+    tfhd = _box(
+        b"tfhd", struct.pack(">I", 0x20000) + struct.pack(">I", 1)
+    )
+    tfdt = _box(b"tfdt", struct.pack(">I", 0) + struct.pack(">I", 0))
+    rows = (
+        struct.pack(">IIi", 3000, 30, -900)
+        + struct.pack(">IIi", 3000, 50, 900)
+    )
+    trun = _box(
+        b"trun",
+        struct.pack(">I", (1 << 24) | 0x01 | 0x100 | 0x200 | 0x800)
+        + struct.pack(">I", 2)
+        + struct.pack(">i", 0)
+        + rows,
+    )
+    traf = _box(b"traf", tfhd + tfdt + trun)
+    moof = bytearray(_box(b"moof", mfhd + traf))
+    off = moof.find(b"trun") + 4 + 8
+    struct.pack_into(">i", moof, off, len(moof) + 8)
+    seg = bytes(moof) + _box(b"mdat", payload)
+    _meta, samples = demux_fmp4(init, [seg])
+    assert samples == [(3000, b"R" * 30), (3000, b"S" * 50)]

@@ -146,3 +146,56 @@ def test_cross_segment_mpeg2_decode():
             (a**2).sum() / max(((a - b) ** 2).sum(), 1e-9)
         )
         assert snr > 15, t
+
+
+def test_segments_with_different_pids_still_stitch():
+    """Aggregation is by PES stream id, not PID — segments from
+    different packagers may map the same stream to different PIDs."""
+    from articulation_vector_db_api_spark.functions.mpegps import (
+        _pes_packet2,
+    )
+    from articulation_vector_db_api_spark.functions.mpegts import (
+        _psi_packet,
+        _section,
+    )
+
+    def one_segment(pid, payload, pts):
+        pat = bytes([0x00, 0x01, 0xE0 | 0x10, 0x00])
+        pmt = bytes([
+            0xE0 | (pid >> 8), pid & 0xFF, 0xF0, 0x00,
+            0x01, 0xE0 | (pid >> 8), pid & 0xFF, 0xF0, 0x00,
+        ])
+        pkts = [
+            _psi_packet(0x0000, _section(0x00, 1, pat), 0),
+            _psi_packet(0x1000, _section(0x02, 1, pmt), 0),
+        ]
+        pes = _pes_packet2(0xE0, payload, pts)
+        at, first, cc = 0, True, 0
+        while at < len(pes):
+            take = min(len(pes) - at, 184)
+            need = 184 - take
+            if need == 1:
+                af = bytes([0])
+            elif need:
+                af = bytes([need - 1, 0x00]) + b"\xff" * (need - 2)
+            else:
+                af = b""
+            pkts.append(
+                bytes([
+                    0x47,
+                    (0x40 if first else 0) | (pid >> 8),
+                    pid & 0xFF,
+                    (0x30 if af else 0x10) | cc,
+                ]) + af + pes[at : at + take]
+            )
+            cc, at, first = (cc + 1) & 0xF, at + take, False
+        return b"".join(pkts)
+
+    v1, v2 = b"\x31" * 500, b"\x32" * 400
+    pl = "#EXTM3U\n#EXTINF:1,\na.ts\n#EXTINF:1,\nb.ts\n#EXT-X-ENDLIST\n"
+    out = demux_hls(
+        pl,
+        {"a.ts": one_segment(0x100, v1, 3600),
+         "b.ts": one_segment(0x1E0, v2, 7200)},
+    )
+    assert out["streams"][VIDEO_STREAM_0]["data"] == v1 + v2

@@ -1,0 +1,230 @@
+"""MPEG-DASH MPD manifests (ISO/IEC 23009-1) over fragmented-MP4
+segments — build + parse + stitch, stdlib xml.etree only. The
+manifest twin of functions/hls.py: an MPD names an init segment and
+media segments per Representation; fetching and demuxing them is
+functions/fmp4.py's job.
+
+Implemented manifest surface (the static-VoD shape crawled archives
+carry): MPD@type/mediaPresentationDuration, Period, AdaptationSet
+(@mimeType), Representation (@id/@bandwidth/@width/@height/@codecs),
+SegmentTemplate (@initialization/@media with $RepresentationID$ and
+$Number$ (+ %0Nd width forms), @startNumber/@duration/@timescale)
+and SegmentList (SegmentURL@media + Initialization@sourceURL).
+ISO 8601 durations parse the PT#H#M#S(.frac) forms. Dynamic (live)
+manifests and SegmentTimeline raise NotImplementedError.
+
+Reference behavior parity: the reference (/root/reference/main.py)
+has no media path; frontier surface alongside fmp4.py/hls.py.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import xml.etree.ElementTree as ET
+
+from .fmp4 import demux_fmp4
+
+__all__ = ["build_mpd", "parse_mpd", "demux_dash", "parse_iso8601_duration"]
+
+
+def parse_iso8601_duration(s: str) -> float:
+    """'PT12.5S' / 'PT1H2M3S' / 'P0DT4M' -> seconds."""
+    m = re.fullmatch(
+        r"P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?",
+        s,
+    )
+    if not m or all(g is None for g in m.groups()):
+        raise ValueError(f"not an ISO 8601 duration: {s!r}")
+    d, h, mi, sec = (float(g) if g else 0.0 for g in m.groups())
+    return d * 86400 + h * 3600 + mi * 60 + sec
+
+
+def _strip_ns(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def build_mpd(
+    rep_id: str,
+    n_segments: int,
+    seg_duration_ticks: int,
+    timescale: int,
+    width: int,
+    height: int,
+    bandwidth: int = 100000,
+) -> str:
+    """Static single-representation MPD with a $Number$-templated
+    SegmentTemplate — the shape every packager emits for VoD."""
+    total = n_segments * seg_duration_ticks / timescale
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<MPD xmlns="urn:mpeg:dash:schema:mpd:2011" type="static" '
+        f'mediaPresentationDuration="PT{total:.3f}S" '
+        'minBufferTime="PT2S" profiles="urn:mpeg:dash:profile:'
+        'isoff-on-demand:2011">\n'
+        " <Period>\n"
+        '  <AdaptationSet mimeType="video/mp4">\n'
+        f'   <Representation id="{rep_id}" bandwidth="{bandwidth}" '
+        f'width="{width}" height="{height}" codecs="jpeg">\n'
+        '    <SegmentTemplate '
+        'initialization="$RepresentationID$-init.mp4" '
+        'media="$RepresentationID$-$Number$.m4s" '
+        f'startNumber="1" duration="{seg_duration_ticks}" '
+        f'timescale="{timescale}"/>\n'
+        "   </Representation>\n"
+        "  </AdaptationSet>\n"
+        " </Period>\n"
+        "</MPD>\n"
+    )
+
+
+def _fill_template(tpl: str, rep_id: str, number: int | None) -> str:
+    out = tpl.replace("$RepresentationID$", rep_id)
+    if number is not None:
+        # $Number%05d$ width form, then the plain form
+        def width_sub(m: re.Match) -> str:
+            return f"%0{int(m.group(1))}d" % number
+
+        out = re.sub(r"\$Number%0(\d+)d\$", width_sub, out)
+        out = out.replace("$Number$", str(number))
+    if "$" in out:
+        raise NotImplementedError(
+            f"DASH template identifier in {tpl!r} ($Time$/$Bandwidth$)"
+        )
+    return out
+
+
+def parse_mpd(text: str) -> dict:
+    try:
+        root = ET.fromstring(text)
+    except ET.ParseError as exc:
+        raise ValueError(f"malformed MPD XML: {exc}") from exc
+    if _strip_ns(root.tag) != "MPD":
+        raise ValueError("not a DASH MPD document")
+    if root.get("type", "static") != "static":
+        raise NotImplementedError("dynamic (live) DASH manifest")
+    dur = root.get("mediaPresentationDuration")
+    out: dict = {
+        "duration_sec": parse_iso8601_duration(dur) if dur else None,
+        "representations": [],
+    }
+    for period in root:
+        if _strip_ns(period.tag) != "Period":
+            continue
+        for aset in period:
+            if _strip_ns(aset.tag) != "AdaptationSet":
+                continue
+            mime = aset.get("mimeType")
+            aset_tpl = next(
+                (c for c in aset if _strip_ns(c.tag) == "SegmentTemplate"),
+                None,
+            )
+            for rep in aset:
+                if _strip_ns(rep.tag) != "Representation":
+                    continue
+                entry = {
+                    "id": rep.get("id"),
+                    "mime": mime,
+                    "bandwidth": int(rep.get("bandwidth", 0)),
+                    "width": int(rep.get("width", 0)) or None,
+                    "height": int(rep.get("height", 0)) or None,
+                    "codecs": rep.get("codecs"),
+                    "template": None,
+                    "segment_list": None,
+                }
+                tpl = next(
+                    (c for c in rep
+                     if _strip_ns(c.tag) == "SegmentTemplate"),
+                    aset_tpl,
+                )
+                slist = next(
+                    (c for c in rep if _strip_ns(c.tag) == "SegmentList"),
+                    None,
+                )
+                if tpl is not None:
+                    if any(
+                        _strip_ns(c.tag) == "SegmentTimeline" for c in tpl
+                    ):
+                        raise NotImplementedError("DASH SegmentTimeline")
+                    entry["template"] = {
+                        "init": tpl.get("initialization"),
+                        "media": tpl.get("media"),
+                        "start_number": int(tpl.get("startNumber", 1)),
+                        "duration": int(tpl.get("duration", 0)),
+                        "timescale": int(tpl.get("timescale", 1)),
+                    }
+                elif slist is not None:
+                    init_el = next(
+                        (c for c in slist
+                         if _strip_ns(c.tag) == "Initialization"),
+                        None,
+                    )
+                    entry["segment_list"] = {
+                        "init": init_el.get("sourceURL")
+                        if init_el is not None else None,
+                        "urls": [
+                            c.get("media")
+                            for c in slist
+                            if _strip_ns(c.tag) == "SegmentURL"
+                        ],
+                    }
+                out["representations"].append(entry)
+    if not out["representations"]:
+        raise ValueError("MPD with no representations")
+    return out
+
+
+def demux_dash(
+    mpd_text: str,
+    fetch: dict[str, bytes],
+    representation_id: str | None = None,
+) -> tuple[dict, list[tuple[int, bytes]]]:
+    """Resolve one representation's init + media segment URIs,
+    demux through functions/fmp4.py -> (meta, samples). meta gains
+    the manifest facts (representation id, bandwidth, declared
+    duration)."""
+    mpd = parse_mpd(mpd_text)
+    reps = mpd["representations"]
+    rep = (
+        next((r for r in reps if r["id"] == representation_id), None)
+        if representation_id is not None
+        else reps[0]
+    )
+    if rep is None:
+        raise ValueError(f"representation {representation_id!r} not in MPD")
+    if rep["template"] is not None:
+        t = rep["template"]
+        if not t["init"] or not t["media"] or not t["duration"]:
+            raise ValueError("DASH SegmentTemplate missing fields")
+        if mpd["duration_sec"] is None:
+            raise ValueError(
+                "static MPD without mediaPresentationDuration"
+            )
+        # manifests declare the duration rounded (commonly to ms), so
+        # the exact ratio lands NEAR an integer for equal-length
+        # segments; snap within 1% of a segment before ceiling, or a
+        # rounded-up declaration manufactures a phantom last segment
+        ratio = mpd["duration_sec"] * t["timescale"] / t["duration"]
+        n = round(ratio) if abs(ratio - round(ratio)) < 0.01 \
+            else math.ceil(ratio)
+        n = max(1, n)
+        init_uri = _fill_template(t["init"], rep["id"], None)
+        media_uris = [
+            _fill_template(t["media"], rep["id"], t["start_number"] + k)
+            for k in range(n)
+        ]
+    else:
+        sl = rep["segment_list"]
+        if sl is None or not sl["init"]:
+            raise ValueError("DASH representation without segments")
+        init_uri, media_uris = sl["init"], sl["urls"]
+    missing = [u for u in [init_uri, *media_uris] if u not in fetch]
+    if missing:
+        raise ValueError(f"DASH segments not fetched: {missing}")
+    meta, samples = demux_fmp4(
+        fetch[init_uri], [fetch[u] for u in media_uris]
+    )
+    meta["representation_id"] = rep["id"]
+    meta["bandwidth"] = rep["bandwidth"]
+    meta["declared_duration_sec"] = mpd["duration_sec"]
+    return meta, samples

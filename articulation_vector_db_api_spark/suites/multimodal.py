@@ -6646,7 +6646,8 @@ def multimodal_hls_ts_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(16 AS BIGINT) AS height,
            CAST(4 * (1500 + 300 * (doc_id % 4)) AS BIGINT) AS duration,
            CAST(1 AS BIGINT) AS bit_exact,
-           CAST(1 AS BIGINT) AS frames_decode
+           CAST(1 AS BIGINT) AS frames_decode,
+           CAST(1 AS BIGINT) AS via_mpd
     FROM documents
     ORDER BY doc_id
     """,
@@ -6666,7 +6667,12 @@ def multimodal_fmp4_dash_roundtrip(
     decoded through the from-scratch JPEG codec.
 
     With progressive MP4 (r10) and HLS-over-TS (r13) this closes the
-    web-video delivery matrix.
+    web-video delivery matrix. The segments are resolved THROUGH a
+    DASH MPD manifest (functions/dash.py): a static
+    SegmentTemplate-with-$Number$ manifest names the init and media
+    URIs, demux_dash derives the segment count from
+    mediaPresentationDuration and stitches via demux_fmp4 — the
+    full crawl-shaped path, manifest to pixels.
 
     Scale shape: Arrow-batched narrow map, one stats row per doc."""
     from collections.abc import Iterator
@@ -6685,13 +6691,15 @@ def multimodal_fmp4_dash_roundtrip(
             T.StructField("duration", T.LongType()),
             T.StructField("bit_exact", T.LongType()),
             T.StructField("frames_decode", T.LongType()),
+            T.StructField("via_mpd", T.LongType()),
         ]
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from ..functions.fmp4 import build_fmp4_mjpeg, demux_fmp4
+        from ..functions.dash import build_mpd, demux_dash
+        from ..functions.fmp4 import build_fmp4_mjpeg
         from ..functions.jpeg import decode_jpeg, encode_jpeg_baseline
 
         for pdf in it:
@@ -6720,7 +6728,13 @@ def multimodal_fmp4_dash_roundtrip(
                     ],
                     w, 16,
                 )
-                meta, samples = demux_fmp4(init, media)
+                mpd = build_mpd(
+                    f"v{i}", 2, 2 * dur, 90000, w, 16
+                )
+                fetch = {f"v{i}-init.mp4": init}
+                for k, m in enumerate(media):
+                    fetch[f"v{i}-{k + 1}.m4s"] = m
+                meta, samples = demux_dash(mpd, fetch)
                 ok_dec = 1
                 for (_d, s), f in zip(samples, frames):
                     g = decode_jpeg(s)
@@ -6743,6 +6757,13 @@ def multimodal_fmp4_dash_roundtrip(
                         meta["duration"],
                         int([s for _d, s in samples] == jp),
                         ok_dec,
+                        int(
+                            meta["representation_id"] == f"v{i}"
+                            and abs(
+                                meta["declared_duration_sec"]
+                                - meta["duration"] / 90000
+                            ) < 0.002  # manifest declares ms-rounded
+                        ),
                     )
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])

@@ -1,0 +1,112 @@
+"""DASH MPD manifests (functions/dash.py): ISO 8601 durations,
+template filling ($RepresentationID$ / $Number$ / width forms), MPD
+parse (template + SegmentList shapes, gates), and end-to-end stitch
+through the fMP4 layer."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from articulation_vector_db_api_spark.functions.dash import (
+    _fill_template,
+    build_mpd,
+    demux_dash,
+    parse_iso8601_duration,
+    parse_mpd,
+)
+from articulation_vector_db_api_spark.functions.fmp4 import (
+    build_fmp4_mjpeg,
+)
+
+
+def test_iso8601_durations():
+    assert parse_iso8601_duration("PT12S") == 12
+    assert parse_iso8601_duration("PT12.5S") == 12.5
+    assert parse_iso8601_duration("PT1H2M3S") == 3723
+    assert parse_iso8601_duration("P1DT1S") == 86401
+    assert parse_iso8601_duration("PT4M") == 240
+    with pytest.raises(ValueError):
+        parse_iso8601_duration("12 seconds")
+    with pytest.raises(ValueError):
+        parse_iso8601_duration("P")
+
+
+def test_template_filling():
+    assert (
+        _fill_template("$RepresentationID$-$Number$.m4s", "v0", 7)
+        == "v0-7.m4s"
+    )
+    assert (
+        _fill_template("seg-$Number%05d$.m4s", "v0", 42)
+        == "seg-00042.m4s"
+    )
+    with pytest.raises(NotImplementedError, match="Time"):
+        _fill_template("seg-$Time$.m4s", "v0", 1)
+
+
+def test_parse_mpd_shapes_and_gates():
+    mpd = parse_mpd(build_mpd("v0", 3, 6000, 90000, 32, 16))
+    assert mpd["duration_sec"] == pytest.approx(0.2)
+    rep = mpd["representations"][0]
+    assert rep["id"] == "v0" and rep["mime"] == "video/mp4"
+    assert rep["template"]["start_number"] == 1
+    with pytest.raises(ValueError, match="MPD"):
+        parse_mpd("<foo/>")
+    with pytest.raises(ValueError, match="malformed"):
+        parse_mpd("not xml")
+    with pytest.raises(NotImplementedError, match="dynamic"):
+        parse_mpd(
+            '<MPD xmlns="urn:mpeg:dash:schema:mpd:2011" type="dynamic"/>'
+        )
+    seg_list = """<MPD xmlns="urn:mpeg:dash:schema:mpd:2011"
+      type="static" mediaPresentationDuration="PT1S"><Period>
+      <AdaptationSet mimeType="video/mp4">
+      <Representation id="r" bandwidth="1">
+      <SegmentList><Initialization sourceURL="i.mp4"/>
+      <SegmentURL media="a.m4s"/><SegmentURL media="b.m4s"/>
+      </SegmentList></Representation></AdaptationSet></Period></MPD>"""
+    rep = parse_mpd(seg_list)["representations"][0]
+    assert rep["segment_list"] == {
+        "init": "i.mp4", "urls": ["a.m4s", "b.m4s"]
+    }
+
+
+def test_demux_dash_end_to_end():
+    segs = [
+        [(6000, b"A" * 40), (6000, b"B" * 20)],
+        [(6000, b"C" * 30), (6000, b"D" * 10)],
+        [(6000, b"E" * 50)],
+    ]
+    init, media = build_fmp4_mjpeg(segs, 32, 16)
+    # 5 samples x 6000 ticks @ 90000 = 0.333s; 3 segments of up to
+    # 12000 ticks each -> template duration 12000
+    mpd = build_mpd("v0", 3, 12000, 90000, 32, 16)
+    fetch = {"v0-init.mp4": init}
+    for k, m in enumerate(media):
+        fetch[f"v0-{k + 1}.m4s"] = m
+    meta, samples = demux_dash(mpd, fetch)
+    assert meta["representation_id"] == "v0"
+    assert meta["n_fragments"] == 3
+    assert [s for _d, s in samples] == [
+        s for seg in segs for _d, s in seg
+    ]
+    with pytest.raises(ValueError, match="not fetched"):
+        demux_dash(mpd, {"v0-init.mp4": init})
+    with pytest.raises(ValueError, match="not in MPD"):
+        demux_dash(mpd, fetch, representation_id="nope")
+
+
+def test_segment_count_snaps_rounded_durations():
+    """A declared duration rounded UP to milliseconds must not
+    manufacture a phantom last segment (2 x 4800 ticks @ 90000 =
+    0.10666s declares as PT0.107S -> ratio 2.006)."""
+    segs = [[(2400, b"A" * 10), (2400, b"B" * 10)],
+            [(2400, b"C" * 10), (2400, b"D" * 10)]]
+    init, media = build_fmp4_mjpeg(segs, 16, 16)
+    mpd = build_mpd("v0", 2, 4800, 90000, 16, 16)
+    assert "PT0.107S" in mpd  # the rounding really happened
+    fetch = {"v0-init.mp4": init,
+             "v0-1.m4s": media[0], "v0-2.m4s": media[1]}
+    meta, samples = demux_dash(mpd, fetch)
+    assert meta["n_fragments"] == 2 and len(samples) == 4

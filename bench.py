@@ -485,10 +485,11 @@ def main() -> None:
             "calibration_mult": round(cal_mult, 3),
             "regressed_30pct": flagged(),
             "flag_basis": (
-                "flagged queries re-measured to JIT steady state in a "
-                "fresh JVM (_steady_best, convergent best-of-8) — "
-                "isolated numbers are comparable to hot shared-session "
-                "priors, so a surviving flag is a real regression"
+                "per-query MEDIAN of the last 3 rounds (absorbs "
+                "one-round outliers); flagged queries re-measured to "
+                "JIT steady state in a fresh JVM (_steady_best, "
+                "convergent best-of-8) — a surviving flag is a real "
+                "regression"
             ),
         }
 
@@ -509,20 +510,21 @@ def main() -> None:
 
 
 def _prev_round_timings() -> tuple[int, dict[str, float], float | None] | None:
-    """Per-query timings (+ the calibration workload's seconds, when
-    that round recorded one) from the newest BENCH_r{N}.json, so every
-    bench line carries its own apples-to-apples cross-round comparison
-    (same-name queries only — new/retired headliners are excluded)."""
+    """Per-query comparison basis: the MEDIAN of each query's last
+    up-to-3 recorded rounds (newest round's calibration_sec rides
+    along). A single-round basis manufactures flags the round after
+    a lucky run — r12 measured pipeline_training_export at 0.96 s
+    between r10/r11/r13's agreeing 1.38/1.43/1.45 s, and the r13
+    bench flagged the RETURN to steady state. The median of three
+    absorbs one outlier in either direction."""
     import glob
     import re
+    import statistics
 
-    best: tuple[int, dict[str, float], float | None] | None = None
+    rounds: list[tuple[int, dict[str, float], float | None]] = []
     for path in glob.glob(os.path.join(_HERE, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m:
-            continue
-        rnd = int(m.group(1))
-        if best is not None and rnd <= best[0]:
             continue
         try:
             with open(path) as f:
@@ -533,12 +535,21 @@ def _prev_round_timings() -> tuple[int, dict[str, float], float | None] | None:
         except (OSError, ValueError, AttributeError):
             continue
         if isinstance(queries, dict) and queries:
-            best = (
-                rnd,
+            rounds.append((
+                int(m.group(1)),
                 {str(k): float(v) for k, v in queries.items()},
                 float(cal) if cal else None,
-            )
-    return best
+            ))
+    if not rounds:
+        return None
+    rounds.sort()
+    last3 = rounds[-3:]
+    newest_rnd, newest_q, newest_cal = rounds[-1]
+    basis: dict[str, float] = {}
+    for q in newest_q:
+        vals = [qs[q] for _r, qs, _c in last3 if q in qs]
+        basis[q] = float(statistics.median(vals))
+    return newest_rnd, basis, newest_cal
 
 
 if __name__ == "__main__":

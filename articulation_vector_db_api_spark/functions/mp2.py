@@ -528,8 +528,17 @@ def decode_mp2(b: bytes) -> tuple[int, int, np.ndarray]:
     for malformed streams (per-row fault isolation),
     NotImplementedError for honest codec gates (Layer I/III
     samples)."""
-    from .mp3 import _parse_header
+    from .mp3 import _parse_header, _skip_id3v2
 
+    b = bytes(b)
+    # the real-world envelope (r13): leading ID3v2, trailing ID3v1 —
+    # nearly every tagged file carries them; the frame walk must see
+    # only frames
+    start = _skip_id3v2(b)
+    end = len(b)
+    if end - start >= 128 and b[end - 128 : end - 125] == b"TAG":
+        end -= 128
+    b = b[start:end]
     if len(b) < 4:
         raise ValueError("truncated MP2 stream")
     first = _parse_header(b, 0)
@@ -812,8 +821,14 @@ def decode_mp1(b: bytes) -> tuple[int, int, np.ndarray]:
     (ch, n)), including joint (intensity) stereo (r12). ValueError for
     malformed streams, NotImplementedError for honest gates (other
     layers)."""
-    from .mp3 import _parse_header
+    from .mp3 import _parse_header, _skip_id3v2
 
+    b = bytes(b)
+    start = _skip_id3v2(b)  # real-world envelope, as in decode_mp2
+    end = len(b)
+    if end - start >= 128 and b[end - 128 : end - 125] == b"TAG":
+        end -= 128
+    b = b[start:end]
     if len(b) < 4:
         raise ValueError("truncated MP1 stream")
     first = _parse_header(b, 0)

@@ -435,3 +435,24 @@ def test_mp1_mode_switch_joint_redetects_bound():
                              bitrate_kbps=192)
     with pytest.raises(ValueError, match="channel count"):
         mp2.decode_mp1(plain + st_mono)
+
+
+def test_id3_tagged_streams_decode_both_layers():
+    """Real tagged files: leading ID3v2 (syncsafe size) and trailing
+    ID3v1 ('TAG' + 125 bytes) must be skipped by the sample decoders,
+    bit-identically to the untagged stream (r13; parse_mp3 already
+    handled the envelope, decode_mp2/decode_mp1 did not)."""
+    rate = 48000
+    x = np.stack([_tone(mp2.FRAME_SAMPLES, rate)] * 2)
+    id3v2 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 40]) + bytes(40)
+    id3v1 = b"TAG" + bytes(125)
+    for enc, dec, n in (
+        (mp2.encode_mp2, mp2.decode_mp2, mp2.FRAME_SAMPLES),
+        (mp2.encode_mp1, mp2.decode_mp1, mp2.FRAME_SAMPLES_L1),
+    ):
+        xs = np.stack([_tone(n, rate)] * 2)
+        es = enc(xs, rate, 192)
+        r0, c0, p0 = dec(es)
+        r1, c1, p1 = dec(id3v2 + es + id3v1)
+        assert (r0, c0) == (r1, c1)
+        assert np.array_equal(p0, p1)

@@ -74,7 +74,9 @@ def compute_window(
     """
     from articulation_vector_db_api_spark import registry
 
-    registry.REGISTRY.clear()
+    # NO REGISTRY.clear() here: suites register on first import only,
+    # so clearing inside an already-imported process (e.g. the full
+    # pytest run) would leave the registry empty forever
     order = list(registry.load_all())
     contact = latest_contact()
 

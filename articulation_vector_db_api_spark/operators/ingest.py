@@ -68,6 +68,17 @@ def _extract_one(path: str, content: bytes) -> tuple[str | None, str | None]:
                 return extract_pdf_text(bytes(content)), None
             reader = PdfReader(io.BytesIO(content))
             return "\n".join((page.extract_text() or "") for page in reader.pages), None
+        low = path.lower()
+        if low.endswith((".docx", ".odt", ".pptx")):
+            # office formats (r13): ZIP+XML, stdlib-only extractors
+            from ..functions import officetext
+
+            fn = {
+                ".docx": officetext.extract_docx_text,
+                ".odt": officetext.extract_odt_text,
+                ".pptx": officetext.extract_pptx_text,
+            }[low[low.rfind(".") :]]
+            return fn(bytes(content)), None
         return bytes(content).decode("utf-8"), None
     except Exception as e:  # noqa: BLE001 - fault isolation boundary
         return None, f"{type(e).__name__}: {e}"

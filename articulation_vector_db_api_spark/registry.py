@@ -311,6 +311,7 @@ _WINDOW_DEFER = frozenset(
         "multimodal_aiff_au_roundtrip",  # r13: same proof
         "multimodal_hls_ts_stitch",      # r13: same proof
         "multimodal_fmp4_dash_roundtrip",  # r13: same proof
+        "ingest_office_extract",         # r13: same proof
     }
 )
 

@@ -1,0 +1,104 @@
+"""Office-document extraction (functions/officetext.py): DOCX/ODT/
+PPTX witness build + lossless paragraph extraction, special-content
+handling (tabs, breaks, ODT space runs, XML escapes), malformed-
+container errors, and the ingest-dispatch integration."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from articulation_vector_db_api_spark.functions.officetext import (
+    build_docx,
+    build_odt,
+    build_pptx,
+    extract_docx_text,
+    extract_odt_text,
+    extract_pptx_text,
+)
+
+PARAS = [
+    "Transfer credits apply after review.",
+    "",  # empty paragraph survives
+    "Fees & deadlines: <see below>",  # XML-escaped content
+    "  leading and trailing spaces  ",
+]
+
+
+def test_docx_roundtrip_lossless():
+    assert extract_docx_text(build_docx(PARAS)) == "\n".join(PARAS)
+
+
+def test_odt_roundtrip_lossless():
+    assert extract_odt_text(build_odt(PARAS)) == "\n".join(PARAS)
+
+
+def test_pptx_roundtrip_lossless():
+    slides = [PARAS[:2], PARAS[2:]]
+    want = "\n".join(PARAS[:2]) + "\n\n" + "\n".join(PARAS[2:])
+    assert extract_pptx_text(build_pptx(slides)) == want
+
+
+def test_docx_tabs_and_breaks():
+    ns = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    doc = (
+        f'<w:document xmlns:w="{ns}"><w:body><w:p><w:r>'
+        "<w:t>a</w:t><w:tab/><w:t>b</w:t><w:br/><w:t>c</w:t>"
+        "</w:r></w:p></w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", doc)
+    assert extract_docx_text(buf.getvalue()) == "a\tb\nc"
+
+
+def test_odt_space_runs_and_tabs():
+    tns = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+    ons = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+    content = (
+        f'<office:document-content xmlns:office="{ons}" '
+        f'xmlns:text="{tns}"><office:body><office:text>'
+        "<text:p>a<text:s text:c=\"3\"/>b<text:tab/>c"
+        "<text:line-break/>d</text:p>"
+        "</office:text></office:body></office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("content.xml", content)
+    assert extract_odt_text(buf.getvalue()) == "a   b\tc\nd"
+
+
+def test_malformed_containers_raise_valueerror():
+    with pytest.raises(ValueError, match="ZIP"):
+        extract_docx_text(b"not a zip at all")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", "<w:document>broken")
+    with pytest.raises(ValueError, match="malformed office XML"):
+        extract_docx_text(buf.getvalue())
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w") as z:
+        z.writestr("something_else.xml", "<a/>")
+    with pytest.raises(ValueError, match="member missing"):
+        extract_docx_text(buf2.getvalue())
+    with pytest.raises(ValueError, match="no slides"):
+        extract_pptx_text(buf2.getvalue())
+
+
+def test_ingest_dispatch_extracts_office_files():
+    """operators/ingest._extract_one routes .docx/.odt/.pptx to the
+    office extractors with the same per-file fault isolation as PDF."""
+    from articulation_vector_db_api_spark.operators.ingest import (
+        _extract_one,
+    )
+
+    text, err = _extract_one("a/tuition.docx", build_docx(PARAS))
+    assert err is None and text == "\n".join(PARAS)
+    text, err = _extract_one("b/housing.odt", build_odt(PARAS))
+    assert err is None and text == "\n".join(PARAS)
+    text, err = _extract_one("c/deck.pptx", build_pptx([PARAS]))
+    assert err is None and text == "\n".join(PARAS)
+    text, err = _extract_one("d/broken.docx", b"garbage")
+    assert text is None and "ValueError" in err

@@ -31,9 +31,16 @@ def _local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
 
 
+_MAX_XML_MEMBER = 1 << 28  # 256 MB: decompression-bomb guard
+
+
 def _read_zip_member(data: bytes, name: str) -> bytes:
     try:
         with zipfile.ZipFile(io.BytesIO(data)) as z:
+            if z.getinfo(name).file_size > _MAX_XML_MEMBER:
+                raise ValueError(
+                    f"office XML member too large: {name}"
+                )
             return z.read(name)
     except zipfile.BadZipFile as exc:
         raise ValueError(f"not a ZIP container: {exc}") from exc
@@ -121,6 +128,11 @@ def extract_pptx_text(data: bytes) -> str:
             if not names:
                 raise ValueError("PPTX with no slides")
             names.sort(key=lambda n: int(re.search(r"(\d+)", n).group(1)))
+            for n in names:
+                if z.getinfo(n).file_size > _MAX_XML_MEMBER:
+                    raise ValueError(
+                        f"office XML member too large: {n}"
+                    )
             slides = [z.read(n) for n in names]
     except zipfile.BadZipFile as exc:
         raise ValueError(f"not a ZIP container: {exc}") from exc

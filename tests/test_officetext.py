@@ -102,3 +102,23 @@ def test_ingest_dispatch_extracts_office_files():
     assert err is None and text == "\n".join(PARAS)
     text, err = _extract_one("d/broken.docx", b"garbage")
     assert text is None and "ValueError" in err
+
+
+def test_zip_bomb_guard():
+    """A member whose DECLARED inflated size exceeds the cap raises
+    before decompression (100 TB crawls contain hostile ZIPs)."""
+    import zipfile as zf
+
+    from articulation_vector_db_api_spark.functions import officetext
+
+    buf = io.BytesIO()
+    with zf.ZipFile(buf, "w", zf.ZIP_DEFLATED) as z:
+        z.writestr("word/document.xml", b"<w:document/>")
+    blob = bytearray(buf.getvalue())
+    old = officetext._MAX_XML_MEMBER
+    officetext._MAX_XML_MEMBER = 4  # tiny cap to trigger the guard
+    try:
+        with pytest.raises(ValueError, match="too large"):
+            extract_docx_text(bytes(blob))
+    finally:
+        officetext._MAX_XML_MEMBER = old

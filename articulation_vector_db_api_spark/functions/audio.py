@@ -129,12 +129,35 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     are checked explicitly so no struct.error/ZeroDivisionError can
     escape a caller's per-row fault isolation."""
     b = bytes(payload)
-    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+    rf64 = b[:4] in (b"RF64", b"BW64")
+    if not rf64 and b[:4] != b"RIFF":
         raise ValueError("not a RIFF/WAVE stream")
+    if b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    # RF64/BW64 (EBU Tech 3306/3285 supplement): 32-bit size fields
+    # hold 0xFFFFFFFF and the REAL 64-bit sizes ride in a mandatory
+    # ds64 chunk that must come FIRST — the broadcast form for >4 GB
+    # captures (r13; at 100 TB scale these are routine)
+    ds64_data_size = None
+    ds64_fact = None
     i, fmt, fmt_body, data, fact_frames = 12, None, b"", None, None
     while i + 8 <= len(b):
         cid = b[i : i + 4]
         (size,) = struct.unpack_from("<I", b, i + 4)
+        if cid == b"ds64":
+            if not rf64:
+                raise ValueError("ds64 chunk in a plain RIFF stream")
+            if size < 24:
+                raise ValueError("truncated RF64 ds64 chunk")
+            _riff_sz, ds64_data_size, ds64_fact = struct.unpack_from(
+                "<QQQ", b, i + 8
+            )
+            i += 8 + size + (size & 1)
+            continue
+        if size == 0xFFFFFFFF and rf64 and cid == b"data":
+            if ds64_data_size is None:
+                raise ValueError("RF64 data chunk before ds64")
+            size = ds64_data_size
         body = b[i + 8 : i + 8 + size]
         if cid == b"fmt ":
             if len(body) < 16:
@@ -145,6 +168,8 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
             data = body
         elif cid == b"fact" and len(body) >= 4:
             (fact_frames,) = struct.unpack_from("<I", body, 0)
+            if fact_frames == 0xFFFFFFFF and ds64_fact is not None:
+                fact_frames = ds64_fact
         i += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")

@@ -139,3 +139,48 @@ def test_build_once_contract(spark, tmp_path, monkeypatch):
     assert len(calls) == 2
     assert not os.path.exists(os.path.join(s1, "stale"))  # partial wiped
     assert os.path.exists(os.path.join(s1, "_STORE_COMPLETE"))
+
+
+def test_rf64_bw64_wav_decode():
+    """RF64/BW64 (EBU Tech 3306): the >4 GB broadcast WAV form — the
+    32-bit RIFF/data sizes hold 0xFFFFFFFF and a leading ds64 chunk
+    carries the 64-bit truth. Decode must be bit-identical to the
+    plain RIFF twin, and a ds64 in a plain RIFF stream raises."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from articulation_vector_db_api_spark.functions.audio import (
+        decode_wav,
+        encode_wav,
+    )
+
+    pcm = np.arange(-300, 300, dtype=np.int16)
+    riff = encode_wav(pcm, 22050)
+    rate0, s0 = decode_wav(riff)
+
+    # rewrite as RF64: magic, RIFF size -> -1, prepend ds64 after WAVE
+    data_at = riff.find(b"data")
+    (data_size,) = struct.unpack_from("<I", riff, data_at + 4)
+    ds64 = (
+        b"ds64"
+        + struct.pack("<I", 28)
+        + struct.pack("<QQQ", len(riff) - 8 + 36, data_size, len(pcm))
+        + struct.pack("<I", 0)  # table length 0
+    )
+    body = bytearray(riff[12:])
+    at = bytes(body).find(b"data")
+    struct.pack_into("<I", body, at + 4, 0xFFFFFFFF)
+    rf64 = (
+        b"RF64" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+        + ds64 + bytes(body)
+    )
+    for magic in (b"RF64", b"BW64"):
+        rate1, s1 = decode_wav(magic + rf64[4:])
+        assert rate1 == rate0
+        assert np.array_equal(s1, s0)
+    # ds64 in a plain RIFF stream is malformed
+    bad = b"RIFF" + rf64[4:]
+    with pytest.raises(ValueError, match="ds64"):
+        decode_wav(bad)

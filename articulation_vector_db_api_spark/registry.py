@@ -312,6 +312,7 @@ _WINDOW_DEFER = frozenset(
         "multimodal_hls_ts_stitch",      # r13: same proof
         "multimodal_fmp4_dash_roundtrip",  # r13: same proof
         "ingest_office_extract",         # r13: same proof
+        "multimodal_ass_subtitle_extract",  # r13: same proof
     }
 )
 

@@ -6775,3 +6775,117 @@ def multimodal_fmp4_dash_roundtrip(
         .mapInPandas(batches, schema)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_ass_subtitle_extract",
+    oracle="""
+    WITH ln AS (
+        SELECT doc_id,
+               list_filter(string_split(text, chr(10)),
+                           x -> length(x) > 0) AS lines
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(lines) AS BIGINT) AS n_cues,
+           CAST(length(array_to_string(lines, chr(10)))
+               AS BIGINT) AS n_chars,
+           sha256(array_to_string(lines, chr(10))) AS text_sha,
+           CAST(1 AS BIGINT) AS cleaned_lossless,
+           CAST(1 AS BIGINT) AS vtt_roundtrip
+    FROM ln
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "subtitles"),
+)
+def multimodal_ass_subtitle_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ASS/SSA SUBTITLE EXTRACTION (r13, functions/ass.py) — the
+    fansub-corpus subtitle format, completing the cue-model family
+    beside SubRip and WebVTT. Per doc: the document's non-empty
+    lines become Dialogue events (each wrapped in a {\\pos(..)}
+    override block and carrying an internal \\N line break, so the
+    cleaner is exercised on every cue), parsed back with the
+    Format-driven field order, override-stripped, and converted
+    LOSSLESSLY to WebVTT and re-parsed. The concatenated cleaned
+    text's sha256 must equal the oracle's digest of the same
+    non-empty lines — cross-engine proof of the whole clean/convert
+    cycle.
+
+    Scale shape: Arrow-batched narrow map over (doc_id, text)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_cues", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("text_sha", T.StringType()),
+            T.StructField("cleaned_lossless", T.LongType()),
+            T.StructField("vtt_roundtrip", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from ..functions.ass import ass_to_vtt, build_ass, parse_ass
+        from ..functions.vtt import parse_vtt
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                lines = [
+                    ln for ln in str(text).split("\n") if ln
+                ]
+                cues = [
+                    (k * 2000, k * 2000 + 1500, ln)
+                    for k, ln in enumerate(lines)
+                ]
+                doc = build_ass(cues)
+                # exercise the cleaner: override block + \N per cue
+                doc = doc.replace(
+                    ",,0,0,0,,", ",,0,0,0,,{\\pos(4,2)}sub\\N", 1
+                )
+                parsed = parse_ass(doc)
+                cleaned = list(parsed)
+                # undo the one decorated cue for the lossless check
+                if cleaned and cleaned[0]["text"].startswith("sub\n"):
+                    cleaned[0] = dict(
+                        cleaned[0],
+                        text=cleaned[0]["text"][4:],
+                    )
+                got = "\n".join(c["text"] for c in cleaned)
+                want = "\n".join(lines)
+                vtt_cues = (
+                    parse_vtt(ass_to_vtt(build_ass(cues)))
+                    if cues
+                    else []
+                )
+                vtt_ok = [
+                    (c["start_ms"], c["end_ms"], c["text"])
+                    for c in vtt_cues
+                ] == cues
+                rows.append(
+                    (
+                        doc_id,
+                        len(parsed),
+                        len(got),
+                        hashlib.sha256(got.encode()).hexdigest(),
+                        int(got == want),
+                        int(vtt_ok),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )

@@ -56,6 +56,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas"],
         [r"BatchEvalPython"],
     ),
+    "multimodal_ass_subtitle_extract": (
+        [r"MapInPandas"],
+        [r"BatchEvalPython"],
+    ),
     "matview_incremental_rollup": (
         # the view's read path merges STORE partials (scans under the
         # matview_rollup store) and never rescans the raw table

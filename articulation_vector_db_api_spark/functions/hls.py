@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from .mpegts import build_mpeg_ts, demux_mpeg_ts
 
-__all__ = ["build_hls", "parse_m3u8", "demux_hls"]
+__all__ = ["build_hls", "parse_m3u8", "parse_m3u8_master", "demux_hls"]
 
 
 def build_hls(
@@ -117,6 +117,82 @@ def parse_m3u8(text: str) -> dict:
     if pending is not None:
         raise ValueError("HLS #EXTINF without a following URI")
     return out
+
+
+def _parse_attr_list(s: str) -> dict[str, str]:
+    """#EXT-X-STREAM-INF attribute list: KEY=VALUE pairs, values may
+    be quoted strings containing commas (RFC 8216 §4.2)."""
+    out: dict[str, str] = {}
+    i = 0
+    while i < len(s):
+        eq = s.find("=", i)
+        if eq < 0:
+            break
+        key = s[i:eq].strip()
+        if eq + 1 < len(s) and s[eq + 1] == '"':
+            end = s.find('"', eq + 2)
+            if end < 0:
+                raise ValueError("unterminated HLS attribute string")
+            out[key] = s[eq + 2 : end]
+            i = end + 1
+            if i < len(s) and s[i] == ",":
+                i += 1
+        else:
+            end = s.find(",", eq + 1)
+            if end < 0:
+                end = len(s)
+            out[key] = s[eq + 1 : end].strip()
+            i = end + 1
+    return out
+
+
+def parse_m3u8_master(text: str) -> dict:
+    """MASTER playlist -> {variants: [{bandwidth, resolution, codecs,
+    uri}], best: uri of the highest-bandwidth variant}. A media
+    playlist (no #EXT-X-STREAM-INF) raises ValueError — route it to
+    parse_m3u8."""
+    lines = [ln.strip() for ln in text.splitlines()]
+    if not lines or lines[0] != "#EXTM3U":
+        raise ValueError("not an M3U8 playlist (missing #EXTM3U)")
+    variants: list[dict] = []
+    stray: list[str] = []
+    pending: dict | None = None
+    for ln in lines[1:]:
+        if not ln:
+            continue
+        if ln.startswith("#EXT-X-STREAM-INF:"):
+            attrs = _parse_attr_list(ln.split(":", 1)[1])
+            if "BANDWIDTH" not in attrs:
+                raise ValueError(
+                    "HLS STREAM-INF without BANDWIDTH (required)"
+                )
+            pending = {
+                "bandwidth": int(attrs["BANDWIDTH"]),
+                "resolution": attrs.get("RESOLUTION"),
+                "codecs": attrs.get("CODECS"),
+            }
+        elif ln.startswith("#"):
+            continue
+        else:
+            if pending is None:
+                stray.append(ln)
+                continue
+            pending["uri"] = ln
+            variants.append(pending)
+            pending = None
+    if pending is not None:
+        raise ValueError("HLS #EXT-X-STREAM-INF without a URI")
+    if not variants:
+        raise ValueError(
+            "not a master playlist (no #EXT-X-STREAM-INF) — use "
+            "parse_m3u8"
+        )
+    if stray:
+        raise ValueError(
+            f"HLS master URI without #EXT-X-STREAM-INF: {stray[0]}"
+        )
+    best = max(variants, key=lambda v: v["bandwidth"])["uri"]
+    return {"variants": variants, "best": best}
 
 
 def demux_hls(

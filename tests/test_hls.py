@@ -199,3 +199,33 @@ def test_segments_with_different_pids_still_stitch():
          "b.ts": one_segment(0x1E0, v2, 7200)},
     )
     assert out["streams"][VIDEO_STREAM_0]["data"] == v1 + v2
+
+
+def test_master_playlist_parse_and_variant_pick():
+    from articulation_vector_db_api_spark.functions.hls import (
+        parse_m3u8_master,
+    )
+
+    master = (
+        "#EXTM3U\n"
+        '#EXT-X-STREAM-INF:BANDWIDTH=800000,RESOLUTION=640x360,'
+        'CODECS="avc1.4d401e,mp4a.40.2"\n'
+        "low/index.m3u8\n"
+        "#EXT-X-STREAM-INF:BANDWIDTH=2500000,RESOLUTION=1280x720\n"
+        "hi/index.m3u8\n"
+    )
+    out = parse_m3u8_master(master)
+    assert out["best"] == "hi/index.m3u8"
+    assert out["variants"][0]["codecs"] == "avc1.4d401e,mp4a.40.2"
+    assert out["variants"][0]["resolution"] == "640x360"
+    with pytest.raises(ValueError, match="no #EXT-X-STREAM-INF"):
+        parse_m3u8_master("#EXTM3U\n#EXTINF:1,\nseg.ts\n")
+    with pytest.raises(ValueError, match="without a URI"):
+        parse_m3u8_master("#EXTM3U\n#EXT-X-STREAM-INF:BANDWIDTH=1\n")
+    with pytest.raises(ValueError, match="BANDWIDTH"):
+        parse_m3u8_master(
+            "#EXTM3U\n#EXT-X-STREAM-INF:RESOLUTION=1x1\nx.m3u8\n"
+        )
+    # the media-playlist side of the fence still routes correctly
+    with pytest.raises(NotImplementedError, match="master"):
+        parse_m3u8(master)

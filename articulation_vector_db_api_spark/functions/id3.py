@@ -1,0 +1,211 @@
+"""ID3 tag METADATA extraction (ID3v2.2/2.3/2.4 + ID3v1) — the
+public informal standards (id3.org) every tagged audio file follows.
+The frame walks in functions/mp3.py SKIP these tags; this module
+reads them, because tag metadata (title/artist/album/year/genre,
+comments, language) is curation signal for audio corpora — the
+audio twin of the HTML/PDF metadata the text pipeline keeps.
+
+Surface: the three v2 layouts (v2.2: 3-char ids + 3-byte sizes;
+v2.3: 4-char ids + big-endian sizes + frame flags; v2.4: syncsafe
+frame sizes), whole-tag unsynchronisation (v2.2/2.3), the v2.3/2.4
+extended header, all four text encodings (ISO-8859-1, UTF-16 with
+BOM, UTF-16BE, UTF-8), T*** text frames (v2.4 multi-value on NUL),
+COMM comment frames with their language code, and the trailing
+128-byte ID3v1 record as fallback. Compression/encryption frame
+flags gate honestly.
+
+ValueError for structurally broken tags (fault-isolation boundary).
+"""
+
+from __future__ import annotations
+
+__all__ = ["parse_id3v2", "parse_id3v1", "id3_metadata"]
+
+# common frame id -> canonical key, across v2.2 (3-char) and v2.3/4
+_CANON = {
+    "TIT2": "title", "TT2": "title",
+    "TPE1": "artist", "TP1": "artist",
+    "TALB": "album", "TAL": "album",
+    "TYER": "year", "TYE": "year", "TDRC": "year",
+    "TRCK": "track", "TRK": "track",
+    "TCON": "genre", "TCO": "genre",
+    "TLAN": "language", "TLA": "language",
+}
+
+
+def _syncsafe(b: bytes) -> int:
+    n = 0
+    for byte in b:
+        if byte & 0x80:
+            raise ValueError("ID3v2 size bytes must be syncsafe")
+        n = (n << 7) | byte
+    return n
+
+
+def _de_unsync(b: bytes) -> bytes:
+    return b.replace(b"\xff\x00", b"\xff")
+
+
+def _decode_text(enc: int, raw: bytes) -> list[str]:
+    """Encoding byte + payload -> value list (v2.4 allows multiple
+    NUL-separated strings in one text frame)."""
+    if enc == 0:
+        parts = raw.split(b"\x00")
+        vals = [p.decode("latin1") for p in parts]
+    elif enc == 1:
+        vals = [
+            p.decode("utf-16") if p else ""
+            for p in raw.split(b"\x00\x00")
+        ]
+    elif enc == 2:
+        vals = [
+            p.decode("utf-16-be") if p else ""
+            for p in raw.split(b"\x00\x00")
+        ]
+    elif enc == 3:
+        vals = [p.decode("utf-8") for p in raw.split(b"\x00")]
+    else:
+        raise ValueError(f"ID3v2 text encoding {enc}")
+    return [v for v in vals if v]
+
+
+def parse_id3v2(data: bytes) -> dict | None:
+    """Leading ID3v2 tag -> {version, frames: {id: [values]},
+    comments: [{lang, text}]}; None when no tag is present."""
+    b = bytes(data)
+    if b[:3] != b"ID3" or len(b) < 10:
+        return None
+    ver = b[3]
+    if ver not in (2, 3, 4):
+        raise ValueError(f"ID3v2.{ver} is not a known layout")
+    flags = b[5]
+    size = _syncsafe(b[6:10])
+    body = b[10 : 10 + size]
+    if len(body) < size:
+        raise ValueError("ID3v2 tag truncated")
+    if flags & 0x80 and ver in (2, 3):
+        body = _de_unsync(body)  # whole-tag unsynchronisation
+    if flags & 0x40 and ver >= 3:  # extended header
+        if len(body) < 4:
+            raise ValueError("ID3v2 extended header truncated")
+        if ver == 3:
+            ext = int.from_bytes(body[0:4], "big") + 4
+        else:
+            ext = _syncsafe(body[0:4])
+        body = body[ext:]
+    id_len = 3 if ver == 2 else 4
+    frames: dict[str, list[str]] = {}
+    comments: list[dict] = []
+    i = 0
+    while i + id_len * 2 <= len(body):
+        fid = body[i : i + id_len]
+        if fid == b"\x00" * id_len:
+            break  # padding
+        try:
+            fid_s = fid.decode("ascii")
+        except UnicodeDecodeError as exc:
+            raise ValueError(f"ID3v2 frame id {fid!r}") from exc
+        if not fid_s.isalnum() or not fid_s.isupper():
+            raise ValueError(f"ID3v2 frame id {fid_s!r}")
+        if ver == 2:
+            fsize = int.from_bytes(body[i + 3 : i + 6], "big")
+            hdr = 6
+            fflags = 0
+        else:
+            raw_sz = body[i + 4 : i + 8]
+            fsize = (
+                _syncsafe(raw_sz) if ver == 4
+                else int.from_bytes(raw_sz, "big")
+            )
+            fflags = int.from_bytes(body[i + 8 : i + 10], "big")
+            hdr = 10
+        payload = body[i + hdr : i + hdr + fsize]
+        if len(payload) < fsize:
+            raise ValueError(f"ID3v2 frame {fid_s} truncated")
+        i += hdr + fsize
+        if ver == 3 and fflags & 0x00C0:
+            raise NotImplementedError(
+                f"ID3v2.3 compressed/encrypted frame {fid_s}"
+            )
+        if ver == 4 and fflags & 0x000C:
+            raise NotImplementedError(
+                f"ID3v2.4 compressed/encrypted frame {fid_s}"
+            )
+        if ver == 4 and fflags & 0x0002:
+            payload = _de_unsync(payload)  # per-frame unsync
+        if not payload:
+            continue
+        if fid_s.startswith("T") and fid_s not in ("TXX", "TXXX"):
+            frames.setdefault(fid_s, []).extend(
+                _decode_text(payload[0], payload[1:])
+            )
+        elif fid_s in ("COM", "COMM"):
+            if len(payload) < 4:
+                raise ValueError("ID3v2 COMM frame truncated")
+            enc, lang = payload[0], payload[1:4]
+            vals = _decode_text(enc, payload[4:])
+            # first value is the short description, rest the body
+            comments.append({
+                "lang": lang.decode("latin1"),
+                "text": vals[-1] if vals else "",
+            })
+    return {
+        "version": f"2.{ver}",
+        "frames": frames,
+        "comments": comments,
+    }
+
+
+def parse_id3v1(data: bytes) -> dict | None:
+    """Trailing 128-byte ID3v1 record -> {title, artist, album, year,
+    comment, track, genre_code}; None when absent."""
+    b = bytes(data)
+    if len(b) < 128 or b[-128:-125] != b"TAG":
+        return None
+    t = b[-125:]
+
+    def s(a: int, n: int) -> str:
+        return t[a : a + n].split(b"\x00")[0].decode(
+            "latin1"
+        ).strip()
+
+    track = None
+    comment_len = 30
+    # ID3v1.1: comment truncates to 28 bytes, byte 28 is 0 and byte
+    # 29 carries the track number (field offsets from "TAG"+3:
+    # comment spans 94..123, genre at 124)
+    if t[122] == 0 and t[123] != 0:
+        track = t[123]
+        comment_len = 28
+    return {
+        "title": s(0, 30),
+        "artist": s(30, 30),
+        "album": s(60, 30),
+        "year": s(90, 4),
+        "comment": s(94, comment_len),
+        "track": track,
+        "genre_code": t[124],
+    }
+
+
+def id3_metadata(data: bytes) -> dict:
+    """Best-of-both view for curation: canonical keys (title, artist,
+    album, year, track, genre, language) from the v2 tag when
+    present, falling back to v1 fields; plus the raw structures."""
+    v2 = parse_id3v2(data)
+    v1 = parse_id3v1(data)
+    out: dict = {"id3v2": v2, "id3v1": v1}
+    canon: dict[str, str] = {}
+    if v1:
+        for k in ("title", "artist", "album", "year"):
+            if v1[k]:
+                canon[k] = v1[k]
+        if v1["track"] is not None:
+            canon["track"] = str(v1["track"])
+    if v2:
+        for fid, vals in v2["frames"].items():
+            key = _CANON.get(fid)
+            if key and vals:
+                canon[key] = vals[0]
+    out.update(canon)
+    return out

@@ -1,0 +1,150 @@
+"""ID3 metadata (functions/id3.py): v2.2/2.3/2.4 frame layouts, all
+four text encodings, unsynchronisation, extended headers, COMM
+language, v1/v1.1 fallback, canonical merge, gates, fuzz."""
+
+from __future__ import annotations
+
+import pytest
+
+from articulation_vector_db_api_spark.functions.id3 import (
+    id3_metadata,
+    parse_id3v1,
+    parse_id3v2,
+)
+
+
+def _syncsafe4(n: int) -> bytes:
+    return bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+
+
+def _v23_frame(fid: bytes, payload: bytes, flags: int = 0) -> bytes:
+    return (
+        fid + len(payload).to_bytes(4, "big")
+        + flags.to_bytes(2, "big") + payload
+    )
+
+
+def _v24_frame(fid: bytes, payload: bytes, flags: int = 0) -> bytes:
+    return (
+        fid + _syncsafe4(len(payload))
+        + flags.to_bytes(2, "big") + payload
+    )
+
+
+def _tag(version: int, body: bytes, flags: int = 0) -> bytes:
+    return (
+        b"ID3" + bytes([version, 0, flags]) + _syncsafe4(len(body))
+        + body
+    )
+
+
+def test_v23_text_frames_all_encodings():
+    body = (
+        _v23_frame(b"TIT2", b"\x00Latin title")
+        + _v23_frame(b"TPE1", b"\x01" + "ütf16 çura".encode("utf-16"))
+        + _v23_frame(b"TALB", b"\x02" + "be16".encode("utf-16-be"))
+        + _v23_frame(b"TYER", b"\x03" + "1999".encode("utf-8"))
+        + _v23_frame(
+            b"COMM", b"\x00eng" + b"desc\x00the comment body"
+        )
+    )
+    meta = parse_id3v2(_tag(3, body))
+    assert meta["version"] == "2.3"
+    assert meta["frames"]["TIT2"] == ["Latin title"]
+    assert meta["frames"]["TPE1"] == ["ütf16 çura"]
+    assert meta["frames"]["TALB"] == ["be16"]
+    assert meta["frames"]["TYER"] == ["1999"]
+    assert meta["comments"] == [
+        {"lang": "eng", "text": "the comment body"}
+    ]
+
+
+def test_v24_syncsafe_and_multivalue():
+    body = _v24_frame(
+        b"TPE1", b"\x03" + "first\x00second".encode("utf-8")
+    ) + _v24_frame(b"TDRC", b"\x00" + b"2008")
+    meta = parse_id3v2(_tag(4, body))
+    assert meta["frames"]["TPE1"] == ["first", "second"]
+    assert id3_metadata(_tag(4, body))["year"] == "2008"
+
+
+def test_v22_three_char_layout():
+    body = (
+        b"TT2" + (12).to_bytes(3, "big") + b"\x00old school!"
+        + b"TP1" + (7).to_bytes(3, "big") + b"\x00artist"
+    )
+    meta = parse_id3v2(_tag(2, body))
+    assert meta["frames"]["TT2"] == ["old school!"]
+    assert id3_metadata(_tag(2, body))["title"] == "old school!"
+
+
+def test_whole_tag_unsynchronisation():
+    # payload byte 0xFF gets a 0x00 stuffed after it on write
+    text = b"\x00a\xffb"
+    raw = _v23_frame(b"TIT2", text)
+    stuffed = raw.replace(b"\xff", b"\xff\x00")
+    meta = parse_id3v2(_tag(3, stuffed, flags=0x80))
+    assert meta["frames"]["TIT2"] == ["a\xffb"]
+
+
+def test_extended_header_skip():
+    ext = (6).to_bytes(4, "big") + b"\x00\x00" + b"\x00" * 4
+    body = ext + _v23_frame(b"TIT2", b"\x00x")
+    meta = parse_id3v2(_tag(3, body, flags=0x40))
+    assert meta["frames"]["TIT2"] == ["x"]
+
+
+def test_id3v1_and_v11_fallback_and_merge():
+    v1 = (
+        b"TAG"
+        + b"Old Title".ljust(30, b"\x00")
+        + b"Old Artist".ljust(30, b"\x00")
+        + b"Old Album".ljust(30, b"\x00")
+        + b"1977"
+        + b"comment".ljust(28, b"\x00") + b"\x00\x07"  # v1.1 track 7
+        + bytes([17])
+    )
+    assert len(v1) == 128
+    meta = parse_id3v1(b"AUDIOFRAMES" + v1)
+    assert meta["title"] == "Old Title" and meta["track"] == 7
+    assert meta["genre_code"] == 17
+    # v2 wins canonical keys; v1 fills the rest
+    v2 = _tag(3, _v23_frame(b"TIT2", b"\x00New Title"))
+    merged = id3_metadata(v2 + b"frames" + v1)
+    assert merged["title"] == "New Title"
+    assert merged["artist"] == "Old Artist"
+    assert merged["track"] == "7"
+
+
+def test_gates_and_malformed():
+    assert parse_id3v2(b"no tag here") is None
+    assert parse_id3v1(b"short") is None
+    with pytest.raises(ValueError, match="syncsafe"):
+        parse_id3v2(b"ID3\x03\x00\x00\x80\x00\x00\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        parse_id3v2(_tag(3, _v23_frame(b"TIT2", b"\x00x"))[:-1])
+    with pytest.raises(NotImplementedError, match="compressed"):
+        parse_id3v2(_tag(3, _v23_frame(b"TIT2", b"\x00x", flags=0x80)))
+    with pytest.raises(ValueError, match="encoding"):
+        parse_id3v2(_tag(3, _v23_frame(b"TIT2", b"\x07x")))
+
+
+def test_fuzz_contract():
+    import random
+
+    blob = _tag(3, (
+        _v23_frame(b"TIT2", b"\x00title")
+        + _v23_frame(b"COMM", b"\x00engd\x00body")
+    ))
+    rng = random.Random(11)
+    for _ in range(300):
+        bad = bytearray(blob)
+        i = rng.randrange(len(bad))
+        bad[i] ^= 1 << rng.randrange(8)
+        try:
+            meta = parse_id3v2(bytes(bad))
+        except (ValueError, NotImplementedError, UnicodeDecodeError):
+            continue
+        assert meta is None or isinstance(meta["frames"], dict)

@@ -313,6 +313,7 @@ _WINDOW_DEFER = frozenset(
         "multimodal_fmp4_dash_roundtrip",  # r13: same proof
         "ingest_office_extract",         # r13: same proof
         "multimodal_ass_subtitle_extract",  # r13: same proof
+        "multimodal_id3_metadata",       # r13: same proof
     }
 )
 

@@ -6889,3 +6889,141 @@ def multimodal_ass_subtitle_extract(
         .mapInPandas(batches, schema)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_id3_metadata",
+    oracle="""
+    SELECT doc_id,
+           'doc ' || CAST(doc_id AS VARCHAR) AS title,
+           source AS artist,
+           lang AS language,
+           CAST(1900 + doc_id % 125 AS VARCHAR) AS year,
+           CAST(1 + doc_id % 99 AS VARCHAR) AS track,
+           CAST(1 AS BIGINT) AS audio_decodes,
+           CAST(1 AS BIGINT) AS v1_agrees
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "audio"),
+)
+def multimodal_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3 METADATA over tagged audio (r13, functions/id3.py): each
+    doc becomes a real tagged MP2 file — an ID3v2.3 tag (title/
+    artist/language/year/track across three text encodings by doc
+    parity) + encoded Layer II audio + a trailing ID3v1.1 record —
+    then the canonical metadata merge runs AND the sample decoder
+    proves the tag envelope skip (r13's decode_mp2 fix) by decoding
+    the audio bit-identically to the untagged stream.
+
+    Oracle pins every canonical field against the documents columns
+    they derive from, plus the decode and v1-agreement flags.
+
+    Scale shape: Arrow-batched narrow map, one row per doc."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("artist", T.StringType()),
+            T.StructField("language", T.StringType()),
+            T.StructField("year", T.StringType()),
+            T.StructField("track", T.StringType()),
+            T.StructField("audio_decodes", T.LongType()),
+            T.StructField("v1_agrees", T.LongType()),
+        ]
+    )
+
+    def _v23_frame(fid: bytes, payload: bytes) -> bytes:
+        return fid + len(payload).to_bytes(4, "big") + b"\x00\x00" + payload
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.id3 import id3_metadata
+        from ..functions.mp2 import decode_mp2, encode_mp2
+
+        for pdf in it:
+            rows = []
+            for doc_id, lang, source in zip(
+                pdf["doc_id"], pdf["lang"], pdf["source"]
+            ):
+                i = int(doc_id)
+                title = f"doc {i}"
+                year = str(1900 + i % 125)
+                track = str(1 + i % 99)
+                enc = i % 3  # latin1 / utf16 / utf8 across docs
+                enc_byte = (0, 1, 3)[enc]
+
+                def tx(s: str) -> bytes:
+                    if enc == 0:
+                        return bytes([0]) + s.encode("latin1")
+                    if enc == 1:
+                        return bytes([1]) + s.encode("utf-16")
+                    return bytes([3]) + s.encode("utf-8")
+
+                _ = enc_byte
+                body = (
+                    _v23_frame(b"TIT2", tx(title))
+                    + _v23_frame(b"TPE1", tx(str(source)))
+                    + _v23_frame(b"TLAN", tx(str(lang)))
+                    + _v23_frame(b"TYER", tx(year))
+                    + _v23_frame(b"TRCK", tx(track))
+                )
+                sz = len(body)
+                tag = (
+                    b"ID3\x03\x00\x00"
+                    + bytes([
+                        (sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                        (sz >> 7) & 0x7F, sz & 0x7F,
+                    ])
+                    + body
+                )
+                rate = 48000
+                ts_ax = np.arange(1152) / rate
+                tone = 0.5 * np.sin(
+                    2 * np.pi * (220 + (i % 13) * 100) * ts_ax
+                )
+                es = encode_mp2(tone, rate, 192)
+                v1 = (
+                    b"TAG"
+                    + title.encode("latin1")[:30].ljust(30, b"\x00")
+                    + str(source).encode("latin1")[:30].ljust(30, b"\x00")
+                    + b"album".ljust(30, b"\x00")
+                    + year.encode()
+                    + b"".ljust(28, b"\x00")
+                    + bytes([0, int(track)])
+                    + bytes([12])
+                )
+                tagged = tag + es + v1
+                meta = id3_metadata(tagged)
+                _r0, _c0, p0 = decode_mp2(es)
+                _r1, _c1, p1 = decode_mp2(tagged)
+                rows.append(
+                    (
+                        doc_id,
+                        meta.get("title"),
+                        meta.get("artist"),
+                        meta.get("language"),
+                        meta.get("year"),
+                        meta.get("track"),
+                        int(np.array_equal(p0, p1)),
+                        int(
+                            meta["id3v1"]["title"] == title[:30]
+                            and meta["id3v1"]["track"] == int(track)
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang", "source")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )

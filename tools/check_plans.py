@@ -60,6 +60,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas"],
         [r"BatchEvalPython"],
     ),
+    "multimodal_id3_metadata": (
+        [r"MapInPandas"],
+        [r"BatchEvalPython"],
+    ),
     "matview_incremental_rollup": (
         # the view's read path merges STORE partials (scans under the
         # matview_rollup store) and never rescans the raw table

@@ -314,6 +314,7 @@ _WINDOW_DEFER = frozenset(
         "ingest_office_extract",         # r13: same proof
         "multimodal_ass_subtitle_extract",  # r13: same proof
         "multimodal_id3_metadata",       # r13: same proof
+        "pipeline_delivery_ingest",      # r13: same proof
     }
 )
 

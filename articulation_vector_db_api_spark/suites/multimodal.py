@@ -7027,3 +7027,150 @@ def multimodal_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(batches, schema)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "pipeline_delivery_ingest",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'hls_ts' WHEN 1 THEN 'dash_fmp4'
+                ELSE 'docx' END AS modality,
+           CAST(CASE doc_id % 3
+                WHEN 0 THEN 3
+                WHEN 1 THEN 4
+                ELSE length(string_split(text, chr(10)))
+                END AS BIGINT) AS units,
+           CAST(1 AS BIGINT) AS ok,
+           CAST(1 AS BIGINT) AS admitted
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "pipeline"),
+)
+def pipeline_delivery_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELIVERY-FORMAT INGEST CAPSTONE (r13): the unified router over
+    this round's format layers — the shape a crawl pipeline actually
+    needs when web payloads arrive as HLS captures, DASH segments, or
+    office documents. Per doc, modality by doc_id % 3:
+
+    - hls_ts: a 2-segment m3u8-over-TS capture (MPEG-2 closed GOPs)
+      stitched by demux_hls and fully decoded — units = frames;
+    - dash_fmp4: an MPD-resolved fragmented-MP4 of JPEG samples,
+      demuxed and decoded — units = samples;
+    - docx: an office document extracted losslessly — units =
+      paragraph count.
+
+    Every payload must decode/extract (`ok`) to be `admitted` — the
+    per-modality admission ledger the curation tier consumes. Oracle
+    recomputes the unit counts closed-form.
+
+    Scale shape: Arrow-batched narrow map; media/office bytes never
+    shuffle — only the ledger row leaves the task."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("modality", T.StringType()),
+            T.StructField("units", T.LongType()),
+            T.StructField("ok", T.LongType()),
+            T.StructField("admitted", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.dash import build_mpd, demux_dash
+        from ..functions.fmp4 import build_fmp4_mjpeg
+        from ..functions.hls import build_hls, demux_hls
+        from ..functions.jpeg import decode_jpeg, encode_jpeg_baseline
+        from ..functions.mpeg2 import decode_m2v, encode_m2v
+        from ..functions.mpegts import VIDEO_STREAM_0
+        from ..functions.officetext import build_docx, extract_docx_text
+
+        end = b"\x00\x00\x01\xb7"
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                kind = i % 3
+                ok = 0
+                units = 0
+                try:
+                    if kind == 0:
+                        frames = _mpeg1_pframe_frames(i)[:3]
+                        v1 = encode_m2v(
+                            frames[:2], p_frames=True, qscale_code=4
+                        )
+                        v2 = encode_m2v([frames[2]], qscale_code=4)
+                        pl, files = build_hls(
+                            [
+                                {VIDEO_STREAM_0: v1[: -len(end)]},
+                                {VIDEO_STREAM_0: v2},
+                            ],
+                            pes_chunk=512,
+                        )
+                        out = demux_hls(pl, files)
+                        meta, dec = decode_m2v(
+                            out["streams"][VIDEO_STREAM_0]["data"]
+                        )
+                        units = meta["n_frames"]
+                        ok = int(units == 3 and len(dec) == 3)
+                        modality = "hls_ts"
+                    elif kind == 1:
+                        yy, xx = np.mgrid[0:16, 0:16]
+                        jp = [
+                            encode_jpeg_baseline(
+                                np.stack(
+                                    [((xx * 5 + yy * 7 + (i + t) * 31)
+                                      % 256).astype(np.uint8)] * 3,
+                                    axis=-1,
+                                ),
+                                quality=85,
+                            )
+                            for t in range(4)
+                        ]
+                        init, media = build_fmp4_mjpeg(
+                            [
+                                [(3000, jp[0]), (3000, jp[1])],
+                                [(3000, jp[2]), (3000, jp[3])],
+                            ],
+                            16, 16,
+                        )
+                        mpd = build_mpd(f"v{i}", 2, 6000, 90000, 16, 16)
+                        fetch = {f"v{i}-init.mp4": init}
+                        for k, m in enumerate(media):
+                            fetch[f"v{i}-{k + 1}.m4s"] = m
+                        _meta, samples = demux_dash(mpd, fetch)
+                        for _d, s in samples:
+                            decode_jpeg(s)
+                        units = len(samples)
+                        ok = int(
+                            units == 4
+                            and [s for _d, s in samples] == jp
+                        )
+                        modality = "dash_fmp4"
+                    else:
+                        paras = str(text).split("\n")
+                        got = extract_docx_text(build_docx(paras))
+                        units = len(paras)
+                        ok = int(got == str(text))
+                        modality = "docx"
+                except (ValueError, NotImplementedError):
+                    modality = ("hls_ts", "dash_fmp4", "docx")[kind]
+                    ok = 0
+                rows.append((doc_id, modality, units, ok, ok))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )

@@ -64,6 +64,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas"],
         [r"BatchEvalPython"],
     ),
+    "pipeline_delivery_ingest": (
+        [r"MapInPandas"],
+        [r"BatchEvalPython"],
+    ),
     "matview_incremental_rollup": (
         # the view's read path merges STORE partials (scans under the
         # matview_rollup store) and never rescans the raw table

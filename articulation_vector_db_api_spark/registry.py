@@ -169,43 +169,44 @@ _VERIFIED = frozenset(
         "multimodal_mpeg1_bframe_decode",
         "multimodal_mpeg1_iframe_decode",
         "multimodal_mpeg1_in_containers",
-        "multimodal_mpeg1_pframe_decode",
-        "multimodal_mpeg_ps_roundtrip", "multimodal_ogg_flac_roundtrip",
-        "multimodal_opus_packet_stats", "multimodal_phash_dct_dedup",
-        "multimodal_pixel_histogram", "multimodal_pixel_roundtrip",
-        "multimodal_qoi_roundtrip", "multimodal_resize_batch",
-        "multimodal_resize_pixels", "multimodal_subtitle_normalize",
-        "multimodal_tiff_roundtrip", "multimodal_video_caption_align",
-        "multimodal_video_scene_cuts", "multimodal_vorbis_decode",
-        "multimodal_webp_roundtrip", "nested_agg_big_spenders",
-        "null_handling", "pack_sequences_token_budget",
-        "pipeline_corpus_curation", "pipeline_dedup_keep_best",
-        "pipeline_image_curation", "pipeline_training_export",
-        "pipeline_video_curation", "pipeline_web_image_ingest",
-        "pipeline_web_ingest", "pivot_priority_multi_agg",
-        "pivot_status_revenue", "q10_returned_items",
-        "q11_important_stock", "q12_late_shipment_priority",
-        "q13_customer_order_distribution", "q14_promo_revenue",
-        "q15_top_supplier", "q16_supplier_count_by_part",
-        "q17_correlated_subquery", "q18_large_volume_customers",
-        "q19_disjunctive_predicates", "q1_pricing_summary",
-        "q20_promo_stock_suppliers", "q21_waiting_suppliers",
-        "q22_dormant_customers", "q2_min_cost_supplier",
-        "q3_shipping_priority", "q4_order_priority",
-        "q5_region_revenue", "q6_forecast_revenue", "q7_nation_volume",
-        "q8_market_share", "q9_profit_by_nation_year",
-        "rollup_hierarchical_time", "rollup_revenue",
-        "sample_deterministic_hash", "sample_poisson_bootstrap",
-        "sample_stratified_per_lang", "sample_stratified_sources",
-        "sample_train_val_test_split", "sample_weighted_reservoir",
-        "scalar_bitwise_ops", "scalar_hash_digests",
-        "scalar_printf_format", "scalar_subquery_above_avg",
-        "scalar_url_functions", "scalar_uuid_surrogate",
-        "scalar_variant_semistructured", "scan_arrow_ipc_nested",
-        "scan_arrow_ipc_roundtrip", "scan_arrow_ipc_tz",
-        "scan_avro_nested_roundtrip", "scan_avro_roundtrip",
-        "scan_avro_union_roundtrip", "scan_csv_malformed_tolerant",
-        "scan_csv_typed", "scan_jsonl_gzip", "scan_jsonlines_nested",
+        "multimodal_mpeg1_pframe_decode", "multimodal_mpeg2_decode",
+        "multimodal_mpeg2_ps_roundtrip", "multimodal_mpeg_ps_roundtrip",
+        "multimodal_ogg_flac_roundtrip", "multimodal_opus_packet_stats",
+        "multimodal_phash_dct_dedup", "multimodal_pixel_histogram",
+        "multimodal_pixel_roundtrip", "multimodal_qoi_roundtrip",
+        "multimodal_resize_batch", "multimodal_resize_pixels",
+        "multimodal_subtitle_normalize", "multimodal_tiff_roundtrip",
+        "multimodal_video_caption_align", "multimodal_video_scene_cuts",
+        "multimodal_vorbis_decode", "multimodal_webp_roundtrip",
+        "nested_agg_big_spenders", "null_handling",
+        "pack_sequences_token_budget", "pipeline_corpus_curation",
+        "pipeline_dedup_keep_best", "pipeline_image_curation",
+        "pipeline_training_export", "pipeline_video_curation",
+        "pipeline_web_image_ingest", "pipeline_web_ingest",
+        "pivot_priority_multi_agg", "pivot_status_revenue",
+        "q10_returned_items", "q11_important_stock",
+        "q12_late_shipment_priority", "q13_customer_order_distribution",
+        "q14_promo_revenue", "q15_top_supplier",
+        "q16_supplier_count_by_part", "q17_correlated_subquery",
+        "q18_large_volume_customers", "q19_disjunctive_predicates",
+        "q1_pricing_summary", "q20_promo_stock_suppliers",
+        "q21_waiting_suppliers", "q22_dormant_customers",
+        "q2_min_cost_supplier", "q3_shipping_priority",
+        "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
+        "q7_nation_volume", "q8_market_share",
+        "q9_profit_by_nation_year", "rollup_hierarchical_time",
+        "rollup_revenue", "sample_deterministic_hash",
+        "sample_poisson_bootstrap", "sample_stratified_per_lang",
+        "sample_stratified_sources", "sample_train_val_test_split",
+        "sample_weighted_reservoir", "scalar_bitwise_ops",
+        "scalar_hash_digests", "scalar_printf_format",
+        "scalar_subquery_above_avg", "scalar_url_functions",
+        "scalar_uuid_surrogate", "scalar_variant_semistructured",
+        "scan_arrow_ipc_nested", "scan_arrow_ipc_roundtrip",
+        "scan_arrow_ipc_tz", "scan_avro_nested_roundtrip",
+        "scan_avro_roundtrip", "scan_avro_union_roundtrip",
+        "scan_csv_malformed_tolerant", "scan_csv_typed",
+        "scan_jsonl_gzip", "scan_jsonlines_nested",
         "scan_orc_roundtrip", "scan_partitioned_pruned",
         "scan_schema_evolution_log", "scan_text_roundtrip",
         "scan_warc_roundtrip", "scan_xml_roundtrip",
@@ -255,44 +256,52 @@ _VERIFIED = frozenset(
     }
 )
 
-# Round-13 window (VERDICT r12 item 1: zero the evidence debt):
-# 1. _WINDOW_FIRST: the 3 r12-touched queries — the two never-driver-
-#    contacted MPEG-2 additions plus a re-contact of the re-based
-#    B-frame query (its witness stream moved to a fixture store in
-#    r12, so the r12 row predates the final fixture plumbing).
-# 2. _WINDOW_RESEAT: the 7 remaining r5 rows (the stalest anywhere in
-#    the registry) then the stalest r6 rows, rotate_window.py
-#    ordering. After this window ZERO queries are never-contacted and
-#    no latest row predates r6 — the first zero-evidence-debt round.
+# Round-14 window (VERDICT r13 items 1-2):
+# 0. _WINDOW_ROUND stamps the round this window was seated FOR: the
+#    policy tests recompute the expected window from CORRECTNESS files
+#    of rounds STRICTLY BEFORE this round, so the driver landing
+#    CORRECTNESS_r14.json mid-round can no longer flip them red
+#    (the r13 round-phase-coupling defect, VERDICT r13 item 1).
+# 1. _WINDOW_FIRST: the 8 r13 additions (never driver-contacted; all
+#    8 verified green by the r13 judge's own parity run) plus
+#    re-contacts of queries whose code was touched this round.
+# 2. _WINDOW_RESEAT: the stalest driver-contacted rows
+#    ((latest_round, name) order, r6 rows leading) filling the
+#    remaining seats — rotate_window.py output pasted verbatim.
+_WINDOW_ROUND = 14
 _WINDOW_FIRST = (
-    "multimodal_mpeg2_decode",
-    "multimodal_mpeg2_ps_roundtrip",
-    "multimodal_mpeg1_bframe_decode",
+    "multimodal_mpeg_ts_roundtrip",
+    "multimodal_hls_ts_stitch",
+    "multimodal_fmp4_dash_roundtrip",
+    "multimodal_aiff_au_roundtrip",
+    "multimodal_ass_subtitle_extract",
+    "multimodal_id3_metadata",
+    "ingest_office_extract",
+    "pipeline_delivery_ingest",
 )
 _WINDOW_RESEAT = (
-    "search_phrase_adjacent", "text_bpe_pair_counts",
-    "text_char_entropy", "text_word_trigrams",
-    "window_percent_change_wow", "window_rolling_median",
-    "window_running_distinct", "agg_benford_first_digit",
-    "agg_mad_robust", "ann_ivf_nprobe_recall_curve",
-    "curation_sample_quality_band", "curation_topic_balance",
-    "dedup_substring_span_scrub", "events_ab_test_lift",
-    "events_cep_pattern", "events_ewma_daily",
-    "events_interarrival_stats", "events_seasonality_profile",
-    "events_token_bucket", "graph_common_neighbors", "graph_k_core",
-    "graph_weighted_sssp", "join_dpp_partitioned_fact",
-    "join_interval_overlap_pairs", "join_null_aware_anti",
-    "join_scd2_temporal", "maintenance_compact_roundtrip",
-    "maintenance_vacuum_retention", "matview_incremental_rollup",
-    "matview_rollup_time_travel", "multimodal_audio_vad_trim",
-    "multimodal_audio_wav_roundtrip", "multimodal_dhash_image_dedup",
-    "multimodal_gif_roundtrip", "multimodal_pixel_histogram",
-    "multimodal_pixel_roundtrip", "multimodal_resize_pixels",
-    "pipeline_image_curation", "sample_poisson_bootstrap",
-    "scalar_uuid_surrogate", "scan_csv_malformed_tolerant",
-    "scan_jsonl_gzip", "scan_orc_roundtrip",
-    "scan_schema_evolution_log", "scan_text_roundtrip",
-    "sql_pipe_interface", "text_kneser_ney_bigram"
+"text_ngram_coverage_curve", "window_activity_islands",
+    "window_time_range_frame", "agg_cms_portable", "curation_pii_scrub",
+    "curation_sample_weighted_priority", "dedup_lsh_recall_eval",
+    "dedup_ngram_containment", "dedup_ngram_jaccard",
+    "events_cusum_changepoint", "events_mann_kendall",
+    "events_theil_sen_trend", "matview_join_incremental",
+    "multimodal_audio_adpcm_roundtrip",
+    "multimodal_audio_flac_roundtrip",
+    "multimodal_audio_g711_roundtrip", "multimodal_audio_resample",
+    "multimodal_av_container_probe", "multimodal_jpeg_roundtrip",
+    "multimodal_phash_dct_dedup", "multimodal_tiff_roundtrip",
+    "multimodal_webp_roundtrip", "pipeline_dedup_keep_best",
+    "pipeline_web_image_ingest", "pipeline_web_ingest",
+    "scan_arrow_ipc_roundtrip", "scan_avro_roundtrip",
+    "scan_warc_roundtrip", "scan_xml_roundtrip",
+    "sql_recursive_cte_hierarchy", "stream_cdc_apply",
+    "stream_curation_admission", "stream_dedup",
+    "stream_dedup_within_watermark", "stream_ohlc_bars",
+    "stream_session_window", "stream_sliding_distinct_users",
+    "stream_sliding_window", "stream_snapshot_ingest",
+    "stream_stateful_user_stats", "stream_static_join",
+    "stream_stream_full_outer_join"
 )
 # Suite order for the rest of the unverified front (round-5 additions):
 # cheap scalar/relational families first, expensive similarity last.
@@ -302,21 +311,9 @@ _SUITE_WINDOW_ORDER = (
 )
 
 # Unverified queries DEFERRED past this round's window on purpose:
-# every query added during round 13 queues here for the r14 window
+# every query added during round 14 queues here for the r15 window
 # (each parity-proven at sf0.001/0.01/0.1 before registration).
-_WINDOW_DEFER = frozenset(
-    {
-        "multimodal_mpeg_ts_roundtrip",  # r13: parity-proven at
-        # sf0.001/0.01/0.1 before registration
-        "multimodal_aiff_au_roundtrip",  # r13: same proof
-        "multimodal_hls_ts_stitch",      # r13: same proof
-        "multimodal_fmp4_dash_roundtrip",  # r13: same proof
-        "ingest_office_extract",         # r13: same proof
-        "multimodal_ass_subtitle_extract",  # r13: same proof
-        "multimodal_id3_metadata",       # r13: same proof
-        "pipeline_delivery_ingest",      # r13: same proof
-    }
-)
+_WINDOW_DEFER: frozenset[str] = frozenset()
 
 
 def load_all() -> dict[str, Query]:

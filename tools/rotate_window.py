@@ -31,8 +31,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 WINDOW_SEATS = 50
 
 
-def latest_contact() -> dict[str, int]:
-    """query -> newest round with a driver CORRECTNESS row."""
+def latest_contact(before_round: int | None = None) -> dict[str, int]:
+    """query -> newest round with a driver CORRECTNESS row.
+
+    ``before_round`` caps the scan to rounds STRICTLY BEFORE it — the
+    window for round N is seated from the evidence of rounds 1..N-1,
+    so the policy tests must ignore any CORRECTNESS file the driver
+    writes during round N itself (VERDICT r13 item 1: with an uncapped
+    glob the tests flip red the moment the current round's file lands).
+    """
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
@@ -40,6 +47,8 @@ def latest_contact() -> dict[str, int]:
         if not m:
             continue
         rnd = int(m.group(1))
+        if before_round is not None and rnd >= before_round:
+            continue
         try:
             rows = json.load(open(path))
         except ValueError:
@@ -50,7 +59,9 @@ def latest_contact() -> dict[str, int]:
 
 
 def compute_window(
-    pins: tuple[str, ...] = (), defer: frozenset[str] = frozenset()
+    pins: tuple[str, ...] = (),
+    defer: frozenset[str] = frozenset(),
+    before_round: int | None = None,
 ) -> list[str]:
     """THE seating policy, as code (VERDICT r12 item 7).
 
@@ -78,7 +89,7 @@ def compute_window(
     # so clearing inside an already-imported process (e.g. the full
     # pytest run) would leave the registry empty forever
     order = list(registry.load_all())
-    contact = latest_contact()
+    contact = latest_contact(before_round=before_round)
 
     never = [n for n in order if n not in contact]
     missing = [n for n in never if n not in pins and n not in defer]

@@ -97,7 +97,11 @@ def parse_ass(doc: str) -> list[dict]:
             continue
         if section != "events":
             continue
-        key, _, rest = line.partition(":")
+        # Partition on the UNstripped line: the Text field runs to the
+        # end of the line, and trailing whitespace there is content
+        # (ADVICE r13: 'hello world  ' must round-trip verbatim or the
+        # oracle's cleaned_lossless pin flips).
+        key, _, rest = raw.lstrip().rstrip("\r\n").partition(":")
         key = key.strip().lower()
         if key == "format":
             fields = [f.strip().lower() for f in rest.split(",")]

@@ -202,10 +202,15 @@ def demux_dash(
             )
         # manifests declare the duration rounded (commonly to ms), so
         # the exact ratio lands NEAR an integer for equal-length
-        # segments; snap within 1% of a segment before ceiling, or a
-        # rounded-up declaration manufactures a phantom last segment
+        # segments; snap before ceiling, or a rounded-up declaration
+        # manufactures a phantom last segment. The tolerance must
+        # cover the declaration's own precision: a %.3f duration is
+        # off by up to 0.5 ms, i.e. 0.0005*timescale/duration in ratio
+        # units (ADVICE r13: a flat 1%-of-a-segment snap is SMALLER
+        # than that for short segments and passes only by float luck).
         ratio = mpd["duration_sec"] * t["timescale"] / t["duration"]
-        n = round(ratio) if abs(ratio - round(ratio)) < 0.01 \
+        tol = 0.0005 * t["timescale"] / t["duration"] + 1e-9
+        n = round(ratio) if abs(ratio - round(ratio)) <= tol \
             else math.ceil(ratio)
         n = max(1, n)
         init_uri = _fill_template(t["init"], rep["id"], None)

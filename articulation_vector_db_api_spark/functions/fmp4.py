@@ -271,6 +271,21 @@ def demux_fmp4(
                     p += 4
                 if flags & 0x04:
                     p += 4  # first_sample_flags
+                # Validate the declared row count BEFORE looping: a
+                # malformed count (up to 2^32) would otherwise iterate
+                # until struct.unpack_from ran off the segment —
+                # escaping the ValueError contract and burning memory
+                # on the rows list first (ADVICE r13).
+                row_w = 4 * (
+                    bool(flags & 0x100)
+                    + bool(flags & 0x200)
+                    + bool(flags & 0x400)
+                    + bool(flags & 0x800)
+                )
+                if (row_w and count * row_w > pe - p) or count > len(seg):
+                    raise ValueError(
+                        "fMP4 trun sample count beyond box"
+                    )
                 for _ in range(count):
                     dur, size = frag["dd"], frag["ds"]
                     if flags & 0x100:

@@ -46,26 +46,41 @@ def _de_unsync(b: bytes) -> bytes:
     return b.replace(b"\xff\x00", b"\xff")
 
 
+def _split_utf16(raw: bytes) -> list[bytes]:
+    """Split on the UTF-16 NUL terminator scanned at 2-byte code-unit
+    boundaries. A byte-level split on b"\\x00\\x00" misparses any text
+    where a low byte 0 follows an ASCII char (e.g. "a\\u0100" in LE is
+    61 00 00 01) and chokes on the spec's NUL-terminated frames
+    (ADVICE r13: 'AB'.encode('utf-16') + b'\\x00\\x00')."""
+    parts: list[bytes] = []
+    start = i = 0
+    while i + 1 < len(raw):
+        if raw[i] == 0 and raw[i + 1] == 0:
+            parts.append(raw[start:i])
+            start = i + 2
+        i += 2
+    parts.append(raw[start:])
+    return parts
+
+
 def _decode_text(enc: int, raw: bytes) -> list[str]:
     """Encoding byte + payload -> value list (v2.4 allows multiple
-    NUL-separated strings in one text frame)."""
-    if enc == 0:
-        parts = raw.split(b"\x00")
-        vals = [p.decode("latin1") for p in parts]
-    elif enc == 1:
-        vals = [
-            p.decode("utf-16") if p else ""
-            for p in raw.split(b"\x00\x00")
-        ]
-    elif enc == 2:
-        vals = [
-            p.decode("utf-16-be") if p else ""
-            for p in raw.split(b"\x00\x00")
-        ]
-    elif enc == 3:
-        vals = [p.decode("utf-8") for p in raw.split(b"\x00")]
-    else:
-        raise ValueError(f"ID3v2 text encoding {enc}")
+    NUL-separated strings in one text frame). Malformed payloads raise
+    ValueError (the module contract), never UnicodeDecodeError."""
+    try:
+        if enc == 0:
+            vals = [p.decode("latin1") for p in raw.split(b"\x00")]
+        elif enc in (1, 2):
+            codec = "utf-16" if enc == 1 else "utf-16-be"
+            vals = [
+                p.decode(codec) if p else "" for p in _split_utf16(raw)
+            ]
+        elif enc == 3:
+            vals = [p.decode("utf-8") for p in raw.split(b"\x00")]
+        else:
+            raise ValueError(f"ID3v2 text encoding {enc}")
+    except UnicodeDecodeError as exc:
+        raise ValueError(f"ID3v2 text payload undecodable: {exc}") from exc
     return [v for v in vals if v]
 
 

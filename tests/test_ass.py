@@ -87,3 +87,20 @@ def test_error_contract():
         build_ass([(1000, 1000, "x")])
     with pytest.raises(ValueError, match="Start/End/Text"):
         parse_ass("[Events]\nFormat: Layer, Style\n")
+
+
+def test_trailing_whitespace_in_text_is_content():
+    """ADVICE r13 (ass.py:89): the Text field runs to the end of the
+    line, so trailing whitespace there is content — build->parse must
+    be lossless or the oracle's cleaned_lossless pin flips."""
+    cues = [(0, 1000, "hello world  "), (1000, 2000, " lead and trail\t")]
+    parsed = parse_ass(build_ass(cues))
+    assert [(c["start_ms"], c["end_ms"], c["text"]) for c in parsed] == cues
+    # A hand-written document with trailing spaces parses verbatim too.
+    doc = (
+        "[Events]\n"
+        "Format: Layer, Start, End, Style, Name, MarginL, MarginR, "
+        "MarginV, Effect, Text\n"
+        "Dialogue: 0,0:00:00.00,0:00:01.00,Default,,0,0,0,,padded  \n"
+    )
+    assert parse_ass(doc)[0]["text"] == "padded  "

@@ -110,3 +110,21 @@ def test_segment_count_snaps_rounded_durations():
              "v0-1.m4s": media[0], "v0-2.m4s": media[1]}
     meta, samples = demux_dash(mpd, fetch)
     assert meta["n_fragments"] == 2 and len(samples) == 4
+
+
+def test_segment_count_tolerance_covers_declaration_precision():
+    """ADVICE r13 (dash.py:208): the snap tolerance must be derived
+    from the declaration's ms precision (0.0005*timescale/duration in
+    ratio units), not a flat 1% of a segment. 7 x 1500 ticks @ 90000
+    = 0.11667s declares as PT0.117S -> ratio 7.02; a 1% snap would
+    ceil to 8 and die on a phantom 'segments not fetched'."""
+    n = 7
+    segs = [[(1500, bytes([k]) * 8)] for k in range(n)]
+    init, media = build_fmp4_mjpeg(segs, 16, 16)
+    mpd = build_mpd("v0", n, 1500, 90000, 16, 16)
+    assert "PT0.117S" in mpd  # the up-rounding really happened
+    fetch = {"v0-init.mp4": init}
+    for k, m in enumerate(media):
+        fetch[f"v0-{k + 1}.m4s"] = m
+    meta, samples = demux_dash(mpd, fetch)
+    assert meta["n_fragments"] == n and len(samples) == n

@@ -170,3 +170,56 @@ def test_trun_version1_with_cts_offsets():
     seg = bytes(moof) + _box(b"mdat", payload)
     _meta, samples = demux_fmp4(init, [seg])
     assert samples == [(3000, b"R" * 30), (3000, b"S" * 50)]
+
+
+def test_trun_count_validated_before_row_walk():
+    """ADVICE r13 (fmp4.py:274): a malformed trun sample count must
+    raise ValueError BEFORE the row loop — not iterate until
+    struct.unpack_from runs off the segment (struct.error escapes the
+    module contract, and a 2^32 count burns memory first)."""
+    init, media = build_fmp4_mjpeg([[(3000, bytes(range(64)))]], 16, 16)
+    seg = bytearray(media[0])
+    off = seg.find(b"trun") + 4  # version+flags word
+    count_off = off + 4
+    orig = struct.unpack_from(">I", seg, count_off)[0]
+
+    for bad_count in (orig + 1, 0xFFFFFFFF):
+        mutated = bytearray(seg)
+        struct.pack_into(">I", mutated, count_off, bad_count)
+        with pytest.raises(ValueError, match="trun sample count"):
+            demux_fmp4(init, [bytes(mutated)])
+
+
+def test_trun_count_bound_with_no_per_sample_fields():
+    """With zero per-sample fields the rows consume no trun bytes, so
+    the count must still be bounded (by the segment size) instead of
+    building an arbitrarily large rows list."""
+    from articulation_vector_db_api_spark.functions.fmp4 import (
+        _box,
+        _full,
+    )
+
+    init, _ = build_fmp4_mjpeg([[(1, b"x")]], 16, 16)
+    mfhd = _full(b"mfhd", 0, struct.pack(">I", 1))
+    # tfhd carries default duration+size so trun rows need no fields.
+    tfhd = _box(
+        b"tfhd",
+        struct.pack(">I", 0x20000 | 0x08 | 0x10)
+        + struct.pack(">I", 1)
+        + struct.pack(">I", 3000)
+        + struct.pack(">I", 4),
+    )
+    tfdt = _box(b"tfdt", struct.pack(">I", 0) + struct.pack(">I", 0))
+    trun = _box(
+        b"trun",
+        struct.pack(">I", 0x01)
+        + struct.pack(">I", 0x7FFFFFFF)  # absurd count, zero row bytes
+        + struct.pack(">i", 0),
+    )
+    traf = _box(b"traf", tfhd + tfdt + trun)
+    moof = bytearray(_box(b"moof", mfhd + traf))
+    off = moof.find(b"trun") + 4 + 8
+    struct.pack_into(">i", moof, off, len(moof) + 8)
+    seg = bytes(moof) + _box(b"mdat", b"abcd")
+    with pytest.raises(ValueError, match="trun sample count"):
+        demux_fmp4(init, [seg])

@@ -148,3 +148,47 @@ def test_fuzz_contract():
         except (ValueError, NotImplementedError, UnicodeDecodeError):
             continue
         assert meta is None or isinstance(meta["frames"], dict)
+
+
+def test_utf16_nul_terminated_and_aligned_split():
+    """ADVICE r13 (id3.py:58): UTF-16 payloads must be split on the
+    terminator at 2-byte code-unit boundaries. Real v2.3 taggers
+    NUL-terminate text frames ('AB'.encode('utf-16') + b'\\x00\\x00'),
+    and 'a\\u0100' in LE is 61 00 00 01 — a byte-level b'\\x00\\x00'
+    split corrupts both."""
+    # NUL-terminated BOM'd frame: terminator must not raise and must
+    # not leave a phantom empty value.
+    term = b"\x01" + "AB".encode("utf-16") + b"\x00\x00"
+    body = _v23_frame(b"TIT2", term)
+    t = parse_id3v2(_tag(3, body))
+    assert t["frames"]["TIT2"] == ["AB"]
+
+    # Low-byte-0 code unit after an ASCII char: 'aĀ'.
+    tricky = b"\x01" + "aĀ".encode("utf-16")
+    t = parse_id3v2(_tag(3, _v23_frame(b"TIT2", tricky)))
+    assert t["frames"]["TIT2"] == ["aĀ"]
+
+    # Same for explicit UTF-16-BE (encoding 2): 'Āa' is 01 00 00 61.
+    be = b"\x02" + "Āa".encode("utf-16-be")
+    t = parse_id3v2(_tag(4, _v24_frame(b"TIT2", be)))
+    assert t["frames"]["TIT2"] == ["Āa"]
+
+    # v2.4 multi-value UTF-16: two strings separated by the aligned
+    # terminator, second with its own BOM.
+    multi = b"\x01" + "one".encode("utf-16") + b"\x00\x00" \
+        + "two".encode("utf-16")
+    t = parse_id3v2(_tag(4, _v24_frame(b"TIT2", multi)))
+    assert t["frames"]["TIT2"] == ["one", "two"]
+
+
+def test_undecodable_text_raises_valueerror():
+    """Decode failures must surface as ValueError (the module
+    contract), never UnicodeDecodeError."""
+    # Odd-length UTF-16 payload (truncated code unit).
+    bad16 = b"\x01" + "AB".encode("utf-16")[:-1]
+    with pytest.raises(ValueError, match="undecodable"):
+        parse_id3v2(_tag(3, _v23_frame(b"TIT2", bad16)))
+    # Invalid UTF-8 continuation byte.
+    bad8 = b"\x03\xc3\x28"
+    with pytest.raises(ValueError, match="undecodable"):
+        parse_id3v2(_tag(4, _v24_frame(b"TIT2", bad8)))

@@ -14,9 +14,17 @@ directly.
 
 Playlist surface implemented: #EXTM3U, #EXT-X-VERSION,
 #EXT-X-TARGETDURATION, #EXT-X-MEDIA-SEQUENCE, #EXTINF (duration +
-optional title), segment URIs, #EXT-X-ENDLIST. Unknown #EXT-X- tags
-are skipped per RFC 8216 §6.3.1 (clients MUST ignore unrecognized
-tags); non-tag junk raises.
+optional title), segment URIs, #EXT-X-ENDLIST, #EXT-X-BYTERANGE
+(§4.3.2.2: sub-range segments of one packed resource, implicit-offset
+continuation), and #EXT-X-KEY (§4.3.2.4: METHOD=NONE / AES-128 with
+URI + optional 0x IV; absent IV = the segment's media sequence number
+big-endian per the RFC). AES-128 segments are whole-resource
+AES-128-CBC + PKCS7, decrypted through functions/aes.py (FIPS-197
+from scratch, numpy-vectorized across blocks). METHOD=SAMPLE-AES and
+non-identity KEYFORMAT raise named NotImplementedError gates
+(VERDICT r13 item 3: these used to fall through to a misleading
+TS-sync error). Unknown #EXT-X- tags are skipped per RFC 8216 §6.3.1
+(clients MUST ignore unrecognized tags); non-tag junk raises.
 
 Reference behavior parity: the reference (/root/reference/main.py)
 has no media path; frontier surface alongside mpegts.py.
@@ -24,27 +32,49 @@ has no media path; frontier surface alongside mpegts.py.
 
 from __future__ import annotations
 
+from .aes import aes128_cbc_decrypt, aes128_cbc_encrypt
 from .mpegts import build_mpeg_ts, demux_mpeg_ts
 
 __all__ = ["build_hls", "parse_m3u8", "parse_m3u8_master", "demux_hls"]
+
+
+def _seq_iv(seq: int) -> bytes:
+    """RFC 8216 §5.2: absent an explicit IV, the IV is the segment's
+    media sequence number as a 128-bit big-endian integer."""
+    return seq.to_bytes(16, "big")
 
 
 def build_hls(
     segments: list[dict[int, bytes]],
     pes_chunk: int = 4096,
     pts_step: int = 3600,
+    key: bytes | None = None,
+    key_uri: str = "stream.key",
+    iv: bytes | None = None,
+    byterange: bool = False,
 ) -> tuple[str, dict[str, bytes]]:
     """[{stream_id: elementary_stream} per segment] ->
     (m3u8 playlist text, {uri: segment .ts bytes}).
 
     Each segment muxes independently (own PAT/PMT — the HLS
     requirement that any segment is a valid join point) but the PTS
-    timeline is CONTINUOUS across segments via pts_start."""
+    timeline is CONTINUOUS across segments via pts_start.
+
+    ``key`` turns on §4.3.2.4 AES-128 segment encryption: every
+    segment is AES-128-CBC + PKCS7 encrypted with the key published
+    at ``key_uri``; an explicit ``iv`` is declared as 0x hex, else
+    each segment uses its media-sequence IV (the RFC default).
+    ``byterange`` packs every segment into ONE ``media.bin`` resource
+    addressed by §4.3.2.2 #EXT-X-BYTERANGE sub-ranges (the first with
+    an explicit @offset, the rest implicit continuations)."""
     if not segments:
         raise ValueError("HLS needs at least one segment")
+    if key is not None and len(key) != 16:
+        raise ValueError("HLS AES-128 key must be 16 bytes")
     files: dict[str, bytes] = {}
-    lines = ["#EXTM3U", "#EXT-X-VERSION:3"]
+    lines = ["#EXTM3U", f"#EXT-X-VERSION:{4 if byterange else 3}"]
     durations = []
+    blobs: list[bytes] = []
     pts_at = 0
     for k, seg in enumerate(segments):
         ts = build_mpeg_ts(
@@ -56,24 +86,86 @@ def build_hls(
         )
         dur = n_pes_rounds * pts_step / 90000.0
         pts_at += n_pes_rounds * pts_step
-        uri = f"seg{k}.ts"
-        files[uri] = ts
-        durations.append((dur, uri))
+        if key is not None:
+            ts = aes128_cbc_encrypt(
+                ts, key, iv if iv is not None else _seq_iv(k)
+            )
+        blobs.append(ts)
+        durations.append(dur)
     lines.append(
         "#EXT-X-TARGETDURATION:"
-        + str(max(1, int(-(-max(d for d, _ in durations) // 1))))
+        + str(max(1, int(-(-max(durations) // 1))))
     )
     lines.append("#EXT-X-MEDIA-SEQUENCE:0")
-    for dur, uri in durations:
+    if key is not None:
+        files[key_uri] = key
+        attrs = f'METHOD=AES-128,URI="{key_uri}"'
+        if iv is not None:
+            attrs += f",IV=0x{iv.hex()}"
+        lines.append(f"#EXT-X-KEY:{attrs}")
+    at = 0
+    for k, (dur, blob) in enumerate(zip(durations, blobs)):
         lines.append(f"#EXTINF:{dur:.3f},")
-        lines.append(uri)
+        if byterange:
+            # explicit @offset on the first range only — the rest
+            # exercise the implicit-continuation rule
+            lines.append(
+                f"#EXT-X-BYTERANGE:{len(blob)}"
+                + (f"@{at}" if k == 0 else "")
+            )
+            lines.append("media.bin")
+            at += len(blob)
+        else:
+            uri = f"seg{k}.ts"
+            files[uri] = blob
+            lines.append(uri)
+    if byterange:
+        files["media.bin"] = b"".join(blobs)
     lines.append("#EXT-X-ENDLIST")
     return "\n".join(lines) + "\n", files
 
 
+def _parse_key_tag(body: str) -> dict | None:
+    """#EXT-X-KEY attribute list -> key context dict or None (NONE).
+    SAMPLE-AES and non-identity KEYFORMAT are NAMED gates — before
+    r14 they fell into the ignore-unknown branch and died far
+    downstream on a misleading TS-sync/PTS error."""
+    attrs = _parse_attr_list(body)
+    method = attrs.get("METHOD", "")
+    if method == "NONE":
+        return None
+    if method == "SAMPLE-AES":
+        raise NotImplementedError(
+            "HLS #EXT-X-KEY METHOD=SAMPLE-AES (per-sample encryption)"
+        )
+    if method != "AES-128":
+        raise ValueError(f"HLS #EXT-X-KEY METHOD {method!r}")
+    if attrs.get("KEYFORMAT", "identity") != "identity":
+        raise NotImplementedError(
+            f"HLS #EXT-X-KEY KEYFORMAT {attrs['KEYFORMAT']!r}"
+        )
+    if "URI" not in attrs:
+        raise ValueError("HLS #EXT-X-KEY AES-128 without URI")
+    iv = None
+    if "IV" in attrs:
+        h = attrs["IV"]
+        if not h.lower().startswith("0x") or len(h) != 34:
+            raise ValueError(f"HLS #EXT-X-KEY IV {h!r} (need 0x + 32 hex)")
+        iv = bytes.fromhex(h[2:])
+    return {"method": "AES-128", "uri": attrs["URI"], "iv": iv}
+
+
 def parse_m3u8(text: str) -> dict:
     """Media playlist text -> {version, target_duration,
-    media_sequence, endlist, segments: [(duration_sec, uri), ...]}.
+    media_sequence, endlist, segments: [(duration_sec, uri), ...],
+    media: [{duration_sec, uri, seq, byterange, key}, ...]}.
+
+    ``segments`` keeps the r13 (duration, uri) shape; ``media`` is
+    the full per-segment view: ``byterange`` is (length, offset) when
+    the segment is a #EXT-X-BYTERANGE sub-range (implicit offsets
+    resolved per §4.3.2.2 — continuation requires the same resource
+    as the previous segment), ``key`` is the governing #EXT-X-KEY
+    context with the IV defaulted to the media-sequence rule.
     Master playlists (#EXT-X-STREAM-INF) raise NotImplementedError —
     pick a variant first."""
     lines = [ln.strip() for ln in text.splitlines()]
@@ -85,8 +177,12 @@ def parse_m3u8(text: str) -> dict:
         "media_sequence": 0,
         "endlist": False,
         "segments": [],
+        "media": [],
     }
     pending: float | None = None
+    pending_range: tuple[int, int | None] | None = None
+    key_ctx: dict | None = None
+    last_range: tuple[str, int] | None = None  # (uri, end offset)
     for ln in lines[1:]:
         if not ln:
             continue
@@ -102,6 +198,12 @@ def parse_m3u8(text: str) -> dict:
             out["media_sequence"] = int(ln.split(":", 1)[1])
         elif ln.startswith("#EXT-X-ENDLIST"):
             out["endlist"] = True
+        elif ln.startswith("#EXT-X-KEY:"):
+            key_ctx = _parse_key_tag(ln.split(":", 1)[1])
+        elif ln.startswith("#EXT-X-BYTERANGE:"):
+            body = ln.split(":", 1)[1]
+            n_s, _, o_s = body.partition("@")
+            pending_range = (int(n_s), int(o_s) if o_s else None)
         elif ln.startswith("#EXTINF:"):
             body = ln.split(":", 1)[1]
             pending = float(body.split(",", 1)[0])
@@ -112,8 +214,37 @@ def parse_m3u8(text: str) -> dict:
         else:
             if pending is None:
                 raise ValueError(f"HLS segment URI without #EXTINF: {ln}")
+            seq = out["media_sequence"] + len(out["media"])
+            rng: tuple[int, int] | None = None
+            if pending_range is not None:
+                n, o = pending_range
+                if o is None:
+                    if last_range is None or last_range[0] != ln:
+                        raise ValueError(
+                            "HLS #EXT-X-BYTERANGE without @offset "
+                            "must continue the previous sub-range of "
+                            "the same resource (RFC 8216 §4.3.2.2)"
+                        )
+                    o = last_range[1]
+                rng = (n, o)
+                last_range = (ln, o + n)
+            key = None
+            if key_ctx is not None:
+                key = dict(key_ctx)
+                if key["iv"] is None:
+                    key["iv"] = _seq_iv(seq)
             out["segments"].append((pending, ln))
+            out["media"].append(
+                {
+                    "duration_sec": pending,
+                    "uri": ln,
+                    "seq": seq,
+                    "byterange": rng,
+                    "key": key,
+                }
+            )
             pending = None
+            pending_range = None
     if pending is not None:
         raise ValueError("HLS #EXTINF without a following URI")
     return out
@@ -203,18 +334,44 @@ def demux_hls(
     {n_segments, duration_sec, endlist, streams: {stream_id:
     {stream_type, n_pes, n_bytes, pts: [...], data}}}.
 
-    Raises if a segment is missing from ``fetch``, if stream types
-    change across segments, or if the stitched PTS timeline is not
-    monotone (segments muxed on disjoint timelines are a capture
-    error worth failing loudly on)."""
+    Byterange segments are sliced out of their packed resource;
+    AES-128 segments are decrypted with the key fetched from the
+    #EXT-X-KEY URI (whole-segment AES-128-CBC + PKCS7, RFC 8216
+    §4.3.2.4) before the TS demux.
+
+    Raises if a segment or key is missing from ``fetch``, if a
+    byterange runs past its resource, if stream types change across
+    segments, or if the stitched PTS timeline is not monotone
+    (segments muxed on disjoint timelines are a capture error worth
+    failing loudly on)."""
     meta = parse_m3u8(playlist)
     if not meta["segments"]:
         raise ValueError("HLS playlist with no segments")
     streams: dict[int, dict] = {}
-    for _dur, uri in meta["segments"]:
+    for ent in meta["media"]:
+        uri = ent["uri"]
         if uri not in fetch:
             raise ValueError(f"HLS segment not fetched: {uri}")
-        seg = demux_mpeg_ts(fetch[uri], keep_payload=keep_payload)
+        blob = fetch[uri]
+        if ent["byterange"] is not None:
+            n, o = ent["byterange"]
+            if o + n > len(blob):
+                raise ValueError(
+                    f"HLS byterange {n}@{o} beyond {uri} "
+                    f"({len(blob)} bytes)"
+                )
+            blob = blob[o : o + n]
+        if ent["key"] is not None:
+            kuri = ent["key"]["uri"]
+            if kuri not in fetch:
+                raise ValueError(f"HLS key not fetched: {kuri}")
+            kbytes = fetch[kuri]
+            if len(kbytes) != 16:
+                raise ValueError(
+                    f"HLS AES-128 key {kuri} is {len(kbytes)} bytes"
+                )
+            blob = aes128_cbc_decrypt(blob, kbytes, ent["key"]["iv"])
+        seg = demux_mpeg_ts(blob, keep_payload=keep_payload)
         for sid, rec in seg["streams"].items():
             agg = streams.setdefault(
                 sid,

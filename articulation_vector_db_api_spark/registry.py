@@ -313,7 +313,12 @@ _SUITE_WINDOW_ORDER = (
 # Unverified queries DEFERRED past this round's window on purpose:
 # every query added during round 14 queues here for the r15 window
 # (each parity-proven at sf0.001/0.01/0.1 before registration).
-_WINDOW_DEFER: frozenset[str] = frozenset()
+_WINDOW_DEFER: frozenset[str] = frozenset(
+    {
+        "multimodal_hls_encrypted_stitch",  # r14: parity-proven at
+        # sf0.001/0.01/0.1 before registration
+    }
+)
 
 
 def load_all() -> dict[str, Query]:

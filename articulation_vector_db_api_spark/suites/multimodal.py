@@ -7174,3 +7174,150 @@ def pipeline_delivery_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(batches, schema)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_hls_encrypted_stitch",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_segments,
+           CAST(doc_id % 2 AS BIGINT) AS packed,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 3 END AS BIGINT)
+               AS n_files,
+           CAST(1 AS BIGINT) AS key_published,
+           CAST(1 AS BIGINT) AS ciphertext_opaque,
+           CAST(1 AS BIGINT) AS v_bit_exact,
+           CAST(1 AS BIGINT) AS a_bit_exact,
+           CAST(1 AS BIGINT) AS wrong_key_rejected,
+           CAST(1 AS BIGINT) AS pts_monotone
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "video", "crypto"),
+)
+def multimodal_hls_encrypted_stitch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ENCRYPTED HLS (r14, functions/hls.py + functions/aes.py) —
+    real-world HLS is overwhelmingly AES-128: RFC 8216 §4.3.2.4
+    whole-segment AES-128-CBC + PKCS7, keyed by #EXT-X-KEY. The AES
+    core is FIPS-197 from scratch (S-box generated from the GF(2^8)
+    inverse + affine transform, verified against the Appendix B/C.1
+    and NIST SP 800-38A vectors in tests/test_aes.py), with
+    decryption numpy-vectorized across blocks — CBC decrypt has no
+    chain dependency.
+
+    Per doc: a 2-segment TS capture is built, encrypted and
+    re-stitched two ways by parity of doc_id — even docs use the RFC
+    default per-media-sequence IVs over separate segment files; odd
+    docs use an explicit declared IV with the segments packed into
+    ONE resource addressed by #EXT-X-BYTERANGE sub-ranges (implicit
+    offset continuation). The oracle pins: both elementary streams
+    decrypt bit-exact to the plaintext build, the on-disk bytes are
+    really ciphertext (no 0x47 TS sync grid), a wrong key is
+    REJECTED by PKCS7 validation (not silently mis-decoded), and the
+    stitched PTS stays monotone.
+
+    Scale shape: Arrow-batched narrow map, one stats row per doc;
+    media bytes never shuffle. At 100 TB the decrypt is table-lookup
+    numpy over (n_blocks, 16) arrays inside the same mapInPandas
+    partition that demuxes the TS."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_segments", T.LongType()),
+            T.StructField("packed", T.LongType()),
+            T.StructField("n_files", T.LongType()),
+            T.StructField("key_published", T.LongType()),
+            T.StructField("ciphertext_opaque", T.LongType()),
+            T.StructField("v_bit_exact", T.LongType()),
+            T.StructField("a_bit_exact", T.LongType()),
+            T.StructField("wrong_key_rejected", T.LongType()),
+            T.StructField("pts_monotone", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.hls import build_hls, demux_hls
+        from ..functions.mpegts import AUDIO_STREAM_0, VIDEO_STREAM_0
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                ves = bytes(
+                    (k * 31 + i * 7) % 256
+                    for k in range(1500 + 300 * (i % 5))
+                )
+                aes_payload = bytes(
+                    (k * 17 + i * 3) % 256 for k in range(900)
+                )
+                half_v, half_a = len(ves) // 2, len(aes_payload) // 2
+                segs = [
+                    {
+                        VIDEO_STREAM_0: ves[:half_v],
+                        AUDIO_STREAM_0: aes_payload[:half_a],
+                    },
+                    {
+                        VIDEO_STREAM_0: ves[half_v:],
+                        AUDIO_STREAM_0: aes_payload[half_a:],
+                    },
+                ]
+                key = hashlib.sha256(f"hls-key-{i}".encode()).digest()[:16]
+                packed = i % 2 == 1
+                iv = (
+                    hashlib.sha256(f"hls-iv-{i}".encode()).digest()[:16]
+                    if packed
+                    else None
+                )
+                pl, files = build_hls(
+                    segs, key=key, iv=iv, byterange=packed
+                )
+                blob = files["media.bin" if packed else "seg0.ts"]
+                opaque = int(
+                    not all(
+                        blob[j] == 0x47
+                        for j in range(0, min(len(blob), 941), 188)
+                    )
+                )
+                out = demux_hls(pl, files)
+                v = out["streams"][VIDEO_STREAM_0]
+                a = out["streams"][AUDIO_STREAM_0]
+                wrong = dict(files)
+                wrong["stream.key"] = bytes(16)
+                try:
+                    demux_hls(pl, wrong)
+                    rejected = 0
+                except ValueError:
+                    rejected = 1
+                rows.append(
+                    (
+                        doc_id,
+                        out["n_segments"],
+                        int(packed),
+                        len(files),
+                        int(len(files["stream.key"]) == 16),
+                        opaque,
+                        int(v["data"] == ves),
+                        int(a["data"] == aes_payload),
+                        rejected,
+                        1,  # demux_hls enforces monotone PTS (raises)
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )

@@ -44,6 +44,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas"],
         [r"BatchEvalPython"],
     ),
+    "multimodal_hls_encrypted_stitch": (
+        # r14: AES-128 decrypt + TS demux ride the same Arrow map;
+        # only the doc_id projection is scanned
+        [r"MapInPandas"],
+        [r"BatchEvalPython"],
+    ),
     "multimodal_aiff_au_roundtrip": (
         [r"MapInPandas"],
         [r"BatchEvalPython"],

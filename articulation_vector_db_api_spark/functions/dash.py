@@ -4,14 +4,17 @@ manifest twin of functions/hls.py: an MPD names an init segment and
 media segments per Representation; fetching and demuxing them is
 functions/fmp4.py's job.
 
-Implemented manifest surface (the static-VoD shape crawled archives
+Implemented manifest surface (the static-VoD shapes crawled archives
 carry): MPD@type/mediaPresentationDuration, Period, AdaptationSet
 (@mimeType), Representation (@id/@bandwidth/@width/@height/@codecs),
-SegmentTemplate (@initialization/@media with $RepresentationID$ and
-$Number$ (+ %0Nd width forms), @startNumber/@duration/@timescale)
-and SegmentList (SegmentURL@media + Initialization@sourceURL).
-ISO 8601 durations parse the PT#H#M#S(.frac) forms. Dynamic (live)
-manifests and SegmentTimeline raise NotImplementedError.
+SegmentTemplate (@initialization/@media with $RepresentationID$,
+$Number$ and $Time$ (+ %0Nd width forms), @startNumber/@duration/
+@timescale), SegmentTemplate/SegmentTimeline (<S t/d/r> runs with
+r-repeat expansion — the most common VoD form after the fixed-
+duration template, r14), and SegmentList (SegmentURL@media +
+Initialization@sourceURL). ISO 8601 durations parse the PT#H#M#S
+(.frac) forms. Dynamic (live) manifests and r="-1" open-ended repeats
+(a live-edge construct) raise named NotImplementedError gates.
 
 Reference behavior parity: the reference (/root/reference/main.py)
 has no media path; frontier surface alongside fmp4.py/hls.py.
@@ -25,7 +28,13 @@ import xml.etree.ElementTree as ET
 
 from .fmp4 import demux_fmp4
 
-__all__ = ["build_mpd", "parse_mpd", "demux_dash", "parse_iso8601_duration"]
+__all__ = [
+    "build_mpd",
+    "build_mpd_timeline",
+    "parse_mpd",
+    "demux_dash",
+    "parse_iso8601_duration",
+]
 
 
 def parse_iso8601_duration(s: str) -> float:
@@ -78,20 +87,123 @@ def build_mpd(
     )
 
 
-def _fill_template(tpl: str, rep_id: str, number: int | None) -> str:
-    out = tpl.replace("$RepresentationID$", rep_id)
-    if number is not None:
-        # $Number%05d$ width form, then the plain form
-        def width_sub(m: re.Match) -> str:
-            return f"%0{int(m.group(1))}d" % number
+def build_mpd_timeline(
+    rep_id: str,
+    seg_durations_ticks: list[int],
+    timescale: int,
+    width: int,
+    height: int,
+    bandwidth: int = 100000,
+    time_width: int = 0,
+) -> str:
+    """Static single-representation MPD with a $Time$-addressed
+    SegmentTemplate over an explicit <SegmentTimeline> — the most
+    common VoD form after the fixed-duration template. Equal-duration
+    runs are r-compressed (<S d r>), exactly as packagers emit;
+    ``time_width`` > 0 uses the $Time%0Nd$ width form."""
+    if not seg_durations_ticks:
+        raise ValueError("timeline MPD needs at least one segment")
+    total = sum(seg_durations_ticks) / timescale
+    runs: list[tuple[int, int]] = []  # (duration, repeat)
+    for d in seg_durations_ticks:
+        if runs and runs[-1][0] == d:
+            runs[-1] = (d, runs[-1][1] + 1)
+        else:
+            runs.append((d, 0))
+    s_lines = []
+    at = 0
+    for k, (d, r) in enumerate(runs):
+        t_attr = f' t="{at}"' if k == 0 else ""
+        r_attr = f' r="{r}"' if r else ""
+        s_lines.append(f'      <S{t_attr} d="{d}"{r_attr}/>\n')
+        at += d * (r + 1)
+    time_ident = f"$Time%0{time_width}d$" if time_width else "$Time$"
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<MPD xmlns="urn:mpeg:dash:schema:mpd:2011" type="static" '
+        f'mediaPresentationDuration="PT{total:.3f}S" '
+        'minBufferTime="PT2S" profiles="urn:mpeg:dash:profile:'
+        'isoff-on-demand:2011">\n'
+        " <Period>\n"
+        '  <AdaptationSet mimeType="video/mp4">\n'
+        f'   <Representation id="{rep_id}" bandwidth="{bandwidth}" '
+        f'width="{width}" height="{height}" codecs="jpeg">\n'
+        '    <SegmentTemplate '
+        'initialization="$RepresentationID$-init.mp4" '
+        f'media="$RepresentationID$-{time_ident}.m4s" '
+        f'timescale="{timescale}">\n'
+        "     <SegmentTimeline>\n"
+        + "".join(s_lines)
+        + "     </SegmentTimeline>\n"
+        "    </SegmentTemplate>\n"
+        "   </Representation>\n"
+        "  </AdaptationSet>\n"
+        " </Period>\n"
+        "</MPD>\n"
+    )
 
-        out = re.sub(r"\$Number%0(\d+)d\$", width_sub, out)
-        out = out.replace("$Number$", str(number))
+
+def _fill_template(
+    tpl: str,
+    rep_id: str,
+    number: int | None,
+    time: int | None = None,
+) -> str:
+    out = tpl.replace("$RepresentationID$", rep_id)
+    for ident, val in (("Number", number), ("Time", time)):
+        if val is None:
+            continue
+        # $Number%05d$ width form, then the plain form
+        out = re.sub(
+            rf"\${ident}%0(\d+)d\$",
+            lambda m: f"%0{int(m.group(1))}d" % val,  # noqa: B023
+            out,
+        )
+        out = out.replace(f"${ident}$", str(val))
     if "$" in out:
         raise NotImplementedError(
-            f"DASH template identifier in {tpl!r} ($Time$/$Bandwidth$)"
+            f"DASH template identifier in {tpl!r} ($Bandwidth$?)"
         )
     return out
+
+
+def _expand_timeline(tl_el: ET.Element) -> list[tuple[int, int]]:
+    """<SegmentTimeline> -> [(start_ticks, duration_ticks)] with
+    <S t d r> runs expanded (ISO 23009-1 §5.3.9.6): @t defaults to
+    the running end, @r repeats the duration r more times, r="-1"
+    (repeat to period end — a live-edge construct) is gated by name.
+    Overlapping starts are malformed; forward gaps (@t beyond the
+    running end) are legal discontinuities and kept as declared."""
+    segs: list[tuple[int, int]] = []
+    at = 0
+    saw_s = False
+    for s in tl_el:
+        if _strip_ns(s.tag) != "S":
+            continue
+        saw_s = True
+        d = int(s.get("d", 0))
+        if d <= 0:
+            raise ValueError("DASH SegmentTimeline S without @d")
+        r = int(s.get("r", 0))
+        if r < 0:
+            raise NotImplementedError(
+                'DASH SegmentTimeline r="-1" open-ended repeat'
+            )
+        t_attr = s.get("t")
+        t = int(t_attr) if t_attr is not None else at
+        if not segs and t_attr is None:
+            t = 0
+        if segs and t < at:
+            raise ValueError(
+                f"DASH SegmentTimeline @t={t} overlaps the running "
+                f"end {at}"
+            )
+        for k in range(r + 1):
+            segs.append((t + k * d, d))
+        at = t + (r + 1) * d
+    if not saw_s:
+        raise ValueError("DASH SegmentTimeline with no S elements")
+    return segs
 
 
 def parse_mpd(text: str) -> dict:
@@ -142,16 +254,20 @@ def parse_mpd(text: str) -> dict:
                     None,
                 )
                 if tpl is not None:
-                    if any(
-                        _strip_ns(c.tag) == "SegmentTimeline" for c in tpl
-                    ):
-                        raise NotImplementedError("DASH SegmentTimeline")
+                    tl_el = next(
+                        (c for c in tpl
+                         if _strip_ns(c.tag) == "SegmentTimeline"),
+                        None,
+                    )
                     entry["template"] = {
                         "init": tpl.get("initialization"),
                         "media": tpl.get("media"),
                         "start_number": int(tpl.get("startNumber", 1)),
                         "duration": int(tpl.get("duration", 0)),
                         "timescale": int(tpl.get("timescale", 1)),
+                        "timeline": _expand_timeline(tl_el)
+                        if tl_el is not None
+                        else None,
                     }
                 elif slist is not None:
                     init_el = next(
@@ -194,7 +310,25 @@ def demux_dash(
         raise ValueError(f"representation {representation_id!r} not in MPD")
     if rep["template"] is not None:
         t = rep["template"]
-        if not t["init"] or not t["media"] or not t["duration"]:
+        if not t["init"] or not t["media"]:
+            raise ValueError("DASH SegmentTemplate missing fields")
+        if t["timeline"] is not None:
+            # SegmentTimeline: the segment set IS the timeline — no
+            # duration arithmetic; $Time$ gets each S start,
+            # $Number$ the startNumber-based index (both legal in
+            # one @media per §5.3.9.4.4).
+            init_uri = _fill_template(t["init"], rep["id"], None)
+            media_uris = [
+                _fill_template(
+                    t["media"], rep["id"],
+                    t["start_number"] + k, time=start,
+                )
+                for k, (start, _d) in enumerate(t["timeline"])
+            ]
+            return _demux_resolved(
+                mpd, rep, fetch, init_uri, media_uris
+            )
+        if not t["duration"]:
             raise ValueError("DASH SegmentTemplate missing fields")
         if mpd["duration_sec"] is None:
             raise ValueError(
@@ -223,6 +357,16 @@ def demux_dash(
         if sl is None or not sl["init"]:
             raise ValueError("DASH representation without segments")
         init_uri, media_uris = sl["init"], sl["urls"]
+    return _demux_resolved(mpd, rep, fetch, init_uri, media_uris)
+
+
+def _demux_resolved(
+    mpd: dict,
+    rep: dict,
+    fetch: dict[str, bytes],
+    init_uri: str,
+    media_uris: list[str],
+) -> tuple[dict, list[tuple[int, bytes]]]:
     missing = [u for u in [init_uri, *media_uris] if u not in fetch]
     if missing:
         raise ValueError(f"DASH segments not fetched: {missing}")

@@ -7321,3 +7321,151 @@ def multimodal_hls_encrypted_stitch(
         .mapInPandas(batches, schema)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_dash_timeline_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(3 AS BIGINT) AS n_fragments,
+           CAST(3 AS BIGINT) AS n_samples,
+           CAST(1 AS BIGINT) AS r_compressed,
+           CAST(1 AS BIGINT) AS time_addressed,
+           CAST(doc_id % 2 AS BIGINT) AS wide_time,
+           CAST(3 * (1500 + 300 * (doc_id % 4)) + 750 AS BIGINT)
+               AS duration,
+           CAST(1 AS BIGINT) AS starts_contiguous,
+           CAST(1 AS BIGINT) AS bit_exact,
+           CAST(1 AS BIGINT) AS frames_decode
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "video"),
+)
+def multimodal_dash_timeline_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DASH SegmentTimeline / $Time$ addressing (r14,
+    functions/dash.py) — the most common VoD manifest form after the
+    fixed-duration SegmentTemplate (VERDICT r13 item 7), and the only
+    one that can express VARIABLE segment durations. Per doc: three
+    JPEG-in-fMP4 segments where the first two share a duration (so
+    the witness manifest r-compresses them into one <S d r> run
+    exactly as packagers emit) and the third differs — inexpressible
+    by @duration arithmetic. demux_dash expands the S-runs, fills
+    $Time$ (odd docs use the $Time%08d$ width form) with each
+    segment's start tick, and stitches through demux_fmp4.
+
+    Oracle pins: the S-run really was r-compressed, the media
+    template is $Time$-addressed (no $Number$), expanded starts are
+    contiguous, total duration matches the variable-duration sum,
+    samples are bit-exact, frames decode.
+
+    Scale shape: Arrow-batched narrow map, one stats row per doc."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_fragments", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("r_compressed", T.LongType()),
+            T.StructField("time_addressed", T.LongType()),
+            T.StructField("wide_time", T.LongType()),
+            T.StructField("duration", T.LongType()),
+            T.StructField("starts_contiguous", T.LongType()),
+            T.StructField("bit_exact", T.LongType()),
+            T.StructField("frames_decode", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.dash import (
+            build_mpd_timeline,
+            demux_dash,
+            parse_mpd,
+        )
+        from ..functions.fmp4 import build_fmp4_mjpeg
+        from ..functions.jpeg import decode_jpeg, encode_jpeg_baseline
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                base = 1500 + 300 * (i % 4)
+                durs = [base, base, base + 750]
+                yy, xx = np.mgrid[0:16, 0:16]
+                frames = [
+                    np.stack(
+                        [((xx * 5 + yy * 11 + (i + t) * 37) % 256)
+                         .astype(np.uint8)] * 3,
+                        axis=-1,
+                    )
+                    for t in range(3)
+                ]
+                jp = [
+                    encode_jpeg_baseline(f, quality=85) for f in frames
+                ]
+                init, media = build_fmp4_mjpeg(
+                    [[(d, j)] for d, j in zip(durs, jp)], 16, 16
+                )
+                wide = i % 2 == 1
+                mpd = build_mpd_timeline(
+                    f"v{i}", durs, 90000, 16, 16,
+                    time_width=8 if wide else 0,
+                )
+                tl = parse_mpd(mpd)["representations"][0]["template"][
+                    "timeline"
+                ]
+                fetch = {f"v{i}-init.mp4": init}
+                for (t0, _d), m in zip(tl, media):
+                    name = f"v{i}-{t0:08d}" if wide else f"v{i}-{t0}"
+                    fetch[f"{name}.m4s"] = m
+                meta, samples = demux_dash(mpd, fetch)
+                ok_dec = 1
+                for (_d, s), f in zip(samples, frames):
+                    g = decode_jpeg(s)
+                    a = f.astype(np.float64)
+                    b = g.astype(np.float64)
+                    snr = 10 * np.log10(
+                        (a**2).sum()
+                        / max(((a - b) ** 2).sum(), 1e-9)
+                    )
+                    if snr <= 15:
+                        ok_dec = 0
+                starts_ok = all(
+                    tl[k + 1][0] == tl[k][0] + tl[k][1]
+                    for k in range(len(tl) - 1)
+                ) and tl[0][0] == 0
+                rows.append(
+                    (
+                        doc_id,
+                        meta["n_fragments"],
+                        len(samples),
+                        int('r="1"' in mpd),
+                        int(
+                            "$Time" in mpd and "$Number" not in mpd
+                        ),
+                        int(wide),
+                        meta["duration"],
+                        int(starts_ok),
+                        int([s for _d, s in samples] == jp),
+                        ok_dec,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )

@@ -128,3 +128,61 @@ def test_segment_count_tolerance_covers_declaration_precision():
         fetch[f"v0-{k + 1}.m4s"] = m
     meta, samples = demux_dash(mpd, fetch)
     assert meta["n_fragments"] == n and len(samples) == n
+
+
+def test_segment_timeline_time_addressing():
+    """SegmentTimeline + $Time$ (ISO 23009-1 §5.3.9.6): S-run
+    expansion with r-repeat, default @t continuation, the $Time%0Nd$
+    width form, and variable segment durations that a fixed-duration
+    template cannot express."""
+    from articulation_vector_db_api_spark.functions.dash import (
+        build_mpd_timeline,
+    )
+
+    durs = [3000, 3000, 3000, 1500, 4500]
+    segs = [[(d, bytes([k]) * 12)] for k, d in enumerate(durs)]
+    init, media = build_fmp4_mjpeg(segs, 16, 16)
+    mpd = build_mpd_timeline("v0", durs, 90000, 16, 16)
+    # equal-duration run really is r-compressed like packagers emit
+    assert '<S t="0" d="3000" r="2"/>' in mpd
+    tl = parse_mpd(mpd)["representations"][0]["template"]["timeline"]
+    assert tl == [
+        (0, 3000), (3000, 3000), (6000, 3000), (9000, 1500),
+        (10500, 4500),
+    ]
+    fetch = {"v0-init.mp4": init}
+    for (t, _d), blob in zip(tl, media):
+        fetch[f"v0-{t}.m4s"] = blob
+    meta, samples = demux_dash(mpd, fetch)
+    assert meta["n_fragments"] == 5 and len(samples) == 5
+    assert [d for d, _ in samples] == durs
+
+    wide = build_mpd_timeline("v0", durs, 90000, 16, 16, time_width=8)
+    fetch8 = {"v0-init.mp4": init}
+    for (t, _d), blob in zip(tl, media):
+        fetch8[f"v0-{t:08d}.m4s"] = blob
+    meta8, _ = demux_dash(wide, fetch8)
+    assert meta8["n_fragments"] == 5
+
+
+def test_segment_timeline_gates_and_malformed():
+    from articulation_vector_db_api_spark.functions.dash import (
+        build_mpd_timeline,
+    )
+
+    mpd = build_mpd_timeline("v0", [3000, 3000, 3000, 1500], 90000, 16, 16)
+    with pytest.raises(NotImplementedError, match='r="-1"'):
+        parse_mpd(mpd.replace('r="2"', 'r="-1"'))
+    with pytest.raises(ValueError, match="overlaps"):
+        parse_mpd(mpd.replace('<S d="1500"/>', '<S t="10" d="1500"/>'))
+    with pytest.raises(ValueError, match="@d"):
+        parse_mpd(mpd.replace('<S d="1500"/>', '<S/>'))
+    with pytest.raises(ValueError, match="no S"):
+        parse_mpd(
+            mpd.replace('<S t="0" d="3000" r="2"/>', "")
+            .replace('<S d="1500"/>', "")
+        )
+    # a forward gap (@t past the running end) is a legal discontinuity
+    gap = mpd.replace('<S d="1500"/>', '<S t="90000" d="1500"/>')
+    tl = parse_mpd(gap)["representations"][0]["template"]["timeline"]
+    assert tl[-1] == (90000, 1500)

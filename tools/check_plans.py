@@ -50,6 +50,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas"],
         [r"BatchEvalPython"],
     ),
+    "multimodal_dash_timeline_roundtrip": (
+        [r"MapInPandas"],
+        [r"BatchEvalPython"],
+    ),
     "multimodal_aiff_au_roundtrip": (
         [r"MapInPandas"],
         [r"BatchEvalPython"],

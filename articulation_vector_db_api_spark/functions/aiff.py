@@ -101,15 +101,23 @@ def decode_aiff(payload: bytes) -> tuple[int, np.ndarray]:
     form = b[8:12]
     if form not in (b"AIFF", b"AIFC"):
         raise ValueError(f"not an AIFF form: {form!r}")
+    # Bound the chunk walk by the declared FORM size: bytes past the
+    # FORM are not chunks (taggers commonly append ID3v1/v2 records —
+    # r14 self-review F6: the unbounded walk parsed that garbage as a
+    # chunk header and died on 'truncated AIFF chunk').
+    (form_size,) = struct.unpack_from(">L", b, 4)
+    end = min(len(b), 8 + form_size)
+    if end < 12:
+        raise ValueError("IFF FORM size too small")
     i = 12
     comm = ssnd = None
     compression = b"NONE"
-    while i + 8 <= len(b):
+    while i + 8 <= end:
         cid = b[i : i + 4]
         (size,) = struct.unpack_from(">L", b, i + 4)
-        body = b[i + 8 : i + 8 + size]
-        if len(body) < size:
+        if i + 8 + size > end:
             raise ValueError("truncated AIFF chunk")
+        body = b[i + 8 : i + 8 + size]
         if cid == b"COMM":
             if size < 18:
                 raise ValueError("truncated AIFF COMM chunk")

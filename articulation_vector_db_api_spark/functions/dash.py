@@ -275,14 +275,28 @@ def parse_mpd(text: str) -> dict:
                          if _strip_ns(c.tag) == "Initialization"),
                         None,
                     )
+                    urls: list[str] = []
+                    for c in slist:
+                        if _strip_ns(c.tag) != "SegmentURL":
+                            continue
+                        if c.get("mediaRange") is not None:
+                            # r14 self-review F11: byte-range
+                            # addressing within one resource —
+                            # unhandled, the whole resource would be
+                            # demuxed as one segment (wrong data, no
+                            # error)
+                            raise NotImplementedError(
+                                "DASH SegmentURL@mediaRange"
+                            )
+                        if c.get("media") is None:
+                            raise ValueError(
+                                "DASH SegmentURL without @media"
+                            )
+                        urls.append(c.get("media"))
                     entry["segment_list"] = {
                         "init": init_el.get("sourceURL")
                         if init_el is not None else None,
-                        "urls": [
-                            c.get("media")
-                            for c in slist
-                            if _strip_ns(c.tag) == "SegmentURL"
-                        ],
+                        "urls": urls,
                     }
                 out["representations"].append(entry)
     if not out["representations"]:

@@ -202,6 +202,14 @@ def _parse_init(init: bytes) -> dict:
     return meta
 
 
+def _need(ps: int, pe: int, n: int, what: str) -> None:
+    """Bounds guard for fixed fragment-box fields: struct.unpack_from
+    keeps reading past pe into the NEXT box's bytes without an error,
+    so every fixed read is size-validated first (r14 self-review F5)."""
+    if pe - ps < n:
+        raise ValueError(f"fMP4 {what} box truncated")
+
+
 def demux_fmp4(
     init: bytes, segments: list[bytes]
 ) -> tuple[dict, list[tuple[int, bytes]]]:
@@ -212,126 +220,164 @@ def demux_fmp4(
     samples: list[tuple[int, bytes]] = []
     expected_dt = 0
     n_frag = 0
-    for seg in segments:
-        seg = bytes(seg)
-        frag = None
-        saw_mdat_for = -1
-        for btype, ps, pe, _d in walk_boxes(seg):
-            if btype == b"moof":
-                if frag is not None and saw_mdat_for < n_frag:
-                    raise ValueError("fMP4 moof without its mdat")
-                frag = {
-                    "start": ps - 8, "seq": None, "track_id": None,
-                    "tfdt": None, "base": None, "data_offset": 0,
-                    "rows": [],
-                    "dd": meta["trex"][0], "ds": meta["trex"][1],
-                }
-            elif btype == b"mfhd" and frag is not None:
-                frag["seq"] = struct.unpack_from(">I", seg, ps + 4)[0]
-            elif btype == b"tfhd" and frag is not None:
-                if frag["track_id"] is not None:
-                    raise NotImplementedError(
-                        "fMP4 multi-track fragment"
-                    )
-                flags = struct.unpack_from(">I", seg, ps)[0] & 0xFFFFFF
-                frag["track_id"] = struct.unpack_from(
-                    ">I", seg, ps + 4
-                )[0]
-                p = ps + 8
-                if flags & 0x01:
-                    frag["base"] = struct.unpack_from(">Q", seg, p)[0]
-                    p += 8
-                if flags & 0x02:
-                    p += 4
-                if flags & 0x08:
-                    frag["dd"] = struct.unpack_from(">I", seg, p)[0]
-                    p += 4
-                if flags & 0x10:
-                    frag["ds"] = struct.unpack_from(">I", seg, p)[0]
-                    p += 4
-                if flags & 0x20:
-                    p += 4
-                if frag["base"] is None and flags & 0x20000:
-                    frag["base"] = frag["start"]
-            elif btype == b"tfdt" and frag is not None:
-                ver = seg[ps]
-                frag["tfdt"] = (
-                    struct.unpack_from(">Q", seg, ps + 4)[0]
-                    if ver
-                    else struct.unpack_from(">I", seg, ps + 4)[0]
-                )
-            elif btype == b"trun" and frag is not None:
-                flags = struct.unpack_from(">I", seg, ps)[0] & 0xFFFFFF
-                count = struct.unpack_from(">I", seg, ps + 4)[0]
-                p = ps + 8
-                if flags & 0x01:
-                    frag["data_offset"] = struct.unpack_from(
-                        ">i", seg, p
-                    )[0]
-                    p += 4
-                if flags & 0x04:
-                    p += 4  # first_sample_flags
-                # Validate the declared row count BEFORE looping: a
-                # malformed count (up to 2^32) would otherwise iterate
-                # until struct.unpack_from ran off the segment —
-                # escaping the ValueError contract and burning memory
-                # on the rows list first (ADVICE r13).
-                row_w = 4 * (
-                    bool(flags & 0x100)
-                    + bool(flags & 0x200)
-                    + bool(flags & 0x400)
-                    + bool(flags & 0x800)
-                )
-                if (row_w and count * row_w > pe - p) or count > len(seg):
-                    raise ValueError(
-                        "fMP4 trun sample count beyond box"
-                    )
-                for _ in range(count):
-                    dur, size = frag["dd"], frag["ds"]
-                    if flags & 0x100:
-                        dur = struct.unpack_from(">I", seg, p)[0]
-                        p += 4
-                    if flags & 0x200:
-                        size = struct.unpack_from(">I", seg, p)[0]
-                        p += 4
-                    if flags & 0x400:
-                        p += 4  # per-sample flags
-                    if flags & 0x800:
-                        p += 4  # cts offset (signed in version 1)
-                    if p > pe:
-                        raise ValueError("fMP4 trun rows beyond box")
-                    frag["rows"].append((dur, size))
-            elif btype == b"mdat":
-                if frag is None:
-                    raise ValueError("fMP4 mdat before any moof")
-                if frag["track_id"] is None:
-                    raise ValueError("fMP4 moof without tfhd")
-                if frag["track_id"] != meta["track_id"]:
-                    raise NotImplementedError(
-                        "fMP4 fragment for a second track"
-                    )
-                n_frag += 1
-                if frag["seq"] != n_frag:
-                    raise ValueError(
-                        "fMP4 fragment sequence number gap"
-                    )
-                if frag["tfdt"] is not None and frag["tfdt"] != expected_dt:
-                    raise ValueError(
-                        "fMP4 baseMediaDecodeTime discontinuity"
-                    )
-                base = frag["base"] if frag["base"] is not None else 0
-                at = base + frag["data_offset"]
-                for dur, size in frag["rows"]:
-                    if not size:
-                        raise ValueError("fMP4 sample with no size")
-                    if at + size > len(seg):
-                        raise ValueError(
-                            "fMP4 sample beyond segment end"
+    try:
+        for seg in segments:
+            seg = bytes(seg)
+            frag = None
+            for btype, ps, pe, _d in walk_boxes(seg):
+                if btype == b"moof":
+                    if frag is not None:
+                        raise ValueError("fMP4 moof without its mdat")
+                    frag = {
+                        "start": ps - 8, "seq": None, "track_id": None,
+                        "tfdt": None, "base": None, "data_offset": 0,
+                        "rows": [],
+                        "dd": meta["trex"][0], "ds": meta["trex"][1],
+                    }
+                elif btype == b"mfhd" and frag is not None:
+                    _need(ps, pe, 8, "mfhd")
+                    frag["seq"] = struct.unpack_from(">I", seg, ps + 4)[0]
+                elif btype == b"tfhd" and frag is not None:
+                    if frag["track_id"] is not None:
+                        raise NotImplementedError(
+                            "fMP4 multi-track fragment"
                         )
-                    samples.append((dur, seg[at : at + size]))
-                    at += size
-                    expected_dt += dur
-                saw_mdat_for = n_frag
+                    _need(ps, pe, 8, "tfhd")
+                    flags = struct.unpack_from(">I", seg, ps)[0] & 0xFFFFFF
+                    frag["track_id"] = struct.unpack_from(
+                        ">I", seg, ps + 4
+                    )[0]
+                    # fixed fields sized by flags, validated BEFORE any
+                    # read — unpack_from would otherwise silently read
+                    # the NEXT box's bytes (r14 self-review F5)
+                    _need(
+                        ps, pe,
+                        8
+                        + 8 * bool(flags & 0x01)
+                        + 4 * (
+                            bool(flags & 0x02) + bool(flags & 0x08)
+                            + bool(flags & 0x10) + bool(flags & 0x20)
+                        ),
+                        "tfhd",
+                    )
+                    p = ps + 8
+                    if flags & 0x01:
+                        frag["base"] = struct.unpack_from(">Q", seg, p)[0]
+                        p += 8
+                    if flags & 0x02:
+                        p += 4
+                    if flags & 0x08:
+                        frag["dd"] = struct.unpack_from(">I", seg, p)[0]
+                        p += 4
+                    if flags & 0x10:
+                        frag["ds"] = struct.unpack_from(">I", seg, p)[0]
+                        p += 4
+                    if flags & 0x20:
+                        p += 4
+                    if frag["base"] is None and flags & 0x20000:
+                        frag["base"] = frag["start"]
+                elif btype == b"tfdt" and frag is not None:
+                    _need(ps, pe, 4, "tfdt")
+                    ver = seg[ps]
+                    _need(ps, pe, 12 if ver else 8, "tfdt")
+                    frag["tfdt"] = (
+                        struct.unpack_from(">Q", seg, ps + 4)[0]
+                        if ver
+                        else struct.unpack_from(">I", seg, ps + 4)[0]
+                    )
+                elif btype == b"trun" and frag is not None:
+                    _need(ps, pe, 8, "trun")
+                    flags = struct.unpack_from(">I", seg, ps)[0] & 0xFFFFFF
+                    count = struct.unpack_from(">I", seg, ps + 4)[0]
+                    _need(
+                        ps, pe,
+                        8 + 4 * (bool(flags & 0x01) + bool(flags & 0x04)),
+                        "trun",
+                    )
+                    p = ps + 8
+                    if flags & 0x01:
+                        frag["data_offset"] = struct.unpack_from(
+                            ">i", seg, p
+                        )[0]
+                        p += 4
+                    if flags & 0x04:
+                        p += 4  # first_sample_flags
+                    # Validate the declared row count BEFORE looping: a
+                    # malformed count (up to 2^32) would otherwise iterate
+                    # until struct.unpack_from ran off the segment —
+                    # escaping the ValueError contract and burning memory
+                    # on the rows list first (ADVICE r13).
+                    row_w = 4 * (
+                        bool(flags & 0x100)
+                        + bool(flags & 0x200)
+                        + bool(flags & 0x400)
+                        + bool(flags & 0x800)
+                    )
+                    if (row_w and count * row_w > pe - p) or count > len(seg):
+                        raise ValueError(
+                            "fMP4 trun sample count beyond box"
+                        )
+                    for _ in range(count):
+                        dur, size = frag["dd"], frag["ds"]
+                        if flags & 0x100:
+                            dur = struct.unpack_from(">I", seg, p)[0]
+                            p += 4
+                        if flags & 0x200:
+                            size = struct.unpack_from(">I", seg, p)[0]
+                            p += 4
+                        if flags & 0x400:
+                            p += 4  # per-sample flags
+                        if flags & 0x800:
+                            p += 4  # cts offset (signed in version 1)
+                        if p > pe:
+                            raise ValueError("fMP4 trun rows beyond box")
+                        frag["rows"].append((dur, size))
+                elif btype == b"mdat":
+                    if frag is None:
+                        raise ValueError("fMP4 mdat before any moof")
+                    if frag["track_id"] is None:
+                        raise ValueError("fMP4 moof without tfhd")
+                    if frag["track_id"] != meta["track_id"]:
+                        raise NotImplementedError(
+                            "fMP4 fragment for a second track"
+                        )
+                    n_frag += 1
+                    if frag["seq"] != n_frag:
+                        raise ValueError(
+                            "fMP4 fragment sequence number gap"
+                        )
+                    if frag["tfdt"] is not None and frag["tfdt"] != expected_dt:
+                        raise ValueError(
+                            "fMP4 baseMediaDecodeTime discontinuity"
+                        )
+                    base = frag["base"] if frag["base"] is not None else 0
+                    at = base + frag["data_offset"]
+                    if at < 0:
+                        # r14 self-review F4: a negative trun data_offset
+                        # would otherwise slice from the SEGMENT END via
+                        # Python negative indexing and return wrong bytes
+                        # silently
+                        raise ValueError("fMP4 sample offset before segment")
+                    for dur, size in frag["rows"]:
+                        if not size:
+                            raise ValueError("fMP4 sample with no size")
+                        if at + size > len(seg):
+                            raise ValueError(
+                                "fMP4 sample beyond segment end"
+                            )
+                        samples.append((dur, seg[at : at + size]))
+                        at += size
+                        expected_dt += dur
+                    frag = None  # fragment fully consumed by its mdat
+            if frag is not None:
+                # r14 self-review F3: a trailing moof with no mdat used to
+                # be dropped silently (its samples lost without an error)
+                raise ValueError("fMP4 moof without its mdat")
+    except struct.error as exc:
+        # r14 self-review F5: a truncated mfhd/tfhd/tfdt/trun
+        # box must surface as the module's ValueError contract,
+        # not a bare struct.error
+        raise ValueError(f"fMP4 box truncated: {exc}") from exc
     if not samples:
         raise ValueError("fMP4 stream with no samples")
     meta["n_fragments"] = n_frag

@@ -195,6 +195,14 @@ def parse_m3u8(text: str) -> dict:
         elif ln.startswith("#EXT-X-TARGETDURATION:"):
             out["target_duration"] = int(float(ln.split(":", 1)[1]))
         elif ln.startswith("#EXT-X-MEDIA-SEQUENCE:"):
+            if out["media"]:
+                # RFC 8216 §4.3.3.2: MUST appear before the first
+                # segment — applying it late would silently renumber
+                # the sequence the earlier segments' default IVs were
+                # derived from (r14 self-review F10)
+                raise ValueError(
+                    "HLS #EXT-X-MEDIA-SEQUENCE after the first segment"
+                )
             out["media_sequence"] = int(ln.split(":", 1)[1])
         elif ln.startswith("#EXT-X-ENDLIST"):
             out["endlist"] = True

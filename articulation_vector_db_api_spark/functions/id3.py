@@ -84,6 +84,28 @@ def _decode_text(enc: int, raw: bytes) -> list[str]:
     return [v for v in vals if v]
 
 
+def _split_comm(enc: int, raw: bytes) -> tuple[str, str]:
+    """COMM payload after the language: (description, text), split at
+    the FIRST terminator (alignment-aware for UTF-16); a payload with
+    no terminator is all text (the common sloppy-tagger form)."""
+    try:
+        if enc in (1, 2):
+            codec = "utf-16" if enc == 1 else "utf-16-be"
+            parts = _split_utf16(raw)
+            decoded = [p.decode(codec) if p else "" for p in parts]
+        elif enc in (0, 3):
+            codec = "latin1" if enc == 0 else "utf-8"
+            decoded = [p.decode(codec) for p in raw.split(b"\x00")]
+        else:
+            raise ValueError(f"ID3v2 text encoding {enc}")
+    except UnicodeDecodeError as exc:
+        raise ValueError(f"ID3v2 text payload undecodable: {exc}") from exc
+    if len(decoded) == 1:
+        return "", decoded[0]
+    # terminators inside the body are content (v1-converted comments)
+    return decoded[0], "\x00".join(decoded[1:]).rstrip("\x00")
+
+
 def parse_id3v2(data: bytes) -> dict | None:
     """Leading ID3v2 tag -> {version, frames: {id: [values]},
     comments: [{lang, text}]}; None when no tag is present."""
@@ -146,8 +168,31 @@ def parse_id3v2(data: bytes) -> dict | None:
             raise NotImplementedError(
                 f"ID3v2.4 compressed/encrypted frame {fid_s}"
             )
+        # r14 self-review F7: the grouping and data-length-indicator
+        # format flags prepend bytes to the frame data — unhandled,
+        # they were misparsed as the text encoding byte.
+        if (ver == 3 and fflags & 0x0020) or (
+            ver == 4 and fflags & 0x0040
+        ):
+            if not payload:
+                raise ValueError(f"ID3v2 grouped frame {fid_s} empty")
+            payload = payload[1:]  # group identity byte
+        dli = None
+        if ver == 4 and fflags & 0x0001:
+            if len(payload) < 4:
+                raise ValueError(
+                    f"ID3v2.4 frame {fid_s} data length indicator "
+                    "truncated"
+                )
+            dli = _syncsafe(payload[:4])
+            payload = payload[4:]
         if ver == 4 and fflags & 0x0002:
             payload = _de_unsync(payload)  # per-frame unsync
+        if dli is not None and len(payload) != dli:
+            raise ValueError(
+                f"ID3v2.4 frame {fid_s} data length indicator "
+                f"{dli} != {len(payload)} actual"
+            )
         if not payload:
             continue
         if fid_s.startswith("T") and fid_s not in ("TXX", "TXXX"):
@@ -158,11 +203,14 @@ def parse_id3v2(data: bytes) -> dict | None:
             if len(payload) < 4:
                 raise ValueError("ID3v2 COMM frame truncated")
             enc, lang = payload[0], payload[1:4]
-            vals = _decode_text(enc, payload[4:])
-            # first value is the short description, rest the body
+            # the payload is <description>\x00<text>: split at the
+            # FIRST terminator — r14 self-review F8: taking the last
+            # non-empty value returned the description when the body
+            # was empty
+            _desc, text = _split_comm(enc, payload[4:])
             comments.append({
                 "lang": lang.decode("latin1"),
-                "text": vals[-1] if vals else "",
+                "text": text,
             })
     return {
         "version": f"2.{ver}",

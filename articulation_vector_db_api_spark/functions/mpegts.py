@@ -223,6 +223,17 @@ def build_mpeg_ts(
     return bytes(out)
 
 
+def _mask_pcr(pkt: bytes) -> bytes:
+    """§2.4.3.3: a duplicate packet must be byte-identical EXCEPT the
+    PCR value may be updated — zero the 6 PCR bytes before comparing."""
+    if len(pkt) < 6 or not (pkt[3] >> 4) & 0x2:
+        return pkt
+    alen = pkt[4]
+    if alen < 7 or not pkt[5] & 0x10:
+        return pkt
+    return pkt[:6] + bytes(6) + pkt[12:]
+
+
 def _parse_section(payload: bytes, expect_table: int) -> bytes:
     """pointer_field-led PSI payload -> section body (after the 8-byte
     header, excluding CRC), with the CRC verified."""
@@ -271,6 +282,8 @@ def demux_mpeg_ts(b: bytes, keep_payload: bool = True) -> dict:
     pcr_pid = None
     es_types: dict[int, int] = {}  # pid -> stream_type
     cc_last: dict[int, int] = {}
+    pkt_last: dict[int, bytes] = {}  # for duplicate verification
+    dup_run: dict[int, int] = {}
     pcrs: list[int] = []
     bufs: dict[int, bytearray] = {}
     recs: dict[int, dict] = {}  # keyed by PES stream_id
@@ -338,6 +351,7 @@ def demux_mpeg_ts(b: bytes, keep_payload: bool = True) -> dict:
         if pid == NULL_PID:
             continue
         at = 4
+        discontinuity = False
         if afc & 0x2:  # adaptation field
             alen = pkt[at]
             at += 1
@@ -345,6 +359,7 @@ def demux_mpeg_ts(b: bytes, keep_payload: bool = True) -> dict:
                 raise ValueError("MPEG-TS adaptation field beyond packet")
             if alen:
                 flags = pkt[at]
+                discontinuity = bool(flags & 0x80)
                 if flags & 0x10:  # PCR
                     if alen < 7:
                         raise ValueError("MPEG-TS PCR field truncated")
@@ -353,14 +368,35 @@ def demux_mpeg_ts(b: bytes, keep_payload: bool = True) -> dict:
                 at += alen
         if not afc & 0x1:
             continue  # no payload
-        if pid in cc_last:
+        if pid in cc_last and not discontinuity:
+            # §2.4.3.3: the continuity check is waived on a packet
+            # whose adaptation field declares discontinuity_indicator
+            # (r14 self-review F1 — this used to raise on legal
+            # splice points)
             if cc == cc_last[pid]:
-                continue  # §2.4.3.3: one duplicate packet is legal
+                # §2.4.3.3 allows ONE duplicate, and a duplicate must
+                # be byte-identical — a different payload under the
+                # same counter is corruption, not a duplicate (r14
+                # self-review F2: silently dropping it loses ES bytes)
+                if dup_run.get(pid, 0) >= 1:
+                    raise ValueError(
+                        f"MPEG-TS more than one duplicate packet on "
+                        f"PID {pid:#x}"
+                    )
+                if _mask_pcr(pkt) != _mask_pcr(pkt_last.get(pid, b"")):
+                    raise ValueError(
+                        f"MPEG-TS same continuity counter with "
+                        f"different payload on PID {pid:#x}"
+                    )
+                dup_run[pid] = dup_run.get(pid, 0) + 1
+                continue
             if cc != (cc_last[pid] + 1) & 0xF:
                 raise ValueError(
                     f"MPEG-TS continuity gap on PID {pid:#x}"
                 )
         cc_last[pid] = cc
+        pkt_last[pid] = pkt
+        dup_run[pid] = 0
         payload = pkt[at:]
         if pid == PAT_PID:
             if pusi:

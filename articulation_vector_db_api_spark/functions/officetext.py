@@ -56,15 +56,27 @@ def _parse_xml(blob: bytes) -> ET.Element:
 
 
 def _docx_paragraph(p: ET.Element) -> str:
+    """One w:p -> its run text. Nested w:p subtrees (textbox content,
+    w:txbxContent) are SKIPPED: the extractor emits every w:p as its
+    own line, so descending into them here duplicated their text
+    (r14 self-review F9)."""
     parts: list[str] = []
-    for el in p.iter():
-        tag = _local(el.tag)
-        if tag == "t":
-            parts.append(el.text or "")
-        elif tag == "tab":
-            parts.append("\t")
-        elif tag in ("br", "cr"):
-            parts.append("\n")
+
+    def walk(el: ET.Element) -> None:
+        for child in el:
+            tag = _local(child.tag)
+            if tag == "p":
+                continue  # nested paragraph: its own output line
+            if tag == "t":
+                parts.append(child.text or "")
+            elif tag == "tab":
+                parts.append("\t")
+            elif tag in ("br", "cr"):
+                parts.append("\n")
+            else:
+                walk(child)
+
+    walk(p)
     return "".join(parts)
 
 
@@ -87,6 +99,13 @@ def _odt_paragraph(p: ET.Element) -> str:
             parts.append(el.text)
         for child in el:
             tag = _local(child.tag)
+            if tag in ("p", "h"):
+                # nested paragraph (frames/annotations): its own
+                # output line in extract_odt_text — descending here
+                # duplicated it (r14 self-review F9)
+                if child.tail:
+                    parts.append(child.tail)
+                continue
             if tag == "s":
                 parts.append(" " * int(child.get(
                     "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}c",

@@ -138,3 +138,26 @@ def test_chunks_after_ssnd_are_walked():
     struct.pack_into(">L", grown, 4, len(grown) - 8)
     rate, y = decode_aiff(bytes(grown))
     assert rate == 16000 and np.array_equal(y, x)
+
+
+def test_trailing_tag_after_form_is_ignored():
+    """r14 self-review F6: bytes past the declared FORM size are not
+    chunks — taggers commonly append ID3v1 records, and the
+    unbounded walk used to die on 'truncated AIFF chunk'."""
+    import numpy as np
+
+    x = (np.arange(400) % 251 - 125).astype(np.int64)
+    blob = encode_aiff(x, rate=8000, sample_size=16)
+    tagged = blob + b"TAG" + b"\x00" * 125  # ID3v1 record
+    rate, v = decode_aiff(tagged)
+    assert rate == 8000 and v.shape == (400, 1)
+    assert (v[:, 0] == x).all()
+    # but a CHUNK that claims to extend past the FORM end still raises
+    import struct as _s
+
+    bad = bytearray(blob)
+    ssnd_at = bad.find(b"SSND")
+    (sz,) = _s.unpack_from(">L", bad, ssnd_at + 4)
+    _s.pack_into(">L", bad, ssnd_at + 4, sz + 64)
+    with pytest.raises(ValueError, match="truncated AIFF chunk"):
+        decode_aiff(bytes(bad) + b"\xff" * 64)

@@ -186,3 +186,23 @@ def test_segment_timeline_gates_and_malformed():
     gap = mpd.replace('<S d="1500"/>', '<S t="90000" d="1500"/>')
     tl = parse_mpd(gap)["representations"][0]["template"]["timeline"]
     assert tl[-1] == (90000, 1500)
+
+
+def test_segmenturl_media_range_gated():
+    """r14 self-review F11: SegmentURL@mediaRange addressing is a
+    named gate — unchecked, the whole resource was demuxed as one
+    segment (wrong data, no error); @media-less SegmentURL raises."""
+    mpd = """<?xml version="1.0"?>
+<MPD xmlns="urn:mpeg:dash:schema:mpd:2011" type="static"
+     mediaPresentationDuration="PT1S">
+ <Period><AdaptationSet mimeType="video/mp4">
+  <Representation id="v0" bandwidth="1">
+   <SegmentList><Initialization sourceURL="i.mp4"/>
+    <SegmentURL media="s.m4s" mediaRange="0-499"/>
+   </SegmentList>
+  </Representation>
+ </AdaptationSet></Period></MPD>"""
+    with pytest.raises(NotImplementedError, match="mediaRange"):
+        parse_mpd(mpd)
+    with pytest.raises(ValueError, match="without @media"):
+        parse_mpd(mpd.replace(' media="s.m4s" mediaRange="0-499"', ""))

@@ -223,3 +223,49 @@ def test_trun_count_bound_with_no_per_sample_fields():
     seg = bytes(moof) + _box(b"mdat", b"abcd")
     with pytest.raises(ValueError, match="trun sample count"):
         demux_fmp4(init, [seg])
+
+
+def test_trailing_moof_without_mdat_raises():
+    """r14 self-review F3: a trailing moof with no mdat used to be
+    silently dropped — its samples lost without an error."""
+    init, media = build_fmp4_mjpeg(
+        [[(3000, bytes(range(64)))], [(3000, bytes(64))]], 16, 16
+    )
+    # strip the mdat (last box) off segment 2
+    seg2 = media[1]
+    mdat_at = seg2.rfind(b"mdat") - 4
+    truncated = seg2[:mdat_at]
+    with pytest.raises(ValueError, match="moof without its mdat"):
+        demux_fmp4(init, [media[0], truncated])
+
+
+def test_negative_data_offset_raises():
+    """r14 self-review F4: a negative trun data_offset must raise,
+    not slice from the segment END via Python negative indexing."""
+    init, media = build_fmp4_mjpeg([[(3000, bytes(range(64)))]], 16, 16)
+    seg = bytearray(media[0])
+    off = seg.find(b"trun") + 4 + 8  # version/flags + count
+    struct.pack_into(">i", seg, off, -1000)
+    with pytest.raises(ValueError, match="offset before segment"):
+        demux_fmp4(init, [bytes(seg)])
+
+
+def test_truncated_tfdt_raises_valueerror():
+    """r14 self-review F5: a truncated tfdt/mfhd box must surface as
+    ValueError (the module contract), not struct.error."""
+    from articulation_vector_db_api_spark.functions.fmp4 import (
+        _box,
+        _full,
+    )
+
+    init, _ = build_fmp4_mjpeg([[(1, b"x")]], 16, 16)
+    mfhd = _full(b"mfhd", 0, struct.pack(">I", 1))
+    tfhd = _box(
+        b"tfhd", struct.pack(">I", 0x20000) + struct.pack(">I", 1)
+    )
+    # version-1 tfdt declaring only 2 payload bytes
+    bad_tfdt = _box(b"tfdt", struct.pack(">I", 1 << 24) + b"\x00\x00")
+    traf = _box(b"traf", tfhd + bad_tfdt)
+    seg = _box(b"moof", mfhd + traf) + _box(b"mdat", b"abcd")
+    with pytest.raises(ValueError, match="truncated|beyond|without"):
+        demux_fmp4(init, [seg])

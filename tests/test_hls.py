@@ -350,3 +350,14 @@ def test_key_and_byterange_error_contract():
     wrong["stream.key"] = bytes.fromhex("aa" * 16)
     with pytest.raises(ValueError, match="padding"):
         demux_hls(ple, wrong)
+
+
+def test_media_sequence_after_first_segment_raises():
+    """r14 self-review F10 (RFC 8216 §4.3.3.2): #EXT-X-MEDIA-SEQUENCE
+    MUST appear before the first segment — applied late it would
+    renumber the sequence the earlier default IVs derive from."""
+    with pytest.raises(ValueError, match="MEDIA-SEQUENCE after"):
+        parse_m3u8(
+            "#EXTM3U\n#EXTINF:1,\na.ts\n"
+            "#EXT-X-MEDIA-SEQUENCE:7\n#EXTINF:1,\nb.ts\n"
+        )

@@ -192,3 +192,51 @@ def test_undecodable_text_raises_valueerror():
     bad8 = b"\x03\xc3\x28"
     with pytest.raises(ValueError, match="undecodable"):
         parse_id3v2(_tag(4, _v24_frame(b"TIT2", bad8)))
+
+
+def test_grouping_and_data_length_indicator_flags():
+    """r14 self-review F7: grouping (v2.3 0x20 / v2.4 0x40) prepends
+    a group-id byte and v2.4 DLI (0x01) prepends a 4-byte syncsafe
+    length — unhandled, they were misparsed as the encoding byte."""
+    # v2.3 grouped TIT2: group byte 0x7A then latin1 text
+    t = parse_id3v2(
+        _tag(3, _v23_frame(b"TIT2", b"\x7a\x00Grouped", flags=0x0020))
+    )
+    assert t["frames"]["TIT2"] == ["Grouped"]
+    # v2.4 grouped + DLI
+    payload = b"\x00Sized"
+    framed = b"\x7a" + len(payload).to_bytes(4, "big") + payload
+    # syncsafe DLI: payload is 6 bytes -> 00 00 00 06
+    t = parse_id3v2(
+        _tag(4, _v24_frame(b"TIT2", framed, flags=0x0041))
+    )
+    assert t["frames"]["TIT2"] == ["Sized"]
+    # DLI that disagrees with the actual length raises
+    bad = b"\x00\x00\x00\x63" + b"\x00hi"
+    with pytest.raises(ValueError, match="data length indicator"):
+        parse_id3v2(_tag(4, _v24_frame(b"TIT2", bad, flags=0x0001)))
+
+
+def test_comm_splits_at_first_terminator():
+    """r14 self-review F8: COMM is <desc>\\x00<text>; an empty text
+    must come back empty, not as the description."""
+    body = b"\x00eng" + b"short desc\x00the actual comment"
+    t = parse_id3v2(_tag(3, _v23_frame(b"COMM", body)))
+    assert t["comments"] == [
+        {"lang": "eng", "text": "the actual comment"}
+    ]
+    # empty body -> empty text (used to return the description)
+    t = parse_id3v2(
+        _tag(3, _v23_frame(b"COMM", b"\x00eng" + b"desc only\x00"))
+    )
+    assert t["comments"][0]["text"] == ""
+    # no terminator at all: the whole payload is text
+    t = parse_id3v2(
+        _tag(3, _v23_frame(b"COMM", b"\x00engjust text"))
+    )
+    assert t["comments"][0]["text"] == "just text"
+    # UTF-16 desc/text split stays code-unit aligned
+    b16 = b"\x01" + "aĀ".encode("utf-16") + b"\x00\x00" \
+        + "body".encode("utf-16")
+    t = parse_id3v2(_tag(3, _v23_frame(b"COMM", b"\x01eng"[:1] + b"eng" + b16[1:])))
+    assert t["comments"][0]["text"] == "body"

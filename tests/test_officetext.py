@@ -122,3 +122,50 @@ def test_zip_bomb_guard():
             extract_docx_text(bytes(blob))
     finally:
         officetext._MAX_XML_MEMBER = old
+
+
+def test_nested_paragraphs_extract_once():
+    """r14 self-review F9: a paragraph nested inside another (DOCX
+    textbox content, ODT frames) must be extracted exactly once —
+    the old subtree walk emitted its text twice."""
+    import io
+    import zipfile
+
+    from articulation_vector_db_api_spark.functions.officetext import (
+        _DOCX_NS,
+        _ODT_OFFICE_NS,
+        _ODT_TEXT_NS,
+        extract_docx_text,
+        extract_odt_text,
+    )
+
+    doc = (
+        '<?xml version="1.0"?>'
+        f'<w:document xmlns:w="{_DOCX_NS}"><w:body>'
+        "<w:p><w:r><w:t>outer before</w:t></w:r>"
+        "<w:r><w:txbxContent><w:p><w:r><w:t>boxed</w:t></w:r></w:p>"
+        "</w:txbxContent></w:r>"
+        "<w:r><w:t> outer after</w:t></w:r></w:p>"
+        "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", doc)
+    text = extract_docx_text(buf.getvalue())
+    assert text.count("boxed") == 1
+    assert text.splitlines() == ["outer before outer after", "boxed"]
+
+    content = (
+        '<?xml version="1.0"?>'
+        f'<office:document-content xmlns:office="{_ODT_OFFICE_NS}" '
+        f'xmlns:text="{_ODT_TEXT_NS}"><office:body><office:text>'
+        "<text:p>outer<draw:frame xmlns:draw=\"urn:d\">"
+        "<text:p>framed</text:p></draw:frame> tail</text:p>"
+        "</office:text></office:body></office:document-content>"
+    )
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w") as z:
+        z.writestr("content.xml", content)
+    text2 = extract_odt_text(buf2.getvalue())
+    assert text2.count("framed") == 1
+    assert text2.splitlines() == ["outer tail", "framed"]

@@ -1,0 +1,173 @@
+"""Email text extraction — RFC 5322 messages (.eml) and mbox
+archives, via the stdlib `email` package (header decoding, MIME
+multipart walking, content-transfer-encoding). Mail corpora are a
+staple of institutional text collections; the extraction policy is
+the curation-friendly one:
+
+- prefer the text/plain body; fall back to text/html stripped
+  through functions/htmltext.py; attachments are counted, not
+  decoded.
+- headers come back decoded (RFC 2047 encoded-words handled by the
+  stdlib policy).
+- mbox splitting follows the mboxrd convention: a message starts at
+  a line matching ``From `` at column 0 (after a blank line or file
+  start), and body lines matching ``^>*From `` are quoted with one
+  more ``>`` on write / unquoted by one on read — the only reversible
+  variant of the family.
+
+ValueError for malformed input (fault-isolation boundary upstream).
+
+Reference behavior parity: extends the reference's PDF-only ingestion
+domain (/root/reference/main.py:106-115) alongside officetext/epub.
+"""
+
+from __future__ import annotations
+
+import email
+import email.policy
+import re
+from email.message import EmailMessage
+
+__all__ = [
+    "build_eml",
+    "extract_eml",
+    "extract_eml_text",
+    "build_mbox",
+    "split_mbox",
+    "extract_mbox_text",
+]
+
+_FROM_LINE = re.compile(rb"^From ", re.M)
+_QUOTED_FROM = re.compile(r"^(>*)From ", re.M)
+
+
+def build_eml(
+    subject: str,
+    body: str,
+    sender: str = "witness@example.org",
+    to: str = "corpus@example.org",
+    date: str = "Mon, 01 Jan 2024 00:00:00 +0000",
+    html_alternative: str | None = None,
+) -> bytes:
+    """Minimal RFC 5322 message; with ``html_alternative`` the body
+    becomes multipart/alternative (plain first, HTML second — the
+    shape real mailers emit)."""
+    msg = EmailMessage(policy=email.policy.default)
+    msg["Subject"] = subject
+    msg["From"] = sender
+    msg["To"] = to
+    msg["Date"] = date
+    msg.set_content(body)
+    if html_alternative is not None:
+        msg.add_alternative(html_alternative, subtype="html")
+    return msg.as_bytes()
+
+
+def extract_eml(data: bytes) -> dict:
+    """.eml bytes -> {subject, sender, to, date, text, body_source,
+    n_attachments}. ``body_source`` records which part supplied the
+    text ('plain' or 'html')."""
+    try:
+        msg = email.message_from_bytes(
+            bytes(data), policy=email.policy.default
+        )
+    except Exception as exc:  # the stdlib raises a mixed family here
+        raise ValueError(f"malformed RFC 5322 message: {exc}") from exc
+    if not msg.keys():
+        raise ValueError("RFC 5322 message with no headers")
+    plain = html = None
+    n_attach = 0
+    for part in msg.walk():
+        if part.is_multipart():
+            continue
+        if part.get_content_disposition() == "attachment":
+            n_attach += 1
+            continue
+        ctype = part.get_content_type()
+        try:
+            if ctype == "text/plain" and plain is None:
+                plain = part.get_content()
+            elif ctype == "text/html" and html is None:
+                html = part.get_content()
+            elif part.get_content_maintype() not in ("text", "multipart"):
+                n_attach += 1
+        except Exception as exc:
+            raise ValueError(
+                f"undecodable MIME part ({ctype}): {exc}"
+            ) from exc
+    if plain is not None:
+        text, src = plain, "plain"
+    elif html is not None:
+        from .htmltext import extract_main_text
+
+        text, src = extract_main_text(html)["text"], "html"
+    else:
+        raise ValueError("RFC 5322 message with no text body")
+    return {
+        "subject": str(msg.get("Subject", "")),
+        "sender": str(msg.get("From", "")),
+        "to": str(msg.get("To", "")),
+        "date": str(msg.get("Date", "")),
+        "text": text,
+        "body_source": src,
+        "n_attachments": n_attach,
+    }
+
+
+def extract_eml_text(data: bytes) -> str:
+    """Ingest-dispatch shape: 'Subject: ...' header line, blank line,
+    body."""
+    m = extract_eml(data)
+    return f"Subject: {m['subject']}\n\n{m['text']}"
+
+
+def build_mbox(messages: list[bytes]) -> bytes:
+    """RFC 5322 messages -> one mboxrd archive."""
+    if not messages:
+        raise ValueError("mbox needs at least one message")
+    out = []
+    for raw in messages:
+        text = bytes(raw).decode("utf-8", "surrogateescape")
+        quoted = _QUOTED_FROM.sub(r">\1From ", text)
+        out.append(
+            "From witness@example.org Mon Jan  1 00:00:00 2024\n"
+            + quoted.rstrip("\n")
+            + "\n\n"
+        )
+    return "".join(out).encode("utf-8", "surrogateescape")
+
+
+def split_mbox(data: bytes) -> list[bytes]:
+    """mboxrd bytes -> per-message raw RFC 5322 bytes (separator
+    lines removed, ``>*From `` quoting reversed by one level)."""
+    b = bytes(data)
+    if not b.startswith(b"From "):
+        raise ValueError("not an mbox archive (no leading From line)")
+    starts = [
+        m.start()
+        for m in _FROM_LINE.finditer(b)
+        if m.start() == 0 or b[m.start() - 2 : m.start()] == b"\n\n"
+    ]
+    msgs: list[bytes] = []
+    for i, s in enumerate(starts):
+        e = starts[i + 1] if i + 1 < len(starts) else len(b)
+        block = b[s:e]
+        nl = block.find(b"\n")
+        if nl < 0:
+            raise ValueError("mbox From line without a message")
+        body = block[nl + 1 :].rstrip(b"\n") + b"\n"
+        text = body.decode("utf-8", "surrogateescape")
+        text = _QUOTED_FROM.sub(
+            lambda m: m.group(1)[1:] + "From " if m.group(1) else "From ",
+            text,
+        )
+        msgs.append(text.encode("utf-8", "surrogateescape"))
+    return msgs
+
+
+def extract_mbox_text(data: bytes) -> str:
+    """Ingest-dispatch shape: every message through
+    ``extract_eml_text``, separated by a blank line."""
+    return "\n\n".join(
+        extract_eml_text(m) for m in split_mbox(data)
+    )

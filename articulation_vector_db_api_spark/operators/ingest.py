@@ -79,6 +79,24 @@ def _extract_one(path: str, content: bytes) -> tuple[str | None, str | None]:
                 ".pptx": officetext.extract_pptx_text,
             }[low[low.rfind(".") :]]
             return fn(bytes(content)), None
+        if low.endswith(".epub"):
+            # e-books (r14): ZIP of spine-ordered XHTML
+            from ..functions.epub import extract_epub_text
+
+            return extract_epub_text(bytes(content)), None
+        if low.endswith((".eml", ".mbox")):
+            # mail corpora (r14): RFC 5322 / mboxrd via stdlib email
+            from ..functions.mailtext import (
+                extract_eml_text,
+                extract_mbox_text,
+            )
+
+            fn = (
+                extract_eml_text
+                if low.endswith(".eml")
+                else extract_mbox_text
+            )
+            return fn(bytes(content)), None
         return bytes(content).decode("utf-8"), None
     except Exception as e:  # noqa: BLE001 - fault isolation boundary
         return None, f"{type(e).__name__}: {e}"

@@ -318,6 +318,8 @@ _WINDOW_DEFER: frozenset[str] = frozenset(
         "multimodal_hls_encrypted_stitch",  # r14: parity-proven at
         # sf0.001/0.01/0.1 before registration
         "multimodal_dash_timeline_roundtrip",  # r14: same proof
+        "ingest_epub_extract",              # r14: same proof
+        "ingest_mail_extract",              # r14: same proof
     }
 )
 

@@ -506,7 +506,43 @@ def main() -> None:
         payload["serving_concurrent"] = serving
 
     payload["value"] = round(sum(timings.values()), 3)
-    print(json.dumps(payload))
+
+    # The driver records only the LAST 2000 chars of stdout; r13's
+    # fully-annotated line crossed that and the driver recorded
+    # parsed=null (r14 diagnosis). Print a compact line that always
+    # fits and write the full payload to BENCH_DETAIL.json beside it.
+    with open(os.path.join(_HERE, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "sf": payload["sf"],
+        "queries": {q: round(v, 2) for q, v in timings.items()},
+    }
+    comp = payload.get("common_subset_vs_prev")
+    if comp:
+        compact["vs_prev"] = {
+            "round": comp["prev_round"],
+            "ratio": comp["ratio"],
+            "cal_mult": comp["calibration_mult"],
+            "regressed_30pct": comp["regressed_30pct"],
+            "basis": "median-of-last-3-rounds (detail: BENCH_DETAIL.json)",
+        }
+    if "serving_concurrent" in payload:
+        sc = payload["serving_concurrent"]
+        compact["serving"] = {
+            "p50": sc["serving_p50_concurrent"],
+            "p95": sc["serving_p95_concurrent"],
+        }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: drop to the bare contract
+        compact = {
+            k: compact[k]
+            for k in ("metric", "value", "unit", "sf", "queries")
+        }
+        line = json.dumps(compact)
+    print(line)
 
 
 def _prev_round_timings() -> tuple[int, dict[str, float], float | None] | None:
@@ -530,6 +566,25 @@ def _prev_round_timings() -> tuple[int, dict[str, float], float | None] | None:
             with open(path) as f:
                 doc = json.load(f)
             parsed = doc.get("parsed", doc)
+            if parsed is None and isinstance(doc.get("tail"), str):
+                # the driver's tail capture is the LAST 2000 chars —
+                # a long line loses its head and parsed comes back
+                # null (r13). Recover the per-query pairs that
+                # survived in the tail: a partial basis beats losing
+                # the round entirely.
+                pairs = re.findall(
+                    r'"([a-z0-9_]+)":\s*(\d+\.\d+)', doc["tail"]
+                )
+                parsed = {
+                    "queries": {
+                        k: float(v)
+                        for k, v in pairs
+                        if not k.startswith(
+                            ("serving_", "calibration", "prev_", "cur_")
+                        )
+                        and k not in ("value", "sf", "ratio")
+                    }
+                }
             queries = parsed.get("queries")
             cal = parsed.get("calibration_sec")
         except (OSError, ValueError, AttributeError):
@@ -545,6 +600,13 @@ def _prev_round_timings() -> tuple[int, dict[str, float], float | None] | None:
     rounds.sort()
     last3 = rounds[-3:]
     newest_rnd, newest_q, newest_cal = rounds[-1]
+    if newest_cal is None:
+        # a tail-recovered round has no calibration row; use the
+        # newest round that recorded one so machine-drift correction
+        # stays live
+        newest_cal = next(
+            (c for _r, _q, c in reversed(rounds) if c), None
+        )
     basis: dict[str, float] = {}
     for q in newest_q:
         vals = [qs[q] for _r, qs, _c in last3 if q in qs]

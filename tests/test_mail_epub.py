@@ -1,0 +1,156 @@
+"""EPUB (functions/epub.py) and EML/mbox (functions/mailtext.py)
+ingestion: roundtrips, MIME part policy, mboxrd From-quoting, spine
+ordering, nested-block extraction, and the error contracts."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from articulation_vector_db_api_spark.functions.epub import (
+    build_epub,
+    extract_epub_text,
+)
+from articulation_vector_db_api_spark.functions.mailtext import (
+    build_eml,
+    build_mbox,
+    extract_eml,
+    extract_eml_text,
+    extract_mbox_text,
+    split_mbox,
+)
+
+
+def test_epub_roundtrip_and_spine_order():
+    chapters = [["Alpha & <tag>.", "Beta line"], ["Gamma"]]
+    blob = build_epub(chapters, title="T & T")
+    assert blob[:2] == b"PK"
+    with zipfile.ZipFile(io.BytesIO(blob)) as z:
+        first = z.infolist()[0]
+        assert first.filename == "mimetype"
+        assert first.compress_type == zipfile.ZIP_STORED
+    text = extract_epub_text(blob)
+    assert text == "Alpha & <tag>.\nBeta line\n\nGamma"
+
+
+def test_epub_nested_blocks_and_br():
+    """Nested block elements extract once; <br/> becomes a newline;
+    inline markup (<em>) contributes its text and tail."""
+    xhtml = (
+        '<?xml version="1.0"?>'
+        '<html xmlns="http://www.w3.org/1999/xhtml"><body>'
+        "<p>one <em>fine</em> day</p>"
+        "<ul><li>item A<br/>wrapped</li><li>item B</li></ul>"
+        "<div><p>nested para</p></div>"
+        "</body></html>"
+    )
+    blob = build_epub([["placeholder"]])
+    buf = io.BytesIO(blob)
+    with zipfile.ZipFile(buf, "a") as z:
+        z.writestr("OEBPS/ch0.xhtml", xhtml)
+    text = extract_epub_text(buf.getvalue())
+    assert text.splitlines() == [
+        "one fine day", "item A", "wrapped", "item B", "nested para",
+    ]
+
+
+def test_epub_error_contract():
+    with pytest.raises(ValueError, match="ZIP"):
+        extract_epub_text(b"not a zip")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype", "application/epub+zip")
+    with pytest.raises(ValueError, match="container.xml"):
+        extract_epub_text(buf.getvalue())
+    # spine pointing at a missing manifest item
+    blob = bytearray(build_epub([["x"]]))
+    src = zipfile.ZipFile(io.BytesIO(bytes(blob)))
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w") as z:
+        for info in src.infolist():
+            data = src.read(info.filename)
+            if info.filename == "OEBPS/content.opf":
+                data = data.replace(b'idref="c0"', b'idref="nope"')
+            z.writestr(info, data)
+    with pytest.raises(ValueError, match="not in manifest"):
+        extract_epub_text(out.getvalue())
+    with pytest.raises(ValueError, match="at least one"):
+        build_epub([])
+
+
+def test_eml_part_policy():
+    # plain preferred over the html alternative
+    e = build_eml("S", "plain body", html_alternative="<p>html</p>")
+    m = extract_eml(e)
+    assert m["body_source"] == "plain"
+    assert m["text"].rstrip("\n") == "plain body"
+    assert m["subject"] == "S" and m["n_attachments"] == 0
+    # html-only falls back through the html extractor
+    import email.policy
+    from email.message import EmailMessage
+
+    msg = EmailMessage(policy=email.policy.default)
+    msg["Subject"] = "H"
+    msg["From"] = "a@example.org"
+    msg.set_content("<p>para one</p><p>two</p>", subtype="html")
+    m2 = extract_eml(msg.as_bytes())
+    assert m2["body_source"] == "html" and m2["text"] == "para one\ntwo"
+    # attachments counted, not decoded
+    msg.add_attachment(
+        b"\x00\x01", maintype="application", subtype="octet-stream",
+        filename="blob.bin",
+    )
+    assert extract_eml(msg.as_bytes())["n_attachments"] == 1
+    # RFC 2047 encoded-word subject decodes
+    raw = (
+        b"Subject: =?utf-8?b?w6luY29kw6k=?=\r\n"
+        b"From: x@example.org\r\n\r\nbody\r\n"
+    )
+    assert extract_eml(raw)["subject"] == "éncodé"
+    with pytest.raises(ValueError, match="no headers"):
+        extract_eml(b"")
+    with pytest.raises(ValueError, match="no text body"):
+        extract_eml(
+            b"Subject: s\r\nContent-Type: application/octet-stream\r\n"
+            b"\r\n\x00\x01"
+        )
+
+
+def test_mbox_roundtrip_with_from_quoting():
+    msgs = [
+        build_eml("m1", "body1\nFrom here\n>From already\n>>From deep"),
+        build_eml("m2", "body2"),
+    ]
+    mb = build_mbox(msgs)
+    # the archive quotes every ^>*From by one more level
+    assert b"\n>From here" in mb and b">>>From deep" in mb
+    back = split_mbox(mb)
+    assert len(back) == 2
+    t0 = extract_eml(back[0])["text"]
+    assert "From here" in t0 and ">From already" in t0 \
+        and ">>From deep" in t0 and ">>>From" not in t0
+    combined = extract_mbox_text(mb)
+    assert combined.count("Subject: m") == 2
+    with pytest.raises(ValueError, match="leading From"):
+        split_mbox(b"not an mbox")
+    with pytest.raises(ValueError, match="at least one"):
+        build_mbox([])
+
+
+def test_ingest_dispatch_routes_new_formats():
+    from articulation_vector_db_api_spark.operators.ingest import (
+        _extract_one,
+    )
+
+    text, err = _extract_one("book.epub", build_epub([["hello epub"]]))
+    assert err is None and text == "hello epub"
+    text, err = _extract_one("mail.eml", build_eml("Sub", "eml body"))
+    assert err is None and text == "Subject: Sub\n\neml body\n"
+    mb = build_mbox([build_eml("A", "a"), build_eml("B", "b")])
+    text, err = _extract_one("archive.mbox", mb)
+    assert err is None and text.count("Subject:") == 2
+    # fault isolation still catches malformed input
+    text, err = _extract_one("bad.epub", b"garbage")
+    assert text is None and "ValueError" in err

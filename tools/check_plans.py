@@ -66,6 +66,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas"],
         [r"BatchEvalPython"],
     ),
+    "ingest_epub_extract": (
+        [r"MapInPandas"],
+        [r"BatchEvalPython"],
+    ),
+    "ingest_mail_extract": (
+        [r"MapInPandas"],
+        [r"BatchEvalPython"],
+    ),
     "multimodal_ass_subtitle_extract": (
         [r"MapInPandas"],
         [r"BatchEvalPython"],

@@ -224,3 +224,93 @@ def ingest_corpus(spark: SparkSession, corpus_dir: str, table_path: str, glob: s
         }
     finally:
         extracted.unpersist()
+
+
+ARCHIVE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("member", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+_ARCHIVE_EXTS = (".tar", ".tar.gz", ".tgz", ".tar.bz2", ".zip")
+_MAX_MEMBER = 1 << 28  # 256 MB per member: decompression-bomb guard
+
+
+def _explode_one(path: str, content: bytes) -> list[tuple]:
+    """One archive -> [(path, member, bytes, None)] rows, or a single
+    (path, None, None, error) row — the per-FILE fault isolation
+    boundary of O7, at archive granularity. Non-archive paths pass
+    through as their own single member (member = None)."""
+    import io
+    import tarfile
+    import zipfile
+
+    low = path.lower()
+    try:
+        rows: list[tuple] = []
+        if low.endswith(".zip"):
+            with zipfile.ZipFile(io.BytesIO(content)) as z:
+                for info in z.infolist():
+                    if info.is_dir():
+                        continue
+                    if info.file_size > _MAX_MEMBER:
+                        raise ValueError(
+                            f"archive member too large: {info.filename}"
+                        )
+                    rows.append(
+                        (path, info.filename, z.read(info), None)
+                    )
+        elif low.endswith(_ARCHIVE_EXTS):
+            mode = (
+                "r:gz" if low.endswith((".tar.gz", ".tgz"))
+                else "r:bz2" if low.endswith(".tar.bz2")
+                else "r:"
+            )
+            with tarfile.open(
+                fileobj=io.BytesIO(content), mode=mode
+            ) as tf:
+                for info in tf:
+                    if not info.isfile():
+                        continue
+                    if info.size > _MAX_MEMBER:
+                        raise ValueError(
+                            f"archive member too large: {info.name}"
+                        )
+                    f = tf.extractfile(info)
+                    rows.append(
+                        (path, info.name, f.read() if f else b"", None)
+                    )
+        else:
+            return [(path, None, bytes(content), None)]
+        if not rows:
+            raise ValueError("archive with no file members")
+        return rows
+    except Exception as e:  # noqa: BLE001 - fault isolation boundary
+        return [(path, None, None, f"{type(e).__name__}: {e}")]
+
+
+def explode_archives(corpus: DataFrame) -> DataFrame:
+    """Archive-aware corpus expansion (r14): .tar/.tar.gz/.tgz/
+    .tar.bz2/.zip rows fan out to one row per file member (the member
+    name rides along for dispatch); other rows pass through. Rows
+    multiply INSIDE the Arrow batch — no shuffle, no driver loop —
+    so a 100 TB corpus of tarballs reads as one narrow map whose
+    output is the per-document frame ``extract_text`` consumes (use
+    ``F.concat(path, '!', member)`` as the extraction path so the
+    member extension drives the format dispatch)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: list[tuple] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                out.extend(_explode_one(str(path), bytes(content)))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in ARCHIVE_SCHEMA.fields]
+            )
+
+    return corpus.select("path", "content").mapInPandas(
+        batches, ARCHIVE_SCHEMA
+    )

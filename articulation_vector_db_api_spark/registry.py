@@ -320,6 +320,7 @@ _WINDOW_DEFER: frozenset[str] = frozenset(
         "multimodal_dash_timeline_roundtrip",  # r14: same proof
         "ingest_epub_extract",              # r14: same proof
         "ingest_mail_extract",              # r14: same proof
+        "ingest_archive_explode",           # r14: same proof
     }
 )
 

@@ -95,3 +95,60 @@ def test_health_degraded_on_missing_table(spark, tmp_path):
     report = health(spark, str(tmp_path / "nope"))
     assert report["status"] == "degraded"
     assert "message" in report
+
+
+def test_explode_archives_dataframe_operator(spark):
+    """r14: archive rows fan out to one row per member inside the
+    Arrow batch; flat rows pass through; a corrupt archive yields ONE
+    isolated error row."""
+    import io
+    import tarfile
+    import zipfile
+
+    from articulation_vector_db_api_spark.operators.ingest import (
+        explode_archives,
+        extract_text,
+    )
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        for name, data in [(b"a.txt", b"alpha"), (b"d/b.txt", b"beta")]:
+            info = tarfile.TarInfo(name.decode())
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    zb = io.BytesIO()
+    with zipfile.ZipFile(zb, "w") as z:
+        z.writestr("c.txt", "gamma")
+    corpus = spark.createDataFrame(
+        [
+            ("corpus.tar.gz", bytearray(buf.getvalue())),
+            ("more.zip", bytearray(zb.getvalue())),
+            ("flat.txt", bytearray(b"delta")),
+            ("broken.zip", bytearray(b"garbage")),
+        ],
+        "path string, content binary",
+    )
+    rows = {
+        (r.path, r.member): (bytes(r.content) if r.content is not None
+                             else None, r.error)
+        for r in explode_archives(corpus).collect()
+    }
+    assert rows[("corpus.tar.gz", "a.txt")] == (b"alpha", None)
+    assert rows[("corpus.tar.gz", "d/b.txt")] == (b"beta", None)
+    assert rows[("more.zip", "c.txt")] == (b"gamma", None)
+    assert rows[("flat.txt", None)] == (b"delta", None)
+    content, err = rows[("broken.zip", None)]
+    assert content is None and "BadZipFile" in err
+    assert len(rows) == 5
+    # exploded frame feeds extract_text via the member-name dispatch
+    from pyspark.sql import functions as F
+
+    exploded = explode_archives(corpus).filter("error IS NULL")
+    fed = exploded.select(
+        F.coalesce("member", "path").alias("path"), "content"
+    )
+    texts = {r.path: r.text for r in extract_text(fed).collect()}
+    assert texts == {
+        "a.txt": "alpha", "d/b.txt": "beta", "c.txt": "gamma",
+        "flat.txt": "delta",
+    }

@@ -74,6 +74,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas"],
         [r"BatchEvalPython"],
     ),
+    "ingest_archive_explode": (
+        [r"MapInPandas"],
+        [r"BatchEvalPython"],
+    ),
     "multimodal_ass_subtitle_extract": (
         [r"MapInPandas"],
         [r"BatchEvalPython"],

@@ -189,6 +189,12 @@ def _expand_timeline(tl_el: ET.Element) -> list[tuple[int, int]]:
             raise NotImplementedError(
                 'DASH SegmentTimeline r="-1" open-ended repeat'
             )
+        if len(segs) + r + 1 > 1_000_000:
+            # a hostile r (up to 2^32 in the wild) would otherwise
+            # materialize a billion-tuple list before any fetch check
+            raise ValueError(
+                "DASH SegmentTimeline expands past 1e6 segments"
+            )
         t_attr = s.get("t")
         t = int(t_attr) if t_attr is not None else at
         if not segs and t_attr is None:

@@ -143,10 +143,14 @@ def split_mbox(data: bytes) -> list[bytes]:
     b = bytes(data)
     if not b.startswith(b"From "):
         raise ValueError("not an mbox archive (no leading From line)")
+    # every line-leading "From " is a separator: in mboxrd, body
+    # From-lines are ALWAYS quoted (">From "), so no blank-line-before
+    # heuristic is needed — requiring one merged messages from writers
+    # that don't pad between them (r14 self-review of this module)
     starts = [
         m.start()
         for m in _FROM_LINE.finditer(b)
-        if m.start() == 0 or b[m.start() - 2 : m.start()] == b"\n\n"
+        if m.start() == 0 or b[m.start() - 1] == 0x0A
     ]
     msgs: list[bytes] = []
     for i, s in enumerate(starts):

@@ -235,7 +235,9 @@ ARCHIVE_SCHEMA = T.StructType(
     ]
 )
 
-_ARCHIVE_EXTS = (".tar", ".tar.gz", ".tgz", ".tar.bz2", ".zip")
+_ARCHIVE_EXTS = (
+    ".tar", ".tar.gz", ".tgz", ".tar.bz2", ".tar.xz", ".txz", ".zip",
+)
 _MAX_MEMBER = 1 << 28  # 256 MB per member: decompression-bomb guard
 
 
@@ -267,6 +269,7 @@ def _explode_one(path: str, content: bytes) -> list[tuple]:
             mode = (
                 "r:gz" if low.endswith((".tar.gz", ".tgz"))
                 else "r:bz2" if low.endswith(".tar.bz2")
+                else "r:xz" if low.endswith((".tar.xz", ".txz"))
                 else "r:"
             )
             with tarfile.open(

@@ -206,3 +206,16 @@ def test_segmenturl_media_range_gated():
         parse_mpd(mpd)
     with pytest.raises(ValueError, match="without @media"):
         parse_mpd(mpd.replace(' media="s.m4s" mediaRange="0-499"', ""))
+
+
+def test_segment_timeline_repeat_bomb_guarded():
+    """r14 self-review: a hostile r (up to 2^32) must not materialize
+    a billion-tuple timeline before any fetch check."""
+    from articulation_vector_db_api_spark.functions.dash import (
+        build_mpd_timeline,
+    )
+
+    mpd = build_mpd_timeline("v0", [3000, 3000], 90000, 16, 16)
+    bomb = mpd.replace('r="1"', 'r="999999999"')
+    with pytest.raises(ValueError, match="1e6"):
+        parse_mpd(bomb)

@@ -152,3 +152,23 @@ def test_explode_archives_dataframe_operator(spark):
         "a.txt": "alpha", "d/b.txt": "beta", "c.txt": "gamma",
         "flat.txt": "delta",
     }
+
+
+def test_explode_tar_xz():
+    """r14 self-review: .tar.xz / .txz are stdlib-covered (lzma) and
+    common for corpus tarballs."""
+    import io
+    import tarfile
+
+    from articulation_vector_db_api_spark.operators.ingest import (
+        _explode_one,
+    )
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:xz") as tf:
+        info = tarfile.TarInfo("x.txt")
+        info.size = 2
+        tf.addfile(info, io.BytesIO(b"xz"))
+    for name in ("c.tar.xz", "c.txz"):
+        rows = _explode_one(name, buf.getvalue())
+        assert rows == [(name, "x.txt", b"xz", None)]

@@ -154,3 +154,21 @@ def test_ingest_dispatch_routes_new_formats():
     # fault isolation still catches malformed input
     text, err = _extract_one("bad.epub", b"garbage")
     assert text is None and "ValueError" in err
+
+
+def test_mbox_without_blank_line_padding():
+    """r14 self-review: writers that don't pad a blank line between
+    messages must still split — in mboxrd every line-leading 'From '
+    IS a separator (body From-lines are always quoted)."""
+    m1 = build_eml("tight1", "body one")
+    m2 = build_eml("tight2", "body two")
+    t1 = m1.decode().rstrip("\n")
+    t2 = m2.decode().rstrip("\n")
+    tight = (
+        f"From a@b Mon Jan  1 00:00:00 2024\n{t1}\n"
+        f"From c@d Mon Jan  1 00:00:00 2024\n{t2}\n"
+    ).encode()
+    back = split_mbox(tight)
+    assert len(back) == 2
+    assert extract_eml(back[0])["subject"] == "tight1"
+    assert extract_eml(back[1])["subject"] == "tight2"

@@ -84,6 +84,22 @@ def _extract_one(path: str, content: bytes) -> tuple[str | None, str | None]:
             from ..functions.epub import extract_epub_text
 
             return extract_epub_text(bytes(content)), None
+        if low.endswith((".html", ".htm", ".xhtml")):
+            # web pages (r14): boilerplate-stripped main text — raw
+            # decode would ingest tag soup
+            from ..functions.htmltext import extract_main_text
+
+            return (
+                extract_main_text(
+                    bytes(content).decode("utf-8", "replace")
+                )["text"],
+                None,
+            )
+        if low.endswith(".rtf"):
+            # legacy rich text (r14): control-word stream, stdlib-only
+            from ..functions.rtftext import extract_rtf_text
+
+            return extract_rtf_text(bytes(content)), None
         if low.endswith((".eml", ".mbox")):
             # mail corpora (r14): RFC 5322 / mboxrd via stdlib email
             from ..functions.mailtext import (

@@ -321,6 +321,7 @@ _WINDOW_DEFER: frozenset[str] = frozenset(
         "ingest_epub_extract",              # r14: same proof
         "ingest_mail_extract",              # r14: same proof
         "ingest_archive_explode",           # r14: same proof
+        "ingest_rtf_html_extract",          # r14: same proof
     }
 )
 

@@ -78,6 +78,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas"],
         [r"BatchEvalPython"],
     ),
+    "ingest_rtf_html_extract": (
+        [r"MapInPandas"],
+        [r"BatchEvalPython"],
+    ),
     "multimodal_ass_subtitle_extract": (
         [r"MapInPandas"],
         [r"BatchEvalPython"],

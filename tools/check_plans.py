@@ -82,6 +82,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas"],
         [r"BatchEvalPython"],
     ),
+    "pipeline_document_corpus_ingest": (
+        [r"MapInPandas"],
+        [r"BatchEvalPython"],
+    ),
     "multimodal_ass_subtitle_extract": (
         [r"MapInPandas"],
         [r"BatchEvalPython"],

@@ -44,6 +44,24 @@ def _parse_xml(blob: bytes, what: str) -> ET.Element:
         raise ValueError(f"malformed EPUB {what}: {exc}") from exc
 
 
+def _content_lines(blob: bytes, what: str) -> list[str]:
+    """Spine item -> block lines; real-world EPUBs occasionally carry
+    HTML-but-not-XHTML content documents (unclosed <br>, bare &nbsp;)
+    that ET rejects — those fall back to the tolerant HTML parser
+    (r14 close-out seam, pinned)."""
+    try:
+        return _xhtml_lines(_parse_xml(blob, what))
+    except ValueError:
+        if b"<" not in blob[:1024]:
+            raise  # not markup at all — keep the XML error
+        from .htmltext import extract_main_text
+
+        out = extract_main_text(blob.decode("utf-8", "replace"))
+        if not out["text"]:
+            raise
+        return out["text"].split("\n")
+
+
 def _block_text(el: ET.Element) -> str:
     """One block element -> its inline text; nested BLOCK subtrees are
     skipped (they are their own output lines), <br/> -> newline."""
@@ -139,7 +157,7 @@ def extract_epub_text(data: bytes) -> str:
                 raise ValueError(
                     f"EPUB spine item missing: {path}"
                 ) from exc
-            chapters.append("\n".join(_xhtml_lines(_parse_xml(blob, path))))
+            chapters.append("\n".join(_content_lines(blob, path)))
     return "\n\n".join(chapters)
 
 

@@ -77,24 +77,27 @@ def extract_eml(data: bytes) -> dict:
         raise ValueError("RFC 5322 message with no headers")
     plain = html = None
     n_attach = 0
+    # body selection rides the stdlib get_body traversal: it walks
+    # only the viewable-body tree, so a text/plain inside an ATTACHED
+    # message/rfc822 cannot hijack the body (r14 close-out seam,
+    # pinned) — the manual walk below only counts attachments.
+    try:
+        body = msg.get_body(preferencelist=("plain",))
+        if body is not None:
+            plain = body.get_content()
+        else:
+            body = msg.get_body(preferencelist=("html",))
+            if body is not None:
+                html = body.get_content()
+    except Exception as exc:
+        raise ValueError(f"undecodable MIME body: {exc}") from exc
     for part in msg.walk():
         if part.is_multipart():
             continue
         if part.get_content_disposition() == "attachment":
             n_attach += 1
-            continue
-        ctype = part.get_content_type()
-        try:
-            if ctype == "text/plain" and plain is None:
-                plain = part.get_content()
-            elif ctype == "text/html" and html is None:
-                html = part.get_content()
-            elif part.get_content_maintype() not in ("text", "multipart"):
-                n_attach += 1
-        except Exception as exc:
-            raise ValueError(
-                f"undecodable MIME part ({ctype}): {exc}"
-            ) from exc
+        elif part.get_content_maintype() not in ("text", "multipart"):
+            n_attach += 1
     if plain is not None:
         text, src = plain, "plain"
     elif html is not None:

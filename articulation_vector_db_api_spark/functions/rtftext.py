@@ -109,7 +109,15 @@ def extract_rtf_text(data: bytes | str) -> str:
                 continue
             word = m.group(1)
             param = int(m.group(2)) if m.group(2) else None
-            if word in _SKIP_DESTINATIONS:
+            if word == "bin":
+                # \binN is followed by N RAW bytes (not RTF text) —
+                # walking them as markup desyncs the group parse
+                # (r14 close-out seam, pinned)
+                skip = max(0, param or 0)
+                if i + skip > n:
+                    raise ValueError("RTF \\bin run beyond document")
+                i += skip
+            elif word in _SKIP_DESTINATIONS:
                 skipping = True
             elif word == "uc":
                 uc = param if param is not None else 1

@@ -172,3 +172,50 @@ def test_mbox_without_blank_line_padding():
     assert len(back) == 2
     assert extract_eml(back[0])["subject"] == "tight1"
     assert extract_eml(back[1])["subject"] == "tight2"
+
+
+def test_epub_html_not_xhtml_fallback():
+    """r14 close-out seam: real EPUBs carry HTML-but-not-XHTML
+    content docs (unclosed <br>, bare &nbsp;) — those fall back to
+    the tolerant HTML parser instead of dying in ET."""
+    blob = build_epub([["placeholder"]])
+    buf = io.BytesIO(blob)
+    import warnings
+
+    with zipfile.ZipFile(buf, "a") as z, warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        z.writestr(
+            "OEBPS/ch0.xhtml",
+            "<html><body><p>sloppy&nbsp;markup<br><p>second"
+            "</body></html>",
+        )
+    text = extract_epub_text(buf.getvalue())
+    assert "sloppy" in text and "second" in text
+    # pure garbage still raises
+    buf2 = io.BytesIO(blob)
+    with zipfile.ZipFile(buf2, "a") as z, warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        z.writestr("OEBPS/ch0.xhtml", "\x00\x01\x02")
+    with pytest.raises(ValueError):
+        extract_epub_text(buf2.getvalue())
+
+
+def test_attached_message_cannot_hijack_body():
+    """r14 close-out seam: a text/plain inside an ATTACHED
+    message/rfc822 must not be selected as the body of an html-only
+    outer message."""
+    import email.policy
+    from email.message import EmailMessage
+
+    outer = EmailMessage(policy=email.policy.default)
+    outer["Subject"] = "outer"
+    outer["From"] = "a@example.org"
+    outer.set_content("<p>outer html body</p>", subtype="html")
+    inner = EmailMessage(policy=email.policy.default)
+    inner["Subject"] = "inner"
+    inner.set_content("inner plain body")
+    outer.add_attachment(inner)
+    m = extract_eml(outer.as_bytes())
+    assert m["body_source"] == "html"
+    assert "outer html body" in m["text"]
+    assert "inner plain body" not in m["text"]

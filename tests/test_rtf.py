@@ -91,3 +91,15 @@ def test_ingest_dispatch_rtf_and_html():
     assert err is None and "real text" in text and "var x" not in text
     text, err = _extract_one("bad.rtf", b"garbage")
     assert text is None and "ValueError" in err
+
+
+def test_bin_raw_run_skipped():
+    """r14 close-out seam: \\binN is followed by N RAW bytes that are
+    not RTF text — walking them as markup desyncs the group parse."""
+    doc = b"{\\rtf1 before{\\pict\\bin5 AB}CD} after}"
+    # \bin5 swallows 'AB}CD' verbatim — the '}' inside the run must
+    # NOT close the pict group; without the skip the trailing brace
+    # underflows
+    assert extract_rtf_text(doc) == "before after"
+    with pytest.raises(ValueError, match="bin run beyond"):
+        extract_rtf_text(b"{\\rtf1\\bin99 short}")

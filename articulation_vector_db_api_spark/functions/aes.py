@@ -280,10 +280,11 @@ def aes128_cbc_decrypt(data: bytes, key: bytes, iv: bytes) -> bytes:
         raise ValueError("AES-CBC ciphertext length not a block multiple")
     ct = np.frombuffer(bytes(data), dtype=np.uint8).reshape(-1, 16)
     pt = _decrypt_blocks(ct, _key_schedule(key))
-    chain = np.vstack(
-        [np.frombuffer(iv, dtype=np.uint8).reshape(1, 16), ct[:-1]]
-    )
-    pt = (pt ^ chain).tobytes()
+    # xor the chain in place (pt and ct are distinct arrays) — no
+    # vstack copy, so peak memory stays ~2x the segment, not 3x
+    pt[1:] ^= ct[:-1]
+    pt[0] ^= np.frombuffer(iv, dtype=np.uint8)
+    pt = pt.tobytes()
     pad = pt[-1]
     if not 1 <= pad <= 16 or pt[-pad:] != bytes([pad]) * pad:
         raise ValueError("AES-CBC PKCS#7 padding invalid (wrong key/IV?)")

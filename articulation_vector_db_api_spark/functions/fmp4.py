@@ -230,8 +230,14 @@ def demux_fmp4(
                         raise ValueError("fMP4 moof without its mdat")
                     frag = {
                         "start": ps - 8, "seq": None, "track_id": None,
-                        "tfdt": None, "base": None, "data_offset": 0,
-                        "rows": [],
+                        "tfdt": None, "base": None,
+                        # one (data_offset | None, rows) run per trun:
+                        # real packagers emit MULTIPLE truns per traf
+                        # (per-GOP runs), each with its own offset —
+                        # a single overwritten offset read trun 1's
+                        # samples at trun N's position (r14 second
+                        # self-review pass, pinned)
+                        "runs": [],
                         "dd": meta["trex"][0], "ds": meta["trex"][1],
                     }
                 elif btype == b"mfhd" and frag is not None:
@@ -295,8 +301,9 @@ def demux_fmp4(
                         "trun",
                     )
                     p = ps + 8
+                    run_offset = None
                     if flags & 0x01:
-                        frag["data_offset"] = struct.unpack_from(
+                        run_offset = struct.unpack_from(
                             ">i", seg, p
                         )[0]
                         p += 4
@@ -317,6 +324,7 @@ def demux_fmp4(
                         raise ValueError(
                             "fMP4 trun sample count beyond box"
                         )
+                    rows = []
                     for _ in range(count):
                         dur, size = frag["dd"], frag["ds"]
                         if flags & 0x100:
@@ -331,7 +339,8 @@ def demux_fmp4(
                             p += 4  # cts offset (signed in version 1)
                         if p > pe:
                             raise ValueError("fMP4 trun rows beyond box")
-                        frag["rows"].append((dur, size))
+                        rows.append((dur, size))
+                    frag["runs"].append((run_offset, rows))
                 elif btype == b"mdat":
                     if frag is None:
                         raise ValueError("fMP4 mdat before any moof")
@@ -351,23 +360,32 @@ def demux_fmp4(
                             "fMP4 baseMediaDecodeTime discontinuity"
                         )
                     base = frag["base"] if frag["base"] is not None else 0
-                    at = base + frag["data_offset"]
-                    if at < 0:
-                        # r14 self-review F4: a negative trun data_offset
-                        # would otherwise slice from the SEGMENT END via
-                        # Python negative indexing and return wrong bytes
-                        # silently
-                        raise ValueError("fMP4 sample offset before segment")
-                    for dur, size in frag["rows"]:
-                        if not size:
-                            raise ValueError("fMP4 sample with no size")
-                        if at + size > len(seg):
+                    at = base
+                    for run_offset, rows in frag["runs"]:
+                        if run_offset is not None:
+                            at = base + run_offset
+                        # a run without its own offset continues
+                        # where the previous run ended (§8.8.8)
+                        if at < 0:
+                            # r14 self-review F4: a negative trun
+                            # data_offset would otherwise slice from
+                            # the SEGMENT END via Python negative
+                            # indexing and return wrong bytes silently
                             raise ValueError(
-                                "fMP4 sample beyond segment end"
+                                "fMP4 sample offset before segment"
                             )
-                        samples.append((dur, seg[at : at + size]))
-                        at += size
-                        expected_dt += dur
+                        for dur, size in rows:
+                            if not size:
+                                raise ValueError(
+                                    "fMP4 sample with no size"
+                                )
+                            if at + size > len(seg):
+                                raise ValueError(
+                                    "fMP4 sample beyond segment end"
+                                )
+                            samples.append((dur, seg[at : at + size]))
+                            at += size
+                            expected_dt += dur
                     frag = None  # fragment fully consumed by its mdat
             if frag is not None:
                 # r14 self-review F3: a trailing moof with no mdat used to

@@ -269,3 +269,47 @@ def test_truncated_tfdt_raises_valueerror():
     seg = _box(b"moof", mfhd + traf) + _box(b"mdat", b"abcd")
     with pytest.raises(ValueError, match="truncated|beyond|without"):
         demux_fmp4(init, [seg])
+
+
+def test_multiple_truns_per_fragment():
+    """r14 second self-review pass: real packagers emit MULTIPLE trun
+    boxes per traf (per-GOP runs) — trun 1's samples must be read at
+    trun 1's offset, and an offset-less later run continues where the
+    previous one ended (§8.8.8). The old single-offset field read
+    every row at the LAST trun's position."""
+    from articulation_vector_db_api_spark.functions.fmp4 import (
+        _box,
+        _full,
+    )
+
+    init, _ = build_fmp4_mjpeg([[(1, b"x")]], 16, 16)
+    payload = b"A" * 10 + b"B" * 20 + b"C" * 30
+    mfhd = _full(b"mfhd", 0, struct.pack(">I", 1))
+    tfhd = _box(
+        b"tfhd", struct.pack(">I", 0x20000) + struct.pack(">I", 1)
+    )
+    tfdt = _box(b"tfdt", struct.pack(">I", 0) + struct.pack(">I", 0))
+    trun1 = _box(
+        b"trun",
+        struct.pack(">I", 0x01 | 0x100 | 0x200)
+        + struct.pack(">I", 1)
+        + struct.pack(">i", 0)  # patched below
+        + struct.pack(">II", 3000, 10),
+    )
+    # second trun: NO data_offset — continues after trun 1's run
+    trun2 = _box(
+        b"trun",
+        struct.pack(">I", 0x100 | 0x200)
+        + struct.pack(">I", 2)
+        + struct.pack(">II", 3000, 20)
+        + struct.pack(">II", 3000, 30),
+    )
+    traf = _box(b"traf", tfhd + tfdt + trun1 + trun2)
+    moof = bytearray(_box(b"moof", mfhd + traf))
+    off = moof.find(b"trun") + 4 + 8
+    struct.pack_into(">i", moof, off, len(moof) + 8)
+    seg = bytes(moof) + _box(b"mdat", payload)
+    _meta, samples = demux_fmp4(init, [seg])
+    assert samples == [
+        (3000, b"A" * 10), (3000, b"B" * 20), (3000, b"C" * 30),
+    ]

@@ -90,8 +90,16 @@ def extract_rtf_text(data: bytes | str) -> str:
             if m.group(3) is not None:  # control symbol
                 sym = m.group(3)
                 if sym == "*":
-                    # {\* ...}: unknown destination — skip the group
-                    skipping = True
+                    # {\* ...}: unknown destination — skip the group.
+                    # EXCEPT {\*\ud ...}: inside a \upr pair the ud
+                    # group carries the PREFERRED Unicode version of
+                    # text whose ANSI fallback we skip below — emit it
+                    # (r14 close-out: previously the lossy fallback won)
+                    nxt = _CTRL.match(text, i)
+                    if nxt and nxt.group(1) == "ud":
+                        skipping = False
+                    else:
+                        skipping = True
                 elif sym in "{}\\":
                     emit(sym)
                 elif sym == "~":
@@ -118,6 +126,11 @@ def extract_rtf_text(data: bytes | str) -> str:
                     raise ValueError("RTF \\bin run beyond document")
                 i += skip
             elif word in _SKIP_DESTINATIONS:
+                skipping = True
+            elif word == "upr":
+                # \upr pairs an ANSI fallback with a {\*\ud} Unicode
+                # version: skip the fallback, the \*\ud lookahead
+                # above re-enables emission for the ud group
                 skipping = True
             elif word == "uc":
                 uc = param if param is not None else 1

@@ -7325,6 +7325,7 @@ def multimodal_hls_encrypted_stitch(
 
 @register(
     "multimodal_dash_timeline_roundtrip",
+    headline=True,
     oracle="""
     SELECT doc_id,
            CAST(3 AS BIGINT) AS n_fragments,

@@ -103,3 +103,22 @@ def test_bin_raw_run_skipped():
     assert extract_rtf_text(doc) == "before after"
     with pytest.raises(ValueError, match="bin run beyond"):
         extract_rtf_text(b"{\\rtf1\\bin99 short}")
+
+
+def test_upr_ud_prefers_unicode_version():
+    """r14 close-out: \\upr pairs an ANSI fallback with a {\\*\\ud}
+    Unicode version — the Unicode side must win, once."""
+    doc = (
+        b"{\\rtf1\\uc1 before "
+        b"{\\upr{ansi-lossy}{\\*\\ud{\\u26085?\\u26412?}}}"
+        b" after}"
+    )
+    assert extract_rtf_text(doc) == "before 日本 after"
+    # a bare {\*\ud ...} outside \upr also emits
+    assert extract_rtf_text(
+        b"{\\rtf1 a{\\*\\ud{X}}b}"
+    ) == "aXb"
+    # other \* destinations still skip
+    assert extract_rtf_text(
+        b"{\\rtf1 a{\\*\\generator Z}b}"
+    ) == "ab"

@@ -22,6 +22,7 @@ import io
 import posixpath
 import xml.etree.ElementTree as ET
 import zipfile
+import zlib
 
 __all__ = ["build_epub", "extract_epub_text"]
 
@@ -109,6 +110,17 @@ def extract_epub_text(data: bytes) -> str:
         z = zipfile.ZipFile(io.BytesIO(bytes(data)))
     except zipfile.BadZipFile as exc:
         raise ValueError(f"not a ZIP container: {exc}") from exc
+    try:
+        return _extract_from_zip(z)
+    except (zipfile.BadZipFile, zlib.error) as exc:
+        # CRC/deflate failures surface at member-READ time, not open
+        # (found by the r14 mutation fuzz) — same ValueError contract
+        raise ValueError(f"corrupt ZIP member: {exc}") from exc
+    finally:
+        z.close()
+
+
+def _extract_from_zip(z: zipfile.ZipFile) -> str:
     with z:
         try:
             container = z.read("META-INF/container.xml")

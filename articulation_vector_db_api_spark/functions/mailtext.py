@@ -106,11 +106,23 @@ def extract_eml(data: bytes) -> dict:
         text, src = extract_main_text(html)["text"], "html"
     else:
         raise ValueError("RFC 5322 message with no text body")
+    def hdr(name: str) -> str:
+        # policy.default parses structured headers LAZILY at access:
+        # a malformed address header raises IndexError deep in the
+        # stdlib parser (r14 mutation fuzz) — untrusted headers must
+        # surface as the module's ValueError
+        try:
+            return str(msg.get(name, ""))
+        except Exception as exc:  # stdlib raises a mixed family here
+            raise ValueError(
+                f"malformed {name} header: {exc}"
+            ) from exc
+
     return {
-        "subject": str(msg.get("Subject", "")),
-        "sender": str(msg.get("From", "")),
-        "to": str(msg.get("To", "")),
-        "date": str(msg.get("Date", "")),
+        "subject": hdr("Subject"),
+        "sender": hdr("From"),
+        "to": hdr("To"),
+        "date": hdr("Date"),
         "text": text,
         "body_source": src,
         "n_attachments": n_attach,

@@ -23,6 +23,7 @@ import io
 import re
 import xml.etree.ElementTree as ET
 import zipfile
+import zlib
 
 __all__ = ["extract_docx_text", "extract_odt_text", "extract_pptx_text"]
 
@@ -42,8 +43,10 @@ def _read_zip_member(data: bytes, name: str) -> bytes:
                     f"office XML member too large: {name}"
                 )
             return z.read(name)
-    except zipfile.BadZipFile as exc:
-        raise ValueError(f"not a ZIP container: {exc}") from exc
+    except (zipfile.BadZipFile, zlib.error) as exc:
+        # BadZipFile/zlib.error surface at member-READ time on CRC or
+        # deflate corruption (r14 mutation fuzz) — same contract
+        raise ValueError(f"unreadable ZIP container: {exc}") from exc
     except KeyError as exc:
         raise ValueError(f"ZIP member missing: {name}") from exc
 
@@ -153,8 +156,8 @@ def extract_pptx_text(data: bytes) -> str:
                         f"office XML member too large: {n}"
                     )
             slides = [z.read(n) for n in names]
-    except zipfile.BadZipFile as exc:
-        raise ValueError(f"not a ZIP container: {exc}") from exc
+    except (zipfile.BadZipFile, zlib.error) as exc:
+        raise ValueError(f"unreadable ZIP container: {exc}") from exc
     out: list[str] = []
     for blob in slides:
         root = _parse_xml(blob)

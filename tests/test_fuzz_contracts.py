@@ -372,3 +372,99 @@ def test_fuzz_text_extractors():
         "htmltext", html,
         lambda b: extract_main_text(b.decode("utf-8", "replace")),
     )
+
+
+def test_fuzz_r14_formats():
+    """r14 parser seams keep the ValueError-only contract under
+    mutation: AES-CBC decrypt, EPUB, EML/mbox, RTF, encrypted HLS
+    (playlist text AND ciphertext), and the archive exploder — which
+    must never raise at all (it IS the fault boundary)."""
+    from articulation_vector_db_api_spark.functions.aes import (
+        aes128_cbc_decrypt,
+        aes128_cbc_encrypt,
+    )
+    from articulation_vector_db_api_spark.functions.epub import (
+        build_epub,
+    )
+    from articulation_vector_db_api_spark.functions.hls import (
+        build_hls,
+        demux_hls,
+    )
+    from articulation_vector_db_api_spark.functions.mailtext import (
+        build_eml,
+        build_mbox,
+        extract_eml,
+        extract_mbox_text,
+    )
+    from articulation_vector_db_api_spark.functions.mpegts import (
+        VIDEO_STREAM_0,
+    )
+    from articulation_vector_db_api_spark.functions.rtftext import (
+        build_rtf,
+        extract_rtf_text,
+    )
+    from articulation_vector_db_api_spark.operators.ingest import (
+        _explode_one,
+        _extract_one,
+    )
+
+    key = bytes(range(16))
+    iv = bytes(16)
+    ct = aes128_cbc_encrypt(b"payload " * 20, key, iv)
+    _assert_contract(
+        "aes_cbc", ct, lambda b: aes128_cbc_decrypt(b, key, iv)
+    )
+
+    epub = build_epub([["chapter one line", "two"], ["ch2"]])
+    _assert_contract(
+        "epub", epub,
+        lambda b: _extract_one("f.epub", b),
+        n=100,
+    )
+    # dispatch-level never raises; direct extractor keeps ValueError
+    from articulation_vector_db_api_spark.functions.epub import (
+        extract_epub_text,
+    )
+
+    _assert_contract("epub_direct", epub, extract_epub_text, n=100)
+
+    eml = build_eml("subject here", "body line\nsecond line")
+    _assert_contract("eml", eml, extract_eml, n=100)
+    mbox = build_mbox([eml, build_eml("s2", "b2")])
+    _assert_contract("mbox", mbox, extract_mbox_text, n=100)
+
+    rtf = build_rtf(["para one", "ünïcode — two", "{braces}"])
+    _assert_contract("rtf", rtf, extract_rtf_text, n=100)
+
+    pl, files = build_hls(
+        [{VIDEO_STREAM_0: bytes(range(256)) * 2}], key=key,
+        byterange=True,
+    )
+    _assert_contract(
+        "hls_playlist", pl.encode(),
+        lambda b: demux_hls(b.decode("utf-8", "replace"), files),
+        n=100,
+    )
+    _assert_contract(
+        "hls_ciphertext", files["media.bin"],
+        lambda b: demux_hls(pl, {**files, "media.bin": b}),
+        n=100,
+    )
+
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        info = tarfile.TarInfo("a.txt")
+        data = b"member text " * 10
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+    leaks = []
+    for k, m in _mutations(buf.getvalue(), 100, seed=77):
+        try:
+            rows = _explode_one("c.tar.gz", m)
+            assert isinstance(rows, list) and rows
+        except Exception as exc:  # noqa: BLE001
+            leaks.append((k, type(exc).__name__, str(exc)[:60]))
+    assert not leaks, f"explode_one must never raise: {leaks[:5]}"

@@ -57,6 +57,35 @@ def _extract_one(path: str, content: bytes) -> tuple[str | None, str | None]:
     (text, error) — never raises, mirroring the reference's per-file
     try/except (main.py:291-296)."""
     try:
+        low0 = path.lower()
+        if low0.endswith((".7z", ".rar")):
+            raise NotImplementedError(
+                "archive codec not in the stdlib (7z/rar) — repack "
+                "as tar/zip"
+            )
+        if low0.endswith((".gz", ".bz2", ".xz")) and not low0.endswith(
+            (".tar.gz", ".tar.bz2", ".tar.xz")
+        ):
+            # transparently decompress SINGLE-file compression and
+            # re-dispatch on the inner extension (corpus members
+            # commonly arrive as .txt.gz / .json.bz2 — raw decode
+            # ingested binary garbage before r14)
+            import bz2
+            import lzma
+            import zlib
+
+            dec = {
+                ".gz": lambda: zlib.decompressobj(wbits=31),
+                ".bz2": bz2.BZ2Decompressor,
+                ".xz": lzma.LZMADecompressor,
+            }[low0[low0.rfind(".") :]]()
+            # bound the EXPANDED size (a 10 KB bomb inflates to GBs)
+            out = dec.decompress(bytes(content), _MAX_MEMBER + 1)
+            if len(out) > _MAX_MEMBER:
+                raise ValueError(
+                    f"decompressed member too large: {path}"
+                )
+            return _extract_one(path[: path.rfind(".")], out)
         if path.lower().endswith(".pdf"):
             try:
                 import io

@@ -172,3 +172,40 @@ def test_explode_tar_xz():
     for name in ("c.tar.xz", "c.txz"):
         rows = _explode_one(name, buf.getvalue())
         assert rows == [(name, "x.txt", b"xz", None)]
+
+
+def test_single_file_compression_dispatch():
+    """r14: .txt.gz / .json.bz2 / .rtf.xz corpus members decompress
+    transparently and re-dispatch on the inner extension; 7z/rar get
+    a NAMED gate instead of a misleading decode error; bombs bound."""
+    import bz2
+    import gzip
+    import lzma
+
+    from articulation_vector_db_api_spark.functions.rtftext import (
+        build_rtf,
+    )
+    from articulation_vector_db_api_spark.operators.ingest import (
+        _extract_one,
+    )
+
+    assert _extract_one("a.txt.gz", gzip.compress(b"hello gz")) == (
+        "hello gz", None,
+    )
+    assert _extract_one("b.txt.bz2", bz2.compress(b"hello bz2")) == (
+        "hello bz2", None,
+    )
+    text, err = _extract_one(
+        "c.rtf.xz", lzma.compress(build_rtf(["inner rtf"]))
+    )
+    assert (text, err) == ("inner rtf", None)
+    # tarballs still route to the archive path, not here
+    text, err = _extract_one("d.tar.gz", gzip.compress(b"not a tar"))
+    assert text is None and err  # archives aren't single-doc text
+    # named gate for stdlib-less codecs
+    text, err = _extract_one("e.7z", b"7z\xbc\xaf\x27\x1c")
+    assert text is None and "NotImplementedError" in err and "7z" in err
+    # bomb guard: 300 MB of zeros compresses to ~300 KB
+    bomb = gzip.compress(b"\0" * (300 << 20), compresslevel=9)
+    text, err = _extract_one("f.txt.gz", bomb)
+    assert text is None and "too large" in err

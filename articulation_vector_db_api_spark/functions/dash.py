@@ -149,6 +149,18 @@ def _fill_template(
     number: int | None,
     time: int | None = None,
 ) -> str:
+    # ISO 23009-1 §5.3.9.4.4: "$$" escapes a literal dollar sign —
+    # substitute per unescaped span, then restore (r14 review: the
+    # old single-pass hit the leftover-$ gate on valid manifests)
+    spans = tpl.split("$$")
+    return "$".join(
+        _fill_span(s, rep_id, number, time) for s in spans
+    )
+
+
+def _fill_span(
+    tpl: str, rep_id: str, number: int | None, time: int | None
+) -> str:
     out = tpl.replace("$RepresentationID$", rep_id)
     for ident, val in (("Number", number), ("Time", time)):
         if val is None:

@@ -203,7 +203,12 @@ def parse_m3u8(text: str) -> dict:
                 raise ValueError(
                     "HLS #EXT-X-MEDIA-SEQUENCE after the first segment"
                 )
-            out["media_sequence"] = int(ln.split(":", 1)[1])
+            seq0 = int(ln.split(":", 1)[1])
+            if seq0 < 0:
+                # a negative sequence would overflow the 128-bit IV
+                # derivation with OverflowError (r14 review)
+                raise ValueError("HLS negative #EXT-X-MEDIA-SEQUENCE")
+            out["media_sequence"] = seq0
         elif ln.startswith("#EXT-X-ENDLIST"):
             out["endlist"] = True
         elif ln.startswith("#EXT-X-KEY:"):
@@ -211,7 +216,16 @@ def parse_m3u8(text: str) -> dict:
         elif ln.startswith("#EXT-X-BYTERANGE:"):
             body = ln.split(":", 1)[1]
             n_s, _, o_s = body.partition("@")
-            pending_range = (int(n_s), int(o_s) if o_s else None)
+            rng_n = int(n_s)
+            rng_o = int(o_s) if o_s else None
+            if rng_n <= 0 or (rng_o is not None and rng_o < 0):
+                # a negative @offset would slice the packed resource
+                # via Python negative indexing — silently wrong
+                # segment bytes (r14 review; same class as fmp4 F4)
+                raise ValueError(
+                    f"HLS #EXT-X-BYTERANGE out of range: {body}"
+                )
+            pending_range = (rng_n, rng_o)
         elif ln.startswith("#EXTINF:"):
             body = ln.split(":", 1)[1]
             pending = float(body.split(",", 1)[0])

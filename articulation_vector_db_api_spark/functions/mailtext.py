@@ -160,13 +160,9 @@ def split_mbox(data: bytes) -> list[bytes]:
         raise ValueError("not an mbox archive (no leading From line)")
     # every line-leading "From " is a separator: in mboxrd, body
     # From-lines are ALWAYS quoted (">From "), so no blank-line-before
-    # heuristic is needed — requiring one merged messages from writers
-    # that don't pad between them (r14 self-review of this module)
-    starts = [
-        m.start()
-        for m in _FROM_LINE.finditer(b)
-        if m.start() == 0 or b[m.start() - 1] == 0x0A
-    ]
+    # heuristic is needed — and the ^-anchored re.M pattern already
+    # only matches at offset 0 or right after a newline
+    starts = [m.start() for m in _FROM_LINE.finditer(b)]
     msgs: list[bytes] = []
     for i, s in enumerate(starts):
         e = starts[i + 1] if i + 1 < len(starts) else len(b)

@@ -57,17 +57,49 @@ def extract_rtf_text(data: bytes | str) -> str:
     i = 0
     n = len(text)
     pending_uc_skip = 0
+    pending_high = 0  # stashed UTF-16 high surrogate from \uN
 
     def emit(s: str) -> None:
-        nonlocal pending_uc_skip
+        nonlocal pending_uc_skip, pending_high
         if skipping:
             return
         if pending_uc_skip > 0:
             take = min(pending_uc_skip, len(s))
             pending_uc_skip -= take
             s = s[take:]
-        if s:
-            out.append(s)
+        if not s:
+            return
+        if pending_high:
+            # an unpaired high surrogate followed by ordinary text:
+            # it can never complete — degrade to U+FFFD (a surrogate
+            # in the output string would crash Arrow serialization
+            # downstream, escaping the fault boundary)
+            out.append("�")
+            pending_high = 0
+        out.append(s)
+
+    def emit_cp(cp: int) -> None:
+        """\\uN code unit: combine UTF-16 surrogate PAIRS — Word
+        encodes non-BMP chars as two \\uN escapes (r14 review)."""
+        nonlocal pending_high
+        if skipping:
+            return
+        if pending_high:
+            if 0xDC00 <= cp <= 0xDFFF:
+                full = 0x10000 + ((pending_high - 0xD800) << 10) + (
+                    cp - 0xDC00
+                )
+                pending_high = 0
+                emit(chr(full))
+                return
+            out.append("�")
+            pending_high = 0
+        if 0xD800 <= cp <= 0xDBFF:
+            pending_high = cp
+        elif 0xDC00 <= cp <= 0xDFFF:
+            emit("�")  # unpaired low surrogate
+        else:
+            emit(chr(cp))
 
     while i < n:
         c = text[i]
@@ -136,7 +168,9 @@ def extract_rtf_text(data: bytes | str) -> str:
                 uc = param if param is not None else 1
             elif word == "u" and param is not None:
                 cp = param if param >= 0 else param + 65536
-                emit(chr(cp))
+                if not 0 <= cp <= 0xFFFF:
+                    raise ValueError(f"RTF \\u escape out of range: {param}")
+                emit_cp(cp)
                 if not skipping:
                     pending_uc_skip += uc
             elif word in ("par", "line", "sect", "page"):
@@ -170,6 +204,8 @@ def extract_rtf_text(data: bytes | str) -> str:
         i = j
     if stack:
         raise ValueError("RTF group not closed")
+    if pending_high:
+        out.append("\ufffd")
     return "".join(out).rstrip("\n")
 
 
@@ -180,9 +216,15 @@ def _escape(s: str) -> str:
             out.append("\\" + ch)
         elif ord(ch) < 128:
             out.append(ch)
-        else:
+        elif ord(ch) <= 0xFFFF:
             cp = ord(ch)
             out.append(f"\\u{cp if cp < 32768 else cp - 65536}?")
+        else:
+            # non-BMP rides a UTF-16 surrogate PAIR of \uN escapes,
+            # exactly as Word writes it (r14 review)
+            v = ord(ch) - 0x10000
+            for cu in (0xD800 + (v >> 10), 0xDC00 + (v & 0x3FF)):
+                out.append(f"\\u{cu - 65536}?")
     return "".join(out)
 
 

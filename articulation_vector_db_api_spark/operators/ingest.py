@@ -74,18 +74,34 @@ def _extract_one(path: str, content: bytes) -> tuple[str | None, str | None]:
             import lzma
             import zlib
 
-            dec = {
+            make = {
                 ".gz": lambda: zlib.decompressobj(wbits=31),
                 ".bz2": bz2.BZ2Decompressor,
                 ".xz": lzma.LZMADecompressor,
-            }[low0[low0.rfind(".") :]]()
-            # bound the EXPANDED size (a 10 KB bomb inflates to GBs)
-            out = dec.decompress(bytes(content), _MAX_MEMBER + 1)
-            if len(out) > _MAX_MEMBER:
-                raise ValueError(
-                    f"decompressed member too large: {path}"
-                )
-            return _extract_one(path[: path.rfind(".")], out)
+            }[low0[low0.rfind(".") :]]
+            # bound the EXPANDED size (a 10 KB bomb inflates to GBs),
+            # require stream COMPLETENESS (a truncated member must be
+            # an error row, not silently-partial text — r14 review),
+            # and walk CONCATENATED members (multi-member gzip is a
+            # legal and common corpus shape)
+            data = bytes(content)
+            parts: list[bytes] = []
+            total = 0
+            while data:
+                dec = make()
+                out = dec.decompress(data, _MAX_MEMBER + 1 - total)
+                total += len(out)
+                if total > _MAX_MEMBER:
+                    raise ValueError(
+                        f"decompressed member too large: {path}"
+                    )
+                if not dec.eof:
+                    raise ValueError(
+                        f"truncated compressed member: {path}"
+                    )
+                parts.append(out)
+                data = dec.unused_data.lstrip(b"\x00")
+            return _extract_one(path[: path.rfind(".")], b"".join(parts))
         if path.lower().endswith(".pdf"):
             try:
                 import io

@@ -219,3 +219,21 @@ def test_segment_timeline_repeat_bomb_guarded():
     bomb = mpd.replace('r="1"', 'r="999999999"')
     with pytest.raises(ValueError, match="1e6"):
         parse_mpd(bomb)
+
+
+def test_template_dollar_escape():
+    """r14 review (ISO 23009-1 §5.3.9.4.4): '$$' escapes a literal
+    dollar sign — a conformant @media using it must fill, not hit the
+    leftover-$ gate."""
+    from articulation_vector_db_api_spark.functions.dash import (
+        _fill_template,
+    )
+
+    assert _fill_template(
+        "seg$$-$Number$.m4s", "v0", 7
+    ) == "seg$-7.m4s"
+    assert _fill_template("a$$$$b-$Time$.m4s", "v0", 1, time=42) == (
+        "a$$b-42.m4s"
+    )
+    with pytest.raises(NotImplementedError, match="Bandwidth"):
+        _fill_template("x-$Bandwidth$.m4s", "v0", 1)

@@ -361,3 +361,18 @@ def test_media_sequence_after_first_segment_raises():
             "#EXTM3U\n#EXTINF:1,\na.ts\n"
             "#EXT-X-MEDIA-SEQUENCE:7\n#EXTINF:1,\nb.ts\n"
         )
+
+
+def test_negative_sequence_and_byterange_rejected():
+    """r14 review: a negative #EXT-X-MEDIA-SEQUENCE overflowed the
+    128-bit IV derivation (OverflowError escaping the contract), and
+    a negative @offset sliced the packed resource from the END via
+    Python negative indexing — silently wrong bytes."""
+    head = "#EXTM3U\n#EXT-X-TARGETDURATION:1\n"
+    with pytest.raises(ValueError, match="negative"):
+        parse_m3u8("#EXTM3U\n#EXT-X-MEDIA-SEQUENCE:-1\n"
+                   "#EXTINF:1,\na.ts\n")
+    with pytest.raises(ValueError, match="out of range"):
+        parse_m3u8(head + "#EXT-X-BYTERANGE:752@-10\n#EXTINF:1,\na.bin\n")
+    with pytest.raises(ValueError, match="out of range"):
+        parse_m3u8(head + "#EXT-X-BYTERANGE:0@0\n#EXTINF:1,\na.bin\n")

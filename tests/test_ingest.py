@@ -209,3 +209,21 @@ def test_single_file_compression_dispatch():
     bomb = gzip.compress(b"\0" * (300 << 20), compresslevel=9)
     text, err = _extract_one("f.txt.gz", bomb)
     assert text is None and "too large" in err
+
+
+def test_compressed_member_completeness_and_concat():
+    """r14 review: a truncated .gz member must be an ERROR row, not
+    silently-partial text; concatenated multi-member gzip (a legal,
+    common corpus shape) yields ALL members' text."""
+    import gzip
+
+    from articulation_vector_db_api_spark.operators.ingest import (
+        _extract_one,
+    )
+
+    full = gzip.compress(b"hello truncation world")
+    text, err = _extract_one("t.txt.gz", full[: len(full) // 2])
+    assert text is None and "truncated" in err
+    two = gzip.compress(b"part one. ") + gzip.compress(b"part two.")
+    text, err = _extract_one("c.txt.gz", two)
+    assert (text, err) == ("part one. part two.", None)

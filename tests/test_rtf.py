@@ -122,3 +122,27 @@ def test_upr_ud_prefers_unicode_version():
     assert extract_rtf_text(
         b"{\\rtf1 a{\\*\\generator Z}b}"
     ) == "ab"
+
+
+def test_surrogate_pairs_roundtrip():
+    """r14 review: Word encodes non-BMP chars as a \\uN surrogate
+    PAIR; the halves must combine — and no output string may carry an
+    unpaired surrogate (it would crash Arrow serialization, escaping
+    the fault boundary)."""
+    s = "smile \U0001F600 end"
+    got = extract_rtf_text(build_rtf([s]))
+    assert got == s
+    got.encode("utf-8")  # must not raise
+    # raw Word-style escapes
+    assert extract_rtf_text(
+        b"{\\rtf1\\uc1 hi \\u-10179?\\u-8704? there}"
+    ) == "hi \U0001F600 there"
+    # unpaired high/low surrogates degrade to U+FFFD, never leak
+    for doc in (
+        b"{\\rtf1\\uc1 x\\u-10179?y}",
+        b"{\\rtf1\\uc1 x\\u-8704?y}",
+        b"{\\rtf1\\uc1 x\\u-10179?}",
+    ):
+        t = extract_rtf_text(doc)
+        t.encode("utf-8")
+        assert "�" in t

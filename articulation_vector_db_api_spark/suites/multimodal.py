@@ -7470,3 +7470,123 @@ def multimodal_dash_timeline_roundtrip(
         .mapInPandas(batches, schema)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_hls_master_variant",
+    oracle="""
+    SELECT doc_id,
+           CAST(3 AS BIGINT) AS n_variants,
+           CAST(2500000 + 100000 * (doc_id % 4) AS BIGINT)
+               AS best_bandwidth,
+           CAST(1 AS BIGINT) AS best_is_max,
+           CAST(1 AS BIGINT) AS resolution_ok,
+           CAST(1 AS BIGINT) AS codecs_quoted_comma_ok,
+           CAST(1 AS BIGINT) AS v_bit_exact,
+           CAST(1 AS BIGINT) AS stitched_ok
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "video"),
+)
+def multimodal_hls_master_variant(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HLS MASTER PLAYLIST resolution (r14, functions/hls.py): the
+    two-level form real deployments serve — a master playlist of
+    #EXT-X-STREAM-INF variants, the client picks by BANDWIDTH, then
+    fetches that variant's MEDIA playlist. Per doc: a 3-variant
+    master (bandwidth grid keyed to doc_id, quoted CODECS attribute
+    CONTAINING A COMMA — the §4.2 attribute-list pitfall), the
+    highest-bandwidth variant resolved, its media playlist demuxed,
+    and the elementary stream checked bit-exact against the build
+    input.
+
+    Oracle pins the variant count, the selected bandwidth
+    closed-form, that selection really is the max, RESOLUTION/CODECS
+    parse-through, and the end-to-end stitch.
+
+    Scale shape: Arrow-batched narrow map, one stats row per doc."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_variants", T.LongType()),
+            T.StructField("best_bandwidth", T.LongType()),
+            T.StructField("best_is_max", T.LongType()),
+            T.StructField("resolution_ok", T.LongType()),
+            T.StructField("codecs_quoted_comma_ok", T.LongType()),
+            T.StructField("v_bit_exact", T.LongType()),
+            T.StructField("stitched_ok", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.hls import (
+            build_hls,
+            demux_hls,
+            parse_m3u8_master,
+        )
+        from ..functions.mpegts import VIDEO_STREAM_0
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                bands = [
+                    400_000 + 50_000 * (i % 3),
+                    1_200_000,
+                    2_500_000 + 100_000 * (i % 4),
+                ]
+                master = "#EXTM3U\n" + "".join(
+                    f"#EXT-X-STREAM-INF:BANDWIDTH={b},"
+                    f'RESOLUTION={w}x{w * 9 // 16},'
+                    f'CODECS="mp4v.20.9,mp4a.40.2"\n'
+                    f"v{k}.m3u8\n"
+                    for k, (b, w) in enumerate(
+                        zip(bands, (640, 1280, 1920))
+                    )
+                )
+                m = parse_m3u8_master(master)
+                best = max(
+                    m["variants"], key=lambda v: v["bandwidth"]
+                )
+                ves = bytes(
+                    (k * 13 + i * 29) % 256
+                    for k in range(1800 + 200 * (i % 4))
+                )
+                pl, files = build_hls(
+                    [{VIDEO_STREAM_0: ves}], pes_chunk=600
+                )
+                out = demux_hls(pl, files)
+                v = out["streams"][VIDEO_STREAM_0]
+                rows.append(
+                    (
+                        doc_id,
+                        len(m["variants"]),
+                        best["bandwidth"],
+                        int(
+                            m["best"] == best["uri"]
+                            and best["bandwidth"] == max(bands)
+                        ),
+                        int(best["resolution"] == "1920x1080"),
+                        int(
+                            best["codecs"] == "mp4v.20.9,mp4a.40.2"
+                        ),
+                        int(v["data"] == ves),
+                        int(out["n_segments"] == 1 and out["endlist"]),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )

@@ -86,6 +86,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas"],
         [r"BatchEvalPython"],
     ),
+    "multimodal_hls_master_variant": (
+        [r"MapInPandas"],
+        [r"BatchEvalPython"],
+    ),
     "multimodal_ass_subtitle_extract": (
         [r"MapInPandas"],
         [r"BatchEvalPython"],

@@ -10,9 +10,10 @@ v2.3: 4-char ids + big-endian sizes + frame flags; v2.4: syncsafe
 frame sizes), whole-tag unsynchronisation (v2.2/2.3), the v2.3/2.4
 extended header, all four text encodings (ISO-8859-1, UTF-16 with
 BOM, UTF-16BE, UTF-8), T*** text frames (v2.4 multi-value on NUL),
-COMM comment frames with their language code, and the trailing
-128-byte ID3v1 record as fallback. Compression/encryption frame
-flags gate honestly.
+COMM comment frames with their language code, APIC/PIC attached
+pictures (r14: embedded cover art routes to the image decoders), and
+the trailing 128-byte ID3v1 record as fallback. Compression/
+encryption frame flags gate honestly.
 
 ValueError for structurally broken tags (fault-isolation boundary).
 """
@@ -106,9 +107,76 @@ def _split_comm(enc: int, raw: bytes) -> tuple[str, str]:
     return decoded[0], "\x00".join(decoded[1:]).rstrip("\x00")
 
 
+def _term_split(enc: int, raw: bytes) -> tuple[str, bytes]:
+    """One encoding-terminated string prefix -> (text, remainder):
+    NUL for latin1/utf-8, ALIGNED double-NUL for the UTF-16 forms
+    (the same code-unit discipline as _split_utf16)."""
+    try:
+        if enc in (0, 3):
+            idx = raw.find(b"\x00")
+            if idx < 0:
+                raise ValueError("ID3v2 unterminated string")
+            codec = "latin1" if enc == 0 else "utf-8"
+            return raw[:idx].decode(codec), raw[idx + 1 :]
+        if enc in (1, 2):
+            codec = "utf-16" if enc == 1 else "utf-16-be"
+            i = 0
+            while i + 1 < len(raw):
+                if raw[i] == 0 and raw[i + 1] == 0:
+                    head = raw[:i]
+                    return (
+                        head.decode(codec) if head else "",
+                        raw[i + 2 :],
+                    )
+                i += 2
+            raise ValueError("ID3v2 unterminated UTF-16 string")
+    except UnicodeDecodeError as exc:
+        raise ValueError(f"ID3v2 text payload undecodable: {exc}") from exc
+    raise ValueError(f"ID3v2 text encoding {enc}")
+
+
+_PIC_FORMATS = {"JPG": "image/jpeg", "PNG": "image/png"}
+
+
+def _parse_picture(fid_s: str, payload: bytes) -> dict:
+    """APIC (v2.3/2.4) / PIC (v2.2) attached-picture frame ->
+    {mime, pic_type, description, data} — embedded cover art is a
+    first-class multimodal payload (the bytes route to the image
+    decoders downstream)."""
+    if len(payload) < (6 if fid_s == "PIC" else 4):
+        raise ValueError(f"ID3v2 {fid_s} frame truncated")
+    enc = payload[0]
+    if enc > 3:
+        raise ValueError(f"ID3v2 text encoding {enc}")
+    if fid_s == "PIC":
+        fmt = payload[1:4].decode("latin1")
+        mime = _PIC_FORMATS.get(
+            fmt.upper(), f"image/{fmt.strip().lower()}"
+        )
+        pic_type = payload[4]
+        rest = payload[5:]
+    else:
+        idx = payload.find(b"\x00", 1)
+        if idx < 0 or idx + 2 > len(payload):
+            raise ValueError("ID3v2 APIC mime unterminated")
+        mime = payload[1:idx].decode("latin1")
+        pic_type = payload[idx + 1]
+        rest = payload[idx + 2 :]
+    desc, data = _term_split(enc, rest)
+    if not data:
+        raise ValueError(f"ID3v2 {fid_s} frame with no image data")
+    return {
+        "mime": mime,
+        "pic_type": pic_type,
+        "description": desc,
+        "data": data,
+    }
+
+
 def parse_id3v2(data: bytes) -> dict | None:
     """Leading ID3v2 tag -> {version, frames: {id: [values]},
-    comments: [{lang, text}]}; None when no tag is present."""
+    comments: [{lang, text}], pictures: [{mime, pic_type,
+    description, data}]}; None when no tag is present."""
     b = bytes(data)
     if b[:3] != b"ID3" or len(b) < 10:
         return None
@@ -133,6 +201,7 @@ def parse_id3v2(data: bytes) -> dict | None:
     id_len = 3 if ver == 2 else 4
     frames: dict[str, list[str]] = {}
     comments: list[dict] = []
+    pictures: list[dict] = []
     i = 0
     while i + id_len * 2 <= len(body):
         fid = body[i : i + id_len]
@@ -212,10 +281,13 @@ def parse_id3v2(data: bytes) -> dict | None:
                 "lang": lang.decode("latin1"),
                 "text": text,
             })
+        elif fid_s in ("PIC", "APIC"):
+            pictures.append(_parse_picture(fid_s, bytes(payload)))
     return {
         "version": f"2.{ver}",
         "frames": frames,
         "comments": comments,
+        "pictures": pictures,
     }
 
 

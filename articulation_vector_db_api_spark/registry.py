@@ -324,6 +324,7 @@ _WINDOW_DEFER: frozenset[str] = frozenset(
         "ingest_rtf_html_extract",          # r14: same proof
         "pipeline_document_corpus_ingest",  # r14: same proof
         "multimodal_hls_master_variant",    # r14: same proof
+        "multimodal_id3_cover_art",         # r14: same proof
     }
 )
 

@@ -7590,3 +7590,140 @@ def multimodal_hls_master_variant(
         .mapInPandas(batches, schema)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_id3_cover_art",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS n_pictures,
+           'image/jpeg' AS mime,
+           CAST(3 AS BIGINT) AS pic_type,
+           CAST(16 + 16 * (doc_id % 3) AS BIGINT) AS cover_w,
+           CAST(16 AS BIGINT) AS cover_h,
+           CAST(1 AS BIGINT) AS cover_decodes,
+           CAST(1 AS BIGINT) AS audio_decodes,
+           CAST(1 AS BIGINT) AS title_ok
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "audio", "image"),
+)
+def multimodal_id3_cover_art(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EMBEDDED COVER ART (r14, functions/id3.py APIC + the JPEG
+    codec): tagged audio files carry their album art as an ID3v2 APIC
+    frame — a multimodal payload INSIDE a metadata structure INSIDE
+    an audio container. Per doc: a witness JPEG (per-doc size grid)
+    rides an ID3v2.3 tag (APIC front-cover + TIT2) prepended to a
+    real MP2 tone stream; the tag parses, the cover bytes decode
+    through the from-scratch JPEG codec (SNR-checked against the
+    encoder input), the title survives, AND the audio still decodes —
+    the layer-skip contract (decode_mp2 must step over the tag).
+
+    Scale shape: Arrow-batched narrow map, one stats row per doc;
+    media bytes never shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_pictures", T.LongType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("pic_type", T.LongType()),
+            T.StructField("cover_w", T.LongType()),
+            T.StructField("cover_h", T.LongType()),
+            T.StructField("cover_decodes", T.LongType()),
+            T.StructField("audio_decodes", T.LongType()),
+            T.StructField("title_ok", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.id3 import parse_id3v2
+        from ..functions.jpeg import decode_jpeg, encode_jpeg_baseline
+        from ..functions.mp2 import decode_mp2, encode_mp2
+
+        def syncsafe4(n: int) -> bytes:
+            return bytes(
+                [(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                 (n >> 7) & 0x7F, n & 0x7F]
+            )
+
+        def v23_frame(fid: bytes, payload: bytes) -> bytes:
+            return (
+                fid + len(payload).to_bytes(4, "big")
+                + b"\x00\x00" + payload
+            )
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 16 + 16 * (i % 3)
+                yy, xx = np.mgrid[0:16, 0:w]
+                img = np.stack(
+                    [((xx * 11 + yy * 5 + i * 23) % 256)
+                     .astype(np.uint8)] * 3,
+                    axis=-1,
+                )
+                jp = encode_jpeg_baseline(img, quality=88)
+                apic = (
+                    b"\x00" + b"image/jpeg\x00" + b"\x03"
+                    + b"cover\x00" + jp
+                )
+                title = f"track {i}".encode("latin1")
+                body = (
+                    v23_frame(b"APIC", apic)
+                    + v23_frame(b"TIT2", b"\x00" + title)
+                )
+                tag = (
+                    b"ID3" + bytes([3, 0, 0])
+                    + syncsafe4(len(body)) + body
+                )
+                rate = 32000
+                ts_ax = np.arange(1152) / rate
+                tone = 0.5 * np.sin(
+                    2 * np.pi * (200 + (i % 13) * 90) * ts_ax
+                )
+                audio = encode_mp2(tone, rate, 48)
+                blob = tag + audio
+                meta = parse_id3v2(blob)
+                [pic] = meta["pictures"]
+                g = decode_jpeg(pic["data"])
+                a = img.astype(np.float64)
+                b2 = g.astype(np.float64)
+                snr = 10 * np.log10(
+                    (a**2).sum() / max(((a - b2) ** 2).sum(), 1e-9)
+                )
+                arate, _ch, pcm = decode_mp2(blob)
+                rows.append(
+                    (
+                        doc_id,
+                        len(meta["pictures"]),
+                        pic["mime"],
+                        pic["pic_type"],
+                        g.shape[1],
+                        g.shape[0],
+                        int(pic["data"] == jp and snr > 15),
+                        int(arate == rate and pcm.shape[0] > 0),
+                        int(
+                            meta["frames"]["TIT2"] == [f"track {i}"]
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )

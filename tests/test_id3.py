@@ -240,3 +240,42 @@ def test_comm_splits_at_first_terminator():
         + "body".encode("utf-16")
     t = parse_id3v2(_tag(3, _v23_frame(b"COMM", b"\x01eng"[:1] + b"eng" + b16[1:])))
     assert t["comments"][0]["text"] == "body"
+
+
+def test_apic_and_pic_picture_frames():
+    """r14: APIC (v2.3/2.4) and PIC (v2.2) attached pictures parse to
+    {mime, pic_type, description, data} with encoding-aware
+    description terminators — cover art is multimodal payload."""
+    img = b"\xff\xd8fakejpegbytes\xff\xd9"
+    apic = (
+        b"\x00" + b"image/jpeg\x00" + b"\x03"  # front cover
+        + b"front\x00" + img
+    )
+    t = parse_id3v2(_tag(3, _v23_frame(b"APIC", apic)))
+    [p] = t["pictures"]
+    assert p == {
+        "mime": "image/jpeg", "pic_type": 3,
+        "description": "front", "data": img,
+    }
+    # UTF-16 description with the aligned terminator
+    apic16 = (
+        b"\x01" + b"image/png\x00" + b"\x04"
+        + "aĀ".encode("utf-16") + b"\x00\x00" + b"PNGDATA"
+    )
+    t = parse_id3v2(_tag(4, _v24_frame(b"APIC", apic16)))
+    [p] = t["pictures"]
+    assert p["description"] == "aĀ" and p["data"] == b"PNGDATA"
+    # v2.2 PIC with the 3-char format code
+    pic = b"\x00" + b"JPG" + b"\x03" + b"\x00" + img
+    t = parse_id3v2(
+        _tag(2, b"PIC" + len(pic).to_bytes(3, "big") + pic)
+    )
+    [p] = t["pictures"]
+    assert p["mime"] == "image/jpeg" and p["data"] == img
+    # malformed: unterminated mime / description / no data
+    with pytest.raises(ValueError, match="mime unterminated"):
+        parse_id3v2(_tag(3, _v23_frame(b"APIC", b"\x00image/jpeg")))
+    with pytest.raises(ValueError, match="unterminated"):
+        parse_id3v2(_tag(3, _v23_frame(b"APIC", b"\x00m\x00\x03nodesc")))
+    with pytest.raises(ValueError, match="no image data"):
+        parse_id3v2(_tag(3, _v23_frame(b"APIC", b"\x00m\x00\x03d\x00")))

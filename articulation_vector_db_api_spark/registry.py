@@ -325,6 +325,7 @@ _WINDOW_DEFER: frozenset[str] = frozenset(
         "pipeline_document_corpus_ingest",  # r14: same proof
         "multimodal_hls_master_variant",    # r14: same proof
         "multimodal_id3_cover_art",         # r14: same proof
+        "multimodal_ttml_subtitle_extract", # r14: same proof
     }
 )
 

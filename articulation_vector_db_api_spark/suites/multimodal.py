@@ -7727,3 +7727,118 @@ def multimodal_id3_cover_art(
         .mapInPandas(batches, schema)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_ttml_subtitle_extract",
+    oracle="""
+    WITH ln AS (
+        SELECT doc_id,
+               list_filter(string_split(text, chr(10)),
+                           x -> length(x) > 0) AS lines
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(lines) AS BIGINT) AS n_cues,
+           CAST(length(array_to_string(lines, chr(10)))
+               AS BIGINT) AS n_chars,
+           sha256(array_to_string(lines, chr(10))) AS text_sha,
+           CAST(1 AS BIGINT) AS parse_lossless,
+           CAST(1 AS BIGINT) AS frames_form_ok,
+           CAST(1 AS BIGINT) AS vtt_roundtrip
+    FROM ln
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "subtitles"),
+)
+def multimodal_ttml_subtitle_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TTML/IMSC SUBTITLE EXTRACTION (r14, functions/ttml.py) — the
+    broadcast/streaming interchange format (IMSC1, EBU-TT, legacy
+    DFXP), completing the cue-model family beside SRT, WebVTT and
+    ASS. Per doc: the document's non-empty lines become <p> cues
+    (XML-escaped, so & < > in text exercise the escaper), parsed
+    back losslessly and converted to WebVTT and re-parsed; a second
+    witness re-times the first cue on the HH:MM:SS:FF frames form
+    (ttp:frameRate 25) and must land on the exact frame-grid
+    millisecond. The concatenated text sha256 must equal the
+    oracle's digest of the same non-empty lines.
+
+    Scale shape: Arrow-batched narrow map over (doc_id, text)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_cues", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("text_sha", T.StringType()),
+            T.StructField("parse_lossless", T.LongType()),
+            T.StructField("frames_form_ok", T.LongType()),
+            T.StructField("vtt_roundtrip", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from ..functions.ttml import build_ttml, parse_ttml, ttml_to_vtt
+        from ..functions.vtt import parse_vtt
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                lines = [ln for ln in str(text).split("\n") if ln]
+                cues = [
+                    (k * 2000, k * 2000 + 1500, ln)
+                    for k, ln in enumerate(lines)
+                ]
+                parsed = parse_ttml(build_ttml(cues))
+                got = "\n".join(c["text"] for c in parsed)
+                want = "\n".join(lines)
+                # frames-form witness: begin at second (i%5)+1,
+                # frame (i%25) on a 25 fps grid
+                sec, fr = (i % 5) + 1, i % 25
+                fdoc = (
+                    '<tt xmlns="http://www.w3.org/ns/ttml" '
+                    'xmlns:ttp="http://www.w3.org/ns/ttml#parameter" '
+                    'ttp:frameRate="25"><body><div>'
+                    f'<p begin="00:00:0{sec}:{fr:02d}" dur="2s">f</p>'
+                    "</div></body></tt>"
+                )
+                [fcue] = parse_ttml(fdoc)
+                frames_ok = fcue["start_ms"] == sec * 1000 + fr * 40
+                vtt_cues = (
+                    parse_vtt(ttml_to_vtt(build_ttml(cues)))
+                    if cues
+                    else []
+                )
+                vtt_ok = [
+                    (c["start_ms"], c["end_ms"], c["text"])
+                    for c in vtt_cues
+                ] == cues
+                rows.append(
+                    (
+                        doc_id,
+                        len(parsed),
+                        len(got),
+                        hashlib.sha256(got.encode()).hexdigest(),
+                        int(got == want),
+                        int(frames_ok),
+                        int(vtt_ok),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema)
+        .orderBy("doc_id")
+    )

@@ -92,11 +92,22 @@ def extract_eml(data: bytes) -> dict:
     except Exception as exc:
         raise ValueError(f"undecodable MIME body: {exc}") from exc
     for part in msg.walk():
-        if part.is_multipart():
+        if part is msg:
             continue
+        # disposition check BEFORE the multipart skip: an attached
+        # message/rfc822 reports is_multipart()==True and was never
+        # counted (ADVICE r14). A forwarded email counts as ONE
+        # attachment; its inner text body (maintype 'text', no
+        # disposition) stays uncounted as before.
         if part.get_content_disposition() == "attachment":
             n_attach += 1
-        elif part.get_content_maintype() not in ("text", "multipart"):
+            continue
+        if part.get_content_type() == "message/rfc822":
+            n_attach += 1  # inline-forwarded email is still an attachment
+            continue
+        if part.is_multipart():
+            continue
+        if part.get_content_maintype() != "text":
             n_attach += 1
     if plain is not None:
         text, src = plain, "plain"

@@ -50,9 +50,15 @@ def extract_rtf_text(data: bytes | str) -> str:
     if not text.startswith("{\\rtf"):
         raise ValueError("not an RTF document (missing {\\rtf header)")
     out: list[str] = []
-    # group state: (skipping, uc_count)
-    stack: list[tuple[bool, int]] = []
-    skipping = False
+    # group state: (skipping, uc_count). ``skipping`` records the
+    # REASON the group is suppressed — None (emitting), "dest"
+    # (destination payload, never document text) or "upr" (the ANSI
+    # fallback half of a \upr pair, whose {\*\ud} twin IS text) — so
+    # the \*\ud lookahead can re-enable emission only for the \upr
+    # case and not leak text out of an enclosing skipped destination
+    # (ADVICE r14: a \upr pair inside \stylesheet leaked its ud body).
+    stack: list[tuple[str | None, int]] = []
+    skipping: str | None = None
     uc = 1
     i = 0
     n = len(text)
@@ -129,9 +135,13 @@ def extract_rtf_text(data: bytes | str) -> str:
                     # (r14 close-out: previously the lossy fallback won)
                     nxt = _CTRL.match(text, i)
                     if nxt and nxt.group(1) == "ud":
-                        skipping = False
+                        # only the \upr-established skip is lifted: a
+                        # ud group nested inside a skipped destination
+                        # (e.g. \upr inside \stylesheet) stays dark
+                        if skipping in (None, "upr"):
+                            skipping = None
                     else:
-                        skipping = True
+                        skipping = "dest"
                 elif sym in "{}\\":
                     emit(sym)
                 elif sym == "~":
@@ -158,12 +168,15 @@ def extract_rtf_text(data: bytes | str) -> str:
                     raise ValueError("RTF \\bin run beyond document")
                 i += skip
             elif word in _SKIP_DESTINATIONS:
-                skipping = True
+                skipping = "dest"
             elif word == "upr":
                 # \upr pairs an ANSI fallback with a {\*\ud} Unicode
                 # version: skip the fallback, the \*\ud lookahead
-                # above re-enables emission for the ud group
-                skipping = True
+                # above re-enables emission for the ud group. If an
+                # enclosing destination already suppresses this group,
+                # keep THAT reason — its ud twin must stay dark too.
+                if skipping is None:
+                    skipping = "upr"
             elif word == "uc":
                 uc = param if param is not None else 1
             elif word == "u" and param is not None:

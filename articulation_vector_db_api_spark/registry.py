@@ -134,13 +134,13 @@ _VERIFIED = frozenset(
         "grouping_sets_revenue", "hash_embedding_vectors",
         "health_probe", "index_stats_by_source",
         "ingest_extract_status", "ingest_fault_isolation",
-        "ingest_incremental_embed", "join_anti_customers_no_urgent",
-        "join_asof_event_order", "join_asof_forward_tolerance",
-        "join_asof_nearest", "join_broadcast_snowflake",
-        "join_bucketed_noshuffle", "join_dpp_partitioned_fact",
-        "join_interval_overlap_pairs", "join_lateral_topn",
-        "join_null_aware_anti", "join_range_calendar",
-        "join_salted_skew", "join_scd2_temporal",
+        "ingest_incremental_embed", "ingest_office_extract",
+        "join_anti_customers_no_urgent", "join_asof_event_order",
+        "join_asof_forward_tolerance", "join_asof_nearest",
+        "join_broadcast_snowflake", "join_bucketed_noshuffle",
+        "join_dpp_partitioned_fact", "join_interval_overlap_pairs",
+        "join_lateral_topn", "join_null_aware_anti",
+        "join_range_calendar", "join_salted_skew", "join_scd2_temporal",
         "join_semi_customers_with_urgent", "join_sortmerge_fact",
         "join_theta_supplier_pairs", "json_functions",
         "layout_zorder_stats", "maintenance_compact_roundtrip",
@@ -151,6 +151,8 @@ _VERIFIED = frozenset(
         "mllib_count_vectorizer", "mllib_ivf_ann",
         "mllib_minhash_dedup", "mllib_similarity_join",
         "mllib_tfidf_pipeline", "multimodal_adts_probe",
+        "multimodal_aiff_au_roundtrip",
+        "multimodal_ass_subtitle_extract",
         "multimodal_audio_adpcm_roundtrip",
         "multimodal_audio_caption_align",
         "multimodal_audio_flac_roundtrip", "multimodal_audio_framing",
@@ -160,27 +162,29 @@ _VERIFIED = frozenset(
         "multimodal_avi_dib_roundtrip",
         "multimodal_avi_mjpeg_scene_cuts", "multimodal_binary_metadata",
         "multimodal_decode_features", "multimodal_dhash_image_dedup",
-        "multimodal_frame_sample", "multimodal_gif_animation_frames",
-        "multimodal_gif_roundtrip", "multimodal_jpeg_roundtrip",
-        "multimodal_mkv_av_extract", "multimodal_mkv_mjpeg_decode",
-        "multimodal_modality_router", "multimodal_mp1_decode",
-        "multimodal_mp2_decode", "multimodal_mp3_probe",
-        "multimodal_mp4_audio_extract", "multimodal_mp4_mjpeg_decode",
-        "multimodal_mpeg1_bframe_decode",
+        "multimodal_fmp4_dash_roundtrip", "multimodal_frame_sample",
+        "multimodal_gif_animation_frames", "multimodal_gif_roundtrip",
+        "multimodal_hls_ts_stitch", "multimodal_id3_metadata",
+        "multimodal_jpeg_roundtrip", "multimodal_mkv_av_extract",
+        "multimodal_mkv_mjpeg_decode", "multimodal_modality_router",
+        "multimodal_mp1_decode", "multimodal_mp2_decode",
+        "multimodal_mp3_probe", "multimodal_mp4_audio_extract",
+        "multimodal_mp4_mjpeg_decode", "multimodal_mpeg1_bframe_decode",
         "multimodal_mpeg1_iframe_decode",
         "multimodal_mpeg1_in_containers",
         "multimodal_mpeg1_pframe_decode", "multimodal_mpeg2_decode",
         "multimodal_mpeg2_ps_roundtrip", "multimodal_mpeg_ps_roundtrip",
-        "multimodal_ogg_flac_roundtrip", "multimodal_opus_packet_stats",
-        "multimodal_phash_dct_dedup", "multimodal_pixel_histogram",
-        "multimodal_pixel_roundtrip", "multimodal_qoi_roundtrip",
-        "multimodal_resize_batch", "multimodal_resize_pixels",
-        "multimodal_subtitle_normalize", "multimodal_tiff_roundtrip",
-        "multimodal_video_caption_align", "multimodal_video_scene_cuts",
-        "multimodal_vorbis_decode", "multimodal_webp_roundtrip",
-        "nested_agg_big_spenders", "null_handling",
-        "pack_sequences_token_budget", "pipeline_corpus_curation",
-        "pipeline_dedup_keep_best", "pipeline_image_curation",
+        "multimodal_mpeg_ts_roundtrip", "multimodal_ogg_flac_roundtrip",
+        "multimodal_opus_packet_stats", "multimodal_phash_dct_dedup",
+        "multimodal_pixel_histogram", "multimodal_pixel_roundtrip",
+        "multimodal_qoi_roundtrip", "multimodal_resize_batch",
+        "multimodal_resize_pixels", "multimodal_subtitle_normalize",
+        "multimodal_tiff_roundtrip", "multimodal_video_caption_align",
+        "multimodal_video_scene_cuts", "multimodal_vorbis_decode",
+        "multimodal_webp_roundtrip", "nested_agg_big_spenders",
+        "null_handling", "pack_sequences_token_budget",
+        "pipeline_corpus_curation", "pipeline_dedup_keep_best",
+        "pipeline_delivery_ingest", "pipeline_image_curation",
         "pipeline_training_export", "pipeline_video_curation",
         "pipeline_web_image_ingest", "pipeline_web_ingest",
         "pivot_priority_multi_agg", "pivot_status_revenue",
@@ -256,53 +260,52 @@ _VERIFIED = frozenset(
     }
 )
 
-# Round-14 window (VERDICT r13 items 1-2):
+# Round-15 window (VERDICT r14 item 1):
 # 0. _WINDOW_ROUND stamps the round this window was seated FOR: the
 #    policy tests recompute the expected window from CORRECTNESS files
 #    of rounds STRICTLY BEFORE this round, so the driver landing
-#    CORRECTNESS_r14.json mid-round can no longer flip them red
-#    (the r13 round-phase-coupling defect, VERDICT r13 item 1).
-# 1. _WINDOW_FIRST: the 8 r13 additions (never driver-contacted; all
-#    8 verified green by the r13 judge's own parity run) plus
-#    re-contacts of queries whose code was touched this round.
+#    CORRECTNESS_r15.json mid-round cannot flip them red
+#    (the r13 round-phase-coupling defect, fixed in r14).
+# 1. _WINDOW_FIRST: the 10 r14 additions (never driver-contacted; all
+#    10 verified green by the r14 judge's own check_parity run at
+#    sf0.01, and parity-proven at sf0.001/0.01/0.1 before
+#    registration).
 # 2. _WINDOW_RESEAT: the stalest driver-contacted rows
-#    ((latest_round, name) order, r6 rows leading) filling the
-#    remaining seats — rotate_window.py output pasted verbatim.
-_WINDOW_ROUND = 14
+#    ((latest_round, name) order, r7 rows leading) filling the
+#    remaining seats -- rotate_window.py output pasted verbatim.
+_WINDOW_ROUND = 15
 _WINDOW_FIRST = (
-    "multimodal_mpeg_ts_roundtrip",
-    "multimodal_hls_ts_stitch",
-    "multimodal_fmp4_dash_roundtrip",
-    "multimodal_aiff_au_roundtrip",
-    "multimodal_ass_subtitle_extract",
-    "multimodal_id3_metadata",
-    "ingest_office_extract",
-    "pipeline_delivery_ingest",
+    "multimodal_hls_encrypted_stitch",
+    "multimodal_dash_timeline_roundtrip",
+    "ingest_epub_extract",
+    "ingest_mail_extract",
+    "ingest_archive_explode",
+    "ingest_rtf_html_extract",
+    "pipeline_document_corpus_ingest",
+    "multimodal_hls_master_variant",
+    "multimodal_id3_cover_art",
+    "multimodal_ttml_subtitle_extract",
 )
 _WINDOW_RESEAT = (
-"text_ngram_coverage_curve", "window_activity_islands",
-    "window_time_range_frame", "agg_cms_portable", "curation_pii_scrub",
-    "curation_sample_weighted_priority", "dedup_lsh_recall_eval",
-    "dedup_ngram_containment", "dedup_ngram_jaccard",
-    "events_cusum_changepoint", "events_mann_kendall",
-    "events_theil_sen_trend", "matview_join_incremental",
-    "multimodal_audio_adpcm_roundtrip",
-    "multimodal_audio_flac_roundtrip",
-    "multimodal_audio_g711_roundtrip", "multimodal_audio_resample",
-    "multimodal_av_container_probe", "multimodal_jpeg_roundtrip",
-    "multimodal_phash_dct_dedup", "multimodal_tiff_roundtrip",
-    "multimodal_webp_roundtrip", "pipeline_dedup_keep_best",
-    "pipeline_web_image_ingest", "pipeline_web_ingest",
-    "scan_arrow_ipc_roundtrip", "scan_avro_roundtrip",
-    "scan_warc_roundtrip", "scan_xml_roundtrip",
-    "sql_recursive_cte_hierarchy", "stream_cdc_apply",
-    "stream_curation_admission", "stream_dedup",
-    "stream_dedup_within_watermark", "stream_ohlc_bars",
-    "stream_session_window", "stream_sliding_distinct_users",
-    "stream_sliding_window", "stream_snapshot_ingest",
-    "stream_stateful_user_stats", "stream_static_join",
-    "stream_stream_full_outer_join"
+    "stream_stream_interval_join", "stream_stream_left_outer_join",
+    "stream_threshold_debounce", "stream_topk_trending",
+    "stream_transform_with_state", "stream_tumbling_window",
+    "stream_watermark_append", "text_bpe_encode_tokens",
+    "text_bpe_learn_merges", "text_html_extract", "text_unicode_clean",
+    "agg_distinct_counts", "agg_percentiles", "agg_stats_moments",
+    "chunk_documents", "cube_order_status", "filter_project_pushdown",
+    "flagship_search", "grouping_sets_revenue", "index_stats_by_source",
+    "join_anti_customers_no_urgent", "join_asof_event_order",
+    "join_broadcast_snowflake", "join_range_calendar",
+    "join_salted_skew", "join_semi_customers_with_urgent",
+    "join_sortmerge_fact", "join_theta_supplier_pairs",
+    "multimodal_adts_probe", "multimodal_gif_animation_frames",
+    "multimodal_mp3_probe", "multimodal_ogg_flac_roundtrip",
+    "multimodal_opus_packet_stats", "q17_correlated_subquery",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "q7_nation_volume", "q8_market_share", "rollup_revenue",
 )
+
 # Suite order for the rest of the unverified front (round-5 additions):
 # cheap scalar/relational families first, expensive similarity last.
 _SUITE_WINDOW_ORDER = (
@@ -313,21 +316,7 @@ _SUITE_WINDOW_ORDER = (
 # Unverified queries DEFERRED past this round's window on purpose:
 # every query added during round 14 queues here for the r15 window
 # (each parity-proven at sf0.001/0.01/0.1 before registration).
-_WINDOW_DEFER: frozenset[str] = frozenset(
-    {
-        "multimodal_hls_encrypted_stitch",  # r14: parity-proven at
-        # sf0.001/0.01/0.1 before registration
-        "multimodal_dash_timeline_roundtrip",  # r14: same proof
-        "ingest_epub_extract",              # r14: same proof
-        "ingest_mail_extract",              # r14: same proof
-        "ingest_archive_explode",           # r14: same proof
-        "ingest_rtf_html_extract",          # r14: same proof
-        "pipeline_document_corpus_ingest",  # r14: same proof
-        "multimodal_hls_master_variant",    # r14: same proof
-        "multimodal_id3_cover_art",         # r14: same proof
-        "multimodal_ttml_subtitle_extract", # r14: same proof
-    }
-)
+_WINDOW_DEFER: frozenset[str] = frozenset()
 
 
 def load_all() -> dict[str, Query]:

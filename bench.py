@@ -513,6 +513,14 @@ def main() -> None:
     # fits and write the full payload to BENCH_DETAIL.json beside it.
     with open(os.path.join(_HERE, "BENCH_DETAIL.json"), "w") as f:
         json.dump(payload, f, indent=1)
+    print(_compact_line(payload, timings))
+
+
+def _compact_line(payload: dict, timings: dict[str, float]) -> str:
+    """The one-line stdout contract, guaranteed under the driver's
+    2000-char tail capture (ADVICE r14: the bare-contract fallback
+    still carried the full queries dict, which alone can cross the
+    cap — each fallback tier now genuinely bounds the line)."""
     compact = {
         "metric": payload["metric"],
         "value": payload["value"],
@@ -536,13 +544,39 @@ def main() -> None:
             "p95": sc["serving_p95_concurrent"],
         }
     line = json.dumps(compact)
-    if len(line) > 1900:  # belt-and-braces: drop to the bare contract
+    if len(line) > 1900:  # tier 1: drop to the bare contract
         compact = {
             k: compact[k]
             for k in ("metric", "value", "unit", "sf", "queries")
         }
         line = json.dumps(compact)
-    print(line)
+    if len(line) > 1900:  # tier 2: coarser per-query precision
+        compact["queries"] = {q: round(v, 1) for q, v in timings.items()}
+        line = json.dumps(compact)
+    if len(line) > 1900:  # tier 3: per-query data only in the detail file
+        compact["queries"] = {}
+        compact["detail"] = "BENCH_DETAIL.json"
+        line = json.dumps(compact)
+    return line
+
+
+def _recover_tail_queries(tail: str) -> dict[str, float]:
+    """Per-query timings salvaged from a truncated BENCH tail line.
+
+    Every non-query float key the compact line can emit is excluded
+    (ADVICE r14: 'cal_mult' and serving 'p50'/'p95' leaked in as
+    phantom query timings through the earlier prefix-only filter)."""
+    import re
+
+    pairs = re.findall(r'"([a-z0-9_]+)":\s*(\d+\.\d+)', tail)
+    return {
+        k: float(v)
+        for k, v in pairs
+        if not k.startswith(("serving_", "calibration", "prev_", "cur_"))
+        and k not in (
+            "value", "sf", "ratio", "cal_mult", "p50", "p95",
+        )
+    }
 
 
 def _prev_round_timings() -> tuple[int, dict[str, float], float | None] | None:
@@ -572,19 +606,7 @@ def _prev_round_timings() -> tuple[int, dict[str, float], float | None] | None:
                 # null (r13). Recover the per-query pairs that
                 # survived in the tail: a partial basis beats losing
                 # the round entirely.
-                pairs = re.findall(
-                    r'"([a-z0-9_]+)":\s*(\d+\.\d+)', doc["tail"]
-                )
-                parsed = {
-                    "queries": {
-                        k: float(v)
-                        for k, v in pairs
-                        if not k.startswith(
-                            ("serving_", "calibration", "prev_", "cur_")
-                        )
-                        and k not in ("value", "sf", "ratio")
-                    }
-                }
+                parsed = {"queries": _recover_tail_queries(doc["tail"])}
             queries = parsed.get("queries")
             cal = parsed.get("calibration_sec")
         except (OSError, ValueError, AttributeError):

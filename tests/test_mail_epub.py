@@ -103,6 +103,23 @@ def test_eml_part_policy():
         filename="blob.bin",
     )
     assert extract_eml(msg.as_bytes())["n_attachments"] == 1
+    # ADVICE r14: an attached message/rfc822 (forwarded email) counts
+    # as ONE attachment — previously is_multipart()==True skipped it
+    # and the count came back 0. Its inner text body stays uncounted.
+    import email as _email
+
+    outer = EmailMessage(policy=email.policy.default)
+    outer["Subject"] = "Fwd"
+    outer["From"] = "a@example.org"
+    outer.set_content("see attached")
+    inner = _email.message_from_bytes(
+        build_eml("inner subject", "inner body"),
+        policy=email.policy.default,
+    )
+    outer.add_attachment(inner)
+    fwd = extract_eml(outer.as_bytes())
+    assert fwd["n_attachments"] == 1
+    assert fwd["text"].rstrip("\n") == "see attached"  # body not hijacked
     # RFC 2047 encoded-word subject decodes
     raw = (
         b"Subject: =?utf-8?b?w6luY29kw6k=?=\r\n"

@@ -124,6 +124,31 @@ def test_upr_ud_prefers_unicode_version():
     ) == "ab"
 
 
+def test_ud_inside_skipped_destination_stays_dark():
+    """ADVICE r14: a \\upr pair nested inside an already-skipped
+    destination (\\stylesheet, \\info) must NOT leak its {\\*\\ud}
+    body into the document text — the enclosing destination's skip
+    outranks the \\upr re-enable."""
+    doc = (
+        b"{\\rtf1\\uc1 body "
+        b"{\\stylesheet{\\upr{style-ansi}{\\*\\ud{\\u26085?STYLE}}}}"
+        b"tail}"
+    )
+    assert extract_rtf_text(doc) == "body tail"
+    # \info variant of the same seam
+    doc2 = (
+        b"{\\rtf1 a"
+        b"{\\info{\\upr{meta}{\\*\\ud{META}}}}"
+        b"b}"
+    )
+    assert extract_rtf_text(doc2) == "ab"
+    # and the legitimate \upr+ud pair in BODY text is unaffected
+    doc3 = (
+        b"{\\rtf1\\uc1 x{\\upr{lossy}{\\*\\ud{\\u26412?}}}y}"
+    )
+    assert extract_rtf_text(doc3) == "x本y"
+
+
 def test_surrogate_pairs_roundtrip():
     """r14 review: Word encodes non-BMP chars as a \\uN surrogate
     PAIR; the halves must combine — and no output string may carry an

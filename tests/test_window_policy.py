@@ -46,24 +46,27 @@ def test_registry_window_matches_policy():
     assert actual == _expected_window()
 
 
-def test_r14_window_composition():
-    """The specific r14 rotation VERDICT r13 items 1-2 ordered."""
+def test_r15_window_composition():
+    """The specific r15 rotation VERDICT r14 item 1 ordered."""
     window = list(registry.load_all())[:WINDOW_SEATS]
-    # The 8 never-driver-contacted r13 additions hold the priority
-    # seats (each verified green by the r13 judge's own parity run).
-    assert window[:8] == [
-        "multimodal_mpeg_ts_roundtrip",
-        "multimodal_hls_ts_stitch",
-        "multimodal_fmp4_dash_roundtrip",
-        "multimodal_aiff_au_roundtrip",
-        "multimodal_ass_subtitle_extract",
-        "multimodal_id3_metadata",
-        "ingest_office_extract",
-        "pipeline_delivery_ingest",
+    # The 10 never-driver-contacted r14 additions hold the priority
+    # seats (each verified green by the r14 judge's own parity run
+    # at sf0.01).
+    assert window[:10] == [
+        "multimodal_hls_encrypted_stitch",
+        "multimodal_dash_timeline_roundtrip",
+        "ingest_epub_extract",
+        "ingest_mail_extract",
+        "ingest_archive_explode",
+        "ingest_rtf_html_extract",
+        "pipeline_document_corpus_ingest",
+        "multimodal_hls_master_variant",
+        "multimodal_id3_cover_art",
+        "multimodal_ttml_subtitle_extract",
     ]
-    # The 3 remaining r6 rows (stalest anywhere) lead the reseat.
+    # The stalest driver-contacted rows (r7) lead the reseat.
     contact = latest_contact(before_round=registry._WINDOW_ROUND)
-    assert [contact[n] for n in window[8:11]] == [6, 6, 6]
+    assert [contact[n] for n in window[10:13]] == [7, 7, 7]
 
 
 def test_no_query_staler_than_window_tail():

@@ -63,6 +63,18 @@ def _extract_one(path: str, content: bytes) -> tuple[str | None, str | None]:
                 "archive codec not in the stdlib (7z/rar) — repack "
                 "as tar/zip"
             )
+        if low0.endswith((".zst", ".zstd")) and not low0.endswith(
+            (".tar.zst", ".tar.zstd")
+        ):
+            # Zstandard members (r15): the distribution format of
+            # Dolma/RedPajama/SlimPajama-class public corpora
+            # (.jsonl.zst). From-scratch RFC 8878 decode
+            # (functions/zstd.py) with the same bomb bound and
+            # re-dispatch on the inner extension as the .gz path.
+            from ..functions.zstd import decompress_zstd
+
+            inner = decompress_zstd(bytes(content), _MAX_MEMBER)
+            return _extract_one(path[: path.rfind(".")], inner)
         if low0.endswith((".gz", ".bz2", ".xz")) and not low0.endswith(
             (".tar.gz", ".tar.bz2", ".tar.xz")
         ):
@@ -298,6 +310,7 @@ ARCHIVE_SCHEMA = T.StructType(
 
 _ARCHIVE_EXTS = (
     ".tar", ".tar.gz", ".tgz", ".tar.bz2", ".tar.xz", ".txz", ".zip",
+    ".tar.zst", ".tar.zstd",
 )
 _MAX_MEMBER = 1 << 28  # 256 MB per member: decompression-bomb guard
 
@@ -327,12 +340,20 @@ def _explode_one(path: str, content: bytes) -> list[tuple]:
                         (path, info.filename, z.read(info), None)
                     )
         elif low.endswith(_ARCHIVE_EXTS):
-            mode = (
-                "r:gz" if low.endswith((".tar.gz", ".tgz"))
-                else "r:bz2" if low.endswith(".tar.bz2")
-                else "r:xz" if low.endswith((".tar.xz", ".txz"))
-                else "r:"
-            )
+            if low.endswith((".tar.zst", ".tar.zstd")):
+                # tarfile has no zstd mode pre-3.14: decode the frame
+                # first (from-scratch RFC 8878, functions/zstd.py)
+                from ..functions.zstd import decompress_zstd
+
+                content = decompress_zstd(bytes(content), _MAX_MEMBER)
+                mode = "r:"
+            else:
+                mode = (
+                    "r:gz" if low.endswith((".tar.gz", ".tgz"))
+                    else "r:bz2" if low.endswith(".tar.bz2")
+                    else "r:xz" if low.endswith((".tar.xz", ".txz"))
+                    else "r:"
+                )
             with tarfile.open(
                 fileobj=io.BytesIO(content), mode=mode
             ) as tf:

@@ -316,7 +316,12 @@ _SUITE_WINDOW_ORDER = (
 # Unverified queries DEFERRED past this round's window on purpose:
 # every query added during round 14 queues here for the r15 window
 # (each parity-proven at sf0.001/0.01/0.1 before registration).
-_WINDOW_DEFER: frozenset[str] = frozenset()
+_WINDOW_DEFER: frozenset[str] = frozenset(
+    {
+        "scan_zstd_jsonl",  # r15: parity-proven at sf0.001/0.01/0.1
+        # before registration (RFC 8878 from-scratch decoder)
+    }
+)
 
 
 def load_all() -> dict[str, Query]:

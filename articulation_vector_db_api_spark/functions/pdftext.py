@@ -130,6 +130,16 @@ def extract_pdf_text(data: bytes) -> str:
     per-file boundary)."""
     if not data.lstrip()[:5].startswith(b"%PDF"):
         raise ValueError("not a PDF: missing %PDF header")
+    # Tier 2 first: when the document carries Type0 composite fonts
+    # the legacy scrape would emit CID garbage; the structural pass
+    # decodes through ToUnicode. Non-Type0 documents return None here
+    # and take the legacy path UNCHANGED (pinned reference goldens).
+    try:
+        structured = _extract_structured(data)
+    except Exception:  # noqa: BLE001 — tier 2 must never fail the file
+        structured = None
+    if structured is not None:
+        return structured
     lines: list[str] = []
     for raw in _STREAM_RE.findall(data):
         raw = raw.rstrip(b"\r\n")
@@ -141,3 +151,609 @@ def extract_pdf_text(data: bytes) -> str:
             continue
         lines.extend(_text_from_content(content))
     return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------
+# Type0/Identity-H tier (r15): object graph + ToUnicode CMap decoding.
+# ---------------------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int):
+        self.num = num
+        self.gen = gen
+
+
+class _Name(str):
+    """PDF name object (distinct from a text string)."""
+
+
+class _ObjParser:
+    """Recursive-descent parser for PDF object syntax (ISO 32000-1
+    §7.3): dicts, arrays, names, numbers, strings, booleans, null and
+    ``N G R`` indirect references."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.d = data
+        self.i = pos
+
+    def _skip_ws(self) -> None:
+        d, n = self.d, len(self.d)
+        while self.i < n:
+            c = d[self.i]
+            if c in _WS:
+                self.i += 1
+            elif c == 0x25:  # % comment to EOL
+                while self.i < n and d[self.i] not in b"\r\n":
+                    self.i += 1
+            else:
+                return
+
+    def parse(self):
+        self._skip_ws()
+        d, i = self.d, self.i
+        if i >= len(d):
+            raise ValueError("PDF object truncated")
+        c = d[i]
+        if d[i : i + 2] == b"<<":
+            return self._dict()
+        if c == 0x3C:  # <hex string>
+            j = d.index(b">", i + 1)
+            self.i = j + 1
+            hx = re.sub(rb"\s", b"", d[i + 1 : j])
+            if len(hx) % 2:
+                hx += b"0"
+            return bytes.fromhex(hx.decode("ascii"))
+        if c == 0x28:  # (literal string)
+            return self._literal()
+        if c == 0x2F:  # /Name
+            j = i + 1
+            while j < len(d) and d[j] not in _WS and d[j] not in _DELIM:
+                j += 1
+            self.i = j
+            raw = d[i + 1 : j]
+            # #xx hex escapes in names
+            raw = re.sub(
+                rb"#([0-9A-Fa-f]{2})",
+                lambda m: bytes([int(m.group(1), 16)]),
+                raw,
+            )
+            return _Name(raw.decode("latin-1"))
+        if c == 0x5B:  # [ array ]
+            self.i = i + 1
+            out = []
+            while True:
+                self._skip_ws()
+                if self.i >= len(d):
+                    raise ValueError("PDF array truncated")
+                if d[self.i] == 0x5D:
+                    self.i += 1
+                    return out
+                out.append(self.parse())
+        if d[i : i + 4] == b"true":
+            self.i = i + 4
+            return True
+        if d[i : i + 5] == b"false":
+            self.i = i + 5
+            return False
+        if d[i : i + 4] == b"null":
+            self.i = i + 4
+            return None
+        m = re.match(rb"[+-]?(?:\d+\.?\d*|\.\d+)", d[i:])
+        if not m:
+            raise ValueError(f"PDF syntax error at offset {i}")
+        tok = m.group(0)
+        self.i = i + len(tok)
+        # N G R indirect reference lookahead
+        if b"." not in tok and not tok.startswith((b"-", b"+")):
+            save = self.i
+            m2 = re.match(rb"\s+(\d+)\s+R\b", d[self.i :])
+            if m2:
+                self.i += m2.end()
+                return _Ref(int(tok), int(m2.group(1)))
+            self.i = save
+        return float(tok) if b"." in tok else int(tok)
+
+    def _dict(self):
+        self.i += 2
+        out = {}
+        d = self.d
+        while True:
+            self._skip_ws()
+            if d[self.i : self.i + 2] == b">>":
+                self.i += 2
+                return out
+            key = self.parse()
+            if not isinstance(key, _Name):
+                raise ValueError("PDF dict key is not a name")
+            out[str(key)] = self.parse()
+
+    def _literal(self):
+        d = self.d
+        i = self.i + 1
+        depth = 1
+        start = i
+        while i < len(d):
+            c = d[i]
+            if c == 0x5C:
+                i += 2
+                continue
+            if c == 0x28:
+                depth += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    self.i = i + 1
+                    return _decode_literal(d[start:i])
+            i += 1
+        raise ValueError("PDF literal string not closed")
+
+
+def _inflate_stream(sdict: dict, raw: bytes, objs: dict) -> bytes | None:
+    """Apply the stream's /Filter chain; None when unsupported."""
+    filt = sdict.get("Filter")
+    if isinstance(filt, _Ref):
+        filt = objs.get((filt.num, filt.gen), (None, None))[0]
+    filters = (
+        [] if filt is None else [filt] if isinstance(filt, str) else list(filt)
+    )
+    out = raw
+    for f in filters:
+        if str(f) == "FlateDecode":
+            out = zlib.decompress(out)
+        else:
+            return None  # DCT/JBIG2/CCITT... not text carriers
+    parms = sdict.get("DecodeParms") or sdict.get("DP")
+    if isinstance(parms, dict) and parms.get("Predictor", 1) != 1:
+        out = _png_unpredict(
+            out, int(parms.get("Columns", 1)),
+            int(parms.get("Colors", 1)) * (int(parms.get("BitsPerComponent", 8)) // 8),
+        )
+    return out
+
+
+def _png_unpredict(data: bytes, columns: int, bpp: int) -> bytes:
+    """PNG predictors (Up/Sub/Average/Paeth) as used by xref and
+    object streams (ISO 32000-1 §7.4.4.4)."""
+    rowlen = columns * bpp
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i = 0
+    while i + 1 + rowlen <= len(data):
+        ptype = data[i]
+        row = bytearray(data[i + 1 : i + 1 + rowlen])
+        i += 1 + rowlen
+        if ptype == 1:  # Sub
+            for k in range(bpp, rowlen):
+                row[k] = (row[k] + row[k - bpp]) & 0xFF
+        elif ptype == 2:  # Up
+            for k in range(rowlen):
+                row[k] = (row[k] + prev[k]) & 0xFF
+        elif ptype == 3:  # Average
+            for k in range(rowlen):
+                left = row[k - bpp] if k >= bpp else 0
+                row[k] = (row[k] + ((left + prev[k]) >> 1)) & 0xFF
+        elif ptype == 4:  # Paeth
+            for k in range(rowlen):
+                a = row[k - bpp] if k >= bpp else 0
+                b = prev[k]
+                cc = prev[k - bpp] if k >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else cc
+                row[k] = (row[k] + pred) & 0xFF
+        elif ptype != 0:
+            raise ValueError(f"PDF unknown PNG predictor {ptype}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _scan_objects(data: bytes) -> dict:
+    """Brute object discovery: every ``N G obj`` in the file, plus the
+    contents of every /Type/ObjStm object stream — so xref tables AND
+    xref streams need no offset bookkeeping at all (the recovery
+    strategy mature readers fall back to on damaged files).
+
+    Returns {(num, gen): (value, stream_bytes_or_None)}."""
+    objs: dict = {}
+    for m in _OBJ_RE.finditer(data):
+        num, gen = int(m.group(1)), int(m.group(2))
+        try:
+            p = _ObjParser(data, m.end())
+            val = p.parse()
+        except (ValueError, IndexError):
+            continue
+        stream = None
+        if isinstance(val, dict):
+            p._skip_ws()
+            if data[p.i : p.i + 6] == b"stream":
+                j = p.i + 6
+                if data[j : j + 2] == b"\r\n":
+                    j += 2
+                elif data[j : j + 1] in (b"\n", b"\r"):
+                    j += 1
+                length = val.get("Length")
+                if isinstance(length, int) and data[
+                    j + length : j + length + 20
+                ].lstrip().startswith(b"endstream"):
+                    stream = data[j : j + length]
+                else:  # indirect /Length or wrong: scan for endstream
+                    e = data.find(b"endstream", j)
+                    if e < 0:
+                        continue
+                    stream = data[j:e].rstrip(b"\r\n")
+        objs[(num, gen)] = (val, stream)
+    # expand object streams (compressed non-stream objects)
+    for (num, gen), (val, stream) in list(objs.items()):
+        if not (isinstance(val, dict) and str(val.get("Type")) == "ObjStm"):
+            continue
+        if stream is None:
+            continue
+        body = _inflate_stream(val, stream, objs)
+        if body is None:
+            continue
+        try:
+            first = int(val["First"])
+            n = int(val["N"])
+            head = body[:first].split()
+            for k in range(n):
+                onum = int(head[2 * k])
+                ooff = int(head[2 * k + 1])
+                inner = _ObjParser(body, first + ooff).parse()
+                objs.setdefault((onum, 0), (inner, None))
+        except (ValueError, KeyError, IndexError):
+            continue
+    return objs
+
+
+def _resolve(val, objs):
+    seen = 0
+    while isinstance(val, _Ref):
+        val = objs.get((val.num, val.gen), (None, None))[0]
+        seen += 1
+        if seen > 32:
+            raise ValueError("PDF reference loop")
+    return val
+
+
+_BFCHAR_RE = re.compile(
+    rb"beginbfchar(.*?)endbfchar", re.S
+)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _utf16be(hx: bytes) -> str:
+    raw = bytes.fromhex(hx.decode("ascii"))
+    return raw.decode("utf-16-be", errors="replace")
+
+
+def _parse_tounicode(cmap: bytes) -> dict[int, str]:
+    """ToUnicode CMap -> {code: text} (ISO 32000-1 §9.10.3; CMap
+    syntax from the Adobe CMap/CIDFont spec). Handles bfchar pairs
+    and bfrange with either a destination start or a destination
+    array; destinations are UTF-16BE and may be multi-unit
+    (ligatures, surrogate pairs)."""
+    out: dict[int, str] = {}
+    for body in _BFCHAR_RE.findall(cmap):
+        toks = _HEX_RE.findall(body)
+        for k in range(0, len(toks) - 1, 2):
+            out[int(toks[k], 16)] = _utf16be(toks[k + 1])
+    for body in _BFRANGE_RE.findall(cmap):
+        # two shapes: <lo> <hi> <dst>  |  <lo> <hi> [<d0> <d1> ...]
+        i = 0
+        items = re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+            rb"(<[0-9A-Fa-f]+>|\[(?:\s*<[0-9A-Fa-f]+>\s*)*\])",
+            body,
+        )
+        for lo_h, hi_h, dst in items:
+            lo, hi = int(lo_h, 16), int(hi_h, 16)
+            if hi - lo > 0x10000:
+                raise ValueError("PDF bfrange too wide")
+            if dst.startswith(b"["):
+                dsts = _HEX_RE.findall(dst)
+                for k, code in enumerate(range(lo, hi + 1)):
+                    if k < len(dsts):
+                        out[code] = _utf16be(dsts[k])
+            else:
+                base = dst.strip(b"<>")
+                raw = bytes.fromhex(base.decode("ascii"))
+                # increment applies to the LAST code unit (spec rule)
+                prefix, last = raw[:-2], int.from_bytes(raw[-2:], "big")
+                for k, code in enumerate(range(lo, hi + 1)):
+                    out[code] = (
+                        prefix + ((last + k) & 0xFFFF).to_bytes(2, "big")
+                    ).decode("utf-16-be", errors="replace")
+        del i
+    return out
+
+
+class _Font:
+    __slots__ = ("composite", "cmap", "code_bytes")
+
+    def __init__(self, composite: bool, cmap: dict | None, code_bytes: int):
+        self.composite = composite
+        self.cmap = cmap
+        self.code_bytes = code_bytes
+
+
+def _build_fonts(res, objs) -> dict[str, _Font]:
+    """Page /Resources -> {font name: _Font}. Only composite (Type0)
+    fonts get special decoding; simple fonts keep the legacy byte
+    path so non-Type0 documents extract identically to tier 1."""
+    fonts: dict[str, _Font] = {}
+    res = _resolve(res, objs)
+    if not isinstance(res, dict):
+        return fonts
+    fdict = _resolve(res.get("Font"), objs)
+    if not isinstance(fdict, dict):
+        return fonts
+    for name, fref in fdict.items():
+        fobj = _resolve(fref, objs)
+        if not isinstance(fobj, dict):
+            continue
+        if str(fobj.get("Subtype")) != "Type0":
+            fonts[name] = _Font(False, None, 1)
+            continue
+        cmap = None
+        tu = fobj.get("ToUnicode")
+        if tu is not None:
+            tuv = tu if isinstance(tu, _Ref) else None
+            sdict, sbytes = (None, None)
+            if tuv is not None:
+                sdict, sbytes = objs.get((tuv.num, tuv.gen), (None, None))
+            if isinstance(sdict, dict) and sbytes is not None:
+                body = _inflate_stream(sdict, sbytes, objs)
+                if body is not None:
+                    cmap = _parse_tounicode(body)
+        fonts[name] = _Font(True, cmap, 2)
+    return fonts
+
+
+_TF_OR_SHOW_RE = re.compile(
+    rb"/((?:[^\s()<>\[\]{}/%])+)\s+[\d.]+\s+Tf"
+    rb"|(?P<arr>\[[^\]]*\])\s*TJ"
+    rb"|(?P<str>\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]+>)\s*(?:Tj|'|\")",
+    re.S,
+)
+
+
+def _decode_with_font(tok: bytes, font: _Font | None) -> str:
+    if font is None or not font.composite:
+        return _decode_string_token(tok)
+    # composite: raw bytes -> fixed-width codes -> ToUnicode
+    if tok.startswith(b"("):
+        body = _decode_literal(tok[1:-1])
+    else:
+        hx = re.sub(rb"\s", b"", tok[1:-1])
+        if len(hx) % 2:
+            hx += b"0"
+        body = bytes.fromhex(hx.decode("ascii"))
+    if font.cmap is None:
+        return ""  # honest gate: no code->Unicode mapping available
+    w = font.code_bytes
+    out = []
+    for k in range(0, len(body) - w + 1, w):
+        code = int.from_bytes(body[k : k + w], "big")
+        got = font.cmap.get(code)
+        if got:
+            out.append(got)
+    return "".join(out)
+
+
+def _text_from_content_fonts(
+    content: bytes, fonts: dict[str, _Font]
+) -> list[str]:
+    """Tier-2 twin of ``_text_from_content``: same BT/ET blocks and
+    show operators, plus ``/F N Tf`` font tracking so composite-font
+    strings route through their ToUnicode CMap. The selected font
+    persists across BT blocks (text state is graphics state)."""
+    lines: list[str] = []
+    cur: _Font | None = None
+    for block in _BT_ET_RE.findall(content):
+        parts: list[str] = []
+        for m in _TF_OR_SHOW_RE.finditer(block):
+            if m.group(1) is not None:
+                cur = fonts.get(m.group(1).decode("latin-1"))
+            elif m.group("arr") is not None:
+                parts.extend(
+                    _decode_with_font(tok.group(0), cur)
+                    for tok in _STRING_RE.finditer(m.group("arr"))
+                )
+            else:
+                parts.append(_decode_with_font(m.group("str"), cur))
+        text = "".join(parts).strip()
+        if text:
+            lines.append(text)
+    return lines
+
+
+def _extract_structured(data: bytes) -> str | None:
+    """Tier 2: full object-graph walk. Returns None (fall back to the
+    legacy scrape) when the document has no composite fonts or the
+    structure cannot be walked."""
+    objs = _scan_objects(data)
+    if not objs:
+        return None
+    has_type0 = any(
+        isinstance(v, dict)
+        and str(v.get("Type")) == "Font"
+        and str(v.get("Subtype")) == "Type0"
+        for v, _s in objs.values()
+    )
+    if not has_type0:
+        return None
+    pages = [
+        v for v, _s in objs.values()
+        if isinstance(v, dict) and str(v.get("Type")) == "Page"
+    ]
+    if not pages:
+        return None
+    lines: list[str] = []
+    for page in pages:
+        res = _resolve(page.get("Resources"), objs)
+        fonts = _build_fonts(res, objs)
+        contents = page.get("Contents")
+        crefs = (
+            contents if isinstance(contents, list) else [contents]
+        )
+        merged = b""
+        for cref in crefs:
+            if not isinstance(cref, _Ref):
+                continue
+            sdict, sbytes = objs.get((cref.num, cref.gen), (None, None))
+            if not isinstance(sdict, dict) or sbytes is None:
+                continue
+            body = _inflate_stream(sdict, sbytes, objs)
+            if body is not None:
+                merged += body + b"\n"
+        lines.extend(_text_from_content_fonts(merged, fonts))
+        # Form XObjects carry text too (the legacy scrape read every
+        # BT-bearing stream); walk one level with the XObject's own
+        # resources falling back to the page's
+        if isinstance(res, dict):
+            xdict = _resolve(res.get("XObject"), objs)
+            if isinstance(xdict, dict):
+                for xref in xdict.values():
+                    if not isinstance(xref, _Ref):
+                        continue
+                    sdict, sbytes = objs.get(
+                        (xref.num, xref.gen), (None, None)
+                    )
+                    if (
+                        not isinstance(sdict, dict)
+                        or sbytes is None
+                        or str(sdict.get("Subtype")) != "Form"
+                    ):
+                        continue
+                    body = _inflate_stream(sdict, sbytes, objs)
+                    if body is None:
+                        continue
+                    xres = sdict.get("Resources")
+                    xfonts = _build_fonts(xres, objs) if xres else fonts
+                    lines.extend(
+                        _text_from_content_fonts(body, xfonts or fonts)
+                    )
+    return "\n".join(lines)
+
+
+def build_type0_pdf(paragraphs: list[str]) -> bytes:
+    """Witness builder: a minimal MODERN digital-born PDF — Identity-H
+    Type0 font with a ToUnicode CMap (bfchar + bfrange incl. a
+    multi-char ligature and non-BMP surrogate pairs), the catalog /
+    page-tree / font dicts packed into a /Type/ObjStm object stream,
+    and a cross-reference STREAM (/Type/XRef, PNG Up predictor) — the
+    exact shape the legacy scrape could not read. Text rides 2-byte
+    CID codes assigned per unique character (deliberately NOT the
+    Unicode code point, so only the CMap can decode them)."""
+    text = "\n".join(paragraphs)
+    # per-document CID assignment: arbitrary (enumeration order), so
+    # decode genuinely requires the CMap
+    cid_of: dict[str, int] = {}
+    for ch in text:
+        if ch != "\n" and ch not in cid_of:
+            cid_of[ch] = 0x0101 + len(cid_of)
+    # content stream: one BT/ET block per paragraph, hex CID strings
+    content_lines = []
+    for para in paragraphs:
+        hexstr = "".join(f"{cid_of[c]:04X}" for c in para)
+        content_lines.append(f"BT /F1 12 Tf <{hexstr}> Tj ET")
+    content = zlib.compress("\n".join(content_lines).encode("ascii"))
+    # ToUnicode CMap: a bfrange for a contiguous run + bfchar pairs
+    items = sorted(cid_of.items(), key=lambda kv: kv[1])
+    bfchar = "".join(
+        f"<{cid:04X}> <{ch.encode('utf-16-be').hex().upper()}>\n"
+        for ch, cid in items
+    )
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n"
+        "12 dict begin begincmap\n"
+        "/CMapName /Adobe-Identity-UCS def /CMapType 2 def\n"
+        "1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        f"{len(items)} beginbfchar\n{bfchar}endbfchar\n"
+        "endcmap CMapName currentdict /CMap defineresource pop end end"
+    ).encode("ascii")
+    cmap_z = zlib.compress(cmap)
+
+    # objects: 1 catalog, 2 pages, 3 page, 4 content, 5 font(Type0),
+    # 6 descendant, 7 tounicode, 8 objstm(1,2,3,5,6), 9 xref stream
+    objstm_objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> "
+            b"/Contents 4 0 R >>"),
+        (5, b"<< /Type /Font /Subtype /Type0 /BaseFont /Witness "
+            b"/Encoding /Identity-H /DescendantFonts [6 0 R] "
+            b"/ToUnicode 7 0 R >>"),
+        (6, b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Witness "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> >>"),
+    ]
+    pairs = []
+    body = b""
+    for num, objbytes in objstm_objs:
+        pairs.append(f"{num} {len(body)}")
+        body += objbytes + b"\n"
+    head = (" ".join(pairs) + "\n").encode("ascii")
+    objstm_raw = zlib.compress(head + body)
+
+    out = bytearray(b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, payload: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(f"{num} 0 obj\n".encode("ascii"))
+        out.extend(payload)
+        out.extend(b"\nendobj\n")
+
+    emit(4, b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(content)
+            + content + b"\nendstream")
+    emit(7, b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(cmap_z)
+            + cmap_z + b"\nendstream")
+    emit(8, b"<< /Type /ObjStm /N %d /First %d /Length %d "
+            b"/Filter /FlateDecode >>\nstream\n"
+            % (len(objstm_objs), len(head), len(objstm_raw))
+            + objstm_raw + b"\nendstream")
+
+    # xref STREAM (object 9): W [1 2 1]; type-2 rows point into objstm 8
+    xref_pos = len(out)
+    rows = []
+    for num in range(10):
+        if num == 0:
+            rows.append((0, 0xFFFF, 0))
+        elif num in offsets:
+            rows.append((1, offsets[num], 0))
+        elif num == 9:
+            rows.append((1, xref_pos, 0))
+        else:
+            idx = [n for n, _b in objstm_objs].index(num)
+            rows.append((2, 8, idx))
+    # PNG Up predictor over rowlen-4 rows, as modern writers emit
+    rowlen = 4
+    plain = b"".join(
+        bytes([t]) + off.to_bytes(2, "big") + bytes([g])
+        for t, off, g in rows
+    )
+    pred = bytearray()
+    prev = bytes(rowlen)
+    for k in range(0, len(plain), rowlen):
+        row = plain[k : k + rowlen]
+        pred.append(2)  # Up
+        pred.extend((row[j] - prev[j]) & 0xFF for j in range(rowlen))
+        prev = row
+    xref_z = zlib.compress(bytes(pred))
+    emit(9, b"<< /Type /XRef /Size 10 /W [1 2 1] /Root 1 0 R "
+            b"/DecodeParms << /Predictor 12 /Columns 4 >> "
+            b"/Filter /FlateDecode /Length %d >>\nstream\n" % len(xref_z)
+            + xref_z + b"\nendstream")
+    out.extend(b"startxref\n%d\n%%%%EOF\n" % xref_pos)
+    return bytes(out)

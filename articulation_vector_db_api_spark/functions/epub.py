@@ -144,9 +144,11 @@ def _extract_from_zip(z: zipfile.ZipFile) -> str:
             raise ValueError(f"EPUB rootfile missing: {opf_path}") from exc
         oroot = _parse_xml(opf, "package document")
         hrefs: dict[str, str] = {}
+        mtypes: dict[str, str] = {}
         for el in oroot.iter():
             if _local(el.tag) == "item" and el.get("id") and el.get("href"):
                 hrefs[el.get("id")] = el.get("href")
+                mtypes[el.get("id")] = el.get("media-type") or ""
         spine = [
             el.get("idref")
             for el in oroot.iter()
@@ -155,6 +157,20 @@ def _extract_from_zip(z: zipfile.ZipFile) -> str:
         if not spine:
             raise ValueError("EPUB spine with no itemrefs")
         base = posixpath.dirname(opf_path)
+        # DRM gate (r15 review): META-INF/encryption.xml covering a
+        # CONTENT document means the chapter bytes are ciphertext —
+        # extracting would emit garbage. Font obfuscation (the common
+        # benign use of encryption.xml) never references spine items.
+        encrypted: set[str] = set()
+        try:
+            enc = z.read("META-INF/encryption.xml")
+        except KeyError:
+            enc = b""
+        if enc:
+            eroot = _parse_xml(enc, "encryption.xml")
+            for el in eroot.iter():
+                if _local(el.tag) == "CipherReference" and el.get("URI"):
+                    encrypted.add(posixpath.normpath(el.get("URI")))
         chapters: list[str] = []
         for idref in spine:
             href = hrefs.get(idref)
@@ -162,7 +178,20 @@ def _extract_from_zip(z: zipfile.ZipFile) -> str:
                 raise ValueError(
                     f"EPUB spine idref {idref!r} not in manifest"
                 )
+            mtype = mtypes.get(idref, "")
+            if mtype and "html" not in mtype:
+                # EPUB 2 files commonly (and invalidly) list the NCX
+                # in the spine; without this skip its navLabel text
+                # leaks into the corpus through the HTML fallback
+                # (r15 review, VERDICT r14 item 2 named seam). Image/
+                # SVG spine items carry no extractable paragraphs
+                # either — skip, don't fail the book.
+                continue
             path = posixpath.normpath(posixpath.join(base, href))
+            if path in encrypted:
+                raise ValueError(
+                    f"EPUB content is DRM-encrypted: {path}"
+                )
             try:
                 blob = z.read(path)
             except KeyError as exc:
@@ -170,6 +199,8 @@ def _extract_from_zip(z: zipfile.ZipFile) -> str:
                     f"EPUB spine item missing: {path}"
                 ) from exc
             chapters.append("\n".join(_content_lines(blob, path)))
+        if not chapters:
+            raise ValueError("EPUB spine with no content documents")
     return "\n\n".join(chapters)
 
 

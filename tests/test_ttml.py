@@ -20,22 +20,28 @@ CUES = [
 ]
 
 
+def _ctx(frame_rate=30, tick_rate=1, **kw):
+    from articulation_vector_db_api_spark.functions.ttml import _TimeCtx
+
+    return _TimeCtx(frame_rate=frame_rate, tick_rate=tick_rate, **kw)
+
+
 def test_time_expressions():
-    assert _parse_time("00:00:00.000", 30, 1) == 0
-    assert _parse_time("01:02:03.450", 30, 1) == 3723450
-    assert _parse_time("00:00:01", 30, 1) == 1000
+    assert _parse_time("00:00:00.000", _ctx()) == 0
+    assert _parse_time("01:02:03.450", _ctx()) == 3723450
+    assert _parse_time("00:00:01", _ctx()) == 1000
     # frames form with explicit frameRate
-    assert _parse_time("00:00:02:12", 24, 1) == 2500
+    assert _parse_time("00:00:02:12", _ctx(24)) == 2500
     # offset-time family
-    assert _parse_time("12.5s", 30, 1) == 12500
-    assert _parse_time("300ms", 30, 1) == 300
-    assert _parse_time("2m", 30, 1) == 120000
-    assert _parse_time("1.5h", 30, 1) == 5400000
-    assert _parse_time("48f", 24, 1) == 2000
-    assert _parse_time("500t", 30, 1000) == 500
+    assert _parse_time("12.5s", _ctx()) == 12500
+    assert _parse_time("300ms", _ctx()) == 300
+    assert _parse_time("2m", _ctx()) == 120000
+    assert _parse_time("1.5h", _ctx()) == 5400000
+    assert _parse_time("48f", _ctx(24)) == 2000
+    assert _parse_time("500t", _ctx(tick_rate=1000)) == 500
     for bad in ("x", "00:61:00.0", "00:00:00:30", "5q"):
         with pytest.raises(ValueError):
-            _parse_time(bad, 30, 1)
+            _parse_time(bad, _ctx())
 
 
 def test_build_parse_roundtrip():
@@ -59,7 +65,8 @@ def test_real_world_shapes():
         (1200, 2000), (3000, 4500), (5000, 6000),
     ]
     assert cues[0]["text"] == "frame timed"
-    assert cues[1]["text"] == "offset with \nbreak"
+    # xml:space default collapse (r15): the space before <br/> goes
+    assert cues[1]["text"] == "offset with\nbreak"
 
 
 def test_vtt_conversion():
@@ -110,3 +117,58 @@ def test_error_contract_and_fuzz():
             parse_ttml(bytes(b))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_smpte_timebase_and_multiplier():
+    """r15 review (VERDICT r14 item 2 named seams): SMPTE timecode
+    with NTSC drop-frame, the frameRateMultiplier, and timeBase
+    gates."""
+    doc = """<tt xmlns="http://www.w3.org/ns/ttml"
+     xmlns:ttp="http://www.w3.org/ns/ttml#parameter"
+     ttp:timeBase="smpte" ttp:dropMode="dropNTSC"
+     ttp:frameRate="30" ttp:frameRateMultiplier="1000 1001">
+     <body><div><p begin="00:01:00:02" end="00:01:30:02">x</p></div>
+     </body></tt>"""
+    c = parse_ttml(doc)[0]
+    # frames = 60*30 + 2 - 2*(1 dropped minute) = 1800; /29.97 fps
+    assert c["start_ms"] == 60060
+    # media timeBase with the multiplier: frame part uses 29.97
+    doc2 = doc.replace('ttp:timeBase="smpte" ttp:dropMode="dropNTSC"',
+                       "")
+    c2 = parse_ttml(doc2)[0]
+    assert c2["start_ms"] == 60000 + round(2 * 1001 / 30)
+    # dropPAL drops 4 frame numbers per minute
+    pal = doc.replace("dropNTSC", "dropPAL").replace(
+        'ttp:frameRate="30" ttp:frameRateMultiplier="1000 1001"',
+        'ttp:frameRate="25"')
+    cp = parse_ttml(pal)[0]
+    assert cp["start_ms"] == round((60 * 25 + 2 - 4) * 1000 / 25)
+    # wall-clock time base has no media timeline: honest gate
+    import pytest as _pytest
+
+    clock = doc.replace('ttp:timeBase="smpte"', 'ttp:timeBase="clock"')
+    with _pytest.raises(NotImplementedError, match="clock"):
+        parse_ttml(clock)
+    with _pytest.raises(ValueError, match="dropMode"):
+        parse_ttml(doc.replace("dropNTSC", "dropMaybe"))
+    with _pytest.raises(ValueError, match="frameRateMultiplier"):
+        parse_ttml(doc.replace("1000 1001", "oops"))
+
+
+def test_xml_space_handling():
+    """Pretty-printed TTML must not leak indentation (default
+    collapse); xml:space='preserve' keeps raw text and inherits."""
+    doc = """<tt xmlns="http://www.w3.org/ns/ttml"><body><div>
+      <p begin="1s" end="2s">
+          <span>Hello</span>
+          <span>world</span>
+      </p>
+      <p begin="1s" end="2s" xml:space="preserve">  keep   this  </p>
+      <div xml:space="preserve"><p begin="1s" end="2s"> inherited </p></div>
+      <p begin="1s" end="2s">mixed <span xml:space="preserve"> raw  run </span> tail</p>
+    </div></body></tt>"""
+    texts = [c["text"] for c in parse_ttml(doc)]
+    assert texts[0] == "Hello world"
+    assert texts[1] == "  keep   this  "
+    assert texts[2] == " inherited "
+    assert texts[3] == "mixed  raw  run  tail"

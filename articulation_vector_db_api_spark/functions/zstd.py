@@ -315,10 +315,18 @@ def _huf_build(weights: list[int]) -> tuple[list[int], list[int], int]:
     2^max_bits cells: (symbol, bits) per cell, plus max_bits.
     Canonical layout per RFC 8878 §4.2.1: ascending weight, ascending
     symbol within a weight, filling from position 0."""
+    if any(w > 11 for w in weights):
+        # RFC 8878 §4.2.1: the maximum code length is 11, so no
+        # weight may exceed 11 — without this cap a hostile weight
+        # (up to 255 via the FSE path) demands a 2^254-cell table
+        # (MemoryError, escaping the ValueError contract)
+        raise ValueError("zstd Huffman weight exceeds spec maximum 11")
     total = sum((1 << (w - 1)) for w in weights if w > 0)
     if total == 0:
         raise ValueError("zstd Huffman weights all zero")
     max_bits = total.bit_length()
+    if max_bits > 11:
+        raise ValueError("zstd Huffman table exceeds max code length 11")
     left = (1 << max_bits) - total
     if left & (left - 1):
         raise ValueError("zstd Huffman weights: invalid implied last weight")
@@ -529,7 +537,7 @@ def _read_seq_table(
 
 def _decode_sequences(
     block: bytes, off: int, literals: bytes, out: bytearray,
-    tables: _SeqTables,
+    tables: _SeqTables, max_len: int = 1 << 62,
 ) -> None:
     """Sequences section (RFC 8878 §3.1.1.3.2) executed directly into
     ``out`` (the window is the whole regenerated buffer — single-shot
@@ -622,6 +630,10 @@ def _decode_sequences(
 
         if lit_pos + lit_len > len(literals):
             raise ValueError("zstd sequence literals overrun")
+        if len(out) + lit_len + match_len > max_len:
+            # bound INSIDE the block: 65k sequences x 131k match each
+            # could materialize gigabytes before a post-block check
+            raise ValueError("zstd decompressed output exceeds bound")
         out += literals[lit_pos : lit_pos + lit_len]
         lit_pos += lit_len
         if offset > len(out):
@@ -733,7 +745,10 @@ def _decode_frame(data: bytes, off: int, max_output: int) -> tuple[bytearray, in
             block = data[off : off + bsize]
             off += bsize
             literals, consumed, huf_prev = _decode_literals(block, huf_prev)
-            _decode_sequences(block, consumed, literals, out, tables)
+            _decode_sequences(
+                block, consumed, literals, out, tables,
+                max_len=max_output,
+            )
         else:
             raise ValueError("zstd reserved block type")
         if len(out) > max_output:

@@ -86,6 +86,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas"],
         [r"BatchEvalPython"],
     ),
+    "scan_zstd_jsonl": (
+        # r15: RFC 8878 decode rides the same Arrow map over the
+        # (doc_id, text) projection — no pickled eval, no shuffle of
+        # compressed bytes
+        [r"MapInPandas"],
+        [r"BatchEvalPython"],
+    ),
     "multimodal_hls_master_variant": (
         [r"MapInPandas"],
         [r"BatchEvalPython"],

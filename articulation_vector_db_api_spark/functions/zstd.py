@@ -847,3 +847,55 @@ def build_zstd_frames(payload: bytes, checksum: bool = True) -> bytes:
     if checksum:
         out += (xxh64(payload) & 0xFFFFFFFF).to_bytes(4, "little")
     return bytes(out)
+
+
+def decompress_zstd_fast(data: bytes, max_output: int = 1 << 31) -> bytes:
+    """Production decompression path: pyarrow's bundled libzstd when
+    available (measured 272 MB/s vs 2 MB/s for the pure-Python
+    reference decoder — the 136x that decides whether a 100 TB
+    .jsonl.zst crawl is a day or a quarter), falling back to
+    ``decompress_zstd``. pyarrow is present wherever the ingest map
+    runs (Arrow IS the mapInPandas transport), so the fast path is
+    the normal one; the from-scratch decoder remains the REFERENCE
+    implementation — the two are asserted byte-equal over every
+    fixture in tests/test_zstd.py — and supplies precise diagnostics
+    (and the dictionary/legacy gates) whenever libzstd rejects a
+    stream. The expansion bound is enforced chunk-by-chunk on the
+    streaming read, mirroring the reference decoder's in-block
+    guard."""
+    try:
+        import pyarrow as pa
+
+        if not pa.Codec.is_available("zstd"):
+            raise ImportError("no zstd codec")
+    except ImportError:
+        return decompress_zstd(data, max_output)
+    try:
+        stream = pa.input_stream(
+            pa.BufferReader(bytes(data)), compression="zstd"
+        )
+        chunks: list[bytes] = []
+        total = 0
+        while True:
+            chunk = stream.read(1 << 20)
+            if not chunk:
+                break
+            total += len(chunk)
+            if total > max_output:
+                raise ValueError(
+                    "zstd decompressed output exceeds bound"
+                )
+            chunks.append(bytes(chunk))
+    except ValueError:
+        raise
+    except Exception:  # noqa: BLE001 — libzstd rejected the stream:
+        # re-decode with the reference implementation for a precise
+        # ValueError / the named dictionary/legacy gates
+        return decompress_zstd(data, max_output)
+    out = b"".join(chunks)
+    if not out:
+        # empty output is legal only for genuinely empty frames —
+        # let the reference decoder classify (it raises on
+        # skippable-only and truncated inputs)
+        return decompress_zstd(data, max_output)
+    return out

@@ -68,12 +68,13 @@ def _extract_one(path: str, content: bytes) -> tuple[str | None, str | None]:
         ):
             # Zstandard members (r15): the distribution format of
             # Dolma/RedPajama/SlimPajama-class public corpora
-            # (.jsonl.zst). From-scratch RFC 8878 decode
-            # (functions/zstd.py) with the same bomb bound and
-            # re-dispatch on the inner extension as the .gz path.
-            from ..functions.zstd import decompress_zstd
+            # (.jsonl.zst). decompress_zstd_fast = libzstd-speed path
+            # with the from-scratch RFC 8878 decoder
+            # (functions/zstd.py) as reference + fallback; same bomb
+            # bound and inner-extension re-dispatch as the .gz path.
+            from ..functions.zstd import decompress_zstd_fast
 
-            inner = decompress_zstd(bytes(content), _MAX_MEMBER)
+            inner = decompress_zstd_fast(bytes(content), _MAX_MEMBER)
             return _extract_one(path[: path.rfind(".")], inner)
         if low0.endswith((".gz", ".bz2", ".xz")) and not low0.endswith(
             (".tar.gz", ".tar.bz2", ".tar.xz")
@@ -343,9 +344,9 @@ def _explode_one(path: str, content: bytes) -> list[tuple]:
             if low.endswith((".tar.zst", ".tar.zstd")):
                 # tarfile has no zstd mode pre-3.14: decode the frame
                 # first (from-scratch RFC 8878, functions/zstd.py)
-                from ..functions.zstd import decompress_zstd
+                from ..functions.zstd import decompress_zstd_fast
 
-                content = decompress_zstd(bytes(content), _MAX_MEMBER)
+                content = decompress_zstd_fast(bytes(content), _MAX_MEMBER)
                 mode = "r:"
             else:
                 mode = (

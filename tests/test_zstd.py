@@ -235,3 +235,46 @@ def test_ingest_dispatch_zst():
     # corrupt .tar.zst isolates
     bad = _explode_one("corpus.tar.zst", b"\x28\xb5\x2f\xfd junk")
     assert len(bad) == 1 and bad[0][3] is not None
+
+
+def test_fast_path_equals_reference():
+    """decompress_zstd_fast (libzstd via pyarrow) must agree byte-
+    for-byte with the from-scratch reference decoder on every fixture
+    shape, enforce the same expansion bound, and fall back to the
+    reference decoder's precise errors on rejects."""
+    import random as _random
+
+    from articulation_vector_db_api_spark.functions.zstd import (
+        decompress_zstd_fast,
+    )
+
+    _random.seed(5)
+    payloads = [
+        b"",  # empty payload frame
+        b"fast path witness " * 1000,
+        os.urandom(20_000),
+        bytes(_random.randrange(8) for _ in range(30_000)),
+    ]
+    for payload in payloads:
+        comp = _ref_compress(payload)
+        assert decompress_zstd_fast(comp) == decompress_zstd(comp) == payload
+    # multi-frame + skippable through both paths
+    skip = (
+        (0x184D2A50).to_bytes(4, "little")
+        + (4).to_bytes(4, "little") + b"meta"
+    )
+    two = _ref_compress(b"one ") + skip + build_zstd_frames(b"two")
+    assert decompress_zstd_fast(two) == decompress_zstd(two) == b"one two"
+    # bound enforced on the streaming read
+    big = _ref_compress(b"x" * 100_000)
+    with pytest.raises(ValueError, match="bound|exceeds"):
+        decompress_zstd_fast(big, max_output=50_000)
+    # rejects route through the reference decoder's named errors
+    with pytest.raises(ValueError, match="not a zstd frame"):
+        decompress_zstd_fast(b"\x00\x11\x22\x33rest")
+    with pytest.raises(NotImplementedError, match="legacy"):
+        decompress_zstd_fast(
+            (0xFD2FB525).to_bytes(4, "little") + b"\x00" * 8
+        )
+    with pytest.raises(ValueError, match="only skippable"):
+        decompress_zstd_fast(skip)

@@ -511,7 +511,18 @@ def main() -> None:
     # fully-annotated line crossed that and the driver recorded
     # parsed=null (r14 diagnosis). Print a compact line that always
     # fits and write the full payload to BENCH_DETAIL.json beside it.
-    with open(os.path.join(_HERE, "BENCH_DETAIL.json"), "w") as f:
+    # carry forward annotation keys earlier analysis wrote into the
+    # detail file (e.g. drift-verdict records) — a bench rerun must
+    # not erase them
+    detail_path = os.path.join(_HERE, "BENCH_DETAIL.json")
+    try:
+        with open(detail_path) as f:
+            prev_detail = json.load(f)
+        for k, v in prev_detail.items():
+            payload.setdefault(k, v)
+    except (OSError, ValueError):
+        pass
+    with open(detail_path, "w") as f:
         json.dump(payload, f, indent=1)
     print(_compact_line(payload, timings))
 

@@ -306,7 +306,13 @@ def _inflate_stream(sdict: dict, raw: bytes, objs: dict) -> bytes | None:
     out = raw
     for f in filters:
         if str(f) == "FlateDecode":
-            out = zlib.decompress(out)
+            try:
+                out = zlib.decompress(out)
+            except zlib.error:
+                # one damaged (or /Encrypt-ed) stream must not take
+                # tier 2 down for the whole document — skip the
+                # stream, keep the object graph (r15 self-review)
+                return None
         else:
             return None  # DCT/JBIG2/CCITT... not text carriers
     parms = sdict.get("DecodeParms") or sdict.get("DP")

@@ -10,9 +10,13 @@ ship as ``.jsonl.zst`` — this module is the ingest seam that lets the
 corpus reader consume them (VERDICT r14 item 3). Parquet-internal zstd
 already decodes JVM-side; this covers the raw-member path only.
 
+Dictionaries (RFC 8878 §5, r15): both structured dictionaries
+(entropy tables + recent offsets + content, the ``zstd --train``
+output) and raw-content dictionaries are supported via
+``parse_zstd_dictionary`` / the ``dictionary=`` parameter; frames
+with ``Dictionary_ID != 0`` name the id they need.
+
 Honest gates (named errors, spec sections cited):
-- dictionary frames (``Dictionary_ID != 0``) — RFC 8878 §5; external
-  dictionary content is out of scope for self-contained members.
 - legacy v0.x frames (magics 0xFD2FB522-27) — pre-RFC formats.
 
 Scale posture: decompression happens inside the Arrow-batched ingest
@@ -26,7 +30,14 @@ ingestion domain (/root/reference/main.py:258-296) the same way the
 
 from __future__ import annotations
 
-__all__ = ["decompress_zstd", "xxh64", "build_zstd_frames"]
+__all__ = [
+    "decompress_zstd",
+    "decompress_zstd_fast",
+    "parse_zstd_dictionary",
+    "ZstdDictionary",
+    "xxh64",
+    "build_zstd_frames",
+]
 
 _MAGIC = 0xFD2FB528
 _MAGIC_SKIPPABLE_LO = 0x184D2A50
@@ -537,12 +548,13 @@ def _read_seq_table(
 
 def _decode_sequences(
     block: bytes, off: int, literals: bytes, out: bytearray,
-    tables: _SeqTables, max_len: int = 1 << 62,
+    tables: _SeqTables, max_len: int = 1 << 62, prefix: bytes = b"",
 ) -> None:
     """Sequences section (RFC 8878 §3.1.1.3.2) executed directly into
     ``out`` (the window is the whole regenerated buffer — single-shot
     decode, no streaming window eviction needed at member sizes the
-    ingest guard admits)."""
+    ingest guard admits). ``prefix`` is the dictionary content (§5):
+    a virtual window segment match offsets may reach back into."""
     if off >= len(block):
         raise ValueError("zstd sequences section missing")
     b0 = block[off]
@@ -636,19 +648,27 @@ def _decode_sequences(
             raise ValueError("zstd decompressed output exceeds bound")
         out += literals[lit_pos : lit_pos + lit_len]
         lit_pos += lit_len
-        if offset > len(out):
-            raise ValueError("zstd match offset beyond window")
-        if offset >= match_len:
-            start = len(out) - offset
-            out += out[start : start + match_len]
-        else:
-            # overlapping match: byte-wise semantics, chunk-doubling
-            start = len(out) - offset
-            need = match_len
-            while need > 0:
-                take = min(need, len(out) - start)
-                out += out[start : start + take]
-                need -= take
+        if offset > len(out) + len(prefix):
+            raise ValueError(
+                "zstd match offset beyond window"
+                + ("" if prefix else
+                   " (frame may need an external dictionary)")
+            )
+        # generalized copy: source may begin in the dictionary
+        # prefix (src < 0), cross into the output, and overlap the
+        # write head (chunk-doubling keeps byte-wise semantics)
+        src_at = len(out) - offset
+        need = match_len
+        while need > 0:
+            if src_at < 0:
+                take = min(need, -src_at)
+                base = len(prefix) + src_at
+                out += prefix[base : base + take]
+            else:
+                take = min(need, len(out) - src_at)
+                out += out[src_at : src_at + take]
+            src_at += take
+            need -= take
 
         if i + 1 < nseq:
             # state updates: literals length, match length, offset
@@ -665,10 +685,77 @@ def _decode_sequences(
     out += literals[lit_pos:]
 
 
+# --------------------------------------------------------- dictionaries
+
+_DICT_MAGIC = 0xEC30A437
+
+
+class ZstdDictionary:
+    """A parsed RFC 8878 §5 dictionary: entropy tables that preload
+    the frame's Repeat mode, the three initial recent offsets, and
+    the content that becomes a virtual window prefix. Any blob NOT
+    starting with the dictionary magic is a RAW CONTENT dictionary
+    (content only, no tables — §5's final paragraph)."""
+
+    __slots__ = ("dict_id", "huf", "ll", "of", "ml", "rep", "content")
+
+    def __init__(self, dict_id, huf, ll, of, ml, rep, content):
+        self.dict_id = dict_id
+        self.huf = huf
+        self.ll = ll
+        self.of = of
+        self.ml = ml
+        self.rep = rep
+        self.content = content
+
+
+def parse_zstd_dictionary(data: bytes) -> ZstdDictionary:
+    """Dictionary blob -> ZstdDictionary. Structured layout (§5):
+    magic, 4-byte ID, entropy tables in the order Huffman-literals /
+    OF / ML / LL (each in the compressed-block format), three 4-byte
+    recent offsets, then content. Self-validated against dictionaries
+    produced by the reference trainer (``zstd --train``) in
+    tests/test_zstd.py."""
+    b = bytes(data)
+    if len(b) < 8 or int.from_bytes(b[:4], "little") != _DICT_MAGIC:
+        if not b:
+            raise ValueError("empty zstd dictionary")
+        return ZstdDictionary(0, None, None, None, None, [1, 4, 8], b)
+    dict_id = int.from_bytes(b[4:8], "little")
+    if dict_id == 0:
+        raise ValueError("zstd structured dictionary with ID 0")
+    off = 8
+    weights, off = _huf_read_weights(b, off)
+    huf = _huf_build(weights)
+    of_freqs, of_al, off = _fse_read_distribution(b, off)
+    if of_al > 8:
+        raise ValueError("zstd dictionary offset accuracy log > 8")
+    of = _fse_build(of_freqs, of_al) + (of_al,)
+    ml_freqs, ml_al, off = _fse_read_distribution(b, off)
+    if ml_al > 9:
+        raise ValueError("zstd dictionary match-length accuracy log > 9")
+    ml = _fse_build(ml_freqs, ml_al) + (ml_al,)
+    ll_freqs, ll_al, off = _fse_read_distribution(b, off)
+    if ll_al > 9:
+        raise ValueError("zstd dictionary literals-length accuracy log > 9")
+    ll = _fse_build(ll_freqs, ll_al) + (ll_al,)
+    if off + 12 > len(b):
+        raise ValueError("zstd dictionary recent offsets truncated")
+    rep = [int.from_bytes(b[off + 4 * k : off + 4 * k + 4], "little")
+           for k in range(3)]
+    if any(r == 0 for r in rep):
+        raise ValueError("zstd dictionary recent offset is zero")
+    off += 12
+    return ZstdDictionary(dict_id, huf, ll, of, ml, rep, b[off:])
+
+
 # -------------------------------------------------------------- frames
 
 
-def _decode_frame(data: bytes, off: int, max_output: int) -> tuple[bytearray, int]:
+def _decode_frame(
+    data: bytes, off: int, max_output: int,
+    dictionary: "ZstdDictionary | None" = None,
+) -> tuple[bytearray, int]:
     """One zstd frame starting at the frame header byte. Returns
     (decompressed, next_offset)."""
     if off >= len(data):
@@ -699,11 +786,16 @@ def _decode_frame(data: bytes, off: int, max_output: int) -> tuple[bytearray, in
     dict_id = int.from_bytes(data[off : off + did_len], "little")
     off += did_len
     if dict_id != 0:
-        raise NotImplementedError(
-            "zstd dictionary frames (Dictionary_ID != 0) are not "
-            "supported — RFC 8878 §5 external dictionaries are out of "
-            "scope for self-contained corpus members"
-        )
+        if dictionary is None:
+            raise ValueError(
+                f"zstd frame requires dictionary {dict_id} "
+                "(pass dictionary= to decompress_zstd)"
+            )
+        if dictionary.dict_id not in (0, dict_id):
+            raise ValueError(
+                f"zstd dictionary mismatch: frame wants {dict_id}, "
+                f"got {dictionary.dict_id}"
+            )
     fcs_len = (1 if single_segment else 0, 2, 4, 8)[fcs_flag]
     content_size = None
     if fcs_len:
@@ -721,6 +813,16 @@ def _decode_frame(data: bytes, off: int, max_output: int) -> tuple[bytearray, in
     out = bytearray()
     huf_prev: tuple | None = None
     tables = _SeqTables()
+    prefix = b""
+    if dictionary is not None:
+        # §5: the dictionary preloads the Repeat-mode entropy tables,
+        # the recent-offset history, and a virtual window prefix
+        huf_prev = dictionary.huf
+        tables.ll = dictionary.ll
+        tables.of = dictionary.of
+        tables.ml = dictionary.ml
+        tables.rep = list(dictionary.rep)
+        prefix = dictionary.content
     while True:
         if off + 3 > len(data):
             raise ValueError("zstd block header truncated")
@@ -747,7 +849,7 @@ def _decode_frame(data: bytes, off: int, max_output: int) -> tuple[bytearray, in
             literals, consumed, huf_prev = _decode_literals(block, huf_prev)
             _decode_sequences(
                 block, consumed, literals, out, tables,
-                max_len=max_output,
+                max_len=max_output, prefix=prefix,
             )
         else:
             raise ValueError("zstd reserved block type")
@@ -773,11 +875,20 @@ def _decode_frame(data: bytes, off: int, max_output: int) -> tuple[bytearray, in
     return out, off
 
 
-def decompress_zstd(data: bytes, max_output: int = 1 << 31) -> bytes:
+def decompress_zstd(
+    data: bytes,
+    max_output: int = 1 << 31,
+    dictionary: "ZstdDictionary | bytes | None" = None,
+) -> bytes:
     """Decompress a (possibly multi-frame) zstd stream. Skippable
-    frames are skipped; legacy v0.x magics and dictionary frames are
-    honest gates. ``max_output`` bounds the TOTAL expansion (the
-    ingest bomb guard passes its member cap here)."""
+    frames are skipped; legacy v0.x magics are an honest gate.
+    ``max_output`` bounds the TOTAL expansion (the ingest bomb guard
+    passes its member cap here). ``dictionary`` (r15): an RFC 8878 §5
+    dictionary — a ``ZstdDictionary``, a trained-dictionary blob, or
+    raw content bytes — required by frames with Dictionary_ID != 0
+    and applied to every frame when provided."""
+    if isinstance(dictionary, (bytes, bytearray, memoryview)):
+        dictionary = parse_zstd_dictionary(bytes(dictionary))
     b = bytes(data)
     if not b:
         raise ValueError("empty zstd input")
@@ -803,7 +914,9 @@ def decompress_zstd(data: bytes, max_output: int = 1 << 31) -> bytes:
             )
         if magic != _MAGIC:
             raise ValueError(f"not a zstd frame (magic {magic:#010x})")
-        out, off = _decode_frame(b, off + 4, max_output - total)
+        out, off = _decode_frame(
+            b, off + 4, max_output - total, dictionary=dictionary
+        )
         total += len(out)
         parts.append(out)
     if not parts:
@@ -849,7 +962,11 @@ def build_zstd_frames(payload: bytes, checksum: bool = True) -> bytes:
     return bytes(out)
 
 
-def decompress_zstd_fast(data: bytes, max_output: int = 1 << 31) -> bytes:
+def decompress_zstd_fast(
+    data: bytes,
+    max_output: int = 1 << 31,
+    dictionary: "ZstdDictionary | bytes | None" = None,
+) -> bytes:
     """Production decompression path: pyarrow's bundled libzstd when
     available (measured 272 MB/s vs 2 MB/s for the pure-Python
     reference decoder — the 136x that decides whether a 100 TB
@@ -863,6 +980,9 @@ def decompress_zstd_fast(data: bytes, max_output: int = 1 << 31) -> bytes:
     stream. The expansion bound is enforced chunk-by-chunk on the
     streaming read, mirroring the reference decoder's in-block
     guard."""
+    if dictionary is not None:
+        # libzstd-via-pyarrow has no dictionary API: reference path
+        return decompress_zstd(data, max_output, dictionary=dictionary)
     try:
         import pyarrow as pa
 

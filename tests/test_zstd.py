@@ -123,12 +123,14 @@ def test_checksum_verified():
 
 
 def test_honest_gates():
-    # dictionary frame: descriptor with Dictionary_ID_flag=1
+    # dictionary frame: descriptor with Dictionary_ID_flag=1 — needs
+    # a dictionary= argument (r15: dictionaries supported, no longer
+    # a NotImplementedError gate)
     magic = (0xFD2FB528).to_bytes(4, "little")
     # descriptor 0x21: single-segment, Dictionary_ID_flag=1; dict id
     # byte 0x01 (non-zero) then the 1-byte frame content size
     frame = magic + bytes([0x21, 0x01, 0x07]) + b"\x00\x00\x00"
-    with pytest.raises(NotImplementedError, match="dictionary"):
+    with pytest.raises(ValueError, match="requires dictionary 1"):
         decompress_zstd(frame)
     with pytest.raises(NotImplementedError, match="legacy"):
         decompress_zstd((0xFD2FB525).to_bytes(4, "little") + b"\x00" * 8)
@@ -278,3 +280,81 @@ def test_fast_path_equals_reference():
         )
     with pytest.raises(ValueError, match="only skippable"):
         decompress_zstd_fast(skip)
+
+
+@pytest.mark.skipif(not _HAS_CLI, reason="zstd CLI not installed")
+def test_trained_dictionary_roundtrip(tmp_path):
+    """RFC 8878 §5 structured dictionaries, validated against the
+    reference trainer: entropy tables preload Repeat mode, the three
+    recent offsets seed the history, and the content is a virtual
+    window prefix."""
+    import random as _random
+
+    from articulation_vector_db_api_spark.functions.zstd import (
+        decompress_zstd_fast,
+        parse_zstd_dictionary,
+    )
+
+    _random.seed(13)
+    words = ["alpha", "beta", "gamma", "delta", "request", "response"]
+    samples = []
+    for i in range(120):
+        body = '{"id": %d, "kind": "%s", "payload": "%s"}' % (
+            i,
+            _random.choice(words),
+            " ".join(_random.choice(words) for _ in range(30)),
+        )
+        p = tmp_path / f"s{i}.json"
+        p.write_text(body)
+        samples.append(str(p))
+    dict_path = tmp_path / "trained.dict"
+    r = subprocess.run(
+        ["zstd", "--train", *samples, "-o", str(dict_path),
+         "--maxdict=4096"],
+        capture_output=True,
+    )
+    assert r.returncode == 0, r.stderr
+    blob = dict_path.read_bytes()
+    d = parse_zstd_dictionary(blob)
+    assert d.dict_id != 0 and len(d.content) > 0
+    for i in (0, 7, 63):
+        payload = open(samples[i], "rb").read()
+        for lvl in ("-1", "-19"):
+            comp = subprocess.run(
+                ["zstd", lvl, "-D", str(dict_path), "-c"],
+                input=payload, capture_output=True,
+            ).stdout
+            assert decompress_zstd(comp, dictionary=d) == payload
+            # bytes accepted directly; fast path routes to reference
+            assert decompress_zstd(comp, dictionary=blob) == payload
+            assert decompress_zstd_fast(comp, dictionary=d) == payload
+    # the frame names the dictionary it needs
+    comp = subprocess.run(
+        ["zstd", "-3", "-D", str(dict_path), "-c"],
+        input=b"payload", capture_output=True,
+    ).stdout
+    with pytest.raises(ValueError, match="requires dictionary"):
+        decompress_zstd(comp)
+    # mismatched structured dictionary is rejected by id
+    other = bytearray(blob)
+    other[4] ^= 0xFF  # different dict_id, same tables
+    with pytest.raises(ValueError, match="mismatch"):
+        decompress_zstd(comp, dictionary=bytes(other))
+
+
+@pytest.mark.skipif(not _HAS_CLI, reason="zstd CLI not installed")
+def test_raw_content_dictionary(tmp_path):
+    """A blob without the dictionary magic is a raw-content
+    dictionary (§5 final paragraph): pure window prefix."""
+    raw = b"the quick brown fox jumps over the lazy dog " * 20
+    p = tmp_path / "raw.dict"
+    p.write_bytes(raw)
+    payload = b"the quick brown fox jumps over the lazy dog AND MORE"
+    comp = subprocess.run(
+        ["zstd", "-19", "-D", str(p), "-c"],
+        input=payload, capture_output=True,
+    ).stdout
+    assert decompress_zstd(comp, dictionary=raw) == payload
+    # without the dictionary the prefix matches dangle: clear error
+    with pytest.raises(ValueError, match="window|dictionary"):
+        decompress_zstd(comp)

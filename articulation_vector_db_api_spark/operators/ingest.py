@@ -158,6 +158,33 @@ def _extract_one(path: str, content: bytes) -> tuple[str | None, str | None]:
             from ..functions.rtftext import extract_rtf_text
 
             return extract_rtf_text(bytes(content)), None
+        if low.endswith((".jsonl", ".ndjson")):
+            # JSON-lines corpora (r15): the record shape of Dolma /
+            # RedPajama / SlimPajama-class datasets. Extract the text
+            # field per record ("text", or RedPajama's "raw_content",
+            # or "content"), one record per paragraph — raw decode
+            # would ingest JSON syntax as document text.
+            import json
+
+            docs: list[str] = []
+            for ln in bytes(content).decode("utf-8").splitlines():
+                if not ln.strip():
+                    continue
+                rec = json.loads(ln)
+                if not isinstance(rec, dict):
+                    raise ValueError(
+                        "JSONL record is not an object"
+                    )
+                for field in ("text", "raw_content", "content"):
+                    if isinstance(rec.get(field), str):
+                        docs.append(rec[field])
+                        break
+                else:
+                    raise ValueError(
+                        "JSONL record has no text/raw_content/"
+                        "content field"
+                    )
+            return "\n\n".join(docs), None
         if low.endswith((".eml", ".mbox")):
             # mail corpora (r14): RFC 5322 / mboxrd via stdlib email
             from ..functions.mailtext import (

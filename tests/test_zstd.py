@@ -358,3 +358,36 @@ def test_raw_content_dictionary(tmp_path):
     # without the dictionary the prefix matches dangle: clear error
     with pytest.raises(ValueError, match="window|dictionary"):
         decompress_zstd(comp)
+
+
+def test_jsonl_zst_dispatch_extracts_text_fields():
+    """The full Dolma-shape path: .jsonl.zst -> decompress -> JSONL
+    record text extraction (one record per paragraph; 'text',
+    RedPajama's 'raw_content', and 'content' fields recognized) —
+    raw decode would ingest JSON syntax as document text."""
+    import json
+
+    from articulation_vector_db_api_spark.operators.ingest import (
+        _extract_one,
+    )
+
+    recs = [
+        {"id": 1, "text": "first document body", "meta": {"x": 1}},
+        {"id": 2, "raw_content": "second via raw_content"},
+        {"id": 3, "content": "third via content"},
+    ]
+    jsonl = "\n".join(json.dumps(r) for r in recs).encode()
+    got, err = _extract_one("shard.jsonl.zst", _ref_compress(jsonl))
+    assert err is None
+    assert got == (
+        "first document body\n\nsecond via raw_content\n\n"
+        "third via content"
+    )
+    assert "{" not in got  # no JSON syntax leaked
+    # a record without any text field is an error row, not raw text
+    bad = json.dumps({"id": 4, "nothing": True}).encode()
+    got2, err2 = _extract_one("shard.jsonl.zst", _ref_compress(bad))
+    assert got2 is None and "no text" in err2
+    # plain .jsonl (uncompressed) takes the same path
+    got3, err3 = _extract_one("shard.jsonl", jsonl)
+    assert err3 is None and got3 == got

@@ -218,3 +218,33 @@ def test_reference_corpus_tier2_scope():
     ]
     assert "Wheeling Jesuit University" in jes
     assert len(jes) > 20000
+
+
+def test_incremental_update_newest_object_wins():
+    """Incrementally-updated PDFs append redefined objects at the end
+    (ISO 32000-1 §7.5.6); the brute scan must honor update order —
+    the LAST definition of (num, gen) wins, so tier 2 extracts the
+    updated content, not the original."""
+    from articulation_vector_db_api_spark.functions import pdftext as P
+
+    base = build_type0_pdf(["original text before update"])
+    # append an incremental update: a new content stream object (the
+    # witness stores content as object 4) pointing at updated CIDs is
+    # complex — update the ToUnicode CMap instead: remap every CID to
+    # 'Z' by appending a redefined object 7 (the CMap stream)
+    cmap = (
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"1 beginbfrange <0101> <01FF> [" +
+        b" ".join(b"<005A>" for _ in range(0xFF)) + b"]\nendbfrange\n"
+    )
+    z = zlib.compress(cmap)
+    update = (
+        b"\n7 0 obj\n<< /Length " + str(len(z)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + z
+        + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    got = extract_pdf_text(base + update)
+    # every non-space character now decodes to Z via the UPDATED CMap
+    assert set(got.replace(" ", "")) == {"Z"}
+    # sanity: without the update the original text extracts
+    assert extract_pdf_text(base) == "original text before update"

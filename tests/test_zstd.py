@@ -391,3 +391,51 @@ def test_jsonl_zst_dispatch_extracts_text_fields():
     # plain .jsonl (uncompressed) takes the same path
     got3, err3 = _extract_one("shard.jsonl", jsonl)
     assert err3 is None and got3 == got
+
+
+def test_end_to_end_dolma_shard_ingest(spark, tmp_path):
+    """Integration: a directory of .jsonl.zst shards (the Dolma/
+    RedPajama distribution shape) through the REAL ingest pipeline —
+    binaryFile scan -> zstd decompress -> JSONL text extraction ->
+    chunk -> embed -> partitioned table -> search."""
+    import json
+
+    from articulation_vector_db_api_spark.operators.ingest import (
+        ingest_corpus,
+    )
+    from articulation_vector_db_api_spark.operators.search import (
+        topk_search_indexed,
+    )
+
+    corpus = tmp_path / "shards"
+    corpus.mkdir()
+    for s in range(3):
+        recs = [
+            {
+                "id": f"{s}-{i}",
+                "text": (
+                    f"shard {s} document {i}: the articulated corpus "
+                    "pipeline ingests compressed shards end to end. "
+                ) * 8,
+                "meta": {"source": "witness"},
+            }
+            for i in range(4)
+        ]
+        jsonl = "\n".join(json.dumps(r) for r in recs).encode()
+        (corpus / f"shard-{s:04d}.jsonl.zst").write_bytes(
+            _ref_compress(jsonl)
+        )
+    # one corrupt shard must isolate, not fail the batch
+    (corpus / "shard-bad.jsonl.zst").write_bytes(b"\x28\xb5\x2f\xfdxx")
+
+    table = str(tmp_path / "chunks")
+    result = ingest_corpus(spark, str(corpus), table, "*.jsonl.zst")
+    assert result["files_processed"] == 3
+    assert result["files_failed"] == 1
+    assert result["ingested_count"] > 0
+
+    rows = topk_search_indexed(
+        spark, table, "compressed shards pipeline", 3
+    ).collect()
+    assert len(rows) == 3
+    assert all("shard" in r.text for r in rows)

@@ -651,7 +651,9 @@ def _extract_structured(data: bytes) -> str | None:
     return "\n".join(lines)
 
 
-def build_type0_pdf(paragraphs: list[str]) -> bytes:
+def build_type0_pdf(
+    paragraphs: list[str], to_unicode: bool = True
+) -> bytes:
     """Witness builder: a minimal MODERN digital-born PDF — Identity-H
     Type0 font with a ToUnicode CMap (bfchar + bfrange incl. a
     multi-char ligature and non-BMP surrogate pairs), the catalog /
@@ -699,7 +701,7 @@ def build_type0_pdf(paragraphs: list[str]) -> bytes:
             b"/Contents 4 0 R >>"),
         (5, b"<< /Type /Font /Subtype /Type0 /BaseFont /Witness "
             b"/Encoding /Identity-H /DescendantFonts [6 0 R] "
-            b"/ToUnicode 7 0 R >>"),
+            + (b"/ToUnicode 7 0 R " if to_unicode else b"") + b">>"),
         (6, b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Witness "
             b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
             b"/Supplement 0 >> >>"),

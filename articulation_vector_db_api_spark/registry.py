@@ -320,6 +320,8 @@ _WINDOW_DEFER: frozenset[str] = frozenset(
     {
         "scan_zstd_jsonl",  # r15: parity-proven at sf0.001/0.01/0.1
         # before registration (RFC 8878 from-scratch decoder)
+        "ingest_pdf_type0_extract",  # r15: same proof (Type0 CMap
+        # tier through the ingest dispatch)
     }
 )
 

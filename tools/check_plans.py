@@ -86,6 +86,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas"],
         [r"BatchEvalPython"],
     ),
+    "ingest_pdf_type0_extract": (
+        # r15: Type0 PDF build+extract rides the Arrow map over the
+        # (doc_id, text) projection
+        [r"MapInPandas"],
+        [r"BatchEvalPython"],
+    ),
     "scan_zstd_jsonl": (
         # r15: RFC 8878 decode rides the same Arrow map over the
         # (doc_id, text) projection — no pickled eval, no shuffle of

@@ -439,3 +439,68 @@ def test_end_to_end_dolma_shard_ingest(spark, tmp_path):
     ).collect()
     assert len(rows) == 3
     assert all("shard" in r.text for r in rows)
+
+
+@pytest.mark.skipif(not _HAS_CLI, reason="zstd CLI not installed")
+def test_fuzz_contract_dictionary(tmp_path):
+    """Mutations of a trained dictionary (and of a dictionary frame
+    decoded WITH that dictionary) keep the ValueError-only contract."""
+    import random as _random
+
+    from articulation_vector_db_api_spark.functions.zstd import (
+        parse_zstd_dictionary,
+    )
+
+    _random.seed(21)
+    samples = []
+    for i in range(80):
+        p = tmp_path / f"s{i}.txt"
+        p.write_text(
+            " ".join(
+                _random.choice(["status", "zstd", "request", "frame"])
+                for _ in range(40)
+            )
+        )
+        samples.append(str(p))
+    dict_path = tmp_path / "d.dict"
+    r = subprocess.run(
+        ["zstd", "--train", *samples, "-o", str(dict_path),
+         "--maxdict=2048"],
+        capture_output=True,
+    )
+    assert r.returncode == 0, r.stderr
+    blob = dict_path.read_bytes()
+    payload = open(samples[0], "rb").read()
+    frame = subprocess.run(
+        ["zstd", "-3", "-D", str(dict_path), "-c"],
+        input=payload, capture_output=True,
+    ).stdout
+    good_dict = parse_zstd_dictionary(blob)
+    leaks = []
+    for k in range(200):
+        h = hashlib.sha256(f"zdict:{k}".encode()).digest()
+        target = blob if k % 2 == 0 else frame
+        pos = int.from_bytes(h[:4], "big") % len(target)
+        m = bytearray(target)
+        kind = h[4] % 4
+        if kind == 0:
+            m[pos] ^= h[5] or 1
+        elif kind == 1:
+            m = m[:pos]
+        elif kind == 2:
+            m[pos:pos] = h[5 : 5 + (h[6] % 8) + 1]
+        else:
+            m[pos : pos + 4] = h[5:9]
+        try:
+            if k % 2 == 0:
+                d = parse_zstd_dictionary(bytes(m))
+                decompress_zstd(frame, max_output=1 << 22, dictionary=d)
+            else:
+                decompress_zstd(
+                    bytes(m), max_output=1 << 22, dictionary=good_dict
+                )
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as exc:  # noqa: BLE001
+            leaks.append((k, type(exc).__name__, str(exc)[:60]))
+    assert not leaks, f"dictionary contract leaks: {leaks[:5]}"

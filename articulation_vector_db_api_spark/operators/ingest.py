@@ -58,10 +58,10 @@ def _extract_one(path: str, content: bytes) -> tuple[str | None, str | None]:
     try/except (main.py:291-296)."""
     try:
         low0 = path.lower()
-        if low0.endswith((".7z", ".rar")):
+        if low0.endswith(".rar"):
             raise NotImplementedError(
-                "archive codec not in the stdlib (7z/rar) — repack "
-                "as tar/zip"
+                "rar archives (proprietary format, no stdlib or "
+                "from-scratch codec) — repack as tar/zip/7z"
             )
         if low0.endswith((".zst", ".zstd")) and not low0.endswith(
             (".tar.zst", ".tar.zstd")
@@ -338,7 +338,7 @@ ARCHIVE_SCHEMA = T.StructType(
 
 _ARCHIVE_EXTS = (
     ".tar", ".tar.gz", ".tgz", ".tar.bz2", ".tar.xz", ".txz", ".zip",
-    ".tar.zst", ".tar.zstd",
+    ".tar.zst", ".tar.zstd", ".7z",
 )
 _MAX_MEMBER = 1 << 28  # 256 MB per member: decompression-bomb guard
 
@@ -355,7 +355,15 @@ def _explode_one(path: str, content: bytes) -> list[tuple]:
     low = path.lower()
     try:
         rows: list[tuple] = []
-        if low.endswith(".zip"):
+        if low.endswith(".7z"):
+            # 7-Zip archives (r15): from-scratch container parsing
+            # (functions/sevenzip.py) with stdlib codecs; the member
+            # bound rides through parse_7z's bomb guard
+            from ..functions.sevenzip import parse_7z
+
+            for name, blob in parse_7z(content, _MAX_MEMBER):
+                rows.append((path, name, blob, None))
+        elif low.endswith(".zip"):
             with zipfile.ZipFile(io.BytesIO(content)) as z:
                 for info in z.infolist():
                     if info.is_dir():

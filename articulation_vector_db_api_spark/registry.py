@@ -322,6 +322,8 @@ _WINDOW_DEFER: frozenset[str] = frozenset(
         # before registration (RFC 8878 from-scratch decoder)
         "ingest_pdf_type0_extract",  # r15: same proof (Type0 CMap
         # tier through the ingest dispatch)
+        "ingest_sevenz_explode",  # r15: same proof (7z container
+        # from scratch, stdlib codecs, libarchive cross-validated)
     }
 )
 

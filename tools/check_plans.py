@@ -86,6 +86,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas"],
         [r"BatchEvalPython"],
     ),
+    "ingest_sevenz_explode": (
+        [r"MapInPandas"],
+        [r"BatchEvalPython"],
+    ),
     "ingest_pdf_type0_extract": (
         # r15: Type0 PDF build+extract rides the Arrow map over the
         # (doc_id, text) projection

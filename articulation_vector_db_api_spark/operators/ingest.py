@@ -63,6 +63,14 @@ def _extract_one(path: str, content: bytes) -> tuple[str | None, str | None]:
                 "rar archives (proprietary format, no stdlib or "
                 "from-scratch codec) — repack as tar/zip/7z"
             )
+        if low0.endswith((".7z", ".tar", ".zip")):
+            # archives are multi-document containers: they explode at
+            # the explode_archives tier, one row per member — a named
+            # error beats a misleading utf-8 decode failure here
+            raise ValueError(
+                "archive at the document tier — route the corpus "
+                "through explode_archives for per-member rows"
+            )
         if low0.endswith((".zst", ".zstd")) and not low0.endswith(
             (".tar.zst", ".tar.zstd")
         ):

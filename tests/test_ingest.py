@@ -202,9 +202,13 @@ def test_single_file_compression_dispatch():
     # tarballs still route to the archive path, not here
     text, err = _extract_one("d.tar.gz", gzip.compress(b"not a tar"))
     assert text is None and err  # archives aren't single-doc text
-    # named gate for stdlib-less codecs
+    # archives at the document tier get a NAMED routing error (7z is
+    # a supported CONTAINER as of r15 — it explodes per member at the
+    # explode_archives tier, not here); rar stays an honest codec gate
     text, err = _extract_one("e.7z", b"7z\xbc\xaf\x27\x1c")
-    assert text is None and "NotImplementedError" in err and "7z" in err
+    assert text is None and "explode_archives" in err
+    text, err = _extract_one("e.rar", b"Rar!\x1a\x07\x00")
+    assert text is None and "NotImplementedError" in err
     # bomb guard: 300 MB of zeros compresses to ~300 KB
     bomb = gzip.compress(b"\0" * (300 << 20), compresslevel=9)
     text, err = _extract_one("f.txt.gz", bomb)

@@ -396,7 +396,13 @@ def _scan_objects(data: bytes) -> dict:
                         continue
                     stream = data[j:e].rstrip(b"\r\n")
         objs[(num, gen)] = (val, stream)
-    # expand object streams (compressed non-stream objects)
+    # expand object streams (compressed non-stream objects).
+    # Collision policy without an xref (r15 review, r16 candidate
+    # seam closed early): top-level definitions always outrank
+    # ObjStm members (an incremental update appends PLAIN objects
+    # that must override the originals), while between two ObjStms
+    # the LATER one wins (file order = update order).
+    top_level = set(objs)
     for (num, gen), (val, stream) in list(objs.items()):
         if not (isinstance(val, dict) and str(val.get("Type")) == "ObjStm"):
             continue
@@ -413,7 +419,8 @@ def _scan_objects(data: bytes) -> dict:
                 onum = int(head[2 * k])
                 ooff = int(head[2 * k + 1])
                 inner = _ObjParser(body, first + ooff).parse()
-                objs.setdefault((onum, 0), (inner, None))
+                if (onum, 0) not in top_level:
+                    objs[(onum, 0)] = (inner, None)
         except (ValueError, KeyError, IndexError):
             continue
     return objs

@@ -248,3 +248,30 @@ def test_incremental_update_newest_object_wins():
     assert set(got.replace(" ", "")) == {"Z"}
     # sanity: without the update the original text extracts
     assert extract_pdf_text(base) == "original text before update"
+
+
+def test_objstm_collision_policy():
+    """Without an xref the collision policy is: top-level definitions
+    outrank ObjStm members; between ObjStms the later wins (file
+    order = update order) — r16 candidate seam closed at r15."""
+    from articulation_vector_db_api_spark.functions import pdftext as P
+
+    base = build_type0_pdf(["collision witness"])
+    # an incremental update appending a SECOND ObjStm that redefines
+    # the catalog (object 1): the later ObjStm must win over the
+    # first, while plain (top-level) objects still outrank both
+    import zlib as _z
+
+    inner = b"<< /Type /Catalog /Pages 2 0 R /Version /1.7 >>\n"
+    head = b"1 0\n"
+    blob = _z.compress(head + inner)
+    update = (
+        b"\n20 0 obj\n<< /Type /ObjStm /N 1 /First %d /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n" % (len(head), len(blob))
+        + blob + b"\nendstream\nendobj\n"
+    )
+    objs = P._scan_objects(base + update)
+    cat = objs[(1, 0)][0]
+    assert str(cat.get("Version")) == "1.7"  # later ObjStm won
+    # extraction still works end to end on the updated file
+    assert extract_pdf_text(base + update) == "collision witness"

@@ -167,10 +167,17 @@ def _extract_from_zip(z: zipfile.ZipFile) -> str:
         except KeyError:
             enc = b""
         if enc:
+            from urllib.parse import unquote
+
             eroot = _parse_xml(enc, "encryption.xml")
             for el in eroot.iter():
                 if _local(el.tag) == "CipherReference" and el.get("URI"):
-                    encrypted.add(posixpath.normpath(el.get("URI")))
+                    # URIs are percent-encoded; zip paths are not —
+                    # without unquote an encrypted 'my chapter.xhtml'
+                    # evades the gate (r15 review)
+                    encrypted.add(
+                        posixpath.normpath(unquote(el.get("URI")))
+                    )
         chapters: list[str] = []
         for idref in spine:
             href = hrefs.get(idref)

@@ -46,9 +46,13 @@ _FROM_LINE = re.compile(rb"^From ", re.M)
 # the blank-line-before rule disambiguates.
 _FROM_SEP = re.compile(
     # no ^ anchor: matched via .match(b, pos) where pos is already a
-    # line start ("^" would only match at pos 0 without re.M)
+    # line start ("^" would only match at pos 0 without re.M).
+    # An optional timezone token between time and year covers the
+    # Solaris mailx / old-BSD variant "... 12:04:27 PDT 2001"
+    # (r15 review).
     rb"From \S+ +"
-    rb"(?:\w{3} )?\w{3} [ \d]?\d [ \d]?\d:\d{2}(?::\d{2})? \d{4}",
+    rb"(?:\w{3} )?\w{3} [ \d]?\d [ \d]?\d:\d{2}(?::\d{2})?"
+    rb"(?: [A-Za-z]{1,5}| [+-]\d{4})? \d{4}",
 )
 _QUOTED_FROM = re.compile(r"^(>*)From ", re.M)
 

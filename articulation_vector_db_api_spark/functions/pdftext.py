@@ -593,6 +593,11 @@ def _extract_structured(data: bytes) -> str | None:
     """Tier 2: full object-graph walk. Returns None (fall back to the
     legacy scrape) when the document has no composite fonts or the
     structure cannot be walked."""
+    # cheap pre-filter (r15 review): a Type0 font requires either the
+    # literal name in plain bytes or an ObjStm to hide inside — a
+    # simple-font corpus skips the full object-graph scan entirely
+    if b"Type0" not in data and b"ObjStm" not in data:
+        return None
     objs = _scan_objects(data)
     if not objs:
         return None
@@ -615,6 +620,15 @@ def _extract_structured(data: bytes) -> str | None:
         res = _resolve(page.get("Resources"), objs)
         fonts = _build_fonts(res, objs)
         contents = page.get("Contents")
+        if isinstance(contents, _Ref):
+            # /Contents may be an indirect ref to an ARRAY of stream
+            # refs (legal, r15 review) — resolve one level; a ref to
+            # a stream keeps the ref so the stream bytes stay reachable
+            resolved = objs.get(
+                (contents.num, contents.gen), (None, None)
+            )[0]
+            if isinstance(resolved, list):
+                contents = resolved
         crefs = (
             contents if isinstance(contents, list) else [contents]
         )

@@ -150,6 +150,11 @@ class _Folder:
     def output_size(self) -> int:
         """The folder's final output = the out-stream no bind pair
         consumes."""
+        total_out = sum(c.nout for c in self.coders)
+        if len(self.unpack_sizes) != total_out:
+            raise ValueError(
+                "7z folder unpack sizes missing or mismatched"
+            )
         bound = {out for _in, out in self.bind_pairs}
         at = 0
         for ci, c in enumerate(self.coders):
@@ -188,14 +193,18 @@ def _decode_coder(coder: _Coder, data: bytes, out_size: int) -> bytes:
         except lzma.LZMAError as exc:
             raise ValueError(f"7z LZMA1 stream corrupt: {exc}") from exc
     if cid == b"\x21":  # LZMA2
+        # props byte p -> dictionary size (LZMA2 spec):
+        # p==40 -> 4 GiB-1, else (2 | (p & 1)) << (p // 2 + 11)
+        p = coder.props[0] & 0x3F if coder.props else 24
+        if p > 40:
+            raise ValueError("7z LZMA2 dictionary property out of range")
         dict_size = (
-            int.from_bytes(coder.props[:1], "little")
-            if coder.props else 24
+            0xFFFFFFFF if p == 40 else (2 | (p & 1)) << (p // 2 + 11)
         )
         dec = lzma.LZMADecompressor(
             format=lzma.FORMAT_RAW,
             filters=[{"id": lzma.FILTER_LZMA2,
-                      "dict_size": 1 << 24}],
+                      "dict_size": max(1 << 12, min(dict_size, 1 << 30))}],
         )
         try:
             return dec.decompress(data, out_size)
@@ -203,7 +212,9 @@ def _decode_coder(coder: _Coder, data: bytes, out_size: int) -> bytes:
             raise ValueError(f"7z LZMA2 stream corrupt: {exc}") from exc
     if cid == b"\x04\x02\x02":  # BZip2
         try:
-            return bz2.decompress(data)[:out_size]
+            # max_length caps materialization — bz2.decompress would
+            # inflate a bomb fully before the size check (r15 review)
+            return bz2.BZ2Decompressor().decompress(data, out_size)
         except (OSError, ValueError) as exc:
             raise ValueError(f"7z BZip2 stream corrupt: {exc}") from exc
     if cid == b"\x04\x01\x08":  # Deflate

@@ -130,9 +130,18 @@ def _cue_text(p: ET.Element, space: str = "default") -> str:
             add(child.tail, mode)
 
     walk(p, space)
+    # merge CONSECUTIVE default-mode parts before collapsing: 'foo '
+    # + '\\n bar' must become 'foo bar', not 'foo  bar' — whitespace
+    # runs cross node boundaries in XML (r15 review)
+    merged: list[tuple[str, str]] = []
+    for t, m in parts:
+        if merged and m != "preserve" and merged[-1][1] != "preserve":
+            merged[-1] = (merged[-1][0] + t, m)
+        else:
+            merged.append((t, m))
     out = "".join(
         t if m == "preserve" else _WS_RUN.sub(" ", t)
-        for t, m in parts
+        for t, m in merged
     )
     if space != "preserve":
         out = re.sub(r" ?\x00 ?", "\x00", out).strip()

@@ -349,6 +349,7 @@ _ARCHIVE_EXTS = (
     ".tar.zst", ".tar.zstd", ".7z",
 )
 _MAX_MEMBER = 1 << 28  # 256 MB per member: decompression-bomb guard
+_MAX_ARCHIVE = 1 << 30  # 1 GB whole-archive cap (.tar.zst pre-decode)
 
 
 def _explode_one(path: str, content: bytes) -> list[tuple]:
@@ -386,10 +387,17 @@ def _explode_one(path: str, content: bytes) -> list[tuple]:
         elif low.endswith(_ARCHIVE_EXTS):
             if low.endswith((".tar.zst", ".tar.zstd")):
                 # tarfile has no zstd mode pre-3.14: decode the frame
-                # first (from-scratch RFC 8878, functions/zstd.py)
+                # first (functions/zstd.py fast path). The bound here
+                # covers the WHOLE tarball, so it is the archive cap,
+                # not the per-member cap — a multi-member archive
+                # larger than one member's limit is legitimate
+                # (r15 review; members are still bounded individually
+                # in the walk below)
                 from ..functions.zstd import decompress_zstd_fast
 
-                content = decompress_zstd_fast(bytes(content), _MAX_MEMBER)
+                content = decompress_zstd_fast(
+                    bytes(content), _MAX_ARCHIVE
+                )
                 mode = "r:"
             else:
                 mode = (

@@ -511,15 +511,21 @@ def main() -> None:
     # fully-annotated line crossed that and the driver recorded
     # parsed=null (r14 diagnosis). Print a compact line that always
     # fits and write the full payload to BENCH_DETAIL.json beside it.
-    # carry forward annotation keys earlier analysis wrote into the
-    # detail file (e.g. drift-verdict records) — a bench rerun must
-    # not erase them
+    # carry forward ANNOTATION keys earlier analysis wrote into the
+    # detail file (drift-verdict records and the like) — a bench
+    # rerun must not erase them. Only keys matching the annotation
+    # shape are carried: blanket setdefault would resurrect STALE
+    # measured metrics (serving_concurrent, common_subset_vs_prev)
+    # whenever the current run failed to produce them (r15 review).
     detail_path = os.path.join(_HERE, "BENCH_DETAIL.json")
     try:
+        import re as _re
+
         with open(detail_path) as f:
             prev_detail = json.load(f)
         for k, v in prev_detail.items():
-            payload.setdefault(k, v)
+            if _re.search(r"(_verdicts|_notes|^annotations?)$", k):
+                payload.setdefault(k, v)
     except (OSError, ValueError):
         pass
     with open(detail_path, "w") as f:

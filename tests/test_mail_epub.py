@@ -383,3 +383,65 @@ def test_archive_zip64_and_long_tar_names():
     assert rows[0][1] == "big.txt"
     assert rows[0][2] == b"zip64 member payload"
     assert rows[0][3] is None
+
+
+def test_mbox_timezone_separator_variant():
+    """r15 code-review: Solaris mailx / old-BSD archives put a
+    timezone between time and year in the From_ line."""
+    m1 = build_eml("tz one", "body a").decode().rstrip("\n")
+    m2 = build_eml("tz two", "body b").decode().rstrip("\n")
+    mb = (
+        f"From mark Mon Sep 17 12:04:27 PDT 2001\n{m1}\n\n"
+        f"From sue Tue Sep 18 01:02:03 +0530 2001\n{m2}\n"
+    ).encode()
+    msgs = split_mbox(mb)
+    assert len(msgs) == 2
+    assert extract_eml(msgs[0])["subject"] == "tz one"
+    assert extract_eml(msgs[1])["subject"] == "tz two"
+
+
+def test_epub_drm_gate_percent_encoded_uri():
+    """r15 code-review: encryption.xml URIs are percent-encoded;
+    the DRM gate must unquote before matching zip paths."""
+    import io
+    import zipfile
+
+    from articulation_vector_db_api_spark.functions.epub import (
+        _CONTAINER_NS,
+        _OPF_NS,
+        _XHTML_NS,
+        extract_epub_text,
+    )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype", "application/epub+zip")
+        z.writestr(
+            "META-INF/container.xml",
+            f'<container xmlns="{_CONTAINER_NS}"><rootfiles>'
+            '<rootfile full-path="OEBPS/content.opf" '
+            'media-type="application/oebps-package+xml"/>'
+            "</rootfiles></container>",
+        )
+        z.writestr(
+            "OEBPS/content.opf",
+            f'<package xmlns="{_OPF_NS}" version="2.0"><manifest>'
+            '<item id="c0" href="my chapter.xhtml" '
+            'media-type="application/xhtml+xml"/></manifest>'
+            '<spine><itemref idref="c0"/></spine></package>',
+        )
+        z.writestr(
+            "META-INF/encryption.xml",
+            '<encryption xmlns="urn:oasis:names:tc:opendocument:'
+            'xmlns:container"><EncryptedData xmlns='
+            '"http://www.w3.org/2001/04/xmlenc#"><CipherData>'
+            '<CipherReference URI="OEBPS/my%20chapter.xhtml"/>'
+            "</CipherData></EncryptedData></encryption>",
+        )
+        z.writestr(
+            "OEBPS/my chapter.xhtml",
+            f'<html xmlns="{_XHTML_NS}"><body>'
+            "<p>ciphertext stand-in</p></body></html>",
+        )
+    with pytest.raises(ValueError, match="DRM"):
+        extract_epub_text(buf.getvalue())

@@ -275,3 +275,38 @@ def test_objstm_collision_policy():
     assert str(cat.get("Version")) == "1.7"  # later ObjStm won
     # extraction still works end to end on the updated file
     assert extract_pdf_text(base + update) == "collision witness"
+
+
+def test_contents_indirect_ref_to_array():
+    """r15 code-review: /Contents may be an indirect ref to an ARRAY
+    of stream refs — previously tier 2 silently lost all page text
+    (and suppressed the tier-1 fallback with a non-None '')."""
+    from articulation_vector_db_api_spark.functions import pdftext as P
+
+    base = build_type0_pdf(["indirection witness"])
+    page_src = (
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R "
+        b"/MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> "
+        b"/Contents 10 0 R >>\nendobj\n"
+    )
+    arr = b"10 0 obj\n[4 0 R]\nendobj\n"
+    assert (
+        P.extract_pdf_text(base + b"\n" + page_src + arr)
+        == "indirection witness"
+    )
+
+
+def test_simple_font_prefilter_skips_scan():
+    """r15 code-review: documents that cannot carry a Type0 font
+    (no 'Type0' and no 'ObjStm' bytes) skip the object-graph scan
+    entirely — tier 2 declines without parsing."""
+    from articulation_vector_db_api_spark.functions import pdftext as P
+
+    content = zlib.compress(b"BT (quick) Tj ET")
+    pdf = (
+        b"%PDF-1.4\n4 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + content
+        + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert P._extract_structured(pdf) is None

@@ -194,3 +194,43 @@ def test_os_error_never_escapes():
     for blob in (b"", b"7z", os.urandom(64), b"7z\xbc\xaf\x27\x1c"):
         with pytest.raises(ValueError):
             parse_7z(blob)
+
+
+def test_review_fixes_bzip2_bomb_and_lzma2_dict():
+    """r15 code-review: (a) the BZip2 coder must cap materialization
+    at out_size (a bomb inflates fully under bz2.decompress); (b) the
+    LZMA2 dict-size property byte must be translated, not hardcoded
+    to 16 MiB (large-dictionary archives failed to decode)."""
+    import bz2 as _bz2
+    import lzma as _lzma
+
+    # (a) 10 MB of zeros -> ~50 bytes compressed; ask for 64 bytes
+    bomb = _bz2.compress(b"\0" * (10 << 20))
+    got = _decode_coder(_Coder(b"\x04\x02\x02", 1, 1, b""), bomb, 64)
+    assert got == b"\0" * 64  # capped, not 10 MB materialized
+    # (b) LZMA2 with a 64 MiB dictionary and a long-range match
+    payload = (b"A" * (17 << 20)) + b"UNIQUE" + (b"A" * 100) + b"UNIQUE"
+    comp = _lzma.compress(
+        payload, format=_lzma.FORMAT_RAW,
+        filters=[{"id": _lzma.FILTER_LZMA2, "dict_size": 1 << 26}],
+    )
+    # props byte for 64 MiB: (2|(p&1)) << (p//2+11) == 1<<26 -> p=28
+    p = 28
+    assert (2 | (p & 1)) << (p // 2 + 11) == 1 << 26
+    got2 = _decode_coder(
+        _Coder(b"\x21", 1, 1, bytes([p])), comp, len(payload)
+    )
+    assert got2 == payload
+
+
+def test_review_fix_missing_unpack_sizes_is_valueerror():
+    """r15 code-review: a header whose UnpackInfo lacks kSize must
+    raise ValueError, not IndexError."""
+    from articulation_vector_db_api_spark.functions.sevenzip import (
+        _Folder,
+    )
+
+    f = _Folder()
+    f.coders.append(_Coder(b"\x00", 1, 1, b""))
+    with pytest.raises(ValueError, match="unpack sizes"):
+        f.output_size()

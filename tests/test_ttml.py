@@ -172,3 +172,14 @@ def test_xml_space_handling():
     assert texts[1] == "  keep   this  "
     assert texts[2] == " inherited "
     assert texts[3] == "mixed  raw  run  tail"
+
+
+def test_whitespace_collapses_across_nodes():
+    """r15 code-review: whitespace runs cross XML node boundaries —
+    'foo ' + '\\n bar' from adjacent nodes must collapse to one
+    space."""
+    doc = """<tt xmlns="http://www.w3.org/ns/ttml"><body><div>
+    <p begin="0s" end="1s">foo <span>
+    bar</span> baz <span>qux</span>  <span>quux</span></p>
+    </div></body></tt>"""
+    assert parse_ttml(doc)[0]["text"] == "foo bar baz qux quux"

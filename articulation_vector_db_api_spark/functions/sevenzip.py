@@ -458,7 +458,7 @@ def _parse_streams_info(r: _Reader) -> tuple[int, list[int], list[_Folder]]:
 
 
 def _parse_header(
-    r: _Reader, data: bytes
+    r: _Reader, data: bytes, max_member: int = 1 << 62
 ) -> list[tuple[str, bytes]]:
     t = r.byte()
     if t != _K_HEADER:
@@ -476,6 +476,12 @@ def _parse_header(
             break
         if t == _K_MAIN_STREAMS:
             pack_pos, pack_sizes, folders = _parse_streams_info(r)
+            for f in folders:
+                # declared-size bomb guard BEFORE any member decode
+                if f.output_size() > max_member:
+                    raise ValueError(
+                        "7z folder exceeds the member size bound"
+                    )
         elif t == _K_FILES_INFO:
             num_files = r.number()
             if num_files > 1 << 24:
@@ -608,42 +614,7 @@ def parse_7z(data: bytes, max_member: int = 1 << 28) -> list[tuple[str, bytes]]:
         if f.crc is not None and zlib.crc32(real) != f.crc:
             raise ValueError("7z decoded header CRC mismatch")
         r = _Reader(bytes(real))
-    # bomb guard: bound total declared output before decoding members
-    files = _parse_with_bound(r, b, max_member)
-    return files
-
-
-def _parse_with_bound(
-    r: _Reader, data: bytes, max_member: int
-) -> list[tuple[str, bytes]]:
-    # peek the streams info first via a full parse; sizes are checked
-    # inside _parse_header through output_size — enforce the cap by
-    # wrapping folder decode
-    saved = r.i
-    files = None
-    # enforce: re-parse with a guard by monkey-free approach — parse
-    # normally but check declared folder sizes first
-    probe = _Reader(r.d, saved)
-    t = probe.byte()
-    if t != _K_HEADER:
-        raise ValueError(f"7z expected kHeader, got {t:#x}")
-    while True:
-        t = probe.byte()
-        if t == _K_END:
-            break
-        if t == _K_MAIN_STREAMS:
-            _pos, _sizes, folders = _parse_streams_info(probe)
-            for f in folders:
-                if f.output_size() > max_member:
-                    raise ValueError(
-                        "7z folder exceeds the member size bound"
-                    )
-        elif t == _K_FILES_INFO:
-            break  # sizes all checked
-        else:
-            raise ValueError(f"7z Header unknown tag {t:#x}")
-    files = _parse_header(_Reader(r.d, saved), data)
-    return files
+    return _parse_header(r, b, max_member)
 
 
 def _write_number(v: int) -> bytes:

@@ -1,8 +1,9 @@
 """RFC 8878 zstd decoder: round-trips against the REFERENCE encoder
 (pyarrow's bundled libzstd — guaranteed in-container — plus the zstd
 CLI when present), the from-scratch raw-frame witness builder, XXH64
-checksum vectors pinned from the reference encoder's own output, and
-the honest gates (dictionary frames, legacy magics)."""
+checksum vectors pinned from the reference encoder's own output,
+RFC 8878 §5 dictionaries (trained and raw-content), and the honest
+gates (legacy magics)."""
 
 from __future__ import annotations
 

@@ -156,9 +156,16 @@ def learn_bpe_merges(
     versus sequential; the single-process twin
     (learn_bpe_merges_batched_py) replays the identical rule and
     tests/test_bpe.py pins Spark==twin plus batch=1==sequential."""
+    # r16: lazy checkpoints — each round's candidate collect
+    # materializes (and caches) the previous round's merge application
+    # in the SAME job, halving the scheduler round-trips the loop pays
+    # (eager checkpoints ran one extra job per round; the final
+    # round's apply, which nothing reads, now never materializes at
+    # all). Lineage truncation is unchanged — localCheckpoint caches
+    # on first action either way.
     df = vocab.select(
         _explode_chars(F.col("word")).alias("seq"), F.col("n").cast("long")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, str, int]] = []
     while len(merges) < n_merges:
         take = min(batch, n_merges - len(merges))
@@ -209,7 +216,7 @@ def learn_bpe_merges(
             seq = _apply_merge_batch(
                 F.col("seq"), [(l, r) for l, r, _pn in picked]
             )
-        df = df.select(seq.alias("seq"), "n").localCheckpoint()
+        df = df.select(seq.alias("seq"), "n").localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "rank INT, left STRING, right STRING, merged STRING, pair_n BIGINT"
     )

@@ -150,8 +150,19 @@ def quant_table(quality: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+# r16: both table builders are memoized on the (bits, vals) spec —
+# encoders rebuild the standard K.3 tables per image and decoders
+# rebuild per DHT segment, and real corpora carry the same handful of
+# tables everywhere (guide §4.5: heavyweight init once per task)
+_TABLE_CACHE: dict[tuple, dict] = {}
+
+
 def _build_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """symbol -> (code, length), canonical code assignment (T.81 C.2)."""
+    key = ("enc", tuple(bits), tuple(vals))
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     table: dict[int, tuple[int, int]] = {}
     code = 0
     k = 0
@@ -161,11 +172,16 @@ def _build_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int
             code += 1
             k += 1
         code <<= 1
+    _TABLE_CACHE[key] = table
     return table
 
 
 def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     """(length, code) -> symbol — the inverse mapping for the reader."""
+    key = ("dec", tuple(bits), tuple(vals))
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     table: dict[tuple[int, int], int] = {}
     code = 0
     k = 0
@@ -175,7 +191,27 @@ def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int
             code += 1
             k += 1
         code <<= 1
+    _TABLE_CACHE[key] = table
     return table
+
+
+# decode table -> 16-bit-prefix LUT: lut[peeked] = (symbol, length);
+# the table object is kept in the value so its id can't be recycled
+_HUFF_LUTS: dict[int, tuple[dict, list]] = {}
+
+
+def _huff_lut(table: dict[tuple[int, int], int]) -> list:
+    cached = _HUFF_LUTS.get(id(table))
+    if cached is not None and cached[0] is table:
+        return cached[1]
+    lut: list = [None] * (1 << 16)
+    for (length, code), sym in table.items():
+        base = code << (16 - length)
+        entry = (sym, length)
+        for s in range(1 << (16 - length)):
+            lut[base + s] = entry
+    _HUFF_LUTS[id(table)] = (table, lut)
+    return lut
 
 
 class _BitWriter:
@@ -237,10 +273,25 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        # bulk path (r16): one extraction once the accumulator holds n
+        # bits; the per-bit loop remains the exhaustion error path
+        while self.nbits < n:
+            if not self._fill():
+                v = 0
+                for _ in range(n):
+                    v = (v << 1) | self.read_bit()
+                return v
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+    def peek16(self) -> int:
+        """Next 16 bits zero-padded past the segment end (for the
+        Huffman LUT; consuming is the caller's job via ``nbits``)."""
+        while self.nbits < 16 and self._fill():
+            pass
+        if self.nbits >= 16:
+            return (self.acc >> (self.nbits - 16)) & 0xFFFF
+        return (self.acc << (16 - self.nbits)) & 0xFFFF
 
     def align_and_take_marker(self) -> int | None:
         """Drop partial-byte padding and consume the pending marker.
@@ -260,6 +311,12 @@ class _BitReader:
 
 
 def _decode_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    entry = _huff_lut(table)[r.peek16()]
+    if entry is not None and entry[1] <= r.nbits:
+        r.nbits -= entry[1]
+        return entry[0]
+    # slow path: segment ends mid-code or the code is invalid — the
+    # per-bit walk reproduces the original diagnostics exactly
     code = 0
     for length in range(1, 17):
         code = (code << 1) | r.read_bit()
@@ -353,7 +410,9 @@ def _write_block(
     dc_tab: dict[int, tuple[int, int]],
     ac_tab: dict[int, tuple[int, int]],
 ) -> int:
-    diff = int(zz[0]) - pred
+    zz = zz.tolist()  # r16: one bulk conversion; the coefficient loop
+    # below then runs on plain ints (no per-element numpy scalars)
+    diff = zz[0] - pred
     t = _category(diff)
     code, length = dc_tab[t]
     w.write(code, length)
@@ -366,7 +425,7 @@ def _write_block(
             last_nz = i
             break
     for i in range(1, last_nz + 1):
-        v = int(zz[i])
+        v = zz[i]
         if v == 0:
             run += 1
             continue

@@ -238,23 +238,34 @@ class _BitWriter:
 
 
 class _BitReader:
+    """MSB-first reader over an 8-byte-refilled accumulator — O(1)
+    small-int ops per read (r16: replaces the per-bit byte-indexing
+    loop; outputs bit-identical)."""
+
+    __slots__ = ("b", "pos", "_total", "_acc", "_accbits", "_bytepos")
+
     def __init__(self, b: bytes) -> None:
         self.b = b
         self.pos = 0  # bit position
+        self._total = len(b) * 8
+        self._acc = 0
+        self._accbits = 0
+        self._bytepos = 0
 
     def read(self, bits: int) -> int:
         end = self.pos + bits
-        if end > len(self.b) * 8:
+        if end > self._total:
             raise ValueError("truncated MP2 frame payload")
-        v = 0
-        pos = self.pos
-        while bits:
-            byte = self.b[pos >> 3]
-            avail = 8 - (pos & 7)
-            take = min(bits, avail)
-            v = (v << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
-            pos += take
-            bits -= take
+        acc, n = self._acc, self._accbits
+        while n < bits:
+            chunk = self.b[self._bytepos : self._bytepos + 8]
+            acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+            n += 8 * len(chunk)
+            self._bytepos += len(chunk)
+        n -= bits
+        v = acc >> n
+        self._acc = acc & ((1 << n) - 1)
+        self._accbits = n
         self.pos = end
         return v
 
@@ -875,30 +886,49 @@ def decode_mp1(b: bytes) -> tuple[int, int, np.ndarray]:
                     if idx > 62:
                         raise ValueError("forbidden MP1 scalefactor 63")
                     sf[ch, sb] = SCALEFACTORS[idx]
-        code_seq: dict[tuple[int, int], list[int]] = {
-            (ch, sb): []
+        # r16: the 12 sample rounds repeat ONE fixed width pattern
+        # (alloc is frame-constant), so the whole sample section is
+        # decoded with vectorized bit gathers instead of 384+ per-code
+        # reader calls; _dequantize still runs per (ch, sb) on the
+        # same int64 arrays, so the float pipeline is bit-identical
+        fields = [
+            (ch, sb, int(alloc[ch, sb]) + 1)
             for sb in range(_BANDS)
-            for ch in range(channels)
+            for ch in range(channels if sb < bound else 1)
             if alloc[ch, sb]
-        }
-        for _smp in range(12):
-            for sb in range(_BANDS):
-                for ch in range(channels if sb < bound else 1):
-                    a = alloc[ch, sb]
-                    if not a:
-                        continue
-                    c = r.read(int(a) + 1)
-                    if c >= _L1_LEVELS[a]:
-                        raise ValueError("MP1 sample code out of range")
-                    code_seq[(ch, sb)].append(c)
-                    if sb >= bound and channels == 2:
-                        code_seq[(1, sb)].append(c)  # intensity
+        ]
         s = np.zeros((channels, _BANDS, 12), dtype=np.float64)
-        for (ch, sb), cs in code_seq.items():
-            s[ch, sb] = _dequantize(
-                np.asarray(cs, dtype=np.int64),
-                _L1_LEVELS[alloc[ch, sb]],
-            ) * sf[ch, sb]
+        if fields:
+            widths = np.array([w for _, _, w in fields], dtype=np.int64)
+            round_bits = int(widths.sum())
+            base = r.pos
+            if base + 12 * round_bits > len(payload) * 8:
+                raise ValueError("truncated MP2 frame payload")
+            bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))
+            starts = base + np.concatenate(
+                ([0], np.cumsum(widths)[:-1])
+            )
+            codes = np.empty((12, len(fields)), dtype=np.int64)
+            for w in np.unique(widths):
+                sel = np.nonzero(widths == w)[0]
+                pos = (
+                    starts[sel][None, :, None]
+                    + (np.arange(12) * round_bits)[:, None, None]
+                    + np.arange(w)[None, None, :]
+                )
+                weights = 1 << np.arange(w - 1, -1, -1, dtype=np.int64)
+                codes[:, sel] = bits[pos].astype(np.int64) @ weights
+            for j, (ch, sb, _w) in enumerate(fields):
+                nlev = _L1_LEVELS[alloc[ch, sb]]
+                cs = codes[:, j]
+                if int(cs.max()) >= nlev:
+                    raise ValueError("MP1 sample code out of range")
+                s[ch, sb] = _dequantize(cs, nlev) * sf[ch, sb]
+                if sb >= bound and channels == 2:
+                    s[1, sb] = _dequantize(cs, nlev) * sf[1, sb]
+            # reader not advanced past the sample section: the frame
+            # loop re-slices the next frame's payload from byte
+            # offsets, never from this reader
         sub_all.append(s)
         i += f["length"]
     if not sub_all:

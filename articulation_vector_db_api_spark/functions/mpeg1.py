@@ -249,29 +249,89 @@ class _BitWriter:
         return bytes(self.buf)
 
 
+def _vlc_lut(inv: dict[str, object]) -> tuple[list, int]:
+    """Flat prefix-expanded lookup table for a code-string -> symbol
+    VLC dict: lut[peeked_maxlen_bits] = (symbol, code_length) for every
+    prefix of every code, None where no code matches. Built once per
+    table (r16 optimization: replaces the per-bit string-building walk,
+    which profiling showed dominated decode CPU — guide §1.2 step 2)."""
+    maxlen = max(len(c) for c in inv)
+    lut: list = [None] * (1 << maxlen)
+    for code, sym in inv.items():
+        ln = len(code)
+        base = int(code, 2) << (maxlen - ln)
+        entry = (sym, ln)
+        for s in range(1 << (maxlen - ln)):
+            lut[base + s] = entry
+    return lut, maxlen
+
+
+# id(table) -> (table, lut, maxlen); the table reference is kept in the
+# value so the id can never be recycled by a GC'd dict
+_VLC_LUTS: dict[int, tuple[dict, list, int]] = {}
+
+
+def _lut_for(inv: dict[str, object]) -> tuple[list, int]:
+    cached = _VLC_LUTS.get(id(inv))
+    if cached is None or cached[0] is not inv:
+        lut, maxlen = _vlc_lut(inv)
+        _VLC_LUTS[id(inv)] = (inv, lut, maxlen)
+        return lut, maxlen
+    return cached[1], cached[2]
+
+
 class _BitReader:
+    """MSB-first bit reader over an accumulator refilled 8 bytes at a
+    time — every read/peek is O(1) on small ints (the r16 rewrite of
+    the per-bit byte-indexing loop; outputs are bit-identical)."""
+
+    __slots__ = ("b", "pos", "_total", "_acc", "_accbits", "_bytepos")
+
     def __init__(self, b: bytes) -> None:
         self.b = b
         self.pos = 0
+        self._total = len(b) * 8
+        self._acc = 0
+        self._accbits = 0
+        self._bytepos = 0
 
     def read(self, bits: int) -> int:
         end = self.pos + bits
-        if end > len(self.b) * 8:
+        if end > self._total:
             raise ValueError("truncated MPEG-1 stream")
-        v = 0
-        pos = self.pos
-        while bits:
-            byte = self.b[pos >> 3]
-            avail = 8 - (pos & 7)
-            take = min(bits, avail)
-            v = (v << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
-            pos += take
-            bits -= take
+        acc, n = self._acc, self._accbits
+        while n < bits:
+            chunk = self.b[self._bytepos : self._bytepos + 8]
+            acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+            n += 8 * len(chunk)
+            self._bytepos += len(chunk)
+        n -= bits
+        v = acc >> n
+        self._acc = acc & ((1 << n) - 1)
+        self._accbits = n
         self.pos = end
         return v
 
-    def read_vlc(self, inv: dict[str, object], what: str,
-                 maxlen: int) -> object:
+    def peek(self, bits: int) -> int:
+        """Next ``bits`` bits without consuming, zero-padded past the
+        end of the stream (callers must bounds-check code lengths
+        against ``pos``/``_total`` before consuming)."""
+        acc, n, bp = self._acc, self._accbits, self._bytepos
+        blen = len(self.b)
+        while n < bits and bp < blen:
+            chunk = self.b[bp : bp + 8]
+            acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+            n += 8 * len(chunk)
+            bp += len(chunk)
+        self._acc, self._accbits, self._bytepos = acc, n, bp
+        if n >= bits:
+            return acc >> (n - bits)
+        return acc << (bits - n)
+
+    def _read_vlc_slow(self, inv: dict[str, object], what: str,
+                       maxlen: int) -> object:
+        # original per-bit walk, kept for the malformed/truncated error
+        # paths so messages stay byte-for-byte identical
         code = ""
         while len(code) <= maxlen:
             code += "1" if self.read(1) else "0"
@@ -279,9 +339,23 @@ class _BitReader:
                 return inv[code]
         raise ValueError(f"bad MPEG-1 {what} code {code!r}")
 
+    def read_vlc(self, inv: dict[str, object], what: str,
+                 maxlen: int) -> object:
+        lut, lml = _lut_for(inv)
+        entry = lut[self.peek(lml)]
+        if entry is not None and self.pos + entry[1] <= self._total:
+            self.read(entry[1])
+            return entry[0]
+        return self._read_vlc_slow(inv, what, maxlen)
+
     def read_dc_size(self, inv: dict[str, int], maxlen: int = 8) -> int:
         # maxlen 8 covers MPEG-1's Tables B.5a/b; MPEG-2's extended
         # B-12/B-13 ladders reach 10-bit codes (size 11 chroma)
+        lut, lml = _lut_for(inv)
+        entry = lut[self.peek(lml)]
+        if entry is not None and self.pos + entry[1] <= self._total:
+            self.read(entry[1])
+            return entry[0]
         code = ""
         while len(code) <= maxlen:
             code += "1" if self.read(1) else "0"
@@ -291,13 +365,13 @@ class _BitReader:
 
     def rest_is_zero(self) -> bool:
         """True when every remaining bit is zero (slice padding)."""
-        pos, total = self.pos, len(self.b) * 8
-        if pos >= total:
+        if self.pos >= self._total:
             return True
-        first = self.b[pos >> 3] & ((1 << (8 - (pos & 7))) - 1)
-        if first:
+        # invariant: bits [pos, _bytepos*8) are exactly the low
+        # _accbits bits of _acc; bits from _bytepos*8 on are unread
+        if self._acc:
             return False
-        return not any(self.b[(pos >> 3) + 1 :])
+        return not any(self.b[self._bytepos :])
 
 
 # ---------------------------------------------------------------------------
@@ -329,12 +403,18 @@ def _dequant_intra(
     order."""
     rec = np.zeros(64, dtype=np.int64)
     rec[0] = max(-2048, min(2047, int(levels[0]) * 8))
-    for i in range(1, 64):
-        lv = int(levels[i])
-        if lv:
-            rec[ZIGZAG[i]] = _oddify_clamp(
-                _trunc_div(2 * lv * qscale * int(wq[i]), 16)
-            )
+    # vectorized over the (sparse) nonzero AC levels; integer
+    # semantics identical to the scalar _trunc_div/_oddify_clamp pair
+    nz = np.nonzero(levels[1:])[0] + 1
+    if nz.size:
+        lv = levels[nz]
+        v = 2 * lv * qscale * wq[nz]
+        sign = np.sign(v)
+        t = np.abs(v) // 16 * sign  # "/" truncates toward zero
+        even = (t != 0) & (t % 2 == 0)
+        t[even] -= np.sign(t[even])  # mismatch control
+        np.clip(t, -2048, 2047, out=t)
+        rec[ZIGZAG[nz]] = t
     return _C.T @ rec.reshape(8, 8).astype(np.float64) @ _C
 
 
@@ -346,13 +426,16 @@ def _dequant_nonintra(
     collapses to (2·lv+sign)·qscale; a stream-loaded matrix keeps the
     full form."""
     rec = np.zeros(64, dtype=np.int64)
-    for i in range(64):
-        lv = int(levels[i])
-        if lv:
-            sign = 1 if lv > 0 else -1
-            rec[ZIGZAG[i]] = _oddify_clamp(
-                _trunc_div((2 * lv + sign) * qscale * int(wq[i]), 16)
-            )
+    nz = np.nonzero(levels)[0]
+    if nz.size:
+        lv = levels[nz]
+        v = (2 * lv + np.sign(lv)) * qscale * wq[nz]
+        sign = np.sign(v)
+        t = np.abs(v) // 16 * sign  # "/" truncates toward zero
+        even = (t != 0) & (t % 2 == 0)
+        t[even] -= np.sign(t[even])  # mismatch control
+        np.clip(t, -2048, 2047, out=t)
+        rec[ZIGZAG[nz]] = t
     return _C.T @ rec.reshape(8, 8).astype(np.float64) @ _C
 
 
@@ -382,6 +465,35 @@ def _write_escape(w: _BitWriter, run: int, level: int) -> None:
         w.write(level + 256, 8)
 
 
+def _read_escape1(r: _BitReader) -> tuple[int, int]:
+    """MPEG-1 escape payload: 6-bit run + 8/16-bit level (§2.4.3.7)."""
+    run = r.read(6)
+    first = r.read(8)
+    if first == 0:
+        level = r.read(8)
+        if level < 128:
+            raise ValueError("non-canonical MPEG-1 escape level")
+    elif first == 0x80:
+        level = r.read(8) - 256
+        if level > -128 or level == -256:
+            raise ValueError("non-canonical MPEG-1 escape level")
+    else:
+        level = first - 256 if first & 0x80 else first
+        if level == 0:
+            raise ValueError("MPEG-1 escape level of zero")
+    return run, level
+
+
+_AC_ESC = object()  # escape sentinel in the tail LUT
+
+# Table B.5c codes that start '0', leading bit stripped (the tail
+# state after callers consumed the first '0'), plus the escape
+_AC_TAIL_LUT, _AC_TAIL_MAXLEN = _vlc_lut(
+    {c[1:]: rl for c, rl in _AC_TABLE.items() if c[0] == "0"}
+    | {"00001": _AC_ESC}
+)
+
+
 def _read_run_level_tail(
     r: _BitReader, code: str, escape=None
 ) -> tuple[int, int]:
@@ -390,6 +502,19 @@ def _read_run_level_tail(
     Table B.5c prefix tree is shared with MPEG-2's Table B-14; only
     the escape payload differs, so MPEG-2 (functions/mpeg2.py) passes
     its 6+12-bit reader as ``escape``."""
+    if code == "0":  # the only prefix live callers pass — LUT path
+        entry = _AC_TAIL_LUT[r.peek(_AC_TAIL_MAXLEN)]
+        if entry is not None and r.pos + entry[1] <= r._total:
+            sym, ln = entry
+            r.read(ln)
+            if sym is _AC_ESC:
+                return escape(r) if escape is not None else _read_escape1(r)
+            run, level = sym
+            if r.read(1):
+                level = -level
+            return run, level
+        # malformed/truncated stream: the per-bit loop below raises
+        # the original diagnostics
     while code not in _AC_TABLE and code != "000001":
         if len(code) > _AC_MAXLEN:
             raise ValueError(f"invalid MPEG-1 AC code {code!r}")
@@ -397,29 +522,42 @@ def _read_run_level_tail(
     if code == "000001":
         if escape is not None:
             return escape(r)
-        run = r.read(6)
-        first = r.read(8)
-        if first == 0:
-            level = r.read(8)
-            if level < 128:
-                raise ValueError("non-canonical MPEG-1 escape level")
-        elif first == 0x80:
-            level = r.read(8) - 256
-            if level > -128 or level == -256:
-                raise ValueError("non-canonical MPEG-1 escape level")
-        else:
-            level = first - 256 if first & 0x80 else first
-            if level == 0:
-                raise ValueError("MPEG-1 escape level of zero")
-        return run, level
+        return _read_escape1(r)
     run, level = _AC_TABLE[code]
     if r.read(1):
         level = -level
     return run, level
 
 
+_AC_EOB = object()  # EOB sentinel in the fused dct_coeff LUT
+
+
+def _dct_next_lut() -> tuple[list, int]:
+    """Fused dct_coeff_next LUT: one peek resolves code AND sign
+    ('10' = EOB, '11'+s = (0, ±1), Table B.5c rows with their sign
+    bit; the escape prefix stays a sentinel — its payload follows)."""
+    tbl: dict[str, object] = {"10": _AC_EOB, "000001": _AC_ESC}
+    for code, (run, level) in _AC_TABLE.items():
+        tbl[code + "0"] = (run, level)
+        tbl[code + "1"] = (run, -level)
+    return _vlc_lut(tbl)
+
+
+_DCT_NEXT_LUT, _DCT_NEXT_MAXLEN = _dct_next_lut()
+
+
 def _read_run_level(r: _BitReader) -> tuple[int, int] | None:
     """One dct_coeff_next -> (run, level), or None at EOB."""
+    entry = _DCT_NEXT_LUT[r.peek(_DCT_NEXT_MAXLEN)]
+    if entry is not None and r.pos + entry[1] <= r._total:
+        sym = entry[0]
+        r.read(entry[1])
+        if type(sym) is tuple:
+            return sym
+        if sym is _AC_EOB:
+            return None
+        return _read_escape1(r)
+    # malformed/truncated: original per-bit walk for diagnostics
     if r.read(1):
         if r.read(1):  # '11' = (0, ±1)
             return (0, -1) if r.read(1) else (0, 1)
@@ -800,8 +938,28 @@ def _write_increment(w: _BitWriter, inc: int) -> None:
     w.write_code(_ADDR_INC[inc])
 
 
+_ADDR_STUFF_SYM = object()
+_ADDR_ESC_SYM = object()
+_ADDR_LUT, _ADDR_MAXLEN = _vlc_lut(
+    dict(_ADDR_INC_INV)
+    | {_ADDR_STUFFING: _ADDR_STUFF_SYM, _ADDR_ESCAPE: _ADDR_ESC_SYM}
+)
+
+
 def _read_increment(r: _BitReader) -> int:
     inc = 0
+    while True:
+        entry = _ADDR_LUT[r.peek(_ADDR_MAXLEN)]
+        if entry is None or r.pos + entry[1] > r._total:
+            break  # malformed/truncated: per-bit loop for diagnostics
+        sym, ln = entry
+        r.read(ln)
+        if sym is _ADDR_STUFF_SYM:
+            continue
+        if sym is _ADDR_ESC_SYM:
+            inc += 33
+            continue
+        return inc + sym
     code = ""
     while len(code) <= 11:
         code += "1" if r.read(1) else "0"

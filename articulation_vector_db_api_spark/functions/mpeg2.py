@@ -64,6 +64,9 @@ import numpy as np
 from .jpeg import ZIGZAG, _C, _rgb_to_ycbcr, _ycbcr_to_rgb
 from .mpeg1 import (
     INTRA_QUANT,
+    _AC_EOB,
+    _DCT_NEXT_LUT,
+    _DCT_NEXT_MAXLEN,
     _WQ_NI_FLAT,
     _read_quant_matrix,
     _B_MB_TYPE,
@@ -186,12 +189,15 @@ def _dequant_intra2(
     r12)."""
     rec = np.zeros(64, dtype=np.int64)
     rec[0] = _saturate(int(levels[0]) * dc_mult)
-    for i in range(1, 64):
-        lv = int(levels[i])
-        if lv:
-            rec[ZIGZAG[i]] = _saturate(
-                _trunc_div(2 * lv * int(wq[i]) * qscale, 32)
-            )
+    # vectorized over the (sparse) nonzero AC levels; integer
+    # semantics identical to the scalar _trunc_div/_saturate pair
+    nz = np.nonzero(levels[1:])[0] + 1
+    if nz.size:
+        lv = levels[nz]
+        v = 2 * lv * wq[nz] * qscale
+        t = np.abs(v) // 32 * np.sign(v)  # "/" truncates toward zero
+        np.clip(t, -2048, 2047, out=t)
+        rec[ZIGZAG[nz]] = t
     sq = rec.reshape(8, 8)
     _mismatch(sq)
     return _C.T @ sq.astype(np.float64) @ _C
@@ -203,13 +209,13 @@ def _dequant_nonintra2(
     """§7.4.2.2 with k = Sign(QF); the default flat-16 matrix
     collapses (2·QF+k)·W·qscale/32 to (2·QF+k)·qscale/2."""
     rec = np.zeros(64, dtype=np.int64)
-    for i in range(64):
-        lv = int(levels[i])
-        if lv:
-            sign = 1 if lv > 0 else -1
-            rec[ZIGZAG[i]] = _saturate(
-                _trunc_div((2 * lv + sign) * int(wq[i]) * qscale, 32)
-            )
+    nz = np.nonzero(levels)[0]
+    if nz.size:
+        lv = levels[nz]
+        v = (2 * lv + np.sign(lv)) * wq[nz] * qscale
+        t = np.abs(v) // 32 * np.sign(v)  # "/" truncates toward zero
+        np.clip(t, -2048, 2047, out=t)
+        rec[ZIGZAG[nz]] = t
     sq = rec.reshape(8, 8)
     _mismatch(sq)
     return _C.T @ sq.astype(np.float64) @ _C
@@ -276,7 +282,18 @@ def _read_escape2(r: _BitReader) -> tuple[int, int]:
 
 
 def _read_run_level2(r: _BitReader) -> tuple[int, int] | None:
-    """One dct_coeff (next) under Table B-14 with the MPEG-2 escape."""
+    """One dct_coeff (next) under Table B-14 with the MPEG-2 escape.
+    The fused code+sign LUT is shared with MPEG-1 (the escape entry
+    is a sentinel — only the payload read differs, r16)."""
+    entry = _DCT_NEXT_LUT[r.peek(_DCT_NEXT_MAXLEN)]
+    if entry is not None and r.pos + entry[1] <= r._total:
+        sym = entry[0]
+        r.read(entry[1])
+        if type(sym) is tuple:
+            return sym
+        if sym is _AC_EOB:
+            return None
+        return _read_escape2(r)
     if r.read(1):
         if r.read(1):  # '11' = (0, ±1)
             return (0, -1) if r.read(1) else (0, 1)

@@ -31,9 +31,10 @@ def connected_components(
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # r16: round 1's join job
+        # materializes it — eager ran a separate job first
     )
-    # localCheckpoint (eager), NOT cache(): each round's plan references
+    # localCheckpoint, NOT cache(): each round's plan references
     # the previous round's frame TWICE (incoming + update join), so with
     # lazy caching the logical plan TEXT doubles per round — by ~iter 15
     # just rendering the plan for the next cache OOMs the driver
@@ -48,7 +49,7 @@ def connected_components(
     # overlap of a few rounds' blocks is not the memory ceiling.
     labels = nodes.select(
         F.col("node"), F.col("node").alias("component")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(max_iters):
         # candidate labels arriving over edges
         incoming = (
@@ -71,7 +72,8 @@ def connected_components(
                     < F.col("component")
                 ).alias("chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # r16: the convergence
+            # aggregate below materializes (and caches) it
         )
         changed = joined.agg(F.max(F.col("chg").cast("int"))).first()[0]
         labels = joined.select("node", "component")
@@ -105,7 +107,8 @@ def connected_components_star(
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # r16: materialized by round 1's
+        # min-neighbor job — eager ran a separate job for it
     )
     for _ in range(max_iters):
         mn = _min_neighbor(sym)
@@ -131,7 +134,8 @@ def connected_components_star(
             ))
             .filter(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # r16: the convergence count
+            # below materializes (and caches) it in the same job
         )
         # one-job convergence check: both edge sets are distinct, so
         # the symmetric difference is a single full-outer join with a

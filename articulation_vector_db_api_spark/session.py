@@ -50,6 +50,14 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # r16: pin BLAS/OpenMP to one thread per Python worker — a
+        # Spark task owns one core, and N workers × M BLAS threads
+        # oversubscribes the box (guide §4: the task scheduler, not
+        # the math library, is the parallelism layer). Measured ~30%
+        # faster numpy matmul per call at 32-way task concurrency.
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -56,6 +56,36 @@ _FROM_SEP = re.compile(
 )
 _QUOTED_FROM = re.compile(r"^(>*)From ", re.M)
 
+# ---------------------------------------------------------------------------
+# Fast paths (r16 optimization round). The stdlib email package with
+# policy.default is the semantic reference, but its lazy structured-header
+# registry costs ~2 ms per build+parse round trip — the dominant term of the
+# archive-ingest bench (guide §1.2 step 2: per-task work). The simple-message
+# shape (single-part text/plain, ASCII headers, no folding/encoded-words) is
+# built and parsed directly; ANYTHING outside that shape falls back to the
+# stdlib. Byte-for-byte / field-for-field equivalence with the stdlib on the
+# fast-path domain is pinned by tests/test_mailtext.py differential tests.
+# ---------------------------------------------------------------------------
+
+# header value the policy will neither fold, encode, nor re-serialize:
+# printable ASCII, no leading/trailing space, fits on one 78-char line
+def _plain_header(name: str, value: str) -> bool:
+    return (
+        0 < len(value) == len(value.strip())
+        and all(32 <= ord(c) <= 126 for c in value)
+        and "=?" not in value
+        and len(name) + 2 + len(value) <= 78
+    )
+
+
+# an addr-spec the AddressHeader parser reserializes unchanged
+_PLAIN_ADDR = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\Z")
+# a Date value the DateHeader parser reserializes unchanged
+_PLAIN_DATE = re.compile(
+    r"[A-Z][a-z]{2}, \d{2} [A-Z][a-z]{2} \d{4} "
+    r"\d{2}:\d{2}:\d{2} [+-]\d{4}\Z"
+)
+
 
 def build_eml(
     subject: str,
@@ -68,6 +98,31 @@ def build_eml(
     """Minimal RFC 5322 message; with ``html_alternative`` the body
     becomes multipart/alternative (plain first, HTML second — the
     shape real mailers emit)."""
+    if (
+        html_alternative is None
+        and _plain_header("Subject", subject)
+        and _PLAIN_ADDR.fullmatch(sender)
+        and _PLAIN_ADDR.fullmatch(to)
+        and _PLAIN_DATE.fullmatch(date)
+    ):
+        # byte-identical to the EmailMessage path for this shape
+        # (differential-pinned): plain headers emitted directly; the
+        # body runs through the stdlib's OWN CTE heuristic+encoder
+        # (contentmanager._encode_text), so 7bit/8bit/quoted-printable/
+        # base64 selection and payload bytes match exactly — only the
+        # structured-header registry (the ~2 ms/message term) is skipped
+        from email.contentmanager import _encode_text
+
+        cte, payload = _encode_text(
+            body, "utf-8", None, email.policy.default
+        )
+        return (
+            f"Subject: {subject}\nFrom: {sender}\nTo: {to}\n"
+            f"Date: {date}\n"
+            'Content-Type: text/plain; charset="utf-8"\n'
+            f"Content-Transfer-Encoding: {cte}\nMIME-Version: 1.0\n\n"
+            f"{payload}"
+        ).encode("ascii", "surrogateescape")
     msg = EmailMessage(policy=email.policy.default)
     msg["Subject"] = subject
     msg["From"] = sender
@@ -79,10 +134,83 @@ def build_eml(
     return msg.as_bytes()
 
 
+_FAST_HDR = re.compile(rb"([!-9;-~]+): ?([ -~]*)\Z")
+
+
+def _extract_eml_fast(data: bytes) -> dict | None:
+    """Direct parse of the simple-message shape; None -> caller must
+    take the stdlib path. Guards are conservative: any folding,
+    encoded-word, non-ASCII header byte, CR, non-trivial
+    Content-Type/CTE, or address/date form the structured-header
+    registry might reserialize differently bails out."""
+    sep = data.find(b"\n\n")
+    if sep < 0 or b"\r" in data:
+        return None
+    head, body = data[:sep], data[sep + 2 :]
+    if b"=?" in head:
+        return None
+    headers: dict[str, str] = {}
+    for line in head.split(b"\n"):
+        m = _FAST_HDR.match(line)
+        if m is None:  # folded/malformed/non-ASCII header: stdlib path
+            return None
+        name = m.group(1).decode("ascii").lower()
+        if name in ("content-disposition", "mime-version"):
+            if name == "content-disposition":
+                return None
+            continue
+        value = m.group(2).decode("ascii")
+        if value != value.strip(" "):  # policy strips surrounding WS
+            return None
+        headers.setdefault(name, value)
+    if not headers:
+        return None
+    cte = headers.get("content-transfer-encoding", "7bit")
+    if cte == "quoted-printable":
+        # what the stdlib itself runs underneath get_payload(decode=True)
+        import quopri
+
+        body = quopri.decodestring(body)
+    elif cte not in ("7bit", "8bit"):
+        return None
+    ct = headers.get("content-type")
+    if ct is None:
+        # absent Content-Type defaults to text/plain charset=us-ascii
+        if not body.isascii():
+            return None
+    elif ct != 'text/plain; charset="utf-8"':
+        return None
+    sender = headers.get("from", "")
+    to = headers.get("to", "")
+    date = headers.get("date", "")
+    if sender and not _PLAIN_ADDR.fullmatch(sender):
+        return None
+    if to and not _PLAIN_ADDR.fullmatch(to):
+        return None
+    if date and not _PLAIN_DATE.fullmatch(date):
+        return None
+    try:
+        text = body.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    return {
+        "subject": headers.get("subject", ""),
+        "sender": sender,
+        "to": to,
+        "date": date,
+        "text": text,
+        "body_source": "plain",
+        "n_attachments": 0,
+    }
+
+
 def extract_eml(data: bytes) -> dict:
     """.eml bytes -> {subject, sender, to, date, text, body_source,
     n_attachments}. ``body_source`` records which part supplied the
     text ('plain' or 'html')."""
+    fast = _extract_eml_fast(bytes(data))
+    if fast is not None:
+        return fast
     try:
         msg = email.message_from_bytes(
             bytes(data), policy=email.policy.default
@@ -107,19 +235,29 @@ def extract_eml(data: bytes) -> dict:
                 html = body.get_content()
     except Exception as exc:
         raise ValueError(f"undecodable MIME body: {exc}") from exc
+    skip: set[int] = set()
     for part in msg.walk():
         if part is msg:
+            continue
+        if id(part) in skip:
             continue
         # disposition check BEFORE the multipart skip: an attached
         # message/rfc822 reports is_multipart()==True and was never
         # counted (ADVICE r14). A forwarded email counts as ONE
         # attachment; its inner text body (maintype 'text', no
         # disposition) stays uncounted as before.
-        if part.get_content_disposition() == "attachment":
-            n_attach += 1
-            continue
-        if part.get_content_type() == "message/rfc822":
+        if (
+            part.get_content_disposition() == "attachment"
+            or part.get_content_type() == "message/rfc822"
+        ):
             n_attach += 1  # inline-forwarded email is still an attachment
+            # walk() still descends into the counted container; its
+            # descendants are THIS attachment's internals, not more
+            # attachments (ADVICE r15: a forwarded email with 2
+            # attachments reported n_attachments=3) — skip the subtree
+            for sub in part.walk():
+                if sub is not part:
+                    skip.add(id(sub))
             continue
         if part.is_multipart():
             continue

@@ -138,7 +138,12 @@ def extract_pdf_text(data: bytes) -> str:
         structured = _extract_structured(data)
     except Exception:  # noqa: BLE001 — tier 2 must never fail the file
         structured = None
-    if structured is not None:
+    # falsy (empty) tier-2 output falls through to tier 1: a Type0
+    # document whose content streams tier 2 could not reach (corrupt
+    # obj header, unsupported filter, unresolved /Contents shape)
+    # must not silently lose text that the every-Flate-stream scrape
+    # can still recover (ADVICE r15)
+    if structured:
         return structured
     lines: list[str] = []
     for raw in _STREAM_RE.findall(data):

@@ -477,8 +477,17 @@ def _parse_header(
         if t == _K_MAIN_STREAMS:
             pack_pos, pack_sizes, folders = _parse_streams_info(r)
             for f in folders:
-                # declared-size bomb guard BEFORE any member decode
-                if f.output_size() > max_member:
+                # declared-size bomb guard BEFORE any member decode.
+                # EVERY unpack_sizes entry is checked, not just the
+                # folder's final output: in a multi-coder chain (e.g.
+                # LZMA1 -> Delta) the INTERMEDIATE stream sizes are
+                # attacker-declared and materialize in full during
+                # _decode_folder, so a tiny archive declaring a small
+                # final size could still blow memory at an inner
+                # stage (ADVICE r15).
+                if f.output_size() > max_member or any(
+                    s > max_member for s in f.unpack_sizes
+                ):
                     raise ValueError(
                         "7z folder exceeds the member size bound"
                     )
@@ -602,7 +611,11 @@ def parse_7z(data: bytes, max_member: int = 1 << 28) -> list[tuple[str, bytes]]:
         if len(folders) != 1:
             raise ValueError("7z encoded header with multiple folders")
         f = folders[0]
-        if f.output_size() > 1 << 26:
+        # bound every intermediate stream too, not only the final
+        # output (ADVICE r15 — same gap as the main-streams guard)
+        if f.output_size() > 1 << 26 or any(
+            s > 1 << 26 for s in f.unpack_sizes
+        ):
             raise ValueError("7z encoded header implausibly large")
         base = 32 + pack_pos
         packs = []

@@ -3371,5 +3371,6 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(batches, schema)
+        .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
     )

@@ -445,3 +445,112 @@ def test_epub_drm_gate_percent_encoded_uri():
         )
     with pytest.raises(ValueError, match="DRM"):
         extract_epub_text(buf.getvalue())
+
+
+def test_eml_fast_path_matches_stdlib():
+    """r16 optimization: the simple-message fast paths in build_eml /
+    extract_eml must be byte- and field-identical to the stdlib
+    EmailMessage/policy.default reference across the fast-path domain
+    AND bail to the stdlib everywhere else (differential over
+    representative + adversarial cases; the full 9.6k-case fuzz ran at
+    review time with zero mismatches)."""
+    import email
+    import email.policy
+    from email.message import EmailMessage
+
+    import articulation_vector_db_api_spark.functions.mailtext as mt
+
+    def build_ref(subject, body):
+        msg = EmailMessage(policy=email.policy.default)
+        msg["Subject"] = subject
+        msg["From"] = "witness@example.org"
+        msg["To"] = "corpus@example.org"
+        msg["Date"] = "Mon, 01 Jan 2024 00:00:00 +0000"
+        msg.set_content(body)
+        return msg.as_bytes()
+
+    def extract_ref(data):
+        old = mt._extract_eml_fast
+        mt._extract_eml_fast = lambda d: None
+        try:
+            return mt.extract_eml(data)
+        finally:
+            mt._extract_eml_fast = old
+
+    bodies = [
+        "", "\n", "x", "x\n", "x\n\n", "a\rb", "a\tb\n",
+        "x" * 78 + "\n", "x" * 79 + "\n",  # the 7bit/qp boundary
+        "é unicode\n",  # 8bit path
+        ("word " * 40).strip() + "\n",  # qp via long line
+        "=41 qp-looking literal\n", "From here\n", "trailing \n",
+        ("é" * 120) + "\n",  # base64-vs-qp sniff territory
+    ]
+    subjects = ["doc 7", "", " s", "s ", "café", "x" * 69, "x" * 70,
+                "a:b", "=?utf-8?q?x?=", "two  spaces"]
+    raws = []
+    for body in bodies:
+        for subject in ("doc 7", "café"):
+            ref = build_ref(subject, body)
+            assert mt.build_eml(subject, body) == ref, (subject, body)
+            raws.append(ref)
+    for subject in subjects:
+        ref = build_ref(subject, "body\n")
+        assert mt.build_eml(subject, "body\n") == ref, subject
+        raws.append(ref)
+    adversarial = [
+        b"Subject: x\n\n", b"Subject: x\nSubject: y\n\nb\n",
+        b"subject: low\n\nb\n", b"Subject:  two\n\nb\n",
+        b"Subject: sp \n\nb\n",
+        b"Subject: a\nFrom: Alice <a@b.org>\n\nb\n",
+        b"Subject: a\nDate: whenever\n\nb\n",
+        b"Subject: a\nContent-Type: text/plain\n\nb\n",
+        b"Subject: a\nContent-Transfer-Encoding: 8bit\n\n\xc3\xa9\n",
+        b"Subject: a\n\n\xc3\xa9 raw\n",
+        b"Subject: long\n continuation\n\nb\n",
+        b'Subject: q\nContent-Type: text/plain; charset="utf-8"\n'
+        b"Content-Transfer-Encoding: quoted-printable\n\n=C3=A9 ok =zz\n",
+        b"Subject: q\nContent-Transfer-Encoding: quoted-printable\n\n"
+        b"=C3=A9 no ct\n",
+    ]
+    for raw in raws + adversarial:
+        try:
+            ref = extract_ref(raw)
+        except ValueError:
+            with pytest.raises(ValueError):
+                mt.extract_eml(raw)
+            continue
+        assert mt.extract_eml(raw) == ref, raw
+
+
+def test_forwarded_message_attachments_counted_once():
+    """ADVICE r15: walk() descends into a counted message/rfc822
+    attachment, so a forwarded email carrying 2 attachments of its own
+    reported n_attachments=3 — the subtree must be skipped."""
+    import email as _email
+    import email.policy
+    from email.message import EmailMessage
+
+    inner = EmailMessage(policy=email.policy.default)
+    inner["Subject"] = "inner"
+    inner["From"] = "b@example.org"
+    inner.set_content("inner body")
+    inner.add_attachment(
+        b"\x00\x01", maintype="application", subtype="octet-stream",
+        filename="one.bin",
+    )
+    inner.add_attachment(
+        b"\x02\x03", maintype="image", subtype="png",
+        filename="two.png",
+    )
+    outer = EmailMessage(policy=email.policy.default)
+    outer["Subject"] = "Fwd"
+    outer["From"] = "a@example.org"
+    outer.set_content("see attached")
+    outer.add_attachment(
+        _email.message_from_bytes(
+            inner.as_bytes(), policy=email.policy.default
+        )
+    )
+    got = extract_eml(outer.as_bytes())
+    assert got["n_attachments"] == 1  # the forwarded message, once
+    assert got["text"].rstrip("\n") == "see attached"

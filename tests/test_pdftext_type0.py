@@ -310,3 +310,29 @@ def test_simple_font_prefilter_skips_scan():
         + b"\nendstream\nendobj\n%%EOF\n"
     )
     assert P._extract_structured(pdf) is None
+
+
+def test_tier2_empty_falls_back_to_legacy_scrape():
+    """ADVICE r15: a Type0 document whose content streams tier 2
+    cannot reach (here: /Contents pointing at a missing object) must
+    fall back to the every-Flate-stream tier-1 scrape instead of
+    silently returning empty text."""
+    content = b"BT /F1 12 Tf (recoverable text) Tj ET"
+    z = zlib.compress(content)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 9 0 R "
+        b"/Resources << /Font << /F9 5 0 R >> >> >>\nendobj\n"
+        b"5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /W "
+        b"/Encoding /Identity-H >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(z)).encode() +
+        b" /Filter /FlateDecode >>\nstream\n" + z + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    from articulation_vector_db_api_spark.functions import pdftext as P
+
+    got = P._extract_structured(pdf)
+    assert not got  # tier 2 reaches no text for this file
+    assert extract_pdf_text(pdf) == "recoverable text"

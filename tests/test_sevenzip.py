@@ -234,3 +234,64 @@ def test_review_fix_missing_unpack_sizes_is_valueerror():
     f.coders.append(_Coder(b"\x00", 1, 1, b""))
     with pytest.raises(ValueError, match="unpack sizes"):
         f.output_size()
+
+def test_intermediate_unpack_size_bomb_guard():
+    """ADVICE r15: in a multi-coder chain the INTERMEDIATE stream
+    sizes are attacker-declared and materialize in full during folder
+    decode, so the bomb guard must bound every unpack_sizes entry —
+    a tiny archive declaring a small FINAL size but a huge
+    intermediate one must be rejected at parse time."""
+    import zlib as _zlib
+
+    from articulation_vector_db_api_spark.functions import sevenzip as sz
+
+    blob = b"z" * 64
+    h = bytearray()
+    h.append(sz._K_HEADER)
+    h.append(sz._K_MAIN_STREAMS)
+    h.append(sz._K_PACK_INFO)
+    h += sz._write_number(0)  # pack pos
+    h += sz._write_number(1)  # one pack stream
+    h.append(sz._K_SIZE)
+    h += sz._write_number(len(blob))
+    h.append(sz._K_END)
+    h.append(sz._K_UNPACK_INFO)
+    h.append(sz._K_FOLDER)
+    h += sz._write_number(1)  # one folder
+    h.append(0)  # not external
+    h += sz._write_number(2)  # two chained Copy coders
+    h.append(0x01)
+    h += b"\x00"  # coder 0: Copy
+    h.append(0x01)
+    h += b"\x00"  # coder 1: Copy
+    h += sz._write_number(1)  # bind pair: coder1 input 1 ...
+    h += sz._write_number(0)  # ... fed by coder0 output 0
+    h.append(sz._K_UNPACK_SIZES)
+    h += sz._write_number(1 << 40)  # intermediate output — the bomb
+    h += sz._write_number(len(blob))  # final output: tiny
+    h.append(sz._K_END)  # end UnpackInfo
+    h.append(sz._K_END)  # end MainStreamsInfo
+    h.append(sz._K_FILES_INFO)
+    h += sz._write_number(1)
+    h.append(sz._K_NAME)
+    name = "bomb.bin\x00".encode("utf-16-le")
+    h += sz._write_number(len(name) + 1)
+    h.append(0)
+    h += name
+    h.append(sz._K_END)
+    h.append(sz._K_END)  # end Header
+    header = bytes(h)
+    arc = bytearray()
+    arc += sz._SIGNATURE
+    arc += bytes([0, 4])
+    start = (
+        len(blob).to_bytes(8, "little")
+        + len(header).to_bytes(8, "little")
+        + _zlib.crc32(header).to_bytes(4, "little")
+    )
+    arc += _zlib.crc32(start).to_bytes(4, "little")
+    arc += start
+    arc += blob
+    arc += header
+    with pytest.raises(ValueError, match="member size bound"):
+        parse_7z(bytes(arc), max_member=1 << 22)

@@ -21,6 +21,17 @@ from articulation_vector_db_api_spark.session import get_spark  # noqa: E402
 SF = "/root/testdata/sf0.01"
 
 # query -> (must_contain, must_not_contain) regexes over explain("formatted")
+#
+# r16 note: witness queries now insert a hash repartition on doc_id
+# BETWEEN the Arrow map and the final orderBy. A bare
+# mapInPandas(...).orderBy(...) runs the map TWICE — the range
+# exchange's sampling job re-executes the whole narrow subtree — while
+# a shuffle barrier is materialized once and reused by both the
+# sampling and the sort job (measured 2.46 s -> 1.45 s on a 0.5 s/task
+# map). The exchange carries the map's OUTPUT stats rows (one per
+# doc), never the decoded payload, so the bytes-never-shuffle posture
+# is unchanged; contracts that pinned "no hashpartitioning" on these
+# queries were updated accordingly.
 EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "multimodal_mpeg1_pframe_decode": (
         # r12 fixture re-base: the DECODE query scans the once-per-app
@@ -827,61 +838,54 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     "multimodal_tiff_roundtrip": (
         [r"MapInPandas"],
-        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
-         r"Arguments: hashpartitioning"],
+        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate"],
     ),
     "multimodal_audio_flac_roundtrip": (
         [r"MapInPandas"],
-        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
-         r"Arguments: hashpartitioning"],
+        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate"],
     ),
     "multimodal_audio_g711_roundtrip": (
         [r"MapInPandas"],
-        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
-         r"Arguments: hashpartitioning"],
+        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate"],
     ),
     "multimodal_av_container_probe": (
         [r"MapInPandas"],
-        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
-         r"Arguments: hashpartitioning"],
+        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate"],
     ),
     "multimodal_avi_dib_roundtrip": (
         # video build+decode is one Arrow narrow map; video bytes never
-        # shuffle (the only exchange is the parity sort)
+        # shuffle (the exchanges are the r16 post-map stats barrier —
+        # hashpartitioning over the map's OUTPUT stats rows, inserted
+        # so the parity sort's range-sampling job reuses the map's
+        # shuffle files instead of re-running the decode — and the
+        # parity sort itself)
         [r"MapInPandas"],
-        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
-         r"Arguments: hashpartitioning"],
+        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate"],
     ),
     "multimodal_avi_mjpeg_scene_cuts": (
         [r"MapInPandas"],
-        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
-         r"Arguments: hashpartitioning"],
+        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate"],
     ),
     "multimodal_video_caption_align": (
         # clip+caption decode and cue↔frame alignment in one Arrow map
         [r"MapInPandas"],
-        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
-         r"Arguments: hashpartitioning"],
+        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate"],
     ),
     "multimodal_mkv_mjpeg_decode": (
         [r"MapInPandas"],
-        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
-         r"Arguments: hashpartitioning"],
+        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate"],
     ),
     "multimodal_audio_caption_align": (
         [r"MapInPandas"],
-        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
-         r"Arguments: hashpartitioning"],
+        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate"],
     ),
     "multimodal_qoi_roundtrip": (
         [r"MapInPandas"],
-        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
-         r"Arguments: hashpartitioning"],
+        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate"],
     ),
     "multimodal_mp4_mjpeg_decode": (
         [r"MapInPandas"],
-        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate",
-         r"Arguments: hashpartitioning"],
+        [r"BatchEvalPython", r"CartesianProduct", r"HashAggregate"],
     ),
     "pipeline_video_curation": (
         # decode in the Arrow map; only signature triples shuffle —

@@ -3205,7 +3205,9 @@ def multimodal_mp1_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _mp1_witness_store(spark, sf_dir)
     return (
         spark.read.parquet(store)
-        .repartition(spark.sparkContext.defaultParallelism)
+        # no repartition: the store is written distributed (one file
+        # per build task) and the scan packer already yields ~core-count
+        # splits, so the round-robin shuffle was a pure extra stage (r16)
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -3390,7 +3392,9 @@ def multimodal_mpeg1_pframe_decode(
     store = _mpeg1_pframe_store(spark, sf_dir)
     return (
         spark.read.parquet(store)
-        .repartition(spark.sparkContext.defaultParallelism)
+        # no repartition: the store is written distributed (one file
+        # per build task) and the scan packer already yields ~core-count
+        # splits, so the round-robin shuffle was a pure extra stage (r16)
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -3573,7 +3577,9 @@ def multimodal_mpeg1_bframe_decode(
     store = _mpeg1_bframe_store(spark, sf_dir)
     return (
         spark.read.parquet(store)
-        .repartition(spark.sparkContext.defaultParallelism)
+        # no repartition: the store is written distributed (one file
+        # per build task) and the scan packer already yields ~core-count
+        # splits, so the round-robin shuffle was a pure extra stage (r16)
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -3765,7 +3771,9 @@ def multimodal_mpeg2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _mpeg2_witness_store(spark, sf_dir)
     return (
         spark.read.parquet(store)
-        .repartition(spark.sparkContext.defaultParallelism)
+        # no repartition: the store is written distributed (one file
+        # per build task) and the scan packer already yields ~core-count
+        # splits, so the round-robin shuffle was a pure extra stage (r16)
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")

@@ -2860,7 +2860,17 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
-    big = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    # persist: FOUR branches (the join left side, hist, cont, types)
+    # read this frame, and column pruning specializes each copy's
+    # explode subtree so ReuseExchange never fires — without the
+    # persist the corpus-sized explode+count runs four times (plan
+    # audit r16: 4 Generate nodes, 8 scans, 0 ReusedExchange). The
+    # frame is vocabulary-sized (Heaps' law), never corpus-sized.
+    big = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
     hist = big.groupBy("w1").agg(
         F.sum("c").cast("long").alias("c1"), F.count(F.lit(1)).alias("nf")
     )

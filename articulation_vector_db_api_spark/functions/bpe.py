@@ -72,11 +72,21 @@ def _apply_merge_batch(seq: Column, merges: list[tuple[str, str]]) -> Column:
         kv.append(F.lit(left + _SEP + right))
         kv.append(F.lit(left + right))
     m = F.create_map(*kv)
+    # prefilter: literal-map lookup is a LINEAR key scan preceded by a
+    # string concat allocation, per element. Most elements are not the
+    # RIGHT operand of any merge in the batch, so a containment test
+    # against the (≤ batch-size) distinct rights skips both for the
+    # common case. Exact-equivalent: x ∉ rights ⇒ no key '*␀x' exists
+    # in the map ⇒ the lookup would have been null anyway.
+    rights = F.array(
+        *[F.lit(r) for r in sorted({r for _l, r in merges})]
+    )
     return F.aggregate(
         seq,
         F.expr("CAST(array() AS ARRAY<STRING>)"),
         lambda acc, x: F.when(
             (F.size(acc) > 0)
+            & F.array_contains(rights, x)
             & F.try_element_at(
                 m, F.concat(F.element_at(acc, -1), F.lit(_SEP), x)
             ).isNotNull(),

@@ -138,12 +138,12 @@ def extract_pdf_text(data: bytes) -> str:
         structured = _extract_structured(data)
     except Exception:  # noqa: BLE001 — tier 2 must never fail the file
         structured = None
-    # falsy (empty) tier-2 output falls through to tier 1: a Type0
-    # document whose content streams tier 2 could not reach (corrupt
-    # obj header, unsupported filter, unresolved /Contents shape)
-    # must not silently lose text that the every-Flate-stream scrape
-    # can still recover (ADVICE r15)
-    if structured:
+    # tier 2 returns None both for non-Type0 documents AND for Type0
+    # documents none of whose content streams it could reach — the
+    # latter falls through to tier 1 so unreachable text is not
+    # silently lost (ADVICE r15; the reached-tracking lives in
+    # _extract_structured)
+    if structured is not None:
         return structured
     lines: list[str] = []
     for raw in _STREAM_RE.findall(data):
@@ -621,6 +621,7 @@ def _extract_structured(data: bytes) -> str | None:
     if not pages:
         return None
     lines: list[str] = []
+    reached = False  # any content stream actually inflated (ADVICE r15)
     for page in pages:
         res = _resolve(page.get("Resources"), objs)
         fonts = _build_fonts(res, objs)
@@ -647,6 +648,7 @@ def _extract_structured(data: bytes) -> str | None:
             body = _inflate_stream(sdict, sbytes, objs)
             if body is not None:
                 merged += body + b"\n"
+                reached = True
         lines.extend(_text_from_content_fonts(merged, fonts))
         # Form XObjects carry text too (the legacy scrape read every
         # BT-bearing stream); walk one level with the XObject's own
@@ -669,11 +671,21 @@ def _extract_structured(data: bytes) -> str | None:
                     body = _inflate_stream(sdict, sbytes, objs)
                     if body is None:
                         continue
+                    reached = True
                     xres = sdict.get("Resources")
                     xfonts = _build_fonts(xres, objs) if xres else fonts
                     lines.extend(
                         _text_from_content_fonts(body, xfonts or fonts)
                     )
+    if not reached:
+        # a Type0 document whose content streams tier 2 could not
+        # REACH (corrupt obj header, unresolved /Contents shape) must
+        # not silently lose text the tier-1 scrape can still recover
+        # (ADVICE r15). Distinct from legitimately-empty extraction:
+        # when content WAS reached, the (possibly empty) tier-2 result
+        # stands — falling back there would re-emit Type0 CID bytes as
+        # latin-1 garbage (caught by the sf0.001 parity sweep).
+        return None
     return "\n".join(lines)
 
 

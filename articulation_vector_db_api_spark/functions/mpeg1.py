@@ -439,6 +439,71 @@ def _dequant_nonintra(
     return _C.T @ rec.reshape(8, 8).astype(np.float64) @ _C
 
 
+# sparse dequant twins (r16): the decode loop produces a handful of
+# nonzero (zigzag-index, level) pairs per block, and the dense numpy
+# path pays ~8 small-array kernel launches to process them. Plain
+# integer Python over the sparse pairs is 3-4x faster at typical
+# sparsity and BIT-IDENTICAL by construction (same truncating
+# division, mismatch control, clamp order); the dense functions above
+# stay as the reference twins (encoder-side reconstruction and the
+# differential test use them).
+_ZIG_LIST: list[int] = [int(z) for z in ZIGZAG]
+_WQ_ZZ_LIST: list[int] = [int(x) for x in _WQ_ZZ]
+_WQ_NI_LIST: list[int] = [16] * 64
+_WQ_LISTS: dict[int, tuple] = {}  # id(arr) -> (arr ref, list twin)
+
+
+def _wq_list(wq: np.ndarray) -> list[int]:
+    cached = _WQ_LISTS.get(id(wq))
+    if cached is not None and cached[0] is wq:
+        return cached[1]
+    if len(_WQ_LISTS) > 4096:  # bound: entries pin their arrays alive
+        _WQ_LISTS.clear()
+    twin = [int(x) for x in wq]
+    _WQ_LISTS[id(wq)] = (wq, twin)
+    return twin
+
+
+def _dequant_intra_sparse(
+    qdc: int, pairs: list[tuple[int, int]], qscale: int, wql: list[int]
+) -> np.ndarray:
+    rec = [0.0] * 64
+    rec[0] = float(max(-2048, min(2047, qdc * 8)))
+    for i, lv in pairs:
+        v = 2 * lv * qscale * wql[i]
+        t = v >> 4 if v >= 0 else -((-v) >> 4)  # truncate toward zero
+        if t and not (t & 1):
+            t += -1 if t > 0 else 1  # mismatch control
+        if t > 2047:
+            t = 2047
+        elif t < -2048:
+            t = -2048
+        rec[_ZIG_LIST[i]] = float(t)
+    m = np.array(rec, dtype=np.float64).reshape(8, 8)
+    return _C.T @ m @ _C
+
+
+def _dequant_nonintra_sparse(
+    pairs: list[tuple[int, int]], qscale: int, wql: list[int]
+) -> np.ndarray:
+    rec = [0.0] * 64
+    for i, lv in pairs:
+        if lv == 0:  # the dense twin's nonzero() filter
+            continue
+        s = 1 if lv > 0 else -1
+        v = (2 * lv + s) * qscale * wql[i]
+        t = v >> 4 if v >= 0 else -((-v) >> 4)
+        if t and not (t & 1):
+            t += -1 if t > 0 else 1
+        if t > 2047:
+            t = 2047
+        elif t < -2048:
+            t = -2048
+        rec[_ZIG_LIST[i]] = float(t)
+    m = np.array(rec, dtype=np.float64).reshape(8, 8)
+    return _C.T @ m @ _C
+
+
 # ---------------------------------------------------------------------------
 # coefficient (run, level) coding
 # ---------------------------------------------------------------------------
@@ -579,17 +644,16 @@ def _decode_block(
     else:
         diff = 0
     qdc = dc_pred + diff
-    levels = np.zeros(64, dtype=np.int64)
-    levels[0] = qdc
+    pairs: list[tuple[int, int]] = []
     i = 0
     while (rl := _read_run_level(r)) is not None:
         run, level = rl
         i += run + 1
         if i > 63:
             raise ValueError("MPEG-1 AC coefficients overflow the block")
-        levels[i] = level
-    return _dequant_intra(
-        levels, qscale, _WQ_ZZ if wq is None else wq
+        pairs.append((i, level))
+    return _dequant_intra_sparse(
+        qdc, pairs, qscale, _WQ_ZZ_LIST if wq is None else _wq_list(wq)
     ), qdc
 
 
@@ -606,16 +670,15 @@ def _decode_block_nonintra(
         i = run
     if i > 63:
         raise ValueError("MPEG-1 AC coefficients overflow the block")
-    levels = np.zeros(64, dtype=np.int64)
-    levels[i] = level
+    pairs: list[tuple[int, int]] = [(i, level)]
     while (rl := _read_run_level(r)) is not None:
         run, level = rl
         i += run + 1
         if i > 63:
             raise ValueError("MPEG-1 AC coefficients overflow the block")
-        levels[i] = level
-    return _dequant_nonintra(
-        levels, qscale, _WQ_NI_FLAT if wq is None else wq
+        pairs.append((i, level))
+    return _dequant_nonintra_sparse(
+        pairs, qscale, _WQ_NI_LIST if wq is None else _wq_list(wq)
     )
 
 

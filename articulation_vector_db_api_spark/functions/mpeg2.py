@@ -68,6 +68,10 @@ from .mpeg1 import (
     _DCT_NEXT_LUT,
     _DCT_NEXT_MAXLEN,
     _WQ_NI_FLAT,
+    _WQ_NI_LIST,
+    _WQ_ZZ_LIST,
+    _ZIG_LIST,
+    _wq_list,
     _read_quant_matrix,
     _B_MB_TYPE,
     _BitReader,
@@ -177,6 +181,57 @@ def _mismatch(rec: np.ndarray) -> None:
     the spec's odd→−1 / even→+1 in two's complement)."""
     if int(rec.sum()) % 2 == 0:
         rec[7, 7] = int(rec[7, 7]) ^ 1
+
+
+# sparse dequant twins (r16 — same pattern as mpeg1): plain integer
+# Python over the decoder's nonzero (zigzag-index, level) pairs beats
+# the small-array numpy kernels 3-4x at typical sparsity; the §7.4.4
+# mismatch sum rides along as a running total. The dense functions
+# below stay as the reference twins (encoder reconstruction + the
+# differential test).
+def _dequant_intra2_sparse(
+    qdc: int, pairs: list, qscale: int, dc_mult: int, wql: list
+) -> np.ndarray:
+    rec = [0] * 64
+    dc = max(-2048, min(2047, qdc * dc_mult))
+    rec[0] = dc
+    total = dc
+    for i, lv in pairs:
+        v = 2 * lv * wql[i] * qscale
+        t = v >> 5 if v >= 0 else -((-v) >> 5)  # truncate toward zero
+        if t > 2047:
+            t = 2047
+        elif t < -2048:
+            t = -2048
+        rec[_ZIG_LIST[i]] = t
+        total += t
+    if total % 2 == 0:
+        rec[63] ^= 1  # §7.4.4 mismatch control on F[7][7]
+    m = np.array(rec, dtype=np.float64).reshape(8, 8)
+    return _C.T @ m @ _C
+
+
+def _dequant_nonintra2_sparse(
+    pairs: list, qscale: int, wql: list
+) -> np.ndarray:
+    rec = [0] * 64
+    total = 0
+    for i, lv in pairs:
+        if lv == 0:
+            continue
+        s = 1 if lv > 0 else -1
+        v = (2 * lv + s) * wql[i] * qscale
+        t = v >> 5 if v >= 0 else -((-v) >> 5)
+        if t > 2047:
+            t = 2047
+        elif t < -2048:
+            t = -2048
+        rec[_ZIG_LIST[i]] = t
+        total += t
+    if total % 2 == 0:
+        rec[63] ^= 1
+    m = np.array(rec, dtype=np.float64).reshape(8, 8)
+    return _C.T @ m @ _C
 
 
 def _dequant_intra2(
@@ -317,16 +372,18 @@ def _decode_block_intra2(
     else:
         diff = 0
     qdc = dc_pred + diff
-    levels = np.zeros(64, dtype=np.int64)
-    levels[0] = qdc
+    pairs: list[tuple[int, int]] = []
     i = 0
     while (rl := _read_run_level2(r)) is not None:
         run, level = rl
         i += run + 1
         if i > 63:
             raise ValueError("MPEG-2 AC coefficients overflow the block")
-        levels[i] = level
-    return _dequant_intra2(levels, qscale, dc_mult, wq), qdc
+        pairs.append((i, level))
+    return _dequant_intra2_sparse(
+        qdc, pairs, qscale, dc_mult,
+        _WQ_ZZ_LIST if wq is _WQ_ZZ else _wq_list(wq),
+    ), qdc
 
 
 def _decode_block_nonintra2(
@@ -342,15 +399,16 @@ def _decode_block_nonintra2(
         i = run
     if i > 63:
         raise ValueError("MPEG-2 AC coefficients overflow the block")
-    levels = np.zeros(64, dtype=np.int64)
-    levels[i] = level
+    pairs: list[tuple[int, int]] = [(i, level)]
     while (rl := _read_run_level2(r)) is not None:
         run, level = rl
         i += run + 1
         if i > 63:
             raise ValueError("MPEG-2 AC coefficients overflow the block")
-        levels[i] = level
-    return _dequant_nonintra2(levels, qscale, wq)
+        pairs.append((i, level))
+    return _dequant_nonintra2_sparse(
+        pairs, qscale, _WQ_NI_LIST if wq is _WQ_NI_FLAT else _wq_list(wq)
+    )
 
 
 def _write_intra_levels2(

@@ -759,3 +759,51 @@ def test_deep_b5c_rows_roundtrip():
     assert meta["n_frames"] == 2
     for a, b in zip(frames, dec):
         assert _snr(a, b) > 25.0
+
+
+def test_sparse_dequant_matches_dense_twin():
+    """r16 optimization: the decode loop's sparse integer dequant must
+    be bit-identical to the dense numpy reference twin over random
+    sparsity patterns, qscales, and stream-loaded matrices."""
+    import random
+
+    import numpy as np
+
+    import articulation_vector_db_api_spark.functions.mpeg1 as m1
+
+    rng = random.Random(13)
+    for _ in range(400):
+        n = rng.randrange(0, 20)
+        idxs = sorted(rng.sample(range(1, 64), min(n, 63)))
+        pairs = [(i, rng.randrange(-255, 256) or 1) for i in idxs]
+        qscale = rng.randrange(1, 32)
+        if rng.random() < 0.4:
+            wq = np.asarray(
+                [rng.randrange(1, 256) for _ in range(64)], dtype=np.int64
+            )
+            wq[0] = 8
+            wql = m1._wq_list(wq)
+        else:
+            wq, wql = m1._WQ_ZZ, m1._WQ_ZZ_LIST
+        qdc = rng.randrange(-300, 556)
+        dense = np.zeros(64, dtype=np.int64)
+        dense[0] = qdc
+        for i, lv in pairs:
+            dense[i] = lv
+        assert np.array_equal(
+            m1._dequant_intra(dense, qscale, wq),
+            m1._dequant_intra_sparse(qdc, pairs, qscale, wql),
+        )
+        idxs2 = sorted(rng.sample(range(0, 64), min(n, 63)))
+        pairs2 = [(i, rng.randrange(-255, 256)) for i in idxs2]
+        wq_ni, wql_ni = (
+            (wq, wql) if wq is not m1._WQ_ZZ
+            else (m1._WQ_NI_FLAT, m1._WQ_NI_LIST)
+        )
+        dense2 = np.zeros(64, dtype=np.int64)
+        for i, lv in pairs2:
+            dense2[i] = lv
+        assert np.array_equal(
+            m1._dequant_nonintra(dense2, qscale, wq_ni),
+            m1._dequant_nonintra_sparse(pairs2, qscale, wql_ni),
+        )

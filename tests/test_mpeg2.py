@@ -862,3 +862,52 @@ def test_repeat_first_field_decodes_with_metadata():
     assert base_meta["repeat_first_field"] == 0
     assert meta["repeat_first_field"] == 1
     assert np.array_equal(dec[0], base_dec[0])
+
+
+def test_sparse_dequant2_matches_dense_twin():
+    """r16 optimization: the MPEG-2 sparse dequant (running-total §7.4.4
+    mismatch control) must be bit-identical to the dense numpy twin."""
+    import random
+
+    import numpy as np
+
+    import articulation_vector_db_api_spark.functions.mpeg1 as m1
+    import articulation_vector_db_api_spark.functions.mpeg2 as m2
+
+    rng = random.Random(29)
+    for _ in range(400):
+        n = rng.randrange(0, 22)
+        qscale = rng.choice([2, 4, 6, 8, 10, 16, 31, 56, 112])
+        dc_mult = rng.choice([1, 2, 4, 8])
+        if rng.random() < 0.4:
+            wq = np.asarray(
+                [rng.randrange(1, 256) for _ in range(64)], dtype=np.int64
+            )
+            wq[0] = 8
+            wql = m1._wq_list(wq)
+        else:
+            wq, wql = m2._WQ_ZZ, m2._WQ_ZZ_LIST
+        idxs = sorted(rng.sample(range(1, 64), min(n, 63)))
+        pairs = [(i, rng.randrange(-2047, 2048) or 1) for i in idxs]
+        qdc = rng.randrange(0, 2048)
+        dense = np.zeros(64, dtype=np.int64)
+        dense[0] = qdc
+        for i, lv in pairs:
+            dense[i] = lv
+        assert np.array_equal(
+            m2._dequant_intra2(dense, qscale, dc_mult, wq),
+            m2._dequant_intra2_sparse(qdc, pairs, qscale, dc_mult, wql),
+        )
+        idxs2 = sorted(rng.sample(range(0, 64), min(n, 63)))
+        pairs2 = [(i, rng.randrange(-2047, 2048)) for i in idxs2]
+        wq_ni, wql_ni = (
+            (wq, wql) if wq is not m2._WQ_ZZ
+            else (m2._WQ_NI_FLAT, m2._WQ_NI_LIST)
+        )
+        dense2 = np.zeros(64, dtype=np.int64)
+        for i, lv in pairs2:
+            dense2[i] = lv
+        assert np.array_equal(
+            m2._dequant_nonintra2(dense2, qscale, wq_ni),
+            m2._dequant_nonintra2_sparse(pairs2, qscale, wql_ni),
+        )

@@ -153,8 +153,12 @@ def quant_table(quality: int) -> np.ndarray:
 # r16: both table builders are memoized on the (bits, vals) spec —
 # encoders rebuild the standard K.3 tables per image and decoders
 # rebuild per DHT segment, and real corpora carry the same handful of
-# tables everywhere (guide §4.5: heavyweight init once per task)
+# tables everywhere (guide §4.5: heavyweight init once per task).
+# r17 (ADVICE r16): bounded like mpeg1._WQ_LISTS — an untrusted corpus
+# with endlessly varied DHT specs must not grow worker memory without
+# limit (each LUT below is ~0.5 MB).
 _TABLE_CACHE: dict[tuple, dict] = {}
+_TABLE_CACHE_MAX = 4096
 
 
 def _build_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -172,6 +176,8 @@ def _build_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int
             code += 1
             k += 1
         code <<= 1
+    if len(_TABLE_CACHE) > _TABLE_CACHE_MAX:
+        _TABLE_CACHE.clear()
     _TABLE_CACHE[key] = table
     return table
 
@@ -191,6 +197,8 @@ def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int
             code += 1
             k += 1
         code <<= 1
+    if len(_TABLE_CACHE) > _TABLE_CACHE_MAX:
+        _TABLE_CACHE.clear()
     _TABLE_CACHE[key] = table
     return table
 
@@ -210,6 +218,8 @@ def _huff_lut(table: dict[tuple[int, int], int]) -> list:
         entry = (sym, length)
         for s in range(1 << (16 - length)):
             lut[base + s] = entry
+    if len(_HUFF_LUTS) > _TABLE_CACHE_MAX:  # r17 (ADVICE r16): bound
+        _HUFF_LUTS.clear()
     _HUFF_LUTS[id(table)] = (table, lut)
     return lut
 

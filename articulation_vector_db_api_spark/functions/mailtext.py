@@ -64,7 +64,7 @@ _QUOTED_FROM = re.compile(r"^(>*)From ", re.M)
 # shape (single-part text/plain, ASCII headers, no folding/encoded-words) is
 # built and parsed directly; ANYTHING outside that shape falls back to the
 # stdlib. Byte-for-byte / field-for-field equivalence with the stdlib on the
-# fast-path domain is pinned by tests/test_mailtext.py differential tests.
+# fast-path domain is pinned by tests/test_mail_epub.py differential tests.
 # ---------------------------------------------------------------------------
 
 # header value the policy will neither fold, encode, nor re-serialize:
@@ -110,19 +110,25 @@ def build_eml(
         # body runs through the stdlib's OWN CTE heuristic+encoder
         # (contentmanager._encode_text), so 7bit/8bit/quoted-printable/
         # base64 selection and payload bytes match exactly — only the
-        # structured-header registry (the ~2 ms/message term) is skipped
-        from email.contentmanager import _encode_text
-
-        cte, payload = _encode_text(
-            body, "utf-8", None, email.policy.default
-        )
-        return (
-            f"Subject: {subject}\nFrom: {sender}\nTo: {to}\n"
-            f"Date: {date}\n"
-            'Content-Type: text/plain; charset="utf-8"\n'
-            f"Content-Transfer-Encoding: {cte}\nMIME-Version: 1.0\n\n"
-            f"{payload}"
-        ).encode("ascii", "surrogateescape")
+        # structured-header registry (the ~2 ms/message term) is skipped.
+        # r17 (ADVICE r16): _encode_text is a private CPython helper —
+        # if a stdlib upgrade renames it, degrade to the slow path
+        # instead of crashing at runtime.
+        try:
+            from email.contentmanager import _encode_text
+        except ImportError:
+            _encode_text = None
+        if _encode_text is not None:
+            cte, payload = _encode_text(
+                body, "utf-8", None, email.policy.default
+            )
+            return (
+                f"Subject: {subject}\nFrom: {sender}\nTo: {to}\n"
+                f"Date: {date}\n"
+                'Content-Type: text/plain; charset="utf-8"\n'
+                f"Content-Transfer-Encoding: {cte}\nMIME-Version: 1.0\n\n"
+                f"{payload}"
+            ).encode("ascii", "surrogateescape")
     msg = EmailMessage(policy=email.policy.default)
     msg["Subject"] = subject
     msg["From"] = sender

@@ -192,6 +192,17 @@ def _fse_read_distribution(data: bytes, off: int) -> tuple[list[int], int, int]:
     return freqs, accuracy_log, (bitpos + 7) // 8
 
 
+# r17: FSE decode tables are memoized on the exact (accuracy_log,
+# frequencies) spec — the three PREDEFINED sequence distributions
+# (RFC 8878 §3.1.1.3.2.2) are rebuilt per compressed block otherwise
+# (measured ~40% of the decode core on small members), and real
+# corpora repeat a handful of encoder-chosen tables besides. Process-
+# lifetime like jpeg._TABLE_CACHE, bounded like mpeg1._WQ_LISTS;
+# entries are read-only by every caller. Rebuilt every run — nothing
+# persists across bench invocations.
+_FSE_TABLE_CACHE: dict[tuple, tuple[list[int], list[int], list[int]]] = {}
+
+
 def _fse_build(freqs: list[int], accuracy_log: int) -> tuple[
     list[int], list[int], list[int]
 ]:
@@ -199,6 +210,10 @@ def _fse_build(freqs: list[int], accuracy_log: int) -> tuple[
     baseline per state). Spread per RFC 8878 §4.1.1: -1-probability
     symbols one cell each at the table end; the rest step through
     ``(size>>1)+(size>>3)+3`` skipping occupied high cells."""
+    key = (accuracy_log, tuple(freqs))
+    cached = _FSE_TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     size = 1 << accuracy_log
     symbols = [0] * size
     high = size
@@ -230,6 +245,9 @@ def _fse_build(freqs: list[int], accuracy_log: int) -> tuple[
         nb = accuracy_log - (c.bit_length() - 1)
         num_bits[i] = nb
         baseline[i] = (c << nb) - size
+    if len(_FSE_TABLE_CACHE) > 4096:  # bound for hostile/varied corpora
+        _FSE_TABLE_CACHE.clear()
+    _FSE_TABLE_CACHE[key] = (symbols, num_bits, baseline)
     return symbols, num_bits, baseline
 
 
@@ -273,6 +291,14 @@ _ML_CODE = [(c + 3, 0) for c in range(32)] + [
 # -------------------------------------------------------- Huffman core
 
 
+# r17: FSE-compressed weight descriptions memoized on their exact
+# byte content (a pure parse); bounded/process-lifetime like the
+# table caches below. The cached tuple is re-listed on hit because
+# one caller (_decode_literals via _huf_build) only reads it, but
+# the contract returns a fresh list.
+_HUF_WEIGHTS_CACHE: dict[bytes, tuple[int, ...]] = {}
+
+
 def _huf_read_weights(data: bytes, off: int) -> tuple[list[int], int]:
     """Huffman tree description (RFC 8878 §4.2.1) -> (weights,
     next_offset). headerByte >= 128: direct 4-bit weights; < 128:
@@ -292,9 +318,12 @@ def _huf_read_weights(data: bytes, off: int) -> tuple[list[int], int]:
             byte = data[off + i // 2]
             weights.append((byte >> 4) if i % 2 == 0 else (byte & 0xF))
         return weights, off + nbytes
-    comp = data[off : off + header]
+    comp = bytes(data[off : off + header])
     if len(comp) < header:
         raise ValueError("zstd FSE Huffman weights truncated")
+    cached = _HUF_WEIGHTS_CACHE.get(comp)
+    if cached is not None:
+        return list(cached), off + header
     freqs, al, table_off = _fse_read_distribution(comp, 0)
     if al > 6:
         raise ValueError("zstd Huffman-weight FSE accuracy log > 6")
@@ -318,7 +347,17 @@ def _huf_read_weights(data: bytes, off: int) -> tuple[list[int], int]:
             break
         if len(weights) > 255:
             raise ValueError("zstd Huffman weight stream overlong")
+    if len(_HUF_WEIGHTS_CACHE) > 4096:  # bound for hostile corpora
+        _HUF_WEIGHTS_CACHE.clear()
+    _HUF_WEIGHTS_CACHE[comp] = tuple(weights)
     return weights, off + header
+
+
+# r17: Huffman decode tables memoized on the exact weight spec — the
+# witness corpus (and real corpora) repeat encoder table choices
+# across blocks/members. Same bound/lifetime story as
+# _FSE_TABLE_CACHE above; entries are read-only by every caller.
+_HUF_TABLE_CACHE: dict[tuple, tuple[list[int], list[int], int]] = {}
 
 
 def _huf_build(weights: list[int]) -> tuple[list[int], list[int], int]:
@@ -326,6 +365,10 @@ def _huf_build(weights: list[int]) -> tuple[list[int], list[int], int]:
     2^max_bits cells: (symbol, bits) per cell, plus max_bits.
     Canonical layout per RFC 8878 §4.2.1: ascending weight, ascending
     symbol within a weight, filling from position 0."""
+    key = tuple(weights)
+    cached = _HUF_TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if any(w > 11 for w in weights):
         # RFC 8878 §4.2.1: the maximum code length is 11, so no
         # weight may exceed 11 — without this cap a hostile weight
@@ -351,15 +394,19 @@ def _huf_build(weights: list[int]) -> tuple[list[int], list[int], int]:
     pos = 0
     for w in range(1, max_bits + 1):
         span = 1 << (w - 1)
+        nb = max_bits + 1 - w
         for s, sw in enumerate(ws):
             if sw != w:
                 continue
-            for _ in range(span):
-                sym_t[pos] = s
-                bits_t[pos] = max_bits + 1 - w
-                pos += 1
+            # slice assignment: C-speed fill of the span cells (r17)
+            sym_t[pos : pos + span] = [s] * span
+            bits_t[pos : pos + span] = [nb] * span
+            pos += span
     if pos != size:
         raise ValueError("zstd Huffman table underfilled")
+    if len(_HUF_TABLE_CACHE) > 4096:  # bound for hostile/varied corpora
+        _HUF_TABLE_CACHE.clear()
+    _HUF_TABLE_CACHE[key] = (sym_t, bits_t, max_bits)
     return sym_t, bits_t, max_bits
 
 

@@ -133,8 +133,10 @@ _VERIFIED = frozenset(
         "graph_triangle_count", "graph_weighted_sssp",
         "grouping_sets_revenue", "hash_embedding_vectors",
         "health_probe", "index_stats_by_source",
+        "ingest_archive_explode", "ingest_epub_extract",
         "ingest_extract_status", "ingest_fault_isolation",
-        "ingest_incremental_embed", "ingest_office_extract",
+        "ingest_incremental_embed", "ingest_mail_extract",
+        "ingest_office_extract", "ingest_rtf_html_extract",
         "join_anti_customers_no_urgent", "join_asof_event_order",
         "join_asof_forward_tolerance", "join_asof_nearest",
         "join_broadcast_snowflake", "join_bucketed_noshuffle",
@@ -161,10 +163,13 @@ _VERIFIED = frozenset(
         "multimodal_av_container_probe", "multimodal_avi_av_extract",
         "multimodal_avi_dib_roundtrip",
         "multimodal_avi_mjpeg_scene_cuts", "multimodal_binary_metadata",
+        "multimodal_dash_timeline_roundtrip",
         "multimodal_decode_features", "multimodal_dhash_image_dedup",
         "multimodal_fmp4_dash_roundtrip", "multimodal_frame_sample",
         "multimodal_gif_animation_frames", "multimodal_gif_roundtrip",
-        "multimodal_hls_ts_stitch", "multimodal_id3_metadata",
+        "multimodal_hls_encrypted_stitch",
+        "multimodal_hls_master_variant", "multimodal_hls_ts_stitch",
+        "multimodal_id3_cover_art", "multimodal_id3_metadata",
         "multimodal_jpeg_roundtrip", "multimodal_mkv_av_extract",
         "multimodal_mkv_mjpeg_decode", "multimodal_modality_router",
         "multimodal_mp1_decode", "multimodal_mp2_decode",
@@ -179,12 +184,13 @@ _VERIFIED = frozenset(
         "multimodal_pixel_histogram", "multimodal_pixel_roundtrip",
         "multimodal_qoi_roundtrip", "multimodal_resize_batch",
         "multimodal_resize_pixels", "multimodal_subtitle_normalize",
-        "multimodal_tiff_roundtrip", "multimodal_video_caption_align",
-        "multimodal_video_scene_cuts", "multimodal_vorbis_decode",
-        "multimodal_webp_roundtrip", "nested_agg_big_spenders",
-        "null_handling", "pack_sequences_token_budget",
-        "pipeline_corpus_curation", "pipeline_dedup_keep_best",
-        "pipeline_delivery_ingest", "pipeline_image_curation",
+        "multimodal_tiff_roundtrip", "multimodal_ttml_subtitle_extract",
+        "multimodal_video_caption_align", "multimodal_video_scene_cuts",
+        "multimodal_vorbis_decode", "multimodal_webp_roundtrip",
+        "nested_agg_big_spenders", "null_handling",
+        "pack_sequences_token_budget", "pipeline_corpus_curation",
+        "pipeline_dedup_keep_best", "pipeline_delivery_ingest",
+        "pipeline_document_corpus_ingest", "pipeline_image_curation",
         "pipeline_training_export", "pipeline_video_curation",
         "pipeline_web_image_ingest", "pipeline_web_ingest",
         "pivot_priority_multi_agg", "pivot_status_revenue",
@@ -260,50 +266,58 @@ _VERIFIED = frozenset(
     }
 )
 
-# Round-15 window (VERDICT r14 item 1):
+# Round-17 window (VERDICT r16 item 2 / "What's wrong" #1):
 # 0. _WINDOW_ROUND stamps the round this window was seated FOR: the
 #    policy tests recompute the expected window from CORRECTNESS files
 #    of rounds STRICTLY BEFORE this round, so the driver landing
-#    CORRECTNESS_r15.json mid-round cannot flip them red
+#    CORRECTNESS_r17.json mid-round cannot flip them red
 #    (the r13 round-phase-coupling defect, fixed in r14).
-# 1. _WINDOW_FIRST: the 10 r14 additions (never driver-contacted; all
-#    10 verified green by the r14 judge's own check_parity run at
-#    sf0.01, and parity-proven at sf0.001/0.01/0.1 before
-#    registration).
+# 1. _WINDOW_FIRST: the r15 defer queue (never driver-contacted —
+#    scan_zstd_jsonl / Type0-PDF / 7z, each parity-proven at
+#    sf0.001/0.01/0.1 before registration), then the r16 heavy
+#    rewrites whose parity evidence was builder-run only (sparse
+#    dequant mpeg trio, KN-bigram persist, office extract), then
+#    text_bpe_learn_merges_batched (the r16 right-operand prefilter
+#    changed its apply path and no driver row ever covered it) and
+#    the two queries round 17 itself touched (fmp4-dash /
+#    delivery-ingest witness memos).
 # 2. _WINDOW_RESEAT: the stalest driver-contacted rows
-#    ((latest_round, name) order, r7 rows leading) filling the
+#    ((latest_round, name) order, r8 rows leading) filling the
 #    remaining seats -- rotate_window.py output pasted verbatim.
-_WINDOW_ROUND = 15
+_WINDOW_ROUND = 17
 _WINDOW_FIRST = (
-    "multimodal_hls_encrypted_stitch",
-    "multimodal_dash_timeline_roundtrip",
-    "ingest_epub_extract",
-    "ingest_mail_extract",
-    "ingest_archive_explode",
-    "ingest_rtf_html_extract",
-    "pipeline_document_corpus_ingest",
-    "multimodal_hls_master_variant",
-    "multimodal_id3_cover_art",
-    "multimodal_ttml_subtitle_extract",
+    "scan_zstd_jsonl",
+    "ingest_pdf_type0_extract",
+    "ingest_sevenz_explode",
+    "multimodal_mp1_decode",
+    "multimodal_mpeg1_pframe_decode",
+    "multimodal_mpeg2_decode",
+    "text_kneser_ney_bigram",
+    "ingest_office_extract",
+    "text_bpe_learn_merges_batched",
+    "multimodal_fmp4_dash_roundtrip",
+    "pipeline_delivery_ingest",
 )
 _WINDOW_RESEAT = (
-    "stream_stream_interval_join", "stream_stream_left_outer_join",
-    "stream_threshold_debounce", "stream_topk_trending",
-    "stream_transform_with_state", "stream_tumbling_window",
-    "stream_watermark_append", "text_bpe_encode_tokens",
-    "text_bpe_learn_merges", "text_html_extract", "text_unicode_clean",
-    "agg_distinct_counts", "agg_percentiles", "agg_stats_moments",
-    "chunk_documents", "cube_order_status", "filter_project_pushdown",
-    "flagship_search", "grouping_sets_revenue", "index_stats_by_source",
-    "join_anti_customers_no_urgent", "join_asof_event_order",
-    "join_broadcast_snowflake", "join_range_calendar",
-    "join_salted_skew", "join_semi_customers_with_urgent",
-    "join_sortmerge_fact", "join_theta_supplier_pairs",
-    "multimodal_adts_probe", "multimodal_gif_animation_frames",
-    "multimodal_mp3_probe", "multimodal_ogg_flac_roundtrip",
-    "multimodal_opus_packet_stats", "q17_correlated_subquery",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "q7_nation_volume", "q8_market_share", "rollup_revenue",
+    "scalar_subquery_above_avg", "scan_arrow_ipc_nested",
+    "scan_avro_nested_roundtrip", "search_batch_queries",
+    "search_context", "search_mmr_diversified",
+    "search_scoped_source", "search_topk_per_source",
+    "setop_except_all", "setop_nations_except",
+    "setop_nations_intersect", "setop_union_all_counts",
+    "sort_global_prices", "sql_interface_revenue",
+    "topk_orders_by_price", "topk_pagination",
+    "upsert_last_write_wins", "agg_ordered_collect",
+    "agg_price_histogram", "ann_bruteforce_topk", "array_functions",
+    "cdc_snapshot_diff", "date_functions", "dedup_cc_star",
+    "dedup_connected_components", "dedup_exact",
+    "dedup_exact_normalized", "dedup_fuzzy_levenshtein",
+    "dedup_incremental_batch", "dedup_minhash_lsh",
+    "dedup_semantic_clusters", "dedup_simhash",
+    "dedup_substring_spans", "dedup_winnowing",
+    "events_anomaly_zscore", "events_decay_weighted_score",
+    "events_gap_filled_daily", "events_ohlc_bars",
+    "events_session_funnel",
 )
 
 # Suite order for the rest of the unverified front (round-5 additions):
@@ -314,18 +328,10 @@ _SUITE_WINDOW_ORDER = (
 )
 
 # Unverified queries DEFERRED past this round's window on purpose:
-# every query added during round 14 queues here for the r15 window
-# (each parity-proven at sf0.001/0.01/0.1 before registration).
-_WINDOW_DEFER: frozenset[str] = frozenset(
-    {
-        "scan_zstd_jsonl",  # r15: parity-proven at sf0.001/0.01/0.1
-        # before registration (RFC 8878 from-scratch decoder)
-        "ingest_pdf_type0_extract",  # r15: same proof (Type0 CMap
-        # tier through the ingest dispatch)
-        "ingest_sevenz_explode",  # r15: same proof (7z container
-        # from scratch, stdlib codecs, libarchive cross-validated)
-    }
-)
+# r17 — empty: the r15 defer queue (zstd / Type0-PDF / 7z) now holds
+# the front _WINDOW_FIRST seats, and no new queries were registered
+# during the optimization rounds.
+_WINDOW_DEFER: frozenset[str] = frozenset()
 
 
 def load_all() -> dict[str, Query]:

@@ -6757,32 +6757,70 @@ def multimodal_fmp4_dash_roundtrip(
         from ..functions.fmp4 import build_fmp4_mjpeg
         from ..functions.jpeg import decode_jpeg, encode_jpeg_baseline
 
+        # r17 (VERDICT r16 item 4): pure-call memos, task-lifetime only
+        # (guide §4.5) — the same pattern dash_timeline took in r16.
+        # The frame pattern depends solely on ((i + t) % 256, w) and
+        # the fragment pair on (i % 256, i % 3) (dur repeats mod 4,
+        # 4 | 256; w = 16 + 16 * (i % 3)), so each distinct witness is
+        # encoded/decoded once per task instead of once per doc. The
+        # SNR check is keyed on BOTH inputs (frame key and exact
+        # sample bytes), so every memo is bit-identical to
+        # recomputation; every run rebuilds them from scratch.
+        grids = {ww: np.mgrid[0:16, 0:ww] for ww in (16, 32, 48)}
+        frame_memo: dict[tuple, "np.ndarray"] = {}
+        enc_memo: dict[tuple, bytes] = {}
+        frag_memo: dict[tuple, tuple] = {}
+        snr_memo: dict[tuple, int] = {}
+
+        def frame_for(k: int, w: int) -> "np.ndarray":
+            f = frame_memo.get((k, w))
+            if f is None:
+                yy, xx = grids[w]
+                f = frame_memo[(k, w)] = np.stack(
+                    [((xx * 7 + yy * 3 + k * 41) % 256).astype(np.uint8)]
+                    * 3,
+                    axis=-1,
+                )
+            return f
+
+        def enc_for(k: int, w: int) -> bytes:
+            j = enc_memo.get((k, w))
+            if j is None:
+                j = enc_memo[(k, w)] = encode_jpeg_baseline(
+                    frame_for(k, w), quality=85
+                )
+            return j
+
+        def snr_ok(k: int, w: int, s: bytes) -> int:
+            ok = snr_memo.get((k, w, s))
+            if ok is None:
+                g = decode_jpeg(s)
+                a = frame_for(k, w).astype(np.float64)
+                b = g.astype(np.float64)
+                snr = 10 * np.log10(
+                    (a**2).sum() / max(((a - b) ** 2).sum(), 1e-9)
+                )
+                ok = snr_memo[(k, w, s)] = int(snr > 15)
+            return ok
+
         for pdf in it:
             rows = []
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
                 w = 16 + 16 * (i % 3)
                 dur = 1500 + 300 * (i % 4)
-                yy, xx = np.mgrid[0:16, 0:w]
-                frames = [
-                    np.stack(
-                        [((xx * 7 + yy * 3 + (i + t) * 41) % 256).astype(
-                            np.uint8
-                        )] * 3,
-                        axis=-1,
+                keys = [(i + t) % 256 for t in range(4)]
+                jp = [enc_for(k, w) for k in keys]
+                frag = frag_memo.get((i % 256, w))
+                if frag is None:
+                    frag = frag_memo[(i % 256, w)] = build_fmp4_mjpeg(
+                        [
+                            [(dur, jp[0]), (dur, jp[1])],
+                            [(dur, jp[2]), (dur, jp[3])],
+                        ],
+                        w, 16,
                     )
-                    for t in range(4)
-                ]
-                jp = [
-                    encode_jpeg_baseline(f, quality=85) for f in frames
-                ]
-                init, media = build_fmp4_mjpeg(
-                    [
-                        [(dur, jp[0]), (dur, jp[1])],
-                        [(dur, jp[2]), (dur, jp[3])],
-                    ],
-                    w, 16,
-                )
+                init, media = frag
                 mpd = build_mpd(
                     f"v{i}", 2, 2 * dur, 90000, w, 16
                 )
@@ -6791,15 +6829,8 @@ def multimodal_fmp4_dash_roundtrip(
                     fetch[f"v{i}-{k + 1}.m4s"] = m
                 meta, samples = demux_dash(mpd, fetch)
                 ok_dec = 1
-                for (_d, s), f in zip(samples, frames):
-                    g = decode_jpeg(s)
-                    a = f.astype(np.float64)
-                    b = g.astype(np.float64)
-                    snr = 10 * np.log10(
-                        (a**2).sum()
-                        / max(((a - b) ** 2).sum(), 1e-9)
-                    )
-                    if snr <= 15:
+                for (_d, s), k in zip(samples, keys):
+                    if not snr_ok(k, w, s):
                         ok_dec = 0
                 rows.append(
                     (
@@ -7152,6 +7183,35 @@ def pipeline_delivery_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         end = b"\x00\x00\x01\xb7"
 
+        # r17 (VERDICT r16 item 4): pure-call memos, task-lifetime only
+        # (guide §4.5 — the dash_timeline pattern). The hls witness
+        # scene depends solely on i % 153 (lcm of the 9/17/3 moduli in
+        # _mpeg1_pframe_frames), so the encode is keyed there and the
+        # demux+decode ledger on the EXACT elementary-stream bytes; the
+        # dash witness frame depends on (i + t) % 256 and the fragment
+        # pair on i % 256 (durations constant), with the sample decode
+        # keyed on the exact sample bytes. Bit-identical to
+        # recomputation; rebuilt from scratch every run.
+        hls_enc_memo: dict[int, tuple[bytes, bytes]] = {}
+        hls_ledger_memo: dict[tuple[bytes, bytes], tuple[int, int]] = {}
+        yy, xx = np.mgrid[0:16, 0:16]
+        jenc_memo: dict[int, bytes] = {}
+        frag_memo: dict[int, tuple] = {}
+        jdec_memo: set[bytes] = set()
+
+        def jenc_for(k: int) -> bytes:
+            j = jenc_memo.get(k)
+            if j is None:
+                j = jenc_memo[k] = encode_jpeg_baseline(
+                    np.stack(
+                        [((xx * 5 + yy * 7 + k * 31) % 256)
+                         .astype(np.uint8)] * 3,
+                        axis=-1,
+                    ),
+                    quality=85,
+                )
+            return j
+
         for pdf in it:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -7161,52 +7221,64 @@ def pipeline_delivery_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 units = 0
                 try:
                     if kind == 0:
-                        frames = _mpeg1_pframe_frames(i)[:3]
-                        v1 = encode_m2v(
-                            frames[:2], p_frames=True, qscale_code=4
-                        )
-                        v2 = encode_m2v([frames[2]], qscale_code=4)
-                        pl, files = build_hls(
-                            [
-                                {VIDEO_STREAM_0: v1[: -len(end)]},
-                                {VIDEO_STREAM_0: v2},
-                            ],
-                            pes_chunk=512,
-                        )
-                        out = demux_hls(pl, files)
-                        meta, dec = decode_m2v(
-                            out["streams"][VIDEO_STREAM_0]["data"]
-                        )
-                        units = meta["n_frames"]
-                        ok = int(units == 3 and len(dec) == 3)
+                        enc = hls_enc_memo.get(i % 153)
+                        if enc is None:
+                            frames = _mpeg1_pframe_frames(i)[:3]
+                            enc = hls_enc_memo[i % 153] = (
+                                encode_m2v(
+                                    frames[:2], p_frames=True,
+                                    qscale_code=4,
+                                ),
+                                encode_m2v([frames[2]], qscale_code=4),
+                            )
+                        v1, v2 = enc
+                        ledger = hls_ledger_memo.get(enc)
+                        if ledger is None:
+                            pl, files = build_hls(
+                                [
+                                    {VIDEO_STREAM_0: v1[: -len(end)]},
+                                    {VIDEO_STREAM_0: v2},
+                                ],
+                                pes_chunk=512,
+                            )
+                            out = demux_hls(pl, files)
+                            meta, dec = decode_m2v(
+                                out["streams"][VIDEO_STREAM_0]["data"]
+                            )
+                            ledger = hls_ledger_memo[enc] = (
+                                meta["n_frames"],
+                                int(
+                                    meta["n_frames"] == 3
+                                    and len(dec) == 3
+                                ),
+                            )
+                        units, ok = ledger
                         modality = "hls_ts"
                     elif kind == 1:
-                        yy, xx = np.mgrid[0:16, 0:16]
-                        jp = [
-                            encode_jpeg_baseline(
-                                np.stack(
-                                    [((xx * 5 + yy * 7 + (i + t) * 31)
-                                      % 256).astype(np.uint8)] * 3,
-                                    axis=-1,
-                                ),
-                                quality=85,
+                        keys = [(i + t) % 256 for t in range(4)]
+                        jp = [jenc_for(k) for k in keys]
+                        frag = frag_memo.get(i % 256)
+                        if frag is None:
+                            frag = frag_memo[i % 256] = build_fmp4_mjpeg(
+                                [
+                                    [(3000, jp[0]), (3000, jp[1])],
+                                    [(3000, jp[2]), (3000, jp[3])],
+                                ],
+                                16, 16,
                             )
-                            for t in range(4)
-                        ]
-                        init, media = build_fmp4_mjpeg(
-                            [
-                                [(3000, jp[0]), (3000, jp[1])],
-                                [(3000, jp[2]), (3000, jp[3])],
-                            ],
-                            16, 16,
-                        )
+                        init, media = frag
                         mpd = build_mpd(f"v{i}", 2, 6000, 90000, 16, 16)
                         fetch = {f"v{i}-init.mp4": init}
                         for k, m in enumerate(media):
                             fetch[f"v{i}-{k + 1}.m4s"] = m
                         _meta, samples = demux_dash(mpd, fetch)
                         for _d, s in samples:
-                            decode_jpeg(s)
+                            # decode keyed on the exact sample bytes —
+                            # only a successful decode is recorded, so
+                            # a failing sample raises exactly as before
+                            if s not in jdec_memo:
+                                decode_jpeg(s)
+                                jdec_memo.add(s)
                         units = len(samples)
                         ok = int(
                             units == 4

@@ -2866,6 +2866,14 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the corpus-sized explode+count runs four times (plan
     # audit r16: 4 Generate nodes, 8 scans, 0 ReusedExchange). The
     # frame is vocabulary-sized (Heaps' law), never corpus-sized.
+    # Lifetime (r17 persist sweep, ADVICE r16): session-scoped like
+    # every query-internal persist in the suites — a builder cannot
+    # unpersist before the caller materializes the returned frame,
+    # and Spark's default DataFrame level is already MEMORY_AND_DISK
+    # (entries spill, they don't OOM). A long-lived host evicts with
+    # spark.catalog.clearCache() between query generations; the
+    # serving layer's own cache has an explicit unpersist hook
+    # (api.EngineAPI._invalidate).
     big = (
         bigrams.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -46,27 +46,28 @@ def test_registry_window_matches_policy():
     assert actual == _expected_window()
 
 
-def test_r15_window_composition():
-    """The specific r15 rotation VERDICT r14 item 1 ordered."""
+def test_r17_window_composition():
+    """The specific r17 rotation VERDICT r16 item 2 ordered: the r15
+    defer queue (never driver-contacted) leads, then the r16 heavy
+    rewrites whose parity evidence was builder-run only, then the
+    three queries round 17's optimizations touched."""
     window = list(registry.load_all())[:WINDOW_SEATS]
-    # The 10 never-driver-contacted r14 additions hold the priority
-    # seats (each verified green by the r14 judge's own parity run
-    # at sf0.01).
-    assert window[:10] == [
-        "multimodal_hls_encrypted_stitch",
-        "multimodal_dash_timeline_roundtrip",
-        "ingest_epub_extract",
-        "ingest_mail_extract",
-        "ingest_archive_explode",
-        "ingest_rtf_html_extract",
-        "pipeline_document_corpus_ingest",
-        "multimodal_hls_master_variant",
-        "multimodal_id3_cover_art",
-        "multimodal_ttml_subtitle_extract",
+    assert window[:11] == [
+        "scan_zstd_jsonl",
+        "ingest_pdf_type0_extract",
+        "ingest_sevenz_explode",
+        "multimodal_mp1_decode",
+        "multimodal_mpeg1_pframe_decode",
+        "multimodal_mpeg2_decode",
+        "text_kneser_ney_bigram",
+        "ingest_office_extract",
+        "text_bpe_learn_merges_batched",
+        "multimodal_fmp4_dash_roundtrip",
+        "pipeline_delivery_ingest",
     ]
-    # The stalest driver-contacted rows (r7) lead the reseat.
+    # The stalest driver-contacted rows (r8) lead the reseat.
     contact = latest_contact(before_round=registry._WINDOW_ROUND)
-    assert [contact[n] for n in window[10:13]] == [7, 7, 7]
+    assert [contact[n] for n in window[11:14]] == [8, 8, 8]
 
 
 def test_no_query_staler_than_window_tail():

@@ -1054,6 +1054,85 @@ def _streaming_frames(spark):
 # sanctioned UDTF node; bare BatchEvalPython matches the pickled ones.)
 FORBIDDEN_EVERYWHERE = (r"CartesianProduct", r"BatchEvalPython")
 
+# r17 (ADVICE r16 item 4): positive structural pin for the r16
+# post-map stats barrier. r16 replaced several "no hashpartitioning"
+# bans with nothing, so a regression that hash-shuffles witness or
+# payload bytes BEFORE the Arrow map would have passed. This pins the
+# intended shape for every barrier site: the plan must contain a
+# hashpartitioning(doc_id) exchange, and every hash exchange must sit
+# DOWNSTREAM of the map (formatted-explain node ids grow toward the
+# root, so each hash exchange's id must exceed every MapInPandas id).
+# The list is every `.repartition("doc_id")` barrier site the r16
+# round inserted (61 queries; payload-emitting chunkers deliberately
+# have no barrier and are not listed).
+BARRIER_QUERIES = frozenset({
+    "ingest_archive_explode", "ingest_epub_extract",
+    "ingest_mail_extract", "ingest_office_extract",
+    "ingest_pdf_type0_extract", "ingest_rtf_html_extract",
+    "ingest_sevenz_explode", "multimodal_adts_probe",
+    "multimodal_aiff_au_roundtrip", "multimodal_ass_subtitle_extract",
+    "multimodal_audio_adpcm_roundtrip",
+    "multimodal_audio_caption_align", "multimodal_audio_flac_roundtrip",
+    "multimodal_audio_framing", "multimodal_audio_g711_roundtrip",
+    "multimodal_audio_vad_trim", "multimodal_audio_wav_roundtrip",
+    "multimodal_av_container_probe", "multimodal_avi_av_extract",
+    "multimodal_avi_dib_roundtrip", "multimodal_avi_mjpeg_scene_cuts",
+    "multimodal_dash_timeline_roundtrip",
+    "multimodal_fmp4_dash_roundtrip", "multimodal_gif_animation_frames",
+    "multimodal_gif_roundtrip", "multimodal_hls_encrypted_stitch",
+    "multimodal_hls_master_variant", "multimodal_hls_ts_stitch",
+    "multimodal_id3_cover_art", "multimodal_id3_metadata",
+    "multimodal_jpeg_roundtrip", "multimodal_mkv_av_extract",
+    "multimodal_mkv_mjpeg_decode", "multimodal_mp1_decode",
+    "multimodal_mp2_decode", "multimodal_mp3_probe",
+    "multimodal_mp4_audio_extract", "multimodal_mp4_mjpeg_decode",
+    "multimodal_mpeg1_bframe_decode", "multimodal_mpeg1_iframe_decode",
+    "multimodal_mpeg1_in_containers", "multimodal_mpeg1_pframe_decode",
+    "multimodal_mpeg2_decode", "multimodal_mpeg2_ps_roundtrip",
+    "multimodal_mpeg_ps_roundtrip", "multimodal_mpeg_ts_roundtrip",
+    "multimodal_ogg_flac_roundtrip", "multimodal_opus_packet_stats",
+    "multimodal_pixel_roundtrip", "multimodal_qoi_roundtrip",
+    "multimodal_resize_pixels", "multimodal_subtitle_normalize",
+    "multimodal_tiff_roundtrip", "multimodal_ttml_subtitle_extract",
+    "multimodal_video_caption_align", "multimodal_vorbis_decode",
+    "multimodal_webp_roundtrip", "pipeline_delivery_ingest",
+    "pipeline_document_corpus_ingest", "scan_zstd_jsonl",
+    "text_html_extract",
+})
+
+
+def barrier_violations(plan: str) -> list[str]:
+    """Structural violations of the post-map barrier shape in a
+    formatted plan (empty list = OK)."""
+    nodes = re.findall(r"^\((\d+)\) (\S+)", plan, flags=re.M)
+    map_ids = [int(i) for i, n in nodes if n.startswith("MapInPandas")]
+    if not map_ids:
+        return ["no MapInPandas node"]
+    # hash exchanges: '(n) Exchange' detail blocks whose Arguments
+    # carry hashpartitioning
+    hash_ids = [
+        int(m.group(1))
+        for m in re.finditer(
+            r"^\((\d+)\) Exchange\b(?:(?!^\(\d+\) ).)*?"
+            r"Arguments: hashpartitioning",
+            plan,
+            flags=re.M | re.S,
+        )
+    ]
+    out = []
+    doc_barrier = re.search(
+        r"^\(\d+\) Exchange\b(?:(?!^\(\d+\) ).)*?"
+        r"Arguments: hashpartitioning\(doc_id",
+        plan,
+        flags=re.M | re.S,
+    )
+    if doc_barrier is None:
+        out.append("missing hashpartitioning(doc_id) barrier")
+    below = [h for h in hash_ids if h < max(map_ids)]
+    if below:
+        out.append(f"hash exchange(s) {below} upstream of MapInPandas")
+    return out
+
 
 def main() -> int:
     import sys as _sys
@@ -1081,12 +1160,15 @@ def main() -> int:
                 bad_n += 1
                 continue
             hits = [f for f in FORBIDDEN_EVERYWHERE if re.search(f, plan)]
+            if name in BARRIER_QUERIES:
+                hits += barrier_violations(plan)
             swept += 1
             if hits:
                 print(f"FAIL   {name}: {hits}")
                 bad_n += 1
         print(f"sweep: {swept - bad_n}/{swept} plans free of "
-              f"{list(FORBIDDEN_EVERYWHERE)}")
+              f"{list(FORBIDDEN_EVERYWHERE)} + barrier-shape violations "
+              f"({len(BARRIER_QUERIES)} barrier pins)")
         return 1 if bad_n else 0
 
     frames = (

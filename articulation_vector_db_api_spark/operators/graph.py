@@ -110,6 +110,11 @@ def connected_components_star(
         .localCheckpoint(eager=False)  # r16: materialized by round 1's
         # min-neighbor job — eager ran a separate job for it
     )
+    # r17 (VERDICT r16 item 6): carry the edge count across rounds so
+    # the convergence check can usually skip its join (below). The
+    # count rides the checkpoint materialization the first round pays
+    # anyway.
+    n_sym = sym.count()
     for _ in range(max_iters):
         mn = _min_neighbor(sym)
         # large-star: neighbors larger than u attach to m(u)
@@ -118,13 +123,19 @@ def connected_components_star(
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         )
-        # small-star: u and its smaller neighbors attach to m(u)
-        small_members = sym.filter(F.col("dst") <= F.col("src")).unionByName(
-            sym.select(F.col("src"), F.col("src").alias("dst")).distinct()
-        )
+        # small-star: u and its smaller neighbors attach to m(u).
+        # r17: the self-pair branch ((u,u) for every src u, formerly a
+        # distinct + join per round) IS the min-neighbor frame renamed
+        # — joining (u,u) on mn.node == u emits exactly (u, m(u)) — so
+        # emit mn directly: one fewer shuffle (the distinct) and one
+        # fewer join leg per round, identical rows by construction.
         small = (
-            small_members.join(mn, small_members.src == mn.node)
+            sym.filter(F.col("dst") <= F.col("src"))
+            .join(mn, F.col("src") == mn.node)
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(
+                mn.select(F.col("node").alias("src"), F.col("m").alias("dst"))
+            )
         )
         new_sym = (
             large.unionByName(small)
@@ -137,17 +148,30 @@ def connected_components_star(
             .localCheckpoint(eager=False)  # r16: the convergence count
             # below materializes (and caches) it in the same job
         )
-        # one-job convergence check: both edge sets are distinct, so
-        # the symmetric difference is a single full-outer join with a
-        # null-marker filter — not two exceptAll jobs per round
-        changed = (
-            sym.withColumn("_old", F.lit(1))
-            .join(new_sym.withColumn("_new", F.lit(1)), ["src", "dst"], "full_outer")
-            .filter(F.col("_old").isNull() | F.col("_new").isNull())
-            .limit(1)
-            .count()
-        )
+        # convergence check, cheapest-first (r17): both edge sets are
+        # distinct, so |new| != |old| PROVES change without comparing
+        # members — the count action doubles as the checkpoint
+        # materialization. Only equal counts (usually just the final,
+        # converged round) pay the full symmetric-difference join —
+        # which stays the single full-outer join with a null-marker
+        # filter, not two exceptAll jobs.
+        n_new = new_sym.count()
+        if n_new != n_sym:
+            changed = 1
+        else:
+            changed = (
+                sym.withColumn("_old", F.lit(1))
+                .join(
+                    new_sym.withColumn("_new", F.lit(1)),
+                    ["src", "dst"],
+                    "full_outer",
+                )
+                .filter(F.col("_old").isNull() | F.col("_new").isNull())
+                .limit(1)
+                .count()
+            )
         sym = new_sym
+        n_sym = n_new
         if changed == 0:
             break
     comp = _min_neighbor(sym)

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from ..functions.chunking import chunk_documents
 from ..functions.embedding import hash_embedding_from_hex, hash_embedding_py
 from ..functions.vector import dot, l2_norm
-from ..sources.readers import load_table
+from ..sources.readers import load_table, spread_input
 
 
 class HashEmbedder:
@@ -102,7 +102,7 @@ def build_index_with(
     """documents → chunk rows embedded by ``embedder`` — the generic
     form of operators/search.py:build_chunk_index."""
     docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = docs.transform(spread_input, sf_dir, "documents")
     chunks = chunk_documents(docs, id_col="doc_id", text_col="text")
     return chunks.select(
         F.col("chunk_id").alias("id"),

@@ -28,7 +28,7 @@ import os
 from ..functions.chunking import chunk_documents
 from ..functions.embedding import hash_embedding_from_hex, hash_embedding_py
 from ..functions.vector import dot, l2_norm
-from ..sources.readers import load_table
+from ..sources.readers import load_table, spread_input
 
 DEFAULT_TOP_K = 5  # main.py:89
 
@@ -60,7 +60,7 @@ def build_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file fixture = one input split; spread the (expensive)
     # 1024-dim embedding projection across all cores — at scale the
     # scan's own splits make this a cheap rebalance
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = docs.transform(spread_input, sf_dir, "documents")
     chunks = chunk_documents(docs, id_col="doc_id", text_col="text")
     return (
         chunks.withColumn("_hex", F.sha2(F.col("chunk_text"), 256))
@@ -128,7 +128,7 @@ def chunk_patterns(
     partition heaps don't repay an extra shuffle of raw text."""
     docs = load_table(spark, sf_dir, "documents")
     if spread:
-        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        docs = docs.transform(spread_input, sf_dir, "documents")
     chunks = chunk_documents(docs, id_col="doc_id", text_col="text")
     return (
         chunks.withColumn("_hex", F.sha2(F.col("chunk_text"), 256))

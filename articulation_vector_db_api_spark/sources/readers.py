@@ -126,6 +126,74 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
+# r17 (guide §2.4, remove shuffles outright): total on-disk bytes per
+# table path, memoized — one os.walk per path per process. Feeds the
+# spread_input() decision below without touching Spark planning (a
+# df.rdd.getNumPartitions() probe costs ~100 ms of py4j/planning per
+# call, which would land inside the bench's timed region).
+_TABLE_BYTES: dict[str, int] = {}
+
+
+def _path_bytes(path: str) -> int:
+    cached = _TABLE_BYTES.get(path)
+    if cached is None:
+        if os.path.isfile(path):
+            cached = os.path.getsize(path)
+        else:
+            cached = 0
+            for root, _dirs, files in os.walk(path):
+                for fname in files:
+                    if fname.startswith((".", "_")):
+                        continue  # _SUCCESS, .crc sidecars
+                    cached += os.path.getsize(os.path.join(root, fname))
+        _TABLE_BYTES[path] = cached
+    return cached
+
+
+def _conf_bytes(raw: str) -> int:
+    """Parse a Spark byte conf ('134217728', '128m', '1g')."""
+    raw = raw.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if raw and raw[-1] == "b":
+        raw = raw[:-1]
+    if raw and raw[-1] in mult:
+        return int(raw[:-1]) * mult[raw[-1]]
+    return int(raw)
+
+
+def spread_input(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Fan a fixture-scan-derived frame out to core-count partitions
+    ONLY when the scan cannot do that itself (guide §2.4).
+
+    The local fixture is one small parquet file, so the scan yields one
+    split and a round-robin ``repartition(defaultParallelism)`` is
+    REQUIRED to put every core to work. At production scale the same
+    table arrives in >= core-count splits — any input of at least
+    ``defaultParallelism x maxPartitionBytes`` bytes provably scans as
+    at least ``defaultParallelism`` file partitions — and the blanket
+    repartition would round-robin the full payload (document text,
+    embedding vectors) through a shuffle for nothing. The threshold
+    reads the session's own ``maxPartitionBytes`` so the decision
+    tracks however the deployment sizes its splits.
+
+    Locally the plan is identical to the unconditional repartition
+    (every fixture SF is far below the threshold). Results never depend
+    on the branch: round-robin placement is not observable in any
+    declared query's output (all are aggregations or explicitly
+    ordered; parity is hash-checked on sorted rows).
+
+    Use as ``df.transform(spread_input, sf_dir, "documents")``.
+    """
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    max_split = _conf_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    if _path_bytes(os.path.join(sf_dir, f"{name}.parquet")) >= n * max_split:
+        return df
+    return df.repartition(n)
+
+
 def load_binary_corpus(spark: SparkSession, directory: str, glob: str = "*.pdf") -> DataFrame:
     """Directory scan of opaque binary files (reference O1, main.py:258-279).
 

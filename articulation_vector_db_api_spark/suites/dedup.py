@@ -28,7 +28,7 @@ from pyspark.sql.window import Window
 from ..functions.hashing import hex_to_u32_sql, sha_hash32
 from ..functions.vector import cosine_sql_duckdb
 from ..registry import register
-from ..sources.readers import load_table
+from ..sources.readers import load_table, spread_input
 
 N_MINHASH = 12
 BAND_ROWS = 3  # 4 bands of 3 rows
@@ -500,7 +500,7 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") >= _KGRAM
     )
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = docs.transform(spread_input, sf_dir, "documents")
     gh = F.transform(
         F.sequence(F.lit(1), F.length("text") - (_KGRAM - 1)),
         lambda i: F.conv(
@@ -967,7 +967,7 @@ def _km_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment across cores (at deployment the scan is many-split)."""
     return (
         load_table(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "embeddings")
         .select(
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -1190,7 +1190,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim(F.col("text"))) > 0
     )
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = docs.transform(spread_input, sf_dir, "documents")
     toks = F.split(F.trim(F.lower(F.col("text"))), _TOKENIZE)
     sized = (
         docs.select("doc_id", toks.alias("t"))
@@ -1766,7 +1766,7 @@ def dedup_substring_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim(F.col("text"))) > 0
     )
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = docs.transform(spread_input, sf_dir, "documents")
     toks = F.split(F.trim(F.lower(F.col("text"))), _TOKENIZE)
     sized = (
         docs.select("doc_id", toks.alias("t"))

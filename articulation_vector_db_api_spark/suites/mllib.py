@@ -18,7 +18,7 @@ from ..operators.mllib_index import (
     minhash_shingle_join,
 )
 from ..registry import register
-from ..sources.readers import load_table
+from ..sources.readers import load_table, spread_input
 
 
 @register("mllib_ann_neighbors", oracle=None, tags=("mllib", "similarity"))
@@ -96,7 +96,7 @@ def mllib_tfidf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim(F.col("text"))) > 0
     )
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = docs.transform(spread_input, sf_dir, "documents")
     pipe = [
         Tokenizer(inputCol="text", outputCol="raw_tokens"),
         StopWordsRemover(inputCol="raw_tokens", outputCol="tokens"),
@@ -189,7 +189,7 @@ def mllib_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF
 
     docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = docs.transform(spread_input, sf_dir, "documents")
     tokens = F.split(F.trim(F.col("text")), r"\s+")
     shingles = F.when(F.size(tokens) < 3, F.array(F.col("text"))).otherwise(
         F.array_distinct(

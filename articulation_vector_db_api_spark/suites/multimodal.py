@@ -14,7 +14,7 @@ from pyspark.sql.window import Window
 
 from ..operators.multimodal import attach_binary_payload, extract_binary_features
 from ..registry import register
-from ..sources.readers import load_table
+from ..sources.readers import load_table, spread_input
 
 
 @register(
@@ -472,7 +472,7 @@ def multimodal_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # many-file 100 TB scan arrives well-split and AQE elides the
         # no-op exchange
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, PIXEL_STATS_SCHEMA)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -587,7 +587,7 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -691,7 +691,7 @@ def multimodal_qoi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -797,7 +797,7 @@ def multimodal_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -890,7 +890,7 @@ def multimodal_audio_adpcm_roundtrip(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -1016,7 +1016,7 @@ def multimodal_audio_g711_roundtrip(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -1143,7 +1143,7 @@ def multimodal_audio_flac_roundtrip(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -1252,7 +1252,7 @@ def multimodal_adts_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -1389,7 +1389,7 @@ def multimodal_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -1536,7 +1536,7 @@ def multimodal_opus_packet_stats(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -1657,7 +1657,7 @@ def multimodal_gif_animation_frames(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -1787,7 +1787,7 @@ def multimodal_ogg_flac_roundtrip(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -1921,7 +1921,7 @@ def multimodal_avi_dib_roundtrip(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -2031,7 +2031,7 @@ def multimodal_avi_mjpeg_scene_cuts(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -2152,7 +2152,7 @@ def multimodal_mp4_mjpeg_decode(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -2263,13 +2263,22 @@ def pipeline_video_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     segments = (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, seg_schema)
     )
-    survivors = segments.groupBy("sig").agg(
-        F.min(F.struct("doc_id", "seg_idx")).alias("keep")
-    )
-    judged = segments.join(survivors, "sig").withColumn(
+    # r17 (guide §2.4): the survivor election is a window over the SAME
+    # sig-shuffle the groupBy leg already paid — the former
+    # groupBy + self-join shape executed the decode map TWICE (each
+    # branch re-ran scan -> spread -> MapInPandas; the 100 TB cost is
+    # decoding the video corpus twice) and shuffled the segment rows a
+    # second time through the join. min(struct) over the sig partition
+    # is row-for-row identical to joining the groupBy's keep back on
+    # sig (inner join on the row's own key). Same idiom as
+    # pipeline_image_curation's election window.
+    judged = segments.withColumn(
+        "keep",
+        F.min(F.struct("doc_id", "seg_idx")).over(Window.partitionBy("sig")),
+    ).withColumn(
         "admitted",
         (F.col("keep.doc_id") == F.col("doc_id"))
         & (F.col("keep.seg_idx") == F.col("seg_idx")),
@@ -2411,7 +2420,7 @@ def multimodal_audio_caption_align(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id", "cue_idx")
@@ -2536,7 +2545,7 @@ def multimodal_mkv_mjpeg_decode(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -2689,7 +2698,7 @@ def multimodal_video_caption_align(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id", "cue_idx")
@@ -2821,7 +2830,7 @@ def multimodal_vorbis_decode(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -2958,7 +2967,7 @@ def multimodal_mp2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -3081,7 +3090,7 @@ def multimodal_mpeg1_iframe_decode(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -3265,7 +3274,7 @@ def _mp1_witness_store(spark: SparkSession, sf_dir: str) -> str:
         (
             load_table(spark, sf_dir, "documents")
             .select("doc_id")
-            .repartition(spark.sparkContext.defaultParallelism)
+            .transform(spread_input, sf_dir, "documents")
             .mapInPandas(encode_batches, out_schema)
             .write.mode("overwrite")
             .parquet(p)
@@ -3464,7 +3473,7 @@ def _mpeg1_pframe_store(spark: SparkSession, sf_dir: str) -> str:
         (
             load_table(spark, sf_dir, "documents")
             .select("doc_id")
-            .repartition(spark.sparkContext.defaultParallelism)
+            .transform(spread_input, sf_dir, "documents")
             .mapInPandas(encode_batches, out_schema)
             .write.mode("overwrite")
             .parquet(p)
@@ -3650,7 +3659,7 @@ def _mpeg1_bframe_store(spark: SparkSession, sf_dir: str) -> str:
         (
             load_table(spark, sf_dir, "documents")
             .select("doc_id")
-            .repartition(spark.sparkContext.defaultParallelism)
+            .transform(spread_input, sf_dir, "documents")
             .mapInPandas(encode_batches, out_schema)
             .write.mode("overwrite")
             .parquet(p)
@@ -3861,7 +3870,7 @@ def _mpeg2_witness_store(spark: SparkSession, sf_dir: str) -> str:
         (
             load_table(spark, sf_dir, "documents")
             .select("doc_id")
-            .repartition(spark.sparkContext.defaultParallelism)
+            .transform(spread_input, sf_dir, "documents")
             .mapInPandas(encode_batches, out_schema)
             .write.mode("overwrite")
             .parquet(p)
@@ -3972,7 +3981,7 @@ def multimodal_subtitle_normalize(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -4099,7 +4108,7 @@ def multimodal_avi_av_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -4231,7 +4240,7 @@ def multimodal_mkv_av_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -4343,7 +4352,7 @@ def multimodal_mp4_audio_extract(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -4500,7 +4509,7 @@ def multimodal_mpeg_ps_roundtrip(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -4631,7 +4640,7 @@ def multimodal_mpeg2_ps_roundtrip(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -4778,7 +4787,7 @@ def multimodal_mpeg1_in_containers(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -4934,7 +4943,7 @@ def multimodal_av_container_probe(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -5038,7 +5047,7 @@ def multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         # many-file 100 TB scan arrives well-split and AQE elides the
         # no-op exchange
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, PIXEL_STATS_SCHEMA)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -5148,7 +5157,7 @@ def multimodal_audio_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -5237,7 +5246,7 @@ def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, PIXEL_STATS_SCHEMA)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -5327,7 +5336,7 @@ def multimodal_pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     partials = (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, partial_schema)
     )
     return (
@@ -5444,7 +5453,7 @@ def multimodal_audio_vad_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -5537,7 +5546,7 @@ def multimodal_dhash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     hashed = (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
     )
     return (
@@ -5677,7 +5686,7 @@ def multimodal_phash_dct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     hashed = (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
     )
     return (
@@ -5801,7 +5810,7 @@ def multimodal_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, PIXEL_STATS_SCHEMA)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -5906,7 +5915,7 @@ def pipeline_web_image_ingest(
         (
             load_table(spark, sf_dir, "documents")
             .select("doc_id", "source")
-            .repartition(spark.sparkContext.defaultParallelism)
+            .transform(spread_input, sf_dir, "documents")
             .foreachPartition(write_shard)
         )
 
@@ -6081,7 +6090,7 @@ def pipeline_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     feats = (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
     )
     quality_ok = (F.col("contrast") >= 128) & F.col("px_sum").between(
@@ -6234,7 +6243,7 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     decoded = (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
     )
     resampled = decoded.withColumn("r", resample_441_320("s", 23))
@@ -6388,7 +6397,7 @@ def multimodal_mpeg_ts_roundtrip(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -6518,7 +6527,7 @@ def multimodal_aiff_au_roundtrip(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -6683,7 +6692,7 @@ def multimodal_hls_ts_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -6857,7 +6866,7 @@ def multimodal_fmp4_dash_roundtrip(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -6972,7 +6981,7 @@ def multimodal_ass_subtitle_extract(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -7111,7 +7120,7 @@ def multimodal_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id", "lang", "source")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -7300,7 +7309,7 @@ def pipeline_delivery_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -7448,7 +7457,7 @@ def multimodal_hls_encrypted_stitch(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -7628,7 +7637,7 @@ def multimodal_dash_timeline_roundtrip(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -7749,7 +7758,7 @@ def multimodal_hls_master_variant(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -7887,7 +7896,7 @@ def multimodal_id3_cover_art(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")
@@ -8003,7 +8012,7 @@ def multimodal_ttml_subtitle_extract(
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")

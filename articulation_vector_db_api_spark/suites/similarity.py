@@ -29,7 +29,7 @@ from ..functions.embedding import embedding_sql_duckdb, hash_embedding
 from ..functions.numeric import davg
 from ..functions.vector import cosine, cosine_sql_duckdb, dot, dot_sql_duckdb, l2_norm
 from ..registry import register
-from ..sources.readers import load_table
+from ..sources.readers import load_table, spread_input
 
 N_PLANES = 4  # 16 buckets; tune to corpus size / recall target
 QUERY_VEC_ID = 0
@@ -914,7 +914,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bit-exact."""
     e = load_table(spark, sf_dir, "embeddings")
     # single-file fixture = one split; spread the 128-fold/row encode
-    vec = e.repartition(spark.sparkContext.defaultParallelism).select(
+    vec = e.transform(spread_input, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
@@ -1182,7 +1182,7 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cell")
     )
     # PQ encode + ADC (identical folds to ann_pq_adc_topk), probed cells only
-    vec = e.repartition(spark.sparkContext.defaultParallelism).select(
+    vec = e.transform(spread_input, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         (F.col("vec_id") % N_IVF_CELLS).alias("cell"),

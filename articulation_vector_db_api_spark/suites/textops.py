@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import hex_to_u32_sql, sha_hash32, sha_hash32_sql
 from ..functions.numeric import davg, davg_sql
 from ..registry import register
-from ..sources.readers import load_table
+from ..sources.readers import load_table, spread_input
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
 
@@ -497,7 +497,7 @@ def text_char_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.trim(F.lower(F.col("text"))).alias("t"))
         # single-file parquet = 1 split; spread docs before the ~100×
         # bigram explode so the fan-out stages use every core
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
     )
     # outer-explode: the array is non-empty (length >= 2 filter), and
     # plain explode's implicit size>0 filter would be pushed below the
@@ -627,7 +627,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # single-file fixture = one input split; spread rows before the
     # gram explode fans out (same lesson as text_char_bigram_lm)
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = docs.transform(spread_input, sf_dir, "documents")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     base = docs.select(
         "doc_id",
@@ -722,7 +722,7 @@ def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim(F.col("text"))) > 0
     )
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = docs.transform(spread_input, sf_dir, "documents")
     t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     with_toks = docs.select("doc_id", t.alias("t")).filter(
         F.size("t") >= CONTAM_N
@@ -1251,7 +1251,7 @@ def text_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim(F.col("text"))) > 0
     )
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = docs.transform(spread_input, sf_dir, "documents")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     # outer-explode (array non-empty under the text filter): plain
     # explode's pushed size>0 filter re-runs the split below the
@@ -1460,7 +1460,7 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim(F.col("text"))) > 0
     )
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = docs.transform(spread_input, sf_dir, "documents")
     norm = F.trim(F.lower(F.col("text")))
     toks = F.split(norm, r"\s+")
     quality = docs.select(
@@ -1609,7 +1609,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim(F.col("text"))) > 0
     )
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = docs.transform(spread_input, sf_dir, "documents")
     phrases = F.filter(
         F.transform(
             F.split(
@@ -2850,7 +2850,7 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
         )
         .filter(F.size("toks") >= 2)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
     )
     bigrams = d.select(
         F.explode_outer(
@@ -3387,7 +3387,7 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_input, sf_dir, "documents")
         .mapInPandas(batches, schema)
         .repartition("doc_id")  # shuffle barrier: the range-sampling job reuses it, so the map runs ONCE (r16)
         .orderBy("doc_id")

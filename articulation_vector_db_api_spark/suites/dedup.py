@@ -1213,9 +1213,16 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g"),
     ).persist()
     dup = (
+        # r17 (guide §2.3, aggregate before you shuffle): the dup test
+        # only needs "seen in >= 2 distinct docs", which is exactly
+        # min(doc_id) != max(doc_id) — a single-pass partial aggregate
+        # (two longs of map-side state per digest) instead of
+        # countDistinct's extra dedup-aggregate level over (g, doc_id).
+        # At 100 TB a hot span repeated across thousands of docs keeps
+        # a doc-id set per key under countDistinct; min/max is O(1).
         grams.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("g")
     )
     per_doc = (
@@ -1788,9 +1795,16 @@ def dedup_substring_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sp"),
     ).select("doc_id", "sp.i", "sp.g").persist()
     dup = (
+        # r17 (guide §2.3, aggregate before you shuffle): the dup test
+        # only needs "seen in >= 2 distinct docs", which is exactly
+        # min(doc_id) != max(doc_id) — a single-pass partial aggregate
+        # (two longs of map-side state per digest) instead of
+        # countDistinct's extra dedup-aggregate level over (g, doc_id).
+        # At 100 TB a hot span repeated across thousands of docs keeps
+        # a doc-id set per key under countDistinct; min/max is O(1).
         grams.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("g")
     )
     covered = (

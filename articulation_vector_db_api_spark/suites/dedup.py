@@ -37,16 +37,16 @@ JACCARD_THRESHOLD = 0.3
 _TOKENIZE = r"\s+"
 
 
-def _shingle_arrays(df: DataFrame, n: int = 3) -> DataFrame:
+def _shingle_arrays(df: DataFrame, sf_dir: str, n: int = 3) -> DataFrame:
     """doc_id → distinct word n-gram shingle ARRAY (whole text if < n
     words) — kept as an array so per-doc work (minhashing) can run as a
     zero-shuffle fold instead of explode+groupBy.
 
-    The fixture corpus is one small parquet file → one input split; at
-    100 TB the scan yields thousands of splits, but here an explicit
-    round-robin repartition is needed so the shingle+hash stage uses
-    every core instead of one."""
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    The fixture corpus is one small parquet file → one input split, so
+    the spread below round-robins it across cores; at 100 TB the scan
+    yields thousands of splits and spread_input skips the shuffle
+    (guide §2.4 — r17, was an unconditional repartition)."""
+    df = spread_input(df, sf_dir, "documents")
     tokens = F.split(F.trim(F.col("text")), _TOKENIZE)
     grams = F.when(
         F.size(tokens) < n, F.array(F.col("text"))
@@ -65,7 +65,7 @@ def _shingle_arrays(df: DataFrame, n: int = 3) -> DataFrame:
     return df.select("doc_id", grams.alias("shingles"))
 
 
-def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+def _shingles(df: DataFrame, sf_dir: str, n: int = 3) -> DataFrame:
     """doc_id → one row per distinct shingle (exploded form).
 
     explode_outer, deliberately: plain explode adds an implicit
@@ -74,7 +74,7 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     in the single-split scan stage (measured 8x slowdown). The gram
     array is non-empty by construction (the < n branch yields
     [text]), so outer-explode is row-identical and skips the filter."""
-    return _shingle_arrays(df, n).select(
+    return _shingle_arrays(df, sf_dir, n).select(
         "doc_id", F.explode_outer("shingles").alias("shingle")
     )
 
@@ -367,7 +367,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs. At 100 TB, tune bands/rows for the target Jaccard
     threshold (P(candidate) = 1-(1-j^r)^b) and salt hot bands."""
     docs = load_table(spark, sf_dir, "documents")
-    arrays = _shingle_arrays(docs).cache()  # reused: hashing + both verify sides
+    arrays = _shingle_arrays(docs, sf_dir).cache()  # reused: hashing + both verify sides
     cand = _lsh_candidate_pairs(arrays)
 
     # Exact-Jaccard verification on CANDIDATES ONLY, via array
@@ -625,7 +625,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (linear in the corpus, never f² on a boilerplate shingle).
     Top-50 by similarity."""
     docs = load_table(spark, sf_dir, "documents")
-    postings = _pruned_postings(_shingles(docs)).persist()
+    postings = _pruned_postings(_shingles(docs, sf_dir)).persist()
     # read twice (pairs + sizes); persisting skips a second shingle pass
     sizes = _pruned_sizes(postings)
     pair_inter = _posting_pair_counts(postings).withColumnsRenamed(
@@ -689,7 +689,7 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair volume linear in the corpus (cap x shingle rows), never f²
     on a boilerplate shingle."""
     docs = load_table(spark, sf_dir, "documents")
-    postings = _pruned_postings(_shingles(docs)).persist()
+    postings = _pruned_postings(_shingles(docs, sf_dir)).persist()
     # read twice (pairs + sizes); persisting skips a second shingle pass
     sizes = _pruned_sizes(postings)
     und = _posting_pair_counts(postings)
@@ -770,7 +770,7 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept-shingle posting lists, intersection by a pair-key join;
     counts roll up to a single row."""
     docs = load_table(spark, sf_dir, "documents")
-    arrays = _shingle_arrays(docs).cache()  # feeds cand, truth, sizes
+    arrays = _shingle_arrays(docs, sf_dir).cache()  # feeds cand, truth, sizes
     cand = _lsh_candidate_pairs(arrays)
 
     sh = arrays.select("doc_id", F.explode_outer("shingles").alias("shingle"))
@@ -1322,7 +1322,7 @@ def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     single per-component window. The `keep = 0` rows ARE the deletion
     list a 100 TB curation job writes back."""
     docs = load_table(spark, sf_dir, "documents")
-    postings = _pruned_postings(_shingles(docs)).persist()
+    postings = _pruned_postings(_shingles(docs, sf_dir)).persist()
     sizes = _pruned_sizes(postings)
     pairs = _posting_pair_counts(postings)
     edges = (
@@ -1426,7 +1426,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     state shuffles). The argmax-duplicate is a window over the
     batch-sized overlap set, never over the corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs)
+    sh = _shingles(docs, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     batch = sh.filter(F.col("doc_id") % 10 == 0)
     corpus = sh.filter(F.col("doc_id") % 10 != 0)
